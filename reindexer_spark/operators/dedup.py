@@ -1,0 +1,374 @@
+"""Tier C9 + north-star — the deduplication family over ``documents``.
+
+Five strategies, cheapest to richest:
+
+- exact (group-by full text)           → dedup_exact
+- exact by content hash (sha256)       → dedup_exact_hash
+- n-gram Jaccard via inverted index    → dedup_ngram_jaccard (exact near-dup)
+- MinHash + LSH banding                → dedup_minhash (approximate; rows-only check)
+- SimHash (hamming on 64-bit sketches) → dedup_simhash (approximate; rows-only check)
+
+Scale design: the exact variants are single-shuffle hash aggregations on
+the hash of the text (never shuffle the full text — shuffle the 32-byte
+digest).  The near-dup variants all follow the inverted-index shape:
+explode features, join on the feature, aggregate pair counts.  The
+document-frequency cap (DF_CAP) bounds the worst-case join fan-out: a
+feature appearing in k docs produces k² candidate pairs, so hot features
+(boilerplate) are dropped on BOTH sides — the standard trick that keeps
+MinHash/Jaccard jobs alive at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reindexer_spark.catalog import load_table
+from reindexer_spark.registry import query
+
+SHINGLE_K = 3  # word n-gram width
+JACCARD_THRESHOLD = 0.8
+DF_CAP = 1000  # drop shingles occurring in more docs than this
+
+# MinHash parameters: 32 hashes in 8 bands of 4 rows.
+MINHASH_PERMS = 32
+MINHASH_BANDS = 8
+MINHASH_ROWS = MINHASH_PERMS // MINHASH_BANDS
+
+
+def word_shingles(text_col, k: int = SHINGLE_K):
+    """Distinct word k-gram shingles of a text column (codegen'd; no UDF).
+
+    Returns an empty array for texts shorter than k words (guards the
+    descending-sequence pitfall of F.sequence).
+    """
+    toks = F.split(text_col, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded inverted index with the DF cap applied."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    )
+    hot = (
+        ex.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("shingle")
+    )
+    return ex.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+_SHINGLE_SQL = f"""
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - {SHINGLE_K - 2}),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= {SHINGLE_K}
+    ),
+    ex_all AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    hot AS (
+      SELECT shingle FROM ex_all GROUP BY shingle HAVING COUNT(*) > {DF_CAP}
+    ),
+    ex AS (
+      SELECT * FROM ex_all WHERE shingle NOT IN (SELECT shingle FROM hot)
+    )
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies,
+           MIN(n_chars) AS n_chars
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one keeper (min doc_id) per distinct text."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count("*").alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    ).drop("text")
+
+
+@query(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on sha256(text): at 100 TB the shuffle moves
+    32-byte digests, not document bodies — same answer, ~100× less
+    shuffle I/O for long documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.sha2("text", 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, n_common,
+           CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-duplicate pairs by word-3-gram Jaccard ≥ 0.8, via the
+    inverted-index self-join (explode → join on shingle → pair counts).
+    The DF cap bounds fan-out; the pair aggregation shuffles on
+    (d1, d2) — both keys high-cardinality, so no skew."""
+    ex = shingle_table(spark, sf_dir)
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jac = F.col("n_common").cast("double") / (
+        F.col("s1.n") + F.col("s2.n") - F.col("n_common")
+    )
+    return (
+        pairs.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .select("d1", "d2", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@query("dedup_minhash")  # approximate → rows-only check (no SQL oracle)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates, verified by true Jaccard.
+
+    Pipeline: shingle → 32 minhashes (xxhash64 with per-permutation salt,
+    a single aggregation over the inverted index) → 8 bands of 4 → band
+    join on (band_id, band_hash) → exact Jaccard verification of the
+    candidates only.  At 100 TB the band join replaces the quadratic
+    shingle self-join with an equality join whose fan-out is controlled
+    by the band width; this is the scale path, dedup_ngram_jaccard is
+    the exact baseline it is validated against (see tests).
+    """
+    ex = shingle_table(spark, sf_dir)
+    # 32 salted hashes per (doc, shingle); min per doc per permutation.
+    hashed = ex.select(
+        "doc_id",
+        "shingle",
+        *[
+            F.xxhash64(F.concat(F.lit(f"perm{i}:"), F.col("shingle"))).alias(
+                f"h{i}"
+            )
+            for i in range(MINHASH_PERMS)
+        ],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(MINHASH_PERMS)],
+    )
+    # Bands: hash 4 consecutive minhashes together.
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col(f"mh{b * MINHASH_ROWS + r}")
+                            for r in range(MINHASH_ROWS)
+                        ]
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
+        )
+        .dropDuplicates()
+    )
+    # Verify candidates with true Jaccard (joins back to the inverted index).
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(ex.alias("e1"), F.col("d1") == F.col("e1.doc_id"))
+        .join(
+            ex.alias("e2"),
+            (F.col("d2") == F.col("e2.doc_id"))
+            & (F.col("e1.shingle") == F.col("e2.shingle")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("s1.n") + F.col("s2.n") - F.col("n_common")
+    )
+    return (
+        inter.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
+        .select("d1", "d2", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@query("dedup_simhash")  # approximate → rows-only check (no SQL oracle)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit sketch per doc (sign of per-bit sums of
+    token hashes), candidates = equal 16-bit chunk (4-chunk banding ≥
+    hamming-distance ≤ 3 guarantee is probabilistic), verified by exact
+    hamming distance ≤ 6.
+
+    The sketch is pure column algebra: explode tokens → xxhash64 → per-bit
+    ±1 contributions → sum → sign bits packed with bit_or of shifted bits.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    # Per-bit vote: +1 if bit set else -1; sum over tokens; bit = vote > 0.
+    one = F.lit(1).cast("long")
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    fingerprint = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"v{i}") > 0, F.shiftleft(one, i)).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for i in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    chunks = fingerprint.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * c)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    cand = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.chunk_id") == F.col("y.chunk_id"))
+            & (F.col("x.chunk_val") == F.col("y.chunk_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("d1"),
+            F.col("y.doc_id").alias("d2"),
+            F.col("x.simhash").alias("sh1"),
+            F.col("y.simhash").alias("sh2"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    return cand.select("d1", "d2", hamming.alias("hamming")).filter(
+        F.col("hamming") <= 6
+    )
+
+
+EMBED_NEARDUP_THRESHOLD = 0.4
+EMBED_SAMPLE = 1000  # bound the exact pairwise comparison in the oracle
+
+
+@query(
+    "dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < {EMBED_SAMPLE} AND b.vec_id < {EMBED_SAMPLE}
+      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          >= {EMBED_NEARDUP_THRESHOLD}
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over a bounded id range (the exact
+    quadratic baseline; the scale path is the LSH bucketing in
+    operators.similarity).  Cosine accumulates in DOUBLE in array order →
+    bit-identical to the oracle's list_cosine_similarity."""
+    from reindexer_spark.functions import cosine_similarity
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < EMBED_SAMPLE
+    )
+    a = e.select(
+        F.col("vec_id").alias("v1"), F.col("embedding").alias("emb1")
+    )
+    b = e.select(
+        F.col("vec_id").alias("v2"), F.col("embedding").alias("emb2")
+    )
+    pairs = a.join(b, F.col("v1") < F.col("v2"))
+    cos = cosine_similarity(F.col("emb1"), F.col("emb2"))
+    return pairs.select("v1", "v2", cos.alias("cosine")).filter(
+        F.col("cosine") >= EMBED_NEARDUP_THRESHOLD
+    )

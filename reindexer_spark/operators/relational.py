@@ -1,0 +1,487 @@
+"""Tier C2-C4 — predicates, the join zoo, aggregations.
+
+These are the semantics the reference delegates wholesale to PostgreSQL
+through its configurable SQL query (/root/reference/config/config.go:20,
+README.md:64 — Tier B10 'arbitrary user SQL'), implemented as native
+DataFrame plans.  Scale notes per query in the docstrings; the common
+themes:
+
+- dimension tables (region/nation/supplier/customer vs lineitem) are
+  broadcast — no shuffle of the fact table for those joins;
+- aggregations are hash-aggs with map-side partial aggregation (automatic
+  for all algebraic aggs used here);
+- money math goes through DECIMAL (see reindexer_spark.functions) so the
+  result is independent of partitioning / reduction order — a correctness
+  property at 100 TB, not just an oracle convenience.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reindexer_spark.catalog import load_table
+from reindexer_spark.functions import dec, dsum, mean_exact, stddev_exact
+from reindexer_spark.registry import query
+
+Q1_CUTOFF = "1998-09-02 00:00:00"
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(12,2)))
+               * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: single scan → partial+final hash agg.
+
+    Plan at scale: parquet scan with the shipdate filter pushed down, no
+    shuffle until the (tiny: |returnflag × linestatus|) final aggregation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty, ext, disc, tax = (
+        dec("l_quantity"),
+        dec("l_extendedprice"),
+        dec("l_discount"),
+        dec("l_tax"),
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(qty, "sum_qty"),
+            dsum(ext, "sum_base_price"),
+            dsum(ext * (F.lit(1) - disc), "sum_disc_price"),
+            dsum(ext * (F.lit(1) - disc) * (F.lit(1) + tax), "sum_charge"),
+            mean_exact(qty, "avg_qty"),
+            mean_exact(ext, "avg_price"),
+            mean_exact(disc, "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size
+    FROM part
+    WHERE p_size BETWEEN 10 AND 20
+      AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND p_name LIKE '%widget%'
+      AND p_type IS NOT NULL
+      AND NOT (p_size = 13)
+    """,
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier C2 predicate battery: BETWEEN / IN / LIKE / IS NOT NULL / NOT —
+    all pushed to the parquet scan (verify via PushedFilters in explain)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_size").between(10, 20)
+        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & F.col("p_name").like("%widget%")
+        & F.col("p_type").isNotNull()
+        & ~(F.col("p_size") == 13)
+    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+
+
+@query(
+    "q5_regional_revenue",
+    oracle="""
+    SELECT
+      n.n_name,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_lineitems
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way join: fact table (lineitem) joined to
+    broadcast dimensions; only orders⋈lineitem is a real (shuffled) join
+    at scale, and AQE converts even that to broadcast when the filtered
+    orders side is small enough."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        dsum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")), "revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping order-less customers (n_orders = 0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one finished order.
+    Semi joins never duplicate the probe side — at scale this avoids a
+    join-then-distinct blowup entirely."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cn AS (
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+      FROM customer GROUP BY c_nationkey
+    ), sn AS (
+      SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(cn.nationkey, sn.nationkey) AS nationkey,
+           COALESCE(cn.n_customers, 0) AS n_customers,
+           COALESCE(sn.n_suppliers, 0) AS n_suppliers
+    FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides (aggregate-then-join:
+    shrink both inputs before the shuffle, never after)."""
+    cn = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return cn.join(sn, "nationkey", "full_outer").select(
+        F.col("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny relations (broadcast nested loop)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    s = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s)
+
+
+@query(
+    "join_theta_pairs",
+    oracle="""
+    SELECT p1.p_size AS p_size, COUNT(*) AS n_pairs
+    FROM part p1
+    JOIN part p2
+      ON p1.p_size = p2.p_size
+     AND p1.p_partkey < p2.p_partkey
+     AND p1.p_brand <> p2.p_brand
+    GROUP BY p1.p_size
+    """,
+)
+def join_theta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + theta join: same-size cross-brand part pairs.  The equi key
+    carries the shuffle; the theta conditions evaluate as residual
+    predicates inside the join, never as a cartesian product."""
+    p1 = load_table(spark, sf_dir, "part").alias("p1")
+    p2 = load_table(spark, sf_dir, "part").alias("p2")
+    return (
+        p1.join(
+            p2,
+            (F.col("p1.p_size") == F.col("p2.p_size"))
+            & (F.col("p1.p_partkey") < F.col("p2.p_partkey"))
+            & (F.col("p1.p_brand") != F.col("p2.p_brand")),
+        )
+        .groupBy(F.col("p1.p_size").alias("p_size"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "join_range_band",
+    oracle="""
+    SELECT l.l_returnflag, COUNT(*) AS n_in_band,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS band_price
+    FROM lineitem l
+    JOIN part p
+      ON l.l_partkey = p.p_partkey
+     AND l.l_extendedprice >= p.p_retailprice * 10
+     AND l.l_extendedprice <  p.p_retailprice * 40
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-band join: equi key + numeric band residual (the scalable
+    shape for range joins — bucket on the equi key, band as residual)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(
+            F.broadcast(p),
+            (li.l_partkey == p.p_partkey)
+            & (li.l_extendedprice >= p.p_retailprice * 10)
+            & (li.l_extendedprice < p.p_retailprice * 40),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_in_band"),
+            dsum(dec("l_extendedprice"), "band_price"),
+        )
+    )
+
+
+@query(
+    "agg_distinct_stats",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      COUNT(*) AS n_orders,
+      COUNT(DISTINCT o_custkey) AS n_customers,
+      CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+      CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price,
+      ROUND(SQRT((ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))), 2)::DOUBLE
+            - SUM(CAST(o_totalprice AS DECIMAL(12,2)))::DOUBLE
+              * SUM(CAST(o_totalprice AS DECIMAL(12,2)))::DOUBLE / COUNT(o_totalprice))
+           / (COUNT(o_totalprice) - 1)), 2) AS std_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation + order-statistics battery.  COUNT DISTINCT
+    triggers Spark's expand/two-phase distinct-agg rewrite; stddev is
+    computed from exact decimal sums (see functions.stddev_exact) so the
+    value is reduction-order-independent."""
+    o = load_table(spark, sf_dir, "orders")
+    price = dec("o_totalprice")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.min(price).cast("double").alias("min_price"),
+        F.max(price).cast("double").alias("max_price"),
+        mean_exact(price, "avg_price"),
+        stddev_exact(price, "std_price"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() markers (distinguish NULL-as-total from a
+    genuine NULL key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        dsum(dec("l_quantity"), "sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping sets)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), dsum(dec("o_totalprice"), "total")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (Tier B10: the engine
+    exposes full Spark SQL for user queries, as the reference exposes
+    PostgreSQL SQL)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_open,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_finished
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) with an explicit value list — the explicit
+    list matters at scale: it avoids the extra distinct-values job."""
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec("l_quantity")))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("O").cast("double").alias("qty_open"),
+        F.col("F").cast("double").alias("qty_finished"),
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           MAX(o_totalprice) AS p_max
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SQL PERCENTILE = DuckDB
+    quantile_cont).  At 100 TB swap to approx_percentile — exact
+    percentile requires a per-group sort; the approximate sketch is
+    mergeable and one-pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+        F.max("o_totalprice").alias("p_max"),
+    )

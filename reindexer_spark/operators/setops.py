@@ -1,0 +1,69 @@
+"""Tier C7 — set operations: UNION / INTERSECT / EXCEPT / DISTINCT."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reindexer_spark.catalog import load_table
+from reindexer_spark.registry import query
+
+
+def _custkeys_in_year(spark: SparkSession, sf_dir: str, year: int) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.year("o_orderdate") == year).select("o_custkey")
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+    UNION
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): customers active in 1996 or 1997."""
+    a = _custkeys_in_year(spark, sf_dir, 1996)
+    b = _custkeys_in_year(spark, sf_dir, 1997)
+    return a.union(b).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers active in both years."""
+    a = _custkeys_in_year(spark, sf_dir, 1996)
+    b = _custkeys_in_year(spark, sf_dir, 1997)
+    return a.intersect(b)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics — multiplicities subtract)."""
+    a = _custkeys_in_year(spark, sf_dir, 1996)
+    b = _custkeys_in_year(spark, sf_dir, 1997)
+    return a.exceptAll(b)
+
+
+@query(
+    "set_distinct_multi",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def set_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column DISTINCT (dropDuplicates on a projection)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_mktsegment", "c_nationkey").dropDuplicates()

@@ -1,0 +1,244 @@
+"""Tier C5-C6 — window functions, top-k, sort/limit.
+
+Every ranking breaks ties on a unique key: at 100 TB a rank that depends
+on partition-internal row order is nondeterministic across runs, which
+breaks idempotent re-ingest (the reference's resume contract,
+/root/reference/README.md:84-87) as well as the oracle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reindexer_spark.catalog import load_table
+from reindexer_spark.functions import date_str, dec
+from reindexer_spark.registry import query
+
+
+@query(
+    "window_topn_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer.  Window + filter beats sort-limit per
+    group: one shuffle on the partition key, no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer over order history (exact decimal prefix
+    sums → deterministic)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           LAG(value) OVER w AS prev_value,
+           LEAD(event_type) OVER w AS next_type,
+           epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG / LEAD over per-user event streams + inter-event gap seconds."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+        # exact integer microseconds — truncated-seconds arithmetic
+        # (unix_timestamp) is not associative with the subtraction
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+
+
+@query(
+    "window_rank_dense",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           RANK()       OVER w AS bal_rank,
+           DENSE_RANK() OVER w AS bal_dense_rank,
+           NTILE(4)     OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey) AS bal_quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+    """,
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK (tie-aware, same peer groups both engines) and
+    NTILE (tie-broken on the unique key for determinism)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    wq = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.ntile(4).over(wq).alias("bal_quartile"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1995-01-01', o_orderdate::DATE)
+             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_90d_spend
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: trailing-90-day spend per customer (order key = days
+    since epoch date, so the frame is value-based, not row-based)."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_day", F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("order_day")
+        .rangeBetween(-90, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("trailing_90d_spend"),
+    )
+
+
+@query(
+    "sort_limit_topk",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k.  Spark compiles orderBy+limit into TakeOrderedAndProject
+    — a per-partition heap + driver merge, NOT a full sort: exactly the
+    plan you want at 100 TB."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(10)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@query(
+    "asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts,
+           c.value AS last_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY §2 C-custom): for each
+    purchase, the most recent preceding click by the same user.
+
+    Implemented as union + window last_value(ignorenulls), which is a
+    single shuffle on (user_id) + one sort — O(n log n) and skew-safe,
+    versus the naive join-then-max which explodes on hot keys.
+    """
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase")
+    right = e.filter(F.col("event_type") == "click")
+
+    tagged = left.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_left"),
+        F.col("event_id"),
+        F.lit(None).cast("double").alias("r_value"),
+        F.lit(None).cast("timestamp").alias("r_ts"),
+    ).unionByName(
+        right.select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("is_left"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("value").alias("r_value"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    # Right rows sort before left rows at the same ts (is_left ASC) so a
+    # click at exactly p.ts is visible to the purchase, matching ASOF <=.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.select(
+        "user_id",
+        "ts",
+        "is_left",
+        "event_id",
+        F.last("r_value", ignorenulls=True).over(w).alias("last_click_value"),
+        F.last("r_ts", ignorenulls=True).over(w).alias("last_click_ts_raw"),
+    )
+    return filled.filter(F.col("is_left") == 1).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("last_click_ts_raw", "yyyy-MM-dd HH:mm:ss").alias(
+            "last_click_ts"
+        ),
+        "last_click_value",
+    )
