@@ -1,0 +1,62 @@
+"""Authority enrichment (Tier B7).
+
+The reference's argot invocation takes ``-a --redis-url`` and performs
+per-record authority lookups against Redis (/root/reference/ingest/
+ingest.go:28-30, README.md:92-95; the driver itself only PINGs —
+driver.go:133-145).
+
+The Spark-native shape is a broadcast left join against a snapshot of
+the authority store: authority sets are dimension-sized (≪ the document
+corpus), so shipping the snapshot to every executor beats 100 TB worth
+of point lookups by orders of magnitude, and keeps the operator purely
+declarative (Catalyst can reorder/prune around it).  For a store too big
+to broadcast, fall back to a shuffled join on the key — never
+per-row network calls in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich_with_authorities(
+    docs: DataFrame,
+    authorities: DataFrame,
+    doc_key: str,
+    auth_key: str = "key",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Left-join authority payload columns onto ``docs``.
+
+    ``doc_key`` may be an array column (e.g. subject URIs): the join is
+    then per-element with the enrichments re-aggregated, preserving one
+    output row per input document.
+    """
+    doc_type = dict(docs.dtypes)[doc_key]
+    auth = F.broadcast(authorities) if broadcast else authorities
+    payload_cols = [c for c in authorities.columns if c != auth_key]
+
+    if not doc_type.startswith("array"):
+        return docs.join(auth, docs[doc_key] == auth[auth_key], "left").drop(
+            auth_key
+        )
+
+    # Array key: explode → join → regroup, keyed by a synthetic row id so
+    # duplicate documents survive.
+    with_id = docs.withColumn("__rid", F.monotonically_increasing_id())
+    exploded = with_id.select(
+        "__rid", F.explode_outer(doc_key).alias("__k")
+    )
+    joined = exploded.join(auth, exploded["__k"] == auth[auth_key], "left")
+    gathered = joined.groupBy("__rid").agg(
+        *[
+            F.array_distinct(
+                F.flatten(F.collect_list(F.col(c)))
+                if dict(authorities.dtypes)[c].startswith("array")
+                else F.collect_list(F.col(c))
+            ).alias(c)
+            for c in payload_cols
+        ]
+    )
+    return with_id.join(gathered, "__rid", "left").drop("__rid")

@@ -1,0 +1,93 @@
+"""End-to-end reindex pipeline — the reference's ``main()``
+(/root/reference/driver.go:119-220) as one declarative Spark job.
+
+Reference stage → here:
+
+- Postgres scan + WHERE/ORDER (driver.go:178, config.go:78)
+    → source DataFrame + filter/sort plan (pushdown does the rest)
+- resume splice (config.go:29-34)           → resume.apply_resume
+- chunk temp files (driver.go:192-207)      → sink-side batches
+- worker pool + argot exec (driver.go:166-171, ingest.go:27-33)
+    → flatten/suffix/enrich column algebra + SolrSink.foreachPartition
+- error channel (driver.go:160)             → quarantine DataFrame
+- lockfile (driver.go:94-111)               → not ported (scheduler concern)
+
+The whole thing is one action: Spark pipelines scan→shape→sink per
+partition with its own backpressure, which is exactly what the
+reference hand-built with two bounded channels and a WaitGroup.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from reindexer_spark.docpipe.authority import enrich_with_authorities
+from reindexer_spark.docpipe.config import ReindexConfig
+from reindexer_spark.docpipe.flatten import (
+    flatten_struct_columns,
+    infer_content_schema,
+    parse_content,
+    suffix_columns,
+)
+from reindexer_spark.docpipe.resume import apply_resume
+from reindexer_spark.docpipe.solr_sink import SolrSink
+
+
+@dataclass
+class ReindexResult:
+    ingested: int = 0
+    quarantined: int = 0
+    quarantine: DataFrame | None = None
+    shaped: DataFrame | None = None
+
+
+def shape_documents(
+    docs: DataFrame,
+    conf: ReindexConfig,
+    authorities: DataFrame | None = None,
+    auth_doc_key: str | None = None,
+    id_col: str = "id",
+    deleted_col: str | None = "deleted",
+) -> tuple[DataFrame, DataFrame]:
+    """scan-filter-resume-parse-flatten-suffix-enrich; returns
+    (shaped, quarantine)."""
+    live = docs
+    if deleted_col and deleted_col in docs.columns:
+        live = live.filter(~F.col(deleted_col))
+    live = apply_resume(live, id_col, conf.start_id, conf.resume_inclusive)
+
+    schema = infer_content_schema(live)
+    good, quarantine = parse_content(live, schema)
+    flat = flatten_struct_columns(
+        good, keep=[c for c in (id_col,) if c in good.columns]
+    )
+    shaped = suffix_columns(flat, exclude=(id_col,))
+    if authorities is not None and auth_doc_key is not None:
+        shaped = enrich_with_authorities(shaped, authorities, auth_doc_key)
+    return shaped, quarantine
+
+
+def run_reindex(
+    docs: DataFrame,
+    conf: ReindexConfig,
+    sink: SolrSink | None = None,
+    authorities: DataFrame | None = None,
+    auth_doc_key: str | None = None,
+    id_col: str = "id",
+) -> ReindexResult:
+    """The full pipeline; counts via one pass each over the two small
+    outcome frames (no accumulators — deterministic under retries)."""
+    shaped, quarantine = shape_documents(
+        docs, conf, authorities, auth_doc_key, id_col=id_col
+    )
+    sink = sink or SolrSink(conf.solr_url, batch_size=conf.chunk_size)
+    sink.write(shaped, id_col=id_col)
+    return ReindexResult(
+        ingested=shaped.count(),
+        quarantined=quarantine.count(),
+        quarantine=quarantine,
+        shaped=shaped,
+    )

@@ -1,0 +1,101 @@
+"""Bulk-upsert sink (Tier B8) — the Solr submission stage.
+
+The reference forks ``argot ingest -s SOLR_URL chunkfile`` per chunk
+(/root/reference/ingest/ingest.go:27-33), which posts the flattened
+records to Solr; re-running overwrites by document id (README.md:84-87
+relies on that for resume).  Contract: **at-least-once delivery,
+idempotent by id** — exactly-once is explicitly out of scope (SURVEY §7).
+
+Spark-native: ``foreachPartition`` with in-partition batches of
+``batch_size`` (the chunkSize analogue), a pluggable transport, and
+per-batch retry.  The transport is a plain callable so tests inject a
+capture and production injects pysolr (if importable) or the stdlib
+HTTP JSON poster; executors construct transports lazily — connections
+never serialize from the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from reindexer_spark.docpipe.chunker import batched
+
+
+def http_transport(solr_url: str):
+    """POST batches to Solr's JSON update endpoint via stdlib (pysolr is
+    not in this container; the wire format is the same)."""
+    endpoint = f"{solr_url.rstrip('/')}/update?commitWithin=10000"
+
+    def send(docs: list[dict]) -> None:
+        req = urllib.request.Request(
+            endpoint,
+            data=json.dumps(docs).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            if resp.status >= 300:
+                raise IOError(f"solr update failed: HTTP {resp.status}")
+
+    return send
+
+
+class DirectoryCaptureTransport:
+    """Dry-run transport: records each batch as a JSON file under a local
+    directory instead of posting to Solr.  Used by tests and for
+    inspecting exactly what would be submitted (executors share the
+    filesystem in local mode; on a cluster point it at shared storage)."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def __call__(self, docs: list[dict]) -> None:
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(
+            "w", dir=self.root, suffix=".json", delete=False
+        ) as fh:
+            json.dump(docs, fh)
+
+
+@dataclass
+class SolrSink:
+    solr_url: str
+    batch_size: int = 1000
+    max_retries: int = 3
+    # () -> callable(list[dict]) -> None; defaults to http_transport
+    transport_factory: Callable | None = None
+
+    def write(self, df: DataFrame, id_col: str = "id") -> None:
+        """At-least-once batched upsert of ``df`` (one Solr doc per row,
+        nulls dropped, keyed by ``id_col``)."""
+        if id_col not in df.columns:
+            raise ValueError(f"id column {id_col!r} not in DataFrame")
+        factory = self.transport_factory or (
+            lambda: http_transport(self.solr_url)
+        )
+        batch_size, retries = self.batch_size, self.max_retries
+
+        def send_partition(rows) -> None:
+            send = factory()
+            for batch in batched(rows, batch_size):
+                docs = [
+                    {k: v for k, v in row.asDict(recursive=True).items() if v is not None}
+                    for row in batch
+                ]
+                last: Exception | None = None
+                for _ in range(retries):
+                    try:
+                        send(docs)
+                        last = None
+                        break
+                    except Exception as exc:  # noqa: BLE001
+                        last = exc
+                if last is not None:
+                    raise last
+
+        df.foreachPartition(send_partition)

@@ -54,6 +54,17 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # Python workers must be able to import this package regardless of the
+    # driver's cwd (mapInPandas/foreachPartition ship references to it).
+    # Local mode workers inherit the driver's PYTHONPATH; on a cluster the
+    # same var rides along via spark.executorEnv.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
     cores = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)
@@ -62,6 +73,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -1,0 +1,137 @@
+"""Structured Streaming tests: the same window plans that are
+oracle-checked in batch (operators.windows_time) must produce identical
+results under real streaming execution with multi-batch state, plus the
+streaming-only operators (watermark late-data drop,
+dropDuplicatesWithinWatermark)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from reindexer_spark.streaming import run_stream_to_memory, stream_events
+
+BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _mk_files(spark, tmp_path, batches):
+    """Write each batch of (event_id, minutes_offset, user_id, type, value)
+    as its own parquet file so maxFilesPerTrigger=1 yields one
+    micro-batch per file, in filename order."""
+    root = tmp_path / "stream_src"
+    root.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [
+                (eid, BASE + dt.timedelta(minutes=m), uid, typ, val)
+                for (eid, m, uid, typ, val) in rows
+            ],
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, value double",
+        )
+        df.coalesce(1).write.parquet(str(root / f"batch_{i:03d}.parquet"))
+    return str(root)
+
+
+def _read_stream(spark, root):
+    return (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/batch_*.parquet")
+    )
+
+
+def test_stream_tumbling_matches_batch(spark, tmp_path):
+    batches = [
+        [(1, 0, 1, "click", 1.0), (2, 5, 1, "view", 2.0)],
+        [(3, 12, 2, "click", 3.0), (4, 25, 1, "click", 4.0)],
+        [(5, 41, 2, "view", 5.0), (6, 55, 3, "click", 6.0)],
+    ]
+    root = _mk_files(spark, tmp_path, batches)
+    agg = lambda df: (  # noqa: E731
+        df.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "total")
+    )
+    stream_out = run_stream_to_memory(agg(_read_stream(spark, root)))
+    batch_out = agg(spark.read.parquet(f"{root}/batch_*.parquet"))
+    assert sorted(map(tuple, stream_out.collect())) == sorted(
+        map(tuple, batch_out.collect())
+    )
+
+
+def test_stream_session_matches_batch(spark, tmp_path):
+    batches = [
+        [(1, 0, 1, "c", 1.0), (2, 10, 1, "c", 1.0)],
+        [(3, 100, 1, "c", 1.0), (4, 105, 2, "c", 1.0)],
+        [(5, 300, 1, "c", 1.0), (6, 111, 2, "c", 1.0)],
+    ]
+    root = _mk_files(spark, tmp_path, batches)
+    agg = lambda df: (  # noqa: E731
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("ws"), "n")
+    )
+    stream_out = run_stream_to_memory(agg(_read_stream(spark, root)))
+    batch_out = agg(spark.read.parquet(f"{root}/batch_*.parquet"))
+    assert sorted(map(tuple, stream_out.collect())) == sorted(
+        map(tuple, batch_out.collect())
+    )
+    # user 1: events at 0,10 (one session) and 100,300 (two more)
+    assert stream_out.filter(F.col("user_id") == 1).count() == 3
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """The same event id arriving in two micro-batches within the
+    watermark window must survive exactly once (stateful dedup across
+    batches — the streaming analogue of dropDuplicates)."""
+    batches = [
+        [(1, 0, 1, "c", 1.0), (2, 1, 1, "c", 1.0)],
+        [(1, 0, 1, "c", 1.0), (3, 2, 1, "c", 1.0)],  # id=1 replayed
+        [(4, 3, 1, "c", 1.0), (2, 1, 1, "c", 1.0)],  # id=2 replayed
+    ]
+    root = _mk_files(spark, tmp_path, batches)
+    deduped = (
+        _read_stream(spark, root)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = run_stream_to_memory(deduped, output_mode="append")
+    assert sorted(r.event_id for r in out.collect()) == [1, 2, 3, 4]
+
+
+def test_stream_watermark_drops_late_data(spark, tmp_path):
+    """An event arriving after the watermark has passed its window is
+    dropped from an append-mode windowed aggregation."""
+    batches = [
+        [(1, 0, 1, "c", 1.0), (2, 9, 1, "c", 1.0)],      # window [0,10)
+        [(3, 120, 1, "c", 1.0)],                          # advances event time to 120
+        [(6, 121, 1, "c", 1.0)],                          # watermark (=110) now in force
+        [(4, 1, 1, "c", 100.0), (5, 122, 1, "c", 1.0)],   # id=4 is ~2h late → dropped
+    ]
+    root = _mk_files(spark, tmp_path, batches)
+    agg = (
+        _read_stream(spark, root)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .select(F.col("w.start").alias("ws"), "n", "total")
+    )
+    out = run_stream_to_memory(agg, output_mode="append")
+    rows = {r.ws: (r.n, r.total) for r in out.collect()}
+    first_window = BASE
+    # the late event (value=100.0) must NOT appear in the first window
+    assert rows[first_window] == (2, 2.0)
+
+
+def test_stream_events_source_matches_batch_count(spark, sf_dir):
+    out = run_stream_to_memory(
+        stream_events(spark, sf_dir).groupBy("event_type").count()
+    )
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+    assert out.agg(F.sum("count")).collect()[0][0] == batch.count()
