@@ -8,6 +8,8 @@ Importing this package registers every query with
 - ``windows``     Tier C5-C6: window functions, top-k, sort/limit
 - ``setops``      Tier C7: union / intersect / except / distinct
 - ``scalar``      Tier C8: string / date / math / array / map / JSON functions
+- ``sql_surface`` Tier B10: arbitrary user SQL (subqueries, CTEs) via spark.sql
+- ``udfs``        Tier C14: pandas_udf / applyInPandas escape hatch
 - ``dedup``       Tier C9 + north-star dedup family
 - ``similarity``  Tier C10: ANN / cosine k-NN over embeddings
 - ``text``        Tier C11: lang-id, quality, tokens, fingerprints
@@ -23,7 +25,9 @@ from reindexer_spark.operators import (  # noqa: F401
     scalar,
     setops,
     similarity,
+    sql_surface,
     text,
+    udfs,
     windows,
     windows_time,
 )

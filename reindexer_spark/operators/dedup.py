@@ -36,19 +36,22 @@ MINHASH_BANDS = 8
 MINHASH_ROWS = MINHASH_PERMS // MINHASH_BANDS
 
 
-def word_shingles(text_col, k: int = SHINGLE_K):
-    """Distinct word k-gram shingles of a text column (codegen'd; no UDF).
+def word_shingles(toks_col, k: int = SHINGLE_K):
+    """Distinct word k-gram shingles from a MATERIALIZED token-array
+    column (codegen'd; no UDF).
 
-    Returns an empty array for texts shorter than k words (guards the
-    descending-sequence pitfall of F.sequence).
+    Takes a column reference, not an expression: passing ``split(text)``
+    directly would inline the split into every ``element_at`` call inside
+    the lambda — O(k·len) re-tokenizations per document (measured 5×
+    slowdown).  Returns an empty array for texts shorter than k words
+    (guards the descending-sequence pitfall of F.sequence).
     """
-    toks = F.split(text_col, " ")
-    n = F.size(toks)
+    n = F.size(toks_col)
     idx = F.sequence(F.lit(1), n - (k - 1))
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(k)]
+            " ", *[F.element_at(toks_col, i + j) for j in range(k)]
         ),
     )
     return F.when(n >= k, F.array_distinct(grams)).otherwise(
@@ -57,18 +60,87 @@ def word_shingles(text_col, k: int = SHINGLE_K):
 
 
 def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) exploded inverted index with the DF cap applied."""
-    d = load_table(spark, sf_dir, "documents")
-    ex = d.select(
-        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    """(doc_id, shingle) exploded inverted index with the DF cap applied.
+
+    The raw index is persisted BEFORE the document-frequency cap: the
+    cap's hot-list aggregation and the anti-join both consume it, and
+    every downstream user (sizes, pair generation, verification) walks
+    the result 2-4 more times — without the persist the explode would
+    re-run for each.  At cluster scale this is the
+    materialize-the-feature-table step of any dedup pipeline.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
     )
+    raw = d.select(
+        "doc_id", F.explode(word_shingles(F.col("toks"))).alias("shingle")
+    ).persist()
     hot = (
-        ex.groupBy("shingle")
+        raw.groupBy("shingle")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > DF_CAP)
         .select("shingle")
     )
-    return ex.join(F.broadcast(hot), "shingle", "left_anti")
+    return raw.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def _pairs_by_shingle(ex: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """Candidate pair counts |S1 ∩ S2| via group-and-combine.
+
+    Instead of the textbook inverted-index SELF-JOIN (shuffles the index
+    twice, then shuffles the join output), group once per shingle,
+    collect the (sorted) doc list, and emit the i<j combinations with
+    array algebra — one wide shuffle + one pair-count shuffle.  The DF
+    cap bounds each list, so the per-group combination fan-out is
+    ≤ DF_CAP²/2 by construction.  Shingles travel as xxhash64 ints, not
+    strings (8-byte shuffle keys; collision odds ~1e-10 at this scale).
+
+    Lossless size-ratio prune: jaccard = |∩|/|∪| ≤ min(n1,n2)/max(n1,n2),
+    so pairs whose set sizes differ by more than the threshold ratio are
+    dropped BEFORE the pair shuffle — they cannot reach the threshold.
+    This is the length-filter from the set-similarity-join literature and
+    typically cuts the shuffled pair volume several-fold.
+
+    Output: (d1, d2, n1, n2, n_common) — sizes ride along so the caller
+    needs no further joins.
+    """
+    hashed = ex.join(F.broadcast(sizes), "doc_id").select(
+        F.xxhash64("shingle").alias("sh"),
+        F.struct(F.col("doc_id").alias("d"), F.col("n")).alias("dn"),
+    )
+    grouped = (
+        hashed.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("dn")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                    lambda y: F.struct(
+                        x["d"].alias("d1"),
+                        y["d"].alias("d2"),
+                        x["n"].alias("n1"),
+                        y["n"].alias("n2"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: F.least(p["n1"], p["n2"])
+        >= F.lit(threshold) * F.greatest(p["n1"], p["n2"]),
+    )
+    return (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .groupBy(
+            F.col("p.d1").alias("d1"),
+            F.col("p.d2").alias("d2"),
+            F.col("p.n1").alias("n1"),
+            F.col("p.n2").alias("n2"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
 
 
 _SHINGLE_SQL = f"""
@@ -149,36 +221,19 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-duplicate pairs by word-3-gram Jaccard ≥ 0.8, via the
-    inverted-index self-join (explode → join on shingle → pair counts).
-    The DF cap bounds fan-out; the pair aggregation shuffles on
-    (d1, d2) — both keys high-cardinality, so no skew."""
+    """Exact near-duplicate pairs by word-3-gram Jaccard ≥ 0.8 via the
+    inverted index, pair counts generated group-wise (_pairs_by_shingle)
+    rather than by self-join.  The pair aggregation shuffles on (d1, d2)
+    — both keys high-cardinality, so no skew."""
     ex = shingle_table(spark, sf_dir)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
-        )
-        .agg(F.count("*").alias("n_common"))
-    )
-    s1 = sizes.alias("s1")
-    s2 = sizes.alias("s2")
+    pairs = _pairs_by_shingle(ex, sizes, JACCARD_THRESHOLD)
     jac = F.col("n_common").cast("double") / (
-        F.col("s1.n") + F.col("s2.n") - F.col("n_common")
+        F.col("n1") + F.col("n2") - F.col("n_common")
     )
-    return (
-        pairs.join(s1, F.col("d1") == F.col("s1.doc_id"))
-        .join(s2, F.col("d2") == F.col("s2.doc_id"))
-        .select("d1", "d2", "n_common", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    return pairs.select(
+        "d1", "d2", "n_common", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 @query("dedup_minhash")  # approximate → rows-only check (no SQL oracle)

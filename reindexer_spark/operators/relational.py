@@ -485,3 +485,25 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("o_totalprice", 0.9).alias("p90"),
         F.max("o_totalprice").alias("p_max"),
     )
+
+
+@query("agg_approx_sketches")  # approximate → rows-only (sketches are engine-specific)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB substitutes for their exact
+    cousins: HyperLogLog++ distinct counts and quantile sketches are
+    single-pass, mergeable, and fixed-memory, where COUNT(DISTINCT) and
+    exact percentiles need a shuffle of every distinct value.  Sketch
+    internals are engine-specific, so this query takes the rows-only
+    check; its exact counterparts (agg_distinct_stats, agg_percentiles)
+    are the oracle-verified baselines the estimates can be sanity-checked
+    against in tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("approx_median_price"),
+        F.percentile_approx(
+            "l_extendedprice", [0.25, 0.75], 10_000
+        ).alias("approx_price_iqr"),
+        F.count("*").alias("n"),
+    )

@@ -230,3 +230,54 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+TFIDF_TERMS = ("spark", "data", "query", "join", "filter")
+
+
+@query(
+    "text_tfidf",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), n_docs AS (
+      SELECT COUNT(*) AS n FROM documents
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf
+      FROM words WHERE word IN {TFIDF_TERMS!r}
+      GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df
+      FROM words WHERE word IN {TFIDF_TERMS!r}
+      GROUP BY word
+    )
+    SELECT tf.doc_id, tf.word, tf.tf, df.df,
+           tf.tf * ROUND(LN((n.n + 1.0) / (df.df + 1.0)) + 1.0, 6) AS tfidf
+    FROM tf JOIN df USING (word) CROSS JOIN n_docs n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over a fixed probe vocabulary, in pure relational algebra
+    (term frequency per doc ⋈ broadcast document frequency ⋈ corpus
+    size).  The smoothed IDF (ln((N+1)/(df+1))+1, the scikit-learn
+    convention) is rounded once — ln is the only transcendental, and
+    libm implementations differ in the last ulp across engines.
+
+    Scale shape: TF is one explode + hash agg; DF is a tiny aggregate
+    (|vocabulary| rows) that broadcasts; nothing quadratic anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word").isin(*TFIDF_TERMS))
+    n_docs = d.count()
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.round(
+        F.log((F.lit(n_docs) + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+        + F.lit(1.0),
+        6,
+    )
+    return tf.join(F.broadcast(df), "word").select(
+        "doc_id", "word", "tf", "df", (F.col("tf") * idf).alias("tfidf")
+    )

@@ -93,20 +93,24 @@ def main() -> int:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     names = sys.argv[2:] or list(all_queries())
+    import time
+
     spark = get_spark("oracle-check")
     failed = 0
     for name in names:
+        t0 = time.perf_counter()
         try:
             problems = compare_query(spark, name, sf_dir)
         except Exception as exc:  # noqa: BLE001
             problems = [f"EXCEPTION: {type(exc).__name__}: {exc}"]
+        elapsed = time.perf_counter() - t0
         if problems:
             failed += 1
-            print(f"FAIL {name}")
+            print(f"FAIL {name} ({elapsed:.1f}s)", flush=True)
             for p in problems:
-                print(f"     {p[:1000]}")
+                print(f"     {p[:1000]}", flush=True)
         else:
-            print(f"ok   {name}")
+            print(f"ok   {name} ({elapsed:.1f}s)", flush=True)
     print(f"\n{len(names) - failed}/{len(names)} queries match")
     return 1 if failed else 0
 

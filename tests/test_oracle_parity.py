@@ -34,4 +34,8 @@ def test_contract_shapes(spark):
     assert set(oracles) <= set(qs)
     # every oracle-less query is intentionally approximate
     rows_only = set(qs) - set(oracles)
-    assert rows_only <= {"dedup_minhash", "dedup_simhash"}
+    assert rows_only <= {
+        "dedup_minhash",
+        "dedup_simhash",
+        "agg_approx_sketches",
+    }
