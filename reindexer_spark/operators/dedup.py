@@ -427,3 +427,112 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("v1", "v2", cos.alias("cosine")).filter(
         F.col("cosine") >= EMBED_NEARDUP_THRESHOLD
     )
+
+
+# Reuse the exact pair query as the edge list for clustering.
+_PAIRS_ORACLE = f"""
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    pruned AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT d1, d2
+      FROM pruned
+      JOIN sizes s1 ON s1.doc_id = d1
+      JOIN sizes s2 ON s2.doc_id = d2
+      WHERE CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common)
+            >= {JACCARD_THRESHOLD}
+    )
+"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    {_PAIRS_ORACLE},
+    edges AS (
+      SELECT d1 AS u, d2 AS v FROM pairs
+      UNION
+      SELECT d2, d1 FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    )
+    SELECT u AS doc_id, MIN(v) AS cluster_id,
+           COUNT(*) AS n_reachable
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-duplicate pair graph — the
+    'which copies form one document family' step after pair finding, and
+    the engine's iterative-algorithm surface (SURVEY §2 C14 note).
+
+    Implemented as driver-looped min-label propagation: each iteration
+    joins labels across edges and keeps the per-node minimum, stopping
+    at a fixpoint.  Iterations = graph diameter (near-dup families are
+    tiny, so 2-4 in practice; hard cap 20).  Each step is a broadcast-
+    scale join at these cardinalities and a hash-partition join at
+    100 TB — the standard large-graph CC recipe (alternating small/large
+    star steps are the upgrade path if families ever get deep).
+
+    The oracle is the same computation as a recursive CTE (transitive
+    closure + min label), plus n_reachable as a structural cross-check.
+    """
+    # Exact near-dup pairs (same plan as dedup_ngram_jaccard).
+    ex = shingle_table(spark, sf_dir)
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pairs = (
+        _pairs_by_shingle(ex, sizes, JACCARD_THRESHOLD)
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("d1", "d2")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).distinct().persist()
+    labels = edges.select(F.col("d1").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).persist()
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.d2 == labels.node)
+            .groupBy(F.col("d1").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    # n_reachable = component size (cross-checks the closure the oracle
+    # computes explicitly).
+    comp_sizes = labels.groupBy("label").agg(F.count("*").alias("n_reachable"))
+    return labels.join(comp_sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "n_reachable",
+    )

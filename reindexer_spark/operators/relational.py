@@ -507,3 +507,39 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("approx_price_iqr"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "agg_salted_twostage",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_salted_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-stage aggregation: pre-aggregate on
+    (key, salt) so a hot key's rows split across 16 reducers, then
+    combine partials per key.  Identical answer to the direct GROUP BY
+    (the oracle IS the direct GROUP BY) — the point of the pattern is
+    that correctness survives the rewrite.  events.user_id is genuinely
+    skewed testdata (15 users); at 100 TB this and AQE skew handling
+    are the two tools for hot keys.  COUNT DISTINCT is rewritten as
+    distinct-then-count so stage 1 can carry it."""
+    e = load_table(spark, sf_dir, "events")
+    salted = e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("user_id", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(dec("value")).alias("pv"),
+        F.collect_set("event_type").alias("ptypes"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("pv").cast("double").alias("total_value"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("ptypes"))))
+        .cast("bigint")
+        .alias("n_types"),
+    )

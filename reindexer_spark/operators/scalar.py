@@ -274,3 +274,47 @@ def scalar_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.chars").alias("meta_chars"),
         F.concat(F.col("st.l"), F.lit(":"), F.col("meta")["source"]).alias("meta_key"),
     )
+
+
+@query(
+    "scalar_posexplode",
+    oracle="""
+    SELECT doc_id, u.pos - 1 AS pos, u.w AS word
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) + 1),
+                    i -> {'pos': i, 'w': t[i]})) AS u
+      FROM (SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents WHERE doc_id < 50)
+    )
+    """,
+)
+def scalar_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: explode with element ordinality (token positions)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "word")
+
+
+@query(
+    "scalar_explode_outer",
+    oracle="""
+    SELECT doc_id,
+           unnest(CASE WHEN len(hits) = 0 THEN [NULL] ELSE hits END) AS the_hit
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x = 'the') AS hits
+      FROM documents WHERE doc_id < 100
+    )
+    """,
+)
+def scalar_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with empty arrays survive as NULL (plain
+    explode silently drops them — a classic row-loss bug at scale)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    hits = F.filter(F.split("text", " "), lambda x: x == "the")
+    return d.select(
+        "doc_id", F.explode_outer(hits).alias("the_hit")
+    )

@@ -67,3 +67,29 @@ def set_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column DISTINCT (dropDuplicates on a projection)."""
     c = load_table(spark, sf_dir, "customer")
     return c.select("c_mktsegment", "c_nationkey").dropDuplicates()
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT c_custkey AS entity_id, 'customer' AS kind, c_acctbal AS balance
+    FROM customer
+    UNION ALL BY NAME
+    SELECT s_acctbal AS balance, 'supplier' AS kind, s_suppkey AS entity_id
+    FROM supplier
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName: position-independent union (column order differs on
+    purpose — positional union would silently mix columns)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.lit("customer").alias("kind"),
+        F.col("c_acctbal").alias("balance"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_acctbal").alias("balance"),
+        F.lit("supplier").alias("kind"),
+        F.col("s_suppkey").alias("entity_id"),
+    )
+    return c.unionByName(s)

@@ -149,3 +149,40 @@ def window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
         F.count("*").alias("n_superseded"),
     )
+
+
+@query(
+    "stream_tumbling_live",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same tumbling aggregation as window_tumbling, but executed by
+    the ACTUAL Structured Streaming engine (readStream file source →
+    availableNow trigger → memory sink) rather than as a batch plan.
+    Shares window_tumbling's oracle: batch/stream equivalence is not a
+    test-only claim here, it is checked value-for-value at the
+    correctness gate."""
+    from reindexer_spark.streaming import run_stream_to_memory, stream_events
+
+    events = stream_events(spark, sf_dir)
+    agg = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return run_stream_to_memory(agg, output_mode="complete")
