@@ -543,3 +543,29 @@ def agg_salted_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_types"),
     )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT c_nationkey,
+           list_sort(list(c_custkey)) AS custkeys,
+           array_to_string(list_sort(list(c_custkey)), ',') AS custkeys_csv,
+           COUNT(*) AS n
+    FROM customer
+    WHERE c_acctbal > 9000
+    GROUP BY c_nationkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect_list is order-nondeterministic under
+    parallelism, so the engine convention is sort_array(collect_list(...))
+    — deterministic on any partitioning (the csv copy guards against
+    array-representation quirks in downstream hashing)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    arr = F.sort_array(F.collect_list("c_custkey"))
+    return c.groupBy("c_nationkey").agg(
+        arr.alias("custkeys"),
+        F.array_join(arr, ",").alias("custkeys_csv"),
+        F.count("*").alias("n"),
+    )

@@ -242,3 +242,42 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "last_click_value",
     )
+
+
+@query(
+    "window_dist",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           PERCENT_RANK() OVER w AS bal_pct_rank,
+           CUME_DIST()    OVER w AS bal_cume_dist,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2))
+                  * COUNT(c_acctbal) OVER (PARTITION BY c_nationkey)
+                - SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+                    OVER (PARTITION BY c_nationkey) AS DOUBLE)
+             AS bal_dev_scaled
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+    """,
+)
+def window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK / CUME_DIST (tie-aware distribution functions — exact
+    int-ratio doubles, identical across engines) and the deviation from
+    the group mean, kept in exact decimals as bal·n − Σbal (the scaled
+    deviation).  Dividing by n lands exactly on half-cent boundaries for
+    power-of-two group sizes, where Spark (rounds the binary value) and
+    DuckDB (rounds the shortest decimal repr) disagree — so the division
+    is the one step left out."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    wa = Window.partitionBy("c_nationkey")
+    dev_scaled = (
+        dec("c_acctbal") * F.count("c_acctbal").over(wa)
+        - F.sum(dec("c_acctbal")).over(wa)
+    ).cast("double")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+        dev_scaled.alias("bal_dev_scaled"),
+    )
