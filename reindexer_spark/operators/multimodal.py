@@ -131,3 +131,23 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("small")
         .alias("size_class"),
     )
+
+
+@query("multimodal_decode_features")  # Python codec output → rows-only check
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media-decode pipeline as a contract query: documents' bytes
+    stand in for media payloads, flow through the Arrow-batched
+    mapInPandas decode (reindexer_spark.multimodal, deterministic
+    FakeCodec), and come out as typed features.  Deterministic but not
+    SQL-expressible (the codec is Python) → rows-only check; the
+    metadata lane (multimodal_binary_meta) carries the oracle."""
+    from reindexer_spark.multimodal import extract_media_features
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text-as-image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("meta"),
+    )
+    return extract_media_features(media)

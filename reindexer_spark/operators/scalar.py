@@ -318,3 +318,36 @@ def scalar_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.explode_outer(hits).alias("the_hit")
     )
+
+
+@query(
+    "scalar_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS key_and,
+           l_orderkey | 7 AS key_or,
+           xor(l_orderkey, l_partkey) AS key_xor,
+           l_orderkey << 2 AS key_shl,
+           l_orderkey >> 3 AS key_shr,
+           ~l_orderkey AS key_not,
+           bit_count(l_orderkey) AS key_bits
+    FROM lineitem
+    WHERE l_orderkey < 500
+    """,
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator battery (masking, xor-mixing, shifts, popcount) —
+    the primitives under every hash/bucket/bloom trick in the engine."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    k = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.lit(255)).alias("key_and"),
+        k.bitwiseOR(F.lit(7)).alias("key_or"),
+        k.bitwiseXOR(F.col("l_partkey")).alias("key_xor"),
+        F.shiftleft(k, 2).alias("key_shl"),
+        F.shiftright(k, 3).alias("key_shr"),
+        F.bitwise_not(k).alias("key_not"),
+        F.bit_count(k).cast("bigint").alias("key_bits"),
+    )

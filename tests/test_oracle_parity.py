@@ -38,4 +38,5 @@ def test_contract_shapes(spark):
         "dedup_minhash",
         "dedup_simhash",
         "agg_approx_sketches",
+        "multimodal_decode_features",
     }
