@@ -38,6 +38,10 @@ HEADLINE = [
     "window_session",
     "scalar_json",
     "embed_vector_stats",
+    "text_tfidf",
+    "sql_tpch_q3ish",
+    "dedup_embedding_lsh",
+    "stream_tumbling_live",
 ]
 
 

@@ -168,3 +168,52 @@ def knn_ivf_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "bucket", "cosine", "rnk")
     )
+
+
+EMBED_LSH_THRESHOLD = 0.4
+
+
+@query(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT x.vec_id AS v1, y.vec_id AS v2, x.bucket AS bucket,
+           list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) AS cosine
+    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+          >= {EMBED_LSH_THRESHOLD}
+    """,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: candidate pairs only within the same
+    random-hyperplane LSH bucket (≈256× fewer comparisons than the
+    quadratic baseline in operators.dedup.dedup_embedding), exact cosine
+    verification inside the bucket.  Unlike typical ANN this is still
+    fully oracle-checkable: the hyperplanes are deterministic module
+    constants the oracle replicates, so 'approximate' means a defined
+    candidate set, not an unreproducible one.
+
+    Scale shape: one narrow projection pass to bucket, one equi-join on
+    bucket id (self-join shuffles once on an 8-bit key — salting note:
+    buckets are balanced by construction for zero-mean embeddings)."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", bucket_expr(F.col("embedding"))
+    )
+    a = e.select(
+        F.col("vec_id").alias("v1"),
+        F.col("bucket").alias("bucket"),
+        F.col("embedding").alias("emb1"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("v2"),
+        F.col("bucket").alias("b2"),
+        F.col("embedding").alias("emb2"),
+    )
+    pairs = a.join(b, (F.col("bucket") == F.col("b2")) & (F.col("v1") < F.col("v2")))
+    cos = cosine_similarity(F.col("emb1"), F.col("emb2"))
+    return pairs.select("v1", "v2", "bucket", cos.alias("cosine")).filter(
+        F.col("cosine") >= EMBED_LSH_THRESHOLD
+    )
