@@ -49,6 +49,13 @@ def main() -> int:
     from reindexer_spark import get_query, get_spark
 
     spark = get_spark("reindexer-bench")
+    # Warm up the JVM/codegen/file-listing paths once so per-query numbers
+    # measure the queries, not first-action session initialization.
+    from reindexer_spark.catalog import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).limit(1).count()
+
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in HEADLINE:

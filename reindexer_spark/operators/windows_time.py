@@ -9,7 +9,7 @@ prove batch/stream equivalence (watermarks, late data, stateful dedup).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reindexer_spark.catalog import load_table
@@ -186,3 +186,101 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_memory(agg, output_mode="complete")
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           (t_signup IS NOT NULL) AS did_signup,
+           (t_signup IS NOT NULL AND t_click IS NOT NULL
+            AND t_click >= t_signup) AS clicked_after_signup,
+           (t_signup IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
+            AND t_click >= t_signup AND t_purchase >= t_click)
+             AS completed_funnel,
+           strftime(t_signup, '%Y-%m-%d %H:%M:%S') AS first_signup
+    FROM firsts
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (signup → click → purchase, in order): one
+    conditional-aggregation pass per user, no joins or self-joins — the
+    shape that holds up when 'users' is billions of keys."""
+    e = load_table(spark, sf_dir, "events")
+    first_of = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    firsts = e.groupBy("user_id").agg(
+        first_of("signup").alias("t_signup"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    sgn, clk, pur = F.col("t_signup"), F.col("t_click"), F.col("t_purchase")
+    return firsts.select(
+        "user_id",
+        sgn.isNotNull().alias("did_signup"),
+        (sgn.isNotNull() & clk.isNotNull() & (clk >= sgn)).alias(
+            "clicked_after_signup"
+        ),
+        (
+            sgn.isNotNull()
+            & clk.isNotNull()
+            & pur.isNotNull()
+            & (clk >= sgn)
+            & (pur >= clk)
+        ).alias("completed_funnel"),
+        F.date_format(sgn, "yyyy-MM-dd HH:mm:ss").alias("first_signup"),
+    )
+
+
+@query(
+    "scd2_status_history",
+    oracle="""
+    WITH changes AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             LAG(o_orderstatus) OVER w AS prev_status,
+             LEAD(o_orderdate)  OVER w AS next_date
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey, o_orderstatus AS status,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           COALESCE(strftime(next_date, '%Y-%m-%d'), '9999-12-31') AS valid_to,
+           (next_date IS NULL) AS is_current
+    FROM changes
+    WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+    """,
+)
+def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension) history emulation without MERGE
+    (no Delta in this stack — README 'CDC/SCD2' pattern): change rows
+    detected with LAG, validity ranges closed with LEAD, open ranges
+    marked current.  One window pass; at scale this is the standard
+    dimension-history rebuild."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = o.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        F.lag("o_orderstatus").over(w).alias("prev_status"),
+        F.lead("o_orderdate").over(w).alias("next_date"),
+    ).filter(
+        F.col("prev_status").isNull()
+        | (F.col("prev_status") != F.col("o_orderstatus"))
+    )
+    return changes.select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(
+            F.date_format("next_date", "yyyy-MM-dd"), F.lit("9999-12-31")
+        ).alias("valid_to"),
+        F.col("next_date").isNull().alias("is_current"),
+    )
