@@ -1,0 +1,120 @@
+"""Tier B5/B6 as graded queries — the argot-equivalent record shaping
+(docpipe.flatten) exercised through the correctness gate, not just unit
+tests.
+
+The testdata has no Argot JSON column, so the queries synthesize the
+payload from ``documents`` columns with ``to_json`` — both engines build
+the identical string — then run the REAL pipeline functions
+(parse_content → flatten_struct_columns → suffix_columns) over it; the
+oracle projects the same values straight from the base table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from reindexer_spark.catalog import load_table
+from reindexer_spark.docpipe.flatten import (
+    flatten_struct_columns,
+    parse_content,
+    suffix_columns,
+)
+from reindexer_spark.registry import query
+
+ARGOT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField(
+            "title",
+            T.StructType(
+                [T.StructField("main", T.StringType()), T.StructField("sub", T.StringType())]
+            ),
+        ),
+        T.StructField("authors", T.ArrayType(T.StringType())),
+        T.StructField("year", T.LongType()),
+    ]
+)
+
+
+def _with_content(docs: DataFrame) -> DataFrame:
+    payload = F.struct(
+        F.col("doc_id").alias("id"),
+        F.struct(F.col("source").alias("main"), F.col("lang").alias("sub")).alias(
+            "title"
+        ),
+        F.array(F.col("source"), F.col("lang")).alias("authors"),
+        F.col("n_chars").alias("year"),
+    )
+    return docs.select("doc_id", F.to_json(payload).alias("content"))
+
+
+@query(
+    "argot_flatten_suffix",
+    oracle="""
+    SELECT doc_id,
+           doc_id AS id_i,
+           source AS title_main_t,
+           lang AS title_sub_t,
+           [source, lang] AS authors_a,
+           n_chars AS year_i
+    FROM documents
+    """,
+)
+def argot_flatten_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full argot replacement path on real pipeline code: JSON parse
+    (explicit schema) → recursive flatten (nested struct → title_main,
+    array kept whole) → Solr dynamic-field suffixing.  The oracle reads
+    the same values off the base table, so any shaping bug — dropped
+    field, wrong suffix, corrupted value — breaks the hash."""
+    docs = _with_content(load_table(spark, sf_dir, "documents"))
+    good, _quarantine = parse_content(docs, ARGOT_SCHEMA)
+    flat = flatten_struct_columns(good, keep=["doc_id"])
+    return suffix_columns(flat, exclude=("doc_id",))
+
+
+@query(
+    "docs_quarantine_stats",
+    oracle="""
+    WITH payloads AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 17 = 3 THEN '{broken json'
+                  ELSE '{"id": ' || doc_id || '}' END AS content
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN json_valid(content) THEN 0 ELSE 1 END) AS n_quarantined
+    FROM payloads
+    GROUP BY source
+    """,
+)
+def docs_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A9 error-channel analogue at the gate: corrupt payloads (every
+    17th record, synthesized identically on both sides) land in the
+    quarantine frame instead of failing the job; the query reports
+    quarantine rates per source — the operational health metric a
+    100 TB ingest run watches."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 17 == 3, F.lit("{broken json")).otherwise(
+            F.concat(F.lit('{"id": '), F.col("doc_id"), F.lit("}"))
+        ).alias("content"),
+    )
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    good, quarantine = parse_content(payloads, schema)
+    counts = payloads.groupBy("source").agg(F.count("*").alias("n_docs"))
+    qcounts = quarantine.groupBy("source").agg(
+        F.count("*").alias("n_quarantined")
+    )
+    return (
+        counts.join(qcounts, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_quarantined", F.lit(0)).alias("n_quarantined"),
+        )
+    )

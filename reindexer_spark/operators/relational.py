@@ -569,3 +569,38 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(arr, ",").alias("custkeys_csv"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH lhs AS (
+      SELECT o_orderkey, CASE WHEN o_orderstatus = 'P' THEN NULL
+                              ELSE o_orderstatus END AS status_key
+      FROM orders
+    ), dim AS (
+      SELECT * FROM (VALUES ('O', 'open'), ('F', 'finished'), (NULL, 'pending'))
+        AS t(status_key, status_name)
+    )
+    SELECT l.o_orderkey, l.status_key, d.status_name
+    FROM lhs l JOIN dim d ON l.status_key IS NOT DISTINCT FROM d.status_key
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    NULL dimension rows instead of silently dropping — the standard trap
+    when dimension keys carry sentinel NULLs."""
+    o = load_table(spark, sf_dir, "orders")
+    lhs = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status_key"),
+    )
+    dim = o.sparkSession.createDataFrame(
+        [("O", "open"), ("F", "finished"), (None, "pending")],
+        "status_key string, status_name string",
+    )
+    return lhs.join(
+        F.broadcast(dim), lhs.status_key.eqNullSafe(dim.status_key)
+    ).select(lhs.o_orderkey, lhs.status_key, dim.status_name)
