@@ -351,3 +351,63 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bitwise_not(k).alias("key_not"),
         F.bit_count(k).cast("bigint").alias("key_bits"),
     )
+
+
+@query(
+    "filter_regexp",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_matching,
+           SUM(CASE WHEN regexp_matches(text, 'join.*filter|filter.*join')
+                    THEN 1 ELSE 0 END) AS n_join_filter
+    FROM documents
+    WHERE regexp_matches(text, '^the |spark')
+    GROUP BY lang
+    """,
+)
+def filter_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp predicates (rlike): anchored and alternation patterns kept
+    to the subset Java regex and RE2 interpret identically."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").rlike("^the |spark")
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_matching"),
+        F.sum(
+            F.when(F.col("text").rlike("join.*filter|filter.*join"), 1).otherwise(0)
+        ).alias("n_join_filter"),
+    )
+
+
+@query(
+    "scalar_string_extra",
+    oracle="""
+    SELECT p_partkey,
+           LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+           RPAD(p_brand, 12, '.') AS brand_padded,
+           REVERSE(p_name) AS name_reversed,
+           translate(p_name, 'aeiou', 'AEIOU') AS name_vowels_upper,
+           REPEAT(LEFT(p_type, 2), 3) AS type_repeat,
+           split_part(p_name, ' ', 1) AS name_first_part,
+           split_part(p_name, ' ', -1) AS name_last_part,
+           POSITION('e' IN p_name) AS first_e_pos,
+           CASE WHEN p_name ILIKE '%WIDGET%' THEN 1 ELSE 0 END AS is_widget
+    FROM part
+    """,
+)
+def scalar_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string battery: padding, reverse, translate, repeat,
+    split_part (positive and negative index), position, ILIKE."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.rpad("p_brand", 12, ".").alias("brand_padded"),
+        F.reverse("p_name").alias("name_reversed"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_vowels_upper"),
+        F.repeat(F.substring("p_type", 1, 2), 3).alias("type_repeat"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("name_first_part"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(-1)).alias("name_last_part"),
+        F.instr("p_name", "e").cast("bigint").alias("first_e_pos"),
+        F.when(F.col("p_name").ilike("%WIDGET%"), 1).otherwise(0).alias("is_widget"),
+    )
