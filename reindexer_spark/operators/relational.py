@@ -604,3 +604,104 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lhs.join(
         F.broadcast(dim), lhs.status_key.eqNullSafe(dim.status_key)
     ).select(lhs.o_orderkey, lhs.status_key, dim.status_name)
+
+
+@query(
+    "agg_boolean",
+    oracle="""
+    SELECT c_mktsegment,
+           bool_and(c_acctbal > -1000) AS all_above_floor,
+           bool_or(c_acctbal > 9000) AS any_premium,
+           count_if(c_acctbal < 0) AS n_debtors,
+           COUNT(*) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates: bool_and / bool_or / count_if."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
+        F.bool_or(F.col("c_acctbal") > 9000).alias("any_premium"),
+        F.count_if(F.col("c_acctbal") < 0).alias("n_debtors"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rd,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice ASC, o_orderkey ASC) AS ra
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           MAX(CASE WHEN rd = 1 THEN o_orderkey END) AS biggest_order,
+           MAX(CASE WHEN ra = 1 THEN o_orderkey END) AS smallest_order,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price
+    FROM ranked
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN_BY / MAX_BY with a composite (value, unique-key) ordering
+    struct: bare max_by(key, price) is nondeterministic when two rows
+    tie on price — the struct tie-break makes the picked row unique on
+    any partitioning.  (DuckDB's max_by does not order by structs, so
+    the oracle states the same semantics via window ranks.)"""
+    o = load_table(spark, sf_dir, "orders")
+    rank_struct = F.struct(
+        F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", rank_struct).alias("biggest_order"),
+        F.min_by("o_orderkey", rank_struct).alias("smallest_order"),
+        F.max(dec("o_totalprice")).cast("double").alias("max_price"),
+    )
+
+
+@query(
+    "agg_corr_exact",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(
+             (COUNT(*) * SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)))::DOUBLE
+              - SUM(CAST(l_quantity AS DECIMAL(12,2)))::DOUBLE
+                * SUM(CAST(l_extendedprice AS DECIMAL(12,2)))::DOUBLE)
+             / (SQRT(COUNT(*) * ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))), 2)::DOUBLE
+                     - SUM(CAST(l_quantity AS DECIMAL(12,2)))::DOUBLE
+                       * SUM(CAST(l_quantity AS DECIMAL(12,2)))::DOUBLE)
+                * SQRT(COUNT(*) * ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))), 2)::DOUBLE
+                       - SUM(CAST(l_extendedprice AS DECIMAL(12,2)))::DOUBLE
+                         * SUM(CAST(l_extendedprice AS DECIMAL(12,2)))::DOUBLE)),
+             6) AS qty_price_corr,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal sums (n·Σxy − ΣxΣy over the
+    √ of the variance products) — the built-in corr() is a streaming
+    covariance whose low bits depend on merge order; this formulation is
+    reduction-order-independent and matches the oracle bit-for-bit after
+    one final rounding.  Same pattern as functions.stddev_exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = dec("l_quantity"), dec("l_extendedprice")
+    n = F.count("*")
+    sx = F.sum(x).cast("double")
+    sy = F.sum(y).cast("double")
+    sxy = F.sum(x * y).cast("double")
+    sxx = F.sum(x * x).cast("decimal(38,2)").cast("double")
+    syy = F.sum(y * y).cast("decimal(38,2)").cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(corr, 6).alias("qty_price_corr"), n.alias("n")
+    )

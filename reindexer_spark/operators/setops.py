@@ -93,3 +93,18 @@ def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("entity_id"),
     )
     return c.unionByName(s)
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics — multiplicities take the minimum)."""
+    a = _custkeys_in_year(spark, sf_dir, 1996)
+    b = _custkeys_in_year(spark, sf_dir, 1997)
+    return a.intersectAll(b)

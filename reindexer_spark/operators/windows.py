@@ -281,3 +281,59 @@ def window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("bal_cume_dist"),
         dev_scaled.alias("bal_dev_scaled"),
     )
+
+
+@query(
+    "sort_offset_pagination",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 10 OFFSET 10
+    """,
+)
+def sort_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination: page 2 of the balance leaderboard (OFFSET + LIMIT over
+    a total order with unique tie-break).  Note for scale: OFFSET n
+    still computes the first n rows — keyset pagination (WHERE key >
+    last_seen) is the 100 TB pattern; this exercises the operator."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .offset(10)
+        .limit(10)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS latest_order,
+           NTH_VALUE(o_orderkey, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE with explicit full-partition
+    frames (the default running frame makes LAST_VALUE a silent
+    identity — the classic window-frame trap)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("latest_order"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
+    )
