@@ -705,3 +705,73 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.round(corr, 6).alias("qty_price_corr"), n.alias("n")
     )
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, value
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+          FROM lineitem WHERE l_orderkey < 100)
+    UNPIVOT (value FOR metric IN (l_quantity, l_discount, l_tax))
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): three measure columns melt into
+    (metric, value) rows — the inverse of agg_pivot."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+
+
+@query(
+    "gapfill_monthly_revenue",
+    oracle="""
+    WITH months AS (
+      SELECT strftime(m, '%Y-%m') AS month
+      FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-08-01',
+                           INTERVAL 1 MONTH) AS t(m)
+    ), rev AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT months.month,
+           COALESCE(rev.revenue, 0.0) AS revenue,
+           COALESCE(rev.n_orders, 0) AS n_orders
+    FROM months LEFT JOIN rev USING (month)
+    """,
+)
+def gapfill_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling / densification: a generated calendar spine left-joined
+    to the sparse aggregate, zero-filling empty months — the time-series
+    completeness pattern (sequence + explode generates the spine
+    engine-side; no driver loop)."""
+    o = load_table(spark, sf_dir, "orders")
+    spine = o.sparkSession.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("2001-08-01").cast("timestamp"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("m")
+    ).select(F.date_format("m", "yyyy-MM").alias("month"))
+    rev = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    return spine.join(rev, "month", "left").select(
+        "month",
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
