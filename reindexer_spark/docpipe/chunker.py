@@ -61,13 +61,48 @@ def write_ndjson_chunks(
 def chunk_ids(df: DataFrame, id_col: str, chunk_size: int) -> DataFrame:
     """Deterministic chunk assignment by dense key rank — the declarative
     analogue of the reference's "every chunkSize rows" counter, usable
-    for per-chunk bookkeeping (min/max id per chunk drives resume)."""
+    for per-chunk bookkeeping (min/max id per chunk drives resume).
+
+    Scalable two-phase rank (no global window): range-partition by the
+    key, rank within each partition, then add broadcast cumulative
+    offsets.  A plain ``row_number() OVER (ORDER BY id)`` funnels the
+    whole table through one task — the classic global-window bottleneck
+    — while this shape is a range shuffle plus per-partition sorts.
+    """
     from pyspark.sql import Window
 
-    w = Window.orderBy(id_col)
-    return df.withColumn(
-        "chunk_id",
-        F.floor((F.row_number().over(w) - 1) / chunk_size).cast("bigint"),
+    parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    # persisted: repartitionByRange picks boundaries by SAMPLING, so
+    # recomputing it for the counts job and again for the final join can
+    # yield different partitionings — the offsets would then be wrong
+    # (observed as ±100-row chunk drift at 100k rows)
+    ranged = (
+        df.repartitionByRange(parts, F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    # cumulative row offset per range partition (tiny driver-side table)
+    counts = (
+        ranged.groupBy("__pid").agg(F.count("*").alias("__n")).collect()
+    )
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["__n"]
+    offset_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __offset long"
+    )
+    w = Window.partitionBy("__pid").orderBy(id_col)
+    return (
+        ranged.join(F.broadcast(offset_df), "__pid")
+        .withColumn(
+            "chunk_id",
+            F.floor(
+                (F.row_number().over(w) - 1 + F.col("__offset")) / chunk_size
+            ).cast("bigint"),
+        )
+        .drop("__pid", "__offset")
     )
 
 
