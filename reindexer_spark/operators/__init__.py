@@ -15,6 +15,7 @@ Importing this package registers every query with
 - ``text``        Tier C11: lang-id, quality, tokens, fingerprints
 - ``multimodal``  Tier C12: vector/binary column operations
 - ``windows_time``Tier C13: event-time windows (batch-mode semantics)
+- ``sampling``    north-star: deterministic sampling / split / mix / shuffle
 """
 
 from reindexer_spark.operators import (  # noqa: F401
@@ -23,6 +24,7 @@ from reindexer_spark.operators import (  # noqa: F401
     multimodal,
     reindex,
     relational,
+    sampling,
     scalar,
     setops,
     similarity,

@@ -1,0 +1,205 @@
+"""North-star training-data sampling operators (BASELINE.json `north_star`;
+no reference implementation — the reference pipes every row, `driver.go:192-207`).
+
+Everything here is **hash-deterministic**: membership is a pure function of
+the row key (md5 — the one cryptographic hash both Spark and DuckDB expose
+with identical output), never `rand()`.  That is the only sampling design
+that survives Spark's execution model at 100 TB: task retries and
+speculative execution re-run partitions, so a `rand()`-based sample is
+non-reproducible and can even lose/duplicate rows across retries, while a
+hash sample is idempotent, needs no seed coordination between executors,
+and pushes down as an ordinary filter (no shuffle, no state).
+
+Hex-threshold convention: `substr(md5(key), 1, 4)` is uniform over 65 536
+buckets; comparing the hex *string* against a threshold avoids any
+engine-specific hex→int conversion in the hot path ('g' sorts after every
+hex digit → keep-all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from reindexer_spark.catalog import load_table
+from reindexer_spark.registry import query
+
+# ~12.5% Bernoulli sample: 0x2000 / 0x10000.
+BERNOULLI_HEX = "2000"
+
+# Deterministic source-mixing weights (hex thresholds over 65 536 buckets):
+# src0 keeps everything, src1 half, src2 a quarter, everything else 10%.
+MIX_WEIGHTS: dict[str, str] = {"src0": "g", "src1": "8000", "src2": "4000"}
+MIX_DEFAULT_HEX = "199a"  # ceil(0.1 * 65536) = 6554 = 0x199A
+
+N_SHARDS = 8
+STRATA_FRAC = 0.2
+
+
+def _hash4(col: str):
+    return F.substring(F.md5(F.col(col).cast("string")), 1, 4)
+
+
+@query(
+    "sample_hash_bernoulli",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '{BERNOULLI_HEX}'
+    """,
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% Bernoulli sample keyed on md5(doc_id).
+
+    Plan shape: a single stateless Filter over the scan — embarrassingly
+    parallel, no shuffle, reproducible across runs/retries/engines
+    (unlike ``df.sample()``, whose membership depends on partition layout
+    and task attempt)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(_hash4("doc_id") < BERNOULLI_HEX).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "sample_train_test_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT lang,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs
+    FROM tagged
+    GROUP BY 1, 2
+    """,
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment from a hash bucket of the key.
+
+    The split label is a pure projection (derivable anywhere downstream
+    without storing it); the per-language counts here are the audit query
+    a pipeline runs to confirm the split is balanced.  One map-side
+    partial + final hash aggregate; cardinality of the output is
+    |langs| × 3, so the shuffle is negligible at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(_hash4("doc_id"), 16, 10).cast("bigint") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "sample_stratified_exact",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_stratum
+      FROM documents
+    )
+    SELECT doc_id, lang, rn
+    FROM ranked
+    WHERE rn <= CEIL({STRATA_FRAC} * n_stratum)
+    """,
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size stratified sample: per language, the first
+    ceil(20% · |stratum|) rows of the deterministic md5 ordering.
+
+    Guarantees exact per-stratum counts (a Bernoulli sample only hits the
+    fraction in expectation).  Cost: one shuffle on the stratum key plus a
+    per-stratum sort — at scale the strata are processed independently, so
+    skew is bounded by the largest stratum, and a hot stratum can be
+    sub-salted by extending the partition key with a hash prefix."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n_stratum"),
+    )
+    return ranked.filter(
+        F.col("rn") <= F.ceil(F.lit(STRATA_FRAC) * F.col("n_stratum"))
+    ).select("doc_id", "lang", "rn")
+
+
+@query(
+    "sample_weighted_mix",
+    oracle=f"""
+    WITH weights(source, keep_hex) AS (
+      VALUES ('src0', 'g'), ('src1', '8000'), ('src2', '4000')
+    ), kept AS (
+      SELECT d.source
+      FROM documents d LEFT JOIN weights w USING (source)
+      WHERE substr(md5(d.doc_id::VARCHAR), 1, 4)
+              < COALESCE(w.keep_hex, '{MIX_DEFAULT_HEX}')
+    )
+    SELECT source, COUNT(*) AS n_kept
+    FROM kept GROUP BY source
+    """,
+)
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing: per-source keep-rates (src0 100%, src1 50%,
+    src2 25%, default 10%) applied as deterministic hash thresholds —
+    the mixture step that turns N crawls into one training corpus with
+    target proportions.
+
+    The weights relation is tiny → broadcast left join (no shuffle of the
+    fact side); the filter then runs map-side.  Changing the mixture = a
+    new weights table, not a recomputation of hashes."""
+    d = load_table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        [(s, h) for s, h in MIX_WEIGHTS.items()], "source string, keep_hex string"
+    )
+    kept = (
+        d.join(F.broadcast(weights), "source", "left")
+        .filter(_hash4("doc_id") < F.coalesce("keep_hex", F.lit(MIX_DEFAULT_HEX)))
+    )
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
+@query(
+    "corpus_shuffle_shard",
+    oracle=f"""
+    SELECT doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % {N_SHARDS}
+             AS shard,
+           ROW_NUMBER() OVER (
+             PARTITION BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT
+                            % {N_SHARDS}
+             ORDER BY md5(doc_id::VARCHAR), doc_id) AS pos
+    FROM documents
+    """,
+)
+def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: shard =
+    hash(key) mod N, position = rank of md5(key) within the shard.
+
+    Reading shards in (shard, pos) order visits the corpus in md5 order —
+    a reproducible full shuffle with NO global sort: one hash-partition
+    exchange + independent per-shard sorts, exactly how a 100 TB corpus
+    gets shuffled for training (N scales with the cluster; 8 here)."""
+    d = load_table(spark, sf_dir, "documents")
+    h4 = _hash4("doc_id")
+    shard = F.conv(h4, 16, 10).cast("bigint") % N_SHARDS
+    w = Window.partitionBy(shard).orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return d.select(
+        "doc_id", shard.alias("shard"), F.row_number().over(w).alias("pos")
+    )
