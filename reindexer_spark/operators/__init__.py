@@ -30,6 +30,7 @@ from reindexer_spark.operators import (  # noqa: F401
     similarity,
     sql_surface,
     text,
+    text_clean,
     udfs,
     windows,
     windows_time,

@@ -1,0 +1,239 @@
+"""North-star text-cleaning operators: PII redaction, normalization,
+repetition signals, benchmark-contamination detection (BASELINE.json
+`north_star`; the reference has no text processing of its own — it ships
+bytes to argot, `ingest.go:29-31`).
+
+Regexes are kept to the syntax subset Java regex (Spark) and RE2 (DuckDB)
+share — character classes, bounded repetition, alternation; no lookaround,
+no backreferences — so every query stays oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reindexer_spark.catalog import load_table
+from reindexer_spark.registry import query
+
+EMAIL_RE = r"[a-z0-9.]+@[a-z0-9.]+\.[a-z]+"
+PHONE_RE = r"555-[0-9]{4}"
+SHINGLE_K = 5
+BENCH_SOURCE = "src0"  # stand-in benchmark/eval corpus
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR || '@' || source
+                  || '.net or 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+               AS raw_text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw_text, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(raw_text, '{PHONE_RE}')) AS n_phones,
+           regexp_replace(
+             regexp_replace(raw_text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PHONE_RE}', '<PHONE>', 'g') AS redacted,
+           LENGTH(raw_text)
+             - LENGTH(regexp_replace(
+                 regexp_replace(raw_text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PHONE_RE}', '<PHONE>', 'g')) AS chars_removed
+    FROM raw
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and mask email/phone patterns.
+
+    The testdata text is synthetic and PII-free, so the query first
+    derives a raw_text column that embeds a deterministic email+phone per
+    row (pure projection of existing columns — no synthesized inputs),
+    then runs the real redaction stack: regexp counts for audit, chained
+    regexp_replace for masking.  All codegen'd string ops, one scan, no
+    shuffle — the shape of a 100 TB scrub pass."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".net or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(EMAIL_RE), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(PHONE_RE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+        redacted.alias("redacted"),
+        (F.length(raw) - F.length(redacted)).cast("bigint").alias("chars_removed"),
+    )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH uni AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), ucnt AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM uni GROUP BY 1, 2
+    ), ustat AS (
+      SELECT doc_id, MAX(c) AS top_unigram, SUM(c) AS n_words FROM ucnt GROUP BY 1
+    ), bi AS (
+      SELECT doc_id, unnest(
+               list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+             ) AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), bcnt AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY 1, 2
+    ), bstat AS (
+      SELECT doc_id, MAX(c) AS top_bigram, SUM(c) AS n_bigrams FROM bcnt GROUP BY 1
+    )
+    SELECT u.doc_id,
+           CAST(u.top_unigram AS DOUBLE) / u.n_words AS top_unigram_frac,
+           CAST(b.top_bigram AS DOUBLE) / b.n_bigrams AS top_bigram_frac,
+           (CAST(u.top_unigram AS DOUBLE) / u.n_words > 0.2
+            OR CAST(b.top_bigram AS DOUBLE) / b.n_bigrams > 0.18)
+             AS is_repetitive
+    FROM ustat u JOIN bstat b USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: fraction of the document taken by
+    its most frequent unigram and bigram, plus the filter verdict.
+
+    The per-doc counting never leaves the doc_id key, so both aggregates
+    hash-partition on doc_id and the final join is co-partitioned —
+    one logical shuffle key end to end.  Documents are independent, so
+    this scales linearly and skew equals the longest document."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    uni = d.select("doc_id", F.explode(words).alias("w"))
+    ustat = (
+        uni.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_unigram"), F.sum("c").alias("n_words"))
+    )
+    wcol = F.col("w")
+    bi = d.select("doc_id", words.alias("w")).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(wcol) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(wcol, i), F.element_at(wcol, i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    bstat = (
+        bi.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram"), F.sum("c").alias("n_bigrams"))
+    )
+    ufrac = F.col("top_unigram").cast("double") / F.col("n_words")
+    bfrac = F.col("top_bigram").cast("double") / F.col("n_bigrams")
+    return ustat.join(bstat, "doc_id").select(
+        "doc_id",
+        ufrac.alias("top_unigram_frac"),
+        bfrac.alias("top_bigram_frac"),
+        ((ufrac > 0.2) | (bfrac > 0.18)).alias("is_repetitive"),
+    )
+
+
+def _shingle_sql(k: int) -> str:
+    return (
+        f"list_transform(range(1, len(w) - {k - 2}), "
+        f"i -> array_to_string(w[i:i+{k - 1}], ' '))"
+    )
+
+
+@query(
+    "text_contamination",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ), shingles AS (
+      SELECT doc_id, source, unnest({_shingle_sql(SHINGLE_K)}) AS sh FROM docs
+    ), bench AS (
+      SELECT DISTINCT sh FROM shingles WHERE source = '{BENCH_SOURCE}'
+    ), cand AS (
+      SELECT DISTINCT doc_id, sh FROM shingles WHERE source <> '{BENCH_SOURCE}'
+    ), hits AS (
+      SELECT c.doc_id,
+             COUNT(*) AS n_shingles,
+             COUNT(b.sh) AS n_overlap
+      FROM cand c LEFT JOIN bench b USING (sh)
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_shingles, n_overlap,
+           CAST(n_overlap AS DOUBLE) / n_shingles AS contamination,
+           CAST(n_overlap AS DOUBLE) / n_shingles >= 0.8 AS is_contaminated
+    FROM hits
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: fraction of a document's distinct
+    5-word shingles that also appear in the benchmark corpus (stand-in:
+    source 'src0'), the standard eval-decontamination pass before
+    training.
+
+    Scale shape: both sides are deduped to distinct shingles BEFORE the
+    join (bounds the blowup of repeated n-grams); the benchmark shingle
+    set is tiny relative to the corpus → Spark broadcasts it, so the
+    100 TB side never shuffles.  Counting hits with count(b.sh) on a left
+    join keeps zero-overlap documents in the output."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    )
+    wcol = F.col("w")
+    k = SHINGLE_K
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.size(wcol) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(wcol) - (k - 1)),
+                    lambda i: F.array_join(F.slice(wcol, i, k), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("sh"),
+    )
+    bench = (
+        sh.filter(F.col("source") == BENCH_SOURCE).select("sh").distinct()
+    )
+    cand = (
+        sh.filter(F.col("source") != BENCH_SOURCE)
+        .select("doc_id", "sh")
+        .distinct()
+    )
+    hits = (
+        cand.join(F.broadcast(bench.withColumn("bsh", F.col("sh"))), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("bsh").alias("n_overlap"),
+        )
+    )
+    contamination = F.col("n_overlap").cast("double") / F.col("n_shingles")
+    return hits.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        contamination.alias("contamination"),
+        (contamination >= 0.8).alias("is_contaminated"),
+    )
