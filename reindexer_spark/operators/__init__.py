@@ -21,6 +21,7 @@ Importing this package registers every query with
 from reindexer_spark.operators import (  # noqa: F401
     dedup,
     docshape,
+    mlprep,
     multimodal,
     reindex,
     relational,

@@ -1,0 +1,180 @@
+"""ML-data-prep operators: per-class embedding centroids, IVF-style
+coarse assignment, and blocked fuzzy entity matching (BASELINE.json
+`north_star`; no reference counterpart).
+
+Float determinism follows the registry conventions: element sums go
+through DECIMAL (order-independent), dot products accumulate in array
+order on both engines (Spark ``aggregate`` fold ≡ DuckDB
+``list_dot_product``), and the one rounding happens in the same place.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from reindexer_spark.catalog import load_table
+from reindexer_spark.registry import query
+
+CENTROID_SQL = """
+    flat AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS idx,
+             unnest(embedding) AS v
+      FROM embeddings
+    ), cmean AS (
+      SELECT label, idx,
+             ROUND(CAST(SUM(CAST(v AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*), 6)
+               AS cv
+      FROM flat GROUP BY label, idx
+    ), centroids AS (
+      SELECT label, array_agg(cv ORDER BY idx) AS centroid
+      FROM cmean GROUP BY label
+    )
+"""
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select("label", F.posexplode("embedding").alias("idx", "v"))
+    cmean = flat.groupBy("label", "idx").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(20,8)")).cast("double") / F.count("*"),
+            6,
+        ).alias("cv")
+    )
+    return cmean.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "cv"))), lambda s: s["cv"]
+        ).alias("centroid")
+    )
+
+
+@query(
+    "embed_label_centroids",
+    oracle=f"""
+    WITH {CENTROID_SQL}, counts AS (
+      SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label
+    )
+    SELECT c.label, c.centroid, n.n_vecs
+    FROM centroids c JOIN counts n USING (label)
+    """,
+)
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (one k-means/centroid-index build step):
+    posexplode → (label, dim) decimal-sum average → reassemble in dim
+    order.
+
+    Scale shape: the exploded relation is |corpus| × dim rows but
+    aggregates by (label, dim) with map-side partials, so the shuffle
+    carries only |labels| × dim partial sums per mapper — independent of
+    corpus size.  DECIMAL accumulation makes the result bit-identical
+    regardless of partitioning (a double sum would drift with the
+    reduction order)."""
+    cents = _centroids(spark, sf_dir)
+    counts = (
+        load_table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+    return cents.join(counts, "label").select("label", "centroid", "n_vecs")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Dot product folded in array order (matches DuckDB list_dot_product;
+    same pattern as similarity._dot_literal)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@query(
+    "embed_centroid_assign",
+    oracle=f"""
+    WITH {CENTROID_SQL}, scored AS (
+      SELECT e.vec_id, e.label AS true_label, c.label AS cand_label,
+             ROUND(list_dot_product(e.embedding::DOUBLE[], c.centroid), 6) AS dot
+      FROM embeddings e CROSS JOIN centroids c
+    ), best AS (
+      SELECT vec_id, true_label, cand_label, dot,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dot DESC, cand_label) AS rn
+      FROM scored
+    )
+    SELECT vec_id, true_label, cand_label AS assigned_label, dot
+    FROM best WHERE rn = 1
+    """,
+)
+def embed_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its
+    max-dot-product centroid (ties broken by label).
+
+    The centroid table is |labels| rows → broadcast; the cross join is a
+    constant fan-out of K candidates per vector computed map-side, and
+    the per-vector argmax shuffles on vec_id (uniform key, K rows per
+    group) — the exact shape of an ANN index build's assign phase at
+    100 TB.  The dot is rounded once before the argmax so the ranking is
+    engine-independent."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(spark, sf_dir)
+    scored = (
+        e.alias("e")
+        .crossJoin(F.broadcast(cents.alias("c")))
+        .select(
+            F.col("e.vec_id").alias("vec_id"),
+            F.col("e.label").alias("true_label"),
+            F.col("c.label").alias("cand_label"),
+            F.round(_dot(F.col("e.embedding"), F.col("c.centroid")), 6).alias(
+                "dot"
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cand_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id", "true_label", F.col("cand_label").alias("assigned_label"), "dot"
+        )
+    )
+
+
+@query(
+    "fuzzy_join_blocked",
+    oracle="""
+    WITH c AS (
+      SELECT c_name, substr(c_name, 10) AS suffix FROM customer
+    ), s AS (
+      SELECT s_name, substr(s_name, 10) AS suffix FROM supplier
+    )
+    SELECT c.c_name, s.s_name,
+           levenshtein(c.suffix, s.suffix) AS dist
+    FROM c JOIN s ON substr(c.suffix, 1, 7) = substr(s.suffix, 1, 7)
+    WHERE levenshtein(c.suffix, s.suffix) <= 1
+    """,
+)
+def fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching with blocking: customer↔supplier numeric
+    suffixes joined on a 7-char blocking key, verified by edit distance
+    within the block.
+
+    This is THE scalable fuzzy-join pattern: candidate generation via an
+    equality key (hash join, pushdown-friendly) bounds the quadratic
+    verify step to each block — O(Σ|block|²) instead of O(N²).  At
+    100 TB the blocking key cardinality scales with the data, so blocks
+    stay small; a hot block is handled by AQE skew-split."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_name", F.substring("c_name", 10, 9).alias("csuf")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_name", F.substring("s_name", 10, 9).alias("ssuf")
+    )
+    dist = F.levenshtein("csuf", "ssuf")
+    return (
+        c.join(s, F.substring("csuf", 1, 7) == F.substring("ssuf", 1, 7))
+        .filter(dist <= 1)
+        .select("c_name", "s_name", dist.alias("dist"))
+    )

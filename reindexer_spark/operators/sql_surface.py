@@ -75,6 +75,37 @@ WHERE r.rn <= 10
 """
 
 
+TPCH_Q18ISH = """
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 120
+)
+SELECT c.c_name, o.o_orderkey,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+       o.o_totalprice
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN big        ON big.l_orderkey = o.o_orderkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+"""
+
+TPCH_Q19ISH = """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 25)
+   OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 5 AND 30
+       AND l.l_quantity >= 10 AND l.l_quantity <= 40)
+   OR (p.p_type = 'PROMO' AND l.l_discount > 0.05)
+"""
+
+
 @query(
     "sql_tpch_q3ish",
     oracle=TPCH_Q3ISH.format(date_fn="strftime(o.o_orderdate, '%Y-%m-%d')"),
@@ -115,3 +146,25 @@ def sql_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CTE pipeline: aggregate → window rank → dimension join → top-k."""
     return run_sql(spark, sf_dir, CTE_CHAIN)
+
+
+@query("sql_tpch_q18ish", oracle=TPCH_Q18ISH)
+def sql_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume-order query: an aggregate HAVING
+    filter used as a semi-join driver, then re-joined for detail.
+    Catalyst evaluates `big` once (the agg is the filter's only input)
+    and the second lineitem pass re-aggregates only surviving orders;
+    decimal quantity sums keep the HAVING boundary exact, so no row can
+    flip sides between engines."""
+    return run_sql(spark, sf_dir, TPCH_Q18ISH)
+
+
+@query("sql_tpch_q19ish", oracle=TPCH_Q19ISH)
+def sql_tpch_q19ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive predicate join: an OR-of-ANDs mixing
+    part and lineitem columns.  The join key (p_partkey = l_partkey)
+    stays an equi-join — the disjunction becomes a post-join filter with
+    the single-table conjuncts (brand/size/type, quantity/discount)
+    inferred and pushed below the join by Catalyst's
+    constraint propagation."""
+    return run_sql(spark, sf_dir, TPCH_Q19ISH)
