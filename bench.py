@@ -41,6 +41,15 @@ HEADLINE = [
     "text_tfidf",
     "sql_tpch_q3ish",
     "dedup_embedding_lsh",
+    "sample_weighted_mix",
+    "corpus_shuffle_shard",
+    "text_repetition",
+    "text_contamination",
+    "embed_centroid_assign",
+    # Keep the Structured Streaming query LAST: a finished streaming query
+    # leaves the JVM intermittently stalling batch jobs for a short while
+    # (observed multi-second pauses in the next few actions; state-store
+    # maintenance interval ruled out), so nothing should be timed after it.
     "stream_tumbling_live",
 ]
 

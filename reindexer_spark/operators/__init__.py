@@ -19,6 +19,7 @@ Importing this package registers every query with
 """
 
 from reindexer_spark.operators import (  # noqa: F401
+    analytics,
     dedup,
     docshape,
     mlprep,

@@ -1,0 +1,194 @@
+"""Behavioral analytics over ``events`` — cohort retention, RFM
+segmentation, histograms, active-user ratios.
+
+These are the reporting queries a reindex/ingest pipeline's operators
+dashboard runs (Tier B10 territory: the reference would ship them to
+Postgres as user SQL, `config.go:20`); here they are native DataFrame
+plans, each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reindexer_spark.catalog import load_table
+from reindexer_spark.functions import dec
+from reindexer_spark.registry import query
+
+HIST_BIN = 50.0
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, date_trunc('month', MIN(ts)) AS cohort_month
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('month', ts) AS act_month FROM events
+    )
+    SELECT strftime(c.cohort_month, '%Y-%m') AS cohort_month,
+           date_diff('month', c.cohort_month, a.act_month) AS month_offset,
+           COUNT(*) AS n_users
+    FROM cohort c JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle: users bucketed by first-seen
+    month, counted in each subsequent activity month.
+
+    Both inputs aggregate on user_id first (map-side partials shrink the
+    event stream to one row per user/month), so the join is between two
+    already-small relations co-partitioned on user_id — the raw event
+    table is never joined or shuffled twice."""
+    e = load_table(spark, sf_dir, "events")
+    cohort = e.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cohort_month")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("month", "ts").alias("act_month")
+    ).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_month", "yyyy-MM").alias("cohort_month"),
+            (F.months_between("act_month", "cohort_month"))
+            .cast("bigint")
+            .alias("month_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
+    "events_rfm_segments",
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS max_ts FROM events),
+    per_user AS (
+      SELECT user_id,
+             date_diff('day', MAX(ts), (SELECT max_ts FROM anchor)) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           NTILE(4) OVER (ORDER BY recency_days, user_id) AS r_quartile,
+           NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f_quartile,
+           NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m_quartile
+    FROM per_user
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency (days before the corpus
+    max-timestamp anchor), frequency, decimal-exact monetary sum, each
+    quartiled by NTILE with a user_id tie-break for determinism.
+
+    The per-user aggregate is the heavy stage and scales freely.  The
+    global NTILE windows are a deliberate small-data tail (one row per
+    user); at 100 TB the same segmentation uses approx-quantile cutoff
+    literals instead of a global sort — same output contract."""
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("max_ts"))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("frequency"),
+            F.sum(dec("value")).cast("double").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.col("max_ts"), F.col("last_ts"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "user_id"))
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("user_id")))
+        .alias("m_quartile"),
+    )
+
+
+@query(
+    "events_histogram_value",
+    oracle=f"""
+    SELECT FLOOR(value / {HIST_BIN})::BIGINT AS bin,
+           COUNT(*) AS n,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the value column — the distributed
+    histogram primitive: bin assignment is a pure projection, the
+    aggregate shuffles |bins| rows per mapper regardless of data size."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.floor(F.col("value") / HIST_BIN).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH dau AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    ), wau AS (
+      SELECT date_trunc('week', ts) AS week, COUNT(DISTINCT user_id) AS wau
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+           ROUND(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+    FROM dau d JOIN wau w ON date_trunc('week', d.day) = w.week
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily/weekly active users and the DAU/WAU stickiness ratio.
+
+    Two distinct-count aggregates over the same scan (Spark runs them as
+    expand + two-phase aggs); the day→week join is on a tiny dimension
+    (one row per day), so it broadcasts."""
+    e = load_table(spark, sf_dir, "events")
+    dau = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    wau = e.groupBy(F.date_trunc("week", "ts").alias("week")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(F.broadcast(wau), F.date_trunc("week", F.col("day")) == F.col("week"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )

@@ -159,16 +159,20 @@ def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mixture step that turns N crawls into one training corpus with
     target proportions.
 
-    The weights relation is tiny → broadcast left join (no shuffle of the
-    fact side); the filter then runs map-side.  Changing the mixture = a
-    new weights table, not a recomputation of hashes."""
+    The weights are pipeline *config*, not data, so they compile into the
+    plan as a map literal — the whole mixing step is a map-side
+    projection+filter with zero joins, zero shuffles of the corpus, and
+    nothing to broadcast.  (With thousands of sources or weights that
+    live in a table, the same query becomes a broadcast left join — see
+    docpipe.authority for that pattern.)  Changing the mixture = a new
+    literal, not a recomputation of hashes."""
     d = load_table(spark, sf_dir, "documents")
-    weights = spark.createDataFrame(
-        [(s, h) for s, h in MIX_WEIGHTS.items()], "source string, keep_hex string"
+    wmap = F.create_map(
+        *[F.lit(x) for kv in MIX_WEIGHTS.items() for x in kv]
     )
-    kept = (
-        d.join(F.broadcast(weights), "source", "left")
-        .filter(_hash4("doc_id") < F.coalesce("keep_hex", F.lit(MIX_DEFAULT_HEX)))
+    kept = d.filter(
+        _hash4("doc_id")
+        < F.coalesce(wmap[F.col("source")], F.lit(MIX_DEFAULT_HEX))
     )
     return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
 
