@@ -22,6 +22,7 @@ from reindexer_spark.operators import (  # noqa: F401
     analytics,
     dedup,
     docshape,
+    graph,
     mlprep,
     multimodal,
     reindex,

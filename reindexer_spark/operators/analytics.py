@@ -154,6 +154,76 @@ def events_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_ohlc_hourly",
+    oracle="""
+    WITH base AS (
+      SELECT date_trunc('hour', ts) AS hour, value, ts, event_id FROM events
+    ), ranked AS (
+      SELECT hour, value,
+             ROW_NUMBER() OVER (PARTITION BY hour
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY hour
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM base
+    ), oc AS (
+      SELECT hour,
+             MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+             MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+      FROM ranked GROUP BY hour
+    ), hl AS (
+      SELECT hour, MAX(value) AS high, MIN(value) AS low,
+             COUNT(*) AS n_ticks,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS volume
+      FROM base GROUP BY hour
+    )
+    SELECT strftime(oc.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           oc.open, hl.high, hl.low, oc.close, hl.n_ticks, hl.volume
+    FROM oc JOIN hl ON hl.hour = oc.hour
+    """,
+)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series OHLC resampling: per hour, the first/last value (ties
+    broken by event_id → deterministic), extremes, tick count, and
+    decimal-exact volume.
+
+    Open/close come from per-hour row_number windows — the window key is
+    the resample bucket, so state never exceeds one bucket per partition
+    stream; high/low/volume are plain hash aggregates.  Both halves
+    shuffle on the same key and the final join is co-partitioned."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        F.date_trunc("hour", "ts").alias("hour"), "value", "ts", "event_id"
+    )
+    w_asc = Window.partitionBy("hour").orderBy(F.asc("ts"), F.asc("event_id"))
+    w_desc = Window.partitionBy("hour").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = base.select(
+        "hour",
+        "value",
+        F.row_number().over(w_asc).alias("rn_a"),
+        F.row_number().over(w_desc).alias("rn_d"),
+    )
+    oc = ranked.groupBy("hour").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+    )
+    hl = base.groupBy("hour").agg(
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.count("*").alias("n_ticks"),
+        F.sum(dec("value")).cast("double").alias("volume"),
+    )
+    return oc.join(hl, "hour").select(
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_ticks",
+        "volume",
+    )
+
+
+@query(
     "events_dau_wau",
     oracle="""
     WITH dau AS (

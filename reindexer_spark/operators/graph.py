@@ -1,0 +1,132 @@
+"""Iterative graph computation expressed Spark-first: PageRank over the
+nation-level trade graph (customer nation → supplier nation, weighted by
+lineitem count).
+
+The scale design is aggregate-first: the four-table join collapses the
+fact data to a |nations|² edge relation BEFORE any iteration, so the
+iterative phase — the part frameworks usually reach for GraphX/Pregel
+for — runs on a relation of a few hundred rows regardless of corpus
+size.  Iterations are unrolled into the logical plan (a driver-side loop
+building DataFrames, no collect/feedback), which keeps the whole
+computation one Catalyst-optimized job and makes it expressible as a
+chained-CTE oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reindexer_spark.catalog import load_table
+from reindexer_spark.registry import query
+
+DAMPING = 0.85
+N_ITER = 3
+
+_EDGES_SQL = """
+    edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+             COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ), outw AS (
+      SELECT src, SUM(w) AS total_w FROM edges GROUP BY src
+    ), ratio AS (
+      SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.total_w AS r
+      FROM edges e JOIN outw o USING (src)
+    ), nodes AS (
+      SELECT DISTINCT n FROM (
+        SELECT src AS n FROM edges UNION SELECT dst FROM edges
+      )
+    ), nn AS (SELECT COUNT(*) AS n_nodes FROM nodes)
+"""
+
+
+def _pr_iter_sql(i: int) -> str:
+    prev = "pr0" if i == 1 else f"pr{i - 1}"
+    return f"""
+    pr{i} AS (
+      SELECT nd.n,
+             (1 - {DAMPING}) / nn.n_nodes
+               + {DAMPING} * COALESCE(CAST(SUM(
+                   CAST(p.pr * r.r AS DECIMAL(28,15))
+                 ) AS DOUBLE), 0.0) AS pr
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN ratio r ON r.dst = nd.n
+      LEFT JOIN {prev} p ON p.n = r.src
+      GROUP BY nd.n, nn.n_nodes
+    )"""
+
+
+@query(
+    "graph_nation_pagerank",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    pr0 AS (
+      SELECT n, 1.0 / (SELECT n_nodes FROM nn) AS pr FROM nodes
+    ),
+    {",".join(_pr_iter_sql(i) for i in range(1, N_ITER + 1))}
+    SELECT na.n_name, ROUND(p.pr, 9) AS pagerank
+    FROM pr{N_ITER} p JOIN nation na ON na.n_nationkey = p.n
+    """,
+)
+def graph_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{N_ITER}-iteration weighted PageRank over the nation trade graph.
+
+    Heavy phase: one aggregation of lineitem⋈orders⋈customer⋈supplier
+    down to the edge matrix (dimension joins broadcast; the fact table
+    shuffles once on the grouping key).  Iterative phase: plan-unrolled
+    relational PageRank on the tiny edge set.  Per-target contributions
+    are summed as DECIMAL so the result is independent of partitioning
+    and join order — terms are identical doubles on both engines, and
+    the decimal sum removes the float-reduction-order sensitivity.
+    """
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy(
+            c.c_nationkey.alias("src"), s.s_nationkey.alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("total_w"))
+    ratio = edges.join(outw, "src").select(
+        "src", "dst", (F.col("w").cast("double") / F.col("total_w")).alias("r")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("n"))
+        .union(edges.select(F.col("dst").alias("n")))
+        .distinct()
+        .persist()  # reused every iteration; a few dozen rows
+    )
+    n_nodes = nodes.count()  # tiny, intentional (the one driver-side scalar)
+
+    pr = nodes.select("n", F.lit(1.0 / n_nodes).alias("pr"))
+    for _ in range(N_ITER):
+        contrib = ratio.join(pr, ratio.src == pr.n).select(
+            F.col("dst").alias("n"),
+            (F.col("pr") * F.col("r")).cast("decimal(28,15)").alias("term"),
+        )
+        summed = contrib.groupBy("n").agg(
+            F.sum("term").cast("double").alias("s")
+        )
+        pr = nodes.join(summed, "n", "left").select(
+            "n",
+            (
+                F.lit((1 - DAMPING) / n_nodes)
+                + F.lit(DAMPING) * F.coalesce("s", F.lit(0.0))
+            ).alias("pr"),
+        )
+    return pr.join(F.broadcast(n), pr.n == n.n_nationkey).select(
+        "n_name", F.round("pr", 9).alias("pagerank")
+    )
