@@ -46,6 +46,8 @@ HEADLINE = [
     "text_repetition",
     "text_contamination",
     "embed_centroid_assign",
+    "corpus_curation_funnel",
+    "graph_nation_pagerank",
     # Keep the Structured Streaming query LAST: a finished streaming query
     # leaves the JVM intermittently stalling batch jobs for a short while
     # (observed multi-second pauses in the next few actions; state-store

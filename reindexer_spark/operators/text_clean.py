@@ -237,3 +237,159 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         contamination.alias("contamination"),
         (contamination >= 0.8).alias("is_contaminated"),
     )
+
+
+_FUNNEL_SQL = f"""
+    WITH uni AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ) GROUP BY 1, 2
+    ), ustat AS (
+      SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS uf FROM uni GROUP BY 1
+    ), bi AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i+1])) AS bg
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      ) GROUP BY 1, 2
+    ), bstat AS (
+      SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS bf FROM bi GROUP BY 1
+    ), shingles AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(w) - {{km2}}),
+                                   i -> array_to_string(w[i:i+{{km1}}], ' '))) AS sh
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+    ), bench AS (
+      SELECT DISTINCT sh FROM shingles WHERE source = '{BENCH_SOURCE}'
+    ), cand AS (
+      SELECT DISTINCT doc_id, sh FROM shingles WHERE source <> '{BENCH_SOURCE}'
+    ), cont AS (
+      SELECT c.doc_id,
+             (CAST(COUNT(b.sh) AS DOUBLE) / COUNT(*)) >= 0.8 AS is_contaminated
+      FROM cand c LEFT JOIN bench b USING (sh)
+      GROUP BY c.doc_id
+    ), flags AS (
+      SELECT d.doc_id, d.text, d.source,
+             (d.source <> '{BENCH_SOURCE}') AS nonbench,
+             (LENGTH(d.text) BETWEEN 100 AND 20000
+              AND CAST({{stop_hits}} AS DOUBLE)
+                  / len(string_split(d.text, ' ')) >= 0.05) AS q,
+             COALESCE(u.uf > 0.2, FALSE) OR COALESCE(b.bf > 0.18, FALSE) AS rep_flag,
+             COALESCE(c.is_contaminated, FALSE) AS cont_flag,
+             substr(md5(d.doc_id::VARCHAR), 1, 4) AS h4
+      FROM documents d
+      LEFT JOIN ustat u USING (doc_id)
+      LEFT JOIN bstat b USING (doc_id)
+      LEFT JOIN cont c USING (doc_id)
+    ), staged AS (
+      SELECT *,
+             nonbench AND q AS s2,
+             nonbench AND q AND NOT rep_flag AS s3,
+             nonbench AND q AND NOT rep_flag AND NOT cont_flag AS s4
+      FROM flags
+    ), deduped AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY text, s4 ORDER BY doc_id) AS rn
+      FROM staged
+    ), final AS (
+      SELECT *,
+             (s4 AND rn = 1) AS s5,
+             (s4 AND rn = 1 AND h4 < CASE source
+                WHEN 'src1' THEN '8000' WHEN 'src2' THEN '4000'
+                ELSE '199a' END) AS s6
+      FROM deduped
+    )
+    SELECT 'a_input' AS stage, COUNT(*) AS n_docs FROM final
+    UNION ALL SELECT 'b_non_benchmark', COUNT(*) FILTER (WHERE nonbench) FROM final
+    UNION ALL SELECT 'c_quality', COUNT(*) FILTER (WHERE s2) FROM final
+    UNION ALL SELECT 'd_not_repetitive', COUNT(*) FILTER (WHERE s3) FROM final
+    UNION ALL SELECT 'e_decontaminated', COUNT(*) FILTER (WHERE s4) FROM final
+    UNION ALL SELECT 'f_deduped', COUNT(*) FILTER (WHERE s5) FROM final
+    UNION ALL SELECT 'g_mixed', COUNT(*) FILTER (WHERE s6) FROM final
+"""
+
+
+@query(
+    "corpus_curation_funnel",
+    oracle=_FUNNEL_SQL.format(
+        km2=SHINGLE_K - 2,
+        km1=SHINGLE_K - 1,
+        stop_hits="len(list_filter(string_split(d.text, ' '), "
+        "t -> t IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'on', 'for')))",
+    ),
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus curation pipeline as ONE query: benchmark
+    holdout → quality gate → repetition filter → decontamination → exact
+    dedup → source mixing, reported as a survivor funnel.
+
+    Composition reuses the individual operators (text_quality,
+    text_repetition, text_contamination — each independently
+    oracle-checked), joins their verdicts as boolean flags, and counts
+    every stage in ONE conditional aggregation over one pass of the
+    corpus — no stage is rescanned, which is the difference between a
+    7-job pipeline and a 1-job pipeline at 100 TB.  Dedup-rank windows
+    by (text, survivor-flag) so the kept representative is the smallest
+    surviving doc_id, computed without a separate filtered pass."""
+    from reindexer_spark.operators.sampling import MIX_DEFAULT_HEX, MIX_WEIGHTS
+    from reindexer_spark.operators.text import text_quality
+
+    d = load_table(spark, sf_dir, "documents")
+    quality = text_quality(spark, sf_dir).select("doc_id", "is_quality")
+    rep = text_repetition(spark, sf_dir).select("doc_id", "is_repetitive")
+    cont = text_contamination(spark, sf_dir).select("doc_id", "is_contaminated")
+
+    mix_hex = (
+        F.when(F.col("source") == "src1", MIX_WEIGHTS["src1"])
+        .when(F.col("source") == "src2", MIX_WEIGHTS["src2"])
+        .otherwise(MIX_DEFAULT_HEX)
+    )
+    flags = (
+        d.join(quality, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text",
+            "source",
+            (F.col("source") != BENCH_SOURCE).alias("nonbench"),
+            F.coalesce("is_quality", F.lit(False)).alias("q"),
+            F.coalesce("is_repetitive", F.lit(False)).alias("rep_flag"),
+            F.coalesce("is_contaminated", F.lit(False)).alias("cont_flag"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4).alias("h4"),
+        )
+    )
+    staged = flags.select(
+        "*",
+        (F.col("nonbench") & F.col("q")).alias("s2"),
+        (F.col("nonbench") & F.col("q") & ~F.col("rep_flag")).alias("s3"),
+        (
+            F.col("nonbench") & F.col("q") & ~F.col("rep_flag") & ~F.col("cont_flag")
+        ).alias("s4"),
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("text", "s4").orderBy("doc_id")
+    )
+    final = staged.withColumn("rn", rn).select(
+        "*",
+        (F.col("s4") & (F.col("rn") == 1)).alias("s5"),
+        (F.col("s4") & (F.col("rn") == 1) & (F.col("h4") < mix_hex)).alias("s6"),
+    )
+    agg = final.agg(
+        F.count("*").alias("n0"),
+        F.count_if(F.col("nonbench")).alias("n1"),
+        F.count_if(F.col("s2")).alias("n2"),
+        F.count_if(F.col("s3")).alias("n3"),
+        F.count_if(F.col("s4")).alias("n4"),
+        F.count_if(F.col("s5")).alias("n5"),
+        F.count_if(F.col("s6")).alias("n6"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(7, 'a_input', n0, 'b_non_benchmark', n1, 'c_quality', n2, "
+            "'d_not_repetitive', n3, 'e_decontaminated', n4, 'f_deduped', n5, "
+            "'g_mixed', n6) AS (stage, n_docs)"
+        )
+    )
