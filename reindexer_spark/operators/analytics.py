@@ -262,3 +262,88 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "docs_topk_words",
+    oracle="""
+    WITH words AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+    ), counts AS (
+      SELECT lang, word, COUNT(*) AS c FROM words GROUP BY 1, 2
+    ), ranked AS (
+      SELECT lang, word, c,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, word) AS rnk
+      FROM counts
+    )
+    SELECT lang, word, c, rnk FROM ranked WHERE rnk <= 10
+    """,
+)
+def docs_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary extraction: top-10 words per language by frequency
+    (ties broken alphabetically).
+
+    The explode is the wide stage but aggregates immediately with
+    map-side partials on (lang, word); the rank window runs on the
+    aggregated counts — |vocabulary| rows, not |corpus| — so the top-k
+    never sorts raw data."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("word"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("lang", "word", "c", "rnk")
+    )
+
+
+@query(
+    "orders_basket_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    )
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           COUNT(*) AS support
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 5
+    """,
+)
+def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: brand co-occurrence support within an
+    order (the pairwise-frequent-itemset step of association mining).
+
+    The self-join is keyed on l_orderkey, so the pair blowup is bounded
+    by (lines per order)² — a constant ~7² here, not data-sized; the
+    `<` predicate halves it and canonicalizes pair order.  Brand
+    cardinality is small, so the support aggregate is tiny; the part
+    dimension broadcasts into the fact scan."""
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    p = load_table(spark, sf_dir, "part")
+    items = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 5)
+    )
