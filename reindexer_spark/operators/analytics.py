@@ -347,3 +347,110 @@ def orders_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 5)
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE) AS sq
+      FROM events GROUP BY event_type
+    ), scored AS (
+      SELECT e.event_id, e.event_type, e.value,
+             ROUND((e.value - t.s / t.n)
+                   / sqrt((t.sq - t.s * t.s / t.n) / (t.n - 1)), 6) AS z
+      FROM events e JOIN stats t USING (event_type)
+    )
+    SELECT event_id, event_type, value, z
+    FROM scored WHERE abs(z) >= 2.5
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection per event type.
+
+    The per-type variance is computed from decimal-exact sum and
+    sum-of-squares (a plain stddev over doubles depends on the reduction
+    order, so it could flip rows at the |z| boundary between engines or
+    between runs with different partitioning) — the two-accumulator
+    formula is also what makes this a single map-side-combinable pass.
+    The stats relation is |event types| rows → broadcast back onto the
+    stream; one scan for stats, one for scoring."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,8)"))
+        .cast("double")
+        .alias("sq"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    z = F.round((F.col("value") - mean) / F.sqrt(var), 6)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) >= 2.5)
+    )
+
+
+@query(
+    "supplier_pareto_share",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS revenue
+      FROM lineitem GROUP BY l_suppkey
+    ), total AS (SELECT SUM(revenue) AS t FROM rev),
+    ranked AS (
+      SELECT l_suppkey, revenue,
+             ROW_NUMBER() OVER (ORDER BY revenue DESC, l_suppkey) AS rnk,
+             SUM(revenue) OVER (ORDER BY revenue DESC, l_suppkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_rev
+      FROM rev
+    )
+    SELECT rnk, l_suppkey,
+           CAST(revenue AS DOUBLE) AS revenue,
+           ROUND(CAST(cum_rev AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS cum_share,
+           CAST(cum_rev AS DOUBLE) / CAST(t.t AS DOUBLE) <= 0.8 AS in_top80
+    FROM ranked CROSS JOIN total t
+    """,
+)
+def supplier_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) analysis: suppliers ranked by revenue with their
+    cumulative revenue share.
+
+    The running sum stays in DECIMAL — exact prefix sums independent of
+    how either engine's window operator associates the additions (a
+    double running sum can differ in the last ulp between a sequential
+    fold and a segment-tree implementation, which would flip the
+    `in_top80` boundary).  The heavy aggregate shuffles on l_suppkey;
+    the global rank window runs on one row per supplier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (1 - F.col("l_discount").cast("decimal(12,2)"))
+        ).alias("revenue")
+    )
+    total = rev.agg(F.sum("revenue").alias("t"))
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_suppkey"))
+    ranked = rev.select(
+        "l_suppkey",
+        "revenue",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_rev"
+        ),
+    )
+    share = F.col("cum_rev").cast("double") / F.col("t").cast("double")
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "rnk",
+        "l_suppkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(share, 6).alias("cum_share"),
+        (share <= 0.8).alias("in_top80"),
+    )
