@@ -98,6 +98,10 @@ def graph_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.c_nationkey.alias("src"), s.s_nationkey.alias("dst")
         )
         .agg(F.count("*").alias("w"))
+        # materialized once: every unrolled iteration re-references this
+        # subtree, and without the persist each one would re-run the
+        # whole fact-table aggregation (|iterations|+2 lineitem scans)
+        .persist()
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("total_w"))
     ratio = edges.join(outw, "src").select(
@@ -107,7 +111,6 @@ def graph_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("src").alias("n"))
         .union(edges.select(F.col("dst").alias("n")))
         .distinct()
-        .persist()  # reused every iteration; a few dozen rows
     )
     n_nodes = nodes.count()  # tiny, intentional (the one driver-side scalar)
 

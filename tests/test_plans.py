@@ -59,3 +59,45 @@ def test_q1_partial_aggregation(spark, sf_dir):
 def test_semi_anti_join_operators(spark, sf_dir):
     assert "LeftSemi" in plan_of(spark, "join_semi", sf_dir)
     assert "LeftAnti" in plan_of(spark, "join_anti", sf_dir)
+
+
+def test_sampling_is_pure_filter_no_shuffle(spark, sf_dir):
+    # hash-deterministic Bernoulli sampling must compile to scan+filter:
+    # no Exchange anywhere (retry-safe, embarrassingly parallel)
+    plan = plan_of(spark, "sample_hash_bernoulli", sf_dir)
+    assert "Exchange" not in plan
+    assert "Filter" in plan
+
+
+def test_weighted_mix_has_no_join(spark, sf_dir):
+    # mixing weights are config → compiled into the plan as a literal
+    # map, so the corpus side must not be joined or broadcast-joined
+    plan = plan_of(spark, "sample_weighted_mix", sf_dir)
+    assert "Join" not in plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    plan = plan_of(spark, "text_contamination", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_broadcasts_dimensions(spark, sf_dir):
+    # the 4-table edge construction must broadcast customer/supplier and
+    # never fall back to a cartesian product; iterations add no scans of
+    # the fact table (lineitem appears exactly once)
+    plan = plan_of(spark, "graph_nation_pagerank", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_basket_pairs_broadcasts_part_dimension(spark, sf_dir):
+    plan = plan_of(spark, "orders_basket_pairs", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anomaly_stats_join_is_broadcast(spark, sf_dir):
+    plan = plan_of(spark, "events_anomaly_zscore", sf_dir)
+    assert "BroadcastHashJoin" in plan
