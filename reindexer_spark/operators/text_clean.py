@@ -393,3 +393,126 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'g_mixed', n6) AS (stage, n_docs)"
         )
     )
+
+
+@query(
+    "text_bigram_lm",
+    oracle="""
+    WITH bi AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                                   i -> [w[i], w[i+1]])) AS pair
+      FROM (SELECT string_split(text, ' ') AS w FROM documents)
+    ), bcnt AS (
+      SELECT pair[1] AS w1, pair[2] AS w2, COUNT(*) AS c_bi
+      FROM bi GROUP BY 1, 2
+    ), ucnt AS (
+      SELECT w1, SUM(c_bi) AS c_uni FROM bcnt GROUP BY w1
+    ), scored AS (
+      SELECT b.w1, b.w2, b.c_bi,
+             ROUND(CAST(b.c_bi AS DOUBLE) / u.c_uni, 6) AS p_next,
+             ROW_NUMBER() OVER (PARTITION BY b.w1
+                                ORDER BY b.c_bi DESC, b.w2) AS rnk
+      FROM bcnt b JOIN ucnt u USING (w1)
+    )
+    SELECT w1, w2, c_bi, p_next, rnk FROM scored WHERE rnk <= 3
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model estimation: P(w2 | w1) with the top-3
+    continuations per word.
+
+    The continuation denominator is the sum of the word's bigram counts
+    (not its raw unigram count), so the distribution sums to 1 by
+    construction.  Everything aggregates to vocabulary-sized relations
+    before the window; the corpus-sized explode feeds a map-side
+    combinable count, which is what keeps an n-gram LM build tractable
+    over a 100 TB corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    wcol = F.col("w")
+    bi = d.select(w.alias("w")).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(wcol) - 1),
+                lambda i: F.array(F.element_at(wcol, i), F.element_at(wcol, i + 1)),
+            )
+        ).alias("pair")
+    )
+    bcnt = (
+        bi.select(
+            F.col("pair")[0].alias("w1"), F.col("pair")[1].alias("w2")
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_bi"))
+    )
+    ucnt = bcnt.groupBy("w1").agg(F.sum("c_bi").alias("c_uni"))
+    from pyspark.sql.window import Window
+
+    rnk = F.row_number().over(
+        Window.partitionBy("w1").orderBy(F.desc("c_bi"), F.asc("w2"))
+    )
+    return (
+        bcnt.join(ucnt, "w1")
+        .select(
+            "w1",
+            "w2",
+            "c_bi",
+            F.round(F.col("c_bi").cast("double") / F.col("c_uni"), 6).alias(
+                "p_next"
+            ),
+            rnk.alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), trans AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS c
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT prev_type, SUM(c) AS total FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, t.c,
+           ROUND(CAST(t.c AS DOUBLE) / x.total, 6) AS p_transition
+    FROM trans t JOIN totals x USING (prev_type)
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (lag window keyed by user, ordered by time with event_id
+    tie-break).
+
+    The lag window shuffles once on user_id — sequences stay local to
+    their partition — and everything after is |event types|² rows.  This
+    is the sequence-statistics shape (session flows, clickstream models)
+    that needs no UDF and no driver-side state."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    seq = e.select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("c")
+    )
+    totals = trans.groupBy("prev_type").agg(F.sum("c").alias("total"))
+    return trans.join(totals, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "c",
+        F.round(F.col("c").cast("double") / F.col("total"), 6).alias(
+            "p_transition"
+        ),
+    )
