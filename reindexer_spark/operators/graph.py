@@ -100,7 +100,11 @@ def graph_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("w"))
         # materialized once: every unrolled iteration re-references this
         # subtree, and without the persist each one would re-run the
-        # whole fact-table aggregation (|iterations|+2 lineitem scans)
+        # whole fact-table aggregation (|iterations|+2 lineitem scans).
+        # Coalesced to one partition first — the edge matrix is
+        # |nations|² rows, and iterating over 32 near-empty partitions
+        # costs more in task launches than the data itself.
+        .coalesce(1)
         .persist()
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("total_w"))

@@ -1,0 +1,67 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(Tier C14 × C13): per-key quota alerting — emit an alert each time a
+user's cumulative value crosses another multiple of the threshold.
+
+This is the operator class the built-in windows genuinely cannot
+express (the emission condition depends on an unbounded running total,
+not on event-time buckets): custom per-key state, arbitrary Python
+transition logic, Arrow-batched.  State is one float per key, so
+executor state-store memory is O(|keys|) regardless of event volume;
+keys are hash-partitioned, so the operator scales exactly like a
+streaming aggregation.
+
+The reference has no streaming at all (BASELINE.json: "real-time
+indexing does not [map]"); this is north-star surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+ALERT_SCHEMA = (
+    "user_id bigint, event_id bigint, total double, crossed double"
+)
+STATE_SCHEMA = "total double"
+
+
+def quota_alerts(events: DataFrame, threshold: float = 100.0) -> DataFrame:
+    """Per-user cumulative-value threshold alerts over a (possibly
+    streaming) events DataFrame with columns
+    (event_id, ts, user_id, value, ...).
+
+    Within a micro-batch, events are applied in (ts, event_id) order —
+    deterministic given deterministic batch boundaries (the tests pin
+    them with one file per trigger).
+    """
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (total,) = state.get if state.exists else (0.0,)
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, val in zip(pdf["event_id"], pdf["value"]):
+                before = int(total // threshold)
+                total += float(val)
+                after = int(total // threshold)
+                if after > before:
+                    out.append((key[0], int(eid), total, after * threshold))
+        state.update((total,))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "total", "crossed"]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=ALERT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -135,3 +135,47 @@ def test_stream_events_source_matches_batch_count(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/events.parquet")
     )
     assert out.agg(F.sum("count")).collect()[0][0] == batch.count()
+
+
+def test_stateful_quota_alerts_across_batches(spark, tmp_path):
+    """applyInPandasWithState: running totals must carry across
+    micro-batches; alerts fire exactly when a threshold multiple is
+    crossed, including mid-batch and multi-multiple jumps."""
+    from reindexer_spark.streaming.stateful import quota_alerts
+
+    batches = [
+        # user 1 reaches 70; user 2 reaches 90 — no alerts yet
+        [(1, 0, 1, "click", 70.0), (2, 1, 2, "view", 90.0)],
+        # user 1: 70+40=110 → crosses 100; user 2: 90+5=95 → nothing
+        [(3, 10, 1, "click", 40.0), (4, 11, 2, "view", 5.0)],
+        # user 2: 95+210=305 → jumps two multiples (emit one alert at 300);
+        # user 1: 110+95=205 → crosses 200
+        [(5, 20, 2, "buy", 210.0), (6, 21, 1, "click", 95.0)],
+    ]
+    root = _mk_files(spark, tmp_path, batches)
+    alerts = run_stream_to_memory(
+        quota_alerts(_read_stream(spark, root), threshold=100.0),
+        output_mode="append",
+    )
+    got = {
+        (r.user_id, r.event_id): (r.total, r.crossed)
+        for r in alerts.collect()
+    }
+    assert got == {
+        (1, 3): (110.0, 100.0),
+        (1, 6): (205.0, 200.0),
+        (2, 5): (305.0, 300.0),
+    }
+
+
+def test_stateful_quota_alerts_no_state_no_alert(spark, tmp_path):
+    """Keys that never cross the threshold emit nothing."""
+    from reindexer_spark.streaming.stateful import quota_alerts
+
+    batches = [[(1, 0, 7, "click", 10.0)], [(2, 5, 7, "view", 20.0)]]
+    root = _mk_files(spark, tmp_path, batches)
+    alerts = run_stream_to_memory(
+        quota_alerts(_read_stream(spark, root), threshold=100.0),
+        output_mode="append",
+    )
+    assert alerts.count() == 0
