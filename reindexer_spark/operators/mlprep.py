@@ -178,3 +178,61 @@ def fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 1)
         .select("c_name", "s_name", dist.alias("dist"))
     )
+
+
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), stats AS (
+      SELECT idx, CAST(MIN(v) AS DOUBLE) AS mn, CAST(MAX(v) AS DOUBLE) AS mx
+      FROM flat GROUP BY idx
+    ), coded AS (
+      SELECT f.vec_id, f.idx,
+             CASE WHEN s.mx = s.mn THEN 0
+                  ELSE CAST(ROUND((f.v - s.mn) / (s.mx - s.mn) * 254 - 127, 0)
+                            AS INT) END AS code
+      FROM flat f JOIN stats s USING (idx)
+    )
+    SELECT vec_id, array_agg(code ORDER BY idx) AS codes,
+           MIN(code) AS code_min, MAX(code) AS code_max
+    FROM coded GROUP BY vec_id
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min/max int8 scalar quantization of the embedding
+    column — the 4× compression step that makes a 100 TB vector corpus
+    fit an ANN serving tier.
+
+    The per-dimension range statistics aggregate with map-side partials
+    (min/max are order-independent, so no decimal detour is needed) to
+    a |dims|-row relation that broadcasts back onto the flattened
+    vectors; codes reassemble in dimension order.  All arithmetic is
+    float→double widening (exact) followed by one ROUND."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id", F.posexplode("embedding").alias("idx", "vf")
+    ).select("vec_id", "idx", F.col("vf").cast("double").alias("v"))
+    stats = flat.groupBy("idx").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    code = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.round(
+            (F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 254 - 127,
+            0,
+        ).cast("int")
+    )
+    coded = flat.join(F.broadcast(stats), "idx").select(
+        "vec_id", "idx", code.alias("code")
+    )
+    return coded.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "code"))),
+            lambda s: s["code"],
+        ).alias("codes"),
+        F.min("code").alias("code_min"),
+        F.max("code").alias("code_max"),
+    )
