@@ -1,0 +1,112 @@
+"""Accuracy bounds for the approximate operators against their exact,
+oracle-checked counterparts (the README's contract: every rows-only
+query is sanity-bounded by an exact one).
+
+These are tolerance tests, not equality tests — the point is that the
+sketch/LSH parameters chosen in the operators actually deliver the
+accuracy they claim at testdata scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reindexer_spark.registry import get_query
+
+
+def test_hll_distinct_counts_within_rsd(spark, sf_dir):
+    """approx_count_distinct vs exact distinct count, per group."""
+    from reindexer_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: (r.orders, r.parts)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.countDistinct("l_partkey").alias("parts"),
+        )
+        .collect()
+    }
+    approx = {
+        r.l_returnflag: (r.approx_orders, r.approx_parts)
+        for r in get_query("agg_approx_sketches").fn(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, (e_orders, e_parts) in exact.items():
+        a_orders, a_parts = approx[flag]
+        # default rsd 5% for orders; rsd=0.01 for parts — allow 4 sigma
+        assert abs(a_orders - e_orders) <= max(4 * 0.05 * e_orders, 1)
+        assert abs(a_parts - e_parts) <= max(4 * 0.01 * e_parts, 1)
+
+
+def test_approx_median_within_neighborhood(spark, sf_dir):
+    """percentile_approx(accuracy=10000) must land within the exact
+    p45..p55 band of each group's price distribution."""
+    from reindexer_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    band = {
+        r.l_returnflag: (r.lo, r.hi)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", 0.45).alias("lo"),
+            F.percentile("l_extendedprice", 0.55).alias("hi"),
+        )
+        .collect()
+    }
+    approx = {
+        r.l_returnflag: r.approx_median_price
+        for r in get_query("agg_approx_sketches").fn(spark, sf_dir).collect()
+    }
+    for flag, (lo, hi) in band.items():
+        assert lo <= approx[flag] <= hi, flag
+
+
+def test_minhash_recall_of_high_jaccard_pairs(spark, sf_dir):
+    """LSH banding must recover (nearly) all truly-similar pairs: with
+    8 bands × 4 rows, a pair at jaccard 0.9 collides in some band with
+    p = 1-(1-0.9^4)^8 ≈ 0.9996 — so requiring ≥90% recall of the exact
+    jaccard ≥ 0.9 pairs is loose but meaningful."""
+    exact = {
+        (r.d1, r.d2)
+        for r in get_query("dedup_ngram_jaccard").fn(spark, sf_dir).collect()
+        if r.jaccard >= 0.9
+    }
+    if not exact:
+        import pytest
+
+        pytest.skip("no high-similarity pairs at this scale factor")
+    cand = {
+        (r.d1, r.d2)
+        for r in get_query("dedup_minhash").fn(spark, sf_dir).collect()
+    }
+    recall = len(exact & cand) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall:.3f} over {len(exact)} pairs"
+
+
+def test_ivf_lsh_knn_consistent_with_bruteforce(spark, sf_dir):
+    """Bucketed ANN consistency bounds.  (A recall-vs-bruteforce bar
+    would be dishonest here: the testdata embeddings are random noise,
+    so true-neighbor cosines sit around 0.3 where single-band
+    8-hyperplane LSH collides with probability (1-θ/π)^8 ≈ 2% — LSH
+    recall claims only apply to genuinely similar vectors, which this
+    corpus does not contain.  What LSH DOES guarantee regardless of data:
+    it searches a subset of the brute-force space.)"""
+    exact_rows = get_query("knn_bruteforce").fn(spark, sf_dir).collect()
+    approx_rows = get_query("knn_ivf_lsh").fn(spark, sf_dir).collect()
+    assert exact_rows, "bruteforce returned nothing"
+    best = {}
+    exact_cos = {}
+    for r in exact_rows:
+        exact_cos[(r.query_id, r.neighbor_id)] = r.cosine
+        if r.rnk == 1:
+            best[r.query_id] = r.cosine
+    for r in approx_rows:
+        # approx queries come from the same fixed query set
+        assert r.query_id in best
+        # a bucket-restricted search can never beat the brute-force best
+        assert r.cosine <= best[r.query_id] + 1e-9
+        # where both report the same pair, the exact re-rank cosine agrees
+        if (r.query_id, r.neighbor_id) in exact_cos:
+            assert abs(r.cosine - exact_cos[(r.query_id, r.neighbor_id)]) < 1e-9
