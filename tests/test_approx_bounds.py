@@ -110,3 +110,25 @@ def test_ivf_lsh_knn_consistent_with_bruteforce(spark, sf_dir):
         # where both report the same pair, the exact re-rank cosine agrees
         if (r.query_id, r.neighbor_id) in exact_cos:
             assert abs(r.cosine - exact_cos[(r.query_id, r.neighbor_id)]) < 1e-9
+
+
+def test_multiband_lsh_beats_single_band_recall(spark, sf_dir):
+    """Banding is the recall lever: union-of-4-bands candidates must
+    recover far more of the true top-k than the single wide band
+    (measured ~0.4-0.5 vs ~0.02 on this data; bounds set loosely)."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in get_query("knn_bruteforce").fn(spark, sf_dir).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in get_query("knn_multiband_lsh").fn(spark, sf_dir).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in get_query("knn_ivf_lsh").fn(spark, sf_dir).collect()
+    }
+    r_multi = len(exact & multi) / len(exact)
+    r_single = len(exact & single) / len(exact)
+    assert r_multi >= 0.2, f"multiband recall {r_multi:.3f}"
+    assert r_multi > r_single, (r_multi, r_single)
