@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_minhash",
     "knn_bruteforce",
     "knn_ivf_lsh",
+    "knn_multiband_lsh",
     "text_quality",
     "text_fingerprint",
     "window_session",
