@@ -516,3 +516,52 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_transition"
         ),
     )
+
+
+@query(
+    "docs_zipf_slope",
+    oracle="""
+    WITH counts AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ) GROUP BY w
+    ), ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rnk FROM counts
+    )
+    SELECT ROUND(regr_slope(LN(c), LN(rnk)), 4) AS zipf_slope,
+           ROUND(regr_r2(LN(c), LN(rnk)), 4) AS fit_r2,
+           COUNT(*) AS vocab_size
+    FROM ranked
+    """,
+)
+def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus: OLS slope of log-frequency vs
+    log-rank (a healthy natural-language corpus sits near -1; a heavily
+    duplicated or template-generated one does not — this is a cheap
+    corpus-health metric for a training pipeline).
+
+    The regression runs over the vocabulary relation (already
+    aggregated), so the linear-regression aggregate — regr_slope /
+    regr_r2, both single-pass and map-side combinable — touches |vocab|
+    rows regardless of corpus size.  Results round to 4 decimals: the
+    regression moments are double sums whose reduction-order drift is
+    ~1e-13 relative, far inside the rounding."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql.window import Window
+
+    ranked = counts.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("w")))
+        .alias("rnk"),
+    )
+    return ranked.agg(
+        F.round(F.regr_slope(F.log("c"), F.log("rnk")), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("c"), F.log("rnk")), 4).alias("fit_r2"),
+        F.count("*").alias("vocab_size"),
+    )
