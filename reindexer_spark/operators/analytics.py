@@ -454,3 +454,42 @@ def supplier_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("cum_share"),
         (share <= 0.8).alias("in_top80"),
     )
+
+
+@query(
+    "events_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS d FROM events
+    ), isl AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INT) AS grp
+      FROM days
+    ), streaks AS (
+      SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id, MAX(len) AS longest_streak, COUNT(*) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user longest run of consecutive active days
+    and total number of streaks (the date-minus-row_number island trick,
+    all integer/date arithmetic → exactly portable).
+
+    One distinct-days aggregate, one window partitioned by user, two
+    more aggregates — every stage keyed on user_id, so the whole plan
+    rides a single hash partitioning; no self-joins, no explode."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    isl = days.select(
+        "user_id", "d", F.date_sub(F.col("d"), rn).alias("grp")
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"), F.count("*").alias("n_streaks")
+    )
