@@ -493,3 +493,70 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaks.groupBy("user_id").agg(
         F.max("len").alias("longest_streak"), F.count("*").alias("n_streaks")
     )
+
+
+@query(
+    "dq_audit_orders",
+    oracle="""
+    WITH base AS (
+      SELECT COUNT(*) AS total,
+             COUNT(*) FILTER (WHERE o_custkey IS NULL) AS null_custkey,
+             COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_orderkey,
+             COUNT(*) FILTER (WHERE o_totalprice <= 0) AS nonpositive_price,
+             COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+               AS future_date
+      FROM orders
+    ), orphans AS (
+      SELECT COUNT(*) AS orphan_orders
+      FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_custkey IS NULL
+    )
+    SELECT chk, violations, total FROM (
+      SELECT 'null_custkey' AS chk, null_custkey AS violations, total FROM base
+      UNION ALL SELECT 'dup_orderkey', dup_orderkey, total FROM base
+      UNION ALL SELECT 'nonpositive_price', nonpositive_price, total FROM base
+      UNION ALL SELECT 'future_date', future_date, total FROM base
+      UNION ALL SELECT 'orphan_orders', o.orphan_orders, b.total
+                 FROM orphans o CROSS JOIN base b
+    )
+    """,
+)
+def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit of the orders table (the Deequ-style
+    constraint report an ingest pipeline runs before publishing a
+    partition): null keys, duplicate primary keys, domain violations,
+    and referential orphans against customer.
+
+    Every row-level check folds into ONE conditional-aggregation scan;
+    only the referential check needs a second plan leg (anti-join
+    semantics via left join + null filter, customer side broadcast).
+    Output is a fixed five-row report regardless of data size."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.agg(
+        F.count("*").alias("total"),
+        F.count_if(F.col("o_custkey").isNull()).alias("null_custkey"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_orderkey"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("nonpositive_price"),
+        F.count_if(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .alias("future_date"),
+    )
+    orphans = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("orphan_orders"))
+    )
+    report = base.select(
+        F.expr(
+            "stack(4, 'null_custkey', null_custkey, 'dup_orderkey', dup_orderkey, "
+            "'nonpositive_price', nonpositive_price, 'future_date', future_date) "
+            "AS (chk, violations)"
+        ),
+        "total",
+    ).unionByName(
+        orphans.crossJoin(base.select("total")).select(
+            F.lit("orphan_orders").alias("chk"),
+            F.col("orphan_orders").alias("violations"),
+            "total",
+        )
+    )
+    return report
