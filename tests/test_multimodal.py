@@ -57,3 +57,63 @@ def test_repartition_by_bytes(spark, media):
 def test_library_codec_is_explicit_stub():
     with pytest.raises(NotImplementedError, match="Pillow"):
         LibraryCodec().decode(b"payload")
+
+
+def test_resize_thumbnails_bounded_and_deterministic(spark, media):
+    from reindexer_spark.multimodal import FakeResizer, resize_thumbnails
+
+    out = {
+        r.media_id: r
+        for r in resize_thumbnails(media, max_dim=8).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # null payload passes through as null thumbnail
+    assert out[4].thumbnail is None and out[4].thumb_w is None
+    for mid in (1, 2, 3):
+        r = out[mid]
+        assert 1 <= r.thumb_w <= 8 and 1 <= r.thumb_h <= 8
+        assert len(r.thumbnail) == r.thumb_w * r.thumb_h
+    # byte-stable across runs
+    again = {
+        r.media_id: bytes(r.thumbnail) if r.thumbnail is not None else None
+        for r in resize_thumbnails(media, max_dim=8).collect()
+    }
+    assert again == {
+        k: bytes(v.thumbnail) if v.thumbnail is not None else None
+        for k, v in out.items()
+    }
+
+
+def test_frame_sampling_fanout_and_cap(spark, media):
+    from reindexer_spark.multimodal import FakeFrameSampler, sample_video_frames
+
+    out = sample_video_frames(media, every_ms=5000, max_frames=4).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append(r)
+    # null payload emits no frames
+    assert 4 not in by_media
+    sampler = FakeFrameSampler()
+    payloads = {
+        r.media_id: bytes(r.payload)
+        for r in media.collect()
+        if r.payload is not None
+    }
+    for mid, frames in by_media.items():
+        frames.sort(key=lambda r: r.frame_idx)
+        expected_n = min(4, (sampler.duration_ms(payloads[mid]) + 4999) // 5000)
+        assert len(frames) == expected_n
+        assert [f.frame_ts_ms for f in frames] == [
+            5000 * i for i in range(len(frames))
+        ]
+        # frames are the deterministic digest slices
+        assert bytes(frames[0].frame) == sampler.frame_at(payloads[mid], 0)
+
+
+def test_library_resizer_and_sampler_are_explicit_stubs():
+    from reindexer_spark.multimodal import LibraryFrameSampler, LibraryResizer
+
+    with pytest.raises(NotImplementedError):
+        LibraryResizer().resize(b"x", 8)
+    with pytest.raises(NotImplementedError):
+        LibraryFrameSampler().duration_ms(b"x")
