@@ -151,3 +151,23 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.create_map(F.lit("lang"), F.col("lang")).alias("meta"),
     )
     return extract_media_features(media)
+
+
+@query("multimodal_frame_sample")  # Python sampler output → rows-only check
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video frame-sampling leg as a contract query: documents'
+    bytes stand in for video payloads, the deterministic
+    FakeFrameSampler derives a duration and digest-stamped frames, and
+    each input row fans out to a bounded, data-dependent number of
+    frame rows via mapInPandas — the one shape a fixed-arity UDF cannot
+    express.  Deterministic but Python-side → rows-only check."""
+    from reindexer_spark.multimodal import sample_video_frames
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text-as-video").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("meta"),
+    )
+    return sample_video_frames(media, every_ms=5000, max_frames=4)
