@@ -560,3 +560,95 @@ def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return report
+
+
+@query(
+    "orders_yoy_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS yr,
+             EXTRACT(month FROM o_orderdate)::BIGINT AS mo,
+             SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT cur.yr, cur.mo,
+           CAST(cur.rev AS DOUBLE) AS revenue,
+           CAST(prev.rev AS DOUBLE) AS revenue_prev_year,
+           ROUND(CAST(cur.rev AS DOUBLE) / CAST(prev.rev AS DOUBLE) - 1, 6)
+             AS yoy_growth
+    FROM monthly cur
+    LEFT JOIN monthly prev ON prev.yr = cur.yr - 1 AND prev.mo = cur.mo
+    """,
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth via a self-join on the
+    (year-1, month) key — robust to gap months, unlike LAG(12), and the
+    join runs on the tiny monthly aggregate, not the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev"))
+    cur = monthly.alias("cur")
+    prev = monthly.alias("prev")
+    return cur.join(
+        prev,
+        (F.col("prev.yr") == F.col("cur.yr") - 1)
+        & (F.col("prev.mo") == F.col("cur.mo")),
+        "left",
+    ).select(
+        F.col("cur.yr").alias("yr"),
+        F.col("cur.mo").alias("mo"),
+        F.col("cur.rev").cast("double").alias("revenue"),
+        F.col("prev.rev").cast("double").alias("revenue_prev_year"),
+        F.round(
+            F.col("cur.rev").cast("double") / F.col("prev.rev").cast("double")
+            - 1,
+            6,
+        ).alias("yoy_growth"),
+    )
+
+
+@query(
+    "nation_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_regionkey AS rk, n.n_name,
+             SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT r.r_name, rev.n_name,
+           CAST(rev.rev AS DOUBLE) AS revenue,
+           ROUND(CAST(rev.rev AS DOUBLE)
+                 / CAST(SUM(rev.rev) OVER (PARTITION BY rev.rk) AS DOUBLE),
+                 6) AS region_share
+    FROM rev JOIN region r ON r.r_regionkey = rev.rk
+    """,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent: each nation's share of its region's revenue via
+    a partitioned window sum over the aggregated (tiny) relation —
+    decimal totals make the shares exactly reproducible.  The fact scan
+    aggregates before any window; dimensions broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_regionkey").alias("rk"), "n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev"))
+    )
+    share = F.col("rev").cast("double") / F.sum("rev").over(
+        Window.partitionBy("rk")
+    ).cast("double")
+    return rev.join(F.broadcast(r), rev.rk == r.r_regionkey).select(
+        "r_name",
+        "n_name",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(share, 6).alias("region_share"),
+    )
