@@ -565,3 +565,92 @@ def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(F.log("c"), F.log("rnk")), 4).alias("fit_r2"),
         F.count("*").alias("vocab_size"),
     )
+
+
+@query(
+    "docs_langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'und', 'ist', 'nicht'))) AS hits_de,
+             len(list_filter(string_split(text, ' '), t -> t IN ('the', 'and', 'of', 'to', 'is'))) AS hits_en,
+             len(list_filter(string_split(text, ' '), t -> t IN ('el', 'la', 'de', 'que', 'es'))) AS hits_es,
+             len(list_filter(string_split(text, ' '), t -> t IN ('le', 'la', 'et', 'les', 'des'))) AS hits_fr,
+             len(list_filter(string_split(text, ' '), t -> t IN ('de', 'shi', 'le', 'bu', 'wo'))) AS hits_zh
+      FROM documents
+    ), pred AS (
+      SELECT lang,
+             CASE GREATEST(hits_de, hits_en, hits_es, hits_fr, hits_zh)
+               WHEN hits_de THEN 'de' WHEN hits_en THEN 'en'
+               WHEN hits_es THEN 'es' WHEN hits_fr THEN 'fr'
+               ELSE 'zh' END AS pred_lang
+      FROM scored
+    )
+    SELECT lang, pred_lang, COUNT(*) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS row_frac
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language-ID against the labeled
+    lang column, with per-true-language row fractions — the evaluation
+    query every classifier in the pipeline needs, built by reusing
+    text_langid's scoring and aggregating to a |langs|² relation (the
+    window share runs on that tiny aggregate)."""
+    from reindexer_spark.operators.text import text_langid
+
+    pred = text_langid(spark, sf_dir).select("lang", "pred_lang")
+    counts = pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    from pyspark.sql.window import Window
+
+    share = F.col("n").cast("double") / F.sum("n").over(
+        Window.partitionBy("lang")
+    )
+    return counts.select(
+        "lang", "pred_lang", "n", F.round(share, 6).alias("row_frac")
+    )
+
+
+@query(
+    "events_json_profile",
+    oracle=r"""
+    WITH keys AS (
+      SELECT event_id, unnest(regexp_extract_all(props, '"([a-z_0-9]+)":', 1)) AS k,
+             props
+      FROM events
+    )
+    SELECT k,
+           COUNT(*) AS n_present,
+           COUNT(*) FILTER (
+             WHERE regexp_matches(props, '"' || k || '":\s*-?[0-9]')
+           ) AS n_numeric,
+           COUNT(*) FILTER (
+             WHERE regexp_matches(props, '"' || k || '":\s*"')
+           ) AS n_string
+    FROM keys GROUP BY k
+    """,
+)
+def events_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless-JSON profiling: which keys appear in the props payload
+    and what value types they carry — the schema-inference audit that
+    precedes a from_json schema freeze (SURVEY §7 'dynamic Argot payload
+    schema').  Pure regexp column algebra so the profile is engine-exact;
+    at scale this is one explode + hash agg over key names only, never
+    materializing parsed documents."""
+    e = load_table(spark, sf_dir, "events")
+    keys = e.select(
+        "props",
+        F.explode(
+            F.regexp_extract_all(F.col("props"), F.lit(r'"([a-z_0-9]+)":'), 1)
+        ).alias("k"),
+    )
+    # rlike with a per-row pattern needs the SQL expression form (the
+    # DataFrame helper only accepts literal patterns)
+    num_match = F.expr(r"""props rlike concat('"', k, '":\\s*-?[0-9]')""")
+    str_match = F.expr(r"""props rlike concat('"', k, '":\\s*"')""")
+    return keys.groupBy("k").agg(
+        F.count("*").alias("n_present"),
+        F.count_if(num_match).alias("n_numeric"),
+        F.count_if(str_match).alias("n_string"),
+    )
