@@ -39,4 +39,5 @@ def test_contract_shapes(spark):
         "dedup_simhash",
         "agg_approx_sketches",
         "multimodal_decode_features",
+        "multimodal_frame_sample",
     }
