@@ -652,3 +652,58 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("revenue"),
         F.round(share, 6).alias("region_share"),
     )
+
+
+@query(
+    "customer_tier_migration",
+    oracle="""
+    WITH yearly AS (
+      SELECT o_custkey AS ck, EXTRACT(year FROM o_orderdate)::BIGINT AS yr,
+             SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS spend
+      FROM orders GROUP BY 1, 2
+    ), tiered AS (
+      SELECT ck, yr,
+             CASE WHEN spend >= 400000 THEN 'high'
+                  WHEN spend >= 150000 THEN 'mid'
+                  ELSE 'low' END AS tier
+      FROM yearly
+    )
+    SELECT a.tier AS tier_from, b.tier AS tier_to, a.yr AS yr_from,
+           COUNT(*) AS n_customers
+    FROM tiered a JOIN tiered b ON b.ck = a.ck AND b.yr = a.yr + 1
+    GROUP BY 1, 2, 3
+    """,
+)
+def customer_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longitudinal segment migration: customers' spend tier each year,
+    joined to their own next year — the churn/upgrade transition matrix.
+
+    Tier thresholds compare decimal-exact yearly sums, so no customer
+    can sit on a tier boundary differently across engines or partition
+    layouts.  The self-join runs on the per-(customer, year) aggregate
+    (one row each), co-partitioned on the customer key."""
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.col("o_custkey").alias("ck"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("spend"))
+    tier = (
+        F.when(F.col("spend") >= 400000, "high")
+        .when(F.col("spend") >= 150000, "mid")
+        .otherwise("low")
+    )
+    tiered = yearly.select("ck", "yr", tier.alias("tier"))
+    a = tiered.alias("a")
+    b = tiered.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.ck") == F.col("a.ck")) & (F.col("b.yr") == F.col("a.yr") + 1),
+        )
+        .groupBy(
+            F.col("a.tier").alias("tier_from"),
+            F.col("b.tier").alias("tier_to"),
+            F.col("a.yr").alias("yr_from"),
+        )
+        .agg(F.count("*").alias("n_customers"))
+    )
