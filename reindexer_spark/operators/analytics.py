@@ -707,3 +707,52 @@ def customer_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+@query(
+    "segment_concentration_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_mktsegment AS seg, c.c_nationkey AS nk,
+             SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS r
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), shares AS (
+      SELECT seg,
+             CAST(r AS DOUBLE) / CAST(SUM(r) OVER (PARTITION BY seg) AS DOUBLE)
+               AS share
+      FROM rev
+    )
+    SELECT seg,
+           ROUND(SUM(CAST(POWER(share, 2) AS DECIMAL(18,15))), 6) AS hhi,
+           COUNT(*) AS n_players
+    FROM shares GROUP BY seg
+    """,
+)
+def segment_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per market segment
+    (how concentrated each segment's revenue is across nations — the
+    standard market-structure metric).
+
+    Shares come from decimal totals (exact), the squared shares are
+    summed through DECIMAL so the index is independent of aggregation
+    order, and the single rounding happens at the end.  Everything
+    downstream of the fact-table aggregate is |segments|×|nations|
+    rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nk"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("r"))
+    )
+    share = F.col("r").cast("double") / F.sum("r").over(
+        Window.partitionBy("seg")
+    ).cast("double")
+    shares = rev.select("seg", share.alias("share"))
+    return shares.groupBy("seg").agg(
+        F.round(
+            F.sum(F.pow("share", 2).cast("decimal(18,15)")), 6
+        ).alias("hhi"),
+        F.count("*").alias("n_players"),
+    )
