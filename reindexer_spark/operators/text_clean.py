@@ -654,3 +654,51 @@ def events_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(num_match).alias("n_numeric"),
         F.count_if(str_match).alias("n_string"),
     )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ), freq AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2
+    ), tot AS (
+      SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_distinct FROM freq GROUP BY 1
+    )
+    SELECT f.doc_id, t.n_distinct,
+           ROUND(SUM(CAST(ROUND(
+             -(CAST(f.c AS DOUBLE) / t.n) * LN(CAST(f.c AS DOUBLE) / t.n),
+             10) AS DECIMAL(18,12))), 6) AS entropy
+    FROM freq f JOIN tot t USING (doc_id)
+    GROUP BY f.doc_id, t.n_distinct
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheap
+    gibberish/binary-noise detector of a corpus quality gate (natural
+    text sits ~3-4.5 bits·ln2; near-zero or near-uniform values flag
+    junk).
+
+    Determinism: each -p·ln(p) term is rounded once (ln differs in the
+    last ulp across libm implementations), then summed as DECIMAL so the
+    per-document total is independent of aggregation order.  The char
+    explode aggregates immediately on (doc_id, char) — alphabet-sized
+    state per document, map-side combinable."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = freq.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_distinct")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.round(-p * F.log(p), 10).cast("decimal(18,12)")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id", "n_distinct")
+        .agg(F.round(F.sum(term), 6).alias("entropy"))
+        .select("doc_id", "n_distinct", "entropy")
+    )
