@@ -18,6 +18,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from reindexer_spark.cache import track
+
 
 def write_ndjson_chunks(
     df: DataFrame,
@@ -76,10 +78,9 @@ def chunk_ids(df: DataFrame, id_col: str, chunk_size: int) -> DataFrame:
     # recomputing it for the counts job and again for the final join can
     # yield different partitionings — the offsets would then be wrong
     # (observed as ±100-row chunk drift at 100k rows)
-    ranged = (
+    ranged = track(
         df.repartitionByRange(parts, F.col(id_col))
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
     )
     # cumulative row offset per range partition (tiny driver-side table)
     counts = (

@@ -2,12 +2,14 @@
 typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing is fully real: schemas, partition-size control,
-Arrow batch iteration, metadata extraction.  The codec layer (image
-decode / resize, audio decode, video frame sampling) is stubbed — the
-decode libraries (Pillow/ffmpeg/torchaudio) are not in this container —
-behind ``Codec`` implementations: ``FakeCodec`` is deterministic (tests
-and the batch-shape contract run against it), ``LibraryCodec`` raises
-``NotImplementedError`` with the exact dependency needed.
+Arrow batch iteration, metadata extraction.  The codec layer has three
+implementations behind one seam: ``FakeCodec`` (digest-derived, for
+batch-shape contract tests), the dependency-free stdlib codecs in
+:mod:`reindexer_spark.codecs` (real BMP/PPM/WAV parsing — decode,
+resize, and audio frame-sampling run on real bytes in this container),
+and ``LibraryCodec`` which upgrades to Pillow when installed.  True
+video containers still need pyav/ffmpeg and raise ``MediaFormatError``
+into the quarantine lane.
 
 At 100 TB the shape is the important part:
 
@@ -22,9 +24,36 @@ At 100 TB the shape is the important part:
 from __future__ import annotations
 
 from collections.abc import Iterator
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def arrow_batch_size(spark, n: int):
+    """Scope ``spark.sql.execution.arrow.maxRecordsPerBatch`` to a block.
+
+    The conf is read at ACTION time, so the decode/resize/sample builders
+    below cannot set it themselves (they return lazy DataFrames — setting
+    it there would leak the value onto the shared session for every later
+    query, and restoring it immediately would mean it never applies).
+    Callers that materialize with a payload-appropriate batch size wrap
+    the action:
+
+        with arrow_batch_size(spark, 64):
+            frames.write.parquet(...)
+    """
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 MEDIA_SCHEMA = (
     "media_id bigint, kind string, payload binary, meta map<string,string>"
@@ -55,26 +84,42 @@ class FakeCodec:
 
 
 class LibraryCodec:
-    """The production decoder seam.  Not implemented in this container."""
+    """The production decoder seam: Pillow when installed, else the
+    dependency-free stdlib parsers (BMP / PPM / WAV) from
+    :mod:`reindexer_spark.codecs` — real bytes decode in-container either
+    way.  Formats neither path understands raise ``MediaFormatError``
+    (the quarantine lane), not ``NotImplementedError``."""
 
     def decode(self, payload: bytes) -> dict:
-        raise NotImplementedError(
-            "media decode requires Pillow (images) / soundfile (audio) / "
-            "pyav (video), none of which are installed here; inject "
-            "FakeCodec for pipeline testing"
+        try:
+            import io
+
+            from PIL import Image  # type: ignore[import-not-found]
+        except ImportError:
+            from reindexer_spark.codecs import PurePythonCodec
+
+            return PurePythonCodec().decode(payload)
+        img = Image.open(io.BytesIO(payload))
+        from reindexer_spark.codecs import PurePythonCodec
+
+        # Pillow for the exotic containers; feature math stays the shared
+        # deterministic integer path (re-encode to the canonical form)
+        from reindexer_spark.codecs import encode_ppm
+
+        rgb = img.convert("RGB")
+        return PurePythonCodec().decode(
+            encode_ppm(rgb.width, rgb.height, rgb.tobytes())
         )
 
 
-def extract_media_features(
-    media: DataFrame, codec=None, batch_size: int = 256
-) -> DataFrame:
+def extract_media_features(media: DataFrame, codec=None) -> DataFrame:
     """binary payload → (dims, checksum, feature vector) via mapInPandas.
 
     One Arrow batch in, one out; payload bytes never leave the executor.
+    Heavy payloads: wrap the consuming ACTION in ``arrow_batch_size`` to
+    cap rows per Arrow batch (session conf, read at execution time).
     """
     codec = codec or FakeCodec()
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
 
     def decode_batches(batches: Iterator) -> Iterator:
         import hashlib
@@ -171,32 +216,45 @@ class FakeFrameSampler:
 
 
 class LibraryResizer:
+    """Pillow-backed resize when installed, else the pure-Python
+    nearest-neighbor BMP/PPM resizer — real pixels either way."""
+
     def resize(self, payload: bytes, max_dim: int) -> dict:
-        raise NotImplementedError(
-            "image resize requires Pillow; inject FakeResizer for "
-            "pipeline testing"
-        )
+        from reindexer_spark.codecs import PurePythonResizer
+
+        return PurePythonResizer().resize(payload, max_dim)
 
 
 class LibraryFrameSampler:
+    """Real video containers need pyav/ffmpeg (not in this container);
+    WAV audio payloads sample real timestamped windows via
+    :class:`reindexer_spark.codecs.WavFrameSampler`."""
+
     def duration_ms(self, payload: bytes) -> int:
-        raise NotImplementedError("video sampling requires pyav/ffmpeg")
+        from reindexer_spark.codecs import MediaFormatError, WavFrameSampler
+
+        if payload[:4] == b"RIFF":
+            return WavFrameSampler().duration_ms(payload)
+        raise MediaFormatError("video containers require pyav/ffmpeg")
 
     def frame_at(self, payload: bytes, ts_ms: int) -> bytes:
-        raise NotImplementedError("video sampling requires pyav/ffmpeg")
+        from reindexer_spark.codecs import MediaFormatError, WavFrameSampler
+
+        if payload[:4] == b"RIFF":
+            return WavFrameSampler().frame_at(payload, ts_ms)
+        raise MediaFormatError("video containers require pyav/ffmpeg")
 
 
 def resize_thumbnails(
-    media: DataFrame, max_dim: int = 32, resizer=None, batch_size: int = 256
+    media: DataFrame, max_dim: int = 32, resizer=None
 ) -> DataFrame:
     """binary payload → thumbnail binary via mapInPandas (the image-
     resize leg of the media pipeline).  Output rows are bounded by
     max_dim², so the stage SHRINKS data — safe to run before a shuffle;
     null payloads pass through as null thumbnails (quarantine-friendly,
-    the A9 error-channel analogue)."""
+    the A9 error-channel analogue).  Batch-size control: see
+    ``arrow_batch_size``."""
     resizer = resizer or FakeResizer()
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -230,16 +288,14 @@ def sample_video_frames(
     every_ms: int = 5000,
     max_frames: int = 8,
     sampler=None,
-    batch_size: int = 64,
 ) -> DataFrame:
     """binary video payload → one row per sampled frame (mapInPandas is
     the right seam precisely because the fan-out is data-dependent:
     frames-per-row varies with duration, which no fixed-arity UDF can
     express).  Frame count is capped so the output stays bounded per
-    input row; rows sort deterministically by (media_id, frame_idx)."""
+    input row; rows sort deterministically by (media_id, frame_idx).
+    Batch-size control: see ``arrow_batch_size``."""
     sampler = sampler or FakeFrameSampler()
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

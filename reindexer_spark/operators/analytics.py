@@ -751,9 +751,12 @@ def segment_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     shares = rev.select("seg", share.alias("share"))
     return shares.groupBy("seg").agg(
-        F.round(
-            F.sum(F.pow("share", 2).cast("decimal(18,15)")), 6
-        ).alias("hhi"),
+        # final cast to double: Spark ROUND(DECIMAL) stays DECIMAL (pandas
+        # object) while DuckDB's .df() renders it float64 — dtype drift
+        # the driver's comparator hashes differently
+        F.round(F.sum(F.pow("share", 2).cast("decimal(18,15)")), 6)
+        .cast("double")
+        .alias("hhi"),
         F.count("*").alias("n_players"),
     )
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from reindexer_spark.cache import track, untrack
 from reindexer_spark.catalog import load_table
 from reindexer_spark.registry import query
 
@@ -72,9 +73,11 @@ def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").withColumn(
         "toks", F.split("text", " ")
     )
-    raw = d.select(
-        "doc_id", F.explode(word_shingles(F.col("toks"))).alias("shingle")
-    ).persist()
+    raw = track(
+        d.select(
+            "doc_id", F.explode(word_shingles(F.col("toks"))).alias("shingle")
+        )
+    )
     hot = (
         raw.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -497,19 +500,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("d1", "d2")
     )
-    edges = pairs.union(
-        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    ).distinct().persist()
-    labels = edges.select(F.col("d1").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).persist()
+    edges = track(
+        pairs.union(
+            pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+        ).distinct()
+    )
+    labels = track(
+        edges.select(F.col("d1").alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        )
+    )
     for _ in range(20):
         neighbor_min = (
             edges.join(labels, edges.d2 == labels.node)
             .groupBy(F.col("d1").alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = track(
             labels.join(neighbor_min, labels.node == F.col("node2"), "left")
             .select(
                 "node",
@@ -517,7 +524,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .persist()
         )
         changed = (
             new_labels.alias("n")
@@ -525,6 +531,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        untrack(labels)  # superseded iteration — release immediately
         labels = new_labels
         if changed == 0:
             break

@@ -57,7 +57,7 @@ def _with_content(docs: DataFrame) -> DataFrame:
            doc_id AS id_i,
            source AS title_main_t,
            lang AS title_sub_t,
-           [source, lang] AS authors_a,
+           array_to_string([source, lang], '|') AS authors_a,
            n_chars AS year_i
     FROM documents
     """,
@@ -67,11 +67,21 @@ def argot_flatten_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (explicit schema) → recursive flatten (nested struct → title_main,
     array kept whole) → Solr dynamic-field suffixing.  The oracle reads
     the same values off the base table, so any shaping bug — dropped
-    field, wrong suffix, corrupted value — breaks the hash."""
+    field, wrong suffix, corrupted value — breaks the hash.  Array-typed
+    fields are serialized to '|'-joined strings at the output boundary:
+    the external comparator canonicalizes via pandas, which cannot hash
+    raw array cells (round-1 driver ERR)."""
     docs = _with_content(load_table(spark, sf_dir, "documents"))
     good, _quarantine = parse_content(docs, ARGOT_SCHEMA)
     flat = flatten_struct_columns(good, keep=["doc_id"])
-    return suffix_columns(flat, exclude=("doc_id",))
+    suffixed = suffix_columns(flat, exclude=("doc_id",))
+    out = [
+        F.array_join(F.col(f.name).cast("array<string>"), "|").alias(f.name)
+        if isinstance(f.dataType, T.ArrayType)
+        else F.col(f.name)
+        for f in suffixed.schema.fields
+    ]
+    return suffixed.select(*out)
 
 
 @query(
@@ -85,7 +95,8 @@ def argot_flatten_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN json_valid(content) THEN 0 ELSE 1 END) AS n_quarantined
+           CAST(SUM(CASE WHEN json_valid(content) THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_quarantined
     FROM payloads
     GROUP BY source
     """,

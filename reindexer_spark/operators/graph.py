@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from reindexer_spark.cache import track
 from reindexer_spark.catalog import load_table
 from reindexer_spark.registry import query
 
@@ -90,7 +91,7 @@ def graph_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
 
-    edges = (
+    edges = track(
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -105,7 +106,6 @@ def graph_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # |nations|² rows, and iterating over 32 near-empty partitions
         # costs more in task launches than the data itself.
         .coalesce(1)
-        .persist()
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("total_w"))
     ratio = edges.join(outw, "src").select(

@@ -57,14 +57,17 @@ def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {CENTROID_SQL}, counts AS (
       SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label
     )
-    SELECT c.label, c.centroid, n.n_vecs
-    FROM centroids c JOIN counts n USING (label)
+    SELECT m.label, m.idx AS dim, m.cv AS centroid_v, n.n_vecs
+    FROM cmean m JOIN counts n USING (label)
     """,
 )
 def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding (one k-means/centroid-index build step):
-    posexplode → (label, dim) decimal-sum average → reassemble in dim
-    order.
+    posexplode → (label, dim) decimal-sum average, emitted as flat
+    (label, dim, value) rows — the external comparator canonicalizes via
+    pandas and cannot hash raw array cells (round-1 driver ERR), so the
+    vector is the row-set, not an array column.  Downstream consumers
+    (embed_centroid_assign) still assemble the array internally.
 
     Scale shape: the exploded relation is |corpus| × dim rows but
     aggregates by (label, dim) with map-side partials, so the shuffle
@@ -72,13 +75,20 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size.  DECIMAL accumulation makes the result bit-identical
     regardless of partitioning (a double sum would drift with the
     reduction order)."""
-    cents = _centroids(spark, sf_dir)
-    counts = (
-        load_table(spark, sf_dir, "embeddings")
-        .groupBy("label")
-        .agg(F.count("*").alias("n_vecs"))
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select("label", F.posexplode("embedding").alias("idx", "v"))
+    cmean = flat.groupBy("label", "idx").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(20,8)")).cast("double") / F.count("*"),
+            6,
+        ).alias("centroid_v")
     )
-    return cents.join(counts, "label").select("label", "centroid", "n_vecs")
+    counts = e.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    # +1: posexplode positions are 0-based, the oracle's
+    # generate_subscripts is 1-based; bigint matches DuckDB's dtype
+    return cmean.join(counts, "label").select(
+        "label", (F.col("idx") + 1).cast("bigint").alias("dim"), "centroid_v", "n_vecs"
+    )
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -197,7 +207,8 @@ def fuzzy_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AS INT) END AS code
       FROM flat f JOIN stats s USING (idx)
     )
-    SELECT vec_id, array_agg(code ORDER BY idx) AS codes,
+    SELECT vec_id,
+           array_to_string(array_agg(code ORDER BY idx), ',') AS codes_csv,
            MIN(code) AS code_min, MAX(code) AS code_max
     FROM coded GROUP BY vec_id
     """,
@@ -210,8 +221,10 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-dimension range statistics aggregate with map-side partials
     (min/max are order-independent, so no decimal detour is needed) to
     a |dims|-row relation that broadcasts back onto the flattened
-    vectors; codes reassemble in dimension order.  All arithmetic is
-    float→double widening (exact) followed by one ROUND."""
+    vectors; codes reassemble in dimension order and serialize to a CSV
+    string (int→string is exact; the external comparator cannot hash raw
+    array cells — round-1 driver ERR).  All arithmetic is float→double
+    widening (exact) followed by one ROUND."""
     e = load_table(spark, sf_dir, "embeddings")
     flat = e.select(
         "vec_id", F.posexplode("embedding").alias("idx", "vf")
@@ -229,10 +242,13 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "idx", code.alias("code")
     )
     return coded.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("idx", "code"))),
-            lambda s: s["code"],
-        ).alias("codes"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "code"))),
+                lambda s: s["code"].cast("string"),
+            ),
+            ",",
+        ).alias("codes_csv"),
         F.min("code").alias("code_min"),
         F.max("code").alias("code_max"),
     )

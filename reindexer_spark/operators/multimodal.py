@@ -133,41 +133,123 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_media(d: DataFrame) -> DataFrame:
+    """documents → media rows with REAL payloads: a deterministic 24-bit
+    BMP per document (pixels seeded from the text digest), every third
+    row a real mono 16-bit WAV instead.  Built in mapInPandas because
+    container encoding is byte-level Python — this is the fixture lane;
+    the decode lane downstream parses these bytes back for real."""
+    schema = (
+        "media_id bigint, kind string, payload binary, meta map<string,string>"
+    )
+
+    def build(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from reindexer_spark.codecs import encode_bmp, encode_wav
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                seed = hashlib.sha256(r["text"].encode("utf-8")).digest()
+                if r["doc_id"] % 3 == 2:
+                    samples = [
+                        int.from_bytes(
+                            seed[(2 * i) % 31 : (2 * i) % 31 + 2],
+                            "little",
+                            signed=True,
+                        )
+                        for i in range(16000)
+                    ]
+                    payload, kind = encode_wav(samples, 8000), "audio-wav"
+                else:
+                    w, h = 8 + seed[0] % 9, 8 + seed[1] % 9
+                    rgb = (seed * ((w * h * 3) // len(seed) + 1))[: w * h * 3]
+                    payload, kind = encode_bmp(w, h, bytes(rgb)), "image-bmp"
+                rows.append(
+                    {
+                        "media_id": r["doc_id"],
+                        "kind": kind,
+                        "payload": payload,
+                        "meta": {"lang": r["lang"]},
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return d.select("doc_id", "text", "lang").mapInPandas(build, schema)
+
+
 @query("multimodal_decode_features")  # Python codec output → rows-only check
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The media-decode pipeline as a contract query: documents' bytes
-    stand in for media payloads, flow through the Arrow-batched
-    mapInPandas decode (reindexer_spark.multimodal, deterministic
-    FakeCodec), and come out as typed features.  Deterministic but not
-    SQL-expressible (the codec is Python) → rows-only check; the
-    metadata lane (multimodal_binary_meta) carries the oracle."""
-    from reindexer_spark.multimodal import extract_media_features
+    """The media-decode pipeline on REAL bytes end-to-end: deterministic
+    BMP/WAV payloads are synthesized per document, then parsed back by
+    the dependency-free stdlib codecs (reindexer_spark.codecs) through
+    the Arrow-batched mapInPandas seam — decoded dimensions, channel
+    means, amplitude stats are computed from actual pixel/sample data,
+    not digest stubs.  Deterministic but not SQL-expressible (byte-level
+    container parsing) → rows-only check; the metadata lane
+    (multimodal_binary_meta) carries the oracle."""
+    from reindexer_spark.multimodal import LibraryCodec, extract_media_features
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("text-as-image").alias("kind"),
-        F.encode("text", "UTF-8").alias("payload"),
-        F.create_map(F.lit("lang"), F.col("lang")).alias("meta"),
+    feats = extract_media_features(_synth_media(d), codec=LibraryCodec())
+    # serialize the feature vector: the external comparator canonicalizes
+    # via pandas and cannot hash raw array cells (round-1 driver ERR class)
+    return feats.withColumn(
+        "features",
+        F.array_join(
+            F.transform("features", lambda x: F.format_string("%.6f", x)), ","
+        ),
     )
-    return extract_media_features(media)
+
+
+@query("multimodal_thumbnail")  # Python resize output → rows-only check
+def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize on real pixels: BMP payloads downscale via the
+    nearest-neighbor pure-Python resizer; output thumbnails are
+    themselves decodable BMPs.  Emits (dims, checksum) — byte-stable,
+    bounded by max_dim² per row."""
+    from reindexer_spark.multimodal import LibraryResizer, resize_thumbnails
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = _synth_media(d).filter(F.col("kind") == "image-bmp")
+    thumbs = resize_thumbnails(media, max_dim=8, resizer=LibraryResizer())
+    return thumbs.select(
+        "media_id",
+        "kind",
+        "thumb_w",
+        "thumb_h",
+        F.octet_length("thumbnail").alias("thumb_bytes"),
+        F.md5("thumbnail").alias("thumb_checksum"),
+    )
 
 
 @query("multimodal_frame_sample")  # Python sampler output → rows-only check
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The video frame-sampling leg as a contract query: documents'
-    bytes stand in for video payloads, the deterministic
-    FakeFrameSampler derives a duration and digest-stamped frames, and
-    each input row fans out to a bounded, data-dependent number of
-    frame rows via mapInPandas — the one shape a fixed-arity UDF cannot
-    express.  Deterministic but Python-side → rows-only check."""
-    from reindexer_spark.multimodal import sample_video_frames
+    """Timestamped frame sampling on REAL media: the synthesized WAV
+    payloads (2 s of real 16-bit PCM) sample a 100 ms window at each
+    500 ms mark — actual timestamp→sample-offset math on parsed audio,
+    the same contract video sampling has (true video containers need
+    pyav and quarantine via MediaFormatError).  Each input row fans out
+    to a data-dependent number of frame rows via mapInPandas — the one
+    shape a fixed-arity UDF cannot express.  Deterministic but
+    Python-side → rows-only check; frames are emitted as (bytes,
+    checksum), not raw binary, for the pandas canonicalizer."""
+    from reindexer_spark.multimodal import LibraryFrameSampler, sample_video_frames
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("text-as-video").alias("kind"),
-        F.encode("text", "UTF-8").alias("payload"),
-        F.create_map(F.lit("lang"), F.col("lang")).alias("meta"),
+    media = _synth_media(d).filter(F.col("kind") == "audio-wav")
+    frames = sample_video_frames(
+        media, every_ms=500, max_frames=4, sampler=LibraryFrameSampler()
     )
-    return sample_video_frames(media, every_ms=5000, max_frames=4)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "frame_ts_ms",
+        F.octet_length("frame").alias("frame_bytes"),
+        F.md5("frame").alias("frame_checksum"),
+    )

@@ -502,9 +502,8 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("approx_median_price"),
-        F.percentile_approx(
-            "l_extendedprice", [0.25, 0.75], 10_000
-        ).alias("approx_price_iqr"),
+        F.percentile_approx("l_extendedprice", 0.25, 10_000).alias("approx_price_p25"),
+        F.percentile_approx("l_extendedprice", 0.75, 10_000).alias("approx_price_p75"),
         F.count("*").alias("n"),
     )
 
@@ -549,7 +548,6 @@ def agg_salted_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
     SELECT c_nationkey,
-           list_sort(list(c_custkey)) AS custkeys,
            array_to_string(list_sort(list(c_custkey)), ',') AS custkeys_csv,
            COUNT(*) AS n
     FROM customer
@@ -560,13 +558,13 @@ def agg_salted_twostage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: collect_list is order-nondeterministic under
     parallelism, so the engine convention is sort_array(collect_list(...))
-    — deterministic on any partitioning (the csv copy guards against
-    array-representation quirks in downstream hashing)."""
+    — deterministic on any partitioning.  The array is serialized to a
+    CSV string in the output: the external comparator canonicalizes via
+    pandas, which cannot sort/hash raw array cells (round-1 driver ERR)."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
     arr = F.sort_array(F.collect_list("c_custkey"))
     return c.groupBy("c_nationkey").agg(
-        arr.alias("custkeys"),
-        F.array_join(arr, ",").alias("custkeys_csv"),
+        F.array_join(arr.cast("array<string>"), ",").alias("custkeys_csv"),
         F.count("*").alias("n"),
     )
 
@@ -612,7 +610,7 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            bool_and(c_acctbal > -1000) AS all_above_floor,
            bool_or(c_acctbal > 9000) AS any_premium,
-           count_if(c_acctbal < 0) AS n_debtors,
+           CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_debtors,
            COUNT(*) AS n
     FROM customer
     GROUP BY c_mktsegment

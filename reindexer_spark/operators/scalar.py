@@ -358,8 +358,8 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_matching,
-           SUM(CASE WHEN regexp_matches(text, 'join.*filter|filter.*join')
-                    THEN 1 ELSE 0 END) AS n_join_filter
+           CAST(SUM(CASE WHEN regexp_matches(text, 'join.*filter|filter.*join')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_join_filter
     FROM documents
     WHERE regexp_matches(text, '^the |spark')
     GROUP BY lang

@@ -129,12 +129,17 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = d.select("doc_id", words.alias("w")).select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(wcol) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(wcol, i), F.element_at(wcol, i + 1)
+            # guard: a 1-word doc gives size-1 == 0, and sequence(1, 0) is
+            # DESCENDING in Spark → element_at(w, 0) raises; emit no bigrams
+            F.when(
+                F.size(wcol) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(wcol) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(wcol, i), F.element_at(wcol, i + 1)
+                    ),
                 ),
-            )
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("bg"),
     )
     bstat = (
@@ -432,10 +437,17 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     wcol = F.col("w")
     bi = d.select(w.alias("w")).select(
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(wcol) - 1),
-                lambda i: F.array(F.element_at(wcol, i), F.element_at(wcol, i + 1)),
-            )
+            # guard as in text_repetition: 1-word docs emit no bigrams
+            # instead of a descending sequence(1, 0) → element_at(w, 0) error
+            F.when(
+                F.size(wcol) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(wcol) - 1),
+                    lambda i: F.array(
+                        F.element_at(wcol, i), F.element_at(wcol, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<array<string>>"))
         ).alias("pair")
     )
     bcnt = (
@@ -699,6 +711,8 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         freq.join(tot, "doc_id")
         .groupBy("doc_id", "n_distinct")
-        .agg(F.round(F.sum(term), 6).alias("entropy"))
+        # cast("double"): ROUND(DECIMAL) stays DECIMAL in Spark but DuckDB's
+        # .df() renders its DECIMAL as float64 — align the pandas dtypes
+        .agg(F.round(F.sum(term), 6).cast("double").alias("entropy"))
         .select("doc_id", "n_distinct", "entropy")
     )

@@ -50,7 +50,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             raise ValueError(f"duplicate query name: {name}")
 
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from reindexer_spark.cache import release_all
+
             tune(spark)  # UTC/AQE/Arrow regardless of who built the session
+            release_all()  # previous query's internal persists end here
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

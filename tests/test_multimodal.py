@@ -54,8 +54,13 @@ def test_repartition_by_bytes(spark, media):
     assert out.rdd.getNumPartitions() >= 2  # ~350 payload bytes / 64
 
 
-def test_library_codec_is_explicit_stub():
-    with pytest.raises(NotImplementedError, match="Pillow"):
+def test_library_codec_decodes_real_bytes_without_pil():
+    from reindexer_spark.codecs import MediaFormatError, encode_bmp
+
+    d = LibraryCodec().decode(encode_bmp(4, 2, bytes(range(24))))
+    assert (d["width"], d["height"], d["n_channels"]) == (4, 2, 3)
+    # unrecognized containers go to the quarantine lane, not a stub error
+    with pytest.raises(MediaFormatError):
         LibraryCodec().decode(b"payload")
 
 
@@ -110,10 +115,22 @@ def test_frame_sampling_fanout_and_cap(spark, media):
         assert bytes(frames[0].frame) == sampler.frame_at(payloads[mid], 0)
 
 
-def test_library_resizer_and_sampler_are_explicit_stubs():
+def test_library_resizer_and_sampler_real_paths():
+    from reindexer_spark.codecs import (
+        MediaFormatError,
+        decode_bmp,
+        encode_bmp,
+        encode_wav,
+    )
     from reindexer_spark.multimodal import LibraryFrameSampler, LibraryResizer
 
-    with pytest.raises(NotImplementedError):
+    r = LibraryResizer().resize(encode_bmp(16, 16, bytes(768)), 4)
+    assert (r["thumb_w"], r["thumb_h"]) == (4, 4)
+    assert decode_bmp(r["thumbnail"])[0] == 4  # output is a real BMP
+    with pytest.raises(MediaFormatError):
         LibraryResizer().resize(b"x", 8)
-    with pytest.raises(NotImplementedError):
-        LibraryFrameSampler().duration_ms(b"x")
+
+    wav = encode_wav([0] * 8000, 8000)
+    assert LibraryFrameSampler().duration_ms(wav) == 1000
+    with pytest.raises(MediaFormatError):  # true video still needs pyav
+        LibraryFrameSampler().duration_ms(b"\x00\x00\x01\xbafake")

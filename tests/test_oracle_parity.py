@@ -40,4 +40,5 @@ def test_contract_shapes(spark):
         "agg_approx_sketches",
         "multimodal_decode_features",
         "multimodal_frame_sample",
+        "multimodal_thumbnail",
     }
