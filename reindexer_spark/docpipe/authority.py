@@ -16,8 +16,60 @@ per-row network calls in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def load_authority_snapshot(
+    spark: SparkSession,
+    source: str,
+    fmt: str | None = None,
+    key_col: str = "key",
+) -> DataFrame:
+    """Load an authority store snapshot as a (key, payload...) DataFrame.
+
+    ``source`` is either a file/directory path (parquet / json-lines /
+    csv, detected by extension unless ``fmt`` is given) — the exported
+    snapshot of the reference's Redis store (ingest.go:28-30) — or a
+    ``redis://`` URL for a live store.  The live path scans the store
+    driver-side (authority sets are dimension-sized by definition; a set
+    too big to hold on the driver should be exported to parquet and
+    loaded as a snapshot instead) and needs the ``redis`` client
+    installed; this container does not have it, so the file-backed
+    snapshot is the default operational path.
+    """
+    if source.startswith(("redis://", "rediss://")):
+        try:
+            import redis  # type: ignore[import-not-found]
+        except ImportError as exc:  # pragma: no cover - no redis here
+            raise RuntimeError(
+                "live authority lookups need the 'redis' client; export "
+                "the store to parquet/json and pass that path instead"
+            ) from exc
+        r = redis.Redis.from_url(source, decode_responses=True)
+        rows = []
+        for key in r.scan_iter():  # pragma: no cover - no redis here
+            val = r.hgetall(key) if r.type(key) == "hash" else {"value": r.get(key)}
+            rows.append({key_col: key, **val})
+        return spark.createDataFrame(rows)
+
+    ext = fmt or os.path.splitext(source)[1].lstrip(".").lower() or "parquet"
+    if ext == "parquet":
+        df = spark.read.parquet(source)
+    elif ext in ("json", "ndjson", "jsonl"):
+        df = spark.read.json(source)
+    elif ext == "csv":
+        df = spark.read.option("header", "true").csv(source)
+    else:
+        raise ValueError(f"unsupported authority snapshot format: {ext!r}")
+    if key_col not in df.columns:
+        raise ValueError(
+            f"authority snapshot {source!r} has no {key_col!r} column "
+            f"(found {df.columns})"
+        )
+    return df
 
 
 def enrich_with_authorities(

@@ -24,7 +24,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from reindexer_spark.docpipe.authority import enrich_with_authorities
+from reindexer_spark.docpipe.authority import (
+    enrich_with_authorities,
+    load_authority_snapshot,
+)
 from reindexer_spark.docpipe.config import ReindexConfig
 from reindexer_spark.docpipe.flatten import (
     flatten_struct_columns,
@@ -79,7 +82,15 @@ def run_reindex(
     id_col: str = "id",
 ) -> ReindexResult:
     """The full pipeline; counts via one pass each over the two small
-    outcome frames (no accumulators — deterministic under retries)."""
+    outcome frames (no accumulators — deterministic under retries).
+
+    Authority enrichment follows the reference's ``-a --redis-url`` flag
+    pair (ingest.go:28-30): when ``conf.authorities`` is on and no
+    snapshot DataFrame is passed explicitly, ``conf.redis_url`` is
+    resolved via :func:`load_authority_snapshot` (file-backed snapshot,
+    or a live redis:// store where the client exists)."""
+    if authorities is None and conf.authorities and conf.redis_url:
+        authorities = load_authority_snapshot(docs.sparkSession, conf.redis_url)
     shaped, quarantine = shape_documents(
         docs, conf, authorities, auth_doc_key, id_col=id_col
     )

@@ -129,3 +129,93 @@ def docs_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_quarantined", F.lit(0)).alias("n_quarantined"),
         )
     )
+
+
+def _lang_authorities(d):
+    """Synthesized authority snapshot keyed on language — the derived
+    stand-in for the Redis store's contents, buildable identically in
+    the oracle so the ENRICHMENT JOIN itself is what gets checked."""
+    return (
+        d.select(F.col("lang").alias("key"))
+        .distinct()
+        .select(
+            "key",
+            F.concat(F.upper("key"), F.lit("-AUTH")).alias("auth_label"),
+            F.concat(F.lit("lang/"), F.col("key")).alias("auth_uri"),
+        )
+    )
+
+
+@query(
+    "authority_enrich",
+    oracle="""
+    WITH auth AS (
+      SELECT DISTINCT lang AS key,
+             upper(lang) || '-AUTH' AS auth_label,
+             'lang/' || lang AS auth_uri
+      FROM documents
+    )
+    SELECT d.doc_id, d.lang, a.auth_label, a.auth_uri
+    FROM documents d LEFT JOIN auth a ON d.lang = a.key
+    WHERE d.doc_id < 500
+    """,
+)
+def authority_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier B7 at the gate: the REAL enrichment operator
+    (docpipe.authority.enrich_with_authorities, scalar-key path — a
+    broadcast left join standing in for the reference's per-record Redis
+    lookups, ingest.go:28-30) over a snapshot synthesized identically on
+    both engines.  At 100 TB the snapshot broadcasts (dimension-sized by
+    definition); the docs side never shuffles."""
+    from reindexer_spark.docpipe.authority import enrich_with_authorities
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.filter(F.col("doc_id") < 500).select("doc_id", "lang")
+    return enrich_with_authorities(docs, _lang_authorities(d), doc_key="lang")
+
+
+@query(
+    "authority_enrich_multikey",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, [lang, source] AS subj FROM documents WHERE doc_id < 300
+    ), keys AS (
+      SELECT DISTINCT lang AS key FROM documents
+      UNION SELECT DISTINCT source FROM documents
+    ), auth AS (
+      SELECT key, upper(key) || '#pref' AS pref_label FROM keys
+    ), ex AS (
+      SELECT doc_id, unnest(subj) AS k FROM d
+    ), j AS (
+      SELECT e.doc_id, a.pref_label FROM ex e LEFT JOIN auth a ON e.k = a.key
+    )
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(list(pref_label))), '|')
+             AS pref_labels
+    FROM j GROUP BY doc_id
+    """,
+)
+def authority_enrich_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array-key enrichment path: a document carries MULTIPLE
+    authority keys (subject URIs in the reference's data model); the
+    operator explodes, joins each element against the broadcast
+    snapshot, and regroups to one row per document.  The gathered labels
+    are sorted and serialized at the output boundary (collect order is
+    partition-dependent; the comparator needs scalar cells)."""
+    from reindexer_spark.docpipe.authority import enrich_with_authorities
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.filter(F.col("doc_id") < 300).select(
+        "doc_id", F.array("lang", "source").alias("subj")
+    )
+    auth = (
+        d.select(F.col("lang").alias("key"))
+        .union(d.select(F.col("source").alias("key")))
+        .distinct()
+        .select("key", F.concat(F.upper("key"), F.lit("#pref")).alias("pref_label"))
+    )
+    enriched = enrich_with_authorities(docs, auth, doc_key="subj")
+    return enriched.select(
+        "doc_id",
+        F.array_join(F.array_sort("pref_label"), "|").alias("pref_labels"),
+    )

@@ -50,6 +50,7 @@ def run_stream_to_memory(
     """Run a streaming plan to completion into a memory table; returns a
     batch DataFrame over the final result."""
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    spark = streaming_df.sparkSession
     q = (
         streaming_df.writeStream.outputMode(output_mode)
         .format("memory")
@@ -61,4 +62,9 @@ def run_stream_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
-    return streaming_df.sparkSession.sql(f"SELECT * FROM {name}")
+        # join the micro-batch thread completely and drop the terminated
+        # query's bookkeeping — the stream leaves nothing running in the
+        # JVM that could interfere with later batch jobs in this session
+        q.awaitTermination()
+        spark.streams.resetTerminated()
+    return spark.sql(f"SELECT * FROM {name}")

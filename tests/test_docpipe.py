@@ -297,3 +297,62 @@ def test_run_reindex_end_to_end(spofford, authorities, tmp_path):
     assert len(sent) == result.ingested
     sample = next(d for d in sent if d.get("variant_names"))
     assert "title_main_t" in sample and "id" in sample
+
+
+def test_authority_snapshot_loader(spark, tmp_path):
+    """File-backed snapshot loading: parquet and json-lines forms of the
+    exported Redis store (ingest.go:28-30), plus the failure modes."""
+    from reindexer_spark.docpipe.authority import load_authority_snapshot
+
+    auth = spark.createDataFrame(
+        [(f"uri:{i}", f"Label {i}") for i in range(4)],
+        "key string, pref_label string",
+    )
+    pq = str(tmp_path / "auth.parquet")
+    auth.write.parquet(pq)
+    loaded = load_authority_snapshot(spark, pq)
+    assert sorted(r.key for r in loaded.collect()) == [f"uri:{i}" for i in range(4)]
+
+    jl = str(tmp_path / "auth.json")
+    auth.write.json(jl)
+    assert load_authority_snapshot(spark, jl).count() == 4
+
+    with pytest.raises(ValueError, match="no 'key' column"):
+        bad = str(tmp_path / "bad.parquet")
+        auth.selectExpr("key AS k", "pref_label").write.parquet(bad)
+        load_authority_snapshot(spark, bad)
+    with pytest.raises((RuntimeError, Exception)):
+        load_authority_snapshot(spark, "redis://localhost:6379/0")
+
+
+def test_run_reindex_loads_snapshot_from_config(spofford, spark, tmp_path):
+    """conf.authorities + conf.redis_url pointing at an exported snapshot
+    file enriches without a caller-supplied DataFrame — the config-driven
+    equivalent of the reference's `-a --redis-url` pair."""
+    snap = str(tmp_path / "authsnap.parquet")
+    spark.createDataFrame(
+        [(f"uri:{i}", [f"Variant {i}a", f"Variant {i}b"]) for i in range(4)],
+        "key string, variant_names array<string>",
+    ).write.parquet(snap)
+    cap = str(tmp_path / "cap3")
+    os.makedirs(cap)
+    conf = ReindexConfig(
+        password="x",
+        solr_url="http://unused",
+        chunk_size=50,
+        authorities=True,
+        redis_url=snap,
+    )
+    sink = SolrSink(
+        conf.solr_url, batch_size=50, transport_factory=lambda: CaptureTransport(cap)
+    )
+    result = run_reindex(
+        spofford, conf, sink=sink, auth_doc_key="subjects_uri_a"
+    )
+    assert result.ingested > 0
+    sent = [
+        d
+        for f in glob.glob(os.path.join(cap, "*.json"))
+        for d in json.load(open(f))
+    ]
+    assert any(d.get("variant_names") for d in sent)
