@@ -500,11 +500,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("d1", "d2")
     )
-    edges = track(
+    raw_edges = track(
         pairs.union(
             pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
         ).distinct()
     )
+    # The pair graph is orders of magnitude smaller than the corpus (only
+    # docs with a near-dup candidate appear), so the loop's shuffles get a
+    # partition count sized to the EDGE count, not the session default —
+    # at sf0.01 that is 1 partition instead of 32 tiny ones; at 100 TB the
+    # same formula lands in the hundreds.
+    n_edges = raw_edges.count()
+    parts = max(1, min(200, n_edges // 100_000 + 1))
+    edges = track(raw_edges.repartition(parts, "d2"))
+    edges.count()  # materialize from the cached raw edges, then drop them
+    untrack(raw_edges)
     labels = track(
         edges.select(F.col("d1").alias("node")).distinct().withColumn(
             "label", F.col("node")
@@ -516,23 +526,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("d1").alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = track(
+        # Keep old and new label side by side in ONE persisted frame: the
+        # convergence count reads it directly instead of re-joining the
+        # old labels against the new (one join + one shuffle less per
+        # iteration).
+        stepped = track(
             labels.join(neighbor_min, labels.node == F.col("node2"), "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = stepped.filter(F.col("label") != F.col("old_label")).count()
         untrack(labels)  # superseded iteration — release immediately
-        labels = new_labels
+        labels = stepped.select("node", "label")
         if changed == 0:
             break
     # n_reachable = component size (cross-checks the closure the oracle

@@ -69,15 +69,41 @@ def _ensure_loaded() -> None:
     import reindexer_spark.operators  # noqa: F401
 
 
+def gate_order(names: list[str]) -> list[str]:
+    """Deterministic family-interleaved ordering for the correctness gate.
+
+    The external gate runs queries in the order this dict yields them and
+    stops when its time budget runs out (round 1: 50 of 133, alphabetical
+    a-f, so window/scalar/text/knn families got no row at all).  Round-robin
+    across operator families (the ``<family>_`` name prefix) means ANY
+    prefix of the budget checks one query from every family before any
+    family gets its second — the checked window always spans the whole
+    operator surface.
+    """
+    families: dict[str, list[str]] = {}
+    for n in sorted(names):
+        families.setdefault(n.split("_", 1)[0], []).append(n)
+    queues = [families[f] for f in sorted(families)]
+    out: list[str] = []
+    while queues:
+        queues = [q for q in queues if q]
+        for q in queues:
+            if q:
+                out.append(q.pop(0))
+    return out
+
+
 def all_queries() -> dict[str, QueryFn]:
     _ensure_loaded()
-    return {name: q.fn for name, q in sorted(_REGISTRY.items())}
+    return {name: _REGISTRY[name].fn for name in gate_order(list(_REGISTRY))}
 
 
 def all_oracles() -> dict[str, str]:
     _ensure_loaded()
     return {
-        name: q.oracle for name, q in sorted(_REGISTRY.items()) if q.oracle is not None
+        name: _REGISTRY[name].oracle
+        for name in gate_order(list(_REGISTRY))
+        if _REGISTRY[name].oracle is not None
     }
 
 
