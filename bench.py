@@ -114,6 +114,8 @@ def _print_delta_ledger(timings: dict[str, float], total: float, sf) -> None:
             base = json.load(fh)
     except (OSError, json.JSONDecodeError):
         return
+    if "parsed" in base:  # driver-recorded BENCH_r*.json wraps our line
+        base = base["parsed"] or {}
     if base.get("sf") != sf:
         return
     bq = base.get("queries", {})

@@ -61,6 +61,21 @@ def main(argv: list[str] | None = None) -> int:
     if args.start_id is not None:
         conf.start_id = args.start_id
 
+    # Fail on every missing dependency BEFORE the JVM spins up
+    # (reference: driver.go:119-150 fatals pre-scan; see docpipe.preflight).
+    from reindexer_spark.docpipe.preflight import preflight
+
+    failures = preflight(
+        conf,
+        input_path=args.input,
+        chunks_dir=args.chunks_dir,
+        dry_run_dir=args.dry_run_dir,
+    )
+    if failures:
+        for f in failures:
+            print(f"error: {f}", file=sys.stderr)
+        return 2
+
     spark = get_spark("reindexer-cli")
     if args.input:
         docs = spark.read.parquet(args.input)

@@ -26,6 +26,7 @@ from reindexer_spark.docpipe.flatten import (
 )
 from reindexer_spark.docpipe.authority import enrich_with_authorities
 from reindexer_spark.docpipe.chunker import write_ndjson_chunks
+from reindexer_spark.docpipe.preflight import PreflightError, preflight
 from reindexer_spark.docpipe.resume import apply_resume, highwater
 from reindexer_spark.docpipe.solr_sink import SolrSink
 

@@ -61,7 +61,15 @@ def word_shingles(toks_col, k: int = SHINGLE_K):
 
 
 def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) exploded inverted index with the DF cap applied.
+    """(doc_id, sh) exploded inverted index with the DF cap applied.
+
+    Shingles are carried as their ``xxhash64`` (8-byte longs), never as
+    gram strings: every consumer (pair generation, MinHash signatures,
+    verification joins) only equi-joins or counts them, so the cached
+    index, the DF-cap aggregation, and every downstream shuffle move
+    fixed-width longs instead of ~20-40-byte strings (collision odds
+    ~1e-10 at this scale — the same trade _pairs_by_shingle already
+    documented).
 
     The raw index is persisted BEFORE the document-frequency cap: the
     cap's hot-list aggregation and the anti-join both consume it, and
@@ -75,16 +83,16 @@ def shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = track(
         d.select(
-            "doc_id", F.explode(word_shingles(F.col("toks"))).alias("shingle")
-        )
+            "doc_id", F.explode(word_shingles(F.col("toks"))).alias("gram")
+        ).select("doc_id", F.xxhash64("gram").alias("sh"))
     )
     hot = (
-        raw.groupBy("shingle")
+        raw.groupBy("sh")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > DF_CAP)
-        .select("shingle")
+        .select("sh")
     )
-    return raw.join(F.broadcast(hot), "shingle", "left_anti")
+    return raw.join(F.broadcast(hot), "sh", "left_anti")
 
 
 def _pairs_by_shingle(ex: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
@@ -108,7 +116,7 @@ def _pairs_by_shingle(ex: DataFrame, sizes: DataFrame, threshold: float) -> Data
     needs no further joins.
     """
     hashed = ex.join(F.broadcast(sizes), "doc_id").select(
-        F.xxhash64("shingle").alias("sh"),
+        "sh",
         F.struct(F.col("doc_id").alias("d"), F.col("n")).alias("dn"),
     )
     grouped = (
@@ -243,23 +251,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidates, verified by true Jaccard.
 
-    Pipeline: shingle → 32 minhashes (xxhash64 with per-permutation salt,
-    a single aggregation over the inverted index) → 8 bands of 4 → band
-    join on (band_id, band_hash) → exact Jaccard verification of the
-    candidates only.  At 100 TB the band join replaces the quadratic
-    shingle self-join with an equality join whose fan-out is controlled
-    by the band width; this is the scale path, dedup_ngram_jaccard is
-    the exact baseline it is validated against (see tests).
+    Pipeline: shingle → 32 minhashes (xxhash64 over the 8-byte shingle
+    hash + permutation index — fixed-width input, no per-permutation
+    string concat; multiply-add permutations would be cheaper still but
+    overflow under ANSI mode) → 8 bands of 4 → band join on (band_id, band_hash)
+    → exact Jaccard verification of the candidates only.  At 100 TB the
+    band join replaces the quadratic shingle self-join with an equality
+    join whose fan-out is controlled by the band width; this is the
+    scale path, dedup_ngram_jaccard is the exact baseline it is
+    validated against (see tests).
     """
     ex = shingle_table(spark, sf_dir)
-    # 32 salted hashes per (doc, shingle); min per doc per permutation.
+    # 32 permuted hashes per (doc, shingle); min per doc per permutation.
     hashed = ex.select(
         "doc_id",
-        "shingle",
+        "sh",
         *[
-            F.xxhash64(F.concat(F.lit(f"perm{i}:"), F.col("shingle"))).alias(
-                f"h{i}"
-            )
+            F.xxhash64("sh", F.lit(i)).alias(f"h{i}")
             for i in range(MINHASH_PERMS)
         ],
     )
@@ -304,7 +312,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             ex.alias("e2"),
             (F.col("d2") == F.col("e2.doc_id"))
-            & (F.col("e1.shingle") == F.col("e2.shingle")),
+            & (F.col("e1.sh") == F.col("e2.sh")),
         )
         .groupBy("d1", "d2")
         .agg(F.count("*").alias("n_common"))

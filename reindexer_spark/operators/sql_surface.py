@@ -106,6 +106,50 @@ WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
 """
 
 
+TPCH_Q7ISH = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       {year_fn} AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS volume
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY n1.n_name, n2.n_name, {year_fn}
+"""
+
+TPCH_Q10ISH = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_returned_lines
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+"""
+
+TPCH_Q16ISH = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#13'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
 @query(
     "sql_tpch_q3ish",
     oracle=TPCH_Q3ISH.format(date_fn="strftime(o.o_orderdate, '%Y-%m-%d')"),
@@ -157,6 +201,39 @@ def sql_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal quantity sums keep the HAVING boundary exact, so no row can
     flip sides between engines."""
     return run_sql(spark, sf_dir, TPCH_Q18ISH)
+
+
+@query(
+    "sql_tpch_q7ish",
+    oracle=TPCH_Q7ISH.format(year_fn="CAST(year(l.l_shipdate) AS BIGINT)"),
+)
+def sql_tpch_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style nation-pair volume: a six-table join where the two
+    nation dimensions are broadcast (tiny), the fact-side joins shuffle
+    on their keys, and the pair inequality (n1 < n2) canonicalizes the
+    direction without a second pass.  Decimal revenue keeps the sums
+    order-independent."""
+    return run_sql(
+        spark, sf_dir,
+        TPCH_Q7ISH.format(year_fn="CAST(year(l.l_shipdate) AS BIGINT)"),
+    )
+
+
+@query("sql_tpch_q10ish", oracle=TPCH_Q10ISH)
+def sql_tpch_q10ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item report: the returnflag filter lands
+    in the lineitem scan (pushed predicate), customer/nation broadcast,
+    and the aggregate carries both a decimal revenue and a row count."""
+    return run_sql(spark, sf_dir, TPCH_Q10ISH)
+
+
+@query("sql_tpch_q16ish", oracle=TPCH_Q16ISH)
+def sql_tpch_q16ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier count: NOT IN subquery → null-aware anti
+    join against the (tiny, broadcast) excluded-supplier set, then
+    COUNT(DISTINCT) per part attribute group — the two-shuffle
+    distinct-aggregate shape."""
+    return run_sql(spark, sf_dir, TPCH_Q16ISH)
 
 
 @query("sql_tpch_q19ish", oracle=TPCH_Q19ISH)
