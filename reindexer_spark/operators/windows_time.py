@@ -189,6 +189,92 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sliding_live",
+    oracle="""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS slot_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, value
+      FROM events
+    )
+    SELECT strftime(slot_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM assigned
+    GROUP BY 1
+    """,
+)
+def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window_sliding executed by the real Structured Streaming engine:
+    overlapping 1-hour/30-minute windows mean every event feeds TWO
+    window states concurrently — the state-store shape the batch plan
+    never exercises.  Same oracle as the batch query: batch/stream
+    equivalence checked value-for-value."""
+    from reindexer_spark.streaming import run_stream_to_memory, stream_events
+
+    events = stream_events(spark, sf_dir)
+    agg = (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+@query(
+    "stream_static_join_live",
+    oracle="""
+    WITH profile AS (
+      SELECT user_id, COUNT(*) AS user_total_events
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           CASE WHEN p.user_total_events >= 400 THEN 'heavy' ELSE 'light' END
+             AS user_tier,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN profile p ON p.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join, the Kafka→dimension-table staple:
+    each micro-batch of the event stream joins a STATIC user-profile
+    dimension (batch-computed snapshot, re-read per batch; broadcast-
+    sized by definition), then aggregates per (event_type, tier).  The
+    oracle computes the same snapshot + join as plain SQL — the stream
+    path and the batch path must agree value-for-value.
+    """
+    from reindexer_spark.streaming import run_stream_to_memory, stream_events
+
+    profile = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("user_total_events"))
+    )
+    tier = F.when(
+        F.col("user_total_events") >= 400, F.lit("heavy")
+    ).otherwise(F.lit("light"))
+    events = stream_events(spark, sf_dir)
+    agg = (
+        events.join(F.broadcast(profile), "user_id")
+        .groupBy("event_type", tier.alias("user_tier"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+@query(
     "events_funnel",
     oracle="""
     WITH firsts AS (
