@@ -69,17 +69,37 @@ def _ensure_loaded() -> None:
     import reindexer_spark.operators  # noqa: F401
 
 
-def gate_order(names: list[str]) -> list[str]:
-    """Deterministic family-interleaved ordering for the correctness gate.
-
-    The external gate runs queries in the order this dict yields them and
-    stops when its time budget runs out (round 1: 50 of 133, alphabetical
-    a-f, so window/scalar/text/knn families got no row at all).  Round-robin
-    across operator families (the ``<family>_`` name prefix) means ANY
-    prefix of the budget checks one query from every family before any
-    family gets its second — the checked window always spans the whole
-    operator surface.
+def _driver_checked() -> set[str]:
+    """Names that already have a green driver row in any prior round's
+    ``CORRECTNESS_r*.json`` (written by the external gate beside the repo
+    root).  Green = value-hash match, or a completed rows-only check for
+    queries that deliberately carry no oracle.  Red/errored rows do NOT
+    count — those queries stay in the priority group for re-verification.
+    Unreadable or absent files degrade to "nothing checked yet".
     """
+    import json
+    from pathlib import Path
+
+    checked: set[str] = set()
+    root = Path(__file__).resolve().parents[1]
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                checked.add(name)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                checked.add(name)  # rows-only query: completed its weaker check
+    return checked
+
+
+def _interleave(names: list[str]) -> list[str]:
     families: dict[str, list[str]] = {}
     for n in sorted(names):
         families.setdefault(n.split("_", 1)[0], []).append(n)
@@ -91,6 +111,32 @@ def gate_order(names: list[str]) -> list[str]:
             if q:
                 out.append(q.pop(0))
     return out
+
+
+def gate_order(names: list[str]) -> list[str]:
+    """Deterministic family-interleaved ordering for the correctness gate,
+    rotated by prior coverage.
+
+    The external gate runs queries in the order this dict yields them and
+    stops when its time budget runs out (~50 queries/round; round 1 ran
+    alphabetical a-f, so window/scalar/text/knn families got no row at
+    all).  Two fixes compose here:
+
+    1. **Round-robin across operator families** (the ``<family>_`` name
+       prefix): any budget prefix checks one query from every family
+       before any family gets its second.
+    2. **Rotation by prior results** (round 3): queries WITHOUT a green
+       row in any existing ``CORRECTNESS_r*.json`` sort first, so each
+       round's budget lands on the still-unverified tail instead of
+       re-proving the same prefix forever.  Already-green queries keep
+       the same interleave among themselves at the back — they still run
+       if the budget allows, newest-round files naturally roll coverage
+       forward.
+    """
+    checked = _driver_checked()
+    fresh = [n for n in names if n not in checked]
+    done = [n for n in names if n in checked]
+    return _interleave(fresh) + _interleave(done)
 
 
 def all_queries() -> dict[str, QueryFn]:
