@@ -10,8 +10,13 @@ partitions for the whole session (round-1 VERDICT "What's wrong" #4).
 The contract: operators call :func:`track` instead of ``df.persist()``;
 the registry wrapper calls :func:`release_all` as each query STARTS, so
 a query's caches live exactly until the next query begins.  Unpersist
-never breaks lineage — a late consumer would just recompute — so this
-is safe even if a caller holds the returned DataFrame across queries.
+never breaks lineage — a late consumer recomputes — so track() is safe
+ONLY for materializations whose recompute is deterministic.  A frame
+whose recompute could legitimately differ (e.g. repartitionByRange's
+SAMPLED boundaries feeding driver-collected offsets — see
+``docpipe/chunker.chunk_ids``) must use ``localCheckpoint()`` instead:
+the checkpoint severs lineage, so the materialized result cannot be
+silently recomputed into something else after release.
 """
 
 from __future__ import annotations

@@ -49,13 +49,50 @@ def load_authority_snapshot(
                 "the store to parquet/json and pass that path instead"
             ) from exc
         r = redis.Redis.from_url(source, decode_responses=True)
-        rows = []
-        for key in r.scan_iter():  # pragma: no cover - no redis here
-            val = r.hgetall(key) if r.type(key) == "hash" else {"value": r.get(key)}
-            rows.append({key_col: key, **val})
-        return spark.createDataFrame(rows)
+        return _scan_redis_capped(spark, r, source, key_col)
 
     ext = fmt or os.path.splitext(source)[1].lstrip(".").lower() or "parquet"
+    return _load_snapshot_file(spark, source, ext, key_col)
+
+
+# The live-scan path materializes on the DRIVER; these caps turn a
+# mis-pointed URL (a corpus-sized store instead of a dimension-sized
+# authority set) into an immediate, actionable error instead of a
+# driver OOM minutes later.  Exceeding either bound means the store
+# belongs on the snapshot path.
+REDIS_MAX_KEYS = 100_000
+REDIS_MAX_BYTES = 64 << 20
+
+
+def _scan_redis_capped(
+    spark: SparkSession, client, source: str, key_col: str
+) -> DataFrame:
+    rows: list[dict] = []
+    approx_bytes = 0
+    for key in client.scan_iter():
+        val = (
+            client.hgetall(key)
+            if client.type(key) == "hash"
+            else {"value": client.get(key)}
+        )
+        rows.append({key_col: key, **val})
+        approx_bytes += len(str(key)) + sum(
+            len(str(k)) + len(str(v)) for k, v in val.items()
+        )
+        if len(rows) > REDIS_MAX_KEYS or approx_bytes > REDIS_MAX_BYTES:
+            raise RuntimeError(
+                f"authority store at {source!r} exceeds the live-scan cap "
+                f"({REDIS_MAX_KEYS} keys / {REDIS_MAX_BYTES >> 20} MB): "
+                "this path collects on the driver and is only for "
+                "dimension-sized sets — export the store to parquet/json "
+                "and pass that path instead"
+            )
+    return spark.createDataFrame(rows)
+
+
+def _load_snapshot_file(
+    spark: SparkSession, source: str, ext: str, key_col: str
+) -> DataFrame:
     if ext == "parquet":
         df = spark.read.parquet(source)
     elif ext in ("json", "ndjson", "jsonl"):

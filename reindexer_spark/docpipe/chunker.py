@@ -18,7 +18,6 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from reindexer_spark.cache import track
 
 
 def write_ndjson_chunks(
@@ -74,13 +73,17 @@ def chunk_ids(df: DataFrame, id_col: str, chunk_size: int) -> DataFrame:
     from pyspark.sql import Window
 
     parts = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    # persisted: repartitionByRange picks boundaries by SAMPLING, so
-    # recomputing it for the counts job and again for the final join can
-    # yield different partitionings — the offsets would then be wrong
-    # (observed as ±100-row chunk drift at 100k rows)
-    ranged = track(
+    # localCheckpoint, not a releasable persist: repartitionByRange picks
+    # boundaries by SAMPLING, so a RECOMPUTE can yield a different
+    # partitioning than the one the driver-collected offsets were built
+    # from (observed as ±100-row chunk drift at 100k rows).  A tracked
+    # persist is released at the next query start and would silently
+    # recompute for a caller still holding the result; the checkpoint
+    # severs lineage so the materialized partitioning IS the data.
+    ranged = (
         df.repartitionByRange(parts, F.col(id_col))
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     # cumulative row offset per range partition (tiny driver-side table)
     counts = (

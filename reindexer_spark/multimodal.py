@@ -5,10 +5,11 @@ The Spark-side plumbing is fully real: schemas, partition-size control,
 Arrow batch iteration, metadata extraction.  The codec layer has three
 implementations behind one seam: ``FakeCodec`` (digest-derived, for
 batch-shape contract tests), the dependency-free stdlib codecs in
-:mod:`reindexer_spark.codecs` (real BMP/PPM/WAV parsing — decode,
-resize, and audio frame-sampling run on real bytes in this container),
-and ``LibraryCodec`` which upgrades to Pillow when installed.  True
-video containers still need pyav/ffmpeg and raise ``MediaFormatError``
+:mod:`reindexer_spark.codecs` (real BMP/PPM/WAV/DIB-AVI parsing —
+decode, resize, audio windows and video frame-sampling run on real
+bytes in this container), and
+``LibraryCodec`` which upgrades to Pillow when installed.  Compressed
+video (mp4/mkv) still needs pyav/ffmpeg and raises ``MediaFormatError``
 into the quarantine lane.
 
 At 100 TB the shape is the important part:
@@ -84,29 +85,49 @@ class FakeCodec:
 
 
 class LibraryCodec:
-    """The production decoder seam: Pillow when installed, else the
-    dependency-free stdlib parsers (BMP / PPM / WAV) from
-    :mod:`reindexer_spark.codecs` — real bytes decode in-container either
-    way.  Formats neither path understands raise ``MediaFormatError``
-    (the quarantine lane), not ``NotImplementedError``."""
+    """The production decoder seam: the dependency-free stdlib parsers
+    (BMP / PPM / WAV / DIB-AVI) from :mod:`reindexer_spark.codecs`
+    handle the natively-understood containers, and Pillow — when
+    installed — extends coverage to exotic image formats ONLY.  The
+    container is sniffed FIRST: payloads the stdlib path understands
+    never reach Pillow (so audio/video and the canonical image formats
+    behave identically with and without Pillow installed), and any
+    Pillow failure is wrapped in ``MediaFormatError`` so unknown or
+    corrupt payloads always land in the quarantine lane, never escape
+    as library-specific exceptions."""
 
     def decode(self, payload: bytes) -> dict:
+        from reindexer_spark.codecs import (
+            MediaFormatError,
+            PurePythonCodec,
+            _sniff,
+        )
+
+        try:
+            _sniff(payload)
+        except MediaFormatError:
+            pass  # unknown container → try Pillow below
+        else:
+            return PurePythonCodec().decode(payload)
         try:
             import io
 
             from PIL import Image  # type: ignore[import-not-found]
         except ImportError:
-            from reindexer_spark.codecs import PurePythonCodec
-
-            return PurePythonCodec().decode(payload)
-        img = Image.open(io.BytesIO(payload))
-        from reindexer_spark.codecs import PurePythonCodec
-
+            raise MediaFormatError(
+                "unrecognized media payload (Pillow not installed)"
+            ) from None
         # Pillow for the exotic containers; feature math stays the shared
         # deterministic integer path (re-encode to the canonical form)
         from reindexer_spark.codecs import encode_ppm
 
-        rgb = img.convert("RGB")
+        try:
+            img = Image.open(io.BytesIO(payload))
+            rgb = img.convert("RGB")
+        except Exception as exc:
+            raise MediaFormatError(
+                f"Pillow could not decode payload: {exc}"
+            ) from exc
         return PurePythonCodec().decode(
             encode_ppm(rgb.width, rgb.height, rgb.tobytes())
         )
@@ -116,6 +137,10 @@ def extract_media_features(media: DataFrame, codec=None) -> DataFrame:
     """binary payload → (dims, checksum, feature vector) via mapInPandas.
 
     One Arrow batch in, one out; payload bytes never leave the executor.
+    A payload the codec rejects (``MediaFormatError``) becomes a
+    null-feature quarantine row — byte length and checksum are kept so
+    the bad payload stays identifiable downstream — rather than failing
+    the whole Spark stage (the A9 error-channel contract).
     Heavy payloads: wrap the consuming ACTION in ``arrow_batch_size`` to
     cap rows per Arrow batch (session conf, read at execution time).
     """
@@ -125,6 +150,8 @@ def extract_media_features(media: DataFrame, codec=None) -> DataFrame:
         import hashlib
 
         import pandas as pd
+
+        from reindexer_spark.codecs import MediaFormatError
 
         for pdf in batches:
             out = []
@@ -144,7 +171,15 @@ def extract_media_features(media: DataFrame, codec=None) -> DataFrame:
                         }
                     )
                     continue
-                decoded = codec.decode(bytes(payload))
+                try:
+                    decoded = codec.decode(bytes(payload))
+                except MediaFormatError:
+                    decoded = {
+                        "width": None,
+                        "height": None,
+                        "n_channels": None,
+                        "features": None,
+                    }
                 out.append(
                     {
                         "media_id": row["media_id"],
@@ -226,23 +261,33 @@ class LibraryResizer:
 
 
 class LibraryFrameSampler:
-    """Real video containers need pyav/ffmpeg (not in this container);
-    WAV audio payloads sample real timestamped windows via
-    :class:`reindexer_spark.codecs.WavFrameSampler`."""
+    """Container-sniffing frame sampler: WAV audio samples real
+    timestamped 100 ms windows (:class:`codecs.WavFrameSampler`);
+    uncompressed-DIB AVI video samples real decoded frames re-encoded
+    as standalone BMPs (:class:`codecs.AviFrameSampler`).  Compressed
+    video (mp4/mkv/h264) still needs pyav/ffmpeg and quarantines via
+    ``MediaFormatError``."""
+
+    def _sampler(self, payload: bytes):
+        from reindexer_spark.codecs import (
+            AviFrameSampler,
+            MediaFormatError,
+            WavFrameSampler,
+        )
+
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return WavFrameSampler()
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            return AviFrameSampler()
+        raise MediaFormatError(
+            "compressed video containers require pyav/ffmpeg"
+        )
 
     def duration_ms(self, payload: bytes) -> int:
-        from reindexer_spark.codecs import MediaFormatError, WavFrameSampler
-
-        if payload[:4] == b"RIFF":
-            return WavFrameSampler().duration_ms(payload)
-        raise MediaFormatError("video containers require pyav/ffmpeg")
+        return self._sampler(payload).duration_ms(payload)
 
     def frame_at(self, payload: bytes, ts_ms: int) -> bytes:
-        from reindexer_spark.codecs import MediaFormatError, WavFrameSampler
-
-        if payload[:4] == b"RIFF":
-            return WavFrameSampler().frame_at(payload, ts_ms)
-        raise MediaFormatError("video containers require pyav/ffmpeg")
+        return self._sampler(payload).frame_at(payload, ts_ms)
 
 
 def resize_thumbnails(
@@ -259,22 +304,27 @@ def resize_thumbnails(
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from reindexer_spark.codecs import MediaFormatError
+
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
                 payload = row["payload"]
+                null_row = {
+                    "media_id": row["media_id"],
+                    "kind": row["kind"],
+                    "thumb_w": None,
+                    "thumb_h": None,
+                    "thumbnail": None,
+                }
                 if payload is None:
-                    out.append(
-                        {
-                            "media_id": row["media_id"],
-                            "kind": row["kind"],
-                            "thumb_w": None,
-                            "thumb_h": None,
-                            "thumbnail": None,
-                        }
-                    )
+                    out.append(null_row)
                     continue
-                r = resizer.resize(bytes(payload), max_dim)
+                try:
+                    r = resizer.resize(bytes(payload), max_dim)
+                except MediaFormatError:
+                    out.append(null_row)  # quarantine, don't fail the stage
+                    continue
                 out.append(
                     {"media_id": row["media_id"], "kind": row["kind"], **r}
                 )
@@ -300,6 +350,8 @@ def sample_video_frames(
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from reindexer_spark.codecs import MediaFormatError
+
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
@@ -307,7 +359,10 @@ def sample_video_frames(
                 if payload is None:
                     continue  # nothing to sample; quarantined upstream
                 payload = bytes(payload)
-                duration = sampler.duration_ms(payload)
+                try:
+                    duration = sampler.duration_ms(payload)
+                except MediaFormatError:
+                    continue  # unsupported container → no frames emitted
                 for idx, ts in enumerate(range(0, duration, every_ms)):
                     if idx >= max_frames:
                         break

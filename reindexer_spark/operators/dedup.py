@@ -528,6 +528,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label", F.col("node")
         )
     )
+    # ``untrack`` matches by object identity, so the handle released each
+    # iteration must be the frame that was TRACKED — ``labels`` becomes a
+    # derived ``.select`` after the first pass and untracking it would be
+    # a silent no-op, leaking up to 20 persisted iterations per query.
+    tracked_prev = labels
     for _ in range(20):
         neighbor_min = (
             edges.join(labels, edges.d2 == labels.node)
@@ -549,7 +554,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         changed = stepped.filter(F.col("label") != F.col("old_label")).count()
-        untrack(labels)  # superseded iteration — release immediately
+        untrack(tracked_prev)  # superseded iteration — release immediately
+        tracked_prev = stepped
         labels = stepped.select("node", "label")
         if changed == 0:
             break

@@ -136,7 +136,8 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _synth_media(d: DataFrame) -> DataFrame:
     """documents → media rows with REAL payloads: a deterministic 24-bit
     BMP per document (pixels seeded from the text digest), every third
-    row a real mono 16-bit WAV instead.  Built in mapInPandas because
+    row a real mono 16-bit WAV, every doc_id % 3 == 1 row a real
+    multi-frame uncompressed-DIB AVI.  Built in mapInPandas because
     container encoding is byte-level Python — this is the fixture lane;
     the decode lane downstream parses these bytes back for real."""
     schema = (
@@ -148,7 +149,7 @@ def _synth_media(d: DataFrame) -> DataFrame:
 
         import pandas as pd
 
-        from reindexer_spark.codecs import encode_bmp, encode_wav
+        from reindexer_spark.codecs import encode_avi, encode_bmp, encode_wav
 
         for pdf in batches:
             rows = []
@@ -164,6 +165,17 @@ def _synth_media(d: DataFrame) -> DataFrame:
                         for i in range(16000)
                     ]
                     payload, kind = encode_wav(samples, 8000), "audio-wav"
+                elif r["doc_id"] % 3 == 1:
+                    w, h = 6 + seed[0] % 7, 6 + seed[1] % 7
+                    frames = []
+                    for i in range(3 + seed[2] % 4):  # 3-6 frames @ 4 fps
+                        fseed = hashlib.sha256(seed + bytes([i])).digest()
+                        frames.append(
+                            (fseed * ((w * h * 3) // len(fseed) + 1))[
+                                : w * h * 3
+                            ]
+                        )
+                    payload, kind = encode_avi(w, h, frames, 4), "video-avi"
                 else:
                     w, h = 8 + seed[0] % 9, 8 + seed[1] % 9
                     rgb = (seed * ((w * h * 3) // len(seed) + 1))[: w * h * 3]
@@ -186,7 +198,7 @@ def _synth_media(d: DataFrame) -> DataFrame:
 @query("multimodal_decode_features")  # Python codec output → rows-only check
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The media-decode pipeline on REAL bytes end-to-end: deterministic
-    BMP/WAV payloads are synthesized per document, then parsed back by
+    BMP/WAV/DIB-AVI payloads are synthesized per document, then parsed back by
     the dependency-free stdlib codecs (reindexer_spark.codecs) through
     the Arrow-batched mapInPandas seam — decoded dimensions, channel
     means, amplitude stats are computed from actual pixel/sample data,
@@ -230,19 +242,23 @@ def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("multimodal_frame_sample")  # Python sampler output → rows-only check
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Timestamped frame sampling on REAL media: the synthesized WAV
-    payloads (2 s of real 16-bit PCM) sample a 100 ms window at each
-    500 ms mark — actual timestamp→sample-offset math on parsed audio,
-    the same contract video sampling has (true video containers need
-    pyav and quarantine via MediaFormatError).  Each input row fans out
-    to a data-dependent number of frame rows via mapInPandas — the one
+    """Timestamped frame sampling on REAL media, audio AND video: the
+    synthesized WAV payloads (2 s of real 16-bit PCM) sample a 100 ms
+    window at each 500 ms mark, and the synthesized multi-frame DIB-AVI
+    payloads sample the decoded video frame covering each mark,
+    re-encoded as a standalone BMP — actual timestamp→offset math on
+    parsed containers in both modalities (compressed video needs pyav
+    and quarantines via MediaFormatError).  Each input row fans out to
+    a data-dependent number of frame rows via mapInPandas — the one
     shape a fixed-arity UDF cannot express.  Deterministic but
     Python-side → rows-only check; frames are emitted as (bytes,
     checksum), not raw binary, for the pandas canonicalizer."""
     from reindexer_spark.multimodal import LibraryFrameSampler, sample_video_frames
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    media = _synth_media(d).filter(F.col("kind") == "audio-wav")
+    media = _synth_media(d).filter(
+        F.col("kind").isin("audio-wav", "video-avi")
+    )
     frames = sample_video_frames(
         media, every_ms=500, max_frames=4, sampler=LibraryFrameSampler()
     )

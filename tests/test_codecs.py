@@ -1,19 +1,22 @@
-"""Dependency-free codec layer: BMP/PPM/WAV round-trips, real decode
-features, resize geometry, and WAV frame sampling — all without Pillow
-or pyav installed."""
+"""Dependency-free codec layer: BMP/PPM/WAV/AVI round-trips, real
+decode features, resize geometry, and WAV/AVI frame sampling — all
+without Pillow or pyav installed."""
 
 from __future__ import annotations
 
 import pytest
 
 from reindexer_spark.codecs import (
+    AviFrameSampler,
     MediaFormatError,
     PurePythonCodec,
     PurePythonResizer,
     WavFrameSampler,
+    decode_avi,
     decode_bmp,
     decode_ppm,
     decode_wav,
+    encode_avi,
     encode_bmp,
     encode_ppm,
     encode_wav,
@@ -106,3 +109,69 @@ def test_library_seams_fall_back_without_pil(spark):
     assert d["width"] == 4 and len(d["features"]) == 8
     with pytest.raises(MediaFormatError):
         LibraryFrameSampler().duration_ms(b"\x00\x00\x01\xba fake mpeg")
+
+
+def test_ppm_truncated_or_malformed_header_quarantines():
+    # header ends before 3 fields / non-numeric garbage → MediaFormatError
+    # (not a bare ValueError that would fail the whole Spark stage)
+    for bad in (b"P6", b"P6\n", b"P6\n4 4\n", b"P6\nxx 4\n255\n" + b"0" * 48):
+        with pytest.raises(MediaFormatError):
+            decode_ppm(bad)
+
+
+def test_avi_roundtrip_multiframe():
+    frames = [checkerboard(7, 5), checkerboard(7, 5)[::-1], checkerboard(7, 5)]
+    w, h, usec, out = decode_avi(encode_avi(7, 5, frames, fps=4))
+    assert (w, h, usec) == (7, 5, 250_000)
+    assert out == frames
+
+
+def test_avi_frame_sampler_timestamp_math():
+    frames = [bytes((i, i, i)) * 6 for i in range(5)]  # 5 solid 3x2 frames
+    payload = encode_avi(3, 2, frames, fps=4)  # 250 ms per frame
+    s = AviFrameSampler()
+    assert s.duration_ms(payload) == 1250
+    # ts=600ms falls in frame 2's [500, 750) window; output is a real BMP
+    assert decode_bmp(s.frame_at(payload, 600)) == (3, 2, frames[2])
+    # past-the-end timestamps clamp to the last frame
+    assert decode_bmp(s.frame_at(payload, 99_999)) == (3, 2, frames[4])
+
+
+def test_avi_codec_features_count_frames():
+    frames = [bytes((255, 0, 0)) * 16] * 3  # 3 solid-red 4x4 frames
+    d = PurePythonCodec().decode(encode_avi(4, 4, frames, fps=2))
+    assert (d["width"], d["height"], d["n_channels"]) == (4, 4, 3)
+    assert d["features"][0] == 1.0  # mean red over all frames
+    assert d["features"][7] == 3.0  # frame count in the last slot
+
+
+def test_truncated_avi_and_bmp_quarantine():
+    good = encode_avi(4, 4, [checkerboard(4, 4)], fps=4)
+    with pytest.raises(MediaFormatError):
+        decode_avi(good[: len(good) - 10])
+    bmp = encode_bmp(4, 4, checkerboard(4, 4))
+    with pytest.raises(MediaFormatError):
+        decode_bmp(bmp[: len(bmp) - 10])
+
+
+def test_extract_media_features_quarantines_bad_payloads(spark):
+    from reindexer_spark.multimodal import LibraryCodec, extract_media_features
+
+    rows = [
+        (1, "image-bmp", bytearray(encode_bmp(4, 4, checkerboard(4, 4))), {}),
+        (2, "image-ppm", bytearray(b"P6\n4 4\n"), {}),  # truncated header
+        (3, "unknown", bytearray(b"garbage payload"), {}),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id bigint, kind string, payload binary, meta map<string,string>"
+    )
+    out = {
+        r["media_id"]: r
+        for r in extract_media_features(media, codec=LibraryCodec()).collect()
+    }
+    assert out[1]["width"] == 4 and out[1]["features"] is not None
+    for bad_id in (2, 3):  # quarantine rows: identity kept, features null
+        assert out[bad_id]["width"] is None
+        assert out[bad_id]["features"] is None
+        assert out[bad_id]["n_bytes"] > 0
+        assert out[bad_id]["checksum"] is not None
