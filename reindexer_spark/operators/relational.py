@@ -487,24 +487,73 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_sketches")  # approximate → rows-only (sketches are engine-specific)
+@query(
+    "agg_approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS orders_in_band,
+           TRUE AS parts_in_band,
+           TRUE AS median_in_band,
+           TRUE AS p25_in_band,
+           TRUE AS p75_in_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the 100 TB substitutes for their exact
     cousins: HyperLogLog++ distinct counts and quantile sketches are
     single-pass, mergeable, and fixed-memory, where COUNT(DISTINCT) and
     exact percentiles need a shuffle of every distinct value.  Sketch
-    internals are engine-specific, so this query takes the rows-only
-    check; its exact counterparts (agg_distinct_stats, agg_percentiles)
-    are the oracle-verified baselines the estimates can be sanity-checked
-    against in tests."""
+    VALUES are engine-specific, so what is oracle-checked is the
+    published accuracy contract: each estimate is reduced to a boolean
+    "within its error band of the exact answer" (HLL++ default
+    rsd=0.05 → ±15 % ≈ 3σ; rsd=0.01 → ±3 %; percentile_approx with
+    accuracy 10 000 → rank error ≪ ±0.01 quantile, checked against the
+    exact percentiles at q±0.01).  The DuckDB oracle computes the same
+    exact counts and asserts the bands as literal TRUE — a sketch
+    drifting out of contract hash-mismatches into a red driver row."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("approx_median_price"),
-        F.percentile_approx("l_extendedprice", 0.25, 10_000).alias("approx_price_p25"),
-        F.percentile_approx("l_extendedprice", 0.75, 10_000).alias("approx_price_p75"),
+    price = F.col("l_extendedprice").cast("double")
+    agg = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey").alias("_ao"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("_ap"),
+        F.percentile_approx("l_extendedprice", 0.5, 10_000)
+        .cast("double")
+        .alias("_amed"),
+        F.percentile_approx("l_extendedprice", 0.25, 10_000)
+        .cast("double")
+        .alias("_a25"),
+        F.percentile_approx("l_extendedprice", 0.75, 10_000)
+        .cast("double")
+        .alias("_a75"),
+        F.percentile(price, F.lit(0.49)).alias("_lo50"),
+        F.percentile(price, F.lit(0.51)).alias("_hi50"),
+        F.percentile(price, F.lit(0.24)).alias("_lo25"),
+        F.percentile(price, F.lit(0.26)).alias("_hi25"),
+        F.percentile(price, F.lit(0.74)).alias("_lo75"),
+        F.percentile(price, F.lit(0.76)).alias("_hi75"),
+    )
+    in_band = lambda a, lo, hi: F.col(a).between(F.col(lo), F.col(hi))  # noqa: E731
+    rel_band = lambda a, exact, tol: (  # noqa: E731
+        F.abs(F.col(a) - F.col(exact)) <= tol * F.col(exact)
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "exact_orders",
+        "exact_parts",
+        rel_band("_ao", "exact_orders", 0.15).alias("orders_in_band"),
+        rel_band("_ap", "exact_parts", 0.03).alias("parts_in_band"),
+        in_band("_amed", "_lo50", "_hi50").alias("median_in_band"),
+        in_band("_a25", "_lo25", "_hi25").alias("p25_in_band"),
+        in_band("_a75", "_lo75", "_hi75").alias("p75_in_band"),
     )
 
 

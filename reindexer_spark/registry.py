@@ -95,7 +95,12 @@ def _driver_checked() -> set[str]:
             if row.get("hash_match") is True:
                 checked.add(name)
             elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
-                checked.add(name)  # rows-only query: completed its weaker check
+                # rows-only row counts only while the query still has no
+                # oracle — a query later UPGRADED to value-checked needs
+                # a fresh driver row under the stronger check
+                q = _REGISTRY.get(name)
+                if q is None or q.oracle is None:
+                    checked.add(name)
     return checked
 
 
