@@ -49,14 +49,19 @@ HEADLINE = [
     "embed_centroid_assign",
     "corpus_curation_funnel",
     "graph_nation_pagerank",
-    # The streaming query's position is NOT load-bearing: the round-1
-    # "post-stream stall" did not reproduce in 5 controlled runs (batch
-    # latencies flat after the stream, mid-list at sf0.1 included) and
-    # matched the known external VM noise spikes; the stream teardown now
-    # also hard-joins its thread (runner.run_stream_to_memory).  Kept last
-    # only for round-over-round timing comparability with BENCH_r01.
     "stream_tumbling_live",
 ]
+
+# The streaming query's position is NOT load-bearing — proven round 3
+# with the A/B both ways at sf0.1 on local[32]: stream LAST total
+# 31.15 s (stream 2.22 s) vs stream MID-LIST total 31.48 s (stream
+# 2.36 s), post-stream queries flat in both runs.  The round-1 "post-
+# stream stall" was external VM noise; teardown hard-joins the stream
+# thread (runner.run_stream_to_memory).  SPARK_GRAFT_STREAM_POS=mid
+# reruns the proof: same 27 queries, stream moved to the middle.
+if os.environ.get("SPARK_GRAFT_STREAM_POS") == "mid":
+    HEADLINE.remove("stream_tumbling_live")
+    HEADLINE.insert(len(HEADLINE) // 2, "stream_tumbling_live")
 
 
 def main() -> int:
@@ -83,17 +88,21 @@ def main() -> int:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf"))
     except ValueError:
         sf = None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    line = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Attach the dedup-family 10x scale proof (scale_proof.py writes it;
+    # see SCALE_PROOF.json) so the numbers ride along in BENCH_r*.json.
+    try:
+        with open(os.path.join(os.path.dirname(__file__) or ".", "SCALE_PROOF.json")) as fh:
+            line["scale_proof"] = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        pass
+    print(json.dumps(line))
     _print_delta_ledger(timings, total, sf)
     return 0
 

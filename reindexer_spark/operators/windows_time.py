@@ -326,6 +326,42 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dedup_live",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_unique,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once from at-least-once delivery, run by the real
+    Structured Streaming engine: the event stream unioned with itself
+    simulates duplicate delivery (every event arrives twice, the Kafka
+    redelivery shape), ``dropDuplicatesWithinWatermark`` on the event
+    key keeps one copy per event with state bounded by the watermark —
+    the dedup state for keys older than the watermark horizon is
+    reclaimed, which is what makes the operator viable on an unbounded
+    stream — and the downstream aggregate must equal a plain batch
+    aggregate over the ORIGINAL (undoubled) table, value for value.
+    Dedup survivors are indistinguishable (copies are identical), so
+    the post-dedup aggregate is deterministic and oracle-checkable."""
+    from reindexer_spark.streaming import run_stream_to_memory, stream_events
+
+    events = stream_events(spark, sf_dir)
+    doubled = events.union(events)
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count("*").alias("n_unique"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+    )
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+@query(
     "scd2_status_history",
     oracle="""
     WITH changes AS (

@@ -1,0 +1,220 @@
+#!/usr/bin/env python
+"""Scale proof for the dedup family: sf0.1 vs a 10× (sf1-shape) corpus.
+
+The SURVEY's 100 TB claims for the bucketed dedup pipeline (banded
+MinHash LSH, DF-capped inverted shingle index, edge-sized connected
+components) are plan-asserted in tests but, before round 3, never
+EXECUTED above sf0.1.  This script is the execution: it generates a
+50 k-document corpus (10× sf0.1) with the same vocabulary / length /
+lang / source / duplication shape as the driver's testdata, runs
+``dedup_minhash``, ``dedup_ngram_jaccard`` and ``dedup_clusters`` at
+both scales on the same session, and records wall-time plus ACTUAL
+shuffle read/write bytes per query (from Spark's status REST API) to
+``SCALE_PROOF.json``.  bench.py attaches that file to its JSON line, so
+the numbers land in the round's BENCH record.
+
+The bucketed design's promise is near-linear growth: 10× the rows may
+cost ~10× the shuffle, never ~100× (the quadratic all-pairs shape).
+That promise is conditional on the corpus's shingle-DF distribution, so
+the proof runs TWO 10× corpora:
+
+- ``sf1-dense`` — the driver testdata's own shape (31-word vocabulary).
+  The 3-gram shingle space is ~30 k, so shingle document frequency
+  grows LINEARLY with corpus size and candidate pairs quadratically;
+  this is the adversarial regime the DF cap + length filter exist for.
+- ``sf1-zipf`` — realistic long-tail vocabulary (a Zipf tail of rare
+  tokens over the same common words, like any natural corpus).  Shingle
+  DF is scale-invariant, which is the regime the near-linear claim is
+  actually about.
+
+Generation is DISTRIBUTED (mapInPandas, per-row seeding from doc_id) —
+the same generator shape would produce the 100 TB corpus; nothing goes
+through the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_DOCS = 50_000
+QUERIES = ("dedup_minhash", "dedup_ngram_jaccard", "dedup_clusters")
+
+VOCAB = (
+    "a agg batch big column customer data dup fast filter group hash join "
+    "key line merge order part query row scan slow small sort spark stream "
+    "table the value vector window"
+).split()
+LANGS = ["en"] * 8 + ["de", "es", "fr", "zh"] * 3  # ≈40 % en, rest even
+
+
+def generate_corpus(spark, out_dir: str, zipf_tail: bool, n_docs: int) -> None:
+    """Word-salad documents matching the testdata distribution:
+    10-100 words per doc, 5 langs, 20 sources, ~0.2 % exact duplicates
+    plus ~1 % near-duplicates (a copy with one word substituted) so the
+    dedup queries have real work at 10×.  ``zipf_tail=False`` uses the
+    driver testdata's closed 31-word vocabulary; ``zipf_tail=True``
+    replaces ~30 % of tokens with draws from a 200 k rare-token space
+    (the long-tail shape every natural corpus has)."""
+
+    def draw_words(rng, n_words: int) -> list:
+        words = [VOCAB[i] for i in rng.integers(0, len(VOCAB), n_words)]
+        if zipf_tail:
+            n_rare = n_words * 3 // 10
+            pos = rng.choice(n_words, size=n_rare, replace=False)
+            rare = rng.integers(0, 200_000, n_rare)
+            for p, r in zip(pos, rare):
+                words[p] = f"tok{r:05d}"
+        return words
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["id"]:
+                rng = np.random.default_rng(doc_id + 7)
+                n_words = int(rng.integers(10, 101))
+                words = draw_words(rng, n_words)
+                dup_roll = rng.random()
+                if doc_id >= 100 and dup_roll < 0.012:
+                    # duplicate an earlier doc by re-deriving its words
+                    src = int(rng.integers(0, doc_id - 1))
+                    rng2 = np.random.default_rng(src + 7)
+                    words = draw_words(rng2, int(rng2.integers(10, 101)))
+                    if dup_roll >= 0.002:  # near-dup: swap one word
+                        words[int(rng.integers(0, len(words)))] = VOCAB[
+                            int(rng.integers(0, len(VOCAB)))
+                        ]
+                text = " ".join(words)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "text": text,
+                        "lang": LANGS[int(rng.integers(0, len(LANGS)))],
+                        "source": f"src{int(rng.integers(0, 20))}",
+                        "n_chars": len(text),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+            )
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    (
+        spark.range(n_docs, numPartitions=32)
+        .mapInPandas(build, schema)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "documents.parquet"))
+    )
+
+
+def _shuffle_totals(ui_port: int) -> tuple[int, int]:
+    """(total shuffle write bytes, total shuffle write records) across
+    all completed stages so far, from the Spark status REST API.
+    Records are the scaling signal — shuffle BYTES are lz4-compressed,
+    so a corpus with repetitive keys (the dense vocabulary) compresses
+    far better than a high-entropy one and byte ratios conflate
+    compression with volume."""
+    base = f"http://localhost:{ui_port}/api/v1"
+    try:
+        apps = json.load(urllib.request.urlopen(f"{base}/applications", timeout=10))
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(
+                f"{base}/applications/{app_id}/stages?status=complete", timeout=10
+            )
+        )
+    except Exception:
+        return (0, 0)
+    return (
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        sum(s.get("shuffleWriteRecords", 0) for s in stages),
+    )
+
+
+def run_proof() -> dict:
+    from reindexer_spark import get_query, get_spark
+
+    # the status REST API is the shuffle-bytes source → UI on for this run
+    spark = get_spark(
+        "reindexer-scale-proof", extra_conf={"spark.ui.enabled": "true"}
+    )
+    ui_port = int(spark.conf.get("spark.ui.port", "4040"))
+
+    # Both distributions at BOTH sizes: each 10x growth factor compares a
+    # corpus against the same-shaped corpus, never across distributions.
+    corpora = []
+    for shape, zipf in (("dense", False), ("zipf", True)):
+        for size, n in (("5k", N_DOCS // 10), ("50k", N_DOCS)):
+            label = f"{shape}-{size}"
+            out_dir = os.path.join(REPO, "scaledata", label)
+            if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
+                print(f"generating {n} docs at {out_dir}", file=sys.stderr)
+                generate_corpus(spark, out_dir, zipf_tail=zipf, n_docs=n)
+            corpora.append((label, out_dir))
+
+    result: dict = {
+        "n_docs": {c[0]: (N_DOCS // 10 if "5k" in c[0] else N_DOCS) for c in corpora},
+        "note": (
+            "growth_at_10x compares 50k docs vs 5k docs of the SAME "
+            "distribution (wall sec, shuffle-write records). 'dense' is "
+            "the driver testdata's closed 31-word vocabulary, where the "
+            "~30k-slot 3-gram shingle space saturates: per-shingle DF "
+            "grows linearly with corpus size, so candidate pairs grow "
+            "quadratically and the DF-cap/length-filter are what keep "
+            "it bounded — the adversarial regime. 'zipf' adds the "
+            "long-tail vocabulary every natural corpus has; per-shingle "
+            "DF is scale-invariant there, which is the regime the "
+            "near-linear design claim is about. Shuffle records, not "
+            "bytes, are the scaling signal (bytes are lz4-compressed "
+            "and the dense corpus's repetitive keys compress far "
+            "better)."
+        ),
+        "queries": {},
+    }
+    for name in QUERIES:
+        q = get_query(name)
+        per_scale: dict = {}
+        for label, sf_dir in corpora:
+            b0, r0 = _shuffle_totals(ui_port)
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            wall = round(time.perf_counter() - t0, 3)
+            b1, r1 = _shuffle_totals(ui_port)
+            per_scale[label] = {
+                "wall_sec": wall,
+                "shuffle_write_mb": round((b1 - b0) / 1e6, 2),
+                "shuffle_write_mrec": round((r1 - r0) / 1e6, 3),
+            }
+        for shape in ("dense", "zipf"):
+            a, b = per_scale[f"{shape}-5k"], per_scale[f"{shape}-50k"]
+            per_scale[f"growth_at_10x_{shape}"] = {
+                "wall": round(b["wall_sec"] / max(a["wall_sec"], 1e-9), 2),
+                "shuffle_records": round(
+                    b["shuffle_write_mrec"] / max(a["shuffle_write_mrec"], 1e-9),
+                    2,
+                ),
+            }
+        result["queries"][name] = per_scale
+        print(f"{name}: {json.dumps(per_scale)}", file=sys.stderr)
+    return result
+
+
+def main() -> int:
+    result = run_proof()
+    out = os.path.join(REPO, "SCALE_PROOF.json")
+    with open(out, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
