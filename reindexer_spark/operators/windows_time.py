@@ -326,6 +326,61 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_session_live",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 2 HOUR
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), numbered AS (
+      SELECT *, SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS session_seq
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows under the REAL streaming engine: session_window
+    state merges adjacent sessions as new events arrive within the gap
+    — the one windowed-aggregation state shape (variable-width, merge
+    on update) that tumbling/sliding never exercise.  Same 2-hour gap
+    and gaps-and-islands oracle as the batch query (window_session);
+    batch/stream equivalence checked value-for-value."""
+    from reindexer_spark.streaming import run_stream_to_memory, stream_events
+
+    events = stream_events(spark, sf_dir)
+    agg = (
+        events.groupBy(
+            F.session_window("ts", SESSION_GAP).alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "session_value",
+        )
+    )
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
+@query(
     "stream_dedup_live",
     oracle="""
     SELECT event_type,
