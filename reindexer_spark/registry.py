@@ -69,7 +69,7 @@ def _ensure_loaded() -> None:
     import reindexer_spark.operators  # noqa: F401
 
 
-def _driver_checked() -> set[str]:
+def _driver_checked(root=None) -> set[str]:
     """Names that already have a green driver row in any prior round's
     ``CORRECTNESS_r*.json`` (written by the external gate beside the repo
     root).  Green = value-hash match, or a completed rows-only check for
@@ -81,7 +81,7 @@ def _driver_checked() -> set[str]:
     from pathlib import Path
 
     checked: set[str] = set()
-    root = Path(__file__).resolve().parents[1]
+    root = Path(root) if root else Path(__file__).resolve().parents[1]
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             rows = json.loads(path.read_text())
@@ -118,7 +118,7 @@ def _interleave(names: list[str]) -> list[str]:
     return out
 
 
-def gate_order(names: list[str]) -> list[str]:
+def gate_order(names: list[str], root=None) -> list[str]:
     """Deterministic family-interleaved ordering for the correctness gate,
     rotated by prior coverage.
 
@@ -138,7 +138,7 @@ def gate_order(names: list[str]) -> list[str]:
        if the budget allows, newest-round files naturally roll coverage
        forward.
     """
-    checked = _driver_checked()
+    checked = _driver_checked(root)
     fresh = [n for n in names if n not in checked]
     done = [n for n in names if n in checked]
     return _interleave(fresh) + _interleave(done)
