@@ -207,3 +207,69 @@ def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", shard.alias("shard"), F.row_number().over(w).alias("pos")
     )
+
+
+SEQ_LEN = 2048  # token budget per packed training sequence
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % {N_SHARDS}
+               AS shard,
+             md5(doc_id::VARCHAR) AS h,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    placed AS (
+      SELECT shard, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS start_offset
+      FROM toks
+    )
+    SELECT shard,
+           CAST(start_offset // {SEQ_LEN} AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MIN(start_offset) % {SEQ_LEN} AS BIGINT) AS first_doc_offset
+    FROM placed
+    GROUP BY shard, start_offset // {SEQ_LEN}
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the concat-and-chunk step every LLM pretraining
+    pipeline runs: documents are laid end-to-end in a deterministic
+    shuffled order (md5 within hash shards, same order as
+    corpus_shuffle_shard) and cut into fixed token-budget sequences;
+    each output row is one packed sequence with its document count and
+    fill level.  Shape at 100 TB: one hash exchange + per-shard window
+    cumsum — NO global sort, no driver-side loop; the running offset is
+    the only state and it is per-shard.  Token counts are whitespace
+    tokens (the text_token_stats convention)."""
+    d = load_table(spark, sf_dir, "documents")
+    h4 = _hash4("doc_id")
+    shard = (F.conv(h4, 16, 10).cast("bigint") % N_SHARDS).alias("shard")
+    toks = d.select(
+        "doc_id",
+        shard,
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = toks.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    seq = (F.col("start_offset") / SEQ_LEN).cast("bigint")
+    return placed.groupBy("shard", seq.alias("seq_id")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.min("start_offset") % SEQ_LEN).alias("first_doc_offset"),
+    )
