@@ -43,7 +43,9 @@ import urllib.request
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_DOCS = 50_000
+N_VECS = 20_000
 QUERIES = ("dedup_minhash", "dedup_ngram_jaccard", "dedup_clusters")
+ANN_QUERIES = ("knn_ivf_lsh", "dedup_embedding_lsh")
 
 VOCAB = (
     "a agg batch big column customer data dup fast filter group hash join "
@@ -112,6 +114,39 @@ def generate_corpus(spark, out_dir: str, zipf_tail: bool, n_docs: int) -> None:
         .mapInPandas(build, schema)
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "documents.parquet"))
+    )
+
+
+def generate_embeddings(spark, out_dir: str, n_vecs: int) -> None:
+    """Clustered 64-dim float vectors matching the testdata embeddings
+    shape (10 label centroids + per-vector noise, L2-normalized), so LSH
+    bucketing has the same structure at every size."""
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        cent_rng = np.random.default_rng(42)
+        centroids = cent_rng.normal(size=(10, 64))
+        centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+        for pdf in batches:
+            rows = []
+            for vec_id in pdf["id"]:
+                rng = np.random.default_rng(vec_id + 11)
+                label = int(rng.integers(0, 10))
+                v = centroids[label] + 0.35 * rng.normal(size=64)
+                v = (v / np.linalg.norm(v)).astype(np.float32)
+                rows.append(
+                    {"vec_id": vec_id, "embedding": v.tolist(), "label": label}
+                )
+            yield pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+
+    schema = "vec_id bigint, embedding array<float>, label int"
+    (
+        spark.range(n_vecs, numPartitions=32)
+        .mapInPandas(build, schema)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "embeddings.parquet"))
     )
 
 
@@ -202,6 +237,45 @@ def run_proof() -> dict:
                     2,
                 ),
             }
+        result["queries"][name] = per_scale
+        print(f"{name}: {json.dumps(per_scale)}", file=sys.stderr)
+
+    # ANN leg: clustered embeddings at 2k and 20k vectors — the LSH
+    # bucketed kNN / embedding near-dup scale path.
+    ann_corpora = []
+    for label, n in (("emb-2k", N_VECS // 10), ("emb-20k", N_VECS)):
+        out_dir = os.path.join(REPO, "scaledata", label)
+        if not os.path.exists(os.path.join(out_dir, "embeddings.parquet")):
+            print(f"generating {n} vectors at {out_dir}", file=sys.stderr)
+            generate_embeddings(spark, out_dir, n)
+        ann_corpora.append((label, out_dir))
+    result["n_vecs"] = {"emb-2k": N_VECS // 10, "emb-20k": N_VECS}
+    for name in ANN_QUERIES:
+        q = get_query(name)
+        per_scale = {}
+        for label, sf_dir in ann_corpora:
+            b0, r0 = _shuffle_totals(ui_port)
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            wall = round(time.perf_counter() - t0, 3)
+            b1, r1 = _shuffle_totals(ui_port)
+            per_scale[label] = {
+                "wall_sec": wall,
+                "shuffle_write_mb": round((b1 - b0) / 1e6, 2),
+                "shuffle_write_mrec": round((r1 - r0) / 1e6, 3),
+            }
+        a, b = per_scale["emb-2k"], per_scale["emb-20k"]
+        per_scale["growth_at_10x"] = {
+            "wall": round(b["wall_sec"] / max(a["wall_sec"], 1e-9), 2),
+            # the LSH kNN plans are broadcast-dominant: when neither size
+            # produces ≥0.01M shuffle records the ratio is meaningless —
+            # null here MEANS "no shuffle to grow", which is the result
+            "shuffle_records": (
+                round(b["shuffle_write_mrec"] / a["shuffle_write_mrec"], 2)
+                if a["shuffle_write_mrec"] >= 0.01
+                else None
+            ),
+        }
         result["queries"][name] = per_scale
         print(f"{name}: {json.dumps(per_scale)}", file=sys.stderr)
     return result
