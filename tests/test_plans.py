@@ -101,3 +101,14 @@ def test_basket_pairs_broadcasts_part_dimension(spark, sf_dir):
 def test_anomaly_stats_join_is_broadcast(spark, sf_dir):
     plan = plan_of(spark, "events_anomaly_zscore", sf_dir)
     assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_single_exchange_no_global_sort(spark, sf_dir):
+    plan = plan_of(spark, "corpus_pack_sequences", sf_dir, mode="simple")
+    # per-shard cumsum: exactly one hash exchange (shard key) — the
+    # window consumes it and the final aggregate reuses it (shard is a
+    # prefix of the grouping key, so the distribution is satisfied);
+    # never a range exchange (the global-sort shape that would
+    # bottleneck a 100 TB packing run)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
