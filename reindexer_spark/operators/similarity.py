@@ -342,3 +342,118 @@ def knn_multiband_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+@query(
+    "knn_recall_at_k",
+    oracle=f"""
+    WITH sb AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    bf AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                          c.vec_id
+               ) AS rnk
+        FROM embeddings q JOIN embeddings c ON c.vec_id >= {N_QUERIES}
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rnk <= {TOP_K}
+    ),
+    ivf AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                          c.vec_id
+               ) AS rnk
+        FROM sb q JOIN sb c ON q.bucket = c.bucket AND c.vec_id >= {N_QUERIES}
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rnk <= {TOP_K}
+    ),
+    mbb AS (
+      SELECT vec_id, embedding,
+             [{", ".join(_band_bucket_sql("embedding", bd) for bd in range(N_BANDS))}]
+               AS bb
+      FROM embeddings
+    ), mbe AS (
+      SELECT vec_id, embedding,
+             generate_subscripts(bb, 1) AS band, unnest(bb) AS bucket
+      FROM mbb
+    ), mbcand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM mbe q JOIN mbe c
+        ON q.band = c.band AND q.bucket = c.bucket AND c.vec_id >= {N_QUERIES}
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    mb AS (
+      SELECT * FROM (
+        SELECT mbcand.query_id, mbcand.neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY mbcand.query_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                 c.embedding::DOUBLE[]) DESC,
+                          mbcand.neighbor_id
+               ) AS rnk
+        FROM mbcand
+        JOIN embeddings q ON q.vec_id = mbcand.query_id
+        JOIN embeddings c ON c.vec_id = mbcand.neighbor_id
+      ) WHERE rnk <= {TOP_K}
+    )
+    SELECT bf.query_id,
+           CAST(COUNT(ivf.neighbor_id) AS BIGINT) AS n_hits_ivf,
+           COUNT(ivf.neighbor_id) / {TOP_K} AS recall_ivf,
+           CAST(COUNT(mb.neighbor_id) AS BIGINT) AS n_hits_multiband,
+           COUNT(mb.neighbor_id) / {TOP_K} AS recall_multiband
+    FROM bf
+    LEFT JOIN ivf ON ivf.query_id = bf.query_id
+                 AND ivf.neighbor_id = bf.neighbor_id
+    LEFT JOIN mb  ON mb.query_id = bf.query_id
+                 AND mb.neighbor_id = bf.neighbor_id
+    GROUP BY bf.query_id
+    """,
+)
+def knn_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement — recall@k of BOTH LSH kNN variants
+    against the exact bruteforce ground truth, per query vector: the
+    acceptance metric every similarity-search deployment monitors, and
+    the banding tradeoff made visible (one wide 8-plane band prunes
+    hardest but loses most true neighbors; 4 independent 4-plane bands
+    recover them via the union — the 1-(1-p^r)^b recall lever).  Fully
+    oracle-checkable because the hyperplanes are deterministic module
+    constants both engines replicate.  Ground truth is the left side of
+    the join, so a query whose bucket lost true neighbors shows
+    recall < 1 rather than vanishing."""
+    bf = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = (
+        knn_ivf_lsh(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit_ivf", F.lit(1))
+    )
+    mb = (
+        knn_multiband_lsh(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit_mb", F.lit(1))
+    )
+    return (
+        bf.join(ivf, ["query_id", "neighbor_id"], "left")
+        .join(mb, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit_ivf"), F.lit(0))).alias("n_hits_ivf"),
+            F.sum(F.coalesce(F.col("hit_mb"), F.lit(0))).alias(
+                "n_hits_multiband"
+            ),
+        )
+        .select(
+            "query_id",
+            "n_hits_ivf",
+            (F.col("n_hits_ivf") / TOP_K).alias("recall_ivf"),
+            "n_hits_multiband",
+            (F.col("n_hits_multiband") / TOP_K).alias("recall_multiband"),
+        )
+    )
