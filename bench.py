@@ -63,6 +63,15 @@ if os.environ.get("SPARK_GRAFT_STREAM_POS") == "mid":
     HEADLINE.remove("stream_tumbling_live")
     HEADLINE.insert(len(HEADLINE) // 2, "stream_tumbling_live")
 
+# Round-3 additions, timed but OUTSIDE the headline total so the
+# round-over-round ledger stays comparable (round-2 VERDICT #8).
+EXTENDED = [
+    "stream_dedup_live",
+    "stream_session_live",
+    "corpus_pack_sequences",
+    "knn_recall_at_k",
+]
+
 
 def main() -> int:
     from reindexer_spark import get_query, get_spark
@@ -84,6 +93,13 @@ def main() -> int:
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(time.perf_counter() - t_all, 3)
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        q = get_query(name)
+        t0 = time.perf_counter()
+        q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        extended[name] = round(time.perf_counter() - t0, 3)
+
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf"))
     except ValueError:
@@ -93,6 +109,7 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extended_queries": extended,
         "sf": sf,
     }
     # Attach the dedup-family 10x scale proof (scale_proof.py writes it;
