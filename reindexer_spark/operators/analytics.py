@@ -812,3 +812,100 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("gap_us", 0.9).alias("p90_us"),
         F.max("gap_us").alias("max_us"),
     )
+
+
+@query(
+    "corpus_after_dedup",
+    oracle="""
+    WITH keepers AS (
+      SELECT sha256(text) AS h, MIN(doc_id) AS keeper_id
+      FROM documents GROUP BY sha256(text)
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN d.doc_id = k.keeper_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN d.doc_id <> k.keeper_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN d.doc_id = k.keeper_id THEN d.n_chars
+                         ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM documents d JOIN keepers k ON sha256(d.text) = k.h
+    GROUP BY d.lang
+    """,
+)
+def corpus_after_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup APPLY step: the keeper mapping (min doc_id per content
+    hash) joined back onto the corpus, reporting per language what
+    survives.  The shape that matters at 100 TB: both sides shuffle on
+    the 32-byte digest — never on document bodies — and the keeper side
+    is the output of a map-side-combinable aggregate, so the whole apply
+    is two digest-keyed exchanges regardless of document size.  The
+    filtered corpus itself would be the same join with a
+    ``doc_id = keeper_id`` filter; counts are reported here so the
+    result is auditable (and the filter is provably a projection of this
+    plan)."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "h", F.sha2("text", 256)
+    )
+    keepers = d.groupBy("h").agg(F.min("doc_id").alias("keeper_id"))
+    kept = F.col("doc_id") == F.col("keeper_id")
+    return (
+        d.join(keepers, "h")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(~kept, 1).otherwise(0)).alias("n_removed"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+        )
+    )
+
+
+TRUNC_BUDGET = 256  # whitespace-token context budget for the audit
+
+
+@query(
+    "corpus_truncation_loss",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_tokens > {TRUNC_BUDGET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_truncated,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN n_tokens > {TRUNC_BUDGET}
+                         THEN n_tokens - {TRUNC_BUDGET} ELSE 0 END)
+                AS BIGINT) AS tokens_lost,
+           ROUND(SUM(CASE WHEN n_tokens > {TRUNC_BUDGET}
+                          THEN n_tokens - {TRUNC_BUDGET} ELSE 0 END)
+                 / SUM(n_tokens), 6) AS loss_frac
+    FROM toks
+    GROUP BY source
+    """,
+)
+def corpus_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-budget truncation audit: per source, how many documents
+    exceed the token budget and what fraction of tokens a hard truncation
+    at that budget would discard — the measurement that decides between
+    truncating and sequence-packing (corpus_pack_sequences) a corpus.
+    One map-side projection + one tiny aggregate; integer token math so
+    the loss fraction is bit-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    over = n_tokens > TRUNC_BUDGET
+    lost = F.when(over, n_tokens - TRUNC_BUDGET).otherwise(F.lit(0))
+    toks = d.select("source", n_tokens.alias("n_tokens"), lost.alias("lost"))
+    return toks.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n_tokens") > TRUNC_BUDGET, 1).otherwise(0)).alias(
+            "n_truncated"
+        ),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("lost").alias("tokens_lost"),
+        F.round(F.sum("lost") / F.sum("n_tokens"), 6).alias("loss_frac"),
+    )
