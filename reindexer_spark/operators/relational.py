@@ -182,6 +182,27 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_right_outer",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           c.c_name, c.c_mktsegment
+    FROM customer c
+    RIGHT JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderkey < 500
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join preserving the orders side (Catalyst plans it as
+    the mirrored left-outer; registered so the full outer-join inventory
+    — left/right/full — is explicit in the gate, not implied)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return c.join(o, c.c_custkey == o.o_custkey, "right").select(
+        "o_orderkey", "o_orderstatus", "c_name", "c_mktsegment"
+    )
+
+
+@query(
     "join_semi",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
