@@ -457,3 +457,42 @@ def knn_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits_multiband") / TOP_K).alias("recall_multiband"),
         )
     )
+
+
+@query(
+    "embed_ann_bucket_stats",
+    oracle=f"""
+    WITH b AS (
+      SELECT {_bucket_sql('embedding')} AS bucket FROM embeddings
+    ),
+    occ AS (
+      SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MIN(n) AS BIGINT) AS min_occupancy,
+           CAST(MAX(n) AS BIGINT) AS max_occupancy,
+           CAST(SUM(n) AS BIGINT) AS n_vectors,
+           ROUND(MAX(n) / (SUM(n) / COUNT(*)), 6) AS skew_ratio
+    FROM occ
+    """,
+)
+def embed_ann_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index health: LSH bucket occupancy distribution and skew
+    ratio (max/mean occupancy).  At scale this is the number that
+    predicts the worst-case task in the bucket equi-join — a skew ratio
+    far above 1 says the hyperplanes are misaligned with the data (or
+    the data is clustered) and the hot bucket needs salting; it is the
+    monitoring query behind the dedup_embedding_lsh/knn_ivf_lsh plans."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        bucket_expr(F.col("embedding")).alias("bucket")
+    )
+    occ = e.groupBy("bucket").agg(F.count("*").alias("n"))
+    return occ.agg(
+        F.count("*").alias("n_buckets"),
+        F.min("n").alias("min_occupancy"),
+        F.max("n").alias("max_occupancy"),
+        F.sum("n").alias("n_vectors"),
+        F.round(
+            F.max("n") / (F.sum("n") / F.count("*")), 6
+        ).alias("skew_ratio"),
+    )
