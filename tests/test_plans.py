@@ -112,3 +112,31 @@ def test_pack_sequences_single_exchange_no_global_sort(spark, sf_dir):
     # bottleneck a 100 TB packing run)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "rangepartitioning" not in plan
+
+
+def test_tpch_q6_full_pushdown_scan_agg(spark, sf_dir):
+    # Q6 is the pushdown litmus test: every predicate must reach the
+    # parquet scan, and the plan must be scan → filter → partial agg →
+    # single-row final agg — no join, no wide exchange.
+    plan = plan_of(spark, "sql_tpch_q6ish", sf_dir)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    assert "Join" not in plan
+
+
+def test_tpch_q21_exists_not_exists_are_semi_anti(spark, sf_dir):
+    # the EXISTS / NOT EXISTS pair must plan as semi + anti joins keyed
+    # on the order key — never a per-row subquery or cartesian product
+    plan = plan_of(spark, "sql_tpch_q21ish", sf_dir)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q2_correlated_min_decorrelated(spark, sf_dir):
+    # the correlated MIN subquery must decorrelate into an aggregate +
+    # rejoin (one extra aggregate in the plan), not re-execute per row
+    plan = plan_of(spark, "sql_tpch_q2ish", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # region/nation dims broadcast
