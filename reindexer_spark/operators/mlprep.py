@@ -252,3 +252,155 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("code").alias("code_min"),
         F.max("code").alias("code_max"),
     )
+
+
+# --- iterative k-means (Lloyd) over the embedding corpus --------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Chained-CTE DuckDB mirror of the unrolled Lloyd loop: init from
+    the k smallest vec_ids, then per iteration an assign CTE (argmax
+    rounded dot, ties to the lower cluster id) and a recompute CTE
+    (per-dimension decimal mean, rounded once) — the same
+    plan-unrolling trick as the PageRank oracle."""
+    assign = """
+    , a{i} AS (
+      SELECT vec_id, embedding, cluster_id, dot FROM (
+        SELECT e.vec_id, e.embedding, c.cluster_id,
+               FLOOR(list_dot_product(e.embedding::DOUBLE[], c.centroid)
+                     * 1000000) / 1000000 AS dot,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY FLOOR(list_dot_product(e.embedding::DOUBLE[],
+                                                 c.centroid) * 1000000) DESC,
+                          c.cluster_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN {cents} c
+      ) WHERE rn = 1
+    )"""
+    recompute = """
+    , f{i} AS (
+      SELECT cluster_id,
+             generate_subscripts(embedding, 1) AS idx,
+             unnest(embedding) AS v
+      FROM a{i}
+    ), m{i} AS (
+      SELECT cluster_id, idx,
+             FLOOR(CAST(SUM(CAST(v AS DECIMAL(20,8))) AS DOUBLE) / COUNT(*)
+                   * 1000000) / 1000000 AS cv
+      FROM f{i} GROUP BY cluster_id, idx
+    ), c{i} AS (
+      SELECT cluster_id, array_agg(cv ORDER BY idx) AS centroid
+      FROM m{i} GROUP BY cluster_id
+    )"""
+    parts = [
+        f"""
+    WITH init AS (
+      SELECT vec_id AS cluster_id, embedding::DOUBLE[] AS centroid
+      FROM embeddings WHERE vec_id < {k}
+    )"""
+    ]
+    cents = "init"
+    for i in range(1, iters + 1):
+        parts.append(assign.format(i=i, cents=cents))
+        parts.append(recompute.format(i=i))
+        cents = f"c{i}"
+    final = iters + 1
+    parts.append(assign.format(i=final, cents=cents))
+    parts.append(f"""
+    SELECT a.vec_id, CAST(a.cluster_id AS BIGINT) AS cluster_id, a.dot,
+           n.n_cluster
+    FROM a{final} a
+    JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_cluster
+          FROM a{final} GROUP BY cluster_id) n USING (cluster_id)
+    """)
+    return "".join(parts)
+
+
+def _kmeans_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cluster_id",
+        (F.floor(_dot(F.col("embedding"), F.col("centroid")) * 1e6) / 1e6)
+        .alias("dot"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("dot"), F.asc("cluster_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _kmeans_recompute(assigned: DataFrame) -> DataFrame:
+    flat = assigned.select(
+        "cluster_id", F.posexplode("embedding").alias("idx", "v")
+    )
+    cmean = flat.groupBy("cluster_id", "idx").agg(
+        (
+            F.floor(
+                F.sum(F.col("v").cast("decimal(20,8)")).cast("double")
+                / F.count("*")
+                * 1e6
+            )
+            / 1e6
+        ).alias("cv")
+    )
+    return cmean.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "cv"))),
+            lambda s: s["cv"],
+        ).alias("centroid")
+    )
+
+
+@query("embed_kmeans_lloyd", oracle=_kmeans_oracle(KMEANS_K, KMEANS_ITERS))
+def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd's algorithm), k=8, two full update
+    iterations, plan-unrolled: init centroids from the k smallest
+    vec_ids (deterministic, engine-independent), then repeat
+    assign-to-max-dot / recompute-decimal-mean, and emit the final
+    assignment with cluster sizes.
+
+    Scale shape per iteration: the centroid relation is k rows →
+    broadcast (the corpus is never reshuffled by cluster); assignment is
+    a map-side constant fan-out of k dot products per vector with the
+    argmax resolved by a vec_id-partitioned window (uniform keys, k rows
+    each); the recompute explodes to (cluster, dim) partial decimal sums
+    — the shuffle carries k × dims partials per mapper regardless of
+    corpus size.  Unrolling keeps the whole loop inside ONE Catalyst
+    plan (no driver-side collect between iterations except the implicit
+    broadcast of k × dims values).  Determinism: every dot and every
+    centroid component is rounded once at the same place on both
+    engines; ties break to the lower cluster id; decimal sums make the
+    means reduction-order-independent.  Quantization is FLOOR(x*1e6)/1e6
+    rather than ROUND(x, 6): round-half rules differ between engines at
+    .5-ulp boundaries (observed empirically), while floor of the same
+    double has no ambiguous case.  Quantized assignment dots are emitted
+    so the gate checks geometry, not just labels."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = e.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.transform("embedding", lambda v: v.cast("double")).alias(
+            "centroid"
+        ),
+    )
+    for _ in range(KMEANS_ITERS):
+        assigned = _kmeans_assign(e, cents)
+        cents = _kmeans_recompute(assigned)
+    final = _kmeans_assign(e, cents)
+    sizes = final.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_cluster")
+    )
+    return final.join(sizes, "cluster_id").select(
+        "vec_id",
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "dot",
+        "n_cluster",
+    )

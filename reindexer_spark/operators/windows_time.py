@@ -417,6 +417,52 @@ def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_quota_alerts_live",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, CAST(value AS DECIMAL(12,2)) AS v
+      FROM events
+    ), run AS (
+      SELECT user_id, event_id, v,
+             SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS total
+      FROM seq
+    )
+    SELECT user_id, event_id,
+           CAST(total AS DOUBLE) AS total,
+           CAST(FLOOR(CAST(total * 100 AS BIGINT) / 10000.0) * 100
+                AS DOUBLE) AS crossed
+    FROM run
+    WHERE FLOOR(CAST(total * 100 AS BIGINT) / 10000.0)
+        > FLOOR(CAST((total - v) * 100 AS BIGINT) / 10000.0)
+    """,
+)
+def stream_quota_alerts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (``applyInPandasWithState``) run by
+    the REAL streaming engine and checked value-exact against a SQL
+    oracle: per-user running totals in integer cents, one alert row each
+    time the total crosses another 100-unit multiple.
+
+    The batch equivalent is a window cumsum + first-crossing filter —
+    expressible in SQL, which is exactly why it can gate the custom
+    operator: the stateful transition function must reproduce, event for
+    event, what the declarative form computes.  Integer-cents state (see
+    ``quota_alerts_cents``) removes float-accumulation drift, the one
+    thing that would make a stateful Python loop and a SQL window differ.
+    State is O(|users|) longs; alerts stream out append-mode — the shape
+    that survives unbounded event volume at 100 TB."""
+    from reindexer_spark.streaming import run_stream_to_memory, stream_events
+    from reindexer_spark.streaming.stateful import quota_alerts_cents
+
+    events = stream_events(spark, sf_dir).withColumn(
+        "v", F.col("value").cast("decimal(12,2)")
+    )
+    alerts = quota_alerts_cents(events, threshold_cents=10_000)
+    return run_stream_to_memory(alerts, output_mode="append")
+
+
+@query(
     "scd2_status_history",
     oracle="""
     WITH changes AS (

@@ -65,3 +65,55 @@ def quota_alerts(events: DataFrame, threshold: float = 100.0) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def quota_alerts_cents(
+    events: DataFrame, threshold_cents: int = 10_000
+) -> DataFrame:
+    """Oracle-exact variant of :func:`quota_alerts`: the running total is
+    carried as INTEGER CENTS (the input must provide a ``v`` column of
+    DECIMAL(12,2), which Arrow delivers to pandas as ``decimal.Decimal``),
+    so every crossing decision is integer arithmetic — bit-identical to a
+    SQL window cumsum over the same decimal column, which is what lets a
+    custom stateful streaming operator pass a value-exact DuckDB gate.
+
+    The float variant above keeps the reference-free float semantics for
+    unit tests; this one trades generality for cross-engine exactness
+    (floor division on ints ≡ SQL FLOOR; cents/100.0 ≡ CAST(decimal AS
+    DOUBLE), both correctly-rounded from the same rational).
+    """
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (cents,) = state.get if state.exists else (0,)
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, val in zip(pdf["event_id"], pdf["v"]):
+                before = cents // threshold_cents
+                cents += int(val * 100)  # Decimal('12.34')*100 is exact
+                after = cents // threshold_cents
+                if after > before:
+                    out.append(
+                        (
+                            key[0],
+                            int(eid),
+                            cents / 100.0,
+                            after * (threshold_cents / 100.0),
+                        )
+                    )
+        state.update((cents,))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "total", "crossed"]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=ALERT_SCHEMA,
+        stateStructType="cents bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -140,3 +140,12 @@ def test_tpch_q2_correlated_min_decorrelated(spark, sf_dir):
     plan = plan_of(spark, "sql_tpch_q2ish", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # region/nation dims broadcast
+
+
+def test_kmeans_broadcasts_centroids_no_cartesian(spark, sf_dir):
+    # every Lloyd iteration must broadcast the k-row centroid relation
+    # (constant fan-out per vector) — a shuffle of the corpus by cluster
+    # or a cartesian product would not survive a 100 TB corpus
+    plan = plan_of(spark, "embed_kmeans_lloyd", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

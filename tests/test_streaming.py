@@ -179,3 +179,32 @@ def test_stateful_quota_alerts_no_state_no_alert(spark, tmp_path):
         output_mode="append",
     )
     assert alerts.count() == 0
+
+
+def test_stateful_quota_alerts_cents_across_batches(spark, tmp_path):
+    """Integer-cents variant: totals carry across micro-batches and the
+    emitted totals/crossings are exact decimal arithmetic."""
+    from pyspark.sql import functions as F
+
+    from reindexer_spark.streaming.stateful import quota_alerts_cents
+
+    batches = [
+        [(1, 0, 1, "click", 99.99)],
+        # 99.99 + 0.01 = exactly 100.00 → crossing multiple 1
+        [(2, 10, 1, "click", 0.01)],
+        # jump across two multiples → single alert at the higher one
+        [(3, 20, 1, "buy", 250.00)],
+    ]
+    root = _mk_files(spark, tmp_path, batches)
+    stream = _read_stream(spark, root).withColumn(
+        "v", F.col("value").cast("decimal(12,2)")
+    )
+    alerts = run_stream_to_memory(
+        quota_alerts_cents(stream, threshold_cents=10_000),
+        output_mode="append",
+    )
+    got = {
+        (r.user_id, r.event_id): (r.total, r.crossed)
+        for r in alerts.collect()
+    }
+    assert got == {(1, 2): (100.0, 100.0), (1, 3): (350.0, 300.0)}
