@@ -70,6 +70,10 @@ EXTENDED = [
     "stream_session_live",
     "corpus_pack_sequences",
     "knn_recall_at_k",
+    "stream_quota_alerts_live",
+    "embed_kmeans_lloyd",
+    "sql_tpch_q9ish",
+    "sql_tpch_q21ish",
 ]
 
 

@@ -495,6 +495,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the same computation as a recursive CTE (transitive
     closure + min label), plus n_reachable as a structural cross-check.
     """
+    labels = _cluster_labels(spark, sf_dir)
+    comp_sizes = labels.groupBy("label").agg(F.count("*").alias("n_reachable"))
+    return labels.join(comp_sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "n_reachable",
+    )
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label-propagation connected components over the exact
+    near-dup pair graph; returns (node, label) — shared by
+    ``dedup_clusters`` and ``dedup_cluster_representatives``."""
     # Exact near-dup pairs (same plan as dedup_ngram_jaccard).
     ex = shingle_table(spark, sf_dir)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -559,11 +572,82 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = stepped.select("node", "label")
         if changed == 0:
             break
-    # n_reachable = component size (cross-checks the closure the oracle
-    # computes explicitly).
-    comp_sizes = labels.groupBy("label").agg(F.count("*").alias("n_reachable"))
-    return labels.join(comp_sizes, "label").select(
-        F.col("node").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        "n_reachable",
+    return labels
+
+
+@query(
+    "dedup_cluster_representatives",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_SQL},
+    {_PAIRS_ORACLE},
+    edges AS (
+      SELECT d1 AS u, d2 AS v FROM pairs
+      UNION
+      SELECT d2, d1 FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+    ),
+    member AS (
+      SELECT c.cluster_id, c.doc_id, d.n_chars
+      FROM comp c JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT cluster_id, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+             SUM(n_chars) OVER (PARTITION BY cluster_id) AS total_chars
+      FROM member
+    )
+    SELECT cluster_id, doc_id AS rep_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           n_chars AS rep_chars,
+           CAST(total_chars AS BIGINT) AS total_chars
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_cluster_representatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Canonical-document selection — the step AFTER clustering in a
+    dedup pipeline: per near-dup family, keep the best document (longest
+    text; ties to the smallest doc_id) and report how much the family
+    would collapse (members, representative size, total size).
+
+    This is the policy HuggingFace/Gopher-style dedup applies before
+    training: one keeper per cluster, everything else dropped.  The
+    representative choice is a per-cluster argmax — one window over the
+    (tiny) member relation; the cluster labels come from the same
+    min-label propagation as ``dedup_clusters`` (shared helper), and the
+    document metadata joins in by doc_id (hash join keyed on the
+    corpus's primary key — no extra shuffle shape at 100 TB).
+    """
+    labels = _cluster_labels(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    member = labels.join(docs, labels.node == docs.doc_id).select(
+        F.col("label").alias("cluster_id"), "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = member.select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(w.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count("*").over(w).alias("n_members"),
+        F.sum("n_chars").over(w).alias("total_chars"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("rep_doc_id"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.col("n_chars").alias("rep_chars"),
+        F.col("total_chars").cast("bigint").alias("total_chars"),
     )

@@ -716,3 +716,99 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(term), 6).cast("double").alias("entropy"))
         .select("doc_id", "n_distinct", "entropy")
     )
+
+
+@query(
+    "text_perplexity_bigram",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> [w[i], w[i+1]])) AS pair
+      FROM words
+    ), p2 AS (
+      SELECT doc_id, pair[1] AS w1, pair[2] AS w2 FROM pairs
+    ), bcnt AS (
+      SELECT w1, w2, COUNT(*) AS c_bi FROM p2 GROUP BY 1, 2
+    ), ucnt AS (
+      SELECT w1, SUM(c_bi) AS c_uni FROM bcnt GROUP BY w1
+    ), lm AS (
+      SELECT b.w1, b.w2,
+             CAST(FLOOR(-LN(CAST(b.c_bi AS DOUBLE) / u.c_uni) * 1000000)
+                  AS BIGINT) AS nll_micro
+      FROM bcnt b JOIN ucnt u USING (w1)
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(l.nll_micro) AS BIGINT) AS sum_nll_micro
+    FROM p2 p JOIN lm l USING (w1, w2)
+    GROUP BY p.doc_id
+    """,
+)
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surprise under the corpus's own bigram LM — the
+    classic LM-based quality filter (CCNet/Gopher score documents with a
+    reference LM and drop the high-perplexity tail).  Here the LM is the
+    corpus itself (leave-nothing-out MLE), so the score flags documents
+    whose word transitions are atypical for the corpus: gibberish,
+    boilerplate, wrong-language contamination.
+
+    Output is (doc_id, n_bigrams, sum_nll_micro): the total negative
+    log-likelihood in integer MICRO-NATS.  Each bigram's -ln P(w2|w1) is
+    floor-quantized to an integer once, at the (vocabulary-sized) LM
+    relation, then summed exactly — so the corpus-sized aggregation is
+    pure integer math and reduction-order-proof, and no float average
+    ever crosses the engine boundary (the consumer divides by n_bigrams
+    for mean NLL / exp for perplexity).  Docs with <2 words have no
+    bigrams and drop out naturally on both engines.
+
+    Scale shape: the LM is vocabulary² at worst (bigram types, not
+    tokens) and aggregates with map-side partials; the per-doc score
+    joins token-level bigrams to the LM on (w1, w2) — a hash join whose
+    build side is the LM — then reduces by doc_id.  Nothing is
+    quadratic in corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    wcol = F.col("w")
+    p2 = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(wcol) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(wcol) - 1),
+                        lambda i: F.array(
+                            F.element_at(wcol, i), F.element_at(wcol, i + 1)
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<array<string>>"))
+            ).alias("pair"),
+        )
+        .select(
+            "doc_id",
+            F.col("pair")[0].alias("w1"),
+            F.col("pair")[1].alias("w2"),
+        )
+    )
+    bcnt = p2.groupBy("w1", "w2").agg(F.count("*").alias("c_bi"))
+    ucnt = bcnt.groupBy("w1").agg(F.sum("c_bi").alias("c_uni"))
+    lm = bcnt.join(ucnt, "w1").select(
+        "w1",
+        "w2",
+        F.floor(
+            -F.log(F.col("c_bi").cast("double") / F.col("c_uni")) * 1e6
+        )
+        .cast("bigint")
+        .alias("nll_micro"),
+    )
+    return (
+        p2.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("nll_micro").cast("bigint").alias("sum_nll_micro"),
+        )
+    )
