@@ -428,13 +428,19 @@ def knn_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     constants both engines replicate.  Ground truth is the left side of
     the join, so a query whose bucket lost true neighbors shows
     recall < 1 rather than vanishing."""
-    bf = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    ivf = (
+    from reindexer_spark.cache import track
+
+    # Each component result is N_QUERIES × TOP_K rows; materializing them
+    # decouples the three candidate-generation plans from the final join
+    # (without this, the composite plan re-executes shared scan/window
+    # subtrees and costs ~3× the sum of its parts — measured at sf0.1).
+    bf = track(knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id"))
+    ivf = track(
         knn_ivf_lsh(spark, sf_dir)
         .select("query_id", "neighbor_id")
         .withColumn("hit_ivf", F.lit(1))
     )
-    mb = (
+    mb = track(
         knn_multiband_lsh(spark, sf_dir)
         .select("query_id", "neighbor_id")
         .withColumn("hit_mb", F.lit(1))
