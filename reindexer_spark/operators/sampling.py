@@ -273,3 +273,82 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("n_tokens"),
         (F.min("start_offset") % SEQ_LEN).alias("first_doc_offset"),
     )
+
+
+# Per-source token budget for the budgeted mix (tokens, not docs — the
+# unit an LLM data recipe is actually written in).
+MIX_TOKEN_BUDGET = 1_200
+
+
+@query(
+    "corpus_mix_token_budget",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT AS bucket
+      FROM documents
+    ), t AS (
+      SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens
+      FROM d GROUP BY source
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           t.src_tokens,
+           CAST(SUM(CASE WHEN t.src_tokens <= {MIX_TOKEN_BUDGET}
+                           OR bucket * t.src_tokens
+                              < {MIX_TOKEN_BUDGET} * 65536
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN t.src_tokens <= {MIX_TOKEN_BUDGET}
+                           OR bucket * t.src_tokens
+                              < {MIX_TOKEN_BUDGET} * 65536
+                         THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM d JOIN t USING (source)
+    GROUP BY d.source, t.src_tokens
+    """,
+)
+def corpus_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted data mixing: cap every source at a fixed TOKEN budget by
+    deterministic hash-Bernoulli downsampling at rate budget/source_tokens
+    (sources under budget keep everything) — how an LLM data recipe
+    ("100B tokens web, 20B code, ...") turns into a per-row filter.
+
+    The keep decision is all-integer: md5 bucket (0..65535) × source
+    tokens < budget × 65536 ⇔ bucket/65536 < budget/source_tokens, so no
+    float threshold exists anywhere (reproducible across engines,
+    retries, and partitionings).  Per-source totals are a tiny broadcast
+    relation; the keep filter is stateless per row; the audit output
+    reports achieved vs requested budget per source.
+
+    Scale shape: one map-side-combinable aggregate for totals, one
+    broadcast join, one conditional aggregate — no shuffle of the corpus
+    itself, so the plan is scan-bound at 100 TB."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        F.conv(_hash4("doc_id"), 16, 10).cast("bigint").alias("bucket"),
+    )
+    t = d.groupBy("source").agg(
+        F.sum("n_tok").cast("bigint").alias("src_tokens")
+    )
+    kept = (F.col("src_tokens") <= MIX_TOKEN_BUDGET) | (
+        F.col("bucket") * F.col("src_tokens")
+        < F.lit(MIX_TOKEN_BUDGET) * 65536
+    )
+    return (
+        d.join(F.broadcast(t), "source")
+        .groupBy("source", "src_tokens")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias(
+                "n_kept"
+            ),
+            F.sum(F.when(kept, F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .select(
+            "source", "n_docs", "src_tokens", "n_kept", "kept_tokens"
+        )
+    )

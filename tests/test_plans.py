@@ -149,3 +149,11 @@ def test_kmeans_broadcasts_centroids_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, "embed_kmeans_lloyd", sf_dir)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_token_budget_mix_broadcasts_totals(spark, sf_dir):
+    # per-source totals must broadcast back onto the corpus — the keep
+    # decision is a stateless filter, never a shuffle of the documents
+    plan = plan_of(spark, "corpus_mix_token_budget", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
