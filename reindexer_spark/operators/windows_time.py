@@ -463,6 +463,66 @@ def stream_quota_alerts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join_live",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join under the real engine — the attribution
+    staple (click ⋈ purchase within an hour, per user) and the one join
+    shape where BOTH inputs are unbounded: each side buffers state keyed
+    on user_id, and the pair of watermarks plus the time-range join
+    condition is what lets the engine evict a click's state once no
+    qualifying purchase can still arrive — without them the state grows
+    forever, which is why Spark refuses the query unless both are
+    declared.  Output pairs carry the exact integer-microsecond gap, so
+    the result is engine-exact against the batch self-join oracle
+    (stream ≡ batch once every micro-batch has drained)."""
+    from reindexer_spark.streaming import run_stream_to_memory, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    return run_stream_to_memory(joined, output_mode="append")
+
+
+@query(
     "scd2_status_history",
     oracle="""
     WITH changes AS (
