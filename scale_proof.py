@@ -44,8 +44,21 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_DOCS = 50_000
 N_VECS = 20_000
-QUERIES = ("dedup_minhash", "dedup_ngram_jaccard", "dedup_clusters")
-ANN_QUERIES = ("knn_ivf_lsh", "dedup_embedding_lsh")
+QUERIES = (
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    # LM-build leg: the bigram-LM perplexity scorer is vocabulary-bounded
+    # on the dense corpus and vocabulary-growing on the zipf corpus — the
+    # two regimes an n-gram LM build meets at 100 TB.
+    "text_perplexity_bigram",
+)
+ANN_QUERIES = (
+    "knn_ivf_lsh",
+    "dedup_embedding_lsh",
+    # iterative-algorithm leg: Lloyd k-means broadcast-assign/recompute
+    "embed_kmeans_lloyd",
+)
 
 VOCAB = (
     "a agg batch big column customer data dup fast filter group hash join "
