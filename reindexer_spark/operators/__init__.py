@@ -30,6 +30,7 @@ from reindexer_spark.operators import (  # noqa: F401
     relational,
     sampling,
     scalar,
+    scalejoin,
     setops,
     similarity,
     sql_surface,
