@@ -114,9 +114,20 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits, m = _bloom_build(keys)
     bc = spark.sparkContext.broadcast((np.packbits(bits), m))
 
+    # Unpack the bitset once per python worker, not per Arrow batch:
+    # np.unpackbits over the whole filter is O(m) and a ~10k-row batch
+    # would repeat it thousands of times per partition. The cache key is
+    # the broadcast id, so a different bloom filter never aliases.
+    _unpacked: dict = {}
+
     def probe(s: pd.Series) -> pd.Series:
-        packed, m_ = bc.value
-        bitset = np.unpackbits(packed).astype(bool)
+        cached = _unpacked.get(bc.id)
+        if cached is None:
+            packed, m_ = bc.value
+            cached = (np.unpackbits(packed).astype(bool), m_)
+            _unpacked.clear()
+            _unpacked[bc.id] = cached
+        bitset, m_ = cached
         return pd.Series(_bloom_maybe(bitset, m_, s.to_numpy(dtype=np.int64)))
 
     maybe_member = F.pandas_udf(probe, "boolean")

@@ -465,13 +465,14 @@ TPCH_Q22ISH = """
 SELECT c.c_nationkey AS cntrycode,
        CAST(COUNT(*) AS BIGINT) AS numcust,
        CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
-FROM customer c
+FROM customer c,
+     (SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+             SUM(CAST(c2.c_acctbal AS DECIMAL(14,2))) AS tot
+      FROM customer c2
+      WHERE c2.c_acctbal > 0.00
+        AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)) t
 WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
-  AND c.c_acctbal > (
-    SELECT AVG(c2.c_acctbal) FROM customer c2
-    WHERE c2.c_acctbal > 0.00
-      AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
-  )
+  AND CAST(c.c_acctbal AS DECIMAL(14,2)) * t.cnt > t.tot
   AND NOT EXISTS (
     SELECT 1 FROM orders o
     WHERE o.o_custkey = c.c_custkey

@@ -19,29 +19,55 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# parquet matches columns by name: `ts` holds raw nanos under the
-# nanosAsLong conf and is converted in place below
-EVENTS_SCHEMA = (
+# parquet matches columns by name; `ts` arrives either as a proper
+# TIMESTAMP(MICROS) column (current generator) or as TIMESTAMP(NANOS),
+# which Spark's vectorized reader only accepts as a raw long under the
+# legacy nanosAsLong conf.  The writer's choice is probed from the file
+# footer so both vintages of the testdata stream correctly.
+EVENTS_SCHEMA_TS = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+EVENTS_SCHEMA_NANOS = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
     "value double, props string"
 )
 
 
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    """True when events.parquet stores ts as TIMESTAMP(NANOS).  Footer
+    read only — no data pages touched."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    return getattr(t, "unit", None) == "ns"
+
+
 def stream_events(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """events.parquet as a streaming source (ns timestamps read as raw
-    nanos — same workaround as catalog.load_table — then converted)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """events.parquet as a streaming source, ts normalized to a
+    microsecond TIMESTAMP regardless of the writer's physical unit
+    (same adaptivity as catalog.load_table's batch path)."""
     # the file source requires a directory path; pathGlobFilter selects
     # just the events file out of the shared testdata dir
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    if _events_ts_is_nanos(sf_dir):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA_NANOS)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        # integer division: ns values exceed 2^53, double division
+        # would corrupt the low microseconds
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA_TS)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def run_stream_to_memory(

@@ -45,8 +45,12 @@ def quota_alerts(events: DataFrame, threshold: float = 100.0) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         (total,) = state.get if state.exists else (0.0,)
         out: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # A group's rows can span several Arrow chunks; sorting each chunk
+        # independently would interleave out of (ts, event_id) order, so
+        # gather the whole micro-batch for this key before sorting.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             for eid, val in zip(pdf["event_id"], pdf["value"]):
                 before = int(total // threshold)
                 total += float(val)
@@ -90,8 +94,12 @@ def quota_alerts_cents(
     ) -> Iterator[pd.DataFrame]:
         (cents,) = state.get if state.exists else (0,)
         out: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # Concatenate all Arrow chunks for this key before sorting so the
+        # crossing is attributed under a global (ts, event_id) order, not
+        # a per-chunk one (matches the SQL window oracle exactly).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             for eid, val in zip(pdf["event_id"], pdf["v"]):
                 before = cents // threshold_cents
                 cents += int(val * 100)  # Decimal('12.34')*100 is exact

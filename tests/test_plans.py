@@ -120,8 +120,11 @@ def test_tpch_q6_full_pushdown_scan_agg(spark, sf_dir):
     # single-row final agg — no join, no wide exchange.
     plan = plan_of(spark, "sql_tpch_q6ish", sf_dir)
     assert "PushedFilters: [" in plan
-    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
-    assert "LessThan(l_quantity,24.0)" in plan
+    # Check the columns reached the scan without coupling to Spark's
+    # filter-name / literal rendering (both change across versions).
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed
+    assert "l_quantity" in pushed
     assert "Join" not in plan
 
 
