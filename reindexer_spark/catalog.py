@@ -32,10 +32,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Parquet scan → columnar vectorized reader, predicate pushdown and
     column pruning apply automatically to downstream plans.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; it is read as raw nanos (legacy conf) and
-    converted to a microsecond timestamp (lossless here: the generator's
-    timestamps carry microsecond precision).
+    ``events.ts`` has changed physical type across testdata vintages:
+    TIMESTAMP(NANOS) (rejected by Spark's vectorized reader — read as
+    raw nanos under the legacy conf and converted), then TIMESTAMP(MICROS)
+    without timezone (read as TIMESTAMP_NTZ — cast to TIMESTAMP so
+    downstream ``unix_micros``/interval arithmetic sees one type; the
+    session timezone is pinned UTC, so the cast is the identity mapping
+    DuckDB applies).  Either way callers always see ``ts: timestamp``.
     """
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
@@ -43,10 +46,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integer division: ns values exceed 2^53, double division
             # would corrupt the low microseconds
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

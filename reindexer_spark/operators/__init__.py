@@ -23,6 +23,7 @@ from reindexer_spark.operators import (  # noqa: F401
     dedup,
     docshape,
     graph,
+    incremental,
     layout,
     mlprep,
     multimodal,

@@ -114,20 +114,18 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits, m = _bloom_build(keys)
     bc = spark.sparkContext.broadcast((np.packbits(bits), m))
 
-    # Unpack the bitset once per python worker, not per Arrow batch:
-    # np.unpackbits over the whole filter is O(m) and a ~10k-row batch
-    # would repeat it thousands of times per partition. The cache key is
-    # the broadcast id, so a different bloom filter never aliases.
-    _unpacked: dict = {}
+    # Unpack the bitset once per deserialized UDF instance, not per
+    # Arrow batch: np.unpackbits over the whole filter is O(m) and a
+    # ~10k-row batch would repeat it thousands of times per partition.
+    # The closure cell is per-task state on the worker, so no keying is
+    # needed — a different bloom filter is a different closure.
+    _unpacked: list = []
 
     def probe(s: pd.Series) -> pd.Series:
-        cached = _unpacked.get(bc.id)
-        if cached is None:
+        if not _unpacked:
             packed, m_ = bc.value
-            cached = (np.unpackbits(packed).astype(bool), m_)
-            _unpacked.clear()
-            _unpacked[bc.id] = cached
-        bitset, m_ = cached
+            _unpacked.append((np.unpackbits(packed).astype(bool), m_))
+        bitset, m_ = _unpacked[0]
         return pd.Series(_bloom_maybe(bitset, m_, s.to_numpy(dtype=np.int64)))
 
     maybe_member = F.pandas_udf(probe, "boolean")

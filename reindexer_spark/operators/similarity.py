@@ -502,3 +502,81 @@ def embed_ann_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n") / (F.sum("n") / F.count("*")), 6
         ).alias("skew_ratio"),
     )
+
+
+# Train/test split-leakage detection: md5 batch split (same convention
+# as operators.sampling / operators.incremental), LSH-bucketed candidate
+# generation, exact cosine verification above this threshold.
+LEAK_TEST_HEX = "1999"
+LEAK_THRESHOLD = 0.4
+LEAK_TOP = 3
+
+
+@query(
+    "split_leakage_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket,
+             substr(md5(vec_id::VARCHAR), 1, 4) < '{LEAK_TEST_HEX}' AS is_test
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT t.vec_id AS test_id, tr.vec_id AS train_id,
+             list_cosine_similarity(t.embedding::DOUBLE[],
+                                    tr.embedding::DOUBLE[]) AS cosine
+      FROM b t JOIN b tr ON t.bucket = tr.bucket
+      WHERE t.is_test AND NOT tr.is_test
+    ),
+    ranked AS (
+      SELECT test_id, train_id, cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY test_id ORDER BY cosine DESC, train_id
+             ) AS rnk
+      FROM pairs WHERE cosine >= {LEAK_THRESHOLD}
+    )
+    SELECT test_id, train_id, cosine, rnk FROM ranked WHERE rnk <= {LEAK_TOP}
+    """,
+)
+def split_leakage_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check over EMBEDDINGS: for each held-out
+    vector (md5 split, ~10%), the top train-side vectors with cosine ≥
+    0.4 — the near-duplicate-across-the-split pairs that inflate eval
+    scores.  The text-level analogue is text_contamination; this is the
+    semantic-level guard, and the LSH bucketing makes it the same
+    O(candidates) shape as dedup_embedding_lsh rather than test×train
+    brute force.
+
+    Scale shape: one projection pass to bucket both sides (the 100 TB
+    train side never self-joins — only same-bucket test×train pairs
+    form), exact cosine re-rank inside the bucket, per-test top-k via
+    window.  Deterministic hyperplanes keep the candidate set — and
+    hence the result — oracle-checkable.
+    """
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", bucket_expr(F.col("embedding"))
+    )
+    is_test = (
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4)
+        < F.lit(LEAK_TEST_HEX)
+    )
+    test = e.filter(is_test).select(
+        F.col("vec_id").alias("test_id"),
+        F.col("bucket"),
+        F.col("embedding").alias("t_emb"),
+    )
+    train = e.filter(~is_test).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("bucket").alias("b2"),
+        F.col("embedding").alias("tr_emb"),
+    )
+    pairs = test.join(train, F.col("bucket") == F.col("b2"))
+    cos = cosine_similarity(F.col("t_emb"), F.col("tr_emb"))
+    scored = pairs.select(
+        "test_id", "train_id", cos.alias("cosine")
+    ).filter(F.col("cosine") >= LEAK_THRESHOLD)
+    w = Window.partitionBy("test_id").orderBy(
+        F.col("cosine").desc(), F.col("train_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= LEAK_TOP
+    )

@@ -160,3 +160,31 @@ def test_token_budget_mix_broadcasts_totals(spark, sf_dir):
     plan = plan_of(spark, "corpus_mix_token_budget", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_prunes_corpus_index(spark, sf_dir):
+    # the standing corpus index must be semi-join-pruned by the new
+    # batch's shingle vocabulary before any pair forms — the plan needs
+    # a LeftSemi and must never cartesian the two sides
+    plan = plan_of(spark, "dedup_incremental", sf_dir)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_split_leakage_is_bucketed_not_bruteforce(spark, sf_dir):
+    # test x train candidates must come from the bucket equi-join; a
+    # cartesian/nested-loop over the full train side is the brute-force
+    # shape this operator exists to avoid
+    plan = plan_of(spark, "split_leakage_lsh", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_sketch_reuses_persisted_sketch(spark, sf_dir):
+    # the k-row-per-type sketch must be persisted and REUSED by the
+    # est/pairwise/union branches (InMemoryTableScan), not re-derived
+    # from the events scan per branch; the full-data aggregation must be
+    # two-phase (map-side partial distinct before the shuffle)
+    plan = plan_of(spark, "sketch_kmv_overlap", sf_dir)
+    assert "InMemoryTableScan" in plan
+    assert "HashAggregate" in plan
