@@ -63,7 +63,7 @@ if os.environ.get("SPARK_GRAFT_STREAM_POS") == "mid":
     HEADLINE.remove("stream_tumbling_live")
     HEADLINE.insert(len(HEADLINE) // 2, "stream_tumbling_live")
 
-# Round-3 additions, timed but OUTSIDE the headline total so the
+# Round-3+ additions, timed but OUTSIDE the headline total so the
 # round-over-round ledger stays comparable (round-2 VERDICT #8).
 EXTENDED = [
     "stream_dedup_live",
@@ -74,6 +74,11 @@ EXTENDED = [
     "embed_kmeans_lloyd",
     "sql_tpch_q9ish",
     "sql_tpch_q21ish",
+    # round 4
+    "dedup_incremental",
+    "sketch_kmv_overlap",
+    "split_leakage_lsh",
+    "stream_stream_join_live",
 ]
 
 

@@ -52,6 +52,11 @@ QUERIES = (
     # on the dense corpus and vocabulary-growing on the zipf corpus — the
     # two regimes an n-gram LM build meets at 100 TB.
     "text_perplexity_bigram",
+    # maintenance-mode leg: the ~10% new batch checked against the
+    # standing corpus; compared against dedup_ngram_jaccard (the
+    # from-scratch rebuild) in the derived incremental_vs_rebuild
+    # section below.
+    "dedup_incremental",
 )
 ANN_QUERIES = (
     "knn_ivf_lsh",
@@ -208,6 +213,14 @@ def run_proof() -> dict:
                 generate_corpus(spark, out_dir, zipf_tail=zipf, n_docs=n)
             corpora.append((label, out_dir))
 
+    # Warm the JVM/codegen/file-listing paths once per corpus so the
+    # FIRST timed query (historically dedup_minhash on dense-5k) measures
+    # the query, not session initialization — same convention as bench.py.
+    from reindexer_spark.catalog import load_table
+
+    for _, sf_dir in corpora:
+        load_table(spark, sf_dir, "documents").limit(1).count()
+
     result: dict = {
         "n_docs": {c[0]: (N_DOCS // 10 if "5k" in c[0] else N_DOCS) for c in corpora},
         "note": (
@@ -252,6 +265,41 @@ def run_proof() -> dict:
             }
         result["queries"][name] = per_scale
         print(f"{name}: {json.dumps(per_scale)}", file=sys.stderr)
+
+    # Derived: incremental maintenance vs full rebuild.  The claim worth
+    # money at 100 TB is not that dedup_incremental is fast — it is that
+    # its cost tracks the BATCH (and the batch's corpus-side candidate
+    # postings), not the corpus, so the ratio to a full rebuild falls as
+    # the corpus grows past the batch.
+    inc = result["queries"].get("dedup_incremental")
+    full = result["queries"].get("dedup_ngram_jaccard")
+    if inc and full:
+        result["incremental_vs_rebuild"] = {
+            "note": (
+                "dedup_incremental cost / dedup_ngram_jaccard rebuild cost "
+                "on the same corpus (wall, and shuffle-write records — the "
+                "noise-robust signal). At this 10:1 corpus:batch ratio the "
+                "semi-join prune's own shuffles are still visible (ratios "
+                "near 1 on the cheap zipf rebuild); the ratio falls as the "
+                "corpus outgrows the batch — at a production 1000:1 the "
+                "prune discards ~all corpus postings before pairing."
+            ),
+            **{
+                label: {
+                    "wall": round(
+                        inc[label]["wall_sec"]
+                        / max(full[label]["wall_sec"], 1e-9),
+                        2,
+                    ),
+                    "shuffle_records": round(
+                        inc[label]["shuffle_write_mrec"]
+                        / max(full[label]["shuffle_write_mrec"], 1e-9),
+                        2,
+                    ),
+                }
+                for label, _ in corpora
+            },
+        }
 
     # ANN leg: clustered embeddings at 2k and 20k vectors — the LSH
     # bucketed kNN / embedding near-dup scale path.
