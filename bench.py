@@ -79,6 +79,7 @@ EXTENDED = [
     "sketch_kmv_overlap",
     "split_leakage_lsh",
     "stream_stream_join_live",
+    "dedup_containment",
 ]
 
 

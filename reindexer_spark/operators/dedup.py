@@ -651,3 +651,64 @@ def dedup_cluster_representatives(
         F.col("n_chars").alias("rep_chars"),
         F.col("total_chars").cast("bigint").alias("total_chars"),
     )
+
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CASE WHEN s1.n <= s2.n THEN d1 ELSE d2 END AS contained_id,
+           CASE WHEN s1.n <= s2.n THEN d2 ELSE d1 END AS container_id,
+           n_common,
+           CAST(n_common AS DOUBLE) / LEAST(s1.n, s2.n) AS containment
+    FROM pairs
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE CAST(n_common AS DOUBLE) / LEAST(s1.n, s2.n)
+          >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: |A∩B| / min(|A|,|B|) ≥ 0.9 —
+    the quote/excerpt/subset detector.  Jaccard misses exactly these
+    pairs (a document wholly quoted inside a 10× longer one has Jaccard
+    ≈ 0.1), and so does dedup_ngram_jaccard's length-ratio prune, which
+    is LOSSLESS only for the symmetric metric.  So the pair generation
+    here runs the same group-and-combine inverted-index shape with the
+    prune DISABLED (threshold 0.0): the DF cap still bounds the
+    per-shingle fan-out, which is what keeps the job alive at 100 TB —
+    containment jobs are the reason the cap exists, since boilerplate
+    shingles are precisely the ones shared by small-in-big pairs.
+
+    Output orients each pair as (contained, container) by set size (ties
+    → lower doc_id is the contained side, matching the d1<d2 pair
+    order)."""
+    ex = shingle_table(spark, sf_dir)
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pairs = _pairs_by_shingle(ex, sizes, 0.0)
+    containment = F.col("n_common").cast("double") / F.least(
+        F.col("n1"), F.col("n2")
+    )
+    small_first = F.col("n1") <= F.col("n2")
+    return (
+        pairs.select(
+            F.when(small_first, F.col("d1")).otherwise(F.col("d2")).alias(
+                "contained_id"
+            ),
+            F.when(small_first, F.col("d2")).otherwise(F.col("d1")).alias(
+                "container_id"
+            ),
+            "n_common",
+            containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
