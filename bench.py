@@ -80,6 +80,7 @@ EXTENDED = [
     "split_leakage_lsh",
     "stream_stream_join_live",
     "dedup_containment",
+    "dq_schema_drift",
 ]
 
 

@@ -52,6 +52,22 @@ _BLOOM_BITS_PER_KEY = 16
 _BLOOM_K = 7
 _C1 = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio multiplier
 _C2 = np.uint64(0xC2B2AE3D27D4EB4F)  # xxhash64 prime
+_F1 = np.uint64(0xBF58476D1CE4E5B9)  # splitmix64 finalizer constants
+_F2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(k: np.ndarray) -> np.ndarray:
+    """splitmix64 avalanche: every output bit depends on every input
+    bit.  A bare multiplicative hash concentrates its entropy in the
+    HIGH bits, while the bloom slot index below keeps the LOW bits
+    (``& (m-1)``) — without this mix the slot index is a linear
+    permutation of ``k mod m`` and the false-positive rate lands ~1000x
+    above theory (measured 3.8% vs 0.004% at 26 bits/key)."""
+    k = k ^ (k >> np.uint64(30))
+    k *= _F1
+    k = k ^ (k >> np.uint64(27))
+    k *= _F2
+    return k ^ (k >> np.uint64(31))
 
 
 def _bloom_build(keys: np.ndarray) -> tuple[np.ndarray, int]:
@@ -60,8 +76,8 @@ def _bloom_build(keys: np.ndarray) -> tuple[np.ndarray, int]:
     bits = np.zeros(m, dtype=bool)
     k = keys.astype(np.uint64)
     with np.errstate(over="ignore"):
-        h1 = k * _C1
-        h2 = (k * _C2) | np.uint64(1)
+        h1 = _mix64(k * _C1)
+        h2 = _mix64(k * _C2) | np.uint64(1)
         for i in range(_BLOOM_K):
             bits[(h1 + np.uint64(i) * h2) & np.uint64(m - 1)] = True
     return bits, m
@@ -72,8 +88,8 @@ def _bloom_maybe(bits: np.ndarray, m: int, keys: np.ndarray) -> np.ndarray:
     k = keys.astype(np.uint64)
     out = np.ones(len(k), dtype=bool)
     with np.errstate(over="ignore"):
-        h1 = k * _C1
-        h2 = (k * _C2) | np.uint64(1)
+        h1 = _mix64(k * _C1)
+        h2 = _mix64(k * _C2) | np.uint64(1)
         for i in range(_BLOOM_K):
             out &= bits[(h1 + np.uint64(i) * h2) & np.uint64(m - 1)]
     return out

@@ -812,3 +812,85 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nll_micro").cast("bigint").alias("sum_nll_micro"),
         )
     )
+
+
+@query(
+    "dq_schema_drift",
+    oracle=r"""
+    WITH keys AS (
+      SELECT substr(md5(event_id::VARCHAR), 1, 4) < '8000' AS in_a,
+             unnest(regexp_extract_all(props, '"([a-z_0-9]+)":', 1)) AS k,
+             props
+      FROM events
+    ),
+    prof AS (
+      SELECT k,
+             COUNT(*) FILTER (WHERE in_a) AS n_a,
+             COUNT(*) FILTER (WHERE NOT in_a) AS n_b,
+             COUNT(*) FILTER (
+               WHERE in_a AND regexp_matches(props, '"' || k || '":\s*-?[0-9]')
+             ) AS n_numeric_a,
+             COUNT(*) FILTER (
+               WHERE NOT in_a AND regexp_matches(props, '"' || k || '":\s*-?[0-9]')
+             ) AS n_numeric_b
+      FROM keys GROUP BY k
+    )
+    SELECT k, n_a, n_b, n_numeric_a, n_numeric_b,
+           CASE WHEN n_a = 0 THEN 'added'
+                WHEN n_b = 0 THEN 'removed'
+                ELSE 'common' END AS status,
+           (n_a > 0 AND n_b > 0
+            AND ((n_numeric_a > 0) <> (n_numeric_b > 0))) AS type_flip
+    FROM prof
+    """,
+)
+def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift audit between two ingest batches (md5-half split of
+    events, standing in for yesterday/today): which JSON props keys were
+    added, removed, or flipped value type across batches — the check
+    that catches an upstream producer change before a from_json schema
+    freeze turns it into silent nulls (the same failure class as the
+    reference's un-validated dynamic Argot payloads, SURVEY §0.1).
+
+    Scale shape: ONE events scan, key explode, single conditional
+    aggregation keyed on the key name — no join anywhere; both batch
+    profiles are columns of the same hash-agg row.  At 100 TB this is
+    the shape of any two-partition-compare audit."""
+    e = load_table(spark, sf_dir, "events")
+    in_a = (
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 4)
+        < F.lit("8000")
+    )
+    keys = e.select(
+        "props",
+        in_a.alias("in_a"),
+        F.explode(
+            F.regexp_extract_all(F.col("props"), F.lit(r'"([a-z_0-9]+)":'), 1)
+        ).alias("k"),
+    )
+    num_match = F.expr(r"""props rlike concat('"', k, '":\\s*-?[0-9]')""")
+    prof = keys.groupBy("k").agg(
+        F.count_if(F.col("in_a")).alias("n_a"),
+        F.count_if(~F.col("in_a")).alias("n_b"),
+        F.count_if(F.col("in_a") & num_match).alias("n_numeric_a"),
+        F.count_if(~F.col("in_a") & num_match).alias("n_numeric_b"),
+    )
+    status = (
+        F.when(F.col("n_a") == 0, F.lit("added"))
+        .when(F.col("n_b") == 0, F.lit("removed"))
+        .otherwise(F.lit("common"))
+    )
+    type_flip = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & ((F.col("n_numeric_a") > 0) != (F.col("n_numeric_b") > 0))
+    )
+    return prof.select(
+        "k",
+        "n_a",
+        "n_b",
+        "n_numeric_a",
+        "n_numeric_b",
+        status.alias("status"),
+        type_flip.alias("type_flip"),
+    )

@@ -47,7 +47,9 @@ def test_salted_join_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, "join_skew_salted", sf_dir)
     assert "CartesianProduct" not in plan
     # dimension explode ×S then equi-join on (custkey, salt)
-    assert "Generate explode" in plan or "Explode" in plan
+    # the dimension-side explode plans as a Generate node; don't couple
+    # to how the (constant-folded) array argument renders
+    assert "Generate" in plan and "explode" in plan.lower()
 
 
 def test_triangle_phase_broadcasts_edges(spark, sf_dir):
