@@ -92,31 +92,42 @@ def quota_alerts_cents(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         (cents,) = state.get if state.exists else (0,)
-        out: list[tuple] = []
+        out = pd.DataFrame(
+            columns=["user_id", "event_id", "total", "crossed"]
+        )
         # Concatenate all Arrow chunks for this key before sorting so the
         # crossing is attributed under a global (ts, event_id) order, not
         # a per-chunk one (matches the SQL window oracle exactly).
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
             pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
-            for eid, val in zip(pdf["event_id"], pdf["v"]):
-                before = cents // threshold_cents
-                cents += int(val * 100)  # Decimal('12.34')*100 is exact
-                after = cents // threshold_cents
-                if after > before:
-                    out.append(
-                        (
-                            key[0],
-                            int(eid),
-                            cents / 100.0,
-                            after * (threshold_cents / 100.0),
-                        )
-                    )
+            # Vectorized crossing detection (the hot path: one numpy
+            # cumsum instead of a per-event Python loop).  cents stay
+            # exact: DECIMAL(12,2)*100 ≤ 1e14 < 2^53, so the float64
+            # round-trip through rint is the same integer the Decimal
+            # arithmetic yields.
+            deltas = np.rint(
+                pdf["v"].astype("float64").to_numpy() * 100
+            ).astype(np.int64)
+            cum = cents + np.cumsum(deltas)
+            after = cum // threshold_cents
+            before = (cum - deltas) // threshold_cents
+            mask = after > before
+            if mask.any():
+                out = pd.DataFrame(
+                    {
+                        "user_id": key[0],
+                        "event_id": pdf["event_id"].to_numpy()[mask],
+                        "total": cum[mask] / 100.0,
+                        "crossed": after[mask] * (threshold_cents / 100.0),
+                    }
+                )
+            cents = int(cum[-1])
         state.update((cents,))
-        yield pd.DataFrame(
-            out, columns=["user_id", "event_id", "total", "crossed"]
-        )
+        yield out
 
     return events.groupBy("user_id").applyInPandasWithState(
         fn,
