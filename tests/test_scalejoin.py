@@ -61,3 +61,21 @@ def test_triangle_phase_broadcasts_edges(spark, sf_dir):
 def test_merge_upsert_single_shuffle_join(spark, sf_dir):
     plan = plan_of(spark, "merge_upsert", sf_dir)
     assert "FullOuter" in plan
+
+
+def test_mix64_avalanche():
+    # each flipped input bit must flip ~half the output bits (the
+    # property whose absence caused the 1000x-over-theory FPR): mean
+    # hamming distance across single-bit flips should be near 32
+    from reindexer_spark.operators.scalejoin import _mix64
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 2**63, size=200, dtype=np.int64).astype(np.uint64)
+    h0 = _mix64(base.copy())
+    dists = []
+    for bit in range(0, 64, 7):
+        flipped = base ^ np.uint64(1 << bit)
+        diff = h0 ^ _mix64(flipped.copy())
+        dists.append(np.unpackbits(diff.view(np.uint8)).sum() / len(base))
+    mean = float(np.mean(dists))
+    assert 24.0 < mean < 40.0, mean
