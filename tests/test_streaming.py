@@ -208,3 +208,46 @@ def test_stateful_quota_alerts_cents_across_batches(spark, tmp_path):
         for r in alerts.collect()
     }
     assert got == {(1, 2): (100.0, 100.0), (1, 3): (350.0, 300.0)}
+
+
+def test_idempotent_sink_exactly_once_output(spark, tmp_path):
+    """End-to-end through the foreachBatch parquet sink: per-batch
+    directories, and the read-back equals the batch answer."""
+    from reindexer_spark.streaming.sink import (
+        IdempotentParquetSink,
+        run_stream_to_parquet,
+    )
+
+    root = _mk_files(
+        spark,
+        tmp_path,
+        [
+            [(1, 0, 1, "click", 10.0), (2, 5, 2, "view", 1.0)],
+            [(3, 10, 1, "click", 20.0)],
+            [(4, 15, 3, "error", 5.0)],
+        ],
+    )
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "ckpt")
+    run_stream_to_parquet(_read_stream(spark, root), out, ckpt)
+    sink = IdempotentParquetSink(out)
+    got = sink.read_all(spark)
+    assert got.count() == 4
+    # one directory per micro-batch (maxFilesPerTrigger=1 → 3 batches)
+    assert got.select("batch_id").distinct().count() == 3
+
+
+def test_idempotent_sink_replay_does_not_duplicate(spark, tmp_path):
+    """The at-least-once failure mode: the same (batchId, data) pair
+    delivered twice must leave exactly one copy in the sink."""
+    from reindexer_spark.streaming.sink import IdempotentParquetSink
+
+    sink = IdempotentParquetSink(str(tmp_path / "sink_out"))
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "event_id bigint, payload string"
+    )
+    sink.write_batch(df, 7)
+    sink.write_batch(df, 7)  # replay after simulated crash
+    got = sink.read_all(spark)
+    assert got.count() == 2
+    assert got.select("batch_id").distinct().collect()[0][0] == 7
