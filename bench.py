@@ -81,6 +81,7 @@ EXTENDED = [
     "stream_stream_join_live",
     "dedup_containment",
     "dq_schema_drift",
+    "dedup_minhash_md5",
 ]
 
 

@@ -712,3 +712,154 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
+
+
+# md5-permutation MinHash: slower than the xxhash64 production variant
+# above, but replicable in DuckDB — which upgrades the BANDED CANDIDATE
+# GENERATION itself to a value-exact oracle check (the xxhash64 variant
+# is rows-only because DuckDB lacks that hash).
+MH_MD5_PERMS = 16
+MH_MD5_BANDS = 4
+MH_MD5_ROWS = MH_MD5_PERMS // MH_MD5_BANDS
+MH_MD5_VERIFY = 0.5  # exact-Jaccard verification threshold
+
+
+@query(
+    "dedup_minhash_md5",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    mh AS (
+      SELECT doc_id, i,
+             MIN(('0x' || substr(md5(shingle || ':' || i), 1, 8))::BIGINT)
+               AS mhv
+      FROM ex CROSS JOIN range({MH_MD5_PERMS}) r(i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {MH_MD5_ROWS} AS band,
+             string_agg(mhv::VARCHAR, ':' ORDER BY i) AS sig
+      FROM mh GROUP BY doc_id, i // {MH_MD5_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    verified AS (
+      SELECT c.d1, c.d2, COUNT(*) AS n_common
+      FROM cand c
+      JOIN ex e1 ON e1.doc_id = c.d1
+      JOIN ex e2 ON e2.doc_id = c.d2 AND e2.shingle = e1.shingle
+      GROUP BY c.d1, c.d2
+    )
+    SELECT v.d1, v.d2, v.n_common,
+           CAST(v.n_common AS DOUBLE) / (s1.n + s2.n - v.n_common) AS jaccard
+    FROM verified v
+    JOIN sizes s1 ON s1.doc_id = v.d1
+    JOIN sizes s2 ON s2.doc_id = v.d2
+    WHERE CAST(v.n_common AS DOUBLE) / (s1.n + s2.n - v.n_common)
+          >= {MH_MD5_VERIFY}
+    """,
+)
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH with md5 permutations — the ORACLE-CHECKABLE twin of
+    dedup_minhash: because md5 is the one hash both engines expose, the
+    minhash signatures, the band signatures, and hence the exact
+    candidate set are replicated by the DuckDB oracle, so the gate
+    value-checks the banded LSH pipeline itself (not just the verified
+    survivors).  dedup_minhash (xxhash64 over 8-byte shingle hashes)
+    remains the production variant — same pipeline shape, ~3x cheaper
+    hashing — with its recall bounded in tests/test_approx_bounds.py.
+
+    Pipeline: gram strings (not hashed longs — md5 must see identical
+    bytes on both engines) → 16 minhashes via md5(gram:i) → 4 bands of
+    4 → band-signature equi-join → exact-Jaccard verification of the
+    distinct candidates at 0.5.  Scale shape identical to dedup_minhash:
+    the 16x hash fan-out aggregates map-side to |docs|x16 partial mins
+    before the shuffle, and the band join's fan-out is bounded by band
+    width, never corpus size."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    raw = track(
+        d.select(
+            "doc_id", F.explode(word_shingles(F.col("toks"))).alias("gram")
+        )
+    )
+    hot = (
+        raw.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("gram")
+    )
+    ex = track(raw.join(F.broadcast(hot), "gram", "left_anti"))
+    perms = F.explode(
+        F.sequence(F.lit(0), F.lit(MH_MD5_PERMS - 1))
+    ).alias("i")
+    hashed = ex.select("doc_id", "gram").select(
+        "doc_id",
+        "gram",
+        perms,
+    ).select(
+        "doc_id",
+        "i",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("gram"), F.lit(":"), F.col("i"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("hv"),
+    )
+    mh = hashed.groupBy("doc_id", "i").agg(F.min("hv").alias("mhv"))
+    bands = mh.groupBy(
+        "doc_id", (F.col("i") / MH_MD5_ROWS).cast("int").alias("band")
+    ).agg(
+        F.concat_ws(
+            ":",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mhv"))),
+                lambda s: s["mhv"].cast("string"),
+            ),
+        ).alias("sig")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("d1"), "band", F.col("sig").alias("sig1")
+    )
+    b = bands.select(
+        F.col("doc_id").alias("d2"), F.col("band").alias("band2"),
+        F.col("sig").alias("sig2"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band2"))
+            & (F.col("sig1") == F.col("sig2"))
+            & (F.col("d1") < F.col("d2")),
+        )
+        .select("d1", "d2")
+        .distinct()
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    e1 = ex.select(F.col("doc_id").alias("d1"), F.col("gram").alias("g1"))
+    e2 = ex.select(F.col("doc_id").alias("d2"), F.col("gram").alias("g2"))
+    verified = (
+        cand.join(e1, "d1")
+        .join(e2, (cand.d2 == e2.d2) & (F.col("g1") == F.col("g2")))
+        .groupBy(cand.d1, cand.d2)
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    )
+    return (
+        verified.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .select("d1", "d2", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= MH_MD5_VERIFY)
+    )
