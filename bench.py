@@ -82,6 +82,7 @@ EXTENDED = [
     "dedup_containment",
     "dq_schema_drift",
     "dedup_minhash_md5",
+    "embed_pca_power",
 ]
 
 

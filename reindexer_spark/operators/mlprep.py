@@ -404,3 +404,127 @@ def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dot",
         "n_cluster",
     )
+
+
+PCA_ITERS = 2
+
+
+def _pca_oracle(iters: int) -> str:
+    """Chained-CTE DuckDB mirror of the unrolled power iteration: init
+    from vec_id 0's raw embedding (deterministic, no ambiguous
+    float->decimal cast — the kmeans init trick), then per iteration
+    quantized projection, per-dimension decimal accumulation, and a
+    decimal-exact norm (the quantized w_j have <=6 decimals, so their
+    squares are exact DECIMALs and the norm is reduction-order-free)."""
+    step = """
+    , s{i} AS (
+      SELECT vec_id, x,
+             FLOOR(list_dot_product(x, (SELECT v FROM v{p})) * 1000000)
+               / 1000000 AS qd
+      FROM x
+    ), f{i} AS (
+      SELECT generate_subscripts(x, 1) AS idx, unnest(x) AS xij, qd
+      FROM s{i}
+    ), w{i} AS (
+      SELECT idx,
+             FLOOR(CAST(SUM(CAST(xij * qd AS DECIMAL(30,12))) AS DOUBLE)
+                   * 1000000) / 1000000 AS wj
+      FROM f{i} GROUP BY idx
+    ), n{i} AS (
+      SELECT SQRT(CAST(SUM(CAST(wj AS DECIMAL(20,6))
+                           * CAST(wj AS DECIMAL(20,6))) AS DOUBLE)) AS nrm
+      FROM w{i}
+    ), v{i} AS (
+      SELECT array_agg(FLOOR(wj / (SELECT nrm FROM n{i}) * 1000000)
+                       / 1000000 ORDER BY idx) AS v
+      FROM w{i}
+    )"""
+    parts = [
+        """
+    WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+    v0 AS (SELECT x AS v FROM x WHERE vec_id = 0)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(step.format(i=i, p=i - 1))
+    parts.append(f"""
+    SELECT vec_id,
+           FLOOR(list_dot_product(x, (SELECT v FROM v{iters})) * 1000000)
+             / 1000000 AS pc1_score
+    FROM x
+    """)
+    return "".join(parts)
+
+
+@query("embed_pca_power", oracle=_pca_oracle(PCA_ITERS))
+def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed top-principal-direction via power iteration (two
+    unrolled iterations of v <- normalize(X^T X v) on the uncentered
+    second moment), emitting each vector's quantized projection onto the
+    final direction — the dimensionality-reduction / drift-monitoring
+    primitive next to kmeans in the ML-prep family.
+
+    Scale shape per iteration: the direction is ONE broadcast row; the
+    projection is a map-side dot per vector; the matrix-vector product
+    aggregates to |dims| per-dimension decimal partials regardless of
+    corpus size (same shuffle shape as a kmeans recompute with k=1).
+    Nothing is ever collected; the iteration is plan-unrolled like
+    kmeans/PageRank.
+
+    Determinism: projections quantized FLOOR(x*1e6)/1e6 before the
+    decimal accumulation; the norm is computed from the quantized w_j
+    whose squares are EXACT decimals (<=12 decimal digits), so the sum
+    is reduction-order-independent and the single sqrt/divide is IEEE-
+    identical on both engines.  Init is vec_id 0's raw embedding —
+    normalizing the init would need a float->decimal cast of arbitrary
+    doubles, whose rounding is engine-specific (the kmeans lesson)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda c: c.cast("double")).alias("x"),
+    )
+    v = e.filter(F.col("vec_id") == 0).select(F.col("x").alias("v"))
+    for _ in range(PCA_ITERS):
+        scored = e.crossJoin(F.broadcast(v)).select(
+            "vec_id",
+            "x",
+            (F.floor(_dot(F.col("x"), F.col("v")) * 1e6) / 1e6).alias("qd"),
+        )
+        flat = scored.select(F.posexplode("x").alias("idx", "xij"), "qd")
+        w = flat.groupBy("idx").agg(
+            (
+                F.floor(
+                    F.sum(
+                        (F.col("xij") * F.col("qd")).cast("decimal(30,12)")
+                    ).cast("double")
+                    * 1e6
+                )
+                / 1e6
+            ).alias("wj")
+        )
+        norm = w.agg(
+            F.sqrt(
+                F.sum(
+                    F.col("wj").cast("decimal(20,6)")
+                    * F.col("wj").cast("decimal(20,6)")
+                ).cast("double")
+            ).alias("nrm")
+        )
+        v = (
+            w.crossJoin(F.broadcast(norm))
+            .select(
+                "idx",
+                (F.floor(F.col("wj") / F.col("nrm") * 1e6) / 1e6).alias("vj"),
+            )
+            .groupBy()
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "vj"))),
+                    lambda s: s["vj"],
+                ).alias("v")
+            )
+        )
+    return e.crossJoin(F.broadcast(v)).select(
+        "vec_id",
+        (F.floor(_dot(F.col("x"), F.col("v")) * 1e6) / 1e6).alias(
+            "pc1_score"
+        ),
+    )
