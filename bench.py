@@ -83,6 +83,7 @@ EXTENDED = [
     "dq_schema_drift",
     "dedup_minhash_md5",
     "embed_pca_power",
+    "multimodal_phash_dedup",
 ]
 
 

@@ -269,3 +269,137 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("frame").alias("frame_bytes"),
         F.md5("frame").alias("frame_checksum"),
     )
+
+
+AHASH_BANDS = 4  # 64-bit hash split into 4x16-bit bands for LSH
+AHASH_HAMMING_MAX = 6
+
+
+@query("multimodal_phash_dedup")  # Python decode output → rows-only check
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup on REAL pixels: decode each BMP,
+    average-hash it (8x8 nearest-neighbor downsample of the grayscale,
+    threshold at the mean → 64-bit signature), then find near-duplicate
+    pairs by hamming distance ≤ 6 — the image-modality twin of
+    dedup_simhash, closing the loop between the multimodal decode lane
+    and the dedup family.
+
+    Scale shape mirrors SimHash text dedup exactly: the signature is 8
+    bytes per image regardless of resolution (the ONLY full-data pass
+    is the decode), candidates come from equality on one of 4 16-bit
+    hash bands — hamming ≤ 6 pairs must agree on ≥1 band by pigeonhole
+    when corruption spreads, and identical images (duplicate documents
+    produce byte-identical payloads here) collide on all 4 — and the
+    exact hamming check via bit_count(xor) runs on candidates only.
+    Decode is Arrow-batched mapInPandas; the band join shuffles 8-byte
+    signatures, never pixels."""
+    from reindexer_spark.codecs import decode_bmp
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = _synth_media(d).filter(F.col("kind") == "image-bmp")
+
+    # Near-duplicate lane: every 5th image re-enters slightly brightened
+    # (a few pixels nudged, media_id offset by 1e6) — the fixture's
+    # stand-in for the re-encoded/re-scaled copies a real crawl carries.
+    # The corpus itself has no byte-identical images (the generator
+    # seeds pixels from document text, which is duplicate-free at this
+    # sf), so these perturbed copies are what a perceptual hash must
+    # catch that an exact checksum cannot.
+    def perturb(batches):
+        import numpy as np
+        import pandas as pd
+
+        from reindexer_spark.codecs import encode_bmp
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["media_id"] % 15 != 0:
+                    continue
+                w, h, rgb = decode_bmp(bytes(r["payload"]))
+                px = np.frombuffer(rgb, dtype=np.uint8).copy()
+                px[:: max(1, len(px) // 7)] = np.minimum(
+                    px[:: max(1, len(px) // 7)].astype(np.int16) + 9, 255
+                ).astype(np.uint8)
+                rows.append(
+                    {
+                        "media_id": int(r["media_id"]) + 1_000_000,
+                        "kind": "image-bmp",
+                        "payload": encode_bmp(w, h, px.tobytes()),
+                        "meta": dict(r["meta"]) if r["meta"] else {},
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    copies = media.mapInPandas(
+        perturb,
+        "media_id bigint, kind string, payload binary, meta map<string,string>",
+    )
+    media = media.unionByName(copies)
+
+    def ahash(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                w, h, rgb = decode_bmp(bytes(r["payload"]))
+                px = (
+                    np.frombuffer(rgb, dtype=np.uint8)
+                    .reshape(h, w, 3)
+                    .mean(axis=2)
+                )
+                # nearest-neighbor 8x8: integer index grid, no float
+                # resampling → engine/library-independent
+                yi = (np.arange(8) * h) // 8
+                xi = (np.arange(8) * w) // 8
+                small = px[np.ix_(yi, xi)]
+                bits = (small > small.mean()).flatten()
+                sig = 0
+                for b in bits:
+                    sig = (sig << 1) | int(b)
+                # store as signed int64 (Spark bigint)
+                if sig >= 1 << 63:
+                    sig -= 1 << 64
+                out.append((int(r["media_id"]), sig))
+            yield pd.DataFrame(out, columns=["media_id", "ahash"])
+
+    sigs = media.mapInPandas(ahash, "media_id bigint, ahash bigint")
+    from reindexer_spark.cache import track
+
+    sigs = track(sigs)
+    # band signatures: 4x16 bits via shiftrightunsigned + mask
+    def band_col(i: int):
+        return (
+            F.shiftrightunsigned(F.col("ahash"), 16 * i)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias(f"b{i}")
+        )
+
+    banded = sigs.select(
+        "media_id", "ahash", *[band_col(i) for i in range(AHASH_BANDS)]
+    )
+    a = banded.select(
+        F.col("media_id").alias("m1"),
+        F.col("ahash").alias("h1"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(AHASH_BANDS)],
+    )
+    b = banded.select(
+        F.col("media_id").alias("m2"),
+        F.col("ahash").alias("h2"),
+        *[F.col(f"b{i}").alias(f"c{i}") for i in range(AHASH_BANDS)],
+    )
+    band_match = a["a0"] == b["c0"]
+    for i in range(1, AHASH_BANDS):
+        band_match = band_match | (a[f"a{i}"] == b[f"c{i}"])
+    cand = a.join(b, (F.col("m1") < F.col("m2")) & band_match).select(
+        "m1", "m2", "h1", "h2"
+    ).distinct()
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        cand.select("m1", "m2", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= AHASH_HAMMING_MAX)
+    )
