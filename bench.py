@@ -84,6 +84,7 @@ EXTENDED = [
     "dedup_minhash_md5",
     "embed_pca_power",
     "multimodal_phash_dedup",
+    "graph_link_prediction",
 ]
 
 

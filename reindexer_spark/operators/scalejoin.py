@@ -40,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from reindexer_spark.cache import track
 from reindexer_spark.catalog import load_table
 from reindexer_spark.functions import dec, dsum
 from reindexer_spark.registry import query
@@ -354,5 +355,120 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e1.src").alias("brand_a"),
             F.col("e1.dst").alias("brand_b"),
             F.col("e2.dst").alias("brand_c"),
+        )
+    )
+
+
+_LP_SUPPORT = 2  # min co-occurrences for an observed edge
+_LP_MIN_CN = 2  # predict only pairs sharing >= 2 neighbors
+_LP_DEGREE_CAP = 64  # drop hub nodes before pairing (bounds fan-out)
+
+
+@query(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_LP_SUPPORT}
+    ),
+    und AS (
+      SELECT src AS u, dst AS v FROM edges
+      UNION ALL SELECT dst, src FROM edges
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+    capped AS (
+      SELECT un.u, un.v FROM und un
+      JOIN deg du ON du.u = un.u AND du.d <= {_LP_DEGREE_CAP}
+      JOIN deg dv ON dv.u = un.v AND dv.d <= {_LP_DEGREE_CAP}
+    ),
+    common AS (
+      SELECT a.u AS x, b.u AS y, COUNT(*) AS cn
+      FROM capped a JOIN capped b ON a.v = b.v AND a.u < b.u
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_LP_MIN_CN}
+    )
+    SELECT c.x AS part_a, c.y AS part_b, c.cn AS n_common_neighbors,
+           CAST(c.cn AS DOUBLE) / (da.d + db.d - c.cn) AS jaccard
+    FROM common c
+    JOIN deg da ON da.u = c.x
+    JOIN deg db ON db.u = c.y
+    WHERE NOT EXISTS (
+      SELECT 1 FROM edges e WHERE e.src = c.x AND e.dst = c.y
+    )
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the part co-occurrence graph:
+    for part pairs NOT yet co-ordered (support < 2), the Jaccard of
+    their neighbor sets — the 'frequently bought together, predicted'
+    recommender primitive, and the 4th graph operator next to PageRank,
+    triangles, and connected components.
+
+    Scale shape: the fact-sized work is the one distinct+pair
+    aggregation building the observed edge relation (same bound as
+    orders_basket_pairs: per-order item count squared).  The
+    common-neighbor self-join runs on the DEGREE-CAPPED adjacency list —
+    hub nodes above degree 64 are excluded from candidate generation
+    (the graph analogue of the shingle DF cap: a hub of degree d
+    contributes d² candidate pairs and predicts nothing specific), so
+    the wedge fan-out is bounded by cap² per node regardless of graph
+    size.  The anti-join against observed edges keeps only genuinely
+    novel predictions."""
+    l = load_table(spark, sf_dir, "lineitem")  # noqa: E741
+    items = l.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = track(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _LP_SUPPORT)
+        .select("src", "dst")
+    )
+    und = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    deg = track(und.groupBy("u").agg(F.count("*").alias("d")))
+    low = deg.filter(F.col("d") <= _LP_DEGREE_CAP).select("u")
+    capped = (
+        und.join(F.broadcast(low), "u", "left_semi")
+        .join(
+            F.broadcast(low.select(F.col("u").alias("v"))), "v", "left_semi"
+        )
+    )
+    ca = capped.select(F.col("u").alias("x"), "v")
+    cb = capped.select(F.col("u").alias("y"), F.col("v").alias("v2"))
+    common = (
+        ca.join(cb, (F.col("v") == F.col("v2")) & (F.col("x") < F.col("y")))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("cn"))
+        .filter(F.col("cn") >= _LP_MIN_CN)
+    )
+    novel = common.join(
+        edges,
+        (common.x == edges.src) & (common.y == edges.dst),
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("x"), F.col("d").alias("dx"))
+    db = deg.select(F.col("u").alias("y"), F.col("d").alias("dy"))
+    jac = F.col("cn").cast("double") / (
+        F.col("dx") + F.col("dy") - F.col("cn")
+    )
+    return (
+        novel.join(F.broadcast(da), "x")
+        .join(F.broadcast(db), "y")
+        .select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            F.col("cn").alias("n_common_neighbors"),
+            jac.alias("jaccard"),
         )
     )
