@@ -85,6 +85,7 @@ EXTENDED = [
     "embed_pca_power",
     "multimodal_phash_dedup",
     "graph_link_prediction",
+    "text_kneser_ney",
 ]
 
 

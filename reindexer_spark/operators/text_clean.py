@@ -894,3 +894,116 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         status.alias("status"),
         type_flip.alias("type_flip"),
     )
+
+
+KN_DISCOUNT = 0.75
+
+
+@query(
+    "text_kneser_ney",
+    oracle=f"""
+    WITH bi AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                                   i -> [w[i], w[i+1]])) AS pair
+      FROM (SELECT string_split(text, ' ') AS w FROM documents)
+    ), bcnt AS (
+      SELECT pair[1] AS w1, pair[2] AS w2, COUNT(*) AS c_bi
+      FROM bi GROUP BY 1, 2
+    ), ucnt AS (
+      SELECT w1, CAST(SUM(c_bi) AS BIGINT) AS c_uni FROM bcnt GROUP BY w1
+    ), n1f AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS nf FROM bcnt GROUP BY w1
+    ), n1b AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS nb FROM bcnt GROUP BY w2
+    ), tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM bcnt),
+    scored AS (
+      SELECT b.w1, b.w2, b.c_bi,
+             ROUND(
+               (GREATEST(CAST(b.c_bi AS DOUBLE) - {KN_DISCOUNT}, 0.0)
+                / u.c_uni)
+               + ((({KN_DISCOUNT} * f.nf) / u.c_uni)
+                  * (CAST(k.nb AS DOUBLE) / (SELECT t FROM tt))),
+               6) AS p_kn
+      FROM bcnt b
+      JOIN ucnt u USING (w1)
+      JOIN n1f f USING (w1)
+      JOIN n1b k USING (w2)
+    )
+    SELECT w1, w2, c_bi, p_kn,
+           ROW_NUMBER() OVER (
+             PARTITION BY w1 ORDER BY p_kn DESC, w2
+           ) AS rnk
+    FROM scored QUALIFY rnk <= 3
+    """,
+)
+def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM — the smoothing every serious
+    n-gram model uses, next to text_bigram_lm's raw MLE: discounted
+    bigram mass is redistributed via the CONTINUATION probability (how
+    many distinct contexts a word follows), which is what lets the model
+    back off sensibly for unseen pairs.  Top-3 smoothed continuations
+    per word.
+
+    Scale shape identical to the MLE build: the corpus-sized explode
+    feeds one map-side-combinable count; every subsequent relation
+    (context totals, distinct-continuation counts, the bigram-type
+    total) is vocabulary-bounded, and the final window runs on the
+    vocabulary-sized scored relation.  Determinism: all inputs to the
+    probability are exact integers; the expression uses only IEEE
+    correctly-rounded ops in an explicitly parenthesized order, then
+    rounds once at 1e-6 — and the rank orders by the ROUNDED value, so
+    the window is engine-stable too."""
+    from pyspark.sql.window import Window
+
+    from reindexer_spark.cache import track
+
+    d = load_table(spark, sf_dir, "documents")
+    wcol = F.col("w")
+    bi = d.select(F.split("text", " ").alias("w")).select(
+        F.explode(
+            F.when(
+                F.size(wcol) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(wcol) - 1),
+                    lambda i: F.array(
+                        F.element_at(wcol, i), F.element_at(wcol, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<array<string>>"))
+        ).alias("pair")
+    )
+    bcnt = track(
+        bi.select(
+            F.col("pair")[0].alias("w1"), F.col("pair")[1].alias("w2")
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_bi"))
+    )
+    ucnt = bcnt.groupBy("w1").agg(F.sum("c_bi").alias("c_uni"))
+    n1f = bcnt.groupBy("w1").agg(F.count("*").alias("nf"))
+    n1b = bcnt.groupBy("w2").agg(F.count("*").alias("nb"))
+    tt = bcnt.agg(F.count("*").alias("t"))
+    p_kn = F.round(
+        (
+            F.greatest(
+                F.col("c_bi").cast("double") - KN_DISCOUNT, F.lit(0.0)
+            )
+            / F.col("c_uni")
+        )
+        + (
+            ((KN_DISCOUNT * F.col("nf")) / F.col("c_uni"))
+            * (F.col("nb").cast("double") / F.col("t"))
+        ),
+        6,
+    )
+    scored = (
+        bcnt.join(F.broadcast(ucnt), "w1")
+        .join(F.broadcast(n1f), "w1")
+        .join(F.broadcast(n1b), "w2")
+        .crossJoin(F.broadcast(tt))
+        .select("w1", "w2", "c_bi", p_kn.alias("p_kn"))
+    )
+    w = Window.partitionBy("w1").orderBy(F.desc("p_kn"), F.asc("w2"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 3
+    )
