@@ -86,6 +86,7 @@ EXTENDED = [
     "multimodal_phash_dedup",
     "graph_link_prediction",
     "text_kneser_ney",
+    "events_rate_limit_audit",
 ]
 
 

@@ -567,3 +567,54 @@ def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         F.col("next_date").isNull().alias("is_current"),
     )
+
+
+RATE_WINDOW_US = 86_400_000_000  # trailing 24h, integer microseconds
+RATE_LIMIT = 8
+
+
+@query(
+    "events_rate_limit_audit",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN {RATE_WINDOW_US} PRECEDING AND CURRENT ROW
+             ) AS n_window
+      FROM events
+    )
+    SELECT user_id, event_id, ts_s, n_window
+    FROM r WHERE n_window >= {RATE_LIMIT}
+    """,
+)
+def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst / rate-limit audit: events whose user sent >= 8 events in
+    the trailing 24 hours — the sliding-count primitive behind API rate
+    limiting, fraud velocity checks, and crawler detection.  Unlike the
+    row-frame and numeric-range windows elsewhere in the family, the
+    frame here is a TIME range over integer epoch-microseconds, so two
+    events 24h01m apart never share a window no matter how many rows
+    sit between them.
+
+    Scale shape: one hash exchange on user_id, per-user time-sorted
+    range frame (Spark keeps a sliding aggregate over the frame — cost
+    per row is amortized O(1), state bounded by the 24h span).  Integer
+    microsecond bounds make the frame edge exact on both engines; no
+    timestamp arithmetic in doubles anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-RATE_WINDOW_US, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.count("*").over(w).alias("n_window"),
+        )
+        .filter(F.col("n_window") >= RATE_LIMIT)
+    )

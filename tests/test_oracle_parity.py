@@ -41,4 +41,5 @@ def test_contract_shapes(spark):
         "multimodal_decode_features",
         "multimodal_frame_sample",
         "multimodal_thumbnail",
+        "multimodal_phash_dedup",
     }
