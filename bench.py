@@ -87,6 +87,8 @@ EXTENDED = [
     "graph_link_prediction",
     "text_kneser_ney",
     "events_rate_limit_audit",
+    "events_ab_test",
+    "udaf_grouped_mad",
 ]
 
 

@@ -909,3 +909,106 @@ def corpus_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lost").alias("tokens_lost"),
         F.round(F.sum("lost") / F.sum("n_tokens"), 6).alias("loss_frac"),
     )
+
+
+@query(
+    "events_ab_test",
+    oracle="""
+    WITH assign AS (
+      SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 4))::BIGINT % 2
+               AS variant,
+             user_id, event_type, value
+      FROM events
+    ),
+    users AS (
+      SELECT variant, user_id,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150.0 THEN 1 ELSE 0 END)
+               AS converted
+      FROM assign GROUP BY variant, user_id
+    ),
+    arms AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM users GROUP BY variant
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+             MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+             MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+             MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1
+      FROM arms
+    )
+    SELECT n0, c0, n1, c1,
+           ROUND((CAST(c0 AS DOUBLE) / n0), 6) AS p0,
+           ROUND((CAST(c1 AS DOUBLE) / n1), 6) AS p1,
+           ROUND(
+             ((CAST(c0 AS DOUBLE) / n0) - (CAST(c1 AS DOUBLE) / n1))
+             / SQRT(
+                 ((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                  * (1.0 - (CAST(c0 + c1 AS DOUBLE) / (n0 + n1))))
+                 * ((1.0 / n0) + (1.0 / n1))
+               ),
+             6) AS z_score
+    FROM wide
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test readout: users deterministically hash-
+    bucketed into two arms (md5 — the same retry-safe assignment the
+    sampling family uses; never rand(), which would re-assign users
+    across task retries), per-arm conversion rates (conversion = any high-value purchase,
+    value > 150 — every user has SOME purchase in this data, which would
+    degenerate the pooled variance to zero), and the
+    pooled two-proportion z-score — the experimentation primitive every
+    event pipeline grows.
+
+    Scale shape: one (variant, user) aggregation over the events scan
+    (map-side combinable), then arm totals are 2 rows; the z-score is
+    driver-free column arithmetic on a 1-row relation.  Determinism:
+    integer counts into an explicitly-parenthesized IEEE expression
+    (division/sqrt are correctly rounded), rounded once at 1e-6."""
+    e = load_table(spark, sf_dir, "events")
+    variant = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 2
+    )
+    users = (
+        e.select(
+            variant.alias("variant"),
+            "user_id",
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 150.0), 1)
+            .otherwise(0)
+            .alias("is_purchase"),
+        )
+        .groupBy("variant", "user_id")
+        .agg(F.max("is_purchase").alias("converted"))
+    )
+    arms = users.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pbar = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    z = (p0 - p1) / F.sqrt(
+        (pbar * (F.lit(1.0) - pbar))
+        * ((F.lit(1.0) / F.col("n0")) + (F.lit(1.0) / F.col("n1")))
+    )
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(p0, 6).alias("p0"),
+        F.round(p1, 6).alias("p1"),
+        F.round(z, 6).alias("z_score"),
+    )

@@ -75,3 +75,55 @@ def udaf_grouped_minmax_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("label").applyInPandas(
         per_group, schema="label int, n bigint, first_dim_range double"
     )
+
+
+@query(
+    "udaf_grouped_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, MEDIAN(value) AS med FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(m.med), 6) AS median_value,
+           ROUND(MEDIAN(ABS(e.value - m.med)), 6) AS mad
+    FROM events e JOIN med m USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def udaf_grouped_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas robust statistics: per-event-type median and median
+    absolute deviation — the outlier-resistant spread measure that has
+    no built-in Spark aggregate (percentile_approx is approximate; this
+    is exact), which is precisely when the UDAF escape hatch earns its
+    keep.
+
+    Value-exact across engines because median interpolation is plain
+    IEEE arithmetic on the two middle elements ((a+b)/2 — numpy and
+    DuckDB agree bit-for-bit), and the deviations are single
+    subtractions.  Scale note: per-group exact medians require the
+    group's values in one place — the applyInPandas shuffle — which is
+    the honest cost of EXACT order statistics; the approximate sketch
+    path (agg_approx_sketches) is the no-shuffle alternative at 100 TB.
+    """
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "events")
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype="float64")
+        med = float(np.median(v))
+        mad = float(np.median(np.abs(v - med)))
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(v)],
+                "median_value": [round(med, 6)],
+                "mad": [round(mad, 6)],
+            }
+        )
+
+    return e.select("event_type", "value").groupBy("event_type").applyInPandas(
+        per_group,
+        schema="event_type string, n bigint, median_value double, mad double",
+    )
