@@ -337,3 +337,143 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(wfull).alias("latest_order"),
         F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
     )
+
+
+ASOF_TOLERANCE_US = 3_600_000_000  # 1 hour, integer microseconds
+
+
+@query(
+    "asof_join_tolerance",
+    oracle=f"""
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= {ASOF_TOLERANCE_US}
+                THEN strftime(c.ts, '%Y-%m-%d %H:%M:%S') END AS last_click_ts,
+           CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= {ASOF_TOLERANCE_US}
+                THEN epoch_us(p.ts) - epoch_us(c.ts) END AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas merge_asof's
+    ``tolerance=``, kdb's windowed aj): the most recent preceding click
+    counts only within 1 hour of the purchase — stale matches surface
+    as NULL, exactly like a miss.  The tolerance is applied AFTER the
+    as-of resolution (match-then-bound, the merge_asof semantic), not
+    as a join predicate, so a purchase whose nearest click is stale
+    does NOT fall back to an older in-window click — there is none by
+    construction.
+
+    Same single-shuffle union+window shape as asof_join; the bound is a
+    stateless integer-microsecond comparison on the resolved pair, so
+    the scale profile is identical."""
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase")
+    right = e.filter(F.col("event_type") == "click")
+    tagged = left.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_left"),
+        F.col("event_id"),
+        F.lit(None).cast("timestamp").alias("r_ts"),
+    ).unionByName(
+        right.select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("is_left"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.select(
+        "user_id",
+        "ts",
+        "is_left",
+        "event_id",
+        F.last("r_ts", ignorenulls=True).over(w).alias("c_ts"),
+    ).filter(F.col("is_left") == 1)
+    gap = F.unix_micros("ts") - F.unix_micros("c_ts")
+    in_tol = gap <= ASOF_TOLERANCE_US
+    return filled.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.when(in_tol, F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss")).alias(
+            "last_click_ts"
+        ),
+        F.when(in_tol, gap).alias("gap_us"),
+    )
+
+
+@query(
+    "asof_join_forward",
+    oracle="""
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS next_purchase_ts,
+           p.value AS next_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas merge_asof direction='forward'): for
+    each click, the EARLIEST purchase at or after it by the same user —
+    the attribution question asked from the other side.  Mirror image
+    of the backward operator: right rows sort AFTER left rows at equal
+    ts (is_left DESC ordering keeps a purchase at exactly c.ts visible),
+    and the window scans forward with first_value(ignorenulls) over
+    (currentRow, unboundedFollowing).  Same one-shuffle skew-safe
+    shape."""
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "click")
+    right = e.filter(F.col("event_type") == "purchase")
+    tagged = left.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("sort_tag"),  # left rows first at equal ts
+        F.col("event_id"),
+        F.lit(None).cast("double").alias("r_value"),
+        F.lit(None).cast("timestamp").alias("r_ts"),
+    ).unionByName(
+        right.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("sort_tag"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.col("value").alias("r_value"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "sort_tag")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = tagged.select(
+        "user_id",
+        "ts",
+        "sort_tag",
+        "event_id",
+        F.first("r_value", ignorenulls=True).over(w).alias(
+            "next_purchase_value"
+        ),
+        F.first("r_ts", ignorenulls=True).over(w).alias("p_ts"),
+    ).filter(F.col("sort_tag") == 0)
+    return filled.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "next_purchase_ts"
+        ),
+        "next_purchase_value",
+    )
