@@ -1012,3 +1012,64 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1, 6).alias("p1"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+@query(
+    "orders_seasonal_forecast",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS yr,
+             CAST(strftime(o_orderdate, '%m') AS INTEGER) AS mo,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT a.yr, a.mo, a.revenue,
+           f.revenue AS forecast_seasonal_naive,
+           ROUND(ABS(a.revenue - f.revenue), 2) AS abs_error,
+           ROUND(ABS(a.revenue - f.revenue) / a.revenue, 6) AS ape
+    FROM monthly a
+    JOIN monthly f ON f.yr = a.yr - 1 AND f.mo = a.mo
+    """,
+)
+def orders_seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation: predict each month's revenue
+    as the same month one year earlier, and score the prediction with
+    absolute error and APE — the baseline every demand-forecasting
+    pipeline must beat, and the backtest shape (align t with t-season,
+    score, aggregate) that any fancier model reuses.
+
+    The self-join runs on the |years|x12 monthly aggregate, not the
+    fact table, and joining on (yr-1, mo) rather than LAG(12) OVER a
+    month sequence makes missing months score as absent instead of
+    silently sliding the season window (the gap-robustness trick from
+    orders_yoy_growth).  Decimal sums make each month's revenue exact,
+    so error metrics are engine-identical."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    a = monthly.alias("a")
+    f = monthly.select(
+        (F.col("yr") + 1).alias("yr"),
+        F.col("mo").alias("mo"),
+        F.col("revenue").alias("forecast_seasonal_naive"),
+    )
+    joined = a.join(F.broadcast(f), ["yr", "mo"])
+    err = F.abs(F.col("revenue") - F.col("forecast_seasonal_naive"))
+    return joined.select(
+        "yr",
+        "mo",
+        "revenue",
+        "forecast_seasonal_naive",
+        F.round(err, 2).alias("abs_error"),
+        F.round(err / F.col("revenue"), 6).alias("ape"),
+    )

@@ -411,3 +411,43 @@ def scalar_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr("p_name", "e").cast("bigint").alias("first_e_pos"),
         F.when(F.col("p_name").ilike("%WIDGET%"), 1).otherwise(0).alias("is_widget"),
     )
+
+
+@query(
+    "scalar_try_errors",
+    oracle="""
+    SELECT p_partkey,
+           CAST(p_retailprice AS DOUBLE) / NULLIF(p_size, 0) AS price_per_size,
+           TRY_CAST(p_name AS INTEGER) AS name_as_int,
+           CAST(TRY_CAST(substr(p_name, 1, 4) AS DATE) AS VARCHAR) AS name_as_date,
+           TRY_CAST(p_size AS TINYINT) AS size_tiny,
+           COALESCE(TRY_CAST(substr(p_brand, 7, 1) AS INTEGER), -1) AS brand_digit
+    FROM part
+    """,
+)
+def scalar_try_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant scalar surface under ANSI mode: Spark 4 runs with
+    spark.sql.ansi.enabled=true, where a bad cast or a division by zero
+    is a RUNTIME ERROR, not a silent NULL — so a production pipeline
+    needs the try_* forms on any column it does not fully trust.  This
+    battery exercises try_divide (zero divisors exist in no p_size, but
+    the form compiles to the null-safe plan), try_cast to int / date /
+    narrow tinyint (overflow → NULL, not wraparound), and the
+    COALESCE-over-try_cast default pattern.  All engine-exact: both
+    sides define failure as NULL."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.try_divide(
+            F.col("p_retailprice").cast("double"),
+            F.nullif(F.col("p_size"), F.lit(0)),
+        ).alias("price_per_size"),
+        F.try_to_number(F.col("p_name"), F.lit("999999"))
+        .cast("int")
+        .alias("name_as_int"),
+        F.try_to_date(F.substring("p_name", 1, 4)).cast("string").alias("name_as_date"),
+        F.col("p_size").try_cast("tinyint").alias("size_tiny"),
+        F.coalesce(
+            F.substring("p_brand", 7, 1).try_cast("int"), F.lit(-1)
+        ).alias("brand_digit"),
+    )
