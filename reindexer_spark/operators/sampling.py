@@ -352,3 +352,77 @@ def corpus_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "n_docs", "src_tokens", "n_kept", "kept_tokens"
         )
     )
+
+
+MIX_BUDGET = 200  # total documents the temperature-mixed corpus keeps
+
+
+@query(
+    "corpus_mix_temperature",
+    oracle=f"""
+    WITH srcs AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    wts AS (
+      SELECT source, n_docs,
+             FLOOR(SQRT(n_docs) * 1000000) / 1000000 AS w
+      FROM srcs
+    ),
+    tot AS (SELECT SUM(CAST(w AS DECIMAL(20,6))) AS tw FROM wts)
+    SELECT w.source, w.n_docs, w.w,
+           ROUND(w.w / (SELECT CAST(tw AS DOUBLE) FROM tot), 6) AS share,
+           CAST(FLOOR(
+             (w.w / (SELECT CAST(tw AS DOUBLE) FROM tot)) * {MIX_BUDGET}
+           ) AS BIGINT) AS target_docs,
+           LEAST(
+             CAST(FLOOR(
+               (w.w / (SELECT CAST(tw AS DOUBLE) FROM tot)) * {MIX_BUDGET}
+             ) AS BIGINT),
+             w.n_docs
+           ) AS kept_docs
+    FROM wts w
+    """,
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing at α = 0.5: sampling weights
+    w_i ∝ n_i^α flatten the source distribution so low-resource sources
+    are up-weighted relative to their raw share — the multilingual/
+    multi-source mixing rule LLM data pipelines use.  α is fixed at 0.5
+    deliberately: n^0.5 is SQRT, a correctly-rounded IEEE primitive, so
+    the weights are bit-identical across engines, while a general
+    pow(n, α) routes through exp/ln whose last-ulp behavior is
+    libm-specific (the same reasoning that keeps ln out of every other
+    hash-gated expression here).
+
+    The weight table is |sources| rows built from one map-side-combined
+    count; quantized weights sum as exact decimals, so the shares and
+    integer floor targets are deterministic.  The kept_docs cap
+    (LEAST(target, n)) is where a low-resource source saturates — the
+    epoch-repeat decision a real mixing run logs.  Downstream, the
+    per-source keep is the stratified md5-rank selection
+    (sample_stratified_exact); this query is the planning relation that
+    drives it."""
+    d = load_table(spark, sf_dir, "documents")
+    srcs = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    wts = srcs.select(
+        "source",
+        "n_docs",
+        (F.floor(F.sqrt(F.col("n_docs")) * 1e6) / 1e6).alias("w"),
+    )
+    tot = wts.agg(
+        F.sum(F.col("w").cast("decimal(20,6)")).cast("double").alias("tw")
+    )
+    share = F.col("w") / F.col("tw")
+    target = F.floor(share * MIX_BUDGET).cast("bigint")
+    return (
+        wts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "w",
+            F.round(share, 6).alias("share"),
+            target.alias("target_docs"),
+            F.least(target, F.col("n_docs")).alias("kept_docs"),
+        )
+    )
