@@ -89,6 +89,7 @@ EXTENDED = [
     "events_rate_limit_audit",
     "events_ab_test",
     "udaf_grouped_mad",
+    "stream_rate_limit_live",
 ]
 
 

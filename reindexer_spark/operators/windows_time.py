@@ -618,3 +618,40 @@ def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_window") >= RATE_LIMIT)
     )
+
+
+@query(
+    "stream_rate_limit_live",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN {RATE_WINDOW_US} PRECEDING AND CURRENT ROW
+             ) AS n_window
+      FROM events
+    )
+    SELECT user_id, event_id, ts_s, n_window
+    FROM r WHERE n_window >= {RATE_LIMIT}
+    """,
+)
+def stream_rate_limit_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_rate_limit_audit executed by the REAL streaming engine
+    through the custom stateful operator: per-user trailing-24h event
+    counts maintained in ``applyInPandasWithState``, with the state — a
+    per-user timestamp list — PRUNED each batch to the trailing window.
+    The second custom stateful operator at the value gate (after
+    quota_alerts), and the one that demonstrates bounded-state
+    eviction: quota state is one long forever, rate-limit state must
+    forget or die.  Emitted rows equal the batch time-range-frame
+    query's rows exactly (timestamp peers counted per RANGE frame
+    semantics), which is what the shared oracle checks."""
+    from reindexer_spark.streaming import run_stream_to_memory, stream_events
+    from reindexer_spark.streaming.stateful import rate_limit_alerts
+
+    events = stream_events(spark, sf_dir)
+    alerts = rate_limit_alerts(
+        events, window_us=RATE_WINDOW_US, limit=RATE_LIMIT
+    )
+    return run_stream_to_memory(alerts, output_mode="append")

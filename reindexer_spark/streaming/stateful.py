@@ -136,3 +136,87 @@ def quota_alerts_cents(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RATE_SCHEMA = "user_id bigint, event_id bigint, ts_s string, n_window bigint"
+
+
+def rate_limit_alerts(
+    events: DataFrame,
+    window_us: int = 86_400_000_000,
+    limit: int = 8,
+) -> DataFrame:
+    """Streaming rate-limit detector with BOUNDED state: per user, emit
+    every event whose trailing-``window_us`` event count reaches
+    ``limit``.  Unlike quota_alerts (whose running-total state is one
+    long forever), the state here is the timestamp list inside the
+    trailing window — and it is PRUNED on every batch to timestamps
+    newer than (batch max ts - window), so state size is bounded by a
+    user's max event rate, not stream length.  That eviction is the
+    pattern every sliding-window stateful operator needs to survive an
+    unbounded stream.
+
+    Counts are computed vectorized (np.searchsorted over the sorted
+    within-window timestamps) and the emitted rows equal the batch
+    time-range-frame window query row for row, which is what lets the
+    DuckDB oracle value-gate a custom stateful streaming operator."""
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        (prior,) = state.get if state.exists else ([],)
+        prior = list(prior)
+        out = pd.DataFrame(
+            columns=["user_id", "event_id", "ts_s", "n_window"]
+        )
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+            new_us = (
+                pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            )
+            all_us = np.sort(
+                np.concatenate([np.asarray(prior, dtype=np.int64), new_us])
+            )
+            # trailing count for each NEW event: elements with ts in
+            # [t - window, t].  hi uses side="right" so ALL timestamp
+            # peers count, matching the SQL RANGE frame (whose CURRENT
+            # ROW extends through peers), not just rows sorted earlier.
+            lo = np.searchsorted(all_us, new_us - window_us, side="left")
+            hi = np.searchsorted(all_us, new_us, side="right")
+            n_window = hi - lo
+            mask = n_window >= limit
+            if mask.any():
+                ts_s = (
+                    pdf["ts"]
+                    .dt.strftime("%Y-%m-%d %H:%M:%S")
+                    .to_numpy()[mask]
+                )
+                out = pd.DataFrame(
+                    {
+                        "user_id": key[0],
+                        "event_id": pdf["event_id"].to_numpy()[mask],
+                        "ts_s": ts_s,
+                        "n_window": n_window[mask],
+                    }
+                )
+            # evict state strictly older than the window behind the
+            # newest event (>= keeps the inclusive [t-window, t] bound
+            # correct for a future event sharing the newest timestamp)
+            cutoff = int(all_us[-1]) - window_us
+            keep = all_us[all_us >= cutoff]
+            prior = [int(x) for x in keep]
+        state.update((prior,))
+        yield out
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=RATE_SCHEMA,
+        stateStructType="stamps array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -251,3 +251,51 @@ def test_idempotent_sink_replay_does_not_duplicate(spark, tmp_path):
     got = sink.read_all(spark)
     assert got.count() == 2
     assert got.select("batch_id").distinct().collect()[0][0] == 7
+
+
+def test_stateful_rate_limit_counts_across_batches(spark, tmp_path):
+    """Trailing-window counts must span micro-batch boundaries: user 1
+    sends 2 events in batch 0 and a 3rd within the window in batch 1 —
+    the 3rd event alone crosses the limit of 3."""
+    from reindexer_spark.streaming import run_stream_to_memory
+    from reindexer_spark.streaming.stateful import rate_limit_alerts
+
+    root = _mk_files(
+        spark,
+        tmp_path,
+        [
+            [(1, 0, 1, "click", 1.0), (2, 10, 1, "click", 1.0)],
+            [(3, 20, 1, "click", 1.0), (4, 25, 2, "click", 1.0)],
+        ],
+    )
+    alerts = rate_limit_alerts(
+        _read_stream(spark, root),
+        window_us=3_600_000_000,  # 1h window, all 3 events inside
+        limit=3,
+    )
+    got = run_stream_to_memory(alerts, output_mode="append").collect()
+    assert [(r.user_id, r.event_id, r.n_window) for r in got] == [(1, 3, 3)]
+
+
+def test_stateful_rate_limit_state_evicts_old_batches(spark, tmp_path):
+    """Events older than the window must leave state: the batch-1 event
+    arrives 2h after batch 0's, so with a 1h window its count restarts
+    at 1 and never alerts."""
+    from reindexer_spark.streaming import run_stream_to_memory
+    from reindexer_spark.streaming.stateful import rate_limit_alerts
+
+    root = _mk_files(
+        spark,
+        tmp_path,
+        [
+            [(1, 0, 1, "click", 1.0), (2, 5, 1, "click", 1.0)],
+            [(3, 125, 1, "click", 1.0)],  # 2h05m later
+        ],
+    )
+    alerts = rate_limit_alerts(
+        _read_stream(spark, root), window_us=3_600_000_000, limit=2
+    )
+    got = run_stream_to_memory(alerts, output_mode="append").collect()
+    # batch 0: second event reaches 2-in-window → alert; batch 1: state
+    # evicted, count 1 → silent
+    assert [(r.event_id, r.n_window) for r in got] == [(2, 2)]
