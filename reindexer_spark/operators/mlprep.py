@@ -489,16 +489,26 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(_dot(F.col("x"), F.col("v")) * 1e6) / 1e6).alias("qd"),
         )
         flat = scored.select(F.posexplode("x").alias("idx", "xij"), "qd")
-        w = flat.groupBy("idx").agg(
-            (
-                F.floor(
-                    F.sum(
-                        (F.col("xij") * F.col("qd")).cast("decimal(30,12)")
-                    ).cast("double")
-                    * 1e6
-                )
-                / 1e6
-            ).alias("wj")
+        # Persist the |dims|-row matrix-vector product: the norm chain
+        # and the component projection BOTH consume w, and without the
+        # persist each reference re-derives the whole prior iteration —
+        # an exponential 2^iters re-scan of the corpus (measured: 22
+        # parquet scans at 2 iterations; 3 with the persist, one per
+        # corpus pass, which is power iteration's true cost).
+        from reindexer_spark.cache import track
+
+        w = track(
+            flat.groupBy("idx").agg(
+                (
+                    F.floor(
+                        F.sum(
+                            (F.col("xij") * F.col("qd")).cast("decimal(30,12)")
+                        ).cast("double")
+                        * 1e6
+                    )
+                    / 1e6
+                ).alias("wj")
+            )
         )
         norm = w.agg(
             F.sqrt(
