@@ -863,3 +863,84 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", "n_common", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= MH_MD5_VERIFY)
     )
+
+
+@query(
+    "dedup_cascade_attribution",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d1, d2,
+             CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) AS jaccard,
+             CAST(n_common AS DOUBLE) / LEAST(s1.n, s2.n) AS containment,
+             (t1.text = t2.text) AS same_text
+      FROM pairs
+      JOIN sizes s1 ON s1.doc_id = d1
+      JOIN sizes s2 ON s2.doc_id = d2
+      JOIN documents t1 ON t1.doc_id = d1
+      JOIN documents t2 ON t2.doc_id = d2
+    )
+    SELECT d1, d2,
+           CASE WHEN same_text THEN 'exact'
+                WHEN jaccard >= {JACCARD_THRESHOLD} THEN 'jaccard'
+                ELSE 'containment' END AS tier,
+           jaccard, containment
+    FROM scored
+    WHERE same_text OR jaccard >= {JACCARD_THRESHOLD}
+       OR containment >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_cascade_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup CASCADE made visible: every near-dup pair
+    any tier catches, attributed to the cheapest tier that catches it —
+    exact (byte-equal text; a digest groupBy at scale), then symmetric
+    Jaccard ≥ 0.8, then asymmetric containment ≥ 0.9.  The attribution
+    is what sizes each tier's real workload: pairs the exact tier
+    catches never reach the shingle pipeline, and the containment tier
+    only pays for what Jaccard's length prune structurally missed.
+
+    One inverted-index pass produces BOTH set metrics (the pair
+    relation carries sizes, so jaccard and containment are two
+    projections of the same n_common), and the text-equality check
+    joins only the surviving pairs back to the documents — candidate-
+    bounded, never corpus x corpus."""
+    ex = shingle_table(spark, sf_dir)
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pairs = _pairs_by_shingle(ex, sizes, 0.0)
+    jac = F.col("n_common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    )
+    cont = F.col("n_common").cast("double") / F.least(
+        F.col("n1"), F.col("n2")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    t1 = d.select(F.col("doc_id").alias("d1"), F.col("text").alias("text1"))
+    t2 = d.select(F.col("doc_id").alias("d2"), F.col("text").alias("text2"))
+    scored = (
+        pairs.select(
+            "d1", "d2", jac.alias("jaccard"), cont.alias("containment")
+        )
+        .join(t1, "d1")
+        .join(t2, "d2")
+        .withColumn("same_text", F.col("text1") == F.col("text2"))
+        .drop("text1", "text2")
+    )
+    tier = (
+        F.when(F.col("same_text"), F.lit("exact"))
+        .when(F.col("jaccard") >= JACCARD_THRESHOLD, F.lit("jaccard"))
+        .otherwise(F.lit("containment"))
+    )
+    return (
+        scored.filter(
+            F.col("same_text")
+            | (F.col("jaccard") >= JACCARD_THRESHOLD)
+            | (F.col("containment") >= CONTAINMENT_THRESHOLD)
+        )
+        .select("d1", "d2", tier.alias("tier"), "jaccard", "containment")
+    )
