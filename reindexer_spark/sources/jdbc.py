@@ -15,9 +15,61 @@ construction) and gated at call time.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from reindexer_spark.docpipe.config import ReindexConfig
+
+_ORDER_BY_RE = re.compile(r"ORDER\s+BY\b", re.IGNORECASE)
+_POST_ORDER_CLAUSE_RE = re.compile(r"\b(LIMIT|OFFSET|FETCH|FOR)\b", re.IGNORECASE)
+
+
+def strip_toplevel_trailing_order_by(query: str) -> str:
+    """Remove a trailing top-level ``ORDER BY`` clause, and nothing else.
+
+    A naive ``rindex("ORDER BY")`` truncates queries that merely *end in*
+    a parenthesized subquery or window containing ORDER BY (e.g.
+    ``... FROM (SELECT ... ORDER BY x LIMIT 5) t``), producing invalid
+    SQL.  This scanner tracks paren depth and quote state, and only
+    strips an ORDER BY found at depth 0.  If anything other than the
+    sort clause follows it (LIMIT/OFFSET/FETCH/FOR), the query is left
+    alone — dropping the sort under a LIMIT would change which rows the
+    partitions read.
+    """
+    pos = None
+    depth = 0
+    quote: str | None = None  # "'" or '"' while inside a literal/ident
+    i = 0
+    n = len(query)
+    while i < n:
+        c = query[i]
+        if quote is not None:
+            if c == quote:
+                if i + 1 < n and query[i + 1] == quote:  # escaped ''
+                    i += 1
+                else:
+                    quote = None
+        elif c in ("'", '"'):
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and c in "oO":
+            bounded = i == 0 or not (query[i - 1].isalnum() or query[i - 1] == "_")
+            if bounded:
+                m = _ORDER_BY_RE.match(query, i)
+                if m:
+                    pos = i
+                    i = m.end()
+                    continue
+        i += 1
+    if pos is None:
+        return query
+    if _POST_ORDER_CLAUSE_RE.search(query, pos):
+        return query
+    return query[:pos].rstrip()
 
 
 def jdbc_reader_options(
@@ -34,19 +86,26 @@ def jdbc_reader_options(
     The reference's key is a string (asciibetical id); Spark's JDBC range
     partitioning needs a numeric/date column, so the pushed-down query
     wraps the user query with a stable numeric ``doc_seq`` derived
-    server-side (hashtext is Postgres-specific, abs() keeps bounds
-    simple).  ``fetchsize`` matters: the Postgres driver defaults to
+    server-side (hashtext is Postgres-specific; the bigint mask keeps
+    the value non-negative without abs()'s INT_MIN overflow).
+    ``fetchsize`` matters: the Postgres driver defaults to
     fetching the whole result set into memory per partition without it.
     """
     user_query = conf.query.rstrip().rstrip(";")
     # Strip the reference's trailing global sort: partitioned reads make
     # a server-side total order meaningless (and it is the documented
-    # dominant cost — driver.go:172).
-    upper = user_query.upper()
-    if "ORDER BY" in upper:
-        user_query = user_query[: upper.rindex("ORDER BY")].rstrip()
+    # dominant cost — driver.go:172).  Depth-aware: only a *top-level*
+    # trailing ORDER BY is removed; subquery/window sorts stay intact.
+    user_query = strip_toplevel_trailing_order_by(user_query)
+    # hashtext() returns int4; abs(INT_MIN) would raise "integer out of
+    # range" and kill the whole read for the 1-in-2^32 id hashing to
+    # exactly -2^31 — a certainty on a 100 TB table.  Masking in bigint
+    # space keeps the value in [0, 2^31).  NB: hashtext is not stable
+    # across Postgres major versions, so resume bookkeeping must never
+    # persist partition assignments (docpipe.resume keys on id only).
     wrapped = (
-        f"SELECT q.*, abs(hashtext(q.id)) AS {partition_column} "
+        f"SELECT q.*, (hashtext(q.id)::bigint & 2147483647) "
+        f"AS {partition_column} "
         f"FROM ({user_query}) q"
     )
     return {
