@@ -140,32 +140,73 @@ def main() -> int:
     except (OSError, json.JSONDecodeError):
         pass
     print(json.dumps(line))
-    _print_delta_ledger(timings, total, sf)
+    prior_local = _append_bench_local(line)
+    _print_delta_ledger(timings, total, sf, prior_local)
     return 0
 
 
-def _print_delta_ledger(timings: dict[str, float], total: float, sf) -> None:
+def _append_bench_local(line: dict) -> dict | None:
+    """Persist the full bench line to BENCH_LOCAL.json (a bounded history
+    list).  The driver's BENCH_r*.json capture truncates stdout at ~2000
+    chars, which nulled its ``parsed`` field two rounds running and lost
+    the per-query history; this file is the durable local copy.  Returns
+    the previous newest entry at the same sf (the ledger fallback)."""
+    path = os.path.join(os.path.dirname(__file__) or ".", "BENCH_LOCAL.json")
+    try:
+        with open(path) as fh:
+            hist = json.load(fh)
+        if not isinstance(hist, list):
+            hist = []
+    except (OSError, json.JSONDecodeError):
+        hist = []
+    prior = next(
+        (e for e in reversed(hist) if e.get("sf") == line.get("sf")), None
+    )
+    entry = dict(line)
+    entry.pop("scale_proof", None)  # scale proof has its own file
+    entry["wall_clock_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    hist.append(entry)
+    try:
+        with open(path, "w") as fh:
+            json.dump(hist[-50:], fh, indent=1)
+    except OSError:
+        pass
+    return prior
+
+
+def _print_delta_ledger(
+    timings: dict[str, float], total: float, sf, fallback: dict | None = None
+) -> None:
     """Cross-round perf ledger to STDERR (stdout stays the one-line JSON
-    contract): per-query delta vs the newest BENCH_r*.json at the same sf.
-    This VM shows occasional multi-second external noise spikes — re-run
-    before believing any single regression."""
+    contract): per-query delta vs the newest BENCH_r*.json at the same sf,
+    falling back to the newest same-sf BENCH_LOCAL.json entry when the
+    driver's truncated capture nulled ``parsed``.  This VM shows
+    occasional multi-second external noise spikes — re-run before
+    believing any single regression."""
     import glob
     import os.path
 
+    base: dict = {}
+    label = ""
     prior = sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")))
-    if not prior:
-        return
-    try:
-        with open(prior[-1]) as fh:
-            base = json.load(fh)
-    except (OSError, json.JSONDecodeError):
-        return
-    if "parsed" in base:  # driver-recorded BENCH_r*.json wraps our line
-        base = base["parsed"] or {}
+    if prior:
+        try:
+            with open(prior[-1]) as fh:
+                base = json.load(fh)
+            if "parsed" in base:  # driver-recorded BENCH_r*.json wraps our line
+                base = base["parsed"] or {}
+            label = os.path.basename(prior[-1])
+        except (OSError, json.JSONDecodeError):
+            base = {}
+    if base.get("sf") != sf:
+        base = {}
+    if not base and fallback is not None:
+        base = fallback
+        label = "BENCH_LOCAL.json[{}]".format(fallback.get("wall_clock_utc", "prev"))
     if base.get("sf") != sf:
         return
     bq = base.get("queries", {})
-    lines = [f"# perf vs {os.path.basename(prior[-1])} (sf={sf})"]
+    lines = [f"# perf vs {label} (sf={sf})"]
     for name, t in timings.items():
         b = bq.get(name)
         if b:
