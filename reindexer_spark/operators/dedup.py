@@ -722,17 +722,27 @@ MH_MD5_PERMS = 16
 MH_MD5_BANDS = 4
 MH_MD5_ROWS = MH_MD5_PERMS // MH_MD5_BANDS
 MH_MD5_VERIFY = 0.5  # exact-Jaccard verification threshold
+# Largest prime below 2^32 — the modulus for Kirsch-Mitzenmacher double
+# hashing: perm_i(g) = (h1(g) + i*h2(g)) mod P with h1/h2 the two 32-bit
+# halves of ONE md5 digest.  One md5 per gram instead of PERMS md5s over
+# decorated strings — severalfold cheaper with identical LSH guarantees
+# (Kirsch & Mitzenmacher, "Less Hashing, Same Performance", 2006).
+MH_MD5_P = 4294967291
 
 
 @query(
     "dedup_minhash_md5",
     oracle=f"""
     WITH {_SHINGLE_SQL},
+    dig AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+      FROM ex
+    ),
     mh AS (
-      SELECT doc_id, i,
-             MIN(('0x' || substr(md5(shingle || ':' || i), 1, 8))::BIGINT)
-               AS mhv
-      FROM ex CROSS JOIN range({MH_MD5_PERMS}) r(i)
+      SELECT doc_id, i, MIN((h1 + i * h2) % {MH_MD5_P}) AS mhv
+      FROM dig CROSS JOIN range({MH_MD5_PERMS}) r(i)
       GROUP BY doc_id, i
     ),
     bands AS (
@@ -773,12 +783,15 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing — with its recall bounded in tests/test_approx_bounds.py.
 
     Pipeline: gram strings (not hashed longs — md5 must see identical
-    bytes on both engines) → 16 minhashes via md5(gram:i) → 4 bands of
-    4 → band-signature equi-join → exact-Jaccard verification of the
+    bytes on both engines) → ONE md5 per gram, split into two 32-bit
+    halves h1/h2 → 16 permutations via Kirsch-Mitzenmacher double
+    hashing (h1 + i*h2) mod P (the ``MH_MD5_P`` note above; one digest
+    replaces 16 digests over decorated strings) → 4 bands of 4 →
+    band-signature equi-join → exact-Jaccard verification of the
     distinct candidates at 0.5.  Scale shape identical to dedup_minhash:
-    the 16x hash fan-out aggregates map-side to |docs|x16 partial mins
-    before the shuffle, and the band join's fan-out is bounded by band
-    width, never corpus size."""
+    the 16x fan-out is cheap bigint arithmetic aggregating map-side to
+    |docs|x16 partial mins before the shuffle, and the band join's
+    fan-out is bounded by band width, never corpus size."""
     d = load_table(spark, sf_dir, "documents").withColumn(
         "toks", F.split("text", " ")
     )
@@ -794,25 +807,20 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram")
     )
     ex = track(raw.join(F.broadcast(hot), "gram", "left_anti"))
-    perms = F.explode(
-        F.sequence(F.lit(0), F.lit(MH_MD5_PERMS - 1))
-    ).alias("i")
-    hashed = ex.select("doc_id", "gram").select(
+    dig = ex.select("doc_id", F.md5("gram").alias("dg")).select(
         "doc_id",
-        "gram",
-        perms,
+        F.conv(F.substring("dg", 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring("dg", 9, 8), 16, 10).cast("bigint").alias("h2"),
+    )
+    hashed = dig.select(
+        "doc_id",
+        "h1",
+        "h2",
+        F.explode(F.sequence(F.lit(0), F.lit(MH_MD5_PERMS - 1))).alias("i"),
     ).select(
         "doc_id",
         "i",
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("gram"), F.lit(":"), F.col("i"))), 1, 8
-            ),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .alias("hv"),
+        ((F.col("h1") + F.col("i") * F.col("h2")) % MH_MD5_P).alias("hv"),
     )
     mh = hashed.groupBy("doc_id", "i").agg(F.min("hv").alias("mhv"))
     bands = mh.groupBy(
