@@ -90,6 +90,8 @@ EXTENDED = [
     "events_ab_test",
     "udaf_grouped_mad",
     "stream_rate_limit_live",
+    # round 5
+    "dedup_simhash_md5",
 ]
 
 

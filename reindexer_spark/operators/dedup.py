@@ -5,8 +5,10 @@ Five strategies, cheapest to richest:
 - exact (group-by full text)           → dedup_exact
 - exact by content hash (sha256)       → dedup_exact_hash
 - n-gram Jaccard via inverted index    → dedup_ngram_jaccard (exact near-dup)
-- MinHash + LSH banding                → dedup_minhash (approximate; rows-only check)
-- SimHash (hamming on 64-bit sketches) → dedup_simhash (approximate; rows-only check)
+- MinHash + LSH banding                → dedup_minhash (approximate; rows-only check;
+                                         value-exact md5 twin: dedup_minhash_md5)
+- SimHash (hamming on 64-bit sketches) → dedup_simhash (approximate; rows-only check;
+                                         value-exact md5 twin: dedup_simhash_md5)
 
 Scale design: the exact variants are single-shuffle hash aggregations on
 the hash of the text (never shuffle the full text — shuffle the 32-byte
@@ -398,6 +400,171 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
     return cand.select("d1", "d2", hamming.alias("hamming")).filter(
         F.col("hamming") <= 6
+    )
+
+
+# md5-twin SimHash: same pipeline as dedup_simhash but every bit is
+# derived from md5(token), the one hash both engines share, so the
+# DuckDB oracle replicates the 64-bit sketches, the 4x16-bit band split,
+# and the exact candidate set — upgrading SimHash candidate generation
+# from rows-only to value-exact (the dedup_minhash_md5 pattern).  The
+# 64-bit sketch is carried as two NON-NEGATIVE 32-bit halves (lo/hi)
+# end-to-end: a packed 64-bit long with the sign bit set cannot be
+# parsed from hex portably across engines, two uint32-in-bigint halves
+# can.  Hamming distance = bit_count(xor(lo)) + bit_count(xor(hi)).
+SIMHASH_MD5_HAMMING = 6
+
+
+@query(
+    "dedup_simhash_md5",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+    ),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hlo,
+             ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hhi
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN i < 32
+                      THEN CASE WHEN (hlo >> i) & 1 = 1 THEN 1 ELSE -1 END
+                      ELSE CASE WHEN (hhi >> (i - 32)) & 1 = 1
+                                THEN 1 ELSE -1 END
+                 END) AS v
+      FROM h CROSS JOIN range(64) r(i)
+      GROUP BY doc_id, i
+    ),
+    fp AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v > 0 AND i < 32
+                      THEN (1::BIGINT << i) ELSE 0 END) AS sh_lo,
+             SUM(CASE WHEN v > 0 AND i >= 32
+                      THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS sh_hi
+      FROM votes GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, c AS chunk_id,
+             CASE c WHEN 0 THEN sh_lo & 65535
+                    WHEN 1 THEN (sh_lo >> 16) & 65535
+                    WHEN 2 THEN sh_hi & 65535
+                    ELSE (sh_hi >> 16) & 65535 END AS chunk_val,
+             sh_lo, sh_hi
+      FROM fp CROSS JOIN range(4) r(c)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+             x.sh_lo AS lo1, x.sh_hi AS hi1,
+             y.sh_lo AS lo2, y.sh_hi AS hi2
+      FROM chunks x
+      JOIN chunks y ON x.chunk_id = y.chunk_id
+                   AND x.chunk_val = y.chunk_val
+                   AND x.doc_id < y.doc_id
+    )
+    SELECT d1, d2,
+           (bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2))) AS hamming
+    FROM cand
+    WHERE bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2))
+          <= {SIMHASH_MD5_HAMMING}
+    """,
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with md5 token hashes — the ORACLE-CHECKABLE twin
+    of dedup_simhash.  Same pipeline (per-bit votes → sign sketch →
+    16-bit chunk banding → exact hamming verify <= 6); the only change is
+    the token hash (md5 halves instead of xxhash64) and carrying the
+    sketch as two 32-bit halves so both engines compute identical
+    non-negative integers.  dedup_simhash (xxhash64, packed 64-bit long)
+    remains the production variant — this twin exists so a wrong band
+    split or vote/sign bug in the shared shape cannot ship silently.
+
+    Banding guarantee: 4 chunks of 16 bits guarantee a shared chunk only
+    for hamming <= 3 (pigeonhole); pairs at hamming 4-6 are best-effort
+    recall.  That contract note applies to the production twin too.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    dig = toks.select("doc_id", F.md5("tok").alias("dg")).select(
+        "doc_id",
+        F.conv(F.substring("dg", 1, 8), 16, 10).cast("bigint").alias("hlo"),
+        F.conv(F.substring("dg", 9, 8), 16, 10).cast("bigint").alias("hhi"),
+    )
+    votes = dig.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("hlo" if i < 32 else "hhi"), i % 32)
+                    .bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    fingerprint = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"v{i}") > 0, F.shiftleft(one, i)).otherwise(zero)
+                for i in range(32)
+            ],
+            zero,
+        ).alias("sh_lo"),
+        sum(
+            [
+                F.when(F.col(f"v{i + 32}") > 0, F.shiftleft(one, i)).otherwise(
+                    zero
+                )
+                for i in range(32)
+            ],
+            zero,
+        ).alias("sh_hi"),
+    )
+    chunks = fingerprint.select(
+        "doc_id",
+        "sh_lo",
+        "sh_hi",
+        F.posexplode(
+            F.array(
+                F.col("sh_lo").bitwiseAND(F.lit(0xFFFF)),
+                F.shiftright("sh_lo", 16).bitwiseAND(F.lit(0xFFFF)),
+                F.col("sh_hi").bitwiseAND(F.lit(0xFFFF)),
+                F.shiftright("sh_hi", 16).bitwiseAND(F.lit(0xFFFF)),
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    cand = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.chunk_id") == F.col("y.chunk_id"))
+            & (F.col("x.chunk_val") == F.col("y.chunk_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("d1"),
+            F.col("y.doc_id").alias("d2"),
+            F.col("x.sh_lo").alias("lo1"),
+            F.col("x.sh_hi").alias("hi1"),
+            F.col("y.sh_lo").alias("lo2"),
+            F.col("y.sh_hi").alias("hi2"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    hamming = F.bit_count(
+        F.col("lo1").bitwiseXOR(F.col("lo2"))
+    ) + F.bit_count(F.col("hi1").bitwiseXOR(F.col("hi2")))
+    return cand.select("d1", "d2", hamming.alias("hamming")).filter(
+        F.col("hamming") <= SIMHASH_MD5_HAMMING
     )
 
 
