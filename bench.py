@@ -92,6 +92,7 @@ EXTENDED = [
     "stream_rate_limit_live",
     # round 5
     "dedup_simhash_md5",
+    "multimodal_phash_pairs",
 ]
 
 

@@ -287,12 +287,15 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape mirrors SimHash text dedup exactly: the signature is 8
     bytes per image regardless of resolution (the ONLY full-data pass
     is the decode), candidates come from equality on one of 4 16-bit
-    hash bands — hamming ≤ 6 pairs must agree on ≥1 band by pigeonhole
-    when corruption spreads, and identical images (duplicate documents
-    produce byte-identical payloads here) collide on all 4 — and the
-    exact hamming check via bit_count(xor) runs on candidates only.
-    Decode is Arrow-batched mapInPandas; the band join shuffles 8-byte
-    signatures, never pixels."""
+    hash bands — pigeonhole guarantees a shared band only for pairs at
+    hamming ≤ 3; hamming 4-6 pairs are best-effort recall (they are
+    found unless all differing bits land in distinct bands), and
+    identical images collide on all 4 — and the exact hamming check via
+    bit_count(xor) runs on candidates only.  Decode is Arrow-batched
+    mapInPandas; the band join shuffles 8-byte signatures, never pixels.
+    The banding+hamming half of this pipeline is value-gated by
+    ``multimodal_phash_pairs`` below; only the pixel-decode leg is
+    rows-only."""
     from reindexer_spark.codecs import decode_bmp
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -402,4 +405,174 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.select("m1", "m2", hamming.alias("hamming"))
         .filter(F.col("hamming") <= AHASH_HAMMING_MAX)
+    )
+
+
+# Value gate for the phash dedup half (multimodal_phash_dedup above is
+# rows-only because pixel decode is Python).  The signatures here are
+# derived from md5(text) — deterministic and identical on both engines —
+# and then flow through the SAME banding + bit_count-hamming pipeline as
+# the production lane, so a wrong band split or hamming expression
+# cannot ship silently.  Near-dup copies are injected by flipping <= 3
+# md5-chosen bits (media_id offset 1e6), mirroring the production
+# fixture's perturbed-copy lane; 3 bits keeps them inside the banding
+# pigeonhole guarantee, so the gate checks recall as well as precision.
+PHASH_PAIRS_DOCS = 200
+PHASH_PAIRS_COPY_MOD = 15
+
+
+@query(
+    "multimodal_phash_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id,
+             ('0x' || substr(md5(text), 1, 8))::BIGINT AS lo,
+             ('0x' || substr(md5(text), 9, 8))::BIGINT AS hi,
+             ('0x' || substr(md5(text), 17, 2))::BIGINT % 64 AS p1,
+             ('0x' || substr(md5(text), 19, 2))::BIGINT % 64 AS p2,
+             ('0x' || substr(md5(text), 21, 2))::BIGINT % 64 AS p3
+      FROM documents WHERE doc_id < {PHASH_PAIRS_DOCS}
+    ),
+    copies AS (
+      SELECT media_id + 1000000 AS media_id,
+             xor(lo, xor(
+               CASE WHEN p1 < 32 THEN (1::BIGINT << p1) ELSE 0 END,
+               xor(CASE WHEN p2 < 32 THEN (1::BIGINT << p2) ELSE 0 END,
+                   CASE WHEN p3 < 32 THEN (1::BIGINT << p3) ELSE 0 END)))
+               AS lo,
+             xor(hi, xor(
+               CASE WHEN p1 >= 32 THEN (1::BIGINT << (p1 - 32)) ELSE 0 END,
+               xor(CASE WHEN p2 >= 32 THEN (1::BIGINT << (p2 - 32)) ELSE 0 END,
+                   CASE WHEN p3 >= 32 THEN (1::BIGINT << (p3 - 32)) ELSE 0 END)))
+               AS hi
+      FROM base WHERE media_id % {PHASH_PAIRS_COPY_MOD} = 0
+    ),
+    sigs AS (
+      SELECT media_id, lo, hi FROM base
+      UNION ALL SELECT media_id, lo, hi FROM copies
+    ),
+    chunks AS (
+      SELECT media_id, lo, hi, c AS chunk_id,
+             CASE c WHEN 0 THEN lo & 65535
+                    WHEN 1 THEN (lo >> 16) & 65535
+                    WHEN 2 THEN hi & 65535
+                    ELSE (hi >> 16) & 65535 END AS chunk_val
+      FROM sigs CROSS JOIN range(4) r(c)
+    ),
+    cand AS (
+      SELECT DISTINCT x.media_id AS m1, y.media_id AS m2,
+             x.lo AS lo1, x.hi AS hi1, y.lo AS lo2, y.hi AS hi2
+      FROM chunks x
+      JOIN chunks y ON x.chunk_id = y.chunk_id
+                   AND x.chunk_val = y.chunk_val
+                   AND x.media_id < y.media_id
+    )
+    SELECT m1, m2,
+           (bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2))) AS hamming
+    FROM cand
+    WHERE bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2))
+          <= {AHASH_HAMMING_MAX}
+    """,
+)
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding + hamming verify over deterministic 64-bit signatures —
+    the ORACLE-CHECKABLE half of multimodal_phash_dedup.  Signature
+    extraction from pixels is necessarily Python (rows-only); everything
+    downstream of the signature relation — the 4x16-bit band split, the
+    band-equality candidate join, dedup of candidates, and the exact
+    bit_count(xor) hamming filter — is pure column algebra, and this
+    query runs that exact pipeline over md5-derived signatures both
+    engines can compute.  Sketches travel as two non-negative 32-bit
+    halves (same convention as dedup_simhash_md5) so hex parsing is
+    portable.
+
+    The injected near-dup copies flip at most 3 bits, inside the
+    pigeonhole band guarantee (4 bands of 16 bits force a shared band
+    for hamming <= 3), so every copy MUST surface as a candidate — the
+    oracle match therefore verifies recall of the banding, not just
+    precision of the hamming filter."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < PHASH_PAIRS_DOCS
+    )
+    base = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.md5("text").alias("dg"),
+    ).select(
+        "media_id",
+        F.conv(F.substring("dg", 1, 8), 16, 10).cast("bigint").alias("lo"),
+        F.conv(F.substring("dg", 9, 8), 16, 10).cast("bigint").alias("hi"),
+        (F.conv(F.substring("dg", 17, 2), 16, 10).cast("bigint") % 64).alias(
+            "p1"
+        ),
+        (F.conv(F.substring("dg", 19, 2), 16, 10).cast("bigint") % 64).alias(
+            "p2"
+        ),
+        (F.conv(F.substring("dg", 21, 2), 16, 10).cast("bigint") % 64).alias(
+            "p3"
+        ),
+    )
+    zero = F.lit(0).cast("long")
+
+    def flip_mask(low_half: bool):
+        # shiftleft's bit count must be an expression here (python
+        # F.shiftleft only takes int literals), so go through F.expr.
+        mask = zero
+        for p in ("p1", "p2", "p3"):
+            if low_half:
+                bit = F.when(
+                    F.col(p) < 32,
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({p} AS INT))"),
+                ).otherwise(zero)
+            else:
+                bit = F.when(
+                    F.col(p) >= 32,
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT), CAST({p} - 32 AS INT))"
+                    ),
+                ).otherwise(zero)
+            mask = mask.bitwiseXOR(bit)
+        return mask
+
+    copies = base.filter(F.col("media_id") % PHASH_PAIRS_COPY_MOD == 0).select(
+        (F.col("media_id") + 1_000_000).alias("media_id"),
+        F.col("lo").bitwiseXOR(flip_mask(True)).alias("lo"),
+        F.col("hi").bitwiseXOR(flip_mask(False)).alias("hi"),
+    )
+    sigs = base.select("media_id", "lo", "hi").unionByName(copies)
+    chunks = sigs.select(
+        "media_id",
+        "lo",
+        "hi",
+        F.posexplode(
+            F.array(
+                F.col("lo").bitwiseAND(F.lit(0xFFFF)),
+                F.shiftright("lo", 16).bitwiseAND(F.lit(0xFFFF)),
+                F.col("hi").bitwiseAND(F.lit(0xFFFF)),
+                F.shiftright("hi", 16).bitwiseAND(F.lit(0xFFFF)),
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    cand = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.chunk_id") == F.col("y.chunk_id"))
+            & (F.col("x.chunk_val") == F.col("y.chunk_val"))
+            & (F.col("x.media_id") < F.col("y.media_id")),
+        )
+        .select(
+            F.col("x.media_id").alias("m1"),
+            F.col("y.media_id").alias("m2"),
+            F.col("x.lo").alias("lo1"),
+            F.col("x.hi").alias("hi1"),
+            F.col("y.lo").alias("lo2"),
+            F.col("y.hi").alias("hi2"),
+        )
+        .dropDuplicates(["m1", "m2"])
+    )
+    hamming = F.bit_count(
+        F.col("lo1").bitwiseXOR(F.col("lo2"))
+    ) + F.bit_count(F.col("hi1").bitwiseXOR(F.col("hi2")))
+    return cand.select("m1", "m2", hamming.alias("hamming")).filter(
+        F.col("hamming") <= AHASH_HAMMING_MAX
     )
