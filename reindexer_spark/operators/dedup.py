@@ -856,6 +856,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment jobs are the reason the cap exists, since boilerplate
     shingles are precisely the ones shared by small-in-big pairs.
 
+    Cost honesty: with the ratio prune off, total pair volume is
+    strictly larger than the Jaccard-pruned path — every co-occurring
+    pair under the DF cap is aggregated, and only the post-aggregation
+    threshold filter discards.  No size-based pre-prune is lossless
+    here (containment of a small doc in a huge one is exactly the
+    pair a ratio prune would drop), so the cap is the load-bearing
+    bound, and a containment pass budgets more shuffle than a Jaccard
+    pass over the same corpus — SCALE_PROOF's dedup legs measure the
+    delta.
+
     Output orients each pair as (contained, container) by set size (ties
     → lower doc_id is the contained side, matching the d1<d2 pair
     order)."""

@@ -418,8 +418,12 @@ def scalar_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey,
            CAST(p_retailprice AS DOUBLE) / NULLIF(p_size, 0) AS price_per_size,
-           TRY_CAST(p_name AS INTEGER) AS name_as_int,
-           CAST(TRY_CAST(substr(p_name, 1, 4) AS DATE) AS VARCHAR) AS name_as_date,
+           CASE WHEN regexp_matches(p_name, '^[+-]?[0-9]+$')
+                THEN TRY_CAST(p_name AS INTEGER) END AS name_as_int,
+           CAST(CASE WHEN regexp_matches(substr(p_name, 1, 10),
+                                         '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+                     THEN TRY_CAST(substr(p_name, 1, 10) AS DATE) END
+                AS VARCHAR) AS name_as_date,
            TRY_CAST(p_size AS TINYINT) AS size_tiny,
            COALESCE(TRY_CAST(substr(p_brand, 7, 1) AS INTEGER), -1) AS brand_digit
     FROM part
@@ -442,10 +446,25 @@ def scalar_try_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_retailprice").cast("double"),
             F.nullif(F.col("p_size"), F.lit(0)),
         ).alias("price_per_size"),
-        F.try_to_number(F.col("p_name"), F.lit("999999"))
-        .cast("int")
-        .alias("name_as_int"),
-        F.try_to_date(F.substring("p_name", 1, 4)).cast("string").alias("name_as_date"),
+        # Regex-guarded try_cast on BOTH engines: the bare casts have
+        # engine-specific accept sets (DuckDB rounds '12.5' to 13 where
+        # Spark NULLs; Spark reads '1994' as a date where DuckDB NULLs;
+        # try_to_number's '999999' format rejects signs and >6 digits),
+        # so parity would hinge on p_name never starting with digits.
+        # Restricting each cast to a pattern both engines parse
+        # identically makes the gate robust to testdata changes.
+        F.when(
+            F.col("p_name").rlike(r"^[+-]?[0-9]+$"),
+            F.col("p_name").try_cast("int"),
+        ).alias("name_as_int"),
+        F.when(
+            F.substring("p_name", 1, 10).rlike(
+                r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+            ),
+            F.substring("p_name", 1, 10).try_cast("date"),
+        )
+        .cast("string")
+        .alias("name_as_date"),
         F.col("p_size").try_cast("tinyint").alias("size_tiny"),
         F.coalesce(
             F.substring("p_brand", 7, 1).try_cast("int"), F.lit(-1)

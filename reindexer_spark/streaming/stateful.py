@@ -159,7 +159,18 @@ def rate_limit_alerts(
     Counts are computed vectorized (np.searchsorted over the sorted
     within-window timestamps) and the emitted rows equal the batch
     time-range-frame window query row for row, which is what lets the
-    DuckDB oracle value-gate a custom stateful streaming operator."""
+    DuckDB oracle value-gate a custom stateful streaming operator.
+
+    PRECONDITION: micro-batches must arrive in non-decreasing event-time
+    order per user (true here — the file source replays a single sorted
+    fixture, and the live harness pins batch boundaries).  Eviction
+    keeps only timestamps >= (batch max ts - window), so a batch whose
+    events are older than that cutoff would be counted against
+    already-evicted state and undercount versus the batch RANGE-frame
+    oracle.  Handling genuinely late data needs a watermark-style
+    high-watermark in state with explicit drop/flag of late rows —
+    deliberately out of scope for this operator (the watermarked window
+    family in windows_time.py covers late data)."""
 
     def fn(
         key: tuple,
