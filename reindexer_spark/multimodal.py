@@ -4,10 +4,10 @@ typed metadata, processed via Arrow-batched ``mapInPandas``.
 The Spark-side plumbing is fully real: schemas, partition-size control,
 Arrow batch iteration, metadata extraction.  The codec layer has three
 implementations behind one seam: ``FakeCodec`` (digest-derived, for
-batch-shape contract tests), the dependency-free stdlib codecs in
-:mod:`reindexer_spark.codecs` (real BMP/PPM/WAV/DIB-AVI parsing —
-decode, resize, audio windows and video frame-sampling run on real
-bytes in this container), and
+batch-shape contract tests), the dependency-free codecs in
+:mod:`reindexer_spark.codecs` (real BMP/PPM/baseline-JPEG/WAV/DIB-AVI
+parsing — decode, resize, audio windows and video frame-sampling run
+on real bytes, compressed JPEG included, in this container), and
 ``LibraryCodec`` which upgrades to Pillow when installed.  Compressed
 video (mp4/mkv) still needs pyav/ffmpeg and raises ``MediaFormatError``
 into the quarantine lane.
@@ -85,10 +85,11 @@ class FakeCodec:
 
 
 class LibraryCodec:
-    """The production decoder seam: the dependency-free stdlib parsers
-    (BMP / PPM / WAV / DIB-AVI) from :mod:`reindexer_spark.codecs`
-    handle the natively-understood containers, and Pillow — when
-    installed — extends coverage to exotic image formats ONLY.  The
+    """The production decoder seam: the dependency-free parsers
+    (BMP / PPM / baseline JPEG / WAV / DIB-AVI) from
+    :mod:`reindexer_spark.codecs` handle the natively-understood
+    containers, and Pillow — when installed — extends coverage to
+    exotic image formats ONLY (progressive JPEG, PNG, WebP, ...).  The
     container is sniffed FIRST: payloads the stdlib path understands
     never reach Pillow (so audio/video and the canonical image formats
     behave identically with and without Pillow installed), and any

@@ -137,9 +137,12 @@ def _synth_media(d: DataFrame) -> DataFrame:
     """documents → media rows with REAL payloads: a deterministic 24-bit
     BMP per document (pixels seeded from the text digest), every third
     row a real mono 16-bit WAV, every doc_id % 3 == 1 row a real
-    multi-frame uncompressed-DIB AVI.  Built in mapInPandas because
-    container encoding is byte-level Python — this is the fixture lane;
-    the decode lane downstream parses these bytes back for real."""
+    multi-frame uncompressed-DIB AVI, and every doc_id % 6 == 0 row a
+    real baseline JPEG (DCT-compressed through the dependency-free
+    encoder, exercising the compressed-format decode path end-to-end).
+    Built in mapInPandas because container encoding is byte-level
+    Python — this is the fixture lane; the decode lane downstream
+    parses these bytes back for real."""
     schema = (
         "media_id bigint, kind string, payload binary, meta map<string,string>"
     )
@@ -149,7 +152,12 @@ def _synth_media(d: DataFrame) -> DataFrame:
 
         import pandas as pd
 
-        from reindexer_spark.codecs import encode_avi, encode_bmp, encode_wav
+        from reindexer_spark.codecs import (
+            encode_avi,
+            encode_bmp,
+            encode_jpeg_baseline,
+            encode_wav,
+        )
 
         for pdf in batches:
             rows = []
@@ -176,6 +184,13 @@ def _synth_media(d: DataFrame) -> DataFrame:
                             ]
                         )
                     payload, kind = encode_avi(w, h, frames, 4), "video-avi"
+                elif r["doc_id"] % 6 == 0:
+                    w, h = 8 + seed[0] % 9, 8 + seed[1] % 9
+                    rgb = (seed * ((w * h * 3) // len(seed) + 1))[: w * h * 3]
+                    payload, kind = (
+                        encode_jpeg_baseline(w, h, bytes(rgb), 85),
+                        "image-jpeg",
+                    )
                 else:
                     w, h = 8 + seed[0] % 9, 8 + seed[1] % 9
                     rgb = (seed * ((w * h * 3) // len(seed) + 1))[: w * h * 3]
@@ -198,7 +213,9 @@ def _synth_media(d: DataFrame) -> DataFrame:
 @query("multimodal_decode_features")  # Python codec output → rows-only check
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The media-decode pipeline on REAL bytes end-to-end: deterministic
-    BMP/WAV/DIB-AVI payloads are synthesized per document, then parsed back by
+    BMP/JPEG/WAV/DIB-AVI payloads are synthesized per document (JPEG via
+    the dependency-free baseline DCT encoder — the compressed-format
+    lane), then parsed back by
     the dependency-free stdlib codecs (reindexer_spark.codecs) through
     the Arrow-batched mapInPandas seam — decoded dimensions, channel
     means, amplitude stats are computed from actual pixel/sample data,
@@ -221,14 +238,17 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("multimodal_thumbnail")  # Python resize output → rows-only check
 def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image resize on real pixels: BMP payloads downscale via the
-    nearest-neighbor pure-Python resizer; output thumbnails are
+    """Image resize on real pixels: BMP and baseline-JPEG payloads
+    downscale via the nearest-neighbor pure-Python resizer (JPEG decodes
+    through the dependency-free DCT path first); output thumbnails are
     themselves decodable BMPs.  Emits (dims, checksum) — byte-stable,
     bounded by max_dim² per row."""
     from reindexer_spark.multimodal import LibraryResizer, resize_thumbnails
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    media = _synth_media(d).filter(F.col("kind") == "image-bmp")
+    media = _synth_media(d).filter(
+        F.col("kind").isin("image-bmp", "image-jpeg")
+    )
     thumbs = resize_thumbnails(media, max_dim=8, resizer=LibraryResizer())
     return thumbs.select(
         "media_id",
@@ -277,12 +297,15 @@ AHASH_HAMMING_MAX = 6
 
 @query("multimodal_phash_dedup")  # Python decode output → rows-only check
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash image dedup on REAL pixels: decode each BMP,
-    average-hash it (8x8 nearest-neighbor downsample of the grayscale,
-    threshold at the mean → 64-bit signature), then find near-duplicate
-    pairs by hamming distance ≤ 6 — the image-modality twin of
-    dedup_simhash, closing the loop between the multimodal decode lane
-    and the dedup family.
+    """Perceptual-hash image dedup on REAL pixels: decode each image
+    (raw BMP or compressed baseline JPEG — the hash is format-blind by
+    construction), average-hash it (8x8 nearest-neighbor downsample of
+    the grayscale, threshold at the mean → 64-bit signature), then find
+    near-duplicate pairs by hamming distance ≤ 6 — the image-modality
+    twin of dedup_simhash, closing the loop between the multimodal
+    decode lane and the dedup family.  The injected near-dup copies
+    re-encode JPEGs through the lossy encoder, so the operator is
+    tested against real re-encode noise, not just pixel nudges.
 
     Scale shape mirrors SimHash text dedup exactly: the signature is 8
     bytes per image regardless of resolution (the ONLY full-data pass
@@ -296,39 +319,49 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The banding+hamming half of this pipeline is value-gated by
     ``multimodal_phash_pairs`` below; only the pixel-decode leg is
     rows-only."""
-    from reindexer_spark.codecs import decode_bmp
-
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    media = _synth_media(d).filter(F.col("kind") == "image-bmp")
+    media = _synth_media(d).filter(F.col("kind").startswith("image-"))
 
     # Near-duplicate lane: every 5th image re-enters slightly brightened
-    # (a few pixels nudged, media_id offset by 1e6) — the fixture's
-    # stand-in for the re-encoded/re-scaled copies a real crawl carries.
-    # The corpus itself has no byte-identical images (the generator
-    # seeds pixels from document text, which is duplicate-free at this
-    # sf), so these perturbed copies are what a perceptual hash must
-    # catch that an exact checksum cannot.
+    # (a few pixels nudged, media_id offset by 1e6) — BMPs re-encode as
+    # BMP, JPEGs re-encode through the LOSSY baseline encoder, so the
+    # fixture carries both perturbed-raw and genuinely re-encoded
+    # copies, the two duplicate classes a real crawl has that an exact
+    # checksum cannot catch.  The corpus itself has no byte-identical
+    # images (the generator seeds pixels from document text, which is
+    # duplicate-free at this sf).
     def perturb(batches):
         import numpy as np
         import pandas as pd
 
-        from reindexer_spark.codecs import encode_bmp
+        from reindexer_spark.codecs import (
+            _decode_image,
+            _sniff,
+            encode_bmp,
+            encode_jpeg_baseline,
+        )
 
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 if r["media_id"] % 15 != 0:
                     continue
-                w, h, rgb = decode_bmp(bytes(r["payload"]))
+                payload = bytes(r["payload"])
+                kind = _sniff(payload)
+                w, h, rgb = _decode_image(kind, payload)
                 px = np.frombuffer(rgb, dtype=np.uint8).copy()
                 px[:: max(1, len(px) // 7)] = np.minimum(
                     px[:: max(1, len(px) // 7)].astype(np.int16) + 9, 255
                 ).astype(np.uint8)
+                if kind == "jpeg":
+                    out = encode_jpeg_baseline(w, h, px.tobytes(), 85)
+                else:
+                    out = encode_bmp(w, h, px.tobytes())
                 rows.append(
                     {
                         "media_id": int(r["media_id"]) + 1_000_000,
-                        "kind": "image-bmp",
-                        "payload": encode_bmp(w, h, px.tobytes()),
+                        "kind": r["kind"],
+                        "payload": out,
                         "meta": dict(r["meta"]) if r["meta"] else {},
                     }
                 )
@@ -346,10 +379,13 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        from reindexer_spark.codecs import _decode_image, _sniff
+
         for pdf in batches:
             out = []
             for _, r in pdf.iterrows():
-                w, h, rgb = decode_bmp(bytes(r["payload"]))
+                payload = bytes(r["payload"])
+                w, h, rgb = _decode_image(_sniff(payload), payload)
                 px = (
                     np.frombuffer(rgb, dtype=np.uint8)
                     .reshape(h, w, 3)

@@ -175,3 +175,93 @@ def test_extract_media_features_quarantines_bad_payloads(spark):
         assert out[bad_id]["features"] is None
         assert out[bad_id]["n_bytes"] > 0
         assert out[bad_id]["checksum"] is not None
+
+
+# ---------- baseline JPEG (dependency-free DCT codec) ----------
+
+def gradient(w: int, h: int) -> bytes:
+    import numpy as np
+
+    x = np.arange(w)
+    y = np.arange(h)
+    r = np.tile(x * 255 // max(1, w - 1), (h, 1))
+    g = np.tile((y * 255 // max(1, h - 1)).reshape(-1, 1), (1, w))
+    b = (r.astype(int) + g.astype(int)) // 2
+    return np.dstack([r, g, b]).astype(np.uint8).tobytes()
+
+
+def psnr(a: bytes, b: bytes) -> float:
+    import numpy as np
+
+    x = np.frombuffer(a, dtype=np.uint8).astype(float)
+    y = np.frombuffer(b, dtype=np.uint8).astype(float)
+    mse = ((x - y) ** 2).mean()
+    return 10 * np.log10(255 * 255 / max(mse, 1e-12))
+
+
+def test_jpeg_roundtrip_non_multiple_of_8_dims():
+    from reindexer_spark.codecs import decode_jpeg_baseline, encode_jpeg_baseline
+
+    for w, h in [(8, 8), (37, 23), (16, 9), (1, 1)]:
+        rgb = gradient(w, h)
+        w2, h2, out = decode_jpeg_baseline(encode_jpeg_baseline(w, h, rgb, 85))
+        assert (w2, h2) == (w, h)
+        assert len(out) == w * h * 3
+        assert psnr(rgb, out) > 30
+
+
+def test_jpeg_quality_monotone_and_compression():
+    from reindexer_spark.codecs import decode_jpeg_baseline, encode_jpeg_baseline
+
+    rgb = gradient(48, 32)
+    hi = encode_jpeg_baseline(48, 32, rgb, 95)
+    lo = encode_jpeg_baseline(48, 32, rgb, 10)
+    assert len(lo) < len(hi) < len(rgb)  # it actually compresses
+    assert psnr(rgb, decode_jpeg_baseline(hi)[2]) > psnr(
+        rgb, decode_jpeg_baseline(lo)[2]
+    )
+
+
+def test_jpeg_restart_markers_roundtrip():
+    from reindexer_spark.codecs import decode_jpeg_baseline, encode_jpeg_baseline
+
+    rgb = gradient(40, 24)
+    plain = decode_jpeg_baseline(encode_jpeg_baseline(40, 24, rgb, 85))[2]
+    for ri in (1, 3, 7):
+        restarted = decode_jpeg_baseline(
+            encode_jpeg_baseline(40, 24, rgb, 85, restart_interval=ri)
+        )[2]
+        # restart markers change framing, not pixels
+        assert restarted == plain
+
+
+def test_jpeg_progressive_and_garbage_quarantine():
+    from reindexer_spark.codecs import decode_jpeg_baseline, encode_jpeg_baseline
+
+    jpg = bytearray(encode_jpeg_baseline(16, 16, gradient(16, 16), 85))
+    # rewrite SOF0 (0xFFC0) to SOF2 (0xFFC2): progressive must be NAMED
+    i = bytes(jpg).index(b"\xff\xc0")
+    jpg[i + 1] = 0xC2
+    with pytest.raises(MediaFormatError, match="progressive"):
+        decode_jpeg_baseline(bytes(jpg))
+    with pytest.raises(MediaFormatError):
+        decode_jpeg_baseline(b"\xff\xd8\x00garbage")
+    # truncated entropy stream quarantines, never crashes
+    full = encode_jpeg_baseline(16, 16, gradient(16, 16), 85)
+    with pytest.raises(MediaFormatError):
+        decode_jpeg_baseline(full[: len(full) - 20])
+
+
+def test_jpeg_through_codec_and_resizer_seams():
+    from reindexer_spark.codecs import encode_jpeg_baseline
+
+    rgb = bytes((200, 40, 40)) * (16 * 16)  # solid-ish red
+    jpg = encode_jpeg_baseline(16, 16, rgb, 90)
+    d = PurePythonCodec().decode(jpg)
+    assert (d["width"], d["height"], d["n_channels"]) == (16, 16, 3)
+    # red-dominant after lossy round-trip
+    mr, mg, mb = d["features"][:3]
+    assert mr > 0.7 and mg < 0.3 and mb < 0.3
+    t = PurePythonResizer().resize(jpg, 8)
+    assert (t["thumb_w"], t["thumb_h"]) == (8, 8)
+    assert decode_bmp(t["thumbnail"])[0] == 8
