@@ -122,6 +122,7 @@ def main() -> int:
         t0 = time.perf_counter()
         q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         extended[name] = round(time.perf_counter() - t0, 3)
+    extended["reindex_e2e"] = _bench_reindex_e2e(spark)
 
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf"))
@@ -146,6 +147,40 @@ def main() -> int:
     prior_local = _append_bench_local(line)
     _print_delta_ledger(timings, total, sf, prior_local)
     return 0
+
+
+def _bench_reindex_e2e(spark) -> float:
+    """The reference's ACTUAL job as one timed leg: spofford-shaped scan
+    (built JVM-side from the documents table) → JSON parse → flatten →
+    suffix → batched sink through the capture transport.  The query
+    surface has a per-query ledger; this gives the docpipe one too."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from reindexer_spark.catalog import load_table
+    from reindexer_spark.docpipe import ReindexConfig, SolrSink
+    from reindexer_spark.docpipe.pipeline import (
+        documents_as_spofford,
+        run_reindex,
+    )
+    from reindexer_spark.docpipe.solr_sink import DirectoryCaptureTransport
+
+    docs = documents_as_spofford(load_table(spark, SF_DIR, "documents"))
+    conf = ReindexConfig(password="bench", solr_url="capture://bench")
+    cap_dir = tempfile.mkdtemp(prefix="reindex_e2e_")
+    sink = SolrSink(
+        conf.solr_url,
+        batch_size=conf.chunk_size,
+        transport_factory=lambda: DirectoryCaptureTransport(cap_dir),
+    )
+    t0 = _time.perf_counter()
+    result = run_reindex(docs, conf, sink=sink)
+    wall = round(_time.perf_counter() - t0, 3)
+    shutil.rmtree(cap_dir, ignore_errors=True)
+    if result.ingested <= 0:
+        raise RuntimeError("reindex_e2e ingested nothing")
+    return wall
 
 
 def _append_bench_local(line: dict) -> dict | None:

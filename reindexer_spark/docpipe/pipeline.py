@@ -47,6 +47,43 @@ class ReindexResult:
     shaped: DataFrame | None = None
 
 
+def documents_as_spofford(docs: DataFrame) -> DataFrame:
+    """testdata ``documents`` → the reference's source relation shape
+    (driver.go:21-26: id / txn_id / owner / content-JSON / deleted).
+
+    Pure column algebra — to_json(struct(...)) builds the nested
+    Argot-style payload JVM-side, so an end-to-end run over this view
+    measures the PIPELINE (parse→flatten→suffix→sink), not Python
+    fixture code.  ~3% of payloads are corrupted (truncated JSON) to
+    keep the quarantine lane honest, and ~10% of rows are soft-deleted,
+    both deterministic in doc_id."""
+    did = F.col("doc_id")
+    sid = F.format_string("id%07d", did)
+    payload = F.to_json(
+        F.struct(
+            sid.alias("id"),
+            F.struct(
+                F.substring("text", 1, 40).alias("main"),
+                F.col("lang").alias("sub"),
+            ).alias("title"),
+            F.slice(F.split("text", " "), 1, 3).alias("authors"),
+            F.col("source").alias("publisher"),
+            (did % 30 + 1990).alias("publication_year"),
+            F.col("n_chars").alias("n_chars"),
+        )
+    )
+    corrupt = did % 31 == 3
+    return docs.select(
+        sid.alias("id"),
+        F.format_string("txn%d", did % 10).alias("txn_id"),
+        F.col("source").alias("owner"),
+        F.when(corrupt, F.substring(payload, 1, 20)).otherwise(payload).alias(
+            "content"
+        ),
+        (did % 10 == 9).alias("deleted"),
+    )
+
+
 def shape_documents(
     docs: DataFrame,
     conf: ReindexConfig,

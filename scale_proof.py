@@ -243,6 +243,13 @@ def run_proof() -> dict:
     for name in QUERIES:
         q = get_query(name)
         per_scale: dict = {}
+        # Untimed warmup on the smallest corpus: first execution of a
+        # query pays Python-worker spin-up / codegen / broadcast-build
+        # costs that poisoned legs in past rounds (r4: the emb-2k
+        # k-means leg read 5x slower than emb-20k purely from ordering).
+        q.fn(spark, corpora[0][1]).write.format("noop").mode(
+            "overwrite"
+        ).save()
         for label, sf_dir in corpora:
             b0, r0 = _shuffle_totals(ui_port)
             t0 = time.perf_counter()
@@ -314,6 +321,10 @@ def run_proof() -> dict:
     for name in ANN_QUERIES:
         q = get_query(name)
         per_scale = {}
+        # Same untimed warmup convention as the document legs above.
+        q.fn(spark, ann_corpora[0][1]).write.format("noop").mode(
+            "overwrite"
+        ).save()
         for label, sf_dir in ann_corpora:
             b0, r0 = _shuffle_totals(ui_port)
             t0 = time.perf_counter()
