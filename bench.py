@@ -93,6 +93,8 @@ EXTENDED = [
     # round 5
     "dedup_simhash_md5",
     "multimodal_phash_pairs",
+    "dedup_shared_spans",
+    "text_bpe_pairs",
 ]
 
 

@@ -333,9 +333,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_simhash")  # approximate → rows-only check (no SQL oracle)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit sketch per doc (sign of per-bit sums of
-    token hashes), candidates = equal 16-bit chunk (4-chunk banding ≥
-    hamming-distance ≤ 3 guarantee is probabilistic), verified by exact
-    hamming distance ≤ 6.
+    token hashes), candidates = equal 16-bit chunk, verified by exact
+    hamming distance ≤ 6.  Pigeonhole guarantees a shared chunk only at
+    hamming ≤ 3; hamming 4-6 pairs are best-effort recall.  The
+    value-exact md5 twin below (dedup_simhash_md5) gates this shared
+    pipeline shape against the DuckDB oracle.
 
     The sketch is pure column algebra: explode tokens → xxhash64 → per-bit
     ±1 contributions → sum → sign bits packed with bit_or of shifted bits.
@@ -401,6 +403,75 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("d1", "d2", hamming.alias("hamming")).filter(
         F.col("hamming") <= 6
     )
+
+
+# Span-level exact duplication (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better", 2021: the exact-substring signal).
+# Document-level dedup misses boilerplate/quotes REPEATED ACROSS many
+# otherwise-distinct documents; the span relation surfaces exactly those.
+SPAN_K = 8  # tokens per span — long enough that sharing is never chance
+SPAN_TOP = 100
+
+
+@query(
+    "dedup_shared_spans",
+    oracle=f"""
+    WITH sp AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - {SPAN_K - 2}),
+               i -> array_to_string(list_slice(t, i, i + {SPAN_K - 1}), ' ')))
+               AS spans
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= {SPAN_K}
+    ),
+    ex AS (SELECT doc_id, unnest(spans) AS span FROM sp),
+    agg AS (
+      SELECT span, COUNT(*) AS n_docs,
+             MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM ex GROUP BY span HAVING COUNT(*) >= 2
+    )
+    SELECT span, n_docs, first_doc, last_doc
+    FROM agg
+    ORDER BY n_docs DESC, span
+    LIMIT {SPAN_TOP}
+    """,
+)
+def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication at span granularity: every 8-token
+    span occurring in >= 2 documents, ranked by document frequency —
+    the signal behind suffix-array substring dedup (Lee et al. 2021),
+    approximated at fixed span width so it stays one aggregation
+    instead of a suffix-array build.  Catches cross-document
+    boilerplate (license headers, templates, quoted passages) that
+    document-level Jaccard/MinHash cannot see when the surrounding
+    text differs.
+
+    Scale shape: spans are per-doc distinct (array_distinct before the
+    explode), so the shuffle carries |docs| x |distinct spans/doc| rows
+    once, aggregated by span with map-side partial counts; the top-K
+    ordering runs on the >= 2-doc survivors only (a tiny fraction —
+    chance span collisions are ~0 at 8 tokens).  At 100 TB the span
+    STRING would be replaced by xxhash64(span) for the shuffle with the
+    text recovered via a second semi-join pass; the string form here
+    keeps the oracle value-exact."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("t", F.split("text", " "))
+        .filter(F.size("t") >= SPAN_K)
+    )
+    ex = d.select(
+        "doc_id", F.explode(word_shingles(F.col("t"), SPAN_K)).alias("span")
+    )
+    agg = (
+        ex.groupBy("span")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    return agg.orderBy(F.desc("n_docs"), "span").limit(SPAN_TOP)
 
 
 # md5-twin SimHash: same pipeline as dedup_simhash but every bit is

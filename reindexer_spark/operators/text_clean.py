@@ -1007,3 +1007,74 @@ def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= 3
     )
+
+
+# First-iteration BPE merge statistics — tokenizer-training prep.  Real
+# BPE trainers (Sennrich et al. 2016; the pattern behind GPT/Llama
+# tokenizers) never iterate over the corpus: they aggregate once to a
+# word-frequency VOCABULARY relation, then select merges over that
+# vocab-sized table.  This operator is that first merge-selection step
+# at corpus scale; subsequent merges re-run the same vocab-sized
+# aggregation driver-side (the text_bigram_lm / text_kneser_ney loop
+# pattern).
+BPE_TOP = 64
+
+
+@query(
+    "text_bpe_pairs",
+    oracle=f"""
+    WITH words AS (
+      SELECT w, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) >= 2
+      GROUP BY w
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                                   i -> substr(w, i, 2))) AS pair,
+             freq
+      FROM words
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS freq
+    FROM pairs
+    GROUP BY pair
+    ORDER BY freq DESC, pair
+    LIMIT {BPE_TOP}
+    """,
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge candidates: the corpus-weighted
+    frequency of every adjacent character pair, ranked — the statistic
+    a BPE trainer's first merge selection maximizes.
+
+    Scale shape (the part that matters at 100 TB): the ONLY
+    corpus-sized operation is the word-frequency aggregation (one
+    shuffle with map-side partial counts, keys are words); pair
+    explosion and pair aggregation run over the VOCABULARY relation —
+    millions of rows regardless of corpus size — weighted by word
+    frequency.  A naive per-token pair explode would shuffle
+    |corpus tokens| x |word length| rows; this shuffles |vocab| x
+    |word length|.  The top-K ordering is total (freq DESC, pair ASC),
+    so the result is deterministic across engines."""
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
+        .limit(BPE_TOP)
+    )
