@@ -188,3 +188,42 @@ def test_kmv_sketch_reuses_persisted_sketch(spark, sf_dir):
     plan = plan_of(spark, "sketch_kmv_overlap", sf_dir)
     assert "InMemoryTableScan" in plan
     assert "HashAggregate" in plan
+
+
+def test_shared_spans_single_shuffle_topk(spark, sf_dir):
+    """Span dedup must be ONE aggregation pass: partial agg before the
+    exchange, final after, top-K via TakeOrderedAndProject (no global
+    sort), and only (doc_id, text) read from the scan."""
+    # simple mode: one line per physical node (formatted lists each
+    # node twice — tree plus detail section — breaking counts)
+    plan = plan_of(spark, "dedup_shared_spans", sf_dir, mode="simple")
+    assert plan.count("Exchange") == 1
+    assert "TakeOrderedAndProject" in plan
+    full = plan_of(spark, "dedup_shared_spans", sf_dir)
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in full
+
+
+def test_bpe_pairs_vocab_bound_aggregation(spark, sf_dir):
+    """BPE pair stats: exactly two exchanges (corpus->vocab word count,
+    vocab->pair count) — a per-token pair explode would be a third,
+    corpus-sized shuffle.  Top-K without global sort; text-only scan."""
+    plan = plan_of(spark, "text_bpe_pairs", sf_dir, mode="simple")
+    assert plan.count("Exchange") == 2
+    assert "TakeOrderedAndProject" in plan
+    full = plan_of(spark, "text_bpe_pairs", sf_dir)
+    assert "ReadSchema: struct<text:string>" in full
+
+
+def test_simhash_md5_band_join_not_cartesian(spark, sf_dir):
+    """The md5 SimHash twin's candidate join must be an equi-join on
+    (chunk_id, chunk_val), never a cartesian/BNLJ over sketches."""
+    plan = plan_of(spark, "dedup_simhash_md5", sf_dir)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phash_pairs_band_join_not_cartesian(spark, sf_dir):
+    plan = plan_of(spark, "multimodal_phash_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
