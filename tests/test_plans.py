@@ -218,7 +218,12 @@ def test_simhash_md5_band_join_not_cartesian(spark, sf_dir):
     """The md5 SimHash twin's candidate join must be an equi-join on
     (chunk_id, chunk_val), never a cartesian/BNLJ over sketches."""
     plan = plan_of(spark, "dedup_simhash_md5", sf_dir)
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # any hash-based equi-join is fine (broadcast at small sf, shuffled
+    # at scale); the failure mode being guarded is a non-equi fallback
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
