@@ -706,13 +706,38 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+# Crafted SOF dimensions can demand billions of Python-loop block
+# decodes before the (tiny) entropy stream runs dry — bound the decode
+# to a sane pixel budget so a hostile header quarantines instead of
+# hanging an executor.
+_JPEG_MAX_PIXELS = 1 << 26  # 67M pixels ≈ a 8192x8192 frame
+
+
 def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
     """Baseline JFIF bytes → (width, height, raw RGB triples).
 
     Supports SOF0 8-bit with 1 or 3 components, sampling factors up to
     2x2 (4:4:4 / 4:2:2 / 4:2:0), restart markers.  Progressive (SOF2),
     arithmetic-coded, hierarchical, and 12-bit streams raise
-    MediaFormatError with a named reason — the quarantine contract."""
+    MediaFormatError with a named reason, and ANY malformed stream —
+    arbitrary truncation or corruption, fuzz-tested in
+    tests/test_codecs.py — raises MediaFormatError, never a bare
+    parser exception: the quarantine contract."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except MediaFormatError:
+        raise
+    except (
+        struct.error,
+        ValueError,
+        IndexError,
+        KeyError,
+        OverflowError,
+    ) as exc:
+        raise MediaFormatError(f"malformed JPEG stream: {exc}") from exc
+
+
+def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, bytes]:
     if payload[:2] != b"\xff\xd8":
         raise MediaFormatError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -741,6 +766,8 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
                 pq, tq = body[i] >> 4, body[i] & 0xF
                 if pq != 0:
                     raise MediaFormatError("16-bit quant tables not supported")
+                if i + 65 > len(body):
+                    raise MediaFormatError("truncated DQT segment")
                 vals = np.frombuffer(
                     body[i + 1 : i + 65], dtype=np.uint8
                 ).astype(np.int64)
@@ -751,9 +778,13 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0
             while i < len(body):
+                if i + 17 > len(body):
+                    raise MediaFormatError("truncated DHT segment")
                 tc, th = body[i] >> 4, body[i] & 0xF
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
+                if i + 17 + n > len(body):
+                    raise MediaFormatError("truncated DHT segment")
                 vals = list(body[i + 17 : i + 17 + n])
                 htabs[(tc, th)] = _huff_decode_table(bits, vals)
                 i += 17 + n
@@ -762,6 +793,8 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
             if precision != 8:
                 raise MediaFormatError("only 8-bit JPEG supported")
             height, width = struct.unpack(">HH", body[1:5])
+            if not width or not height or width * height > _JPEG_MAX_PIXELS:
+                raise MediaFormatError("JPEG dimensions out of range")
             nf = body[5]
             if nf not in (1, 3):
                 raise MediaFormatError("only 1- or 3-component JPEG supported")
@@ -826,6 +859,10 @@ def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
                     for bx in range(c["h"]):
                         zz = np.zeros(64, dtype=np.int64)
                         s = _huff_read(reader, dc_tab)
+                        if s > 15:  # legal DC categories are 0..15
+                            raise MediaFormatError(
+                                "invalid DC magnitude category"
+                            )
                         diff = _extend(reader.bits(s), s) if s else 0
                         preds[ci] += diff
                         zz[0] = preds[ci]

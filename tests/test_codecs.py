@@ -265,3 +265,37 @@ def test_jpeg_through_codec_and_resizer_seams():
     t = PurePythonResizer().resize(jpg, 8)
     assert (t["thumb_w"], t["thumb_h"]) == (8, 8)
     assert decode_bmp(t["thumbnail"])[0] == 8
+
+
+def test_jpeg_fuzz_quarantine_contract():
+    """ANY truncation or corruption of a valid stream must raise
+    MediaFormatError — never a bare parser exception escaping the
+    quarantine lane, never a hang (crafted dims are pixel-capped)."""
+    import numpy as np
+
+    from reindexer_spark.codecs import decode_jpeg_baseline, encode_jpeg_baseline
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=(24, 31, 3), dtype=np.uint8).tobytes()
+    jpg = encode_jpeg_baseline(31, 24, rgb, 70)
+
+    def check(payload: bytes) -> None:
+        try:
+            decode_jpeg_baseline(payload)
+        except MediaFormatError:
+            pass  # the contract: named quarantine error only
+
+    for cut in range(0, len(jpg), 3):  # truncations
+        check(jpg[:cut])
+    b = bytearray(jpg)
+    for i in range(0, len(jpg), 2):  # single byte flips
+        orig = b[i]
+        b[i] ^= 0xFF
+        check(bytes(b))
+        b[i] = orig
+    for seed in range(25):  # scattered multi-byte noise
+        r2 = np.random.default_rng(seed)
+        noisy = bytearray(jpg)
+        for i in r2.integers(0, len(jpg), 5):
+            noisy[i] = int(r2.integers(0, 256))
+        check(bytes(noisy))
