@@ -1,5 +1,5 @@
 """Dependency-free media codecs: BMP / PPM / baseline-JPEG images, WAV
-audio, and uncompressed-DIB AVI video.
+audio, and AVI video (uncompressed DIB and Motion-JPEG).
 
 The container has no Pillow/pyav/soundfile; the raw formats parse with
 the standard library alone (header fields + raw samples/pixels), and
@@ -215,10 +215,24 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
 # --------------------------------------------------------------------------
 
 
+# biCompression fourcc for Motion-JPEG streams ('MJPG' little-endian)
+_MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
+
+
 def encode_avi(
-    width: int, height: int, frames: list[bytes], fps: int = 4
+    width: int,
+    height: int,
+    frames: list[bytes],
+    fps: int = 4,
+    codec: str = "dib",
+    quality: int = 85,
 ) -> bytes:
-    """Pack top-down RGB frames into an uncompressed 24-bit DIB AVI."""
+    """Pack top-down RGB frames into an AVI.
+
+    ``codec="dib"`` writes uncompressed 24-bit DIB frames ('00db');
+    ``codec="mjpg"`` writes Motion-JPEG — each frame is a standalone
+    baseline JPEG in a '00dc' chunk, the classic compressed-AVI layout
+    (fccHandler/biCompression 'MJPG')."""
     if not frames:
         raise ValueError("need at least one frame")
     for f in frames:
@@ -226,23 +240,35 @@ def encode_avi(
             raise ValueError(
                 f"each frame needs {width * height * 3} bytes, got {len(f)}"
             )
+    if codec not in ("dib", "mjpg"):
+        raise ValueError(f"unsupported AVI codec {codec!r}")
+    mjpg = codec == "mjpg"
     usec = 1_000_000 // fps
-    dib_size = ((width * 3 + 3) & ~3) * height
+    if mjpg:
+        bodies = [
+            encode_jpeg_baseline(width, height, f, quality) for f in frames
+        ]
+    else:
+        bodies = [_rgb_to_dib(width, height, f) for f in frames]
+    buf_size = max(len(b) for b in bodies)
+    handler = b"MJPG" if mjpg else b"DIB "
+    compression = _MJPG_FOURCC if mjpg else 0
     avih = struct.pack(
         "<14I",
-        usec, dib_size * fps, 0, 0x10,  # usec/frame, bytes/sec, pad, HASINDEX
-        len(frames), 0, 1, dib_size,    # total frames, initial, streams, buf
+        usec, buf_size * fps, 0, 0x10,  # usec/frame, bytes/sec, pad, HASINDEX
+        len(frames), 0, 1, buf_size,    # total frames, initial, streams, buf
         width, height, 0, 0, 0, 0,
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIiI4h",
-        b"vids", b"DIB ", 0, 0, 0, 0,
+        b"vids", handler, 0, 0, 0, 0,
         1, fps, 0, len(frames),          # scale=1, rate=fps → fps frames/sec
-        dib_size, -1, 0,                 # bufsize, quality (signed), smpsize
+        buf_size, -1, 0,                 # bufsize, quality (signed), smpsize
         0, 0, width, height,
     )
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, dib_size, 0, 0, 0, 0
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, compression, buf_size, 0, 0, 0, 0,
     )
     strl = b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf))
     strl += b"strl" + b"strh" + struct.pack("<I", len(strh)) + strh
@@ -250,9 +276,11 @@ def encode_avi(
     hdrl_body = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih + strl
     hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
     movi_body = b"movi"
-    for f in frames:
-        dib = _rgb_to_dib(width, height, f)
-        movi_body += b"00db" + struct.pack("<I", len(dib)) + dib
+    tag = b"00dc" if mjpg else b"00db"
+    for body in bodies:
+        movi_body += tag + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            movi_body += b"\x00"  # RIFF word alignment
     movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
@@ -270,14 +298,22 @@ def _riff_chunks(payload: bytes, pos: int, end: int):
 
 
 def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
-    """→ (width, height, usec_per_frame, frames as top-down RGB bytes)."""
+    """→ (width, height, usec_per_frame, frames as top-down RGB bytes).
+
+    Handles uncompressed DIB streams and Motion-JPEG (biCompression
+    'MJPG'), where each '00dc' chunk is a standalone baseline JPEG
+    decoded through :func:`decode_jpeg_baseline` — the first genuinely
+    compressed VIDEO format the dependency-free path covers.  Other
+    compressions (cinepak/divx/...) raise MediaFormatError into the
+    quarantine lane."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise MediaFormatError("not an AVI payload")
     width = height = usec = None
+    compression = 0
     frames: list[bytes] = []
 
     def walk(pos: int, end: int) -> None:
-        nonlocal width, height, usec
+        nonlocal width, height, usec, compression
         for cid, start, size in _riff_chunks(payload, pos, end):
             if cid == b"LIST":
                 walk(start + 4, start + size)  # skip the 4-byte list type
@@ -286,6 +322,9 @@ def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
                     raise MediaFormatError("short avih header")
                 usec = struct.unpack_from("<I", payload, start)[0]
                 width, height = struct.unpack_from("<II", payload, start + 32)
+            elif cid == b"strf" and size >= 20:
+                # BITMAPINFOHEADER: biCompression at offset 16
+                compression = struct.unpack_from("<I", payload, start + 16)[0]
             elif cid in (b"00db", b"00dc"):
                 frames.append(payload[start : start + size])
 
@@ -294,9 +333,24 @@ def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
         raise MediaFormatError("missing avih header")
     if not frames:
         raise MediaFormatError("AVI has no video frames")
-    rgb_frames = [
-        _dib_to_rgb(width, height, f, bottom_up=True) for f in frames
-    ]
+    if compression == _MJPG_FOURCC:
+        rgb_frames = []
+        for f in frames:
+            fw, fh, rgb = decode_jpeg_baseline(f)
+            if (fw, fh) != (width, height):
+                raise MediaFormatError(
+                    "MJPEG frame dimensions disagree with AVI header"
+                )
+            rgb_frames.append(rgb)
+    elif compression == 0:
+        rgb_frames = [
+            _dib_to_rgb(width, height, f, bottom_up=True) for f in frames
+        ]
+    else:
+        fourcc = struct.pack("<I", compression)
+        raise MediaFormatError(
+            f"unsupported AVI compression {fourcc!r}"
+        )
     return width, height, usec, rgb_frames
 
 

@@ -8,9 +8,10 @@ batch-shape contract tests), the dependency-free codecs in
 :mod:`reindexer_spark.codecs` (real BMP/PPM/baseline-JPEG/WAV/DIB-AVI
 parsing — decode, resize, audio windows and video frame-sampling run
 on real bytes, compressed JPEG included, in this container), and
-``LibraryCodec`` which upgrades to Pillow when installed.  Compressed
-video (mp4/mkv) still needs pyav/ffmpeg and raises ``MediaFormatError``
-into the quarantine lane.
+``LibraryCodec`` which upgrades to Pillow when installed.  Motion-JPEG
+AVI decodes natively (JPEG frames through the baseline codec); other
+compressed video (mp4/mkv/divx) still needs pyav/ffmpeg and raises
+``MediaFormatError`` into the quarantine lane.
 
 At 100 TB the shape is the important part:
 

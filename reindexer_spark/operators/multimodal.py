@@ -183,7 +183,16 @@ def _synth_media(d: DataFrame) -> DataFrame:
                                 : w * h * 3
                             ]
                         )
-                    payload, kind = encode_avi(w, h, frames, 4), "video-avi"
+                    # half the video lane is Motion-JPEG (each frame a
+                    # real baseline JPEG in a '00dc' chunk) — the
+                    # compressed-video decode path on real bytes
+                    if r["doc_id"] % 6 == 1:
+                        payload, kind = (
+                            encode_avi(w, h, frames, 4, codec="mjpg"),
+                            "video-mjpeg",
+                        )
+                    else:
+                        payload, kind = encode_avi(w, h, frames, 4), "video-avi"
                 elif r["doc_id"] % 6 == 0:
                     w, h = 8 + seed[0] % 9, 8 + seed[1] % 9
                     rgb = (seed * ((w * h * 3) // len(seed) + 1))[: w * h * 3]
@@ -264,11 +273,13 @@ def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamped frame sampling on REAL media, audio AND video: the
     synthesized WAV payloads (2 s of real 16-bit PCM) sample a 100 ms
-    window at each 500 ms mark, and the synthesized multi-frame DIB-AVI
-    payloads sample the decoded video frame covering each mark,
-    re-encoded as a standalone BMP — actual timestamp→offset math on
-    parsed containers in both modalities (compressed video needs pyav
-    and quarantines via MediaFormatError).  Each input row fans out to
+    window at each 500 ms mark, and the synthesized multi-frame AVI
+    payloads — half uncompressed DIB, half Motion-JPEG whose frames
+    decode through the baseline JPEG codec — sample the decoded video
+    frame covering each mark, re-encoded as a standalone BMP — actual
+    timestamp→offset math on parsed containers in both modalities
+    (non-MJPEG compressed video still needs pyav and quarantines via
+    MediaFormatError).  Each input row fans out to
     a data-dependent number of frame rows via mapInPandas — the one
     shape a fixed-arity UDF cannot express.  Deterministic but
     Python-side → rows-only check; frames are emitted as (bytes,
@@ -277,7 +288,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     media = _synth_media(d).filter(
-        F.col("kind").isin("audio-wav", "video-avi")
+        F.col("kind").isin("audio-wav", "video-avi", "video-mjpeg")
     )
     frames = sample_video_frames(
         media, every_ms=500, max_frames=4, sampler=LibraryFrameSampler()

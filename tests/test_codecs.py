@@ -299,3 +299,53 @@ def test_jpeg_fuzz_quarantine_contract():
         for i in r2.integers(0, len(jpg), 5):
             noisy[i] = int(r2.integers(0, 256))
         check(bytes(noisy))
+
+
+# ---------- Motion-JPEG AVI (compressed video, dependency-free) ----------
+
+def test_mjpeg_avi_roundtrip_and_sampler():
+    import numpy as np
+
+    from reindexer_spark.codecs import encode_avi
+
+    w, h = 24, 16
+    frames = []
+    for k in range(4):
+        base = bytearray(gradient(w, h))
+        base[0] = 40 * k  # make frames distinct
+        frames.append(bytes(base))
+    avi = encode_avi(w, h, frames, 4, codec="mjpg", quality=90)
+    dib = encode_avi(w, h, frames, 4)
+    assert len(avi) < len(dib)  # it actually compresses
+    w2, h2, usec, out = decode_avi(avi)
+    assert (w2, h2, len(out), usec) == (w, h, 4, 250_000)
+    assert psnr(frames[0], out[0]) > 30  # lossy but faithful
+    # the frame sampler and feature codec consume MJPEG transparently
+    s = AviFrameSampler()
+    assert s.duration_ms(avi) == 1000
+    assert s.frame_at(avi, 600)[:2] == b"BM"
+    d = PurePythonCodec().decode(avi)
+    assert (d["width"], d["height"], d["features"][7]) == (w, h, 4.0)
+
+
+def test_avi_unknown_compression_quarantines():
+    from reindexer_spark.codecs import encode_avi
+
+    avi = encode_avi(16, 8, [gradient(16, 8)], 4, codec="mjpg")
+    with pytest.raises(MediaFormatError, match="DIVX"):
+        decode_avi(avi.replace(b"MJPG", b"DIVX"))
+    with pytest.raises(ValueError):
+        encode_avi(16, 8, [gradient(16, 8)], 4, codec="h264")
+
+
+def test_mjpeg_frame_dims_must_match_header():
+    import struct
+
+    from reindexer_spark.codecs import encode_avi
+
+    avi = bytearray(encode_avi(16, 8, [gradient(16, 8)], 4, codec="mjpg"))
+    # corrupt the avih width field (offset of width within avih body: 32)
+    i = bytes(avi).index(b"avih") + 8 + 32
+    avi[i : i + 4] = struct.pack("<I", 99)
+    with pytest.raises(MediaFormatError):
+        decode_avi(bytes(avi))
