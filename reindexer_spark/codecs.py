@@ -184,6 +184,8 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
         size = struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise MediaFormatError("truncated WAV fmt chunk")
             audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
             if audio_fmt != 1 or channels != 1 or bits != 16:

@@ -349,3 +349,39 @@ def test_mjpeg_frame_dims_must_match_header():
     avi[i : i + 4] = struct.pack("<I", 99)
     with pytest.raises(MediaFormatError):
         decode_avi(bytes(avi))
+
+
+def test_all_codecs_fuzz_quarantine_contract():
+    """Truncations and byte flips across every codec raise only
+    MediaFormatError — the cross-format quarantine sweep (the JPEG-
+    specific sweep above covers its deeper entropy-decode states)."""
+    from reindexer_spark.codecs import (
+        decode_avi,
+        decode_wav,
+        encode_avi,
+        encode_wav,
+    )
+
+    rgb = gradient(16, 8)
+    cases = [
+        (encode_bmp(16, 8, rgb), decode_bmp),
+        (encode_ppm(16, 8, rgb), decode_ppm),
+        (encode_wav(list(range(-50, 50)), 8000), decode_wav),
+        (encode_avi(16, 8, [rgb], 4), decode_avi),
+        (encode_avi(16, 8, [rgb], 4, codec="mjpg"), decode_avi),
+    ]
+    for payload, decode in cases:
+        for cut in range(0, len(payload), 5):
+            try:
+                decode(payload[:cut])
+            except MediaFormatError:
+                pass
+        b = bytearray(payload)
+        for i in range(0, len(payload), 3):
+            orig = b[i]
+            b[i] ^= 0xFF
+            try:
+                decode(bytes(b))
+            except MediaFormatError:
+                pass
+            b[i] = orig
