@@ -95,6 +95,7 @@ EXTENDED = [
     "multimodal_phash_pairs",
     "dedup_shared_spans",
     "text_bpe_pairs",
+    "embed_hard_negatives",
 ]
 
 
