@@ -96,6 +96,7 @@ EXTENDED = [
     "dedup_shared_spans",
     "text_bpe_pairs",
     "embed_hard_negatives",
+    "stream_stream_left_join_live",
 ]
 
 

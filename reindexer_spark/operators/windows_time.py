@@ -655,3 +655,117 @@ def stream_rate_limit_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, window_us=RATE_WINDOW_US, limit=RATE_LIMIT
     )
     return run_stream_to_memory(alerts, output_mode="append")
+
+
+# Left-outer stream-stream join: the watermark-frontier margin.  Spark
+# emits an unmatched click's null row when the global watermark passes
+# c_ts + <join window>; the exact frontier sits at (min over both
+# sides of that side's max event time - watermark delay - join window)
+# plus engine-internal millisecond truncation and unit adjustments.  Rather than model that to the microsecond (and
+# break on every testdata regeneration near the boundary), BOTH engines
+# keep only null rows strictly older than the frontier minus a 10 s
+# safety margin — every such row is GUARANTEED emitted, and boundary
+# rows are excluded identically on both sides, so the gate stays
+# value-exact without depending on watermark internals.
+SS_LEFT_MARGIN_US = (3 * 3600 + 10) * 1_000_000  # join window + delay + 10 s
+
+
+@query(
+    "stream_stream_left_join_live",
+    oracle=f"""
+    WITH c AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    -- the GLOBAL watermark is the min of the two sides' frontiers: each
+    -- side's watermark tracks the max event time of ITS OWN filtered
+    -- stream, so the frontier is bounded by the slower side
+    m AS (SELECT LEAST((SELECT MAX(ts) FROM c),
+                       (SELECT MAX(ts) FROM p)) AS mx),
+    matched AS (
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ),
+    expired AS (
+      SELECT c.user_id, c.event_id AS click_id,
+             CAST(NULL AS BIGINT) AS purchase_id,
+             CAST(NULL AS BIGINT) AS gap_us
+      FROM c, m
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = c.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      )
+      AND epoch_us(c.ts) < epoch_us(m.mx) - {SS_LEFT_MARGIN_US}
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM expired
+    """,
+)
+def stream_stream_left_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM **left outer** join under the real engine — the
+    attribution query that also has to answer "which clicks never
+    converted": matched (click, purchase) pairs emit as they join, and
+    an unmatched click emits a NULL-purchase row only once the global
+    watermark proves no qualifying purchase can still arrive (state
+    eviction IS the emission trigger — the semantics that make outer
+    stream-stream joins harder than inner ones).  Both sides' state is
+    watermark-bounded exactly as in stream_stream_join_live.
+
+    The result keeps null rows strictly below the watermark frontier
+    minus a 10 s margin (see SS_LEFT_MARGIN_US above), excluded
+    identically in the oracle, so stream ≡ batch stays value-exact
+    without modeling engine-internal watermark truncation."""
+    from reindexer_spark.catalog import load_table
+    from reindexer_spark.streaming import run_stream_to_memory, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+        F.unix_micros("c_ts").alias("c_ts_us"),
+    )
+    out = run_stream_to_memory(joined, output_mode="append")
+    ev_batch = load_table(spark, sf_dir, "events")
+    frontier = (
+        ev_batch.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max(F.unix_micros("ts")).alias("side_max"))
+        .agg((F.min("side_max") - SS_LEFT_MARGIN_US).alias("cut_us"))
+    )
+    return (
+        out.crossJoin(F.broadcast(frontier))
+        .filter(
+            F.col("purchase_id").isNotNull()
+            | (F.col("c_ts_us") < F.col("cut_us"))
+        )
+        .select("user_id", "click_id", "purchase_id", "gap_us")
+    )
