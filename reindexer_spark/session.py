@@ -27,6 +27,9 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # the ndjson_chunks Python DataSource implements pushFilters;
+    # Spark 4.1 gates Python-source pushdown behind this flag
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 
