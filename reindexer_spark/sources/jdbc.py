@@ -79,6 +79,9 @@ def jdbc_reader_options(
     lower_bound: int = 0,
     upper_bound: int = 1 << 31,
     fetchsize: int = 10_000,
+    partition_expr: str | None = None,
+    url: str | None = None,
+    driver: str | None = None,
 ) -> dict[str, str]:
     """Build the option map for a partitioned read of the reference's
     query (config.go:78 semantics).
@@ -103,13 +106,18 @@ def jdbc_reader_options(
     # space keeps the value in [0, 2^31).  NB: hashtext is not stable
     # across Postgres major versions, so resume bookkeeping must never
     # persist partition assignments (docpipe.resume keys on id only).
+    # ``partition_expr`` is the dialect seam: the default is the
+    # Postgres form; tests drive the identical option-map mechanics
+    # against embedded Derby with a Derby-legal expression
+    # (tests/test_jdbc_live.py).
+    if partition_expr is None:
+        partition_expr = "(hashtext(q.id)::bigint & 2147483647)"
     wrapped = (
-        f"SELECT q.*, (hashtext(q.id)::bigint & 2147483647) "
-        f"AS {partition_column} "
+        f"SELECT q.*, {partition_expr} AS {partition_column} "
         f"FROM ({user_query}) q"
     )
-    return {
-        "url": conf.jdbc_url(),
+    opts = {
+        "url": url or conf.jdbc_url(),
         "user": conf.dbuser,
         "password": conf.password,
         "dbtable": f"({wrapped}) AS partitioned_src",
@@ -120,6 +128,9 @@ def jdbc_reader_options(
         "fetchsize": str(fetchsize),
         "pushDownPredicate": "true",
     }
+    if driver:
+        opts["driver"] = driver
+    return opts
 
 
 def read_documents_jdbc(

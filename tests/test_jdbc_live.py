@@ -1,0 +1,162 @@
+"""LIVE JDBC integration: the partitioned documents read against a real
+database — embedded Derby, which ships in Spark's own jars for the
+metastore, driven through the exact same option-map mechanics the
+Postgres production path uses.
+
+No Postgres exists in this environment; what these tests prove is the
+Spark-side contract the round-4 audit flagged as never executed: the
+wrapped-subquery ``dbtable``, numeric range partitioning over a derived
+partition column, exactly-once row coverage across partition ranges
+(including the unbounded first/last strides), predicate pushdown into
+the wrapped query, and the ``deleted`` filter.  Only the Postgres
+``hashtext`` expression itself stays text-only (Derby has no analogue;
+the dialect seam is ``partition_expr``).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from reindexer_spark.docpipe.config import ReindexConfig
+from reindexer_spark.sources.jdbc import jdbc_reader_options, read_documents_jdbc
+
+N_DOCS = 100
+DERBY_URL = "jdbc:derby:memory:livedocs"
+# Derby-legal stable numeric derived from the string id ('id00042' -> 42)
+DERBY_PART_EXPR = "CAST(SUBSTR(q.id, 3) AS INT)"
+
+
+@pytest.fixture(scope="module")
+def derby_docs(spark):
+    """documents table in an in-memory Derby created through the JVM
+    Spark already runs (DriverManager via py4j)."""
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(DERBY_URL + ";create=true")
+    st = conn.createStatement()
+    st.execute(
+        "CREATE TABLE documents (id VARCHAR(16) PRIMARY KEY, "
+        "txn_id VARCHAR(16), owner VARCHAR(16), content VARCHAR(200), "
+        "deleted BOOLEAN)"
+    )
+    ps = conn.prepareStatement("INSERT INTO documents VALUES (?,?,?,?,?)")
+    for i in range(N_DOCS):
+        ps.setString(1, f"id{i:05d}")
+        ps.setString(2, f"txn{i % 10}")
+        ps.setString(3, f"owner{i % 3}")
+        ps.setString(4, json.dumps({"id": f"id{i:05d}", "n": i}))
+        ps.setBoolean(5, i % 10 == 9)
+        ps.addBatch()
+    ps.executeBatch()
+    conn.commit()
+    yield
+    try:
+        jvm.java.sql.DriverManager.getConnection(DERBY_URL + ";drop=true")
+    except Exception:
+        pass  # derby signals successful drop via SQLException
+
+
+def live_conf(tmp_path_factory) -> ReindexConfig:
+    p = tmp_path_factory.mktemp("jdbccfg") / "config.json"
+    p.write_text(
+        json.dumps(
+            {
+                "password": "unused-by-derby",
+                "solrUrl": "http://s/solr/c",
+                # Derby resolves the JDBC user as the schema; the table
+                # lives in the default APP schema
+                "dbuser": "APP",
+                "query": (
+                    "SELECT id, txn_id, owner, content FROM documents "
+                    "WHERE NOT deleted ORDER BY id ASC"
+                ),
+            }
+        )
+    )
+    return ReindexConfig.load(str(p))
+
+
+def test_partitioned_read_exactly_once(spark, derby_docs, tmp_path_factory):
+    """Every live row appears exactly once across 4 partition ranges —
+    the property the masked partition expression must preserve (range
+    partitioning covers (-inf, lb) and [ub, inf) in the edge tasks)."""
+    conf = live_conf(tmp_path_factory)
+    df = read_documents_jdbc(
+        spark,
+        conf,
+        partition_expr=DERBY_PART_EXPR,
+        url=DERBY_URL,
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=N_DOCS,  # deliberately tight: edge strides must catch rest
+    )
+    assert df.rdd.getNumPartitions() == 4
+    ids = [r.ID for r in df.collect()]
+    expected = [f"id{i:05d}" for i in range(N_DOCS) if i % 10 != 9]
+    assert sorted(ids) == expected  # no loss, no duplication
+    assert len(ids) == len(set(ids))
+    # the partition helper column does not leak into the result
+    assert "doc_seq" not in [c.lower() for c in df.columns]
+
+
+def test_resume_predicate_pushes_into_wrapped_query(
+    spark, derby_docs, tmp_path_factory
+):
+    conf = live_conf(tmp_path_factory)
+    df = read_documents_jdbc(
+        spark,
+        conf,
+        partition_expr=DERBY_PART_EXPR,
+        url=DERBY_URL,
+        num_partitions=2,
+    )
+    from pyspark.sql import functions as F
+
+    resumed = df.filter(F.col("ID") > "id00050")
+    rows = resumed.collect()
+    assert len(rows) == sum(
+        1 for i in range(51, N_DOCS) if i % 10 != 9
+    )
+    # pushdown reaches the JDBC scan node (PushedFilters in the plan)
+    plan = resumed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "ID" in plan
+
+
+def test_order_by_strip_against_live_engine(
+    spark, derby_docs, tmp_path_factory
+):
+    """The config query ends in ORDER BY; the stripped+wrapped SQL must
+    still be VALID for a real engine (the round-4 rindex bug produced
+    unparseable text for subquery sorts)."""
+    conf = live_conf(tmp_path_factory)
+    opts = jdbc_reader_options(
+        conf, partition_expr=DERBY_PART_EXPR, url=DERBY_URL
+    )
+    assert "ORDER BY" not in opts["dbtable"].upper()
+    # and a query whose ONLY sort is inside a subquery keeps it — Derby
+    # requires FETCH for subquery ORDER BY, proving the text is legal
+    p = tmp_path_factory.mktemp("jdbccfg2") / "config.json"
+    p.write_text(
+        json.dumps(
+            {
+                "password": "x",
+                "solrUrl": "u",
+                "dbuser": "APP",
+                "query": (
+                    "SELECT id, txn_id, owner, content FROM ("
+                    "SELECT * FROM documents ORDER BY id "
+                    "FETCH FIRST 20 ROWS ONLY) s"
+                ),
+            }
+        )
+    )
+    conf2 = ReindexConfig.load(str(p))
+    df = read_documents_jdbc(
+        spark,
+        conf2,
+        partition_expr=DERBY_PART_EXPR,
+        url=DERBY_URL,
+        num_partitions=2,
+    )
+    assert df.count() == 20
