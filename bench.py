@@ -97,6 +97,7 @@ EXTENDED = [
     "text_bpe_pairs",
     "embed_hard_negatives",
     "stream_stream_left_join_live",
+    "stream_stream_full_join_live",
 ]
 
 

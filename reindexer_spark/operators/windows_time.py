@@ -769,3 +769,126 @@ def stream_stream_left_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "click_id", "purchase_id", "gap_us")
     )
+
+
+# Full-outer frontier margins are ASYMMETRIC: a click's state can match
+# purchases up to c_ts + 1h, so its null emits once the watermark
+# passes c_ts + 1h (margin = delay + window + 10 s); a purchase only
+# matches clicks with c_ts in [p_ts - 1h, p_ts], i.e. nothing FUTURE,
+# so its null emits once the watermark passes p_ts itself
+# (margin = delay + 10 s).
+SS_FULL_CLICK_MARGIN_US = (2 * 3600 + 3600 + 10) * 1_000_000
+SS_FULL_PURCHASE_MARGIN_US = (2 * 3600 + 10) * 1_000_000
+
+
+@query(
+    "stream_stream_full_join_live",
+    oracle=f"""
+    WITH c AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    m AS (SELECT LEAST((SELECT MAX(ts) FROM c),
+                       (SELECT MAX(ts) FROM p)) AS mx),
+    matched AS (
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ),
+    click_nulls AS (
+      SELECT c.user_id, c.event_id AS click_id,
+             CAST(NULL AS BIGINT) AS purchase_id,
+             CAST(NULL AS BIGINT) AS gap_us
+      FROM c, m
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p WHERE p.user_id = c.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+      AND epoch_us(c.ts) < epoch_us(m.mx) - {SS_FULL_CLICK_MARGIN_US}
+    ),
+    purchase_nulls AS (
+      SELECT p.user_id, CAST(NULL AS BIGINT) AS click_id,
+             p.event_id AS purchase_id,
+             CAST(NULL AS BIGINT) AS gap_us
+      FROM p, m
+      WHERE NOT EXISTS (
+        SELECT 1 FROM c WHERE c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+      AND epoch_us(p.ts) < epoch_us(m.mx) - {SS_FULL_PURCHASE_MARGIN_US}
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM click_nulls
+    UNION ALL SELECT * FROM purchase_nulls
+    """,
+)
+def stream_stream_full_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM **full outer** join under the real engine — both
+    unmatched sides surface: clicks that never converted AND purchases
+    with no attributable click (the orphan-revenue question).  The two
+    null classes expire at DIFFERENT watermark frontiers because the
+    time-interval condition is asymmetric (see the margin constants
+    above) — the detail that makes full-outer the completion exam of
+    the streaming join zoo.  Frontier-adjacent null rows are excluded
+    by margin identically on both engines, as in the left-outer
+    variant."""
+    from reindexer_spark.catalog import load_table
+    from reindexer_spark.streaming import run_stream_to_memory, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+        F.unix_micros("c_ts").alias("c_ts_us"),
+        F.unix_micros("p_ts").alias("p_ts_us"),
+    )
+    out = run_stream_to_memory(joined, output_mode="append")
+    frontier = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max(F.unix_micros("ts")).alias("side_max"))
+        .agg(F.min("side_max").alias("wm_us"))
+    )
+    keep_matched = F.col("click_id").isNotNull() & F.col(
+        "purchase_id"
+    ).isNotNull()
+    keep_click_null = F.col("purchase_id").isNull() & F.col(
+        "click_id"
+    ).isNotNull() & (
+        F.col("c_ts_us") < F.col("wm_us") - SS_FULL_CLICK_MARGIN_US
+    )
+    keep_purchase_null = F.col("click_id").isNull() & (
+        F.col("p_ts_us") < F.col("wm_us") - SS_FULL_PURCHASE_MARGIN_US
+    )
+    return (
+        out.crossJoin(F.broadcast(frontier))
+        .filter(keep_matched | keep_click_null | keep_purchase_null)
+        .select("user_id", "click_id", "purchase_id", "gap_us")
+    )
