@@ -98,6 +98,8 @@ EXTENDED = [
     "embed_hard_negatives",
     "stream_stream_left_join_live",
     "stream_stream_full_join_live",
+    "events_resample_ffill",
+    "dq_numeric_profile",
 ]
 
 

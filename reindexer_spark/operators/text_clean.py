@@ -1078,3 +1078,124 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "pair")
         .limit(BPE_TOP)
     )
+
+
+# Column-level data-quality profile: the freshness/skew report every
+# ingestion pipeline runs before a table feeds training.  Stats are
+# restricted to exactly-representable forms (counts, decimal sums,
+# integer histogram buckets) so the profile is engine-exact — a float
+# stddev would make the gate flaky for no diagnostic gain.
+DQ_HIST_BUCKETS = 10
+
+
+@query(
+    "dq_numeric_profile",
+    oracle=f"""
+    WITH cols AS (
+      SELECT 'l_quantity' AS col, CAST(l_quantity AS DECIMAL(18,2)) AS v
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', CAST(l_extendedprice AS DECIMAL(18,2))
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem
+    ),
+    bounds AS (
+      SELECT col, COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(v) AS n_nulls,
+             COUNT(DISTINCT v) AS n_distinct,
+             CAST(MIN(v) AS DOUBLE) AS min_v,
+             CAST(MAX(v) AS DOUBLE) AS max_v,
+             CAST(SUM(v) AS DOUBLE) AS sum_v
+      FROM cols GROUP BY col
+    ),
+    bucketed AS (
+      SELECT c.col,
+             LEAST({DQ_HIST_BUCKETS - 1}, CAST(FLOOR(
+               (c.v - b.min_v) * {DQ_HIST_BUCKETS} / NULLIF(b.max_v - b.min_v, 0)
+             ) AS INT)) AS bucket
+      FROM cols c JOIN bounds b ON c.col = b.col
+      WHERE c.v IS NOT NULL
+    ),
+    hist AS (
+      SELECT col, string_agg(CAST(n AS VARCHAR), ':' ORDER BY bucket)
+               AS histogram
+      FROM (SELECT col, bucket, COUNT(*) AS n
+            FROM bucketed GROUP BY col, bucket)
+      GROUP BY col
+    )
+    SELECT b.col, b.n_rows, b.n_nulls, b.n_distinct,
+           b.min_v, b.max_v, b.sum_v, h.histogram
+    FROM bounds b JOIN hist h ON b.col = h.col
+    """,
+)
+def dq_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column numeric profile over lineitem's measure columns:
+    row/null/distinct counts, exact decimal min/max/sum, and a
+    10-bucket equal-width histogram serialized ``n0:n1:...`` — the
+    pre-training ingestion report (value drift shows up as histogram
+    shape change; schema drift is dq_schema_drift's job).
+
+    Scale shape: the unpivot (one row per column value) is a
+    projection, not a shuffle; the profile is one aggregation per
+    column group with map-side partials, and the histogram join
+    broadcasts the 4-row bounds relation.  Everything is integer or
+    decimal math — bit-identical across engines by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    cols = None
+    for m in measures:
+        part = li.select(
+            F.lit(m).alias("col"),
+            F.col(m).cast("decimal(18,2)").alias("v"),
+        )
+        cols = part if cols is None else cols.unionByName(part)
+    bounds = cols.groupBy("col").agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("v")).alias("n_nulls"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.min("v").cast("double").alias("min_v"),
+        F.max("v").cast("double").alias("max_v"),
+        F.sum("v").cast("double").alias("sum_v"),
+    )
+    bucketed = (
+        cols.join(F.broadcast(bounds), "col")
+        .filter(F.col("v").isNotNull())
+        .select(
+            "col",
+            F.least(
+                F.lit(DQ_HIST_BUCKETS - 1),
+                F.floor(
+                    (F.col("v") - F.col("min_v"))
+                    * DQ_HIST_BUCKETS
+                    / F.nullif(F.col("max_v") - F.col("min_v"), F.lit(0))
+                ).cast("int"),
+            ).alias("bucket"),
+        )
+    )
+    hist = (
+        bucketed.groupBy("col", "bucket")
+        .agg(F.count("*").alias("n"))
+        .groupBy("col")
+        .agg(
+            F.concat_ws(
+                ":",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bucket", "n"))),
+                    lambda s: s["n"].cast("string"),
+                ),
+            ).alias("histogram")
+        )
+    )
+    return bounds.join(hist, "col").select(
+        "col",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_v",
+        "max_v",
+        "sum_v",
+        "histogram",
+    )

@@ -892,3 +892,80 @@ def stream_stream_full_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(keep_matched | keep_click_null | keep_purchase_null)
         .select("user_id", "click_id", "purchase_id", "gap_us")
     )
+
+
+@query(
+    "events_resample_ffill",
+    oracle="""
+    WITH hourly AS (
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS h,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hourly),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS h
+      FROM bounds
+    ),
+    joined AS (
+      SELECT g.h, COALESCE(x.n_events, 0) AS n_events, x.total_value
+      FROM grid g LEFT JOIN hourly x ON g.h = x.h
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS slot_ts,
+           n_events,
+           total_value,
+           last_value(total_value IGNORE NULLS) OVER (
+             ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM joined
+    """,
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to a regular 15-minute grid with forward
+    fill — the metrics/feature-engineering staple (downstream models
+    want dense regular series; event streams are sparse and bursty).
+    The purchase stream is sparse enough that empty slots actually
+    occur at every sf: they appear with n_events = 0 and carry the
+    last observed value forward, so the fill path is exercised by the
+    gate, not just present in the plan.
+
+    Scale shape: the aggregation is the only corpus-sized pass; the
+    grid is (max-min)/step rows — bounded by the TIME RANGE, not the
+    data — built with sequence() from a 1-row bounds aggregate and
+    exploded, so no driver-side loop materializes timestamps.  The
+    forward fill is one global-ordered window over the grid-sized
+    relation; at 100 TB you would window per series key, keeping each
+    partition grid-sized."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    hourly = e.groupBy(
+        F.window("ts", "15 minutes").alias("w")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+    ).select(F.col("w.start").alias("h"), "n_events", "total_value")
+    bounds = hourly.agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 15 MINUTES"))
+        ).alias("h")
+    )
+    joined = grid.join(hourly, "h", "left").select(
+        "h",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "total_value",
+    )
+    w = (
+        Window.orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("slot_ts"),
+        "n_events",
+        "total_value",
+        F.last("total_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
