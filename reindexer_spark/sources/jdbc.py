@@ -36,7 +36,20 @@ def strip_toplevel_trailing_order_by(query: str) -> str:
     sort clause follows it (LIMIT/OFFSET/FETCH/FOR), the query is left
     alone — dropping the sort under a LIMIT would change which rows the
     partitions read.
+
+    Runs to fixpoint: valid SQL has at most one top-level trailing
+    ORDER BY so a second pass is a no-op, but idempotence then holds
+    for arbitrary (even malformed) input — property-tested in
+    tests/test_jdbc.py.
     """
+    while True:
+        out = _strip_once(query)
+        if out == query:
+            return out
+        query = out
+
+
+def _strip_once(query: str) -> str:
     pos = None
     depth = 0
     quote: str | None = None  # "'" or '"' while inside a literal/ident

@@ -109,3 +109,81 @@ def test_wrapped_query_keeps_subquery_sort_valid(tmp_path):
     # The full subquery survives inside the wrapper; balanced parens.
     assert "ORDER BY id LIMIT 100" in opts["dbtable"]
     assert opts["dbtable"].count("(") == opts["dbtable"].count(")")
+
+
+# ---------- property-based: the stripper never corrupts a query ----------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+    sql_fragments = st.lists(
+        st.sampled_from(
+            [
+                "SELECT id FROM t",
+                " WHERE a = 'x ORDER BY y'",
+                " ORDER BY id",
+                " order by a, b DESC",
+                " (SELECT 1 ORDER BY 2 LIMIT 3)",
+                " LIMIT 5",
+                " OFFSET 2",
+                ' "ORDER BY"',
+                " JOIN u ON t.a = u.a",
+                " (",
+                " )",
+                " reorder_by",
+                "''",
+            ]
+        ),
+        min_size=1,
+        max_size=8,
+    ).map("".join)
+
+    @settings(max_examples=300, deadline=None)
+    @given(sql_fragments)
+    def test_strip_is_prefix_and_preserves_balance(q):
+        """For ANY input: the output is a prefix of the input (the
+        stripper only ever removes a trailing clause), and if the input
+        had balanced parens outside quotes, so does the output — the
+        round-4 rindex bug violated both."""
+        from reindexer_spark.sources.jdbc import (
+            strip_toplevel_trailing_order_by as strip,
+        )
+
+        out = strip(q)
+        assert q.startswith(out)
+        removed = q[len(out):]
+        # whatever was removed starts with ORDER (modulo whitespace)
+        if removed:
+            assert removed.lstrip()[:5].upper() == "ORDER"
+
+        def balance(s: str) -> int | None:
+            depth, quote = 0, None
+            for ch in s:
+                if quote:
+                    if ch == quote:
+                        quote = None
+                elif ch in ("'", '"'):
+                    quote = ch
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+            return depth if quote is None else None
+
+        if balance(q) == 0:
+            assert balance(out) == 0
+
+    @settings(max_examples=200, deadline=None)
+    @given(sql_fragments)
+    def test_strip_is_idempotent(q):
+        from reindexer_spark.sources.jdbc import (
+            strip_toplevel_trailing_order_by as strip,
+        )
+
+        assert strip(strip(q)) == strip(q)
