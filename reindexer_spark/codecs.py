@@ -1,13 +1,14 @@
-"""Dependency-free media codecs: BMP / PPM / baseline-JPEG images, WAV
-audio, and AVI video (uncompressed DIB and Motion-JPEG).
+"""Dependency-free media codecs: BMP / PPM / baseline-JPEG / PNG
+images, WAV audio, and AVI video (uncompressed DIB and Motion-JPEG).
 
 The container has no Pillow/pyav/soundfile; the raw formats parse with
 the standard library alone (header fields + raw samples/pixels), and
-baseline JPEG — the one compressed format real crawls are mostly made
-of — is implemented from the public spec (ITU T.81 Annex K tables,
-matrix DCT, canonical huffman), so the multimodal pipeline's
-decode/resize/frame-sample legs can run on REAL bytes, compressed
-included, in any environment.
+the two compressed formats real crawls are mostly made of are
+implemented from their public specs — baseline JPEG (ITU T.81 Annex K
+tables, matrix DCT, canonical huffman) and PNG (W3C spec: stdlib zlib
+inflate + full 5-filter reconstruction, all five 8-bit color types) —
+so the multimodal pipeline's decode/resize/frame-sample legs can run
+on REAL bytes, compressed included, in any environment.
 ``LibraryCodec`` in :mod:`reindexer_spark.multimodal` prefers Pillow
 when installed and falls back here.
 
@@ -968,8 +969,214 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, bytes]:
 
 
 # --------------------------------------------------------------------------
+# PNG (W3C PNG spec / RFC 2083, stdlib zlib)
+#
+# The OTHER format real crawls are mostly made of (alongside JPEG).
+# Scope: non-interlaced 8-bit-per-sample images in all five color
+# types — greyscale (0), truecolor (2), palette (3), grey+alpha (4),
+# RGBA (6) — with full reconstruction of all five row filters (None /
+# Sub / Up / Average / Paeth) and CRC-verified chunk framing.
+# Interlaced (Adam7), 16-bit, and sub-8-bit streams raise
+# MediaFormatError with a named reason → the Pillow fallback or the
+# quarantine lane, never a crash; alpha is dropped on decode (the
+# canonical-RGB convention the Pillow path uses too).
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# channels per PNG color type (8-bit samples)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body))
+    )
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Raw RGB triples → PNG bytes (color type 2, bit depth 8,
+    filter 0 rows, one zlib IDAT).  Lossless: pairs with
+    :func:`decode_png` for exact round-trips."""
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} bytes, got {len(rgb)}")
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width * 3)
+    rows = np.zeros((height, 1 + width * 3), dtype=np.uint8)
+    rows[:, 1:] = arr  # leading 0 per row = filter type None
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(rows.tobytes(), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(left: int, up: int, ul: int) -> int:
+    p = left + up - ul
+    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+    if pa <= pb and pa <= pc:
+        return left
+    return up if pb <= pc else ul
+
+
+def _png_unfilter(
+    raw: bytes, width: int, height: int, channels: int
+) -> np.ndarray:
+    """Filtered scanline stream → (height, width*channels) uint8 matrix.
+
+    None/Sub/Up reconstruct vectorized (Sub is a per-lane cumsum mod
+    256); Average and Paeth carry a true sequential dependency along
+    the row, so they reconstruct per-byte — the honest slow path, like
+    the JPEG block loop (encoders that matter for throughput emit
+    filter 0; crawl payloads decode correctly regardless)."""
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise MediaFormatError("PNG pixel data length mismatch")
+    data = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = data[:, 0]
+    if (ftypes > 4).any():
+        raise MediaFormatError("invalid PNG filter type")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    for y in range(height):
+        f = int(ftypes[y])
+        row = data[y, 1:]
+        if f == 0:
+            rec = row.copy()
+        elif f == 1:  # Sub — cumsum mod 256 per byte lane
+            rec = (
+                np.cumsum(row.reshape(-1, bpp), axis=0, dtype=np.uint64)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif f == 2:  # Up — uint8 addition wraps mod 256 by itself
+            rec = row + prev
+        elif f == 3:  # Average
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(row[x]) + (left + int(prev[x])) // 2) & 0xFF
+        else:  # Paeth
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(row[x]) + _paeth(left, int(prev[x]), ul)) & 0xFF
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """PNG bytes → (width, height, raw RGB triples).
+
+    CRC-checked chunk walk, zlib inflate, full 5-filter reconstruction,
+    all five 8-bit color types (palette via PLTE lookup; alpha
+    dropped).  Interlaced / 16-bit / sub-8-bit → MediaFormatError with
+    a named reason, and ANY malformed stream — truncation, bad CRC,
+    corrupt deflate, out-of-range palette index, fuzz-tested in
+    tests/test_codecs.py — raises MediaFormatError, never a bare
+    parser exception: the quarantine contract."""
+    try:
+        return _decode_png_impl(payload)
+    except MediaFormatError:
+        raise
+    except (struct.error, ValueError, IndexError, KeyError, OverflowError) as exc:
+        raise MediaFormatError(f"malformed PNG stream: {exc}") from exc
+
+
+def _decode_png_impl(payload: bytes) -> tuple[int, int, bytes]:
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise MediaFormatError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = b""
+    idat = bytearray()
+    seen_iend = False
+    while pos + 12 <= len(payload):
+        length, tag = struct.unpack_from(">I4s", payload, pos)
+        body_start = pos + 8
+        if body_start + length + 4 > len(payload):
+            raise MediaFormatError("truncated PNG chunk")
+        body = payload[body_start : body_start + length]
+        crc = struct.unpack_from(">I", payload, body_start + length)[0]
+        if crc != zlib.crc32(tag + body):
+            raise MediaFormatError(f"PNG chunk CRC mismatch ({tag!r})")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            seen_iend = True
+            break
+        # ancillary chunks (tEXt, gAMA, tRNS, ...) are skipped; tRNS
+        # alpha is dropped like every other alpha channel here
+        pos = body_start + length + 4
+    if ihdr is None or len(ihdr) < 13:
+        raise MediaFormatError("PNG missing IHDR")
+    if not seen_iend or not idat:
+        raise MediaFormatError("PNG missing IDAT/IEND")
+    width, height, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if comp != 0 or filt != 0:
+        raise MediaFormatError("unsupported PNG compression/filter method")
+    if interlace == 1:
+        raise MediaFormatError("interlaced (Adam7) PNG not supported")
+    if interlace != 0:
+        raise MediaFormatError("invalid PNG interlace method")
+    if depth != 8:
+        raise MediaFormatError(f"only 8-bit PNG supported (depth={depth})")
+    if color not in _PNG_CHANNELS:
+        raise MediaFormatError(f"invalid PNG color type {color}")
+    if not width or not height or width * height > _JPEG_MAX_PIXELS:
+        raise MediaFormatError("PNG dimensions out of range")
+    channels = _PNG_CHANNELS[color]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise MediaFormatError(f"corrupt PNG deflate stream: {exc}") from exc
+    px = _png_unfilter(raw, width, height, channels).reshape(
+        height, width, channels
+    )
+    if color == 2:
+        rgb = px
+    elif color == 6:
+        rgb = px[:, :, :3]
+    elif color in (0, 4):
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:  # palette
+        if not plte or len(plte) % 3:
+            raise MediaFormatError("palette PNG missing/malformed PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max()) >= len(pal):
+            raise MediaFormatError("PNG palette index out of range")
+        rgb = pal[idx]
+    return width, height, np.ascontiguousarray(rgb).tobytes()
+
+
+# --------------------------------------------------------------------------
 # Codec implementations matching the multimodal pipeline seams
 # --------------------------------------------------------------------------
+
+# kinds the sniffer can return that are IMAGES — the set the Pillow
+# fallback in reindexer_spark.multimodal may retry when the stdlib
+# decoder rejects a payload (progressive JPEG, interlaced PNG, ...)
+IMAGE_KINDS = frozenset({"bmp", "ppm", "jpeg", "png"})
 
 
 def _sniff(payload: bytes) -> str:
@@ -979,6 +1186,8 @@ def _sniff(payload: bytes) -> str:
         return "ppm"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
+    if payload[:8] == _PNG_SIG:
+        return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
@@ -991,6 +1200,8 @@ def _decode_image(kind: str, payload: bytes) -> tuple[int, int, bytes]:
         return decode_bmp(payload)
     if kind == "ppm":
         return decode_ppm(payload)
+    if kind == "png":
+        return decode_png(payload)
     return decode_jpeg_baseline(payload)
 
 
@@ -1027,7 +1238,7 @@ class PurePythonCodec:
 
     def decode(self, payload: bytes) -> dict:
         kind = _sniff(payload)
-        if kind in ("bmp", "ppm", "jpeg"):
+        if kind in IMAGE_KINDS:
             w, h, rgb = _decode_image(kind, payload)
             feats = _image_features(w, h, rgb)
             return {
@@ -1081,7 +1292,7 @@ class PurePythonResizer:
 
     def resize(self, payload: bytes, max_dim: int) -> dict:
         kind = _sniff(payload)
-        if kind not in ("bmp", "ppm", "jpeg"):
+        if kind not in IMAGE_KINDS:
             raise MediaFormatError(f"cannot resize non-image payload ({kind})")
         w, h, rgb = _decode_image(kind, payload)
         scale = min(1.0, max_dim / max(w, h))

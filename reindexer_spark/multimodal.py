@@ -85,54 +85,70 @@ class FakeCodec:
         }
 
 
+def _pillow_to_canonical(payload: bytes) -> bytes:
+    """Decode any image Pillow understands into canonical PPM bytes so
+    the feature/resize math stays on the shared deterministic integer
+    path.  Every failure — Pillow absent, or Pillow itself rejecting
+    the payload — is a ``MediaFormatError`` (the quarantine contract);
+    library-specific exceptions never escape."""
+    from reindexer_spark.codecs import MediaFormatError, encode_ppm
+
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError:
+        raise MediaFormatError(
+            "payload needs Pillow to decode (not installed)"
+        ) from None
+    try:
+        img = Image.open(io.BytesIO(payload))
+        rgb = img.convert("RGB")
+    except Exception as exc:
+        raise MediaFormatError(
+            f"Pillow could not decode payload: {exc}"
+        ) from exc
+    return encode_ppm(rgb.width, rgb.height, rgb.tobytes())
+
+
 class LibraryCodec:
     """The production decoder seam: the dependency-free parsers
-    (BMP / PPM / baseline JPEG / WAV / DIB-AVI) from
+    (BMP / PPM / PNG / baseline JPEG / WAV / DIB+MJPEG-AVI) from
     :mod:`reindexer_spark.codecs` handle the natively-understood
-    containers, and Pillow — when installed — extends coverage to
-    exotic image formats ONLY (progressive JPEG, PNG, WebP, ...).  The
-    container is sniffed FIRST: payloads the stdlib path understands
-    never reach Pillow (so audio/video and the canonical image formats
-    behave identically with and without Pillow installed), and any
-    Pillow failure is wrapped in ``MediaFormatError`` so unknown or
-    corrupt payloads always land in the quarantine lane, never escape
-    as library-specific exceptions."""
+    containers, and Pillow — when installed — extends coverage in two
+    places: containers the sniffer doesn't recognize at all (WebP,
+    GIF, TIFF, ...), and sniffed IMAGES the stdlib decoder rejects
+    (progressive/arithmetic/12-bit JPEG, interlaced or 16-bit PNG) —
+    the stdlib path is tried first so canonical payloads behave
+    identically with and without Pillow installed, and its
+    ``MediaFormatError`` falls through to Pillow rather than
+    quarantining outright.  Audio/video rejections do NOT fall
+    through (Pillow has no audio/video path).  Any Pillow failure is
+    wrapped in ``MediaFormatError`` so unknown or corrupt payloads
+    always land in the quarantine lane, never escape as
+    library-specific exceptions."""
 
     def decode(self, payload: bytes) -> dict:
         from reindexer_spark.codecs import (
+            IMAGE_KINDS,
             MediaFormatError,
             PurePythonCodec,
             _sniff,
         )
 
         try:
-            _sniff(payload)
+            kind = _sniff(payload)
         except MediaFormatError:
-            pass  # unknown container → try Pillow below
-        else:
-            return PurePythonCodec().decode(payload)
-        try:
-            import io
-
-            from PIL import Image  # type: ignore[import-not-found]
-        except ImportError:
-            raise MediaFormatError(
-                "unrecognized media payload (Pillow not installed)"
-            ) from None
-        # Pillow for the exotic containers; feature math stays the shared
-        # deterministic integer path (re-encode to the canonical form)
-        from reindexer_spark.codecs import encode_ppm
-
-        try:
-            img = Image.open(io.BytesIO(payload))
-            rgb = img.convert("RGB")
-        except Exception as exc:
-            raise MediaFormatError(
-                f"Pillow could not decode payload: {exc}"
-            ) from exc
-        return PurePythonCodec().decode(
-            encode_ppm(rgb.width, rgb.height, rgb.tobytes())
-        )
+            kind = None  # unknown container → try Pillow below
+        if kind is not None:
+            try:
+                return PurePythonCodec().decode(payload)
+            except MediaFormatError:
+                if kind not in IMAGE_KINDS:
+                    raise  # audio/video: Pillow can't help, quarantine
+                # sniffed image beyond the stdlib decoder (progressive
+                # JPEG, interlaced PNG, ...) → fall through to Pillow
+        return PurePythonCodec().decode(_pillow_to_canonical(payload))
 
 
 def extract_media_features(media: DataFrame, codec=None) -> DataFrame:
@@ -253,13 +269,34 @@ class FakeFrameSampler:
 
 
 class LibraryResizer:
-    """Pillow-backed resize when installed, else the pure-Python
-    nearest-neighbor BMP/PPM resizer — real pixels either way."""
+    """The pure-Python nearest-neighbor resizer for natively-decoded
+    images, with the same Pillow fallback routing as ``LibraryCodec``:
+    sniffed images the stdlib decoder rejects, and unrecognized
+    containers, decode through Pillow (when installed) into the
+    canonical form and resize on the shared integer path — real
+    pixels either way."""
 
     def resize(self, payload: bytes, max_dim: int) -> dict:
-        from reindexer_spark.codecs import PurePythonResizer
+        from reindexer_spark.codecs import (
+            IMAGE_KINDS,
+            MediaFormatError,
+            PurePythonResizer,
+            _sniff,
+        )
 
-        return PurePythonResizer().resize(payload, max_dim)
+        try:
+            kind = _sniff(payload)
+        except MediaFormatError:
+            kind = None  # unknown container → try Pillow below
+        if kind is not None:
+            try:
+                return PurePythonResizer().resize(payload, max_dim)
+            except MediaFormatError:
+                if kind not in IMAGE_KINDS:
+                    raise  # audio/video is not resizable, quarantine
+        return PurePythonResizer().resize(
+            _pillow_to_canonical(payload), max_dim
+        )
 
 
 class LibraryFrameSampler:

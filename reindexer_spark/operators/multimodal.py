@@ -137,9 +137,11 @@ def _synth_media(d: DataFrame) -> DataFrame:
     """documents → media rows with REAL payloads: a deterministic 24-bit
     BMP per document (pixels seeded from the text digest), every third
     row a real mono 16-bit WAV, every doc_id % 3 == 1 row a real
-    multi-frame uncompressed-DIB AVI, and every doc_id % 6 == 0 row a
-    real baseline JPEG (DCT-compressed through the dependency-free
-    encoder, exercising the compressed-format decode path end-to-end).
+    multi-frame uncompressed-DIB AVI, every doc_id % 6 == 0 row a
+    real baseline JPEG, and every doc_id % 12 == 3 row a real PNG
+    (zlib-deflated through the dependency-free encoder) — both
+    compressed image formats real crawls are made of exercise the
+    decode path end-to-end.
     Built in mapInPandas because container encoding is byte-level
     Python — this is the fixture lane; the decode lane downstream
     parses these bytes back for real."""
@@ -156,6 +158,7 @@ def _synth_media(d: DataFrame) -> DataFrame:
             encode_avi,
             encode_bmp,
             encode_jpeg_baseline,
+            encode_png,
             encode_wav,
         )
 
@@ -200,6 +203,10 @@ def _synth_media(d: DataFrame) -> DataFrame:
                         encode_jpeg_baseline(w, h, bytes(rgb), 85),
                         "image-jpeg",
                     )
+                elif r["doc_id"] % 12 == 3:
+                    w, h = 8 + seed[0] % 9, 8 + seed[1] % 9
+                    rgb = (seed * ((w * h * 3) // len(seed) + 1))[: w * h * 3]
+                    payload, kind = encode_png(w, h, bytes(rgb)), "image-png"
                 else:
                     w, h = 8 + seed[0] % 9, 8 + seed[1] % 9
                     rgb = (seed * ((w * h * 3) // len(seed) + 1))[: w * h * 3]
@@ -222,9 +229,9 @@ def _synth_media(d: DataFrame) -> DataFrame:
 @query("multimodal_decode_features")  # Python codec output → rows-only check
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The media-decode pipeline on REAL bytes end-to-end: deterministic
-    BMP/JPEG/WAV/DIB-AVI payloads are synthesized per document (JPEG via
-    the dependency-free baseline DCT encoder — the compressed-format
-    lane), then parsed back by
+    BMP/JPEG/PNG/WAV/DIB-AVI payloads are synthesized per document
+    (JPEG via the dependency-free baseline DCT encoder, PNG via the
+    zlib encoder — the compressed-format lanes), then parsed back by
     the dependency-free stdlib codecs (reindexer_spark.codecs) through
     the Arrow-batched mapInPandas seam — decoded dimensions, channel
     means, amplitude stats are computed from actual pixel/sample data,
@@ -247,16 +254,17 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("multimodal_thumbnail")  # Python resize output → rows-only check
 def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image resize on real pixels: BMP and baseline-JPEG payloads
-    downscale via the nearest-neighbor pure-Python resizer (JPEG decodes
-    through the dependency-free DCT path first); output thumbnails are
-    themselves decodable BMPs.  Emits (dims, checksum) — byte-stable,
-    bounded by max_dim² per row."""
+    """Image resize on real pixels: BMP, baseline-JPEG, and PNG
+    payloads downscale via the nearest-neighbor pure-Python resizer
+    (JPEG decodes through the dependency-free DCT path first, PNG
+    through zlib inflate + filter reconstruction); output thumbnails
+    are themselves decodable BMPs.  Emits (dims, checksum) —
+    byte-stable, bounded by max_dim² per row."""
     from reindexer_spark.multimodal import LibraryResizer, resize_thumbnails
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     media = _synth_media(d).filter(
-        F.col("kind").isin("image-bmp", "image-jpeg")
+        F.col("kind").isin("image-bmp", "image-jpeg", "image-png")
     )
     thumbs = resize_thumbnails(media, max_dim=8, resizer=LibraryResizer())
     return thumbs.select(
@@ -350,6 +358,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sniff,
             encode_bmp,
             encode_jpeg_baseline,
+            encode_png,
         )
 
         for pdf in batches:
@@ -366,6 +375,8 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).astype(np.uint8)
                 if kind == "jpeg":
                     out = encode_jpeg_baseline(w, h, px.tobytes(), 85)
+                elif kind == "png":
+                    out = encode_png(w, h, px.tobytes())
                 else:
                     out = encode_bmp(w, h, px.tobytes())
                 rows.append(

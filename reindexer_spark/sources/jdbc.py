@@ -31,11 +31,13 @@ def strip_toplevel_trailing_order_by(query: str) -> str:
     A naive ``rindex("ORDER BY")`` truncates queries that merely *end in*
     a parenthesized subquery or window containing ORDER BY (e.g.
     ``... FROM (SELECT ... ORDER BY x LIMIT 5) t``), producing invalid
-    SQL.  This scanner tracks paren depth and quote state, and only
-    strips an ORDER BY found at depth 0.  If anything other than the
-    sort clause follows it (LIMIT/OFFSET/FETCH/FOR), the query is left
-    alone — dropping the sort under a LIMIT would change which rows the
-    partitions read.
+    SQL.  This scanner tracks paren depth, quote state, SQL comments
+    (``-- ...`` to end of line, nesting ``/* ... */`` — Postgres block
+    comments nest), and Postgres dollar-quoted strings
+    (``$tag$ ... $tag$``), and only strips an ORDER BY found at depth 0
+    outside all of them.  If anything other than the sort clause follows
+    it (LIMIT/OFFSET/FETCH/FOR), the query is left alone — dropping the
+    sort under a LIMIT would change which rows the partitions read.
 
     Runs to fixpoint: valid SQL has at most one top-level trailing
     ORDER BY so a second pass is a no-op, but idempotence then holds
@@ -47,6 +49,9 @@ def strip_toplevel_trailing_order_by(query: str) -> str:
         if out == query:
             return out
         query = out
+
+
+_DOLLAR_TAG_RE = re.compile(r"\$[A-Za-z_][A-Za-z0-9_]*\$|\$\$")
 
 
 def _strip_once(query: str) -> str:
@@ -63,6 +68,28 @@ def _strip_once(query: str) -> str:
                     i += 1
                 else:
                     quote = None
+        elif c == "-" and query[i + 1 : i + 2] == "-":
+            # line comment: an ORDER BY inside it is not a clause
+            nl = query.find("\n", i + 2)
+            i = n if nl < 0 else nl  # the newline itself is plain text
+            continue
+        elif c == "/" and query[i + 1 : i + 2] == "*":
+            # block comment — Postgres block comments NEST
+            level, i = 1, i + 2
+            while i < n and level:
+                if query[i : i + 2] == "/*":
+                    level, i = level + 1, i + 2
+                elif query[i : i + 2] == "*/":
+                    level, i = level - 1, i + 2
+                else:
+                    i += 1
+            continue  # unterminated → rest of query is comment text
+        elif c == "$":
+            m = _DOLLAR_TAG_RE.match(query, i)
+            if m:  # dollar-quoted literal: skip to the matching tag
+                end = query.find(m.group(0), m.end())
+                i = n if end < 0 else end + len(m.group(0))
+                continue
         elif c in ("'", '"'):
             quote = c
         elif c == "(":

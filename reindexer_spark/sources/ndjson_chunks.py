@@ -54,12 +54,18 @@ class NdjsonChunkReader(DataSourceReader):
 
     def pushFilters(self, filters):  # noqa: N802 - API contract
         """Prune whole chunk files at planning time for equality
-        filters on chunk_file; everything else stays with Spark."""
+        filters on chunk_file; everything else stays with Spark.
+
+        Pushed filters are CONJUNCTIVE, so multiple EqualTo filters on
+        chunk_file intersect (``f='a' AND f='b'`` → empty set), never
+        union — a consumed filter is not re-checked by Spark, so OR
+        semantics here would return wrong rows."""
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("chunk_file",):
                 if self.keep_files is None:
-                    self.keep_files = set()
-                self.keep_files.add(f.value)
+                    self.keep_files = {f.value}
+                else:
+                    self.keep_files &= {f.value}
             else:
                 yield f
 
@@ -83,7 +89,10 @@ class NdjsonChunkReader(DataSourceReader):
         name = os.path.basename(partition.path)
         with open(partition.path, encoding="utf-8") as fh:
             for i, line in enumerate(fh):
-                line = line.rstrip("\n")
+                # rstrip both so CRLF chunk files (Windows writers,
+                # CRLF-normalizing transfers) don't leak a trailing \r
+                # into the JSON value
+                line = line.rstrip("\r\n")
                 if line:
                     yield (name, i, line)
 

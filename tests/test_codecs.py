@@ -385,3 +385,283 @@ def test_all_codecs_fuzz_quarantine_contract():
             except MediaFormatError:
                 pass
             b[i] = orig
+
+
+# ---------- PNG (stdlib zlib + 5-filter reconstruction) ----------
+
+
+def _png_from_scanlines(
+    w: int, h: int, samples: bytes, color: int, channels: int, plte: bytes = b""
+) -> bytes:
+    """Assemble a PNG from raw (unfiltered) scanline samples — lets
+    tests exercise color types the encoder doesn't emit."""
+    import struct
+    import zlib
+
+    from reindexer_spark.codecs import _PNG_SIG, _png_chunk
+
+    stride = w * channels
+    body = bytearray()
+    for y in range(h):
+        body.append(0)
+        body += samples[y * stride : (y + 1) * stride]
+    out = _PNG_SIG + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    )
+    if plte:
+        out += _png_chunk(b"PLTE", plte)
+    return (
+        out
+        + _png_chunk(b"IDAT", zlib.compress(bytes(body)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip():
+    import numpy as np
+
+    from reindexer_spark.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for w, h in [(1, 1), (3, 2), (16, 16), (31, 17)]:
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+        assert decode_png(encode_png(w, h, rgb)) == (w, h, rgb)
+
+
+def test_png_all_five_filters_reconstruct():
+    """Hand-filter each row with a different filter type (the inverse of
+    reconstruction, computed independently here) and require the decoder
+    to recover the original pixels exactly — covers None/Sub/Up/Average/
+    Paeth including the leading-pixel (left=0) boundary."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from reindexer_spark.codecs import _PNG_SIG, _png_chunk, decode_png
+
+    rng = np.random.default_rng(5)
+    w, h, bpp = 7, 5, 3
+    stride = w * bpp
+    px = rng.integers(0, 256, size=(h, stride), dtype=np.uint8).astype(np.int16)
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    body = bytearray()
+    prev = np.zeros(stride, dtype=np.int16)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        row = px[y]
+        left = np.concatenate([np.zeros(bpp, np.int16), row[:-bpp]])
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row - left
+        elif f == 2:
+            enc = row - prev
+        elif f == 3:
+            enc = row - (left + prev) // 2
+        else:
+            ul = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+            enc = np.array(
+                [
+                    row[x] - paeth(int(left[x]), int(prev[x]), int(ul[x]))
+                    for x in range(stride)
+                ],
+                dtype=np.int16,
+            )
+        body.append(f)
+        body += (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = row
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(body)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png(payload) == (
+        w,
+        h,
+        px.astype(np.uint8).tobytes(),
+    )
+
+
+def test_png_color_types_gray_palette_alpha():
+    from reindexer_spark.codecs import decode_png
+
+    # greyscale replicates to RGB
+    w, h, rgb = decode_png(_png_from_scanlines(4, 3, bytes(range(12)), 0, 1))
+    assert (w, h) == (4, 3) and rgb[3:6] == bytes([1, 1, 1])
+    # palette looks up PLTE
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    w, h, rgb = decode_png(
+        _png_from_scanlines(2, 2, bytes([0, 1, 2, 1]), 3, 1, plte=pal)
+    )
+    assert rgb[:6] == bytes([255, 0, 0, 0, 255, 0])
+    # RGBA / grey+alpha drop alpha
+    w, h, rgb = decode_png(
+        _png_from_scanlines(2, 1, bytes([10, 20, 30, 99, 40, 50, 60, 99]), 6, 4)
+    )
+    assert rgb == bytes([10, 20, 30, 40, 50, 60])
+    w, h, rgb = decode_png(_png_from_scanlines(2, 1, bytes([7, 9, 8, 9]), 4, 2))
+    assert rgb == bytes([7, 7, 7, 8, 8, 8])
+
+
+def test_png_unsupported_variants_are_named():
+    import struct
+    import zlib
+
+    from reindexer_spark.codecs import _PNG_SIG, _png_chunk, decode_png
+
+    def ihdr_png(depth: int, color: int, interlace: int) -> bytes:
+        return (
+            _PNG_SIG
+            + _png_chunk(
+                b"IHDR",
+                struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace),
+            )
+            + _png_chunk(b"IDAT", zlib.compress(bytes(14)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(MediaFormatError, match="interlaced"):
+        decode_png(ihdr_png(8, 2, 1))
+    with pytest.raises(MediaFormatError, match="8-bit"):
+        decode_png(ihdr_png(16, 2, 0))
+    with pytest.raises(MediaFormatError, match="color type"):
+        decode_png(ihdr_png(8, 5, 0))
+
+
+def test_png_corruption_quarantines():
+    from reindexer_spark.codecs import decode_png, encode_png
+
+    good = encode_png(4, 4, bytes(48))
+    # flipping any single byte must fail CRC / parse, never crash
+    b = bytearray(good)
+    b[40] ^= 0xFF
+    with pytest.raises(MediaFormatError):
+        decode_png(bytes(b))
+    with pytest.raises(MediaFormatError):
+        decode_png(good[:-6])  # truncated
+    with pytest.raises(MediaFormatError):
+        decode_png(b"\x89PNG\r\n\x1a\x00")  # bad signature
+    # palette index beyond PLTE
+    with pytest.raises(MediaFormatError, match="palette"):
+        decode_png(
+            _png_from_scanlines(
+                2, 2, bytes([0, 1, 2, 3]), 3, 1, plte=bytes([1, 2, 3])
+            )
+        )
+
+
+def test_png_fuzz_quarantine_contract():
+    """Same contract as the JPEG fuzz sweep: ANY truncation or
+    corruption raises MediaFormatError or decodes — never a bare
+    parser exception, never a hang."""
+    import numpy as np
+
+    from reindexer_spark.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(13)
+    rgb = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8).tobytes()
+    png = encode_png(23, 17, rgb)
+
+    def check(payload: bytes) -> None:
+        try:
+            decode_png(payload)
+        except MediaFormatError:
+            pass
+
+    for cut in range(0, len(png), 3):
+        check(png[:cut])
+    b = bytearray(png)
+    for i in range(len(png)):
+        orig = b[i]
+        b[i] ^= 0xFF
+        check(bytes(b))
+        b[i] = orig
+    for seed in range(25):
+        r2 = np.random.default_rng(seed)
+        noisy = bytearray(png)
+        for i in r2.integers(0, len(png), 5):
+            noisy[i] = int(r2.integers(0, 256))
+        check(bytes(noisy))
+
+
+def test_png_through_codec_and_resizer_seams():
+    from reindexer_spark.codecs import encode_png
+
+    rgb = bytes((200, 40, 40)) * (16 * 16)
+    png = encode_png(16, 16, rgb)
+    d = PurePythonCodec().decode(png)
+    assert (d["width"], d["height"], d["n_channels"]) == (16, 16, 3)
+    mr, mg, mb = d["features"][:3]
+    assert mr > 0.7 and mg < 0.2 and mb < 0.2  # lossless: exact channels
+    t = PurePythonResizer().resize(png, 8)
+    assert (t["thumb_w"], t["thumb_h"]) == (8, 8)
+    assert decode_bmp(t["thumbnail"])[0] == 8
+
+
+def test_library_codec_pillow_fallback_routing(monkeypatch):
+    """A sniffed IMAGE the stdlib decoder rejects (here: interlaced
+    PNG) must fall through to Pillow rather than quarantining outright
+    (round-5 ADVICE); audio/video rejections must NOT reach Pillow."""
+    import struct
+    import sys
+    import types
+    import zlib
+
+    from reindexer_spark.codecs import _PNG_SIG, _png_chunk, encode_wav
+    from reindexer_spark.multimodal import LibraryCodec, LibraryResizer
+
+    interlaced = (
+        _PNG_SIG
+        + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+        )
+        + _png_chunk(b"IDAT", zlib.compress(bytes(14)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+    # without Pillow: quarantines with the Pillow-absent reason,
+    # proving the fallback path was attempted
+    monkeypatch.setitem(sys.modules, "PIL", None)
+    with pytest.raises(MediaFormatError, match="Pillow"):
+        LibraryCodec().decode(interlaced)
+    with pytest.raises(MediaFormatError, match="Pillow"):
+        LibraryResizer().resize(interlaced, 8)
+
+    # with a stub Pillow: the fallback decodes for real
+    class _FakeImg:
+        width, height = 2, 2
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def tobytes(self):
+            return bytes([255, 0, 0] * 4)
+
+    fake_pil = types.ModuleType("PIL")
+    fake_image = types.ModuleType("PIL.Image")
+    fake_image.open = lambda fh: _FakeImg()
+    fake_pil.Image = fake_image
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image)
+    d = LibraryCodec().decode(interlaced)
+    assert (d["width"], d["height"]) == (2, 2)
+    assert d["features"][0] == 1.0  # solid red from the stub
+    t = LibraryResizer().resize(interlaced, 8)
+    assert (t["thumb_w"], t["thumb_h"]) == (2, 2)
+
+    # a WAV the stdlib rejects (stereo) stays quarantined with the
+    # stdlib reason — Pillow is never consulted for audio/video
+    stereo = bytearray(encode_wav([0] * 64, 8000))
+    i = bytes(stereo).index(b"fmt ")
+    stereo[i + 10] = 2  # nChannels = 2
+    with pytest.raises(MediaFormatError, match="mono"):
+        LibraryCodec().decode(bytes(stereo))
