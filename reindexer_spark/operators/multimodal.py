@@ -310,8 +310,15 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-AHASH_BANDS = 4  # 64-bit hash split into 4x16-bit bands for LSH
+AHASH_BANDS = 8  # 64-bit hash split into 8x8-bit bands for LSH
+AHASH_BAND_BITS = 64 // AHASH_BANDS
 AHASH_HAMMING_MAX = 6
+# 8 bands of 8 bits: pigeonhole guarantees a shared band for every pair
+# at hamming <= AHASH_BANDS - 1 = 7, so the <= 6 filter below can never
+# lose a pair to banding — the filter's contract is now a guarantee,
+# not best-effort (round-5 VERDICT item #2; 4x16 bands only guaranteed
+# hamming <= 3).
+assert AHASH_HAMMING_MAX < AHASH_BANDS
 
 
 @query("multimodal_phash_dedup")  # Python decode output → rows-only check
@@ -328,12 +335,15 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape mirrors SimHash text dedup exactly: the signature is 8
     bytes per image regardless of resolution (the ONLY full-data pass
-    is the decode), candidates come from equality on one of 4 16-bit
-    hash bands — pigeonhole guarantees a shared band only for pairs at
-    hamming ≤ 3; hamming 4-6 pairs are best-effort recall (they are
-    found unless all differing bits land in distinct bands), and
-    identical images collide on all 4 — and the exact hamming check via
-    bit_count(xor) runs on candidates only.  Decode is Arrow-batched
+    is the decode), candidates come from equality on one of 8 8-bit
+    hash bands — pigeonhole guarantees a shared band for every pair at
+    hamming ≤ 7, so the ≤ 6 filter below NEVER loses a pair to banding
+    (recall 1.0 by construction over its own contract) — and the exact
+    hamming check via bit_count(xor) runs on candidates only.  The
+    price of the guarantee is more candidates per band (an 8-bit band
+    has 256 buckets vs 65536), which is the right trade: candidates
+    are verified by a cheap xor, while a missed pair is unrecoverable.
+    Decode is Arrow-batched
     mapInPandas; the band join shuffles 8-byte signatures, never pixels.
     The banding+hamming half of this pipeline is value-gated by
     ``multimodal_phash_pairs`` below; only the pixel-decode leg is
@@ -432,11 +442,11 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reindexer_spark.cache import track
 
     sigs = track(sigs)
-    # band signatures: 4x16 bits via shiftrightunsigned + mask
+    # band signatures: 8x8 bits via shiftrightunsigned + mask
     def band_col(i: int):
         return (
-            F.shiftrightunsigned(F.col("ahash"), 16 * i)
-            .bitwiseAND(F.lit(0xFFFF))
+            F.shiftrightunsigned(F.col("ahash"), AHASH_BAND_BITS * i)
+            .bitwiseAND(F.lit((1 << AHASH_BAND_BITS) - 1))
             .alias(f"b{i}")
         )
 
@@ -471,12 +481,46 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # derived from md5(text) — deterministic and identical on both engines —
 # and then flow through the SAME banding + bit_count-hamming pipeline as
 # the production lane, so a wrong band split or hamming expression
-# cannot ship silently.  Near-dup copies are injected by flipping <= 3
+# cannot ship silently.  Near-dup copies are injected by flipping <= 6
 # md5-chosen bits (media_id offset 1e6), mirroring the production
-# fixture's perturbed-copy lane; 3 bits keeps them inside the banding
-# pigeonhole guarantee, so the gate checks recall as well as precision.
+# fixture's perturbed-copy lane; 6 positions (which may collide and
+# XOR-cancel, spreading actual hamming across 1..6) cover the FULL
+# <= 6 contract range, and the 8x8-bit banding pigeonhole guarantees a
+# shared band for every such pair — the oracle match verifies recall
+# across the whole contract, not just precision of the hamming filter.
 PHASH_PAIRS_DOCS = 200
 PHASH_PAIRS_COPY_MOD = 15
+_PHASH_FLIP_POS = ["p1", "p2", "p3", "p4", "p5", "p6"]
+
+
+def _xor_fold(terms: list[str]) -> str:
+    """Balanced xor(...) nesting of SQL terms (DuckDB xor is 2-ary)."""
+    while len(terms) > 1:
+        terms = [
+            f"xor({terms[i]}, {terms[i + 1]})"
+            if i + 1 < len(terms)
+            else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+_PHASH_P_COLS_SQL = ",\n             ".join(
+    f"('0x' || substr(md5(text), {17 + 2 * i}, 2))::BIGINT % 64 AS p{i + 1}"
+    for i in range(len(_PHASH_FLIP_POS))
+)
+_PHASH_LO_MASK_SQL = _xor_fold(
+    [
+        f"CASE WHEN {p} < 32 THEN (1::BIGINT << {p}) ELSE 0 END"
+        for p in _PHASH_FLIP_POS
+    ]
+)
+_PHASH_HI_MASK_SQL = _xor_fold(
+    [
+        f"CASE WHEN {p} >= 32 THEN (1::BIGINT << ({p} - 32)) ELSE 0 END"
+        for p in _PHASH_FLIP_POS
+    ]
+)
 
 
 @query(
@@ -486,23 +530,13 @@ PHASH_PAIRS_COPY_MOD = 15
       SELECT doc_id AS media_id,
              ('0x' || substr(md5(text), 1, 8))::BIGINT AS lo,
              ('0x' || substr(md5(text), 9, 8))::BIGINT AS hi,
-             ('0x' || substr(md5(text), 17, 2))::BIGINT % 64 AS p1,
-             ('0x' || substr(md5(text), 19, 2))::BIGINT % 64 AS p2,
-             ('0x' || substr(md5(text), 21, 2))::BIGINT % 64 AS p3
+             {_PHASH_P_COLS_SQL}
       FROM documents WHERE doc_id < {PHASH_PAIRS_DOCS}
     ),
     copies AS (
       SELECT media_id + 1000000 AS media_id,
-             xor(lo, xor(
-               CASE WHEN p1 < 32 THEN (1::BIGINT << p1) ELSE 0 END,
-               xor(CASE WHEN p2 < 32 THEN (1::BIGINT << p2) ELSE 0 END,
-                   CASE WHEN p3 < 32 THEN (1::BIGINT << p3) ELSE 0 END)))
-               AS lo,
-             xor(hi, xor(
-               CASE WHEN p1 >= 32 THEN (1::BIGINT << (p1 - 32)) ELSE 0 END,
-               xor(CASE WHEN p2 >= 32 THEN (1::BIGINT << (p2 - 32)) ELSE 0 END,
-                   CASE WHEN p3 >= 32 THEN (1::BIGINT << (p3 - 32)) ELSE 0 END)))
-               AS hi
+             xor(lo, {_PHASH_LO_MASK_SQL}) AS lo,
+             xor(hi, {_PHASH_HI_MASK_SQL}) AS hi
       FROM base WHERE media_id % {PHASH_PAIRS_COPY_MOD} = 0
     ),
     sigs AS (
@@ -511,11 +545,9 @@ PHASH_PAIRS_COPY_MOD = 15
     ),
     chunks AS (
       SELECT media_id, lo, hi, c AS chunk_id,
-             CASE c WHEN 0 THEN lo & 65535
-                    WHEN 1 THEN (lo >> 16) & 65535
-                    WHEN 2 THEN hi & 65535
-                    ELSE (hi >> 16) & 65535 END AS chunk_val
-      FROM sigs CROSS JOIN range(4) r(c)
+             CASE WHEN c < 4 THEN (lo >> (8 * c)) & 255
+                  ELSE (hi >> (8 * (c - 4))) & 255 END AS chunk_val
+      FROM sigs CROSS JOIN range(8) r(c)
     ),
     cand AS (
       SELECT DISTINCT x.media_id AS m1, y.media_id AS m2,
@@ -536,7 +568,7 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banding + hamming verify over deterministic 64-bit signatures —
     the ORACLE-CHECKABLE half of multimodal_phash_dedup.  Signature
     extraction from pixels is necessarily Python (rows-only); everything
-    downstream of the signature relation — the 4x16-bit band split, the
+    downstream of the signature relation — the 8x8-bit band split, the
     band-equality candidate join, dedup of candidates, and the exact
     bit_count(xor) hamming filter — is pure column algebra, and this
     query runs that exact pipeline over md5-derived signatures both
@@ -544,11 +576,13 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves (same convention as dedup_simhash_md5) so hex parsing is
     portable.
 
-    The injected near-dup copies flip at most 3 bits, inside the
-    pigeonhole band guarantee (4 bands of 16 bits force a shared band
-    for hamming <= 3), so every copy MUST surface as a candidate — the
-    oracle match therefore verifies recall of the banding, not just
-    precision of the hamming filter."""
+    The injected near-dup copies flip up to 6 md5-chosen bits
+    (colliding positions XOR-cancel, so actual hamming spreads over
+    1..6 across the fixture set), covering the ENTIRE <= 6 filter
+    contract; 8 bands of 8 bits force a shared band for any hamming
+    <= 7, so every copy MUST surface as a candidate — the oracle match
+    therefore verifies recall of the banding across the full contract
+    range, not just precision of the hamming filter."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < PHASH_PAIRS_DOCS
     )
@@ -559,15 +593,15 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         F.conv(F.substring("dg", 1, 8), 16, 10).cast("bigint").alias("lo"),
         F.conv(F.substring("dg", 9, 8), 16, 10).cast("bigint").alias("hi"),
-        (F.conv(F.substring("dg", 17, 2), 16, 10).cast("bigint") % 64).alias(
-            "p1"
-        ),
-        (F.conv(F.substring("dg", 19, 2), 16, 10).cast("bigint") % 64).alias(
-            "p2"
-        ),
-        (F.conv(F.substring("dg", 21, 2), 16, 10).cast("bigint") % 64).alias(
-            "p3"
-        ),
+        *[
+            (
+                F.conv(F.substring("dg", 17 + 2 * i, 2), 16, 10).cast(
+                    "bigint"
+                )
+                % 64
+            ).alias(f"p{i + 1}")
+            for i in range(len(_PHASH_FLIP_POS))
+        ],
     )
     zero = F.lit(0).cast("long")
 
@@ -575,7 +609,7 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shiftleft's bit count must be an expression here (python
         # F.shiftleft only takes int literals), so go through F.expr.
         mask = zero
-        for p in ("p1", "p2", "p3"):
+        for p in _PHASH_FLIP_POS:
             if low_half:
                 bit = F.when(
                     F.col(p) < 32,
@@ -603,10 +637,14 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hi",
         F.posexplode(
             F.array(
-                F.col("lo").bitwiseAND(F.lit(0xFFFF)),
-                F.shiftright("lo", 16).bitwiseAND(F.lit(0xFFFF)),
-                F.col("hi").bitwiseAND(F.lit(0xFFFF)),
-                F.shiftright("hi", 16).bitwiseAND(F.lit(0xFFFF)),
+                *[
+                    F.shiftright("lo", 8 * i).bitwiseAND(F.lit(0xFF))
+                    for i in range(4)
+                ],
+                *[
+                    F.shiftright("hi", 8 * i).bitwiseAND(F.lit(0xFF))
+                    for i in range(4)
+                ],
             )
         ).alias("chunk_id", "chunk_val"),
     )
