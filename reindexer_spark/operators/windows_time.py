@@ -646,7 +646,11 @@ def stream_rate_limit_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     eviction: quota state is one long forever, rate-limit state must
     forget or die.  Emitted rows equal the batch time-range-frame
     query's rows exactly (timestamp peers counted per RANGE frame
-    semantics), which is what the shared oracle checks."""
+    semantics), which is what the shared oracle checks.  The operator
+    additionally flags out-of-order events (``late = true`` quarantine
+    rows — see stateful.py); the sorted fixture replay produces none,
+    and the projection below excludes the flag column so the oracle
+    contract is unchanged."""
     from reindexer_spark.streaming import run_stream_to_memory, stream_events
     from reindexer_spark.streaming.stateful import rate_limit_alerts
 
@@ -654,7 +658,10 @@ def stream_rate_limit_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     alerts = rate_limit_alerts(
         events, window_us=RATE_WINDOW_US, limit=RATE_LIMIT
     )
-    return run_stream_to_memory(alerts, output_mode="append")
+    out = run_stream_to_memory(alerts, output_mode="append")
+    return out.filter(~F.col("late")).select(
+        "user_id", "event_id", "ts_s", "n_window"
+    )
 
 
 # Left-outer stream-stream join: the watermark-frontier margin.  Spark

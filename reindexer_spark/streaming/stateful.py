@@ -138,7 +138,10 @@ def quota_alerts_cents(
     )
 
 
-RATE_SCHEMA = "user_id bigint, event_id bigint, ts_s string, n_window bigint"
+RATE_SCHEMA = (
+    "user_id bigint, event_id bigint, ts_s string, n_window bigint, "
+    "late boolean"
+)
 
 
 def rate_limit_alerts(
@@ -161,16 +164,20 @@ def rate_limit_alerts(
     time-range-frame window query row for row, which is what lets the
     DuckDB oracle value-gate a custom stateful streaming operator.
 
-    PRECONDITION: micro-batches must arrive in non-decreasing event-time
-    order per user (true here — the file source replays a single sorted
-    fixture, and the live harness pins batch boundaries).  Eviction
-    keeps only timestamps >= (batch max ts - window), so a batch whose
-    events are older than that cutoff would be counted against
-    already-evicted state and undercount versus the batch RANGE-frame
-    oracle.  Handling genuinely late data needs a watermark-style
-    high-watermark in state with explicit drop/flag of late rows —
-    deliberately out of scope for this operator (the watermarked window
-    family in windows_time.py covers late data)."""
+    LATE DATA: the state carries a per-user high-watermark (the max
+    event time of all prior batches).  An event older than that
+    watermark cannot be counted exactly — peers inside its trailing
+    frame may already be evicted (exactly when its ts precedes the
+    watermark, since eviction keeps [hw - window, hw]) — so instead of
+    silently undercounting it, the operator EMITS it with
+    ``late = true`` and a null ``n_window``: an explicit quarantine
+    row, the A9 error-channel convention applied to streaming.  Late
+    events that still fall inside the kept window DO enter state, so
+    later on-time events count them as frame peers (matching the batch
+    RANGE-frame oracle, which sees all rows); on-time rows emit with
+    ``late = false`` and the exact count.  This mirrors the watermark
+    semantics of the windowed family in windows_time.py, with flag
+    instead of drop."""
 
     def fn(
         key: tuple,
@@ -179,17 +186,20 @@ def rate_limit_alerts(
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        (prior,) = state.get if state.exists else ([],)
+        cols = ["user_id", "event_id", "ts_s", "n_window", "late"]
+        # hw sentinel = "no events seen yet" (below any real epoch-us)
+        prior, hw = state.get if state.exists else ([], -(1 << 62))
         prior = list(prior)
-        out = pd.DataFrame(
-            columns=["user_id", "event_id", "ts_s", "n_window"]
-        )
+        out = pd.DataFrame(columns=cols)
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
             pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             new_us = (
                 pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
             )
+            # late = strictly before the prior-batch high-watermark:
+            # exactly the rows whose frame start may predate eviction
+            late = new_us < hw
             all_us = np.sort(
                 np.concatenate([np.asarray(prior, dtype=np.int64), new_us])
             )
@@ -200,19 +210,24 @@ def rate_limit_alerts(
             lo = np.searchsorted(all_us, new_us - window_us, side="left")
             hi = np.searchsorted(all_us, new_us, side="right")
             n_window = hi - lo
-            mask = n_window >= limit
-            if mask.any():
+            mask = (n_window >= limit) & ~late
+            emit = mask | late
+            if emit.any():
                 ts_s = (
                     pdf["ts"]
                     .dt.strftime("%Y-%m-%d %H:%M:%S")
-                    .to_numpy()[mask]
+                    .to_numpy()[emit]
                 )
                 out = pd.DataFrame(
                     {
                         "user_id": key[0],
-                        "event_id": pdf["event_id"].to_numpy()[mask],
+                        "event_id": pdf["event_id"].to_numpy()[emit],
                         "ts_s": ts_s,
-                        "n_window": n_window[mask],
+                        "n_window": [
+                            int(n) if ok else None
+                            for n, ok in zip(n_window[emit], mask[emit])
+                        ],
+                        "late": late[emit],
                     }
                 )
             # evict state strictly older than the window behind the
@@ -221,13 +236,14 @@ def rate_limit_alerts(
             cutoff = int(all_us[-1]) - window_us
             keep = all_us[all_us >= cutoff]
             prior = [int(x) for x in keep]
-        state.update((prior,))
+            hw = max(int(new_us.max()), hw)
+        state.update((prior, hw))
         yield out
 
     return events.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=RATE_SCHEMA,
-        stateStructType="stamps array<bigint>",
+        stateStructType="stamps array<bigint>, hw bigint",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -299,3 +299,57 @@ def test_stateful_rate_limit_state_evicts_old_batches(spark, tmp_path):
     # batch 0: second event reaches 2-in-window → alert; batch 1: state
     # evicted, count 1 → silent
     assert [(r.event_id, r.n_window) for r in got] == [(2, 2)]
+
+
+def test_stateful_rate_limit_flags_late_batch(spark, tmp_path):
+    """An out-of-order micro-batch (event time behind the per-user
+    high-watermark) must be FLAGGED late with a null count — never
+    silently undercounted against evicted state — while later on-time
+    events still count the late event as a frame peer."""
+    from reindexer_spark.streaming import run_stream_to_memory
+    from reindexer_spark.streaming.stateful import rate_limit_alerts
+
+    root = _mk_files(
+        spark,
+        tmp_path,
+        [
+            [(1, 0, 1, "click", 1.0), (2, 10, 1, "click", 1.0)],
+            [(3, 5, 1, "click", 1.0)],   # LATE: hw is minute 10
+            [(4, 12, 1, "click", 1.0)],  # on-time; peers = all 4
+        ],
+    )
+    alerts = rate_limit_alerts(
+        _read_stream(spark, root),
+        window_us=3_600_000_000,  # 1h window covers every event
+        limit=4,
+    )
+    got = run_stream_to_memory(alerts, output_mode="append").collect()
+    flagged = [(r.event_id, r.n_window, r.late) for r in got]
+    # batch 1: event 3 flagged late, count withheld; batch 2: event 4
+    # reaches the limit of 4 BECAUSE the late event entered state
+    assert flagged == [(3, None, True), (4, 4, False)]
+
+
+def test_stateful_rate_limit_on_time_rows_never_flagged(spark, tmp_path):
+    """Monotone batches never produce late rows (hw semantics are
+    strict '<', so timestamp ties with the watermark stay on-time)."""
+    from reindexer_spark.streaming import run_stream_to_memory
+    from reindexer_spark.streaming.stateful import rate_limit_alerts
+
+    root = _mk_files(
+        spark,
+        tmp_path,
+        [
+            [(1, 0, 1, "click", 1.0)],
+            [(2, 0, 1, "click", 1.0)],  # ties the watermark: on-time
+            [(3, 1, 1, "click", 1.0)],
+        ],
+    )
+    alerts = rate_limit_alerts(
+        _read_stream(spark, root), window_us=3_600_000_000, limit=2
+    )
+    got = run_stream_to_memory(alerts, output_mode="append").collect()
+    assert [(r.event_id, r.n_window, r.late) for r in got] == [
+        (2, 2, False),
+        (3, 3, False),
+    ]
