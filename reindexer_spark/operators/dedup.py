@@ -330,19 +330,18 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # approximate → rows-only check (no SQL oracle)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit sketch per doc (sign of per-bit sums of
-    token hashes), candidates = equal 16-bit chunk, verified by exact
-    hamming distance ≤ 6.  Pigeonhole guarantees a shared chunk only at
-    hamming ≤ 3; hamming 4-6 pairs are best-effort recall.  The
-    value-exact md5 twin below (dedup_simhash_md5) gates this shared
-    pipeline shape against the DuckDB oracle.
+SIMHASH_HAMMING = 6
+SIMHASH_BANDS = 8  # 8x8-bit bands: shared band GUARANTEED at hamming <= 7
+SIMHASH_BAND_BITS = 64 // SIMHASH_BANDS
 
-    The sketch is pure column algebra: explode tokens → xxhash64 → per-bit
-    ±1 contributions → sum → sign bits packed with bit_or of shifted bits.
-    """
-    d = load_table(spark, sf_dir, "documents")
+
+def simhash_sketches(d: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, simhash): 64-bit sign-of-vote sketch
+    over xxhash64 token hashes, pure column algebra (explode tokens →
+    per-bit ±1 contributions → sum → sign bits packed by shifted adds).
+    Exposed so the recall-bound test (tests/test_approx_bounds.py) can
+    brute-force the exact hamming relation over the SAME sketches the
+    production query bands."""
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
@@ -358,7 +357,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(64)
         ]
     )
-    fingerprint = votes.select(
+    return votes.select(
         "doc_id",
         sum(
             [
@@ -370,15 +369,41 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
         ).alias("simhash"),
     )
+
+
+@query("dedup_simhash")  # approximate → rows-only check (no SQL oracle)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit sketch per doc (sign of per-bit sums of
+    token hashes), candidates = equal 8-bit band, verified by exact
+    hamming distance ≤ 6.  With 8 bands of 8 bits, pigeonhole
+    guarantees a shared band for every pair at hamming ≤ 7, so the ≤ 6
+    filter never loses a pair to banding — recall 1.0 by construction
+    (asserted against the exact hamming relation in
+    tests/test_approx_bounds.py).  The value-exact md5 twin below
+    (dedup_simhash_md5) gates this shared pipeline shape against the
+    DuckDB oracle.
+
+    Band width is the recall/cost dial: b-bit bands spread N sketches
+    over 2^b buckets, so expected candidate pairs grow as
+    bands · N²/2^b.  8-bit bands buy the hamming ≤ 7 guarantee at the
+    price of 256× more candidates than 16-bit bands; candidates are
+    verified by one xor+bit_count each (cheap), while a missed
+    near-duplicate is unrecoverable — the right trade until N makes
+    the candidate join itself the bottleneck, at which point widen the
+    bands and either tighten the filter to bands-1 or accept
+    best-effort recall above it (document whichever you choose)."""
+    d = load_table(spark, sf_dir, "documents")
+    fingerprint = simhash_sketches(d)
     chunks = fingerprint.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * c)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    for c in range(4)
+                    F.shiftrightunsigned(
+                        F.col("simhash"), SIMHASH_BAND_BITS * c
+                    ).bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                    for c in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("chunk_id", "chunk_val"),
@@ -401,7 +426,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
     return cand.select("d1", "d2", hamming.alias("hamming")).filter(
-        F.col("hamming") <= 6
+        F.col("hamming") <= SIMHASH_HAMMING
     )
 
 
@@ -476,7 +501,7 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # md5-twin SimHash: same pipeline as dedup_simhash but every bit is
 # derived from md5(token), the one hash both engines share, so the
-# DuckDB oracle replicates the 64-bit sketches, the 4x16-bit band split,
+# DuckDB oracle replicates the 64-bit sketches, the 8x8-bit band split,
 # and the exact candidate set — upgrading SimHash candidate generation
 # from rows-only to value-exact (the dedup_minhash_md5 pattern).  The
 # 64-bit sketch is carried as two NON-NEGATIVE 32-bit halves (lo/hi)
@@ -520,12 +545,10 @@ SIMHASH_MD5_HAMMING = 6
     ),
     chunks AS (
       SELECT doc_id, c AS chunk_id,
-             CASE c WHEN 0 THEN sh_lo & 65535
-                    WHEN 1 THEN (sh_lo >> 16) & 65535
-                    WHEN 2 THEN sh_hi & 65535
-                    ELSE (sh_hi >> 16) & 65535 END AS chunk_val,
+             CASE WHEN c < 4 THEN (sh_lo >> (8 * c)) & 255
+                  ELSE (sh_hi >> (8 * (c - 4))) & 255 END AS chunk_val,
              sh_lo, sh_hi
-      FROM fp CROSS JOIN range(4) r(c)
+      FROM fp CROSS JOIN range(8) r(c)
     ),
     cand AS (
       SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
@@ -546,17 +569,18 @@ SIMHASH_MD5_HAMMING = 6
 def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup with md5 token hashes — the ORACLE-CHECKABLE twin
     of dedup_simhash.  Same pipeline (per-bit votes → sign sketch →
-    16-bit chunk banding → exact hamming verify <= 6); the only change is
+    8x8-bit banding → exact hamming verify <= 6); the only change is
     the token hash (md5 halves instead of xxhash64) and carrying the
     sketch as two 32-bit halves so both engines compute identical
     non-negative integers.  dedup_simhash (xxhash64, packed 64-bit long)
     remains the production variant — this twin exists so a wrong band
     split or vote/sign bug in the shared shape cannot ship silently.
 
-    Banding guarantee: 4 chunks of 16 bits guarantee a shared chunk only
-    for hamming <= 3 (pigeonhole); pairs at hamming 4-6 are best-effort
-    recall.  That contract note applies to the production twin too.
-    """
+    Banding guarantee: 8 bands of 8 bits force a shared band for every
+    pair at hamming <= 7 (pigeonhole), so the <= 6 filter's recall is
+    1.0 by construction on both lanes; the production lane's recall is
+    additionally asserted against the exact hamming relation in
+    tests/test_approx_bounds.py."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
@@ -606,10 +630,14 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sh_hi",
         F.posexplode(
             F.array(
-                F.col("sh_lo").bitwiseAND(F.lit(0xFFFF)),
-                F.shiftright("sh_lo", 16).bitwiseAND(F.lit(0xFFFF)),
-                F.col("sh_hi").bitwiseAND(F.lit(0xFFFF)),
-                F.shiftright("sh_hi", 16).bitwiseAND(F.lit(0xFFFF)),
+                *[
+                    F.shiftright("sh_lo", 8 * i).bitwiseAND(F.lit(0xFF))
+                    for i in range(4)
+                ],
+                *[
+                    F.shiftright("sh_hi", 8 * i).bitwiseAND(F.lit(0xFF))
+                    for i in range(4)
+                ],
             )
         ).alias("chunk_id", "chunk_val"),
     )

@@ -108,3 +108,49 @@ def test_multiband_lsh_beats_single_band_recall(spark, sf_dir):
     r_single = len(exact & single) / len(exact)
     assert r_multi >= 0.2, f"multiband recall {r_multi:.3f}"
     assert r_multi > r_single, (r_multi, r_single)
+
+
+def test_simhash_production_recall_is_total(spark, sf_dir):
+    """The production (xxhash64) SimHash lane must return EXACTLY the
+    hamming <= 6 relation over its own sketches: 8x8-bit banding
+    guarantees a shared band at hamming <= 7 (pigeonhole), and the
+    filter is an exact xor+bit_count — so this is set equality, not a
+    tolerance band.  The exact relation is brute-forced here over the
+    collected sketch column (test scale), independent of the banding
+    path under test."""
+    import numpy as np
+
+    from reindexer_spark.catalog import load_table
+    from reindexer_spark.operators.dedup import (
+        SIMHASH_HAMMING,
+        simhash_sketches,
+    )
+
+    rows = simhash_sketches(
+        load_table(spark, sf_dir, "documents")
+    ).collect()
+    ids = np.array([r.doc_id for r in rows], dtype=np.int64)
+    sigs = np.array([r.simhash for r in rows], dtype=np.int64).astype(
+        np.uint64
+    )
+    # brute-force all-pairs hamming via xor popcount (vectorized)
+    x = sigs[:, None] ^ sigs[None, :]
+    ham = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        ham += (x & 1).astype(np.int64)
+        x >>= np.uint64(1)
+    i, j = np.where(
+        np.triu(ham <= SIMHASH_HAMMING, k=1)
+    )
+    lo = np.minimum(ids[i], ids[j])
+    hi = np.maximum(ids[i], ids[j])
+    exact = set(zip(lo.tolist(), hi.tolist()))
+    got = {
+        (r.d1, r.d2)
+        for r in get_query("dedup_simhash").fn(spark, sf_dir).collect()
+    }
+    assert got == exact, (
+        f"banding lost {len(exact - got)} pairs / invented "
+        f"{len(got - exact)} over {len(exact)} exact pairs"
+    )
+    assert exact, "fixture produced no near-duplicate pairs to check"
