@@ -499,6 +499,141 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.desc("n_docs"), "span").limit(SPAN_TOP)
 
 
+# Variable-length shared runs: chain overlapping fixed-width spans into
+# MAXIMAL shared substrings — the actual Lee et al. exact-substring
+# signal (dedup_shared_spans reports fixed-width fragments; a 50-token
+# shared passage is one row here, 43 rows there).  DF cap bounds the
+# pairwise match relation the way the Jaccard inverted index does.
+RUN_DF_CAP = 20
+RUN_TOP = 100
+
+
+@query(
+    "dedup_shared_runs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sp AS (
+      SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos,
+             array_to_string(list_slice(t, pos, pos + {SPAN_K - 1}), ' ')
+               AS span
+      FROM t, UNNEST(range(1, len(t) - {SPAN_K - 2})) AS u(pos)
+    ),
+    df AS (
+      SELECT span FROM sp GROUP BY span
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {RUN_DF_CAP}
+    ),
+    m AS (
+      SELECT x.doc_id AS d1, x.pos AS p1, y.doc_id AS d2, y.pos AS p2
+      FROM sp x JOIN df USING (span) JOIN sp y USING (span)
+      WHERE x.doc_id < y.doc_id
+    ),
+    runs AS (
+      SELECT d1, d2, p1 - p2 AS diag, p1, p2,
+             p1 - ROW_NUMBER() OVER (
+               PARTITION BY d1, d2, p1 - p2 ORDER BY p1
+             ) AS grp
+      FROM m
+    ),
+    agg AS (
+      SELECT d1, d2, MIN(p1) AS start1, MIN(p2) AS start2,
+             COUNT(*) AS run_spans,
+             COUNT(*) + {SPAN_K - 1} AS run_tokens
+      FROM runs GROUP BY d1, d2, diag, grp
+      HAVING COUNT(*) >= 2
+    )
+    SELECT d1, d2, start1, start2, run_spans, run_tokens
+    FROM agg
+    ORDER BY run_tokens DESC, d1, d2, start1, start2
+    LIMIT {RUN_TOP}
+    """,
+)
+def dedup_shared_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal shared token runs between document pairs: positional
+    8-token spans matched across documents are chained along each
+    pair's alignment diagonal (p1 - p2 constant) into maximal
+    consecutive runs via the islands trick (offset minus rank is
+    constant within a run), so a shared 50-token passage reports once
+    with run_tokens = 50 instead of as 43 fragments.  run_tokens =
+    run_spans + 7 because adjacent spans overlap by 7 tokens.
+
+    Scale shape: the pairwise match relation is the only quadratic
+    risk, and it is bounded the same way the Jaccard inverted index
+    is — spans with document frequency > {RUN_DF_CAP} are dropped
+    before the self-join (mega-boilerplate is already surfaced
+    per-span by dedup_shared_spans; pairwise ALIGNMENT of it is not
+    actionable), so per-span fan-out is <= DF_CAP². Downstream of the
+    match, everything is one window (hash-partitioned by pair+diagonal)
+    and one aggregation; the final top-K is TakeOrderedAndProject."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("t", F.split("text", " "))
+        .filter(F.size("t") >= SPAN_K)
+    )
+    # positional spans (no array_distinct — offsets matter here)
+    idx = F.sequence(F.lit(1), F.size("t") - (SPAN_K - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("t"), i + j) for j in range(SPAN_K)]
+        ),
+    )
+    sp = d.select(
+        "doc_id", F.posexplode(grams).alias("pos", "span")
+    ).withColumn("pos", F.col("pos").cast("bigint"))
+    eligible = (
+        sp.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= RUN_DF_CAP))
+        .select("span")
+    )
+    spe = sp.join(eligible, "span")
+    m = (
+        spe.alias("x")
+        .join(
+            spe.alias("y"),
+            (F.col("x.span") == F.col("y.span"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("d1"),
+            F.col("x.pos").alias("p1"),
+            F.col("y.doc_id").alias("d2"),
+            F.col("y.pos").alias("p2"),
+        )
+    )
+    from pyspark.sql import Window
+
+    runs = m.withColumn("diag", F.col("p1") - F.col("p2")).withColumn(
+        "grp",
+        F.col("p1")
+        - F.row_number().over(
+            Window.partitionBy("d1", "d2", "diag").orderBy("p1")
+        ),
+    )
+    agg = (
+        runs.groupBy("d1", "d2", "diag", "grp")
+        .agg(
+            F.min("p1").alias("start1"),
+            F.min("p2").alias("start2"),
+            F.count("*").alias("run_spans"),
+        )
+        .filter(F.col("run_spans") >= 2)
+        .select(
+            "d1",
+            "d2",
+            "start1",
+            "start2",
+            "run_spans",
+            (F.col("run_spans") + (SPAN_K - 1)).alias("run_tokens"),
+        )
+    )
+    return agg.orderBy(
+        F.desc("run_tokens"), "d1", "d2", "start1", "start2"
+    ).limit(RUN_TOP)
+
+
 # md5-twin SimHash: same pipeline as dedup_simhash but every bit is
 # derived from md5(token), the one hash both engines share, so the
 # DuckDB oracle replicates the 64-bit sketches, the 8x8-bit band split,

@@ -232,3 +232,13 @@ def test_phash_pairs_band_join_not_cartesian(spark, sf_dir):
     plan = plan_of(spark, "multimodal_phash_pairs", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shared_runs_equi_join_and_topk(spark, sf_dir):
+    """The span self-join must be an equi-join on span (never a
+    cartesian), and the final top-K must be TakeOrderedAndProject,
+    not a global sort."""
+    plan = plan_of(spark, "dedup_shared_runs", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
