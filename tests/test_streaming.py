@@ -353,3 +353,92 @@ def test_stateful_rate_limit_on_time_rows_never_flagged(spark, tmp_path):
         (2, 2, False),
         (3, 3, False),
     ]
+
+
+def _run_checkpointed(streaming_df, out_dir: str, ckpt: str) -> None:
+    """Run an append-mode stream into a parquet sink with a durable
+    checkpoint, to completion, then fully stop it — the restartable
+    analogue of run_stream_to_memory."""
+    spark = streaming_df.sparkSession
+    q = (
+        streaming_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+        spark.streams.resetTerminated()
+
+
+def _append_batch(spark, root: str, idx: int, rows) -> None:
+    df = spark.createDataFrame(
+        [
+            (eid, BASE + dt.timedelta(minutes=m), uid, typ, val)
+            for (eid, m, uid, typ, val) in rows
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double",
+    )
+    df.coalesce(1).write.parquet(f"{root}/batch_{idx:03d}.parquet")
+
+
+def test_stateful_checkpoint_recovery_across_restart(spark, tmp_path):
+    """Custom applyInPandasWithState state must survive a full
+    stop/restart against the same checkpointLocation: the post-restart
+    event alerts ONLY if the pre-restart running total was recovered
+    (60 + 50 crosses 100; a fresh state would sit at 50), and the
+    pre-restart file is not reprocessed (exactly one output row)."""
+    from reindexer_spark.streaming.stateful import quota_alerts
+
+    root = _mk_files(spark, tmp_path, [[(1, 0, 1, "c", 60.0)]])
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        _run_checkpointed(
+            quota_alerts(_read_stream(spark, root), threshold=100.0),
+            out_dir,
+            ckpt,
+        )
+
+    run()  # batch 0: total 60, below threshold → no alert
+    _append_batch(spark, root, 1, [(2, 10, 1, "c", 50.0)])
+    run()  # restarted query: recovered total 60 + 50 = 110 → alert
+    got = spark.read.parquet(out_dir).collect()
+    assert [(r.user_id, r.event_id, r.total, r.crossed) for r in got] == [
+        (1, 2, 110.0, 100.0)
+    ]
+
+
+def test_windowed_checkpoint_recovery_across_restart(spark, tmp_path):
+    """Watermarked window state must survive restart: the [0,10) window
+    absorbs two events before the stop, and finalizes (append-mode
+    emission) only after post-restart batches advance the watermark —
+    its count proves the pre-restart state was recovered, since the
+    pre-restart files are never re-read (source offsets checkpointed)."""
+    root = _mk_files(
+        spark, tmp_path, [[(1, 0, 1, "c", 1.0), (2, 5, 1, "c", 1.0)]]
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def agg(df):
+        return (
+            df.withWatermark("ts", "1 second")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+
+    def run():
+        _run_checkpointed(agg(_read_stream(spark, root)), out_dir, ckpt)
+
+    run()  # watermark 4:59 — window [0,10) still open, nothing emitted
+    _append_batch(spark, root, 1, [(3, 30, 1, "c", 1.0)])
+    _append_batch(spark, root, 2, [(4, 31, 1, "c", 1.0)])
+    run()  # watermark passes 10:00 → [0,10) finalizes with BOTH events
+    got = spark.read.parquet(out_dir).collect()
+    assert [(r.ws, r.n) for r in got] == [(BASE, 2)]
