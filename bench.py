@@ -100,6 +100,8 @@ EXTENDED = [
     "stream_stream_full_join_live",
     "events_resample_ffill",
     "dq_numeric_profile",
+    # round 6
+    "dedup_shared_runs",
 ]
 
 
@@ -114,21 +116,34 @@ def main() -> int:
     for t in TABLES:
         load_table(spark, SF_DIR, t).limit(1).count()
 
-    timings: dict[str, float] = {}
-    t_all = time.perf_counter()
-    for name in HEADLINE:
-        q = get_query(name)
+    def run_once(q) -> float:
         t0 = time.perf_counter()
         q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-    total = round(time.perf_counter() - t_all, 3)
+        return time.perf_counter() - t0
 
+    # Median-of-N headline timings (round-5 VERDICT item #6): single-shot
+    # numbers on this VM swing ±12% (an 18.3 s outlier re-timed at 2.1 s
+    # warm), so round-over-round deltas were chasing noise.  The median
+    # absorbs both the first-run codegen cost and one-off GC/cache
+    # spikes; "value" is the SUM OF MEDIANS from this round on (within
+    # noise of the old single-sweep wall total, since per-query timing
+    # gaps are microseconds).
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = get_query(name)
+        runs = sorted(run_once(q) for _ in range(reps))
+        timings[name] = round(runs[len(runs) // 2], 3)
+    total = round(sum(timings.values()), 3)
+
+    # Extended queries stay single-shot (33 queries, several of them
+    # multi-second live streams — tripling them would triple bench wall
+    # time for a ledger that doesn't gate round-over-round).  Re-time
+    # before believing any single extended regression.
     extended: dict[str, float] = {}
     for name in EXTENDED:
         q = get_query(name)
-        t0 = time.perf_counter()
-        q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        extended[name] = round(time.perf_counter() - t0, 3)
+        extended[name] = round(run_once(q), 3)
     extended["reindex_e2e"] = _bench_reindex_e2e(spark)
 
     try:
@@ -139,6 +154,7 @@ def main() -> int:
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
+        "reps": reps,  # headline values are per-query medians of N runs
         "queries": timings,
         "extended_queries": extended,
         "sf": sf,
