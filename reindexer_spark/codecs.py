@@ -574,20 +574,13 @@ def _encode_block(
     return int(zz[0])
 
 
-def encode_jpeg_baseline(
-    width: int,
-    height: int,
-    rgb: bytes,
-    quality: int = 75,
-    restart_interval: int = 0,
-) -> bytes:
-    """Raw RGB triples → baseline JFIF bytes (SOF0, 4:4:4, Annex K
-    huffman tables, IJG quality scaling).  Lossy by nature; pair with
-    :func:`decode_jpeg_baseline` for round-trips.  ``restart_interval``
-    > 0 emits DRI + RSTn markers every that many MCUs (the error-
-    resilience feature real encoders use on large images)."""
-    if len(rgb) != width * height * 3:
-        raise MediaFormatError("rgb byte count does not match dimensions")
+def _forward_blocks(
+    width: int, height: int, rgb: bytes, quality: int
+) -> tuple[list[np.ndarray], np.ndarray, np.ndarray]:
+    """RGB → per-component quantized DCT blocks in zigzag order
+    ((bh, bw, 64) int64 per component) plus the two quant tables.
+    Shared by the baseline and progressive encoders — progressive
+    differs only in how the SAME coefficients are entropy-coded."""
     a = (
         np.frombuffer(rgb, dtype=np.uint8)
         .reshape(height, width, 3)
@@ -600,11 +593,6 @@ def encode_jpeg_baseline(
         0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
     ]
     qy, qc = _quality_tables(quality)
-    dc_l = _canonical_codes(*_HUFF_DC_LUMA)
-    ac_l = _canonical_codes(*_HUFF_AC_LUMA)
-    dc_c = _canonical_codes(*_HUFF_DC_CHROMA)
-    ac_c = _canonical_codes(*_HUFF_AC_CHROMA)
-
     bh = (height + 7) // 8
     bw_ = (width + 7) // 8
     comp_blocks = []
@@ -621,6 +609,56 @@ def encode_jpeg_baseline(
                 q = np.round(coef / qt).astype(np.int64)
                 blocks[by, bx] = q.reshape(64)[_ZIGZAG]
         comp_blocks.append(blocks)
+    return comp_blocks, qy, qc
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _dht(tc: int, th: int, table: tuple) -> bytes:
+    bits, vals = table
+    return _seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals))
+
+
+def _jpeg_headers(
+    sof_marker: int, width: int, height: int, qy: np.ndarray, qc: np.ndarray
+) -> bytearray:
+    """SOI + APP0 + DQT×2 + SOF (4:4:4, 3 components) — the frame
+    envelope shared by both encoders; huffman tables and scans differ."""
+    out = bytearray(b"\xff\xd8")
+    out += _seg(
+        0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    )
+    out += _seg(0xDB, bytes([0]) + bytes(int(x) for x in qy[_ZIGZAG]))
+    out += _seg(0xDB, bytes([1]) + bytes(int(x) for x in qc[_ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    for cid, qtab in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, qtab])  # 1x1 sampling (4:4:4)
+    out += _seg(sof_marker, sof)
+    return out
+
+
+def encode_jpeg_baseline(
+    width: int,
+    height: int,
+    rgb: bytes,
+    quality: int = 75,
+    restart_interval: int = 0,
+) -> bytes:
+    """Raw RGB triples → baseline JFIF bytes (SOF0, 4:4:4, Annex K
+    huffman tables, IJG quality scaling).  Lossy by nature; pair with
+    :func:`decode_jpeg_baseline` for round-trips.  ``restart_interval``
+    > 0 emits DRI + RSTn markers every that many MCUs (the error-
+    resilience feature real encoders use on large images)."""
+    if len(rgb) != width * height * 3:
+        raise MediaFormatError("rgb byte count does not match dimensions")
+    comp_blocks, qy, qc = _forward_blocks(width, height, rgb, quality)
+    dc_l = _canonical_codes(*_HUFF_DC_LUMA)
+    ac_l = _canonical_codes(*_HUFF_AC_LUMA)
+    dc_c = _canonical_codes(*_HUFF_DC_CHROMA)
+    ac_c = _canonical_codes(*_HUFF_AC_CHROMA)
+    bh, bw_ = comp_blocks[0].shape[:2]
 
     writer = _BitWriter()
     preds = [0, 0, 0]
@@ -648,36 +686,230 @@ def encode_jpeg_baseline(
             mcu_count += 1
     writer.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
-
-    def dht(tc: int, th: int, table: tuple) -> bytes:
-        bits, vals = table
-        return seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals))
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(
-        0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
-    )
-    out += seg(0xDB, bytes([0]) + bytes(int(x) for x in qy[_ZIGZAG]))
-    out += seg(0xDB, bytes([1]) + bytes(int(x) for x in qc[_ZIGZAG]))
-    sof = struct.pack(">BHHB", 8, height, width, 3)
-    for cid, qtab in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, qtab])  # 1x1 sampling (4:4:4)
-    out += seg(0xC0, sof)
-    out += dht(0, 0, _HUFF_DC_LUMA)
-    out += dht(1, 0, _HUFF_AC_LUMA)
-    out += dht(0, 1, _HUFF_DC_CHROMA)
-    out += dht(1, 1, _HUFF_AC_CHROMA)
+    out = _jpeg_headers(0xC0, width, height, qy, qc)
+    out += _dht(0, 0, _HUFF_DC_LUMA)
+    out += _dht(1, 0, _HUFF_AC_LUMA)
+    out += _dht(0, 1, _HUFF_DC_CHROMA)
+    out += _dht(1, 1, _HUFF_AC_CHROMA)
     if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([3])
     for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
         sos += bytes([cid, tabs])
     sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
+    out += _seg(0xDA, sos)
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# Progressive AC scans emit EOBn run symbols ((r << 4) | 0 for r > 0)
+# that the Annex K sequential tables have no codes for, so the
+# progressive encoder carries one custom canonical table covering every
+# symbol it can emit — all 176 at code length 9 (a valid prefix code;
+# the all-ones code is never assigned since 176 < 511).  The DECODER
+# honours whatever tables a file declares, so real progressive files
+# with optimized tables decode fine.
+_HUFF_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0],
+    sorted(
+        [(r << 4) for r in range(15)]  # EOB0..EOB14
+        + [0xF0]  # ZRL
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    ),
+)
+
+
+def encode_jpeg_progressive(
+    width: int, height: int, rgb: bytes, quality: int = 75
+) -> bytes:
+    """Raw RGB triples → huffman-progressive JFIF bytes (SOF2, 4:4:4).
+
+    Same forward DCT / quantization as the baseline encoder — only the
+    entropy layer differs — so ``decode(progressive) ==
+    decode(baseline)`` byte-for-byte at equal quality (the round-trip
+    test's invariant).  Scan script exercises the full Annex G
+    surface: interleaved DC first pass at Al=1 + DC refinement, split
+    spectral AC bands for luma (1-5, 6-63), whole-band chroma scans,
+    and one successive-approximation AC refinement per band
+    (Ah=1 → Al=0) including EOB-run folding with buffered correction
+    bits."""
+    if len(rgb) != width * height * 3:
+        raise MediaFormatError("rgb byte count does not match dimensions")
+    comp_blocks, qy, qc = _forward_blocks(width, height, rgb, quality)
+    dc_codes = [
+        _canonical_codes(*_HUFF_DC_LUMA),
+        _canonical_codes(*_HUFF_DC_CHROMA),
+        _canonical_codes(*_HUFF_DC_CHROMA),
+    ]
+    ac_codes = _canonical_codes(*_HUFF_AC_PROG)
+    bh, bw_ = comp_blocks[0].shape[:2]
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int):
+        # comp_ids are 1-based JPEG component ids (1=Y, 2=Cb, 3=Cr)
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            # DC table 0 for luma, 1 for chroma; AC always the shared 0
+            body += bytes([cid, ((0 if cid == 1 else 1) << 4) | 0])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def dc_first(comp_ids: list[int], al: int) -> bytes:
+        w = _BitWriter()
+        preds = [0] * len(comp_ids)
+        for by in range(bh):
+            for bx in range(bw_):
+                for i, ci in enumerate(comp_ids):
+                    v = int(comp_blocks[ci][by, bx][0]) >> al  # arithmetic
+                    s, bits_val = _magnitude(v - preds[i])
+                    code, length = dc_codes[ci][s]
+                    w.put(code, length)
+                    if s:
+                        w.put(bits_val, s)
+                    preds[i] = v
+        w.flush()
+        return bytes(w.out)
+
+    def dc_refine(comp_ids: list[int], al: int) -> bytes:
+        w = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw_):
+                for ci in comp_ids:
+                    w.put((int(comp_blocks[ci][by, bx][0]) >> al) & 1, 1)
+        w.flush()
+        return bytes(w.out)
+
+    def ac_first(ci: int, ss: int, se: int, al: int) -> bytes:
+        w = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, length = ac_codes[r << 4]
+                w.put(code, length)
+                if r:
+                    w.put(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for by in range(bh):
+            for bx in range(bw_):
+                blk = comp_blocks[ci][by, bx]
+                vals = [
+                    (abs(int(blk[k])) >> al)
+                    * (1 if blk[k] > 0 else -1)
+                    for k in range(ss, se + 1)
+                ]
+                nz = [k for k, v in enumerate(vals) if v]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                r = 0
+                for k, v in enumerate(vals):
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        code, length = ac_codes[0xF0]
+                        w.put(code, length)
+                        r -= 16
+                    s, bits_val = _magnitude(v)
+                    code, length = ac_codes[(r << 4) | s]
+                    w.put(code, length)
+                    w.put(bits_val, s)
+                    r = 0
+                if nz[-1] < se - ss:  # trailing zeros fold into an EOB
+                    eobrun += 1
+        flush_eob()
+        w.flush()
+        return bytes(w.out)
+
+    def ac_refine(ci: int, ss: int, se: int, al: int) -> bytes:
+        # T.81 G.1.2.3 encoding side (the libjpeg jcphuff shape).  Two
+        # correction-bit buffers, matching the decoder's read order:
+        # ``be`` holds bits belonging to the pending EOB run (read right
+        # after the EOBn symbol), ``br`` holds the current block's bits
+        # since the last symbol (read after THAT symbol's code+sign); a
+        # block that ends inside an EOB run promotes its br into be.
+        w = _BitWriter()
+        eobrun = 0
+        be: list[int] = []
+
+        def flush_eob():
+            nonlocal eobrun, be
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, length = ac_codes[r << 4]
+                w.put(code, length)
+                if r:
+                    w.put(eobrun - (1 << r), r)
+                eobrun = 0
+                for b in be:
+                    w.put(b, 1)
+                be = []
+
+        for by in range(bh):
+            for bx in range(bw_):
+                blk = comp_blocks[ci][by, bx]
+                absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                newly = [k for k, v in enumerate(absv) if v == 1]
+                eobpos = newly[-1] if newly else -1
+                r = 0
+                br: list[int] = []
+                for k, v in enumerate(absv):
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eobpos:
+                        flush_eob()
+                        code, length = ac_codes[0xF0]
+                        w.put(code, length)
+                        r -= 16
+                        for b in br:
+                            w.put(b, 1)
+                        br = []
+                    if v > 1:  # already significant → correction bit
+                        br.append(v & 1)
+                        continue
+                    flush_eob()
+                    code, length = ac_codes[(r << 4) | 1]
+                    w.put(code, length)
+                    w.put(1 if blk[ss + k] > 0 else 0, 1)
+                    for b in br:
+                        w.put(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    be += br
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        w.flush()
+        return bytes(w.out)
+
+    out = _jpeg_headers(0xC2, width, height, qy, qc)
+    out += _dht(0, 0, _HUFF_DC_LUMA)
+    out += _dht(0, 1, _HUFF_DC_CHROMA)
+    out += _dht(1, 0, _HUFF_AC_PROG)
+    # DC for all components interleaved, then per-component AC bands,
+    # then the refinement passes (successive approximation Al 1 → 0)
+    out += sos_header([1, 2, 3], 0, 0, 0, 1) + dc_first([0, 1, 2], 1)
+    out += sos_header([1, 2, 3], 0, 0, 1, 0) + dc_refine([0, 1, 2], 0)
+    for ci, bands in ((0, [(1, 5), (6, 63)]), (1, [(1, 63)]), (2, [(1, 63)])):
+        for ss, se in bands:
+            out += sos_header([ci + 1], ss, se, 0, 1) + ac_first(
+                ci, ss, se, 1
+            )
+    for ci, bands in ((0, [(1, 5), (6, 63)]), (1, [(1, 63)]), (2, [(1, 63)])):
+        for ss, se in bands:
+            out += sos_header([ci + 1], ss, se, 1, 0) + ac_refine(
+                ci, ss, se, 0
+            )
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -771,15 +1003,19 @@ _JPEG_MAX_PIXELS = 1 << 26  # 67M pixels ≈ a 8192x8192 frame
 
 
 def decode_jpeg_baseline(payload: bytes) -> tuple[int, int, bytes]:
-    """Baseline JFIF bytes → (width, height, raw RGB triples).
+    """JFIF bytes → (width, height, raw RGB triples).
 
-    Supports SOF0 8-bit with 1 or 3 components, sampling factors up to
-    2x2 (4:4:4 / 4:2:2 / 4:2:0), restart markers.  Progressive (SOF2),
-    arithmetic-coded, hierarchical, and 12-bit streams raise
+    Supports SOF0/SOF1 8-bit with 1 or 3 components, sampling factors
+    up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart markers — and
+    huffman-PROGRESSIVE streams (SOF2), dispatched to the Annex G
+    multi-scan decoder (spectral selection + successive approximation).
+    Arithmetic-coded, hierarchical, and 12-bit streams raise
     MediaFormatError with a named reason, and ANY malformed stream —
     arbitrary truncation or corruption, fuzz-tested in
     tests/test_codecs.py — raises MediaFormatError, never a bare
-    parser exception: the quarantine contract."""
+    parser exception: the quarantine contract.  (The name keeps the
+    original baseline-era spelling; it is the single JPEG decode entry
+    point.)"""
     try:
         return _decode_jpeg_impl(payload)
     except MediaFormatError:
@@ -813,8 +1049,12 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, bytes]:
             raise MediaFormatError("JPEG has no scan data")
         length = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
         body = payload[pos + 4 : pos + 2 + length]
-        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
-            raise MediaFormatError("progressive JPEG not supported")
+        if marker == 0xC2:  # SOF2: huffman progressive — own decode path
+            return _decode_jpeg_progressive(payload)
+        if marker in (0xC6, 0xCA, 0xCE):
+            raise MediaFormatError(
+                "differential/arithmetic progressive JPEG not supported"
+            )
         if marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
             raise MediaFormatError("non-baseline JPEG coding not supported")
         if marker == 0xDB:  # DQT (possibly several tables per segment)
@@ -947,8 +1187,17 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, bytes]:
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk + 128.0
             mcu_count += 1
 
+    return _planes_to_rgb(planes, scan_comps, hmax, vmax, width, height)
+
+
+def _planes_to_rgb(
+    planes: list, comps: list, hmax: int, vmax: int, width: int, height: int
+) -> tuple[int, int, bytes]:
+    """Subsampled component planes → (width, height, RGB bytes): upsample
+    to full resolution, crop MCU padding, YCbCr→RGB (or grey replicate).
+    Shared by the baseline and progressive JPEG decoders."""
     full = []
-    for ci, c in enumerate(scan_comps):
+    for ci, c in enumerate(comps):
         p = planes[ci]
         if c["h"] != hmax or c["v"] != vmax:
             p = np.repeat(
@@ -966,6 +1215,373 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, bytes]:
     b = y + 1.772 * cb
     rgb = np.clip(np.round(np.dstack([r, g, b])), 0, 255).astype(np.uint8)
     return width, height, rgb.tobytes()
+
+
+# --------------------------------------------------------------------------
+# Progressive JPEG (SOF2, huffman): ITU T.81 Annex G — spectral
+# selection (each scan carries a zigzag band of coefficients) combined
+# with successive approximation (first scans carry coefficients at
+# reduced precision, refinement scans restore one bit at a time).  The
+# DCT/dequant/upsample/color core is shared with the baseline decoder;
+# what differs is only coefficient ACCUMULATION across multiple scans.
+# --------------------------------------------------------------------------
+
+
+def _skip_to_next_marker(payload: bytes, pos: int) -> int:
+    """Advance past entropy-coded data to the next real marker (skips
+    stuffed 0xFF00 and RSTn)."""
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF and payload[pos + 1] not in (0x00,) and not (
+            0xD0 <= payload[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    raise MediaFormatError("JPEG scan data ends without a marker")
+
+
+def _decode_dc_scan(
+    reader: _BitReader,
+    scan_comps: list,
+    coef: dict,
+    htabs: dict,
+    geom: dict,
+    ah: int,
+    al: int,
+    restart_interval: int,
+) -> None:
+    """DC scan (Ss=Se=0): interleaved over MCUs when several components
+    participate.  First pass (Ah=0) huffman-decodes diffs at precision
+    Al; refinement passes read one raw bit per block."""
+    preds = [0] * len(scan_comps)
+    mcus_x, mcus_y = geom["mcus_x"], geom["mcus_y"]
+    interleaved = len(scan_comps) > 1
+    unit = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and unit and unit % restart_interval == 0:
+                reader.align_restart()
+                preds = [0] * len(scan_comps)
+            for ci, c in enumerate(scan_comps):
+                h_b, v_b = (c["h"], c["v"]) if interleaved else (1, 1)
+                for by in range(v_b):
+                    for bx in range(h_b):
+                        if interleaved:
+                            row = my * c["v"] + by
+                            col = mx * c["h"] + bx
+                        else:
+                            # non-interleaved: iterate the component's
+                            # own block grid (my/mx ARE block coords)
+                            row, col = my, mx
+                            if row >= geom["rows"][c["id"]] or col >= geom[
+                                "cols"
+                            ][c["id"]]:
+                                continue
+                        blk = coef[c["id"]][row, col]
+                        if ah == 0:
+                            s = _huff_read(reader, htabs[(0, c["dc"])])
+                            if s > 15:
+                                raise MediaFormatError(
+                                    "invalid DC magnitude category"
+                                )
+                            diff = _extend(reader.bits(s), s) if s else 0
+                            preds[ci] += diff
+                            blk[0] = preds[ci] << al
+                        else:
+                            if reader.bit():
+                                blk[0] |= 1 << al
+            unit += 1
+
+
+def _decode_ac_scan(
+    reader: _BitReader,
+    c: dict,
+    coef: dict,
+    htabs: dict,
+    geom: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+) -> None:
+    """AC scan: always one component (T.81 G.1.1.1.1), iterated over
+    the COMPONENT's block grid.  Ah=0: first pass with EOB-run coding;
+    Ah>0: refinement pass (the correction-bit algorithm)."""
+    ac_tab = htabs.get((1, c["ac"]))
+    if ac_tab is None:
+        raise MediaFormatError("JPEG missing huffman/quant table")
+    rows, cols = geom["rows"][c["id"]], geom["cols"][c["id"]]
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    unit = 0
+    for row in range(rows):
+        for col in range(cols):
+            if restart_interval and unit and unit % restart_interval == 0:
+                reader.align_restart()
+                eobrun = 0
+            unit += 1
+            blk = coef[c["id"]][row, col]
+            if ah == 0:  # first pass for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_read(reader, ac_tab)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise MediaFormatError(
+                            "AC coefficient index out of range"
+                        )
+                    blk[k] = _extend(reader.bits(s), s) << al
+                    k += 1
+            else:  # refinement pass (T.81 G.1.2.3 / libjpeg shape)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _huff_read(reader, ac_tab)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.bits(r)
+                                break
+                            # ZRL: r stays 15 → skip 16 zero-history
+                        else:
+                            if s != 1:
+                                raise MediaFormatError(
+                                    "invalid refinement magnitude"
+                                )
+                            s = p1 if reader.bit() else m1
+                        # advance past r zero-history coefficients,
+                        # correcting already-nonzero ones on the way
+                        while k <= se:
+                            if blk[k] != 0:
+                                if reader.bit() and (blk[k] & p1) == 0:
+                                    blk[k] += p1 if blk[k] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if s and k <= se:
+                            blk[k] = s
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if blk[k] != 0:
+                            if reader.bit() and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+
+
+def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
+    """Huffman progressive JFIF (SOF2) → (width, height, RGB bytes).
+
+    Accumulates quantized coefficients across every scan (DC first +
+    refinement, AC band first + refinement, restart markers), then runs
+    the shared dequant/IDCT/upsample/color pipeline once.  Supports the
+    same envelope as the baseline decoder: 8-bit, 1- or 3-component,
+    sampling factors to 2x2.  Reached via decode_jpeg_baseline's
+    dispatch, so the quarantine wrapper applies to every failure here
+    (fuzz-tested alongside the baseline path)."""
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    comps: list[dict] = []
+    width = height = 0
+    restart_interval = 0
+    coef: dict[int, np.ndarray] = {}
+    geom: dict = {}
+
+    saw_eoi = False
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise MediaFormatError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            saw_eoi = True
+            break
+        if pos + 4 > len(payload):
+            raise MediaFormatError("truncated JPEG segment")
+        length = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        body = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise MediaFormatError("16-bit quant tables not supported")
+                if i + 65 > len(body):
+                    raise MediaFormatError("truncated DQT segment")
+                vals = np.frombuffer(
+                    body[i + 1 : i + 65], dtype=np.uint8
+                ).astype(np.int64)
+                inv = np.zeros(64, dtype=np.int64)
+                inv[_ZIGZAG] = vals
+                qtabs[tq] = inv
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                if i + 17 > len(body):
+                    raise MediaFormatError("truncated DHT segment")
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                nsym = sum(bits)
+                if i + 17 + nsym > len(body):
+                    raise MediaFormatError("truncated DHT segment")
+                htabs[(tc, th)] = _huff_decode_table(
+                    bits, list(body[i + 17 : i + 17 + nsym])
+                )
+                i += 17 + nsym
+        elif marker == 0xC2:
+            if body[0] != 8:
+                raise MediaFormatError("only 8-bit JPEG supported")
+            height, width = struct.unpack(">HH", body[1:5])
+            if not width or not height or width * height > _JPEG_MAX_PIXELS:
+                raise MediaFormatError("JPEG dimensions out of range")
+            nf = body[5]
+            if nf not in (1, 3):
+                raise MediaFormatError("only 1- or 3-component JPEG supported")
+            comps = []
+            for ci in range(nf):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                h_s, v_s = hv >> 4, hv & 0xF
+                if not (1 <= h_s <= 2 and 1 <= v_s <= 2):
+                    raise MediaFormatError("sampling factors above 2x2")
+                comps.append({"id": cid, "h": h_s, "v": v_s, "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+            geom = {
+                "hmax": hmax,
+                "vmax": vmax,
+                "mcus_x": mcus_x,
+                "mcus_y": mcus_y,
+                "rows": {},
+                "cols": {},
+            }
+            for c in comps:
+                # the component's real block grid (non-interleaved scan
+                # extent); the array is MCU-padded so interleaved DC
+                # scans index safely
+                cw = (width * c["h"] + 8 * hmax - 1) // (8 * hmax)
+                ch = (height * c["v"] + 8 * vmax - 1) // (8 * vmax)
+                geom["cols"][c["id"]] = cw
+                geom["rows"][c["id"]] = ch
+                coef[c["id"]] = np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64
+                )
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xC0 or marker == 0xC1:
+            raise MediaFormatError("mixed baseline frame in progressive path")
+        elif marker == 0xDA:
+            if not comps:
+                raise MediaFormatError("JPEG scan before SOF header")
+            ns = body[0]
+            scan_comps = []
+            for ci in range(ns):
+                cs, tabs = body[1 + 2 * ci : 3 + 2 * ci]
+                comp = next((x for x in comps if x["id"] == cs), None)
+                if comp is None:
+                    raise MediaFormatError("SOS references unknown component")
+                scan_comps.append(
+                    {**comp, "dc": tabs >> 4, "ac": tabs & 0xF}
+                )
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if not (0 <= ss <= se <= 63):
+                raise MediaFormatError("invalid spectral band in SOS")
+            reader = _BitReader(payload, pos + 2 + length)
+            if ss == 0:
+                if se != 0:
+                    raise MediaFormatError(
+                        "progressive DC scan must have Se=0"
+                    )
+                if ah == 0:
+                    for c in scan_comps:
+                        if htabs.get((0, c["dc"])) is None:
+                            raise MediaFormatError(
+                                "JPEG missing huffman/quant table"
+                            )
+                _decode_dc_scan(
+                    reader,
+                    scan_comps,
+                    coef,
+                    htabs,
+                    # single-component DC scans iterate the component
+                    # grid, not the MCU grid
+                    geom
+                    if len(scan_comps) > 1
+                    else {
+                        **geom,
+                        "mcus_x": geom["cols"][scan_comps[0]["id"]],
+                        "mcus_y": geom["rows"][scan_comps[0]["id"]],
+                    },
+                    ah,
+                    al,
+                    restart_interval,
+                )
+            else:
+                if len(scan_comps) != 1:
+                    raise MediaFormatError(
+                        "progressive AC scan must be single-component"
+                    )
+                _decode_ac_scan(
+                    reader,
+                    scan_comps[0],
+                    coef,
+                    htabs,
+                    geom,
+                    ss,
+                    se,
+                    ah,
+                    al,
+                    restart_interval,
+                )
+            pos = _skip_to_next_marker(payload, reader.pos)
+            continue
+        pos = pos + 2 + length
+    if not saw_eoi:
+        raise MediaFormatError("truncated progressive JPEG (no EOI)")
+
+    if not comps:
+        raise MediaFormatError("JPEG missing SOF header")
+
+    planes = []
+    for c in comps:
+        qt = qtabs.get(c["tq"])
+        if qt is None:
+            raise MediaFormatError("JPEG missing huffman/quant table")
+        blocks = coef[c["id"]]
+        rows_b, cols_b = blocks.shape[:2]
+        plane = np.zeros((rows_b * 8, cols_b * 8), dtype=np.float64)
+        qz = qt[_ZIGZAG]
+        for by in range(rows_b):
+            for bx in range(cols_b):
+                deq = np.zeros(64, dtype=np.int64)
+                deq[_ZIGZAG] = blocks[by, bx] * qz
+                blk = _DCT.T @ deq.reshape(8, 8).astype(np.float64) @ _DCT
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk + 128.0
+        planes.append(plane)
+    return _planes_to_rgb(
+        planes, comps, geom["hmax"], geom["vmax"], width, height
+    )
 
 
 # --------------------------------------------------------------------------

@@ -5,9 +5,10 @@ The Spark-side plumbing is fully real: schemas, partition-size control,
 Arrow batch iteration, metadata extraction.  The codec layer has three
 implementations behind one seam: ``FakeCodec`` (digest-derived, for
 batch-shape contract tests), the dependency-free codecs in
-:mod:`reindexer_spark.codecs` (real BMP/PPM/baseline-JPEG/WAV/DIB-AVI
-parsing — decode, resize, audio windows and video frame-sampling run
-on real bytes, compressed JPEG included, in this container), and
+:mod:`reindexer_spark.codecs` (real BMP / PPM / JPEG (baseline and
+progressive) / PNG / WAV / DIB+MJPEG-AVI parsing — decode, resize,
+audio windows and video frame-sampling run on real bytes, compressed
+formats included, in this container), and
 ``LibraryCodec`` which upgrades to Pillow when installed.  Motion-JPEG
 AVI decodes natively (JPEG frames through the baseline codec); other
 compressed video (mp4/mkv/divx) still needs pyav/ffmpeg and raises
@@ -118,7 +119,8 @@ class LibraryCodec:
     containers, and Pillow — when installed — extends coverage in two
     places: containers the sniffer doesn't recognize at all (WebP,
     GIF, TIFF, ...), and sniffed IMAGES the stdlib decoder rejects
-    (progressive/arithmetic/12-bit JPEG, interlaced or 16-bit PNG) —
+    (arithmetic/12-bit JPEG, interlaced or 16-bit PNG — baseline AND
+    progressive JPEG are native) —
     the stdlib path is tried first so canonical payloads behave
     identically with and without Pillow installed, and its
     ``MediaFormatError`` falls through to Pillow rather than

@@ -138,10 +138,10 @@ def _synth_media(d: DataFrame) -> DataFrame:
     BMP per document (pixels seeded from the text digest), every third
     row a real mono 16-bit WAV, every doc_id % 3 == 1 row a real
     multi-frame uncompressed-DIB AVI, every doc_id % 6 == 0 row a
-    real baseline JPEG, and every doc_id % 12 == 3 row a real PNG
-    (zlib-deflated through the dependency-free encoder) — both
-    compressed image formats real crawls are made of exercise the
-    decode path end-to-end.
+    real JPEG (alternating baseline and PROGRESSIVE SOF2 encodings),
+    and every doc_id % 12 == 3 row a real PNG (zlib-deflated through
+    the dependency-free encoder) — the compressed image formats real
+    crawls are made of exercise the decode path end-to-end.
     Built in mapInPandas because container encoding is byte-level
     Python — this is the fixture lane; the decode lane downstream
     parses these bytes back for real."""
@@ -158,6 +158,7 @@ def _synth_media(d: DataFrame) -> DataFrame:
             encode_avi,
             encode_bmp,
             encode_jpeg_baseline,
+            encode_jpeg_progressive,
             encode_png,
             encode_wav,
         )
@@ -199,10 +200,17 @@ def _synth_media(d: DataFrame) -> DataFrame:
                 elif r["doc_id"] % 6 == 0:
                     w, h = 8 + seed[0] % 9, 8 + seed[1] % 9
                     rgb = (seed * ((w * h * 3) // len(seed) + 1))[: w * h * 3]
-                    payload, kind = (
-                        encode_jpeg_baseline(w, h, bytes(rgb), 85),
-                        "image-jpeg",
-                    )
+                    # half the JPEG lane is PROGRESSIVE (SOF2 multi-scan)
+                    if r["doc_id"] % 12 == 6:
+                        payload, kind = (
+                            encode_jpeg_progressive(w, h, bytes(rgb), 85),
+                            "image-jpeg",
+                        )
+                    else:
+                        payload, kind = (
+                            encode_jpeg_baseline(w, h, bytes(rgb), 85),
+                            "image-jpeg",
+                        )
                 elif r["doc_id"] % 12 == 3:
                     w, h = 8 + seed[0] % 9, 8 + seed[1] % 9
                     rgb = (seed * ((w * h * 3) // len(seed) + 1))[: w * h * 3]

@@ -665,3 +665,89 @@ def test_library_codec_pillow_fallback_routing(monkeypatch):
     stereo[i + 10] = 2  # nChannels = 2
     with pytest.raises(MediaFormatError, match="mono"):
         LibraryCodec().decode(bytes(stereo))
+
+
+# ---------- Progressive JPEG (SOF2, spectral selection + succ. approx) ----------
+
+
+def test_progressive_jpeg_decodes_identically_to_baseline():
+    """The progressive encoder reuses the baseline's forward DCT and
+    quantizer and differs only in the entropy layer, so decoding its
+    output must equal decoding the baseline encoding bit-for-bit — a
+    strong end-to-end check of every scan type in the script (DC
+    first/refine, split spectral bands, AC refinement with EOB-run
+    folded correction bits)."""
+    import numpy as np
+
+    from reindexer_spark.codecs import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(3)
+    for w, h in [(8, 8), (24, 31), (40, 24), (7, 5)]:
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+        for q in (40, 75, 92):
+            assert decode_jpeg_baseline(
+                encode_jpeg_progressive(w, h, rgb, q)
+            ) == decode_jpeg_baseline(encode_jpeg_baseline(w, h, rgb, q))
+    # EOB-run-heavy content: smooth gradient and solid color produce
+    # multi-block EOB runs (EOBn symbols with n > 0) in first AND
+    # refinement AC scans
+    grad = bytes(
+        bytearray(
+            (x * 255 // 31) for y in range(16) for x in range(16) for _ in range(3)
+        )
+    )
+    solid = bytes((200, 40, 40)) * 256
+    for rgb in (grad, solid):
+        assert decode_jpeg_baseline(
+            encode_jpeg_progressive(16, 16, rgb, 75)
+        ) == decode_jpeg_baseline(encode_jpeg_baseline(16, 16, rgb, 75))
+
+
+def test_progressive_jpeg_through_codec_seams():
+    from reindexer_spark.codecs import encode_jpeg_progressive
+
+    rgb = bytes((40, 200, 40)) * 256
+    prog = encode_jpeg_progressive(16, 16, rgb, 85)
+    d = PurePythonCodec().decode(prog)
+    assert (d["width"], d["height"]) == (16, 16)
+    assert d["features"][1] > 0.7  # green-dominant survives the codec
+    t = PurePythonResizer().resize(prog, 8)
+    assert (t["thumb_w"], t["thumb_h"]) == (8, 8)
+
+
+def test_progressive_jpeg_fuzz_quarantine_contract():
+    """Same contract as the baseline/PNG sweeps: ANY truncation or
+    corruption of a progressive stream raises MediaFormatError or
+    decodes — never a bare exception, never a hang."""
+    import numpy as np
+
+    from reindexer_spark.codecs import decode_jpeg_baseline, encode_jpeg_progressive
+
+    rng = np.random.default_rng(17)
+    rgb = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8).tobytes()
+    jpg = encode_jpeg_progressive(23, 17, rgb, 70)
+
+    def check(payload: bytes) -> None:
+        try:
+            decode_jpeg_baseline(payload)
+        except MediaFormatError:
+            pass
+
+    for cut in range(0, len(jpg), 3):
+        check(jpg[:cut])
+    b = bytearray(jpg)
+    for i in range(0, len(jpg), 2):
+        orig = b[i]
+        b[i] ^= 0xFF
+        check(bytes(b))
+        b[i] = orig
+    for seed in range(25):
+        r2 = np.random.default_rng(seed)
+        noisy = bytearray(jpg)
+        for i in r2.integers(0, len(jpg), 5):
+            noisy[i] = int(r2.integers(0, 256))
+        check(bytes(noisy))
