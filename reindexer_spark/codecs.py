@@ -358,6 +358,379 @@ def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
 
 
 # --------------------------------------------------------------------------
+# MP4 / ISO BMFF (ISO/IEC 14496-12), dependency-free
+#
+# The container real crawl video actually arrives in.  Scope: the full
+# sample-table machinery — stsd/stts/stss/stsc/stsz/stco — walked for
+# real (samples→chunks via stsc runs, chunk file offsets via stco,
+# per-sample sizes via stsz, per-sample durations via stts runs, sync
+# samples via stss), with Photo-JPEG ('jpeg' VisualSampleEntry) sample
+# data decoded through the baseline JPEG codec.  Inter-predicted codecs
+# (avc1/hev1/vp09/...) raise MediaFormatError into the quarantine lane:
+# without a motion-compensation decoder only sync-sample formats are
+# honestly decodable, and Photo-JPEG is the one whose entropy layer the
+# repo already implements from spec (ITU T.81).
+#
+# The encoder groups samples into multi-sample chunks and can mark only
+# every Nth sample as sync, so the parser's stsc run expansion and stss
+# keyframe snapping are exercised on non-trivial tables, not just the
+# 1-sample-per-chunk degenerate layout.
+# --------------------------------------------------------------------------
+
+MP4_VIDEO_TIMESCALE = 90_000  # the conventional video track timescale
+
+
+def _box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + tag + body
+
+
+def _full_box(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(tag, struct.pack(">I", (version << 24) | flags) + body)
+
+
+def encode_mp4(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    fps: int = 4,
+    quality: int = 85,
+    sync_every: int = 1,
+    samples_per_chunk: int = 2,
+) -> bytes:
+    """Pack top-down RGB frames into an ISO BMFF mp4 (Photo-JPEG track).
+
+    Each frame is a standalone baseline JPEG sample in ``mdat``;
+    ``moov`` carries the real sample tables: samples are grouped
+    ``samples_per_chunk`` per chunk (a short tail chunk produces a
+    second stsc run), ``stss`` marks every ``sync_every``-th sample as
+    a keyframe (omitted when every sample is sync, per spec), and
+    ``stco`` holds absolute file offsets into ``mdat``."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    for f in frames:
+        if len(f) != width * height * 3:
+            raise ValueError(
+                f"each frame needs {width * height * 3} bytes, got {len(f)}"
+            )
+    if sync_every < 1 or samples_per_chunk < 1:
+        raise ValueError("sync_every and samples_per_chunk must be >= 1")
+    bodies = [encode_jpeg_baseline(width, height, f, quality) for f in frames]
+    delta = MP4_VIDEO_TIMESCALE // fps
+    duration = delta * len(bodies)
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")
+    mdat_payload = b"".join(bodies)
+    # chunk offsets are absolute file positions: ftyp, then mdat header
+    base = len(ftyp) + 8
+    chunk_offsets, chunk_sizes = [], []
+    pos = base
+    for i in range(0, len(bodies), samples_per_chunk):
+        chunk = bodies[i : i + samples_per_chunk]
+        chunk_offsets.append(pos)
+        chunk_sizes.append(len(chunk))
+        pos += sum(len(b) for b in chunk)
+
+    # stsd: 'jpeg' VisualSampleEntry (ISO 14496-12 §12.1.3 layout)
+    entry = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16  # pre_defined / reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)  # frame_count
+        + bytes(32)  # compressorname
+        + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+    )
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"jpeg", entry))
+    stts = _full_box(
+        b"stts", 0, 0, struct.pack(">III", 1, len(bodies), delta)
+    )
+    # stsc runs: (first_chunk, samples_per_chunk, sample_desc_index) —
+    # collapse consecutive chunks with equal sample counts into one run
+    runs = []
+    for ci, n in enumerate(chunk_sizes, start=1):
+        if not runs or runs[-1][1] != n:
+            runs.append((ci, n))
+    stsc = _full_box(
+        b"stsc",
+        0,
+        0,
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">III", fc, n, 1) for fc, n in runs),
+    )
+    stsz = _full_box(
+        b"stsz",
+        0,
+        0,
+        struct.pack(">II", 0, len(bodies))
+        + b"".join(struct.pack(">I", len(b)) for b in bodies),
+    )
+    stco = _full_box(
+        b"stco",
+        0,
+        0,
+        struct.pack(">I", len(chunk_offsets))
+        + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+    )
+    stbl_children = [stsd, stts, stsc, stsz, stco]
+    if sync_every > 1:
+        sync = list(range(1, len(bodies) + 1, sync_every))
+        stbl_children.insert(
+            2,
+            _full_box(
+                b"stss",
+                0,
+                0,
+                struct.pack(">I", len(sync))
+                + b"".join(struct.pack(">I", s) for s in sync),
+            ),
+        )
+    stbl = _box(b"stbl", b"".join(stbl_children))
+    dref = _full_box(
+        b"dref", 0, 0, struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b"")
+    )
+    minf = _box(
+        b"minf",
+        _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        + _box(b"dinf", dref)
+        + stbl,
+    )
+    mdhd = _full_box(
+        b"mdhd",
+        0,
+        0,
+        struct.pack(">IIIIHH", 0, 0, MP4_VIDEO_TIMESCALE, duration, 0x55C4, 0),
+    )
+    hdlr = _full_box(
+        b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" + bytes(12) + b"video\x00"
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full_box(
+        b"tkhd",
+        0,
+        3,  # enabled | in_movie
+        struct.pack(">IIII", 0, 0, 1, 0)  # times, track_ID, reserved
+        + struct.pack(">I", duration)
+        + bytes(8)
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer/group/volume/reserved
+        + struct.pack(
+            ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+        )  # identity matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mvhd = _full_box(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, MP4_VIDEO_TIMESCALE, duration)
+        + struct.pack(">IHH", 0x10000, 0x100, 0)  # rate, volume, reserved
+        + bytes(8)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + bytes(24)  # pre_defined
+        + struct.pack(">I", 2),  # next_track_ID
+    )
+    moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+    return ftyp + _box(b"mdat", mdat_payload) + moov
+
+
+def _bmff_boxes(payload: bytes, pos: int, end: int):
+    """Yield (box_type, body_start, body_end) walking a box run."""
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", payload, pos)[0]
+        tag = payload[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise MediaFormatError("truncated BMFF largesize box")
+            size = struct.unpack_from(">Q", payload, pos + 8)[0]
+            body = pos + 16
+        elif size == 0:  # box extends to end of file
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise MediaFormatError("truncated BMFF box")
+        yield tag, body, pos + size
+        pos += size
+
+
+def _bmff_find(payload: bytes, pos: int, end: int, path: list[bytes]):
+    """Descend a box path; → (body_start, body_end) or raise."""
+    for depth, want in enumerate(path):
+        found = None
+        for tag, body, bend in _bmff_boxes(payload, pos, end):
+            if tag == want:
+                found = (body, bend)
+                break
+        if found is None:
+            raise MediaFormatError(
+                f"mp4 missing {b'/'.join(path[: depth + 1]).decode()!r} box"
+            )
+        pos, end = found
+    return pos, end
+
+
+def _full_body(payload: bytes, body: int, bend: int) -> int:
+    if bend - body < 4:
+        raise MediaFormatError("truncated BMFF full box")
+    return body + 4  # skip version+flags
+
+
+def decode_mp4(
+    payload: bytes,
+) -> tuple[int, int, list[int], list[bytes], list[bool]]:
+    """→ (width, height, per-frame durations in usec, frames as
+    top-down RGB bytes, per-frame is-sync flags).
+
+    Walks the real sample tables: stsc runs expand to per-chunk sample
+    counts, stco gives each chunk's file offset, stsz sizes advance
+    within a chunk, stts runs give per-sample durations (usec via the
+    mdhd timescale), and stss (absent = all sync, per spec) flags the
+    keyframes.  Only 'jpeg' (Photo-JPEG) sample entries decode — other
+    coding names (avc1/hev1/...) need a motion-compensation decoder and
+    raise MediaFormatError into the quarantine lane.  ANY malformed
+    stream raises MediaFormatError, never a bare parser exception —
+    the same fuzz-tested quarantine contract as the other codecs."""
+    try:
+        return _decode_mp4_impl(payload)
+    except MediaFormatError:
+        raise
+    except (struct.error, ValueError, IndexError, KeyError, OverflowError) as exc:
+        raise MediaFormatError(f"malformed mp4 stream: {exc}") from exc
+
+
+def _decode_mp4_impl(
+    payload: bytes,
+) -> tuple[int, int, list[int], list[bytes], list[bool]]:
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise MediaFormatError("not an ISO BMFF payload")
+    end = len(payload)
+    stbl_s, stbl_e = _bmff_find(
+        payload, 0, end,
+        [b"moov", b"trak", b"mdia", b"minf", b"stbl"],
+    )
+    mdhd_s, mdhd_e = _bmff_find(payload, 0, end, [b"moov", b"trak", b"mdia", b"mdhd"])
+    v = payload[mdhd_s]
+    timescale = struct.unpack_from(
+        ">I", payload, mdhd_s + (4 + 16 if v == 1 else 4 + 8)
+    )[0]
+    if timescale == 0:
+        raise MediaFormatError("mp4 mdhd timescale is zero")
+
+    tables: dict[bytes, tuple[int, int]] = {}
+    for tag, body, bend in _bmff_boxes(payload, stbl_s, stbl_e):
+        tables[tag] = (body, bend)
+    for req in (b"stsd", b"stts", b"stsc", b"stsz", b"stco"):
+        if req not in tables:
+            raise MediaFormatError(f"mp4 missing {req.decode()} box")
+
+    # stsd: coding name + dimensions from the first sample entry
+    p = _full_body(payload, *tables[b"stsd"])
+    if struct.unpack_from(">I", payload, p)[0] < 1:
+        raise MediaFormatError("mp4 stsd has no sample entries")
+    entry_tag = payload[p + 8 : p + 12]
+    if entry_tag != b"jpeg":
+        raise MediaFormatError(
+            f"unsupported mp4 coding {entry_tag!r} (needs a motion-"
+            "compensation decoder)"
+        )
+    ep = p + 12  # sample entry body
+    width, height = struct.unpack_from(">HH", payload, ep + 24)
+
+    def u32s(tag: bytes, skip: int, n_per: int) -> list[tuple]:
+        body, bend = tables[tag]
+        q = _full_body(payload, body, bend) + skip
+        if q + 4 > bend:
+            raise MediaFormatError(f"truncated {tag.decode()} box")
+        count = struct.unpack_from(">I", payload, q)[0]
+        q += 4
+        if q + 4 * n_per * count > bend:
+            raise MediaFormatError(f"truncated {tag.decode()} box")
+        return [
+            struct.unpack_from(">" + "I" * n_per, payload, q + 4 * n_per * i)
+            for i in range(count)
+        ]
+
+    # stsz: per-sample sizes (or a uniform default size)
+    szbody, szend = tables[b"stsz"]
+    q = _full_body(payload, szbody, szend)
+    if q + 8 > szend:
+        raise MediaFormatError("truncated stsz box")
+    default_size, n_samples = struct.unpack_from(">II", payload, q)
+    if n_samples == 0:
+        raise MediaFormatError("mp4 has no samples")
+    if n_samples > len(payload):  # each sample occupies ≥1 byte of mdat
+        raise MediaFormatError("mp4 stsz sample count exceeds file size")
+    if default_size:
+        sizes = [default_size] * n_samples
+    else:
+        if q + 8 + 4 * n_samples > szend:
+            raise MediaFormatError("truncated stsz box")
+        sizes = [
+            struct.unpack_from(">I", payload, q + 8 + 4 * i)[0]
+            for i in range(n_samples)
+        ]
+
+    # stts runs → per-sample durations in usec.  Run sample-counts are
+    # VALUES, not box-size-bounded — cap the expansion at n_samples so
+    # a corrupt count can't balloon the list (fuzz contract).
+    durations: list[int] = []
+    for count, delta in u32s(b"stts", 0, 2):
+        take = min(count, n_samples - len(durations))
+        durations.extend([delta * 1_000_000 // timescale] * take)
+        if len(durations) == n_samples:
+            break
+    if len(durations) < n_samples:
+        raise MediaFormatError("mp4 stts covers fewer samples than stsz")
+
+    # stsc runs + stco → absolute file offset of every sample
+    chunk_offsets = [o[0] for o in u32s(b"stco", 0, 1)]
+    runs = u32s(b"stsc", 0, 3)
+    offsets: list[int] = []
+    for ri, (first_chunk, per_chunk, _desc) in enumerate(runs):
+        last_chunk = (
+            runs[ri + 1][0] - 1 if ri + 1 < len(runs) else len(chunk_offsets)
+        )
+        if first_chunk < 1 or first_chunk > last_chunk + 1:
+            raise MediaFormatError("mp4 stsc run out of order")
+        for chunk in range(first_chunk, last_chunk + 1):
+            if chunk > len(chunk_offsets):
+                raise MediaFormatError("mp4 stsc references missing chunk")
+            pos = chunk_offsets[chunk - 1]
+            for _ in range(per_chunk):
+                if len(offsets) == n_samples:
+                    break
+                offsets.append(pos)
+                pos += sizes[len(offsets) - 1]
+    if len(offsets) < n_samples:
+        raise MediaFormatError("mp4 sample-to-chunk tables cover too few samples")
+
+    # stss: sync flags (absent = every sample is a keyframe, per spec)
+    sync = [False] * n_samples
+    if b"stss" in tables:
+        for (s,) in u32s(b"stss", 0, 1):
+            if not 1 <= s <= n_samples:
+                raise MediaFormatError("mp4 stss sample number out of range")
+            sync[s - 1] = True
+        if not any(sync):
+            raise MediaFormatError("mp4 stss lists no sync samples")
+    else:
+        sync = [True] * n_samples
+
+    frames: list[bytes] = []
+    for i in range(n_samples):
+        start, size = offsets[i], sizes[i]
+        if start + size > len(payload):
+            raise MediaFormatError("mp4 sample extends past end of file")
+        fw, fh, rgb = decode_jpeg_baseline(payload[start : start + size])
+        if (fw, fh) != (width, height):
+            raise MediaFormatError(
+                "mp4 sample dimensions disagree with stsd entry"
+            )
+        frames.append(rgb)
+    return width, height, durations, frames, sync
+
+
+# --------------------------------------------------------------------------
 # JPEG (baseline sequential JFIF, dependency-free)
 #
 # Real crawls are mostly compressed formats; this closes the "compressed
@@ -1808,6 +2181,8 @@ def _sniff(payload: bytes) -> str:
         return "wav"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return "avi"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
     raise MediaFormatError("unrecognized media payload")
 
 
@@ -1863,8 +2238,11 @@ class PurePythonCodec:
                 "n_channels": 3,
                 "features": [round(f, 6) for f in feats],
             }
-        if kind == "avi":
-            w, h, usec, frames = decode_avi(payload)
+        if kind in ("avi", "mp4"):
+            if kind == "avi":
+                w, h, _usec, frames = decode_avi(payload)
+            else:
+                w, h, _durs, frames, _sync = decode_mp4(payload)
             # pool the statistics across every frame's pixels: the frame
             # stack is just a (n_frames*h, w) image to the integer math
             feats = _image_features(w, h * len(frames), b"".join(frames))
@@ -1957,4 +2335,33 @@ class AviFrameSampler:
     def frame_at(self, payload: bytes, ts_ms: int) -> bytes:
         w, h, usec, frames = decode_avi(payload)
         idx = min(len(frames) - 1, (ts_ms * 1000) // usec)
+        return encode_bmp(w, h, frames[idx])
+
+
+class Mp4FrameSampler:
+    """`FrameSampler` seam over ISO BMFF mp4 payloads: per-sample stts
+    durations drive the timestamp→sample lookup (a prefix-sum walk, not
+    a uniform divide — mp4 durations may vary per sample), and the
+    sampled index SNAPS BACK to the latest stss sync sample at or
+    before it: the keyframe-aligned sampling a compressed-video corpus
+    actually gets, since only keyframes decode standalone.  (For the
+    Photo-JPEG tracks decoded here every sample is sync unless the
+    encoder marked them sparse — the snapping math is exercised either
+    way.)  Frames re-encode as standalone decodable BMPs, the shared
+    video-sampler contract."""
+
+    def duration_ms(self, payload: bytes) -> int:
+        _, _, durations, _frames, _sync = decode_mp4(payload)
+        return sum(durations) // 1000
+
+    def frame_at(self, payload: bytes, ts_ms: int) -> bytes:
+        w, h, durations, frames, sync = decode_mp4(payload)
+        acc, idx = 0, len(frames) - 1
+        for i, d in enumerate(durations):
+            if ts_ms * 1000 < acc + d:
+                idx = i
+                break
+            acc += d
+        while idx > 0 and not sync[idx]:
+            idx -= 1  # decode-from-keyframe: latest sync sample ≤ ts
         return encode_bmp(w, h, frames[idx])

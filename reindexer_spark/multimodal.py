@@ -10,9 +10,10 @@ progressive) / PNG / WAV / DIB+MJPEG-AVI parsing — decode, resize,
 audio windows and video frame-sampling run on real bytes, compressed
 formats included, in this container), and
 ``LibraryCodec`` which upgrades to Pillow when installed.  Motion-JPEG
-AVI decodes natively (JPEG frames through the baseline codec); other
-compressed video (mp4/mkv/divx) still needs pyav/ffmpeg and raises
-``MediaFormatError`` into the quarantine lane.
+AVI and Photo-JPEG mp4 (ISO BMFF, full stsd/stts/stss/stsc/stco
+sample-table walk) decode natively — JPEG frames through the baseline
+codec; inter-predicted video (h264/hevc in mp4, mkv/divx) still needs
+pyav/ffmpeg and raises ``MediaFormatError`` into the quarantine lane.
 
 At 100 TB the shape is the important part:
 
@@ -114,9 +115,9 @@ def _pillow_to_canonical(payload: bytes) -> bytes:
 
 class LibraryCodec:
     """The production decoder seam: the dependency-free parsers
-    (BMP / PPM / PNG / baseline JPEG / WAV / DIB+MJPEG-AVI) from
-    :mod:`reindexer_spark.codecs` handle the natively-understood
-    containers, and Pillow — when installed — extends coverage in two
+    (BMP / PPM / PNG / baseline JPEG / WAV / DIB+MJPEG-AVI /
+    Photo-JPEG mp4) from :mod:`reindexer_spark.codecs` handle the
+    natively-understood containers, and Pillow — when installed — extends coverage in two
     places: containers the sniffer doesn't recognize at all (WebP,
     GIF, TIFF, ...), and sniffed IMAGES the stdlib decoder rejects
     (arithmetic/12-bit JPEG, interlaced or 16-bit PNG — baseline AND
@@ -304,15 +305,19 @@ class LibraryResizer:
 class LibraryFrameSampler:
     """Container-sniffing frame sampler: WAV audio samples real
     timestamped 100 ms windows (:class:`codecs.WavFrameSampler`);
-    uncompressed-DIB AVI video samples real decoded frames re-encoded
-    as standalone BMPs (:class:`codecs.AviFrameSampler`).  Compressed
-    video (mp4/mkv/h264) still needs pyav/ffmpeg and quarantines via
-    ``MediaFormatError``."""
+    DIB / Motion-JPEG AVI video samples real decoded frames re-encoded
+    as standalone BMPs (:class:`codecs.AviFrameSampler`); ISO BMFF mp4
+    samples through the real stts/stss/stsc/stco tables with
+    keyframe-aligned snapping (:class:`codecs.Mp4FrameSampler`,
+    Photo-JPEG tracks).  Inter-predicted codecs (h264/hevc/vp9) still
+    need pyav/ffmpeg and quarantine via ``MediaFormatError`` raised by
+    the mp4 parser's stsd check."""
 
     def _sampler(self, payload: bytes):
         from reindexer_spark.codecs import (
             AviFrameSampler,
             MediaFormatError,
+            Mp4FrameSampler,
             WavFrameSampler,
         )
 
@@ -320,8 +325,10 @@ class LibraryFrameSampler:
             return WavFrameSampler()
         if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
             return AviFrameSampler()
+        if payload[4:8] == b"ftyp":
+            return Mp4FrameSampler()
         raise MediaFormatError(
-            "compressed video containers require pyav/ffmpeg"
+            "unrecognized video container (mkv/webm need pyav/ffmpeg)"
         )
 
     def duration_ms(self, payload: bytes) -> int:

@@ -137,11 +137,13 @@ def _synth_media(d: DataFrame) -> DataFrame:
     """documents → media rows with REAL payloads: a deterministic 24-bit
     BMP per document (pixels seeded from the text digest), every third
     row a real mono 16-bit WAV, every doc_id % 3 == 1 row a real
-    multi-frame uncompressed-DIB AVI, every doc_id % 6 == 0 row a
-    real JPEG (alternating baseline and PROGRESSIVE SOF2 encodings),
-    and every doc_id % 12 == 3 row a real PNG (zlib-deflated through
-    the dependency-free encoder) — the compressed image formats real
-    crawls are made of exercise the decode path end-to-end.
+    multi-frame video (uncompressed-DIB AVI, Motion-JPEG AVI, or an
+    ISO BMFF mp4 with Photo-JPEG samples behind real sample tables),
+    every doc_id % 6 == 0 row a real JPEG (alternating baseline and
+    PROGRESSIVE SOF2 encodings), and every doc_id % 12 == 3 row a real
+    PNG (zlib-deflated through the dependency-free encoder) — the
+    compressed formats real crawls are made of exercise the decode
+    path end-to-end.
     Built in mapInPandas because container encoding is byte-level
     Python — this is the fixture lane; the decode lane downstream
     parses these bytes back for real."""
@@ -159,6 +161,7 @@ def _synth_media(d: DataFrame) -> DataFrame:
             encode_bmp,
             encode_jpeg_baseline,
             encode_jpeg_progressive,
+            encode_mp4,
             encode_png,
             encode_wav,
         )
@@ -187,13 +190,24 @@ def _synth_media(d: DataFrame) -> DataFrame:
                                 : w * h * 3
                             ]
                         )
-                    # half the video lane is Motion-JPEG (each frame a
-                    # real baseline JPEG in a '00dc' chunk) — the
-                    # compressed-video decode path on real bytes
-                    if r["doc_id"] % 6 == 1:
+                    # the video lane splits three ways: Motion-JPEG AVI
+                    # (each frame a real baseline JPEG in a '00dc'
+                    # chunk), ISO BMFF mp4 (Photo-JPEG samples behind
+                    # real stts/stss/stsc/stco tables, sparse keyframes
+                    # + multi-sample chunks so the table walk is
+                    # non-trivial), and uncompressed-DIB AVI
+                    if r["doc_id"] % 12 == 1:
                         payload, kind = (
                             encode_avi(w, h, frames, 4, codec="mjpg"),
                             "video-mjpeg",
+                        )
+                    elif r["doc_id"] % 12 == 7:
+                        payload, kind = (
+                            encode_mp4(
+                                w, h, frames, 4,
+                                sync_every=2, samples_per_chunk=2,
+                            ),
+                            "video-mp4",
                         )
                     else:
                         payload, kind = encode_avi(w, h, frames, 4), "video-avi"
@@ -289,12 +303,13 @@ def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamped frame sampling on REAL media, audio AND video: the
     synthesized WAV payloads (2 s of real 16-bit PCM) sample a 100 ms
-    window at each 500 ms mark, and the synthesized multi-frame AVI
-    payloads — half uncompressed DIB, half Motion-JPEG whose frames
-    decode through the baseline JPEG codec — sample the decoded video
+    window at each 500 ms mark, and the synthesized multi-frame video
+    payloads — uncompressed-DIB AVI, Motion-JPEG AVI, and ISO BMFF mp4
+    whose Photo-JPEG samples resolve through real stts/stss/stsc/stco
+    tables with keyframe-aligned snapping — sample the decoded video
     frame covering each mark, re-encoded as a standalone BMP — actual
     timestamp→offset math on parsed containers in both modalities
-    (non-MJPEG compressed video still needs pyav and quarantines via
+    (inter-predicted video still needs pyav and quarantines via
     MediaFormatError).  Each input row fans out to
     a data-dependent number of frame rows via mapInPandas — the one
     shape a fixed-arity UDF cannot express.  Deterministic but
@@ -304,7 +319,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     media = _synth_media(d).filter(
-        F.col("kind").isin("audio-wav", "video-avi", "video-mjpeg")
+        F.col("kind").isin("audio-wav", "video-avi", "video-mjpeg", "video-mp4")
     )
     frames = sample_video_frames(
         media, every_ms=500, max_frames=4, sampler=LibraryFrameSampler()

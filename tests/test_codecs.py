@@ -751,3 +751,137 @@ def test_progressive_jpeg_fuzz_quarantine_contract():
         for i in r2.integers(0, len(jpg), 5):
             noisy[i] = int(r2.integers(0, 256))
         check(bytes(noisy))
+
+
+# ---------- MP4 / ISO BMFF (Photo-JPEG sample tables) ----------
+
+
+def test_mp4_roundtrip_and_table_walk():
+    """7 frames, 2 samples/chunk (odd tail chunk → a second stsc run),
+    sparse stss — the non-trivial sample-table layout — decode back to
+    the same dimensions, durations, and faithful pixels."""
+    from reindexer_spark.codecs import decode_mp4, encode_mp4
+
+    w, h = 24, 16
+    frames = []
+    for k in range(7):
+        base = bytearray(gradient(w, h))
+        base[0] = 30 * k  # make frames distinct
+        frames.append(bytes(base))
+    mp4 = encode_mp4(w, h, frames, 4, quality=90, sync_every=3,
+                     samples_per_chunk=2)
+    w2, h2, durations, out, sync = decode_mp4(mp4)
+    assert (w2, h2, len(out)) == (w, h, 7)
+    assert durations == [250_000] * 7  # 90000/4 ticks → 250 ms
+    assert sync == [True, False, False, True, False, False, True]
+    for orig, dec in zip(frames, out):
+        assert psnr(orig, dec) > 30  # lossy but faithful
+    # absent stss = every sample sync, per spec
+    _, _, _, _, all_sync = decode_mp4(encode_mp4(w, h, frames[:3], 4))
+    assert all_sync == [True, True, True]
+
+
+def test_mp4_frame_sampler_keyframe_snapping():
+    """frame_at resolves the sample covering ts via the stts prefix-sum
+    walk, then snaps BACK to the latest stss sync sample — the
+    decode-from-keyframe semantics of compressed-video sampling."""
+    from reindexer_spark.codecs import (
+        Mp4FrameSampler,
+        decode_bmp,
+        decode_mp4,
+        encode_mp4,
+    )
+
+    w, h = 16, 8
+    frames = []
+    for k in range(6):
+        base = bytearray(gradient(w, h))
+        base[0] = 40 * k
+        frames.append(bytes(base))
+    mp4 = encode_mp4(w, h, frames, 4, sync_every=3)  # sync: samples 0, 3
+    s = Mp4FrameSampler()
+    assert s.duration_ms(mp4) == 1500
+    _, _, _, decoded, _ = decode_mp4(mp4)
+    # ts=1100ms → sample 4 (1000-1250ms) → snaps to sync sample 3
+    got = decode_bmp(s.frame_at(mp4, 1100))[2]
+    assert got == decoded[3]
+    # ts=400ms → sample 1 → snaps to sync sample 0
+    assert decode_bmp(s.frame_at(mp4, 400))[2] == decoded[0]
+    # past-the-end ts clamps to the last sample's keyframe (sample 3)
+    assert decode_bmp(s.frame_at(mp4, 99_000))[2] == decoded[3]
+    # all-sync variant: no snapping, ts hits its own sample
+    mp4_all = encode_mp4(w, h, frames, 4)
+    _, _, _, dec_all, _ = decode_mp4(mp4_all)
+    assert decode_bmp(s.frame_at(mp4_all, 1100))[2] == dec_all[4]
+
+
+def test_mp4_through_codec_and_sampler_seams():
+    from reindexer_spark.codecs import encode_mp4
+    from reindexer_spark.multimodal import LibraryFrameSampler
+
+    w, h = 16, 8
+    frames = [gradient(w, h)] * 3
+    mp4 = encode_mp4(w, h, frames, 4)
+    d = PurePythonCodec().decode(mp4)
+    assert (d["width"], d["height"], d["features"][7]) == (w, h, 3.0)
+    lib = LibraryFrameSampler()
+    assert lib.duration_ms(mp4) == 750
+    assert lib.frame_at(mp4, 300)[:2] == b"BM"
+
+
+def test_mp4_unsupported_coding_quarantines():
+    """An avc1 (h264) sample entry needs a motion-compensation decoder
+    → MediaFormatError naming the coding, into the quarantine lane."""
+    from reindexer_spark.codecs import decode_mp4, encode_mp4
+
+    mp4 = encode_mp4(16, 8, [gradient(16, 8)], 4)
+    with pytest.raises(MediaFormatError, match="avc1"):
+        decode_mp4(mp4.replace(b"jpeg", b"avc1"))
+    with pytest.raises(MediaFormatError, match="not an ISO BMFF"):
+        decode_mp4(b"\x00" * 32)
+
+
+def test_mp4_sample_dims_must_match_stsd():
+    import struct
+
+    from reindexer_spark.codecs import decode_mp4, encode_mp4
+
+    mp4 = bytearray(encode_mp4(16, 8, [gradient(16, 8)], 4))
+    # corrupt the stsd VisualSampleEntry width field (entry body + 24)
+    i = bytes(mp4).index(b"jpeg") + 4 + 6 + 2 + 16
+    mp4[i : i + 2] = struct.pack(">H", 99)
+    with pytest.raises(MediaFormatError, match="disagree"):
+        decode_mp4(bytes(mp4))
+
+
+def test_mp4_fuzz_quarantine_contract():
+    """Truncations, byte flips, and random corruption raise only
+    MediaFormatError — the shared codec quarantine contract, across
+    the whole box walk + sample-table math + JPEG entropy decode."""
+    import numpy as np
+
+    from reindexer_spark.codecs import decode_mp4, encode_mp4
+
+    frames = [gradient(16, 8), gradient(16, 8)]
+    mp4 = encode_mp4(16, 8, frames, 4, sync_every=2)
+
+    def check(payload: bytes) -> None:
+        try:
+            decode_mp4(payload)
+        except MediaFormatError:
+            pass
+
+    for cut in range(0, len(mp4), 3):
+        check(mp4[:cut])
+    b = bytearray(mp4)
+    for i in range(0, len(mp4), 2):
+        orig = b[i]
+        b[i] ^= 0xFF
+        check(bytes(b))
+        b[i] = orig
+    for seed in range(25):
+        rng = np.random.default_rng(seed)
+        noisy = bytearray(mp4)
+        for i in rng.integers(0, len(mp4), 5):
+            noisy[i] = int(rng.integers(0, 256))
+        check(bytes(noisy))
