@@ -1,14 +1,19 @@
-"""Dependency-free media codecs: BMP / PPM / baseline-JPEG / PNG
-images, WAV audio, and AVI video (uncompressed DIB and Motion-JPEG).
+"""Dependency-free media codecs: BMP / PPM / JPEG (baseline +
+progressive) / PNG / GIF images, WAV audio, and AVI (uncompressed DIB
+and Motion-JPEG) + ISO BMFF mp4 (Photo-JPEG) video.
 
 The container has no Pillow/pyav/soundfile; the raw formats parse with
 the standard library alone (header fields + raw samples/pixels), and
-the two compressed formats real crawls are mostly made of are
-implemented from their public specs — baseline JPEG (ITU T.81 Annex K
-tables, matrix DCT, canonical huffman) and PNG (W3C spec: stdlib zlib
-inflate + full 5-filter reconstruction, all five 8-bit color types) —
-so the multimodal pipeline's decode/resize/frame-sample legs can run
-on REAL bytes, compressed included, in any environment.
+the compressed formats real crawls are mostly made of are implemented
+from their public specs — JPEG (ITU T.81: Annex K tables, matrix DCT,
+canonical huffman, progressive spectral selection + successive
+approximation), PNG (W3C spec: stdlib zlib inflate + full 5-filter
+reconstruction, all five 8-bit color types), GIF (GIF89a spec: full
+LZW state machine, color tables, interlace, animation compositing
+with transparency and disposal), and mp4 (ISO/IEC 14496-12: the full
+stsd/stts/stss/stsc/stco sample-table walk) — so the multimodal
+pipeline's decode/resize/frame-sample legs can run on REAL bytes,
+compressed included, in any environment.
 ``LibraryCodec`` in :mod:`reindexer_spark.multimodal` prefers Pillow
 when installed and falls back here.
 
@@ -2159,13 +2164,388 @@ def _decode_png_impl(payload: bytes) -> tuple[int, int, bytes]:
 
 
 # --------------------------------------------------------------------------
+# GIF (GIF87a/GIF89a, dependency-free)
+#
+# The third compressed image format real crawls carry in volume (and
+# the one animations usually arrive in).  Implemented from the public
+# spec (GIF89a Specification / ISO-ish W3C note): logical screen +
+# global/local color tables, full LZW decompression (variable-width
+# codes LSB-first, clear/EOI, dictionary growth to 4095), 4-pass
+# interlace reconstruction, and GIF89a animation semantics — Graphic
+# Control Extension delays (variable per frame), transparency holes,
+# and disposal methods 0/1 (leave), 2 (restore background), 3 (restore
+# previous), composited onto the logical screen exactly as a viewer
+# would.  Malformed streams raise MediaFormatError (quarantine
+# contract, fuzz-tested).
+# --------------------------------------------------------------------------
+
+
+def _lzw_compress(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: variable-width codes packed LSB-first, leading
+    clear code, dictionary reset at 4096, trailing EOI."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    def fresh() -> dict:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    put(clear, width)
+    prefix = b""
+    for b in indices:
+        cand = prefix + bytes([b])
+        if cand in table:
+            prefix = cand
+            continue
+        put(table[prefix], width)
+        table[cand] = next_code
+        next_code += 1
+        # the decoder adds its entry for code k only while processing
+        # code k+1, so its table trails this one by a single entry —
+        # widen one emission later than next_code==2^width or the bit
+        # streams desynchronize
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            put(clear, width)
+            table = fresh()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prefix = bytes([b])
+    if prefix:
+        put(table[prefix], width)
+    put(eoi, width)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int, n_expected: int) -> bytes:
+    """Inverse of :func:`_lzw_compress`; stops at EOI or when
+    ``n_expected`` pixels are produced (trailing bits ignored)."""
+    if not 2 <= min_code_size <= 8:
+        raise MediaFormatError("GIF LZW minimum code size out of range")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    out = bytearray()
+    acc = n_bits = pos = 0
+    prev: bytes | None = None
+    while len(out) < n_expected:
+        while n_bits < width:
+            if pos >= len(data):
+                raise MediaFormatError("GIF LZW stream truncated")
+            acc |= data[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and (code < clear or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise MediaFormatError("GIF LZW code out of range")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_expected:
+        raise MediaFormatError("GIF LZW stream ended early")
+    return bytes(out[:n_expected])
+
+
+def _gif_subblocks(body: bytes) -> bytes:
+    """Wrap raw bytes into <=255-byte GIF sub-blocks + terminator."""
+    out = bytearray()
+    for i in range(0, len(body), 255):
+        chunk = body[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(height: int) -> list[int]:
+    return [
+        y for start, step in _GIF_INTERLACE_PASSES
+        for y in range(start, height, step)
+    ]
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    delays_ms: list[int] | int = 100,
+    interlace: bool = False,
+) -> bytes:
+    """Pack top-down RGB frames into a GIF87a (single frame, no GCE) or
+    animated GIF89a (per-frame Graphic Control Extensions with REAL
+    variable delays).  The palette is built exactly from the distinct
+    colors across all frames (> 256 distinct colors raises ValueError —
+    this encoder is a fixture/test lane, quantization is out of scope),
+    so round-trips are lossless."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    for f in frames:
+        if len(f) != width * height * 3:
+            raise ValueError(
+                f"each frame needs {width * height * 3} bytes, got {len(f)}"
+            )
+    if isinstance(delays_ms, int):
+        delays_ms = [delays_ms] * len(frames)
+    if len(delays_ms) != len(frames):
+        raise ValueError("need one delay per frame")
+    palette: dict[bytes, int] = {}
+    for f in frames:
+        for i in range(0, len(f), 3):
+            c = f[i : i + 3]
+            if c not in palette:
+                palette[c] = len(palette)
+    if len(palette) > 256:
+        raise ValueError("encoder palette overflow (>256 distinct colors)")
+    gct_bits = max(1, (max(len(palette) - 1, 1)).bit_length())
+    gct = bytearray()
+    for c in palette:
+        gct += c
+    gct += bytes(3 * ((1 << gct_bits) - len(palette)))
+    animated = len(frames) > 1
+    out = bytearray(b"GIF89a" if animated else b"GIF87a")
+    out += struct.pack("<HH", width, height)
+    out.append(0x80 | ((gct_bits - 1) & 0x07))  # GCT flag + size
+    out += b"\x00\x00"  # background index, aspect
+    out += gct
+    order = (
+        _gif_interlace_order(height) if interlace else list(range(height))
+    )
+    for f, delay in zip(frames, delays_ms):
+        if animated:
+            out += b"\x21\xf9\x04\x04"  # GCE: disposal 1, no transparency
+            out += struct.pack("<H", max(0, delay) // 10)
+            out += b"\x00\x00"  # transparent index, terminator
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+        out.append(0x40 if interlace else 0x00)  # no LCT
+        rows = [f[y * width * 3 : (y + 1) * width * 3] for y in order]
+        indices = bytes(
+            palette[row[x : x + 3]]
+            for row in rows
+            for x in range(0, len(row), 3)
+        )
+        min_code = max(2, gct_bits)
+        out.append(min_code)
+        out += _gif_subblocks(_lzw_compress(indices, min_code))
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, list[int], list[bytes]]:
+    """GIF bytes → (width, height, per-frame delays in usec, frames as
+    top-down RGB composited onto the logical screen).
+
+    Full spec behavior: LZW decompression, local color tables override
+    the global one, interlaced images deinterlace through the 4-pass
+    row order, transparent pixels leave the underlying canvas visible,
+    and disposal methods restore background (2) or the previous canvas
+    (3) between frames.  ANY malformed stream raises MediaFormatError,
+    never a bare parser exception (fuzz-tested)."""
+    try:
+        return _decode_gif_impl(payload)
+    except MediaFormatError:
+        raise
+    except (struct.error, ValueError, IndexError, KeyError, OverflowError) as exc:
+        raise MediaFormatError(f"malformed GIF stream: {exc}") from exc
+
+
+def _decode_gif_impl(payload: bytes) -> tuple[int, int, list[int], list[bytes]]:
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise MediaFormatError("not a GIF payload")
+    if len(payload) < 13:
+        raise MediaFormatError("truncated GIF header")
+    width, height = struct.unpack_from("<HH", payload, 6)
+    if width == 0 or height == 0:
+        raise MediaFormatError("GIF has zero dimensions")
+    packed, bg_index = payload[10], payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            raise MediaFormatError("truncated GIF global color table")
+        gct = np.frombuffer(
+            payload[pos : pos + 3 * n], dtype=np.uint8
+        ).reshape(-1, 3)
+        pos += 3 * n
+
+    def read_subblocks(p: int) -> tuple[bytes, int]:
+        chunks = bytearray()
+        while True:
+            if p >= len(payload):
+                raise MediaFormatError("truncated GIF sub-block chain")
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return bytes(chunks), p
+            if p + n > len(payload):
+                raise MediaFormatError("truncated GIF sub-block")
+            chunks += payload[p : p + n]
+            p += n
+
+    # the canvas starts as the background color (or black without a GCT)
+    if gct is not None and bg_index < len(gct):
+        background = np.tile(gct[bg_index], (height, width, 1))
+    else:
+        background = np.zeros((height, width, 3), dtype=np.uint8)
+    canvas = background.copy()
+    frames: list[bytes] = []
+    delays: list[int] = []
+    # pending GCE state for the next image
+    delay_cs, transparent, disposal = 0, None, 0
+    while True:
+        if pos >= len(payload):
+            raise MediaFormatError("GIF missing trailer")
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos >= len(payload):
+                raise MediaFormatError("truncated GIF extension")
+            label = payload[pos]
+            body, pos = read_subblocks(pos + 1)
+            if label == 0xF9:  # Graphic Control Extension
+                if len(body) < 4:
+                    raise MediaFormatError("short GIF graphic control block")
+                flags = body[0]
+                disposal = (flags >> 2) & 0x07
+                delay_cs = struct.unpack_from("<H", body, 1)[0]
+                transparent = body[3] if flags & 0x01 else None
+            # comment / application / plain-text blocks are skipped
+            continue
+        if block != 0x2C:
+            raise MediaFormatError(
+                f"unexpected GIF block 0x{block:02x}"
+            )
+        # image descriptor
+        if pos + 9 > len(payload):
+            raise MediaFormatError("truncated GIF image descriptor")
+        left, top, iw, ih = struct.unpack_from("<HHHH", payload, pos)
+        ipacked = payload[pos + 8]
+        pos += 9
+        if iw == 0 or ih == 0 or left + iw > width or top + ih > height:
+            raise MediaFormatError("GIF image exceeds logical screen")
+        table = gct
+        if ipacked & 0x80:  # local color table
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(payload):
+                raise MediaFormatError("truncated GIF local color table")
+            table = np.frombuffer(
+                payload[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(-1, 3)
+            pos += 3 * n
+        if table is None:
+            raise MediaFormatError("GIF image has no color table")
+        if pos >= len(payload):
+            raise MediaFormatError("truncated GIF image data")
+        min_code = payload[pos]
+        data, pos = read_subblocks(pos + 1)
+        indices = np.frombuffer(
+            _lzw_decompress(data, min_code, iw * ih), dtype=np.uint8
+        ).reshape(ih, iw)
+        if ipacked & 0x40:  # deinterlace: rows arrive in 4-pass order
+            deinterlaced = np.empty_like(indices)
+            deinterlaced[_gif_interlace_order(ih)] = indices
+            indices = deinterlaced
+        if int(indices.max()) >= len(table):
+            raise MediaFormatError("GIF palette index out of range")
+        prior = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + ih, left : left + iw]
+        rgb = table[indices]
+        if transparent is not None:
+            opaque = indices != transparent
+            region[opaque] = rgb[opaque]
+        else:
+            region[...] = rgb
+        frames.append(canvas.tobytes())
+        delays.append(delay_cs * 10_000)  # centiseconds → usec
+        if disposal == 2:  # restore the frame region to background
+            canvas[top : top + ih, left : left + iw] = background[
+                top : top + ih, left : left + iw
+            ]
+        elif disposal == 3 and prior is not None:  # restore previous
+            canvas = prior
+        delay_cs, transparent, disposal = 0, None, 0
+    if not frames:
+        raise MediaFormatError("GIF has no image data")
+    return width, height, delays, frames
+
+
+class GifFrameSampler:
+    """`FrameSampler` seam over GIF payloads: animated GIFs carry REAL
+    per-frame delays (Graphic Control Extension centiseconds), so the
+    timestamp→frame lookup is a prefix-sum walk over variable
+    durations; frames re-encode as standalone decodable BMPs.  A
+    zero-delay or single-frame GIF is treated as 100 ms/frame, the
+    common viewer fallback."""
+
+    def _frames(self, payload: bytes):
+        w, h, delays, frames = decode_gif(payload)
+        delays = [d if d > 0 else 100_000 for d in delays]
+        return w, h, delays, frames
+
+    def duration_ms(self, payload: bytes) -> int:
+        _, _, delays, _ = self._frames(payload)
+        return sum(delays) // 1000
+
+    def frame_at(self, payload: bytes, ts_ms: int) -> bytes:
+        w, h, delays, frames = self._frames(payload)
+        acc, idx = 0, len(frames) - 1
+        for i, d in enumerate(delays):
+            if ts_ms * 1000 < acc + d:
+                idx = i
+                break
+            acc += d
+        return encode_bmp(w, h, frames[idx])
+
+
+# --------------------------------------------------------------------------
 # Codec implementations matching the multimodal pipeline seams
 # --------------------------------------------------------------------------
 
 # kinds the sniffer can return that are IMAGES — the set the Pillow
 # fallback in reindexer_spark.multimodal may retry when the stdlib
-# decoder rejects a payload (progressive JPEG, interlaced PNG, ...)
-IMAGE_KINDS = frozenset({"bmp", "ppm", "jpeg", "png"})
+# decoder rejects a payload (progressive JPEG, interlaced PNG, ...).
+# "gif" is an image to the fallback (Pillow decodes stills and
+# animations alike) even though the native decoder treats multi-frame
+# GIFs like video.
+IMAGE_KINDS = frozenset({"bmp", "ppm", "jpeg", "png", "gif"})
 
 
 def _sniff(payload: bytes) -> str:
@@ -2177,6 +2557,8 @@ def _sniff(payload: bytes) -> str:
         return "jpeg"
     if payload[:8] == _PNG_SIG:
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
@@ -2193,6 +2575,9 @@ def _decode_image(kind: str, payload: bytes) -> tuple[int, int, bytes]:
         return decode_ppm(payload)
     if kind == "png":
         return decode_png(payload)
+    if kind == "gif":  # as a still image: the first composited frame
+        w, h, _delays, frames = decode_gif(payload)
+        return w, h, frames[0]
     return decode_jpeg_baseline(payload)
 
 
@@ -2229,7 +2614,7 @@ class PurePythonCodec:
 
     def decode(self, payload: bytes) -> dict:
         kind = _sniff(payload)
-        if kind in IMAGE_KINDS:
+        if kind in IMAGE_KINDS and kind != "gif":
             w, h, rgb = _decode_image(kind, payload)
             feats = _image_features(w, h, rgb)
             return {
@@ -2238,9 +2623,14 @@ class PurePythonCodec:
                 "n_channels": 3,
                 "features": [round(f, 6) for f in feats],
             }
-        if kind in ("avi", "mp4"):
+        if kind in ("avi", "mp4", "gif"):
+            # gif routes with the motion containers: a still GIF is the
+            # 1-frame case (features identical to the image path, frame
+            # count 1.0), an animation pools across composited frames
             if kind == "avi":
                 w, h, _usec, frames = decode_avi(payload)
+            elif kind == "gif":
+                w, h, _delays, frames = decode_gif(payload)
             else:
                 w, h, _durs, frames, _sync = decode_mp4(payload)
             # pool the statistics across every frame's pixels: the frame

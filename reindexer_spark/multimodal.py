@@ -316,6 +316,7 @@ class LibraryFrameSampler:
     def _sampler(self, payload: bytes):
         from reindexer_spark.codecs import (
             AviFrameSampler,
+            GifFrameSampler,
             MediaFormatError,
             Mp4FrameSampler,
             WavFrameSampler,
@@ -327,6 +328,8 @@ class LibraryFrameSampler:
             return AviFrameSampler()
         if payload[4:8] == b"ftyp":
             return Mp4FrameSampler()
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return GifFrameSampler()
         raise MediaFormatError(
             "unrecognized video container (mkv/webm need pyav/ffmpeg)"
         )

@@ -135,10 +135,12 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _synth_media(d: DataFrame) -> DataFrame:
     """documents → media rows with REAL payloads: a deterministic 24-bit
-    BMP per document (pixels seeded from the text digest), every third
-    row a real mono 16-bit WAV, every doc_id % 3 == 1 row a real
-    multi-frame video (uncompressed-DIB AVI, Motion-JPEG AVI, or an
-    ISO BMFF mp4 with Photo-JPEG samples behind real sample tables),
+    BMP per document (pixels seeded from the text digest), most
+    doc_id % 3 == 2 rows a real mono 16-bit WAV (every doc_id % 12 == 2
+    row instead a real multi-frame animated GIF: LZW-packed palette
+    indices, variable per-frame GCE delays), every doc_id % 3 == 1 row
+    a real multi-frame video (uncompressed-DIB AVI, Motion-JPEG AVI, or
+    an ISO BMFF mp4 with Photo-JPEG samples behind real sample tables),
     every doc_id % 6 == 0 row a real JPEG (alternating baseline and
     PROGRESSIVE SOF2 encodings), and every doc_id % 12 == 3 row a real
     PNG (zlib-deflated through the dependency-free encoder) — the
@@ -160,6 +162,7 @@ def _synth_media(d: DataFrame) -> DataFrame:
             encode_avi,
             encode_bmp,
             encode_jpeg_baseline,
+            encode_gif,
             encode_jpeg_progressive,
             encode_mp4,
             encode_png,
@@ -170,7 +173,35 @@ def _synth_media(d: DataFrame) -> DataFrame:
             rows = []
             for _, r in pdf.iterrows():
                 seed = hashlib.sha256(r["text"].encode("utf-8")).digest()
-                if r["doc_id"] % 3 == 2:
+                if r["doc_id"] % 12 == 2:
+                    # animated GIF (carved from the audio lane): 16-color
+                    # palette from the digest, nibble-indexed pixels,
+                    # variable per-frame delays (LZW + GCE timing on the
+                    # decode path)
+                    w, h = 8 + seed[0] % 9, 8 + seed[1] % 9
+                    pal = [
+                        bytes(
+                            (seed[i], seed[(i + 7) % 32], seed[(i + 13) % 32])
+                        )
+                        for i in range(16)
+                    ]
+                    gif_frames = []
+                    for i in range(2 + seed[2] % 3):
+                        fseed = hashlib.sha256(seed + bytes([i])).digest()
+                        stream = (fseed * ((w * h) // 64 + 1))[: (w * h + 1) // 2]
+                        px = bytearray()
+                        for byte in stream:
+                            px += pal[byte >> 4] + pal[byte & 0x0F]
+                        gif_frames.append(bytes(px[: w * h * 3]))
+                    payload, kind = (
+                        encode_gif(
+                            w, h, gif_frames,
+                            delays_ms=[100 + 50 * (i % 3)
+                                       for i in range(len(gif_frames))],
+                        ),
+                        "image-gif",
+                    )
+                elif r["doc_id"] % 3 == 2:
                     samples = [
                         int.from_bytes(
                             seed[(2 * i) % 31 : (2 * i) % 31 + 2],
@@ -276,17 +307,18 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("multimodal_thumbnail")  # Python resize output → rows-only check
 def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image resize on real pixels: BMP, baseline-JPEG, and PNG
+    """Image resize on real pixels: BMP, baseline-JPEG, PNG, and GIF
     payloads downscale via the nearest-neighbor pure-Python resizer
     (JPEG decodes through the dependency-free DCT path first, PNG
-    through zlib inflate + filter reconstruction); output thumbnails
-    are themselves decodable BMPs.  Emits (dims, checksum) —
+    through zlib inflate + filter reconstruction, GIF through LZW to
+    its first composited frame); output thumbnails are themselves
+    decodable BMPs.  Emits (dims, checksum) —
     byte-stable, bounded by max_dim² per row."""
     from reindexer_spark.multimodal import LibraryResizer, resize_thumbnails
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     media = _synth_media(d).filter(
-        F.col("kind").isin("image-bmp", "image-jpeg", "image-png")
+        F.col("kind").isin("image-bmp", "image-jpeg", "image-png", "image-gif")
     )
     thumbs = resize_thumbnails(media, max_dim=8, resizer=LibraryResizer())
     return thumbs.select(
@@ -304,9 +336,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timestamped frame sampling on REAL media, audio AND video: the
     synthesized WAV payloads (2 s of real 16-bit PCM) sample a 100 ms
     window at each 500 ms mark, and the synthesized multi-frame video
-    payloads — uncompressed-DIB AVI, Motion-JPEG AVI, and ISO BMFF mp4
+    payloads — uncompressed-DIB AVI, Motion-JPEG AVI, ISO BMFF mp4
     whose Photo-JPEG samples resolve through real stts/stss/stsc/stco
-    tables with keyframe-aligned snapping — sample the decoded video
+    tables with keyframe-aligned snapping, and animated GIFs whose
+    VARIABLE per-frame GCE delays drive a non-uniform prefix-sum
+    lookup — sample the decoded video
     frame covering each mark, re-encoded as a standalone BMP — actual
     timestamp→offset math on parsed containers in both modalities
     (inter-predicted video still needs pyav and quarantines via
@@ -319,7 +353,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     media = _synth_media(d).filter(
-        F.col("kind").isin("audio-wav", "video-avi", "video-mjpeg", "video-mp4")
+        F.col("kind").isin(
+            "audio-wav", "video-avi", "video-mjpeg", "video-mp4", "image-gif"
+        )
     )
     frames = sample_video_frames(
         media, every_ms=500, max_frames=4, sampler=LibraryFrameSampler()

@@ -885,3 +885,236 @@ def test_mp4_fuzz_quarantine_contract():
         for i in rng.integers(0, len(mp4), 5):
             noisy[i] = int(rng.integers(0, 256))
         check(bytes(noisy))
+
+
+# ---------- GIF (LZW + palettes + animation compositing) ----------
+
+
+def _gif_stream(w, h, gct, images, bg=0):
+    """Assemble a GIF89a from hand-built image tuples
+    (left, top, iw, ih, indices, gce, lct, interlace) — lets tests
+    exercise transparency, disposal, offsets, and local color tables
+    the encoder doesn't emit."""
+    import struct
+
+    from reindexer_spark.codecs import _gif_subblocks, _lzw_compress
+
+    out = bytearray(b"GIF89a") + struct.pack("<HH", w, h)
+    gct_bits = max(1, (max(len(gct) - 1, 1)).bit_length())
+    out.append(0x80 | (gct_bits - 1))
+    out += bytes([bg, 0])
+    for c in gct:
+        out += bytes(c)
+    out += bytes(3 * ((1 << gct_bits) - len(gct)))
+    for left, top, iw, ih, indices, gce, lct, interlace in images:
+        if gce is not None:
+            disposal, delay_cs, transparent = gce
+            flags = (disposal << 2) | (1 if transparent is not None else 0)
+            out += bytes([0x21, 0xF9, 4, flags])
+            out += struct.pack("<H", delay_cs)
+            out += bytes([transparent or 0, 0])
+        out += b"\x2c" + struct.pack("<HHHH", left, top, iw, ih)
+        packed = 0x40 if interlace else 0
+        if lct is not None:
+            lct_bits = max(1, (max(len(lct) - 1, 1)).bit_length())
+            packed |= 0x80 | (lct_bits - 1)
+        out.append(packed)
+        if lct is not None:
+            for c in lct:
+                out += bytes(c)
+            out += bytes(3 * ((1 << lct_bits) - len(lct)))
+        out.append(2)
+        out += _gif_subblocks(_lzw_compress(bytes(indices), 2))
+    out.append(0x3B)
+    return bytes(out)
+
+
+def test_gif_roundtrip_still_animated_interlaced():
+    from reindexer_spark.codecs import decode_gif, encode_gif
+
+    w, h = 24, 16
+    f1 = bytearray()
+    for y in range(h):
+        for x in range(w):
+            f1 += bytes((((x * 255) // 23) & 0xE0, ((y * 255) // 15) & 0xE0, 64))
+    f1 = bytes(f1)
+    f2 = f1[-3:] + f1[:-3]
+    # still GIF87a, lossless
+    _, _, _, frames = decode_gif(encode_gif(w, h, [f1]))
+    assert frames[0] == f1
+    # animated GIF89a with REAL per-frame delays
+    w2, h2, delays, frames = decode_gif(
+        encode_gif(w, h, [f1, f2, f1], delays_ms=[100, 250, 50])
+    )
+    assert (w2, h2) == (w, h)
+    assert delays == [100_000, 250_000, 50_000]
+    assert frames == [f1, f2, f1]
+    # interlaced: 4-pass row order reconstructs exactly
+    _, _, _, fr3 = decode_gif(encode_gif(w, h, [f1], interlace=True))
+    assert fr3[0] == f1
+
+
+def test_gif_lzw_width_growth_and_reset():
+    """A 256-color random frame forces code-width growth to 12 bits and
+    dictionary resets at 4096 — the full LZW state machine, lossless."""
+    import numpy as np
+
+    from reindexer_spark.codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(7)
+    w, h = 200, 150
+    pal = [(i, (i * 3) % 256, 255 - i) for i in range(256)]
+    frame = b"".join(bytes(pal[i]) for i in rng.integers(0, 256, size=w * h))
+    _, _, _, frames = decode_gif(encode_gif(w, h, [frame]))
+    assert frames[0] == frame
+
+
+def test_gif_transparency_composites_over_canvas():
+    """Frame 2 is a 2x2 patch at (1,1) whose transparent pixels leave
+    frame 1's pixels visible — the GIF89a animation optimization."""
+    from reindexer_spark.codecs import decode_gif
+
+    gct = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    base = [0] * 16  # 4x4 all red
+    patch = [1, 3, 3, 1]  # green at (1,1),(2,2); index 3 transparent
+    gif = _gif_stream(4, 4, gct, [
+        (0, 0, 4, 4, base, (1, 10, None), None, False),
+        (1, 1, 2, 2, patch, (1, 10, 3), None, False),
+    ])
+    _, _, delays, frames = decode_gif(gif)
+    assert len(frames) == 2 and delays == [100_000, 100_000]
+    px = [frames[1][i : i + 3] for i in range(0, 48, 3)]
+    grid = [px[r * 4 : (r + 1) * 4] for r in range(4)]
+    assert grid[1][1] == b"\x00\xff\x00"  # patch pixel
+    assert grid[1][2] == b"\xff\x00\x00"  # transparent -> red shows
+    assert grid[2][1] == b"\xff\x00\x00"  # transparent -> red shows
+    assert grid[2][2] == b"\x00\xff\x00"  # patch pixel
+
+
+def test_gif_disposal_background_and_previous():
+    from reindexer_spark.codecs import decode_gif
+
+    gct = [(10, 10, 10), (200, 0, 0), (0, 200, 0)]
+    # frame1 disposal=2 (restore bg): frame2's transparent region shows
+    # BACKGROUND (index 0), not frame1
+    gif = _gif_stream(2, 1, gct, [
+        (0, 0, 2, 1, [1, 1], (2, 5, None), None, False),
+        (0, 0, 2, 1, [2, 0], (1, 5, 0), None, False),
+    ], bg=0)
+    _, _, _, frames = decode_gif(gif)
+    assert frames[0] == b"\xc8\x00\x00" * 2
+    assert frames[1] == b"\x00\xc8\x00" + b"\x0a\x0a\x0a"
+    # disposal=3 (restore previous): frame3 composites over frame1's
+    # canvas, not frame2's
+    gif3 = _gif_stream(2, 1, gct, [
+        (0, 0, 2, 1, [1, 1], (1, 5, None), None, False),
+        (0, 0, 2, 1, [2, 2], (3, 5, None), None, False),
+        (0, 0, 1, 1, [0], (1, 5, None), None, False),
+    ])
+    _, _, _, fr = decode_gif(gif3)
+    assert fr[1] == b"\x00\xc8\x00" * 2
+    assert fr[2] == b"\x0a\x0a\x0a" + b"\xc8\x00\x00"  # right px back to f1
+
+
+def test_gif_local_color_table_overrides_global():
+    from reindexer_spark.codecs import decode_gif
+
+    gct = [(255, 255, 255), (0, 0, 0)]
+    lct = [(1, 2, 3), (4, 5, 6)]
+    gif = _gif_stream(1, 1, gct, [(0, 0, 1, 1, [1], None, lct, False)])
+    _, _, _, frames = decode_gif(gif)
+    assert frames[0] == b"\x04\x05\x06"
+
+
+def test_gif_malformed_streams_quarantine():
+    from reindexer_spark.codecs import decode_gif, encode_gif
+
+    gct = [(0, 0, 0), (1, 1, 1)]
+    # image exceeds logical screen
+    bad = _gif_stream(2, 2, gct, [(1, 1, 2, 2, [0, 1, 1, 0], None, None, False)])
+    with pytest.raises(MediaFormatError, match="exceeds"):
+        decode_gif(bad)
+    # palette index out of range
+    bad2 = _gif_stream(2, 1, gct, [(0, 0, 2, 1, [0, 3], None, None, False)])
+    with pytest.raises(MediaFormatError, match="index out of range"):
+        decode_gif(bad2)
+    with pytest.raises(MediaFormatError, match="not a GIF"):
+        decode_gif(b"NOPE" * 4)
+    # encoder contract: >256 distinct colors is out of scope
+    rgb = b"".join(bytes((i & 0xFF, i >> 8, 0)) for i in range(257))
+    with pytest.raises(ValueError, match="palette"):
+        encode_gif(257, 1, [rgb])
+
+
+def test_gif_frame_sampler_variable_delays():
+    """GIF delays vary per frame, so the sampler's prefix-sum walk is
+    exercised on genuinely non-uniform durations."""
+    from reindexer_spark.codecs import (
+        GifFrameSampler,
+        decode_bmp,
+        encode_gif,
+    )
+    from reindexer_spark.multimodal import LibraryFrameSampler
+
+    w, h = 8, 4
+    colors = [bytes((c, c, c)) * (w * h) for c in (10, 20, 30)]
+    gif = encode_gif(w, h, colors, delays_ms=[50, 300, 100])
+    s = GifFrameSampler()
+    assert s.duration_ms(gif) == 450
+    assert decode_bmp(s.frame_at(gif, 40))[2] == colors[0]
+    assert decode_bmp(s.frame_at(gif, 200))[2] == colors[1]
+    assert decode_bmp(s.frame_at(gif, 420))[2] == colors[2]
+    assert decode_bmp(s.frame_at(gif, 9999))[2] == colors[2]
+    # the container-sniffing seam routes GIF animations too
+    assert LibraryFrameSampler().duration_ms(gif) == 450
+
+
+def test_gif_through_codec_and_resizer_seams():
+    from reindexer_spark.codecs import encode_gif
+
+    w, h = 16, 8
+    f1 = bytes((x % 8) * 32 for y in range(h) for x in range(w) for _ in range(3))
+    f2 = f1[-3:] + f1[:-3]
+    gif = encode_gif(w, h, [f1, f2])
+    d = PurePythonCodec().decode(gif)
+    assert (d["width"], d["height"], d["features"][7]) == (w, h, 2.0)
+    # still GIF features equal the same pixels' BMP features except the
+    # frame-count slot semantics (both 1.0 here)
+    still = PurePythonCodec().decode(encode_gif(w, h, [f1]))
+    bmp = PurePythonCodec().decode(encode_bmp(w, h, f1))
+    assert still["features"] == bmp["features"]
+    # thumbnails resize the first composited frame
+    r = PurePythonResizer().resize(gif, 8)
+    assert (r["thumb_w"], r["thumb_h"]) == (8, 4)
+    assert r["thumbnail"][:2] == b"BM"
+
+
+def test_gif_fuzz_quarantine_contract():
+    import numpy as np
+
+    from reindexer_spark.codecs import decode_gif, encode_gif
+
+    w, h = 16, 8
+    f1 = bytes((x % 8) * 32 for y in range(h) for x in range(w) for _ in range(3))
+    gif = encode_gif(w, h, [f1, f1[-3:] + f1[:-3]], delays_ms=[100, 200])
+
+    def check(payload: bytes) -> None:
+        try:
+            decode_gif(payload)
+        except MediaFormatError:
+            pass
+
+    for cut in range(0, len(gif), 3):
+        check(gif[:cut])
+    b = bytearray(gif)
+    for i in range(0, len(gif), 2):
+        orig = b[i]
+        b[i] ^= 0xFF
+        check(bytes(b))
+        b[i] = orig
+    for seed in range(25):
+        rng = np.random.default_rng(seed)
+        noisy = bytearray(gif)
+        for i in rng.integers(0, len(gif), 5):
+            noisy[i] = int(rng.integers(0, 256))
+        check(bytes(noisy))
