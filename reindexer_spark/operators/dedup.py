@@ -1363,3 +1363,160 @@ def dedup_cascade_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("d1", "d2", tier.alias("tier"), "jaccard", "containment")
     )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             concat(
+               CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END,
+               source, '.example.com',
+               CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,
+               '/docs/', CAST(doc_id % 50 AS VARCHAR),
+               CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+               '?utm_source=feed&ref=', lang,
+               CASE WHEN doc_id % 5 = 0 THEN '&b=2&a=1' ELSE '&a=1&b=2' END,
+               CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END
+             ) AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             regexp_replace(url, '#.*$', '') AS base
+      FROM urls
+    ),
+    split AS (
+      SELECT doc_id, url,
+             split_part(base, '?', 1) AS loc,
+             split_part(base, '?', 2) AS q
+      FROM parts
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             concat(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     lower(regexp_extract(loc, '^[^/]+//[^/]+')),
+                     '^(https?://)www\\.', '\\1'),
+                   ':443$', ''),
+                 ':80$', ''),
+               regexp_replace(
+                 substr(loc, length(regexp_extract(loc, '^[^/]+//[^/]+')) + 1),
+                 '/$', ''),
+               CASE WHEN kept = '' THEN '' ELSE concat('?', kept) END
+             ) AS canonical_url
+      FROM (
+        SELECT *,
+               array_to_string(
+                 list_sort(
+                   list_filter(string_split(q, '&'),
+                               x -> NOT (x LIKE 'utm\\_%' ESCAPE '\\'
+                                         OR x LIKE 'ref=%'))),
+                 '&') AS kept
+        FROM split
+      )
+    )
+    SELECT canonical_url,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT url) AS n_raw_forms,
+           MIN(doc_id) AS rep_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    HAVING COUNT(*) >= 2
+    ORDER BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the step a crawl pipeline runs
+    BEFORE any content dedup: the same page arrives under dozens of
+    surface forms (scheme/host case, www., default ports, trailing
+    slash, tracking parameters, parameter order, fragments), and
+    collapsing them first is orders of magnitude cheaper than letting
+    content dedup discover the duplicates.
+
+    The corpus has no URL column, so a deterministic messy URL is
+    synthesized per document from (source, doc_id, lang) — upper-case
+    scheme+www on some rows, :443 default port, trailing slash,
+    utm/ref tracking params, shuffled parameter order, fragments —
+    IDENTICALLY on both engines; the operator under test is the
+    canonicalization chain: fragment strip, scheme+host lowercase,
+    www. strip, default-port strip, trailing-slash strip,
+    tracking-param removal, parameter sort.  Different (source,
+    doc_id % 50) pages stay distinct; surface variants collapse.
+
+    Scale shape: canonicalization is pure per-row string work (no
+    shuffle, whole-stage codegen), and the dedup itself is ONE hash
+    aggregation on the canonical key — at 100 TB the canonical URL is
+    a ~60-byte shuffle key vs the kilobytes of page content a
+    content-first dedup would move.  reference driver.go:85-92 scans
+    by id only; URL identity is part of the north-star extension
+    surface."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS://WWW.")).otherwise(
+            F.lit("https://")
+        ),
+        F.col("source"),
+        F.lit(".example.com"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&ref="),
+        F.col("lang"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("&b=2&a=1")).otherwise(
+            F.lit("&a=1&b=2")
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    base = F.regexp_replace(F.col("url"), "#.*$", "")
+    with_parts = (
+        d.select("doc_id", url.alias("url"))
+        .withColumn("loc", F.split_part(base, F.lit("?"), F.lit(1)))
+        .withColumn("q", F.split_part(base, F.lit("?"), F.lit(2)))
+    )
+    scheme_host = F.regexp_extract(F.col("loc"), "^[^/]+//[^/]+", 0)
+    host_clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(scheme_host), r"^(https?://)www\.", r"$1"
+            ),
+            ":443$",
+            "",
+        ),
+        ":80$",
+        "",
+    )
+    path_clean = F.regexp_replace(
+        F.expr("substring(loc, length(regexp_extract(loc, '^[^/]+//[^/]+', 0)) + 1)"),
+        "/$",
+        "",
+    )
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.col("q"), "&"),
+                lambda x: ~(x.like(r"utm\_%") | x.like("ref=%")),
+            )
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        host_clean,
+        path_clean,
+        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+    )
+    return (
+        with_parts.withColumn("canonical_url", canonical)
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("url").alias("n_raw_forms"),
+            F.min("doc_id").alias("rep_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("canonical_url")
+    )

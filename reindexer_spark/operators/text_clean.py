@@ -1199,3 +1199,155 @@ def dq_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_v",
         "histogram",
     )
+
+
+LINE_WIDTH = 10  # words per pseudo-line
+LINE_MIN_WORDS = 5  # C4's minimum-words-per-line rule
+LINE_BOILER_DF = 20  # lines appearing in > this many docs are boilerplate
+
+
+@query(
+    "text_line_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split(text, ' ') AS t
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, 0 AS pos,
+             concat('mirrored copy of ', source, ' archive') AS line
+      FROM toks
+      UNION ALL
+      SELECT doc_id, i + 1 AS pos,
+             array_to_string(
+               t[(i * {LINE_WIDTH} + 1):((i + 1) * {LINE_WIDTH})], ' ') AS line
+      FROM toks
+      CROSS JOIN unnest(range((len(t) + {LINE_WIDTH} - 1) // {LINE_WIDTH}))
+                 AS r(i)
+    ),
+    line_df AS (
+      SELECT line FROM lines
+      GROUP BY line
+      HAVING COUNT(DISTINCT doc_id) > {LINE_BOILER_DF}
+    ),
+    flagged AS (
+      SELECT l.doc_id, l.pos, l.line,
+             len(string_split(l.line, ' ')) < {LINE_MIN_WORDS} AS is_short,
+             (b.line IS NOT NULL) AS is_boiler
+      FROM lines l LEFT JOIN line_df b ON l.line = b.line
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN is_short THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_short_dropped,
+           CAST(SUM(CASE WHEN is_boiler AND NOT is_short THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler_dropped,
+           CAST(SUM(CASE WHEN NOT is_short AND NOT is_boiler THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(line, ' ' ORDER BY pos)
+                          FILTER (WHERE NOT is_short AND NOT is_boiler), ''))
+             AS cleaned_checksum
+    FROM flagged
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style LINE-level cleaning: explode each document
+    into lines, drop lines that fail per-line rules — too short
+    (< {LINE_MIN_WORDS} words, C4's terminal rule adapted to this
+    unpunctuated corpus) or corpus-frequent boilerplate (the same line
+    text in > {LINE_BOILER_DF} documents: nav bars, cookie banners,
+    mirror headers) — then reassemble the surviving lines IN ORDER and
+    checksum the cleaned text.  Line-level dedup is the cleaning pass
+    document-level dedup cannot replace: a boilerplate header shared by
+    thousands of otherwise-distinct pages never trips a document
+    near-dup threshold.
+
+    The corpus has no newlines, so lines are synthesized
+    deterministically on both engines: a per-source header line
+    ('mirrored copy of srcN archive' — guaranteed boilerplate, every doc of a
+    source shares it) plus the token stream in fixed {LINE_WIDTH}-word
+    segments (the tail segment is usually short, exercising the
+    min-words rule).
+
+    Scale shape: one explode (rows × ~lines-per-doc, each line a short
+    string), ONE window/aggregation keyed by the line text to get
+    line document-frequency, one per-doc reassembly aggregation sorted
+    by line position.  At 100 TB the line-DF aggregation is the big
+    shuffle; lines would travel as xxhash64 digests with the DF cap
+    trick from the dedup family (documents are the md5-checkable
+    gate here).  The reassembly's collect_list is bounded by document
+    length, never corpus size."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "t", F.split("text", " ")
+    )
+    n_segs = (F.size("t") + LINE_WIDTH - 1) / LINE_WIDTH
+    seg_lines = F.transform(
+        F.sequence(F.lit(0), n_segs.cast("int") - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("t"), i * LINE_WIDTH + 1, LINE_WIDTH), " "
+        ),
+    )
+    all_lines = F.concat(
+        F.array(F.concat(F.lit("mirrored copy of "), F.col("source"), F.lit(" archive"))),
+        seg_lines,
+    )
+    lines = d.select(
+        "doc_id", F.posexplode(all_lines).alias("pos", "line")
+    )
+    # line document-frequency as a grouped relation, joined back — the
+    # boilerplate list is tiny by construction (only corpus-frequent
+    # lines survive the HAVING), so the join side broadcasts
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > LINE_BOILER_DF)
+        .select("line")
+    )
+    flagged = lines.join(
+        F.broadcast(boiler.withColumn("is_boiler", F.lit(True))),
+        "line",
+        "left",
+    ).select(
+        "doc_id",
+        "pos",
+        "line",
+        (F.size(F.split("line", " ")) < LINE_MIN_WORDS).alias("is_short"),
+        F.coalesce("is_boiler", F.lit(False)).alias("is_boiler"),
+    )
+    kept = ~F.col("is_short") & ~F.col("is_boiler")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("is_short").cast("bigint")).alias("n_short_dropped"),
+            F.sum((F.col("is_boiler") & ~F.col("is_short")).cast("bigint")).alias(
+                "n_boiler_dropped"
+            ),
+            F.sum(kept.cast("bigint")).alias("n_kept"),
+            F.md5(
+                F.coalesce(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.when(
+                                        kept,
+                                        F.struct(
+                                            F.col("pos"), F.col("line")
+                                        ),
+                                    )
+                                )
+                            ),
+                            lambda s: s.getField("line"),
+                        ),
+                        " ",
+                    ),
+                    F.lit(""),
+                )
+            ).alias("cleaned_checksum"),
+        )
+        .orderBy("doc_id")
+    )
