@@ -1,0 +1,180 @@
+"""WARC custom DataSource: spec-shaped crawl archives (plain and gzip)
+read with per-file parallelism, HTTP envelope stripping, planning-time
+file pruning, and a loud failure mode for truncated archives."""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from reindexer_spark.codecs import encode_bmp
+from reindexer_spark.sources.warc import (
+    WarcDataSource,
+    parse_warc_records,
+    split_http_payload,
+    write_warc_records,
+)
+
+
+def _bmp(w=4, h=2, c=7) -> bytes:
+    return encode_bmp(w, h, bytes([c]) * (w * h * 3))
+
+
+def _records(n=5):
+    recs = [
+        {
+            "warc_type": "warcinfo",
+            "record_id": "<urn:uuid:info>",
+            "block": b"software: test-crawler\r\n",
+            "content_type": "application/warc-fields",
+        }
+    ]
+    for i in range(n):
+        recs.append(
+            {
+                "warc_type": "request",
+                "record_id": f"<urn:uuid:req{i}>",
+                "target_uri": f"https://ex.com/p{i}",
+                "block": b"GET /p HTTP/1.1\r\n\r\n",
+                "content_type": "application/http; msgtype=request",
+            }
+        )
+        recs.append(
+            {
+                "warc_type": "response",
+                "record_id": f"<urn:uuid:resp{i}>",
+                "target_uri": f"https://ex.com/p{i}",
+                "http": (
+                    200 if i % 2 == 0 else 404,
+                    [("Content-Type", "image/bmp" if i % 2 == 0 else "text/html")],
+                    _bmp(c=i) if i % 2 == 0 else b"<html>gone</html>",
+                ),
+            }
+        )
+    return recs
+
+
+def test_roundtrip_plain_and_gzip(spark, tmp_path):
+    d = tmp_path / "warcs"
+    d.mkdir()
+    write_warc_records(str(d / "a.warc"), _records(5))
+    write_warc_records(str(d / "b.warc.gz"), _records(3), compress=True)
+    spark.dataSource.register(WarcDataSource)
+    got = spark.read.format("warc").load(str(d))
+    rows = got.collect()
+    assert len(rows) == (1 + 10) + (1 + 6)
+    # one scan partition per archive file
+    assert got.rdd.getNumPartitions() == 2
+    by_type = {
+        (r.warc_file, r.warc_type): r for r in rows if r.warc_type == "warcinfo"
+    }
+    assert set(by_type) == {("a.warc", "warcinfo"), ("b.warc.gz", "warcinfo")}
+    # responses: HTTP envelope stripped, status + page content-type
+    # surfaced, payload is the actual body bytes
+    resp = [r for r in rows if r.warc_file == "a.warc" and r.warc_type == "response"]
+    assert [r.http_status for r in resp] == [200, 404, 200, 404, 200]
+    ok = [r for r in resp if r.http_status == 200]
+    assert all(r.content_type == "image/bmp" for r in ok)
+    assert bytes(ok[1].payload) == _bmp(c=2)
+    assert ok[1].n_bytes == len(_bmp(c=2))
+    # non-response records keep their raw block and WARC-level type
+    info = [r for r in rows if r.warc_type == "warcinfo"][0]
+    assert bytes(info.payload) == b"software: test-crawler\r\n"
+    assert info.http_status is None
+    assert info.content_type == "application/warc-fields"
+
+
+def test_pushdown_prunes_files_conjunctively(spark, tmp_path):
+    d = tmp_path / "warcs"
+    d.mkdir()
+    write_warc_records(str(d / "a.warc"), _records(2))
+    write_warc_records(str(d / "b.warc"), _records(2))
+    spark.dataSource.register(WarcDataSource)
+    df = spark.read.format("warc").load(str(d))
+    one = df.filter(F.col("warc_file") == "a.warc")
+    assert one.rdd.getNumPartitions() == 1
+    assert one.count() == 5
+    # conjunctive pushed filters: f='a' AND f='b' is EMPTY, not a union
+    none = df.filter(
+        (F.col("warc_file") == "a.warc") & (F.col("warc_file") == "b.warc")
+    )
+    assert none.count() == 0
+
+
+def test_warc_payloads_flow_into_decode_lane(spark, tmp_path):
+    """The crawl→multimodal integration: WARC response bodies feed the
+    Arrow-batched decode stage and produce real features; non-image
+    bodies quarantine per-row."""
+    from reindexer_spark.multimodal import LibraryCodec, extract_media_features
+
+    d = tmp_path / "warcs"
+    d.mkdir()
+    write_warc_records(str(d / "a.warc"), _records(6))
+    spark.dataSource.register(WarcDataSource)
+    media = (
+        spark.read.format("warc")
+        .load(str(d))
+        .filter(F.col("warc_type") == "response")
+        .select(
+            F.monotonically_increasing_id().alias("media_id"),
+            F.col("content_type").alias("kind"),
+            "payload",
+            F.create_map(F.lit("uri"), "target_uri").alias("meta"),
+        )
+    )
+    feats = extract_media_features(media, codec=LibraryCodec()).collect()
+    decoded = [r for r in feats if r.width is not None]
+    failed = [r for r in feats if r.width is None]
+    assert len(decoded) == 3 and all(r.width == 4 for r in decoded)
+    assert len(failed) == 3  # html bodies quarantine, don't fail the stage
+
+
+def test_truncated_archive_fails_loudly():
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "x.warc")
+        write_warc_records(p, _records(2))
+        data = open(p, "rb").read()
+        # cut inside the last record's block
+        cut = io.BytesIO(data[: len(data) - 30])
+        with pytest.raises(ValueError, match="truncated"):
+            list(parse_warc_records(cut, where="x.warc"))
+        # a header line that never terminates
+        bad = io.BytesIO(b"WARC/1.0\r\nWARC-Type: response")
+        with pytest.raises(ValueError, match="truncated WARC header"):
+            list(parse_warc_records(bad))
+        # garbage where a version line should be
+        with pytest.raises(ValueError, match="version line"):
+            list(parse_warc_records(io.BytesIO(b"NOT-WARC\r\n")))
+        # missing Content-Length
+        nolen = io.BytesIO(b"WARC/1.0\r\nWARC-Type: metadata\r\n\r\n")
+        with pytest.raises(ValueError, match="Content-Length"):
+            list(parse_warc_records(nolen))
+
+
+def test_http_split_degrades_per_record():
+    assert split_http_payload(b"not http at all") == (None, None, b"not http at all")
+    s, t, b = split_http_payload(
+        b"HTTP/1.1 301 Moved\r\nLocation: /x\r\nContent-Type: a/b\r\n\r\nBODY"
+    )
+    assert (s, t, b) == (301, "a/b", b"BODY")
+    # header block without the blank-line separator → raw passthrough
+    s, t, b = split_http_payload(b"HTTP/1.1 200 OK\r\nX: 1")
+    assert s is None and b == b"HTTP/1.1 200 OK\r\nX: 1"
+
+
+def test_lf_only_padding_tolerated():
+    """Real archives vary in inter-record padding; LF-only gaps parse."""
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "x.warc")
+        write_warc_records(p, _records(1))
+        data = open(p, "rb").read().replace(b"\r\n\r\nWARC/", b"\n\nWARC/")
+        recs = list(parse_warc_records(io.BytesIO(data), where="x"))
+        assert len(recs) == 3
