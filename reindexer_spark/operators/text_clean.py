@@ -1351,3 +1351,183 @@ def text_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+BPE_MERGES = 3  # plan-unrolled merge iterations (the kmeans pattern)
+
+
+@query(
+    "text_bpe_train",
+    oracle="""
+    WITH words AS (
+      SELECT w, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) >= 2
+      GROUP BY w
+    ),
+    v0 AS (
+      SELECT w, freq,
+             rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s
+      FROM words
+    ),
+    p1 AS (
+      SELECT l[i] AS a, l[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS f
+      FROM (SELECT string_split(s, ' ') AS l, freq FROM v0)
+      CROSS JOIN unnest(range(1, len(l))) AS r(i)
+      GROUP BY 1, 2
+    ),
+    b1 AS (SELECT * FROM p1 ORDER BY f DESC, a, b LIMIT 1),
+    v1 AS (
+      SELECT w, freq,
+             trim(replace(
+               replace(' ' || replace(s, ' ', '  ') || ' ',
+                       ' ' || a || '  ' || b || ' ',
+                       ' ' || a || b || ' '),
+               '  ', ' ')) AS s
+      FROM v0 CROSS JOIN b1
+    ),
+    p2 AS (
+      SELECT l[i] AS a, l[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS f
+      FROM (SELECT string_split(s, ' ') AS l, freq FROM v1)
+      CROSS JOIN unnest(range(1, len(l))) AS r(i)
+      GROUP BY 1, 2
+    ),
+    b2 AS (SELECT * FROM p2 ORDER BY f DESC, a, b LIMIT 1),
+    v2 AS (
+      SELECT w, freq,
+             trim(replace(
+               replace(' ' || replace(s, ' ', '  ') || ' ',
+                       ' ' || a || '  ' || b || ' ',
+                       ' ' || a || b || ' '),
+               '  ', ' ')) AS s
+      FROM v1 CROSS JOIN b2
+    ),
+    p3 AS (
+      SELECT l[i] AS a, l[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS f
+      FROM (SELECT string_split(s, ' ') AS l, freq FROM v2)
+      CROSS JOIN unnest(range(1, len(l))) AS r(i)
+      GROUP BY 1, 2
+    ),
+    b3 AS (SELECT * FROM p3 ORDER BY f DESC, a, b LIMIT 1),
+    v3 AS (
+      SELECT w, freq,
+             trim(replace(
+               replace(' ' || replace(s, ' ', '  ') || ' ',
+                       ' ' || a || '  ' || b || ' ',
+                       ' ' || a || b || ' '),
+               '  ', ' ')) AS s
+      FROM v2 CROSS JOIN b3
+    )
+    SELECT 1 AS step, a || '+' || b AS merge_pair, f AS pair_freq,
+           (SELECT CAST(SUM(freq * len(string_split(s, ' '))) AS BIGINT)
+            FROM v1) AS corpus_tokens_after
+    FROM b1
+    UNION ALL
+    SELECT 2, a || '+' || b, f,
+           (SELECT CAST(SUM(freq * len(string_split(s, ' '))) AS BIGINT)
+            FROM v2)
+    FROM b2
+    UNION ALL
+    SELECT 3, a || '+' || b, f,
+           (SELECT CAST(SUM(freq * len(string_split(s, ' '))) AS BIGINT)
+            FROM v3)
+    FROM b3
+    ORDER BY step
+    """,
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, the real iterative algorithm, value-exact:
+    start from character symbol sequences over the vocabulary, and for
+    each of {BPE_MERGES} unrolled iterations pick the corpus-weighted
+    most frequent adjacent symbol pair (total order: freq DESC, pair
+    ASC) and merge every occurrence greedily left-to-right — exactly
+    what sentencepiece/HF BPE trainers do per merge.  Emits the merge
+    table with the post-merge corpus token count, which decreases
+    monotonically: the compression the tokenizer is buying.
+
+    Greedy left-to-right apply without a UDF: the symbol string doubles
+    its separators (' '→'  ') and pads, so each candidate occurrence
+    owns its delimiters and plain string `replace` — identical
+    left-to-right non-overlapping semantics on both engines — merges
+    'l l l' to 'll l', never 'l ll'.  The best pair is a 1-row
+    relation cross-joined (broadcast) into the vocabulary, the same
+    plan-unrolled-scalar pattern as embed_kmeans_lloyd — no driver
+    collect, no Python loop over data.
+
+    Scale shape: like text_bpe_pairs, the ONLY corpus-sized operation
+    is the initial word-frequency aggregation; all {BPE_MERGES}
+    iterations run over the VOCABULARY relation (|vocab| rows
+    regardless of corpus size) with a broadcast 1-row join each — at
+    100 TB each merge is a vocab-sized map stage plus one tiny
+    aggregation, which is why real tokenizer training runs on word
+    counts, not raw text."""
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    vocab = words.withColumn(
+        "s", F.rtrim(F.regexp_replace("w", "(.)", "$1 "))
+    )
+
+    def pair_stats(v: DataFrame) -> DataFrame:
+        l = F.split("s", " ")
+        pairs = F.when(
+            F.size(l) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(l) - 1),
+                lambda i: F.struct(
+                    F.element_at(l, i).alias("a"),
+                    F.element_at(l, i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        return (
+            v.select(F.explode(pairs).alias("p"), "freq")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").cast("bigint").alias("f"))
+        )
+
+    def apply_merge(v: DataFrame, best: DataFrame) -> DataFrame:
+        doubled = F.concat(
+            F.lit(" "), F.replace("s", F.lit(" "), F.lit("  ")), F.lit(" ")
+        )
+        pat = F.concat(F.lit(" "), F.col("a"), F.lit("  "), F.col("b"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" "))
+        return (
+            v.crossJoin(F.broadcast(best))
+            .withColumn(
+                "s",
+                F.trim(
+                    F.replace(
+                        F.replace(doubled, pat, rep), F.lit("  "), F.lit(" ")
+                    )
+                ),
+            )
+            .drop("a", "b", "f")
+        )
+
+    out_rows = []
+    v = vocab
+    for step in range(1, BPE_MERGES + 1):
+        best = pair_stats(v).orderBy(F.desc("f"), "a", "b").limit(1)
+        v = apply_merge(v, best)
+        tokens_after = v.agg(
+            F.sum(F.col("freq") * F.size(F.split("s", " ")))
+            .cast("bigint")
+            .alias("corpus_tokens_after")
+        )
+        out_rows.append(
+            best.crossJoin(tokens_after).select(
+                F.lit(step).alias("step"),
+                F.concat("a", F.lit("+"), "b").alias("merge_pair"),
+                F.col("f").alias("pair_freq"),
+                "corpus_tokens_after",
+            )
+        )
+    res = out_rows[0]
+    for r in out_rows[1:]:
+        res = res.unionAll(r)
+    return res.orderBy("step")
