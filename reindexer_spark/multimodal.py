@@ -316,6 +316,7 @@ class LibraryFrameSampler:
     def _sampler(self, payload: bytes):
         from reindexer_spark.codecs import (
             AviFrameSampler,
+            FlacFrameSampler,
             GifFrameSampler,
             MediaFormatError,
             Mp4FrameSampler,
@@ -324,6 +325,8 @@ class LibraryFrameSampler:
 
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return WavFrameSampler()
+        if payload[:4] == b"fLaC":
+            return FlacFrameSampler()
         if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
             return AviFrameSampler()
         if payload[4:8] == b"ftyp":

@@ -138,7 +138,8 @@ def _synth_media(d: DataFrame) -> DataFrame:
     BMP per document (pixels seeded from the text digest), most
     doc_id % 3 == 2 rows a real mono 16-bit WAV (every doc_id % 12 == 2
     row instead a real multi-frame animated GIF: LZW-packed palette
-    indices, variable per-frame GCE delays), every doc_id % 3 == 1 row
+    indices, variable per-frame GCE delays; every doc_id % 12 == 8 row
+    the same PCM compressed losslessly as FLAC), every doc_id % 3 == 1 row
     a real multi-frame video (uncompressed-DIB AVI, Motion-JPEG AVI, or
     an ISO BMFF mp4 with Photo-JPEG samples behind real sample tables),
     every doc_id % 6 == 0 row a real JPEG (alternating baseline and
@@ -161,8 +162,9 @@ def _synth_media(d: DataFrame) -> DataFrame:
         from reindexer_spark.codecs import (
             encode_avi,
             encode_bmp,
-            encode_jpeg_baseline,
+            encode_flac,
             encode_gif,
+            encode_jpeg_baseline,
             encode_jpeg_progressive,
             encode_mp4,
             encode_png,
@@ -210,7 +212,13 @@ def _synth_media(d: DataFrame) -> DataFrame:
                         )
                         for i in range(16000)
                     ]
-                    payload, kind = encode_wav(samples, 8000), "audio-wav"
+                    # every doc_id % 12 == 8 row compresses the same PCM
+                    # losslessly through the FLAC encoder instead — the
+                    # compressed-audio decode path on real bytes
+                    if r["doc_id"] % 12 == 8:
+                        payload, kind = encode_flac(samples, 8000), "audio-flac"
+                    else:
+                        payload, kind = encode_wav(samples, 8000), "audio-wav"
                 elif r["doc_id"] % 3 == 1:
                     w, h = 6 + seed[0] % 7, 6 + seed[1] % 7
                     frames = []
@@ -354,7 +362,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     media = _synth_media(d).filter(
         F.col("kind").isin(
-            "audio-wav", "video-avi", "video-mjpeg", "video-mp4", "image-gif"
+            "audio-wav", "audio-flac", "video-avi", "video-mjpeg",
+            "video-mp4", "image-gif",
         )
     )
     frames = sample_video_frames(

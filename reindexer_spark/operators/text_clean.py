@@ -1531,3 +1531,163 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in out_rows[1:]:
         res = res.unionAll(r)
     return res.orderBy("step")
+
+
+@query(
+    "text_bpe_apply",
+    oracle="""
+    WITH words AS (
+      SELECT w, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) >= 2
+      GROUP BY w
+    ),
+    v0 AS (
+      SELECT w, freq,
+             rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s
+      FROM words
+    ),
+    p1 AS (
+      SELECT l[i] AS a, l[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS f
+      FROM (SELECT string_split(s, ' ') AS l, freq FROM v0)
+      CROSS JOIN unnest(range(1, len(l))) AS r(i)
+      GROUP BY 1, 2
+    ),
+    b1 AS (SELECT * FROM p1 ORDER BY f DESC, a, b LIMIT 1),
+    v1 AS (
+      SELECT w, freq,
+             trim(replace(
+               replace(' ' || replace(s, ' ', '  ') || ' ',
+                       ' ' || a || '  ' || b || ' ',
+                       ' ' || a || b || ' '),
+               '  ', ' ')) AS s
+      FROM v0 CROSS JOIN b1
+    ),
+    p2 AS (
+      SELECT l[i] AS a, l[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS f
+      FROM (SELECT string_split(s, ' ') AS l, freq FROM v1)
+      CROSS JOIN unnest(range(1, len(l))) AS r(i)
+      GROUP BY 1, 2
+    ),
+    b2 AS (SELECT * FROM p2 ORDER BY f DESC, a, b LIMIT 1),
+    v2 AS (
+      SELECT w, freq,
+             trim(replace(
+               replace(' ' || replace(s, ' ', '  ') || ' ',
+                       ' ' || a || '  ' || b || ' ',
+                       ' ' || a || b || ' '),
+               '  ', ' ')) AS s
+      FROM v1 CROSS JOIN b2
+    ),
+    p3 AS (
+      SELECT l[i] AS a, l[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS f
+      FROM (SELECT string_split(s, ' ') AS l, freq FROM v2)
+      CROSS JOIN unnest(range(1, len(l))) AS r(i)
+      GROUP BY 1, 2
+    ),
+    b3 AS (SELECT * FROM p3 ORDER BY f DESC, a, b LIMIT 1),
+    v3 AS (
+      SELECT w,
+             trim(replace(
+               replace(' ' || replace(s, ' ', '  ') || ' ',
+                       ' ' || a || '  ' || b || ' ',
+                       ' ' || a || b || ' '),
+               '  ', ' ')) AS s
+      FROM v2 CROSS JOIN b3
+    ),
+    lens AS (SELECT w, len(string_split(s, ' ')) AS n_sym FROM v3),
+    toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    )
+    SELECT t.doc_id,
+           ANY_VALUE(t.lang) AS lang,
+           COUNT(*) AS n_words,
+           CAST(SUM(CASE WHEN l.n_sym IS NULL THEN len(t.w) ELSE l.n_sym END)
+                AS BIGINT) AS n_bpe_tokens
+    FROM toks t LEFT JOIN lens l ON t.w = l.w
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the CORPUS with the trained BPE merges — the apply half
+    of text_bpe_train, done the way production pipelines do it: train
+    over word counts, then tokenization is a LOOKUP — each corpus word
+    joins to its final symbol sequence, never re-running merges per
+    occurrence.  Emits per-document whitespace-word vs BPE-token counts
+    (the token budget a trained tokenizer actually charges; single-char
+    words sit outside the trained vocabulary and count one symbol per
+    character).
+
+    Scale shape: the merge training runs at vocabulary scale (see
+    text_bpe_train); the apply is ONE corpus-sized shuffle join on the
+    word string — and because the token-count relation is
+    vocabulary-sized, at 100 TB it broadcasts and the apply becomes a
+    map-only stage."""
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    v = words.withColumn("s", F.rtrim(F.regexp_replace("w", "(.)", "$1 ")))
+
+    def pair_stats(vv: DataFrame) -> DataFrame:
+        l = F.split("s", " ")
+        pairs = F.when(
+            F.size(l) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(l) - 1),
+                lambda i: F.struct(
+                    F.element_at(l, i).alias("a"),
+                    F.element_at(l, i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        return (
+            vv.select(F.explode(pairs).alias("p"), "freq")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").cast("bigint").alias("f"))
+        )
+
+    def apply_merge(vv: DataFrame, best: DataFrame) -> DataFrame:
+        doubled = F.concat(
+            F.lit(" "), F.replace("s", F.lit(" "), F.lit("  ")), F.lit(" ")
+        )
+        pat = F.concat(F.lit(" "), F.col("a"), F.lit("  "), F.col("b"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" "))
+        return (
+            vv.crossJoin(F.broadcast(best))
+            .withColumn(
+                "s",
+                F.trim(
+                    F.replace(
+                        F.replace(doubled, pat, rep), F.lit("  "), F.lit(" ")
+                    )
+                ),
+            )
+            .drop("a", "b", "f")
+        )
+
+    for _ in range(BPE_MERGES):
+        v = apply_merge(v, pair_stats(v).orderBy(F.desc("f"), "a", "b").limit(1))
+    lens = v.select("w", F.size(F.split("s", " ")).alias("n_sym"))
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    return (
+        toks.join(F.broadcast(lens), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count("*").alias("n_words"),
+            F.sum(
+                F.coalesce(F.col("n_sym"), F.length("w"))
+            )
+            .cast("bigint")
+            .alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -64,6 +64,15 @@ QUERIES = (
     # from-scratch rebuild) in the derived incremental_vs_rebuild
     # section below.
     "dedup_incremental",
+    # line-level cleaning leg: the line-DF aggregation is the one
+    # corpus-sized shuffle; the boilerplate relation stays tiny on both
+    # corpora, so growth should track the line explode (~linear).
+    "text_line_filter",
+    # tokenizer-training leg: after the corpus-sized word count, all
+    # three merge iterations run at VOCABULARY scale — flat on the
+    # dense corpus (31-word vocab), vocab-growing on the zipf corpus —
+    # the same two regimes as the LM-build leg.
+    "text_bpe_train",
 )
 ANN_QUERIES = (
     "knn_ivf_lsh",

@@ -1118,3 +1118,254 @@ def test_gif_fuzz_quarantine_contract():
         for i in rng.integers(0, len(gif), 5):
             noisy[i] = int(rng.integers(0, 256))
         check(bytes(noisy))
+
+
+# ---------- FLAC (Rice-coded lossless audio) ----------
+
+
+def _flac_file(frames: list[bytes], rate=8000, channels=1, total=0) -> bytes:
+    """Wrap hand-built frames in a minimal fLaC container (STREAMINFO
+    only) so tests can exercise decoder paths the encoder never emits
+    (LPC, Rice partitions, stereo decorrelation, wasted bits)."""
+    import struct
+
+    si = struct.pack(">HH", 16, 65535) + b"\x00\x00\x00" * 2
+    si += ((rate << 44) | ((channels - 1) << 41) | (15 << 36) | total).to_bytes(
+        8, "big"
+    )
+    si += bytes(16)
+    return b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si + b"".join(
+        frames
+    )
+
+
+def _flac_frame(n: int, chan_code: int, subframes) -> bytes:
+    """One frame: header (16-bit blocksize, rate from STREAMINFO,
+    16 bps) + subframe writer callbacks + CRCs."""
+    import struct
+
+    from reindexer_spark.codecs import _MsbBitWriter, _crc8, _crc16
+
+    h = _MsbBitWriter()
+    h.put(0b11111111111110, 14)
+    h.put(0, 2)  # reserved + fixed blocking
+    h.put(0b0111, 4)  # 16-bit blocksize follows
+    h.put(0, 4)  # rate from STREAMINFO
+    h.put(chan_code, 4)
+    h.put(0b100, 3)  # 16 bps
+    h.put(0, 1)
+    h.align()
+    header = bytes(h.out) + b"\x00" + struct.pack(">H", n - 1)
+    header += bytes([_crc8(header)])
+    body = _MsbBitWriter()
+    for write_subframe in subframes:
+        write_subframe(body)
+    body.align()
+    frame = header + bytes(body.out)
+    return frame + struct.pack(">H", _crc16(frame))
+
+
+def _verbatim(samples, bits=16, wasted=0):
+    def write(w):
+        w.put(0, 1)
+        w.put(1, 6)  # VERBATIM
+        if wasted:
+            w.put(1, 1)
+            w.put(1, wasted)  # unary wasted-1: (wasted-1) zeros then 1
+        else:
+            w.put(0, 1)
+        for v in samples:
+            w.put(int(v) & ((1 << (bits - wasted)) - 1), bits - wasted)
+
+    return write
+
+
+def test_flac_roundtrip_lossless_and_smaller():
+    import numpy as np
+
+    from reindexer_spark.codecs import decode_flac, encode_flac
+
+    rng = np.random.default_rng(3)
+    t = np.arange(16000)
+    sig = (3000 * np.sin(t / 20) + 500 * np.sin(t / 3)).astype(np.int64)
+    sig[12000:] += rng.integers(-200, 200, 4000)
+    samples = [int(v) for v in sig]
+    flac = encode_flac(samples, 8000)
+    rate, out = decode_flac(flac)
+    assert (rate, out) == (8000, samples)  # bit-exact lossless
+    assert len(flac) < len(encode_wav(samples, 8000)) // 2
+    # odd lengths, constants, tiny blocks all round-trip
+    for s in ([5] * 100, [0], list(range(-50, 50))):
+        _, o = decode_flac(encode_flac(s, 16000, block_size=256))
+        assert o == s
+
+
+def test_flac_lpc_subframe_decodes():
+    """LPC with coefficients [2,-1], shift 0 — algebraically identical
+    to FIXED order 2, so the expected output is exactly the input."""
+    from reindexer_spark.codecs import decode_flac
+
+    s = [100, 105, 112, 120, 131, 140, 152, 160]
+    res = [s[i] - (2 * s[i - 1] - s[i - 2]) for i in range(2, len(s))]
+
+    def lpc(w):
+        w.put(0, 1)
+        w.put(32 + 1, 6)  # LPC order 2 (type 32 + order-1)
+        w.put(0, 1)
+        for v in s[:2]:
+            w.put(v & 0xFFFF, 16)
+        w.put(14, 4)  # precision-1 → 15 bits
+        w.put(0, 5)  # shift 0
+        for c in (2, -1):
+            w.put(c & 0x7FFF, 15)
+        w.put(0, 2)  # Rice 4-bit
+        w.put(0, 4)  # partition order 0
+        w.put(2, 4)  # rice k=2
+        for v in res:
+            u = (v << 1) if v >= 0 else ((-v) << 1) - 1
+            w.put_unary(u >> 2)
+            w.put(u & 3, 2)
+
+    payload = _flac_file([_flac_frame(len(s), 0, [lpc])], total=len(s))
+    rate, out = decode_flac(payload)
+    assert out == s
+
+
+def test_flac_rice_partitions_and_escape():
+    """Partition order 2 (4 partitions, different k each) and an
+    escape-coded partition (5-bit raw residuals)."""
+    from reindexer_spark.codecs import decode_flac
+
+    s = list(range(-8, 8))  # 16 samples, order-0 residual = sample
+
+    def fixed0_parts(w):
+        w.put(0, 1)
+        w.put(8, 6)  # FIXED order 0
+        w.put(0, 1)
+        w.put(0, 2)
+        w.put(2, 4)  # partition order 2 → 4 partitions of 4
+        for p in range(4):
+            chunk = s[p * 4 : (p + 1) * 4]
+            if p == 3:
+                w.put(0b1111, 4)  # escape
+                w.put(5, 5)  # 5-bit raw
+                for v in chunk:
+                    w.put(v & 0x1F, 5)
+            else:
+                k = p  # varying rice parameter
+                w.put(k, 4)
+                for v in chunk:
+                    u = (v << 1) if v >= 0 else ((-v) << 1) - 1
+                    w.put_unary(u >> k)
+                    if k:
+                        w.put(u & ((1 << k) - 1), k)
+
+    payload = _flac_file([_flac_frame(16, 0, [fixed0_parts])], total=16)
+    _, out = decode_flac(payload)
+    assert out == s
+
+
+def test_flac_stereo_decorrelation_modes():
+    from reindexer_spark.codecs import decode_flac
+
+    L = [100, -200, 300, 50, 0, -40, 7, 9]
+    R = [90, -190, 280, 60, -10, -50, 3, 1]
+    mono = [(a + b) // 2 for a, b in zip(L, R)]
+    side = [a - b for a, b in zip(L, R)]
+    mid = [(a + b) >> 1 for a, b in zip(L, R)]
+    cases = [
+        (1, [_verbatim(L), _verbatim(R)]),  # independent stereo
+        (8, [_verbatim(L), _verbatim(side, bits=17)]),  # left-side
+        (9, [_verbatim(side, bits=17), _verbatim(R)]),  # right-side
+        (10, [_verbatim(mid), _verbatim(side, bits=17)]),  # mid-side
+    ]
+    for chan_code, subs in cases:
+        payload = _flac_file(
+            [_flac_frame(8, chan_code, subs)], channels=2, total=8
+        )
+        _, out = decode_flac(payload)
+        assert out == mono, f"chan_code={chan_code}"
+
+
+def test_flac_wasted_bits_restored():
+    from reindexer_spark.codecs import decode_flac
+
+    s = [4, -8, 12, 16, -4, 0, 8, 4]  # all divisible by 4 → 2 wasted bits
+    shifted = [v >> 2 for v in s]
+    payload = _flac_file(
+        [_flac_frame(8, 0, [_verbatim(shifted, wasted=2)])], total=8
+    )
+    _, out = decode_flac(payload)
+    assert out == s
+
+
+def test_flac_crc_guards_corruption():
+    from reindexer_spark.codecs import decode_flac, encode_flac
+
+    flac = bytearray(encode_flac(list(range(-100, 100)), 8000))
+    # flip a bit in the stored frame CRC-16 (the last two bytes)
+    flac[-1] ^= 0x01
+    with pytest.raises(MediaFormatError, match="CRC-16"):
+        decode_flac(bytes(flac))
+    # corrupt a frame-header byte → header CRC-8 catches it
+    flac = bytearray(encode_flac(list(range(-100, 100)), 8000))
+    hdr_off = flac.index(b"\xff\xf8") + 4  # inside the blocksize field
+    flac[hdr_off] ^= 0x01
+    with pytest.raises(MediaFormatError):
+        decode_flac(bytes(flac))
+    with pytest.raises(MediaFormatError, match="not a FLAC"):
+        decode_flac(b"fLaX" + bytes(40))
+
+
+def test_flac_through_codec_and_sampler_seams():
+    from reindexer_spark.codecs import (
+        FlacFrameSampler,
+        decode_wav,
+        encode_flac,
+        encode_wav,
+    )
+    from reindexer_spark.multimodal import LibraryFrameSampler
+
+    samples = [int(2000 * ((i % 50) - 25) / 25) for i in range(16000)]
+    flac = encode_flac(samples, 8000)
+    wav = encode_wav(samples, 8000)
+    # identical PCM → identical audio features through the codec seam,
+    # whether it arrived raw or FLAC-compressed
+    df = PurePythonCodec().decode(flac)
+    dw = PurePythonCodec().decode(wav)
+    assert df == dw
+    s = FlacFrameSampler()
+    assert s.duration_ms(flac) == 2000
+    rate, win = decode_wav(s.frame_at(flac, 500))
+    assert (rate, win) == (8000, samples[4000:4800])
+    assert LibraryFrameSampler().duration_ms(flac) == 2000
+
+
+def test_flac_fuzz_quarantine_contract():
+    import numpy as np
+
+    from reindexer_spark.codecs import decode_flac, encode_flac
+
+    flac = encode_flac([int(v) for v in np.arange(-300, 300, 3)], 8000,
+                       block_size=64)
+
+    def check(payload: bytes) -> None:
+        try:
+            decode_flac(payload)
+        except MediaFormatError:
+            pass
+
+    for cut in range(0, len(flac), 3):
+        check(flac[:cut])
+    b = bytearray(flac)
+    for i in range(0, len(flac), 2):
+        orig = b[i]
+        b[i] ^= 0xFF
+        check(bytes(b))
+        b[i] = orig
+    for seed in range(25):
+        rng = np.random.default_rng(seed)
+        noisy = bytearray(flac)
+        for i in rng.integers(0, len(flac), 5):
+            noisy[i] = int(rng.integers(0, 256))
+        check(bytes(noisy))
