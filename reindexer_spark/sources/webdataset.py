@@ -1,0 +1,168 @@
+"""Custom Python DataSource for WebDataset tar shards (Tier C1).
+
+WebDataset — plain POSIX tar files whose members group into samples by
+key prefix (``000017.jpg`` + ``000017.txt`` + ``000017.json`` = one
+sample) — is the de-facto shard format for large-scale multimodal
+training data: sequential reads, shard-per-worker parallelism, no
+per-sample metadata store.  This source makes a directory of ``.tar``
+shards readable as one DataFrame, one row per SAMPLE:
+
+    spark.dataSource.register(WebDatasetSource)
+    spark.read.format("webdataset").load(shard_dir)
+    # → shard, key, members map<ext, binary>, n_members, n_bytes
+
+Shape notes (the 100 TB story):
+
+- one ``InputPartition`` per shard — exactly the parallel unit
+  WebDataset is designed around (shards are written ~1 GB so a worker
+  streams one end to end);
+- the tar is read in STREAMING mode (``r|``): memory per task is
+  bounded by one sample's members, never the shard — the property that
+  lets 4 GB video shards stream through 2 GB executors;
+- samples are emitted on key CHANGE, relying on WebDataset's contract
+  that members of a sample are adjacent in the archive (the format's
+  defining invariant; a violated contract surfaces as split samples,
+  not corruption);
+- ``pushFilters`` prunes whole shards on ``shard`` equality at
+  planning time (conjunctive semantics, same contract as the WARC and
+  NDJSON sources);
+- member bytes land in a ``map<string,binary>`` keyed by extension, so
+  the media lanes pick their modality (``members['jpg']`` → the decode
+  pipeline) without a second pass over the tar.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import tarfile
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+)
+
+WDS_SCHEMA = (
+    "shard string, key string, members map<string, binary>, "
+    "n_members int, n_bytes bigint"
+)
+
+
+def sample_key(name: str) -> tuple[str, str]:
+    """member filename → (sample key, extension).
+
+    WebDataset convention: the key is everything up to the FIRST dot of
+    the basename, the extension everything after it — so
+    ``a/b/000017.seg.png`` → key ``a/b/000017``, ext ``seg.png``."""
+    dirname, _, base = name.rpartition("/")
+    stem, _, ext = base.partition(".")
+    key = f"{dirname}/{stem}" if dirname else stem
+    return key, ext
+
+
+def iter_samples(fileobj, where: str = "<stream>") -> Iterator[tuple[str, dict]]:
+    """Stream (key, {ext: bytes}) samples off a tar byte stream,
+    emitting each sample when the key changes (WebDataset adjacency
+    contract).  Non-file members (directories, links) are skipped."""
+    try:
+        tf = tarfile.open(fileobj=fileobj, mode="r|*")
+    except tarfile.TarError as exc:
+        raise ValueError(f"{where}: not a readable tar stream: {exc}") from exc
+    current_key: str | None = None
+    members: dict[str, bytes] = {}
+    try:
+        for info in tf:
+            if not info.isfile():
+                continue
+            key, ext = sample_key(info.name)
+            if current_key is not None and key != current_key:
+                yield current_key, members
+                members = {}
+            current_key = key
+            f = tf.extractfile(info)
+            members[ext] = f.read() if f is not None else b""
+    except tarfile.TarError as exc:
+        raise ValueError(f"{where}: corrupt tar member: {exc}") from exc
+    if current_key is not None:
+        yield current_key, members
+
+
+class _ShardPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class WebDatasetReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("webdataset source requires a path")
+        self.keep_shards: set[str] | None = None
+
+    def pushFilters(self, filters):  # noqa: N802 - API contract
+        """Conjunctive planning-time shard pruning on shard equality
+        (same contract as the WARC and NDJSON sources)."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("shard",):
+                if self.keep_shards is None:
+                    self.keep_shards = {f.value}
+                else:
+                    self.keep_shards &= {f.value}
+            else:
+                yield f
+
+    def _files(self) -> list[str]:
+        names = sorted(
+            n
+            for n in os.listdir(self.path)
+            if n.endswith((".tar", ".tar.gz", ".tgz"))
+            and os.path.isfile(os.path.join(self.path, n))
+        )
+        if self.keep_shards is not None:
+            names = [n for n in names if n in self.keep_shards]
+        return names
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            _ShardPartition(os.path.join(self.path, n)) for n in self._files()
+        ]
+
+    def read(self, partition: _ShardPartition) -> Iterator[tuple]:
+        name = os.path.basename(partition.path)
+        with open(partition.path, "rb") as fh:
+            for key, members in iter_samples(fh, where=name):
+                yield (
+                    name,
+                    key,
+                    members,
+                    len(members),
+                    sum(len(v) for v in members.values()),
+                )
+
+
+class WebDatasetSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "webdataset"
+
+    def schema(self) -> str:
+        return WDS_SCHEMA
+
+    def reader(self, schema) -> WebDatasetReader:
+        return WebDatasetReader(self.options)
+
+
+def write_webdataset_shard(path: str, samples: list[tuple[str, dict]]) -> None:
+    """Test/fixture helper: write (key, {ext: bytes}) samples as a
+    WebDataset-shaped tar (members of one sample adjacent, keys in
+    the given order)."""
+    compress = "gz" if path.endswith((".tar.gz", ".tgz")) else ""
+    with tarfile.open(path, f"w:{compress}") as tf:
+        for key, members in samples:
+            for ext, data in members.items():
+                info = tarfile.TarInfo(name=f"{key}.{ext}")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
