@@ -740,3 +740,284 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("m1", "m2", hamming.alias("hamming")).filter(
         F.col("hamming") <= AHASH_HAMMING_MAX
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint dedup — the audio member of the near-dup family
+# (text: dedup_simhash / dedup_minhash; image: multimodal_phash_dedup).
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_WINDOW = 512  # samples per analysis window
+AUDIO_FP_HOP = 256
+AUDIO_FP_GRAM = 8  # windows packed into one fingerprint word
+AUDIO_FP_STRIDE = 4
+AUDIO_FP_OVERLAP = 0.8  # verify threshold |W1 ∩ W2| / min(|W1|,|W2|)
+AUDIO_FP_DF_CAP = 100  # drop fingerprint words shared by > this many clips
+
+
+def audio_fingerprint(samples) -> list[int]:
+    """PCM → sorted distinct 56-bit fingerprint words, all integer math.
+
+    Per 512-sample window (hop 256): the zero-crossing count quantized
+    to 6 bits (amplitude-invariant — a re-encoded or gain-adjusted copy
+    keeps its crossings) plus a 1-bit energy TREND vs the previous
+    window (integer |sum| comparison — also gain-invariant, unlike the
+    energy itself).  8 consecutive 7-bit window signatures pack into
+    one word (stride 4), so a word is a ~0.4 s acoustic shingle — the
+    same shingle→set→overlap shape as text n-gram dedup, which is
+    exactly how the downstream join treats it."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    if len(s) < AUDIO_FP_WINDOW + AUDIO_FP_HOP * (AUDIO_FP_GRAM - 1):
+        return []
+    n_win = 1 + (len(s) - AUDIO_FP_WINDOW) // AUDIO_FP_HOP
+    idx = np.arange(AUDIO_FP_WINDOW) + AUDIO_FP_HOP * np.arange(n_win)[:, None]
+    w = s[idx]
+    zc = np.count_nonzero((w[:, :-1] < 0) != (w[:, 1:] < 0), axis=1)
+    total_abs = np.abs(w).sum(axis=1)  # integer energy proxy
+    trend = np.concatenate(([0], (np.diff(total_abs) > 0).astype(np.int64)))
+    sig = ((zc >> 3) << 1) | trend  # 7 bits per window
+    words = set()
+    for i in range(0, n_win - AUDIO_FP_GRAM + 1, AUDIO_FP_STRIDE):
+        word = 0
+        for j in range(AUDIO_FP_GRAM):
+            word = (word << 7) | int(sig[i + j])
+        words.add(word)
+    return sorted(words)
+
+
+@query("audio_dedup_fingerprint")  # Python decode → rows-only check
+def audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic near-duplicate detection on REAL decoded audio — the
+    audio twin of multimodal_phash_dedup: WAV and FLAC payloads decode
+    to PCM, fingerprint into integer acoustic-shingle words
+    (:func:`audio_fingerprint`), and clips pair when their word sets
+    overlap ≥ {AUDIO_FP_OVERLAP} — catching the copies a byte checksum
+    cannot (same recording, different container/codec).
+
+    The fixture makes that failure mode real: every audio row is ALSO
+    re-encoded through the OTHER container (WAV→FLAC, FLAC→WAV,
+    media_id + 100000) with byte-identical PCM, so each (id,
+    id+100000) pair must surface with overlap 1.0 despite sharing not
+    a single payload byte (pinned in tests).
+
+    Scale shape mirrors dedup_ngram_jaccard exactly: the only
+    full-data pass is the decode+fingerprint map (Arrow-batched,
+    emits ~14 8-byte words per 2 s clip — the payload never
+    shuffles); the inverted word index carries a DF cap
+    ({AUDIO_FP_DF_CAP}) so viral/boilerplate audio (jingles, silence)
+    cannot blow up the candidate join; verification is a pair-count
+    aggregation, no re-decode."""
+    import pandas as pd
+
+    media = _synth_media(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ).filter(F.col("kind").isin("audio-wav", "audio-flac"))
+
+    def transcode(batches):
+        from reindexer_spark.codecs import (
+            decode_flac,
+            decode_wav,
+            encode_flac,
+            encode_wav,
+        )
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                if r["kind"] == "audio-wav":
+                    rate, samples = decode_wav(payload)
+                    out, kind = encode_flac(samples, rate), "audio-flac"
+                else:
+                    rate, samples = decode_flac(payload)
+                    out, kind = encode_wav(samples, rate), "audio-wav"
+                rows.append(
+                    {
+                        "media_id": r["media_id"] + 100000,
+                        "kind": kind,
+                        "payload": out,
+                        "meta": r["meta"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    both = media.unionByName(
+        media.mapInPandas(
+            transcode,
+            "media_id bigint, kind string, payload binary, meta map<string,string>",
+        )
+    )
+
+    def fingerprint(batches):
+        from reindexer_spark.codecs import decode_flac, decode_wav
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                decode = decode_flac if payload[:4] == b"fLaC" else decode_wav
+                _, samples = decode(payload)
+                for word in audio_fingerprint(samples):
+                    out.append({"media_id": r["media_id"], "word": word})
+            yield pd.DataFrame(out, columns=["media_id", "word"])
+
+    words = both.select("media_id", "payload").mapInPandas(
+        fingerprint, "media_id bigint, word bigint"
+    )
+    hot = (
+        words.groupBy("word")
+        .agg(F.countDistinct("media_id").alias("df"))
+        .filter(F.col("df") > AUDIO_FP_DF_CAP)
+        .select("word")
+    )
+    idx = words.join(F.broadcast(hot), "word", "left_anti")
+    sizes = idx.groupBy("media_id").agg(F.count("*").alias("n_words"))
+    pairs = (
+        idx.alias("x")
+        .join(idx.alias("y"), "word")
+        .filter(F.col("x.media_id") < F.col("y.media_id"))
+        .groupBy(
+            F.col("x.media_id").alias("m1"), F.col("y.media_id").alias("m2")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    overlap = F.col("n_common").cast("double") / F.least("n1", "n2")
+    return (
+        pairs.join(
+            sizes.select(F.col("media_id").alias("m1"), F.col("n_words").alias("n1")),
+            "m1",
+        )
+        .join(
+            sizes.select(F.col("media_id").alias("m2"), F.col("n_words").alias("n2")),
+            "m2",
+        )
+        .filter(overlap >= AUDIO_FP_OVERLAP)
+        .select("m1", "m2", "n_common", F.round(overlap, 6).alias("overlap"))
+        .orderBy("m1", "m2")
+    )
+
+
+AUDIO_PAIRS_DOCS = 200
+AUDIO_PAIRS_COPY_MOD = 10
+AUDIO_PAIRS_WORDS = 8
+AUDIO_PAIRS_VOCAB = 4096
+AUDIO_PAIRS_TAU = 0.7
+
+
+@query(
+    "audio_fingerprint_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, md5(text) AS dg
+      FROM documents WHERE doc_id < {AUDIO_PAIRS_DOCS}
+    ),
+    w AS (
+      SELECT media_id, i,
+             ('0x' || substr(dg, 1 + 3 * i, 3))::BIGINT % {AUDIO_PAIRS_VOCAB}
+               AS word
+      FROM base CROSS JOIN range({AUDIO_PAIRS_WORDS}) r(i)
+    ),
+    copies AS (
+      SELECT media_id + 100000 AS media_id, i,
+             CASE WHEN i < 2 THEN xor(word, 1) ELSE word END AS word
+      FROM w WHERE media_id % {AUDIO_PAIRS_COPY_MOD} = 0
+    ),
+    allw AS (
+      SELECT DISTINCT media_id, word
+      FROM (SELECT media_id, word FROM w
+            UNION ALL SELECT media_id, word FROM copies)
+    ),
+    sizes AS (
+      SELECT media_id, COUNT(*) AS n_words FROM allw GROUP BY media_id
+    ),
+    pairs AS (
+      SELECT x.media_id AS m1, y.media_id AS m2, COUNT(*) AS n_common
+      FROM allw x JOIN allw y
+        ON x.word = y.word AND x.media_id < y.media_id
+      GROUP BY 1, 2
+    )
+    SELECT m1, m2, n_common,
+           round(CAST(n_common AS DOUBLE) / least(s1.n_words, s2.n_words), 6)
+             AS overlap
+    FROM pairs
+    JOIN sizes s1 ON s1.media_id = m1
+    JOIN sizes s2 ON s2.media_id = m2
+    WHERE CAST(n_common AS DOUBLE) / least(s1.n_words, s2.n_words)
+          >= {AUDIO_PAIRS_TAU}
+    ORDER BY m1, m2
+    """,
+)
+def audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORACLE-CHECKABLE half of audio_dedup_fingerprint — the same
+    twin convention as multimodal_phash_pairs: fingerprint extraction
+    from PCM is necessarily Python (rows-only), but everything
+    downstream of the word relation — distinct word sets, the inverted
+    word-index self-join, pair counting, and the min-size overlap
+    verify — is pure column algebra, replicated here over md5-derived
+    word sets both engines compute identically.
+
+    Injected copies perturb 2 of {AUDIO_PAIRS_WORDS} words (overlap
+    0.75 when nothing collides ≥ τ={AUDIO_PAIRS_TAU}), so every copy
+    must surface; unrelated clips share ~0.016 expected words over the
+    {AUDIO_PAIRS_VOCAB}-word vocabulary and cannot reach τ — the gate
+    checks recall AND precision of the overlap pipeline."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < AUDIO_PAIRS_DOCS
+    )
+    base = d.select(F.col("doc_id").alias("media_id"), F.md5("text").alias("dg"))
+    w = base.select(
+        "media_id",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.conv(F.substring("dg", 1 + 3 * i, 3), 16, 10).cast(
+                            "bigint"
+                        )
+                        % AUDIO_PAIRS_VOCAB
+                    )
+                    for i in range(AUDIO_PAIRS_WORDS)
+                ]
+            )
+        ).alias("i", "word"),
+    )
+    copies = w.filter(F.col("media_id") % AUDIO_PAIRS_COPY_MOD == 0).select(
+        (F.col("media_id") + 100000).alias("media_id"),
+        "i",
+        F.when(F.col("i") < 2, F.col("word").bitwiseXOR(F.lit(1)))
+        .otherwise(F.col("word"))
+        .alias("word"),
+    )
+    allw = (
+        w.select("media_id", "word")
+        .unionByName(copies.select("media_id", "word"))
+        .distinct()
+    )
+    sizes = allw.groupBy("media_id").agg(F.count("*").alias("n_words"))
+    pairs = (
+        allw.alias("x")
+        .join(allw.alias("y"), "word")
+        .filter(F.col("x.media_id") < F.col("y.media_id"))
+        .groupBy(
+            F.col("x.media_id").alias("m1"), F.col("y.media_id").alias("m2")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    overlap = F.col("n_common").cast("double") / F.least("n1", "n2")
+    return (
+        pairs.join(
+            sizes.select(F.col("media_id").alias("m1"), F.col("n_words").alias("n1")),
+            "m1",
+        )
+        .join(
+            sizes.select(F.col("media_id").alias("m2"), F.col("n_words").alias("n2")),
+            "m2",
+        )
+        .filter(overlap >= AUDIO_PAIRS_TAU)
+        .select("m1", "m2", "n_common", F.round(overlap, 6).alias("overlap"))
+        .orderBy("m1", "m2")
+    )

@@ -11,3 +11,42 @@ def test_phash_dedup_finds_only_perturbed_copies(spark, sf_dir):
     for r in rows:
         assert r.m2 == r.m1 + 1_000_000, (r.m1, r.m2)
         assert 0 <= r.hamming <= 6
+
+
+def test_audio_dedup_finds_cross_container_copies(spark, sf_dir):
+    """Every clip is re-encoded through the OTHER container with
+    byte-identical PCM: each (id, id+100000) pair must surface with
+    overlap 1.0 despite zero shared payload bytes, and no unrelated
+    pair may reach the threshold."""
+    from reindexer_spark.operators.multimodal import audio_dedup_fingerprint
+
+    rows = audio_dedup_fingerprint(spark, sf_dir).collect()
+    cross = {(r.m1, r.m2): r for r in rows if r.m2 == r.m1 + 100000}
+    other = [r for r in rows if r.m2 != r.m1 + 100000]
+    assert len(cross) >= 10  # every audio row under doc_id<200 pairs up
+    assert all(r.overlap == 1.0 for r in cross.values())
+    # unrelated digest-seeded clips shouldn't look acoustically equal
+    assert all(r.overlap < 1.0 for r in other)
+
+
+def test_audio_fingerprint_is_amplitude_invariant():
+    """The fingerprint survives gain changes and codec round-trips —
+    the invariances that make it a fingerprint, not a checksum."""
+    import numpy as np
+
+    from reindexer_spark.codecs import decode_flac, encode_flac
+    from reindexer_spark.operators.multimodal import audio_fingerprint
+
+    t = np.arange(16000)
+    sig = (3000 * np.sin(t / 17) + 800 * np.sin(t / 5)).astype(np.int64)
+    samples = [int(v) for v in sig]
+    fp = audio_fingerprint(samples)
+    assert len(fp) > 5
+    # halve the gain: zero crossings and energy trend are unchanged
+    assert audio_fingerprint([v // 2 for v in samples]) == fp
+    # FLAC round-trip is lossless, so the fingerprint is identical
+    _, back = decode_flac(encode_flac(samples, 8000))
+    assert audio_fingerprint(back) == fp
+    # different audio → different fingerprint
+    other = [int(v) for v in (2500 * np.sin(t / 3)).astype(np.int64)]
+    assert audio_fingerprint(other) != fp

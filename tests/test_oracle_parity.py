@@ -42,4 +42,5 @@ def test_contract_shapes(spark):
         "multimodal_frame_sample",
         "multimodal_thumbnail",
         "multimodal_phash_dedup",
+        "audio_dedup_fingerprint",
     }
