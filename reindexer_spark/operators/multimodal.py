@@ -1021,3 +1021,157 @@ def audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("m1", "m2", "n_common", F.round(overlap, 6).alias("overlap"))
         .orderBy("m1", "m2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Video scene-cut detection — the curation pass that turns raw video
+# into trainable clips (scene-aligned sampling beats fixed-interval
+# sampling because frames within a scene are near-duplicates).
+# ---------------------------------------------------------------------------
+
+SCENE_CUT_THRESHOLD = 40  # mean abs pixel delta (0-255) that marks a cut
+SCENE_DOCS = 60
+
+
+def _synth_scene_video(d: DataFrame) -> DataFrame:
+    """documents → multi-SCENE videos with KNOWN cut positions: each
+    video is 2-4 scenes of 2-4 frames; frames within a scene are the
+    scene's base image plus a tiny deterministic nudge (max delta 2),
+    scene boundaries swap to an unrelated base (typical delta ~85).
+    Containers rotate through DIB-AVI / Motion-JPEG / mp4 so the
+    detector is exercised on lossless AND lossy decode paths.  The
+    constructed boundaries ride along as ground truth for the tests."""
+    schema = (
+        "media_id bigint, payload binary, container string, true_cuts string"
+    )
+
+    def build(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from reindexer_spark.codecs import encode_avi, encode_mp4
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                seed = hashlib.sha256(r["text"].encode("utf-8")).digest()
+                w, h = 10 + seed[0] % 5, 8 + seed[1] % 5
+                n_scenes = 2 + seed[2] % 3
+                frames, cuts = [], []
+                for sc in range(n_scenes):
+                    base = hashlib.sha256(seed + bytes([sc])).digest()
+                    base_px = bytearray(
+                        (base * ((w * h * 3) // 32 + 1))[: w * h * 3]
+                    )
+                    if sc:
+                        cuts.append(len(frames))  # first frame of the scene
+                    for fr in range(2 + base[0] % 3):
+                        px = bytearray(base_px)
+                        # tiny intra-scene motion: nudge a few bytes by <=2
+                        for k in range(8):
+                            i = (fr * 131 + k * 37) % len(px)
+                            px[i] = min(255, px[i] + 2)
+                        frames.append(bytes(px))
+                kind = r["doc_id"] % 3
+                if kind == 0:
+                    payload, cont = encode_avi(w, h, frames, 4), "avi-dib"
+                elif kind == 1:
+                    payload, cont = (
+                        encode_avi(w, h, frames, 4, codec="mjpg", quality=90),
+                        "avi-mjpg",
+                    )
+                else:
+                    payload, cont = (
+                        encode_mp4(w, h, frames, 4, quality=90),
+                        "mp4",
+                    )
+                rows.append(
+                    {
+                        "media_id": r["doc_id"],
+                        "payload": payload,
+                        "container": cont,
+                        "true_cuts": ",".join(str(c) for c in cuts),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "payload", "container", "true_cuts"],
+            )
+
+    return d.select("doc_id", "text").mapInPandas(build, schema)
+
+
+@query("video_scene_cuts")  # Python decode → rows-only check
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection on real decoded video: adjacent frames
+    compare by mean absolute pixel delta (integer math, numpy), and a
+    transition above {SCENE_CUT_THRESHOLD} marks a cut.  Runs across
+    all three video containers — uncompressed DIB (exact), Motion-JPEG
+    and Photo-JPEG mp4 (lossy: codec noise must stay far below the
+    scene signal, which the tests assert by matching detected cuts to
+    the constructed ground truth on every container).
+
+    Scale shape: one Arrow-batched decode pass; per video the emitted
+    row is a handful of integers + a cut list bounded by frame count —
+    the raw frames never leave the task.  Scene-aligned clip sampling
+    then replaces fixed-interval frame sampling upstream of training,
+    cutting the near-duplicate frames a fixed grid would emit."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < SCENE_DOCS
+    )
+    media = _synth_scene_video(d)
+
+    def detect(batches):
+        import numpy as np
+
+        from reindexer_spark.codecs import decode_avi, decode_mp4
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                if payload[4:8] == b"ftyp":
+                    _w, _h, _d, frames, _s = decode_mp4(payload)
+                else:
+                    _w, _h, _u, frames = decode_avi(payload)
+                stack = np.stack(
+                    [np.frombuffer(f, dtype=np.uint8) for f in frames]
+                ).astype(np.int64)
+                deltas = np.abs(np.diff(stack, axis=0)).mean(axis=1)
+                cut_idx = [
+                    int(i) + 1
+                    for i, v in enumerate(deltas)
+                    if v > SCENE_CUT_THRESHOLD
+                ]
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "container": r["container"],
+                        "n_frames": len(frames),
+                        "n_cuts": len(cut_idx),
+                        "cuts": ",".join(str(c) for c in cut_idx),
+                        "true_cuts": r["true_cuts"],
+                        "max_intra_delta": float(
+                            max(
+                                (v for v in deltas if v <= SCENE_CUT_THRESHOLD),
+                                default=0.0,
+                            )
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "container", "n_frames", "n_cuts",
+                    "cuts", "true_cuts", "max_intra_delta",
+                ],
+            )
+
+    return media.mapInPandas(
+        detect,
+        "media_id bigint, container string, n_frames int, n_cuts int, "
+        "cuts string, true_cuts string, max_intra_delta double",
+    ).orderBy("media_id")

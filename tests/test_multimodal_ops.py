@@ -50,3 +50,22 @@ def test_audio_fingerprint_is_amplitude_invariant():
     # different audio → different fingerprint
     other = [int(v) for v in (2500 * np.sin(t / 3)).astype(np.int64)]
     assert audio_fingerprint(other) != fp
+
+
+def test_scene_cuts_match_ground_truth_all_containers(spark, sf_dir):
+    """Detected cuts equal the constructed scene boundaries on every
+    container: exactly on lossless DIB, and across the lossy JPEG/mp4
+    paths the codec noise must stay far enough below the scene signal
+    to change nothing."""
+    from reindexer_spark.operators.multimodal import video_scene_cuts
+
+    rows = video_scene_cuts(spark, sf_dir).collect()
+    assert len(rows) > 0
+    seen = {r.container for r in rows}
+    assert seen == {"avi-dib", "avi-mjpg", "mp4"}
+    for r in rows:
+        assert r.cuts == r.true_cuts, (r.media_id, r.container)
+        assert r.n_cuts >= 1  # every video has >= 2 scenes
+        # intra-scene deltas sit well under the threshold (codec noise
+        # margin — if this creeps toward 40 the operator is fragile)
+        assert r.max_intra_delta < 25, (r.media_id, r.container)

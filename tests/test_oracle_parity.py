@@ -43,4 +43,5 @@ def test_contract_shapes(spark):
         "multimodal_thumbnail",
         "multimodal_phash_dedup",
         "audio_dedup_fingerprint",
+        "video_scene_cuts",
     }
