@@ -3227,3 +3227,125 @@ class Mp4FrameSampler:
         while idx > 0 and not sync[idx]:
             idx -= 1  # decode-from-keyframe: latest sync sample ≤ ts
         return encode_bmp(w, h, frames[idx])
+
+
+# --------------------------------------------------------------------------
+# Header-only media probe
+#
+# At 100 TB you do not decode what you can reject from headers: the
+# first curation pass reads a few hundred bytes per object (dims,
+# format, frame/sample counts), filters by resolution / duration /
+# aspect, and only the survivors pay for pixel or PCM decode.  This
+# probe extracts that metadata WITHOUT entropy-decoding anything —
+# every branch reads container headers only.
+# --------------------------------------------------------------------------
+
+
+def probe_media(payload: bytes) -> dict:
+    """→ {kind, width, height, n_frames, sample_rate, n_samples} from
+    HEADERS ONLY (None where the modality doesn't apply).  Matches the
+    dimensions the full decoders produce (asserted in tests) at a tiny
+    fraction of the work: no LZW, no DCT, no Rice, no inflate.
+    Unrecognized/truncated headers raise MediaFormatError like every
+    other codec path."""
+    kind = _sniff(payload)
+    out = {
+        "kind": kind, "width": None, "height": None,
+        "n_frames": None, "sample_rate": None, "n_samples": None,
+    }
+    try:
+        if kind == "bmp":
+            if len(payload) < 26:
+                raise MediaFormatError("truncated BMP header")
+            w, h = struct.unpack_from("<ii", payload, 18)
+            out.update(width=w, height=abs(h), n_frames=1)
+        elif kind == "ppm":
+            parts = payload[:64].split()
+            out.update(width=int(parts[1]), height=int(parts[2]), n_frames=1)
+        elif kind == "png":
+            if payload[12:16] != b"IHDR":
+                raise MediaFormatError("PNG missing IHDR")
+            w, h = struct.unpack_from(">II", payload, 16)
+            out.update(width=w, height=h, n_frames=1)
+        elif kind == "gif":
+            w, h = struct.unpack_from("<HH", payload, 6)
+            # frame count = number of image descriptors; walking the
+            # block structure skips LZW data by sub-block LENGTHS only
+            # (no decompression)
+            n = 0
+            pos = 13
+            if payload[10] & 0x80:
+                pos += 3 * (2 << (payload[10] & 0x07))
+            while pos < len(payload) and payload[pos] != 0x3B:
+                block = payload[pos]
+                pos += 1
+                if block == 0x21:
+                    pos += 1  # label
+                elif block == 0x2C:
+                    n += 1
+                    ipacked = payload[pos + 8]
+                    pos += 9
+                    if ipacked & 0x80:
+                        pos += 3 * (2 << (ipacked & 0x07))
+                    pos += 1  # LZW min code size
+                else:
+                    raise MediaFormatError("unexpected GIF block in probe")
+                while True:  # skip the sub-block chain by lengths
+                    ln = payload[pos]
+                    pos += 1
+                    if ln == 0:
+                        break
+                    pos += ln
+            out.update(width=w, height=h, n_frames=n)
+        elif kind == "jpeg":
+            # scan markers for the SOF segment; entropy data is never
+            # touched (SOF precedes every scan)
+            pos = 2
+            while pos + 4 <= len(payload):
+                if payload[pos] != 0xFF:
+                    raise MediaFormatError("bad JPEG marker in probe")
+                marker = payload[pos + 1]
+                if marker in (0xC0, 0xC1, 0xC2):
+                    h, w = struct.unpack_from(">HH", payload, pos + 5)
+                    out.update(width=w, height=h, n_frames=1)
+                    break
+                seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+                pos += 2 + seg_len
+            else:
+                raise MediaFormatError("JPEG SOF not found")
+            if out["width"] is None:
+                raise MediaFormatError("JPEG SOF not found")
+        elif kind == "wav":
+            rate, bits = struct.unpack_from("<I", payload, 24)[0], payload[34]
+            data_len = struct.unpack_from("<I", payload, 40)[0]
+            out.update(sample_rate=rate, n_samples=data_len // (bits // 8))
+        elif kind == "flac":
+            packed = int.from_bytes(payload[18:26], "big")
+            out.update(
+                sample_rate=packed >> 44,
+                n_samples=packed & ((1 << 36) - 1),
+            )
+        elif kind == "avi":
+            i = payload.index(b"avih")
+            n_frames = struct.unpack_from("<I", payload, i + 8 + 16)[0]
+            w, h = struct.unpack_from("<II", payload, i + 8 + 32)
+            out.update(width=w, height=h, n_frames=n_frames)
+        elif kind == "mp4":
+            stbl_s, stbl_e = _bmff_find(
+                payload, 0, len(payload),
+                [b"moov", b"trak", b"mdia", b"minf", b"stbl"],
+            )
+            tables = {
+                t: (b, e) for t, b, e in _bmff_boxes(payload, stbl_s, stbl_e)
+            }
+            p = _full_body(payload, *tables[b"stsd"])
+            w, h = struct.unpack_from(">HH", payload, p + 12 + 24)
+            zb, ze = tables[b"stsz"]
+            q = _full_body(payload, zb, ze)
+            n_frames = struct.unpack_from(">I", payload, q + 4)[0]
+            out.update(width=w, height=h, n_frames=n_frames)
+        return out
+    except MediaFormatError:
+        raise
+    except (struct.error, ValueError, IndexError, KeyError) as exc:
+        raise MediaFormatError(f"malformed {kind} header: {exc}") from exc

@@ -1175,3 +1175,61 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id bigint, container string, n_frames int, n_cuts int, "
         "cuts string, true_cuts string, max_intra_delta double",
     ).orderBy("media_id")
+
+
+@query("multimodal_probe_meta")  # Python header parse → rows-only check
+def multimodal_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-ONLY media metadata across all nine fixture formats —
+    the first curation pass at 100 TB: read a few hundred bytes,
+    extract dims / frame counts / sample counts, filter, and decode
+    only the survivors.  No entropy decoding happens anywhere in this
+    query (no LZW, DCT, Rice, inflate); tests assert the probe agrees
+    with the full decoders on every fixture row, which is what makes
+    the cheap pass trustworthy as a filter."""
+    import pandas as pd
+
+    media = _synth_media(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    )
+
+    def probe(batches):
+        from reindexer_spark.codecs import MediaFormatError, probe_media
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                try:
+                    p = probe_media(bytes(r["payload"]))
+                except MediaFormatError:
+                    p = {
+                        "kind": None, "width": None, "height": None,
+                        "n_frames": None, "sample_rate": None,
+                        "n_samples": None,
+                    }
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "probe_kind": p["kind"],
+                        "width": p["width"],
+                        "height": p["height"],
+                        "n_frames": p["n_frames"],
+                        "sample_rate": p["sample_rate"],
+                        "n_samples": p["n_samples"],
+                        "n_bytes": len(bytes(r["payload"])),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "probe_kind", "width", "height",
+                    "n_frames", "sample_rate", "n_samples", "n_bytes",
+                ],
+            )
+
+    return media.mapInPandas(
+        probe,
+        "media_id bigint, kind string, probe_kind string, width int, "
+        "height int, n_frames int, sample_rate int, n_samples bigint, "
+        "n_bytes bigint",
+    ).orderBy("media_id")

@@ -69,3 +69,55 @@ def test_scene_cuts_match_ground_truth_all_containers(spark, sf_dir):
         # intra-scene deltas sit well under the threshold (codec noise
         # margin — if this creeps toward 40 the operator is fragile)
         assert r.max_intra_delta < 25, (r.media_id, r.container)
+
+
+def test_probe_agrees_with_full_decoders(spark, sf_dir):
+    """The header-only probe must report the SAME dimensions / counts
+    the full decoders produce on every fixture row — otherwise the
+    cheap filtering pass would pass/reject the wrong objects."""
+    from pyspark.sql import functions as F
+
+    from reindexer_spark.catalog import load_table
+    from reindexer_spark.operators.multimodal import (
+        _synth_media,
+        multimodal_probe_meta,
+    )
+
+    probed = {r.media_id: r for r in multimodal_probe_meta(spark, sf_dir).collect()}
+    assert len(probed) == 200
+    media = _synth_media(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ).collect()
+    from reindexer_spark.codecs import (
+        PurePythonCodec,
+        decode_avi,
+        decode_flac,
+        decode_gif,
+        decode_mp4,
+        decode_wav,
+    )
+
+    for m in media:
+        p = probed[m.media_id]
+        payload = bytes(m.payload)
+        assert p.probe_kind is not None, m.kind
+        if m.kind.startswith("image") or m.kind.startswith("video"):
+            if m.kind == "image-gif":
+                w, h, _d, frames = decode_gif(payload)
+                assert (p.width, p.height, p.n_frames) == (w, h, len(frames))
+            elif m.kind in ("video-avi", "video-mjpeg"):
+                w, h, _u, frames = decode_avi(payload)
+                assert (p.width, p.height, p.n_frames) == (w, h, len(frames))
+            elif m.kind == "video-mp4":
+                w, h, _d, frames, _s = decode_mp4(payload)
+                assert (p.width, p.height, p.n_frames) == (w, h, len(frames))
+            else:
+                d = PurePythonCodec().decode(payload)
+                assert (p.width, p.height) == (d["width"], d["height"])
+        else:
+            rate, samples = (
+                decode_flac(payload)
+                if m.kind == "audio-flac"
+                else decode_wav(payload)
+            )
+            assert (p.sample_rate, p.n_samples) == (rate, len(samples))

@@ -44,4 +44,5 @@ def test_contract_shapes(spark):
         "multimodal_phash_dedup",
         "audio_dedup_fingerprint",
         "video_scene_cuts",
+        "multimodal_probe_meta",
     }
