@@ -102,6 +102,14 @@ EXTENDED = [
     "dq_numeric_profile",
     # round 6
     "dedup_shared_runs",
+    "dedup_url_canonical",
+    "text_line_filter",
+    "text_bpe_train",
+    "text_bpe_apply",
+    "audio_fingerprint_pairs",
+    "multimodal_probe_meta",
+    "video_scene_cuts",
+    "audio_dedup_fingerprint",
 ]
 
 

@@ -297,3 +297,92 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_overlap",
         )
     )
+
+
+DIFF_CHANGE_MOD = 11  # docs modified between snapshot versions
+DIFF_ADD_MOD = 13  # docs present only in v2
+DIFF_DROP_MOD = 17  # docs present only in v1
+
+
+@query(
+    "dataset_snapshot_diff",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT doc_id, source, md5(text) AS content_hash
+      FROM documents WHERE doc_id % {DIFF_ADD_MOD} <> 0
+    ),
+    v2 AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % {DIFF_CHANGE_MOD} = 0
+                  THEN md5(text || ' edited')
+                  ELSE md5(text) END AS content_hash
+      FROM documents WHERE doc_id % {DIFF_DROP_MOD} <> 0
+    ),
+    joined AS (
+      SELECT coalesce(v1.source, v2.source) AS source,
+             CASE
+               WHEN v1.doc_id IS NULL THEN 'added'
+               WHEN v2.doc_id IS NULL THEN 'removed'
+               WHEN v1.content_hash <> v2.content_hash THEN 'modified'
+               ELSE 'unchanged'
+             END AS change
+      FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+    )
+    SELECT source, change, COUNT(*) AS n_docs
+    FROM joined
+    GROUP BY source, change
+    ORDER BY source, change
+    """,
+)
+def dataset_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset VERSION auditing: diff two corpus snapshots by content
+    hash — added / removed / modified / unchanged counts per source,
+    the report every dataset release pipeline publishes between
+    versions (and the input to incremental reprocessing decisions:
+    only 'added' + 'modified' need re-embedding/re-deduping).
+
+    The two versions are derived deterministically from the one
+    corpus on both engines (v1 drops doc_id % {DIFF_ADD_MOD} = 0 —
+    those become 'added'; v2 drops % {DIFF_DROP_MOD} = 0 — 'removed';
+    % {DIFF_CHANGE_MOD} = 0 texts are edited in v2 — 'modified');
+    the operator under test is the hash-project → full-outer-join →
+    classify → aggregate pipeline.
+
+    Scale shape: both sides project to (doc_id, source, 32-byte hash)
+    BEFORE the join, so the shuffle moves hashes, never text; the
+    full-outer join is doc_id-partitioned on both sides (one logical
+    shuffle key) and the classification is codegen'd CASE logic.
+    At 100 TB the hash projection reads columnar text once and the
+    diff itself is hash-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    v1 = d.filter(F.col("doc_id") % DIFF_ADD_MOD != 0).select(
+        "doc_id", "source", F.md5("text").alias("content_hash")
+    )
+    v2 = d.filter(F.col("doc_id") % DIFF_DROP_MOD != 0).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % DIFF_CHANGE_MOD == 0,
+            F.md5(F.concat(F.col("text"), F.lit(" edited"))),
+        )
+        .otherwise(F.md5("text"))
+        .alias("content_hash"),
+    )
+    joined = v1.alias("a").join(
+        v2.alias("b"), on="doc_id", how="full_outer"
+    )
+    change = (
+        F.when(F.col("a.source").isNull(), "added")
+        .when(F.col("b.source").isNull(), "removed")
+        .when(F.col("a.content_hash") != F.col("b.content_hash"), "modified")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce("a.source", "b.source").alias("source"),
+            change.alias("change"),
+        )
+        .groupBy("source", "change")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "change")
+    )

@@ -1691,3 +1691,86 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+CTX_WINDOW = 64  # tokens per training context window
+CTX_STRIDE = 48  # window start stride (16-token overlap)
+
+
+@query(
+    "text_context_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) <= {CTX_WINDOW} THEN 1
+                  ELSE (len(t) - {CTX_WINDOW} + {CTX_STRIDE} - 1)
+                       // {CTX_STRIDE} + 1 END AS n_windows
+      FROM toks
+    ),
+    wins AS (
+      SELECT doc_id, n, n_windows,
+             list_transform(
+               range(n_windows),
+               i -> array_to_string(
+                 t[(i * {CTX_STRIDE} + 1):(i * {CTX_STRIDE} + {CTX_WINDOW})],
+                 ' ')) AS w
+      FROM counts
+    )
+    SELECT doc_id,
+           n AS n_tokens,
+           n_windows,
+           CAST((SELECT SUM(len(string_split(x, ' ')))
+                 FROM unnest(w) AS u(x)) AS BIGINT) AS n_window_tokens,
+           md5(w[1]) AS first_window_md5,
+           md5(w[n_windows]) AS last_window_md5
+    FROM wins
+    ORDER BY doc_id
+    """,
+)
+def text_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window splitting for training: each document slices
+    into {CTX_WINDOW}-token windows at stride {CTX_STRIDE} (16-token
+    overlap so no span is ever seen only at a window boundary) — the
+    long-document half of sequence preparation, complementing
+    corpus_pack_sequences (which packs SHORT documents up to the
+    window).  Emits per-doc window counts, the total token count
+    including overlap (the real token budget the training run pays),
+    and first/last window checksums pinning boundary math exactly.
+
+    Scale shape: pure per-row array algebra — slicing, hashing,
+    arithmetic, all codegen'd, no shuffle at all until the final
+    presentation sort; at 100 TB this is a map-only pass emitting
+    ~40 bytes per document."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "t", F.split("text", " ")
+    )
+    n = F.size("t")
+    n_windows = F.when(n <= CTX_WINDOW, F.lit(1)).otherwise(
+        (n - CTX_WINDOW + CTX_STRIDE - 1) / CTX_STRIDE + 1
+    ).cast("int")
+    wins = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("t"), i * CTX_STRIDE + 1, CTX_WINDOW), " "
+        ),
+    )
+    return (
+        d.select("doc_id", n.alias("n_tokens"), n_windows.alias("n_windows"),
+                 wins.alias("w"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_windows",
+            F.aggregate(
+                F.transform("w", lambda x: F.size(F.split(x, " "))),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("n_window_tokens"),
+            F.md5(F.element_at("w", 1)).alias("first_window_md5"),
+            F.md5(F.element_at("w", -1)).alias("last_window_md5"),
+        )
+        .orderBy("doc_id")
+    )
