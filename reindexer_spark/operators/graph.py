@@ -137,3 +137,153 @@ def graph_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.join(F.broadcast(n), pr.n == n.n_nationkey).select(
         "n_name", F.round("pr", 9).alias("pagerank")
     )
+
+
+LP_ITER = 3
+
+_LP_EDGES_SQL = """
+    raw AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ), und AS (
+      SELECT node, nbr, SUM(w) AS w FROM (
+        SELECT src AS node, dst AS nbr, w FROM raw
+        UNION ALL SELECT dst AS node, src AS nbr, w FROM raw
+      ) GROUP BY 1, 2
+    ), stats AS (SELECT AVG(w) AS avg_w FROM und),
+    edges AS (
+      SELECT node, nbr, w FROM und CROSS JOIN stats
+      WHERE w > 1.5 * avg_w
+    ), l0 AS (
+      SELECT DISTINCT node AS n, node AS label FROM edges
+    )
+"""
+
+
+def _lp_iter_sql(i: int) -> str:
+    prev = f"l{i - 1}"
+    return f"""
+    v{i} AS (
+      SELECT e.node AS n, p.label, SUM(e.w) AS wt
+      FROM edges e JOIN {prev} p ON p.n = e.nbr
+      GROUP BY 1, 2
+    ), l{i} AS (
+      SELECT n, label FROM (
+        SELECT n, label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n ORDER BY wt DESC, label ASC
+               ) AS rk
+        FROM v{i}
+      ) WHERE rk = 1
+    )"""
+
+
+@query(
+    "graph_label_propagation",
+    oracle="WITH "
+    + _LP_EDGES_SQL
+    + ","
+    + ",".join(_lp_iter_sql(i) for i in range(1, LP_ITER + 1))
+    + f"""
+    SELECT nt.n_name, l.label AS community,
+           COUNT(*) OVER (PARTITION BY l.label) AS community_size
+    FROM l{LP_ITER} l JOIN nation nt ON nt.n_nationkey = l.n
+    ORDER BY nt.n_name
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    undirected nation trade graph — {LP_ITER} unrolled iterations,
+    each node adopting the label with the highest incident edge
+    weight (ties broken toward the smaller label, making the whole
+    iterative algorithm value-exact across engines — the reason LP
+    implementations are usually non-deterministic is unordered tie
+    breaks, not the math).  Edges first sparsify by a relative
+    threshold (> 1.5× mean weight — scale-adaptive, the standard
+    cleaning step before community detection); a uniform-random trade
+    graph is near-complete, so even sparsified it yields only coarse
+    structure — the gate's value here is exactness of the iterative
+    machinery, not the synthetic graph's sociology.
+
+    Same aggregate-first scale design as graph_nation_pagerank: the
+    fact tables collapse to a |nations|²-bounded weighted edge
+    relation BEFORE any iteration, so the LP loop — the part that
+    looks like it needs GraphX/Pregel — runs on a few hundred rows
+    regardless of corpus size, unrolled into one Catalyst plan with
+    no driver feedback.  At 100 TB the same unrolling works on any
+    aggregated entity graph (domains, authors, repos); for
+    billion-node graphs the iteration becomes a join-per-step job
+    with the label relation checkpointed — the edge build is the
+    corpus-sized part either way."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    und = (
+        raw.select(F.col("src").alias("node"), F.col("dst").alias("nbr"), "w")
+        .unionAll(
+            raw.select(
+                F.col("dst").alias("node"), F.col("src").alias("nbr"), "w"
+            )
+        )
+        .groupBy("node", "nbr")
+        .agg(F.sum("w").alias("w"))
+    )
+    # relative-threshold sparsification: keep edges above 1.5x the mean
+    # weight — the standard graph-cleaning step before community
+    # detection (scale-adaptive, unlike an absolute cutoff), and what
+    # gives a near-complete random trade graph any structure at all
+    stats = und.agg(F.avg("w").alias("avg_w"))
+    edges = track(
+        und.crossJoin(F.broadcast(stats)).filter(
+            F.col("w") > 1.5 * F.col("avg_w")
+        ).select("node", "nbr", "w")
+    )
+    labels = edges.select(F.col("node").alias("n")).distinct().select(
+        "n", F.col("n").alias("label")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(LP_ITER):
+        votes = (
+            edges.join(labels, edges.nbr == labels.n)
+            .groupBy(F.col("node").alias("vn"), "label")
+            .agg(F.sum("w").alias("wt"))
+        )
+        rk = Window.partitionBy("vn").orderBy(
+            F.desc("wt"), F.asc("label")
+        )
+        labels = (
+            votes.withColumn("rk", F.row_number().over(rk))
+            .filter(F.col("rk") == 1)
+            .select(F.col("vn").alias("n"), "label")
+        )
+    sized = labels.withColumn(
+        "community_size",
+        F.count("*").over(Window.partitionBy("label")),
+    )
+    return (
+        sized.join(F.broadcast(n), sized.n == n.n_nationkey)
+        .select(
+            "n_name",
+            F.col("label").alias("community"),
+            "community_size",
+        )
+        .orderBy("n_name")
+    )
