@@ -110,6 +110,9 @@ EXTENDED = [
     "multimodal_probe_meta",
     "video_scene_cuts",
     "audio_dedup_fingerprint",
+    "dataset_snapshot_diff",
+    "text_context_windows",
+    "graph_label_propagation",
 ]
 
 
