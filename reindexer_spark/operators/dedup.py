@@ -1520,3 +1520,124 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy("canonical_url")
     )
+
+
+FUNNEL_MIN_CHARS = 200  # stage-3 minimum document length
+
+
+@query(
+    "corpus_dedup_funnel",
+    oracle=f"""
+    WITH urls AS (
+      SELECT doc_id, source, n_chars,
+             concat(source, '/', CAST(doc_id % 50 AS VARCHAR)) AS canon
+      FROM documents
+    ),
+    s1 AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY canon ORDER BY doc_id) AS rn1
+      FROM urls
+    ),
+    s2 AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5((SELECT text FROM documents d
+                                 WHERE d.doc_id = s1.doc_id))
+               ORDER BY doc_id) AS rn2
+      FROM s1 WHERE rn1 = 1
+    ),
+    classified AS (
+      SELECT u.source,
+             CASE
+               WHEN s1.rn1 > 1 THEN 'url_dup'
+               WHEN s2.rn2 > 1 THEN 'exact_dup'
+               WHEN u.n_chars < {FUNNEL_MIN_CHARS} THEN 'too_short'
+               ELSE 'kept'
+             END AS outcome
+      FROM urls u
+      JOIN s1 ON s1.doc_id = u.doc_id
+      LEFT JOIN s2 ON s2.doc_id = u.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN outcome = 'url_dup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS removed_url_dup,
+           CAST(SUM(CASE WHEN outcome = 'exact_dup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS removed_exact_dup,
+           CAST(SUM(CASE WHEN outcome = 'too_short' THEN 1 ELSE 0 END)
+                AS BIGINT) AS removed_short,
+           CAST(SUM(CASE WHEN outcome = 'kept' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM classified
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-side attrition funnel — the per-stage report every
+    dataset release publishes: stage 1 collapses canonical-URL
+    duplicates (cheapest signal first), stage 2 collapses exact
+    content duplicates among URL survivors, stage 3 drops too-short
+    survivors; each document is attributed to the FIRST stage that
+    removed it, counted per source.  The ordering is the point:
+    running cheap signals first is what keeps the expensive stages
+    small, and the attribution tells you which signal is earning its
+    cost (the quality-side twin is corpus_curation_funnel).
+
+    Stage keepers are deterministic (min doc_id per group, the
+    cluster-representative convention) so the report is value-exact.
+    Scale shape: two window functions over successively SHRINKING
+    relations — URL keys first (everything), content hashes second
+    (URL survivors only) — shuffling ~40-byte keys, then one
+    conditional aggregation; text never shuffles (the hash does)."""
+    d = load_table(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5("text").alias("content_hash"),
+        F.concat(
+            F.col("source"), F.lit("/"), (F.col("doc_id") % 50).cast("string")
+        ).alias("canon"),
+    )
+    s1 = urls.withColumn(
+        "rn1",
+        F.row_number().over(
+            Window.partitionBy("canon").orderBy("doc_id")
+        ),
+    )
+    s2 = (
+        s1.filter(F.col("rn1") == 1)
+        .withColumn(
+            "rn2",
+            F.row_number().over(
+                Window.partitionBy("content_hash").orderBy("doc_id")
+            ),
+        )
+        .select("doc_id", "rn2")
+    )
+    outcome = (
+        F.when(F.col("rn1") > 1, "url_dup")
+        .when(F.col("rn2") > 1, "exact_dup")
+        .when(F.col("n_chars") < FUNNEL_MIN_CHARS, "too_short")
+        .otherwise("kept")
+    )
+    return (
+        s1.join(s2, "doc_id", "left")
+        .select("source", outcome.alias("outcome"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("outcome") == "url_dup").cast("bigint")).alias(
+                "removed_url_dup"
+            ),
+            F.sum((F.col("outcome") == "exact_dup").cast("bigint")).alias(
+                "removed_exact_dup"
+            ),
+            F.sum((F.col("outcome") == "too_short").cast("bigint")).alias(
+                "removed_short"
+            ),
+            F.sum((F.col("outcome") == "kept").cast("bigint")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
