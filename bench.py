@@ -113,6 +113,7 @@ EXTENDED = [
     "dataset_snapshot_diff",
     "text_context_windows",
     "graph_label_propagation",
+    "corpus_dedup_funnel",
 ]
 
 
