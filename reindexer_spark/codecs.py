@@ -582,6 +582,50 @@ def _full_body(payload: bytes, body: int, bend: int) -> int:
     return body + 4  # skip version+flags
 
 
+def _bmff_video_trak(payload: bytes) -> tuple[int, int]:
+    """→ (body_start, body_end) of the VIDEO trak inside moov.
+
+    Real mp4s routinely put an audio trak first; selecting the first
+    trak blindly mis-decodes (or quarantines) those files.  Prefer the
+    trak whose mdia/hdlr handler_type is 'vide'; among video traks (or
+    when no hdlr declares one) prefer a trak whose stsd first entry is
+    'jpeg' (the one coding this decoder handles); fall back to the
+    first trak so malformed-but-single-trak files keep their existing
+    error paths."""
+    moov_s, moov_e = _bmff_find(payload, 0, len(payload), [b"moov"])
+    first = vide = jpeg_trak = None
+    for tag, body, bend in _bmff_boxes(payload, moov_s, moov_e):
+        if tag != b"trak":
+            continue
+        if first is None:
+            first = (body, bend)
+        handler = None
+        try:
+            h_s, h_e = _bmff_find(payload, body, bend, [b"mdia", b"hdlr"])
+            if h_e - h_s >= 12:
+                handler = payload[h_s + 8 : h_s + 12]
+        except MediaFormatError:
+            pass
+        coding = None
+        try:
+            sd_s, sd_e = _bmff_find(
+                payload, body, bend,
+                [b"mdia", b"minf", b"stbl", b"stsd"],
+            )
+            p = _full_body(payload, sd_s, sd_e)
+            if struct.unpack_from(">I", payload, p)[0] >= 1:
+                coding = payload[p + 8 : p + 12]
+        except (MediaFormatError, struct.error):
+            pass
+        if coding == b"jpeg" and jpeg_trak is None:
+            jpeg_trak = (body, bend)
+        if handler == b"vide" and vide is None:
+            vide = (body, bend)
+    if first is None:
+        raise MediaFormatError("mp4 has no trak box")
+    return jpeg_trak or vide or first
+
+
 def decode_mp4(
     payload: bytes,
 ) -> tuple[int, int, list[int], list[bytes], list[bool]]:
@@ -610,12 +654,11 @@ def _decode_mp4_impl(
 ) -> tuple[int, int, list[int], list[bytes], list[bool]]:
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise MediaFormatError("not an ISO BMFF payload")
-    end = len(payload)
+    trak_s, trak_e = _bmff_video_trak(payload)
     stbl_s, stbl_e = _bmff_find(
-        payload, 0, end,
-        [b"moov", b"trak", b"mdia", b"minf", b"stbl"],
+        payload, trak_s, trak_e, [b"mdia", b"minf", b"stbl"]
     )
-    mdhd_s, mdhd_e = _bmff_find(payload, 0, end, [b"moov", b"trak", b"mdia", b"mdhd"])
+    mdhd_s, mdhd_e = _bmff_find(payload, trak_s, trak_e, [b"mdia", b"mdhd"])
     v = payload[mdhd_s]
     timescale = struct.unpack_from(
         ">I", payload, mdhd_s + (4 + 16 if v == 1 else 4 + 8)
@@ -626,9 +669,11 @@ def _decode_mp4_impl(
     tables: dict[bytes, tuple[int, int]] = {}
     for tag, body, bend in _bmff_boxes(payload, stbl_s, stbl_e):
         tables[tag] = (body, bend)
-    for req in (b"stsd", b"stts", b"stsc", b"stsz", b"stco"):
+    for req in (b"stsd", b"stts", b"stsc", b"stsz"):
         if req not in tables:
             raise MediaFormatError(f"mp4 missing {req.decode()} box")
+    if b"stco" not in tables and b"co64" not in tables:
+        raise MediaFormatError("mp4 missing stco/co64 box")
 
     # stsd: coding name + dimensions from the first sample entry
     p = _full_body(payload, *tables[b"stsd"])
@@ -689,8 +734,23 @@ def _decode_mp4_impl(
     if len(durations) < n_samples:
         raise MediaFormatError("mp4 stts covers fewer samples than stsz")
 
-    # stsc runs + stco → absolute file offset of every sample
-    chunk_offsets = [o[0] for o in u32s(b"stco", 0, 1)]
+    # stsc runs + stco/co64 → absolute file offset of every sample
+    # (co64 is the 64-bit offset table files >4 GiB use — at crawl
+    # scale those are common, and rejecting them quarantines good data)
+    if b"stco" in tables:
+        chunk_offsets = [o[0] for o in u32s(b"stco", 0, 1)]
+    else:
+        cbody, cbend = tables[b"co64"]
+        q = _full_body(payload, cbody, cbend)
+        if q + 4 > cbend:
+            raise MediaFormatError("truncated co64 box")
+        c_count = struct.unpack_from(">I", payload, q)[0]
+        if q + 4 + 8 * c_count > cbend:
+            raise MediaFormatError("truncated co64 box")
+        chunk_offsets = [
+            struct.unpack_from(">Q", payload, q + 4 + 8 * i)[0]
+            for i in range(c_count)
+        ]
     runs = u32s(b"stsc", 0, 3)
     offsets: list[int] = []
     for ri, (first_chunk, per_chunk, _desc) in enumerate(runs):
@@ -2775,6 +2835,7 @@ def encode_flac(
 
 
 _FLAC_RATES = {
+    1: 88200, 2: 176400, 3: 192000,
     4: 8000, 5: 16000, 6: 22050, 7: 24000, 8: 32000,
     9: 44100, 10: 48000, 11: 96000,
 }
@@ -2925,12 +2986,26 @@ def _decode_flac_impl(payload: bytes) -> tuple[int, list[int]]:
             n = r.bits(16) + 1
         else:
             n = 256 << (bs_code - 8)
-        if rate_code == 12:
-            r.bits(8)
-        elif rate_code in (13, 14):
-            r.bits(16)
-        elif rate_code == 15:
+        # decode the frame-header rate and cross-check it against
+        # STREAMINFO (RFC 9639 §9.1.2: code 0 defers to STREAMINFO;
+        # a disagreement means a corrupt or mis-spliced frame)
+        if rate_code == 0:
+            frame_rate = rate
+        elif rate_code in _FLAC_RATES:
+            frame_rate = _FLAC_RATES[rate_code]
+        elif rate_code == 12:
+            frame_rate = r.bits(8) * 1000
+        elif rate_code == 13:
+            frame_rate = r.bits(16)
+        elif rate_code == 14:
+            frame_rate = r.bits(16) * 10
+        else:
             raise MediaFormatError("invalid FLAC sample-rate code")
+        if frame_rate != rate:
+            raise MediaFormatError(
+                f"FLAC frame rate {frame_rate} disagrees with "
+                f"STREAMINFO rate {rate}"
+            )
         frame_bps = _FLAC_BPS.get(bps_code, bps)
         header_end = r.byte_pos()
         crc8_stored = r.bits(8)
@@ -3316,8 +3391,26 @@ def probe_media(payload: bytes) -> dict:
             if out["width"] is None:
                 raise MediaFormatError("JPEG SOF not found")
         elif kind == "wav":
-            rate, bits = struct.unpack_from("<I", payload, 24)[0], payload[34]
-            data_len = struct.unpack_from("<I", payload, 40)[0]
+            # walk RIFF chunks by ID exactly like decode_wav — real
+            # crawls carry LIST/fact chunks and 18-byte fmt bodies, so
+            # fixed offsets (rate@24, data_len@40) silently mis-probe
+            rate = bits = data_len = None
+            cpos = 12
+            while cpos + 8 <= len(payload):
+                cid = payload[cpos : cpos + 4]
+                size = struct.unpack_from("<I", payload, cpos + 4)[0]
+                if cid == b"fmt ":
+                    if size < 16 or cpos + 8 + 16 > len(payload):
+                        raise MediaFormatError("truncated WAV fmt chunk")
+                    rate = struct.unpack_from("<I", payload, cpos + 12)[0]
+                    bits = struct.unpack_from("<H", payload, cpos + 22)[0]
+                elif cid == b"data":
+                    data_len = size
+                cpos += 8 + size + (size & 1)  # chunks are word-aligned
+            if rate is None or data_len is None:
+                raise MediaFormatError("WAV missing fmt/data chunk")
+            if bits == 0 or bits % 8:
+                raise MediaFormatError(f"WAV bits-per-sample {bits} invalid")
             out.update(sample_rate=rate, n_samples=data_len // (bits // 8))
         elif kind == "flac":
             packed = int.from_bytes(payload[18:26], "big")
@@ -3331,9 +3424,11 @@ def probe_media(payload: bytes) -> dict:
             w, h = struct.unpack_from("<II", payload, i + 8 + 32)
             out.update(width=w, height=h, n_frames=n_frames)
         elif kind == "mp4":
+            # same video-trak selection as the decoder: an mp4 with the
+            # audio trak first must probe its VIDEO dimensions
+            trak_s, trak_e = _bmff_video_trak(payload)
             stbl_s, stbl_e = _bmff_find(
-                payload, 0, len(payload),
-                [b"moov", b"trak", b"mdia", b"minf", b"stbl"],
+                payload, trak_s, trak_e, [b"mdia", b"minf", b"stbl"]
             )
             tables = {
                 t: (b, e) for t, b, e in _bmff_boxes(payload, stbl_s, stbl_e)

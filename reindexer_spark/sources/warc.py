@@ -39,6 +39,7 @@ from __future__ import annotations
 import gzip
 import io
 import os
+import zlib
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -97,10 +98,38 @@ def parse_warc_records(
         yield {**headers, "block": block}
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Strip HTTP/1.1 chunked transfer framing (RFC 9112 §7.1):
+    hex-size lines alternate with data chunks until a 0-size chunk.
+    Raises ValueError on malformed framing (caller degrades to raw)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            raise ValueError("truncated chunk-size line")
+        size = int(body[pos:nl].split(b";")[0].strip(), 16)
+        pos = nl + 2
+        if size == 0:
+            return bytes(out)
+        if pos + size > len(body):
+            raise ValueError("truncated chunk data")
+        out += body[pos : pos + size]
+        pos += size + 2  # trailing CRLF after each chunk
+
+
 def split_http_payload(block: bytes) -> tuple[int | None, str | None, bytes]:
     """HTTP message bytes → (status, page content-type, body);
     non-HTTP blocks pass through unchanged with null status/type
-    (record-level degradation, not a task failure)."""
+    (record-level degradation, not a task failure).
+
+    Transfer-Encoding: chunked framing is stripped and
+    Content-Encoding: gzip/deflate bodies are decompressed — crawl
+    archives record the wire bytes verbatim, so without this the
+    "body" still carries chunk-size lines or zlib streams and every
+    downstream decode quarantines a recoverable page.  A body whose
+    declared encoding fails to parse degrades to the raw bytes
+    (same record-level contract as the rest of this function)."""
     if not block.startswith(b"HTTP/"):
         return None, None, block
     head, sep, body = block.partition(b"\r\n\r\n")
@@ -113,11 +142,34 @@ def split_http_payload(block: bytes) -> tuple[int | None, str | None, bytes]:
     except (IndexError, ValueError):
         return None, None, block
     ctype = None
+    transfer_enc = content_enc = ""
     for hline in lines[1:]:
         name, _, value = hline.partition(b":")
-        if name.strip().lower() == b"content-type":
+        lname = name.strip().lower()
+        if lname == b"content-type" and ctype is None:
             ctype = value.strip().decode("utf-8", "replace")
-            break
+        elif lname == b"transfer-encoding":
+            transfer_enc = value.strip().decode("ascii", "replace").lower()
+        elif lname == b"content-encoding":
+            content_enc = value.strip().decode("ascii", "replace").lower()
+    if "chunked" in transfer_enc:
+        try:
+            body = _dechunk(body)
+        except ValueError:
+            return status, ctype, body
+    if content_enc in ("gzip", "x-gzip"):
+        try:
+            body = gzip.decompress(body)
+        except (OSError, EOFError, zlib.error):
+            pass
+    elif content_enc == "deflate":
+        try:  # zlib-wrapped per RFC 9110; many servers send raw deflate
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:
+                body = zlib.decompress(body, -15)
+            except zlib.error:
+                pass
     return status, ctype, body
 
 

@@ -1369,3 +1369,143 @@ def test_flac_fuzz_quarantine_contract():
         for i in rng.integers(0, len(flac), 5):
             noisy[i] = int(rng.integers(0, 256))
         check(bytes(noisy))
+
+
+# ---------------------------------------------------------------------------
+# round-7 advice fixes: probe chunk-walking, multi-trak/co64 mp4,
+# FLAC frame-rate cross-check
+# ---------------------------------------------------------------------------
+
+
+def test_probe_wav_walks_riff_chunks():
+    """A WAV with an 18-byte fmt chunk and a LIST chunk before data —
+    the common real-crawl layout — must probe the same (rate,
+    n_samples) decode_wav reports, not garbage from fixed offsets."""
+    import struct
+
+    from reindexer_spark.codecs import probe_media
+
+    samples = list(range(-50, 50))  # 100 samples
+    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    fmt18 = struct.pack("<HHIIHHH", 1, 1, 8000, 16000, 2, 16, 0)
+    list_body = b"INFOISFT" + struct.pack("<I", 6) + b"test\x00\x00"
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt18)) + fmt18
+        + b"LIST" + struct.pack("<I", len(list_body)) + list_body
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    rate, decoded = decode_wav(wav)
+    assert (rate, len(decoded)) == (8000, 100)
+    p = probe_media(wav)
+    assert (p["sample_rate"], p["n_samples"]) == (8000, 100)
+
+
+def test_probe_wav_missing_chunks_quarantines():
+    import struct
+
+    from reindexer_spark.codecs import probe_media
+
+    wav = b"RIFF" + struct.pack("<I", 4) + b"WAVE"  # no fmt/data at all
+    with pytest.raises(MediaFormatError):
+        probe_media(wav)
+
+
+def _audio_first_mp4(mp4: bytes) -> bytes:
+    """Insert a minimal 'soun' trak BEFORE the video trak in moov."""
+    import struct
+
+    from reindexer_spark.codecs import _box, _full_box
+
+    audio_hdlr = _full_box(
+        b"hdlr", 0, 0, struct.pack(">I", 0) + b"soun" + bytes(12) + b"a\x00"
+    )
+    audio_trak = _box(b"trak", _box(b"mdia", audio_hdlr))
+    i = mp4.index(b"moov") - 4
+    moov_size = struct.unpack_from(">I", mp4, i)[0]
+    moov_body = mp4[i + 8 : i + moov_size]
+    # moov children: mvhd then trak — splice the audio trak before trak
+    mvhd_size = struct.unpack_from(">I", moov_body, 0)[0]
+    new_body = (
+        moov_body[:mvhd_size] + audio_trak + moov_body[mvhd_size:]
+    )
+    return mp4[:i] + _box(b"moov", new_body)
+
+
+def test_mp4_selects_video_trak_when_audio_first():
+    from reindexer_spark.codecs import decode_mp4, encode_mp4, probe_media
+
+    w, h = 16, 8
+    frames = [checkerboard(w, h), checkerboard(w, h)]
+    plain = encode_mp4(w, h, frames, 4, quality=95)
+    shuffled = _audio_first_mp4(plain)
+    pw, ph, durs, out, sync = decode_mp4(shuffled)
+    assert (pw, ph, len(out)) == (w, h, 2)
+    p = probe_media(shuffled)
+    assert (p["width"], p["height"], p["n_frames"]) == (w, h, 2)
+
+
+def test_mp4_co64_offsets_decode():
+    """Rewrite stco as co64 (64-bit offsets, the >4 GiB table) and
+    confirm the decode is byte-identical to the stco original."""
+    import struct
+
+    from reindexer_spark.codecs import _full_box, decode_mp4, encode_mp4
+
+    w, h = 16, 8
+    frames = [checkerboard(w, h), checkerboard(w, h), checkerboard(w, h)]
+    mp4 = encode_mp4(w, h, frames, 4, quality=95)
+    i = mp4.index(b"stco") - 4
+    size = struct.unpack_from(">I", mp4, i)[0]
+    count = struct.unpack_from(">I", mp4, i + 12)[0]
+    offsets = [
+        struct.unpack_from(">I", mp4, i + 16 + 4 * k)[0] for k in range(count)
+    ]
+    co64 = _full_box(
+        b"co64",
+        0,
+        0,
+        struct.pack(">I", count)
+        + b"".join(struct.pack(">Q", o) for o in offsets),
+    )
+    # moov is the LAST top-level box, so growing it never moves mdat —
+    # the chunk offsets stay valid; fix the enclosing box sizes
+    patched = bytearray(mp4[:i] + co64 + mp4[i + size :])
+    grow = len(co64) - size
+    for tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        j = patched.index(tag) - 4
+        old = struct.unpack_from(">I", patched, j)[0]
+        struct.pack_into(">I", patched, j, old + grow)
+    base = decode_mp4(mp4)
+    alt = decode_mp4(bytes(patched))
+    assert alt == base
+
+
+def test_flac_frame_rate_crosscheck():
+    """A frame header whose rate code disagrees with STREAMINFO (with a
+    VALID CRC-8, i.e. a mis-spliced frame, not line noise) must
+    quarantine; an agreeing explicit code must decode losslessly."""
+    import struct
+
+    from reindexer_spark.codecs import _crc8, decode_flac, encode_flac
+
+    samples = [int(x) for x in range(-100, 100)]
+    flac = encode_flac(samples, 8000, block_size=256)
+    frame_at = 4 + 4 + 34  # fLaC + STREAMINFO block header + body
+    hdr_len = 7  # sync/flags(2) + bs|rate(1) + ch|bps(1) + frame#(1) + bs16(2)
+
+    def with_rate_code(code: int) -> bytes:
+        b = bytearray(flac)
+        b[frame_at + 2] = (b[frame_at + 2] & 0xF0) | code
+        b[frame_at + hdr_len] = _crc8(bytes(b[frame_at : frame_at + hdr_len]))
+        # frame CRC-16 covers the header too — recompute it
+        from reindexer_spark.codecs import _crc16
+
+        end = len(b) - 2
+        struct.pack_into(">H", b, end, _crc16(bytes(b[frame_at:end])))
+        return bytes(b)
+
+    rate, out = decode_flac(with_rate_code(4))  # 4 → 8000: agrees
+    assert (rate, out) == (8000, samples)
+    with pytest.raises(MediaFormatError, match="disagrees"):
+        decode_flac(with_rate_code(9))  # 9 → 44100: mis-spliced

@@ -178,3 +178,58 @@ def test_lf_only_padding_tolerated():
         data = open(p, "rb").read().replace(b"\r\n\r\nWARC/", b"\n\nWARC/")
         recs = list(parse_warc_records(io.BytesIO(data), where="x"))
         assert len(recs) == 3
+
+
+def test_split_http_chunked_and_compressed_bodies():
+    """Crawl archives record wire bytes verbatim — chunked framing is
+    stripped and gzip/deflate bodies decompress; malformed encodings
+    degrade to the raw bytes (record-level, never a task failure)."""
+    import gzip as _gz
+    import zlib as _zl
+
+    page = b"<html>hello crawl</html>"
+    # Transfer-Encoding: chunked
+    def frame(*parts: bytes) -> bytes:
+        out = b""
+        for p in parts:
+            out += hex(len(p))[2:].encode() + b"\r\n" + p + b"\r\n"
+        return out + b"0\r\n\r\n"
+
+    chunked = frame(b"<html>hello", b" crawl</html", b">")
+    s, t, b = split_http_payload(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + chunked
+    )
+    assert (s, t, b) == (200, "text/html", page)
+    # Content-Encoding: gzip
+    s, t, b = split_http_payload(
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+        + _gz.compress(page)
+    )
+    assert (s, b) == (200, page)
+    # chunked + gzip together (framing first, then representation)
+    gz = _gz.compress(page)
+    framed = frame(gz)
+    s, t, b = split_http_payload(
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + framed
+    )
+    assert b == page
+    # deflate, both zlib-wrapped and raw
+    raw = _zl.compressobj(wbits=-15)
+    for payload in (_zl.compress(page), raw.compress(page) + raw.flush()):
+        s, t, b = split_http_payload(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + payload
+        )
+        assert b == page
+    # malformed gzip degrades to raw
+    s, t, b = split_http_payload(
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot gzip"
+    )
+    assert b == b"not gzip"
+    # malformed chunk framing degrades to raw
+    bad = b"zz\r\nhuh"
+    s, t, b = split_http_payload(
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + bad
+    )
+    assert b == bad
