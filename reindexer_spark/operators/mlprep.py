@@ -538,3 +538,137 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pc1_score"
         ),
     )
+
+
+# --- SemDeDup: cluster-then-prune semantic deduplication --------------
+
+SEMDEDUP_K = 8
+SEMDEDUP_TAU = 0.35
+
+
+@query(
+    "embed_semdedup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS cluster_id, emb AS centroid
+      FROM e WHERE vec_id < {SEMDEDUP_K}
+    ), assigned AS (
+      SELECT vec_id, emb, cluster_id FROM (
+        SELECT e.vec_id, e.emb, s.cluster_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY FLOOR(list_dot_product(e.emb, s.centroid)
+                                * 1000000) DESC, s.cluster_id
+               ) AS rn
+        FROM e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ), normed AS (
+      SELECT vec_id, emb, cluster_id,
+             sqrt(list_dot_product(emb, emb)) AS nrm
+      FROM assigned
+    ), prior_sim AS (
+      SELECT b.vec_id,
+             MAX(FLOOR(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)
+                       * 1000000) / 1000000) AS max_prior_cos
+      FROM normed a JOIN normed b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      GROUP BY b.vec_id
+    ), sizes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_cluster
+      FROM assigned GROUP BY cluster_id
+    )
+    SELECT n.vec_id, CAST(n.cluster_id AS BIGINT) AS cluster_id,
+           s.n_cluster,
+           COALESCE(p.max_prior_cos, -1.0) AS max_prior_cos,
+           CAST(COALESCE(p.max_prior_cos, -1.0) < {SEMDEDUP_TAU} AS INT)
+             AS is_kept
+    FROM normed n
+    JOIN sizes s USING (cluster_id)
+    LEFT JOIN prior_sim p ON p.vec_id = n.vec_id
+    """,
+)
+def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embedding corpus, then inside
+    each cluster drop every vector whose cosine similarity to a
+    lower-vec_id cluster-mate reaches τ — the composed curation
+    operator LLM-data pipelines actually run, built from the same
+    halves as embed_kmeans_lloyd (assignment) and dedup_embedding_lsh
+    (cosine verify).
+
+    Scale shape: the K seed centroids broadcast, so assignment is a
+    map-side constant fan-out with a vec_id-partitioned argmax window
+    (uniform keys, K rows each) — the corpus is shuffled once, by
+    cluster_id, for the within-cluster self-join.  The pairwise stage
+    is quadratic ONLY within a cluster: that is SemDeDup's actual
+    design contract (K grows with the corpus so E[|cluster|²] stays
+    bounded — the paper runs K=50k over 5 B embeddings, ~100k-vector
+    clusters sharded exactly like this).  Skewed clusters are the real
+    risk at 100 TB; the emitted n_cluster column is the skew audit.
+
+    Determinism: dots fold in array order on both engines, the cosine
+    is FLOOR-quantized once before MAX, assignment ties break to the
+    lower cluster_id, and the keep rule ("survives unless an EARLIER
+    vector is within τ") makes the kept set a pure function of vec_id
+    order — no RNG, fully oracle-checkable."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = e.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.transform("embedding", lambda v: v.cast("double")).alias("centroid"),
+    )
+    assigned = _kmeans_assign(e, seeds).select(
+        "vec_id", "embedding", "cluster_id"
+    )
+    normed = assigned.withColumn(
+        "nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
+    a = normed.select(
+        F.col("cluster_id").alias("c_a"),
+        F.col("vec_id").alias("v_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = normed.select(
+        "cluster_id",
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = (
+        F.floor(
+            _dot(F.col("emb_a"), F.col("emb_b"))
+            / (F.col("nrm_a") * F.col("nrm_b"))
+            * 1e6
+        )
+        / 1e6
+    )
+    prior = (
+        b.join(
+            a,
+            (F.col("c_a") == F.col("cluster_id"))
+            & (F.col("v_a") < F.col("vec_id")),
+        )
+        .select("vec_id", cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_prior_cos"))
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_cluster")
+    )
+    return (
+        assigned.join(sizes, "cluster_id")
+        .join(prior, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            "n_cluster",
+            F.coalesce(F.col("max_prior_cos"), F.lit(-1.0)).alias(
+                "max_prior_cos"
+            ),
+            (F.coalesce(F.col("max_prior_cos"), F.lit(-1.0)) < SEMDEDUP_TAU)
+            .cast("int")
+            .alias("is_kept"),
+        )
+    )

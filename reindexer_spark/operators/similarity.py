@@ -668,3 +668,285 @@ def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# --- IVF-ADC: quantized ANN search (asymmetric distance over int8) ----
+
+ADC_COARSE_K = 8   # coarse centroids = the K smallest vec_ids (IVF lists)
+ADC_NPROBE = 3     # coarse lists probed per query
+ADC_NQ = 8         # query vectors: vec_id < ADC_NQ
+ADC_TOPK = 10
+
+_ADC_CODE_SQL = """
+    flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), stats AS (
+      SELECT idx, CAST(MIN(v) AS DOUBLE) AS mn, CAST(MAX(v) AS DOUBLE) AS mx
+      FROM flat GROUP BY idx
+    ), deq AS (
+      SELECT f.vec_id, f.idx,
+             CASE WHEN s.mx = s.mn THEN s.mn
+                  ELSE s.mn
+                       + (CAST(ROUND((f.v - s.mn) / (s.mx - s.mn) * 254
+                                     - 127, 0) AS INT) + 127.0)
+                         / 254.0 * (s.mx - s.mn) END AS dv
+      FROM flat f JOIN stats s USING (idx)
+    )
+"""
+
+
+@query(
+    "knn_ivf_adc",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), {_ADC_CODE_SQL},
+    seeds AS (
+      SELECT vec_id AS cluster_id, emb AS centroid
+      FROM e WHERE vec_id < {ADC_COARSE_K}
+    ), assigned AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT e.vec_id, s.cluster_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY FLOOR(list_dot_product(e.emb, s.centroid)
+                                * 1000000) DESC, s.cluster_id
+               ) AS rn
+        FROM e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ), queries AS (
+      SELECT vec_id AS query_id, emb AS qemb FROM e
+      WHERE vec_id < {ADC_NQ}
+    ), probe AS (
+      SELECT query_id, cluster_id FROM (
+        SELECT q.query_id, s.cluster_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY FLOOR(list_dot_product(q.qemb, s.centroid)
+                                * 1000000) DESC, s.cluster_id
+               ) AS rn
+        FROM queries q CROSS JOIN seeds s
+      ) WHERE rn <= {ADC_NPROBE}
+    ), qflat AS (
+      SELECT query_id, generate_subscripts(qemb, 1) AS idx,
+             unnest(qemb) AS qv
+      FROM queries
+    ), cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probe p JOIN assigned a USING (cluster_id)
+      WHERE a.vec_id <> p.query_id
+    ), adc AS (
+      SELECT c.query_id, c.vec_id,
+             CAST(SUM(CAST(FLOOR((qf.qv - d.dv) * (qf.qv - d.dv) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS adc_dist_q
+      FROM cand c
+      JOIN qflat qf ON qf.query_id = c.query_id
+      JOIN deq d ON d.vec_id = c.vec_id AND d.idx = qf.idx
+      GROUP BY c.query_id, c.vec_id
+    ), ivf_topk AS (
+      SELECT query_id, vec_id, adc_dist_q,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist_q, vec_id) AS rnk
+      FROM adc
+    ), exact AS (
+      SELECT qf.query_id, f.vec_id,
+             SUM(CAST(FLOOR((qf.qv - f.v) * (qf.qv - f.v) * 1000000)
+                      AS BIGINT)) AS dist_q
+      FROM qflat qf
+      JOIN flat f ON f.idx = qf.idx AND f.vec_id <> qf.query_id
+      GROUP BY qf.query_id, f.vec_id
+    ), exact_topk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dist_q, vec_id) AS rn
+        FROM exact
+      ) WHERE rn <= {ADC_TOPK}
+    ), hits AS (
+      SELECT i.query_id, i.rnk, i.vec_id AS neighbor_id, i.adc_dist_q,
+             CASE WHEN x.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+      FROM ivf_topk i
+      LEFT JOIN exact_topk x
+        ON x.query_id = i.query_id AND x.vec_id = i.vec_id
+      WHERE i.rnk <= {ADC_TOPK}
+    )
+    SELECT query_id, rnk, neighbor_id, adc_dist_q, hit,
+           CAST(SUM(hit) OVER (PARTITION BY query_id) AS DOUBLE)
+             / {ADC_TOPK} AS recall_at_k
+    FROM hits
+    """,
+)
+def knn_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC quantized ANN search — the 100 TB memory story for the
+    embeddings table: the serving tier holds int8 codes (4× smaller
+    than float32; with product quantization the same shape goes 32×),
+    queries probe only NPROBE of K coarse lists, and distances are
+    ASYMMETRIC — full-precision query against dequantized int8
+    codes — so compression costs recall, never query fidelity
+    (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011: the ADC estimator).
+
+    Composition: the coarse quantizer is the seed-assignment half of
+    embed_kmeans_lloyd; the code book is embed_quantize_int8's
+    per-dimension min/max int8 (both already driver-green).  Each
+    emitted row carries a `hit` flag against the exact float top-k
+    and a per-query `recall_at_k` — the acceptance metric an ANN
+    rollout is actually judged by, measured inside the query itself
+    (here the driver gate sees recall ≈ 1.0 because int8 error is far
+    below inter-point distances at this scale; the column is the
+    contract, not a constant).
+
+    Scale shape: the K seeds and per-dimension stats broadcast; corpus
+    codes shuffle once, by coarse list (the IVF build); a query fans
+    out to NPROBE lists (candidates ≈ NPROBE/K of corpus, an equi-join
+    on cluster_id) and distances fold over the code arrays map-side in
+    whole-stage codegen — no explode, 64 ints per candidate row.  The
+    exact leg is |Q|-bounded (broadcast queries) and exists only to
+    measure recall; drop it and nothing upstream changes.
+
+    Determinism: per-term squared deltas FLOOR-quantize to BIGINT and
+    sum as integers (reduction-order-free on any engine); ranks break
+    ties on vec_id; codes reuse the proven cross-engine ROUND contract
+    of embed_quantize_int8."""
+    from reindexer_spark.operators.mlprep import _dot
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("emb"),
+    )
+    flat = e.select(
+        "vec_id", F.posexplode("emb").alias("idx0", "v")
+    ).select("vec_id", (F.col("idx0") + 1).alias("idx"), "v")
+    stats = flat.groupBy("idx").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    code = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.round(
+            (F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 254
+            - 127,
+            0,
+        ).cast("int")
+    )
+    dv = F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
+        F.col("mn")
+        + (code + F.lit(127.0)) / F.lit(254.0) * (F.col("mx") - F.col("mn"))
+    )
+    # reassemble the dequantized vector — this tiny array relation is
+    # what an ANN serving tier actually stores per shard
+    deq = (
+        flat.join(F.broadcast(stats), "idx")
+        .select("vec_id", "idx", dv.alias("dv"))
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "dv"))),
+                lambda s: s["dv"],
+            ).alias("dvec")
+        )
+    )
+    seeds = e.filter(F.col("vec_id") < ADC_COARSE_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("emb").alias("centroid")
+    )
+    rank_dot = F.floor(_dot(F.col("emb"), F.col("centroid")) * 1e6)
+    assigned = (
+        e.crossJoin(F.broadcast(seeds))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    rank_dot.desc(), F.col("cluster_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id")
+    )
+    queries_df = e.filter(F.col("vec_id") < ADC_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    probe = (
+        queries_df.crossJoin(F.broadcast(seeds))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.floor(_dot(F.col("qemb"), F.col("centroid")) * 1e6)
+                    .desc(),
+                    F.col("cluster_id"),
+                )
+            ),
+        )
+        .filter(F.col("rn") <= ADC_NPROBE)
+        .select("query_id", "cluster_id")
+    )
+
+    def _int_dist(a: Column, b: Column) -> Column:
+        """Σ_d FLOOR((a_d-b_d)²·1e6) as BIGINT — order-free int sum."""
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: F.floor((x - y) * (x - y) * 1e6)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    cand = (
+        probe.join(assigned, "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(deq, "vec_id")
+        .join(F.broadcast(queries_df), "query_id")
+    )
+    ivf_topk = (
+        cand.select(
+            "query_id",
+            "vec_id",
+            _int_dist(F.col("qemb"), F.col("dvec")).alias("adc_dist_q"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    "adc_dist_q", "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= ADC_TOPK)
+    )
+    exact_topk = (
+        e.crossJoin(F.broadcast(queries_df))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _int_dist(F.col("qemb"), F.col("emb")).alias("dist_q"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("dist_q", "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= ADC_TOPK)
+        .select("query_id", F.col("vec_id").alias("xid"))
+    )
+    hits = (
+        ivf_topk.alias("i")
+        .join(
+            exact_topk.alias("x"),
+            (F.col("i.query_id") == F.col("x.query_id"))
+            & (F.col("i.vec_id") == F.col("x.xid")),
+            "left",
+        )
+        .select(
+            F.col("i.query_id").alias("query_id"),
+            "rnk",
+            F.col("i.vec_id").alias("neighbor_id"),
+            "adc_dist_q",
+            F.when(F.col("x.xid").isNull(), 0).otherwise(1).alias("hit"),
+        )
+    )
+    return hits.withColumn(
+        "recall_at_k",
+        F.sum("hit").over(Window.partitionBy("query_id")).cast("double")
+        / ADC_TOPK,
+    )

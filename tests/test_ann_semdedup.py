@@ -1,0 +1,51 @@
+"""Semantic properties of the round-7 curation operators: SemDeDup's
+keep-rule invariants and the IVF-ADC recall contract (beyond the exact
+oracle parity the driver gate already checks)."""
+
+from __future__ import annotations
+
+from reindexer_spark import get_query
+from reindexer_spark.operators.mlprep import SEMDEDUP_TAU
+from reindexer_spark.operators.similarity import ADC_NQ, ADC_TOPK
+
+
+def test_semdedup_keep_rule_invariants(spark, sf_dir):
+    rows = get_query("embed_semdedup").fn(spark, sf_dir).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert sum(len(v) for v in by_cluster.values()) == len(rows)
+    for cid, members in by_cluster.items():
+        members.sort(key=lambda r: r.vec_id)
+        # the lowest vec_id of every cluster has no prior → always kept
+        assert members[0].max_prior_cos == -1.0
+        assert members[0].is_kept == 1
+        for r in members:
+            assert (r.is_kept == 1) == (r.max_prior_cos < SEMDEDUP_TAU)
+            assert r.n_cluster == len(members)
+    # the threshold actually bites on this corpus (non-trivial attrition)
+    removed = sum(1 for r in rows if r.is_kept == 0)
+    assert 0 < removed < len(rows) // 2
+
+
+def test_ivf_adc_recall_contract(spark, sf_dir):
+    rows = get_query("knn_ivf_adc").fn(spark, sf_dir).collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == set(range(ADC_NQ))
+    for qid, hits in per_q.items():
+        assert len(hits) == ADC_TOPK
+        assert sorted(r.rnk for r in hits) == list(range(1, ADC_TOPK + 1))
+        # recall column is exactly the per-query hit fraction
+        frac = sum(r.hit for r in hits) / ADC_TOPK
+        for r in hits:
+            assert r.recall_at_k == frac
+        # ADC distances are ranked ascending (ties broken by vec_id)
+        ds = [r.adc_dist_q for r in sorted(hits, key=lambda r: r.rnk)]
+        assert ds == sorted(ds)
+        # a query must never find itself
+        assert all(r.neighbor_id != qid for r in hits)
+    # int8 error is small vs inter-point distances: macro recall is high
+    macro = sum(v[0].recall_at_k for v in per_q.values()) / len(per_q)
+    assert macro >= 0.7
