@@ -798,6 +798,421 @@ def _decode_mp4_impl(
 
 
 # --------------------------------------------------------------------------
+# Matroska / EBML (mkv container, Motion-JPEG video track)
+#
+# The EBML binary format and the Matroska element vocabulary are public
+# (RFC 8794 EBML, RFC 9559 Matroska).  This completes the container
+# probe lane over every mainstream video container (AVI, ISO BMFF mp4,
+# GIF, mkv): full parse of the EBML element tree, video-track selection
+# by TrackType, cluster/SimpleBlock walk with per-block keyframe flags,
+# and a Cues-based keyframe index readable without touching frame data.
+# Only V_MJPEG tracks decode (each frame a standalone baseline JPEG —
+# the same Photo-JPEG scope as the mp4 decoder); inter-predicted codecs
+# (V_MPEG4/ISO/AVC, V_MPEGH/ISO/HEVC, V_VP8/9) raise MediaFormatError
+# into the quarantine lane by codec id, never a crash.
+# --------------------------------------------------------------------------
+
+_MKV_MAGIC = b"\x1a\x45\xdf\xa3"  # EBML header element ID
+
+# Matroska element IDs (RFC 9559), as written on the wire
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TS_SCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACK_ENTRY = 0xAE
+_MKV_TRACK_NUMBER = 0xD7
+_MKV_TRACK_UID = 0x73C5
+_MKV_TRACK_TYPE = 0x83
+_MKV_CODEC_ID = 0x86
+_MKV_DEFAULT_DURATION = 0x23E383
+_MKV_VIDEO = 0xE0
+_MKV_PIXEL_W = 0xB0
+_MKV_PIXEL_H = 0xBA
+_MKV_CLUSTER = 0x1F43B675
+_MKV_CLUSTER_TS = 0xE7
+_MKV_SIMPLE_BLOCK = 0xA3
+_MKV_BLOCK_GROUP = 0xA0
+_MKV_CUES = 0x1C53BB6B
+_MKV_CUE_POINT = 0xBB
+_MKV_CUE_TIME = 0xB3
+_MKV_CUE_TRACK_POS = 0xB7
+_MKV_CUE_TRACK = 0xF7
+_MKV_CUE_CLUSTER_POS = 0xF1
+
+
+def _ebml_vint_at(payload: bytes, pos: int, end: int, max_len: int,
+                  keep_marker: bool) -> tuple[int | None, int]:
+    """Read one EBML variable-length integer.  With ``keep_marker`` the
+    marker bit stays in the value (element IDs are compared as written);
+    without it the value is a data size, where all-ones means UNKNOWN
+    (returned as None)."""
+    if pos >= end:
+        raise MediaFormatError("truncated EBML varint")
+    b0 = payload[pos]
+    if b0 == 0:
+        raise MediaFormatError("invalid EBML varint lead byte 0x00")
+    ln, mask = 1, 0x80
+    while not (b0 & mask):
+        ln += 1
+        mask >>= 1
+    if ln > max_len or pos + ln > end:
+        raise MediaFormatError("EBML varint too long or truncated")
+    if keep_marker:
+        return int.from_bytes(payload[pos : pos + ln], "big"), pos + ln
+    val = b0 & (mask - 1)
+    for i in range(1, ln):
+        val = (val << 8) | payload[pos + i]
+    if val == (1 << (7 * ln)) - 1:  # all value bits set: unknown size
+        return None, pos + ln
+    return val, pos + ln
+
+
+def _ebml_children(payload: bytes, pos: int, end: int):
+    """Yield (element_id, body_start, body_end) over sibling elements.
+
+    An unknown-size element (legal for master elements; streamed
+    Segments and Clusters use it) is taken to extend to the end of its
+    parent — correct for the last child, which is where real muxers
+    put them; an unknown-size element followed by a sibling would need
+    the full "ends at next non-descendant ID" rule and quarantines via
+    the malformed-child path instead of silently misparsing."""
+    while pos < end:
+        eid, p = _ebml_vint_at(payload, pos, end, 4, keep_marker=True)
+        size, p = _ebml_vint_at(payload, p, end, 8, keep_marker=False)
+        if size is None:
+            yield eid, p, end
+            return
+        if p + size > end:
+            raise MediaFormatError("truncated EBML element")
+        yield eid, p, p + size
+        pos = p + size
+
+
+def _ebml_uint(payload: bytes, body: int, bend: int) -> int:
+    if bend - body > 8:
+        raise MediaFormatError("oversized EBML uint")
+    return int.from_bytes(payload[body:bend], "big")
+
+
+def _mkv_segment(payload: bytes) -> tuple[int, int]:
+    if payload[:4] != _MKV_MAGIC:
+        raise MediaFormatError("not an EBML/Matroska payload")
+    for eid, body, bend in _ebml_children(payload, 0, len(payload)):
+        if eid == _MKV_SEGMENT:
+            return body, bend
+    raise MediaFormatError("mkv has no Segment element")
+
+
+def _mkv_video_track(payload: bytes, seg_s: int, seg_e: int) -> dict:
+    """Select the VIDEO TrackEntry (TrackType 1) — same multi-track
+    contract as the mp4 decoder's hdlr walk: an audio-first file must
+    still find its video track."""
+    for eid, body, bend in _ebml_children(payload, seg_s, seg_e):
+        if eid != _MKV_TRACKS:
+            continue
+        for tid, tb, te in _ebml_children(payload, body, bend):
+            if tid != _MKV_TRACK_ENTRY:
+                continue
+            tr = {"number": None, "codec": None, "w": None, "h": None,
+                  "default_dur_ns": None, "type": None}
+            for cid, cb, ce in _ebml_children(payload, tb, te):
+                if cid == _MKV_TRACK_NUMBER:
+                    tr["number"] = _ebml_uint(payload, cb, ce)
+                elif cid == _MKV_TRACK_TYPE:
+                    tr["type"] = _ebml_uint(payload, cb, ce)
+                elif cid == _MKV_CODEC_ID:
+                    tr["codec"] = payload[cb:ce].rstrip(b"\x00").decode(
+                        "ascii", "replace"
+                    )
+                elif cid == _MKV_DEFAULT_DURATION:
+                    tr["default_dur_ns"] = _ebml_uint(payload, cb, ce)
+                elif cid == _MKV_VIDEO:
+                    for vid, vb, ve in _ebml_children(payload, cb, ce):
+                        if vid == _MKV_PIXEL_W:
+                            tr["w"] = _ebml_uint(payload, vb, ve)
+                        elif vid == _MKV_PIXEL_H:
+                            tr["h"] = _ebml_uint(payload, vb, ve)
+            if tr["type"] == 1:
+                if tr["number"] is None or tr["w"] is None or tr["h"] is None:
+                    raise MediaFormatError("mkv video TrackEntry incomplete")
+                return tr
+    raise MediaFormatError("mkv has no video track")
+
+
+def _mkv_blocks(payload: bytes, seg_s: int, seg_e: int, track: int):
+    """Yield (abs_ts_units, keyframe, frame_start, frame_end) for the
+    chosen track's SimpleBlocks, in cluster order.  Lacing and
+    BlockGroup (reference-frame) structures are out of the Photo-JPEG
+    scope and quarantine explicitly."""
+    for eid, body, bend in _ebml_children(payload, seg_s, seg_e):
+        if eid != _MKV_CLUSTER:
+            continue
+        cluster_ts = 0
+        for cid, cb, ce in _ebml_children(payload, body, bend):
+            if cid == _MKV_CLUSTER_TS:
+                cluster_ts = _ebml_uint(payload, cb, ce)
+            elif cid == _MKV_BLOCK_GROUP:
+                raise MediaFormatError(
+                    "mkv BlockGroup needs reference-frame handling"
+                )
+            elif cid == _MKV_SIMPLE_BLOCK:
+                tnum, p = _ebml_vint_at(payload, cb, ce, 8, keep_marker=False)
+                if p + 3 > ce:
+                    raise MediaFormatError("truncated mkv SimpleBlock")
+                rel = struct.unpack_from(">h", payload, p)[0]
+                flags = payload[p + 2]
+                if tnum != track:
+                    continue
+                if flags & 0x06:
+                    raise MediaFormatError("mkv block lacing unsupported")
+                yield cluster_ts + rel, bool(flags & 0x80), p + 3, ce
+
+
+def decode_mkv(
+    payload: bytes,
+) -> tuple[int, int, list[int], list[bytes], list[bool]]:
+    """→ (width, height, per-frame durations in usec, frames as
+    top-down RGB bytes, per-frame is-sync flags) — the decode_mp4
+    contract over the Matroska container.
+
+    Walks the EBML tree: Info gives TimestampScale (ns per timestamp
+    unit, default 1 ms), the Tracks walk selects the TrackType-1 entry,
+    and Clusters yield SimpleBlocks whose cluster-base + relative
+    timestamps order the frames.  Durations are successive timestamp
+    deltas; the last frame takes the track DefaultDuration (falling
+    back to the previous delta).  Only ``V_MJPEG`` decodes; any other
+    codec id, lacing, BlockGroup, or malformed structure raises
+    MediaFormatError into the quarantine lane (fuzz contract)."""
+    try:
+        return _decode_mkv_impl(payload)
+    except MediaFormatError:
+        raise
+    except (struct.error, ValueError, IndexError, KeyError, OverflowError) as exc:
+        raise MediaFormatError(f"malformed mkv stream: {exc}") from exc
+
+
+def _decode_mkv_impl(
+    payload: bytes,
+) -> tuple[int, int, list[int], list[bytes], list[bool]]:
+    seg_s, seg_e = _mkv_segment(payload)
+    ts_scale = 1_000_000  # spec default: 1 ms per unit
+    for eid, body, bend in _ebml_children(payload, seg_s, seg_e):
+        if eid == _MKV_INFO:
+            for cid, cb, ce in _ebml_children(payload, body, bend):
+                if cid == _MKV_TS_SCALE:
+                    ts_scale = _ebml_uint(payload, cb, ce)
+    if ts_scale == 0:
+        raise MediaFormatError("mkv TimestampScale is zero")
+    tr = _mkv_video_track(payload, seg_s, seg_e)
+    if tr["codec"] != "V_MJPEG":
+        raise MediaFormatError(
+            f"unsupported mkv codec {tr['codec']!r} (needs a motion-"
+            "compensation decoder)"
+        )
+    width, height = tr["w"], tr["h"]
+    times_us: list[int] = []
+    frames: list[bytes] = []
+    sync: list[bool] = []
+    for ts_units, key, fs, fe in _mkv_blocks(payload, seg_s, seg_e,
+                                             tr["number"]):
+        fw, fh, rgb = decode_jpeg_baseline(payload[fs:fe])
+        if (fw, fh) != (width, height):
+            raise MediaFormatError(
+                "mkv frame dimensions disagree with TrackEntry"
+            )
+        times_us.append(ts_units * ts_scale // 1000)
+        frames.append(rgb)
+        sync.append(key)
+    if not frames:
+        raise MediaFormatError("mkv has no video frames")
+    if times_us != sorted(times_us):
+        raise MediaFormatError("mkv block timestamps not monotonic")
+    durations = [b - a for a, b in zip(times_us, times_us[1:])]
+    if tr["default_dur_ns"]:
+        durations.append(tr["default_dur_ns"] // 1000)
+    elif durations:
+        durations.append(durations[-1])
+    else:
+        durations.append(0)
+    return width, height, durations, frames, sync
+
+
+def mkv_keyframe_index(payload: bytes) -> list[tuple[int, int]]:
+    """→ [(time_usec, segment-relative cluster offset), ...] from the
+    Cues element — the seek index a 100 TB video pipeline reads to
+    clip-sample WITHOUT decoding (headers only, no JPEG entropy data
+    touched; the mp4 analogue is the stss/stco walk).  Files without
+    Cues return [] — callers fall back to the SimpleBlock keyframe
+    flags, which require walking clusters."""
+    try:
+        seg_s, seg_e = _mkv_segment(payload)
+        out: list[tuple[int, int]] = []
+        ts_scale = 1_000_000
+        for eid, body, bend in _ebml_children(payload, seg_s, seg_e):
+            if eid == _MKV_INFO:
+                for cid, cb, ce in _ebml_children(payload, body, bend):
+                    if cid == _MKV_TS_SCALE:
+                        ts_scale = _ebml_uint(payload, cb, ce)
+            elif eid == _MKV_CUES:
+                for cid, cb, ce in _ebml_children(payload, body, bend):
+                    if cid != _MKV_CUE_POINT:
+                        continue
+                    t = pos = None
+                    for pid, pb, pe in _ebml_children(payload, cb, ce):
+                        if pid == _MKV_CUE_TIME:
+                            t = _ebml_uint(payload, pb, pe)
+                        elif pid == _MKV_CUE_TRACK_POS:
+                            for qid, qb, qe in _ebml_children(
+                                payload, pb, pe
+                            ):
+                                if qid == _MKV_CUE_CLUSTER_POS:
+                                    pos = _ebml_uint(payload, qb, qe)
+                    if t is not None and pos is not None:
+                        out.append((t * ts_scale // 1000, pos))
+        return out
+    except MediaFormatError:
+        raise
+    except (struct.error, ValueError, IndexError, KeyError) as exc:
+        raise MediaFormatError(f"malformed mkv Cues: {exc}") from exc
+
+
+def _ebml_size_bytes(val: int) -> bytes:
+    for ln in range(1, 9):
+        if val < (1 << (7 * ln)) - 1:
+            return ((1 << (7 * ln)) | val).to_bytes(ln, "big")
+    raise ValueError("EBML size out of range")
+
+
+def _ebml_el(eid: int, body: bytes) -> bytes:
+    eid_len = (eid.bit_length() + 7) // 8
+    return eid.to_bytes(eid_len, "big") + _ebml_size_bytes(len(body)) + body
+
+
+def _ebml_uint_body(val: int) -> bytes:
+    return val.to_bytes(max(1, (val.bit_length() + 7) // 8), "big")
+
+
+def encode_mkv(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    fps: int = 4,
+    quality: int = 85,
+    sync_every: int = 1,
+    frames_per_cluster: int = 2,
+) -> bytes:
+    """Pack top-down RGB frames into a Matroska file (V_MJPEG track).
+
+    Spec-shaped output: EBML header (DocType matroska), Segment with
+    Info (TimestampScale 1 ms, Duration), Tracks (one video TrackEntry
+    with DefaultDuration and pixel dimensions), Clusters of
+    ``frames_per_cluster`` SimpleBlocks (keyframe flag on every
+    ``sync_every``-th frame), and a trailing Cues element indexing the
+    first keyframe of each keyframe-bearing cluster — so the encoder's
+    own files exercise the full decode/probe/keyframe-index surface."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    for f in frames:
+        if len(f) != width * height * 3:
+            raise ValueError(
+                f"each frame needs {width * height * 3} bytes, got {len(f)}"
+            )
+    if sync_every < 1 or frames_per_cluster < 1:
+        raise ValueError("sync_every and frames_per_cluster must be >= 1")
+    bodies = [encode_jpeg_baseline(width, height, f, quality) for f in frames]
+    frame_ms = 1000 // fps
+
+    ebml_header = _ebml_el(
+        0x1A45DFA3,
+        _ebml_el(0x4286, b"\x01")  # EBMLVersion
+        + _ebml_el(0x42F7, b"\x01")  # EBMLReadVersion
+        + _ebml_el(0x42F2, b"\x04")  # EBMLMaxIDLength
+        + _ebml_el(0x42F3, b"\x08")  # EBMLMaxSizeLength
+        + _ebml_el(0x4282, b"matroska")  # DocType
+        + _ebml_el(0x4287, b"\x04")  # DocTypeVersion
+        + _ebml_el(0x4285, b"\x02"),  # DocTypeReadVersion
+    )
+    info = _ebml_el(
+        _MKV_INFO,
+        _ebml_el(_MKV_TS_SCALE, _ebml_uint_body(1_000_000))
+        + _ebml_el(_MKV_DURATION, struct.pack(">d", len(bodies) * frame_ms)),
+    )
+    video = _ebml_el(
+        _MKV_VIDEO,
+        _ebml_el(_MKV_PIXEL_W, _ebml_uint_body(width))
+        + _ebml_el(_MKV_PIXEL_H, _ebml_uint_body(height)),
+    )
+    track = _ebml_el(
+        _MKV_TRACKS,
+        _ebml_el(
+            _MKV_TRACK_ENTRY,
+            _ebml_el(_MKV_TRACK_NUMBER, b"\x01")
+            + _ebml_el(_MKV_TRACK_UID, b"\x01")
+            + _ebml_el(_MKV_TRACK_TYPE, b"\x01")
+            + _ebml_el(_MKV_CODEC_ID, b"V_MJPEG")
+            + _ebml_el(
+                _MKV_DEFAULT_DURATION,
+                _ebml_uint_body(1_000_000_000 // fps),
+            )
+            + video,
+        ),
+    )
+    clusters: list[bytes] = []
+    cue_entries: list[tuple[int, int]] = []  # (time units, cluster index)
+    for ci, start in enumerate(range(0, len(bodies), frames_per_cluster)):
+        base_ts = start * frame_ms
+        blocks = b""
+        cluster_has_cue = False
+        for i, jpg in enumerate(bodies[start : start + frames_per_cluster]):
+            idx = start + i
+            key = idx % sync_every == 0
+            if key and not cluster_has_cue:
+                cue_entries.append((idx * frame_ms, ci))
+                cluster_has_cue = True
+            blocks += _ebml_el(
+                _MKV_SIMPLE_BLOCK,
+                b"\x81"  # track 1 vint
+                + struct.pack(">h", (idx * frame_ms) - base_ts)
+                + bytes([0x80 if key else 0x00])
+                + jpg,
+            )
+        clusters.append(
+            _ebml_el(
+                _MKV_CLUSTER,
+                _ebml_el(_MKV_CLUSTER_TS, _ebml_uint_body(base_ts)) + blocks,
+            )
+        )
+    # cluster offsets are SEGMENT-relative; clusters precede Cues so
+    # the offsets don't depend on the Cues size
+    offsets, pos = [], len(info) + len(track)
+    for c in clusters:
+        offsets.append(pos)
+        pos += len(c)
+    cues = _ebml_el(
+        _MKV_CUES,
+        b"".join(
+            _ebml_el(
+                _MKV_CUE_POINT,
+                _ebml_el(_MKV_CUE_TIME, _ebml_uint_body(t))
+                + _ebml_el(
+                    _MKV_CUE_TRACK_POS,
+                    _ebml_el(_MKV_CUE_TRACK, b"\x01")
+                    + _ebml_el(
+                        _MKV_CUE_CLUSTER_POS, _ebml_uint_body(offsets[ci])
+                    ),
+                ),
+            )
+            for t, ci in cue_entries
+        ),
+    )
+    segment = _ebml_el(
+        _MKV_SEGMENT, info + track + b"".join(clusters) + cues
+    )
+    return ebml_header + segment
+
+
+# --------------------------------------------------------------------------
 # JPEG (baseline sequential JFIF, dependency-free)
 #
 # Real crawls are mostly compressed formats; this closes the "compressed
@@ -3109,6 +3524,8 @@ def _sniff(payload: bytes) -> str:
         return "avi"
     if payload[4:8] == b"ftyp":
         return "mp4"
+    if payload[:4] == _MKV_MAGIC:
+        return "mkv"
     raise MediaFormatError("unrecognized media payload")
 
 
@@ -3167,7 +3584,7 @@ class PurePythonCodec:
                 "n_channels": 3,
                 "features": [round(f, 6) for f in feats],
             }
-        if kind in ("avi", "mp4", "gif"):
+        if kind in ("avi", "mp4", "mkv", "gif"):
             # gif routes with the motion containers: a still GIF is the
             # 1-frame case (features identical to the image path, frame
             # count 1.0), an animation pools across composited frames
@@ -3175,6 +3592,8 @@ class PurePythonCodec:
                 w, h, _usec, frames = decode_avi(payload)
             elif kind == "gif":
                 w, h, _delays, frames = decode_gif(payload)
+            elif kind == "mkv":
+                w, h, _durs, frames, _sync = decode_mkv(payload)
             else:
                 w, h, _durs, frames, _sync = decode_mp4(payload)
             # pool the statistics across every frame's pixels: the frame
@@ -3301,6 +3720,30 @@ class Mp4FrameSampler:
             acc += d
         while idx > 0 and not sync[idx]:
             idx -= 1  # decode-from-keyframe: latest sync sample ≤ ts
+        return encode_bmp(w, h, frames[idx])
+
+
+class MkvFrameSampler:
+    """`FrameSampler` seam over Matroska payloads: per-frame durations
+    come from SimpleBlock timestamp deltas (cluster base + relative),
+    and the sampled index snaps back to the latest keyframe-flagged
+    block at or before it — the same keyframe-aligned contract as
+    Mp4FrameSampler, over the EBML container."""
+
+    def duration_ms(self, payload: bytes) -> int:
+        _, _, durations, _frames, _sync = decode_mkv(payload)
+        return sum(durations) // 1000
+
+    def frame_at(self, payload: bytes, ts_ms: int) -> bytes:
+        w, h, durations, frames, sync = decode_mkv(payload)
+        acc, idx = 0, len(frames) - 1
+        for i, d in enumerate(durations):
+            if ts_ms * 1000 < acc + d:
+                idx = i
+                break
+            acc += d
+        while idx > 0 and not sync[idx]:
+            idx -= 1
         return encode_bmp(w, h, frames[idx])
 
 
@@ -3439,6 +3882,15 @@ def probe_media(payload: bytes) -> dict:
             q = _full_body(payload, zb, ze)
             n_frames = struct.unpack_from(">I", payload, q + 4)[0]
             out.update(width=w, height=h, n_frames=n_frames)
+        elif kind == "mkv":
+            # EBML sizes let the block walk skip every frame body —
+            # headers only, no JPEG entropy data touched
+            seg_s, seg_e = _mkv_segment(payload)
+            tr = _mkv_video_track(payload, seg_s, seg_e)
+            n = sum(
+                1 for _ in _mkv_blocks(payload, seg_s, seg_e, tr["number"])
+            )
+            out.update(width=tr["w"], height=tr["h"], n_frames=n)
         return out
     except MediaFormatError:
         raise

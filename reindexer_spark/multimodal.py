@@ -315,10 +315,12 @@ class LibraryFrameSampler:
 
     def _sampler(self, payload: bytes):
         from reindexer_spark.codecs import (
+            _MKV_MAGIC,
             AviFrameSampler,
             FlacFrameSampler,
             GifFrameSampler,
             MediaFormatError,
+            MkvFrameSampler,
             Mp4FrameSampler,
             WavFrameSampler,
         )
@@ -331,11 +333,11 @@ class LibraryFrameSampler:
             return AviFrameSampler()
         if payload[4:8] == b"ftyp":
             return Mp4FrameSampler()
+        if payload[:4] == _MKV_MAGIC:
+            return MkvFrameSampler()  # V_MJPEG; other codecs quarantine
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             return GifFrameSampler()
-        raise MediaFormatError(
-            "unrecognized video container (mkv/webm need pyav/ffmpeg)"
-        )
+        raise MediaFormatError("unrecognized video container")
 
     def duration_ms(self, payload: bytes) -> int:
         return self._sampler(payload).duration_ms(payload)

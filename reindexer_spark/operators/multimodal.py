@@ -140,8 +140,9 @@ def _synth_media(d: DataFrame) -> DataFrame:
     row instead a real multi-frame animated GIF: LZW-packed palette
     indices, variable per-frame GCE delays; every doc_id % 12 == 8 row
     the same PCM compressed losslessly as FLAC), every doc_id % 3 == 1 row
-    a real multi-frame video (uncompressed-DIB AVI, Motion-JPEG AVI, or
-    an ISO BMFF mp4 with Photo-JPEG samples behind real sample tables),
+    a real multi-frame video (uncompressed-DIB AVI, Motion-JPEG AVI,
+    an ISO BMFF mp4 with Photo-JPEG samples behind real sample tables,
+    or a Matroska file with V_MJPEG SimpleBlocks and a Cues index),
     every doc_id % 6 == 0 row a real JPEG (alternating baseline and
     PROGRESSIVE SOF2 encodings), and every doc_id % 12 == 3 row a real
     PNG (zlib-deflated through the dependency-free encoder) — the
@@ -166,6 +167,7 @@ def _synth_media(d: DataFrame) -> DataFrame:
             encode_gif,
             encode_jpeg_baseline,
             encode_jpeg_progressive,
+            encode_mkv,
             encode_mp4,
             encode_png,
             encode_wav,
@@ -229,12 +231,14 @@ def _synth_media(d: DataFrame) -> DataFrame:
                                 : w * h * 3
                             ]
                         )
-                    # the video lane splits three ways: Motion-JPEG AVI
+                    # the video lane splits four ways: Motion-JPEG AVI
                     # (each frame a real baseline JPEG in a '00dc'
                     # chunk), ISO BMFF mp4 (Photo-JPEG samples behind
                     # real stts/stss/stsc/stco tables, sparse keyframes
                     # + multi-sample chunks so the table walk is
-                    # non-trivial), and uncompressed-DIB AVI
+                    # non-trivial), Matroska (V_MJPEG SimpleBlocks in
+                    # EBML clusters, sparse keyframes + Cues index),
+                    # and uncompressed-DIB AVI
                     if r["doc_id"] % 12 == 1:
                         payload, kind = (
                             encode_avi(w, h, frames, 4, codec="mjpg"),
@@ -247,6 +251,14 @@ def _synth_media(d: DataFrame) -> DataFrame:
                                 sync_every=2, samples_per_chunk=2,
                             ),
                             "video-mp4",
+                        )
+                    elif r["doc_id"] % 12 == 10:
+                        payload, kind = (
+                            encode_mkv(
+                                w, h, frames, 4,
+                                sync_every=2, frames_per_cluster=2,
+                            ),
+                            "video-mkv",
                         )
                     else:
                         payload, kind = encode_avi(w, h, frames, 4), "video-avi"
@@ -363,7 +375,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _synth_media(d).filter(
         F.col("kind").isin(
             "audio-wav", "audio-flac", "video-avi", "video-mjpeg",
-            "video-mp4", "image-gif",
+            "video-mp4", "video-mkv", "image-gif",
         )
     )
     frames = sample_video_frames(
@@ -1038,7 +1050,7 @@ def _synth_scene_video(d: DataFrame) -> DataFrame:
     video is 2-4 scenes of 2-4 frames; frames within a scene are the
     scene's base image plus a tiny deterministic nudge (max delta 2),
     scene boundaries swap to an unrelated base (typical delta ~85).
-    Containers rotate through DIB-AVI / Motion-JPEG / mp4 so the
+    Containers rotate through DIB-AVI / Motion-JPEG / mp4 / mkv so the
     detector is exercised on lossless AND lossy decode paths.  The
     constructed boundaries ride along as ground truth for the tests."""
     schema = (
@@ -1050,7 +1062,7 @@ def _synth_scene_video(d: DataFrame) -> DataFrame:
 
         import pandas as pd
 
-        from reindexer_spark.codecs import encode_avi, encode_mp4
+        from reindexer_spark.codecs import encode_avi, encode_mkv, encode_mp4
 
         for pdf in batches:
             rows = []
@@ -1073,7 +1085,7 @@ def _synth_scene_video(d: DataFrame) -> DataFrame:
                             i = (fr * 131 + k * 37) % len(px)
                             px[i] = min(255, px[i] + 2)
                         frames.append(bytes(px))
-                kind = r["doc_id"] % 3
+                kind = r["doc_id"] % 4
                 if kind == 0:
                     payload, cont = encode_avi(w, h, frames, 4), "avi-dib"
                 elif kind == 1:
@@ -1081,10 +1093,15 @@ def _synth_scene_video(d: DataFrame) -> DataFrame:
                         encode_avi(w, h, frames, 4, codec="mjpg", quality=90),
                         "avi-mjpg",
                     )
-                else:
+                elif kind == 2:
                     payload, cont = (
                         encode_mp4(w, h, frames, 4, quality=90),
                         "mp4",
+                    )
+                else:
+                    payload, cont = (
+                        encode_mkv(w, h, frames, 4, quality=90),
+                        "mkv",
                     )
                 rows.append(
                     {
@@ -1107,8 +1124,8 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scene-cut detection on real decoded video: adjacent frames
     compare by mean absolute pixel delta (integer math, numpy), and a
     transition above {SCENE_CUT_THRESHOLD} marks a cut.  Runs across
-    all three video containers — uncompressed DIB (exact), Motion-JPEG
-    and Photo-JPEG mp4 (lossy: codec noise must stay far below the
+    all four video containers — uncompressed DIB (exact), Motion-JPEG,
+    Photo-JPEG mp4 and V_MJPEG mkv (lossy: codec noise must stay far below the
     scene signal, which the tests assert by matching detected cuts to
     the constructed ground truth on every container).
 
@@ -1127,7 +1144,7 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     def detect(batches):
         import numpy as np
 
-        from reindexer_spark.codecs import decode_avi, decode_mp4
+        from reindexer_spark.codecs import decode_avi, decode_mkv, decode_mp4
 
         for pdf in batches:
             rows = []
@@ -1135,6 +1152,8 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payload = bytes(r["payload"])
                 if payload[4:8] == b"ftyp":
                     _w, _h, _d, frames, _s = decode_mp4(payload)
+                elif payload[:4] == b"\x1a\x45\xdf\xa3":
+                    _w, _h, _d, frames, _s = decode_mkv(payload)
                 else:
                     _w, _h, _u, frames = decode_avi(payload)
                 stack = np.stack(

@@ -1509,3 +1509,138 @@ def test_flac_frame_rate_crosscheck():
     assert (rate, out) == (8000, samples)
     with pytest.raises(MediaFormatError, match="disagrees"):
         decode_flac(with_rate_code(9))  # 9 → 44100: mis-spliced
+
+
+# ---------------------------------------------------------------------------
+# Matroska / EBML container
+# ---------------------------------------------------------------------------
+
+
+def test_mkv_roundtrip_timing_and_sync():
+    from reindexer_spark.codecs import decode_mkv, encode_mkv
+
+    w, h = 16, 8
+    frames = [checkerboard(w, h) for _ in range(5)]
+    mkv = encode_mkv(w, h, frames, 4, quality=95, sync_every=2)
+    pw, ph, durs, out, sync = decode_mkv(mkv)
+    assert (pw, ph, len(out)) == (w, h, 5)
+    assert durs == [250000] * 5  # 4 fps → 250 ms per frame
+    assert sync == [True, False, True, False, True]
+    # lossy JPEG: decoded pixels near the source
+    for f in out:
+        assert len(f) == w * h * 3
+        diffs = [abs(a - b) for a, b in zip(f, frames[0])]
+        assert sum(diffs) / len(diffs) < 24
+
+
+def test_mkv_probe_and_keyframe_index():
+    import struct
+
+    from reindexer_spark.codecs import (
+        encode_mkv,
+        mkv_keyframe_index,
+        probe_media,
+    )
+
+    w, h = 12, 10
+    frames = [checkerboard(w, h) for _ in range(6)]
+    mkv = encode_mkv(w, h, frames, 4, quality=90, sync_every=2,
+                     frames_per_cluster=2)
+    p = probe_media(mkv)
+    assert (p["kind"], p["width"], p["height"], p["n_frames"]) == (
+        "mkv", w, h, 6,
+    )
+    cues = mkv_keyframe_index(mkv)
+    # keyframes at 0/2/4, clusters of 2 → every cluster carries one
+    assert [t for t, _ in cues] == [0, 500000, 1000000]
+    # every cue offset points at a Cluster element, segment-relative
+    seg_at = mkv.index(b"\x18\x53\x80\x67")
+    # segment body starts after the 4-byte ID + size varint
+    size_b0 = mkv[seg_at + 4]
+    ln = 1
+    m = 0x80
+    while not (size_b0 & m):
+        ln += 1
+        m >>= 1
+    body = seg_at + 4 + ln
+    for _, off in cues:
+        assert mkv[body + off : body + off + 4] == b"\x1f\x43\xb6\x75"
+
+
+def test_mkv_multitrack_and_codec_quarantine():
+    from reindexer_spark.codecs import (
+        MediaFormatError,
+        decode_mkv,
+        encode_mkv,
+        probe_media,
+    )
+    from reindexer_spark.codecs import _ebml_el, _MKV_TRACKS, _MKV_TRACK_ENTRY
+
+    w, h = 16, 8
+    mkv = encode_mkv(w, h, [checkerboard(w, h)] * 2, 4, quality=95)
+    # splice an AUDIO TrackEntry before the video one inside Tracks
+    audio = _ebml_el(
+        _MKV_TRACK_ENTRY,
+        _ebml_el(0xD7, b"\x02")      # TrackNumber 2
+        + _ebml_el(0x73C5, b"\x02")  # TrackUID
+        + _ebml_el(0x83, b"\x02")    # TrackType audio
+        + _ebml_el(0x86, b"A_PCM/INT/LIT"),
+    )
+    tracks_at = mkv.index(b"\x16\x54\xae\x6b")
+    # encoder writes 1-byte sizes for Tracks here; rebuild the element
+    old_size = mkv[tracks_at + 4] & 0x7F
+    old_body = mkv[tracks_at + 5 : tracks_at + 5 + old_size]
+    rebuilt = _ebml_el(0x1654AE6B, audio + old_body)
+    patched = bytearray(mkv[:tracks_at] + rebuilt + mkv[tracks_at + 5 + old_size :])
+    # grow the enclosing Segment size (encoder writes it as an 8-byte vint)
+    seg_at = bytes(patched).index(b"\x18\x53\x80\x67")
+    grow = len(rebuilt) - (5 + old_size)
+    size_b0 = patched[seg_at + 4]
+    ln = 1
+    m = 0x80
+    while not (size_b0 & m):
+        ln += 1
+        m >>= 1
+    old = int.from_bytes(patched[seg_at + 4 : seg_at + 4 + ln], "big")
+    old &= (1 << (7 * ln)) - 1
+    patched[seg_at + 4 : seg_at + 4 + ln] = (
+        (1 << (7 * ln)) | (old + grow)
+    ).to_bytes(ln, "big")
+    pw, ph, _d, out, _s = decode_mkv(bytes(patched))
+    assert (pw, ph, len(out)) == (w, h, 2)
+    assert probe_media(bytes(patched))["n_frames"] == 2
+    # a non-MJPEG codec id quarantines by name, like the mp4 stsd check
+    h264 = bytearray(mkv)
+    i = h264.index(b"V_MJPEG")
+    h264[i : i + 7] = b"V_AVC12"  # same length, unknown codec
+    with pytest.raises(MediaFormatError, match="unsupported mkv codec"):
+        decode_mkv(bytes(h264))
+
+
+def test_mkv_fuzz_quarantine_contract():
+    import numpy as np
+
+    from reindexer_spark.codecs import decode_mkv, encode_mkv
+
+    mkv = encode_mkv(8, 8, [checkerboard(8, 8)] * 3, 4, quality=90)
+
+    def check(payload: bytes) -> None:
+        try:
+            decode_mkv(payload)
+        except MediaFormatError:
+            pass
+
+    for cut in range(0, len(mkv), 7):
+        check(mkv[:cut])
+    b = bytearray(mkv)
+    for i in range(0, len(mkv), 3):
+        orig = b[i]
+        b[i] ^= 0xFF
+        check(bytes(b))
+        b[i] = orig
+    for seed in range(25):
+        rng = np.random.default_rng(seed)
+        noisy = bytearray(mkv)
+        for i in rng.integers(0, len(mkv), 5):
+            noisy[i] = int(rng.integers(0, 256))
+        check(bytes(noisy))

@@ -62,7 +62,7 @@ def test_scene_cuts_match_ground_truth_all_containers(spark, sf_dir):
     rows = video_scene_cuts(spark, sf_dir).collect()
     assert len(rows) > 0
     seen = {r.container for r in rows}
-    assert seen == {"avi-dib", "avi-mjpg", "mp4"}
+    assert seen == {"avi-dib", "avi-mjpg", "mp4", "mkv"}
     for r in rows:
         assert r.cuts == r.true_cuts, (r.media_id, r.container)
         assert r.n_cuts >= 1  # every video has >= 2 scenes
