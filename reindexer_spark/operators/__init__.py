@@ -20,6 +20,7 @@ Importing this package registers every query with
 
 from reindexer_spark.operators import (  # noqa: F401
     analytics,
+    crawl,
     dedup,
     docshape,
     graph,

@@ -1,0 +1,296 @@
+"""Crawl-to-corpus end-to-end: WARC archives → HTTP decode → HTML text
+extraction → C4-style line filter → quality gate → URL-canonical dedup →
+exact content dedup → curated corpus.
+
+This is the composed source-to-corpus pipeline an LLM-data team runs
+over Common-Crawl-scale archives, registered as ONE gated query the way
+``reindex_e2e`` composes the reference's job (reference driver.go runs
+scan→transform→sink as one unit) and ``corpus_curation_funnel`` composes
+the text stages.  The WARC leg is REAL: documents are wrapped into
+spec-shaped WARC response records — rotating identity / gzip /
+chunked-transfer wire encodings, 404s, request records, and non-HTML
+content-types — written as gzipped shard files by executor tasks, then
+read back through the custom ``warc`` DataSource (file-per-task, pushdown
+pruning), so the gate covers the source's HTTP decoding (including the
+Transfer-Encoding/Content-Encoding paths) by value, not just by unit
+test: the DuckDB oracle computes the same corpus straight from
+``documents``, and any byte the WARC round trip loses or mangles breaks
+the hash.
+
+Scale shape: everything between the scan and the two dedups is per-row
+string work in whole-stage codegen (tag strip, line split, token
+counts); the only shuffles are the two hash aggregations on ~60-byte
+canonical URLs and 32-byte checksums — page text never shuffles.  At
+100 TB the synth/write stage disappears (the archives already exist) and
+the read side is exactly this plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from reindexer_spark.catalog import load_table
+from reindexer_spark.registry import query
+
+CRAWL_SHARDS = 8
+LINE_WORDS = 8        # words per synthesized page line
+MIN_LINE_WORDS = 5    # C4-style short-line drop
+MIN_KEPT_LINES = 2    # doc-level quality gate
+
+
+def _page_lines(text: str) -> list[str]:
+    words = text.split(" ")
+    return [
+        " ".join(words[i : i + LINE_WORDS])
+        for i in range(0, len(words), LINE_WORDS)
+    ]
+
+
+def _raw_url(doc_id: int) -> str:
+    url = (
+        f"HTTPS://Crawl.Example.com:443/page/{doc_id % 150}"
+        + ("/" if doc_id % 2 == 0 else "")
+        + f"?utm_source=feed&ref=r{doc_id}"
+    )
+    if doc_id % 7 == 0:
+        url += "#top"
+    return url
+
+
+def _chunked(body: bytes) -> bytes:
+    out = b""
+    for part in (body[:100], body[100:]):
+        if part:
+            out += hex(len(part))[2:].encode() + b"\r\n" + part + b"\r\n"
+    return out + b"0\r\n\r\n"
+
+
+def _synth_warc_shards(docs: DataFrame, out_dir: str) -> None:
+    """Write the documents as CRAWL_SHARDS gzipped WARC files — one
+    file per task via applyInPandas (the write a crawl fetcher does;
+    at 100 TB the archives pre-exist and this stage disappears)."""
+
+    def write_shard(key, pdf):
+        import gzip as _gzip
+
+        import pandas as pd
+
+        from reindexer_spark.sources.warc import write_warc_records
+
+        (bucket,) = key
+        pdf = pdf.sort_values("doc_id")
+        records = []
+        for _, r in pdf.iterrows():
+            doc_id = int(r["doc_id"])
+            if doc_id % 10 == 6:  # paired request record (filtered later)
+                records.append(
+                    {
+                        "warc_type": "request",
+                        "record_id": f"<urn:req:{doc_id}>",
+                        "target_uri": _raw_url(doc_id),
+                        "block": b"GET / HTTP/1.1\r\nHost: x\r\n\r\n",
+                        "content_type": "application/http; msgtype=request",
+                    }
+                )
+            if doc_id % 17 == 5:
+                body = b"%PDF-1.4 not-text " + str(doc_id).encode()
+                ctype = "application/pdf"
+                status = 200
+            else:
+                lines = _page_lines(r["text"])
+                html = (
+                    f"<html><head><title>Doc {doc_id}</title></head><body>"
+                    + "".join(f"<p>{ln}</p>" for ln in lines)
+                    + "</body></html>"
+                )
+                body = html.encode("utf-8")
+                ctype = "text/html; charset=utf-8"
+                status = 404 if doc_id % 13 == 4 else 200
+            headers = [("Content-Type", ctype)]
+            # rotate the wire form: the source must undo all three
+            if doc_id % 3 == 1:
+                body = _gzip.compress(body, mtime=0)
+                headers.append(("Content-Encoding", "gzip"))
+            elif doc_id % 3 == 2:
+                body = _chunked(body)
+                headers.append(("Transfer-Encoding", "chunked"))
+            records.append(
+                {
+                    "warc_type": "response",
+                    "record_id": f"<urn:doc:{doc_id}>",
+                    "target_uri": _raw_url(doc_id),
+                    "http": (status, headers, body),
+                }
+            )
+        path = os.path.join(out_dir, f"crawl-{int(bucket):03d}.warc.gz")
+        write_warc_records(path, records, compress=True)
+        return pd.DataFrame(
+            {"bucket": [int(bucket)], "n_records": [len(records)]}
+        )
+
+    shards = (
+        docs.withColumn("bucket", (F.col("doc_id") % CRAWL_SHARDS).cast("int"))
+        .groupBy("bucket")
+        .applyInPandas(write_shard, "bucket int, n_records bigint")
+    )
+    shards.count()  # force the write
+
+
+@query(
+    "crawl_corpus_e2e",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1
+               AS wi,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, wi // {LINE_WORDS} AS li,
+             string_agg(w, ' ' ORDER BY wi) AS line,
+             COUNT(*) AS n_words
+      FROM words GROUP BY doc_id, wi // {LINE_WORDS}
+    ), stats AS (
+      SELECT doc_id,
+             CAST(COUNT(*) + 1 AS BIGINT) AS n_lines_raw,
+             CAST(COUNT(*) FILTER (n_words >= {MIN_LINE_WORDS}) AS BIGINT)
+               AS n_lines_kept,
+             CAST(COALESCE(SUM(n_words) FILTER (n_words >= {MIN_LINE_WORDS}),
+                           0) AS BIGINT) AS n_tokens,
+             md5(string_agg(line, chr(10) ORDER BY li)
+                 FILTER (n_words >= {MIN_LINE_WORDS})) AS checksum
+      FROM lines GROUP BY doc_id
+    ), eligible AS (
+      SELECT s.*,
+             'https://crawl.example.com/page/'
+               || CAST(doc_id % 150 AS VARCHAR) AS url_canonical
+      FROM stats s
+      WHERE doc_id % 13 <> 4 AND doc_id % 17 <> 5
+        AND n_lines_kept >= {MIN_KEPT_LINES}
+    ), url_dedup AS (
+      SELECT * FROM (
+        SELECT e.*, MIN(doc_id) OVER (PARTITION BY url_canonical) AS rep
+        FROM eligible e
+      ) WHERE doc_id = rep
+    ), content_dedup AS (
+      SELECT * FROM (
+        SELECT u.*, MIN(doc_id) OVER (PARTITION BY checksum) AS crep
+        FROM url_dedup u
+      ) WHERE doc_id = crep
+    )
+    SELECT doc_id, url_canonical, n_lines_raw, n_lines_kept, n_tokens,
+           checksum
+    FROM content_dedup
+    """,
+)
+def crawl_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship source-to-corpus composition (module docstring).
+
+    Spark side: synthesize + write real WARC shards, read them back
+    through the custom ``warc`` DataSource (which strips chunked
+    framing and gzip bodies), keep 200-status text/html responses,
+    strip tags to lines, drop short lines (C4 rule), gate on
+    {MIN_KEPT_LINES}+ surviving lines, canonicalize the ACTUAL
+    WARC-Target-URI read off the archive, keep the lowest doc per
+    canonical URL, then the lowest doc per content checksum.  The
+    oracle recomputes the corpus from `documents` directly — equality
+    proves the whole WARC wire round trip byte-exact."""
+    from reindexer_spark.sources.warc import WarcDataSource
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out_dir = os.path.join("/tmp", f"rs_crawl_{tag}")
+    os.makedirs(out_dir, exist_ok=True)
+    for old in os.listdir(out_dir):
+        os.unlink(os.path.join(out_dir, old))
+    _synth_warc_shards(docs, out_dir)
+
+    spark.dataSource.register(WarcDataSource)
+    raw = spark.read.format("warc").load(out_dir)
+    resp = (
+        raw.filter(F.col("warc_type") == "response")
+        .filter(F.col("http_status") == 200)
+        .filter(F.col("content_type").startswith("text/html"))
+        .select(
+            F.regexp_extract(F.col("record_id"), r"doc:(\d+)", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("target_uri"),
+            F.col("payload").cast("string").alias("html"),
+        )
+    )
+    # --- HTML → lines (tag strip is pure codegen string work) ---------
+    raw_lines = F.filter(
+        F.split(F.regexp_replace(F.col("html"), "<[^>]+>", "\n"), "\n"),
+        lambda x: x != "",
+    )
+    kept_lines = F.filter(
+        F.col("raw_lines"),
+        lambda x: F.size(F.split(x, " ")) >= MIN_LINE_WORDS,
+    )
+    shaped = (
+        resp.withColumn("raw_lines", raw_lines)
+        .withColumn("kept_lines", kept_lines)
+        .select(
+            "doc_id",
+            "target_uri",
+            F.size("raw_lines").cast("bigint").alias("n_lines_raw"),
+            F.size("kept_lines").cast("bigint").alias("n_lines_kept"),
+            F.aggregate(
+                F.transform(
+                    "kept_lines", lambda x: F.size(F.split(x, " "))
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, n: acc + n,
+            ).alias("n_tokens"),
+            F.md5(
+                F.encode(F.array_join("kept_lines", "\n"), "UTF-8")
+            ).alias("checksum"),
+        )
+        .filter(F.col("n_lines_kept") >= MIN_KEPT_LINES)
+    )
+    # --- canonicalize the URI actually read off the archive -----------
+    base = F.regexp_replace(F.col("target_uri"), "#.*$", "")
+    loc = F.split_part(base, F.lit("?"), F.lit(1))
+    scheme_host = F.regexp_extract(loc, "^[^/]+//[^/]+", 0)
+    host_clean = F.regexp_replace(F.lower(scheme_host), ":443$", "")
+    path_clean = F.regexp_replace(
+        F.expr(
+            "substring(split_part(regexp_replace(target_uri, '#.*$', ''),"
+            " '?', 1),"
+            " length(regexp_extract(split_part(regexp_replace(target_uri,"
+            " '#.*$', ''), '?', 1), '^[^/]+//[^/]+', 0)) + 1)"
+        ),
+        "/$",
+        "",
+    )
+    canon = shaped.withColumn(
+        "url_canonical", F.concat(host_clean, path_clean)
+    )
+    url_dedup = (
+        canon.withColumn(
+            "rep",
+            F.min("doc_id").over(Window.partitionBy("url_canonical")),
+        )
+        .filter(F.col("doc_id") == F.col("rep"))
+        .drop("rep")
+    )
+    content_dedup = (
+        url_dedup.withColumn(
+            "crep", F.min("doc_id").over(Window.partitionBy("checksum"))
+        )
+        .filter(F.col("doc_id") == F.col("crep"))
+        .drop("crep")
+    )
+    return content_dedup.select(
+        "doc_id",
+        "url_canonical",
+        "n_lines_raw",
+        "n_lines_kept",
+        "n_tokens",
+        "checksum",
+    )

@@ -233,3 +233,38 @@ def test_split_http_chunked_and_compressed_bodies():
         b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + bad
     )
     assert b == bad
+
+
+def test_crawl_corpus_e2e_wire_forms_on_disk(spark, sf_dir):
+    """The flagship e2e genuinely rotates wire encodings: after a run,
+    the written shards contain gzip, chunked AND identity response
+    bodies, and the source decodes all three back to parseable HTML."""
+    import hashlib
+    import os
+
+    from reindexer_spark import get_query
+    from reindexer_spark.sources.warc import WarcDataSource
+
+    out = get_query("crawl_corpus_e2e").fn(spark, sf_dir)
+    n_corpus = out.count()
+    assert n_corpus > 0
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    crawl_dir = os.path.join("/tmp", f"rs_crawl_{tag}")
+    shards = sorted(os.listdir(crawl_dir))
+    assert len(shards) == 8 and all(s.endswith(".warc.gz") for s in shards)
+    spark.dataSource.register(WarcDataSource)
+    raw = spark.read.format("warc").load(crawl_dir).collect()
+    types = {r.warc_type for r in raw}
+    assert types == {"response", "request"}
+    # every wire form appears, and every 200-html payload decoded to
+    # tag-structured HTML regardless of how it was encoded on disk
+    forms = set()
+    for r in raw:
+        if r.warc_type != "response":
+            continue
+        doc_id = int(r.record_id.split(":")[-1].rstrip(">"))
+        forms.add(doc_id % 3)
+        if r.http_status == 200 and r.content_type.startswith("text/html"):
+            body = bytes(r.payload)
+            assert body.startswith(b"<html>") and body.endswith(b"</html>")
+    assert forms == {0, 1, 2}
