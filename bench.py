@@ -114,6 +114,10 @@ EXTENDED = [
     "text_context_windows",
     "graph_label_propagation",
     "corpus_dedup_funnel",
+    # round 7
+    "embed_semdedup",
+    "knn_ivf_adc",
+    "crawl_corpus_e2e",
 ]
 
 

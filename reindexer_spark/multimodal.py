@@ -176,13 +176,13 @@ def extract_media_features(media: DataFrame, codec=None) -> DataFrame:
 
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                payload = row["payload"]
+            for row in pdf.itertuples(index=False):
+                payload = row.payload
                 if payload is None:
                     out.append(
                         {
-                            "media_id": row["media_id"],
-                            "kind": row["kind"],
+                            "media_id": row.media_id,
+                            "kind": row.kind,
                             "n_bytes": 0,
                             "checksum": None,
                             "width": None,
@@ -203,8 +203,8 @@ def extract_media_features(media: DataFrame, codec=None) -> DataFrame:
                     }
                 out.append(
                     {
-                        "media_id": row["media_id"],
-                        "kind": row["kind"],
+                        "media_id": row.media_id,
+                        "kind": row.kind,
                         "n_bytes": len(payload),
                         "checksum": hashlib.md5(bytes(payload)).hexdigest(),
                         **decoded,
@@ -364,11 +364,11 @@ def resize_thumbnails(
 
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                payload = row["payload"]
+            for row in pdf.itertuples(index=False):
+                payload = row.payload
                 null_row = {
-                    "media_id": row["media_id"],
-                    "kind": row["kind"],
+                    "media_id": row.media_id,
+                    "kind": row.kind,
                     "thumb_w": None,
                     "thumb_h": None,
                     "thumbnail": None,
@@ -382,7 +382,7 @@ def resize_thumbnails(
                     out.append(null_row)  # quarantine, don't fail the stage
                     continue
                 out.append(
-                    {"media_id": row["media_id"], "kind": row["kind"], **r}
+                    {"media_id": row.media_id, "kind": row.kind, **r}
                 )
             yield pd.DataFrame(out)
 
@@ -410,8 +410,8 @@ def sample_video_frames(
 
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                payload = row["payload"]
+            for row in pdf.itertuples(index=False):
+                payload = row.payload
                 if payload is None:
                     continue  # nothing to sample; quarantined upstream
                 payload = bytes(payload)
@@ -424,7 +424,7 @@ def sample_video_frames(
                         break
                     out.append(
                         {
-                            "media_id": row["media_id"],
+                            "media_id": row.media_id,
                             "frame_idx": idx,
                             "frame_ts_ms": ts,
                             "frame": sampler.frame_at(payload, ts),

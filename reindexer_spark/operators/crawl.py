@@ -85,8 +85,8 @@ def _synth_warc_shards(docs: DataFrame, out_dir: str) -> None:
         (bucket,) = key
         pdf = pdf.sort_values("doc_id")
         records = []
-        for _, r in pdf.iterrows():
-            doc_id = int(r["doc_id"])
+        for r in pdf.itertuples(index=False):
+            doc_id = int(r.doc_id)
             if doc_id % 10 == 6:  # paired request record (filtered later)
                 records.append(
                     {
@@ -102,7 +102,7 @@ def _synth_warc_shards(docs: DataFrame, out_dir: str) -> None:
                 ctype = "application/pdf"
                 status = 200
             else:
-                lines = _page_lines(r["text"])
+                lines = _page_lines(r.text)
                 html = (
                     f"<html><head><title>Doc {doc_id}</title></head><body>"
                     + "".join(f"<p>{ln}</p>" for ln in lines)

@@ -175,9 +175,9 @@ def _synth_media(d: DataFrame) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                seed = hashlib.sha256(r["text"].encode("utf-8")).digest()
-                if r["doc_id"] % 12 == 2:
+            for r in pdf.itertuples(index=False):
+                seed = hashlib.sha256(r.text.encode("utf-8")).digest()
+                if r.doc_id % 12 == 2:
                     # animated GIF (carved from the audio lane): 16-color
                     # palette from the digest, nibble-indexed pixels,
                     # variable per-frame delays (LZW + GCE timing on the
@@ -205,7 +205,7 @@ def _synth_media(d: DataFrame) -> DataFrame:
                         ),
                         "image-gif",
                     )
-                elif r["doc_id"] % 3 == 2:
+                elif r.doc_id % 3 == 2:
                     samples = [
                         int.from_bytes(
                             seed[(2 * i) % 31 : (2 * i) % 31 + 2],
@@ -217,11 +217,11 @@ def _synth_media(d: DataFrame) -> DataFrame:
                     # every doc_id % 12 == 8 row compresses the same PCM
                     # losslessly through the FLAC encoder instead — the
                     # compressed-audio decode path on real bytes
-                    if r["doc_id"] % 12 == 8:
+                    if r.doc_id % 12 == 8:
                         payload, kind = encode_flac(samples, 8000), "audio-flac"
                     else:
                         payload, kind = encode_wav(samples, 8000), "audio-wav"
-                elif r["doc_id"] % 3 == 1:
+                elif r.doc_id % 3 == 1:
                     w, h = 6 + seed[0] % 7, 6 + seed[1] % 7
                     frames = []
                     for i in range(3 + seed[2] % 4):  # 3-6 frames @ 4 fps
@@ -239,12 +239,12 @@ def _synth_media(d: DataFrame) -> DataFrame:
                     # non-trivial), Matroska (V_MJPEG SimpleBlocks in
                     # EBML clusters, sparse keyframes + Cues index),
                     # and uncompressed-DIB AVI
-                    if r["doc_id"] % 12 == 1:
+                    if r.doc_id % 12 == 1:
                         payload, kind = (
                             encode_avi(w, h, frames, 4, codec="mjpg"),
                             "video-mjpeg",
                         )
-                    elif r["doc_id"] % 12 == 7:
+                    elif r.doc_id % 12 == 7:
                         payload, kind = (
                             encode_mp4(
                                 w, h, frames, 4,
@@ -252,7 +252,7 @@ def _synth_media(d: DataFrame) -> DataFrame:
                             ),
                             "video-mp4",
                         )
-                    elif r["doc_id"] % 12 == 10:
+                    elif r.doc_id % 12 == 10:
                         payload, kind = (
                             encode_mkv(
                                 w, h, frames, 4,
@@ -262,11 +262,11 @@ def _synth_media(d: DataFrame) -> DataFrame:
                         )
                     else:
                         payload, kind = encode_avi(w, h, frames, 4), "video-avi"
-                elif r["doc_id"] % 6 == 0:
+                elif r.doc_id % 6 == 0:
                     w, h = 8 + seed[0] % 9, 8 + seed[1] % 9
                     rgb = (seed * ((w * h * 3) // len(seed) + 1))[: w * h * 3]
                     # half the JPEG lane is PROGRESSIVE (SOF2 multi-scan)
-                    if r["doc_id"] % 12 == 6:
+                    if r.doc_id % 12 == 6:
                         payload, kind = (
                             encode_jpeg_progressive(w, h, bytes(rgb), 85),
                             "image-jpeg",
@@ -276,7 +276,7 @@ def _synth_media(d: DataFrame) -> DataFrame:
                             encode_jpeg_baseline(w, h, bytes(rgb), 85),
                             "image-jpeg",
                         )
-                elif r["doc_id"] % 12 == 3:
+                elif r.doc_id % 12 == 3:
                     w, h = 8 + seed[0] % 9, 8 + seed[1] % 9
                     rgb = (seed * ((w * h * 3) // len(seed) + 1))[: w * h * 3]
                     payload, kind = encode_png(w, h, bytes(rgb)), "image-png"
@@ -286,10 +286,10 @@ def _synth_media(d: DataFrame) -> DataFrame:
                     payload, kind = encode_bmp(w, h, bytes(rgb)), "image-bmp"
                 rows.append(
                     {
-                        "media_id": r["doc_id"],
+                        "media_id": r.doc_id,
                         "kind": kind,
                         "payload": payload,
-                        "meta": {"lang": r["lang"]},
+                        "meta": {"lang": r.lang},
                     }
                 )
             yield pd.DataFrame(
@@ -453,10 +453,10 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                if r["media_id"] % 15 != 0:
+            for r in pdf.itertuples(index=False):
+                if r.media_id % 15 != 0:
                     continue
-                payload = bytes(r["payload"])
+                payload = bytes(r.payload)
                 kind = _sniff(payload)
                 w, h, rgb = _decode_image(kind, payload)
                 px = np.frombuffer(rgb, dtype=np.uint8).copy()
@@ -471,10 +471,10 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out = encode_bmp(w, h, px.tobytes())
                 rows.append(
                     {
-                        "media_id": int(r["media_id"]) + 1_000_000,
-                        "kind": r["kind"],
+                        "media_id": int(r.media_id) + 1_000_000,
+                        "kind": r.kind,
                         "payload": out,
-                        "meta": dict(r["meta"]) if r["meta"] else {},
+                        "meta": dict(r.meta) if r.meta else {},
                     }
                 )
             yield pd.DataFrame(
@@ -495,8 +495,8 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"])
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload)
                 w, h, rgb = _decode_image(_sniff(payload), payload)
                 px = (
                     np.frombuffer(rgb, dtype=np.uint8)
@@ -515,7 +515,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # store as signed int64 (Spark bigint)
                 if sig >= 1 << 63:
                     sig -= 1 << 64
-                out.append((int(r["media_id"]), sig))
+                out.append((int(r.media_id), sig))
             yield pd.DataFrame(out, columns=["media_id", "ahash"])
 
     sigs = media.mapInPandas(ahash, "media_id bigint, ahash bigint")
@@ -837,9 +837,9 @@ def audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"])
-                if r["kind"] == "audio-wav":
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload)
+                if r.kind == "audio-wav":
                     rate, samples = decode_wav(payload)
                     out, kind = encode_flac(samples, rate), "audio-flac"
                 else:
@@ -847,10 +847,10 @@ def audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out, kind = encode_wav(samples, rate), "audio-wav"
                 rows.append(
                     {
-                        "media_id": r["media_id"] + 100000,
+                        "media_id": r.media_id + 100000,
                         "kind": kind,
                         "payload": out,
-                        "meta": r["meta"],
+                        "meta": r.meta,
                     }
                 )
             yield pd.DataFrame(
@@ -869,12 +869,12 @@ def audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"])
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload)
                 decode = decode_flac if payload[:4] == b"fLaC" else decode_wav
                 _, samples = decode(payload)
                 for word in audio_fingerprint(samples):
-                    out.append({"media_id": r["media_id"], "word": word})
+                    out.append({"media_id": r.media_id, "word": word})
             yield pd.DataFrame(out, columns=["media_id", "word"])
 
     words = both.select("media_id", "payload").mapInPandas(
@@ -1066,8 +1066,8 @@ def _synth_scene_video(d: DataFrame) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                seed = hashlib.sha256(r["text"].encode("utf-8")).digest()
+            for r in pdf.itertuples(index=False):
+                seed = hashlib.sha256(r.text.encode("utf-8")).digest()
                 w, h = 10 + seed[0] % 5, 8 + seed[1] % 5
                 n_scenes = 2 + seed[2] % 3
                 frames, cuts = [], []
@@ -1085,7 +1085,7 @@ def _synth_scene_video(d: DataFrame) -> DataFrame:
                             i = (fr * 131 + k * 37) % len(px)
                             px[i] = min(255, px[i] + 2)
                         frames.append(bytes(px))
-                kind = r["doc_id"] % 4
+                kind = r.doc_id % 4
                 if kind == 0:
                     payload, cont = encode_avi(w, h, frames, 4), "avi-dib"
                 elif kind == 1:
@@ -1105,7 +1105,7 @@ def _synth_scene_video(d: DataFrame) -> DataFrame:
                     )
                 rows.append(
                     {
-                        "media_id": r["doc_id"],
+                        "media_id": r.doc_id,
                         "payload": payload,
                         "container": cont,
                         "true_cuts": ",".join(str(c) for c in cuts),
@@ -1148,8 +1148,8 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"])
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload)
                 if payload[4:8] == b"ftyp":
                     _w, _h, _d, frames, _s = decode_mp4(payload)
                 elif payload[:4] == b"\x1a\x45\xdf\xa3":
@@ -1167,12 +1167,12 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
                 rows.append(
                     {
-                        "media_id": r["media_id"],
-                        "container": r["container"],
+                        "media_id": r.media_id,
+                        "container": r.container,
                         "n_frames": len(frames),
                         "n_cuts": len(cut_idx),
                         "cuts": ",".join(str(c) for c in cut_idx),
-                        "true_cuts": r["true_cuts"],
+                        "true_cuts": r.true_cuts,
                         "max_intra_delta": float(
                             max(
                                 (v for v in deltas if v <= SCENE_CUT_THRESHOLD),
@@ -1216,9 +1216,9 @@ def multimodal_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.itertuples(index=False):
                 try:
-                    p = probe_media(bytes(r["payload"]))
+                    p = probe_media(bytes(r.payload))
                 except MediaFormatError:
                     p = {
                         "kind": None, "width": None, "height": None,
@@ -1227,15 +1227,15 @@ def multimodal_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 rows.append(
                     {
-                        "media_id": r["media_id"],
-                        "kind": r["kind"],
+                        "media_id": r.media_id,
+                        "kind": r.kind,
                         "probe_kind": p["kind"],
                         "width": p["width"],
                         "height": p["height"],
                         "n_frames": p["n_frames"],
                         "sample_rate": p["sample_rate"],
                         "n_samples": p["n_samples"],
-                        "n_bytes": len(bytes(r["payload"])),
+                        "n_bytes": len(bytes(r.payload)),
                     }
                 )
             yield pd.DataFrame(

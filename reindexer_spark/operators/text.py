@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from reindexer_spark.catalog import load_table
 from reindexer_spark.registry import query
@@ -280,4 +281,166 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tf.join(F.broadcast(df), "word").select(
         "doc_id", "word", "tf", "df", (F.col("tf") * idf).alias("tfidf")
+    )
+
+
+# --- BM25 ranked retrieval over the corpus ----------------------------
+
+# The reference exists to feed Solr (driver.go: bulk upsert sink), and
+# Solr/Lucene rank with BM25 — this operator runs that retrieval model
+# natively: the index build (inverted term relation), the collection
+# statistics, and the Okapi BM25 scorer, as one Catalyst plan.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+BM25_QUERIES: dict[int, tuple[str, ...]] = {
+    1: ("table", "scan"),
+    2: ("fast", "join", "query"),
+    3: ("vector", "merge"),
+    4: ("window", "batch", "spark"),
+}
+
+_BM25_TERMS = tuple(sorted({t for q in BM25_QUERIES.values() for t in q}))
+_BM25_QUERY_SQL = " UNION ALL ".join(
+    f"SELECT {qid} AS query_id, '{t}' AS word"
+    for qid, terms in BM25_QUERIES.items()
+    for t in terms
+)
+
+
+@query(
+    "docs_bm25_search",
+    oracle=f"""
+    WITH q(query_id, word) AS ({_BM25_QUERY_SQL}),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+    ), corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST((SUM(dl) * 1000000) // COUNT(*) AS DOUBLE) / 1000000.0
+               AS avgdl
+      FROM dl
+    ), words AS (
+      SELECT doc_id, unnest(t) AS word FROM toks
+    ), tf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM words WHERE word IN {_BM25_TERMS!r}
+      GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM words WHERE word IN {_BM25_TERMS!r}
+      GROUP BY word
+    ), scored AS (
+      SELECT qq.query_id, tf.doc_id,
+             CAST(ROUND(
+               ROUND(LN((c.n - df.df + 0.5) / (df.df + 0.5) + 1.0), 6)
+               * ((tf.tf * 2.2)
+                  / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                     + {BM25_B} * (CAST(dl.dl AS DOUBLE) / c.avgdl)))),
+               6) AS DECIMAL(20,6)) AS term_score
+      FROM q qq
+      JOIN tf ON tf.word = qq.word
+      JOIN df ON df.word = qq.word
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN corpus c
+    ), totals AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(term_score) AS DOUBLE) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+      FROM scored GROUP BY query_id, doc_id
+    )
+    SELECT query_id, rnk, doc_id, score, n_terms_hit FROM (
+      SELECT query_id, doc_id, score, n_terms_hit,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM totals
+    ) WHERE rnk <= {BM25_TOPK}
+    """,
+)
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (Robertson et al., TREC-3; the
+    Lucene/Solr default similarity — the ranking the reference's Solr
+    sink ultimately serves, run natively): top-{BM25_TOPK} documents per
+    probe query with k1={BM25_K1}, b={BM25_B} and the Lucene-style
+    non-negative idf = ln(1 + (N - df + ½)/(df + ½)).
+
+    Scale shape: the inverted relation (term, doc, tf) is one explode +
+    hash agg over the corpus — the classic index build; df and the
+    collection stats (N, avgdl) are tiny aggregates that broadcast; the
+    query set is a literal dimension joined onto the posting lists, so
+    scoring touches only candidate postings, never the corpus, and the
+    per-query top-k is a window over candidates.  At 100 TB the posting
+    relation is the thing you persist (bucketed by term); everything
+    downstream of it here is exactly the query-time plan.
+
+    Determinism: avgdl is integer-division-exact, ln is rounded once
+    (libm last-ulp drift), each term score is rounded once then summed
+    as DECIMAL (order-free), and ranks break ties on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    dl = toks.select(
+        "doc_id", F.size("t").cast("bigint").alias("dl")
+    )
+    corpus = dl.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (
+            F.expr("(sum(dl) * 1000000) div count(*)").cast("double")
+            / 1000000.0
+        ).alias("avgdl"),
+    )
+    words = toks.select("doc_id", F.explode("t").alias("word")).filter(
+        F.col("word").isin(*_BM25_TERMS)
+    )
+    tf = words.groupBy("doc_id", "word").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    df = words.groupBy("word").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES.items() for t in terms],
+        "query_id int, word string",
+    )
+    idf = F.round(
+        F.log(
+            (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ),
+        6,
+    )
+    term_score = F.round(
+        idf
+        * (
+            (F.col("tf") * 2.2)
+            / (
+                F.col("tf")
+                + BM25_K1
+                * (
+                    1.0
+                    - BM25_B
+                    + BM25_B * (F.col("dl").cast("double") / F.col("avgdl"))
+                )
+            )
+        ),
+        6,
+    ).cast("decimal(20,6)")
+    scored = (
+        F.broadcast(q)
+        .join(tf, "word")
+        .join(F.broadcast(df), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("query_id", "doc_id", term_score.alias("term_score"))
+    )
+    totals = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").cast("double").alias("score"),
+        F.count("*").cast("bigint").alias("n_terms_hit"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        totals.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= BM25_TOPK)
+        .select("query_id", "rnk", "doc_id", "score", "n_terms_hit")
     )
