@@ -118,6 +118,8 @@ EXTENDED = [
     "embed_semdedup",
     "knn_ivf_adc",
     "crawl_corpus_e2e",
+    "docs_bm25_search",
+    "knn_pq_adc",
 ]
 
 

@@ -49,3 +49,24 @@ def test_ivf_adc_recall_contract(spark, sf_dir):
     # int8 error is small vs inter-point distances: macro recall is high
     macro = sum(v[0].recall_at_k for v in per_q.values()) / len(per_q)
     assert macro >= 0.7
+
+
+def test_pq_adc_rerank_contract(spark, sf_dir):
+    from reindexer_spark.operators.similarity import PQ_NQ, PQ_TOPK
+
+    rows = get_query("knn_pq_adc").fn(spark, sf_dir).collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == set(range(PQ_NQ))
+    for qid, hits in per_q.items():
+        assert len(hits) == PQ_TOPK
+        # re-rank orders by EXACT distance, not the PQ estimate
+        by_rank = sorted(hits, key=lambda r: r.rnk)
+        ds = [r.exact_dist_q for r in by_rank]
+        assert ds == sorted(ds)
+        assert all(r.neighbor_id != qid for r in hits)
+        frac = sum(r.hit for r in hits) / PQ_TOPK
+        assert all(r.recall_at_k == frac for r in hits)
+    macro = sum(v[0].recall_at_k for v in per_q.values()) / len(per_q)
+    assert macro >= 0.4  # re-ranked; ADC-alone sits well below this
