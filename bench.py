@@ -120,6 +120,7 @@ EXTENDED = [
     "crawl_corpus_e2e",
     "docs_bm25_search",
     "knn_pq_adc",
+    "quality_logreg_train",
 ]
 
 

@@ -444,3 +444,256 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= BM25_TOPK)
         .select("query_id", "rnk", "doc_id", "score", "n_terms_hit")
     )
+
+
+# --- logistic-regression quality classifier, trained on the plan ------
+
+LOGREG_ITERS = 12
+LOGREG_LR = 5.0  # exactly representable; features live in ~[0, 1]
+
+# Distill the is_quality heuristic (text_quality's rule) into a smooth
+# learned scorer — the CCNet/fastText pattern where a cheap rule (or a
+# reference corpus) labels the training set and a classifier learns a
+# smooth decision surface from DIFFERENT features.  The TRAINING runs
+# as one Catalyst plan (plan-unrolled batch gradient descent, the
+# embed_kmeans_lloyd / embed_pca_power pattern).
+_LR_X1_WORDS = LANG_LEXICONS["en"]  # overlaps the rule's lexicon
+_LR_X2_WORDS = tuple(sorted(set(STOPWORDS) - set(_LR_X1_WORDS)))
+
+
+def _logreg_feats_sql() -> str:
+    # MATERIALIZED: every unrolled iteration references feats; without
+    # it DuckDB inlines the CTE and re-scans documents per reference
+    return f"""
+    feats AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN LENGTH(text) BETWEEN 100 AND 20000
+                   AND CAST({_hits_sql(STOPWORDS)} AS DOUBLE)
+                       / len(string_split(text, ' ')) >= 0.05
+                  THEN 1.0 ELSE 0.0 END AS y,
+             FLOOR({_hits_sql(_LR_X1_WORDS)} * 10000000.0
+                   / len(string_split(text, ' '))) / 1000000.0 AS x1,
+             FLOOR({_hits_sql(_LR_X2_WORDS)} * 10000000.0
+                   / len(string_split(text, ' '))) / 1000000.0 AS x2,
+             FLOOR(len(string_split(text, ' ')) * 1000000.0 / 600)
+               / 1000000.0 AS x3
+      FROM documents
+    ), n_docs AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feats
+    )
+    """
+
+
+def _logreg_step_sql(i: int) -> str:
+    """One GD iteration.  Every CTE is referenced exactly once except
+    r{i} (the per-iteration output row, MATERIALIZED because both the
+    next iteration's weights and the final union read it) — a CTE
+    referenced twice would otherwise inline and re-expand the whole
+    chain per iteration (exponential).  The entering weights ride
+    THROUGH the aggregate via MIN (constant per group, exact) for the
+    same single-reference reason."""
+    return f"""
+    , p{i} AS (
+      SELECT f.y, f.x1, f.x2, f.x3, w.w0, w.w1, w.w2, w.w3,
+             FLOOR(1000000.0 / (1.0 + EXP(-(w.w0 + w.w1 * f.x1
+                     + w.w2 * f.x2 + w.w3 * f.x3)))) / 1000000.0 AS p
+      FROM feats f CROSS JOIN w{i - 1} w
+    ), a{i} AS (
+      SELECT n.n, MIN(w0) AS w0, MIN(w1) AS w1, MIN(w2) AS w2,
+             MIN(w3) AS w3,
+             FLOOR(CAST(SUM(CAST(FLOOR(-(y * LN(p + 0.000000001)
+                     + (1.0 - y) * LN(1.0 - p + 0.000000001)) * 1000000)
+                     AS BIGINT)) AS DOUBLE) / n.n)
+               / 1000000.0 AS loss,
+             CAST(SUM(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_correct,
+             CAST(SUM(CAST(FLOOR((p - y) * 1000000) AS BIGINT)) AS BIGINT)
+               AS g0,
+             CAST(SUM(CAST(FLOOR((p - y) * x1 * 1000000) AS BIGINT))
+               AS BIGINT) AS g1,
+             CAST(SUM(CAST(FLOOR((p - y) * x2 * 1000000) AS BIGINT))
+               AS BIGINT) AS g2,
+             CAST(SUM(CAST(FLOOR((p - y) * x3 * 1000000) AS BIGINT))
+               AS BIGINT) AS g3
+      FROM p{i} CROSS JOIN n_docs n GROUP BY n.n
+    ), r{i} AS MATERIALIZED (
+      SELECT {i} AS iter, loss, n_correct,
+             w0 - FLOOR({LOGREG_LR} * g0 / n) / 1000000.0 AS w0,
+             w1 - FLOOR({LOGREG_LR} * g1 / n) / 1000000.0 AS w1,
+             w2 - FLOOR({LOGREG_LR} * g2 / n) / 1000000.0 AS w2,
+             w3 - FLOOR({LOGREG_LR} * g3 / n) / 1000000.0 AS w3
+      FROM a{i}
+    ), w{i} AS (
+      SELECT w0, w1, w2, w3 FROM r{i}
+    )"""
+
+
+def _logreg_oracle(iters: int) -> str:
+    parts = [
+        "WITH "
+        + _logreg_feats_sql()
+        + ", w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"
+    ]
+    for i in range(1, iters + 1):
+        parts.append(_logreg_step_sql(i))
+    unions = "\n      UNION ALL ".join(
+        f"SELECT iter, loss, n_correct, w0, w1, w2, w3 FROM r{i}"
+        for i in range(1, iters + 1)
+    )
+    parts.append(f"\n    {unions}")
+    return "".join(parts)
+
+
+@query("quality_logreg_train", oracle=_logreg_oracle(LOGREG_ITERS))
+def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a logistic-regression quality classifier with plan-unrolled
+    batch gradient descent — the learned-filter slot of a curation
+    pipeline (CCNet/fastText-style classifiers gate quality at corpus
+    scale).  The label distills the `text_quality` heuristic (length
+    band + stopword-rate rule); the features are related but distinct
+    surface statistics, so the smooth scorer genuinely has to LEARN the
+    rule's boundary: accuracy climbs monotonically from the
+    majority-class baseline (294→415 of 500 at sf0.01, asserted
+    non-decreasing in tests).  Each of {LOGREG_ITERS} iterations scores
+    the corpus under the entering weights (a broadcast 1-row relation),
+    reduces gradients as decimal sums of once-rounded per-doc terms,
+    and emits one row per iteration with entering loss/accuracy and
+    exiting weights.
+
+    Determinism: features are FLOOR-quantized ratios so every input to
+    the arithmetic is exact; sigmoid and log-loss round once per
+    evaluation (exp/ln are the only transcendentals — libm last-ulp
+    drift, the text_tfidf convention); gradient and loss sums go
+    through DECIMAL (reduction-order-free); weight updates
+    FLOOR-quantize once — so 12 compounding iterations stay bit-exact
+    against the chained-CTE oracle.
+
+    Scale shape: per iteration ONE corpus scan (4 multiplies + a
+    sigmoid per row, map-side) and one 4-value decimal reduction;
+    weights broadcast back — the classic data-parallel GD layout where
+    the model is O(1) and the corpus never reshuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    stop_ratio = _hits(toks, STOPWORDS).cast("double") / n_toks
+    feats = d.select(
+        "doc_id",
+        F.when(
+            F.length("text").between(100, 20000) & (stop_ratio >= 0.05),
+            1.0,
+        )
+        .otherwise(0.0)
+        .alias("y"),
+        (
+            F.floor(
+                _hits(toks, _LR_X1_WORDS).cast("bigint") * 10000000.0
+                / n_toks
+            )
+            / 1e6
+        ).alias("x1"),
+        (
+            F.floor(
+                _hits(toks, _LR_X2_WORDS).cast("bigint") * 10000000.0
+                / n_toks
+            )
+            / 1e6
+        ).alias("x2"),
+        (F.floor(n_toks.cast("bigint") * 1000000.0 / 600) / 1e6).alias("x3"),
+    )
+    n_docs = feats.agg(F.count("*").cast("bigint").alias("n"))
+    # feats and the count are scanned by every unrolled iteration —
+    # persist the tiny feature relation so 12 iterations don't re-read
+    # and re-tokenize the corpus 12 times
+    from reindexer_spark.cache import track
+
+    feats = track(feats)
+    # 1-row training state: weights + the accumulated per-iteration
+    # trajectory as an array column.  Accumulating in-row keeps the
+    # unrolled plan LINEAR (each iteration referenced once); a union of
+    # per-iteration rows would re-execute every chain prefix — O(n²)
+    # aggregate stages for n iterations.
+    w = spark.createDataFrame(
+        [(0.0, 0.0, 0.0, 0.0, [])],
+        "w0 double, w1 double, w2 double, w3 double, "
+        "hist array<struct<iter:int,loss:double,n_correct:bigint,"
+        "w0:double,w1:double,w2:double,w3:double>>",
+    )
+    isum = lambda c: F.sum(F.floor(c * 1e6).cast("bigint"))  # noqa: E731
+    for i in range(1, LOGREG_ITERS + 1):
+        z = (
+            F.col("w0")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+            + F.col("w3") * F.col("x3")
+        )
+        p = (
+            feats.crossJoin(F.broadcast(w))
+            .crossJoin(F.broadcast(n_docs))
+            .withColumn("p", F.floor(1e6 / (1.0 + F.exp(-z))) / 1e6)
+        )
+        # the entering weights ride THROUGH the aggregate (constant per
+        # group, so min() is exact) — referencing `w` a second time
+        # after the agg would duplicate the whole chained plan per
+        # iteration and blow up exponentially
+        agg = p.groupBy("n").agg(
+            F.min("w0").alias("w0"),
+            F.min("w1").alias("w1"),
+            F.min("w2").alias("w2"),
+            F.min("w3").alias("w3"),
+            F.min("hist").alias("hist"),
+            (
+                F.floor(
+                    isum(
+                        -(
+                            F.col("y") * F.log(F.col("p") + 1e-9)
+                            + (1.0 - F.col("y"))
+                            * F.log(1.0 - F.col("p") + 1e-9)
+                        )
+                    ).cast("double")
+                    / F.col("n")
+                )
+                / 1e6
+            ).alias("loss"),
+            F.sum(
+                F.when(
+                    (F.col("p") >= 0.5) == (F.col("y") == 1.0), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+            isum(F.col("p") - F.col("y")).alias("g0"),
+            isum((F.col("p") - F.col("y")) * F.col("x1")).alias("g1"),
+            isum((F.col("p") - F.col("y")) * F.col("x2")).alias("g2"),
+            isum((F.col("p") - F.col("y")) * F.col("x3")).alias("g3"),
+        )
+        upd = lambda wj, gj: (  # noqa: E731
+            F.col(wj)
+            - F.floor(LOGREG_LR * F.col(gj) / F.col("n")) / 1e6
+        ).alias(wj)
+        w = agg.select(
+            upd("w0", "g0"),
+            upd("w1", "g1"),
+            upd("w2", "g2"),
+            upd("w3", "g3"),
+            F.array_append(
+                F.col("hist"),
+                F.struct(
+                    F.lit(i).alias("iter"),
+                    F.col("loss").alias("loss"),
+                    F.col("n_correct").alias("n_correct"),
+                    upd("w0", "g0"),
+                    upd("w1", "g1"),
+                    upd("w2", "g2"),
+                    upd("w3", "g3"),
+                ),
+            ).alias("hist"),
+        )
+    return w.select(F.explode("hist").alias("h")).select(
+        F.col("h.iter").alias("iter"),
+        F.col("h.loss").alias("loss"),
+        F.col("h.n_correct").alias("n_correct"),
+        F.col("h.w0").alias("w0"),
+        F.col("h.w1").alias("w1"),
+        F.col("h.w2").alias("w2"),
+        F.col("h.w3").alias("w3"),
+    )

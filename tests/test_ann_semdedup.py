@@ -70,3 +70,23 @@ def test_pq_adc_rerank_contract(spark, sf_dir):
         assert all(r.recall_at_k == frac for r in hits)
     macro = sum(v[0].recall_at_k for v in per_q.values()) / len(per_q)
     assert macro >= 0.4  # re-ranked; ADC-alone sits well below this
+
+
+def test_logreg_training_actually_learns(spark, sf_dir):
+    """The distilled quality classifier's accuracy is non-decreasing
+    across GD iterations and ends well above the all-positive baseline
+    — the trainer genuinely optimizes, it doesn't just execute."""
+    from reindexer_spark.operators.text import LOGREG_ITERS
+
+    rows = sorted(
+        get_query("quality_logreg_train").fn(spark, sf_dir).collect(),
+        key=lambda r: r.iter,
+    )
+    assert [r.iter for r in rows] == list(range(1, LOGREG_ITERS + 1))
+    accs = [r.n_correct for r in rows]
+    losses = [r.loss for r in rows]
+    assert all(b >= a for a, b in zip(accs, accs[1:]))
+    assert all(b <= a for a, b in zip(losses, losses[1:]))
+    # iteration 1 scores the zero-weight model: p = 0.5 everywhere →
+    # n_correct equals the positive-class count (the baseline)
+    assert accs[-1] > accs[0] * 1.1
