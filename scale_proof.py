@@ -73,12 +73,31 @@ QUERIES = (
     # dense corpus (31-word vocab), vocab-growing on the zipf corpus —
     # the same two regimes as the LM-build leg.
     "text_bpe_train",
+    # retrieval leg: the BM25 posting-list build is one explode + hash
+    # agg (the only corpus-sized shuffle); scoring touches candidate
+    # postings only, so growth should track the posting relation.
+    "docs_bm25_search",
+    # learned-filter leg: 12 unrolled GD iterations, each ONE corpus
+    # scan + a 4-value integer reduction — per-iteration cost should
+    # grow linearly and the iteration count is scale-free.
+    "quality_logreg_train",
 )
 ANN_QUERIES = (
     "knn_ivf_lsh",
     "dedup_embedding_lsh",
     # iterative-algorithm leg: Lloyd k-means broadcast-assign/recompute
     "embed_kmeans_lloyd",
+    # semantic-dedup leg: broadcast-assign then within-cluster pairwise
+    # — quadratic ONLY inside a cluster (SemDeDup's contract); at a
+    # fixed K the 10× corpus grows cluster sizes 10×, so pair volume
+    # (shuffle records) growing ~100× here is the EXPECTED shape and
+    # the reason production scales K with the corpus.
+    "embed_semdedup",
+    # quantized-ANN legs: codes and integer distance tables move, never
+    # floats; candidate volume is nprobe/K (IVF) or the corpus code
+    # relation (flat PQ scan + 50-candidate float re-rank).
+    "knn_ivf_adc",
+    "knn_pq_adc",
 )
 
 VOCAB = (
