@@ -230,9 +230,19 @@ def _shuffle_totals(ui_port: int) -> tuple[int, int]:
 def run_proof() -> dict:
     from reindexer_spark import get_query, get_spark
 
-    # the status REST API is the shuffle-bytes source → UI on for this run
+    # the status REST API is the shuffle-bytes source → UI on for this
+    # run.  Retention must exceed the WHOLE run's stage count: the
+    # default (1000) evicts early stages mid-run, the "completed
+    # stages" total shrinks between snapshots, and deltas go NEGATIVE
+    # (first seen round 7 when the 12-iteration logreg leg pushed the
+    # run past 1000 stages).
     spark = get_spark(
-        "reindexer-scale-proof", extra_conf={"spark.ui.enabled": "true"}
+        "reindexer-scale-proof",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "50000",
+        },
     )
     ui_port = int(spark.conf.get("spark.ui.port", "4040"))
 
