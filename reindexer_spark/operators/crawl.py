@@ -294,3 +294,222 @@ def crawl_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "checksum",
     )
+
+
+# --- crawl-to-MEDIA-corpus: the multimodal twin of crawl_corpus_e2e ---
+
+MEDIA_CTYPE = {
+    "image-bmp": "image/bmp",
+    "image-jpeg": "image/jpeg",
+    "image-png": "image/png",
+    "image-gif": "image/gif",
+    "audio-wav": "audio/x-wav",
+    "audio-flac": "audio/flac",
+    "video-avi": "video/x-msvideo",
+    "video-mjpeg": "video/x-msvideo",
+    "video-mp4": "video/mp4",
+    "video-mkv": "video/x-matroska",
+}
+HARVEST_DOCS = 120
+
+
+def _synth_media_warc(media: DataFrame, out_dir: str) -> None:
+    """Write media payloads as WARC response records — gzip wire
+    encoding on some (binary bodies compress on the wire too), paired
+    request records, 404s, an HTML decoy, and a JUNK class that CLAIMS
+    image/bmp but carries garbage (the probe must catch it)."""
+
+    def write_shard(key, pdf):
+        import gzip as _gzip
+
+        import pandas as pd
+
+        from reindexer_spark.sources.warc import write_warc_records
+
+        (bucket,) = key
+        pdf = pdf.sort_values("media_id")
+        records = []
+        for r in pdf.itertuples(index=False):
+            mid = int(r.media_id)
+            if mid % 10 == 6:
+                records.append(
+                    {
+                        "warc_type": "request",
+                        "record_id": f"<urn:req:{mid}>",
+                        "target_uri": f"https://media.example/{mid}",
+                        "block": b"GET / HTTP/1.1\r\nHost: m\r\n\r\n",
+                        "content_type": "application/http; msgtype=request",
+                    }
+                )
+            if mid % 11 == 7:  # junk: bytes that aren't what they claim
+                body = b"\x00garbage" + bytes(r.payload)[:32][::-1]
+                ctype = "image/bmp"
+            elif mid % 9 == 2:  # HTML decoy, dropped by the media filter
+                body = b"<html><body>not media</body></html>"
+                ctype = "text/html"
+            else:
+                body = bytes(r.payload)
+                ctype = MEDIA_CTYPE[r.kind]
+            status = 404 if mid % 13 == 4 else 200
+            headers = [("Content-Type", ctype)]
+            if mid % 5 == 3:
+                body = _gzip.compress(body, mtime=0)
+                headers.append(("Content-Encoding", "gzip"))
+            records.append(
+                {
+                    "warc_type": "response",
+                    "record_id": f"<urn:doc:{mid}>",
+                    "target_uri": f"https://media.example/{mid}",
+                    "http": (status, headers, body),
+                }
+            )
+        path = os.path.join(out_dir, f"media-{int(bucket):03d}.warc.gz")
+        write_warc_records(path, records, compress=True)
+        return pd.DataFrame(
+            {"bucket": [int(bucket)], "n_records": [len(records)]}
+        )
+
+    (
+        media.withColumn(
+            "bucket", (F.col("media_id") % CRAWL_SHARDS).cast("int")
+        )
+        .groupBy("bucket")
+        .applyInPandas(write_shard, "bucket int, n_records bigint")
+        .count()
+    )
+
+
+@query("crawl_media_harvest")  # Python codec output → rows-only check
+def crawl_media_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-to-media-corpus: the multimodal twin of crawl_corpus_e2e.
+    Real media payloads (the ten-format fixture rotation) are written
+    into WARC shards by executor tasks — some gzip wire-encoded, plus
+    request records, 404s, HTML decoys, and junk bytes that CLAIM to be
+    BMP — read back through the ``warc`` DataSource, then curated the
+    way a 100 TB crawl actually is: status/content-type filter →
+    header-only PROBE (dims/frames/samples, no entropy decoding — the
+    junk class dies here for the cost of reading a header) → full
+    decode to features on the survivors (per-row quarantine).  Emits
+    one row per response with its fate and the probe-vs-decode
+    dimensions, so the attrition at every stage is visible in the
+    gate's row set.
+
+    Scale shape: payloads move task-locally through the probe and
+    decode mapInPandas stages (Arrow-batched, never shuffled); the
+    probe pass costs header bytes per object and rejects junk before
+    the decode pass pays for pixels — the ordering that matters when
+    decode is 100-1000× the probe cost.  Deterministic but byte-level
+    (container synthesis + codecs) → rows-only check; the stage
+    attrition and probe≡decode agreement are pinned in unit tests."""
+    from reindexer_spark.multimodal import LibraryCodec, extract_media_features
+    from reindexer_spark.operators.multimodal import _synth_media
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < HARVEST_DOCS
+    )
+    media = _synth_media(docs)
+    tag = hashlib.md5(("media:" + os.path.abspath(sf_dir)).encode()).hexdigest()[:10]
+    out_dir = os.path.join("/tmp", f"rs_mediacrawl_{tag}")
+    os.makedirs(out_dir, exist_ok=True)
+    for old in os.listdir(out_dir):
+        os.unlink(os.path.join(out_dir, old))
+    _synth_media_warc(media, out_dir)
+
+    from reindexer_spark.sources.warc import WarcDataSource
+
+    spark.dataSource.register(WarcDataSource)
+    raw = spark.read.format("warc").load(out_dir)
+    resp = (
+        raw.filter(F.col("warc_type") == "response")
+        .filter(F.col("http_status") == 200)
+        .filter(
+            F.col("content_type").startswith("image/")
+            | F.col("content_type").startswith("audio/")
+            | F.col("content_type").startswith("video/")
+        )
+        .select(
+            F.regexp_extract(F.col("record_id"), r"doc:(\d+)", 1)
+            .cast("bigint")
+            .alias("media_id"),
+            F.col("content_type").alias("kind"),
+            "payload",
+        )
+    )
+
+    probe_schema = (
+        "media_id bigint, kind string, payload binary, probe_ok int, "
+        "probe_w int, probe_h int, probe_frames int, probe_rate int, "
+        "probe_samples bigint"
+    )
+
+    def probe(batches):
+        import pandas as pd
+
+        from reindexer_spark.codecs import MediaFormatError, probe_media
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                row = {
+                    "media_id": r.media_id,
+                    "kind": r.kind,
+                    "payload": r.payload,
+                    "probe_ok": 0,
+                    "probe_w": None,
+                    "probe_h": None,
+                    "probe_frames": None,
+                    "probe_rate": None,
+                    "probe_samples": None,
+                }
+                try:
+                    p = probe_media(bytes(r.payload))
+                    row.update(
+                        probe_ok=1,
+                        probe_w=p["width"],
+                        probe_h=p["height"],
+                        probe_frames=p["n_frames"],
+                        probe_rate=p["sample_rate"],
+                        probe_samples=p["n_samples"],
+                    )
+                except MediaFormatError:
+                    pass
+                rows.append(row)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "payload", "probe_ok", "probe_w",
+                    "probe_h", "probe_frames", "probe_rate",
+                    "probe_samples",
+                ],
+            )
+
+    probed = resp.mapInPandas(probe, probe_schema)
+    survivors = probed.filter(F.col("probe_ok") == 1).select(
+        "media_id", "kind", "payload",
+        F.create_map(F.lit("stage"), F.lit("probe-pass")).alias("meta"),
+    )
+    feats = extract_media_features(survivors, codec=LibraryCodec()).select(
+        "media_id",
+        F.col("width").alias("dec_w"),
+        F.col("height").alias("dec_h"),
+        "n_bytes",
+        "checksum",
+    )
+    return (
+        probed.drop("payload")
+        .join(feats, "media_id", "left")
+        .select(
+            "media_id",
+            "kind",
+            "probe_ok",
+            "probe_w",
+            "probe_h",
+            "probe_frames",
+            "probe_rate",
+            "probe_samples",
+            "dec_w",
+            "dec_h",
+            "n_bytes",
+            "checksum",
+        )
+    )

@@ -45,4 +45,5 @@ def test_contract_shapes(spark):
         "audio_dedup_fingerprint",
         "video_scene_cuts",
         "multimodal_probe_meta",
+        "crawl_media_harvest",
     }

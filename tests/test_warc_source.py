@@ -268,3 +268,54 @@ def test_crawl_corpus_e2e_wire_forms_on_disk(spark, sf_dir):
             body = bytes(r.payload)
             assert body.startswith(b"<html>") and body.endswith(b"</html>")
     assert forms == {0, 1, 2}
+
+
+def test_gzip_member_per_record_archives_parse():
+    """Common Crawl writes .warc.gz with EACH RECORD as its own gzip
+    member so readers can seek; stdlib gzip reads the concatenation
+    transparently and the parser must see one continuous stream."""
+    import gzip
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        # build per-record members by writing singleton archives
+        members = []
+        for i in range(4):
+            p = os.path.join(td, f"one{i}.warc")
+            write_warc_records(p, _records(1))
+            members.append(gzip.compress(open(p, "rb").read()))
+        multi = os.path.join(td, "multi.warc.gz")
+        with open(multi, "wb") as fh:
+            fh.write(b"".join(members))
+        with gzip.open(multi, "rb") as fh:
+            recs = list(parse_warc_records(fh, where="multi"))
+        assert len(recs) == 4 * 3  # warcinfo + request + response each
+
+
+def test_crawl_media_harvest_stage_attrition(spark, sf_dir):
+    """The media-crawl curation stages behave: junk claiming image/bmp
+    dies at the PROBE (never reaching decode), every probe survivor
+    decodes, and probe dimensions agree with the decoder's on every
+    image row — the probe-before-decode ordering a 100 TB crawl relies
+    on."""
+    from reindexer_spark import get_query
+    from reindexer_spark.operators.crawl import HARVEST_DOCS
+
+    rows = get_query("crawl_media_harvest").fn(spark, sf_dir).collect()
+    # expected junk: %11==7 (checked before the html decoy branch),
+    # surviving the 404 drop (%13==4) and the doc_id<HARVEST_DOCS window
+    expect_junk = {
+        i for i in range(HARVEST_DOCS) if i % 11 == 7 and i % 13 != 4
+    }
+    got_junk = {r.media_id for r in rows if r.probe_ok == 0}
+    assert got_junk == expect_junk
+    survivors = [r for r in rows if r.probe_ok == 1]
+    assert survivors and all(r.checksum is not None for r in survivors)
+    for r in survivors:
+        if r.kind.startswith("image/") or r.kind.startswith("video/"):
+            assert (r.dec_w, r.dec_h) == (r.probe_w, r.probe_h), r
+    # every media modality made it through end-to-end
+    assert {k.split("/")[0] for k in {r.kind for r in survivors}} == {
+        "image", "audio", "video",
+    }
