@@ -121,6 +121,7 @@ EXTENDED = [
     "docs_bm25_search",
     "knn_pq_adc",
     "quality_logreg_train",
+    "crawl_media_harvest",
 ]
 
 

@@ -10,10 +10,12 @@ progressive) / PNG / WAV / DIB+MJPEG-AVI parsing — decode, resize,
 audio windows and video frame-sampling run on real bytes, compressed
 formats included, in this container), and
 ``LibraryCodec`` which upgrades to Pillow when installed.  Motion-JPEG
-AVI and Photo-JPEG mp4 (ISO BMFF, full stsd/stts/stss/stsc/stco
-sample-table walk) decode natively — JPEG frames through the baseline
-codec; inter-predicted video (h264/hevc in mp4, mkv/divx) still needs
-pyav/ffmpeg and raises ``MediaFormatError`` into the quarantine lane.
+AVI, Photo-JPEG mp4 (ISO BMFF, full stsd/stts/stss/stsc/stco
+sample-table walk) and V_MJPEG Matroska (EBML element tree, cluster/
+SimpleBlock timestamps, Cues keyframe index) decode natively — JPEG
+frames through the baseline codec; inter-predicted video (h264/hevc
+in any container) still needs pyav/ffmpeg and raises
+``MediaFormatError`` into the quarantine lane.
 
 At 100 TB the shape is the important part:
 
