@@ -122,6 +122,7 @@ EXTENDED = [
     "knn_pq_adc",
     "quality_logreg_train",
     "crawl_media_harvest",
+    "reindex_then_search",
 ]
 
 

@@ -513,3 +513,188 @@ def crawl_media_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "checksum",
         )
     )
+
+
+# --- reindex → search: the reference's job composed with retrieval ----
+
+RS_K1 = 1.2
+RS_B = 0.75
+RS_TOPK = 10
+RS_QUERIES: dict[int, tuple[str, ...]] = {
+    1: ("table", "scan"),
+    2: ("fast", "merge"),
+    3: ("key", "order", "sort"),
+}
+_RS_TERMS = tuple(sorted({t for q in RS_QUERIES.values() for t in q}))
+_RS_QUERY_SQL = " UNION ALL ".join(
+    f"SELECT {qid} AS query_id, '{t}' AS word"
+    for qid, terms in RS_QUERIES.items()
+    for t in terms
+)
+
+
+@query(
+    "reindex_then_search",
+    oracle=f"""
+    WITH q(query_id, word) AS ({_RS_QUERY_SQL}),
+    indexed AS (
+      SELECT 'id' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS id,
+             string_split(SUBSTRING(text, 1, 40), ' ') AS t
+      FROM documents
+      WHERE doc_id % 10 <> 9 AND doc_id % 31 <> 3
+    ), dl AS (
+      SELECT id, CAST(len(t) AS BIGINT) AS dl FROM indexed
+    ), corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST((SUM(dl) * 1000000) // COUNT(*) AS DOUBLE) / 1000000.0
+               AS avgdl
+      FROM dl
+    ), words AS (
+      SELECT id, unnest(t) AS word FROM indexed
+    ), tf AS (
+      SELECT id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM words WHERE word IN {_RS_TERMS!r}
+      GROUP BY id, word
+    ), df AS (
+      SELECT word, CAST(COUNT(DISTINCT id) AS BIGINT) AS df
+      FROM words WHERE word IN {_RS_TERMS!r}
+      GROUP BY word
+    ), scored AS (
+      SELECT qq.query_id, tf.id,
+             CAST(ROUND(
+               ROUND(LN((c.n - df.df + 0.5) / (df.df + 0.5) + 1.0), 6)
+               * ((tf.tf * 2.2)
+                  / (tf.tf + {RS_K1} * (1.0 - {RS_B}
+                     + {RS_B} * (CAST(dl.dl AS DOUBLE) / c.avgdl)))),
+               6) AS DECIMAL(20,6)) AS term_score
+      FROM q qq
+      JOIN tf ON tf.word = qq.word
+      JOIN df ON df.word = qq.word
+      JOIN dl ON dl.id = tf.id
+      CROSS JOIN corpus c
+    ), totals AS (
+      SELECT query_id, id, CAST(SUM(term_score) AS DOUBLE) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+      FROM scored GROUP BY query_id, id
+    )
+    SELECT query_id, rnk, id, score, n_terms_hit FROM (
+      SELECT query_id, id, score, n_terms_hit,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, id) AS rnk
+      FROM totals
+    ) WHERE rnk <= {RS_TOPK}
+    """,
+)
+def reindex_then_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's END-TO-END purpose, closed: its job shapes
+    Postgres rows through parse→flatten→suffix into Solr documents
+    (reference driver.go scan → argot → bulk upsert) so that Solr can
+    SEARCH them — this query runs the whole arc natively.  The real
+    docpipe executes (spofford-shaped scan, JSON parse with quarantine,
+    soft-delete filter, flatten + dynamic-field suffixing, batched sink
+    through the capture transport), the sunk Solr documents are read
+    BACK from the capture directory, and Okapi BM25 — Solr's default
+    similarity — ranks them over the indexed `title_main_t` field.
+
+    The DuckDB oracle recomputes the ranking straight from `documents`
+    under the pipeline's eligibility rules (soft-deleted %10==9 rows
+    filtered, corrupt %31==3 payloads quarantined), so hash equality
+    proves the ENTIRE docpipe round trip value-exact — every document
+    the pipeline should index, exactly once, with its indexed field
+    intact — while the ranking math reuses docs_bm25_search's
+    determinism contract (integer-exact avgdl, once-rounded idf,
+    DECIMAL-summed term scores, id tie-breaks).
+
+    Scale shape: the docpipe is the reference's own (batched sink,
+    per-partition transport); search-side statistics are tiny
+    broadcast aggregates and scoring touches candidate postings only."""
+    from reindexer_spark.docpipe import ReindexConfig, SolrSink
+    from reindexer_spark.docpipe.pipeline import (
+        documents_as_spofford,
+        run_reindex,
+    )
+    from reindexer_spark.docpipe.solr_sink import DirectoryCaptureTransport
+
+    docs = documents_as_spofford(
+        load_table(spark, sf_dir, "documents")
+    )
+    tag = hashlib.md5(
+        ("search:" + os.path.abspath(sf_dir)).encode()
+    ).hexdigest()[:10]
+    cap_dir = os.path.join("/tmp", f"rs_search_{tag}")
+    os.makedirs(cap_dir, exist_ok=True)
+    for old in os.listdir(cap_dir):
+        os.unlink(os.path.join(cap_dir, old))
+    conf = ReindexConfig(password="search", solr_url="capture://search")
+    sink = SolrSink(
+        conf.solr_url,
+        batch_size=conf.chunk_size,
+        transport_factory=lambda: DirectoryCaptureTransport(cap_dir),
+    )
+    run_reindex(docs, conf, sink=sink)
+
+    indexed = (
+        spark.read.option("multiLine", "true")
+        .json(cap_dir)
+        .select("id", F.split("title_main_t", " ").alias("t"))
+    )
+    dl = indexed.select("id", F.size("t").cast("bigint").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (
+            F.expr("(sum(dl) * 1000000) div count(*)").cast("double")
+            / 1000000.0
+        ).alias("avgdl"),
+    )
+    words = indexed.select("id", F.explode("t").alias("word")).filter(
+        F.col("word").isin(*_RS_TERMS)
+    )
+    tf = words.groupBy("id", "word").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    df = words.groupBy("word").agg(
+        F.countDistinct("id").cast("bigint").alias("df")
+    )
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in RS_QUERIES.items() for t in terms],
+        "query_id int, word string",
+    )
+    idf = F.round(
+        F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        6,
+    )
+    term_score = F.round(
+        idf
+        * (
+            (F.col("tf") * 2.2)
+            / (
+                F.col("tf")
+                + RS_K1
+                * (
+                    1.0
+                    - RS_B
+                    + RS_B * (F.col("dl").cast("double") / F.col("avgdl"))
+                )
+            )
+        ),
+        6,
+    ).cast("decimal(20,6)")
+    totals = (
+        F.broadcast(qdf)
+        .join(tf, "word")
+        .join(F.broadcast(df), "word")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(corpus))
+        .select("query_id", "id", term_score.alias("term_score"))
+        .groupBy("query_id", "id")
+        .agg(
+            F.sum("term_score").cast("double").alias("score"),
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        totals.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= RS_TOPK)
+        .select("query_id", "rnk", "id", "score", "n_terms_hit")
+    )
