@@ -123,6 +123,7 @@ EXTENDED = [
     "quality_logreg_train",
     "crawl_media_harvest",
     "reindex_then_search",
+    "knn_ivfadc_residual",
 ]
 
 

@@ -1200,3 +1200,341 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hit").over(Window.partitionBy("query_id")).cast("double")
         / PQ_TOPK,
     )
+
+
+# --- full IVFADC: coarse quantizer + PQ over RESIDUALS -----------------
+
+IVFR_K = 8        # coarse lists
+IVFR_NPROBE = 3
+IVFR_NQ = 8
+IVFR_M = 8        # PQ subspaces over the residual
+IVFR_SUB = 8
+IVFR_PQK = 16
+IVFR_TOPK = 10
+IVFR_CAND = 50
+
+
+@query(
+    "knn_ivfadc_residual",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS cluster_id, emb AS centroid
+      FROM e WHERE vec_id < {IVFR_K}
+    ), cflat AS (
+      SELECT vec_id AS cluster_id, idx, v AS cv FROM flat
+      WHERE vec_id < {IVFR_K}
+    ), assigned AS (
+      SELECT vec_id, cluster_id FROM (
+        SELECT e.vec_id, s.cluster_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY FLOOR(list_dot_product(e.emb, s.centroid)
+                                * 1000000) DESC, s.cluster_id
+               ) AS rn
+        FROM e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ), rsub AS (
+      SELECT f.vec_id, f.idx // {IVFR_SUB} AS s, f.idx % {IVFR_SUB} AS d,
+             f.v - c.cv AS rv
+      FROM flat f
+      JOIN assigned a USING (vec_id)
+      JOIN cflat c ON c.cluster_id = a.cluster_id AND c.idx = f.idx
+    ), cbook AS (
+      SELECT vec_id AS cid, s, d, rv AS cv FROM rsub
+      WHERE vec_id < {IVFR_PQK}
+    ), enc AS (
+      SELECT x.vec_id, x.s, c.cid,
+             SUM(CAST(FLOOR((x.rv - c.cv) * (x.rv - c.cv) * 1000000)
+                      AS BIGINT)) AS dist_q
+      FROM rsub x JOIN cbook c ON c.s = x.s AND c.d = x.d
+      GROUP BY x.vec_id, x.s, c.cid
+    ), codes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist_q, cid) AS rn
+        FROM enc
+      ) WHERE rn = 1
+    ), queries AS (
+      SELECT vec_id AS query_id, emb AS qemb FROM e
+      WHERE vec_id < {IVFR_NQ}
+    ), probe AS (
+      SELECT query_id, cluster_id FROM (
+        SELECT q.query_id, s.cluster_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY FLOOR(list_dot_product(q.qemb, s.centroid)
+                                * 1000000) DESC, s.cluster_id
+               ) AS rn
+        FROM queries q CROSS JOIN seeds s
+      ) WHERE rn <= {IVFR_NPROBE}
+    ), qflat AS (
+      SELECT query_id, generate_subscripts(qemb, 1) - 1 AS idx,
+             unnest(qemb) AS qv
+      FROM queries
+    ), qrsub AS (
+      SELECT p.query_id, p.cluster_id, f.idx // {IVFR_SUB} AS s,
+             f.idx % {IVFR_SUB} AS d, f.qv - c.cv AS qrv
+      FROM probe p
+      JOIN qflat f USING (query_id)
+      JOIN cflat c ON c.cluster_id = p.cluster_id AND c.idx = f.idx
+    ), qtab AS (
+      SELECT query_id, cluster_id, s, cid,
+             SUM(CAST(FLOOR((qrv - cv) * (qrv - cv) * 1000000) AS BIGINT))
+               AS tab_q
+      FROM qrsub JOIN cbook USING (s, d)
+      GROUP BY query_id, cluster_id, s, cid
+    ), adc AS (
+      SELECT t.query_id, x.vec_id,
+             CAST(SUM(t.tab_q) AS BIGINT) AS pq_dist_q
+      FROM codes x
+      JOIN assigned a USING (vec_id)
+      JOIN qtab t ON t.cluster_id = a.cluster_id AND t.s = x.s
+                 AND t.cid = x.code
+      WHERE x.vec_id <> t.query_id
+      GROUP BY t.query_id, x.vec_id
+    ), cand AS (
+      SELECT query_id, vec_id, pq_dist_q FROM (
+        SELECT query_id, vec_id, pq_dist_q,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY pq_dist_q, vec_id) AS crn
+        FROM adc
+      ) WHERE crn <= {IVFR_CAND}
+    ), exact AS (
+      SELECT qf.query_id, f.vec_id,
+             SUM(CAST(FLOOR((qf.qv - f.v) * (qf.qv - f.v) * 1000000)
+                      AS BIGINT)) AS dist_q
+      FROM qflat qf
+      JOIN flat f ON f.idx = qf.idx AND f.vec_id <> qf.query_id
+      GROUP BY qf.query_id, f.vec_id
+    ), reranked AS (
+      SELECT c.query_id, c.vec_id, c.pq_dist_q,
+             CAST(e2.dist_q AS BIGINT) AS exact_dist_q,
+             ROW_NUMBER() OVER (PARTITION BY c.query_id
+                                ORDER BY e2.dist_q, c.vec_id) AS rnk
+      FROM cand c
+      JOIN exact e2 ON e2.query_id = c.query_id AND e2.vec_id = c.vec_id
+    ), exact_topk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dist_q, vec_id) AS rn
+        FROM exact
+      ) WHERE rn <= {IVFR_TOPK}
+    ), hits AS (
+      SELECT r.query_id, r.rnk, r.vec_id AS neighbor_id, r.pq_dist_q,
+             r.exact_dist_q,
+             CASE WHEN x.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+      FROM reranked r
+      LEFT JOIN exact_topk x
+        ON x.query_id = r.query_id AND x.vec_id = r.vec_id
+      WHERE r.rnk <= {IVFR_TOPK}
+    )
+    SELECT query_id, rnk, neighbor_id, pq_dist_q, exact_dist_q, hit,
+           CAST(SUM(hit) OVER (PARTITION BY query_id) AS DOUBLE)
+             / {IVFR_TOPK} AS recall_at_k
+    FROM hits
+    """,
+)
+def knn_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVFADC (Jégou et al., TPAMI 2011 §IV): the coarse quantizer
+    routes each vector to one of {IVFR_K} lists, and product
+    quantization encodes the RESIDUAL x − c(x) — not x itself — into
+    {IVFR_M} 4-bit codes.  Residuals matter because they concentrate
+    near zero: the same {IVFR_PQK}-centroid budget spends its precision
+    on a much smaller ball than raw-vector PQ (knn_pq_adc), which is
+    the accuracy lever that lets production indexes hold billions of
+    vectors in 4 bytes each.  Completes the ANN ladder:
+    knn_ivf_adc (int8 scalar codes) → knn_pq_adc (flat PQ scan +
+    re-rank) → this (coarse probe + residual PQ + re-rank = the
+    inverted-file system the paper calls IVFADC).
+
+    Query side: probe {IVFR_NPROBE} lists; per probed list the query's
+    OWN residual against that list's centroid parameterizes a
+    {IVFR_M}×{IVFR_PQK} integer distance table, so each candidate costs
+    {IVFR_M} lookups; the top {IVFR_CAND} re-rank on full floats.
+
+    Scale shape: codebooks ({IVFR_M}×{IVFR_PQK}×{IVFR_SUB} values) and
+    per-query tables broadcast; the corpus shuffles once by coarse list
+    at build time; at query time only 4-bit codes and integer tables
+    move.  Determinism: FLOOR-quantized BIGINT distance sums, ids break
+    every tie."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("emb"),
+    )
+    flat = e.select("vec_id", F.posexplode("emb").alias("idx", "v"))
+    seeds = e.filter(F.col("vec_id") < IVFR_K).select(
+        F.col("vec_id").alias("cluster_id"), F.col("emb").alias("centroid")
+    )
+    cflat = flat.filter(F.col("vec_id") < IVFR_K).select(
+        F.col("vec_id").alias("cluster_id"),
+        "idx",
+        F.col("v").alias("cv"),
+    )
+    from reindexer_spark.operators.mlprep import _dot
+
+    def _argmax_assign(side: DataFrame, id_col: str, limit: int | None):
+        out = (
+            side.crossJoin(F.broadcast(seeds))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(
+                        F.floor(
+                            _dot(F.col("emb" if id_col == "vec_id" else "qemb"),
+                                 F.col("centroid")) * 1e6
+                        ).desc(),
+                        F.col("cluster_id"),
+                    )
+                ),
+            )
+        )
+        out = out.filter(
+            F.col("rn") == 1 if limit is None else F.col("rn") <= limit
+        )
+        return out.select(id_col, "cluster_id")
+
+    assigned = _argmax_assign(e, "vec_id", None)
+    rsub = (
+        flat.join(assigned, "vec_id")
+        .join(cflat, ["cluster_id", "idx"])
+        .select(
+            "vec_id",
+            (F.col("idx") / IVFR_SUB).cast("int").alias("s"),
+            (F.col("idx") % IVFR_SUB).alias("d"),
+            (F.col("v") - F.col("cv")).alias("rv"),
+        )
+    )
+    cbook = rsub.filter(F.col("vec_id") < IVFR_PQK).select(
+        F.col("vec_id").alias("cid"), "s", "d", F.col("rv").alias("cv")
+    )
+    iterm = F.floor(
+        (F.col("rv") - F.col("cv")) * (F.col("rv") - F.col("cv")) * 1e6
+    )
+    codes = (
+        rsub.join(F.broadcast(cbook), ["s", "d"])
+        .groupBy("vec_id", "s", "cid")
+        .agg(F.sum(iterm).alias("dist_q"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id", "s").orderBy("dist_q", "cid")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("cid").alias("code"))
+    )
+    queries_df = e.filter(F.col("vec_id") < IVFR_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    probe = _argmax_assign(queries_df, "query_id", IVFR_NPROBE)
+    qflat = flat.filter(F.col("vec_id") < IVFR_NQ).select(
+        F.col("vec_id").alias("query_id"), "idx", F.col("v").alias("qv")
+    )
+    qrsub = (
+        probe.join(qflat, "query_id")
+        .join(cflat, ["cluster_id", "idx"])
+        .select(
+            "query_id",
+            "cluster_id",
+            (F.col("idx") / IVFR_SUB).cast("int").alias("s"),
+            (F.col("idx") % IVFR_SUB).alias("d"),
+            (F.col("qv") - F.col("cv")).alias("qrv"),
+        )
+    )
+    qterm = F.floor(
+        (F.col("qrv") - F.col("cv")) * (F.col("qrv") - F.col("cv")) * 1e6
+    )
+    qtab = (
+        qrsub.join(F.broadcast(cbook), ["s", "d"])
+        .groupBy("query_id", "cluster_id", "s", "cid")
+        .agg(F.sum(qterm).alias("tab_q"))
+    )
+    adc = (
+        codes.join(assigned, "vec_id")
+        .alias("x")
+        .join(
+            F.broadcast(qtab).alias("t"),
+            (F.col("x.cluster_id") == F.col("t.cluster_id"))
+            & (F.col("x.s") == F.col("t.s"))
+            & (F.col("x.code") == F.col("t.cid")),
+        )
+        .filter(F.col("x.vec_id") != F.col("t.query_id"))
+        .groupBy(
+            F.col("t.query_id").alias("query_id"),
+            F.col("x.vec_id").alias("vec_id"),
+        )
+        .agg(F.sum("tab_q").cast("bigint").alias("pq_dist_q"))
+    )
+    cand = (
+        adc.withColumn(
+            "crn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("pq_dist_q", "vec_id")
+            ),
+        )
+        .filter(F.col("crn") <= IVFR_CAND)
+        .drop("crn")
+    )
+    exact = (
+        flat.join(F.broadcast(qflat), "idx")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("qv") - F.col("v")) * (F.col("qv") - F.col("v")) * 1e6
+                )
+            ).alias("dist_q")
+        )
+    )
+    reranked = (
+        cand.join(exact, ["query_id", "vec_id"])
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("dist_q", "vec_id")
+            ),
+        )
+        .filter(F.col("rnk") <= IVFR_TOPK)
+        .withColumnRenamed("dist_q", "exact_dist_q")
+    )
+    exact_topk = (
+        exact.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("dist_q", "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= IVFR_TOPK)
+        .select("query_id", F.col("vec_id").alias("xid"))
+    )
+    hits = (
+        reranked.alias("p")
+        .join(
+            exact_topk.alias("x"),
+            (F.col("p.query_id") == F.col("x.query_id"))
+            & (F.col("p.vec_id") == F.col("x.xid")),
+            "left",
+        )
+        .select(
+            F.col("p.query_id").alias("query_id"),
+            "rnk",
+            F.col("p.vec_id").alias("neighbor_id"),
+            "pq_dist_q",
+            "exact_dist_q",
+            F.when(F.col("x.xid").isNull(), 0).otherwise(1).alias("hit"),
+        )
+    )
+    return hits.withColumn(
+        "recall_at_k",
+        F.sum("hit").over(Window.partitionBy("query_id")).cast("double")
+        / IVFR_TOPK,
+    )
