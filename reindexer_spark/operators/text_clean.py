@@ -1774,3 +1774,353 @@ def text_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer training.  Parameters are
+# small so the unrolled Viterbi oracle stays readable; the Spark side is
+# written against the same constants so both engines compute the same
+# integers.
+UNI_L = 8  # max word length covered by the unrolled DP
+UNI_PMAX = 4  # max piece length
+UNI_SEED = 40  # seed vocabulary: top-N multi-char substrings
+UNI_TARGET = 10  # pruned vocabulary: top-N multi-char pieces kept
+
+
+def _unigram_round_sql(r: int) -> str:
+    """CTE block for one hard-EM round: candidate edges against vocab
+    ``v{r}n``, position-unrolled Viterbi DP (integer-encoded
+    ``enc = cost*16 + piece_len`` so MIN is a deterministic total order),
+    traceback to the chosen pieces, and corpus-weighted piece counts."""
+    ctes = [
+        f"""e{r} AS MATERIALIZED (
+      SELECT wr.w, ci.i, cp.p, vn.nll
+      FROM words wr
+      CROSS JOIN unnest(range(1, {UNI_L + 1})) AS ci(i)
+      CROSS JOIN unnest(range(1, {UNI_PMAX + 1})) AS cp(p)
+      JOIN v{r}n vn
+        ON ci.i <= len(wr.w) AND ci.i - cp.p + 1 >= 1
+       AND vn.piece = substr(wr.w, CAST(ci.i - cp.p + 1 AS INT), CAST(cp.p AS INT))
+    )""",
+        f"""bb{r}_0 AS (
+      SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS enc FROM words
+    )""",
+    ]
+    for i in range(1, UNI_L + 1):
+        ctes.append(
+            f"""b{r}_{i} AS MATERIALIZED (
+      SELECT e.w, CAST({i} AS BIGINT) AS pos,
+             MIN((b.enc // 16 + e.nll) * 16 + e.p) AS enc
+      FROM e{r} e JOIN bb{r}_{i - 1} b ON b.w = e.w AND b.pos = {i} - e.p
+      WHERE e.i = {i}
+      GROUP BY e.w
+    )"""
+        )
+        ctes.append(
+            f"""bb{r}_{i} AS MATERIALIZED (
+      SELECT * FROM bb{r}_{i - 1} UNION ALL SELECT * FROM b{r}_{i}
+    )"""
+        )
+    ctes.append(
+        f"""vit{r} AS MATERIALIZED (
+      SELECT b.w, wr.freq, b.enc
+      FROM bb{r}_{UNI_L} b JOIN words wr ON wr.w = b.w AND b.pos = len(wr.w)
+    )"""
+    )
+    ctes.append(
+        f"""t{r}_0 AS (
+      SELECT w, freq, CAST(len(w) AS BIGINT) AS pos FROM words
+    )"""
+    )
+    for k in range(1, UNI_L + 1):
+        ctes.append(
+            f"""t{r}_{k} AS MATERIALIZED (
+      SELECT t.w, t.freq,
+             CASE WHEN t.pos > 0 THEN t.pos - (b.enc % 16) ELSE t.pos END AS pos,
+             CASE WHEN t.pos > 0
+                  THEN substr(t.w, CAST(t.pos - (b.enc % 16) + 1 AS INT),
+                              CAST(b.enc % 16 AS INT)) END AS piece
+      FROM t{r}_{k - 1} t JOIN bb{r}_{UNI_L} b ON b.w = t.w AND b.pos = t.pos
+    )"""
+        )
+    union = "\n        UNION ALL SELECT w, freq, piece FROM ".join(
+        f"t{r}_{k}" for k in range(1, UNI_L + 1)
+    )
+    ctes.append(
+        f"""pieces{r} AS MATERIALIZED (
+      SELECT w, freq, piece FROM (
+        SELECT w, freq, piece FROM {union}
+      ) u WHERE piece IS NOT NULL
+    )"""
+    )
+    if r < 2:  # the final round's counts feed nothing
+        ctes.append(
+            f"""cnt{r} AS MATERIALIZED (
+      SELECT piece, CAST(SUM(freq) AS BIGINT) AS c FROM pieces{r} GROUP BY 1
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+def _unigram_nll_sql(src: str) -> str:
+    """Vocabulary scoring: one FLOOR-quantized negative log-likelihood per
+    piece (the only transcendental; quantized once per round, so the
+    integer DP downstream is drift-free — same convention as
+    quality_logreg_train)."""
+    return f"""(
+      SELECT piece, plen,
+             CAST(FLOOR(1000000.0 * LN(CAST(t.tf AS DOUBLE) / f)) AS BIGINT) AS nll
+      FROM {src} CROSS JOIN (SELECT SUM(f) AS tf FROM {src}) t
+    )"""
+
+
+def _unigram_oracle() -> str:
+    smooth = "CASE WHEN v.plen = 1 THEN 1 ELSE 0 END"
+    return f"""
+    WITH words AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) BETWEEN 1 AND {UNI_L}
+      GROUP BY w
+    ),
+    allsub AS MATERIALIZED (
+      SELECT substr(w, CAST(st.s AS INT), CAST(pp.p AS INT)) AS piece,
+             CAST(pp.p AS INT) AS plen,
+             CAST(SUM(freq) AS BIGINT) AS f
+      FROM words
+      CROSS JOIN unnest(range(1, {UNI_L + 1})) AS st(s)
+      CROSS JOIN unnest(range(1, {UNI_PMAX + 1})) AS pp(p)
+      WHERE st.s + pp.p - 1 <= len(w)
+      GROUP BY 1, 2
+    ),
+    v0 AS MATERIALIZED (
+      SELECT piece, plen, f FROM allsub WHERE plen = 1
+      UNION ALL
+      SELECT piece, plen, f FROM (
+        SELECT piece, plen, f FROM allsub WHERE plen >= 2
+        ORDER BY f DESC, piece LIMIT {UNI_SEED})
+    ),
+    v0n AS MATERIALIZED {_unigram_nll_sql("v0")},
+    {_unigram_round_sql(0)},
+    v1 AS MATERIALIZED (
+      SELECT v.piece, v.plen,
+             CAST(COALESCE(c.c, 0) + {smooth} AS BIGINT) AS f
+      FROM v0n v LEFT JOIN cnt0 c ON c.piece = v.piece
+      WHERE COALESCE(c.c, 0) + {smooth} > 0
+    ),
+    v1n AS MATERIALIZED {_unigram_nll_sql("v1")},
+    {_unigram_round_sql(1)},
+    v1x AS MATERIALIZED (
+      SELECT v.piece, v.plen,
+             CAST(COALESCE(c.c, 0) + {smooth} AS BIGINT) AS f
+      FROM v1n v LEFT JOIN cnt1 c ON c.piece = v.piece
+    ),
+    v2 AS MATERIALIZED (
+      SELECT piece, plen, f FROM v1x WHERE plen = 1
+      UNION ALL
+      SELECT piece, plen, f FROM (
+        SELECT piece, plen, f FROM v1x WHERE plen >= 2 AND f > 0
+        ORDER BY f DESC, piece LIMIT {UNI_TARGET})
+    ),
+    v2n AS MATERIALIZED {_unigram_nll_sql("v2")},
+    {_unigram_round_sql(2)}
+    SELECT CAST(0 AS INT) AS round,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v0n) AS vocab_size,
+           (SELECT CAST(SUM(freq) AS BIGINT) FROM pieces0) AS corpus_tokens,
+           (SELECT CAST(SUM(freq * (enc // 16)) AS BIGINT) FROM vit0) AS corpus_cost
+    UNION ALL
+    SELECT CAST(1 AS INT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v1n),
+           (SELECT CAST(SUM(freq) AS BIGINT) FROM pieces1),
+           (SELECT CAST(SUM(freq * (enc // 16)) AS BIGINT) FROM vit1)
+    UNION ALL
+    SELECT CAST(2 AS INT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v2n),
+           (SELECT CAST(SUM(freq) AS BIGINT) FROM pieces2),
+           (SELECT CAST(SUM(freq * (enc // 16)) AS BIGINT) FROM vit2)
+    ORDER BY round
+    """
+
+
+_UNI_CANDS = (
+    "flatten(transform(sequence(1, cast(length(w) as int)), "
+    f"i -> transform(sequence(1, least({UNI_PMAX}, i)), "
+    "p -> named_struct('i', i, 'p', p, 'piece', substring(w, i - p + 1, p)))))"
+)
+
+
+@query("text_unigram_train", oracle=_unigram_oracle())
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (SentencePiece-style), hard-EM
+    variant, value-exact: seed a substring vocabulary, then alternate
+    Viterbi segmentation (E) with count re-estimation (M) and a final
+    prune to {UNI_TARGET} multi-char pieces — the other tokenizer family
+    real pipelines train besides BPE (text_bpe_train).
+
+    Round 0 seeds {UNI_SEED} corpus-frequent substrings (len 2..{UNI_PMAX})
+    plus every single character (coverage floor — chars are never pruned,
+    and get +1 count smoothing so segmentation always has a path).  Each
+    round scores pieces with a FLOOR-quantized negative log-likelihood —
+    the single transcendental, quantized once (the logreg convention) —
+    after which the entire Viterbi DP runs on BIGINTs: a position's state
+    is ``enc = best_cost * 16 + chosen_piece_len``, so MIN(enc) is
+    simultaneously the DP relaxation AND a deterministic argmin
+    (min cost, then shortest piece), and the traceback just walks
+    ``enc % 16`` backwards.  Emits one row per round: vocabulary size
+    (monotonically shrinking), corpus token count and total quantized
+    cost under that round's segmentation.
+
+    On Spark the DP is a single ``aggregate`` fold per word over its
+    candidate-edge array — no joins inside the loop, no UDF; the oracle
+    unrolls the same recurrence as {UNI_L} MATERIALIZED CTE steps.
+    Both engines produce identical integers.
+
+    Scale shape: the ONLY corpus-sized operation is the initial
+    word-frequency aggregation (persisted, one pass).  Everything
+    after — seeding, scoring, segmentation, EM counts, prune — runs on
+    the VOCABULARY relation (|vocab| rows regardless of corpus size)
+    with broadcast piece-table joins, which is exactly why production
+    unigram trainers (SentencePiece) train from word counts."""
+    from reindexer_spark.cache import track
+
+    words = track(
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.length("w") >= 1) & (F.length("w") <= UNI_L))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+
+    allsub = (
+        words.select("freq", F.explode(F.expr(_UNI_CANDS)).alias("c"))
+        .groupBy(F.col("c.piece").alias("piece"), F.col("c.p").alias("plen"))
+        .agg(F.sum("freq").cast("bigint").alias("f"))
+    )
+
+    def with_nll(v: DataFrame) -> DataFrame:
+        tot = v.agg(F.sum("f").alias("tf"))
+        return v.crossJoin(F.broadcast(tot)).select(
+            "piece",
+            "plen",
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(F.col("tf").cast("double") / F.col("f"))
+            )
+            .cast("bigint")
+            .alias("nll"),
+        )
+
+    enc_expr = (
+        "aggregate(sequence(1, cast(length(w) as int)), "
+        "array(cast(0 as bigint)), "
+        "(acc, i) -> concat(acc, array(array_min(transform("
+        "filter(emap, e -> e.i = i), "
+        "e -> (element_at(acc, i - e.p + 1) div 16 + e.nll) * 16 + e.p)))))"
+    )
+    tb_expr = (
+        f"aggregate(sequence(1, {UNI_L}), "
+        "named_struct('pos', cast(length(w) as bigint), "
+        "'arr', cast(array() as array<string>)), "
+        "(acc, k) -> if(acc.pos > 0, named_struct("
+        "'pos', acc.pos - element_at(enc, cast(acc.pos as int) + 1) % 16, "
+        "'arr', concat(acc.arr, array(substring(w, "
+        "cast(acc.pos - element_at(enc, cast(acc.pos as int) + 1) % 16 + 1 as int), "
+        "cast(element_at(enc, cast(acc.pos as int) + 1) % 16 as int))))), "
+        "acc))"
+    )
+
+    def viterbi(vocab_n: DataFrame) -> DataFrame:
+        ed = (
+            words.select("w", "freq", F.explode(F.expr(_UNI_CANDS)).alias("c"))
+            .join(
+                F.broadcast(vocab_n.select("piece", "nll")),
+                F.col("c.piece") == F.col("piece"),
+            )
+            .select(
+                "w",
+                "freq",
+                F.col("c.i").alias("i"),
+                F.col("c.p").alias("p"),
+                "nll",
+            )
+        )
+        emap = ed.groupBy("w", "freq").agg(
+            F.collect_list(F.struct("i", "p", "nll")).alias("emap")
+        )
+        return (
+            emap.withColumn("enc", F.expr(enc_expr))
+            .withColumn("pieces", F.expr(tb_expr).getField("arr"))
+            .withColumn(
+                "icost",
+                F.expr("element_at(enc, cast(length(w) as int) + 1) div 16"),
+            )
+            .select("w", "freq", "pieces", "icost")
+        )
+
+    def counts(vit: DataFrame) -> DataFrame:
+        return (
+            vit.select("freq", F.explode("pieces").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("bigint").alias("c"))
+        )
+
+    def summary(r: int, vocab_n: DataFrame, vit: DataFrame) -> DataFrame:
+        vs = vocab_n.agg(F.count("*").cast("bigint").alias("vocab_size"))
+        stats = vit.agg(
+            F.sum(F.col("freq") * F.size("pieces"))
+            .cast("bigint")
+            .alias("corpus_tokens"),
+            F.sum(F.col("freq") * F.col("icost"))
+            .cast("bigint")
+            .alias("corpus_cost"),
+        )
+        return vs.crossJoin(stats).select(
+            F.lit(r).cast("int").alias("round"),
+            "vocab_size",
+            "corpus_tokens",
+            "corpus_cost",
+        )
+
+    smooth = F.when(F.col("plen") == 1, 1).otherwise(0)
+
+    v0 = allsub.filter(F.col("plen") == 1).unionAll(
+        allsub.filter(F.col("plen") >= 2)
+        .orderBy(F.desc("f"), "piece")
+        .limit(UNI_SEED)
+    )
+    v0n = track(with_nll(v0))
+    vit0 = track(viterbi(v0n))
+
+    v1 = (
+        v0n.join(counts(vit0), "piece", "left")
+        .select(
+            "piece",
+            "plen",
+            (F.coalesce(F.col("c"), F.lit(0)) + smooth)
+            .cast("bigint")
+            .alias("f"),
+        )
+        .filter(F.col("f") > 0)
+    )
+    v1n = track(with_nll(v1))
+    vit1 = track(viterbi(v1n))
+
+    v1x = v1n.join(counts(vit1), "piece", "left").select(
+        "piece",
+        "plen",
+        (F.coalesce(F.col("c"), F.lit(0)) + smooth).cast("bigint").alias("f"),
+    )
+    v2 = v1x.filter(F.col("plen") == 1).unionAll(
+        v1x.filter((F.col("plen") >= 2) & (F.col("f") > 0))
+        .orderBy(F.desc("f"), "piece")
+        .limit(UNI_TARGET)
+    )
+    v2n = with_nll(v2)
+    vit2 = viterbi(v2n)
+
+    return (
+        summary(0, v0n, vit0)
+        .unionAll(summary(1, v1n, vit1))
+        .unionAll(summary(2, v2n, vit2))
+        .orderBy("round")
+    )

