@@ -1874,7 +1874,11 @@ def _unigram_nll_sql(src: str) -> str:
     )"""
 
 
-def _unigram_oracle() -> str:
+def _unigram_ctes() -> str:
+    """Shared oracle prefix: the full three-round training chain, through
+    round 2's Viterbi (``vit2``) and traceback pieces (``pieces2``).
+    ``text_unigram_train`` summarizes the rounds; ``text_unigram_apply``
+    re-tokenizes the corpus with the final vocabulary."""
     smooth = "CASE WHEN v.plen = 1 THEN 1 ELSE 0 END"
     return f"""
     WITH words AS MATERIALIZED (
@@ -1924,6 +1928,11 @@ def _unigram_oracle() -> str:
     ),
     v2n AS MATERIALIZED {_unigram_nll_sql("v2")},
     {_unigram_round_sql(2)}
+    """
+
+
+def _unigram_train_oracle() -> str:
+    return f"""{_unigram_ctes()}
     SELECT CAST(0 AS INT) AS round,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM v0n) AS vocab_size,
            (SELECT CAST(SUM(freq) AS BIGINT) FROM pieces0) AS corpus_tokens,
@@ -1949,38 +1958,15 @@ _UNI_CANDS = (
 )
 
 
-@query("text_unigram_train", oracle=_unigram_oracle())
-def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM tokenizer TRAINING (SentencePiece-style), hard-EM
-    variant, value-exact: seed a substring vocabulary, then alternate
-    Viterbi segmentation (E) with count re-estimation (M) and a final
-    prune to {UNI_TARGET} multi-char pieces — the other tokenizer family
-    real pipelines train besides BPE (text_bpe_train).
-
-    Round 0 seeds {UNI_SEED} corpus-frequent substrings (len 2..{UNI_PMAX})
-    plus every single character (coverage floor — chars are never pruned,
-    and get +1 count smoothing so segmentation always has a path).  Each
-    round scores pieces with a FLOOR-quantized negative log-likelihood —
-    the single transcendental, quantized once (the logreg convention) —
-    after which the entire Viterbi DP runs on BIGINTs: a position's state
-    is ``enc = best_cost * 16 + chosen_piece_len``, so MIN(enc) is
-    simultaneously the DP relaxation AND a deterministic argmin
-    (min cost, then shortest piece), and the traceback just walks
-    ``enc % 16`` backwards.  Emits one row per round: vocabulary size
-    (monotonically shrinking), corpus token count and total quantized
-    cost under that round's segmentation.
-
-    On Spark the DP is a single ``aggregate`` fold per word over its
-    candidate-edge array — no joins inside the loop, no UDF; the oracle
-    unrolls the same recurrence as {UNI_L} MATERIALIZED CTE steps.
-    Both engines produce identical integers.
-
-    Scale shape: the ONLY corpus-sized operation is the initial
-    word-frequency aggregation (persisted, one pass).  Everything
-    after — seeding, scoring, segmentation, EM counts, prune — runs on
-    the VOCABULARY relation (|vocab| rows regardless of corpus size)
-    with broadcast piece-table joins, which is exactly why production
-    unigram trainers (SentencePiece) train from word counts."""
+def _unigram_rounds(spark: SparkSession, sf_dir: str) -> dict:
+    """Spark half of the shared training chain (mirrors
+    :func:`_unigram_ctes`): returns the per-round scored vocabularies
+    ``v0n/v1n/v2n`` and Viterbi segmentations ``vit0/vit1/vit2``
+    (``w, freq, pieces, icost``).  The ONLY corpus-sized operation is
+    the initial word-frequency aggregation (persisted, one pass);
+    everything downstream runs on the VOCABULARY relation with
+    broadcast piece-table joins — which is exactly why production
+    tokenizer trainers (SentencePiece) train from word counts."""
     from reindexer_spark.cache import track
 
     words = track(
@@ -2064,23 +2050,6 @@ def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("freq").cast("bigint").alias("c"))
         )
 
-    def summary(r: int, vocab_n: DataFrame, vit: DataFrame) -> DataFrame:
-        vs = vocab_n.agg(F.count("*").cast("bigint").alias("vocab_size"))
-        stats = vit.agg(
-            F.sum(F.col("freq") * F.size("pieces"))
-            .cast("bigint")
-            .alias("corpus_tokens"),
-            F.sum(F.col("freq") * F.col("icost"))
-            .cast("bigint")
-            .alias("corpus_cost"),
-        )
-        return vs.crossJoin(stats).select(
-            F.lit(r).cast("int").alias("round"),
-            "vocab_size",
-            "corpus_tokens",
-            "corpus_cost",
-        )
-
     smooth = F.when(F.col("plen") == 1, 1).otherwise(0)
 
     v0 = allsub.filter(F.col("plen") == 1).unionAll(
@@ -2115,12 +2084,116 @@ def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("f"), "piece")
         .limit(UNI_TARGET)
     )
-    v2n = with_nll(v2)
-    vit2 = viterbi(v2n)
+    v2n = track(with_nll(v2))
+    vit2 = track(viterbi(v2n))
+
+    return {
+        "v0n": v0n, "vit0": vit0,
+        "v1n": v1n, "vit1": vit1,
+        "v2n": v2n, "vit2": vit2,
+    }
+
+
+@query("text_unigram_train", oracle=_unigram_train_oracle())
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer TRAINING (SentencePiece-style), hard-EM
+    variant, value-exact: seed a substring vocabulary, then alternate
+    Viterbi segmentation (E) with count re-estimation (M) and a final
+    prune to UNI_TARGET multi-char pieces — the other tokenizer family
+    real pipelines train besides BPE (text_bpe_train).
+
+    Round 0 seeds UNI_SEED corpus-frequent substrings (len 2..UNI_PMAX)
+    plus every single character (coverage floor — chars are never pruned,
+    and get +1 count smoothing so segmentation always has a path).  Each
+    round scores pieces with a FLOOR-quantized negative log-likelihood —
+    the single transcendental, quantized once (the logreg convention) —
+    after which the entire Viterbi DP runs on BIGINTs: a position's state
+    is ``enc = best_cost * 16 + chosen_piece_len``, so MIN(enc) is
+    simultaneously the DP relaxation AND a deterministic argmin
+    (min cost, then shortest piece), and the traceback just walks
+    ``enc % 16`` backwards.  Emits one row per round: vocabulary size
+    (monotonically shrinking), corpus token count and total quantized
+    cost under that round's segmentation.
+
+    On Spark the DP is a single ``aggregate`` fold per word over its
+    candidate-edge array — no joins inside the loop, no UDF; the oracle
+    unrolls the same recurrence as UNI_L MATERIALIZED CTE steps.  Both
+    engines produce identical integers (see _unigram_rounds for the
+    100 TB shape)."""
+    r = _unigram_rounds(spark, sf_dir)
+
+    def summary(rd: int, vocab_n: DataFrame, vit: DataFrame) -> DataFrame:
+        vs = vocab_n.agg(F.count("*").cast("bigint").alias("vocab_size"))
+        stats = vit.agg(
+            F.sum(F.col("freq") * F.size("pieces"))
+            .cast("bigint")
+            .alias("corpus_tokens"),
+            F.sum(F.col("freq") * F.col("icost"))
+            .cast("bigint")
+            .alias("corpus_cost"),
+        )
+        return vs.crossJoin(stats).select(
+            F.lit(rd).cast("int").alias("round"),
+            "vocab_size",
+            "corpus_tokens",
+            "corpus_cost",
+        )
 
     return (
-        summary(0, v0n, vit0)
-        .unionAll(summary(1, v1n, vit1))
-        .unionAll(summary(2, v2n, vit2))
+        summary(0, r["v0n"], r["vit0"])
+        .unionAll(summary(1, r["v1n"], r["vit1"]))
+        .unionAll(summary(2, r["v2n"], r["vit2"]))
         .orderBy("round")
+    )
+
+
+@query(
+    "text_unigram_apply",
+    oracle=f"""{_unigram_ctes()},
+    lens AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sym FROM pieces2 GROUP BY w
+    ),
+    toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    )
+    SELECT t.doc_id,
+           ANY_VALUE(t.lang) AS lang,
+           COUNT(*) AS n_words,
+           CAST(SUM(COALESCE(l.n_sym, len(t.w))) AS BIGINT) AS n_unigram_tokens
+    FROM toks t LEFT JOIN lens l ON t.w = l.w
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def text_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the CORPUS with the trained unigram vocabulary — the
+    apply half of text_unigram_train, done the way production pipelines
+    do it (and the way text_bpe_apply does for BPE): train over word
+    counts, then tokenization is a LOOKUP — each corpus word joins to
+    its Viterbi-optimal piece count under the final (round-2) pruned
+    vocabulary; words outside the trained length band fall back to
+    character count.  Emits per-document word and unigram-token counts:
+    the corpus-side cost model a token-budgeted pipeline (context
+    windows, packing, pricing) actually consumes.
+
+    Scale shape: training is vocabulary-sized (see _unigram_rounds);
+    apply is one explode + broadcast lookup join + per-doc aggregation —
+    a single shuffle on doc_id at any corpus size."""
+    r = _unigram_rounds(spark, sf_dir)
+    lens = r["vit2"].select("w", F.size("pieces").cast("bigint").alias("n_sym"))
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    return (
+        toks.join(F.broadcast(lens), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count("*").alias("n_words"),
+            F.sum(F.coalesce(F.col("n_sym"), F.length("w").cast("bigint")))
+            .cast("bigint")
+            .alias("n_unigram_tokens"),
+        )
+        .orderBy("doc_id")
     )
