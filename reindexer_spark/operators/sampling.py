@@ -426,3 +426,112 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(target, F.col("n_docs")).alias("kept_docs"),
         )
     )
+
+
+# No-split greedy packing: token budget per sequence.  Smaller than
+# SEQ_LEN so multi-doc bins AND overflow both actually occur at testdata
+# scale (docs are ~20-100 whitespace tokens).
+GREEDY_BUDGET = 256
+
+
+@query(
+    "corpus_pack_greedy",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % {N_SHARDS}
+               AS shard,
+             md5(doc_id::VARCHAR) AS h,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, shard, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rk
+      FROM toks
+    ),
+    pack(doc_id, shard, n_tokens, rk, seq_id, fill) AS (
+      SELECT doc_id, shard, n_tokens, rk,
+             CAST(CASE WHEN n_tokens <= {GREEDY_BUDGET} THEN 0 ELSE 1 END
+                  AS BIGINT),
+             n_tokens
+      FROM ranked WHERE rk = 1
+      UNION ALL
+      SELECT d.doc_id, d.shard, d.n_tokens, d.rk,
+             CASE WHEN p.fill + d.n_tokens <= {GREEDY_BUDGET}
+                  THEN p.seq_id ELSE p.seq_id + 1 END,
+             CASE WHEN p.fill + d.n_tokens <= {GREEDY_BUDGET}
+                  THEN p.fill + d.n_tokens ELSE d.n_tokens END
+      FROM pack p JOIN ranked d ON d.shard = p.shard AND d.rk = p.rk + 1
+    )
+    SELECT doc_id, shard, n_tokens, seq_id, fill AS fill_after
+    FROM pack
+    ORDER BY doc_id
+    """,
+)
+def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NO-SPLIT greedy sequence packing — the other packing discipline
+    real pipelines run: corpus_pack_sequences lays documents end-to-end
+    and CUTS at the budget (pretraining, where crossing a doc boundary
+    is fine); this operator keeps every document CONTIGUOUS (SFT /
+    instruction tuning, where an example must not be split), placing
+    each doc in the current sequence if it fits and opening a new one
+    otherwise — first-fit in the same deterministic md5-shuffled order,
+    so padding waste is an honest measurement, not an artifact of input
+    order.  An oversized doc (> budget) gets a sequence to itself.
+
+    The per-shard greedy fold is genuinely sequential state, so this is
+    the applyInPandas showcase: one Arrow batch per hash shard, a
+    10-line integer loop inside, per-doc (sequence, fill) assignments
+    out.  The oracle expresses the identical recurrence as a recursive
+    CTE over the within-shard rank — exact, engine-portable integers.
+
+    Shape at 100 TB: one hash exchange on shard, then shard-local
+    sequential state — shards are the parallelism unit exactly like the
+    real packers (each data-loader worker packs its own shard); no
+    global sort, no driver state, payload text never leaves the scan
+    (only doc_id + token counts shuffle)."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    h4 = _hash4("doc_id")
+    toks = d.select(
+        "doc_id",
+        (F.conv(h4, 16, 10).cast("bigint") % N_SHARDS).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+
+    out_schema = (
+        "doc_id bigint, shard bigint, n_tokens bigint, "
+        "seq_id bigint, fill_after bigint"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["h", "doc_id"], kind="mergesort")
+        seq_ids, fills = [], []
+        seq, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill + n <= GREEDY_BUDGET:
+                fill += n
+            else:
+                seq += 1
+                fill = n
+            seq_ids.append(seq)
+            fills.append(fill)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "shard": pdf["shard"].astype("int64"),
+                "n_tokens": pdf["n_tokens"].astype("int64"),
+                "seq_id": pd.Series(seq_ids, index=pdf.index, dtype="int64"),
+                "fill_after": pd.Series(fills, index=pdf.index, dtype="int64"),
+            }
+        )
+
+    return (
+        toks.groupBy("shard")
+        .applyInPandas(pack, schema=out_schema)
+        .orderBy("doc_id")
+    )

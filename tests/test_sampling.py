@@ -62,3 +62,29 @@ def test_shard_positions_are_dense_and_disjoint(spark, sf_dir):
         by_shard.setdefault(r.shard, []).append(r.pos)
     for shard, positions in by_shard.items():
         assert sorted(positions) == list(range(1, len(positions) + 1)), shard
+
+
+def test_pack_greedy_invariants(spark, sf_dir):
+    """Beyond the value-exact oracle: every packed sequence respects the
+    token budget unless it is a single oversized document; every document
+    is assigned exactly once; sequence ids are contiguous from their
+    shard's first id."""
+    from reindexer_spark.operators.sampling import GREEDY_BUDGET
+
+    rows = get_query("corpus_pack_greedy").fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+
+    seqs: dict[tuple[int, int], list[int]] = {}
+    for r in rows:
+        seqs.setdefault((r.shard, r.seq_id), []).append(r.n_tokens)
+    for (shard, seq_id), toks in seqs.items():
+        if len(toks) > 1:
+            assert sum(toks) <= GREEDY_BUDGET, (shard, seq_id)
+    # per shard: seq ids contiguous
+    by_shard: dict[int, set[int]] = {}
+    for (shard, seq_id) in seqs:
+        by_shard.setdefault(shard, set()).add(seq_id)
+    for shard, ids in by_shard.items():
+        assert ids == set(range(min(ids), max(ids) + 1)), shard
