@@ -528,7 +528,11 @@ def _logreg_step_sql(i: int) -> str:
     )"""
 
 
-def _logreg_oracle(iters: int) -> str:
+def _logreg_chain(iters: int) -> str:
+    """The shared WITH-chain: quantized features plus ``iters`` unrolled
+    GD steps, ending at the trained weight relation ``w{iters}``.
+    quality_logreg_train unions the per-iteration rows;
+    quality_logreg_score applies ``w{iters}`` back to the corpus."""
     parts = [
         "WITH "
         + _logreg_feats_sql()
@@ -536,42 +540,23 @@ def _logreg_oracle(iters: int) -> str:
     ]
     for i in range(1, iters + 1):
         parts.append(_logreg_step_sql(i))
+    return "".join(parts)
+
+
+def _logreg_oracle(iters: int) -> str:
     unions = "\n      UNION ALL ".join(
         f"SELECT iter, loss, n_correct, w0, w1, w2, w3 FROM r{i}"
         for i in range(1, iters + 1)
     )
-    parts.append(f"\n    {unions}")
-    return "".join(parts)
+    return _logreg_chain(iters) + f"\n    {unions}"
 
 
-@query("quality_logreg_train", oracle=_logreg_oracle(LOGREG_ITERS))
-def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train a logistic-regression quality classifier with plan-unrolled
-    batch gradient descent — the learned-filter slot of a curation
-    pipeline (CCNet/fastText-style classifiers gate quality at corpus
-    scale).  The label distills the `text_quality` heuristic (length
-    band + stopword-rate rule); the features are related but distinct
-    surface statistics, so the smooth scorer genuinely has to LEARN the
-    rule's boundary: accuracy climbs monotonically from the
-    majority-class baseline (294→415 of 500 at sf0.01, asserted
-    non-decreasing in tests).  Each of {LOGREG_ITERS} iterations scores
-    the corpus under the entering weights (a broadcast 1-row relation),
-    reduces gradients as decimal sums of once-rounded per-doc terms,
-    and emits one row per iteration with entering loss/accuracy and
-    exiting weights.
-
-    Determinism: features are FLOOR-quantized ratios so every input to
-    the arithmetic is exact; sigmoid and log-loss round once per
-    evaluation (exp/ln are the only transcendentals — libm last-ulp
-    drift, the text_tfidf convention); gradient and loss sums go
-    through DECIMAL (reduction-order-free); weight updates
-    FLOOR-quantize once — so 12 compounding iterations stay bit-exact
-    against the chained-CTE oracle.
-
-    Scale shape: per iteration ONE corpus scan (4 multiplies + a
-    sigmoid per row, map-side) and one 4-value decimal reduction;
-    weights broadcast back — the classic data-parallel GD layout where
-    the model is O(1) and the corpus never reshuffles."""
+def _logreg_fit(spark: SparkSession, sf_dir: str):
+    """Shared Spark half of the GD chain (mirrors :func:`_logreg_chain`):
+    returns the persisted quantized feature relation and the 1-row
+    trained state (final weights + per-iteration history array).
+    Referenced by quality_logreg_train (unions the history) and
+    quality_logreg_score (applies the final weights)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n_toks = F.size(toks)
@@ -688,6 +673,38 @@ def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("hist"),
         )
+    return feats, w
+
+
+@query("quality_logreg_train", oracle=_logreg_oracle(LOGREG_ITERS))
+def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a logistic-regression quality classifier with plan-unrolled
+    batch gradient descent — the learned-filter slot of a curation
+    pipeline (CCNet/fastText-style classifiers gate quality at corpus
+    scale).  The label distills the `text_quality` heuristic (length
+    band + stopword-rate rule); the features are related but distinct
+    surface statistics, so the smooth scorer genuinely has to LEARN the
+    rule's boundary: accuracy climbs monotonically from the
+    majority-class baseline (294→415 of 500 at sf0.01, asserted
+    non-decreasing in tests).  Each of {LOGREG_ITERS} iterations scores
+    the corpus under the entering weights (a broadcast 1-row relation),
+    reduces gradients as decimal sums of once-rounded per-doc terms,
+    and emits one row per iteration with entering loss/accuracy and
+    exiting weights.
+
+    Determinism: features are FLOOR-quantized ratios so every input to
+    the arithmetic is exact; sigmoid and log-loss round once per
+    evaluation (exp/ln are the only transcendentals — libm last-ulp
+    drift, the text_tfidf convention); gradient and loss sums go
+    through DECIMAL (reduction-order-free); weight updates
+    FLOOR-quantize once — so 12 compounding iterations stay bit-exact
+    against the chained-CTE oracle.
+
+    Scale shape: per iteration ONE corpus scan (4 multiplies + a
+    sigmoid per row, map-side) and one 4-value decimal reduction;
+    weights broadcast back — the classic data-parallel GD layout where
+    the model is O(1) and the corpus never reshuffles."""
+    feats, w = _logreg_fit(spark, sf_dir)
     return w.select(F.explode("hist").alias("h")).select(
         F.col("h.iter").alias("iter"),
         F.col("h.loss").alias("loss"),
@@ -696,4 +713,61 @@ def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h.w1").alias("w1"),
         F.col("h.w2").alias("w2"),
         F.col("h.w3").alias("w3"),
+    )
+
+
+_LOGREG_SCORE_FINAL = f"""
+    SELECT f.doc_id, d.source,
+           FLOOR(1000000.0 / (1.0 + EXP(-(w.w0 + w.w1 * f.x1
+                   + w.w2 * f.x2 + w.w3 * f.x3)))) / 1000000.0 AS score,
+           FLOOR(1000000.0 / (1.0 + EXP(-(w.w0 + w.w1 * f.x1
+                   + w.w2 * f.x2 + w.w3 * f.x3)))) / 1000000.0 >= 0.5
+             AS kept,
+           f.y = 1.0 AS rule_label
+    FROM feats f
+    JOIN documents d USING (doc_id)
+    CROSS JOIN w{LOGREG_ITERS} w
+    ORDER BY f.doc_id
+"""
+
+
+@query(
+    "quality_logreg_score",
+    oracle=_logreg_chain(LOGREG_ITERS) + _LOGREG_SCORE_FINAL,
+)
+def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained quality classifier back to the corpus — the
+    inference half of quality_logreg_train and the learned-filter stage
+    a curation pipeline actually runs: train on a labeled slice, then
+    score and gate EVERY document.  Emits per-document quantized score,
+    the keep decision (score >= 0.5), and the distilled rule's label so
+    the gate also value-checks where the smooth scorer disagrees with
+    the heuristic it learned from.
+
+    Scale shape: training is the GD chain (one corpus scan per
+    iteration, O(1) model); scoring is ONE more corpus-feature scan with
+    the 4-weight model broadcast as a 1-row relation — map-side only,
+    nothing reshuffles; the keep decision pushes down as an ordinary
+    filter for downstream consumers."""
+    feats, w = _logreg_fit(spark, sf_dir)
+    wf = F.broadcast(w.select("w0", "w1", "w2", "w3"))
+    z = (
+        F.col("w0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+    score = F.floor(1e6 / (1.0 + F.exp(-z))) / 1e6
+    src_df = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        feats.crossJoin(wf)
+        .join(src_df, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            score.alias("score"),
+            (score >= 0.5).alias("kept"),
+            (F.col("y") == 1.0).alias("rule_label"),
+        )
+        .orderBy("doc_id")
     )
