@@ -124,6 +124,10 @@ EXTENDED = [
     "crawl_media_harvest",
     "reindex_then_search",
     "knn_ivfadc_residual",
+    "text_unigram_train",
+    "text_unigram_apply",
+    "corpus_pack_greedy",
+    "quality_logreg_score",
 ]
 
 

@@ -1960,12 +1960,22 @@ _UNI_CANDS = (
 
 def _unigram_rounds(spark: SparkSession, sf_dir: str) -> dict:
     """Spark half of the shared training chain (mirrors
-    :func:`_unigram_ctes`): returns the per-round scored vocabularies
-    ``v0n/v1n/v2n`` and Viterbi segmentations ``vit0/vit1/vit2``
-    (``w, freq, pieces, icost``).  The ONLY corpus-sized operation is
-    the initial word-frequency aggregation (persisted, one pass);
-    everything downstream runs on the VOCABULARY relation with
-    broadcast piece-table joins — which is exactly why production
+    :func:`_unigram_ctes`): returns per-round 1-row MODELS (``vmap`` —
+    piece→quantized-nll map — plus ``vocab_size``) and Viterbi
+    segmentations ``vit0/vit1/vit2`` (``w, freq, pieces, icost,
+    vocab_size``).
+
+    Plan shape (this is the tuned second version — the first built a
+    per-round candidate-edge relation with an explode + broadcast join +
+    collect_list groupBy, which cost a shuffle per round and duplicated
+    large logical subtrees): the vocabulary rides as ONE broadcast 1-row
+    map relation per round, piece lookups happen INSIDE the DP fold via
+    element_at (null → candidate skipped, exactly the oracle's join
+    miss), and vocab_size rides through the fold so each model row is
+    referenced exactly once.  Per round: one vocab-sized aggregate (the
+    model row), one map-side fold over words, one counts shuffle.  The
+    ONLY corpus-sized operation is the initial word-frequency
+    aggregation (persisted, one pass) — which is exactly why production
     tokenizer trainers (SentencePiece) train from word counts."""
     from reindexer_spark.cache import track
 
@@ -1983,25 +1993,36 @@ def _unigram_rounds(spark: SparkSession, sf_dir: str) -> dict:
         .agg(F.sum("freq").cast("bigint").alias("f"))
     )
 
-    def with_nll(v: DataFrame) -> DataFrame:
-        tot = v.agg(F.sum("f").alias("tf"))
-        return v.crossJoin(F.broadcast(tot)).select(
-            "piece",
-            "plen",
-            F.floor(
-                F.lit(1000000.0)
-                * F.log(F.col("tf").cast("double") / F.col("f"))
-            )
-            .cast("bigint")
-            .alias("nll"),
+    def model_of(v: DataFrame) -> DataFrame:
+        """1-row model: piece→FLOOR-quantized nll map + vocab size.
+        The nll is computed inside the row so the vocab relation is
+        referenced exactly once (no separate total-frequency join); the
+        model row itself is also referenced exactly once (by viterbi),
+        so it is NOT persisted — a persist here would only add a
+        materialization barrier."""
+        return v.agg(
+            F.collect_list(F.struct("piece", "f")).alias("ps"),
+            F.sum("f").cast("double").alias("tf"),
+            F.count("*").cast("bigint").alias("vocab_size"),
+        ).select(
+            F.expr(
+                "map_from_entries(transform(ps, e -> struct(e.piece, "
+                "cast(floor(1000000.0 * ln(tf / e.f)) as bigint))))"
+            ).alias("vmap"),
+            "vocab_size",
         )
 
+    # DP fold: enc[i] = min over piece lengths p of
+    #   (enc[i-p] div 16 + nll(substring(w, i-p+1, p))) * 16 + p
+    # where a vocabulary miss makes the candidate NULL and array_min
+    # skips nulls — the same candidate set as the oracle's edge join.
     enc_expr = (
         "aggregate(sequence(1, cast(length(w) as int)), "
         "array(cast(0 as bigint)), "
         "(acc, i) -> concat(acc, array(array_min(transform("
-        "filter(emap, e -> e.i = i), "
-        "e -> (element_at(acc, i - e.p + 1) div 16 + e.nll) * 16 + e.p)))))"
+        f"sequence(1, least({UNI_PMAX}, i)), "
+        "p -> (element_at(acc, i - p + 1) div 16 "
+        "+ element_at(vmap, substring(w, i - p + 1, p))) * 16 + p)))))"
     )
     tb_expr = (
         f"aggregate(sequence(1, {UNI_L}), "
@@ -2015,32 +2036,16 @@ def _unigram_rounds(spark: SparkSession, sf_dir: str) -> dict:
         "acc))"
     )
 
-    def viterbi(vocab_n: DataFrame) -> DataFrame:
-        ed = (
-            words.select("w", "freq", F.explode(F.expr(_UNI_CANDS)).alias("c"))
-            .join(
-                F.broadcast(vocab_n.select("piece", "nll")),
-                F.col("c.piece") == F.col("piece"),
-            )
-            .select(
-                "w",
-                "freq",
-                F.col("c.i").alias("i"),
-                F.col("c.p").alias("p"),
-                "nll",
-            )
-        )
-        emap = ed.groupBy("w", "freq").agg(
-            F.collect_list(F.struct("i", "p", "nll")).alias("emap")
-        )
-        return (
-            emap.withColumn("enc", F.expr(enc_expr))
+    def viterbi(model: DataFrame) -> DataFrame:
+        return track(
+            words.crossJoin(F.broadcast(model))
+            .withColumn("enc", F.expr(enc_expr))
             .withColumn("pieces", F.expr(tb_expr).getField("arr"))
             .withColumn(
                 "icost",
                 F.expr("element_at(enc, cast(length(w) as int) + 1) div 16"),
             )
-            .select("w", "freq", "pieces", "icost")
+            .select("w", "freq", "pieces", "icost", "vocab_size")
         )
 
     def counts(vit: DataFrame) -> DataFrame:
@@ -2052,46 +2057,40 @@ def _unigram_rounds(spark: SparkSession, sf_dir: str) -> dict:
 
     smooth = F.when(F.col("plen") == 1, 1).otherwise(0)
 
-    v0 = allsub.filter(F.col("plen") == 1).unionAll(
-        allsub.filter(F.col("plen") >= 2)
-        .orderBy(F.desc("f"), "piece")
-        .limit(UNI_SEED)
-    )
-    v0n = track(with_nll(v0))
-    vit0 = track(viterbi(v0n))
-
-    v1 = (
-        v0n.join(counts(vit0), "piece", "left")
-        .select(
+    def reweight(v: DataFrame, vit: DataFrame) -> DataFrame:
+        """EM count re-estimation over the existing vocab relation."""
+        return v.join(counts(vit), "piece", "left").select(
             "piece",
             "plen",
             (F.coalesce(F.col("c"), F.lit(0)) + smooth)
             .cast("bigint")
             .alias("f"),
         )
-        .filter(F.col("f") > 0)
-    )
-    v1n = track(with_nll(v1))
-    vit1 = track(viterbi(v1n))
 
-    v1x = v1n.join(counts(vit1), "piece", "left").select(
-        "piece",
-        "plen",
-        (F.coalesce(F.col("c"), F.lit(0)) + smooth).cast("bigint").alias("f"),
+    v0 = track(
+        allsub.filter(F.col("plen") == 1).unionAll(
+            allsub.filter(F.col("plen") >= 2)
+            .orderBy(F.desc("f"), "piece")
+            .limit(UNI_SEED)
+        )
     )
+    m0 = model_of(v0)
+    vit0 = viterbi(m0)
+
+    v1 = track(reweight(v0, vit0).filter(F.col("f") > 0))
+    m1 = model_of(v1)
+    vit1 = viterbi(m1)
+
+    v1x = reweight(v1, vit1)
     v2 = v1x.filter(F.col("plen") == 1).unionAll(
         v1x.filter((F.col("plen") >= 2) & (F.col("f") > 0))
         .orderBy(F.desc("f"), "piece")
         .limit(UNI_TARGET)
     )
-    v2n = track(with_nll(v2))
-    vit2 = track(viterbi(v2n))
+    m2 = model_of(v2)
+    vit2 = viterbi(m2)
 
-    return {
-        "v0n": v0n, "vit0": vit0,
-        "v1n": v1n, "vit1": vit1,
-        "v2n": v2n, "vit2": vit2,
-    }
+    return {"vit0": vit0, "vit1": vit1, "vit2": vit2}
 
 
 @query("text_unigram_train", oracle=_unigram_train_oracle())
@@ -2122,17 +2121,18 @@ def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape)."""
     r = _unigram_rounds(spark, sf_dir)
 
-    def summary(rd: int, vocab_n: DataFrame, vit: DataFrame) -> DataFrame:
-        vs = vocab_n.agg(F.count("*").cast("bigint").alias("vocab_size"))
-        stats = vit.agg(
+    def summary(rd: int, vit: DataFrame) -> DataFrame:
+        # vocab_size rides through the segmentation (constant per row,
+        # MIN is exact) so the model row is referenced exactly once
+        return vit.agg(
+            F.min("vocab_size").alias("vocab_size"),
             F.sum(F.col("freq") * F.size("pieces"))
             .cast("bigint")
             .alias("corpus_tokens"),
             F.sum(F.col("freq") * F.col("icost"))
             .cast("bigint")
             .alias("corpus_cost"),
-        )
-        return vs.crossJoin(stats).select(
+        ).select(
             F.lit(rd).cast("int").alias("round"),
             "vocab_size",
             "corpus_tokens",
@@ -2140,9 +2140,9 @@ def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        summary(0, r["v0n"], r["vit0"])
-        .unionAll(summary(1, r["v1n"], r["vit1"]))
-        .unionAll(summary(2, r["v2n"], r["vit2"]))
+        summary(0, r["vit0"])
+        .unionAll(summary(1, r["vit1"]))
+        .unionAll(summary(2, r["vit2"]))
         .orderBy("round")
     )
 
