@@ -799,33 +799,15 @@ def audio_fingerprint(samples) -> list[int]:
     return sorted(words)
 
 
-@query("audio_dedup_fingerprint")  # Python decode → rows-only check
-def audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Acoustic near-duplicate detection on REAL decoded audio — the
-    audio twin of multimodal_phash_dedup: WAV and FLAC payloads decode
-    to PCM, fingerprint into integer acoustic-shingle words
-    (:func:`audio_fingerprint`), and clips pair when their word sets
-    overlap ≥ {AUDIO_FP_OVERLAP} — catching the copies a byte checksum
-    cannot (same recording, different container/codec).
-
-    The fixture makes that failure mode real: every audio row is ALSO
-    re-encoded through the OTHER container (WAV→FLAC, FLAC→WAV,
-    media_id + 100000) with byte-identical PCM, so each (id,
-    id+100000) pair must surface with overlap 1.0 despite sharing not
-    a single payload byte (pinned in tests).
-
-    Scale shape mirrors dedup_ngram_jaccard exactly: the only
-    full-data pass is the decode+fingerprint map (Arrow-batched,
-    emits ~14 8-byte words per 2 s clip — the payload never
-    shuffles); the inverted word index carries a DF cap
-    ({AUDIO_FP_DF_CAP}) so viral/boilerplate audio (jingles, silence)
-    cannot blow up the candidate join; verification is a pair-count
-    aggregation, no re-decode."""
+def _audio_dedup_core(media: DataFrame) -> DataFrame:
+    """The full audio near-dup lane over an arbitrary audio media
+    relation (``media_id, kind, payload, meta`` with kind in
+    audio-wav/audio-flac): cross-container transcode doubling (the
+    guaranteed-duplicate construction), decode + acoustic fingerprint,
+    DF-capped inverted word index, overlap verify.  Parameterized so
+    the query gates the 200-doc fixture while scale_proof.py drives the
+    SAME lane at 10x clip counts."""
     import pandas as pd
-
-    media = _synth_media(
-        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    ).filter(F.col("kind").isin("audio-wav", "audio-flac"))
 
     def transcode(batches):
         from reindexer_spark.codecs import (
@@ -910,6 +892,35 @@ def audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(overlap >= AUDIO_FP_OVERLAP)
         .select("m1", "m2", "n_common", F.round(overlap, 6).alias("overlap"))
         .orderBy("m1", "m2")
+    )
+
+
+@query("audio_dedup_fingerprint")  # Python decode → rows-only check
+def audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic near-duplicate detection on REAL decoded audio — the
+    audio twin of multimodal_phash_dedup: WAV and FLAC payloads decode
+    to PCM, fingerprint into integer acoustic-shingle words
+    (:func:`audio_fingerprint`), and clips pair when their word sets
+    overlap ≥ {AUDIO_FP_OVERLAP} — catching the copies a byte checksum
+    cannot (same recording, different container/codec).
+
+    The fixture makes that failure mode real: every audio row is ALSO
+    re-encoded through the OTHER container (WAV→FLAC, FLAC→WAV,
+    media_id + 100000) with byte-identical PCM, so each (id,
+    id+100000) pair must surface with overlap 1.0 despite sharing not
+    a single payload byte (pinned in tests).
+
+    Scale shape mirrors dedup_ngram_jaccard exactly: the only
+    full-data pass is the decode+fingerprint map (Arrow-batched,
+    emits ~14 8-byte words per 2 s clip — the payload never
+    shuffles); the inverted word index carries a DF cap
+    ({AUDIO_FP_DF_CAP}) so viral/boilerplate audio (jingles, silence)
+    cannot blow up the candidate join; verification is a pair-count
+    aggregation, no re-decode."""
+    return _audio_dedup_core(
+        _synth_media(
+            load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        ).filter(F.col("kind").isin("audio-wav", "audio-flac"))
     )
 
 
@@ -1119,27 +1130,12 @@ def _synth_scene_video(d: DataFrame) -> DataFrame:
     return d.select("doc_id", "text").mapInPandas(build, schema)
 
 
-@query("video_scene_cuts")  # Python decode → rows-only check
-def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scene-cut detection on real decoded video: adjacent frames
-    compare by mean absolute pixel delta (integer math, numpy), and a
-    transition above {SCENE_CUT_THRESHOLD} marks a cut.  Runs across
-    all four video containers — uncompressed DIB (exact), Motion-JPEG,
-    Photo-JPEG mp4 and V_MJPEG mkv (lossy: codec noise must stay far below the
-    scene signal, which the tests assert by matching detected cuts to
-    the constructed ground truth on every container).
-
-    Scale shape: one Arrow-batched decode pass; per video the emitted
-    row is a handful of integers + a cut list bounded by frame count —
-    the raw frames never leave the task.  Scene-aligned clip sampling
-    then replaces fixed-interval frame sampling upstream of training,
-    cutting the near-duplicate frames a fixed grid would emit."""
+def _scene_cut_core(media: DataFrame) -> DataFrame:
+    """Scene-cut detection over an arbitrary video media relation
+    (``media_id, payload, container, true_cuts``) — parameterized so
+    the query gates the fixture while scale_proof.py drives the SAME
+    decode lane at 10x clip counts."""
     import pandas as pd
-
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < SCENE_DOCS
-    )
-    media = _synth_scene_video(d)
 
     def detect(batches):
         import numpy as np
@@ -1194,6 +1190,32 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id bigint, container string, n_frames int, n_cuts int, "
         "cuts string, true_cuts string, max_intra_delta double",
     ).orderBy("media_id")
+
+
+@query("video_scene_cuts")  # Python decode → rows-only check
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection on real decoded video: adjacent frames
+    compare by mean absolute pixel delta (integer math, numpy), and a
+    transition above {SCENE_CUT_THRESHOLD} marks a cut.  Runs across
+    all four video containers — uncompressed DIB (exact), Motion-JPEG,
+    Photo-JPEG mp4 and V_MJPEG mkv (lossy: codec noise must stay far below the
+    scene signal, which the tests assert by matching detected cuts to
+    the constructed ground truth on every container).
+
+    Scale shape: one Arrow-batched decode pass; per video the emitted
+    row is a handful of integers + a cut list bounded by frame count —
+    the raw frames never leave the task.  Scene-aligned clip sampling
+    then replaces fixed-interval frame sampling upstream of training,
+    cutting the near-duplicate frames a fixed grid would emit."""
+    import pandas as pd
+
+    return _scene_cut_core(
+        _synth_scene_video(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") < SCENE_DOCS
+            )
+        )
+    )
 
 
 @query("multimodal_probe_meta")  # Python header parse → rows-only check

@@ -387,6 +387,69 @@ def run_proof() -> dict:
             },
         }
 
+    # Media legs (round-7 VERDICT item #6): the decode-lane operators at
+    # 10x clip counts drawn from the SAME dense-50k corpus via doc_id
+    # caps, so both scales share one distribution.  The growth signal is
+    # clip count; the design claim is that the decode+fingerprint map is
+    # the only full-data pass and PAYLOADS NEVER SHUFFLE — shuffle
+    # records stay fingerprint/row-sized while wall grows ~linearly with
+    # clips.  Caps are smaller than the text legs because every clip
+    # pays a pure-Python codec en/decode (FLAC rice coding dominates the
+    # audio lane at ~0.2 s/clip single-threaded).
+    from pyspark.sql import functions as F
+
+    from reindexer_spark.operators.multimodal import (
+        _audio_dedup_core,
+        _scene_cut_core,
+        _synth_media,
+        _synth_scene_video,
+    )
+
+    dense50k_dir = dict(corpora)["dense-50k"]
+    media_docs = load_table(spark, dense50k_dir, "documents")
+
+    def _audio_at(cap: int):
+        return _audio_dedup_core(
+            _synth_media(media_docs.filter(F.col("doc_id") < cap)).filter(
+                F.col("kind").isin("audio-wav", "audio-flac")
+            )
+        )
+
+    def _video_at(cap: int):
+        return _scene_cut_core(
+            _synth_scene_video(media_docs.filter(F.col("doc_id") < cap))
+        )
+
+    for name, build, cap_small, cap_big in (
+        ("audio_dedup_fingerprint", _audio_at, 200, 2000),
+        ("video_scene_cuts", _video_at, 500, 5000),
+    ):
+        per_scale = {}
+        # same untimed warmup convention as the other legs
+        build(cap_small).write.format("noop").mode("overwrite").save()
+        for cap in (cap_small, cap_big):
+            b0, r0 = _shuffle_totals(ui_port)
+            t0 = time.perf_counter()
+            build(cap).write.format("noop").mode("overwrite").save()
+            wall = round(time.perf_counter() - t0, 3)
+            b1, r1 = _shuffle_totals(ui_port)
+            per_scale[f"docs-{cap}"] = {
+                "wall_sec": wall,
+                "shuffle_write_mb": round((b1 - b0) / 1e6, 2),
+                "shuffle_write_mrec": round((r1 - r0) / 1e6, 3),
+            }
+        a, b = per_scale[f"docs-{cap_small}"], per_scale[f"docs-{cap_big}"]
+        per_scale["growth_at_10x"] = {
+            "wall": round(b["wall_sec"] / max(a["wall_sec"], 1e-9), 2),
+            "shuffle_records": (
+                round(b["shuffle_write_mrec"] / a["shuffle_write_mrec"], 2)
+                if a["shuffle_write_mrec"] >= 0.01
+                else None
+            ),
+        }
+        result["queries"][name] = per_scale
+        print(f"{name}: {json.dumps(per_scale)}", file=sys.stderr)
+
     # ANN leg: clustered embeddings at 2k and 20k vectors — the LSH
     # bucketed kNN / embedding near-dup scale path.
     ann_corpora = []
