@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from reindexer_spark.catalog import load_table
 from reindexer_spark.functions import dec
 from reindexer_spark.registry import query
+from reindexer_spark.operators.sampling import _PACK_GREEDY_ORACLE
 
 SESSION_GAP = "2 hours"
 
@@ -460,6 +461,40 @@ def stream_quota_alerts_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     alerts = quota_alerts_cents(events, threshold_cents=10_000)
     return run_stream_to_memory(alerts, output_mode="append")
+
+
+@query("stream_pack_greedy_live", oracle=_PACK_GREEDY_ORACLE)
+def stream_pack_greedy_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD custom stateful operator at the value gate: NO-SPLIT
+    greedy sequence packing run by the real streaming engine
+    (applyInPandasWithState) — a streaming data loader that assigns
+    every document to a training sequence the moment it arrives, each
+    hash shard carrying its packer cursor (seq_id, fill) as two longs
+    of state across micro-batches.
+
+    The batch twin corpus_pack_greedy expresses the identical
+    recurrence as a recursive CTE, which is exactly why it can gate
+    this operator: with deterministic batch boundaries and the same
+    within-batch (h, doc_id) order, stream ≡ batch per document —
+    sequence ids, fill levels, everything.  Cross-batch cursor carry
+    (the genuinely incremental part one batch cannot prove) is pinned
+    in multi-batch unit tests (tests/test_streaming.py).
+
+    State is O(|shards|) regardless of stream volume — the
+    bounded-state survival property; the payload text never enters the
+    stateful operator (only token counts do)."""
+    from reindexer_spark.operators.sampling import GREEDY_BUDGET, pack_tokens
+    from reindexer_spark.streaming import (
+        run_stream_to_memory,
+        stream_documents,
+    )
+    from reindexer_spark.streaming.stateful import pack_greedy_stream
+
+    toks = pack_tokens(stream_documents(spark, sf_dir))
+    packed = pack_greedy_stream(toks, budget=GREEDY_BUDGET)
+    return run_stream_to_memory(packed, output_mode="append").orderBy(
+        "doc_id"
+    )
 
 
 @query(

@@ -8,7 +8,16 @@ the streaming-only operators (watermarked late-data handling,
 ``dropDuplicatesWithinWatermark``).
 """
 
-from reindexer_spark.streaming.runner import run_stream_to_memory, stream_events
+from reindexer_spark.streaming.runner import (
+    run_stream_to_memory,
+    stream_documents,
+    stream_events,
+)
 from reindexer_spark.streaming.stateful import quota_alerts
 
-__all__ = ["quota_alerts", "run_stream_to_memory", "stream_events"]
+__all__ = [
+    "quota_alerts",
+    "run_stream_to_memory",
+    "stream_documents",
+    "stream_events",
+]

@@ -70,6 +70,25 @@ def stream_events(
     )
 
 
+DOCS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def stream_documents(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """documents.parquet as a streaming source — the ingest stream the
+    streaming packer / decode lanes consume.  Schema supplied
+    explicitly (streaming sources cannot infer)."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def run_stream_to_memory(
     streaming_df: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:

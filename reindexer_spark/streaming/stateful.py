@@ -247,3 +247,64 @@ def rate_limit_alerts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming greedy sequence packer ---------------------------------
+
+PACK_SCHEMA = (
+    "doc_id bigint, shard bigint, n_tokens bigint, "
+    "seq_id bigint, fill_after bigint"
+)
+PACK_STATE_SCHEMA = "seq_id bigint, fill bigint"
+
+
+def pack_greedy_stream(toks: DataFrame, budget: int) -> DataFrame:
+    """Streaming NO-SPLIT greedy sequence packing — the stateful-stream
+    twin of ``corpus_pack_greedy``: documents arrive as an unbounded
+    stream, each hash shard carries its packer cursor ``(seq_id, fill)``
+    across micro-batches, and every document is assigned to a training
+    sequence the moment it arrives — the shape of a streaming data
+    loader that packs as it ingests instead of re-packing the corpus.
+
+    Input columns: (doc_id, shard, h, n_tokens) — the relation
+    ``operators.sampling.pack_tokens`` builds.  Within a micro-batch,
+    rows apply in (h, doc_id) order — the batch packer's deterministic
+    md5-shuffle order — so with deterministic batch boundaries the
+    stream reproduces the batch assignment exactly (the gate), while
+    across batches the carried cursor makes the packing genuinely
+    incremental (pinned in multi-batch unit tests).
+
+    State is two longs per shard — O(|shards|) regardless of stream
+    volume, the bounded-state survival property."""
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        seq, fill = state.get if state.exists else (0, 0)
+        out: list[tuple] = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["h", "doc_id"])
+            for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+                n = int(n)
+                if fill + n <= budget:
+                    fill += n
+                else:
+                    seq += 1
+                    fill = n
+                out.append((int(doc_id), key[0], n, seq, fill))
+        state.update((int(seq), int(fill)))
+        yield pd.DataFrame(
+            out,
+            columns=["doc_id", "shard", "n_tokens", "seq_id", "fill_after"],
+        )
+
+    return toks.groupBy("shard").applyInPandasWithState(
+        fn,
+        outputStructType=PACK_SCHEMA,
+        stateStructType=PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

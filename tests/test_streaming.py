@@ -442,3 +442,90 @@ def test_windowed_checkpoint_recovery_across_restart(spark, tmp_path):
     run()  # watermark passes 10:00 → [0,10) finalizes with BOTH events
     got = spark.read.parquet(out_dir).collect()
     assert [(r.ws, r.n) for r in got] == [(BASE, 2)]
+
+
+def _mk_doc_files(spark, tmp_path, batches):
+    """Write each batch of (doc_id, text) as its own parquet file."""
+    root = tmp_path / "doc_stream_src"
+    root.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string"
+        ).coalesce(1).write.parquet(str(root / f"batch_{i:03d}.parquet"))
+    return str(root)
+
+
+def test_stateful_pack_greedy_carries_cursor_across_batches(spark, tmp_path):
+    """The streaming packer's (seq_id, fill) cursor must carry across
+    micro-batches: packing the same docs as one batch or as three
+    batches (in the same per-shard arrival order) yields the same
+    assignments, and equals a driver-side greedy replay."""
+    import hashlib
+
+    from reindexer_spark.operators.sampling import N_SHARDS, pack_tokens
+    from reindexer_spark.streaming.stateful import pack_greedy_stream
+
+    BUDGET = 10
+    docs = [(i, " ".join(["w"] * (2 + i % 5))) for i in range(30)]
+    batches = [docs[:10], docs[10:20], docs[20:]]
+    root = _mk_doc_files(spark, tmp_path, batches)
+
+    def read_stream():
+        return (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/batch_*.parquet")
+        )
+
+    out = run_stream_to_memory(
+        pack_greedy_stream(pack_tokens(read_stream()), budget=BUDGET),
+        output_mode="append",
+    )
+    got = {r.doc_id: (r.shard, r.seq_id, r.fill_after) for r in out.collect()}
+    assert len(got) == len(docs)
+
+    # driver-side replay: same shard fn, same per-batch (h, doc_id)
+    # order, one cursor per shard carried across batches
+    def shard_of(doc_id):
+        h4 = hashlib.md5(str(doc_id).encode()).hexdigest()[:4]
+        return int(h4, 16) % N_SHARDS
+
+    cursors = {}
+    expect = {}
+    for batch in batches:
+        per_shard = {}
+        for doc_id, text in batch:
+            per_shard.setdefault(shard_of(doc_id), []).append(doc_id)
+        for shard, ids in per_shard.items():
+            ids.sort(
+                key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
+            )
+            seq, fill = cursors.get(shard, (0, 0))
+            for d in ids:
+                n = 2 + d % 5
+                if fill + n <= BUDGET:
+                    fill += n
+                else:
+                    seq += 1
+                    fill = n
+                expect[d] = (shard, seq, fill)
+            cursors[shard] = (seq, fill)
+    assert got == expect
+
+
+def test_stream_pack_greedy_single_batch_equals_batch_packer(spark, sf_dir):
+    """With the whole table in one micro-batch (one parquet file), the
+    streaming packer must reproduce corpus_pack_greedy exactly — the
+    premise of its shared oracle."""
+    from reindexer_spark import get_query
+
+    stream_rows = sorted(
+        map(
+            tuple,
+            get_query("stream_pack_greedy_live").fn(spark, sf_dir).collect(),
+        )
+    )
+    batch_rows = sorted(
+        map(tuple, get_query("corpus_pack_greedy").fn(spark, sf_dir).collect())
+    )
+    assert stream_rows == batch_rows
