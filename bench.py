@@ -128,6 +128,8 @@ EXTENDED = [
     "text_unigram_apply",
     "corpus_pack_greedy",
     "quality_logreg_score",
+    "stream_pack_greedy_live",
+    "corpus_training_batches",
 ]
 
 

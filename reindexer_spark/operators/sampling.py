@@ -434,18 +434,20 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 GREEDY_BUDGET = 256
 
 
-@query(
-    "corpus_pack_greedy",
-    oracle=f"""
-    WITH RECURSIVE toks AS (
+def _pack_toks_sql(src_rel: str) -> str:
+    """The packing input relation over an arbitrary (doc_id, text)
+    source — the SQL twin of :func:`pack_tokens`."""
+    return f"""(
       SELECT doc_id,
              ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % {N_SHARDS}
                AS shard,
              md5(doc_id::VARCHAR) AS h,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-      FROM documents
-    ),
-    ranked AS (
+      FROM {src_rel}
+    )"""
+
+
+_PACK_RECURSION_SQL = f"""ranked AS (
       SELECT doc_id, shard, n_tokens,
              ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rk
       FROM toks
@@ -463,12 +465,67 @@ GREEDY_BUDGET = 256
              CASE WHEN p.fill + d.n_tokens <= {GREEDY_BUDGET}
                   THEN p.fill + d.n_tokens ELSE d.n_tokens END
       FROM pack p JOIN ranked d ON d.shard = p.shard AND d.rk = p.rk + 1
-    )
+    )"""
+
+
+_PACK_GREEDY_ORACLE = f"""
+    WITH RECURSIVE toks AS {_pack_toks_sql("documents")},
+    {_PACK_RECURSION_SQL}
     SELECT doc_id, shard, n_tokens, seq_id, fill AS fill_after
     FROM pack
     ORDER BY doc_id
-    """,
+    """
+
+
+def pack_tokens(d: DataFrame) -> DataFrame:
+    """The packing input relation: md5 shard, shuffle key, whitespace
+    token count per document — shared by the batch packer and the
+    streaming packer (stream_pack_greedy_live) so both gates run the
+    identical recurrence."""
+    h4 = _hash4("doc_id")
+    return d.select(
+        "doc_id",
+        (F.conv(h4, 16, 10).cast("bigint") % N_SHARDS).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+
+
+PACK_OUT_SCHEMA = (
+    "doc_id bigint, shard bigint, n_tokens bigint, "
+    "seq_id bigint, fill_after bigint"
 )
+
+
+def _greedy_pack_pdf(pdf):
+    """One shard's greedy fold (applyInPandas body): deterministic
+    (h, doc_id) order, budget-or-new-sequence, oversized docs alone."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["h", "doc_id"], kind="mergesort")
+    seq_ids, fills = [], []
+    seq, fill = 0, 0
+    for n in pdf["n_tokens"]:
+        n = int(n)
+        if fill + n <= GREEDY_BUDGET:
+            fill += n
+        else:
+            seq += 1
+            fill = n
+        seq_ids.append(seq)
+        fills.append(fill)
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"].astype("int64"),
+            "shard": pdf["shard"].astype("int64"),
+            "n_tokens": pdf["n_tokens"].astype("int64"),
+            "seq_id": pd.Series(seq_ids, index=pdf.index, dtype="int64"),
+            "fill_after": pd.Series(fills, index=pdf.index, dtype="int64"),
+        }
+    )
+
+
+@query("corpus_pack_greedy", oracle=_PACK_GREEDY_ORACLE)
 def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NO-SPLIT greedy sequence packing — the other packing discipline
     real pipelines run: corpus_pack_sequences lays documents end-to-end
@@ -491,47 +548,102 @@ def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     real packers (each data-loader worker packs its own shard); no
     global sort, no driver state, payload text never leaves the scan
     (only doc_id + token counts shuffle)."""
-    import pandas as pd
-
-    d = load_table(spark, sf_dir, "documents")
-    h4 = _hash4("doc_id")
-    toks = d.select(
-        "doc_id",
-        (F.conv(h4, 16, 10).cast("bigint") % N_SHARDS).alias("shard"),
-        F.md5(F.col("doc_id").cast("string")).alias("h"),
-        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
-    )
-
-    out_schema = (
-        "doc_id bigint, shard bigint, n_tokens bigint, "
-        "seq_id bigint, fill_after bigint"
-    )
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["h", "doc_id"], kind="mergesort")
-        seq_ids, fills = [], []
-        seq, fill = 0, 0
-        for n in pdf["n_tokens"]:
-            n = int(n)
-            if fill + n <= GREEDY_BUDGET:
-                fill += n
-            else:
-                seq += 1
-                fill = n
-            seq_ids.append(seq)
-            fills.append(fill)
-        return pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "shard": pdf["shard"].astype("int64"),
-                "n_tokens": pdf["n_tokens"].astype("int64"),
-                "seq_id": pd.Series(seq_ids, index=pdf.index, dtype="int64"),
-                "fill_after": pd.Series(fills, index=pdf.index, dtype="int64"),
-            }
-        )
-
     return (
-        toks.groupBy("shard")
-        .applyInPandas(pack, schema=out_schema)
+        pack_tokens(load_table(spark, sf_dir, "documents"))
+        .groupBy("shard")
+        .applyInPandas(_greedy_pack_pdf, schema=PACK_OUT_SCHEMA)
         .orderBy("doc_id")
+    )
+
+
+def _training_batches_oracle() -> str:
+    from reindexer_spark.operators.text import LOGREG_ITERS, _logreg_chain
+
+    chain = _logreg_chain(LOGREG_ITERS).replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    )
+    return f"""{chain}
+    , kept AS MATERIALIZED (
+      SELECT f.doc_id
+      FROM feats f CROSS JOIN w{LOGREG_ITERS} w
+      WHERE FLOOR(1000000.0 / (1.0 + EXP(-(w.w0 + w.w1 * f.x1
+              + w.w2 * f.x2 + w.w3 * f.x3)))) / 1000000.0 >= 0.5
+    ),
+    survivors AS MATERIALIZED (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN kept k USING (doc_id)
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    ),
+    toks AS {_pack_toks_sql("survivors")},
+    {_PACK_RECURSION_SQL}
+    SELECT shard, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / {GREEDY_BUDGET} AS fill_frac
+    FROM pack
+    GROUP BY shard, seq_id
+    ORDER BY shard, seq_id
+    """
+
+
+@query("corpus_training_batches", oracle=_training_batches_oracle())
+def corpus_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FINAL-ASSEMBLY flagship — the last mile of an LLM data
+    pipeline, composed from three individually-gated operators into the
+    artifact a training run actually consumes: (1) the TRAINED quality
+    classifier gates the corpus (quality_logreg_score's 12-iteration GD
+    chain, score >= 0.5), (2) exact content dedup keeps the lowest
+    doc_id per md5 digest, (3) the survivors pack into contiguous
+    training sequences (corpus_pack_greedy's no-split first-fit in
+    deterministic md5-shuffle order).  One row per packed sequence:
+    document count, token count, fill fraction — the padding-waste /
+    batch-shape report a data-loading team reads before a run.
+
+    Scale shape: the GD chain is one corpus scan per iteration with an
+    O(1) broadcast model; the gate + dedup are one digest-keyed
+    exchange (text never shuffles — the digest does); packing is one
+    hash exchange then shard-local sequential state.  Nothing in the
+    composition adds a shuffle the parts didn't already have.
+
+    The oracle replays the whole composition — GD chain, sigmoid gate,
+    QUALIFY dedup, recursive-CTE packing — so the hash gate proves the
+    three-stage pipeline value-exact end to end, fill fractions
+    included (exact: the budget is a power of two)."""
+    from reindexer_spark.operators.text import _logreg_fit
+
+    feats, w = _logreg_fit(spark, sf_dir)
+    wf = F.broadcast(w.select("w0", "w1", "w2", "w3"))
+    z = (
+        F.col("w0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+    score = F.floor(1e6 / (1.0 + F.exp(-z))) / 1e6
+    kept = feats.crossJoin(wf).filter(score >= 0.5).select("doc_id")
+
+    w_dg = Window.partitionBy("dg").orderBy("doc_id")
+    survivors = (
+        load_table(spark, sf_dir, "documents")
+        .join(kept, "doc_id")
+        .withColumn("dg", F.md5("text"))
+        .withColumn("rn", F.row_number().over(w_dg))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    packed = (
+        pack_tokens(survivors)
+        .groupBy("shard")
+        .applyInPandas(_greedy_pack_pdf, schema=PACK_OUT_SCHEMA)
+    )
+    return (
+        packed.groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+            (F.sum("n_tokens").cast("double") / GREEDY_BUDGET).alias(
+                "fill_frac"
+            ),
+        )
+        .orderBy("shard", "seq_id")
     )
