@@ -130,6 +130,8 @@ EXTENDED = [
     "quality_logreg_score",
     "stream_pack_greedy_live",
     "corpus_training_batches",
+    "text_unigram_fertility",
+    "dq_key_skew",
 ]
 
 

@@ -1073,3 +1073,86 @@ def orders_seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(err, 2).alias("abs_error"),
         F.round(err / F.col("revenue"), 6).alias("ape"),
     )
+
+
+@query(
+    "dq_key_skew",
+    oracle="""
+    WITH counts AS (
+      SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM counts
+    ),
+    ranked AS (
+      SELECT key, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rnk
+      FROM counts
+    )
+    SELECT r.rnk, r.key, r.cnt,
+           FLOOR(1000000.0 * r.cnt / s.total) / 1000000.0 AS share,
+           FLOOR(1000000.0 * SUM(r.cnt) OVER (
+             ORDER BY r.rnk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) / s.total) / 1000000.0 AS cum_share,
+           FLOOR(1000000.0 * r.cnt * s.n_keys / s.total) / 1000000.0
+             AS skew_vs_mean
+    FROM ranked r CROSS JOIN stats s
+    WHERE r.rnk <= 10
+    ORDER BY r.rnk
+    """,
+)
+def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew audit — the diagnostic a 100 TB shuffle runs BEFORE
+    choosing a join strategy: per-key row counts on the prospective
+    shuffle key (customer key over orders), the 10 hottest keys with
+    their corpus share, cumulative share, and skew-vs-mean factor (how
+    many times an average partition's load the hottest key carries).
+    A skew_vs_mean in the tens is the signal to salt that key or let
+    AQE split it; near 1.0 means hash partitioning is already fair.
+
+    Scale shape: one hash aggregation on the key (the same exchange the
+    real join would pay), a 2-value global aggregate broadcast back,
+    and a top-10 window over the count relation — the audit costs one
+    pass over the key column, never touching payloads."""
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    from reindexer_spark.cache import track
+
+    counts = track(counts)
+    stats = counts.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_keys"),
+    )
+    w_rnk = Window.orderBy(F.desc("cnt"), "key")
+    w_cum = Window.orderBy("rnk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # operand order matches the oracle exactly ((1e6 * x) / total, not
+    # 1e6 * (x / total)) — double multiply/divide associativity decides
+    # the last ulp, and FLOOR amplifies it
+    M = F.lit(1000000.0)
+    return (
+        counts.withColumn("rnk", F.row_number().over(w_rnk))
+        .filter(F.col("rnk") <= 10)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "rnk",
+            "key",
+            "cnt",
+            (F.floor(M * F.col("cnt") / F.col("total")) / 1e6).alias("share"),
+            (
+                F.floor(M * F.sum("cnt").over(w_cum) / F.col("total")) / 1e6
+            ).alias("cum_share"),
+            (
+                F.floor(M * F.col("cnt") * F.col("n_keys") / F.col("total"))
+                / 1e6
+            ).alias("skew_vs_mean"),
+        )
+        .orderBy("rnk")
+    )

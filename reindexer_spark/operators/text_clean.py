@@ -2197,3 +2197,77 @@ def text_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_unigram_fertility",
+    oracle=f"""{_unigram_ctes()},
+    lens AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sym FROM pieces2 GROUP BY w
+    ),
+    toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT t.doc_id,
+             ANY_VALUE(t.lang) AS lang,
+             COUNT(*) AS n_words,
+             CAST(SUM(COALESCE(l.n_sym, len(t.w))) AS BIGINT) AS n_toks
+      FROM toks t LEFT JOIN lens l ON t.w = l.w
+      GROUP BY t.doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_toks) AS BIGINT) AS n_unigram_tokens,
+           FLOOR(1000000.0 * SUM(n_toks) / SUM(n_words)) / 1000000.0
+             AS fertility
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-equity audit: per-language FERTILITY (tokens per word)
+    under the trained unigram vocabulary — the number multilingual
+    pipelines watch, because a tokenizer trained on a skewed mix
+    over-segments the under-represented languages, silently taxing
+    their effective context window and training compute.  One row per
+    language with document/word/token totals and the FLOOR-quantized
+    fertility ratio.
+
+    Scale shape: identical to text_unigram_apply (train at vocabulary
+    scale, tokenize as a broadcast lookup join) plus one |languages|-row
+    aggregate — the audit is free once the apply lane exists."""
+    r = _unigram_rounds(spark, sf_dir)
+    lens = r["vit2"].select("w", F.size("pieces").cast("bigint").alias("n_sym"))
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    per_doc = (
+        toks.join(F.broadcast(lens), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count("*").alias("n_words"),
+            F.sum(F.coalesce(F.col("n_sym"), F.length("w").cast("bigint")))
+            .cast("bigint")
+            .alias("n_toks"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_toks").cast("bigint").alias("n_unigram_tokens"),
+            (
+                F.floor(
+                    F.lit(1000000.0) * F.sum("n_toks") / F.sum("n_words")
+                )
+                / 1e6
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
