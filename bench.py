@@ -132,6 +132,7 @@ EXTENDED = [
     "corpus_training_batches",
     "text_unigram_fertility",
     "dq_key_skew",
+    "stream_crawl_ingest_live",
 ]
 
 

@@ -698,3 +698,92 @@ def reindex_then_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= RS_TOPK)
         .select("query_id", "rnk", "id", "score", "n_terms_hit")
     )
+
+
+@query(
+    "stream_crawl_ingest_live",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_words
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, text, (n_words + 7) // 8 AS n_lines FROM base
+    ),
+    html AS (
+      SELECT doc_id,
+             58 + len(CAST(doc_id AS VARCHAR)) + 7 * n_lines
+                + len(text) - (n_lines - 1) AS nb
+      FROM h
+    )
+    SELECT 'request' AS warc_type, CAST(NULL AS INT) AS http_status,
+           'application/http' AS content_class,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(COUNT(*) * 27 AS BIGINT) AS total_bytes
+    FROM documents WHERE doc_id % 10 = 6
+    UNION ALL
+    SELECT 'response', 200, 'application/pdf',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(18 + len(CAST(doc_id AS VARCHAR))) AS BIGINT)
+    FROM documents WHERE doc_id % 17 = 5
+    UNION ALL
+    SELECT 'response', 404, 'text/html',
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(nb) AS BIGINT)
+    FROM html WHERE doc_id % 13 = 4 AND doc_id % 17 <> 5
+    UNION ALL
+    SELECT 'response', 200, 'text/html',
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(nb) AS BIGINT)
+    FROM html WHERE doc_id % 13 <> 4 AND doc_id % 17 <> 5
+    ORDER BY warc_type, http_status, content_class
+    """,
+)
+def stream_crawl_ingest_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl ingestion under the REAL streaming engine: the custom warc
+    DataSource's streaming reader tails a landing directory (each
+    micro-batch ingests the WARC shards that appeared since the last
+    offset; one new file = one input partition, so the stream
+    distributes exactly like the batch source), and the gate aggregates
+    per record class — type, HTTP status, content class — with record
+    counts AND exact payload byte totals.
+
+    The byte totals are the teeth: shard wire forms rotate
+    identity/gzip/chunked per document, so the totals only match the
+    oracle (which recomputes every page's decompressed size from
+    `documents` arithmetically) if the streaming path undoes every wire
+    encoding byte-exactly — the same proof crawl_corpus_e2e makes for
+    batch, now under readStream.
+
+    Scale shape: file-granular exactly-once (the offset is the ingested
+    file set, a shard is assigned to exactly one micro-batch), state
+    bounded by the class aggregation, payloads never shuffle — only the
+    per-class partial sums do."""
+    from reindexer_spark.sources.warc import WarcDataSource
+    from reindexer_spark.streaming import run_stream_to_memory
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out_dir = os.path.join("/tmp", f"rs_streamcrawl_{tag}")
+    os.makedirs(out_dir, exist_ok=True)
+    for old in os.listdir(out_dir):
+        os.unlink(os.path.join(out_dir, old))
+    _synth_warc_shards(docs, out_dir)
+
+    spark.dataSource.register(WarcDataSource)
+    raw = spark.readStream.format("warc").load(out_dir)
+    agg = (
+        raw.select(
+            "warc_type",
+            "http_status",
+            F.split("content_type", ";").getItem(0).alias("content_class"),
+            "n_bytes",
+        )
+        .groupBy("warc_type", "http_status", "content_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_records"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        )
+    )
+    return run_stream_to_memory(agg, output_mode="complete").orderBy(
+        "warc_type", "http_status", "content_class"
+    )

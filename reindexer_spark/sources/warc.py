@@ -45,6 +45,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     InputPartition,
 )
@@ -173,6 +174,33 @@ def split_http_payload(block: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, body
 
 
+def read_warc_file(path: str) -> Iterator[tuple]:
+    """One WARC file → WARC_SCHEMA rows (shared by the batch reader's
+    task body and the streaming reader's partition body)."""
+    name = os.path.basename(path)
+    opener = gzip.open if name.endswith(".gz") else open
+    with opener(path, "rb") as fh:
+        for rec in parse_warc_records(fh, where=name):
+            if rec.get("warc-type") == "response":
+                status, http_ctype, payload = split_http_payload(rec["block"])
+            else:
+                status, http_ctype, payload = None, None, rec["block"]
+            # for responses the useful type is the PAGE's (from the
+            # HTTP envelope), not the WARC record's application/http
+            ctype = http_ctype or rec.get("content-type", "")
+            yield (
+                name,
+                rec.get("warc-record-id", ""),
+                rec.get("warc-type", ""),
+                rec.get("warc-date", ""),
+                rec.get("warc-target-uri", ""),
+                ctype,
+                status,
+                payload,
+                len(payload),
+            )
+
+
 class _WarcPartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -214,30 +242,47 @@ class WarcReader(DataSourceReader):
         ]
 
     def read(self, partition: _WarcPartition) -> Iterator[tuple]:
-        name = os.path.basename(partition.path)
-        opener = gzip.open if name.endswith(".gz") else open
-        with opener(partition.path, "rb") as fh:
-            for rec in parse_warc_records(fh, where=name):
-                if rec.get("warc-type") == "response":
-                    status, http_ctype, payload = split_http_payload(
-                        rec["block"]
-                    )
-                else:
-                    status, http_ctype, payload = None, None, rec["block"]
-                # for responses the useful type is the PAGE's (from the
-                # HTTP envelope), not the WARC record's application/http
-                ctype = http_ctype or rec.get("content-type", "")
-                yield (
-                    name,
-                    rec.get("warc-record-id", ""),
-                    rec.get("warc-type", ""),
-                    rec.get("warc-date", ""),
-                    rec.get("warc-target-uri", ""),
-                    ctype,
-                    status,
-                    payload,
-                    len(payload),
-                )
+        return read_warc_file(partition.path)
+
+
+class WarcStreamReader(DataSourceStreamReader):
+    """Crawl ingestion as a STREAM: each micro-batch processes the WARC
+    files that appeared in the source directory since the last offset —
+    the shape of a crawler that drops finished shards into a landing
+    directory while Spark tails it.  The offset is the sorted list of
+    file names already ingested (exactly-once at FILE granularity: a
+    shard is assigned to one micro-batch, replays of that batch re-read
+    the same files), and each new file becomes one input partition, so
+    the stream distributes exactly like the batch source."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc source requires a path")
+
+    def _files_now(self) -> list[str]:
+        return sorted(
+            n
+            for n in os.listdir(self.path)
+            if n.endswith((".warc", ".warc.gz"))
+            and os.path.isfile(os.path.join(self.path, n))
+        )
+
+    def initialOffset(self) -> dict:  # noqa: N802 - API contract
+        return {"files": []}
+
+    def latestOffset(self) -> dict:  # noqa: N802 - API contract
+        return {"files": self._files_now()}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        new = sorted(set(end["files"]) - set(start["files"]))
+        return [_WarcPartition(os.path.join(self.path, n)) for n in new]
+
+    def read(self, partition: _WarcPartition) -> Iterator[tuple]:
+        return read_warc_file(partition.path)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint; nothing source-side to ack
 
 
 class WarcDataSource(DataSource):
@@ -250,6 +295,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema) -> WarcReader:
         return WarcReader(self.options)
+
+    def streamReader(self, schema) -> WarcStreamReader:  # noqa: N802
+        return WarcStreamReader(self.options)
 
 
 def write_warc_records(path: str, records: list[dict], compress: bool = False) -> None:

@@ -319,3 +319,96 @@ def test_crawl_media_harvest_stage_attrition(spark, sf_dir):
     assert {k.split("/")[0] for k in {r.kind for r in survivors}} == {
         "image", "audio", "video",
     }
+
+
+def test_stream_reader_offsets_ingest_each_file_once(tmp_path):
+    """The streaming reader's offset is the ingested file set: files
+    present at an offset exchange land in exactly one batch's
+    partitions; files arriving later appear only in the next batch;
+    a replayed (start, end) pair re-reads exactly the same files."""
+    from reindexer_spark.sources.warc import (
+        WarcStreamReader,
+        write_warc_records,
+    )
+
+    def shard(path, ids):
+        write_warc_records(
+            str(path),
+            [
+                {
+                    "warc_type": "response",
+                    "record_id": f"<urn:doc:{i}>",
+                    "target_uri": f"https://x/{i}",
+                    "http": (200, [("Content-Type", "text/plain")], b"hi"),
+                }
+                for i in ids
+            ],
+        )
+
+    shard(tmp_path / "a.warc", [1, 2])
+    shard(tmp_path / "b.warc", [3])
+    rdr = WarcStreamReader({"path": str(tmp_path)})
+    o0 = rdr.initialOffset()
+    o1 = rdr.latestOffset()
+    assert o1 == {"files": ["a.warc", "b.warc"]}
+    parts1 = rdr.partitions(o0, o1)
+    assert sorted(p.path.split("/")[-1] for p in parts1) == [
+        "a.warc",
+        "b.warc",
+    ]
+    rows1 = [r for p in parts1 for r in rdr.read(p)]
+    assert sorted(r[1] for r in rows1) == [
+        "<urn:doc:1>",
+        "<urn:doc:2>",
+        "<urn:doc:3>",
+    ]
+
+    shard(tmp_path / "c.warc", [4])
+    o2 = rdr.latestOffset()
+    parts2 = rdr.partitions(o1, o2)
+    assert [p.path.split("/")[-1] for p in parts2] == ["c.warc"]
+    rows2 = [r for p in parts2 for r in rdr.read(p)]
+    assert [r[1] for r in rows2] == ["<urn:doc:4>"]
+
+    # replay: the same (start, end) pair yields the same files
+    replay = rdr.partitions(o0, o1)
+    assert sorted(p.path for p in replay) == sorted(p.path for p in parts1)
+
+
+def test_stream_matches_batch_over_same_dir(spark, tmp_path):
+    """availableNow streaming over a shard directory must deliver the
+    exact record set the batch reader sees."""
+    from reindexer_spark.sources.warc import (
+        WarcDataSource,
+        write_warc_records,
+    )
+    from reindexer_spark.streaming import run_stream_to_memory
+
+    for fname, ids in (("s0.warc", [1, 2]), ("s1.warc", [3, 4, 5])):
+        write_warc_records(
+            str(tmp_path / fname),
+            [
+                {
+                    "warc_type": "response",
+                    "record_id": f"<urn:doc:{i}>",
+                    "target_uri": f"https://x/{i}",
+                    "http": (200, [("Content-Type", "text/plain")], b"p" * i),
+                }
+                for i in ids
+            ],
+        )
+    spark.dataSource.register(WarcDataSource)
+    stream = run_stream_to_memory(
+        spark.readStream.format("warc")
+        .load(str(tmp_path))
+        .select("warc_file", "record_id", "n_bytes"),
+        output_mode="append",
+    )
+    batch = (
+        spark.read.format("warc")
+        .load(str(tmp_path))
+        .select("warc_file", "record_id", "n_bytes")
+    )
+    assert sorted(map(tuple, stream.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
