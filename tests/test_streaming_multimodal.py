@@ -101,3 +101,67 @@ def test_streaming_probe_filter_pipeline(spark, sf_dir, tmp_path):
         .collect()
     )
     assert sorted(r.media_id for r in got) == sorted(r.media_id for r in batch)
+
+
+def test_streaming_warc_crawl_probe_equals_batch(spark, sf_dir, tmp_path):
+    """The full crawl-to-curation front half UNDER STREAMING: media WARC
+    shards (gzip wire forms, 404s, decoys, junk-claiming-bmp) arrive
+    through the warc DataSource's streaming reader, the header-only
+    probe runs per micro-batch, and the surviving probe rows must equal
+    the batch run over the same directory — crawl ingestion, wire
+    decoding, and probe curation all engine-agnostic."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from reindexer_spark.catalog import load_table
+    from reindexer_spark.operators.crawl import _synth_media_warc
+    from reindexer_spark.operators.multimodal import _synth_media
+    from reindexer_spark.sources.warc import WarcDataSource
+
+    media = _synth_media(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    )
+    out = str(tmp_path / "mediawarc")
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    _synth_media_warc(media, out)
+    spark.dataSource.register(WarcDataSource)
+
+    def probe(batches):
+        from reindexer_spark.codecs import MediaFormatError, probe_media
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    p = probe_media(bytes(r.payload))
+                except MediaFormatError:
+                    continue
+                rows.append(
+                    {
+                        "record_id": r.record_id,
+                        "probe_kind": p["kind"],
+                        "n_bytes": int(r.n_bytes),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["record_id", "probe_kind", "n_bytes"]
+            )
+
+    def lane(df):
+        return (
+            df.filter(F.col("warc_type") == "response")
+            .filter(F.col("http_status") == 200)
+            .select("record_id", "payload", "n_bytes")
+            .mapInPandas(
+                probe, "record_id string, probe_kind string, n_bytes bigint"
+            )
+        )
+
+    got = run_stream_to_memory(
+        lane(spark.readStream.format("warc").load(out)), output_mode="append"
+    ).collect()
+    batch = lane(spark.read.format("warc").load(out)).collect()
+    assert len(got) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
