@@ -41,6 +41,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     InputPartition,
 )
@@ -90,6 +91,21 @@ def iter_samples(fileobj, where: str = "<stream>") -> Iterator[tuple[str, dict]]
         yield current_key, members
 
 
+def read_shard(path: str) -> Iterator[tuple]:
+    """One tar shard → WDS_SCHEMA rows (shared by the batch reader's
+    task body and the streaming reader's partition body)."""
+    name = os.path.basename(path)
+    with open(path, "rb") as fh:
+        for key, members in iter_samples(fh, where=name):
+            yield (
+                name,
+                key,
+                members,
+                len(members),
+                sum(len(v) for v in members.values()),
+            )
+
+
 class _ShardPartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -131,16 +147,45 @@ class WebDatasetReader(DataSourceReader):
         ]
 
     def read(self, partition: _ShardPartition) -> Iterator[tuple]:
-        name = os.path.basename(partition.path)
-        with open(partition.path, "rb") as fh:
-            for key, members in iter_samples(fh, where=name):
-                yield (
-                    name,
-                    key,
-                    members,
-                    len(members),
-                    sum(len(v) for v in members.values()),
-                )
+        return read_shard(partition.path)
+
+
+class WebDatasetStreamReader(DataSourceStreamReader):
+    """Training-shard ingestion as a STREAM (same contract as the warc
+    streaming reader): the offset is the set of tar shards already
+    ingested, each micro-batch processes the shards that landed since,
+    and each new shard is one input partition — file-granular
+    exactly-once, the shape of a data loader tailing a shard bucket
+    while an upstream job keeps writing."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("webdataset source requires a path")
+
+    def _files_now(self) -> list[str]:
+        return sorted(
+            n
+            for n in os.listdir(self.path)
+            if n.endswith((".tar", ".tar.gz", ".tgz"))
+            and os.path.isfile(os.path.join(self.path, n))
+        )
+
+    def initialOffset(self) -> dict:  # noqa: N802 - API contract
+        return {"shards": []}
+
+    def latestOffset(self) -> dict:  # noqa: N802 - API contract
+        return {"shards": self._files_now()}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        new = sorted(set(end["shards"]) - set(start["shards"]))
+        return [_ShardPartition(os.path.join(self.path, n)) for n in new]
+
+    def read(self, partition: _ShardPartition) -> Iterator[tuple]:
+        return read_shard(partition.path)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint; nothing source-side to ack
 
 
 class WebDatasetSource(DataSource):
@@ -153,6 +198,9 @@ class WebDatasetSource(DataSource):
 
     def reader(self, schema) -> WebDatasetReader:
         return WebDatasetReader(self.options)
+
+    def streamReader(self, schema) -> WebDatasetStreamReader:  # noqa: N802
+        return WebDatasetStreamReader(self.options)
 
 
 def write_webdataset_shard(path: str, samples: list[tuple[str, dict]]) -> None:

@@ -122,3 +122,65 @@ def test_adjacency_contract_and_corruption():
     # garbage is a loud ValueError naming the shard, not a silent skip
     with pytest.raises(ValueError, match="bad-shard"):
         list(iter_samples(io.BytesIO(b"\x00garbage" * 100), where="bad-shard"))
+
+
+def test_stream_reader_ingests_each_shard_once(tmp_path):
+    """Streaming offsets over a shard directory: every shard lands in
+    exactly one batch's partitions; later arrivals appear only in the
+    next batch; replays of an offset pair re-read the same shards."""
+    from reindexer_spark.sources.webdataset import (
+        WebDatasetStreamReader,
+        write_webdataset_shard,
+    )
+
+    write_webdataset_shard(
+        str(tmp_path / "s0.tar"),
+        [("a", {"txt": b"one"}), ("b", {"txt": b"two"})],
+    )
+    rdr = WebDatasetStreamReader({"path": str(tmp_path)})
+    o0, o1 = rdr.initialOffset(), rdr.latestOffset()
+    assert o1 == {"shards": ["s0.tar"]}
+    parts1 = rdr.partitions(o0, o1)
+    keys1 = sorted(r[1] for p in parts1 for r in rdr.read(p))
+    assert keys1 == ["a", "b"]
+
+    write_webdataset_shard(str(tmp_path / "s1.tar"), [("c", {"txt": b"3"})])
+    o2 = rdr.latestOffset()
+    parts2 = rdr.partitions(o1, o2)
+    assert [p.path.split("/")[-1] for p in parts2] == ["s1.tar"]
+    assert [r[1] for p in parts2 for r in rdr.read(p)] == ["c"]
+    # replay determinism
+    assert sorted(p.path for p in rdr.partitions(o0, o1)) == sorted(
+        p.path for p in parts1
+    )
+
+
+def test_stream_matches_batch_over_same_shards(spark, tmp_path):
+    from reindexer_spark.sources.webdataset import (
+        WebDatasetSource,
+        write_webdataset_shard,
+    )
+    from reindexer_spark.streaming import run_stream_to_memory
+
+    write_webdataset_shard(
+        str(tmp_path / "w0.tar"),
+        [("k0", {"txt": b"x", "json": b"{}"}), ("k1", {"txt": b"yy"})],
+    )
+    write_webdataset_shard(
+        str(tmp_path / "w1.tar"), [("k2", {"txt": b"zzz"})]
+    )
+    spark.dataSource.register(WebDatasetSource)
+    stream = run_stream_to_memory(
+        spark.readStream.format("webdataset")
+        .load(str(tmp_path))
+        .select("shard", "key", "n_members", "n_bytes"),
+        output_mode="append",
+    )
+    batch = (
+        spark.read.format("webdataset")
+        .load(str(tmp_path))
+        .select("shard", "key", "n_members", "n_bytes")
+    )
+    assert sorted(map(tuple, stream.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
