@@ -181,3 +181,80 @@ def test_unigram_train_contract(spark, sf_dir):
     # segmentation being possible at all
     for r in rows.values():
         assert r.corpus_tokens > 0 and r.corpus_cost > 0
+
+
+def _uni_dp(w: str, vocab: dict[str, int]):
+    """Pure-Python mirror of the text_unigram_train DP SPEC (the same
+    integer recurrence both engines run): enc state = cost*16 +
+    chosen_piece_len, MIN is simultaneously relaxation and argmin."""
+    enc = [0]
+    for i in range(1, len(w) + 1):
+        cands = []
+        for p in range(1, min(4, i) + 1):
+            piece = w[i - p : i]
+            if piece in vocab:
+                cands.append((enc[i - p] // 16 + vocab[piece]) * 16 + p)
+        enc.append(min(cands))
+    pieces, pos = [], len(w)
+    while pos > 0:
+        p = enc[pos] % 16
+        pieces.append(w[pos - p : pos])
+        pos -= p
+    return enc[len(w)] // 16, list(reversed(pieces))
+
+
+def _uni_brute(w: str, vocab: dict[str, int]) -> int:
+    """Minimum segmentation cost by exhaustive enumeration."""
+    best = {0: 0}
+    for i in range(1, len(w) + 1):
+        costs = [
+            best[i - p] + vocab[w[i - p : i]]
+            for p in range(1, min(4, i) + 1)
+            if w[i - p : i] in vocab and (i - p) in best
+        ]
+        if costs:
+            best[i] = min(costs)
+    return best[len(w)]
+
+
+def test_unigram_dp_encoding_equals_bruteforce():
+    """Property: the cost*16+len encoding never corrupts the Viterbi
+    optimum (piece lengths < 16 keep the cost ordering intact), and the
+    enc%16 traceback reconstructs a valid segmentation achieving it —
+    over randomized vocabularies and words, not just the gate corpus."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        w=st.text(alphabet="abcd", min_size=1, max_size=8),
+        data=st.data(),
+    )
+    def check(w, data):
+        # vocabulary: every single char (coverage floor) plus random
+        # multi-char substrings of w, with random quantized nll weights
+        subs = {
+            w[i : i + p]
+            for i in range(len(w))
+            for p in range(2, 5)
+            if i + p <= len(w)
+        }
+        chosen = data.draw(
+            st.sets(st.sampled_from(sorted(subs)), max_size=len(subs))
+            if subs
+            else st.just(set())
+        )
+        vocab = {
+            piece: data.draw(
+                st.integers(min_value=0, max_value=20_000_000),
+                label=f"nll[{piece}]",
+            )
+            for piece in sorted(set(w) | set(chosen))
+        }
+        cost, pieces = _uni_dp(w, vocab)
+        assert cost == _uni_brute(w, vocab)
+        assert "".join(pieces) == w
+        assert all(p in vocab for p in pieces)
+        assert sum(vocab[p] for p in pieces) == cost
+
+    check()
