@@ -529,3 +529,58 @@ def test_stream_pack_greedy_single_batch_equals_batch_packer(spark, sf_dir):
         map(tuple, get_query("corpus_pack_greedy").fn(spark, sf_dir).collect())
     )
     assert stream_rows == batch_rows
+
+
+def test_pack_greedy_cursor_survives_restart(spark, tmp_path):
+    """The streaming packer's per-shard cursor must survive a full
+    stop/restart against the same checkpointLocation: post-restart docs
+    continue filling the pre-restart sequence (fill_after proves the
+    recovered cursor), and pre-restart files are not reprocessed."""
+    from reindexer_spark.operators.sampling import pack_tokens
+    from reindexer_spark.streaming.stateful import pack_greedy_stream
+
+    # single-shard setup: find doc ids that hash into one shard so the
+    # cursor interaction is deterministic and visible
+    import hashlib
+
+    from reindexer_spark.operators.sampling import N_SHARDS
+
+    ids = [i for i in range(200) if int(
+        hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % N_SHARDS == 0][:4]
+    assert len(ids) == 4
+    root = tmp_path / "docsrc"
+    root.mkdir()
+
+    def write(idx, batch_ids, n_words):
+        spark.createDataFrame(
+            [(i, " ".join(["w"] * n_words)) for i in batch_ids],
+            "doc_id bigint, text string",
+        ).coalesce(1).write.parquet(str(root / f"b{idx:03d}.parquet"))
+
+    write(0, ids[:2], 4)  # two 4-token docs -> fill 8 of budget 10
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/b*.parquet")
+        )
+        _run_checkpointed(
+            pack_greedy_stream(pack_tokens(stream), budget=10),
+            out_dir,
+            ckpt,
+        )
+
+    run()
+    write(1, ids[2:], 4)  # 8+4 > 10 -> new sequence; then 4+4=8 fits
+    run()  # restarted query must resume from (seq 0, fill 8)
+    got = {r.doc_id: (r.seq_id, r.fill_after)
+           for r in spark.read.parquet(out_dir).collect()}
+    first, second = sorted(ids[:2], key=lambda d: (
+        hashlib.md5(str(d).encode()).hexdigest(), d)), sorted(
+        ids[2:], key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
+    assert got[first[0]] == (0, 4) and got[first[1]] == (0, 8)
+    # recovered cursor (0, 8): next doc overflows into sequence 1
+    assert got[second[0]] == (1, 4) and got[second[1]] == (1, 8)
+    assert len(got) == 4  # pre-restart docs not reprocessed
