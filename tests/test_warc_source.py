@@ -412,3 +412,67 @@ def test_stream_matches_batch_over_same_dir(spark, tmp_path):
     assert sorted(map(tuple, stream.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_stream_offsets_survive_restart(spark, tmp_path):
+    """The custom streaming reader's offset (the ingested file set)
+    must round-trip through the checkpoint: after a stop/restart with
+    the same checkpointLocation, only shards that landed after the
+    first run are ingested — no re-reads, no gaps."""
+    from reindexer_spark.sources.warc import (
+        WarcDataSource,
+        write_warc_records,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+
+    def shard(name, ids):
+        write_warc_records(
+            str(src / name),
+            [
+                {
+                    "warc_type": "response",
+                    "record_id": f"<urn:doc:{i}>",
+                    "target_uri": f"https://x/{i}",
+                    "http": (200, [("Content-Type", "text/plain")], b"b"),
+                }
+                for i in ids
+            ],
+        )
+
+    spark.dataSource.register(WarcDataSource)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.format("warc")
+            .load(str(src))
+            .select("warc_file", "record_id")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+            spark.streams.resetTerminated()
+
+    shard("a.warc", [1, 2])
+    run()
+    shard("b.warc", [3])
+    run()
+    got = sorted(
+        (r.warc_file, r.record_id)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == [
+        ("a.warc", "<urn:doc:1>"),
+        ("a.warc", "<urn:doc:2>"),
+        ("b.warc", "<urn:doc:3>"),
+    ]
