@@ -1129,6 +1129,10 @@ def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("bigint").alias("total"),
         F.count("*").cast("bigint").alias("n_keys"),
     )
+    # top-10 via orderBy+limit (TakeOrderedAndProject — a reduce, never
+    # a global single-partition window over the full key relation); the
+    # rank/cumsum windows then run over 10 rows only
+    topk = counts.orderBy(F.desc("cnt"), "key").limit(10)
     w_rnk = Window.orderBy(F.desc("cnt"), "key")
     w_cum = Window.orderBy("rnk").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -1138,8 +1142,7 @@ def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the last ulp, and FLOOR amplifies it
     M = F.lit(1000000.0)
     return (
-        counts.withColumn("rnk", F.row_number().over(w_rnk))
-        .filter(F.col("rnk") <= 10)
+        topk.withColumn("rnk", F.row_number().over(w_rnk))
         .crossJoin(F.broadcast(stats))
         .select(
             "rnk",
