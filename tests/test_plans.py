@@ -278,3 +278,12 @@ def test_unigram_train_single_corpus_scan(spark, sf_dir):
         # corpus scan remains
         "InMemoryTableScan" in plan
     )
+
+
+def test_key_skew_topk_is_reduce_not_global_window(spark, sf_dir):
+    """dq_key_skew's top-10 must come from orderBy+limit
+    (TakeOrderedAndProject — a reduce) rather than ranking the full key
+    relation through an unpartitioned window (a single-partition sort
+    at scale); the 10-row rank/cumsum windows that remain are bounded."""
+    plan = plan_of(spark, "dq_key_skew", sf_dir)
+    assert "TakeOrderedAndProject" in plan

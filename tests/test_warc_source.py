@@ -476,3 +476,18 @@ def test_stream_offsets_survive_restart(spark, tmp_path):
         ("a.warc", "<urn:doc:2>"),
         ("b.warc", "<urn:doc:3>"),
     ]
+
+
+def test_stream_over_empty_landing_dir_completes(spark, tmp_path):
+    """A landing directory with no shards yet must stream to completion
+    with zero rows (the tail-the-bucket deployment starts before the
+    crawler writes anything) — not hang, not fail."""
+    from reindexer_spark.sources.warc import WarcDataSource
+    from reindexer_spark.streaming import run_stream_to_memory
+
+    spark.dataSource.register(WarcDataSource)
+    out = run_stream_to_memory(
+        spark.readStream.format("warc").load(str(tmp_path)),
+        output_mode="append",
+    )
+    assert out.count() == 0
