@@ -174,11 +174,22 @@ def test_unigram_train_contract(spark, sf_dir):
     assert rows[0].vocab_size >= rows[1].vocab_size >= rows[2].vocab_size
     # EM re-estimation never worsens the Viterbi-optimal corpus cost
     assert rows[1].corpus_cost <= rows[0].corpus_cost
-    # the prune round caps multi-char pieces; chars alone bound the rest
-    n_chars = rows[2].vocab_size - min(UNI_TARGET, rows[2].vocab_size)
-    assert n_chars >= 0
-    # token counts are positive and bounded below by the char-only
-    # segmentation being possible at all
+    # the prune round caps multi-char pieces: final vocab is at most the
+    # corpus's distinct in-band characters (never pruned) + UNI_TARGET
+    from pyspark.sql import functions as F
+
+    from reindexer_spark.catalog import load_table
+    from reindexer_spark.operators.text_clean import UNI_L
+
+    n_chars = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.length("w") >= 1) & (F.length("w") <= UNI_L))
+        .select(F.explode(F.split("w", "")).alias("c"))
+        .distinct()
+        .count()
+    )
+    assert rows[2].vocab_size <= n_chars + UNI_TARGET
     for r in rows.values():
         assert r.corpus_tokens > 0 and r.corpus_cost > 0
 
