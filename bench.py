@@ -133,6 +133,7 @@ EXTENDED = [
     "text_unigram_fertility",
     "dq_key_skew",
     "stream_crawl_ingest_live",
+    "corpus_mix_epochs",
 ]
 
 

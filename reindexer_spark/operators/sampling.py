@@ -647,3 +647,78 @@ def corpus_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "seq_id")
     )
+
+
+# Total training-token budget for the epoch schedule — 2-3x this
+# testdata corpus, so up-weighted low-resource sources genuinely repeat
+# (epochs > 1), which is the phenomenon the table exists to expose.
+EPOCH_BUDGET = 60_000
+
+
+@query(
+    "corpus_mix_epochs",
+    oracle=f"""
+    WITH srcs AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    wts AS (
+      SELECT source, n_tokens,
+             FLOOR(SQRT(n_tokens) * 1000000) / 1000000 AS w
+      FROM srcs
+    ),
+    tot AS (SELECT SUM(CAST(w AS DECIMAL(20,6))) AS tw FROM wts)
+    SELECT w.source, w.n_tokens,
+           ROUND(w.w / (SELECT CAST(tw AS DOUBLE) FROM tot), 6) AS share,
+           CAST(FLOOR(
+             (w.w / (SELECT CAST(tw AS DOUBLE) FROM tot)) * {EPOCH_BUDGET}
+           ) AS BIGINT) AS alloc_tokens,
+           FLOOR(1000000.0 * CAST(FLOOR(
+             (w.w / (SELECT CAST(tw AS DOUBLE) FROM tot)) * {EPOCH_BUDGET}
+           ) AS BIGINT) / w.n_tokens) / 1000000.0 AS epochs
+    FROM wts w
+    ORDER BY w.source
+    """,
+)
+def corpus_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EPOCH-SCHEDULE table a data recipe publishes: per source, its
+    temperature-weighted (α = 0.5) share of a total training-token
+    budget, the tokens allocated, and the resulting EPOCH COUNT
+    (allocated / available) — epochs > 1 means the source repeats
+    (up-sampled low-resource data), < 1 means it is subsampled.  This is
+    corpus_mix_temperature re-expressed in the unit recipes are actually
+    written in (tokens, not documents) with the repetition factor made
+    explicit.
+
+    Scale shape: one corpus scan for per-source token totals, a
+    |sources|-row weight relation, one decimal total broadcast back —
+    the schedule itself is O(|sources|)."""
+    d = load_table(spark, sf_dir, "documents")
+    srcs = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    wts = srcs.select(
+        "source",
+        "n_tokens",
+        (F.floor(F.sqrt(F.col("n_tokens")) * 1e6) / 1e6).alias("w"),
+    )
+    tot = wts.agg(
+        F.sum(F.col("w").cast("decimal(20,6)")).cast("double").alias("tw")
+    )
+    share = F.col("w") / F.col("tw")
+    alloc = F.floor(share * EPOCH_BUDGET).cast("bigint")
+    return (
+        wts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(share, 6).alias("share"),
+            alloc.alias("alloc_tokens"),
+            (F.floor(F.lit(1000000.0) * alloc / F.col("n_tokens")) / 1e6)
+            .alias("epochs"),
+        )
+        .orderBy("source")
+    )
