@@ -253,7 +253,13 @@ class WarcStreamReader(DataSourceStreamReader):
     file names already ingested (exactly-once at FILE granularity: a
     shard is assigned to one micro-batch, replays of that batch re-read
     the same files), and each new file becomes one input partition, so
-    the stream distributes exactly like the batch source."""
+    the stream distributes exactly like the batch source.
+
+    Contract (same as Spark's built-in file source): writers must
+    make shards VISIBLE ATOMICALLY (write to a temp name, then
+    rename into the landing directory) — a shard listed by
+    latestOffset() is assumed complete; a torn in-place write would
+    be ingested truncated and fail its task on the WARC parse."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")

@@ -156,7 +156,9 @@ class WebDatasetStreamReader(DataSourceStreamReader):
     ingested, each micro-batch processes the shards that landed since,
     and each new shard is one input partition — file-granular
     exactly-once, the shape of a data loader tailing a shard bucket
-    while an upstream job keeps writing."""
+    while an upstream job keeps writing.  Same visibility contract
+    as the warc stream reader: shards must land via atomic rename —
+    a listed shard is assumed complete."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
