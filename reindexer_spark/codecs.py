@@ -842,11 +842,15 @@ _MKV_CUE_CLUSTER_POS = 0xF1
 
 
 def _ebml_vint_at(payload: bytes, pos: int, end: int, max_len: int,
-                  keep_marker: bool) -> tuple[int | None, int]:
+                  keep_marker: bool,
+                  unknown_is_none: bool = True) -> tuple[int | None, int]:
     """Read one EBML variable-length integer.  With ``keep_marker`` the
     marker bit stays in the value (element IDs are compared as written);
     without it the value is a data size, where all-ones means UNKNOWN
-    (returned as None)."""
+    (returned as None).  ``unknown_is_none=False`` reads a PLAIN vint
+    (block track numbers): the all-ones reservation applies only to
+    element data sizes, so e.g. track 127 encoded as 0xFF is a value,
+    not "unknown"."""
     if pos >= end:
         raise MediaFormatError("truncated EBML varint")
     b0 = payload[pos]
@@ -863,8 +867,8 @@ def _ebml_vint_at(payload: bytes, pos: int, end: int, max_len: int,
     val = b0 & (mask - 1)
     for i in range(1, ln):
         val = (val << 8) | payload[pos + i]
-    if val == (1 << (7 * ln)) - 1:  # all value bits set: unknown size
-        return None, pos + ln
+    if unknown_is_none and val == (1 << (7 * ln)) - 1:
+        return None, pos + ln  # all value bits set: unknown size
     return val, pos + ln
 
 
@@ -957,7 +961,10 @@ def _mkv_blocks(payload: bytes, seg_s: int, seg_e: int, track: int):
                     "mkv BlockGroup needs reference-frame handling"
                 )
             elif cid == _MKV_SIMPLE_BLOCK:
-                tnum, p = _ebml_vint_at(payload, cb, ce, 8, keep_marker=False)
+                tnum, p = _ebml_vint_at(
+                    payload, cb, ce, 8,
+                    keep_marker=False, unknown_is_none=False,
+                )
                 if p + 3 > ce:
                     raise MediaFormatError("truncated mkv SimpleBlock")
                 rel = struct.unpack_from(">h", payload, p)[0]
@@ -1048,13 +1055,18 @@ def mkv_keyframe_index(payload: bytes) -> list[tuple[int, int]]:
     try:
         seg_s, seg_e = _mkv_segment(payload)
         out: list[tuple[int, int]] = []
+        # Resolve TimestampScale in a FIRST complete pass: element order
+        # inside Segment is unconstrained (RFC 9559), so a Cues element
+        # that precedes Info must still be scaled with the file's real
+        # scale, not the 1 ms default (same two-pass shape as decode_mkv)
         ts_scale = 1_000_000
         for eid, body, bend in _ebml_children(payload, seg_s, seg_e):
             if eid == _MKV_INFO:
                 for cid, cb, ce in _ebml_children(payload, body, bend):
                     if cid == _MKV_TS_SCALE:
                         ts_scale = _ebml_uint(payload, cb, ce)
-            elif eid == _MKV_CUES:
+        for eid, body, bend in _ebml_children(payload, seg_s, seg_e):
+            if eid == _MKV_CUES:
                 for cid, cb, ce in _ebml_children(payload, body, bend):
                     if cid != _MKV_CUE_POINT:
                         continue
@@ -3845,15 +3857,25 @@ def probe_media(payload: bytes) -> dict:
                 if cid == b"fmt ":
                     if size < 16 or cpos + 8 + 16 > len(payload):
                         raise MediaFormatError("truncated WAV fmt chunk")
+                    audio_fmt, channels = struct.unpack_from(
+                        "<HH", payload, cpos + 8
+                    )
                     rate = struct.unpack_from("<I", payload, cpos + 12)[0]
                     bits = struct.unpack_from("<H", payload, cpos + 22)[0]
+                    # mirror decode_wav's contract exactly: a payload the
+                    # decoder would quarantine (float PCM, stereo, odd
+                    # bit depth) must not probe "ok" with bogus sample
+                    # math — probe ≡ decoder is the module's invariant
+                    if audio_fmt != 1 or channels != 1 or bits != 16:
+                        raise MediaFormatError(
+                            f"only mono 16-bit PCM supported "
+                            f"(fmt={audio_fmt}, ch={channels}, bits={bits})"
+                        )
                 elif cid == b"data":
                     data_len = size
                 cpos += 8 + size + (size & 1)  # chunks are word-aligned
             if rate is None or data_len is None:
                 raise MediaFormatError("WAV missing fmt/data chunk")
-            if bits == 0 or bits % 8:
-                raise MediaFormatError(f"WAV bits-per-sample {bits} invalid")
             out.update(sample_rate=rate, n_samples=data_len // (bits // 8))
         elif kind == "flac":
             packed = int.from_bytes(payload[18:26], "big")

@@ -483,7 +483,13 @@ def crawl_media_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    probed = resp.mapInPandas(probe, probe_schema)
+    from reindexer_spark.cache import track
+
+    # probed feeds BOTH the survivors->decode branch and the final
+    # report join; without a persist the whole WARC-read + header-probe
+    # subtree executes twice — the exact pass the probe-first design
+    # exists to pay only once
+    probed = track(resp.mapInPandas(probe, probe_schema))
     survivors = probed.filter(F.col("probe_ok") == 1).select(
         "media_id", "kind", "payload",
         F.create_map(F.lit("stage"), F.lit("probe-pass")).alias("meta"),

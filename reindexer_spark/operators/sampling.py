@@ -497,23 +497,31 @@ PACK_OUT_SCHEMA = (
 )
 
 
-def _greedy_pack_pdf(pdf):
-    """One shard's greedy fold (applyInPandas body): deterministic
-    (h, doc_id) order, budget-or-new-sequence, oversized docs alone."""
-    import pandas as pd
-
-    pdf = pdf.sort_values(["h", "doc_id"], kind="mergesort")
+def greedy_fold(ns, seq: int, fill: int, budget: int):
+    """THE greedy recurrence, shared by the batch packer, the streaming
+    packer (which carries (seq, fill) across micro-batches as state),
+    and the oracle's recursive CTE spec: place each token count in the
+    current sequence if it fits, else open a new one."""
     seq_ids, fills = [], []
-    seq, fill = 0, 0
-    for n in pdf["n_tokens"]:
+    for n in ns:
         n = int(n)
-        if fill + n <= GREEDY_BUDGET:
+        if fill + n <= budget:
             fill += n
         else:
             seq += 1
             fill = n
         seq_ids.append(seq)
         fills.append(fill)
+    return seq_ids, fills, seq, fill
+
+
+def _greedy_pack_pdf(pdf):
+    """One shard's greedy fold (applyInPandas body): deterministic
+    (h, doc_id) order, budget-or-new-sequence, oversized docs alone."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["h", "doc_id"], kind="mergesort")
+    seq_ids, fills, _, _ = greedy_fold(pdf["n_tokens"], 0, 0, GREEDY_BUDGET)
     return pd.DataFrame(
         {
             "doc_id": pdf["doc_id"].astype("int64"),

@@ -116,7 +116,13 @@ def _dechunk(body: bytes) -> bytes:
         if pos + size > len(body):
             raise ValueError("truncated chunk data")
         out += body[pos : pos + size]
-        pos += size + 2  # trailing CRLF after each chunk
+        # the CRLF terminating each chunk's data is load-bearing: if it
+        # is not there the framing is corrupt, and silently skipping two
+        # arbitrary bytes would mis-assemble the body instead of taking
+        # the documented degrade-to-raw path
+        if body[pos + size : pos + size + 2] != b"\r\n":
+            raise ValueError("chunk data not terminated by CRLF")
+        pos += size + 2
 
 
 def split_http_payload(block: bytes) -> tuple[int | None, str | None, bytes]:

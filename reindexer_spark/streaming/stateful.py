@@ -251,10 +251,6 @@ def rate_limit_alerts(
 
 # --- streaming greedy sequence packer ---------------------------------
 
-PACK_SCHEMA = (
-    "doc_id bigint, shard bigint, n_tokens bigint, "
-    "seq_id bigint, fill_after bigint"
-)
 PACK_STATE_SCHEMA = "seq_id bigint, fill bigint"
 
 
@@ -282,28 +278,33 @@ def pack_greedy_stream(toks: DataFrame, budget: int) -> DataFrame:
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        from reindexer_spark.operators.sampling import greedy_fold
+
         seq, fill = state.get if state.exists else (0, 0)
         out: list[tuple] = []
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
             pdf = pd.concat(chunks).sort_values(["h", "doc_id"])
-            for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
-                n = int(n)
-                if fill + n <= budget:
-                    fill += n
-                else:
-                    seq += 1
-                    fill = n
-                out.append((int(doc_id), key[0], n, seq, fill))
+            seq_ids, fills, seq, fill = greedy_fold(
+                pdf["n_tokens"], seq, fill, budget
+            )
+            out = [
+                (int(d), key[0], int(n), s_, f_)
+                for d, n, s_, f_ in zip(
+                    pdf["doc_id"], pdf["n_tokens"], seq_ids, fills
+                )
+            ]
         state.update((int(seq), int(fill)))
         yield pd.DataFrame(
             out,
             columns=["doc_id", "shard", "n_tokens", "seq_id", "fill_after"],
         )
 
+    from reindexer_spark.operators.sampling import PACK_OUT_SCHEMA
+
     return toks.groupBy("shard").applyInPandasWithState(
         fn,
-        outputStructType=PACK_SCHEMA,
+        outputStructType=PACK_OUT_SCHEMA,
         stateStructType=PACK_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

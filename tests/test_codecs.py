@@ -1644,3 +1644,104 @@ def test_mkv_fuzz_quarantine_contract():
         for i in rng.integers(0, len(mkv), 5):
             noisy[i] = int(rng.integers(0, 256))
         check(bytes(noisy))
+
+
+def test_mkv_track_127_all_ones_vint_decodes():
+    """Block track numbers are PLAIN vints: the all-ones 'unknown size'
+    reservation applies only to element data sizes (RFC 8794), so track
+    127 — encoded as the 1-byte vint 0xFF — must decode, not quarantine
+    as 'no video frames'."""
+    from reindexer_spark.codecs import (
+        _MKV_CLUSTER,
+        _MKV_SIMPLE_BLOCK,
+        _ebml_children,
+        _mkv_segment,
+        decode_mkv,
+        encode_mkv,
+        probe_media,
+    )
+
+    w, h = 16, 8
+    mkv = bytearray(encode_mkv(w, h, [checkerboard(w, h)] * 2, 4, quality=95))
+    # TrackNumber 1 -> 127 (0xD7 element, 1-byte body)
+    i = bytes(mkv).index(b"\xd7\x81\x01")
+    mkv[i + 2] = 0x7F
+    # every SimpleBlock's leading track vint 0x81 -> 0xFF
+    seg_s, seg_e = _mkv_segment(bytes(mkv))
+    for eid, body, bend in _ebml_children(bytes(mkv), seg_s, seg_e):
+        if eid != _MKV_CLUSTER:
+            continue
+        for cid, cb, ce in _ebml_children(bytes(mkv), body, bend):
+            if cid == _MKV_SIMPLE_BLOCK:
+                assert mkv[cb] == 0x81
+                mkv[cb] = 0xFF
+    pw, ph, _d, frames, _s = decode_mkv(bytes(mkv))
+    assert (pw, ph, len(frames)) == (w, h, 2)
+    assert probe_media(bytes(mkv))["n_frames"] == 2
+
+
+def test_mkv_cues_before_info_uses_real_timestamp_scale():
+    """Segment element order is unconstrained (RFC 9559): a Cues element
+    that precedes Info must still be scaled with the file's
+    TimestampScale, not the 1 ms default."""
+    from reindexer_spark.codecs import encode_mkv, mkv_keyframe_index
+
+    w, h = 16, 8
+    mkv = bytearray(
+        encode_mkv(w, h, [checkerboard(w, h)] * 4, 4, quality=95,
+                   sync_every=2, frames_per_cluster=2)
+    )
+    # TimestampScale 1_000_000 -> 2_000_000 (same 3-byte body length)
+    i = bytes(mkv).index((1_000_000).to_bytes(3, "big"))
+    mkv[i : i + 3] = (2_000_000).to_bytes(3, "big")
+    normal = mkv_keyframe_index(bytes(mkv))
+    assert normal, "fixture must carry Cues"
+
+    # move the trailing Cues element in front of Info (byte-level swap;
+    # Segment size is unchanged)
+    info_at = bytes(mkv).index(b"\x15\x49\xa9\x66")
+    cues_at = bytes(mkv).index(b"\x1c\x53\xbb\x6b")
+    reordered = bytes(mkv[:info_at]) + bytes(mkv[cues_at:]) + bytes(
+        mkv[info_at:cues_at]
+    )
+    assert mkv_keyframe_index(reordered) == normal
+
+
+def test_wav_probe_rejects_what_decoder_rejects():
+    """probe ≡ decoder: a stereo (or float) WAV that decode_wav
+    quarantines must not probe 'ok' with bogus per-channel sample
+    math."""
+    import struct
+
+    import pytest
+
+    from reindexer_spark.codecs import (
+        MediaFormatError,
+        decode_wav,
+        probe_media,
+    )
+
+    def wav(fmt, channels, bits, n_frames=100, rate=8000):
+        block = channels * bits // 8
+        data = b"\x00" * (n_frames * block)
+        fmtc = struct.pack(
+            "<HHIIHH", fmt, channels, rate, rate * block, block, bits
+        )
+        body = (
+            b"WAVEfmt " + struct.pack("<I", len(fmtc)) + fmtc
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    stereo = wav(1, 2, 16)
+    with pytest.raises(MediaFormatError):
+        decode_wav(stereo)
+    with pytest.raises(MediaFormatError):
+        probe_media(stereo)
+
+    floaty = wav(3, 1, 32)
+    with pytest.raises(MediaFormatError):
+        probe_media(floaty)
+
+    mono = wav(1, 1, 16)
+    assert probe_media(mono)["n_samples"] == 100

@@ -272,12 +272,13 @@ def test_unigram_train_single_corpus_scan(spark, sf_dir):
     exactly one parquet scan of documents — every EM round runs on the
     persisted vocabulary-side relations, never back to the corpus."""
     plan = plan_of(spark, "text_unigram_train", sf_dir)
-    assert plan.count("documents.parquet") <= 1 or (
-        # the cached words relation may print its origin scan once per
-        # InMemoryRelation block; accept either as long as no UNCACHED
-        # corpus scan remains
-        "InMemoryTableScan" in plan
-    )
+    # formatted mode dedupes shared physical nodes: the ONE cached scan
+    # prints its Location exactly once however many cached references
+    # exist, while any UNCACHED second scan would be a fresh node with
+    # its own Location line — so count == 1 IS the invariant, and the
+    # cached word-count relation must actually be served from memory
+    assert plan.count("documents.parquet") == 1
+    assert "InMemoryTableScan" in plan
 
 
 def test_key_skew_topk_is_reduce_not_global_window(spark, sf_dir):

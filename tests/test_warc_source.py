@@ -491,3 +491,17 @@ def test_stream_over_empty_landing_dir_completes(spark, tmp_path):
         output_mode="append",
     )
     assert out.count() == 0
+
+
+def test_dechunk_requires_chunk_terminating_crlf():
+    """The CRLF after each chunk's data is load-bearing: garbage there
+    means corrupt framing, which must raise (degrading the record to
+    raw bytes) rather than silently swallowing two arbitrary bytes and
+    mis-assembling the body."""
+    from reindexer_spark.sources.warc import _dechunk
+
+    good = b"5\r\nhello\r\n3\r\nfoo\r\n0\r\n\r\n"
+    assert _dechunk(good) == b"hellofoo"
+    bad = b"5\r\nhelloXX3\r\nfoo\r\n0\r\n\r\n"
+    with pytest.raises(ValueError):
+        _dechunk(bad)
