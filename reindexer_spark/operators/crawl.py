@@ -258,15 +258,11 @@ def crawl_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     loc = F.split_part(base, F.lit("?"), F.lit(1))
     scheme_host = F.regexp_extract(loc, "^[^/]+//[^/]+", 0)
     host_clean = F.regexp_replace(F.lower(scheme_host), ":443$", "")
+    # Column.substr accepts Column offsets, so the path derives from the
+    # SAME loc/scheme_host expressions as the host — one definition of
+    # the canonicalization rule, not a parallel SQL-string copy
     path_clean = F.regexp_replace(
-        F.expr(
-            "substring(split_part(regexp_replace(target_uri, '#.*$', ''),"
-            " '?', 1),"
-            " length(regexp_extract(split_part(regexp_replace(target_uri,"
-            " '#.*$', ''), '?', 1), '^[^/]+//[^/]+', 0)) + 1)"
-        ),
-        "/$",
-        "",
+        loc.substr(F.length(scheme_host) + 1, F.length(loc)), "/$", ""
     )
     canon = shaped.withColumn(
         "url_canonical", F.concat(host_clean, path_clean)
@@ -644,65 +640,10 @@ def reindex_then_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(cap_dir)
         .select("id", F.split("title_main_t", " ").alias("t"))
     )
-    dl = indexed.select("id", F.size("t").cast("bigint").alias("dl"))
-    corpus = dl.agg(
-        F.count("*").cast("bigint").alias("n"),
-        (
-            F.expr("(sum(dl) * 1000000) div count(*)").cast("double")
-            / 1000000.0
-        ).alias("avgdl"),
-    )
-    words = indexed.select("id", F.explode("t").alias("word")).filter(
-        F.col("word").isin(*_RS_TERMS)
-    )
-    tf = words.groupBy("id", "word").agg(
-        F.count("*").cast("bigint").alias("tf")
-    )
-    df = words.groupBy("word").agg(
-        F.countDistinct("id").cast("bigint").alias("df")
-    )
-    qdf = spark.createDataFrame(
-        [(qid, t) for qid, terms in RS_QUERIES.items() for t in terms],
-        "query_id int, word string",
-    )
-    idf = F.round(
-        F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
-        6,
-    )
-    term_score = F.round(
-        idf
-        * (
-            (F.col("tf") * 2.2)
-            / (
-                F.col("tf")
-                + RS_K1
-                * (
-                    1.0
-                    - RS_B
-                    + RS_B * (F.col("dl").cast("double") / F.col("avgdl"))
-                )
-            )
-        ),
-        6,
-    ).cast("decimal(20,6)")
-    totals = (
-        F.broadcast(qdf)
-        .join(tf, "word")
-        .join(F.broadcast(df), "word")
-        .join(dl, "id")
-        .crossJoin(F.broadcast(corpus))
-        .select("query_id", "id", term_score.alias("term_score"))
-        .groupBy("query_id", "id")
-        .agg(
-            F.sum("term_score").cast("double").alias("score"),
-            F.count("*").cast("bigint").alias("n_terms_hit"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("id"))
-    return (
-        totals.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= RS_TOPK)
-        .select("query_id", "rnk", "id", "score", "n_terms_hit")
+    from reindexer_spark.operators.text import bm25_rank
+
+    return bm25_rank(
+        spark, indexed, "id", _RS_TERMS, RS_QUERIES, RS_K1, RS_B, RS_TOPK
     )
 
 

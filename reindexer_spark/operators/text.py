@@ -308,6 +308,89 @@ _BM25_QUERY_SQL = " UNION ALL ".join(
 )
 
 
+def bm25_rank(
+    spark: SparkSession,
+    tokenized: DataFrame,
+    id_col: str,
+    terms: tuple[str, ...],
+    queries: dict[int, tuple[str, ...]],
+    k1: float,
+    b: float,
+    topk: int,
+) -> DataFrame:
+    """THE Okapi BM25 scorer, shared by docs_bm25_search (ranking the
+    documents table) and reindex_then_search (ranking the sunk Solr
+    index): one definition of the determinism contract — integer-exact
+    avgdl, once-rounded Lucene-style idf, once-rounded term scores
+    summed as DECIMAL, doc-id tie-break — so the two gates cannot
+    silently diverge.  ``tokenized`` carries (id_col, t: array<string>);
+    returns (query_id, rnk, id_col, score, n_terms_hit)."""
+    dl = tokenized.select(id_col, F.size("t").cast("bigint").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (
+            F.expr("(sum(dl) * 1000000) div count(*)").cast("double")
+            / 1000000.0
+        ).alias("avgdl"),
+    )
+    words = tokenized.select(id_col, F.explode("t").alias("word")).filter(
+        F.col("word").isin(*terms)
+    )
+    tf = words.groupBy(id_col, "word").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    df = words.groupBy("word").agg(
+        F.countDistinct(id_col).cast("bigint").alias("df")
+    )
+    q = spark.createDataFrame(
+        [(qid, t) for qid, qterms in queries.items() for t in qterms],
+        "query_id int, word string",
+    )
+    idf = F.round(
+        F.log(
+            (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ),
+        6,
+    )
+    term_score = F.round(
+        idf
+        * (
+            (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1
+                * (
+                    1.0
+                    - b
+                    + b * (F.col("dl").cast("double") / F.col("avgdl"))
+                )
+            )
+        ),
+        6,
+    ).cast("decimal(20,6)")
+    totals = (
+        F.broadcast(q)
+        .join(tf, "word")
+        .join(F.broadcast(df), "word")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .select("query_id", id_col, term_score.alias("term_score"))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum("term_score").cast("double").alias("score"),
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        totals.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select("query_id", "rnk", id_col, "score", "n_terms_hit")
+    )
+
+
 @query(
     "docs_bm25_search",
     oracle=f"""
@@ -379,70 +462,9 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     as DECIMAL (order-free), and ranks break ties on doc_id."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
-    dl = toks.select(
-        "doc_id", F.size("t").cast("bigint").alias("dl")
-    )
-    corpus = dl.agg(
-        F.count("*").cast("bigint").alias("n"),
-        (
-            F.expr("(sum(dl) * 1000000) div count(*)").cast("double")
-            / 1000000.0
-        ).alias("avgdl"),
-    )
-    words = toks.select("doc_id", F.explode("t").alias("word")).filter(
-        F.col("word").isin(*_BM25_TERMS)
-    )
-    tf = words.groupBy("doc_id", "word").agg(
-        F.count("*").cast("bigint").alias("tf")
-    )
-    df = words.groupBy("word").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("df")
-    )
-    q = spark.createDataFrame(
-        [(qid, t) for qid, terms in BM25_QUERIES.items() for t in terms],
-        "query_id int, word string",
-    )
-    idf = F.round(
-        F.log(
-            (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-        ),
-        6,
-    )
-    term_score = F.round(
-        idf
-        * (
-            (F.col("tf") * 2.2)
-            / (
-                F.col("tf")
-                + BM25_K1
-                * (
-                    1.0
-                    - BM25_B
-                    + BM25_B * (F.col("dl").cast("double") / F.col("avgdl"))
-                )
-            )
-        ),
-        6,
-    ).cast("decimal(20,6)")
-    scored = (
-        F.broadcast(q)
-        .join(tf, "word")
-        .join(F.broadcast(df), "word")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(corpus))
-        .select("query_id", "doc_id", term_score.alias("term_score"))
-    )
-    totals = scored.groupBy("query_id", "doc_id").agg(
-        F.sum("term_score").cast("double").alias("score"),
-        F.count("*").cast("bigint").alias("n_terms_hit"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-    return (
-        totals.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= BM25_TOPK)
-        .select("query_id", "rnk", "doc_id", "score", "n_terms_hit")
+    return bm25_rank(
+        spark, toks, "doc_id", _BM25_TERMS, BM25_QUERIES,
+        BM25_K1, BM25_B, BM25_TOPK,
     )
 
 
