@@ -134,6 +134,7 @@ EXTENDED = [
     "dq_key_skew",
     "stream_crawl_ingest_live",
     "corpus_mix_epochs",
+    "knn_ivf_incremental",
 ]
 
 

@@ -1538,3 +1538,248 @@ def knn_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hit").over(Window.partitionBy("query_id")).cast("double")
         / IVFR_TOPK,
     )
+
+
+# Incremental IVF maintenance: the md5-split "arriving" slice (~10%,
+# same convention as dedup_incremental's batch split).
+INC_NEW_HEX = "1999"
+INC_NQ = 8  # queries: the smallest-id arriving vectors
+
+
+@query(
+    "knn_ivf_incremental",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '{INC_NEW_HEX}'
+               AS is_new
+      FROM embeddings
+    ),
+    flat AS (
+      SELECT vec_id, is_new, generate_subscripts(emb, 1) AS idx,
+             unnest(emb) AS v
+      FROM e
+    ),
+    stats AS (
+      SELECT idx, CAST(MIN(v) AS DOUBLE) AS mn, CAST(MAX(v) AS DOUBLE) AS mx
+      FROM flat WHERE NOT is_new GROUP BY idx
+    ),
+    deq AS (
+      SELECT f.vec_id, f.idx,
+             CASE WHEN s.mx = s.mn THEN s.mn
+                  ELSE s.mn
+                       + (LEAST(127, GREATEST(-127,
+                            CAST(ROUND((f.v - s.mn) / (s.mx - s.mn) * 254
+                                       - 127, 0) AS INT))) + 127.0)
+                         / 254.0 * (s.mx - s.mn) END AS dv
+      FROM flat f JOIN stats s USING (idx)
+    ),
+    seeds AS (
+      SELECT vec_id AS cluster_id, emb AS centroid
+      FROM e WHERE NOT is_new
+      ORDER BY vec_id LIMIT {ADC_COARSE_K}
+    ),
+    assigned AS (
+      SELECT vec_id, is_new, cluster_id FROM (
+        SELECT e.vec_id, e.is_new, s.cluster_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY FLOOR(list_dot_product(e.emb, s.centroid)
+                                * 1000000) DESC, s.cluster_id
+               ) AS rn
+        FROM e CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    queries AS (
+      SELECT vec_id AS query_id, emb AS qemb
+      FROM e WHERE is_new
+      ORDER BY vec_id LIMIT {INC_NQ}
+    ),
+    probe AS (
+      SELECT query_id, cluster_id FROM (
+        SELECT q.query_id, s.cluster_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY FLOOR(list_dot_product(q.qemb, s.centroid)
+                                * 1000000) DESC, s.cluster_id
+               ) AS rn
+        FROM queries q CROSS JOIN seeds s
+      ) WHERE rn <= {ADC_NPROBE}
+    ),
+    qflat AS (
+      SELECT query_id, generate_subscripts(qemb, 1) AS idx,
+             unnest(qemb) AS qv
+      FROM queries
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id, a.is_new
+      FROM probe p JOIN assigned a USING (cluster_id)
+      WHERE a.vec_id <> p.query_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.vec_id, c.is_new,
+             CAST(SUM(CAST(FLOOR((qf.qv - d.dv) * (qf.qv - d.dv) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS adc_dist_q
+      FROM cand c
+      JOIN qflat qf ON qf.query_id = c.query_id
+      JOIN deq d ON d.vec_id = c.vec_id AND d.idx = qf.idx
+      GROUP BY c.query_id, c.vec_id, c.is_new
+    )
+    SELECT query_id, rnk, neighbor_id, adc_dist_q, neighbor_is_new
+    FROM (
+      SELECT query_id, vec_id AS neighbor_id, adc_dist_q,
+             is_new AS neighbor_is_new,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist_q, vec_id) AS rnk
+      FROM adc
+    ) WHERE rnk <= {ADC_TOPK}
+    ORDER BY query_id, rnk
+    """,
+)
+def knn_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE — the operational reality of a 100 TB
+    vector store that knn_ivf_adc's one-shot build leaves out: a ~10%
+    md5-split batch of vectors ARRIVES against a standing index whose
+    coarse centroids AND int8 code book are FROZEN (re-training either
+    would force re-encoding the whole corpus), new vectors are assigned
+    to the frozen lists with codes CLAMPED to [-127, 127] (values
+    outside the standing min/max — quantizer drift, the honest cost of
+    freezing), and each arriving vector immediately queries the MERGED
+    index — the ANN-upsert-then-dedup-check pattern an ingest pipeline
+    runs per batch.  Emitted neighbors carry a neighbor_is_new flag, so
+    the gate value-checks that fresh vectors are searchable the moment
+    they are assigned — no rebuild, no reindex.
+
+    Scale shape mirrors dedup_incremental's maintenance story: the
+    frozen seeds and per-dimension stats broadcast; only the BATCH
+    pays assignment/encoding cost (the standing corpus is not
+    re-encoded — its codes are already on disk; recomputing them here
+    is testdata convenience); queries fan out to NPROBE of K lists.
+
+    Determinism: same integer-distance/ROUND/tie-break contract as
+    knn_ivf_adc; the split is the md5-hex convention every incremental
+    lane in this repo uses."""
+    from reindexer_spark.operators.mlprep import _dot
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("emb"),
+        (
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4)
+            < INC_NEW_HEX
+        ).alias("is_new"),
+    )
+    flat = e.select(
+        "vec_id", "is_new", F.posexplode("emb").alias("idx0", "v")
+    ).select("vec_id", "is_new", (F.col("idx0") + 1).alias("idx"), "v")
+    stats = (
+        flat.filter(~F.col("is_new"))
+        .groupBy("idx")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    code = F.least(
+        F.lit(127),
+        F.greatest(
+            F.lit(-127),
+            F.round(
+                (F.col("v") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * 254
+                - 127,
+                0,
+            ).cast("int"),
+        ),
+    )
+    dv = F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
+        F.col("mn")
+        + (code + F.lit(127.0)) / F.lit(254.0) * (F.col("mx") - F.col("mn"))
+    )
+    deq = (
+        flat.join(F.broadcast(stats), "idx")
+        .select("vec_id", "idx", dv.alias("dv"))
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "dv"))),
+                lambda s: s["dv"],
+            ).alias("dvec")
+        )
+    )
+    seeds = (
+        e.filter(~F.col("is_new"))
+        .orderBy("vec_id")
+        .limit(ADC_COARSE_K)
+        .select(
+            F.col("vec_id").alias("cluster_id"),
+            F.col("emb").alias("centroid"),
+        )
+    )
+    rank_dot = F.floor(_dot(F.col("emb"), F.col("centroid")) * 1e6)
+    assigned = (
+        e.crossJoin(F.broadcast(seeds))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    rank_dot.desc(), F.col("cluster_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "is_new", "cluster_id")
+    )
+    queries_df = (
+        e.filter(F.col("is_new"))
+        .orderBy("vec_id")
+        .limit(INC_NQ)
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+    )
+    probe = (
+        queries_df.crossJoin(F.broadcast(seeds))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.floor(_dot(F.col("qemb"), F.col("centroid")) * 1e6)
+                    .desc(),
+                    F.col("cluster_id"),
+                )
+            ),
+        )
+        .filter(F.col("rn") <= ADC_NPROBE)
+        .select("query_id", "cluster_id")
+    )
+
+    def _int_dist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: F.floor((x - y) * (x - y) * 1e6)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    cand = (
+        probe.join(assigned, "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(deq, "vec_id")
+        .join(F.broadcast(queries_df), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("is_new").alias("neighbor_is_new"),
+            _int_dist(F.col("qemb"), F.col("dvec")).alias("adc_dist_q"),
+        )
+    )
+    return (
+        cand.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    "adc_dist_q", "neighbor_id"
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= ADC_TOPK)
+        .select("query_id", "rnk", "neighbor_id", "adc_dist_q",
+                "neighbor_is_new")
+        .orderBy("query_id", "rnk")
+    )
