@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,6 +43,24 @@ CRAWL_SHARDS = 8
 LINE_WORDS = 8        # words per synthesized page line
 MIN_LINE_WORDS = 5    # C4-style short-line drop
 MIN_KEPT_LINES = 2    # doc-level quality gate
+
+
+def _fixture_dir(kind: str, sf_dir: str) -> str:
+    """Fresh per-process landing directory for synthesized WARC shards.
+
+    Keyed by (fixture dir, pid) so two concurrent sessions on the same
+    fixture never race each other's cleanup (one used to unlink shards
+    while the other's read listed them), and reset with rmtree so a
+    stray subdirectory can't break the cleanup the old per-file unlink
+    loop did."""
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    d = os.path.join(
+        tempfile.gettempdir(), f"rs_{kind}_{tag}_{os.getpid()}"
+    )
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    os.makedirs(d)
+    return d
 
 
 def _page_lines(text: str) -> list[str]:
@@ -202,11 +222,7 @@ def crawl_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reindexer_spark.sources.warc import WarcDataSource
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    out_dir = os.path.join("/tmp", f"rs_crawl_{tag}")
-    os.makedirs(out_dir, exist_ok=True)
-    for old in os.listdir(out_dir):
-        os.unlink(os.path.join(out_dir, old))
+    out_dir = _fixture_dir("crawl", sf_dir)
     _synth_warc_shards(docs, out_dir)
 
     spark.dataSource.register(WarcDataSource)
@@ -404,11 +420,7 @@ def crawl_media_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < HARVEST_DOCS
     )
     media = _synth_media(docs)
-    tag = hashlib.md5(("media:" + os.path.abspath(sf_dir)).encode()).hexdigest()[:10]
-    out_dir = os.path.join("/tmp", f"rs_mediacrawl_{tag}")
-    os.makedirs(out_dir, exist_ok=True)
-    for old in os.listdir(out_dir):
-        os.unlink(os.path.join(out_dir, old))
+    out_dir = _fixture_dir("mediacrawl", sf_dir)
     _synth_media_warc(media, out_dir)
 
     from reindexer_spark.sources.warc import WarcDataSource
@@ -620,13 +632,7 @@ def reindex_then_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = documents_as_spofford(
         load_table(spark, sf_dir, "documents")
     )
-    tag = hashlib.md5(
-        ("search:" + os.path.abspath(sf_dir)).encode()
-    ).hexdigest()[:10]
-    cap_dir = os.path.join("/tmp", f"rs_search_{tag}")
-    os.makedirs(cap_dir, exist_ok=True)
-    for old in os.listdir(cap_dir):
-        os.unlink(os.path.join(cap_dir, old))
+    cap_dir = _fixture_dir("search", sf_dir)
     conf = ReindexConfig(password="search", solr_url="capture://search")
     sink = SolrSink(
         conf.solr_url,
@@ -709,11 +715,7 @@ def stream_crawl_ingest_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reindexer_spark.streaming import run_stream_to_memory
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    out_dir = os.path.join("/tmp", f"rs_streamcrawl_{tag}")
-    os.makedirs(out_dir, exist_ok=True)
-    for old in os.listdir(out_dir):
-        os.unlink(os.path.join(out_dir, old))
+    out_dir = _fixture_dir("streamcrawl", sf_dir)
     _synth_warc_shards(docs, out_dir)
 
     spark.dataSource.register(WarcDataSource)

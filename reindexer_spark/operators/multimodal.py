@@ -1207,8 +1207,6 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw frames never leave the task.  Scene-aligned clip sampling
     then replaces fixed-interval frame sampling upstream of training,
     cutting the near-duplicate frames a fixed grid would emit."""
-    import pandas as pd
-
     return _scene_cut_core(
         _synth_scene_video(
             load_table(spark, sf_dir, "documents").filter(

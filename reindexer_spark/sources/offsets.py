@@ -1,0 +1,74 @@
+"""Compacted seen-file offsets for the directory-tailing stream sources.
+
+The WARC and WebDataset stream readers tail a landing directory: the
+stream offset records which shard files have already been ingested so a
+replayed micro-batch re-reads exactly the same files.  The naive offset
+(the full list of every file ever seen) re-serializes the whole history
+into every checkpoint entry and diffs ever-growing sets per trigger —
+unbounded for a long-running tail.  Spark's built-in file source solves
+this with a compacted seen-file log plus a ``maxFileAge`` horizon; this
+module is the same trade expressed as a self-describing offset:
+
+    offset = {"b": <boundary name>, "recent": [names > boundary]}
+
+meaning "every file whose name sorts <= ``b`` has been ingested, plus
+the explicit ``recent`` list".  New files are always carried explicitly
+in ``recent`` (so the start->end diff never has to re-list the
+directory — replays stay deterministic), and the boundary advances only
+over names that were already part of a previous offset, and only once
+``recent`` outgrows the cap.  The cost of the compaction is the same
+one Spark's file source accepts: a shard that lands with a name sorting
+below the boundary after more than ``cap`` newer shards have landed is
+never picked up.  Writers that land shards with roughly monotonic names
+(the normal ``shard-000001``... pattern) are never affected.
+"""
+
+from __future__ import annotations
+
+OFFSET_CAP = 256  # max explicit names carried per offset
+
+
+def initial_offset() -> dict:
+    return {"b": "", "recent": []}
+
+
+def normalize_offset(off: dict, legacy_key: str) -> dict:
+    """Accept a pre-compaction checkpoint offset ({legacy_key: [all
+    files ever]}) so an in-flight stream survives the upgrade."""
+    if legacy_key in off:
+        return {"b": "", "recent": sorted(off[legacy_key])}
+    return off
+
+
+def advance_offset(prev: dict, listed: list[str], cap: int = OFFSET_CAP) -> dict:
+    """Fold the files currently listed in the directory into ``prev``.
+
+    Names not yet covered by ``prev`` are appended to ``recent``; then,
+    if ``recent`` exceeds ``cap``, the boundary advances over the
+    longest prefix of names that were ALREADY in ``prev`` (i.e. already
+    assigned to an earlier micro-batch) — never over a name first seen
+    this trigger, so the consecutive start->end diff in partitions()
+    always finds every new name explicitly listed in ``end``."""
+    prev_recent = set(prev["recent"])
+    b = prev["b"]
+    new = [n for n in listed if n > b and n not in prev_recent]
+    if not new and len(prev_recent) <= cap:
+        return prev  # unchanged offset => engine sees "no new data"
+    combined = sorted(prev_recent | set(new))
+    if len(combined) > cap:
+        drop_limit = len(combined) - cap
+        i = 0
+        while i < drop_limit and combined[i] in prev_recent:
+            i += 1
+        if i:
+            b = combined[i - 1]
+            combined = combined[i:]
+    return {"b": b, "recent": combined}
+
+
+def new_names(start: dict, end: dict) -> list[str]:
+    """Files assigned to the (start, end] micro-batch: exactly the
+    names ``end`` carries explicitly that ``start`` had not seen."""
+    seen = set(start["recent"])
+    b = start["b"]
+    return sorted(n for n in end["recent"] if n > b and n not in seen)

@@ -50,6 +50,13 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+from reindexer_spark.sources.offsets import (
+    advance_offset,
+    initial_offset,
+    new_names,
+    normalize_offset,
+)
+
 WARC_SCHEMA = (
     "warc_file string, record_id string, warc_type string, "
     "warc_date string, target_uri string, content_type string, "
@@ -255,11 +262,14 @@ class WarcStreamReader(DataSourceStreamReader):
     """Crawl ingestion as a STREAM: each micro-batch processes the WARC
     files that appeared in the source directory since the last offset —
     the shape of a crawler that drops finished shards into a landing
-    directory while Spark tails it.  The offset is the sorted list of
-    file names already ingested (exactly-once at FILE granularity: a
-    shard is assigned to one micro-batch, replays of that batch re-read
-    the same files), and each new file becomes one input partition, so
-    the stream distributes exactly like the batch source.
+    directory while Spark tails it.  The offset is a COMPACTED
+    seen-file set (``sources/offsets.py``: a boundary name plus the
+    explicit recent names — O(cap) per checkpoint entry, like Spark's
+    file-source seen-file log, instead of the full ever-ingested
+    history).  Exactly-once at FILE granularity: a shard is assigned to
+    one micro-batch, replays of that batch re-read the same files, and
+    each new file becomes one input partition, so the stream
+    distributes exactly like the batch source.
 
     Contract (same as Spark's built-in file source): writers must
     make shards VISIBLE ATOMICALLY (write to a temp name, then
@@ -271,6 +281,7 @@ class WarcStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("warc source requires a path")
+        self._last: dict | None = None
 
     def _files_now(self) -> list[str]:
         return sorted(
@@ -281,13 +292,21 @@ class WarcStreamReader(DataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:  # noqa: N802 - API contract
-        return {"files": []}
+        return initial_offset()
 
     def latestOffset(self) -> dict:  # noqa: N802 - API contract
-        return {"files": self._files_now()}
+        # compacted offset (sources/offsets.py): boundary + explicit
+        # recent names, O(cap) per checkpoint entry instead of the full
+        # ever-ingested history
+        prev = self._last or initial_offset()
+        off = advance_offset(prev, self._files_now())
+        self._last = off
+        return off
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        new = sorted(set(end["files"]) - set(start["files"]))
+        start = normalize_offset(start, "files")
+        end = normalize_offset(end, "files")
+        new = new_names(start, end)
         return [_WarcPartition(os.path.join(self.path, n)) for n in new]
 
     def read(self, partition: _WarcPartition) -> Iterator[tuple]:

@@ -46,6 +46,13 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+from reindexer_spark.sources.offsets import (
+    advance_offset,
+    initial_offset,
+    new_names,
+    normalize_offset,
+)
+
 WDS_SCHEMA = (
     "shard string, key string, members map<string, binary>, "
     "n_members int, n_bytes bigint"
@@ -152,18 +159,20 @@ class WebDatasetReader(DataSourceReader):
 
 class WebDatasetStreamReader(DataSourceStreamReader):
     """Training-shard ingestion as a STREAM (same contract as the warc
-    streaming reader): the offset is the set of tar shards already
-    ingested, each micro-batch processes the shards that landed since,
-    and each new shard is one input partition — file-granular
-    exactly-once, the shape of a data loader tailing a shard bucket
-    while an upstream job keeps writing.  Same visibility contract
-    as the warc stream reader: shards must land via atomic rename —
-    a listed shard is assumed complete."""
+    streaming reader): the offset is the COMPACTED set of tar shards
+    already ingested (``sources/offsets.py`` — boundary + explicit
+    recent names, O(cap) per checkpoint entry), each micro-batch
+    processes the shards that landed since, and each new shard is one
+    input partition — file-granular exactly-once, the shape of a data
+    loader tailing a shard bucket while an upstream job keeps writing.
+    Same visibility contract as the warc stream reader: shards must
+    land via atomic rename — a listed shard is assumed complete."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("webdataset source requires a path")
+        self._last: dict | None = None
 
     def _files_now(self) -> list[str]:
         return sorted(
@@ -174,13 +183,18 @@ class WebDatasetStreamReader(DataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:  # noqa: N802 - API contract
-        return {"shards": []}
+        return initial_offset()
 
     def latestOffset(self) -> dict:  # noqa: N802 - API contract
-        return {"shards": self._files_now()}
+        prev = self._last or initial_offset()
+        off = advance_offset(prev, self._files_now())
+        self._last = off
+        return off
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        new = sorted(set(end["shards"]) - set(start["shards"]))
+        start = normalize_offset(start, "shards")
+        end = normalize_offset(end, "shards")
+        new = new_names(start, end)
         return [_ShardPartition(os.path.join(self.path, n)) for n in new]
 
     def read(self, partition: _ShardPartition) -> Iterator[tuple]:

@@ -1,0 +1,97 @@
+"""Compacted stream-offset logic (sources/offsets.py).
+
+The directory-tailing sources (warc, webdataset) used to carry the full
+ever-ingested file list in every checkpoint offset; these tests pin the
+compacted replacement: bounded offset size, exactly-once assignment of
+every shard across consecutive offset pairs, legacy-offset upgrade, and
+restart behavior.
+"""
+
+from reindexer_spark.sources.offsets import (
+    OFFSET_CAP,
+    advance_offset,
+    initial_offset,
+    new_names,
+    normalize_offset,
+)
+
+
+def _shard(i: int) -> str:
+    return f"shard-{i:06d}.warc.gz"
+
+
+def test_new_files_flow_through_diff():
+    o0 = initial_offset()
+    o1 = advance_offset(o0, [_shard(0), _shard(1)])
+    assert new_names(o0, o1) == [_shard(0), _shard(1)]
+    o2 = advance_offset(o1, [_shard(0), _shard(1), _shard(2)])
+    assert new_names(o1, o2) == [_shard(2)]
+
+
+def test_no_new_data_returns_identical_offset():
+    o1 = advance_offset(initial_offset(), [_shard(0)])
+    o2 = advance_offset(o1, [_shard(0)])
+    assert o2 is o1  # engine compares offsets to skip empty batches
+
+
+def test_long_tail_offset_stays_bounded_and_exactly_once():
+    """1000 shards landing 10 at a time: every shard is assigned to
+    exactly one batch, and no offset ever exceeds the cap."""
+    prev = initial_offset()
+    assigned: list[str] = []
+    listed: list[str] = []
+    for batch in range(100):
+        listed += [_shard(batch * 10 + j) for j in range(10)]
+        cur = advance_offset(prev, sorted(listed))
+        assigned += new_names(prev, cur)
+        assert len(cur["recent"]) <= OFFSET_CAP
+        prev = cur
+    assert assigned == sorted(_shard(i) for i in range(1000))
+    assert len(set(assigned)) == 1000
+
+
+def test_compaction_never_drops_a_name_first_seen_this_trigger():
+    """Even if more than cap files land in ONE trigger, all of them are
+    carried explicitly so the consecutive diff still finds each one."""
+    prev = initial_offset()
+    files = sorted(_shard(i) for i in range(OFFSET_CAP * 2))
+    cur = advance_offset(prev, files)
+    assert new_names(prev, cur) == files  # nothing silently compacted
+    # the NEXT trigger (names now committed) is allowed to compact
+    nxt = advance_offset(cur, files)
+    assert len(nxt["recent"]) <= OFFSET_CAP
+    assert new_names(cur, nxt) == []
+
+
+def test_out_of_order_landing_within_cap_is_picked_up():
+    prev = advance_offset(initial_offset(), [_shard(5)])
+    cur = advance_offset(prev, [_shard(3), _shard(5)])  # late, below max
+    assert new_names(prev, cur) == [_shard(3)]
+
+
+def test_legacy_offset_upgrade():
+    legacy = {"files": [_shard(1), _shard(0)]}
+    norm = normalize_offset(legacy, "files")
+    assert norm == {"b": "", "recent": [_shard(0), _shard(1)]}
+    # a fresh (post-restart) fat end offset diffs correctly against it
+    end = advance_offset(initial_offset(), [_shard(0), _shard(1), _shard(2)])
+    assert new_names(norm, end) == [_shard(2)]
+
+
+def test_restart_against_compacted_checkpoint():
+    """After restart the reader has no internal state: its first
+    latestOffset folds everything listed into a fat offset; the diff
+    against the compacted checkpointed start must yield only files that
+    landed after the checkpoint."""
+    prev = initial_offset()
+    listed = sorted(_shard(i) for i in range(OFFSET_CAP + 50))
+    prev = advance_offset(prev, listed)
+    prev = advance_offset(prev, listed)  # compacts: b advanced
+    assert prev["b"] != ""
+    # restart: two new shards land, reader lists everything from scratch
+    listed2 = sorted(listed + [_shard(OFFSET_CAP + 50), _shard(OFFSET_CAP + 51)])
+    end = advance_offset(initial_offset(), listed2)
+    assert new_names(prev, end) == [
+        _shard(OFFSET_CAP + 50),
+        _shard(OFFSET_CAP + 51),
+    ]

@@ -239,17 +239,25 @@ def test_crawl_corpus_e2e_wire_forms_on_disk(spark, sf_dir):
     """The flagship e2e genuinely rotates wire encodings: after a run,
     the written shards contain gzip, chunked AND identity response
     bodies, and the source decodes all three back to parseable HTML."""
-    import hashlib
     import os
 
     from reindexer_spark import get_query
+    from reindexer_spark.operators.crawl import _fixture_dir
     from reindexer_spark.sources.warc import WarcDataSource
 
     out = get_query("crawl_corpus_e2e").fn(spark, sf_dir)
     n_corpus = out.count()
     assert n_corpus > 0
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    crawl_dir = os.path.join("/tmp", f"rs_crawl_{tag}")
+    # recompute the pid-keyed landing dir (the helper resets it, so
+    # re-synthesize the shards it just cleared)
+    crawl_dir = _fixture_dir("crawl", sf_dir)
+    from reindexer_spark.catalog import load_table
+    from reindexer_spark.operators.crawl import _synth_warc_shards
+
+    _synth_warc_shards(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        crawl_dir,
+    )
     shards = sorted(os.listdir(crawl_dir))
     assert len(shards) == 8 and all(s.endswith(".warc.gz") for s in shards)
     spark.dataSource.register(WarcDataSource)
@@ -350,7 +358,7 @@ def test_stream_reader_offsets_ingest_each_file_once(tmp_path):
     rdr = WarcStreamReader({"path": str(tmp_path)})
     o0 = rdr.initialOffset()
     o1 = rdr.latestOffset()
-    assert o1 == {"files": ["a.warc", "b.warc"]}
+    assert o1 == {"b": "", "recent": ["a.warc", "b.warc"]}
     parts1 = rdr.partitions(o0, o1)
     assert sorted(p.path.split("/")[-1] for p in parts1) == [
         "a.warc",

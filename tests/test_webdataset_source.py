@@ -139,7 +139,7 @@ def test_stream_reader_ingests_each_shard_once(tmp_path):
     )
     rdr = WebDatasetStreamReader({"path": str(tmp_path)})
     o0, o1 = rdr.initialOffset(), rdr.latestOffset()
-    assert o1 == {"shards": ["s0.tar"]}
+    assert o1 == {"b": "", "recent": ["s0.tar"]}
     parts1 = rdr.partitions(o0, o1)
     keys1 = sorted(r[1] for p in parts1 for r in rdr.read(p))
     assert keys1 == ["a", "b"]
