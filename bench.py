@@ -63,6 +63,20 @@ if os.environ.get("SPARK_GRAFT_STREAM_POS") == "mid":
     HEADLINE.remove("stream_tumbling_live")
     HEADLINE.insert(len(HEADLINE) // 2, "stream_tumbling_live")
 
+# Second tracked total (round-7 VERDICT #1): the flagship end-to-end
+# compositions, median-of-reps like the headline, reported as
+# "headline2_total".  Kept SEPARATE from the frozen round-1 headline so
+# that ledger stays round-over-round comparable; these four graduated
+# out of the single-shot EXTENDED ledger when this total was added
+# (round 8), so their earlier history lives in extended_queries of
+# older BENCH_LOCAL entries.
+HEADLINE2 = [
+    "crawl_corpus_e2e",
+    "corpus_training_batches",
+    "reindex_then_search",
+    "corpus_dedup_funnel",
+]
+
 # Round-3+ additions, timed but OUTSIDE the headline total so the
 # round-over-round ledger stays comparable (round-2 VERDICT #8).
 EXTENDED = [
@@ -113,23 +127,19 @@ EXTENDED = [
     "dataset_snapshot_diff",
     "text_context_windows",
     "graph_label_propagation",
-    "corpus_dedup_funnel",
     # round 7
     "embed_semdedup",
     "knn_ivf_adc",
-    "crawl_corpus_e2e",
     "docs_bm25_search",
     "knn_pq_adc",
     "quality_logreg_train",
     "crawl_media_harvest",
-    "reindex_then_search",
     "knn_ivfadc_residual",
     "text_unigram_train",
     "text_unigram_apply",
     "corpus_pack_greedy",
     "quality_logreg_score",
     "stream_pack_greedy_live",
-    "corpus_training_batches",
     "text_unigram_fertility",
     "dq_key_skew",
     "stream_crawl_ingest_live",
@@ -162,12 +172,22 @@ def main() -> int:
     # noise of the old single-sweep wall total, since per-query timing
     # gaps are microseconds).
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = get_query(name)
-        runs = sorted(run_once(q) for _ in range(reps))
-        timings[name] = round(runs[len(runs) // 2], 3)
+    def median_sweep(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            q = get_query(name)
+            runs = sorted(run_once(q) for _ in range(reps))
+            out[name] = round(runs[len(runs) // 2], 3)
+        return out
+
+    timings = median_sweep(HEADLINE)
     total = round(sum(timings.values()), 3)
+
+    # headline2: the flagship compositions, same median-of-reps
+    # treatment, tracked as their own total so round-over-round deltas
+    # exist for the e2e lanes without breaking the frozen headline set.
+    timings2 = median_sweep(HEADLINE2)
+    total2 = round(sum(timings2.values()), 3)
 
     # Extended queries stay single-shot (33 queries, several of them
     # multi-second live streams — tripling them would triple bench wall
@@ -189,6 +209,8 @@ def main() -> int:
         "unit": "sec",
         "reps": reps,  # headline values are per-query medians of N runs
         "queries": timings,
+        "headline2_total": total2,
+        "headline2_queries": timings2,
         "extended_queries": extended,
         "sf": sf,
     }
@@ -201,7 +223,7 @@ def main() -> int:
         pass
     print(json.dumps(line))
     prior_local = _append_bench_local(line)
-    _print_delta_ledger(timings, total, sf, prior_local)
+    _print_delta_ledger(timings, total, sf, prior_local, timings2, total2)
     return 0
 
 
@@ -269,7 +291,12 @@ def _append_bench_local(line: dict) -> dict | None:
 
 
 def _print_delta_ledger(
-    timings: dict[str, float], total: float, sf, fallback: dict | None = None
+    timings: dict[str, float],
+    total: float,
+    sf,
+    fallback: dict | None = None,
+    timings2: dict[str, float] | None = None,
+    total2: float | None = None,
 ) -> None:
     """Cross-round perf ledger to STDERR (stdout stays the one-line JSON
     contract): per-query delta vs the newest BENCH_r*.json at the same sf,
@@ -310,6 +337,25 @@ def _print_delta_ledger(
     bt = base.get("value")
     if bt:
         lines.append(f"TOTAL: {total:.2f}s vs {bt:.2f}s ({(total - bt) / bt:+.0%})")
+    if timings2:
+        # prior headline2 values; pre-r8 history carried these four
+        # single-shot in extended_queries
+        bq2 = base.get("headline2_queries") or base.get("extended_queries", {})
+        for name, t in timings2.items():
+            b = bq2.get(name)
+            if b:
+                lines.append(
+                    f"{name}: {t:.2f}s vs {b:.2f}s ({(t - b) / b:+.0%}) [h2]"
+                )
+            else:
+                lines.append(f"{name}: {t:.2f}s (new) [h2]")
+        bt2 = base.get("headline2_total")
+        if bt2 and total2:
+            lines.append(
+                f"TOTAL2: {total2:.2f}s vs {bt2:.2f}s ({(total2 - bt2) / bt2:+.0%})"
+            )
+        elif total2:
+            lines.append(f"TOTAL2: {total2:.2f}s (first tracked round)")
     print("\n".join(lines), file=sys.stderr)
 
 
