@@ -206,6 +206,163 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# scalejoin_salted hot-key threshold: a key carrying >= 3/2 the mean
+# per-key load is "hot" (2*cnt*n_keys >= 3*total — pure integer math so
+# Spark and DuckDB classify identically).  Production would also cap the
+# hot set (top-K by count); the threshold alone suffices here because a
+# skewed corpus has FEW hot keys by definition — that is what skew is.
+_HOT_NUM = 3
+_HOT_DEN = 2
+
+
+def hot_key_relation(fact: DataFrame, key: str) -> DataFrame:
+    """The dq_key_skew diagnosis as a relation: fact keys above the
+    {_HOT_NUM}/{_HOT_DEN}-of-mean load threshold, as (key, is_hot)."""
+    counts = fact.groupBy(F.col(key).alias("key")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    stats = counts.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .filter(
+            F.lit(_HOT_DEN) * F.col("cnt") * F.col("n_keys")
+            >= F.lit(_HOT_NUM) * F.col("total")
+        )
+        .select("key", F.lit(True).alias("is_hot"))
+    )
+
+
+def salt_fact_by_hot_keys(
+    fact: DataFrame, key: str, uniq: str, hot: DataFrame, n_salt: int
+) -> DataFrame:
+    """Tag fact rows with the remediation salt: hot keys spread over
+    ``n_salt`` salts (deterministically, from the row's unique key so
+    task retries salt identically), cold keys pinned to salt 0."""
+    return (
+        fact.join(F.broadcast(hot), fact[key] == hot.key, "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("is_hot"),
+                F.pmod(F.xxhash64(uniq), F.lit(n_salt)),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("key")
+    )
+
+
+def salted_hot_join(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    n_salt: int = _NSALT,
+) -> DataFrame:
+    """Core of ``scalejoin_salted``, factored out so tests and the
+    SCALE_PROOF leg can drive it with a synthetic hot-key corpus (see
+    the query docstring)."""
+    # Tracked because BOTH join sides consult the hot set — without the
+    # persist each broadcast would recount the fact table.
+    hot = track(hot_key_relation(orders, "o_custkey"))
+    o = salt_fact_by_hot_keys(orders, "o_custkey", "o_orderkey", hot, n_salt)
+    c = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(F.broadcast(hot), customer.c_custkey == hot.key, "left")
+        .withColumn(
+            "salt",
+            F.explode(
+                F.when(
+                    F.col("is_hot"),
+                    F.sequence(F.lit(0), F.lit(n_salt - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .select("c_custkey", "c_nationkey", "salt")
+    )
+    n = nation.select("n_nationkey", "n_name")
+    return (
+        o.join(
+            c.hint("shuffle_hash"),
+            (o.o_custkey == c.c_custkey) & (o.salt == c.salt),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("order_cnt"),
+            F.sum(F.when(F.col("is_hot"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("hot_orders"),
+            dsum(dec("o_totalprice"), "total_revenue"),
+        )
+    )
+
+
+@query(
+    "scalejoin_salted",
+    oracle=f"""
+    WITH counts AS (
+      SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM counts
+    ),
+    hot AS (
+      SELECT c.key FROM counts c CROSS JOIN stats s
+      WHERE {_HOT_DEN} * c.cnt * s.n_keys >= {_HOT_NUM} * s.total
+    )
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS order_cnt,
+           CAST(SUM(CASE WHEN h.key IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS hot_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS total_revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    LEFT JOIN hot h ON h.key = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def scalejoin_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnose-then-remediate skew join: the composition dq_key_skew
+    recommends, as one query.  Phase 1 is the diagnosis (per-key counts
+    on the prospective shuffle key, thresholded at {_HOT_NUM}/{_HOT_DEN}
+    of the mean per-key load — the same integer-exact skew measure
+    dq_key_skew reports); phase 2 is the remediation: ONLY the hot keys
+    get salted (fact rows of a hot key spread over {_NSALT} salts via
+    xxhash64 of the row's unique key — deterministic, so AQE task
+    retries salt identically), and the dimension replicates x{_NSALT}
+    ONLY for hot keys (cold keys ride salt 0 unreplicated).  This is
+    the production shape: uniform salting (join_skew_salted) multiplies
+    the WHOLE dimension shuffle by S, targeted salting pays replication
+    only on the keys that need it.
+
+    Every fact row still meets exactly one (key, salt) dimension row,
+    so the result equals the plain join — the oracle — with hot_orders
+    exposing how many rows rode the salted path (which also value-checks
+    the hot classification itself against the oracle's recomputation).
+
+    Scale shape: one count agg on the key (the diagnosis — same
+    exchange the join pays anyway), hot set broadcast to both sides,
+    shuffle on (key, salt) hash-spread across reducers; the
+    shuffle_hash hint keeps the exchange real instead of letting the
+    small test dimension collapse to a broadcast.  SCALE_PROOF's
+    salted_join section measures the straggler factor (max/mean
+    partition load) this buys on a zipf-keyed corpus."""
+    return salted_hot_join(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
 _MERGE_CUT = "1998-01-01"
 _INSERT_OFFSET = 10_000_000
 
