@@ -391,9 +391,10 @@ def _synth_media_warc(media: DataFrame, out_dir: str) -> None:
     )
 
 
-@query("crawl_media_harvest")  # Python codec output → rows-only check
-def crawl_media_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crawl-to-media-corpus: the multimodal twin of crawl_corpus_e2e.
+def _harvest_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared body of crawl_media_harvest and its signature twin — ONE
+    definition, so the rows-only lane and the hash gate cannot diverge.
+    See crawl_media_harvest for the full pipeline story.
     Real media payloads (the ten-format fixture rotation) are written
     into WARC shards by executor tasks — some gzip wire-encoded, plus
     request records, 404s, HTML decoys, and junk bytes that CLAIM to be
@@ -526,6 +527,118 @@ def crawl_media_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bytes",
             "checksum",
         )
+    )
+
+
+@query("crawl_media_harvest")  # Python codec output → rows-only check
+def crawl_media_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-to-media-corpus: the multimodal twin of crawl_corpus_e2e.
+    Real media payloads (the ten-format fixture rotation) are written
+    into WARC shards by executor tasks — some gzip wire-encoded, plus
+    request records, 404s, HTML decoys, and junk bytes that CLAIM to be
+    BMP — read back through the ``warc`` DataSource, then curated the
+    way a 100 TB crawl actually is: status/content-type filter →
+    header-only PROBE (dims/frames/samples, no entropy decoding — the
+    junk class dies here for the cost of reading a header) → full
+    decode to features on the survivors (per-row quarantine).  Emits
+    one row per response with its fate and the probe-vs-decode
+    dimensions, so the attrition at every stage is visible in the
+    gate's row set.
+
+    Scale shape: payloads move task-locally through the probe and
+    decode mapInPandas stages (Arrow-batched, never shuffled); the
+    probe pass costs header bytes per object and rejects junk before
+    the decode pass pays for pixels — the ordering that matters when
+    decode is 100-1000× the probe cost.  The byte-level columns
+    (checksum, n_bytes) keep THIS lane rows-only; everything else is
+    hash-gated by crawl_media_harvest_sig."""
+    return _harvest_core(spark, sf_dir)
+
+
+@query(
+    "crawl_media_harvest_sig",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents
+      WHERE doc_id < {HARVEST_DOCS}
+        AND doc_id % 13 <> 4
+        AND (doc_id % 11 = 7 OR doc_id % 9 <> 2)
+    ),
+    s AS (
+      SELECT media_id,
+             CAST(('0x' || substr(dg, 1, 2)) AS INT) AS s0,
+             CAST(('0x' || substr(dg, 3, 2)) AS INT) AS s1,
+             CAST(('0x' || substr(dg, 5, 2)) AS INT) AS s2,
+             media_id % 11 = 7 AS junk,
+             media_id % 12 = 2 AS gif,
+             media_id % 11 <> 7 AND media_id % 12 <> 2
+               AND media_id % 3 = 2 AS audio,
+             media_id % 11 <> 7 AND media_id % 12 <> 2
+               AND media_id % 3 = 1 AS video
+      FROM base
+    )
+    SELECT media_id,
+      CASE
+        WHEN junk THEN 'image/bmp'
+        WHEN gif THEN 'image/gif'
+        WHEN audio AND media_id % 12 = 8 THEN 'audio/flac'
+        WHEN audio THEN 'audio/x-wav'
+        WHEN video AND media_id % 12 = 7 THEN 'video/mp4'
+        WHEN video AND media_id % 12 = 10 THEN 'video/x-matroska'
+        WHEN video THEN 'video/x-msvideo'
+        WHEN media_id % 6 = 0 THEN 'image/jpeg'
+        WHEN media_id % 12 = 3 THEN 'image/png'
+        ELSE 'image/bmp'
+      END AS kind,
+      CAST(CASE WHEN junk THEN 0 ELSE 1 END AS INT) AS probe_ok,
+      CAST(CASE WHEN junk OR audio THEN NULL
+                WHEN video THEN 6 + s0 % 7
+                ELSE 8 + s0 % 9 END AS INT) AS probe_w,
+      CAST(CASE WHEN junk OR audio THEN NULL
+                WHEN video THEN 6 + s1 % 7
+                ELSE 8 + s1 % 9 END AS INT) AS probe_h,
+      CAST(CASE WHEN junk OR audio THEN NULL
+                WHEN gif THEN 2 + s2 % 3
+                WHEN video THEN 3 + s2 % 4
+                ELSE 1 END AS INT) AS probe_frames,
+      CAST(CASE WHEN audio THEN 8000 END AS INT) AS probe_rate,
+      CAST(CASE WHEN audio THEN 16000 END AS BIGINT) AS probe_samples,
+      CAST(CASE WHEN junk THEN NULL
+                WHEN audio THEN 16000
+                WHEN video THEN 6 + s0 % 7
+                ELSE 8 + s0 % 9 END AS INT) AS dec_w,
+      CAST(CASE WHEN junk THEN NULL
+                WHEN audio THEN 8000
+                WHEN video THEN 6 + s1 % 7
+                ELSE 8 + s1 % 9 END AS INT) AS dec_h
+    FROM s
+    """,
+)
+def crawl_media_harvest_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASH-GATED signature of crawl_media_harvest (round-7 VERDICT
+    item #6): the same WARC-write → wire-decode → probe → full-decode
+    pipeline (one shared core, so the gate and the rows-only lane
+    cannot diverge), projected onto the columns an oracle CAN recompute
+    — identity, MIME class, probe fate, probed dimensions/frames/rate,
+    and decoded dimensions.  The media payloads are synthesized from
+    sha256(text), and DuckDB has sha256, so the oracle re-derives every
+    expected value arithmetically from `documents`: equality proves the
+    wire round trip, the content-type/status curation, the junk
+    rejection at probe, AND that probe and decoder agree on dimensions
+    — for every container format in the rotation.  Only the pixel-level
+    checksum/n_bytes stay rows-only (in the parent lane)."""
+    return _harvest_core(spark, sf_dir).select(
+        "media_id",
+        "kind",
+        "probe_ok",
+        "probe_w",
+        "probe_h",
+        "probe_frames",
+        "probe_rate",
+        "probe_samples",
+        "dec_w",
+        "dec_h",
     )
 
 
