@@ -145,6 +145,10 @@ EXTENDED = [
     "stream_crawl_ingest_live",
     "corpus_mix_epochs",
     "knn_ivf_incremental",
+    # round 8
+    "crawl_main_content",
+    "scalejoin_salted",
+    "crawl_media_harvest_sig",
 ]
 
 

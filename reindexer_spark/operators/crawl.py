@@ -90,10 +90,54 @@ def _chunked(body: bytes) -> bytes:
     return out + b"0\r\n\r\n"
 
 
-def _synth_warc_shards(docs: DataFrame, out_dir: str) -> None:
+def _chrome_page(doc_id: int, lines: list[str]) -> str:
+    """Realistic page shaping for the main-content lane: the document's
+    lines as <p> content paragraphs (every 4th line carries ONE inline
+    link on its first word — nonzero but low link density), wrapped in
+    the chrome every real page has: a nav bar, a related-links block,
+    and a footer, all link-dominated.  Deterministic from doc_id so the
+    oracle reconstructs every paragraph arithmetically."""
+    sections = 2 + doc_id % 3
+    nav = (
+        '<a href="/home">Home</a> | <a href="/about">About</a>'
+        + "".join(
+            f' | <a href="/s/{k}">Section {k}</a>' for k in range(sections)
+        )
+    )
+    paras = [f'<p class="nav">{nav}</p>']
+    for li, ln in enumerate(lines):
+        if li % 4 == 0:
+            words = ln.split(" ")
+            ln = (
+                f'<a href="/r/{li}">{words[0]}</a>'
+                + ("" if len(words) == 1 else " " + " ".join(words[1:]))
+            )
+        paras.append(f"<p>{ln}</p>")
+    paras.append(
+        f'<p class="rel">Related: <a href="/p{doc_id % 7}">read more</a>'
+        f' <a href="/p{doc_id % 5}">see also</a></p>'
+    )
+    paras.append(
+        '<p class="foot">© 2026 <a href="/terms">Terms of use</a>'
+        ' <a href="/privacy">Privacy policy</a>'
+        ' <a href="/contact">Contact us</a></p>'
+    )
+    return (
+        f"<html><head><title>Doc {doc_id}</title></head><body>"
+        + "".join(paras)
+        + "</body></html>"
+    )
+
+
+def _synth_warc_shards(
+    docs: DataFrame, out_dir: str, chrome: bool = False
+) -> None:
     """Write the documents as CRAWL_SHARDS gzipped WARC files — one
     file per task via applyInPandas (the write a crawl fetcher does;
-    at 100 TB the archives pre-exist and this stage disappears)."""
+    at 100 TB the archives pre-exist and this stage disappears).
+    ``chrome=True`` wraps each page in nav/related/footer boilerplate
+    (the main-content-extraction fixture); False keeps the bare
+    paragraph pages the crawl_corpus_e2e oracle expects."""
 
     def write_shard(key, pdf):
         import gzip as _gzip
@@ -123,11 +167,14 @@ def _synth_warc_shards(docs: DataFrame, out_dir: str) -> None:
                 status = 200
             else:
                 lines = _page_lines(r.text)
-                html = (
-                    f"<html><head><title>Doc {doc_id}</title></head><body>"
-                    + "".join(f"<p>{ln}</p>" for ln in lines)
-                    + "</body></html>"
-                )
+                if chrome:
+                    html = _chrome_page(doc_id, lines)
+                else:
+                    html = (
+                        f"<html><head><title>Doc {doc_id}</title></head><body>"
+                        + "".join(f"<p>{ln}</p>" for ln in lines)
+                        + "</body></html>"
+                    )
                 body = html.encode("utf-8")
                 ctype = "text/html; charset=utf-8"
                 status = 404 if doc_id % 13 == 4 else 200
@@ -305,6 +352,137 @@ def crawl_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines_kept",
         "n_tokens",
         "checksum",
+    )
+
+
+@query(
+    "crawl_main_content",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1
+               AS wi,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, wi // {LINE_WORDS} AS li,
+             string_agg(w, ' ' ORDER BY wi) AS line,
+             CAST(COUNT(*) AS BIGINT) AS n_words
+      FROM words GROUP BY doc_id, wi // {LINE_WORDS}
+    ), paras AS (
+      -- the content paragraphs: every 4th line carries one inline link
+      -- on its first word (tag-stripped text is unchanged)
+      SELECT doc_id, li, line, n_words,
+             CAST(CASE WHEN li % 4 = 0
+                  THEN length(string_split(line, ' ')[1])
+                  ELSE 0 END AS BIGINT) AS link_chars
+      FROM lines
+    ), judged AS (
+      SELECT doc_id, li, line,
+             n_words >= {MIN_LINE_WORDS}
+               AND 3 * link_chars < length(line) AS good
+      FROM paras
+    ), stats AS (
+      -- + 3 chrome paragraphs (nav / related / footer), all
+      -- link-dominated and provably boilerplate under the density rule
+      SELECT doc_id,
+             CAST(COUNT(*) + 3 AS BIGINT) AS n_paras,
+             CAST(COUNT(*) FILTER (good) AS BIGINT) AS n_content,
+             CAST(COUNT(*) FILTER (NOT good) + 3 AS BIGINT) AS n_boiler,
+             CAST(COALESCE(SUM(length(line)) FILTER (good), 0) AS BIGINT)
+               AS content_chars,
+             md5(string_agg(line, chr(10) ORDER BY li) FILTER (good))
+               AS content_digest
+      FROM judged GROUP BY doc_id
+    )
+    SELECT doc_id, n_paras, n_content, n_boiler, content_chars,
+           content_digest
+    FROM stats
+    WHERE doc_id % 13 <> 4 AND doc_id % 17 <> 5
+    """,
+)
+def crawl_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction (round-7 VERDICT item #4): the crawl
+    shaping step between tag-stripping and curation that real corpora
+    need.  Pages are synthesized WITH the chrome every real page has —
+    a nav bar, a related-links block, a footer, and inline links inside
+    the body text — written as WARC shards (same rotating
+    gzip/chunked/identity wire forms as crawl_corpus_e2e), read back
+    through the warc source, split into <p> blocks, and each block is
+    classified by the jusText-style signal (Pomikálek 2011, §3.3
+    simplified): LINK DENSITY (chars inside <a> vs total text chars —
+    boilerplate is link-dominated) and length (short blocks are
+    boilerplate).  A block is main content iff it has >=
+    {MIN_LINE_WORDS} words AND link_chars/chars < 1/3 (integer-exact as
+    3*link_chars < chars).  Emits per page the block attrition and the
+    md5 of the surviving text, so the oracle — which reconstructs every
+    paragraph arithmetically from `documents` — proves the chrome was
+    dropped and EXACTLY the body text survived, through the full WARC
+    wire round trip.
+
+    Scale shape: pure codegen column ops end-to-end — regexp block
+    split + per-block density arithmetic + one hash-agg by doc; no
+    Python, no shuffle beyond the final per-doc aggregation, and the
+    classifier runs scan-side so at 100 TB the dropped chrome never
+    reaches the shuffle."""
+    from reindexer_spark.sources.warc import WarcDataSource
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out_dir = _fixture_dir("boiler", sf_dir)
+    _synth_warc_shards(docs, out_dir, chrome=True)
+
+    spark.dataSource.register(WarcDataSource)
+    raw = spark.read.format("warc").load(out_dir)
+    paras = (
+        raw.filter(F.col("warc_type") == "response")
+        .filter(F.col("http_status") == 200)
+        .filter(F.col("content_type").startswith("text/html"))
+        .select(
+            F.regexp_extract(F.col("record_id"), r"doc:(\d+)", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.posexplode(
+                F.regexp_extract_all(
+                    F.col("payload").cast("string"),
+                    F.lit(r"<p[^>]*>(.*?)</p>"),
+                    F.lit(1),
+                )
+            ).alias("pi", "para"),
+        )
+    )
+    text = F.regexp_replace("para", r"<[^>]+>", "")
+    link_chars = F.aggregate(
+        F.regexp_extract_all("para", F.lit(r"<a [^>]*>(.*?)</a>"), F.lit(1)),
+        F.lit(0),
+        lambda acc, x: acc + F.length(x),
+    )
+    judged = paras.select(
+        "doc_id",
+        "pi",
+        text.alias("text"),
+        (
+            (F.size(F.split(text, " ")) >= MIN_LINE_WORDS)
+            & (3 * link_chars < F.length(text))
+        ).alias("good"),
+    )
+    kept = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("good"), F.struct(F.col("pi"), F.col("text")))
+            )
+        ),
+        lambda s: s["text"],
+    )
+    return judged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_paras"),
+        F.sum(F.col("good").cast("int")).cast("bigint").alias("n_content"),
+        F.sum((~F.col("good")).cast("int")).cast("bigint").alias("n_boiler"),
+        F.sum(F.when(F.col("good"), F.length("text")).otherwise(0))
+        .cast("bigint")
+        .alias("content_chars"),
+        F.when(
+            F.sum(F.col("good").cast("int")) > 0,
+            F.md5(F.concat_ws("\n", kept)),
+        ).alias("content_digest"),
     )
 
 

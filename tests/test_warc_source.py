@@ -513,3 +513,49 @@ def test_dechunk_requires_chunk_terminating_crlf():
     bad = b"5\r\nhelloXX3\r\nfoo\r\n0\r\n\r\n"
     with pytest.raises(ValueError):
         _dechunk(bad)
+
+
+def test_main_content_drops_chrome_keeps_body(spark, sf_dir):
+    """Boilerplate removal teeth: every page sheds exactly its 3 chrome
+    blocks (plus short body lines), and the surviving digest equals the
+    digest of the document's own qualifying lines — nav/footer text can
+    never leak into the kept content."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from reindexer_spark import get_query
+    from reindexer_spark.catalog import load_table
+    from reindexer_spark.operators.crawl import (
+        LINE_WORDS,
+        MIN_LINE_WORDS,
+        _page_lines,
+    )
+
+    out = get_query("crawl_main_content").fn(spark, sf_dir)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows
+    # chrome is always boilerplate: at least nav+related+footer dropped
+    assert all(r["n_boiler"] >= 3 for r in rows.values())
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isin(*list(rows)[:20]))
+        .collect()
+    }
+    for doc_id, text in docs.items():
+        lines = _page_lines(text)
+        good = [
+            ln
+            for li, ln in enumerate(lines)
+            if len(ln.split(" ")) >= MIN_LINE_WORDS
+            and (li % 4 != 0 or 3 * len(ln.split(" ")[0]) < len(ln))
+        ]
+        r = rows[doc_id]
+        assert r["n_paras"] == len(lines) + 3
+        assert r["n_content"] == len(good)
+        if good:
+            want = hashlib.md5("\n".join(good).encode()).hexdigest()
+            assert r["content_digest"] == want
+        else:
+            assert r["content_digest"] is None
