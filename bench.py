@@ -149,6 +149,7 @@ EXTENDED = [
     "crawl_main_content",
     "scalejoin_salted",
     "crawl_media_harvest_sig",
+    "video_sps_probe",
 ]
 
 

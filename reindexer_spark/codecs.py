@@ -825,6 +825,7 @@ _MKV_TRACK_NUMBER = 0xD7
 _MKV_TRACK_UID = 0x73C5
 _MKV_TRACK_TYPE = 0x83
 _MKV_CODEC_ID = 0x86
+_MKV_CODEC_PRIVATE = 0x63A2
 _MKV_DEFAULT_DURATION = 0x23E383
 _MKV_VIDEO = 0xE0
 _MKV_PIXEL_W = 0xB0
@@ -919,12 +920,14 @@ def _mkv_video_track(payload: bytes, seg_s: int, seg_e: int) -> dict:
             if tid != _MKV_TRACK_ENTRY:
                 continue
             tr = {"number": None, "codec": None, "w": None, "h": None,
-                  "default_dur_ns": None, "type": None}
+                  "default_dur_ns": None, "type": None, "private": None}
             for cid, cb, ce in _ebml_children(payload, tb, te):
                 if cid == _MKV_TRACK_NUMBER:
                     tr["number"] = _ebml_uint(payload, cb, ce)
                 elif cid == _MKV_TRACK_TYPE:
                     tr["type"] = _ebml_uint(payload, cb, ce)
+                elif cid == _MKV_CODEC_PRIVATE:
+                    tr["private"] = payload[cb:ce]
                 elif cid == _MKV_CODEC_ID:
                     tr["codec"] = payload[cb:ce].rstrip(b"\x00").decode(
                         "ascii", "replace"
@@ -3771,6 +3774,613 @@ class MkvFrameSampler:
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# H.264 / HEVC parameter-set PROBE (headers only)
+#
+# A dependency-free DECODER for inter-predicted video is out of scope
+# (motion compensation), but a real crawl's video is overwhelmingly
+# h264/hevc, and the probe-first 100 TB pass must still recover
+# width/height/profile/level without decoding.  The SPS carries exactly
+# that, at the front of every avcC/hvcC codec-config box.  Public
+# specs: ITU-T H.264 §7.3.2.1.1 (SPS syntax) + §7.4.2.1.1 (crop units),
+# ITU-T H.265 §7.3.2.2.1 (SPS) + §7.3.3 (profile_tier_level),
+# ISO/IEC 14496-15 §5.3.3.1 (avcC) / §8.3.3.1 (hvcC).  Decode of these
+# tracks still quarantines — this section is probe-only by design.
+# --------------------------------------------------------------------------
+
+
+def _unescape_rbsp(nal: bytes) -> bytes:
+    """Strip emulation-prevention bytes (00 00 03 → 00 00, §7.4.1.1)."""
+    out = bytearray()
+    i = 0
+    while i < len(nal):
+        if i + 2 < len(nal) and nal[i] == 0 and nal[i + 1] == 0 and nal[i + 2] == 3:
+            out += nal[i : i + 2]
+            i += 3
+        else:
+            out.append(nal[i])
+            i += 1
+    return bytes(out)
+
+
+def _escape_rbsp(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention bytes before any 00 00 0x (x<=3)."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+class _RbspReader:
+    """MSB-first bit reader with exp-Golomb primitives (§9.1) over an
+    already-unescaped RBSP."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise MediaFormatError("truncated parameter set")
+            v = (v << 1) | ((self.data[byte] >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise MediaFormatError("oversized exp-Golomb code")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+class _RbspWriter:
+    """MSB-first bit writer with exp-Golomb primitives; finish() adds
+    rbsp_trailing_bits and the emulation-prevention escaping."""
+
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def u(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def ue(self, v: int) -> None:
+        k = v + 1
+        n = k.bit_length()
+        self.u(k, 2 * n - 1)
+
+    def se(self, v: int) -> None:
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def finish(self) -> bytes:
+        self.u(1, 1)  # rbsp_stop_one_bit
+        while len(self.bits) % 8:
+            self.bits.append(0)
+        raw = bytes(
+            sum(b << (7 - i) for i, b in enumerate(self.bits[p : p + 8]))
+            for p in range(0, len(self.bits), 8)
+        )
+        return _escape_rbsp(raw)
+
+
+def _h264_skip_scaling_list(r: _RbspReader, size: int) -> None:
+    """§7.3.2.1.1.1 — values are irrelevant to the probe, but the bits
+    must be consumed exactly to keep the stream position right."""
+    last, nxt = 8, 8
+    for _ in range(size):
+        if nxt != 0:
+            nxt = (last + r.se() + 256) % 256
+        last = nxt if nxt else last
+
+
+_H264_HIGH_PROFILES = frozenset(
+    (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+)
+
+
+def parse_h264_sps(nal: bytes) -> dict:
+    """SPS NAL (header byte included) → {codec, profile, level, width,
+    height} per ITU-T H.264 §7.3.2.1.1 (exp-Golomb decoded, cropping
+    applied with the §7.4.2.1.1 chroma crop units)."""
+    if not nal or (nal[0] & 0x1F) != 7:
+        raise MediaFormatError("not an H.264 SPS NAL")
+    r = _RbspReader(_unescape_rbsp(nal[1:]))
+    profile_idc = r.u(8)
+    r.u(8)  # constraint flags + reserved
+    level_idc = r.u(8)
+    r.ue()  # seq_parameter_set_id
+    chroma_format_idc, separate_planes = 1, 0
+    if profile_idc in _H264_HIGH_PROFILES:
+        chroma_format_idc = r.ue()
+        if chroma_format_idc == 3:
+            separate_planes = r.u(1)
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.u(1)  # qpprime_y_zero_transform_bypass
+        if r.u(1):  # seq_scaling_matrix_present
+            for i in range(8 if chroma_format_idc != 3 else 12):
+                if r.u(1):
+                    _h264_skip_scaling_list(r, 16 if i < 6 else 64)
+    r.ue()  # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()
+    elif poc_type == 1:
+        r.u(1)
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed
+    pw_mbs = r.ue()
+    ph_units = r.ue()
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        r.u(1)  # mb_adaptive_frame_field
+    r.u(1)  # direct_8x8_inference
+    crop_l = crop_r = crop_t = crop_b = 0
+    if r.u(1):  # frame_cropping
+        crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+    chroma_array_type = 0 if separate_planes else chroma_format_idc
+    if chroma_array_type == 0:
+        cux, cuy = 1, 2 - frame_mbs_only
+    else:
+        subw = 2 if chroma_array_type in (1, 2) else 1
+        subh = 2 if chroma_array_type == 1 else 1
+        cux, cuy = subw, subh * (2 - frame_mbs_only)
+    width = (pw_mbs + 1) * 16 - cux * (crop_l + crop_r)
+    height = (2 - frame_mbs_only) * (ph_units + 1) * 16 - cuy * (
+        crop_t + crop_b
+    )
+    if width <= 0 or height <= 0:
+        raise MediaFormatError("H.264 SPS crop exceeds coded size")
+    return {
+        "codec": "h264",
+        "profile": profile_idc,
+        "level": level_idc,
+        "width": width,
+        "height": height,
+    }
+
+
+def parse_hevc_sps(nal: bytes) -> dict:
+    """SPS NAL (2-byte header included) → {codec, profile, level,
+    width, height} per ITU-T H.265 §7.3.2.2.1 + §7.3.3."""
+    if len(nal) < 2 or ((nal[0] >> 1) & 0x3F) != 33:
+        raise MediaFormatError("not an HEVC SPS NAL")
+    r = _RbspReader(_unescape_rbsp(nal[2:]))
+    r.u(4)  # sps_video_parameter_set_id
+    max_sub_layers = r.u(3)
+    r.u(1)  # temporal_id_nesting
+    # profile_tier_level(1, max_sub_layers): general PTL is 88 bits +
+    # 8-bit level; sub-layer PTLs follow their presence flags
+    r.u(2)  # general_profile_space
+    r.u(1)  # general_tier_flag
+    profile_idc = r.u(5)
+    r.u(32)  # profile_compatibility_flags
+    r.u(4)  # progressive/interlaced/non_packed/frame_only
+    r.u(32)
+    r.u(11)  # 43 reserved bits
+    r.u(1)  # inbld / reserved
+    level_idc = r.u(8)
+    if max_sub_layers:
+        prof_present, level_present = [], []
+        for _ in range(max_sub_layers):
+            prof_present.append(r.u(1))
+            level_present.append(r.u(1))
+        for _ in range(max_sub_layers, 8):
+            r.u(2)  # alignment
+        for i in range(max_sub_layers):
+            if prof_present[i]:
+                r.u(32)
+                r.u(32)
+                r.u(24)  # 88-bit sub-layer profile block
+            if level_present[i]:
+                r.u(8)
+    r.ue()  # sps_seq_parameter_set_id
+    chroma_format_idc = r.ue()
+    if chroma_format_idc == 3:
+        r.u(1)  # separate_colour_plane
+    width = r.ue()
+    height = r.ue()
+    if r.u(1):  # conformance_window
+        win_l, win_r, win_t, win_b = r.ue(), r.ue(), r.ue(), r.ue()
+        subw = 2 if chroma_format_idc in (1, 2) else 1
+        subh = 2 if chroma_format_idc == 1 else 1
+        width -= subw * (win_l + win_r)
+        height -= subh * (win_t + win_b)
+    if width <= 0 or height <= 0:
+        raise MediaFormatError("HEVC SPS window exceeds coded size")
+    return {
+        "codec": "hevc",
+        "profile": profile_idc,
+        "level": level_idc,
+        "width": width,
+        "height": height,
+    }
+
+
+def write_h264_sps(
+    width: int, height: int, profile: int = 66, level: int = 30
+) -> bytes:
+    """Synthesize a spec-shaped SPS NAL for fixtures: frame_mbs_only,
+    4:2:0, cropping as needed for non-multiple-of-16 dimensions (even
+    dims only — 4:2:0 crop units are 2 luma samples)."""
+    if width % 2 or height % 2 or width <= 0 or height <= 0:
+        raise ValueError("H.264 fixture dims must be positive and even")
+    pw = (width + 15) // 16
+    ph = (height + 15) // 16
+    w = _RbspWriter()
+    w.u(profile, 8)
+    w.u(0, 8)  # constraint flags
+    w.u(level, 8)
+    w.ue(0)  # sps_id
+    if profile in _H264_HIGH_PROFILES:
+        w.ue(1)  # chroma_format_idc 4:2:0
+        w.ue(0)  # bit_depth_luma_minus8
+        w.ue(0)  # bit_depth_chroma_minus8
+        w.u(0, 1)
+        w.u(0, 1)  # no scaling matrix
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(0)  # pic_order_cnt_type
+    w.ue(0)  # log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1)  # max_num_ref_frames
+    w.u(0, 1)
+    w.ue(pw - 1)
+    w.ue(ph - 1)
+    w.u(1, 1)  # frame_mbs_only
+    w.u(1, 1)  # direct_8x8_inference
+    crop_r = (pw * 16 - width) // 2
+    crop_b = (ph * 16 - height) // 2
+    if crop_r or crop_b:
+        w.u(1, 1)
+        w.ue(0)
+        w.ue(crop_r)
+        w.ue(0)
+        w.ue(crop_b)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)  # vui_parameters_present
+    return b"\x67" + w.finish()
+
+
+def write_hevc_sps(
+    width: int, height: int, profile: int = 1, level: int = 93
+) -> bytes:
+    """Synthesize a spec-shaped HEVC SPS NAL for fixtures: 4:2:0,
+    8-bit, single layer, conformance window as needed (coded size is
+    padded to the 8-sample minimum CTB multiple)."""
+    if width % 2 or height % 2 or width <= 0 or height <= 0:
+        raise ValueError("HEVC fixture dims must be positive and even")
+    cw = (width + 7) // 8 * 8
+    ch = (height + 7) // 8 * 8
+    w = _RbspWriter()
+    w.u(0, 4)  # vps_id
+    w.u(0, 3)  # max_sub_layers_minus1
+    w.u(1, 1)  # temporal_id_nesting
+    w.u(0, 2)  # profile_space
+    w.u(0, 1)  # tier
+    w.u(profile, 5)
+    w.u(1 << (31 - profile) if profile < 32 else 0, 32)  # compat flags
+    w.u(0b1011, 4)  # progressive, non-packed, frame-only
+    w.u(0, 32)
+    w.u(0, 11)
+    w.u(0, 1)
+    w.u(level, 8)
+    w.ue(0)  # sps_id
+    w.ue(1)  # chroma_format_idc 4:2:0
+    w.ue(cw)
+    w.ue(ch)
+    if cw != width or ch != height:
+        w.u(1, 1)
+        w.ue(0)
+        w.ue((cw - width) // 2)
+        w.ue(0)
+        w.ue((ch - height) // 2)
+    else:
+        w.u(0, 1)
+    # minimal valid tail the parser never reads: bit depths + sub-layer
+    # ordering info for layer 0
+    w.ue(0)
+    w.ue(0)  # bit_depth_luma/chroma_minus8
+    w.ue(4)  # log2_max_pic_order_cnt_lsb_minus4
+    w.u(1, 1)  # sub_layer_ordering_info_present
+    w.ue(1)
+    w.ue(0)
+    w.ue(0)
+    return bytes((33 << 1, 1)) + w.finish()
+
+
+def build_avcc(sps: bytes) -> bytes:
+    """AVCDecoderConfigurationRecord (ISO 14496-15 §5.3.3.1) carrying
+    one SPS and no PPS payload beyond a placeholder."""
+    pps = b"\x68\xce\x38\x80"  # minimal PPS NAL placeholder
+    return (
+        bytes((1, sps[1], sps[2], sps[3], 0xFF, 0xE1))
+        + struct.pack(">H", len(sps))
+        + sps
+        + b"\x01"
+        + struct.pack(">H", len(pps))
+        + pps
+    )
+
+
+def build_hvcc(sps: bytes) -> bytes:
+    """HEVCDecoderConfigurationRecord (ISO 14496-15 §8.3.3.1) with one
+    SPS array."""
+    head = bytearray(22)
+    head[0] = 1  # configurationVersion
+    head[1] = sps[7] if len(sps) > 7 else 1  # rough general_profile byte
+    head[12] = 0xF0  # min_spatial_segmentation reserved bits
+    head[13] = 0xFC
+    head[14] = 0xFC
+    head[15] = 0xFD
+    head[16] = 0xF8
+    head[21] = 0x03  # lengthSizeMinusOne=3 (+ reserved bits)
+    return (
+        bytes(head)
+        + b"\x01"  # numOfArrays
+        + bytes((0x20 | 33,))  # array_completeness + NAL type 33 (SPS)
+        + struct.pack(">H", 1)
+        + struct.pack(">H", len(sps))
+        + sps
+    )
+
+
+def parse_avcc(body: bytes) -> dict:
+    """avcC box body → SPS probe dict (first SPS in the record)."""
+    if len(body) < 8 or body[0] != 1:
+        raise MediaFormatError("malformed avcC record")
+    n_sps = body[5] & 0x1F
+    if n_sps < 1:
+        raise MediaFormatError("avcC carries no SPS")
+    ln = struct.unpack_from(">H", body, 6)[0]
+    if 8 + ln > len(body) + 2:
+        raise MediaFormatError("truncated avcC SPS")
+    return parse_h264_sps(body[8 : 8 + ln])
+
+
+def parse_hvcc(body: bytes) -> dict:
+    """hvcC box body → SPS probe dict (NAL-unit type 33 array)."""
+    if len(body) < 23 or body[0] != 1:
+        raise MediaFormatError("malformed hvcC record")
+    pos = 23
+    for _ in range(body[22]):
+        if pos + 3 > len(body):
+            raise MediaFormatError("truncated hvcC array")
+        nal_type = body[pos] & 0x3F
+        count = struct.unpack_from(">H", body, pos + 1)[0]
+        pos += 3
+        for _ in range(count):
+            if pos + 2 > len(body):
+                raise MediaFormatError("truncated hvcC NAL")
+            ln = struct.unpack_from(">H", body, pos)[0]
+            nal = body[pos + 2 : pos + 2 + ln]
+            if len(nal) < ln:
+                raise MediaFormatError("truncated hvcC NAL")
+            if nal_type == 33:
+                return parse_hevc_sps(nal)
+            pos += 2 + ln
+    raise MediaFormatError("hvcC carries no SPS")
+
+
+_MP4_CODED_ENTRIES = {
+    b"avc1": ("avcC", parse_avcc),
+    b"avc3": ("avcC", parse_avcc),
+    b"hvc1": ("hvcC", parse_hvcc),
+    b"hev1": ("hvcC", parse_hvcc),
+}
+_MKV_CODED_IDS = {
+    "V_MPEG4/ISO/AVC": parse_avcc,
+    "V_MPEGH/ISO/HEVC": parse_hvcc,
+}
+
+
+def _visual_sample_entry(width: int, height: int) -> bytes:
+    """The 78-byte VisualSampleEntry body (ISO 14496-12 §12.1.3)."""
+    return (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)
+        + bytes(32)
+        + struct.pack(">Hh", 24, -1)
+    )
+
+
+def encode_mp4_coded(
+    width: int,
+    height: int,
+    codec: str = "h264",
+    n_frames: int = 3,
+    profile: int | None = None,
+    level: int | None = None,
+) -> bytes:
+    """Fixture builder: an ISO BMFF file whose video track is coded
+    h264/hevc — real avcC/hvcC config with a synthesized SPS, dummy
+    coded samples in mdat.  The PROBE must recover the construction
+    parameters; decode must quarantine (no motion compensation)."""
+    if codec == "h264":
+        sps = write_h264_sps(
+            width, height,
+            profile if profile is not None else 66,
+            level if level is not None else 30,
+        )
+        entry_tag, cfg = b"avc1", _box(b"avcC", build_avcc(sps))
+    elif codec == "hevc":
+        sps = write_hevc_sps(
+            width, height,
+            profile if profile is not None else 1,
+            level if level is not None else 93,
+        )
+        entry_tag, cfg = b"hvc1", _box(b"hvcC", build_hvcc(sps))
+    else:
+        raise ValueError(f"unknown coded fixture codec {codec!r}")
+    bodies = [
+        b"\x00\x00\x00\x01" + bytes((65, i & 0xFF)) * 8
+        for i in range(n_frames)
+    ]
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")
+    base = len(ftyp) + 8
+    entry = _box(entry_tag, _visual_sample_entry(width, height) + cfg)
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    delta = MP4_VIDEO_TIMESCALE // 4
+    stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, n_frames, delta))
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, len(bodies), 1))
+    stsz = _full_box(
+        b"stsz",
+        0,
+        0,
+        struct.pack(">II", 0, n_frames)
+        + b"".join(struct.pack(">I", len(b)) for b in bodies),
+    )
+    stco = _full_box(b"stco", 0, 0, struct.pack(">II", 1, base))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dref = _full_box(
+        b"dref", 0, 0, struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b"")
+    )
+    minf = _box(
+        b"minf",
+        _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        + _box(b"dinf", dref)
+        + stbl,
+    )
+    duration = delta * n_frames
+    mdhd = _full_box(
+        b"mdhd",
+        0,
+        0,
+        struct.pack(">IIIIHH", 0, 0, MP4_VIDEO_TIMESCALE, duration, 0x55C4, 0),
+    )
+    hdlr = _full_box(
+        b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" + bytes(12) + b"video\x00"
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full_box(
+        b"tkhd",
+        0,
+        3,
+        struct.pack(">IIII", 0, 0, 1, 0)
+        + struct.pack(">I", duration)
+        + bytes(8)
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mvhd = _full_box(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, MP4_VIDEO_TIMESCALE, duration)
+        + struct.pack(">IHH", 0x10000, 0x100, 0)
+        + bytes(8)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + bytes(24)
+        + struct.pack(">I", 2),
+    )
+    moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+    return ftyp + _box(b"mdat", b"".join(bodies)) + moov
+
+
+def encode_mkv_coded(
+    width: int,
+    height: int,
+    codec: str = "h264",
+    n_frames: int = 3,
+    profile: int | None = None,
+    level: int | None = None,
+) -> bytes:
+    """Fixture builder: a Matroska file whose video track is coded
+    h264/hevc — CodecID V_MPEG4/ISO/AVC / V_MPEGH/ISO/HEVC with the
+    avcC/hvcC record as CodecPrivate, dummy SimpleBlock payloads."""
+    if codec == "h264":
+        sps = write_h264_sps(
+            width, height,
+            profile if profile is not None else 66,
+            level if level is not None else 30,
+        )
+        codec_id, private = b"V_MPEG4/ISO/AVC", build_avcc(sps)
+    elif codec == "hevc":
+        sps = write_hevc_sps(
+            width, height,
+            profile if profile is not None else 1,
+            level if level is not None else 93,
+        )
+        codec_id, private = b"V_MPEGH/ISO/HEVC", build_hvcc(sps)
+    else:
+        raise ValueError(f"unknown coded fixture codec {codec!r}")
+    ebml_header = _ebml_el(
+        0x1A45DFA3,
+        _ebml_el(0x4286, b"\x01")
+        + _ebml_el(0x42F7, b"\x01")
+        + _ebml_el(0x42F2, b"\x04")
+        + _ebml_el(0x42F3, b"\x08")
+        + _ebml_el(0x4282, b"matroska")
+        + _ebml_el(0x4287, b"\x04")
+        + _ebml_el(0x4285, b"\x02"),
+    )
+    frame_ms = 250
+    info = _ebml_el(
+        _MKV_INFO,
+        _ebml_el(_MKV_TS_SCALE, _ebml_uint_body(1_000_000))
+        + _ebml_el(_MKV_DURATION, struct.pack(">d", n_frames * frame_ms)),
+    )
+    video = _ebml_el(
+        _MKV_VIDEO,
+        _ebml_el(_MKV_PIXEL_W, _ebml_uint_body(width))
+        + _ebml_el(_MKV_PIXEL_H, _ebml_uint_body(height)),
+    )
+    track = _ebml_el(
+        _MKV_TRACKS,
+        _ebml_el(
+            _MKV_TRACK_ENTRY,
+            _ebml_el(_MKV_TRACK_NUMBER, b"\x01")
+            + _ebml_el(_MKV_TRACK_UID, b"\x01")
+            + _ebml_el(_MKV_TRACK_TYPE, b"\x01")
+            + _ebml_el(_MKV_CODEC_ID, codec_id)
+            + _ebml_el(_MKV_CODEC_PRIVATE, private)
+            + _ebml_el(
+                _MKV_DEFAULT_DURATION,
+                _ebml_uint_body(frame_ms * 1_000_000),
+            )
+            + video,
+        ),
+    )
+    blocks = b"".join(
+        _ebml_el(
+            _MKV_SIMPLE_BLOCK,
+            b"\x81"
+            + struct.pack(">h", i * frame_ms)
+            + bytes([0x80 if i == 0 else 0x00])
+            + b"\x00\x00\x00\x01" + bytes((65, i & 0xFF)) * 8,
+        )
+        for i in range(n_frames)
+    )
+    cluster = _ebml_el(
+        _MKV_CLUSTER, _ebml_el(_MKV_CLUSTER_TS, _ebml_uint_body(0)) + blocks
+    )
+    segment = _ebml_el(_MKV_SEGMENT, info + track + cluster)
+    return ebml_header + segment
+
+
 def probe_media(payload: bytes) -> dict:
     """→ {kind, width, height, n_frames, sample_rate, n_samples} from
     HEADERS ONLY (None where the modality doesn't apply).  Matches the
@@ -3782,6 +4392,9 @@ def probe_media(payload: bytes) -> dict:
     out = {
         "kind": kind, "width": None, "height": None,
         "n_frames": None, "sample_rate": None, "n_samples": None,
+        # coded-video (h264/hevc) tracks: probe-only SPS metadata;
+        # decode of these tracks still quarantines
+        "codec": None, "profile": None, "level": None,
     }
     try:
         if kind == "bmp":
@@ -3904,6 +4517,33 @@ def probe_media(payload: bytes) -> dict:
             q = _full_body(payload, zb, ze)
             n_frames = struct.unpack_from(">I", payload, q + 4)[0]
             out.update(width=w, height=h, n_frames=n_frames)
+            # coded tracks (avc1/hev1/...): the SPS inside the
+            # avcC/hvcC config box is the authoritative source of
+            # dimensions (container fields can lie about cropping) and
+            # carries profile/level — parsed headers-only
+            entry_tag = payload[p + 8 : p + 12]
+            if entry_tag in _MP4_CODED_ENTRIES:
+                cfg_name, cfg_parse = _MP4_CODED_ENTRIES[entry_tag]
+                entry_size = struct.unpack_from(">I", payload, p + 4)[0]
+                entry_end = p + 4 + entry_size
+                sps_meta = None
+                for tag, body, bend in _bmff_boxes(
+                    payload, p + 12 + 78, entry_end
+                ):
+                    if tag == cfg_name.encode():
+                        sps_meta = cfg_parse(payload[body:bend])
+                        break
+                if sps_meta is None:
+                    raise MediaFormatError(
+                        f"coded mp4 track missing {cfg_name} box"
+                    )
+                out.update(
+                    width=sps_meta["width"],
+                    height=sps_meta["height"],
+                    codec=sps_meta["codec"],
+                    profile=sps_meta["profile"],
+                    level=sps_meta["level"],
+                )
         elif kind == "mkv":
             # EBML sizes let the block walk skip every frame body —
             # headers only, no JPEG entropy data touched
@@ -3913,6 +4553,19 @@ def probe_media(payload: bytes) -> dict:
                 1 for _ in _mkv_blocks(payload, seg_s, seg_e, tr["number"])
             )
             out.update(width=tr["w"], height=tr["h"], n_frames=n)
+            if tr["codec"] in _MKV_CODED_IDS:
+                if not tr["private"]:
+                    raise MediaFormatError(
+                        "coded mkv track missing CodecPrivate"
+                    )
+                sps_meta = _MKV_CODED_IDS[tr["codec"]](tr["private"])
+                out.update(
+                    width=sps_meta["width"],
+                    height=sps_meta["height"],
+                    codec=sps_meta["codec"],
+                    profile=sps_meta["profile"],
+                    level=sps_meta["level"],
+                )
         return out
     except MediaFormatError:
         raise

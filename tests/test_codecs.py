@@ -1745,3 +1745,224 @@ def test_wav_probe_rejects_what_decoder_rejects():
 
     mono = wav(1, 1, 16)
     assert probe_media(mono)["n_samples"] == 100
+
+
+# ---- H.264 / HEVC SPS probe (round-7 VERDICT item #2) -----------------
+
+
+@pytest.mark.parametrize("dims", [(1920, 1080), (640, 360), (130, 98),
+                                  (16, 16), (2, 2), (1282, 722)])
+@pytest.mark.parametrize("prof_lev", [(66, 30), (77, 31), (100, 41)])
+def test_h264_sps_roundtrip(dims, prof_lev):
+    """Writer→parser identity across cropped (non-multiple-of-16) and
+    aligned dims, Baseline/Main/High profiles (High exercises the
+    chroma-format branch of §7.3.2.1.1)."""
+    from reindexer_spark.codecs import parse_h264_sps, write_h264_sps
+
+    w, h = dims
+    prof, lev = prof_lev
+    m = parse_h264_sps(write_h264_sps(w, h, prof, lev))
+    assert (m["width"], m["height"], m["profile"], m["level"]) == (
+        w, h, prof, lev,
+    )
+    assert m["codec"] == "h264"
+
+
+@pytest.mark.parametrize("dims", [(3840, 2160), (1280, 720), (130, 98),
+                                  (8, 8), (2, 2)])
+@pytest.mark.parametrize("prof_lev", [(1, 93), (2, 120)])
+def test_hevc_sps_roundtrip(dims, prof_lev):
+    from reindexer_spark.codecs import parse_hevc_sps, write_hevc_sps
+
+    w, h = dims
+    prof, lev = prof_lev
+    m = parse_hevc_sps(write_hevc_sps(w, h, prof, lev))
+    assert (m["width"], m["height"], m["profile"], m["level"]) == (
+        w, h, prof, lev,
+    )
+    assert m["codec"] == "hevc"
+
+
+def test_sps_emulation_prevention_roundtrip():
+    """ue(0) runs produce 00 00 00 byte patterns — the writer must
+    escape them and the parser unescape, or dims with long zero runs
+    corrupt silently."""
+    from reindexer_spark.codecs import (
+        _escape_rbsp,
+        _unescape_rbsp,
+        parse_h264_sps,
+        write_h264_sps,
+    )
+
+    assert _unescape_rbsp(_escape_rbsp(b"\x00\x00\x00\x00\x01")) == (
+        b"\x00\x00\x00\x00\x01"
+    )
+    assert _escape_rbsp(b"\x00\x00\x02") == b"\x00\x00\x03\x02"
+    # a dimension whose exp-Golomb encoding is zero-heavy
+    m = parse_h264_sps(write_h264_sps(4096, 4096, 66, 51))
+    assert (m["width"], m["height"]) == (4096, 4096)
+
+
+def test_sps_fuzz_quarantine_contract():
+    """Truncations and bit flips over SPS/avcC/hvcC raise
+    MediaFormatError, never a bare parser exception."""
+    import numpy as np
+
+    from reindexer_spark.codecs import (
+        MediaFormatError,
+        build_avcc,
+        build_hvcc,
+        parse_avcc,
+        parse_h264_sps,
+        parse_hvcc,
+        write_h264_sps,
+        write_hevc_sps,
+    )
+
+    h264 = write_h264_sps(644, 362, 100, 41)
+    hevc = write_hevc_sps(644, 362, 1, 93)
+    avcc, hvcc = build_avcc(h264), build_hvcc(hevc)
+
+    def check(fn, payload):
+        try:
+            fn(payload)
+        except MediaFormatError:
+            pass
+
+    for cut in range(len(avcc)):
+        check(parse_avcc, avcc[:cut])
+    for cut in range(len(hvcc)):
+        check(parse_hvcc, hvcc[:cut])
+    for seed in range(50):
+        rng = np.random.default_rng(seed)
+        for base, fn in ((h264, parse_h264_sps), (hevc, parse_hvcc)):
+            noisy = bytearray(base if fn is parse_h264_sps else hvcc)
+            for i in rng.integers(0, len(noisy), 3):
+                noisy[i] = int(rng.integers(0, 256))
+            check(fn, bytes(noisy))
+
+
+@pytest.mark.parametrize("codec,profile,level", [
+    ("h264", 66, 30), ("h264", 100, 41), ("hevc", 1, 93), ("hevc", 2, 120),
+])
+@pytest.mark.parametrize("container", ["mp4", "mkv"])
+def test_coded_container_probe_recovers_sps_decode_quarantines(
+    codec, profile, level, container
+):
+    """The 100 TB media contract for real video: probe recovers
+    width/height/profile/level from the SPS (through avcC in the mp4
+    sample entry / mkv CodecPrivate) WITHOUT decoding; the full decode
+    still quarantines — no motion-compensation decoder is claimed."""
+    from reindexer_spark.codecs import (
+        MediaFormatError,
+        decode_mkv,
+        decode_mp4,
+        encode_mkv_coded,
+        encode_mp4_coded,
+        probe_media,
+    )
+
+    enc = encode_mp4_coded if container == "mp4" else encode_mkv_coded
+    dec = decode_mp4 if container == "mp4" else decode_mkv
+    payload = enc(646, 366, codec=codec, n_frames=5,
+                  profile=profile, level=level)
+    p = probe_media(payload)
+    assert (p["width"], p["height"], p["n_frames"]) == (646, 366, 5)
+    assert (p["codec"], p["profile"], p["level"]) == (codec, profile, level)
+    with pytest.raises(MediaFormatError):
+        dec(payload)
+
+
+# ---- probe ≡ decoder sweep over Matroska variants (round-7 item #8) ---
+
+
+def _splice_audio_track(mkv: bytes) -> bytes:
+    """Insert an audio TrackEntry BEFORE the video one (multi-track
+    layout) and grow the enclosing Segment size."""
+    from reindexer_spark.codecs import _MKV_TRACK_ENTRY, _ebml_el
+
+    audio = _ebml_el(
+        _MKV_TRACK_ENTRY,
+        _ebml_el(0xD7, b"\x02")
+        + _ebml_el(0x73C5, b"\x02")
+        + _ebml_el(0x83, b"\x02")
+        + _ebml_el(0x86, b"A_PCM/INT/LIT"),
+    )
+    tracks_at = mkv.index(b"\x16\x54\xae\x6b")
+    old_size = mkv[tracks_at + 4] & 0x7F
+    old_body = mkv[tracks_at + 5 : tracks_at + 5 + old_size]
+    rebuilt = _ebml_el(0x1654AE6B, audio + old_body)
+    patched = bytearray(
+        mkv[:tracks_at] + rebuilt + mkv[tracks_at + 5 + old_size :]
+    )
+    seg_at = bytes(patched).index(b"\x18\x53\x80\x67")
+    grow = len(rebuilt) - (5 + old_size)
+    size_b0 = patched[seg_at + 4]
+    ln = 1
+    m = 0x80
+    while not (size_b0 & m):
+        ln += 1
+        m >>= 1
+    old = int.from_bytes(patched[seg_at + 4 : seg_at + 4 + ln], "big")
+    old &= (1 << (7 * ln)) - 1
+    patched[seg_at + 4 : seg_at + 4 + ln] = (
+        (1 << (7 * ln)) | (old + grow)
+    ).to_bytes(ln, "big")
+    return bytes(patched)
+
+
+def _strip_cues(mkv: bytes) -> bytes:
+    """Drop the trailing Cues element (a Cues-less file is legal and
+    common for live-muxed Matroska) and shrink the Segment size."""
+    cues_at = mkv.index(b"\x1c\x53\xbb\x6b")
+    removed = len(mkv) - cues_at
+    out = bytearray(mkv[:cues_at])
+    seg_at = bytes(out).index(b"\x18\x53\x80\x67")
+    size_b0 = out[seg_at + 4]
+    ln = 1
+    m = 0x80
+    while not (size_b0 & m):
+        ln += 1
+        m >>= 1
+    old = int.from_bytes(out[seg_at + 4 : seg_at + 4 + ln], "big")
+    old &= (1 << (7 * ln)) - 1
+    out[seg_at + 4 : seg_at + 4 + ln] = (
+        (1 << (7 * ln)) | (old - removed)
+    ).to_bytes(ln, "big")
+    return bytes(out)
+
+
+@pytest.mark.parametrize("sync_every,frames_per_cluster", [
+    (1, 1), (1, 3), (2, 2), (3, 2),
+])
+@pytest.mark.parametrize("multitrack", [False, True])
+@pytest.mark.parametrize("with_cues", [True, False])
+def test_mkv_probe_equals_decoder_across_fixture_grid(
+    sync_every, frames_per_cluster, multitrack, with_cues
+):
+    """The WAV probe bug class (round-7 ADVICE #1) guarded for
+    Matroska: across Cues-present/absent and single/multi-track
+    layouts, the header-only probe must report exactly the dimensions
+    and frame count the full decoder produces."""
+    from reindexer_spark.codecs import (
+        decode_mkv,
+        encode_mkv,
+        mkv_keyframe_index,
+        probe_media,
+    )
+
+    w, h = 16, 10
+    mkv = encode_mkv(
+        w, h, [checkerboard(w, h)] * 6, 4, quality=92,
+        sync_every=sync_every, frames_per_cluster=frames_per_cluster,
+    )
+    if not with_cues:
+        mkv = _strip_cues(mkv)
+    if multitrack:
+        mkv = _splice_audio_track(mkv)
+    dw, dh, _dur, frames, _sync = decode_mkv(mkv)
+    p = probe_media(mkv)
+    assert (p["width"], p["height"], p["n_frames"]) == (dw, dh, len(frames))
+    assert (dw, dh, len(frames)) == (w, h, 6)
+    cues = mkv_keyframe_index(mkv)
+    assert bool(cues) == with_cues
