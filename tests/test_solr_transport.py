@@ -110,3 +110,93 @@ def test_sink_exhausted_retries_surface_the_error(spark, live_server):
 
     with pytest.raises(Py4JJavaError):
         sink.write(df, id_col="id")
+
+
+def test_effectively_once_sink_skips_committed_replays(
+    spark, live_server, tmp_path
+):
+    """The batch-id ledger closes the replay window: a batch re-delivered
+    AFTER its commit marker landed is never re-posted; a batch that
+    failed mid-post has no marker and re-posts entirely on replay."""
+    from reindexer_spark.docpipe.solr_sink import (
+        EffectivelyOnceSolrSink,
+        SolrSink,
+    )
+
+    df = spark.createDataFrame(
+        [("a1", "x"), ("a2", "y")], "id string, title_t string"
+    )
+    sink = EffectivelyOnceSolrSink(
+        SolrSink(_url(live_server), batch_size=10, max_retries=1),
+        str(tmp_path / "ledger"),
+    )
+
+    sink.write_batch(df, 0)
+    n_after_first = len(live_server.requests)
+    assert n_after_first >= 1
+    posted = [d for r in live_server.requests for d in r["body"]]
+    assert sorted(d["id"] for d in posted) == ["a1", "a2"]
+
+    # replay of a COMMITTED batch: zero new requests
+    sink.write_batch(df, 0)
+    assert len(live_server.requests) == n_after_first
+
+    # batch 1 fails mid-post (server 503s everything; retries exhausted)
+    live_server.fail_remaining = 10**6
+    with pytest.raises(Exception):
+        sink.write_batch(df, 1)
+    assert not sink.ledger.committed(1)
+
+    # server recovers; the replay posts batch 1 exactly once
+    live_server.fail_remaining = 0
+    before = len(live_server.requests)
+    sink.write_batch(df, 1)
+    replay_posts = [
+        d for r in live_server.requests[before:] for d in r["body"]
+    ]
+    assert sorted(d["id"] for d in replay_posts) == ["a1", "a2"]
+    assert sink.ledger.committed(1)
+
+    # and a second replay of the now-committed batch is a no-op
+    n_final = len(live_server.requests)
+    sink.write_batch(df, 1)
+    assert len(live_server.requests) == n_final
+
+
+def test_effectively_once_sink_end_to_end_stream(spark, live_server, tmp_path):
+    """The ledger under a real Structured Streaming run: restarting the
+    stream over the same checkpoint re-delivers nothing new and posts
+    nothing twice."""
+    from reindexer_spark.docpipe.solr_sink import (
+        EffectivelyOnceSolrSink,
+        SolrSink,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text('{"id": "d1", "t": "one"}\n{"id": "d2", "t": "two"}\n')
+    sink = EffectivelyOnceSolrSink(
+        SolrSink(_url(live_server), batch_size=10, max_retries=1),
+        str(tmp_path / "ledger"),
+    )
+
+    def run_once():
+        q = (
+            spark.readStream.schema("id string, t string")
+            .json(str(src))
+            .writeStream.foreachBatch(sink.write_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        spark.streams.resetTerminated()
+
+    run_once()
+    posted = [d for r in live_server.requests for d in r["body"]]
+    assert sorted(d["id"] for d in posted) == ["d1", "d2"]
+    n = len(live_server.requests)
+    run_once()  # restart over the same checkpoint: no new posts
+    assert len(live_server.requests) == n
