@@ -219,13 +219,18 @@ def main() -> int:
         "extended_queries": extended,
         "sf": sf,
     }
-    # Attach the dedup-family 10x scale proof (scale_proof.py writes it;
-    # see SCALE_PROOF.json) so the numbers ride along in BENCH_r*.json.
-    try:
-        with open(os.path.join(os.path.dirname(__file__) or ".", "SCALE_PROOF.json")) as fh:
-            line["scale_proof"] = json.load(fh)
-    except (OSError, json.JSONDecodeError):
-        pass
+    # Attach the dedup-family 10x scale proof (scale_proof.py) and the
+    # headline-wide 10x sweep (scale_sweep.py) so the numbers ride
+    # along in BENCH_r*.json.
+    for key, fname in (
+        ("scale_proof", "SCALE_PROOF.json"),
+        ("scale_sweep", "SCALE_SWEEP.json"),
+    ):
+        try:
+            with open(os.path.join(os.path.dirname(__file__) or ".", fname)) as fh:
+                line[key] = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            pass
     print(json.dumps(line))
     prior_local = _append_bench_local(line)
     _print_delta_ledger(timings, total, sf, prior_local, timings2, total2)
@@ -284,7 +289,8 @@ def _append_bench_local(line: dict) -> dict | None:
         (e for e in reversed(hist) if e.get("sf") == line.get("sf")), None
     )
     entry = dict(line)
-    entry.pop("scale_proof", None)  # scale proof has its own file
+    entry.pop("scale_proof", None)  # these ride in their own files
+    entry.pop("scale_sweep", None)
     entry["wall_clock_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     hist.append(entry)
     try:

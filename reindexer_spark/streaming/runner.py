@@ -36,11 +36,49 @@ EVENTS_SCHEMA_NANOS = (
 
 def _events_ts_is_nanos(sf_dir: str) -> bool:
     """True when events.parquet stores ts as TIMESTAMP(NANOS).  Footer
-    read only — no data pages touched."""
+    read only — no data pages touched.  events.parquet may be a single
+    file (driver testdata) or a Spark-written directory dataset (the
+    scale corpora) — probe the first part file in the latter case."""
+    import os
+
     import pyarrow.parquet as pq
 
-    t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
-    return getattr(t, "unit", None) == "ns"
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        parts = sorted(
+            n for n in os.listdir(path) if n.endswith(".parquet")
+        )
+        if not parts:
+            return False
+        path = os.path.join(path, parts[0])
+    # the physical type matters: pyarrow reports BOTH INT64-nanos and
+    # legacy INT96 as timestamp[ns], but only INT64-nanos needs the
+    # read-as-bigint workaround (INT96 reads natively as timestamp)
+    col = pq.ParquetFile(path).schema.column(
+        pq.read_schema(path).get_field_index("ts")
+    )
+    t = pq.read_schema(path).field("ts").type
+    return (
+        col.physical_type == "INT64" and getattr(t, "unit", None) == "ns"
+    )
+
+
+def _stream_table_source(spark, sf_dir: str, name: str, schema: str,
+                         max_files_per_trigger: int):
+    """File-source reader for ``<sf_dir>/<name>.parquet`` whether it is
+    a single file (the streaming file source requires a DIRECTORY path,
+    so a pathGlobFilter selects the file out of the shared dir) or a
+    Spark-written directory dataset (streamed directly — its part files
+    would never match the glob)."""
+    import os
+
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir)
 
 
 def stream_events(
@@ -49,24 +87,17 @@ def stream_events(
     """events.parquet as a streaming source, ts normalized to a
     microsecond TIMESTAMP regardless of the writer's physical unit
     (same adaptivity as catalog.load_table's batch path)."""
-    # the file source requires a directory path; pathGlobFilter selects
-    # just the events file out of the shared testdata dir
     if _events_ts_is_nanos(sf_dir):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = (
-            spark.readStream.schema(EVENTS_SCHEMA_NANOS)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+        raw = _stream_table_source(
+            spark, sf_dir, "events", EVENTS_SCHEMA_NANOS,
+            max_files_per_trigger,
         )
         # integer division: ns values exceed 2^53, double division
         # would corrupt the low microseconds
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA_TS)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    return _stream_table_source(
+        spark, sf_dir, "events", EVENTS_SCHEMA_TS, max_files_per_trigger
     )
 
 
@@ -81,11 +112,8 @@ def stream_documents(
     """documents.parquet as a streaming source — the ingest stream the
     streaming packer / decode lanes consume.  Schema supplied
     explicitly (streaming sources cannot infer)."""
-    return (
-        spark.readStream.schema(DOCS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+    return _stream_table_source(
+        spark, sf_dir, "documents", DOCS_SCHEMA, max_files_per_trigger
     )
 
 
