@@ -164,7 +164,7 @@ def run_sweep() -> dict:
             "(2) text-dedup pair growth on the DENSE 31-word corpus, "
             "where shingle DF grows with corpus size by construction — "
             "the adversarial regime SCALE_PROOF's zipf legs complement "
-            "with the natural-corpus (scale-invariant DF) measurement."
+            "with the natural-corpus (scale-invariant DF) measurement. A third benign class: sub-second lanes with zero shuffle (sample_weighted_mix) scale by SCAN TASK COUNT, not data — the sf0.1 table is one file (one task) while sf1 splits 32 ways, so per-task scheduling overhead dominates walls this small; at real scale task runtime amortizes it."
         ),
         "queries": {},
     }
