@@ -150,6 +150,7 @@ EXTENDED = [
     "scalejoin_salted",
     "crawl_media_harvest_sig",
     "video_sps_probe",
+    "crawl_refined_corpus",
 ]
 
 

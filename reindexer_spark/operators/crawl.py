@@ -32,7 +32,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -317,19 +317,7 @@ def crawl_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_lines_kept") >= MIN_KEPT_LINES)
     )
     # --- canonicalize the URI actually read off the archive -----------
-    base = F.regexp_replace(F.col("target_uri"), "#.*$", "")
-    loc = F.split_part(base, F.lit("?"), F.lit(1))
-    scheme_host = F.regexp_extract(loc, "^[^/]+//[^/]+", 0)
-    host_clean = F.regexp_replace(F.lower(scheme_host), ":443$", "")
-    # Column.substr accepts Column offsets, so the path derives from the
-    # SAME loc/scheme_host expressions as the host — one definition of
-    # the canonicalization rule, not a parallel SQL-string copy
-    path_clean = F.regexp_replace(
-        loc.substr(F.length(scheme_host) + 1, F.length(loc)), "/$", ""
-    )
-    canon = shaped.withColumn(
-        "url_canonical", F.concat(host_clean, path_clean)
-    )
+    canon = shaped.withColumn("url_canonical", _canonical_url())
     url_dedup = (
         canon.withColumn(
             "rep",
@@ -352,6 +340,76 @@ def crawl_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines_kept",
         "n_tokens",
         "checksum",
+    )
+
+
+def _canonical_url(uri: Column | None = None) -> Column:
+    """Canonicalize a crawl URL: drop the fragment and query string,
+    lowercase the scheme://host, strip a default :443 port and any
+    trailing slash.  Column.substr accepts Column offsets, so the path
+    derives from the SAME loc/scheme_host expressions as the host —
+    one definition of the canonicalization rule shared by every lane."""
+    if uri is None:
+        uri = F.col("target_uri")
+    base = F.regexp_replace(uri, "#.*$", "")
+    loc = F.split_part(base, F.lit("?"), F.lit(1))
+    scheme_host = F.regexp_extract(loc, "^[^/]+//[^/]+", 0)
+    host_clean = F.regexp_replace(F.lower(scheme_host), ":443$", "")
+    path_clean = F.regexp_replace(
+        loc.substr(F.length(scheme_host) + 1, F.length(loc)), "/$", ""
+    )
+    return F.concat(host_clean, path_clean)
+
+
+def _judged_paragraphs(spark: SparkSession, sf_dir: str, tag: str) -> DataFrame:
+    """Shared front half of the main-content lanes: synthesize
+    chrome-wrapped WARC shards, read them back through the warc source,
+    split 200-status HTML into <p> blocks, and attach each block's
+    tag-stripped text plus its jusText-style main-content verdict
+    (>= MIN_LINE_WORDS words AND link density < 1/3, integer-exact).
+    One definition, so crawl_main_content and crawl_refined_corpus
+    cannot diverge on the classifier."""
+    from reindexer_spark.sources.warc import WarcDataSource
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out_dir = _fixture_dir(tag, sf_dir)
+    _synth_warc_shards(docs, out_dir, chrome=True)
+
+    spark.dataSource.register(WarcDataSource)
+    raw = spark.read.format("warc").load(out_dir)
+    paras = (
+        raw.filter(F.col("warc_type") == "response")
+        .filter(F.col("http_status") == 200)
+        .filter(F.col("content_type").startswith("text/html"))
+        .select(
+            F.regexp_extract(F.col("record_id"), r"doc:(\d+)", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "target_uri",
+            F.posexplode(
+                F.regexp_extract_all(
+                    F.col("payload").cast("string"),
+                    F.lit(r"<p[^>]*>(.*?)</p>"),
+                    F.lit(1),
+                )
+            ).alias("pi", "para"),
+        )
+    )
+    text = F.regexp_replace("para", r"<[^>]+>", "")
+    link_chars = F.aggregate(
+        F.regexp_extract_all("para", F.lit(r"<a [^>]*>(.*?)</a>"), F.lit(1)),
+        F.lit(0),
+        lambda acc, x: acc + F.length(x),
+    )
+    return paras.select(
+        "doc_id",
+        "target_uri",
+        "pi",
+        text.alias("text"),
+        (
+            (F.size(F.split(text, " ")) >= MIN_LINE_WORDS)
+            & (3 * link_chars < F.length(text))
+        ).alias("good"),
     )
 
 
@@ -424,46 +482,7 @@ def crawl_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python, no shuffle beyond the final per-doc aggregation, and the
     classifier runs scan-side so at 100 TB the dropped chrome never
     reaches the shuffle."""
-    from reindexer_spark.sources.warc import WarcDataSource
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    out_dir = _fixture_dir("boiler", sf_dir)
-    _synth_warc_shards(docs, out_dir, chrome=True)
-
-    spark.dataSource.register(WarcDataSource)
-    raw = spark.read.format("warc").load(out_dir)
-    paras = (
-        raw.filter(F.col("warc_type") == "response")
-        .filter(F.col("http_status") == 200)
-        .filter(F.col("content_type").startswith("text/html"))
-        .select(
-            F.regexp_extract(F.col("record_id"), r"doc:(\d+)", 1)
-            .cast("bigint")
-            .alias("doc_id"),
-            F.posexplode(
-                F.regexp_extract_all(
-                    F.col("payload").cast("string"),
-                    F.lit(r"<p[^>]*>(.*?)</p>"),
-                    F.lit(1),
-                )
-            ).alias("pi", "para"),
-        )
-    )
-    text = F.regexp_replace("para", r"<[^>]+>", "")
-    link_chars = F.aggregate(
-        F.regexp_extract_all("para", F.lit(r"<a [^>]*>(.*?)</a>"), F.lit(1)),
-        F.lit(0),
-        lambda acc, x: acc + F.length(x),
-    )
-    judged = paras.select(
-        "doc_id",
-        "pi",
-        text.alias("text"),
-        (
-            (F.size(F.split(text, " ")) >= MIN_LINE_WORDS)
-            & (3 * link_chars < F.length(text))
-        ).alias("good"),
-    )
+    judged = _judged_paragraphs(spark, sf_dir, "boiler")
     kept = F.transform(
         F.array_sort(
             F.collect_list(
@@ -483,6 +502,133 @@ def crawl_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("good").cast("int")) > 0,
             F.md5(F.concat_ws("\n", kept)),
         ).alias("content_digest"),
+    )
+
+
+@query(
+    "crawl_refined_corpus",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1
+               AS wi,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, wi // {LINE_WORDS} AS li,
+             string_agg(w, ' ' ORDER BY wi) AS line,
+             CAST(COUNT(*) AS BIGINT) AS n_words
+      FROM words GROUP BY doc_id, wi // {LINE_WORDS}
+    ), judged AS (
+      SELECT doc_id, li, line, n_words,
+             n_words >= {MIN_LINE_WORDS}
+               AND 3 * (CASE WHEN li % 4 = 0
+                        THEN length(string_split(line, ' ')[1])
+                        ELSE 0 END) < length(line) AS good
+      FROM lines
+    ), stats AS (
+      SELECT doc_id,
+             CAST(COUNT(*) + 3 AS BIGINT) AS n_paras,
+             CAST(COUNT(*) FILTER (good) AS BIGINT) AS n_content,
+             CAST(COALESCE(SUM(n_words) FILTER (good), 0) AS BIGINT)
+               AS n_tokens,
+             md5(string_agg(line, chr(10) ORDER BY li) FILTER (good))
+               AS checksum
+      FROM judged GROUP BY doc_id
+    ), eligible AS (
+      SELECT s.*,
+             'https://crawl.example.com/page/'
+               || CAST(doc_id % 150 AS VARCHAR) AS url_canonical
+      FROM stats s
+      WHERE doc_id % 13 <> 4 AND doc_id % 17 <> 5
+        AND n_content >= {MIN_KEPT_LINES}
+    ), url_dedup AS (
+      SELECT * FROM (
+        SELECT e.*, MIN(doc_id) OVER (PARTITION BY url_canonical) AS rep
+        FROM eligible e
+      ) WHERE doc_id = rep
+    ), content_dedup AS (
+      SELECT * FROM (
+        SELECT u.*, MIN(doc_id) OVER (PARTITION BY checksum) AS crep
+        FROM url_dedup u
+      ) WHERE doc_id = crep
+    )
+    SELECT doc_id, url_canonical, n_paras, n_content, n_tokens, checksum
+    FROM content_dedup
+    """,
+)
+def crawl_refined_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refined source-to-corpus flagship: crawl_corpus_e2e's
+    curation with MAIN-CONTENT EXTRACTION in the loop — the pipeline a
+    real crawl actually needs, since real pages carry chrome that
+    tag-stripping alone would let into the corpus.  Chrome-wrapped
+    pages (nav/related/footer + inline body links) ride the full WARC
+    wire round trip, each <p> block is classified by the shared
+    jusText-style density rule (ONE definition with
+    crawl_main_content), pages gate on >= {MIN_KEPT_LINES} surviving
+    content blocks, URLs canonicalize through the shared rule (ONE
+    definition with crawl_corpus_e2e), and the corpus dedups by
+    canonical URL then by content checksum OF THE EXTRACTED TEXT —
+    so two pages differing only in chrome dedup together, which is
+    exactly why extraction must precede content dedup at 100 TB.
+
+    The oracle replays the whole composition from `documents`:
+    paragraph reconstruction, density verdicts, gate, canonicalization,
+    and both dedups — hash equality proves the five-stage pipeline
+    value-exact end to end.
+
+    Scale shape: same as the parent lanes — codegen classification
+    scan-side, then two hash aggregations on ~60-byte URLs and 32-byte
+    checksums; extracted text is hashed in-task and never shuffles."""
+    judged = _judged_paragraphs(spark, sf_dir, "refined")
+    kept = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("good"), F.struct(F.col("pi"), F.col("text")))
+            )
+        ),
+        lambda s: s["text"],
+    )
+    per_doc = (
+        judged.groupBy("doc_id")
+        .agg(
+            F.first("target_uri").alias("target_uri"),
+            F.count("*").cast("bigint").alias("n_paras"),
+            F.sum(F.col("good").cast("int"))
+            .cast("bigint")
+            .alias("n_content"),
+            F.sum(
+                F.when(
+                    F.col("good"), F.size(F.split("text", " "))
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.md5(F.concat_ws("\n", kept)).alias("checksum"),
+        )
+        .filter(F.col("n_content") >= MIN_KEPT_LINES)
+    )
+    canon = per_doc.withColumn("url_canonical", _canonical_url())
+    url_dedup = (
+        canon.withColumn(
+            "rep", F.min("doc_id").over(Window.partitionBy("url_canonical"))
+        )
+        .filter(F.col("doc_id") == F.col("rep"))
+        .drop("rep")
+    )
+    content_dedup = (
+        url_dedup.withColumn(
+            "crep", F.min("doc_id").over(Window.partitionBy("checksum"))
+        )
+        .filter(F.col("doc_id") == F.col("crep"))
+        .drop("crep")
+    )
+    return content_dedup.select(
+        "doc_id",
+        "url_canonical",
+        "n_paras",
+        "n_content",
+        "n_tokens",
+        "checksum",
     )
 
 
