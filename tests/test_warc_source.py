@@ -559,3 +559,95 @@ def test_main_content_drops_chrome_keeps_body(spark, sf_dir):
             assert r["content_digest"] == want
         else:
             assert r["content_digest"] is None
+
+
+def test_stream_resumes_from_legacy_checkpoint_offset(spark, tmp_path):
+    """Upgrade path for the offset compaction: a checkpoint written by
+    the pre-compaction reader carried {"files": [...]} — the new
+    reader must resume from it without re-reading or skipping."""
+    import json
+    import os
+
+    from reindexer_spark.sources.warc import (
+        WarcDataSource,
+        write_warc_records,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+
+    def shard(name, ids):
+        write_warc_records(
+            str(src / name),
+            [
+                {
+                    "warc_type": "response",
+                    "record_id": f"<urn:doc:{i}>",
+                    "target_uri": f"https://x/{i}",
+                    "http": (200, [("Content-Type", "text/plain")], b"b"),
+                }
+                for i in ids
+            ],
+        )
+
+    spark.dataSource.register(WarcDataSource)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.format("warc")
+            .load(str(src))
+            .select("warc_file", "record_id")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+            spark.streams.resetTerminated()
+
+    shard("a.warc", [1, 2])
+    run()
+
+    # rewrite the committed offset into the legacy full-list format the
+    # pre-compaction reader checkpointed
+    odir = os.path.join(ckpt, "offsets")
+    latest = max(
+        (n for n in os.listdir(odir) if n.isdigit()), key=int
+    )
+    path = os.path.join(odir, latest)
+    # stale CRC would fail the rewritten file's read; drop it
+    crc = os.path.join(odir, f".{latest}.crc")
+    if os.path.exists(crc):
+        os.unlink(crc)
+    lines = open(path).read().splitlines()
+    rewritten = False
+    for i, ln in enumerate(lines):
+        try:
+            off = json.loads(ln)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(off, dict) and "recent" in off:
+            lines[i] = json.dumps({"files": off["recent"]})
+            rewritten = True
+    assert rewritten, "did not find the source offset line to rewrite"
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines))
+
+    shard("b.warc", [3])
+    run()
+    got = sorted(
+        (r.warc_file, r.record_id)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == [
+        ("a.warc", "<urn:doc:1>"),
+        ("a.warc", "<urn:doc:2>"),
+        ("b.warc", "<urn:doc:3>"),
+    ]
