@@ -4150,7 +4150,7 @@ def parse_avcc(body: bytes) -> dict:
     if n_sps < 1:
         raise MediaFormatError("avcC carries no SPS")
     ln = struct.unpack_from(">H", body, 6)[0]
-    if 8 + ln > len(body) + 2:
+    if 8 + ln > len(body):
         raise MediaFormatError("truncated avcC SPS")
     return parse_h264_sps(body[8 : 8 + ln])
 

@@ -48,15 +48,31 @@ MIN_KEPT_LINES = 2    # doc-level quality gate
 def _fixture_dir(kind: str, sf_dir: str) -> str:
     """Fresh per-process landing directory for synthesized WARC shards.
 
-    Keyed by (fixture dir, pid) so two concurrent sessions on the same
+    Keyed by (fixture dir, pid) so two concurrent PROCESSES on the same
     fixture never race each other's cleanup (one used to unlink shards
     while the other's read listed them), and reset with rmtree so a
     stray subdirectory can't break the cleanup the old per-file unlink
-    loop did."""
+    loop did.  Dirs left by DEAD pids are reaped opportunistically so
+    repeated runs don't accumulate corpus copies in /tmp.  Two lanes in
+    ONE process must use distinct ``kind`` tags — the reset races a
+    shared path otherwise."""
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    d = os.path.join(
-        tempfile.gettempdir(), f"rs_{kind}_{tag}_{os.getpid()}"
-    )
+    tmp = tempfile.gettempdir()
+    prefix = f"rs_{kind}_{tag}_"
+    for name in os.listdir(tmp):
+        if not name.startswith(prefix):
+            continue
+        try:
+            pid = int(name[len(prefix):])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # raises if the owning process is gone
+        except OSError:
+            shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+    d = os.path.join(tmp, f"{prefix}{os.getpid()}")
     if os.path.isdir(d):
         shutil.rmtree(d)
     os.makedirs(d)
@@ -715,7 +731,9 @@ def _synth_media_warc(media: DataFrame, out_dir: str) -> None:
     )
 
 
-def _harvest_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _harvest_core(
+    spark: SparkSession, sf_dir: str, tag: str = "mediacrawl"
+) -> DataFrame:
     """Shared body of crawl_media_harvest and its signature twin — ONE
     definition, so the rows-only lane and the hash gate cannot diverge.
     See crawl_media_harvest for the full pipeline story.
@@ -745,7 +763,7 @@ def _harvest_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < HARVEST_DOCS
     )
     media = _synth_media(docs)
-    out_dir = _fixture_dir("mediacrawl", sf_dir)
+    out_dir = _fixture_dir(tag, sf_dir)
     _synth_media_warc(media, out_dir)
 
     from reindexer_spark.sources.warc import WarcDataSource
@@ -952,7 +970,7 @@ def crawl_media_harvest_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejection at probe, AND that probe and decoder agree on dimensions
     — for every container format in the rotation.  Only the pixel-level
     checksum/n_bytes stay rows-only (in the parent lane)."""
-    return _harvest_core(spark, sf_dir).select(
+    return _harvest_core(spark, sf_dir, tag="mediasig").select(
         "media_id",
         "kind",
         "probe_ok",

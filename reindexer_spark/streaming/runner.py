@@ -53,11 +53,12 @@ def _events_ts_is_nanos(sf_dir: str) -> bool:
         path = os.path.join(path, parts[0])
     # the physical type matters: pyarrow reports BOTH INT64-nanos and
     # legacy INT96 as timestamp[ns], but only INT64-nanos needs the
-    # read-as-bigint workaround (INT96 reads natively as timestamp)
-    col = pq.ParquetFile(path).schema.column(
-        pq.read_schema(path).get_field_index("ts")
-    )
-    t = pq.read_schema(path).field("ts").type
+    # read-as-bigint workaround (INT96 reads natively as timestamp).
+    # One footer open supplies both schemas.
+    pf = pq.ParquetFile(path)
+    arrow_schema = pf.schema_arrow
+    col = pf.schema.column(arrow_schema.get_field_index("ts"))
+    t = arrow_schema.field("ts").type
     return (
         col.physical_type == "INT64" and getattr(t, "unit", None) == "ns"
     )

@@ -119,7 +119,10 @@ def build_sf1(spark) -> None:
         ).write.mode("overwrite").parquet(emb_out)
 
 
-def run_sweep() -> dict:
+def run_sweep(seed_queries: dict | None = None) -> dict:
+    """Full sweep, or — with ``seed_queries`` — a subset re-run whose
+    incremental writes carry the prior results forward, so a crash
+    mid-subset can never destroy the rest of the ledger."""
     import bench
     from reindexer_spark import get_query, get_spark
     from reindexer_spark.catalog import TABLES, load_table
@@ -166,7 +169,7 @@ def run_sweep() -> dict:
             "the adversarial regime SCALE_PROOF's zipf legs complement "
             "with the natural-corpus (scale-invariant DF) measurement. A third benign class: sub-second lanes with zero shuffle (sample_weighted_mix) scale by SCAN TASK COUNT, not data — the sf0.1 table is one file (one task) while sf1 splits 32 ways, so per-task scheduling overhead dominates walls this small; at real scale task runtime amortizes it."
         ),
-        "queries": {},
+        "queries": dict(seed_queries or {}),
     }
     for name in names:
         q = get_query(name)
@@ -231,10 +234,8 @@ def _run_subset(names: list[str]) -> None:
                 prior = json.load(fh)
         except (OSError, json.JSONDecodeError):
             prior = None
-        result = run_sweep()
-        if prior:
-            prior["queries"].update(result["queries"])
-            result = prior
+        seed = prior["queries"] if prior else None
+        result = run_sweep(seed_queries=seed)
         with open(out, "w") as fh:
             json.dump(result, fh, indent=1)
         print(json.dumps({"merged": names}))

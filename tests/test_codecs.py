@@ -1966,3 +1966,25 @@ def test_mkv_probe_equals_decoder_across_fixture_grid(
     assert (dw, dh, len(frames)) == (w, h, 6)
     cues = mkv_keyframe_index(mkv)
     assert bool(cues) == with_cues
+
+
+def test_avcc_truncated_sps_quarantines_exactly_at_boundary():
+    """Regression: the avcC SPS-length guard was off by two, letting a
+    record truncated inside the SPS parse silently (often 'ok', since
+    the missing bytes can be trailing bits the parser never reads)."""
+    from reindexer_spark.codecs import (
+        MediaFormatError,
+        build_avcc,
+        parse_avcc,
+        write_h264_sps,
+    )
+
+    avcc = build_avcc(write_h264_sps(640, 360, 66, 30))
+    sps_len = int.from_bytes(avcc[6:8], "big")
+    sps_end = 8 + sps_len
+    # cut inside the SPS payload: 1 and 2 bytes short must both raise
+    for cut in (sps_end - 1, sps_end - 2):
+        with pytest.raises(MediaFormatError):
+            parse_avcc(avcc[:cut])
+    # exactly-complete SPS (PPS tail cut off) still parses
+    assert parse_avcc(avcc[:sps_end])["width"] == 640
