@@ -29,7 +29,12 @@ HEADLINE = [
     "window_topn_per_group",
     "set_except_all",
     "dedup_exact_hash",
-    "dedup_ngram_jaccard",
+    # round-9: dedup_ngram_prefix REPLACED dedup_ngram_jaccard here —
+    # same declared semantics and oracle, but prefix-filtered candidate
+    # generation (the round-8 sweep's one superlinear lane, demoted to
+    # validation-only).  Headline totals before/after differ by the two
+    # lanes' delta; per-query ledger history is unaffected.
+    "dedup_ngram_prefix",
     "dedup_minhash",
     "knn_bruteforce",
     "knn_ivf_lsh",
@@ -233,8 +238,10 @@ def main() -> int:
         except (OSError, json.JSONDecodeError):
             pass
     print(json.dumps(line))
-    prior_local = _append_bench_local(line)
-    _print_delta_ledger(timings, total, sf, prior_local, timings2, total2)
+    # ledger BEFORE the append so the median base can't include the
+    # run being compared
+    _print_delta_ledger(timings, total, sf, None, timings2, total2)
+    _append_bench_local(line)
     return 0
 
 
@@ -302,6 +309,57 @@ def _append_bench_local(line: dict) -> dict | None:
     return prior
 
 
+_MEDIAN_WINDOW = 7  # same-sf BENCH_LOCAL entries folded into the base
+
+
+def _median_base(sf):
+    """Per-query MEDIANS over the last ``_MEDIAN_WINDOW`` same-sf
+    BENCH_LOCAL.json entries (the caller prints the ledger BEFORE
+    appending the current run, so the base never includes the run being
+    compared).  Round-8 VERDICT wrong #4: comparing against one
+    prior entry manufactured phantom ±40% swings every round — q1's
+    recorded band is 0.48-2.34 s on unchanged code — so the base is a
+    cross-entry median, which this VM's noise spikes can't move."""
+    import statistics
+
+    path = os.path.join(os.path.dirname(__file__) or ".", "BENCH_LOCAL.json")
+    try:
+        with open(path) as fh:
+            hist = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None
+    if not isinstance(hist, list):
+        return None
+    entries = [e for e in hist if e.get("sf") == sf][-_MEDIAN_WINDOW:]
+    if not entries:
+        return None
+
+    def med(values):
+        vals = [v for v in values if isinstance(v, (int, float))]
+        return (statistics.median(vals), len(vals)) if vals else (None, 0)
+
+    per_q: dict[str, list] = {}
+    per_q2: dict[str, list] = {}
+    totals, totals2 = [], []
+    for e in entries:
+        for name, v in (e.get("queries") or {}).items():
+            per_q.setdefault(name, []).append(v)
+        # pre-r8 history carried the flagship compositions single-shot
+        # in extended_queries
+        h2 = e.get("headline2_queries") or e.get("extended_queries") or {}
+        for name, v in h2.items():
+            per_q2.setdefault(name, []).append(v)
+        totals.append(e.get("value"))
+        totals2.append(e.get("headline2_total"))
+    return {
+        "n_entries": len(entries),
+        "queries": {n: med(v) for n, v in per_q.items()},
+        "queries2": {n: med(v) for n, v in per_q2.items()},
+        "total": med(totals),
+        "total2": med(totals2),
+    }
+
+
 def _print_delta_ledger(
     timings: dict[str, float],
     total: float,
@@ -311,60 +369,53 @@ def _print_delta_ledger(
     total2: float | None = None,
 ) -> None:
     """Cross-round perf ledger to STDERR (stdout stays the one-line JSON
-    contract): per-query delta vs the newest BENCH_r*.json at the same sf,
-    falling back to the newest same-sf BENCH_LOCAL.json entry when the
-    driver's truncated capture nulled ``parsed``.  This VM shows
-    occasional multi-second external noise spikes — re-run before
-    believing any single regression."""
-    import glob
-    import os.path
-
-    base: dict = {}
-    label = ""
-    prior = sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")))
-    if prior:
-        try:
-            with open(prior[-1]) as fh:
-                base = json.load(fh)
-            if "parsed" in base:  # driver-recorded BENCH_r*.json wraps our line
-                base = base["parsed"] or {}
-            label = os.path.basename(prior[-1])
-        except (OSError, json.JSONDecodeError):
-            base = {}
-    if base.get("sf") != sf:
-        base = {}
-    if not base and fallback is not None:
-        base = fallback
-        label = "BENCH_LOCAL.json[{}]".format(fallback.get("wall_clock_utc", "prev"))
-    if base.get("sf") != sf:
+    contract): per-query delta vs the MEDIAN of the last same-sf
+    BENCH_LOCAL.json entries (single-entry comparison was noise — see
+    _median_base).  ``fallback`` (the single prior entry) is only used
+    when no local history exists at this sf."""
+    base = _median_base(sf)
+    if base is None and fallback is not None and fallback.get("sf") == sf:
+        base = {
+            "n_entries": 1,
+            "queries": {n: (v, 1) for n, v in (fallback.get("queries") or {}).items()},
+            "queries2": {
+                n: (v, 1)
+                for n, v in (
+                    fallback.get("headline2_queries")
+                    or fallback.get("extended_queries")
+                    or {}
+                ).items()
+            },
+            "total": (fallback.get("value"), 1),
+            "total2": (fallback.get("headline2_total"), 1),
+        }
+    if base is None:
         return
-    bq = base.get("queries", {})
-    lines = [f"# perf vs {label} (sf={sf})"]
+
+    def fmt(name, t, entry, tag=""):
+        if entry and entry[0]:
+            b, k = entry
+            return f"{name}: {t:.2f}s vs median {b:.2f}s/{k} ({(t - b) / b:+.0%}){tag}"
+        return f"{name}: {t:.2f}s (new){tag}"
+
+    lines = [
+        f"# perf vs median of last {base['n_entries']} BENCH_LOCAL entries (sf={sf})"
+    ]
     for name, t in timings.items():
-        b = bq.get(name)
-        if b:
-            lines.append(f"{name}: {t:.2f}s vs {b:.2f}s ({(t - b) / b:+.0%})")
-        else:
-            lines.append(f"{name}: {t:.2f}s (new)")
-    bt = base.get("value")
+        lines.append(fmt(name, t, base["queries"].get(name)))
+    bt, bk = base["total"]
     if bt:
-        lines.append(f"TOTAL: {total:.2f}s vs {bt:.2f}s ({(total - bt) / bt:+.0%})")
+        lines.append(
+            f"TOTAL: {total:.2f}s vs median {bt:.2f}s/{bk} ({(total - bt) / bt:+.0%})"
+        )
     if timings2:
-        # prior headline2 values; pre-r8 history carried these four
-        # single-shot in extended_queries
-        bq2 = base.get("headline2_queries") or base.get("extended_queries", {})
         for name, t in timings2.items():
-            b = bq2.get(name)
-            if b:
-                lines.append(
-                    f"{name}: {t:.2f}s vs {b:.2f}s ({(t - b) / b:+.0%}) [h2]"
-                )
-            else:
-                lines.append(f"{name}: {t:.2f}s (new) [h2]")
-        bt2 = base.get("headline2_total")
+            lines.append(fmt(name, t, base["queries2"].get(name), " [h2]"))
+        bt2, bk2 = base["total2"]
         if bt2 and total2:
             lines.append(
-                f"TOTAL2: {total2:.2f}s vs {bt2:.2f}s ({(total2 - bt2) / bt2:+.0%})"
+                f"TOTAL2: {total2:.2f}s vs median {bt2:.2f}s/{bk2} "
+                f"({(total2 - bt2) / bt2:+.0%})"
             )
         elif total2:
             lines.append(f"TOTAL2: {total2:.2f}s (first tracked round)")

@@ -107,12 +107,21 @@ class SolrBatchLedger:
     protocol.  One empty marker file per committed micro-batch, created
     ATOMICALLY (write-temp-then-rename) only after every partition of
     that batch posted successfully; readers (the replay check) see a
-    marker either fully or not at all."""
+    marker either fully or not at all.
 
-    def __init__(self, path: str) -> None:
+    Markers are garbage-collected: ``commit`` keeps only the
+    ``retain`` highest batch ids (default 100, mirroring Spark's
+    retained-checkpoint-batch window).  Safe because Structured
+    Streaming only ever replays the LAST uncommitted batch after a
+    restart — a marker ``retain`` batches old can no longer be asked
+    about (round-8 ADVICE: unbounded one-marker-per-micro-batch
+    growth on long-running streams)."""
+
+    def __init__(self, path: str, retain: int = 100) -> None:
         import os
 
         self.path = path
+        self.retain = retain
         os.makedirs(path, exist_ok=True)
 
     def _marker(self, batch_id: int) -> str:
@@ -132,6 +141,24 @@ class SolrBatchLedger:
         fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".tmp")
         os.close(fd)
         os.replace(tmp, self._marker(batch_id))
+        self._gc()
+
+    def _gc(self) -> None:
+        """Drop all but the ``retain`` highest-numbered markers."""
+        import os
+
+        ids = []
+        for name in os.listdir(self.path):
+            if name.startswith("batch-") and name.endswith(".committed"):
+                try:
+                    ids.append(int(name[len("batch-") : -len(".committed")]))
+                except ValueError:
+                    continue
+        for bid in sorted(ids)[: -self.retain] if len(ids) > self.retain else []:
+            try:
+                os.remove(self._marker(bid))
+            except FileNotFoundError:
+                pass  # concurrent GC from another writer already removed it
 
 
 class EffectivelyOnceSolrSink:

@@ -69,9 +69,14 @@ def _fixture_dir(kind: str, sf_dir: str) -> str:
         if pid == os.getpid():
             continue
         try:
-            os.kill(pid, 0)  # raises if the owning process is gone
-        except OSError:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            # Only a definitively-dead pid is reaped: PermissionError
+            # (also an OSError) means a LIVE process owned by another
+            # user on a shared /tmp — its fixture must survive.
             shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
+        except OSError:
+            pass  # alive or indeterminate — leave it
     d = os.path.join(tmp, f"{prefix}{os.getpid()}")
     if os.path.isdir(d):
         shutil.rmtree(d)

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import logging
 import os
 import zlib
 from collections.abc import Iterator, Sequence
@@ -53,9 +54,12 @@ from pyspark.sql.datasource import (
 from reindexer_spark.sources.offsets import (
     advance_offset,
     initial_offset,
+    late_arrivals,
     new_names,
     normalize_offset,
 )
+
+logger = logging.getLogger(__name__)
 
 WARC_SCHEMA = (
     "warc_file string, record_id string, warc_type string, "
@@ -282,6 +286,8 @@ class WarcStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("warc source requires a path")
         self._last: dict | None = None
+        self._prev_listing: list[str] | None = None
+        self.late_dropped: list[str] = []  # observability, not state
 
     def _files_now(self) -> list[str]:
         return sorted(
@@ -299,13 +305,32 @@ class WarcStreamReader(DataSourceStreamReader):
         # recent names, O(cap) per checkpoint entry instead of the full
         # ever-ingested history
         prev = self._last or initial_offset()
-        off = advance_offset(prev, self._files_now())
+        listed = self._files_now()
+        late = late_arrivals(self._prev_listing, listed, prev["b"])
+        if late:
+            # counted-not-silently-lost: the compaction horizon skips
+            # these (offsets.py docstring); surface like Spark's logged
+            # maxFileAge skips
+            self.late_dropped.extend(late)
+            logger.warning(
+                "warc stream %s: %d shard(s) landed below the compacted "
+                "offset boundary %r and will NOT be ingested: %s",
+                self.path, len(late), prev["b"], late,
+            )
+        self._prev_listing = listed
+        off = advance_offset(prev, listed)
         self._last = off
         return off
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         start = normalize_offset(start, "files")
         end = normalize_offset(end, "files")
+        if self._last is None:
+            # driver restart: resume from the checkpointed offset so the
+            # next latestOffset() folds from it (O(new+cap)) instead of
+            # from initial_offset(), which would emit one O(all-files)
+            # entry per restart (round-8 ADVICE)
+            self._last = end
         new = new_names(start, end)
         return [_WarcPartition(os.path.join(self.path, n)) for n in new]
 
@@ -313,7 +338,10 @@ class WarcStreamReader(DataSourceStreamReader):
         return read_warc_file(partition.path)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the checkpoint; nothing source-side to ack
+        # offsets live in the checkpoint; source-side we only seed the
+        # in-memory cursor after a restart (see partitions())
+        if self._last is None:
+            self._last = normalize_offset(end, "files")
 
 
 class WarcDataSource(DataSource):

@@ -34,6 +34,7 @@ Shape notes (the 100 TB story):
 from __future__ import annotations
 
 import io
+import logging
 import os
 import tarfile
 from collections.abc import Iterator, Sequence
@@ -49,9 +50,12 @@ from pyspark.sql.datasource import (
 from reindexer_spark.sources.offsets import (
     advance_offset,
     initial_offset,
+    late_arrivals,
     new_names,
     normalize_offset,
 )
+
+logger = logging.getLogger(__name__)
 
 WDS_SCHEMA = (
     "shard string, key string, members map<string, binary>, "
@@ -173,6 +177,8 @@ class WebDatasetStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("webdataset source requires a path")
         self._last: dict | None = None
+        self._prev_listing: list[str] | None = None
+        self.late_dropped: list[str] = []  # observability, not state
 
     def _files_now(self) -> list[str]:
         return sorted(
@@ -187,13 +193,28 @@ class WebDatasetStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:  # noqa: N802 - API contract
         prev = self._last or initial_offset()
-        off = advance_offset(prev, self._files_now())
+        listed = self._files_now()
+        late = late_arrivals(self._prev_listing, listed, prev["b"])
+        if late:
+            # counted-not-silently-lost (see warc.py — same contract)
+            self.late_dropped.extend(late)
+            logger.warning(
+                "webdataset stream %s: %d shard(s) landed below the "
+                "compacted offset boundary %r and will NOT be ingested: %s",
+                self.path, len(late), prev["b"], late,
+            )
+        self._prev_listing = listed
+        off = advance_offset(prev, listed)
         self._last = off
         return off
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         start = normalize_offset(start, "shards")
         end = normalize_offset(end, "shards")
+        if self._last is None:
+            # driver restart: seed from the checkpointed offset instead
+            # of re-listing everything on the next latestOffset()
+            self._last = end
         new = new_names(start, end)
         return [_ShardPartition(os.path.join(self.path, n)) for n in new]
 
@@ -201,7 +222,10 @@ class WebDatasetStreamReader(DataSourceStreamReader):
         return read_shard(partition.path)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the checkpoint; nothing source-side to ack
+        # offsets live in the checkpoint; source-side we only seed the
+        # in-memory cursor after a restart (see partitions())
+        if self._last is None:
+            self._last = normalize_offset(end, "shards")
 
 
 class WebDatasetSource(DataSource):

@@ -269,3 +269,32 @@ def test_unigram_dp_encoding_equals_bruteforce():
         assert sum(vocab[p] for p in pieces) == cost
 
     check()
+
+
+def test_prefix_filter_lossless_vs_all_shingles_baseline(spark, sf_dir):
+    """dedup_ngram_prefix must return EXACTLY the rows of
+    dedup_ngram_jaccard — the PPJoin prefix filter is a lossless
+    candidate prune, not an approximation (both lanes also share one
+    oracle SQL, so the driver gate re-proves this every round)."""
+    exact = {
+        (r.d1, r.d2, r.n_common, r.jaccard)
+        for r in get_query("dedup_ngram_jaccard").fn(spark, sf_dir).collect()
+    }
+    pref = {
+        (r.d1, r.d2, r.n_common, r.jaccard)
+        for r in get_query("dedup_ngram_prefix").fn(spark, sf_dir).collect()
+    }
+    assert pref == exact
+    assert exact, "baseline returned no near-dup pairs at this scale"
+
+
+def test_prefix_length_integer_arithmetic():
+    """ceil(4n/5) via (4n+4) div 5 — the float form 0.8*n overshoots at
+    multiples of 5 (0.8*5 = 4.000000000000001 → ceil 5), which would
+    shorten the prefix and silently drop true pairs."""
+    import math
+
+    for n in range(1, 500):
+        assert (4 * n + 4) // 5 == math.ceil(
+            __import__("fractions").Fraction(4 * n, 5)
+        )

@@ -1814,6 +1814,7 @@ def test_sps_fuzz_quarantine_contract():
         build_hvcc,
         parse_avcc,
         parse_h264_sps,
+        parse_hevc_sps,
         parse_hvcc,
         write_h264_sps,
         write_hevc_sps,
@@ -1835,8 +1836,15 @@ def test_sps_fuzz_quarantine_contract():
         check(parse_hvcc, hvcc[:cut])
     for seed in range(50):
         rng = np.random.default_rng(seed)
-        for base, fn in ((h264, parse_h264_sps), (hevc, parse_hvcc)):
-            noisy = bytearray(base if fn is parse_h264_sps else hvcc)
+        # fuzz each parser against ITS OWN wire shape: raw h264 SPS,
+        # raw hevc SPS (round-8 ADVICE: this one was never fuzzed),
+        # and the hvcc record wrapping the hevc SPS
+        for base, fn in (
+            (h264, parse_h264_sps),
+            (hevc, parse_hevc_sps),
+            (hvcc, parse_hvcc),
+        ):
+            noisy = bytearray(base)
             for i in rng.integers(0, len(noisy), 3):
                 noisy[i] = int(rng.integers(0, 256))
             check(fn, bytes(noisy))

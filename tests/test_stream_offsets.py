@@ -11,6 +11,7 @@ from reindexer_spark.sources.offsets import (
     OFFSET_CAP,
     advance_offset,
     initial_offset,
+    late_arrivals,
     new_names,
     normalize_offset,
 )
@@ -76,6 +77,90 @@ def test_legacy_offset_upgrade():
     # a fresh (post-restart) fat end offset diffs correctly against it
     end = advance_offset(initial_offset(), [_shard(0), _shard(1), _shard(2)])
     assert new_names(norm, end) == [_shard(2)]
+
+
+def test_late_shard_below_boundary_is_counted_not_silent():
+    """A shard landing below the compaction boundary is skipped by the
+    horizon trade — late_arrivals must surface it (round-8 VERDICT
+    missing #4: the drop was silent)."""
+    prev = initial_offset()
+    listed = sorted(_shard(i) for i in range(100, 100 + OFFSET_CAP + 50))
+    prev = advance_offset(prev, listed)
+    prev = advance_offset(prev, listed)  # compacts: boundary advances
+    assert prev["b"] != ""
+    late = _shard(0)  # sorts below the boundary
+    assert late < prev["b"]
+    listed2 = sorted(listed + [late])
+    # detection: the name is new vs the previous listing AND below b
+    assert late_arrivals(listed, listed2, prev["b"]) == [late]
+    # and the offset fold indeed never ingests it (the documented trade)
+    cur = advance_offset(prev, listed2)
+    assert late not in new_names(prev, cur)
+    # an on-time shard in the same listing is NOT flagged
+    ontime = _shard(999999)
+    assert late_arrivals(listed, sorted(listed + [ontime]), prev["b"]) == []
+    # best-effort contract: with no previous listing (fresh driver),
+    # nothing is flagged — an already-ingested file is indistinguishable
+    assert late_arrivals(None, listed2, prev["b"]) == []
+
+
+def test_stream_reader_logs_and_counts_late_shards(tmp_path, caplog):
+    """Reader-level wiring: WarcStreamReader records late-dropped shard
+    names on its ``late_dropped`` list and warns."""
+    import logging
+
+    from reindexer_spark.sources.warc import WarcStreamReader
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    names = [f"shard-{i:06d}.warc" for i in range(100, 100 + OFFSET_CAP + 50)]
+    for n in names:
+        (d / n).write_bytes(b"")
+    r = WarcStreamReader({"path": str(d)})
+    r.latestOffset()
+    r.latestOffset()  # second fold compacts: boundary advances
+    assert r._last["b"] != ""
+    (d / "shard-000000.warc").write_bytes(b"")  # below the boundary
+    with caplog.at_level(logging.WARNING):
+        r.latestOffset()
+    assert r.late_dropped == ["shard-000000.warc"]
+    assert any("NOT be ingested" in m for m in caplog.messages)
+
+
+def test_reader_restart_seeds_cursor_from_checkpoint(tmp_path):
+    """After a driver restart the reader's first latestOffset must fold
+    from the checkpointed offset (seeded via partitions/commit), not
+    from initial_offset() — the old behavior emitted one O(all-files)
+    offset entry per restart (round-8 ADVICE)."""
+    from reindexer_spark.sources.warc import WarcStreamReader
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    names = [f"shard-{i:06d}.warc" for i in range(OFFSET_CAP + 50)]
+    for n in names:
+        (d / n).write_bytes(b"")
+    r1 = WarcStreamReader({"path": str(d)})
+    r1.latestOffset()
+    end = r1.latestOffset()  # compacted
+    assert end["b"] != ""
+
+    # restart: fresh reader, engine replays the last batch from the
+    # checkpoint (partitions with the stored end), then triggers anew
+    r2 = WarcStreamReader({"path": str(d)})
+    r2.partitions(end, end)
+    (d / f"shard-{OFFSET_CAP + 50:06d}.warc").write_bytes(b"")
+    nxt = r2.latestOffset()
+    assert len(nxt["recent"]) <= OFFSET_CAP + 1  # stays O(cap), not O(files)
+    assert nxt["b"] != ""
+    assert new_names(end, nxt) == [f"shard-{OFFSET_CAP + 50:06d}.warc"]
+
+    # commit() alone also seeds (restart where batch was already done)
+    r3 = WarcStreamReader({"path": str(d)})
+    r3.commit(nxt)
+    again = r3.latestOffset()
+    assert again is r3._last
+    assert len(again["recent"]) <= OFFSET_CAP + 1
+    assert new_names(nxt, again) == []
 
 
 def test_restart_against_compacted_checkpoint():
