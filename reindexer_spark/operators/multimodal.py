@@ -299,6 +299,17 @@ def _synth_media(d: DataFrame) -> DataFrame:
     return d.select("doc_id", "text", "lang").mapInPandas(build, schema)
 
 
+def _decode_features_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE decode pipeline shared by the rows-only feature lane and its
+    hash-gated signature twin (same recipe as crawl's _harvest_core:
+    sharing the body means the gate and the rows-only lane cannot
+    diverge)."""
+    from reindexer_spark.multimodal import LibraryCodec, extract_media_features
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return extract_media_features(_synth_media(d), codec=LibraryCodec())
+
+
 @query("multimodal_decode_features")  # Python codec output → rows-only check
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The media-decode pipeline on REAL bytes end-to-end: deterministic
@@ -308,13 +319,10 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dependency-free stdlib codecs (reindexer_spark.codecs) through
     the Arrow-batched mapInPandas seam — decoded dimensions, channel
     means, amplitude stats are computed from actual pixel/sample data,
-    not digest stubs.  Deterministic but not SQL-expressible (byte-level
-    container parsing) → rows-only check; the metadata lane
-    (multimodal_binary_meta) carries the oracle."""
-    from reindexer_spark.multimodal import LibraryCodec, extract_media_features
-
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    feats = extract_media_features(_synth_media(d), codec=LibraryCodec())
+    not digest stubs.  The pixel/sample statistics keep THIS lane
+    rows-only; dimensions/channels/frame-count are hash-gated by
+    multimodal_decode_features_sig."""
+    feats = _decode_features_core(spark, sf_dir)
     # serialize the feature vector: the external comparator canonicalizes
     # via pandas and cannot hash raw array cells (round-1 driver ERR class)
     return feats.withColumn(
@@ -325,6 +333,108 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# sha256(text) byte extraction + the _synth_media kind rotation,
+# re-derived arithmetically — the shared head of the three signature
+# oracles (the recipe proven by crawl_media_harvest_sig).
+_MEDIA_SIG_SQL = """
+    base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents
+      WHERE doc_id < 100
+    ),
+    s AS (
+      SELECT media_id,
+             CAST(('0x' || substr(dg, 1, 2)) AS INT) AS s0,
+             CAST(('0x' || substr(dg, 3, 2)) AS INT) AS s1,
+             CAST(('0x' || substr(dg, 5, 2)) AS INT) AS s2,
+             media_id % 12 = 2 AS gif,
+             media_id % 12 <> 2 AND media_id % 3 = 2 AS audio,
+             media_id % 12 <> 2 AND media_id % 3 = 1 AS video
+      FROM base
+    ),
+    k AS (
+      SELECT *,
+        CASE
+          WHEN gif THEN 'image-gif'
+          WHEN audio AND media_id % 12 = 8 THEN 'audio-flac'
+          WHEN audio THEN 'audio-wav'
+          WHEN video AND media_id % 12 = 1 THEN 'video-mjpeg'
+          WHEN video AND media_id % 12 = 7 THEN 'video-mp4'
+          WHEN video AND media_id % 12 = 10 THEN 'video-mkv'
+          WHEN video THEN 'video-avi'
+          WHEN media_id % 6 = 0 THEN 'image-jpeg'
+          WHEN media_id % 12 = 3 THEN 'image-png'
+          ELSE 'image-bmp'
+        END AS kind
+      FROM s
+    )
+"""
+
+_MOTION_KINDS = ("image-gif", "video-avi", "video-mjpeg", "video-mp4", "video-mkv")
+
+
+@query(
+    "multimodal_decode_features_sig",
+    oracle=f"""
+    WITH {_MEDIA_SIG_SQL}
+    SELECT media_id, kind,
+      CAST(CASE WHEN audio THEN 16000
+                WHEN video THEN 6 + s0 % 7
+                ELSE 8 + s0 % 9 END AS INT) AS width,
+      CAST(CASE WHEN audio THEN 8000
+                WHEN video THEN 6 + s1 % 7
+                ELSE 8 + s1 % 9 END AS INT) AS height,
+      CAST(CASE WHEN audio THEN 1 ELSE 3 END AS INT) AS n_channels,
+      CAST(CASE WHEN gif THEN 2 + s2 % 3
+                WHEN video THEN 3 + s2 % 4 END AS INT) AS n_frames,
+      CAST(1 AS INT) AS decoded
+    FROM k
+    """,
+)
+def multimodal_decode_features_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASH-GATED signature of multimodal_decode_features (round-8
+    VERDICT next #6): the same synth → mapInPandas decode pipeline (one
+    shared core), projected onto the columns an oracle CAN recompute —
+    decoded dimensions (pixels for images/video, samples×rate for
+    audio), channel count, motion frame count (the decoder's 8th
+    feature slot), and the no-quarantine contract.  Payloads are
+    synthesized from sha256(text) and DuckDB has sha256, so the oracle
+    re-derives every expected value arithmetically from `documents` —
+    equality proves each of the ten container codecs round-trips its
+    dimensions and frame structure through REAL encode → decode.  Only
+    the pixel/sample statistics stay rows-only (in the parent lane)."""
+    feats = _decode_features_core(spark, sf_dir)
+    motion = F.col("kind").isin(*_MOTION_KINDS)
+    return feats.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "n_channels",
+        # the codec writes the frame count into the last feature slot
+        # for motion containers (PurePythonCodec.decode)
+        F.when(motion, F.element_at("features", 8).cast("int")).alias(
+            "n_frames"
+        ),
+        F.col("features").isNotNull().cast("int").alias("decoded"),
+    )
+
+
+THUMB_MAX_DIM = 8
+
+
+def _thumbs_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE resize pipeline shared by the rows-only thumbnail lane and
+    its hash-gated signature twin."""
+    from reindexer_spark.multimodal import LibraryResizer, resize_thumbnails
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = _synth_media(d).filter(
+        F.col("kind").isin("image-bmp", "image-jpeg", "image-png", "image-gif")
+    )
+    return resize_thumbnails(media, max_dim=THUMB_MAX_DIM, resizer=LibraryResizer())
+
+
 @query("multimodal_thumbnail")  # Python resize output → rows-only check
 def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize on real pixels: BMP, baseline-JPEG, PNG, and GIF
@@ -332,22 +442,63 @@ def multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     (JPEG decodes through the dependency-free DCT path first, PNG
     through zlib inflate + filter reconstruction, GIF through LZW to
     its first composited frame); output thumbnails are themselves
-    decodable BMPs.  Emits (dims, checksum) —
-    byte-stable, bounded by max_dim² per row."""
-    from reindexer_spark.multimodal import LibraryResizer, resize_thumbnails
-
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    media = _synth_media(d).filter(
-        F.col("kind").isin("image-bmp", "image-jpeg", "image-png", "image-gif")
-    )
-    thumbs = resize_thumbnails(media, max_dim=8, resizer=LibraryResizer())
-    return thumbs.select(
+    decodable BMPs.  Emits (dims, checksum) — byte-stable, bounded by
+    max_dim² per row.  The pixel checksum keeps THIS lane rows-only;
+    dims and encoded byte size are hash-gated by
+    multimodal_thumbnail_sig."""
+    return _thumbs_core(spark, sf_dir).select(
         "media_id",
         "kind",
         "thumb_w",
         "thumb_h",
         F.octet_length("thumbnail").alias("thumb_bytes"),
         F.md5("thumbnail").alias("thumb_checksum"),
+    )
+
+
+@query(
+    "multimodal_thumbnail_sig",
+    oracle=f"""
+    WITH {_MEDIA_SIG_SQL},
+    dims AS (
+      SELECT media_id, kind,
+             8 + s0 % 9 AS w, 8 + s1 % 9 AS h
+      FROM k
+      WHERE kind IN ('image-bmp', 'image-jpeg', 'image-png', 'image-gif')
+    ),
+    t AS (
+      -- replicate the resizer's float arithmetic op-for-op
+      -- (PurePythonResizer: scale = min(1.0, max_dim/max(w,h));
+      --  tw = max(1, trunc(w*scale))) — both engines use IEEE doubles,
+      -- so identical op order gives identical truncation
+      SELECT media_id, kind, w, h,
+             GREATEST(1, CAST(TRUNC(w * LEAST(1.0, {THUMB_MAX_DIM}.0 / GREATEST(w, h))) AS INT)) AS tw,
+             GREATEST(1, CAST(TRUNC(h * LEAST(1.0, {THUMB_MAX_DIM}.0 / GREATEST(w, h))) AS INT)) AS th
+      FROM dims
+    )
+    SELECT media_id, kind,
+           CAST(tw AS INT) AS thumb_w,
+           CAST(th AS INT) AS thumb_h,
+           CAST(54 + th * (((3 * tw + 3) // 4) * 4) AS BIGINT) AS thumb_bytes
+    FROM t
+    """,
+)
+def multimodal_thumbnail_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASH-GATED signature of multimodal_thumbnail: same decode →
+    nearest-neighbor-resize → BMP-re-encode pipeline (one shared core),
+    projected onto the columns an oracle CAN recompute — thumbnail
+    dimensions (the resizer's scale arithmetic replayed in SQL, exact
+    because both engines run the same IEEE double ops) and the encoded
+    BMP byte size (54-byte header + 4-byte-aligned rows).  Equality
+    proves all four image codecs decode to the right geometry AND the
+    thumbnail encoder emits a spec-shaped BMP for every row.  Only the
+    pixel checksum stays rows-only (in the parent lane)."""
+    return _thumbs_core(spark, sf_dir).select(
+        "media_id",
+        "kind",
+        "thumb_w",
+        "thumb_h",
+        F.octet_length("thumbnail").alias("thumb_bytes"),
     )
 
 
@@ -369,6 +520,18 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape a fixed-arity UDF cannot express.  Deterministic but
     Python-side → rows-only check; frames are emitted as (bytes,
     checksum), not raw binary, for the pandas canonicalizer."""
+    return _frames_core(spark, sf_dir).select(
+        "media_id",
+        "frame_idx",
+        "frame_ts_ms",
+        F.octet_length("frame").alias("frame_bytes"),
+        F.md5("frame").alias("frame_checksum"),
+    )
+
+
+def _frames_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE sampling pipeline shared by the rows-only frame lane and its
+    hash-gated signature twin."""
     from reindexer_spark.multimodal import LibraryFrameSampler, sample_video_frames
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -378,15 +541,67 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "video-mp4", "video-mkv", "image-gif",
         )
     )
-    frames = sample_video_frames(
+    return sample_video_frames(
         media, every_ms=500, max_frames=4, sampler=LibraryFrameSampler()
     )
-    return frames.select(
+
+
+@query(
+    "multimodal_frame_sample_sig",
+    oracle=f"""
+    WITH {_MEDIA_SIG_SQL},
+    m AS (
+      -- per-media frame-mark count and emitted-frame byte size,
+      -- re-derived from the synthesis rules: audio is 2 s of PCM
+      -- (16000 samples @ 8 kHz) sampled as 100 ms WAV windows
+      -- (44 + 2*800 bytes); video is (3 + s2 % 4) frames @ 4 fps,
+      -- each emitted frame a BMP of the video dims; gif is
+      -- (2 + s2 % 3) frames with 100/150/200 ms GCE delays, frames
+      -- emitted as BMPs of the gif dims.  Marks land every 500 ms
+      -- below the container duration, capped at 4.
+      SELECT media_id,
+        CASE
+          WHEN audio THEN 4
+          WHEN video THEN LEAST(4, ((3 + s2 % 4) * 250 + 499) // 500)
+          WHEN gif THEN LEAST(4,
+            ((CASE 2 + s2 % 3 WHEN 2 THEN 250 WHEN 3 THEN 450
+              ELSE 550 END) + 499) // 500)
+        END AS n_out,
+        CASE
+          WHEN audio THEN 44 + 2 * 800
+          WHEN video THEN 54 + (6 + s1 % 7)
+                            * (((3 * (6 + s0 % 7) + 3) // 4) * 4)
+          WHEN gif THEN 54 + (8 + s1 % 9)
+                          * (((3 * (8 + s0 % 9) + 3) // 4) * 4)
+        END AS fbytes
+      FROM k
+      WHERE audio OR video OR gif
+    )
+    SELECT media_id,
+           CAST(UNNEST(range(n_out)) AS INT) AS frame_idx,
+           CAST(UNNEST(range(n_out)) * 500 AS BIGINT) AS frame_ts_ms,
+           CAST(fbytes AS BIGINT) AS frame_bytes
+    FROM m
+    """,
+)
+def multimodal_frame_sample_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASH-GATED signature of multimodal_frame_sample: same
+    parse → timestamp-walk → frame-re-encode pipeline (one shared
+    core), projected onto what an oracle CAN recompute — the per-media
+    frame fan-out (one row per 500 ms mark under the real container
+    duration: PCM length for audio, stts/SimpleBlock/GCE timing for
+    mp4/mkv/gif, frame-count × rate for avi), each mark's index and
+    timestamp, and the emitted frame's encoded byte size (WAV window
+    for audio, dimension-exact BMP for video/gif).  Equality proves
+    every container's duration math and the sampler's mark loop agree
+    with the synthesis arithmetic.  Keyframe snapping changes WHICH
+    pixels are emitted, never the byte size — the pixel checksum stays
+    rows-only (in the parent lane)."""
+    return _frames_core(spark, sf_dir).select(
         "media_id",
         "frame_idx",
-        "frame_ts_ms",
-        F.octet_length("frame").alias("frame_bytes"),
-        F.md5("frame").alias("frame_checksum"),
+        F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"),
+        F.octet_length("frame").cast("bigint").alias("frame_bytes"),
     )
 
 

@@ -44,6 +44,42 @@ def test_partition_expr_uses_bigint_mask_not_abs(tmp_path):
     assert int(opts["upperBound"]) == 1 << 31
 
 
+@pytest.mark.parametrize(
+    "dialect,part_expr",
+    [
+        # Postgres (production default): hashtext int4 → bigint mask.
+        ("postgres", None),
+        # Derby (the live-test stand-in): numeric suffix of the id.
+        ("derby", "CAST(SUBSTR(q.id, 3) AS INT)"),
+    ],
+)
+def test_emitted_partition_sql_exact_per_dialect(tmp_path, dialect, part_expr):
+    """Round-8 VERDICT next #7: the hashtext branch can't run against a
+    real Postgres here, but its SQL GENERATION can be pinned exactly —
+    a dialect regression (quoting, alias, wrapping shape) fails this
+    test instead of hiding behind the missing server."""
+    conf = conf_with_query(
+        tmp_path, "SELECT id, content FROM documents ORDER BY id"
+    )
+    kwargs = {} if part_expr is None else {"partition_expr": part_expr}
+    opts = jdbc_reader_options(conf, **kwargs)
+    expr = (
+        "(hashtext(q.id)::bigint & 2147483647)"
+        if dialect == "postgres"
+        else part_expr
+    )
+    # the ORDER BY is stripped, the user query wrapped once, the
+    # partition expression aliased to the declared partitionColumn
+    assert opts["dbtable"] == (
+        f"(SELECT q.*, {expr} AS doc_seq "
+        "FROM (SELECT id, content FROM documents) q) AS partitioned_src"
+    )
+    assert opts["partitionColumn"] == "doc_seq"
+    assert (int(opts["lowerBound"]), int(opts["upperBound"])) == (0, 1 << 31)
+    assert opts["pushDownPredicate"] == "true"
+    assert int(opts["fetchsize"]) == 10_000  # pg driver's whole-result trap
+
+
 def test_bigint_mask_semantics_on_int_min():
     # The expression semantics the SQL relies on: masking INT_MIN in
     # 64-bit space is in-range where abs() raises.
