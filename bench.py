@@ -29,12 +29,14 @@ HEADLINE = [
     "window_topn_per_group",
     "set_except_all",
     "dedup_exact_hash",
-    # round-9: dedup_ngram_prefix REPLACED dedup_ngram_jaccard here —
-    # same declared semantics and oracle, but prefix-filtered candidate
-    # generation (the round-8 sweep's one superlinear lane, demoted to
-    # validation-only).  Headline totals before/after differ by the two
-    # lanes' delta; per-query ledger history is unaffected.
-    "dedup_ngram_prefix",
+    # round-9: the exact near-dup lanes left the headline.  The round-8
+    # sweep proved dedup_ngram_jaccard superlinear on the dense corpus;
+    # its PPJoin replacement dedup_ngram_prefix cuts shuffle 3x and is
+    # ~linear on natural (zipf-DF) corpora (SCALE_PROOF), but ANY exact
+    # pair counter is candidate-quadratic on the adversarial dense
+    # corpus, so both are validation-only and dedup_minhash is THE
+    # headline near-dup lane.  Headline totals shrink by the removed
+    # lane's ~1.6-2.6 s; per-query history is unaffected.
     "dedup_minhash",
     "knn_bruteforce",
     "knn_ivf_lsh",

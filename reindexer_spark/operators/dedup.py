@@ -250,10 +250,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 10× on a dense corpus — candidate pairs under the absolute
     DF_CAP grow quadratically while every shingle's df is still below
     the cap).  This lane is the trusted all-shingles baseline the
-    others are checked against; the EXACT lane that survives scale is
-    ``dedup_ngram_prefix`` (same answer, prefix-filtered candidate
-    generation) and the approximate headline lane is ``dedup_minhash``.
-    Excluded from bench HEADLINE and the scale sweep accordingly."""
+    others are checked against; ``dedup_ngram_prefix`` (same answer,
+    prefix-filtered candidates) is the exact lane that scales on
+    NATURAL zipf-DF corpora, and ``dedup_minhash`` is the approximate
+    headline lane.  Excluded from bench HEADLINE and the scale claims
+    accordingly."""
     ex = shingle_table(spark, sf_dir)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
     pairs = _pairs_by_shingle(ex, sizes, JACCARD_THRESHOLD)
@@ -268,9 +269,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_ngram_prefix", oracle=_NGRAM_JACCARD_ORACLE)
 def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs (identical answer and oracle to
-    ``dedup_ngram_jaccard``) with PPJoin-style PREFIX FILTERING so
-    candidate generation survives dense corpora — the round-8 sweep's
-    one superlinear lane, remediated (round-9).
+    ``dedup_ngram_jaccard``) with PPJoin-style PREFIX FILTERING — the
+    round-9 remediation of the round-8 sweep's one superlinear lane.
 
     Prefix principle (set-similarity-join literature — Chaudhuri et al.
     ICDE'06 primitive, Xiao et al. WWW'08 PPJoin): order every doc's
@@ -278,10 +278,15 @@ def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle hash — rarest first); if jaccard(A,B) ≥ t, then A and B
     must collide within their first ``|S| - ceil(t·|S|) + 1`` shingles
     (≈ the rarest 20% + 1 at t = 0.8).  So the candidate join runs on a
-    ~5× smaller index whose entries are biased to RARE shingles —
-    quadratic df² blow-up on common shingles never happens, because
-    common shingles land outside every prefix.  Candidates are then
-    verified with the true intersection against the full index.
+    ~5× smaller index whose entries are biased to RARE shingles.
+    Candidates are then verified with the true intersection against the
+    full index.  Measured (SCALE_PROOF): ~linear on natural zipf-DF
+    corpora (wall ×1.79 at 10× docs, vs ×14.2 for the all-shingles
+    lane) — the regime real text lives in.  On the adversarial dense
+    corpus, where EVERY shingle is common, prefixes stay hot and any
+    exact pair counter is candidate-quadratic (this lane still shuffles
+    3× fewer records there); both exact lanes are therefore
+    validation-only at scale and ``dedup_minhash`` is the headline.
 
     Prefix length uses exact integer arithmetic (ceil(4n/5) as
     ``(4n+4) div 5``): float 0.8·n overshoots at n divisible by 5,

@@ -136,7 +136,12 @@ _DENSITY_STRIDES = {
     "lineitem": {"l_orderkey": 150_000},    # l_partkey/l_suppkey unchanged
     "events": {"event_id": 100_000},        # user_id unchanged
 }
-_DENSITY_COPY = ("region", "nation", "customer", "supplier", "part")
+# documents/embeddings ride along untouched: no density query reads
+# them, but the user-SQL lanes register every catalog view
+_DENSITY_COPY = (
+    "region", "nation", "customer", "supplier", "part",
+    "documents", "embeddings",
+)
 
 # the join/window/group-by headliners whose plans carry per-key state
 DENSITY_QUERIES = [
