@@ -680,7 +680,27 @@ def _decode_mp4_impl(
     if struct.unpack_from(">I", payload, p)[0] < 1:
         raise MediaFormatError("mp4 stsd has no sample entries")
     entry_tag = payload[p + 8 : p + 12]
-    if entry_tag != b"jpeg":
+    avcc_body: bytes | None = None
+    if entry_tag in (b"avc1", b"avc3"):
+        # h264 track: decodable IFF every sample is inside the intra
+        # subset (reindexer_spark.h264); inter-predicted streams raise
+        # MediaFormatError out of the slice parser — same quarantine
+        # lane as before, now entered honestly per-stream instead of
+        # per-coding-name
+        entry_size = struct.unpack_from(">I", payload, p + 4)[0]
+        entry_end = p + 4 + entry_size
+        q = p + 12 + 78  # VisualSampleEntry body is 78 bytes
+        while q + 8 <= entry_end:
+            bsize = struct.unpack_from(">I", payload, q)[0]
+            if bsize < 8 or q + bsize > entry_end:
+                break
+            if payload[q + 4 : q + 8] == b"avcC":
+                avcc_body = payload[q + 8 : q + bsize]
+                break
+            q += bsize
+        if avcc_body is None:
+            raise MediaFormatError("avc1 entry carries no avcC record")
+    elif entry_tag != b"jpeg":
         raise MediaFormatError(
             f"unsupported mp4 coding {entry_tag!r} (needs a motion-"
             "compensation decoder)"
@@ -783,17 +803,29 @@ def _decode_mp4_impl(
     else:
         sync = [True] * n_samples
 
-    frames: list[bytes] = []
+    samples: list[bytes] = []
     for i in range(n_samples):
         start, size = offsets[i], sizes[i]
         if start + size > len(payload):
             raise MediaFormatError("mp4 sample extends past end of file")
-        fw, fh, rgb = decode_jpeg_baseline(payload[start : start + size])
+        samples.append(payload[start : start + size])
+    frames: list[bytes] = []
+    if avcc_body is not None:
+        from reindexer_spark.h264 import decode_avcc_samples
+
+        fw, fh, frames = decode_avcc_samples(avcc_body, samples)
         if (fw, fh) != (width, height):
             raise MediaFormatError(
-                "mp4 sample dimensions disagree with stsd entry"
+                "mp4 SPS dimensions disagree with stsd entry"
             )
-        frames.append(rgb)
+    else:
+        for sample in samples:
+            fw, fh, rgb = decode_jpeg_baseline(sample)
+            if (fw, fh) != (width, height):
+                raise MediaFormatError(
+                    "mp4 sample dimensions disagree with stsd entry"
+                )
+            frames.append(rgb)
     return width, height, durations, frames, sync
 
 
@@ -1015,7 +1047,8 @@ def _decode_mkv_impl(
     if ts_scale == 0:
         raise MediaFormatError("mkv TimestampScale is zero")
     tr = _mkv_video_track(payload, seg_s, seg_e)
-    if tr["codec"] != "V_MJPEG":
+    h264_track = tr["codec"] == "V_MPEG4/ISO/AVC" and tr.get("private")
+    if tr["codec"] != "V_MJPEG" and not h264_track:
         raise MediaFormatError(
             f"unsupported mkv codec {tr['codec']!r} (needs a motion-"
             "compensation decoder)"
@@ -1024,16 +1057,36 @@ def _decode_mkv_impl(
     times_us: list[int] = []
     frames: list[bytes] = []
     sync: list[bool] = []
-    for ts_units, key, fs, fe in _mkv_blocks(payload, seg_s, seg_e,
-                                             tr["number"]):
-        fw, fh, rgb = decode_jpeg_baseline(payload[fs:fe])
+    if h264_track:
+        # intra-subset h264 (reindexer_spark.h264): blocks carry
+        # avcC-style length-prefixed NALs; inter-predicted streams
+        # raise MediaFormatError out of the slice parser (quarantine)
+        from reindexer_spark.h264 import decode_avcc_samples
+
+        blocks = list(
+            _mkv_blocks(payload, seg_s, seg_e, tr["number"])
+        )
+        fw, fh, frames = decode_avcc_samples(
+            tr["private"], [payload[fs:fe] for _, _, fs, fe in blocks]
+        )
         if (fw, fh) != (width, height):
             raise MediaFormatError(
-                "mkv frame dimensions disagree with TrackEntry"
+                "mkv SPS dimensions disagree with TrackEntry"
             )
-        times_us.append(ts_units * ts_scale // 1000)
-        frames.append(rgb)
-        sync.append(key)
+        for ts_units, key, _fs, _fe in blocks:
+            times_us.append(ts_units * ts_scale // 1000)
+            sync.append(key)
+    else:
+        for ts_units, key, fs, fe in _mkv_blocks(payload, seg_s, seg_e,
+                                                 tr["number"]):
+            fw, fh, rgb = decode_jpeg_baseline(payload[fs:fe])
+            if (fw, fh) != (width, height):
+                raise MediaFormatError(
+                    "mkv frame dimensions disagree with TrackEntry"
+                )
+            times_us.append(ts_units * ts_scale // 1000)
+            frames.append(rgb)
+            sync.append(key)
     if not frames:
         raise MediaFormatError("mkv has no video frames")
     if times_us != sorted(times_us):
@@ -4106,10 +4159,12 @@ def write_hevc_sps(
     return bytes((33 << 1, 1)) + w.finish()
 
 
-def build_avcc(sps: bytes) -> bytes:
+def build_avcc(sps: bytes, pps: bytes | None = None) -> bytes:
     """AVCDecoderConfigurationRecord (ISO 14496-15 §5.3.3.1) carrying
-    one SPS and no PPS payload beyond a placeholder."""
-    pps = b"\x68\xce\x38\x80"  # minimal PPS NAL placeholder
+    one SPS and one PPS (a minimal placeholder unless the caller
+    supplies the real one — the intra encoder does)."""
+    if pps is None:
+        pps = b"\x68\xce\x38\x80"  # minimal PPS NAL placeholder
     return (
         bytes((1, sps[1], sps[2], sps[3], 0xFF, 0xE1))
         + struct.pack(">H", len(sps))
@@ -4213,12 +4268,24 @@ def encode_mp4_coded(
     n_frames: int = 3,
     profile: int | None = None,
     level: int | None = None,
+    intra_frames: list[bytes] | None = None,
+    qp: int = 26,
 ) -> bytes:
     """Fixture builder: an ISO BMFF file whose video track is coded
-    h264/hevc — real avcC/hvcC config with a synthesized SPS, dummy
-    coded samples in mdat.  The PROBE must recover the construction
-    parameters; decode must quarantine (no motion compensation)."""
-    if codec == "h264":
+    h264/hevc.  Default: real avcC/hvcC config with a synthesized SPS
+    and DUMMY coded samples — the PROBE recovers the construction
+    parameters, decode quarantines.  With ``intra_frames`` (RGB bytes,
+    h264 only): samples are REAL intra-only IDR slices from
+    ``reindexer_spark.h264`` — decode reconstructs actual pixels."""
+    if intra_frames is not None:
+        if codec != "h264":
+            raise ValueError("intra_frames requires codec='h264'")
+        from reindexer_spark.h264 import encode_avcc_samples
+
+        avcc, bodies = encode_avcc_samples(width, height, intra_frames, qp)
+        entry_tag, cfg = b"avc1", _box(b"avcC", avcc)
+        n_frames = len(bodies)
+    elif codec == "h264":
         sps = write_h264_sps(
             width, height,
             profile if profile is not None else 66,
@@ -4234,10 +4301,11 @@ def encode_mp4_coded(
         entry_tag, cfg = b"hvc1", _box(b"hvcC", build_hvcc(sps))
     else:
         raise ValueError(f"unknown coded fixture codec {codec!r}")
-    bodies = [
-        b"\x00\x00\x00\x01" + bytes((65, i & 0xFF)) * 8
-        for i in range(n_frames)
-    ]
+    if intra_frames is None:
+        bodies = [
+            b"\x00\x00\x00\x01" + bytes((65, i & 0xFF)) * 8
+            for i in range(n_frames)
+        ]
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")
     base = len(ftyp) + 8
     entry = _box(entry_tag, _visual_sample_entry(width, height) + cfg)
@@ -4307,11 +4375,26 @@ def encode_mkv_coded(
     n_frames: int = 3,
     profile: int | None = None,
     level: int | None = None,
+    intra_frames: list[bytes] | None = None,
+    qp: int = 26,
 ) -> bytes:
     """Fixture builder: a Matroska file whose video track is coded
     h264/hevc — CodecID V_MPEG4/ISO/AVC / V_MPEGH/ISO/HEVC with the
-    avcC/hvcC record as CodecPrivate, dummy SimpleBlock payloads."""
-    if codec == "h264":
+    avcC/hvcC record as CodecPrivate.  Default: dummy SimpleBlock
+    payloads (probe-only; decode quarantines).  With ``intra_frames``
+    (h264 only): blocks are REAL intra-only IDR samples."""
+    intra_bodies = None
+    if intra_frames is not None:
+        if codec != "h264":
+            raise ValueError("intra_frames requires codec='h264'")
+        from reindexer_spark.h264 import encode_avcc_samples
+
+        private_intra, intra_bodies = encode_avcc_samples(
+            width, height, intra_frames, qp
+        )
+        codec_id, private = b"V_MPEG4/ISO/AVC", private_intra
+        n_frames = len(intra_bodies)
+    elif codec == "h264":
         sps = write_h264_sps(
             width, height,
             profile if profile is not None else 66,
@@ -4369,8 +4452,13 @@ def encode_mkv_coded(
             _MKV_SIMPLE_BLOCK,
             b"\x81"
             + struct.pack(">h", i * frame_ms)
-            + bytes([0x80 if i == 0 else 0x00])
-            + b"\x00\x00\x00\x01" + bytes((65, i & 0xFF)) * 8,
+            # intra samples: every frame is IDR => every block keyframe
+            + bytes([0x80 if (i == 0 or intra_bodies is not None) else 0x00])
+            + (
+                intra_bodies[i]
+                if intra_bodies is not None
+                else b"\x00\x00\x00\x01" + bytes((65, i & 0xFF)) * 8
+            ),
         )
         for i in range(n_frames)
     )

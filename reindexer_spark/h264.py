@@ -835,10 +835,17 @@ def parse_pps(nal: bytes) -> dict:
     return out
 
 
+_H264_HIGH_PROFILES_LOCAL = frozenset(
+    (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+)
+
+
 def _parse_sps_slice_fields(nal: bytes) -> dict:
-    """The SPS fields the slice-header parser needs (dims via
-    parse_h264_sps; this re-walk stops after the POC block)."""
-    meta = parse_h264_sps(nal)  # validates + dims/crop
+    """Full SPS walk for the decoder: the slice-header bit widths
+    (frame_num / POC), coded macroblock dimensions, and the crop
+    rectangle.  parse_h264_sps validates first (profile/level errors
+    surface identically in probe and decode)."""
+    meta = parse_h264_sps(nal)  # validates; cropped output dims
     r = _RbspReader(_unescape_rbsp(nal[1:]))
     profile = r.u(8)
     r.u(8)
@@ -859,17 +866,23 @@ def _parse_sps_slice_fields(nal: bytes) -> dict:
         meta["log2_max_poc_lsb"] = 4 + r.ue()
     elif poc_type == 1:
         raise MediaFormatError("poc_type 1 unsupported")
-    # remaining fields already consumed by parse_h264_sps
-    mb_w = (meta["width"] + 15) // 16
-    # the CODED frame may be larger than the cropped output
-    r2 = None  # coded dims derived below from crop-free math
-    meta["mb_w"] = mb_w if meta["width"] % 16 == 0 else mb_w
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed
+    meta["mb_w"] = r.ue() + 1
+    mb_h_units = r.ue() + 1
+    if r.u(1) != 1:
+        raise MediaFormatError("interlaced (field) coding unsupported")
+    meta["mb_h"] = mb_h_units
+    r.u(1)  # direct_8x8_inference
+    if r.u(1):  # frame_cropping
+        meta["crop_l"] = 2 * r.ue()
+        meta["crop_r"] = 2 * r.ue()
+        meta["crop_t"] = 2 * r.ue()
+        meta["crop_b"] = 2 * r.ue()
+    else:
+        meta["crop_l"] = meta["crop_r"] = 0
+        meta["crop_t"] = meta["crop_b"] = 0
     return meta
-
-
-_H264_HIGH_PROFILES_LOCAL = frozenset(
-    (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
-)
 
 
 def _write_slice_header(
@@ -908,10 +921,359 @@ def _parse_slice_header(r: _BitReader, sps: dict, pps: dict) -> int:
     qp = pps["pic_init_qp"] + r.se()
     if not 0 <= qp <= 51:
         raise MediaFormatError("slice QP out of range")
-    if pps["deblocking_control_present"]:
-        idc = r.ue()
-        if idc != 1:
-            raise MediaFormatError(
-                "deblocking-enabled stream outside the intra subset"
-            )
+    if not pps["deblocking_control_present"]:
+        # no per-slice control => deblocking defaults ON; this decoder
+        # does not implement §8.7, so refusing is the honest move
+        raise MediaFormatError(
+            "deblocking-enabled stream outside the intra subset"
+        )
+    if r.ue() != 1:
+        raise MediaFormatError(
+            "deblocking-enabled stream outside the intra subset"
+        )
     return qp
+
+
+# ---------------------------------------------------------------------------
+# frame codec (I_16x16 DC, one slice per picture)
+# ---------------------------------------------------------------------------
+
+
+def _encode_mb(
+    w: _BitWriter, st: _FrameState, mbx: int, mby: int, qp: int,
+    src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
+) -> None:
+    x0, y0 = mbx * 16, mby * 16
+    # ---- luma: predict (closed loop), transform, quantize
+    pred = _pred_luma_dc(st.y, mbx, mby)
+    resid = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64) - pred
+    dc_grid = np.empty((4, 4), dtype=np.int64)
+    ac_blocks: list[np.ndarray] = [None] * 16  # type: ignore[list-item]
+    for blk in range(16):
+        bx, by = _LUMA_BLK_XY[blk]
+        wblk = fdct4x4(resid[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4])
+        dc_grid[by, bx] = int(wblk[0, 0])
+        ac_blocks[blk] = quant_ac(wblk, qp, skip_dc=True)
+    had = hadamard4x4(dc_grid)
+    had = np.sign(had) * (np.abs(had) >> 1)  # forward /2 (see scale math)
+    dcq = quant_dc(had, qp)
+    cbp_luma = 15 if any(np.any(b) for b in ac_blocks) else 0
+    # ---- chroma
+    qpc = _QPC[min(qp, 51)]
+    cdcq: list[np.ndarray] = []
+    cacq: list[list[np.ndarray]] = []
+    for plane, src in ((st.u, src_u), (st.v, src_v)):
+        cx0, cy0 = mbx * 8, mby * 8
+        cpred = _pred_chroma_dc(plane, mbx, mby)
+        cres = src[cy0 : cy0 + 8, cx0 : cx0 + 8].astype(np.int64) - cpred
+        cdc = np.empty((2, 2), dtype=np.int64)
+        cacs = []
+        for blk in range(4):
+            bx, by = _CHROMA_BLK_XY[blk]
+            wblk = fdct4x4(cres[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4])
+            cdc[by, bx] = int(wblk[0, 0])
+            cacs.append(quant_ac(wblk, qpc, skip_dc=True))
+        h2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
+        cdcq.append(quant_dc(h2 @ cdc @ h2, qp=qpc))
+        cacq.append(cacs)
+    any_cac = any(np.any(b) for comp in cacq for b in comp)
+    any_cdc = any(np.any(d) for d in cdcq)
+    cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
+    if cbp_chroma < 2:
+        cacq = [[np.zeros((4, 4), dtype=np.int64) for _ in range(4)]
+                for _ in range(2)]
+    if cbp_chroma == 0:
+        cdcq = [np.zeros((2, 2), dtype=np.int64) for _ in range(2)]
+    # ---- syntax: mb_type encodes pred mode (DC=2) + both CBPs
+    mb_type = 1 + 2 + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
+    w.ue(mb_type)
+    w.ue(0)  # intra_chroma_pred_mode: DC
+    w.se(0)  # mb_qp_delta
+    # ---- residuals (§7.3.5.3.3 block order) + nC bookkeeping
+    nc0 = st.nc_luma(mbx * 4, mby * 4)
+    encode_residual(w, _zigzag_list(dcq, skip_dc=False), nc0)
+    if cbp_luma:
+        for blk in range(16):
+            bx, by = _LUMA_BLK_XY[blk]
+            abx, aby = mbx * 4 + bx, mby * 4 + by
+            nc = st.nc_luma(abx, aby)
+            total = encode_residual(
+                w, _zigzag_list(ac_blocks[blk], skip_dc=True), nc
+            )
+            st.nc_y[aby, abx] = total
+    else:
+        st.nc_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+    if cbp_chroma:
+        for comp in range(2):
+            encode_residual(
+                w, [int(x) for x in cdcq[comp].reshape(4)], -1
+            )
+    if cbp_chroma == 2:
+        for comp in range(2):
+            for blk in range(4):
+                bx, by = _CHROMA_BLK_XY[blk]
+                abx, aby = mbx * 2 + bx, mby * 2 + by
+                nc = st.nc_chroma(comp, abx, aby)
+                total = encode_residual(
+                    w, _zigzag_list(cacq[comp][blk], skip_dc=True), nc
+                )
+                st.nc_c[comp][aby, abx] = total
+    else:
+        for comp in range(2):
+            st.nc_c[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+    # ---- closed-loop reconstruction through the DECODER path
+    _reconstruct_mb(
+        st, mbx, mby, qp, dcq,
+        [b.copy() for b in ac_blocks] if cbp_luma
+        else [np.zeros((4, 4), dtype=np.int64) for _ in range(16)],
+        cdcq, cacq,
+    )
+
+
+def _decode_mb(
+    r: _BitReader, st: _FrameState, mbx: int, mby: int, qp: int
+) -> None:
+    mb_type = r.ue()
+    if mb_type == 0:
+        raise MediaFormatError("I_4x4 macroblocks outside the intra subset")
+    if mb_type == 25:
+        raise MediaFormatError("I_PCM macroblocks outside the intra subset")
+    if not 1 <= mb_type <= 24:
+        raise MediaFormatError("non-intra macroblock in I slice")
+    m = mb_type - 1
+    pred_mode = m % 4
+    if pred_mode != 2:
+        raise MediaFormatError(
+            "only DC intra 16x16 prediction is in the subset"
+        )
+    rem = m // 4
+    cbp_chroma = rem if rem < 3 else rem - 3
+    cbp_luma = 0 if rem < 3 else 15
+    if r.ue() != 0:
+        raise MediaFormatError("only DC chroma prediction is in the subset")
+    if r.se() != 0:
+        raise MediaFormatError("mb_qp_delta outside the fixed-QP subset")
+    nc0 = st.nc_luma(mbx * 4, mby * 4)
+    dc_coeffs, _ = decode_residual(r, nc0, 16)
+    dcq = _unzigzag(dc_coeffs, skip_dc=False)
+    ac_blocks = []
+    if cbp_luma:
+        for blk in range(16):
+            bx, by = _LUMA_BLK_XY[blk]
+            abx, aby = mbx * 4 + bx, mby * 4 + by
+            coeffs, total = decode_residual(r, st.nc_luma(abx, aby), 15)
+            st.nc_y[aby, abx] = total
+            ac_blocks.append(_unzigzag(coeffs, skip_dc=True))
+    else:
+        st.nc_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+        ac_blocks = [np.zeros((4, 4), dtype=np.int64) for _ in range(16)]
+    cdc = [np.zeros((2, 2), dtype=np.int64) for _ in range(2)]
+    cac = [[np.zeros((4, 4), dtype=np.int64) for _ in range(4)]
+           for _ in range(2)]
+    if cbp_chroma:
+        for comp in range(2):
+            coeffs, _ = decode_residual(r, -1, 4)
+            cdc[comp] = np.array(coeffs, dtype=np.int64).reshape(2, 2)
+    if cbp_chroma == 2:
+        for comp in range(2):
+            for blk in range(4):
+                bx, by = _CHROMA_BLK_XY[blk]
+                abx, aby = mbx * 2 + bx, mby * 2 + by
+                coeffs, total = decode_residual(
+                    r, st.nc_chroma(comp, abx, aby), 15
+                )
+                st.nc_c[comp][aby, abx] = total
+                cac[comp][blk] = _unzigzag(coeffs, skip_dc=True)
+    else:
+        for comp in range(2):
+            st.nc_c[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+    _reconstruct_mb(st, mbx, mby, qp, dcq, ac_blocks, cdc, cac)
+
+
+def encode_frame_nal(
+    rgb: bytes, width: int, height: int, qp: int = DEFAULT_QP,
+    idr_pic_id: int = 0,
+) -> bytes:
+    """One RGB frame → one IDR slice NAL (header byte included)."""
+    y, u, v = rgb_to_yuv420(rgb, width, height)
+    y, u, v = _pad_plane(y, 16), _pad_plane(u, 8), _pad_plane(v, 8)
+    mb_w, mb_h = y.shape[1] // 16, y.shape[0] // 16
+    st = _FrameState(mb_w, mb_h)
+    w = _BitWriter()
+    _write_slice_header(w, qp, DEFAULT_QP, idr_pic_id,
+                        log2_max_frame_num=4, poc_type=0, log2_max_poc_lsb=4)
+    for mby in range(mb_h):
+        for mbx in range(mb_w):
+            _encode_mb(w, st, mbx, mby, qp, y, u, v)
+    return b"\x65" + w.finish()  # nal_ref_idc=3, type 5 (IDR)
+
+
+def decode_frame_nal(
+    nal: bytes, sps: dict, pps: dict
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """IDR slice NAL → reconstructed (Y, U, V) planes (coded size;
+    caller crops)."""
+    if not nal:
+        raise MediaFormatError("empty NAL")
+    nal_type = nal[0] & 0x1F
+    if nal_type not in (1, 5):
+        raise MediaFormatError(f"unexpected NAL type {nal_type} for slice")
+    if nal_type == 1:
+        raise MediaFormatError(
+            "non-IDR slice: inter prediction outside the intra subset"
+        )
+    r = _BitReader(_unescape_rbsp(nal[1:]))
+    qp = _parse_slice_header(r, sps, pps)
+    st = _FrameState(sps["mb_w"], sps["mb_h"])
+    for mby in range(sps["mb_h"]):
+        for mbx in range(sps["mb_w"]):
+            _decode_mb(r, st, mbx, mby, qp)
+    if not r.byte_aligned_stop():
+        raise MediaFormatError("trailing bits after last macroblock")
+    return st.y, st.u, st.v
+
+
+def encode_h264_intra(
+    width: int, height: int, frames_rgb: list[bytes], qp: int = DEFAULT_QP
+) -> tuple[bytes, bytes, list[bytes]]:
+    """Frames → (SPS NAL, PPS NAL, one IDR slice NAL per frame)."""
+    sps = write_h264_sps(width, height, 66, 30)
+    pps = write_pps(DEFAULT_QP)
+    nals = [
+        encode_frame_nal(f, width, height, qp, idr_pic_id=i % 2)
+        for i, f in enumerate(frames_rgb)
+    ]
+    return sps, pps, nals
+
+
+def decode_h264_intra(
+    sps_nal: bytes, pps_nal: bytes, slice_nals: list[bytes]
+) -> tuple[int, int, list[bytes]]:
+    """(SPS, PPS, slices) → (width, height, RGB frames).  Raises
+    MediaFormatError for anything outside the intra subset."""
+    sps = _parse_sps_slice_fields(sps_nal)
+    pps = parse_pps(pps_nal)
+    w, h = sps["width"], sps["height"]
+    frames = []
+    for nal in slice_nals:
+        y, u, v = decode_frame_nal(nal, sps, pps)
+        ct, cl = sps["crop_t"], sps["crop_l"]
+        yc = y[ct : ct + h, cl : cl + w]
+        uc = u[ct // 2 : ct // 2 + (h + 1) // 2, cl // 2 : cl // 2 + (w + 1) // 2]
+        vc = v[ct // 2 : ct // 2 + (h + 1) // 2, cl // 2 : cl // 2 + (w + 1) // 2]
+        frames.append(yuv420_to_rgb(yc, uc, vc))
+    return w, h, frames
+
+
+# ---------------------------------------------------------------------------
+# container seam: avcC-configured, length-prefixed samples (mp4 / mkv)
+# ---------------------------------------------------------------------------
+
+
+def avcc_parameter_sets(body: bytes) -> tuple[bytes, bytes | None, int]:
+    """avcC record → (first SPS NAL, first PPS NAL or None,
+    NAL length-prefix size in bytes)."""
+    if len(body) < 8 or body[0] != 1:
+        raise MediaFormatError("malformed avcC record")
+    length_size = (body[4] & 3) + 1
+    n_sps = body[5] & 0x1F
+    if n_sps < 1:
+        raise MediaFormatError("avcC carries no SPS")
+    pos = 6
+    sps = None
+    for _ in range(n_sps):
+        ln = struct.unpack_from(">H", body, pos)[0]
+        nal = body[pos + 2 : pos + 2 + ln]
+        if len(nal) < ln:
+            raise MediaFormatError("truncated avcC SPS")
+        if sps is None:
+            sps = nal
+        pos += 2 + ln
+    pps = None
+    if pos < len(body):
+        n_pps = body[pos]
+        pos += 1
+        for _ in range(n_pps):
+            if pos + 2 > len(body):
+                raise MediaFormatError("truncated avcC PPS")
+            ln = struct.unpack_from(">H", body, pos)[0]
+            nal = body[pos + 2 : pos + 2 + ln]
+            if len(nal) < ln:
+                raise MediaFormatError("truncated avcC PPS")
+            if pps is None:
+                pps = nal
+            pos += 2 + ln
+    return sps, pps, length_size
+
+
+def split_sample_nals(sample: bytes, length_size: int) -> list[bytes]:
+    """Length-prefixed sample payload → NAL units (ISO 14496-15)."""
+    nals, pos = [], 0
+    while pos < len(sample):
+        if pos + length_size > len(sample):
+            raise MediaFormatError("truncated NAL length prefix")
+        ln = int.from_bytes(sample[pos : pos + length_size], "big")
+        pos += length_size
+        if ln == 0 or pos + ln > len(sample):
+            raise MediaFormatError("NAL length exceeds sample")
+        nals.append(sample[pos : pos + ln])
+        pos += ln
+    if not nals:
+        raise MediaFormatError("sample carries no NAL units")
+    return nals
+
+
+def decode_avcc_samples(
+    avcc_body: bytes, samples: list[bytes]
+) -> tuple[int, int, list[bytes]]:
+    """avcC config + length-prefixed samples → (w, h, RGB frames).
+    One frame per sample; in-band SPS/PPS override the config; SEI/AUD
+    skip; anything outside the intra subset raises MediaFormatError."""
+    sps_nal, pps_nal, length_size = avcc_parameter_sets(avcc_body)
+    if pps_nal is None:
+        raise MediaFormatError("avcC carries no PPS")
+    sps = _parse_sps_slice_fields(sps_nal)
+    pps = parse_pps(pps_nal)
+    w, h = sps["width"], sps["height"]
+    frames = []
+    for sample in samples:
+        frame = None
+        for nal in split_sample_nals(sample, length_size):
+            t = nal[0] & 0x1F
+            if t == 7:
+                sps = _parse_sps_slice_fields(nal)
+            elif t == 8:
+                pps = parse_pps(nal)
+            elif t in (6, 9):
+                continue  # SEI / AUD
+            elif t in (1, 5):
+                if frame is not None:
+                    raise MediaFormatError("multi-slice sample unsupported")
+                y, u, v = decode_frame_nal(nal, sps, pps)
+                ct, cl = sps["crop_t"], sps["crop_l"]
+                frame = yuv420_to_rgb(
+                    y[ct : ct + h, cl : cl + w],
+                    u[ct // 2 : ct // 2 + (h + 1) // 2,
+                      cl // 2 : cl // 2 + (w + 1) // 2],
+                    v[ct // 2 : ct // 2 + (h + 1) // 2,
+                      cl // 2 : cl // 2 + (w + 1) // 2],
+                )
+            else:
+                raise MediaFormatError(f"unsupported NAL type {t} in sample")
+        if frame is None:
+            raise MediaFormatError("sample carries no coded slice")
+        frames.append(frame)
+    return w, h, frames
+
+
+def encode_avcc_samples(
+    width: int, height: int, frames_rgb: list[bytes], qp: int = DEFAULT_QP
+) -> tuple[bytes, list[bytes]]:
+    """Frames → (avcC record body, one length-prefixed sample per
+    frame) — the container-side encoder seam (mp4 stsd / mkv
+    CodecPrivate both carry avcC)."""
+    from reindexer_spark.codecs import build_avcc
+
+    sps, pps, nals = encode_h264_intra(width, height, frames_rgb, qp)
+    samples = [len(n).to_bytes(4, "big") + n for n in nals]
+    return build_avcc(sps, pps), samples

@@ -1,0 +1,268 @@
+"""Intra-only H.264 codec (reindexer_spark.h264) — round-8 VERDICT
+stretch #8.
+
+Contract under test:
+- CAVLC entropy layer round-trips arbitrary residual blocks.
+- Decoder output is BIT-EXACT against the encoder's closed-loop
+  reconstruction at every QP tier (both low-QP dequant branches, the
+  DC branches at qp>=36).
+- Known spec codewords match the transcribed tables (external
+  fidelity spot checks — round-tripping alone can't catch a
+  mis-transcribed table because encoder and decoder share it).
+- mp4/mkv containers decode intra streams to identical pixels; dummy
+  and hevc fixtures still quarantine; truncation/bit-flip fuzz raises
+  MediaFormatError, never a bare exception.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from reindexer_spark import h264 as H
+from reindexer_spark.codecs import (
+    MediaFormatError,
+    _unescape_rbsp,
+    decode_mkv,
+    decode_mp4,
+    encode_mkv_coded,
+    encode_mp4_coded,
+    probe_media,
+)
+
+
+def _rand_frames(rng, w, h, n):
+    return [
+        rng.integers(0, 256, (h, w, 3), dtype=np.uint8).tobytes()
+        for _ in range(n)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# entropy layer
+# ---------------------------------------------------------------------------
+
+
+def test_cavlc_residual_roundtrip_fuzz():
+    rng = np.random.default_rng(7)
+    for _ in range(3000):
+        max_coeff = int(rng.choice([4, 15, 16]))
+        nc = -1 if max_coeff == 4 else int(rng.choice([0, 1, 3, 4, 8, 20]))
+        density = rng.random()
+        hi = int(rng.choice([2, 9, 300, 30000]))
+        coeffs = [
+            int(v) if rng.random() < density else 0
+            for v in rng.integers(-hi, hi + 1, max_coeff)
+        ]
+        w = H._BitWriter()
+        total = H.encode_residual(w, list(coeffs), nc)
+        r = H._BitReader(_unescape_rbsp(w.finish()))
+        got, total2 = H.decode_residual(r, nc, max_coeff)
+        assert got == coeffs and total == total2
+
+
+def test_cavlc_known_codewords():
+    """Spot checks against published Table 9-5 / 9-7 / 9-10 entries —
+    the one check shared tables cannot fake."""
+    # Table 9-5, 0<=nC<2: the famous short codes
+    assert H._CT_NC0[(0, 0)] == "1"
+    assert H._CT_NC0[(1, 1)] == "01"
+    assert H._CT_NC0[(2, 2)] == "001"
+    assert H._CT_NC0[(3, 3)] == "00011"
+    assert H._CT_NC0[(0, 1)] == "000101"
+    # chroma DC table: (1,1) is the single-bit code
+    assert H._CT_CHROMA_DC[(1, 1)] == "1"
+    assert H._CT_CHROMA_DC[(0, 0)] == "01"
+    # total_zeros (Table 9-7), TotalCoeff=1: tz=0 -> "1"
+    assert H._TZ4[1][0] == "1"
+    assert H._TZ4[1][1] == "011"
+    # run_before (Table 9-10)
+    assert H._RUN_BEFORE[1] == ("1", "0")
+    assert H._RUN_BEFORE[3][3] == "00"
+    # every table is prefix-free (a transposed digit breaks decode)
+    for table in (H._CT_NC0, H._CT_NC2, H._CT_NC4, H._CT_CHROMA_DC):
+        codes = list(table.values())
+        for a in codes:
+            for b in codes:
+                assert a == b or not b.startswith(a)
+
+
+# ---------------------------------------------------------------------------
+# frame codec
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("qp", [8, 20, 23, 24, 35, 36, 44, 51])
+def test_decoder_bit_exact_vs_closed_loop_recon(qp):
+    """The normative claim: decode(encode(x)) equals the encoder's own
+    §8.5-path reconstruction EXACTLY, at QPs covering both rounding
+    branches of dequant_ac (qp<24) and dequant_luma_dc (qp<36)."""
+    rng = np.random.default_rng(qp)
+    w, h = 32, 16
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).tobytes()
+    sps, pps, nals = H.encode_h264_intra(w, h, [img], qp=qp)
+    y, u, v = H.rgb_to_yuv420(img, w, h)
+    y, u, v = H._pad_plane(y, 16), H._pad_plane(u, 8), H._pad_plane(v, 8)
+    st = H._FrameState(w // 16, h // 16)
+    bw = H._BitWriter()
+    H._write_slice_header(bw, qp, H.DEFAULT_QP, 0, 4, 0, 4)
+    for mby in range(h // 16):
+        for mbx in range(w // 16):
+            H._encode_mb(bw, st, mbx, mby, qp, y, u, v)
+    sd = H._parse_sps_slice_fields(sps)
+    pd = H.parse_pps(pps)
+    dy, du, dv = H.decode_frame_nal(nals[0], sd, pd)
+    assert np.array_equal(dy, st.y)
+    assert np.array_equal(du, st.u)
+    assert np.array_equal(dv, st.v)
+
+
+@pytest.mark.parametrize("dims", [(16, 16), (32, 16), (36, 20), (18, 10)])
+def test_roundtrip_quality_and_crop(dims):
+    """Non-multiple-of-16 dims exercise SPS cropping; smooth content
+    must reconstruct above 28 dB at the default QP."""
+    w, h = dims
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    base = (128 + 60 * np.sin(xx / 7) + 50 * np.cos(yy / 5)).astype(np.int32)
+    img = np.stack([np.clip(base + d, 0, 255) for d in (0, 30, -25)], -1)
+    rgb = img.astype(np.uint8).tobytes()
+    sps, pps, nals = H.encode_h264_intra(w, h, [rgb])
+    dw, dh, out = H.decode_h264_intra(sps, pps, nals)
+    assert (dw, dh) == (w, h)
+    a = np.frombuffer(rgb, dtype=np.uint8).astype(np.float64)
+    b = np.frombuffer(out[0], dtype=np.uint8).astype(np.float64)
+    psnr = 10 * np.log10(255**2 / max(((a - b) ** 2).mean(), 1e-9))
+    assert psnr > 28, psnr
+
+
+def test_flat_frame_reconstructs_dc_exactly():
+    """A flat gray frame is pure DC — it must survive the whole
+    transform/quant chain with at most rounding-level error."""
+    w, h = 32, 32
+    rgb = bytes([128]) * (w * h * 3)
+    sps, pps, nals = H.encode_h264_intra(w, h, [rgb])
+    _, _, out = H.decode_h264_intra(sps, pps, nals)
+    diff = np.abs(
+        np.frombuffer(out[0], np.uint8).astype(int)
+        - np.frombuffer(rgb, np.uint8).astype(int)
+    )
+    assert diff.max() <= 2, diff.max()
+
+
+# ---------------------------------------------------------------------------
+# containers + quarantine
+# ---------------------------------------------------------------------------
+
+
+def test_intra_mp4_and_mkv_decode_identically():
+    rng = np.random.default_rng(3)
+    w, h = 48, 32
+    frames = _rand_frames(rng, w, h, 4)
+    mp4 = encode_mp4_coded(w, h, intra_frames=frames)
+    mkv = encode_mkv_coded(w, h, intra_frames=frames)
+    pw, ph = probe_media(mp4)["width"], probe_media(mp4)["height"]
+    assert (pw, ph) == (w, h)
+    w1, h1, _d1, f1, s1 = decode_mp4(mp4)
+    w2, h2, _d2, f2, s2 = decode_mkv(mkv)
+    assert (w1, h1) == (w2, h2) == (w, h)
+    assert f1 == f2  # same bitstream -> container-independent pixels
+    assert all(s1) and all(s2)  # all-IDR => every sample is sync
+
+
+def test_probe_matches_decode_on_intra_fixtures():
+    rng = np.random.default_rng(4)
+    w, h = 36, 20
+    mp4 = encode_mp4_coded(w, h, intra_frames=_rand_frames(rng, w, h, 2))
+    p = probe_media(mp4)
+    dw, dh, _dur, frames, _s = decode_mp4(mp4)
+    assert (p["width"], p["height"], p["n_frames"]) == (dw, dh, len(frames))
+    assert p["codec"] == "h264" and p["profile"] == 66
+
+
+def test_dummy_and_hevc_fixtures_still_quarantine():
+    for payload, dec in (
+        (encode_mp4_coded(48, 32), decode_mp4),
+        (encode_mkv_coded(48, 32), decode_mkv),
+        (encode_mp4_coded(48, 32, codec="hevc"), decode_mp4),
+        (encode_mkv_coded(48, 32, codec="hevc"), decode_mkv),
+    ):
+        with pytest.raises(MediaFormatError):
+            dec(payload)
+
+
+def test_out_of_subset_streams_quarantine():
+    sps, pps, nals = H.encode_h264_intra(16, 16, [bytes(16 * 16 * 3)])
+    sd = H._parse_sps_slice_fields(sps)
+    pd = H.parse_pps(pps)
+    # non-IDR NAL type 1: inter prediction
+    with pytest.raises(MediaFormatError):
+        H.decode_frame_nal(b"\x41" + nals[0][1:], sd, pd)
+    # CABAC PPS
+    cabac_pps = bytearray(H.write_pps())
+    # entropy_coding_mode is the 3rd bit of the RBSP; flip via re-write
+    w = H._RbspWriter()
+    w.ue(0)
+    w.ue(0)
+    w.u(1, 1)  # CABAC
+    with pytest.raises(MediaFormatError):
+        H.parse_pps(b"\x68" + w.finish())
+    # deblocking-enabled stream (control flag absent -> defaults ON)
+    w = H._RbspWriter()
+    for v in (0, 0):
+        w.ue(v)
+    w.u(0, 1)
+    w.u(0, 1)
+    w.ue(0)
+    w.ue(0)
+    w.ue(0)
+    w.u(0, 1)
+    w.u(0, 2)
+    w.se(0)
+    w.se(0)
+    w.se(0)
+    w.u(0, 1)  # deblocking_filter_control_present_flag = 0
+    w.u(0, 1)
+    w.u(0, 1)
+    deblock_pps = H.parse_pps(b"\x68" + w.finish())
+    r = H._BitReader(_unescape_rbsp(nals[0][1:]))
+    with pytest.raises(MediaFormatError):
+        H._parse_slice_header(r, sd, deblock_pps)
+
+
+def test_fuzz_quarantine_contract():
+    """Truncations and bit flips over a real intra mp4 must raise
+    MediaFormatError (or decode — a flip may land in pixel data),
+    never a bare exception."""
+    rng = np.random.default_rng(9)
+    mp4 = encode_mp4_coded(32, 16, intra_frames=_rand_frames(rng, 32, 16, 1))
+    for cut in range(0, len(mp4), 7):
+        try:
+            decode_mp4(mp4[:cut])
+        except MediaFormatError:
+            pass
+    for seed in range(60):
+        r2 = np.random.default_rng(seed)
+        noisy = bytearray(mp4)
+        for i in r2.integers(0, len(noisy), 3):
+            noisy[i] = int(r2.integers(0, 256))
+        try:
+            decode_mp4(bytes(noisy))
+        except MediaFormatError:
+            pass
+
+
+def test_sampler_sees_intra_video():
+    """The timestamped frame sampler works on real coded video now —
+    keyframe snapping is trivial (all-IDR) but the stts walk is real."""
+    from reindexer_spark.codecs import Mp4FrameSampler
+
+    rng = np.random.default_rng(6)
+    w, h = 32, 16
+    mp4 = encode_mp4_coded(w, h, intra_frames=_rand_frames(rng, w, h, 4))
+    s = Mp4FrameSampler()
+    assert s.duration_ms(mp4) == 1000  # 4 frames @ 4 fps
+    frame = s.frame_at(mp4, 500)
+    from reindexer_spark.codecs import decode_bmp
+
+    fw, fh, _rgb = decode_bmp(frame)
+    assert (fw, fh) == (w, h)
