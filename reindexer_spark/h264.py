@@ -1092,9 +1092,13 @@ def _decode_mb(
 
 def encode_frame_nal(
     rgb: bytes, width: int, height: int, qp: int = DEFAULT_QP,
-    idr_pic_id: int = 0,
-) -> bytes:
-    """One RGB frame → one IDR slice NAL (header byte included)."""
+    idr_pic_id: int = 0, return_recon: bool = False,
+):
+    """One RGB frame → one IDR slice NAL (header byte included).  With
+    ``return_recon``: also the encoder's closed-loop reconstruction as
+    RGB — by the normative contract this is byte-identical to what any
+    conforming decoder outputs, so callers can value-gate decode
+    exactness without re-running the encoder internals."""
     y, u, v = rgb_to_yuv420(rgb, width, height)
     y, u, v = _pad_plane(y, 16), _pad_plane(u, 8), _pad_plane(v, 8)
     mb_w, mb_h = y.shape[1] // 16, y.shape[0] // 16
@@ -1105,7 +1109,15 @@ def encode_frame_nal(
     for mby in range(mb_h):
         for mbx in range(mb_w):
             _encode_mb(w, st, mbx, mby, qp, y, u, v)
-    return b"\x65" + w.finish()  # nal_ref_idc=3, type 5 (IDR)
+    nal = b"\x65" + w.finish()  # nal_ref_idc=3, type 5 (IDR)
+    if not return_recon:
+        return nal
+    recon = yuv420_to_rgb(
+        st.y[:height, :width],
+        st.u[: (height + 1) // 2, : (width + 1) // 2],
+        st.v[: (height + 1) // 2, : (width + 1) // 2],
+    )
+    return nal, recon
 
 
 def decode_frame_nal(
@@ -1134,15 +1146,25 @@ def decode_frame_nal(
 
 
 def encode_h264_intra(
-    width: int, height: int, frames_rgb: list[bytes], qp: int = DEFAULT_QP
-) -> tuple[bytes, bytes, list[bytes]]:
-    """Frames → (SPS NAL, PPS NAL, one IDR slice NAL per frame)."""
+    width: int, height: int, frames_rgb: list[bytes], qp: int = DEFAULT_QP,
+    return_recon: bool = False,
+):
+    """Frames → (SPS NAL, PPS NAL, one IDR slice NAL per frame[,
+    closed-loop reconstruction frames when ``return_recon``])."""
     sps = write_h264_sps(width, height, 66, 30)
     pps = write_pps(DEFAULT_QP)
-    nals = [
-        encode_frame_nal(f, width, height, qp, idr_pic_id=i % 2)
-        for i, f in enumerate(frames_rgb)
-    ]
+    nals, recons = [], []
+    for i, f in enumerate(frames_rgb):
+        out = encode_frame_nal(
+            f, width, height, qp, idr_pic_id=i % 2, return_recon=return_recon
+        )
+        if return_recon:
+            nals.append(out[0])
+            recons.append(out[1])
+        else:
+            nals.append(out)
+    if return_recon:
+        return sps, pps, nals, recons
     return sps, pps, nals
 
 
