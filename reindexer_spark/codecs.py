@@ -373,8 +373,9 @@ def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
 # per-sample sizes via stsz, per-sample durations via stts runs, sync
 # samples via stss), with Photo-JPEG ('jpeg' VisualSampleEntry) sample
 # data decoded through the baseline JPEG codec.  Inter-predicted codecs
-# (avc1/hev1/vp09/...) raise MediaFormatError into the quarantine lane:
-# without a motion-compensation decoder only sync-sample formats are
+# (hev1/vp09/... and inter-predicted avc1) raise MediaFormatError into
+# the quarantine lane; intra-only avc1 decodes via reindexer_spark.h264.
+# Without a motion-compensation decoder only sync-sample formats are
 # honestly decodable, and Photo-JPEG is the one whose entropy layer the
 # repo already implements from spec (ITU T.81).
 #
@@ -636,9 +637,11 @@ def decode_mp4(
     counts, stco gives each chunk's file offset, stsz sizes advance
     within a chunk, stts runs give per-sample durations (usec via the
     mdhd timescale), and stss (absent = all sync, per spec) flags the
-    keyframes.  Only 'jpeg' (Photo-JPEG) sample entries decode — other
-    coding names (avc1/hev1/...) need a motion-compensation decoder and
-    raise MediaFormatError into the quarantine lane.  ANY malformed
+    keyframes.  'jpeg' (Photo-JPEG) entries decode frame-per-sample;
+    'avc1'/'avc3' entries decode IFF every sample is intra-only
+    (reindexer_spark.h264, round 9) — inter-predicted h264 and all
+    other coding names (hev1/...) need a motion-compensation decoder
+    and raise MediaFormatError into the quarantine lane.  ANY malformed
     stream raises MediaFormatError, never a bare parser exception —
     the same fuzz-tested quarantine contract as the other codecs."""
     try:
@@ -838,10 +841,12 @@ def _decode_mp4_impl(
 # GIF, mkv): full parse of the EBML element tree, video-track selection
 # by TrackType, cluster/SimpleBlock walk with per-block keyframe flags,
 # and a Cues-based keyframe index readable without touching frame data.
-# Only V_MJPEG tracks decode (each frame a standalone baseline JPEG —
-# the same Photo-JPEG scope as the mp4 decoder); inter-predicted codecs
-# (V_MPEG4/ISO/AVC, V_MPEGH/ISO/HEVC, V_VP8/9) raise MediaFormatError
-# into the quarantine lane by codec id, never a crash.
+# V_MJPEG tracks decode (each frame a standalone baseline JPEG — the
+# same Photo-JPEG scope as the mp4 decoder), and V_MPEG4/ISO/AVC tracks
+# decode IFF their blocks are intra-only (reindexer_spark.h264, round
+# 9); inter-predicted h264 and the other coded ids (V_MPEGH/ISO/HEVC,
+# V_VP8/9) raise MediaFormatError into the quarantine lane, never a
+# crash.
 # --------------------------------------------------------------------------
 
 _MKV_MAGIC = b"\x1a\x45\xdf\xa3"  # EBML header element ID
@@ -1023,9 +1028,11 @@ def decode_mkv(
     and Clusters yield SimpleBlocks whose cluster-base + relative
     timestamps order the frames.  Durations are successive timestamp
     deltas; the last frame takes the track DefaultDuration (falling
-    back to the previous delta).  Only ``V_MJPEG`` decodes; any other
-    codec id, lacing, BlockGroup, or malformed structure raises
-    MediaFormatError into the quarantine lane (fuzz contract)."""
+    back to the previous delta).  ``V_MJPEG`` decodes, and
+    ``V_MPEG4/ISO/AVC`` decodes iff its blocks are intra-only
+    (reindexer_spark.h264); any other codec id, lacing, BlockGroup, or
+    malformed structure raises MediaFormatError into the quarantine
+    lane (fuzz contract)."""
     try:
         return _decode_mkv_impl(payload)
     except MediaFormatError:
@@ -3837,8 +3844,10 @@ class MkvFrameSampler:
 # that, at the front of every avcC/hvcC codec-config box.  Public
 # specs: ITU-T H.264 §7.3.2.1.1 (SPS syntax) + §7.4.2.1.1 (crop units),
 # ITU-T H.265 §7.3.2.2.1 (SPS) + §7.3.3 (profile_tier_level),
-# ISO/IEC 14496-15 §5.3.3.1 (avcC) / §8.3.3.1 (hvcC).  Decode of these
-# tracks still quarantines — this section is probe-only by design.
+# ISO/IEC 14496-15 §5.3.3.1 (avcC) / §8.3.3.1 (hvcC).  Decode: h264
+# tracks whose samples are INTRA-ONLY decode for real via
+# reindexer_spark.h264 (round 9); inter-predicted h264 and all hevc
+# still quarantine — probe-first remains the 100 TB design.
 # --------------------------------------------------------------------------
 
 
