@@ -1627,6 +1627,26 @@ def video_sps_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 INTRA_DOCS = 40
 
 
+def _intra_fixture(mid: int, text: str):
+    """Digest-seeded intra-h264 fixture parameters — ONE synthesis rule
+    shared by the decode lane, the thumbnail lane, and their oracles
+    (the sig-twin discipline: lanes sharing a body cannot diverge)."""
+    import hashlib
+
+    dg = hashlib.sha256(text.encode("utf-8")).digest()
+    w = 2 * (8 + dg[0] % 25)
+    h = 2 * (8 + dg[1] % 17)
+    n_frames = 1 + dg[2] % 3
+    qp = 18 + dg[3] % 22  # 18..39: hits both dequant rounding branches
+    frames = [
+        (hashlib.sha256(dg + bytes([i])).digest()
+         * ((w * h * 3) // 32 + 1))[: w * h * 3]
+        for i in range(n_frames)
+    ]
+    container = "mp4" if mid % 2 == 0 else "mkv"
+    return w, h, n_frames, qp, frames, container
+
+
 @query(
     "video_intra_decode",
     oracle=f"""
@@ -1684,8 +1704,6 @@ def video_intra_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build_and_decode(batches):
-        import hashlib
-
         from reindexer_spark.codecs import (
             MediaFormatError,
             decode_mkv,
@@ -1698,18 +1716,9 @@ def video_intra_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 mid = int(r.doc_id)
-                dg = hashlib.sha256(r.text.encode("utf-8")).digest()
-                w = 2 * (8 + dg[0] % 25)
-                h = 2 * (8 + dg[1] % 17)
-                n_frames = 1 + dg[2] % 3
-                qp = 18 + dg[3] % 22  # 18..39: hits both dequant branches
-                frames = []
-                for i in range(n_frames):
-                    fseed = hashlib.sha256(dg + bytes([i])).digest()
-                    frames.append(
-                        (fseed * ((w * h * 3) // len(fseed) + 1))[: w * h * 3]
-                    )
-                container = "mp4" if mid % 2 == 0 else "mkv"
+                w, h, n_frames, qp, frames, container = _intra_fixture(
+                    mid, r.text
+                )
                 from reindexer_spark.h264 import encode_h264_intra
 
                 _sps, _pps, _nals, recon = encode_h264_intra(
@@ -1773,4 +1782,111 @@ def video_intra_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id bigint, container string, width int, height int, "
         "n_frames int, frame_bytes bigint, decodable int, "
         "inter_decodable int, containers_agree int, recon_exact int",
+    )
+
+
+@query(
+    "video_intra_thumbnail",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {INTRA_DOCS}
+    ), s AS (
+      SELECT media_id,
+             2 * (8 + CAST(('0x' || substr(dg, 1, 2)) AS INT) % 25) AS w,
+             2 * (8 + CAST(('0x' || substr(dg, 3, 2)) AS INT) % 17) AS h
+      FROM base
+    ), t AS (
+      SELECT media_id, w, h,
+             GREATEST(1, CAST(TRUNC(w * LEAST(1.0, {THUMB_MAX_DIM}.0 / GREATEST(w, h))) AS INT)) AS tw,
+             GREATEST(1, CAST(TRUNC(h * LEAST(1.0, {THUMB_MAX_DIM}.0 / GREATEST(w, h))) AS INT)) AS th
+      FROM s
+    )
+    SELECT media_id,
+      CASE WHEN media_id % 2 = 0 THEN 'mp4' ELSE 'mkv' END AS container,
+      CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      CAST(tw AS INT) AS thumb_w, CAST(th AS INT) AS thumb_h,
+      CAST(54 + th * (((3 * tw + 3) // 4) * 4) AS BIGINT) AS thumb_bytes,
+      CAST(1 AS INT) AS decoded
+    FROM t
+    """,
+)
+def video_intra_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB media pipeline's payoff composition, hash-green end
+    to end: probe-shaped coded video (intra-only h264 in mp4/mkv, the
+    same _intra_fixture rule as video_intra_decode) → REAL H.264
+    decode of the FIRST keyframe only → nearest-neighbor thumbnail
+    through the production resizer (the decoded frame re-enters the
+    image path as a BMP) — the keyframe-thumbnail pass that runs after
+    the SPS probe filters by resolution.  The oracle re-derives the
+    source dims from sha256(text), replays the resizer's float scale
+    arithmetic in SQL, and pins the thumbnail BMP's exact byte size —
+    so decode geometry, the video→image handoff, and the thumbnail
+    encoder are all value-checked.  Payloads stay task-local
+    (Arrow-batched mapInPandas, nothing binary shuffles)."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < INTRA_DOCS
+    )
+
+    def thumb(batches):
+        from reindexer_spark.codecs import (
+            MediaFormatError,
+            PurePythonResizer,
+            decode_mkv,
+            decode_mp4,
+            encode_bmp,
+            encode_mkv_coded,
+            encode_mp4_coded,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.doc_id)
+                w, h, _n, qp, frames, container = _intra_fixture(
+                    mid, r.text
+                )
+                enc = encode_mp4_coded if container == "mp4" else encode_mkv_coded
+                dec = decode_mp4 if container == "mp4" else decode_mkv
+                payload = enc(w, h, intra_frames=frames, qp=qp)
+                try:
+                    dw, dh, _durs, out, _sync = dec(payload)
+                    # keyframe -> image path -> production resizer
+                    t = PurePythonResizer().resize(
+                        encode_bmp(dw, dh, out[0]), THUMB_MAX_DIM
+                    )
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "container": container,
+                            "width": dw,
+                            "height": dh,
+                            "thumb_w": t["thumb_w"],
+                            "thumb_h": t["thumb_h"],
+                            "thumb_bytes": len(t["thumbnail"]),
+                            "decoded": 1,
+                        }
+                    )
+                except MediaFormatError:
+                    rows.append(
+                        {
+                            "media_id": mid, "container": container,
+                            "width": 0, "height": 0, "thumb_w": 0,
+                            "thumb_h": 0, "thumb_bytes": 0, "decoded": 0,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "container", "width", "height",
+                    "thumb_w", "thumb_h", "thumb_bytes", "decoded",
+                ],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        thumb,
+        "media_id bigint, container string, width int, height int, "
+        "thumb_w int, thumb_h int, thumb_bytes bigint, decoded int",
     )
