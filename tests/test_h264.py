@@ -266,3 +266,17 @@ def test_sampler_sees_intra_video():
 
     fw, fh, _rgb = decode_bmp(frame)
     assert (fw, fh) == (w, h)
+
+
+def test_chroma_qp_mapping_known_values():
+    """Table 8-15 spot values — _QPC is a shared encoder/decoder
+    constant, so round trips can't catch a transcription error."""
+    assert H._QPC[29] == 29
+    assert H._QPC[30] == 29
+    assert H._QPC[33] == 32
+    assert H._QPC[39] == 35
+    assert H._QPC[43] == 37
+    assert H._QPC[51] == 39
+    assert len(H._QPC) == 52
+    # monotone non-decreasing, compression only above 29
+    assert all(a <= b for a, b in zip(H._QPC, H._QPC[1:]))

@@ -180,3 +180,21 @@ def test_restart_against_compacted_checkpoint():
         _shard(OFFSET_CAP + 50),
         _shard(OFFSET_CAP + 51),
     ]
+
+
+def test_webdataset_reader_counts_late_shards(tmp_path):
+    """Symmetry: the webdataset stream reader carries the same
+    late-shard observability contract as the warc reader."""
+    from reindexer_spark.sources.webdataset import WebDatasetStreamReader
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    for i in range(100, 100 + OFFSET_CAP + 50):
+        (d / f"shard-{i:06d}.tar").write_bytes(b"")
+    r = WebDatasetStreamReader({"path": str(d)})
+    r.latestOffset()
+    r.latestOffset()
+    assert r._last["b"] != ""
+    (d / "shard-000000.tar").write_bytes(b"")
+    r.latestOffset()
+    assert r.late_dropped == ["shard-000000.tar"]
