@@ -158,6 +158,11 @@ EXTENDED = [
     "crawl_media_harvest_sig",
     "video_sps_probe",
     "crawl_refined_corpus",
+    # round 9
+    "dedup_ngram_prefix",
+    "video_intra_decode",
+    "video_intra_thumbnail",
+    "multimodal_decode_features_sig",
 ]
 
 
