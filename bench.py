@@ -247,7 +247,7 @@ def main() -> int:
     print(json.dumps(line))
     # ledger BEFORE the append so the median base can't include the
     # run being compared
-    _print_delta_ledger(timings, total, sf, None, timings2, total2)
+    _print_delta_ledger(timings, total, sf, timings2, total2)
     _append_bench_local(line)
     return 0
 
@@ -286,12 +286,11 @@ def _bench_reindex_e2e(spark) -> float:
     return wall
 
 
-def _append_bench_local(line: dict) -> dict | None:
+def _append_bench_local(line: dict) -> None:
     """Persist the full bench line to BENCH_LOCAL.json (a bounded history
     list).  The driver's BENCH_r*.json capture truncates stdout at ~2000
     chars, which nulled its ``parsed`` field two rounds running and lost
-    the per-query history; this file is the durable local copy.  Returns
-    the previous newest entry at the same sf (the ledger fallback)."""
+    the per-query history; this file is the durable local copy."""
     path = os.path.join(os.path.dirname(__file__) or ".", "BENCH_LOCAL.json")
     try:
         with open(path) as fh:
@@ -371,31 +370,14 @@ def _print_delta_ledger(
     timings: dict[str, float],
     total: float,
     sf,
-    fallback: dict | None = None,
     timings2: dict[str, float] | None = None,
     total2: float | None = None,
 ) -> None:
     """Cross-round perf ledger to STDERR (stdout stays the one-line JSON
     contract): per-query delta vs the MEDIAN of the last same-sf
     BENCH_LOCAL.json entries (single-entry comparison was noise — see
-    _median_base).  ``fallback`` (the single prior entry) is only used
-    when no local history exists at this sf."""
+    _median_base).  First run at a new sf: no base, no ledger."""
     base = _median_base(sf)
-    if base is None and fallback is not None and fallback.get("sf") == sf:
-        base = {
-            "n_entries": 1,
-            "queries": {n: (v, 1) for n, v in (fallback.get("queries") or {}).items()},
-            "queries2": {
-                n: (v, 1)
-                for n, v in (
-                    fallback.get("headline2_queries")
-                    or fallback.get("extended_queries")
-                    or {}
-                ).items()
-            },
-            "total": (fallback.get("value"), 1),
-            "total2": (fallback.get("headline2_total"), 1),
-        }
     if base is None:
         return
 

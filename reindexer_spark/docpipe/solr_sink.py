@@ -154,7 +154,7 @@ class SolrBatchLedger:
                     ids.append(int(name[len("batch-") : -len(".committed")]))
                 except ValueError:
                     continue
-        for bid in sorted(ids)[: -self.retain] if len(ids) > self.retain else []:
+        for bid in sorted(ids)[: max(0, len(ids) - self.retain)]:
             try:
                 os.remove(self._marker(bid))
             except FileNotFoundError:

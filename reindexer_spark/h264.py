@@ -42,6 +42,7 @@ import struct
 import numpy as np
 
 from reindexer_spark.codecs import (
+    _H264_HIGH_PROFILES,
     MediaFormatError,
     _escape_rbsp,
     _RbspReader,
@@ -750,6 +751,7 @@ def _reconstruct_mb(
     ac_blocks: list[np.ndarray],
     cdc: list[np.ndarray],
     cac: list[list[np.ndarray]],
+    chroma_qp_offset: int = 0,
 ) -> None:
     """Shared §8.5 reconstruction: quantized levels in, clipped pixels
     into the frame state."""
@@ -764,8 +766,8 @@ def _reconstruct_mb(
         res = idct4x4(d)
         ys, xs = y0 + by * 4, x0 + bx * 4
         st.y[ys : ys + 4, xs : xs + 4] = np.clip(pred + res, 0, 255)
-    # chroma
-    qpc = _QPC[min(qp, 51)]
+    # chroma: qPi = Clip3(0, 51, QPy + pps offset), then Table 8-15
+    qpc = _QPC[max(0, min(51, qp + chroma_qp_offset))]
     for comp, plane in ((0, st.u), (1, st.v)):
         cpred = _pred_chroma_dc(plane, mbx, mby)
         dc_deq_c = dequant_chroma_dc(cdc[comp], qpc)
@@ -788,7 +790,7 @@ def _reconstruct_mb(
 DEFAULT_QP = 26
 
 
-def write_pps(qp: int = DEFAULT_QP) -> bytes:
+def write_pps(qp: int = DEFAULT_QP, chroma_qp_offset: int = 0) -> bytes:
     """Minimal CAVLC PPS: one slice group, deblocking-control present
     (so slices can legally disable it)."""
     w = _RbspWriter()
@@ -803,7 +805,7 @@ def write_pps(qp: int = DEFAULT_QP) -> bytes:
     w.u(0, 2)  # weighted_bipred_idc
     w.se(qp - 26)  # pic_init_qp_minus26
     w.se(0)  # pic_init_qs_minus26
-    w.se(0)  # chroma_qp_index_offset
+    w.se(chroma_qp_offset)  # chroma_qp_index_offset
     w.u(1, 1)  # deblocking_filter_control_present_flag
     w.u(0, 1)  # constrained_intra_pred
     w.u(0, 1)  # redundant_pic_cnt_present
@@ -818,7 +820,12 @@ def parse_pps(nal: bytes) -> dict:
     out["entropy_coding_mode"] = r.u(1)
     if out["entropy_coding_mode"]:
         raise MediaFormatError("CABAC stream: intra decoder is CAVLC-only")
-    r.u(1)  # bottom_field_pic_order_in_frame_present
+    if r.u(1):
+        # adds delta_pic_order_cnt_bottom to slice headers, which the
+        # slice parser does not read — desync, so refuse up front
+        raise MediaFormatError(
+            "bottom-field pic-order signalling outside the intra subset"
+        )
     if r.ue() != 0:
         raise MediaFormatError("slice groups unsupported")
     r.ue()
@@ -831,13 +838,12 @@ def parse_pps(nal: bytes) -> dict:
     out["deblocking_control_present"] = r.u(1)
     if r.u(1):
         raise MediaFormatError("constrained_intra_pred unsupported")
-    r.u(1)
+    if r.u(1):
+        # adds redundant_pic_cnt to slice headers — same desync class
+        raise MediaFormatError(
+            "redundant-picture signalling outside the intra subset"
+        )
     return out
-
-
-_H264_HIGH_PROFILES_LOCAL = frozenset(
-    (100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
-)
 
 
 def _parse_sps_slice_fields(nal: bytes) -> dict:
@@ -851,11 +857,18 @@ def _parse_sps_slice_fields(nal: bytes) -> dict:
     r.u(8)
     r.u(8)
     r.ue()  # sps_id
-    if profile in _H264_HIGH_PROFILES_LOCAL:
-        if r.ue() == 3:
+    if profile in _H264_HIGH_PROFILES:
+        chroma_format = r.ue()
+        if chroma_format == 3:
             r.u(1)
-        r.ue()
-        r.ue()
+        if chroma_format != 1:
+            raise MediaFormatError(
+                "only 4:2:0 chroma is in the intra subset"
+            )
+        if r.ue() != 0 or r.ue() != 0:
+            raise MediaFormatError(
+                "only 8-bit depth is in the intra subset"
+            )
         r.u(1)
         if r.u(1):
             raise MediaFormatError("scaling matrices unsupported")
@@ -870,6 +883,10 @@ def _parse_sps_slice_fields(nal: bytes) -> dict:
     r.u(1)  # gaps_in_frame_num_value_allowed
     meta["mb_w"] = r.ue() + 1
     mb_h_units = r.ue() + 1
+    if meta["mb_w"] * mb_h_units > 1 << 20:  # ~16 gigapixel budget
+        # validated BEFORE any plane allocation: a hostile SPS must
+        # quarantine, not OOM (the codecs fuzz contract)
+        raise MediaFormatError("h264 coded picture size beyond sane budget")
     if r.u(1) != 1:
         raise MediaFormatError("interlaced (field) coding unsupported")
     meta["mb_h"] = mb_h_units
@@ -958,8 +975,8 @@ def _encode_mb(
     had = np.sign(had) * (np.abs(had) >> 1)  # forward /2 (see scale math)
     dcq = quant_dc(had, qp)
     cbp_luma = 15 if any(np.any(b) for b in ac_blocks) else 0
-    # ---- chroma
-    qpc = _QPC[min(qp, 51)]
+    # ---- chroma (our PPS writes chroma_qp_index_offset=0)
+    qpc = _QPC[max(0, min(51, qp))]
     cdcq: list[np.ndarray] = []
     cacq: list[list[np.ndarray]] = []
     for plane, src in ((st.u, src_u), (st.v, src_v)):
@@ -1031,7 +1048,8 @@ def _encode_mb(
 
 
 def _decode_mb(
-    r: _BitReader, st: _FrameState, mbx: int, mby: int, qp: int
+    r: _BitReader, st: _FrameState, mbx: int, mby: int, qp: int,
+    chroma_qp_offset: int = 0,
 ) -> None:
     mb_type = r.ue()
     if mb_type == 0:
@@ -1087,7 +1105,9 @@ def _decode_mb(
     else:
         for comp in range(2):
             st.nc_c[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
-    _reconstruct_mb(st, mbx, mby, qp, dcq, ac_blocks, cdc, cac)
+    _reconstruct_mb(
+        st, mbx, mby, qp, dcq, ac_blocks, cdc, cac, chroma_qp_offset
+    )
 
 
 def encode_frame_nal(
@@ -1137,9 +1157,10 @@ def decode_frame_nal(
     r = _BitReader(_unescape_rbsp(nal[1:]))
     qp = _parse_slice_header(r, sps, pps)
     st = _FrameState(sps["mb_w"], sps["mb_h"])
+    cqo = pps.get("chroma_qp_index_offset", 0)
     for mby in range(sps["mb_h"]):
         for mbx in range(sps["mb_w"]):
-            _decode_mb(r, st, mbx, mby, qp)
+            _decode_mb(r, st, mbx, mby, qp, cqo)
     if not r.byte_aligned_stop():
         raise MediaFormatError("trailing bits after last macroblock")
     return st.y, st.u, st.v
@@ -1263,7 +1284,15 @@ def decode_avcc_samples(
         for nal in split_sample_nals(sample, length_size):
             t = nal[0] & 0x1F
             if t == 7:
-                sps = _parse_sps_slice_fields(nal)
+                new_sps = _parse_sps_slice_fields(nal)
+                if (new_sps["width"], new_sps["height"]) != (w, h):
+                    # frames after this point would have a different
+                    # byte size than the (w, h) this function returns —
+                    # reject rather than emit inconsistent frames
+                    raise MediaFormatError(
+                        "in-band SPS changes picture dimensions"
+                    )
+                sps = new_sps
             elif t == 8:
                 pps = parse_pps(nal)
             elif t in (6, 9):

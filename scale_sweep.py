@@ -213,7 +213,10 @@ def run_density_axis(spark, ui_port: int, result: dict) -> None:
     for name in DENSITY_QUERIES:
         q = get_query(name)
         per_scale: dict = {}
+        # warm BOTH scales: with REPS=1 a cold first dense10 rep would
+        # bias the growth ratio upward (parquet footers, codegen)
         q.fn(spark, SF01).write.format("noop").mode("overwrite").save()
+        q.fn(spark, DENSE10_DIR).write.format("noop").mode("overwrite").save()
         for label, d in (("sf0.1", SF01), ("dense10", DENSE10_DIR)):
             walls, recs = [], []
             for _ in range(REPS):

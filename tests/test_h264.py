@@ -280,3 +280,94 @@ def test_chroma_qp_mapping_known_values():
     assert len(H._QPC) == 52
     # monotone non-decreasing, compression only above 29
     assert all(a <= b for a, b in zip(H._QPC, H._QPC[1:]))
+
+
+# ---------------------------------------------------------------------------
+# round-9 self-review regression pins
+# ---------------------------------------------------------------------------
+
+
+def test_chroma_qp_index_offset_is_applied():
+    """A PPS chroma_qp_index_offset must change the chroma dequant
+    scale (review finding: the field was parsed but ignored, silently
+    producing wrong chroma for legal streams)."""
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8).tobytes()
+    sps, _pps, nals = H.encode_h264_intra(16, 16, [img], qp=30)
+    sd = H._parse_sps_slice_fields(sps)
+    base = H.parse_pps(H.write_pps())
+    off = H.parse_pps(H.write_pps(chroma_qp_offset=-6))
+    assert off["chroma_qp_index_offset"] == -6
+    y0, u0, v0 = H.decode_frame_nal(nals[0], sd, base)
+    y1, u1, v1 = H.decode_frame_nal(nals[0], sd, off)
+    assert np.array_equal(y0, y1)  # luma path untouched by the offset
+    assert not (np.array_equal(u0, u1) and np.array_equal(v0, v1))
+
+
+def test_high_profile_non_420_or_deep_bit_depth_quarantines():
+    w = H._RbspWriter()
+    w.u(100, 8)  # High profile
+    w.u(0, 8)
+    w.u(41, 8)
+    w.ue(0)  # sps_id
+    w.ue(2)  # chroma_format_idc: 4:2:2 — outside the subset
+    with pytest.raises(MediaFormatError):
+        H._parse_sps_slice_fields(b"\x67" + w.finish())
+
+
+def test_hostile_sps_dimensions_quarantine_not_oom():
+    """A crafted SPS claiming a multi-gigapixel frame must raise
+    MediaFormatError before any plane allocation."""
+    nal = H.write_h264_sps(60000, 60000, 66, 51)
+    with pytest.raises(MediaFormatError):
+        H._parse_sps_slice_fields(nal)
+
+
+def test_pps_pic_order_and_redundant_flags_quarantine():
+    def pps_with(flag_bit_index):
+        w = H._RbspWriter()
+        w.ue(0)
+        w.ue(0)
+        w.u(0, 1)  # CAVLC
+        w.u(1 if flag_bit_index == 0 else 0, 1)  # bottom_field_pic_order
+        w.ue(0)
+        w.ue(0)
+        w.ue(0)
+        w.u(0, 1)
+        w.u(0, 2)
+        w.se(0)
+        w.se(0)
+        w.se(0)
+        w.u(1, 1)
+        w.u(0, 1)
+        w.u(1 if flag_bit_index == 1 else 0, 1)  # redundant_pic_cnt
+        return b"\x68" + w.finish()
+
+    for idx in (0, 1):
+        with pytest.raises(MediaFormatError):
+            H.parse_pps(pps_with(idx))
+
+
+def test_inband_sps_dimension_change_rejected():
+    rng = np.random.default_rng(8)
+    frames = _rand_frames(rng, 16, 16, 1)
+    avcc, samples = H.encode_avcc_samples(16, 16, frames)
+    other_sps = H.write_h264_sps(32, 16, 66, 30)
+    poisoned = [
+        len(other_sps).to_bytes(4, "big") + other_sps + samples[0]
+    ]
+    with pytest.raises(MediaFormatError):
+        H.decode_avcc_samples(avcc, poisoned)
+
+
+def test_ledger_gc_retain_zero_keeps_nothing():
+    import os
+    import tempfile
+
+    from reindexer_spark.docpipe.solr_sink import SolrBatchLedger
+
+    with tempfile.TemporaryDirectory() as d:
+        ledger = SolrBatchLedger(d, retain=0)
+        for bid in range(5):
+            ledger.commit(bid)
+        assert os.listdir(d) == []
