@@ -3601,6 +3601,12 @@ def _sniff(payload: bytes) -> str:
         return "mp4"
     if payload[:4] == _MKV_MAGIC:
         return "mkv"
+    if payload[:4] == b"\x00\x00\x00\x01" and len(payload) > 4 and (
+        payload[4] & 0x1F
+    ) in (7, 9):
+        # raw Annex-B h264 elementary stream (SPS or AUD first — the
+        # shapes real .h264 dumps start with)
+        return "h264"
     raise MediaFormatError("unrecognized media payload")
 
 
@@ -3659,7 +3665,7 @@ class PurePythonCodec:
                 "n_channels": 3,
                 "features": [round(f, 6) for f in feats],
             }
-        if kind in ("avi", "mp4", "mkv", "gif"):
+        if kind in ("avi", "mp4", "mkv", "gif", "h264"):
             # gif routes with the motion containers: a still GIF is the
             # 1-frame case (features identical to the image path, frame
             # count 1.0), an animation pools across composited frames
@@ -3669,6 +3675,12 @@ class PurePythonCodec:
                 w, h, _delays, frames = decode_gif(payload)
             elif kind == "mkv":
                 w, h, _durs, frames, _sync = decode_mkv(payload)
+            elif kind == "h264":
+                # raw Annex-B elementary stream: intra subset decodes,
+                # inter-predicted quarantines (reindexer_spark.h264)
+                from reindexer_spark.h264 import decode_h264_annexb_stream
+
+                w, h, frames = decode_h264_annexb_stream(payload)
             else:
                 w, h, _durs, frames, _sync = decode_mp4(payload)
             # pool the statistics across every frame's pixels: the frame
@@ -4663,6 +4675,17 @@ def probe_media(payload: bytes) -> dict:
                     profile=sps_meta["profile"],
                     level=sps_meta["level"],
                 )
+        elif kind == "h264":
+            # raw elementary stream: SPS metadata + slice count from
+            # the NAL type walk — no entropy decoding
+            from reindexer_spark.h264 import probe_annexb
+
+            m = probe_annexb(payload)
+            out.update(
+                width=m["width"], height=m["height"],
+                n_frames=m["n_frames"], codec=m["codec"],
+                profile=m["profile"], level=m["level"],
+            )
         return out
     except MediaFormatError:
         raise

@@ -1328,3 +1328,104 @@ def encode_avcc_samples(
     sps, pps, nals = encode_h264_intra(width, height, frames_rgb, qp)
     samples = [len(n).to_bytes(4, "big") + n for n in nals]
     return build_avcc(sps, pps), samples
+
+
+# ---------------------------------------------------------------------------
+# Annex-B elementary streams (raw .h264 dumps — no container timing)
+# ---------------------------------------------------------------------------
+
+
+def split_annexb(data: bytes) -> list[bytes]:
+    """Start-code-delimited stream → NAL units (ITU-T Annex B: 3- or
+    4-byte start codes, leading_zero_8bits tolerated)."""
+    nals = []
+    i, n = 0, len(data)
+    # find the first start code
+    while i + 3 <= n and data[i : i + 3] != b"\x00\x00\x01":
+        if data[i] != 0:
+            raise MediaFormatError("not an Annex-B stream")
+        i += 1
+    starts = []
+    while i + 3 <= n:
+        if data[i : i + 3] == b"\x00\x00\x01":
+            starts.append(i + 3)
+            i += 3
+        else:
+            i += 1
+    if not starts:
+        raise MediaFormatError("Annex-B stream carries no NAL units")
+    for k, s in enumerate(starts):
+        e = starts[k + 1] - 3 if k + 1 < len(starts) else n
+        # trailing zeros before the next start code belong to no NAL
+        while e > s and data[e - 1] == 0:
+            e -= 1
+        if e <= s:
+            raise MediaFormatError("empty NAL unit in Annex-B stream")
+        nals.append(data[s:e])
+    return nals
+
+
+def encode_h264_annexb(
+    width: int, height: int, frames_rgb: list[bytes], qp: int = DEFAULT_QP
+) -> bytes:
+    """Frames → a raw Annex-B elementary stream (SPS, PPS, then one IDR
+    slice per frame, 4-byte start codes)."""
+    sps, pps, nals = encode_h264_intra(width, height, frames_rgb, qp)
+    sc = b"\x00\x00\x00\x01"
+    return sc + sps + sc + pps + b"".join(sc + n for n in nals)
+
+
+def probe_annexb(data: bytes) -> dict:
+    """Headers-only probe of an Annex-B stream: SPS metadata + coded
+    slice count (no entropy decoding — the NAL walk reads type bytes)."""
+    sps_meta = None
+    n_slices = 0
+    for nal in split_annexb(data):
+        t = nal[0] & 0x1F
+        if t == 7 and sps_meta is None:
+            sps_meta = parse_h264_sps(nal)
+        elif t in (1, 5):
+            n_slices += 1
+    if sps_meta is None:
+        raise MediaFormatError("Annex-B stream carries no SPS")
+    sps_meta["n_frames"] = n_slices
+    return sps_meta
+
+
+def decode_h264_annexb_stream(data: bytes) -> tuple[int, int, list[bytes]]:
+    """Annex-B stream → (w, h, RGB frames); intra subset only, same
+    quarantine contract as the container paths."""
+    sps = pps = None
+    frames = []
+    w = h = None
+    for nal in split_annexb(data):
+        t = nal[0] & 0x1F
+        if t == 7:
+            new_sps = _parse_sps_slice_fields(nal)
+            if w is not None and (new_sps["width"], new_sps["height"]) != (w, h):
+                raise MediaFormatError("in-band SPS changes picture dimensions")
+            sps = new_sps
+            w, h = sps["width"], sps["height"]
+        elif t == 8:
+            pps = parse_pps(nal)
+        elif t in (6, 9):
+            continue
+        elif t in (1, 5):
+            if sps is None or pps is None:
+                raise MediaFormatError("slice before SPS/PPS in stream")
+            y, u, v = decode_frame_nal(nal, sps, pps)
+            ct, cl = sps["crop_t"], sps["crop_l"]
+            frames.append(
+                yuv420_to_rgb(
+                    y[ct : ct + h, cl : cl + w],
+                    u[ct // 2 : ct // 2 + (h + 1) // 2,
+                      cl // 2 : cl // 2 + (w + 1) // 2],
+                    v[ct // 2 : ct // 2 + (h + 1) // 2,
+                      cl // 2 : cl // 2 + (w + 1) // 2],
+                )
+            )
+        else:
+            raise MediaFormatError(f"unsupported NAL type {t} in stream")
+    if not frames:
+        raise MediaFormatError("Annex-B stream carries no coded frames")
+    return w, h, frames

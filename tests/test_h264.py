@@ -371,3 +371,61 @@ def test_ledger_gc_retain_zero_keeps_nothing():
         for bid in range(5):
             ledger.commit(bid)
         assert os.listdir(d) == []
+
+
+# ---------------------------------------------------------------------------
+# Annex-B elementary streams
+# ---------------------------------------------------------------------------
+
+
+def test_annexb_roundtrip_probe_and_codec_path():
+    """Raw .h264 dumps (no container): sniff → headers-only probe →
+    full decode, and the shared PurePythonCodec feature path."""
+    from reindexer_spark.codecs import PurePythonCodec, _sniff
+
+    rng = np.random.default_rng(1)
+    w, h = 36, 20
+    frames = _rand_frames(rng, w, h, 3)
+    es = H.encode_h264_annexb(w, h, frames, qp=28)
+    assert _sniff(es) == "h264"
+    p = probe_media(es)
+    assert (p["width"], p["height"], p["n_frames"]) == (w, h, 3)
+    assert (p["codec"], p["profile"]) == ("h264", 66)
+    dw, dh, out = H.decode_h264_annexb_stream(es)
+    assert (dw, dh, len(out)) == (w, h, 3)
+    d = PurePythonCodec().decode(es)
+    assert (d["width"], d["height"], d["n_channels"]) == (w, h, 3)
+    assert d["features"][7] == 3.0  # frame count rides the last slot
+
+
+def test_annexb_three_byte_start_codes_and_aud():
+    """3-byte start codes and AUD/SEI NALs are legal stream furniture."""
+    rng = np.random.default_rng(2)
+    w, h = 16, 16
+    sps, pps, nals = H.encode_h264_intra(w, h, _rand_frames(rng, w, h, 1))
+    sc3 = b"\x00\x00\x01"
+    es = (
+        b"\x00\x00\x00\x01" + b"\x09\x10"  # AUD
+        + sc3 + sps + sc3 + pps + sc3 + nals[0]
+    )
+    dw, dh, out = H.decode_h264_annexb_stream(es)
+    assert (dw, dh, len(out)) == (w, h, 1)
+
+
+def test_annexb_quarantine_contract():
+    rng = np.random.default_rng(3)
+    es = H.encode_h264_annexb(16, 16, _rand_frames(rng, 16, 16, 1))
+    # inter slice NAL
+    bad = es[:4] + bytes([0x41]) + es[5:]
+    with pytest.raises(MediaFormatError):
+        H.decode_h264_annexb_stream(bad)
+    # truncations through the public probe/decode
+    for cut in range(0, len(es), 5):
+        for fn in (H.decode_h264_annexb_stream,):
+            try:
+                fn(es[:cut])
+            except MediaFormatError:
+                pass
+    # slice before parameter sets
+    with pytest.raises(MediaFormatError):
+        H.decode_h264_annexb_stream(b"\x00\x00\x00\x01" + es[-20:])
