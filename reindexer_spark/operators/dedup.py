@@ -121,7 +121,10 @@ def _pairs_by_shingle(ex: DataFrame, sizes: DataFrame, threshold: float) -> Data
     Output: (d1, d2, n1, n2, n_common) — sizes ride along so the caller
     needs no further joins.
     """
-    hashed = ex.join(F.broadcast(sizes), "doc_id").select(
+    # no broadcast HINT on the per-doc sizes relation: at billions of
+    # docs it is not broadcastable; AQE picks broadcast when it fits
+    # (it always does at test scale, so local plans are unchanged)
+    hashed = ex.join(sizes, "doc_id").select(
         "sh",
         F.struct(F.col("doc_id").alias("d"), F.col("n")).alias("dn"),
     )
@@ -1361,8 +1364,8 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1") + F.col("n2") - F.col("n_common")
     )
     return (
-        verified.join(F.broadcast(s1), "d1")
-        .join(F.broadcast(s2), "d2")
+        verified.join(s1, "d1")  # per-doc relation: AQE decides, no hint
+        .join(s2, "d2")
         .select("d1", "d2", "n_common", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= MH_MD5_VERIFY)
     )

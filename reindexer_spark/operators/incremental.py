@@ -109,8 +109,11 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1") + F.col("n2") - F.col("n_common")
     )
     return (
+        # s1 (the arriving batch) stays hinted — bounded by the batch.
+        # s2 is per-CORPUS-doc: not broadcastable at billions of docs,
+        # so no hint — AQE broadcasts while it fits (always, locally)
         pairs.join(F.broadcast(s1), "new_id")
-        .join(F.broadcast(s2), "corpus_id")
+        .join(s2, "corpus_id")
         .select("new_id", "corpus_id", "n_common", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
