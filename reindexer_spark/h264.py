@@ -905,6 +905,7 @@ def _parse_sps_slice_fields(nal: bytes) -> dict:
 def _write_slice_header(
     w: _BitWriter, qp: int, pic_init_qp: int, idr_pic_id: int,
     log2_max_frame_num: int, poc_type: int, log2_max_poc_lsb: int,
+    deblock: bool = True,
 ) -> None:
     w.ue(0)  # first_mb_in_slice
     w.ue(7)  # slice_type: I (all slices in picture)
@@ -916,11 +917,19 @@ def _write_slice_header(
     w.u(0, 1)  # no_output_of_prior_pics
     w.u(0, 1)  # long_term_reference_flag
     w.se(qp - pic_init_qp)  # slice_qp_delta
-    w.ue(1)  # disable_deblocking_filter_idc = 1 (off, in-stream)
+    if deblock:
+        w.ue(0)  # disable_deblocking_filter_idc = 0 (filter on)
+        w.se(0)  # slice_alpha_c0_offset_div2
+        w.se(0)  # slice_beta_offset_div2
+    else:
+        w.ue(1)  # idc = 1: filter off, in-stream
 
 
-def _parse_slice_header(r: _BitReader, sps: dict, pps: dict) -> int:
-    """Returns the slice QP; rejects anything outside the subset."""
+def _parse_slice_header(
+    r: _BitReader, sps: dict, pps: dict
+) -> tuple[int, bool, int, int]:
+    """Returns (slice QP, deblocking enabled, alpha offset, beta
+    offset); rejects anything outside the subset."""
     if r.ue() != 0:
         raise MediaFormatError("multi-slice pictures unsupported")
     slice_type = r.ue()
@@ -939,16 +948,21 @@ def _parse_slice_header(r: _BitReader, sps: dict, pps: dict) -> int:
     if not 0 <= qp <= 51:
         raise MediaFormatError("slice QP out of range")
     if not pps["deblocking_control_present"]:
-        # no per-slice control => deblocking defaults ON; this decoder
-        # does not implement §8.7, so refusing is the honest move
-        raise MediaFormatError(
-            "deblocking-enabled stream outside the intra subset"
-        )
-    if r.ue() != 1:
-        raise MediaFormatError(
-            "deblocking-enabled stream outside the intra subset"
-        )
-    return qp
+        # no per-slice control => the filter defaults ON with zero
+        # offsets (§8.7 is implemented for intra pictures, round 9)
+        return qp, True, 0, 0
+    idc = r.ue()
+    if idc > 2:
+        raise MediaFormatError("invalid disable_deblocking_filter_idc")
+    if idc == 1:
+        return qp, False, 0, 0
+    # idc 0 or 2 (2 = skip slice boundaries; identical here — one
+    # slice per picture): offsets follow
+    alpha_off = 2 * r.se()
+    beta_off = 2 * r.se()
+    if not (-12 <= alpha_off <= 12 and -12 <= beta_off <= 12):
+        raise MediaFormatError("deblocking offsets out of range")
+    return qp, True, alpha_off, beta_off
 
 
 # ---------------------------------------------------------------------------
@@ -1112,30 +1126,38 @@ def _decode_mb(
 
 def encode_frame_nal(
     rgb: bytes, width: int, height: int, qp: int = DEFAULT_QP,
-    idr_pic_id: int = 0, return_recon: bool = False,
+    idr_pic_id: int = 0, return_recon: bool = False, deblock: bool = True,
 ):
     """One RGB frame → one IDR slice NAL (header byte included).  With
     ``return_recon``: also the encoder's closed-loop reconstruction as
     RGB — by the normative contract this is byte-identical to what any
     conforming decoder outputs, so callers can value-gate decode
-    exactness without re-running the encoder internals."""
+    exactness without re-running the encoder internals.  ``deblock``
+    (default, the spec-realistic choice) signals the in-loop filter ON
+    in the slice header; prediction still reads unfiltered samples, so
+    the filter is an output post-pass for all-intra pictures."""
     y, u, v = rgb_to_yuv420(rgb, width, height)
     y, u, v = _pad_plane(y, 16), _pad_plane(u, 8), _pad_plane(v, 8)
     mb_w, mb_h = y.shape[1] // 16, y.shape[0] // 16
     st = _FrameState(mb_w, mb_h)
     w = _BitWriter()
     _write_slice_header(w, qp, DEFAULT_QP, idr_pic_id,
-                        log2_max_frame_num=4, poc_type=0, log2_max_poc_lsb=4)
+                        log2_max_frame_num=4, poc_type=0,
+                        log2_max_poc_lsb=4, deblock=deblock)
     for mby in range(mb_h):
         for mbx in range(mb_w):
             _encode_mb(w, st, mbx, mby, qp, y, u, v)
     nal = b"\x65" + w.finish()  # nal_ref_idc=3, type 5 (IDR)
     if not return_recon:
         return nal
+    ry, ru, rv = (
+        deblock_frame(st.y, st.u, st.v, qp) if deblock
+        else (st.y, st.u, st.v)
+    )
     recon = yuv420_to_rgb(
-        st.y[:height, :width],
-        st.u[: (height + 1) // 2, : (width + 1) // 2],
-        st.v[: (height + 1) // 2, : (width + 1) // 2],
+        ry[:height, :width],
+        ru[: (height + 1) // 2, : (width + 1) // 2],
+        rv[: (height + 1) // 2, : (width + 1) // 2],
     )
     return nal, recon
 
@@ -1155,7 +1177,7 @@ def decode_frame_nal(
             "non-IDR slice: inter prediction outside the intra subset"
         )
     r = _BitReader(_unescape_rbsp(nal[1:]))
-    qp = _parse_slice_header(r, sps, pps)
+    qp, deblock, a_off, b_off = _parse_slice_header(r, sps, pps)
     st = _FrameState(sps["mb_w"], sps["mb_h"])
     cqo = pps.get("chroma_qp_index_offset", 0)
     for mby in range(sps["mb_h"]):
@@ -1163,12 +1185,16 @@ def decode_frame_nal(
             _decode_mb(r, st, mbx, mby, qp, cqo)
     if not r.byte_aligned_stop():
         raise MediaFormatError("trailing bits after last macroblock")
+    if deblock:
+        # output post-pass only: intra prediction above already read
+        # the unfiltered samples, per §8.7 / §8.3.1
+        return deblock_frame(st.y, st.u, st.v, qp, cqo, a_off, b_off)
     return st.y, st.u, st.v
 
 
 def encode_h264_intra(
     width: int, height: int, frames_rgb: list[bytes], qp: int = DEFAULT_QP,
-    return_recon: bool = False,
+    return_recon: bool = False, deblock: bool = True,
 ):
     """Frames → (SPS NAL, PPS NAL, one IDR slice NAL per frame[,
     closed-loop reconstruction frames when ``return_recon``])."""
@@ -1177,7 +1203,8 @@ def encode_h264_intra(
     nals, recons = [], []
     for i, f in enumerate(frames_rgb):
         out = encode_frame_nal(
-            f, width, height, qp, idr_pic_id=i % 2, return_recon=return_recon
+            f, width, height, qp, idr_pic_id=i % 2,
+            return_recon=return_recon, deblock=deblock,
         )
         if return_recon:
             nals.append(out[0])
@@ -1429,3 +1456,151 @@ def decode_h264_annexb_stream(data: bytes) -> tuple[int, int, list[bytes]]:
     if not frames:
         raise MediaFormatError("Annex-B stream carries no coded frames")
     return w, h, frames
+
+
+# ---------------------------------------------------------------------------
+# §8.7 deblocking filter (intra pictures)
+#
+# Intra prediction reads UNFILTERED reconstructed samples, so for an
+# all-intra picture deblocking is a pure output post-pass: decode (or
+# closed-loop-encode) the whole frame, then filter.  Boundary
+# strengths for intra frames are fixed by geometry — 4 on macroblock
+# edges, 3 on internal transform edges — and the α/β/tC0 thresholds
+# come from the published Table 8-16/8-17 (shared encoder/decoder
+# constants; spot values pinned in tests).
+# ---------------------------------------------------------------------------
+
+_DB_ALPHA = (
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28,
+    32, 36, 40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144,
+    162, 182, 203, 226, 255, 255,
+)
+_DB_BETA = (
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8,
+    9, 9, 10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15,
+    16, 16, 17, 17, 18, 18,
+)
+# tC0 rows by bS-1 (bS 1..3), 52 indexA entries each
+_DB_TC0 = (
+    (0,) * 17 + (0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2,
+                 2, 2, 2, 3, 3, 3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13),
+    (0,) * 17 + (0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2,
+                 2, 3, 3, 3, 4, 4, 5, 5, 6, 7, 8, 8, 10, 11, 12, 13, 15, 17),
+    (0,) * 17 + (1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3,
+                 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 23, 25),
+)
+assert all(len(t) == 52 for t in (_DB_ALPHA, _DB_BETA, *_DB_TC0))
+
+
+def _clip1(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _filter_edge_line(p: list[int], q: list[int], bs: int, idx_a: int,
+                      idx_b: int, is_luma: bool):
+    """One line across an edge: p = [p0..p3] (left/above side, p0
+    nearest the edge), q = [q0..q3].  Returns updated (p, q) or None
+    when the filterSampleFlag gate rejects."""
+    alpha, beta = _DB_ALPHA[idx_a], _DB_BETA[idx_b]
+    p0, p1, p2 = p[0], p[1], p[2]
+    q0, q1, q2 = q[0], q[1], q[2]
+    if not (abs(p0 - q0) < alpha and abs(p1 - p0) < beta
+            and abs(q1 - q0) < beta):
+        return None
+    p, q = list(p), list(q)
+    if bs == 4:
+        strong = abs(p0 - q0) < (alpha >> 2) + 2
+        if is_luma and strong and abs(p2 - p0) < beta:
+            p3 = p[3]
+            p[0] = (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3
+            p[1] = (p2 + p1 + p0 + q0 + 2) >> 2
+            p[2] = (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3
+        else:
+            p[0] = (2 * p1 + p0 + q1 + 2) >> 2
+        if is_luma and strong and abs(q2 - q0) < beta:
+            q3 = q[3]
+            q[0] = (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3
+            q[1] = (q2 + q1 + q0 + p0 + 2) >> 2
+            q[2] = (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3
+        else:
+            q[0] = (2 * q1 + q0 + p1 + 2) >> 2
+        return p, q
+    tc0 = _DB_TC0[bs - 1][idx_a]
+    ap, aq = abs(p2 - p0), abs(q2 - q0)
+    if is_luma:
+        tc = tc0 + (1 if ap < beta else 0) + (1 if aq < beta else 0)
+    else:
+        tc = tc0 + 1
+    delta = (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3
+    delta = max(-tc, min(tc, delta))
+    p[0] = _clip1(p0 + delta)
+    q[0] = _clip1(q0 - delta)
+    if is_luma and ap < beta:
+        d = (p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1
+        p[1] = p1 + max(-tc0, min(tc0, d))
+    if is_luma and aq < beta:
+        d = (q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1
+        q[1] = q1 + max(-tc0, min(tc0, d))
+    return p, q
+
+
+def _deblock_plane(plane: np.ndarray, mb_size: int, qp_idx: int,
+                   idx_b: int, is_luma: bool) -> None:
+    """Filter one plane in place: per MB (raster order), all vertical
+    edges left-to-right, then all horizontal edges top-to-bottom —
+    later edges read already-filtered samples, per §8.7."""
+    h, w = plane.shape
+    step = 4
+    for mby in range(h // mb_size):
+        for mbx in range(w // mb_size):
+            x0, y0 = mbx * mb_size, mby * mb_size
+            for ex in range(0, mb_size, step):
+                x = x0 + ex
+                if x == 0:
+                    continue  # no left neighbour
+                bs = 4 if ex == 0 else 3
+                for y in range(y0, y0 + mb_size):
+                    p = [int(plane[y, x - 1 - k]) for k in range(4)]
+                    q = [int(plane[y, x + k]) for k in range(4)]
+                    out = _filter_edge_line(p, q, bs, qp_idx, idx_b, is_luma)
+                    if out is None:
+                        continue
+                    np_, nq = out
+                    for k in range(3):
+                        plane[y, x - 1 - k] = np_[k]
+                        plane[y, x + k] = nq[k]
+            for ey in range(0, mb_size, step):
+                y = y0 + ey
+                if y == 0:
+                    continue
+                bs = 4 if ey == 0 else 3
+                for x in range(x0, x0 + mb_size):
+                    p = [int(plane[y - 1 - k, x]) for k in range(4)]
+                    q = [int(plane[y + k, x]) for k in range(4)]
+                    out = _filter_edge_line(p, q, bs, qp_idx, idx_b, is_luma)
+                    if out is None:
+                        continue
+                    np_, nq = out
+                    for k in range(3):
+                        plane[y - 1 - k, x] = np_[k]
+                        plane[y + k, x] = nq[k]
+
+
+def deblock_frame(
+    y: np.ndarray, u: np.ndarray, v: np.ndarray, qp: int,
+    chroma_qp_offset: int = 0, alpha_off: int = 0, beta_off: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """§8.7 over an all-intra frame (returns filtered copies; inputs —
+    the prediction-reference planes — are left untouched)."""
+    y, u, v = y.copy(), u.copy(), v.copy()
+    idx_a = max(0, min(51, qp + alpha_off))
+    idx_b = max(0, min(51, qp + beta_off))
+    _deblock_plane(y, 16, idx_a, idx_b, True)
+    qpc = _QPC[max(0, min(51, qp + chroma_qp_offset))]
+    idx_ac = max(0, min(51, qpc + alpha_off))
+    idx_bc = max(0, min(51, qpc + beta_off))
+    _deblock_plane(u, 8, idx_ac, idx_bc, False)
+    _deblock_plane(v, 8, idx_ac, idx_bc, False)
+    return y, u, v

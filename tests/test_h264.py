@@ -112,9 +112,12 @@ def test_decoder_bit_exact_vs_closed_loop_recon(qp):
     sd = H._parse_sps_slice_fields(sps)
     pd = H.parse_pps(pps)
     dy, du, dv = H.decode_frame_nal(nals[0], sd, pd)
-    assert np.array_equal(dy, st.y)
-    assert np.array_equal(du, st.u)
-    assert np.array_equal(dv, st.v)
+    # the output is the §8.7-filtered picture; prediction state (st)
+    # is unfiltered — apply the same shared post-pass for the compare
+    fy, fu, fv = H.deblock_frame(st.y, st.u, st.v, qp)
+    assert np.array_equal(dy, fy)
+    assert np.array_equal(du, fu)
+    assert np.array_equal(dv, fv)
 
 
 @pytest.mark.parametrize("dims", [(16, 16), (32, 16), (36, 20), (18, 10)])
@@ -206,7 +209,9 @@ def test_out_of_subset_streams_quarantine():
     w.u(1, 1)  # CABAC
     with pytest.raises(MediaFormatError):
         H.parse_pps(b"\x68" + w.finish())
-    # deblocking-enabled stream (control flag absent -> defaults ON)
+    # control-flag-absent PPS: filter defaults ON with zero offsets
+    # (round 9: §8.7 is implemented, so this parses instead of
+    # quarantining) — but then the slice BITS must not carry the idc
     w = H._RbspWriter()
     for v in (0, 0):
         w.ue(v)
@@ -224,9 +229,10 @@ def test_out_of_subset_streams_quarantine():
     w.u(0, 1)
     w.u(0, 1)
     deblock_pps = H.parse_pps(b"\x68" + w.finish())
+    assert not deblock_pps["deblocking_control_present"]
     r = H._BitReader(_unescape_rbsp(nals[0][1:]))
-    with pytest.raises(MediaFormatError):
-        H._parse_slice_header(r, sd, deblock_pps)
+    qp, on, a_off, b_off = H._parse_slice_header(r, sd, deblock_pps)
+    assert on and (a_off, b_off) == (0, 0)
 
 
 def test_fuzz_quarantine_contract():
@@ -429,3 +435,74 @@ def test_annexb_quarantine_contract():
     # slice before parameter sets
     with pytest.raises(MediaFormatError):
         H.decode_h264_annexb_stream(b"\x00\x00\x00\x01" + es[-20:])
+
+
+# ---------------------------------------------------------------------------
+# §8.7 deblocking
+# ---------------------------------------------------------------------------
+
+
+def test_deblock_tables_known_values():
+    """Table 8-16/8-17 spot values — shared constants, so round trips
+    can't catch transcription errors."""
+    assert H._DB_ALPHA[16] == 4 and H._DB_ALPHA[36] == 50
+    assert H._DB_ALPHA[50] == 255 and H._DB_ALPHA[51] == 255
+    assert H._DB_BETA[16] == 2 and H._DB_BETA[51] == 18
+    assert all(H._DB_ALPHA[i] == 0 for i in range(16))
+    assert H._DB_TC0[0][23] == 1 and H._DB_TC0[0][51] == 13
+    assert H._DB_TC0[1][51] == 17 and H._DB_TC0[2][51] == 25
+    assert H._DB_TC0[2][17] == 1
+    # monotone non-decreasing thresholds
+    for t in (H._DB_ALPHA, H._DB_BETA, *H._DB_TC0):
+        assert all(a <= b for a, b in zip(t, t[1:]))
+
+
+def test_deblock_smooths_blocking_and_respects_low_qp_gate():
+    rng = np.random.default_rng(5)
+    w, h = 32, 32
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).tobytes()
+    on = H.encode_h264_intra(w, h, [img], qp=38, deblock=True)
+    off = H.encode_h264_intra(w, h, [img], qp=38, deblock=False)
+    _, _, f_on = H.decode_h264_intra(on[0], on[1], on[2])
+    _, _, f_off = H.decode_h264_intra(off[0], off[1], off[2])
+    assert f_on[0] != f_off[0]  # the filter visibly acts at high QP
+    # below indexA 16 the alpha threshold is 0: the filter is a no-op
+    on_lo = H.encode_h264_intra(w, h, [img], qp=12, deblock=True)
+    off_lo = H.encode_h264_intra(w, h, [img], qp=12, deblock=False)
+    _, _, g_on = H.decode_h264_intra(on_lo[0], on_lo[1], on_lo[2])
+    _, _, g_off = H.decode_h264_intra(off_lo[0], off_lo[1], off_lo[2])
+    assert g_on[0] == g_off[0]
+
+
+def test_deblock_offsets_shift_the_thresholds():
+    """A 10-level step across the MB boundary: below alpha only with
+    the +12 offsets (alpha(20)=7 < 10 <= alpha(32)=32), so the offsets
+    visibly enable filtering.  Inputs must never be mutated (the
+    prediction state stays unfiltered)."""
+    y = np.full((32, 32), 100, dtype=np.uint8)
+    y[:, 16:] = 110  # step exactly on the MB edge
+    u = np.full((16, 16), 100, dtype=np.uint8)
+    v = np.full((16, 16), 110, dtype=np.uint8)
+    y0 = y.copy()
+    base = H.deblock_frame(y, u, v, 20)
+    wide = H.deblock_frame(y, u, v, 20, alpha_off=12, beta_off=12)
+    assert np.array_equal(base[0], y0)  # step survives narrow alpha
+    assert not np.array_equal(wide[0], y0)  # wide alpha smooths it
+    assert np.array_equal(y, y0)  # input untouched
+
+
+def test_deblocked_roundtrip_still_beats_quality_bar():
+    """Filtered output should not be WORSE than unfiltered on smooth
+    content — and the lane's recon_exact gate depends on decode and
+    encoder recon sharing the filter, covered by the bit-exact test."""
+    w, h = 36, 20
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    base = (128 + 60 * np.sin(xx / 7) + 50 * np.cos(yy / 5)).astype(np.int32)
+    img = np.stack([np.clip(base + d, 0, 255) for d in (0, 30, -25)], -1)
+    rgb = img.astype(np.uint8).tobytes()
+    sps, pps, nals = H.encode_h264_intra(w, h, [rgb], qp=30)
+    _, _, out = H.decode_h264_intra(sps, pps, nals)
+    a = np.frombuffer(rgb, dtype=np.uint8).astype(np.float64)
+    b = np.frombuffer(out[0], dtype=np.uint8).astype(np.float64)
+    psnr = 10 * np.log10(255**2 / max(((a - b) ** 2).mean(), 1e-9))
+    assert psnr > 28, psnr
