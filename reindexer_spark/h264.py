@@ -626,6 +626,96 @@ def _pad_plane(p: np.ndarray, mult: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+# Intra_16x16 prediction modes (§8.3.3, Table 8-3): 0 Vertical,
+# 1 Horizontal, 2 DC, 3 Plane.  Chroma modes (§8.3.4): 0 DC,
+# 1 Horizontal, 2 Vertical, 3 Plane (note the swapped H/V order vs
+# luma — a spec quirk worth not "fixing").
+L16_VERTICAL, L16_HORIZONTAL, L16_DC, L16_PLANE = 0, 1, 2, 3
+C_DC, C_HORIZONTAL, C_VERTICAL, C_PLANE = 0, 1, 2, 3
+
+
+def _plane_pred(top: np.ndarray, left: np.ndarray, corner: int,
+                size: int) -> np.ndarray:
+    """§8.3.3.4 / §8.3.4 plane prediction for a size x size block
+    (size 16 luma, 8 chroma) from the top row, left column, and the
+    above-left corner sample."""
+    half = size // 2
+    hsum = int(
+        sum(
+            (x + 1) * (int(top[half + x]) - int(top[half - 2 - x]))
+            for x in range(half - 1)
+        )
+    ) + half * (int(top[size - 1]) - corner)
+    vsum = int(
+        sum(
+            (y + 1) * (int(left[half + y]) - int(left[half - 2 - y]))
+            for y in range(half - 1)
+        )
+    ) + half * (int(left[size - 1]) - corner)
+    if size == 16:
+        b = (5 * hsum + 32) >> 6
+        c = (5 * vsum + 32) >> 6
+    else:
+        b = (17 * hsum + 16) >> 5
+        c = (17 * vsum + 16) >> 5
+    a = 16 * (int(top[size - 1]) + int(left[size - 1]))
+    yy, xx = np.mgrid[0:size, 0:size]
+    out = (a + b * (xx - (half - 1)) + c * (yy - (half - 1)) + 16) >> 5
+    return np.clip(out, 0, 255).astype(np.int64)
+
+
+def _pred_luma16(
+    mode: int, recon: np.ndarray, mbx: int, mby: int
+) -> np.ndarray:
+    """16x16 luma prediction block for the given Intra_16x16 mode;
+    raises MediaFormatError when the mode's neighbours are absent (a
+    conforming encoder never picks such a mode)."""
+    x0, y0 = mbx * 16, mby * 16
+    top = recon[y0 - 1, x0 : x0 + 16].astype(np.int64) if mby > 0 else None
+    left = recon[y0 : y0 + 16, x0 - 1].astype(np.int64) if mbx > 0 else None
+    if mode == L16_DC:
+        return np.full((16, 16), _pred_luma_dc(recon, mbx, mby), np.int64)
+    if mode == L16_VERTICAL:
+        if top is None:
+            raise MediaFormatError("vertical pred without top neighbour")
+        return np.tile(top, (16, 1))
+    if mode == L16_HORIZONTAL:
+        if left is None:
+            raise MediaFormatError("horizontal pred without left neighbour")
+        return np.tile(left[:, None], (1, 16))
+    if mode == L16_PLANE:
+        if top is None or left is None:
+            raise MediaFormatError("plane pred without both neighbours")
+        corner = int(recon[y0 - 1, x0 - 1])
+        return _plane_pred(top, left, corner, 16)
+    raise MediaFormatError(f"invalid Intra_16x16 prediction mode {mode}")
+
+
+def _pred_chroma8(
+    mode: int, recon: np.ndarray, mbx: int, mby: int
+) -> np.ndarray:
+    """8x8 chroma prediction for intra_chroma_pred_mode (§8.3.4)."""
+    x0, y0 = mbx * 8, mby * 8
+    top = recon[y0 - 1, x0 : x0 + 8].astype(np.int64) if mby > 0 else None
+    left = recon[y0 : y0 + 8, x0 - 1].astype(np.int64) if mbx > 0 else None
+    if mode == C_DC:
+        return _pred_chroma_dc(recon, mbx, mby)
+    if mode == C_HORIZONTAL:
+        if left is None:
+            raise MediaFormatError("chroma H pred without left neighbour")
+        return np.tile(left[:, None], (1, 8))
+    if mode == C_VERTICAL:
+        if top is None:
+            raise MediaFormatError("chroma V pred without top neighbour")
+        return np.tile(top, (8, 1))
+    if mode == C_PLANE:
+        if top is None or left is None:
+            raise MediaFormatError("chroma plane pred without neighbours")
+        corner = int(recon[y0 - 1, x0 - 1])
+        return _plane_pred(top, left, corner, 8)
+    raise MediaFormatError(f"invalid chroma prediction mode {mode}")
+
+
 def _pred_luma_dc(recon: np.ndarray, mbx: int, mby: int) -> int:
     x0, y0 = mbx * 16, mby * 16
     top = recon[y0 - 1, x0 : x0 + 16].astype(np.int64) if mby > 0 else None
@@ -752,11 +842,13 @@ def _reconstruct_mb(
     cdc: list[np.ndarray],
     cac: list[list[np.ndarray]],
     chroma_qp_offset: int = 0,
+    pred_mode: int = L16_DC,
+    chroma_mode: int = C_DC,
 ) -> None:
     """Shared §8.5 reconstruction: quantized levels in, clipped pixels
     into the frame state."""
     # luma
-    pred = _pred_luma_dc(st.y, mbx, mby)
+    pred = _pred_luma16(pred_mode, st.y, mbx, mby)
     dc_deq = dequant_luma_dc(dc_grid, qp)
     x0, y0 = mbx * 16, mby * 16
     for blk in range(16):
@@ -765,11 +857,13 @@ def _reconstruct_mb(
         d[0, 0] = int(dc_deq[by, bx])
         res = idct4x4(d)
         ys, xs = y0 + by * 4, x0 + bx * 4
-        st.y[ys : ys + 4, xs : xs + 4] = np.clip(pred + res, 0, 255)
+        st.y[ys : ys + 4, xs : xs + 4] = np.clip(
+            pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + res, 0, 255
+        )
     # chroma: qPi = Clip3(0, 51, QPy + pps offset), then Table 8-15
     qpc = _QPC[max(0, min(51, qp + chroma_qp_offset))]
     for comp, plane in ((0, st.u), (1, st.v)):
-        cpred = _pred_chroma_dc(plane, mbx, mby)
+        cpred = _pred_chroma8(chroma_mode, plane, mbx, mby)
         dc_deq_c = dequant_chroma_dc(cdc[comp], qpc)
         cx0, cy0 = mbx * 8, mby * 8
         for blk in range(4):
@@ -975,9 +1069,23 @@ def _encode_mb(
     src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
 ) -> None:
     x0, y0 = mbx * 16, mby * 16
-    # ---- luma: predict (closed loop), transform, quantize
-    pred = _pred_luma_dc(st.y, mbx, mby)
-    resid = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64) - pred
+    src_blk = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64)
+    # ---- luma: per-MB mode decision over the LEGAL Intra_16x16 modes
+    # (closed loop: predictions read reconstructed neighbours), best
+    # source SAD wins — DC always legal, V/H/Plane by availability
+    legal = [L16_DC]
+    if mby > 0:
+        legal.append(L16_VERTICAL)
+    if mbx > 0:
+        legal.append(L16_HORIZONTAL)
+    if mbx > 0 and mby > 0:
+        legal.append(L16_PLANE)
+    preds = {m: _pred_luma16(m, st.y, mbx, mby) for m in legal}
+    pred_mode = min(
+        legal, key=lambda m: int(np.abs(src_blk - preds[m]).sum())
+    )
+    pred = preds[pred_mode]
+    resid = src_blk - pred
     dc_grid = np.empty((4, 4), dtype=np.int64)
     ac_blocks: list[np.ndarray] = [None] * 16  # type: ignore[list-item]
     for blk in range(16):
@@ -989,13 +1097,35 @@ def _encode_mb(
     had = np.sign(had) * (np.abs(had) >> 1)  # forward /2 (see scale math)
     dcq = quant_dc(had, qp)
     cbp_luma = 15 if any(np.any(b) for b in ac_blocks) else 0
-    # ---- chroma (our PPS writes chroma_qp_index_offset=0)
+    # ---- chroma (our PPS writes chroma_qp_index_offset=0); ONE mode
+    # for both components (the spec codes a single
+    # intra_chroma_pred_mode), chosen by joint SAD
     qpc = _QPC[max(0, min(51, qp))]
+    clegal = [C_DC]
+    if mbx > 0:
+        clegal.append(C_HORIZONTAL)
+    if mby > 0:
+        clegal.append(C_VERTICAL)
+    if mbx > 0 and mby > 0:
+        clegal.append(C_PLANE)
+    cx0, cy0 = mbx * 8, mby * 8
+
+    def _joint_sad(m: int) -> int:
+        s = 0
+        for plane, srcp in ((st.u, src_u), (st.v, src_v)):
+            cp = _pred_chroma8(m, plane, mbx, mby)
+            s += int(
+                np.abs(
+                    srcp[cy0 : cy0 + 8, cx0 : cx0 + 8].astype(np.int64) - cp
+                ).sum()
+            )
+        return s
+
+    chroma_mode = min(clegal, key=_joint_sad)
     cdcq: list[np.ndarray] = []
     cacq: list[list[np.ndarray]] = []
     for plane, src in ((st.u, src_u), (st.v, src_v)):
-        cx0, cy0 = mbx * 8, mby * 8
-        cpred = _pred_chroma_dc(plane, mbx, mby)
+        cpred = _pred_chroma8(chroma_mode, plane, mbx, mby)
         cres = src[cy0 : cy0 + 8, cx0 : cx0 + 8].astype(np.int64) - cpred
         cdc = np.empty((2, 2), dtype=np.int64)
         cacs = []
@@ -1015,10 +1145,10 @@ def _encode_mb(
                 for _ in range(2)]
     if cbp_chroma == 0:
         cdcq = [np.zeros((2, 2), dtype=np.int64) for _ in range(2)]
-    # ---- syntax: mb_type encodes pred mode (DC=2) + both CBPs
-    mb_type = 1 + 2 + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
+    # ---- syntax: mb_type encodes the luma pred mode + both CBPs
+    mb_type = 1 + pred_mode + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
     w.ue(mb_type)
-    w.ue(0)  # intra_chroma_pred_mode: DC
+    w.ue(chroma_mode)  # intra_chroma_pred_mode
     w.se(0)  # mb_qp_delta
     # ---- residuals (§7.3.5.3.3 block order) + nC bookkeeping
     nc0 = st.nc_luma(mbx * 4, mby * 4)
@@ -1058,6 +1188,7 @@ def _encode_mb(
         [b.copy() for b in ac_blocks] if cbp_luma
         else [np.zeros((4, 4), dtype=np.int64) for _ in range(16)],
         cdcq, cacq,
+        pred_mode=pred_mode, chroma_mode=chroma_mode,
     )
 
 
@@ -1073,16 +1204,13 @@ def _decode_mb(
     if not 1 <= mb_type <= 24:
         raise MediaFormatError("non-intra macroblock in I slice")
     m = mb_type - 1
-    pred_mode = m % 4
-    if pred_mode != 2:
-        raise MediaFormatError(
-            "only DC intra 16x16 prediction is in the subset"
-        )
+    pred_mode = m % 4  # Table 8-3: V / H / DC / Plane all decode
     rem = m // 4
     cbp_chroma = rem if rem < 3 else rem - 3
     cbp_luma = 0 if rem < 3 else 15
-    if r.ue() != 0:
-        raise MediaFormatError("only DC chroma prediction is in the subset")
+    chroma_mode = r.ue()
+    if chroma_mode > 3:
+        raise MediaFormatError("invalid intra_chroma_pred_mode")
     if r.se() != 0:
         raise MediaFormatError("mb_qp_delta outside the fixed-QP subset")
     nc0 = st.nc_luma(mbx * 4, mby * 4)
@@ -1120,7 +1248,8 @@ def _decode_mb(
         for comp in range(2):
             st.nc_c[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
     _reconstruct_mb(
-        st, mbx, mby, qp, dcq, ac_blocks, cdc, cac, chroma_qp_offset
+        st, mbx, mby, qp, dcq, ac_blocks, cdc, cac, chroma_qp_offset,
+        pred_mode=pred_mode, chroma_mode=chroma_mode,
     )
 
 
