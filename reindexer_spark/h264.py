@@ -376,6 +376,14 @@ class _BitWriter(_RbspWriter):
     def bits_str(self, s: str) -> None:
         self.bits.extend(1 if c == "1" else 0 for c in s)
 
+    def align_byte(self) -> None:
+        while len(self.bits) & 7:
+            self.bits.append(0)  # pcm_alignment_zero_bit
+
+    def raw_bytes(self, data: bytes) -> None:
+        for byte in data:
+            self.u(byte, 8)
+
 
 class _BitReader(_RbspReader):
     """_RbspReader plus greedy prefix-code lookup against a
@@ -388,6 +396,22 @@ class _BitReader(_RbspReader):
             if acc in table:
                 return table[acc]
         raise MediaFormatError(f"invalid {what} code")
+
+    def align_byte(self) -> None:
+        """Consume pcm_alignment_zero_bit padding to the byte edge
+        (§7.3.5: the bits must be zero)."""
+        while self.pos & 7:
+            if self.u(1):
+                raise MediaFormatError("nonzero pcm alignment bit")
+
+    def read_bytes(self, n: int) -> bytes:
+        if self.pos & 7:
+            raise MediaFormatError("unaligned raw byte read")
+        start = self.pos >> 3
+        if start + n > len(self.data):
+            raise MediaFormatError("truncated I_PCM samples")
+        self.pos += 8 * n
+        return self.data[start : start + n]
 
     def byte_aligned_stop(self) -> bool:
         """True once only the rbsp_stop_one_bit + padding remain."""
@@ -882,6 +906,9 @@ def _reconstruct_mb(
 # ---------------------------------------------------------------------------
 
 DEFAULT_QP = 26
+# encoder's I_PCM escape threshold: raw MB payload is 384 bytes; a
+# coded MB beating that has no business staying coded
+_PCM_BITS = 384 * 8
 
 
 def write_pps(qp: int = DEFAULT_QP, chroma_qp_offset: int = 0) -> bytes:
@@ -1069,6 +1096,12 @@ def _encode_mb(
     src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
 ) -> None:
     x0, y0 = mbx * 16, mby * 16
+    mark = len(w.bits)
+    nc_snapshot = (
+        st.nc_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4].copy(),
+        st.nc_c[0][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2].copy(),
+        st.nc_c[1][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2].copy(),
+    )
     src_blk = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64)
     # ---- luma: per-MB mode decision over the LEGAL Intra_16x16 modes
     # (closed loop: predictions read reconstructed neighbours), best
@@ -1182,6 +1215,29 @@ def _encode_mb(
     else:
         for comp in range(2):
             st.nc_c[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+    # ---- I_PCM fallback (§8.3.5): when the coded MB outgrows the raw
+    # representation (the spec's worst-case-size escape), roll the bits
+    # back and emit the source samples verbatim — lossless for this MB
+    if len(w.bits) - mark > _PCM_BITS:
+        del w.bits[mark:]
+        st.nc_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = nc_snapshot[0]
+        st.nc_c[0][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = nc_snapshot[1]
+        st.nc_c[1][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = nc_snapshot[2]
+        w.ue(25)  # mb_type: I_PCM
+        w.align_byte()
+        luma = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.uint8)
+        w.raw_bytes(luma.tobytes())
+        st.y[y0 : y0 + 16, x0 : x0 + 16] = luma
+        cx0, cy0 = mbx * 8, mby * 8
+        for plane, srcp in ((st.u, src_u), (st.v, src_v)):
+            blk = srcp[cy0 : cy0 + 8, cx0 : cx0 + 8].astype(np.uint8)
+            w.raw_bytes(blk.tobytes())
+            plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = blk
+        st.nc_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
+        for comp in range(2):
+            st.nc_c[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+        return
+
     # ---- closed-loop reconstruction through the DECODER path
     _reconstruct_mb(
         st, mbx, mby, qp, dcq,
@@ -1199,8 +1255,20 @@ def _decode_mb(
     mb_type = r.ue()
     if mb_type == 0:
         raise MediaFormatError("I_4x4 macroblocks outside the intra subset")
-    if mb_type == 25:
-        raise MediaFormatError("I_PCM macroblocks outside the intra subset")
+    if mb_type == 25:  # I_PCM: byte-aligned raw samples (§7.3.5/§8.3.5)
+        r.align_byte()
+        x0, y0 = mbx * 16, mby * 16
+        luma = np.frombuffer(r.read_bytes(256), np.uint8).reshape(16, 16)
+        st.y[y0 : y0 + 16, x0 : x0 + 16] = luma
+        cx0, cy0 = mbx * 8, mby * 8
+        for plane in (st.u, st.v):
+            samples = np.frombuffer(r.read_bytes(64), np.uint8)
+            plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = samples.reshape(8, 8)
+        # neighbours of an I_PCM macroblock see TotalCoeff = 16 (§9.2.1)
+        st.nc_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
+        for comp in range(2):
+            st.nc_c[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+        return
     if not 1 <= mb_type <= 24:
         raise MediaFormatError("non-intra macroblock in I slice")
     m = mb_type - 1

@@ -577,3 +577,55 @@ def test_all_modes_decode_bit_exact(content):
         )
         _, _, out = H.decode_h264_intra(sps, pps, nals)
         assert out == recon
+
+
+# ---------------------------------------------------------------------------
+# I_PCM
+# ---------------------------------------------------------------------------
+
+
+def test_pcm_fallback_roundtrips_losslessly_at_qp0():
+    """At QP 0 on noise the coded MB outgrows 384 raw bytes, so the
+    encoder's I_PCM escape fires; PCM macroblocks must reconstruct the
+    source EXACTLY (and decode == closed-loop recon still holds)."""
+    rng = np.random.default_rng(12)
+    w, h = 32, 16
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).tobytes()
+    sps, pps, nals, recon = H.encode_h264_intra(
+        w, h, [img], qp=0, return_recon=True, deblock=False
+    )
+    # the escape fired: the slice is near the raw size, and decoding
+    # reproduces the encoder recon bit-exactly through the PCM path
+    assert len(nals[0]) >= 2 * 384  # two MBs of raw payload
+    _, _, out = H.decode_h264_intra(sps, pps, nals)
+    assert out == recon
+    # PCM is lossless in YUV: recon equals the YUV-roundtripped source
+    y, u, v = H.rgb_to_yuv420(img, w, h)
+    expect = H.yuv420_to_rgb(y, u, v)
+    assert out[0] == expect
+
+
+def test_pcm_alignment_bits_must_be_zero():
+    rng = np.random.default_rng(13)
+    w, h = 16, 16
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).tobytes()
+    sps, pps, nals = H.encode_h264_intra(w, h, [img], qp=0, deblock=False)
+    sd = H._parse_sps_slice_fields(sps)
+    pd = H.parse_pps(pps)
+    # flip a bit somewhere in the alignment/PCM region; the decoder
+    # must quarantine or produce a frame, never crash
+    for i in range(8, min(len(nals[0]), 64)):
+        noisy = bytearray(nals[0])
+        noisy[i] ^= 0x40
+        try:
+            H.decode_frame_nal(bytes(noisy), sd, pd)
+        except MediaFormatError:
+            pass
+
+
+def test_high_qp_mbs_stay_coded_not_pcm():
+    rng = np.random.default_rng(14)
+    w, h = 32, 16
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).tobytes()
+    sps, pps, nals = H.encode_h264_intra(w, h, [img], qp=30)
+    assert len(nals[0]) < 2 * 384  # nothing escaped to PCM
