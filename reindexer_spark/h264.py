@@ -7,22 +7,28 @@ IDR keyframes — so probe+thumbnail works on real coded video, while
 inter-predicted streams (P/B slices, motion compensation) continue to
 quarantine via MediaFormatError.
 
-Scope (a legal, self-contained H.264 Baseline subset):
+Scope — the full INTRA half of H.264 Baseline (round 9):
 
 - I slices only, one slice per picture, every picture IDR.
-- Macroblocks: Intra_16x16 with DC prediction (luma §8.3.3 mode 2,
-  chroma §8.4.4 / 8.3.4 mode 0), CAVLC entropy coding (§9.2),
-  4:2:0 8-bit, frame_mbs_only.
-- Deblocking DISABLED IN THE BITSTREAM (PPS carries
-  deblocking_filter_control_present_flag=1 and every slice header
-  disable_deblocking_filter_idc=1) — a legal encoder choice, so the
-  decoder honestly skips §8.7 rather than silently omitting it.
+- All three intra macroblock types: I_4x4 (all nine §8.3.1.2
+  predictors, most-probable-mode signalling, me(v)-coded CBP),
+  I_16x16 (all four §8.3.3 modes incl. Plane), and I_PCM (§8.3.5,
+  with the encoder's worst-case-size escape).  Chroma: all four
+  §8.3.4 modes.  CAVLC entropy coding (§9.2), 4:2:0 8-bit,
+  frame_mbs_only.
+- The §8.7 DEBLOCKING FILTER is implemented for intra pictures
+  (prediction reads unfiltered samples, so it is an output
+  post-pass): bS 4/3 geometry, the published α/β/tC0 tables, strong
+  and normal filters, slice alpha/beta offsets; the encoder signals
+  it ON by default and disable_deblocking_filter_idc is honoured.
 - Dequantization and inverse transforms follow §8.5 exactly
   (LevelScale tables, the low-QP rounding branches, the 4x4 luma-DC
-  Hadamard and 2x2 chroma-DC transforms, (x+32)>>6 reconstruction).
-- Anything outside the subset (P/B slices, I_4x4, I_PCM, CABAC,
-  non-DC prediction modes, field coding) raises MediaFormatError —
-  the quarantine contract, never a wrong frame.
+  Hadamard and 2x2 chroma-DC transforms, (x+32)>>6 reconstruction);
+  PPS chroma_qp_index_offset is applied via Table 8-15.
+- What remains OUTSIDE the subset raises MediaFormatError — the
+  quarantine contract, never a wrong frame: P/B slices (motion
+  compensation), CABAC, field/MBAFF coding, non-4:2:0 or >8-bit
+  sampling, scaling matrices, multi-slice pictures, POC type 1.
 
 The CAVLC code tables (Tables 9-5, 9-7..9-10) are transcribed from
 the published spec.  Encoder and decoder share one table instance, so
@@ -817,6 +823,16 @@ class _FrameState:
         self.nc_c = [
             np.zeros((mb_h * 2, mb_w * 2), dtype=np.int32) for _ in range(2)
         ]
+        # Intra4x4PredMode per 4x4 block; blocks of non-I_4x4 MBs count
+        # as DC (2) for the most-probable-mode rule (§8.3.1.1)
+        self.i4_mode = np.full((mb_h * 4, mb_w * 4), 2, dtype=np.int32)
+
+    def i4_mpm(self, abx: int, aby: int) -> int:
+        if abx == 0 or aby == 0:
+            return 2  # unavailable neighbour forces DC
+        return int(
+            min(self.i4_mode[aby, abx - 1], self.i4_mode[aby - 1, abx])
+        )
 
     def nc_luma(self, bx: int, by: int) -> int:
         a = int(self.nc_y[by, bx - 1]) if bx > 0 else None
@@ -884,6 +900,14 @@ def _reconstruct_mb(
         st.y[ys : ys + 4, xs : xs + 4] = np.clip(
             pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] + res, 0, 255
         )
+    _reconstruct_chroma(st, mbx, mby, qp, chroma_qp_offset, chroma_mode,
+                        cdc, cac)
+
+
+def _reconstruct_chroma(
+    st: _FrameState, mbx: int, mby: int, qp: int, chroma_qp_offset: int,
+    chroma_mode: int, cdc: list[np.ndarray], cac: list[list[np.ndarray]],
+) -> None:
     # chroma: qPi = Clip3(0, 51, QPy + pps offset), then Table 8-15
     qpc = _QPC[max(0, min(51, qp + chroma_qp_offset))]
     for comp, plane in ((0, st.u), (1, st.v)):
@@ -1091,48 +1115,39 @@ def _parse_slice_header(
 # ---------------------------------------------------------------------------
 
 
-def _encode_mb(
-    w: _BitWriter, st: _FrameState, mbx: int, mby: int, qp: int,
+def _rollback_to_pcm(
+    w: _BitWriter, st: _FrameState, mbx: int, mby: int, mark: int,
     src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
 ) -> None:
+    """Discard the coded MB bits from ``mark`` and emit I_PCM instead
+    (raw source samples; §8.3.5).  Stamps the constants every later
+    neighbour rule reads: TotalCoeff 16, Intra4x4PredMode DC."""
+    del w.bits[mark:]
     x0, y0 = mbx * 16, mby * 16
-    mark = len(w.bits)
-    nc_snapshot = (
-        st.nc_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4].copy(),
-        st.nc_c[0][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2].copy(),
-        st.nc_c[1][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2].copy(),
-    )
-    src_blk = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64)
-    # ---- luma: per-MB mode decision over the LEGAL Intra_16x16 modes
-    # (closed loop: predictions read reconstructed neighbours), best
-    # source SAD wins — DC always legal, V/H/Plane by availability
-    legal = [L16_DC]
-    if mby > 0:
-        legal.append(L16_VERTICAL)
-    if mbx > 0:
-        legal.append(L16_HORIZONTAL)
-    if mbx > 0 and mby > 0:
-        legal.append(L16_PLANE)
-    preds = {m: _pred_luma16(m, st.y, mbx, mby) for m in legal}
-    pred_mode = min(
-        legal, key=lambda m: int(np.abs(src_blk - preds[m]).sum())
-    )
-    pred = preds[pred_mode]
-    resid = src_blk - pred
-    dc_grid = np.empty((4, 4), dtype=np.int64)
-    ac_blocks: list[np.ndarray] = [None] * 16  # type: ignore[list-item]
-    for blk in range(16):
-        bx, by = _LUMA_BLK_XY[blk]
-        wblk = fdct4x4(resid[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4])
-        dc_grid[by, bx] = int(wblk[0, 0])
-        ac_blocks[blk] = quant_ac(wblk, qp, skip_dc=True)
-    had = hadamard4x4(dc_grid)
-    had = np.sign(had) * (np.abs(had) >> 1)  # forward /2 (see scale math)
-    dcq = quant_dc(had, qp)
-    cbp_luma = 15 if any(np.any(b) for b in ac_blocks) else 0
-    # ---- chroma (our PPS writes chroma_qp_index_offset=0); ONE mode
-    # for both components (the spec codes a single
-    # intra_chroma_pred_mode), chosen by joint SAD
+    w.ue(25)  # mb_type: I_PCM
+    w.align_byte()
+    luma = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.uint8)
+    w.raw_bytes(luma.tobytes())
+    st.y[y0 : y0 + 16, x0 : x0 + 16] = luma
+    cx0, cy0 = mbx * 8, mby * 8
+    for plane, srcp in ((st.u, src_u), (st.v, src_v)):
+        blk = srcp[cy0 : cy0 + 8, cx0 : cx0 + 8].astype(np.uint8)
+        w.raw_bytes(blk.tobytes())
+        plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = blk
+    st.nc_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
+    for comp in range(2):
+        st.nc_c[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+    st.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
+
+
+def _encode_chroma(
+    st: _FrameState, mbx: int, mby: int, qp: int,
+    src_u: np.ndarray, src_v: np.ndarray,
+):
+    """Chroma mode decision + transform/quant, shared by the I_16x16
+    and I_4x4 macroblock encoders.  ONE mode for both components (the
+    spec codes a single intra_chroma_pred_mode), chosen by joint SAD.
+    Our PPS writes chroma_qp_index_offset=0."""
     qpc = _QPC[max(0, min(51, qp))]
     clegal = [C_DC]
     if mbx > 0:
@@ -1178,6 +1193,120 @@ def _encode_mb(
                 for _ in range(2)]
     if cbp_chroma == 0:
         cdcq = [np.zeros((2, 2), dtype=np.int64) for _ in range(2)]
+    return chroma_mode, cbp_chroma, cdcq, cacq
+
+
+def _write_chroma_residuals(
+    w: _BitWriter, st: _FrameState, mbx: int, mby: int, cbp_chroma: int,
+    cdcq: list[np.ndarray], cacq: list[list[np.ndarray]],
+) -> None:
+    if cbp_chroma:
+        for comp in range(2):
+            encode_residual(w, [int(x) for x in cdcq[comp].reshape(4)], -1)
+    if cbp_chroma == 2:
+        for comp in range(2):
+            for blk in range(4):
+                bx, by = _CHROMA_BLK_XY[blk]
+                abx, aby = mbx * 2 + bx, mby * 2 + by
+                nc = st.nc_chroma(comp, abx, aby)
+                total = encode_residual(
+                    w, _zigzag_list(cacq[comp][blk], skip_dc=True), nc
+                )
+                st.nc_c[comp][aby, abx] = total
+    else:
+        for comp in range(2):
+            st.nc_c[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+
+
+def _read_chroma_residuals(
+    r: _BitReader, st: _FrameState, mbx: int, mby: int, cbp_chroma: int,
+):
+    cdc = [np.zeros((2, 2), dtype=np.int64) for _ in range(2)]
+    cac = [[np.zeros((4, 4), dtype=np.int64) for _ in range(4)]
+           for _ in range(2)]
+    if cbp_chroma:
+        for comp in range(2):
+            coeffs, _ = decode_residual(r, -1, 4)
+            cdc[comp] = np.array(coeffs, dtype=np.int64).reshape(2, 2)
+    if cbp_chroma == 2:
+        for comp in range(2):
+            for blk in range(4):
+                bx, by = _CHROMA_BLK_XY[blk]
+                abx, aby = mbx * 2 + bx, mby * 2 + by
+                coeffs, total = decode_residual(
+                    r, st.nc_chroma(comp, abx, aby), 15
+                )
+                st.nc_c[comp][aby, abx] = total
+                cac[comp][blk] = _unzigzag(coeffs, skip_dc=True)
+    else:
+        for comp in range(2):
+            st.nc_c[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+    return cdc, cac
+
+
+def _encode_mb(
+    w: _BitWriter, st: _FrameState, mbx: int, mby: int, qp: int,
+    src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
+) -> None:
+    x0, y0 = mbx * 16, mby * 16
+    mark = len(w.bits)
+    src_blk = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64)
+    # ---- luma: per-MB mode decision over the LEGAL Intra_16x16 modes
+    # (closed loop: predictions read reconstructed neighbours), best
+    # source SAD wins — DC always legal, V/H/Plane by availability
+    legal = [L16_DC]
+    if mby > 0:
+        legal.append(L16_VERTICAL)
+    if mbx > 0:
+        legal.append(L16_HORIZONTAL)
+    if mbx > 0 and mby > 0:
+        legal.append(L16_PLANE)
+    preds = {m: _pred_luma16(m, st.y, mbx, mby) for m in legal}
+    pred_mode = min(
+        legal, key=lambda m: int(np.abs(src_blk - preds[m]).sum())
+    )
+    i16_sad = int(np.abs(src_blk - preds[pred_mode]).sum())
+    # ---- I_16x16 vs I_4x4 decision: estimate the per-block best SAD
+    # with SOURCE neighbours (the standard open-loop approximation —
+    # the real encode below is closed-loop); I_4x4 costs ~4+ bits per
+    # block of mode signalling, so it must win by a margin
+    i4_est = 0
+    for blk in range(16):
+        bx, by = _LUMA_BLK_XY[blk]
+        abx, aby = mbx * 4 + bx, mby * 4 + by
+        left, top, corner, avail_l, avail_t = _fetch_i4_neighbours(
+            src_y, abx, aby
+        )
+        sblk = src_y[aby * 4 : aby * 4 + 4, abx * 4 : abx * 4 + 4].astype(
+            np.int64
+        )
+        i4_est += min(
+            int(np.abs(sblk - _pred_i4(m, left, top, corner,
+                                       avail_l, avail_t)).sum())
+            for m in _i4_legal_modes(avail_l, avail_t)
+        )
+    if i4_est * 5 < i16_sad * 4:  # >20% SAD win pays the mode bits
+        _encode_i4_mb(w, st, mbx, mby, qp, src_y, src_u, src_v)
+        if len(w.bits) - mark > _PCM_BITS:
+            _rollback_to_pcm(w, st, mbx, mby, mark, src_y, src_u, src_v)
+        return
+    st.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
+    pred = preds[pred_mode]
+    resid = src_blk - pred
+    dc_grid = np.empty((4, 4), dtype=np.int64)
+    ac_blocks: list[np.ndarray] = [None] * 16  # type: ignore[list-item]
+    for blk in range(16):
+        bx, by = _LUMA_BLK_XY[blk]
+        wblk = fdct4x4(resid[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4])
+        dc_grid[by, bx] = int(wblk[0, 0])
+        ac_blocks[blk] = quant_ac(wblk, qp, skip_dc=True)
+    had = hadamard4x4(dc_grid)
+    had = np.sign(had) * (np.abs(had) >> 1)  # forward /2 (see scale math)
+    dcq = quant_dc(had, qp)
+    cbp_luma = 15 if any(np.any(b) for b in ac_blocks) else 0
+    chroma_mode, cbp_chroma, cdcq, cacq = _encode_chroma(
+        st, mbx, mby, qp, src_u, src_v
+    )
     # ---- syntax: mb_type encodes the luma pred mode + both CBPs
     mb_type = 1 + pred_mode + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
     w.ue(mb_type)
@@ -1197,45 +1326,12 @@ def _encode_mb(
             st.nc_y[aby, abx] = total
     else:
         st.nc_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
-    if cbp_chroma:
-        for comp in range(2):
-            encode_residual(
-                w, [int(x) for x in cdcq[comp].reshape(4)], -1
-            )
-    if cbp_chroma == 2:
-        for comp in range(2):
-            for blk in range(4):
-                bx, by = _CHROMA_BLK_XY[blk]
-                abx, aby = mbx * 2 + bx, mby * 2 + by
-                nc = st.nc_chroma(comp, abx, aby)
-                total = encode_residual(
-                    w, _zigzag_list(cacq[comp][blk], skip_dc=True), nc
-                )
-                st.nc_c[comp][aby, abx] = total
-    else:
-        for comp in range(2):
-            st.nc_c[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+    _write_chroma_residuals(w, st, mbx, mby, cbp_chroma, cdcq, cacq)
     # ---- I_PCM fallback (§8.3.5): when the coded MB outgrows the raw
     # representation (the spec's worst-case-size escape), roll the bits
     # back and emit the source samples verbatim — lossless for this MB
     if len(w.bits) - mark > _PCM_BITS:
-        del w.bits[mark:]
-        st.nc_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = nc_snapshot[0]
-        st.nc_c[0][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = nc_snapshot[1]
-        st.nc_c[1][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = nc_snapshot[2]
-        w.ue(25)  # mb_type: I_PCM
-        w.align_byte()
-        luma = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.uint8)
-        w.raw_bytes(luma.tobytes())
-        st.y[y0 : y0 + 16, x0 : x0 + 16] = luma
-        cx0, cy0 = mbx * 8, mby * 8
-        for plane, srcp in ((st.u, src_u), (st.v, src_v)):
-            blk = srcp[cy0 : cy0 + 8, cx0 : cx0 + 8].astype(np.uint8)
-            w.raw_bytes(blk.tobytes())
-            plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = blk
-        st.nc_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
-        for comp in range(2):
-            st.nc_c[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+        _rollback_to_pcm(w, st, mbx, mby, mark, src_y, src_u, src_v)
         return
 
     # ---- closed-loop reconstruction through the DECODER path
@@ -1254,7 +1350,8 @@ def _decode_mb(
 ) -> None:
     mb_type = r.ue()
     if mb_type == 0:
-        raise MediaFormatError("I_4x4 macroblocks outside the intra subset")
+        _decode_i4_mb(r, st, mbx, mby, qp, chroma_qp_offset)
+        return
     if mb_type == 25:  # I_PCM: byte-aligned raw samples (§7.3.5/§8.3.5)
         r.align_byte()
         x0, y0 = mbx * 16, mby * 16
@@ -1265,12 +1362,15 @@ def _decode_mb(
             samples = np.frombuffer(r.read_bytes(64), np.uint8)
             plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = samples.reshape(8, 8)
         # neighbours of an I_PCM macroblock see TotalCoeff = 16 (§9.2.1)
+        # and Intra4x4PredMode = DC for the MPM rule
+        st.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
         st.nc_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 16
         for comp in range(2):
             st.nc_c[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
         return
     if not 1 <= mb_type <= 24:
         raise MediaFormatError("non-intra macroblock in I slice")
+    st.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
     m = mb_type - 1
     pred_mode = m % 4  # Table 8-3: V / H / DC / Plane all decode
     rem = m // 4
@@ -1295,26 +1395,7 @@ def _decode_mb(
     else:
         st.nc_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
         ac_blocks = [np.zeros((4, 4), dtype=np.int64) for _ in range(16)]
-    cdc = [np.zeros((2, 2), dtype=np.int64) for _ in range(2)]
-    cac = [[np.zeros((4, 4), dtype=np.int64) for _ in range(4)]
-           for _ in range(2)]
-    if cbp_chroma:
-        for comp in range(2):
-            coeffs, _ = decode_residual(r, -1, 4)
-            cdc[comp] = np.array(coeffs, dtype=np.int64).reshape(2, 2)
-    if cbp_chroma == 2:
-        for comp in range(2):
-            for blk in range(4):
-                bx, by = _CHROMA_BLK_XY[blk]
-                abx, aby = mbx * 2 + bx, mby * 2 + by
-                coeffs, total = decode_residual(
-                    r, st.nc_chroma(comp, abx, aby), 15
-                )
-                st.nc_c[comp][aby, abx] = total
-                cac[comp][blk] = _unzigzag(coeffs, skip_dc=True)
-    else:
-        for comp in range(2):
-            st.nc_c[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+    cdc, cac = _read_chroma_residuals(r, st, mbx, mby, cbp_chroma)
     _reconstruct_mb(
         st, mbx, mby, qp, dcq, ac_blocks, cdc, cac, chroma_qp_offset,
         pred_mode=pred_mode, chroma_mode=chroma_mode,
@@ -1801,3 +1882,329 @@ def deblock_frame(
     _deblock_plane(u, 8, idx_ac, idx_bc, False)
     _deblock_plane(v, 8, idx_ac, idx_bc, False)
     return y, u, v
+
+
+# ---------------------------------------------------------------------------
+# Intra_4x4 (§8.3.1): 9 per-block predictors, most-probable-mode
+# signaling, me(v)-coded CBP
+# ---------------------------------------------------------------------------
+
+I4_V, I4_H, I4_DC, I4_DDL, I4_DDR, I4_VR, I4_HD, I4_VL, I4_HU = range(9)
+
+_Z_OF_XY = {xy: z for z, xy in enumerate(_LUMA_BLK_XY)}
+
+# Table 9-4, Intra_4x4 column: codeNum -> coded_block_pattern.
+# Transcribed from the published spec; self-consistency guaranteed by
+# the shared encode/decode instance, spot values pinned in tests.
+_CBP_INTRA4 = (
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+)
+_CBP_INTRA4_ENC = {cbp: code for code, cbp in enumerate(_CBP_INTRA4)}
+
+
+def _blk_order(abx: int, aby: int, mb_w: int) -> int:
+    """Total decoding order of the 4x4 block at absolute block coords
+    under raster-MB + z-scan-within-MB order."""
+    return ((aby // 4) * mb_w + (abx // 4)) * 16 + _Z_OF_XY[
+        (abx % 4, aby % 4)
+    ]
+
+
+def _fetch_i4_neighbours(plane: np.ndarray, abx: int, aby: int):
+    """(left[4], top[8], corner, avail_left, avail_top) for the 4x4
+    block at absolute block coords; top[4..7] (the top-right run)
+    substitutes top[3] when the above-right block is not yet decoded
+    (§8.3.1.2's sample substitution)."""
+    x0, y0 = abx * 4, aby * 4
+    h, w = plane.shape
+    blocks_w, mb_w = w // 4, w // 16
+    avail_top = aby > 0
+    avail_left = abx > 0
+    top = np.zeros(8, dtype=np.int64)
+    left = np.zeros(4, dtype=np.int64)
+    corner = 0
+    if avail_top:
+        top[:4] = plane[y0 - 1, x0 : x0 + 4]
+        tr_ok = abx + 1 < blocks_w and _blk_order(
+            abx + 1, aby - 1, mb_w
+        ) < _blk_order(abx, aby, mb_w)
+        if tr_ok:
+            top[4:] = plane[y0 - 1, x0 + 4 : x0 + 8]
+        else:
+            top[4:] = top[3]
+    if avail_left:
+        left[:] = plane[y0 : y0 + 4, x0 - 1]
+    if avail_top and avail_left:
+        corner = int(plane[y0 - 1, x0 - 1])
+    return left, top, corner, avail_left, avail_top
+
+
+def _pred_i4(mode: int, left, top, corner: int, avail_l: bool,
+             avail_t: bool) -> np.ndarray:
+    """One 4x4 prediction block (§8.3.1.2.1-9).  Raises for modes
+    whose neighbours are absent."""
+    t, l = top, left  # noqa: E741
+    pred = np.empty((4, 4), dtype=np.int64)
+    if mode == I4_DC:
+        if avail_t and avail_l:
+            v = (int(t[:4].sum()) + int(l.sum()) + 4) >> 3
+        elif avail_t:
+            v = (int(t[:4].sum()) + 2) >> 2
+        elif avail_l:
+            v = (int(l.sum()) + 2) >> 2
+        else:
+            v = 128
+        pred[:] = v
+        return pred
+    if mode == I4_V:
+        if not avail_t:
+            raise MediaFormatError("I4 vertical without top")
+        return np.tile(t[:4], (4, 1))
+    if mode == I4_H:
+        if not avail_l:
+            raise MediaFormatError("I4 horizontal without left")
+        return np.tile(l[:, None], (1, 4))
+    if mode == I4_DDL:
+        if not avail_t:
+            raise MediaFormatError("I4 DDL without top")
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    pred[y, x] = (t[6] + 3 * t[7] + 2) >> 2
+                else:
+                    k = x + y
+                    pred[y, x] = (t[k] + 2 * t[k + 1] + t[k + 2] + 2) >> 2
+        return pred
+    if mode in (I4_DDR, I4_VR, I4_HD):
+        if not (avail_t and avail_l):
+            raise MediaFormatError("I4 diagonal without both neighbours")
+    if mode == I4_DDR:
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    k = x - y  # (t[k-2] + 2 t[k-1] + t[k] + 2) >> 2
+                    a = corner if k - 2 < 0 else int(t[k - 2])
+                    pred[y, x] = (a + 2 * int(t[k - 1]) + int(t[k]) + 2) >> 2
+                elif x < y:
+                    k = y - x
+                    a = corner if k - 2 < 0 else int(l[k - 2])
+                    pred[y, x] = (a + 2 * int(l[k - 1]) + int(l[k]) + 2) >> 2
+                else:
+                    pred[y, x] = (int(t[0]) + 2 * corner + int(l[0]) + 2) >> 2
+        return pred
+    if mode == I4_VR:
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    i = x - (y >> 1)
+                    a = corner if i - 1 < 0 else int(t[i - 1])
+                    pred[y, x] = (a + int(t[i]) + 1) >> 1
+                elif z >= 0:
+                    i = x - (y >> 1)
+                    a = corner if i - 2 < 0 else int(t[i - 2])
+                    b = corner if i - 1 < 0 else int(t[i - 1])
+                    pred[y, x] = (a + 2 * b + int(t[i]) + 2) >> 2
+                elif z == -1:
+                    pred[y, x] = (int(l[0]) + 2 * corner + int(t[0]) + 2) >> 2
+                else:
+                    k = y - 2 * x
+                    pred[y, x] = (
+                        int(l[k - 1]) + 2 * int(l[k - 2])
+                        + (int(l[k - 3]) if k - 3 >= 0 else corner) + 2
+                    ) >> 2
+        return pred
+    if mode == I4_HD:
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    i = y - (x >> 1)
+                    a = corner if i - 1 < 0 else int(l[i - 1])
+                    pred[y, x] = (a + int(l[i]) + 1) >> 1
+                elif z >= 0:
+                    i = y - (x >> 1)
+                    a = corner if i - 2 < 0 else int(l[i - 2])
+                    b = corner if i - 1 < 0 else int(l[i - 1])
+                    pred[y, x] = (a + 2 * b + int(l[i]) + 2) >> 2
+                elif z == -1:
+                    pred[y, x] = (int(t[0]) + 2 * corner + int(l[0]) + 2) >> 2
+                else:
+                    k = x - 2 * y
+                    pred[y, x] = (
+                        int(t[k - 1]) + 2 * int(t[k - 2])
+                        + (int(t[k - 3]) if k - 3 >= 0 else corner) + 2
+                    ) >> 2
+        return pred
+    if mode == I4_VL:
+        if not avail_t:
+            raise MediaFormatError("I4 VL without top")
+        for y in range(4):
+            for x in range(4):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    pred[y, x] = (int(t[i]) + int(t[i + 1]) + 1) >> 1
+                else:
+                    pred[y, x] = (
+                        int(t[i]) + 2 * int(t[i + 1]) + int(t[i + 2]) + 2
+                    ) >> 2
+        return pred
+    if mode == I4_HU:
+        if not avail_l:
+            raise MediaFormatError("I4 HU without left")
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z % 2 == 0 and z < 6:
+                    i = y + (x >> 1)
+                    pred[y, x] = (int(l[i]) + int(l[i + 1]) + 1) >> 1
+                elif z % 2 == 1 and z < 5:
+                    i = y + (x >> 1)
+                    pred[y, x] = (
+                        int(l[i]) + 2 * int(l[i + 1]) + int(l[i + 2]) + 2
+                    ) >> 2
+                elif z == 5:
+                    pred[y, x] = (int(l[2]) + 3 * int(l[3]) + 2) >> 2
+                else:
+                    pred[y, x] = int(l[3])
+        return pred
+    raise MediaFormatError(f"invalid Intra_4x4 mode {mode}")
+
+
+def _i4_legal_modes(avail_l: bool, avail_t: bool) -> list[int]:
+    modes = [I4_DC]
+    if avail_t:
+        modes += [I4_V, I4_DDL, I4_VL]
+    if avail_l:
+        modes += [I4_H, I4_HU]
+    if avail_t and avail_l:
+        modes += [I4_DDR, I4_VR, I4_HD]
+    return modes
+
+
+def _encode_i4_mb(
+    w: _BitWriter, st: _FrameState, mbx: int, mby: int, qp: int,
+    src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
+) -> None:
+    """Intra_4x4 macroblock: closed-loop per-block mode decision and
+    reconstruction (later blocks predict from just-reconstructed
+    pixels), then the §7.3.5 syntax — mb_type 0, sixteen
+    prev/rem mode entries against the most-probable mode, one chroma
+    mode, me(v)-coded CBP, qp-delta when coded, CBP-gated residuals
+    (full 16-coefficient blocks: I_4x4 has no separate luma DC)."""
+    zs: list[np.ndarray] = []
+    modes: list[int] = []
+    for blk in range(16):
+        bx, by = _LUMA_BLK_XY[blk]
+        abx, aby = mbx * 4 + bx, mby * 4 + by
+        x0, y0 = abx * 4, aby * 4
+        left, top, corner, avail_l, avail_t = _fetch_i4_neighbours(
+            st.y, abx, aby
+        )
+        src_blk = src_y[y0 : y0 + 4, x0 : x0 + 4].astype(np.int64)
+        best_sad, mode, best_pred = None, None, None
+        for m in _i4_legal_modes(avail_l, avail_t):
+            p = _pred_i4(m, left, top, corner, avail_l, avail_t)
+            sad = int(np.abs(src_blk - p).sum())
+            if best_sad is None or sad < best_sad:
+                best_sad, mode, best_pred = sad, m, p
+        z = quant_ac(fdct4x4(src_blk - best_pred), qp)
+        st.y[y0 : y0 + 4, x0 : x0 + 4] = np.clip(
+            best_pred + idct4x4(dequant_ac(z, qp)), 0, 255
+        )
+        st.i4_mode[aby, abx] = mode
+        zs.append(z)
+        modes.append(mode)
+    cbp_luma = 0
+    for b8 in range(4):
+        if any(np.any(zs[b8 * 4 + k]) for k in range(4)):
+            cbp_luma |= 1 << b8
+    chroma_mode, cbp_chroma, cdcq, cacq = _encode_chroma(
+        st, mbx, mby, qp, src_u, src_v
+    )
+    cbp = cbp_luma | (cbp_chroma << 4)
+    # ---- syntax
+    w.ue(0)  # mb_type: I_4x4
+    for blk in range(16):
+        bx, by = _LUMA_BLK_XY[blk]
+        abx, aby = mbx * 4 + bx, mby * 4 + by
+        mpm = st.i4_mpm(abx, aby)
+        if modes[blk] == mpm:
+            w.u(1, 1)  # prev_intra4x4_pred_mode_flag
+        else:
+            w.u(0, 1)
+            rem = modes[blk] if modes[blk] < mpm else modes[blk] - 1
+            w.u(rem, 3)
+    w.ue(chroma_mode)
+    w.ue(_CBP_INTRA4_ENC[cbp])
+    if cbp:
+        w.se(0)  # mb_qp_delta
+    for blk in range(16):
+        bx, by = _LUMA_BLK_XY[blk]
+        abx, aby = mbx * 4 + bx, mby * 4 + by
+        if cbp_luma & (1 << (blk // 4)):
+            nc = st.nc_luma(abx, aby)
+            total = encode_residual(
+                w, _zigzag_list(zs[blk], skip_dc=False), nc
+            )
+            st.nc_y[aby, abx] = total
+        else:
+            st.nc_y[aby, abx] = 0
+    _write_chroma_residuals(w, st, mbx, mby, cbp_chroma, cdcq, cacq)
+    _reconstruct_chroma(st, mbx, mby, qp, 0, chroma_mode, cdcq, cacq)
+
+
+def _decode_i4_mb(
+    r: _BitReader, st: _FrameState, mbx: int, mby: int, qp: int,
+    chroma_qp_offset: int,
+) -> None:
+    modes: list[int] = []
+    for blk in range(16):
+        bx, by = _LUMA_BLK_XY[blk]
+        abx, aby = mbx * 4 + bx, mby * 4 + by
+        mpm = st.i4_mpm(abx, aby)
+        if r.u(1):
+            mode = mpm
+        else:
+            rem = r.u(3)
+            mode = rem if rem < mpm else rem + 1
+        st.i4_mode[aby, abx] = mode
+        modes.append(mode)
+    chroma_mode = r.ue()
+    if chroma_mode > 3:
+        raise MediaFormatError("invalid intra_chroma_pred_mode")
+    code = r.ue()
+    if code >= len(_CBP_INTRA4):
+        raise MediaFormatError("coded_block_pattern code out of range")
+    cbp = _CBP_INTRA4[code]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp_chroma > 2:
+        raise MediaFormatError("invalid chroma coded_block_pattern")
+    if cbp and r.se() != 0:
+        raise MediaFormatError("mb_qp_delta outside the fixed-QP subset")
+    # luma: parse + reconstruct per block in z-order (later blocks
+    # predict from the just-written pixels, like the encoder)
+    for blk in range(16):
+        bx, by = _LUMA_BLK_XY[blk]
+        abx, aby = mbx * 4 + bx, mby * 4 + by
+        x0, y0 = abx * 4, aby * 4
+        if cbp_luma & (1 << (blk // 4)):
+            coeffs, total = decode_residual(r, st.nc_luma(abx, aby), 16)
+            st.nc_y[aby, abx] = total
+            z = _unzigzag(coeffs, skip_dc=False)
+        else:
+            st.nc_y[aby, abx] = 0
+            z = np.zeros((4, 4), dtype=np.int64)
+        left, top, corner, avail_l, avail_t = _fetch_i4_neighbours(
+            st.y, abx, aby
+        )
+        pred = _pred_i4(modes[blk], left, top, corner, avail_l, avail_t)
+        st.y[y0 : y0 + 4, x0 : x0 + 4] = np.clip(
+            pred + idct4x4(dequant_ac(z, qp)), 0, 255
+        )
+    cdc, cac = _read_chroma_residuals(r, st, mbx, mby, cbp_chroma)
+    _reconstruct_chroma(
+        st, mbx, mby, qp, chroma_qp_offset, chroma_mode, cdc, cac
+    )

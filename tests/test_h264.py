@@ -629,3 +629,84 @@ def test_high_qp_mbs_stay_coded_not_pcm():
     img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).tobytes()
     sps, pps, nals = H.encode_h264_intra(w, h, [img], qp=30)
     assert len(nals[0]) < 2 * 384  # nothing escaped to PCM
+
+
+# ---------------------------------------------------------------------------
+# Intra_4x4
+# ---------------------------------------------------------------------------
+
+
+def test_i4_predictor_spot_math():
+    left = np.array([10, 20, 30, 40], dtype=np.int64)
+    top = np.array([1, 2, 3, 4, 5, 6, 7, 8], dtype=np.int64)
+    v = H._pred_i4(H.I4_V, left, top, 0, True, True)
+    assert np.array_equal(v, np.tile(top[:4], (4, 1)))
+    hz = H._pred_i4(H.I4_H, left, top, 0, True, True)
+    assert np.array_equal(hz, np.tile(left[:, None], (1, 4)))
+    dc = H._pred_i4(H.I4_DC, left, top, 0, True, True)
+    assert dc[0, 0] == (int(top[:4].sum()) + int(left.sum()) + 4) >> 3
+    ddl = H._pred_i4(H.I4_DDL, left, top, 0, False, True)
+    # §8.3.1.2.4: pred[0][0] = (t0 + 2 t1 + t2 + 2) >> 2
+    assert ddl[0, 0] == (1 + 2 * 2 + 3 + 2) >> 2
+    assert ddl[3, 3] == (top[6] + 3 * top[7] + 2) >> 2
+    # unavailable neighbours quarantine
+    with pytest.raises(MediaFormatError):
+        H._pred_i4(H.I4_DDR, left, top, 0, False, True)
+
+
+def test_cbp_intra4_table_spot_values():
+    """Table 9-4 (Intra_4x4 column) famous entries; full inverse
+    consistency; every cbp value 0..47 reachable exactly once."""
+    assert H._CBP_INTRA4[0] == 47
+    assert H._CBP_INTRA4[1] == 31
+    assert H._CBP_INTRA4[2] == 15
+    assert H._CBP_INTRA4[3] == 0
+    assert sorted(H._CBP_INTRA4) == list(range(48))
+    for code, cbp in enumerate(H._CBP_INTRA4):
+        assert H._CBP_INTRA4_ENC[cbp] == code
+
+
+def test_i4_macroblocks_engage_and_decode_bit_exact():
+    """Diagonally-structured content must flip MBs to I_4x4 (the
+    detail predictors beat any 16x16 mode), and mixed I4/I16 frames
+    must still decode byte-equal to the closed-loop recon."""
+    rng = np.random.default_rng(21)
+    w, h = 48, 32
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    base = (((xx + yy) // 2) * 29 % 256).astype(np.uint8)
+    img = np.stack([base] * 3, -1).tobytes()
+    n_i4 = 0
+    for qp in (16, 28, 40):
+        sps, pps, nals, recon = H.encode_h264_intra(
+            w, h, [img], qp=qp, return_recon=True
+        )
+        _, _, out = H.decode_h264_intra(sps, pps, nals)
+        assert out == recon
+        sd = H._parse_sps_slice_fields(sps)
+        pd = H.parse_pps(pps)
+        r = H._BitReader(_unescape_rbsp(nals[0][1:]))
+        H._parse_slice_header(r, sd, pd)
+        st = H._FrameState(sd["mb_w"], sd["mb_h"])
+        for mby in range(sd["mb_h"]):
+            for mbx in range(sd["mb_w"]):
+                pos = r.pos
+                if r.ue() == 0:
+                    n_i4 += 1
+                r.pos = pos
+                H._decode_mb(r, st, mbx, mby, qp, 0)
+    assert n_i4 > 0
+
+
+def test_i4_holds_quality_on_detail():
+    """Fine diagonal detail (an I_4x4-heavy frame per the engagement
+    test) must still clear the lossy-codec quality bar at mid QP."""
+    w, h = 32, 32
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    base = (((xx + 2 * yy) // 3) * 43 % 256).astype(np.uint8)
+    img = np.stack([base] * 3, -1).tobytes()
+    sps, pps, nals = H.encode_h264_intra(w, h, [img], qp=30)
+    _, _, out = H.decode_h264_intra(sps, pps, nals)
+    a = np.frombuffer(img, np.uint8).astype(np.float64)
+    b = np.frombuffer(out[0], np.uint8).astype(np.float64)
+    psnr = 10 * np.log10(255**2 / max(((a - b) ** 2).mean(), 1e-9))
+    assert psnr > 28, psnr
