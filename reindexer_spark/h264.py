@@ -1627,12 +1627,25 @@ def encode_avcc_samples(
 ) -> tuple[bytes, list[bytes]]:
     """Frames → (avcC record body, one length-prefixed sample per
     frame) — the container-side encoder seam (mp4 stsd / mkv
-    CodecPrivate both carry avcC)."""
+    CodecPrivate both carry avcC).  Memoized: fixture lanes mux the
+    SAME frames into mp4 AND mkv, and the encoder is deterministic, so
+    the second container reuses the first bitstream."""
+    key = (width, height, tuple(frames_rgb), qp)
+    hit = _AVCC_CACHE.get(key)
+    if hit is not None:
+        return hit
     from reindexer_spark.codecs import build_avcc
 
     sps, pps, nals = encode_h264_intra(width, height, frames_rgb, qp)
     samples = [len(n).to_bytes(4, "big") + n for n in nals]
-    return build_avcc(sps, pps), samples
+    out = (build_avcc(sps, pps), samples)
+    if len(_AVCC_CACHE) > 64:
+        _AVCC_CACHE.clear()
+    _AVCC_CACHE[key] = out
+    return out
+
+
+_AVCC_CACHE: dict = {}
 
 
 # ---------------------------------------------------------------------------

@@ -1624,7 +1624,7 @@ def video_sps_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-INTRA_DOCS = 40
+INTRA_DOCS = 24  # bounded fixture count (constant work at any sf)
 
 
 def _intra_fixture(mid: int, text: str):
