@@ -163,6 +163,9 @@ EXTENDED = [
     "video_intra_decode",
     "video_intra_thumbnail",
     "multimodal_decode_features_sig",
+    "video_scene_cuts_sig",
+    "multimodal_probe_meta_sig",
+    "text_encoding_repair",
 ]
 
 

@@ -1293,12 +1293,19 @@ def _synth_scene_video(d: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                seed = hashlib.sha256(r.text.encode("utf-8")).digest()
+                seed_hex = hashlib.sha256(r.text.encode("utf-8")).hexdigest()
+                seed = bytes.fromhex(seed_hex)
                 w, h = 10 + seed[0] % 5, 8 + seed[1] % 5
                 n_scenes = 2 + seed[2] % 3
                 frames, cuts = [], []
                 for sc in range(n_scenes):
-                    base = hashlib.sha256(seed + bytes([sc])).digest()
+                    # hex-string derivation (not raw-byte concat) so the
+                    # signature oracle can replay it: DuckDB's sha256 is
+                    # VARCHAR-only, and `sha256(text) || '-' || sc` is
+                    # exactly reconstructible there.
+                    base = hashlib.sha256(
+                        f"{seed_hex}-{sc}".encode("ascii")
+                    ).digest()
                     base_px = bytearray(
                         (base * ((w * h * 3) // 32 + 1))[: w * h * 3]
                     )
@@ -1431,15 +1438,66 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_probe_meta")  # Python header parse → rows-only check
-def multimodal_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Header-ONLY media metadata across all nine fixture formats —
-    the first curation pass at 100 TB: read a few hundred bytes,
-    extract dims / frame counts / sample counts, filter, and decode
-    only the survivors.  No entropy decoding happens anywhere in this
-    query (no LZW, DCT, Rice, inflate); tests assert the probe agrees
-    with the full decoders on every fixture row, which is what makes
-    the cheap pass trustworthy as a filter."""
+@query(
+    "video_scene_cuts_sig",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < 60
+    ),
+    s AS (
+      SELECT media_id,
+        CASE media_id % 4 WHEN 0 THEN 'avi-dib' WHEN 1 THEN 'avi-mjpg'
+             WHEN 2 THEN 'mp4' ELSE 'mkv' END AS container,
+        2 + CAST(('0x' || substr(dg, 5, 2)) AS INT) % 3 AS n_scenes,
+        2 + CAST(('0x' || substr(sha256(dg || '-0'), 1, 2)) AS INT) % 3 AS f0,
+        2 + CAST(('0x' || substr(sha256(dg || '-1'), 1, 2)) AS INT) % 3 AS f1,
+        2 + CAST(('0x' || substr(sha256(dg || '-2'), 1, 2)) AS INT) % 3 AS f2,
+        2 + CAST(('0x' || substr(sha256(dg || '-3'), 1, 2)) AS INT) % 3 AS f3
+      FROM base
+    )
+    SELECT media_id, container,
+      CAST(f0 + f1 + CASE WHEN n_scenes >= 3 THEN f2 ELSE 0 END
+                   + CASE WHEN n_scenes  = 4 THEN f3 ELSE 0 END AS INT)
+        AS n_frames,
+      CAST(n_scenes - 1 AS INT) AS n_cuts,
+      CASE WHEN n_scenes = 2 THEN CAST(f0 AS VARCHAR)
+           WHEN n_scenes = 3 THEN f0 || ',' || (f0 + f1)
+           ELSE f0 || ',' || (f0 + f1) || ',' || (f0 + f1 + f2)
+      END AS cuts
+    FROM s
+    """,
+)
+def video_scene_cuts_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASH-GATED signature of video_scene_cuts: the same synth →
+    container encode → full decode → pixel-delta detection pipeline
+    (one shared `_scene_cut_core` body, so the gate and the rows-only
+    lane cannot diverge), projected onto the columns an oracle CAN
+    recompute.  The fixture builds each video from sha256-derived
+    scene structure (`sha256(text)` picks scene count, each scene's
+    frame count comes from `sha256(hexdigest || '-' || scene_idx)`),
+    and DuckDB has VARCHAR sha256 — so the oracle re-derives the TRUE
+    cut positions and frame counts arithmetically from `documents`,
+    while Spark emits the DETECTED ones from real decoded pixels.
+    Equality is the end-to-end claim: across all four containers
+    (lossless DIB and the three lossy MJPEG paths) decode → mean-abs
+    frame delta → threshold recovers the constructed scene boundaries
+    exactly.  Only per-pixel delta magnitudes stay rows-only (in the
+    parent lane)."""
+    return _scene_cut_core(
+        _synth_scene_video(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") < SCENE_DOCS
+            )
+        )
+    ).select("media_id", "container", "n_frames", "n_cuts", "cuts")
+
+
+def _probe_meta_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE header-probe pipeline shared by the rows-only metadata lane
+    and its hash-gated signature twin (same recipe as the decode /
+    thumbnail / frame-sample cores: sharing the body means the gate
+    and the rows-only lane cannot diverge)."""
     import pandas as pd
 
     media = _synth_media(
@@ -1492,6 +1550,96 @@ def multimodal_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height int, n_frames int, sample_rate int, n_samples bigint, "
         "codec string, profile int, level int, n_bytes bigint",
     ).orderBy("media_id")
+
+
+@query("multimodal_probe_meta")  # Python header parse → rows-only check
+def multimodal_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-ONLY media metadata across all nine fixture formats —
+    the first curation pass at 100 TB: read a few hundred bytes,
+    extract dims / frame counts / sample counts, filter, and decode
+    only the survivors.  No entropy decoding happens anywhere in this
+    query (no LZW, DCT, Rice, inflate); tests assert the probe agrees
+    with the full decoders on every fixture row, which is what makes
+    the cheap pass trustworthy as a filter.  The payload byte count
+    keeps THIS lane rows-only (entropy-coded sizes aren't
+    SQL-derivable); everything else is hash-gated by
+    multimodal_probe_meta_sig."""
+    return _probe_meta_core(spark, sf_dir)
+
+
+@query(
+    "multimodal_probe_meta_sig",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+      SELECT media_id,
+             CAST(('0x' || substr(dg, 1, 2)) AS INT) AS s0,
+             CAST(('0x' || substr(dg, 3, 2)) AS INT) AS s1,
+             CAST(('0x' || substr(dg, 5, 2)) AS INT) AS s2,
+             media_id % 12 = 2 AS gif,
+             media_id % 12 <> 2 AND media_id % 3 = 2 AS audio,
+             media_id % 12 <> 2 AND media_id % 3 = 1 AS video
+      FROM base
+    ),
+    k AS (
+      SELECT *,
+        CASE
+          WHEN gif THEN 'image-gif'
+          WHEN audio AND media_id % 12 = 8 THEN 'audio-flac'
+          WHEN audio THEN 'audio-wav'
+          WHEN video AND media_id % 12 = 1 THEN 'video-mjpeg'
+          WHEN video AND media_id % 12 = 7 THEN 'video-mp4'
+          WHEN video AND media_id % 12 = 10 THEN 'video-mkv'
+          WHEN video THEN 'video-avi'
+          WHEN media_id % 6 = 0 THEN 'image-jpeg'
+          WHEN media_id % 12 = 3 THEN 'image-png'
+          ELSE 'image-bmp'
+        END AS kind
+      FROM s
+    )
+    SELECT media_id, kind,
+      CASE WHEN kind = 'image-gif' THEN 'gif'
+           WHEN kind = 'audio-flac' THEN 'flac'
+           WHEN kind = 'audio-wav' THEN 'wav'
+           WHEN kind IN ('video-avi', 'video-mjpeg') THEN 'avi'
+           WHEN kind = 'video-mp4' THEN 'mp4'
+           WHEN kind = 'video-mkv' THEN 'mkv'
+           WHEN kind = 'image-jpeg' THEN 'jpeg'
+           WHEN kind = 'image-png' THEN 'png'
+           ELSE 'bmp' END AS probe_kind,
+      CAST(CASE WHEN audio THEN NULL
+                WHEN video THEN 6 + s0 % 7
+                ELSE 8 + s0 % 9 END AS INT) AS width,
+      CAST(CASE WHEN audio THEN NULL
+                WHEN video THEN 6 + s1 % 7
+                ELSE 8 + s1 % 9 END AS INT) AS height,
+      CAST(CASE WHEN audio THEN NULL
+                WHEN gif THEN 2 + s2 % 3
+                WHEN video THEN 3 + s2 % 4
+                ELSE 1 END AS INT) AS n_frames,
+      CAST(CASE WHEN audio THEN 8000 END AS INT) AS sample_rate,
+      CAST(CASE WHEN audio THEN 16000 END AS BIGINT) AS n_samples,
+      CAST(NULL AS VARCHAR) AS codec,
+      CAST(NULL AS INT) AS profile,
+      CAST(NULL AS INT) AS level
+    FROM k
+    """,
+)
+def multimodal_probe_meta_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASH-GATED signature of multimodal_probe_meta: the same
+    synth → header-only probe pipeline (one shared core), minus the
+    payload byte count an oracle cannot recompute (entropy-coded
+    sizes).  Fixture dims / frame counts / sample counts all derive
+    from sha256(text), which DuckDB re-derives arithmetically — so
+    equality proves the HEADER path alone (no LZW/DCT/Rice/inflate
+    anywhere) reports the constructed geometry for every one of the
+    nine container formats, and the oracle-pinned NULL codec/profile/
+    level columns prove the probe claims no codec facts these
+    containers don't carry."""
+    return _probe_meta_core(spark, sf_dir).drop("n_bytes")
 
 
 SPS_DOCS = 80

@@ -80,6 +80,127 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mojibake signature: a UTF-8 lead byte for the Latin-1 page (0xC2/0xC3)
+# read as a Latin-1 char, followed by a continuation byte read the same
+# way.  Both engines' regex subsets share \uXXXX-free bracket classes, so
+# the class is spelled with literal chars on the Spark side only (the
+# oracle pins expected counts arithmetically instead).
+MOJI_SIG = "[\u00C2\u00C3][\u0080-\u00BF]"
+LATIN1_ONLY = "^[\u0000-\u00FF]*$"
+
+
+@query(
+    "text_encoding_repair",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text,
+             224 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) % 32
+               AS c1,
+             192 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) % 24
+               AS c2
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(CASE WHEN doc_id % 6 = 0 THEN 4
+                WHEN doc_id % 3 = 0 THEN 2
+                ELSE 0 END AS INT) AS n_moji_seqs,
+      CAST(CASE WHEN doc_id % 6 = 0 THEN 2
+                WHEN doc_id % 3 = 0 THEN 1
+                ELSE 0 END AS INT) AS n_repairs,
+      CASE WHEN doc_id % 3 = 2 THEN text
+           ELSE text || ' ' || chr(c1) || chr(c2) END AS repaired
+    FROM s
+    """,
+)
+def text_encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake (encoding-corruption) repair — the ftfy-core cleaning
+    pass every crawl pipeline runs: text that was UTF-8 on the wire but
+    decoded as Latin-1 somewhere upstream ('é' arriving as 'Ã©'),
+    including the DOUBLE-encoded case where the corruption happened
+    twice.  The testdata text is pure ASCII, so the query first derives
+    a corrupted column per row (pure projection: two digest-picked
+    accented chars appended, then mojibake'd 0, 1 or 2 times by
+    doc_id class), then runs the real repair stack entirely in codegen:
+
+      fix(x) = re-encode as Latin-1 and re-decode as UTF-8, but ONLY
+      when (a) x is Latin-1-page-only, (b) x shows a mojibake
+      signature, and (c) the re-encoded bytes form VALID UTF-8 —
+      otherwise x is returned untouched.
+
+    Guard (c) is Spark 4's is_valid_utf8; the CASE short-circuit keeps
+    the strict decode() (which throws on malformed input) off the
+    non-repair path, and the guard order is load-bearing: (a) keeps
+    encode() total on arbitrary input, (b)+(c) make the pass a proven
+    NO-OP on clean accented text — repairing already-correct 'é' is
+    the classic over-correction bug this rule exists to prevent.  Two
+    chained fix() applications reach the double-encoding fixpoint.
+
+    The oracle re-derives the expected clean text and repair counts
+    arithmetically from sha256(text), so equality proves: single and
+    double mojibake both repair to byte-exact originals, clean accented
+    and ASCII rows pass through untouched, and the signature count sees
+    exactly the corrupted sequences.  One scan, zero shuffle, zero UDF
+    — the shape of a 100 TB scrub pass."""
+    d = load_table(spark, sf_dir, "documents")
+    dg = F.sha2(F.col("text"), 256)
+    c1 = F.lit(224) + F.conv(F.substring(dg, 1, 2), 16, 10).cast("int") % 32
+    c2 = F.lit(192) + F.conv(F.substring(dg, 3, 2), 16, 10).cast("int") % 24
+
+    def moji(c):  # one mojibake round of a Latin-1 codepoint column
+        return F.concat(
+            F.char(F.lit(192) + (c / 64).cast("int")), F.char(c % 64 + 128)
+        )
+
+    def moji2(c):  # two rounds: each byte of moji(c) mojibake'd again
+        lead = F.lit(192) + (c / 64).cast("int")
+        trail = c % 64 + 128
+        return F.concat(moji(lead), moji(trail))
+
+    clean_tail = F.concat(F.lit(" "), F.char(c1), F.char(c2))
+    raw = (
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.col("text"), F.lit(" "), moji2(c1), moji2(c2)),
+        )
+        .when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" "), moji(c1), moji(c2)),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.col("text"), clean_tail))
+        .otherwise(F.col("text"))
+    )
+
+    def fix(x):
+        latin1 = F.encode(x, "ISO-8859-1")
+        return F.when(
+            x.rlike(LATIN1_ONLY)
+            & x.rlike(MOJI_SIG)
+            & F.is_valid_utf8(latin1),
+            F.decode(latin1, "UTF-8"),
+        ).otherwise(x)
+
+    r0 = raw
+    d2 = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(r0, F.lit(MOJI_SIG), 0))
+        .cast("int")
+        .alias("n_moji_seqs"),
+        r0.alias("_r0"),
+    )
+    d2 = d2.withColumn("_r1", fix(F.col("_r0"))).withColumn(
+        "_r2", fix(F.col("_r1"))
+    )
+    return d2.select(
+        "doc_id",
+        "n_moji_seqs",
+        (
+            (F.col("_r1") != F.col("_r0")).cast("int")
+            + (F.col("_r2") != F.col("_r1")).cast("int")
+        ).alias("n_repairs"),
+        F.col("_r2").alias("repaired"),
+    )
+
+
 @query(
     "text_repetition",
     oracle="""
