@@ -166,6 +166,7 @@ EXTENDED = [
     "video_scene_cuts_sig",
     "multimodal_probe_meta_sig",
     "text_encoding_repair",
+    "crawl_encoding_repair",
 ]
 
 

@@ -151,17 +151,25 @@ def _chrome_page(doc_id: int, lines: list[str]) -> str:
 
 
 def _synth_warc_shards(
-    docs: DataFrame, out_dir: str, chrome: bool = False
+    docs: DataFrame, out_dir: str, chrome: bool = False,
+    mojibake: bool = False,
 ) -> None:
     """Write the documents as CRAWL_SHARDS gzipped WARC files — one
     file per task via applyInPandas (the write a crawl fetcher does;
     at 100 TB the archives pre-exist and this stage disappears).
     ``chrome=True`` wraps each page in nav/related/footer boilerplate
     (the main-content-extraction fixture); False keeps the bare
-    paragraph pages the crawl_corpus_e2e oracle expects."""
+    paragraph pages the crawl_corpus_e2e oracle expects.
+    ``mojibake=True`` (the encoding-repair fixture) appends a
+    digest-derived accented token to every content line, then corrupts
+    every doc_id % 5 == 3 page ON THE WIRE the way real crawls arrive
+    corrupted: the page's UTF-8 bytes re-read as Latin-1 and re-encoded
+    (so 'é' ships as 'Ã©', and the chrome's '©' as 'Â©'), BEFORE the
+    gzip/chunked wire-form rotation."""
 
     def write_shard(key, pdf):
         import gzip as _gzip
+        import hashlib
 
         import pandas as pd
 
@@ -188,6 +196,12 @@ def _synth_warc_shards(
                 status = 200
             else:
                 lines = _page_lines(r.text)
+                if mojibake:
+                    dg = hashlib.sha256(r.text.encode("utf-8")).hexdigest()
+                    accent = chr(224 + int(dg[0:2], 16) % 32) + chr(
+                        192 + int(dg[2:4], 16) % 24
+                    )
+                    lines = [ln + " " + accent for ln in lines]
                 if chrome:
                     html = _chrome_page(doc_id, lines)
                 else:
@@ -197,6 +211,10 @@ def _synth_warc_shards(
                         + "</body></html>"
                     )
                 body = html.encode("utf-8")
+                if mojibake and doc_id % 5 == 3:
+                    # the wire corruption itself: UTF-8 bytes re-read
+                    # as Latin-1, re-encoded — always valid UTF-8 out
+                    body = body.decode("latin-1").encode("utf-8")
                 ctype = "text/html; charset=utf-8"
                 status = 404 if doc_id % 13 == 4 else 200
             headers = [("Content-Type", ctype)]
@@ -382,23 +400,22 @@ def _canonical_url(uri: Column | None = None) -> Column:
     return F.concat(host_clean, path_clean)
 
 
-def _judged_paragraphs(spark: SparkSession, sf_dir: str, tag: str) -> DataFrame:
-    """Shared front half of the main-content lanes: synthesize
-    chrome-wrapped WARC shards, read them back through the warc source,
-    split 200-status HTML into <p> blocks, and attach each block's
-    tag-stripped text plus its jusText-style main-content verdict
-    (>= MIN_LINE_WORDS words AND link density < 1/3, integer-exact).
-    One definition, so crawl_main_content and crawl_refined_corpus
-    cannot diverge on the classifier."""
+def _read_pages(
+    spark: SparkSession, sf_dir: str, tag: str, mojibake: bool = False
+) -> DataFrame:
+    """Synthesize chrome-wrapped WARC shards and read the 200-status
+    HTML pages back through the warc source, one string column per
+    page (the wire forms — gzip/chunked/identity — already undone by
+    the source)."""
     from reindexer_spark.sources.warc import WarcDataSource
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     out_dir = _fixture_dir(tag, sf_dir)
-    _synth_warc_shards(docs, out_dir, chrome=True)
+    _synth_warc_shards(docs, out_dir, chrome=True, mojibake=mojibake)
 
     spark.dataSource.register(WarcDataSource)
     raw = spark.read.format("warc").load(out_dir)
-    paras = (
+    return (
         raw.filter(F.col("warc_type") == "response")
         .filter(F.col("http_status") == 200)
         .filter(F.col("content_type").startswith("text/html"))
@@ -407,14 +424,26 @@ def _judged_paragraphs(spark: SparkSession, sf_dir: str, tag: str) -> DataFrame:
             .cast("bigint")
             .alias("doc_id"),
             "target_uri",
-            F.posexplode(
-                F.regexp_extract_all(
-                    F.col("payload").cast("string"),
-                    F.lit(r"<p[^>]*>(.*?)</p>"),
-                    F.lit(1),
-                )
-            ).alias("pi", "para"),
+            F.col("payload").cast("string").alias("page"),
         )
+    )
+
+
+def _classify_paragraphs(pages: DataFrame) -> DataFrame:
+    """Split each page into <p> blocks and attach each block's
+    tag-stripped text plus its jusText-style main-content verdict
+    (>= MIN_LINE_WORDS words AND link density < 1/3, integer-exact).
+    Non-``page`` columns pass through onto every block row.  One
+    definition, so crawl_main_content, crawl_refined_corpus and
+    crawl_encoding_repair cannot diverge on the classifier."""
+    carried = [c for c in pages.columns if c != "page"]
+    paras = pages.select(
+        *carried,
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("page"), F.lit(r"<p[^>]*>(.*?)</p>"), F.lit(1)
+            )
+        ).alias("pi", "para"),
     )
     text = F.regexp_replace("para", r"<[^>]+>", "")
     link_chars = F.aggregate(
@@ -423,8 +452,7 @@ def _judged_paragraphs(spark: SparkSession, sf_dir: str, tag: str) -> DataFrame:
         lambda acc, x: acc + F.length(x),
     )
     return paras.select(
-        "doc_id",
-        "target_uri",
+        *carried,
         "pi",
         text.alias("text"),
         (
@@ -432,6 +460,12 @@ def _judged_paragraphs(spark: SparkSession, sf_dir: str, tag: str) -> DataFrame:
             & (3 * link_chars < F.length(text))
         ).alias("good"),
     )
+
+
+def _judged_paragraphs(spark: SparkSession, sf_dir: str, tag: str) -> DataFrame:
+    """Shared front half of the main-content lanes: pages off the WARC
+    wire, split and judged (see _read_pages / _classify_paragraphs)."""
+    return _classify_paragraphs(_read_pages(spark, sf_dir, tag))
 
 
 @query(
@@ -650,6 +684,126 @@ def crawl_refined_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_content",
         "n_tokens",
         "checksum",
+    )
+
+
+@query(
+    "crawl_encoding_repair",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             224 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) % 32
+               AS cc1,
+             192 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) % 24
+               AS cc2
+      FROM documents
+    ), words AS (
+      SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1
+               AS wi,
+             unnest(string_split(text, ' ')) AS w
+      FROM s
+    ), bodies AS (
+      SELECT doc_id, wi // {LINE_WORDS} AS li,
+             string_agg(w, ' ' ORDER BY wi) AS body,
+             CAST(COUNT(*) AS BIGINT) AS n_raw
+      FROM words GROUP BY doc_id, wi // {LINE_WORDS}
+    ), lines AS (
+      -- every content line carries the digest-derived accented token
+      SELECT b.doc_id, li,
+             body || ' ' || chr(cc1) || chr(cc2) AS line,
+             n_raw + 1 AS n_words,
+             CAST(CASE WHEN li % 4 = 0
+                  THEN length(string_split(body, ' ')[1])
+                  ELSE 0 END AS BIGINT) AS link_chars
+      FROM bodies b JOIN s USING (doc_id)
+    ), judged AS (
+      SELECT doc_id, li, line,
+             n_words >= {MIN_LINE_WORDS}
+               AND 3 * link_chars < length(line) AS good
+      FROM lines
+    ), stats AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(COUNT(*) FILTER (good) AS BIGINT) AS n_content,
+             CAST(COALESCE(SUM(length(line)) FILTER (good), 0) AS BIGINT)
+               AS content_chars,
+             md5(string_agg(line, chr(10) ORDER BY li) FILTER (good))
+               AS content_digest
+      FROM judged GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END AS INT)
+             AS was_corrupted,
+           -- 2 mojibake sequences per accented line + 1 for the
+           -- footer's '©' on corrupted pages
+           CAST(CASE WHEN doc_id % 5 = 3 THEN 2 * n_lines + 1 ELSE 0 END
+                AS INT) AS n_moji_seqs,
+           n_content, content_chars, content_digest
+    FROM stats
+    WHERE doc_id % 13 <> 4 AND doc_id % 17 <> 5
+    """,
+)
+def crawl_encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl ENCODING-REPAIR flagship: main-content extraction with
+    mojibake repair in the loop — the composition a real crawl needs,
+    because encoding corruption arrives ON THE WIRE (a fetcher or an
+    origin server that declared charset=utf-8 while re-encoding
+    Latin-1-misread bytes) and must be repaired between wire decode and
+    curation or the corrupted pages poison dedup checksums and quality
+    gates.  Pages carry accented content (digest-derived token per
+    line, plus the chrome's real '©'); every doc_id % 5 == 3 page is
+    shipped mojibake'd (UTF-8 read as Latin-1, re-encoded — exactly the
+    corruption class ftfy exists for), riding the same rotating
+    gzip/chunked/identity wire forms as the sibling lanes.  The lane
+    reads the shards back, counts mojibake signatures per page, applies
+    ONE guarded repair round (the shared encoding_fix — identical
+    expression to text_encoding_repair), then runs the shared
+    jusText-style paragraph classifier and digests the surviving text.
+
+    The oracle reconstructs the CLEAN page arithmetically from
+    `documents` — so hash equality proves three things at once: repair
+    fired on exactly the corrupted pages (was_corrupted), it undid the
+    corruption byte-exactly THROUGH the WARC wire round trip (the
+    digest of extracted content equals the never-corrupted
+    construction), and it touched nothing else (clean accented pages
+    pass through with the same digests).
+
+    Scale shape: identical to crawl_main_content — the repair is three
+    regex/charset codegen ops scan-side, corrupted text never reaches
+    the shuffle, and the only aggregation hashes ~32-byte digests."""
+    from reindexer_spark.operators.text_clean import MOJI_SIG, encoding_fix
+
+    pages = _read_pages(spark, sf_dir, "encrepair", mojibake=True)
+    repaired = pages.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("page", F.lit(MOJI_SIG), 0))
+        .cast("int")
+        .alias("n_moji_seqs"),
+        encoding_fix(F.col("page")).alias("fixed"),
+        (encoding_fix(F.col("page")) != F.col("page"))
+        .cast("int")
+        .alias("was_corrupted"),
+    ).withColumnRenamed("fixed", "page")
+    judged = _classify_paragraphs(repaired)
+    kept = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("good"), F.struct(F.col("pi"), F.col("text")))
+            )
+        ),
+        lambda s: s["text"],
+    )
+    return judged.groupBy("doc_id").agg(
+        F.first("was_corrupted").alias("was_corrupted"),
+        F.first("n_moji_seqs").alias("n_moji_seqs"),
+        F.sum(F.col("good").cast("int")).cast("bigint").alias("n_content"),
+        F.sum(F.when(F.col("good"), F.length("text")).otherwise(0))
+        .cast("bigint")
+        .alias("content_chars"),
+        F.when(
+            F.sum(F.col("good").cast("int")) > 0,
+            F.md5(F.concat_ws("\n", kept)),
+        ).alias("content_digest"),
     )
 
 

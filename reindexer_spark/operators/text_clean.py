@@ -89,6 +89,23 @@ MOJI_SIG = "[\u00C2\u00C3][\u0080-\u00BF]"
 LATIN1_ONLY = "^[\u0000-\u00FF]*$"
 
 
+def encoding_fix(x):
+    """ONE guarded mojibake-repair round as a codegen column expression
+    (shared by text_encoding_repair and the crawl repair flagship so
+    the two lanes cannot diverge): re-encode as Latin-1 and re-decode
+    as UTF-8, but ONLY when x is Latin-1-page-only (keeps encode()
+    total on arbitrary input), shows a mojibake signature, and the
+    re-encoded bytes form VALID UTF-8 -- otherwise x passes through
+    untouched.  Spark 4's decode() THROWS on malformed input, so the
+    CASE short-circuit keeping it off the non-repair path is
+    load-bearing."""
+    latin1 = F.encode(x, "ISO-8859-1")
+    return F.when(
+        x.rlike(LATIN1_ONLY) & x.rlike(MOJI_SIG) & F.is_valid_utf8(latin1),
+        F.decode(latin1, "UTF-8"),
+    ).otherwise(x)
+
+
 @query(
     "text_encoding_repair",
     oracle="""
@@ -170,14 +187,7 @@ def text_encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
     )
 
-    def fix(x):
-        latin1 = F.encode(x, "ISO-8859-1")
-        return F.when(
-            x.rlike(LATIN1_ONLY)
-            & x.rlike(MOJI_SIG)
-            & F.is_valid_utf8(latin1),
-            F.decode(latin1, "UTF-8"),
-        ).otherwise(x)
+    fix = encoding_fix
 
     r0 = raw
     d2 = d.select(
