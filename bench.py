@@ -167,6 +167,7 @@ EXTENDED = [
     "multimodal_probe_meta_sig",
     "text_encoding_repair",
     "crawl_encoding_repair",
+    "text_encoding_repair_cp1252",
 ]
 
 

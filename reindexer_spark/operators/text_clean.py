@@ -211,6 +211,123 @@ def text_encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The CP1252-specific characters (codepoints > 0xFF) and the C1 chars of
+# their byte values: ONE translate() maps a CP1252-misdecoded string back
+# onto the Latin-1 page, where the shared Latin-1 repair machinery
+# applies.  (Spark whitelists encode/decode charsets to iso-8859-1 /
+# us-ascii / utf-8 / utf-16* / utf-32, so windows-1252 cannot be named
+# directly -- the translate composition is the codegen route.)
+CP1252_SRC = (
+    "\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160"
+    "\u2039\u0152\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014"
+    "\u02dc\u2122\u0161\u203a\u0153\u017e\u0178"
+)
+CP1252_DST = (
+    "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008a"
+    "\u008b\u008c\u008e\u0091\u0092\u0093\u0094\u0095\u0096\u0097"
+    "\u0098\u0099\u009a\u009b\u009c\u009e\u009f"
+)
+# any UTF-8 lead byte (2- or 3-byte form) read as Latin-1, followed by a
+# continuation byte read the same way
+CP1252_MOJI_SIG = "[\u00c2-\u00ef][\u0080-\u00bf]"
+
+
+def encoding_fix_cp1252(x):
+    """One guarded WINDOWS-1252 mojibake-repair round: translate the
+    CP1252-specific characters down to the C1 chars of their byte
+    values (total, reversible on the guard's no-fire path because the
+    original x is returned untouched), then apply the same
+    valid-UTF-8-gated re-encode/re-decode as the Latin-1 fix.  Catches
+    the most common real-world corruption class -- smart quotes, em
+    dashes, euro signs turning into 'â€™' / 'â€"' / 'â‚¬' -- which the
+    plain Latin-1 fix cannot, because those corrupted forms contain
+    codepoints above 0xFF."""
+    y = F.translate(x, CP1252_SRC, CP1252_DST)
+    latin1 = F.encode(y, "ISO-8859-1")
+    return F.when(
+        y.rlike(LATIN1_ONLY)
+        & y.rlike(CP1252_MOJI_SIG)
+        & F.is_valid_utf8(latin1),
+        F.decode(latin1, "UTF-8"),
+    ).otherwise(x)
+
+
+# the five CP1252 casualties real corpora actually show (euro, em dash,
+# right single quote, left double quote, trademark) and their
+# utf8-read-as-cp1252 corrupted forms (precomputed; each is what
+# str.encode('utf-8').decode('windows-1252') produces)
+CP1252_SPECIALS = ["\u20ac", "\u2014", "\u2019", "\u201c", "\u2122"]
+CP1252_CORRUPTED = [
+    "\u00e2\u201a\u00ac",
+    "\u00e2\u20ac\u201d",
+    "\u00e2\u20ac\u2122",
+    "\u00e2\u20ac\u0153",
+    "\u00e2\u201e\u00a2",
+]
+
+
+@query(
+    "text_encoding_repair_cp1252",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) % 5 AS i
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+        AS was_corrupted,
+      CASE WHEN doc_id % 3 = 2 THEN text
+           ELSE text || ' ' ||
+             [chr(8364), chr(8212), chr(8217), chr(8220), chr(8482)][i + 1]
+      END AS repaired
+    FROM s
+    """,
+)
+def text_encoding_repair_cp1252(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOWS-1252 mojibake repair -- the variant real corpora need
+    most: CP1252 is the web's de-facto 'latin-1', and UTF-8 text
+    misread through it turns smart quotes / em dashes / euro signs into
+    'â€™' / 'â€"' / 'â‚¬'.  Those corrupted forms contain codepoints
+    ABOVE 0xFF (the CP1252 0x80-0x9F page), so the plain Latin-1 repair
+    cannot see them; this lane's fix first translate()s the 27
+    CP1252-specific characters down to the C1 chars of their byte
+    values, then applies the same valid-UTF-8-gated re-encode/re-decode
+    (encoding_fix_cp1252, shared module machinery).
+
+    Fixture: one digest-picked CP1252 casualty is appended per row --
+    corrupted form on doc_id%3==0, CLEAN form on doc_id%3==1 (the
+    must-not-touch case: the guard proves a real '"' or '(tm)' in clean
+    text never triggers a rewrite, because its translated bytes are not
+    valid UTF-8), plain ASCII otherwise.  The oracle re-derives the
+    expected repaired text arithmetically from sha256(text), so
+    equality proves repair fires on exactly the corrupted rows and
+    recovers the original characters byte-exactly.  One scan, zero
+    shuffle, zero UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    dg = F.sha2(F.col("text"), 256)
+    i = F.conv(F.substring(dg, 1, 2), 16, 10).cast("int") % 5
+    spec = F.element_at(F.array(*[F.lit(c) for c in CP1252_SPECIALS]), i + 1)
+    corr = F.element_at(F.array(*[F.lit(c) for c in CP1252_CORRUPTED]), i + 1)
+    raw = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" "), corr),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.col("text"), F.lit(" "), spec),
+        )
+        .otherwise(F.col("text"))
+    )
+    fixed = encoding_fix_cp1252(raw)
+    return d.select(
+        "doc_id",
+        (fixed != raw).cast("int").alias("was_corrupted"),
+        fixed.alias("repaired"),
+    )
+
+
 @query(
     "text_repetition",
     oracle="""
