@@ -106,3 +106,96 @@ def test_cp1252_fix_handles_latin1_class_too(spark, cp1252_fix):
         _fix_one(spark, cp1252_fix, clean.encode("utf-8").decode("latin-1"))
         == clean
     )
+
+
+# ---- property tests: the roundtrip invariant over the full domain ----
+
+
+def _fix_many(spark, fix, strings):
+    df = spark.createDataFrame([(s,) for s in strings], "x string").select(
+        "x", fix(F.col("x")).alias("y")
+    )
+    return {r.x: r.y for r in df.collect()}
+
+
+def test_latin1_roundtrip_property(spark, latin1_fix):
+    """fix(corrupt(s)) == s for EVERY Latin-1 string s: the corruption
+    (UTF-8 bytes re-read as Latin-1) always yields a Latin-1-page,
+    signature-bearing, valid-UTF-8-re-encodable string, so the guard
+    provably fires and inverts it.  Hypothesis drives the whole
+    printable Latin-1 page incl. the C1 controls the fixtures avoid."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    latin1 = st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0xFF),
+        max_size=40,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(latin1, min_size=1, max_size=25, unique=True))
+    def run(strings):
+        corrupted = {s.encode("utf-8").decode("latin-1"): s for s in strings}
+        out = _fix_many(spark, latin1_fix, list(corrupted))
+        for c, s in corrupted.items():
+            assert out[c] == s, (c, s)
+
+    run()
+
+
+def test_cp1252_roundtrip_property(spark, cp1252_fix):
+    """Same invariant for the CP1252 fix, over Latin-1 text PLUS the 27
+    CP1252-specific characters.  Strings whose UTF-8 form contains one
+    of CP1252's five undefined bytes (0x81/0x8D/0x8F/0x90/0x9D) cannot
+    be mis-decoded by a strict decoder at all and are skipped — there
+    is no corrupted form to repair."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from reindexer_spark.operators.text_clean import CP1252_SRC
+
+    domain = st.text(
+        alphabet=st.sampled_from(
+            [chr(c) for c in range(0x20, 0x100)] + list(CP1252_SRC)
+        ),
+        max_size=40,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(domain, min_size=1, max_size=25, unique=True))
+    def run(strings):
+        corrupted = {}
+        for s in strings:
+            try:
+                corrupted[s.encode("utf-8").decode("windows-1252")] = s
+            except UnicodeDecodeError:
+                continue  # hits an undefined CP1252 byte: unrepresentable
+        if not corrupted:
+            return
+        out = _fix_many(spark, cp1252_fix, list(corrupted))
+        for c, s in corrupted.items():
+            assert out[c] == s, (c, s)
+
+    run()
+
+
+def test_ascii_is_always_a_noop_property(spark, latin1_fix, cp1252_fix):
+    """Pure-ASCII text can never carry a mojibake signature, so both
+    fixes must be identity on all of it."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ascii_text = st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        max_size=60,
+    )
+
+    @settings(max_examples=4, deadline=None)
+    @given(st.lists(ascii_text, min_size=1, max_size=25, unique=True))
+    def run(strings):
+        for fix in (latin1_fix, cp1252_fix):
+            out = _fix_many(spark, fix, strings)
+            for s in strings:
+                assert out[s] == s
+
+    run()
