@@ -168,6 +168,7 @@ EXTENDED = [
     "text_encoding_repair",
     "crawl_encoding_repair",
     "text_encoding_repair_cp1252",
+    "corpus_to_webdataset",
 ]
 
 

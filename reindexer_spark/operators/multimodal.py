@@ -1642,6 +1642,116 @@ def multimodal_probe_meta_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _probe_meta_core(spark, sf_dir).drop("n_bytes")
 
 
+WDS_OUT_DOCS = 300
+WDS_OUT_SHARDS = 6
+
+
+@query(
+    "corpus_to_webdataset",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             8 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) % 9 AS w,
+             8 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) % 9 AS h
+      FROM documents WHERE doc_id < {WDS_OUT_DOCS}
+    )
+    SELECT 'shard-'
+             || lpad(CAST(doc_id % {WDS_OUT_SHARDS} AS VARCHAR), 5, '0')
+             || '.tar' AS shard,
+           'doc' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+           CAST(3 AS INT) AS n_members,
+           CAST(length(text) AS BIGINT) AS txt_bytes,
+           CAST(54 + h * (((w * 3 + 3) // 4) * 4) AS BIGINT) AS bmp_bytes,
+           CAST(length('{{"id": ' || CAST(doc_id AS VARCHAR) || '}}')
+                AS BIGINT) AS json_bytes,
+           md5(text) AS txt_md5
+    FROM s
+    """,
+)
+def corpus_to_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST MILE of a training pipeline: pack the curated corpus
+    into WebDataset tar shards — the de-facto multimodal training-shard
+    format this repo could previously only READ — then prove the sink
+    by reading the shards back through the repo's own webdataset source
+    and value-gating what comes out.  Each document becomes one sample
+    with three members (``txt`` raw text, ``bmp`` a digest-seeded real
+    image through the dependency-free encoder, ``json`` metadata),
+    sharded round-robin; the writer (sources/webdataset.py
+    write_webdataset_shards) zeroes tar metadata and renames
+    atomically, so retries re-produce byte-identical shards.
+
+    The oracle re-derives shard assignment, sample keys, every member's
+    byte size (the BMP size is pure header+row-padding arithmetic on
+    digest-picked dims) and the md5 of the text member — so equality
+    proves the write → tar → read round trip delivered every sample to
+    the right shard with byte-exact content.
+
+    Scale shape: one shard = one sequential tar write (the writer's
+    applyInPandas group), read-back one shard per task; members ride
+    the map<ext,binary> column and never shuffle — the only shuffle is
+    the shard grouping of ~sample-sized rows, exactly the write a real
+    packing job performs."""
+    import pandas as pd
+
+    from reindexer_spark.operators.crawl import _fixture_dir
+    from reindexer_spark.sources.webdataset import (
+        WebDatasetSource,
+        write_webdataset_shards,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < WDS_OUT_DOCS)
+        .select("doc_id", "text")
+    )
+
+    def build(batches):
+        import hashlib
+        import json
+
+        from reindexer_spark.codecs import encode_bmp
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                seed = hashlib.sha256(r.text.encode("utf-8")).digest()
+                w, h = 8 + seed[0] % 9, 8 + seed[1] % 9
+                rgb = (seed * ((w * h * 3) // len(seed) + 1))[: w * h * 3]
+                rows.append(
+                    {
+                        "shard": int(r.doc_id) % WDS_OUT_SHARDS,
+                        "key": f"doc{int(r.doc_id):08d}",
+                        "members": {
+                            "txt": r.text.encode("utf-8"),
+                            "bmp": encode_bmp(w, h, bytes(rgb)),
+                            "json": json.dumps({"id": int(r.doc_id)}).encode(
+                                "utf-8"
+                            ),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["shard", "key", "members"])
+
+    samples = docs.mapInPandas(
+        build, "shard int, key string, members map<string, binary>"
+    )
+    out_dir = _fixture_dir("wdsout", sf_dir)
+    write_webdataset_shards(samples, out_dir)
+
+    spark.dataSource.register(WebDatasetSource)
+    df = spark.read.format("webdataset").load(out_dir)
+    m = F.col("members")
+    return df.select(
+        "shard",
+        "key",
+        F.col("n_members").cast("int").alias("n_members"),
+        F.length(F.element_at(m, "txt")).cast("bigint").alias("txt_bytes"),
+        F.length(F.element_at(m, "bmp")).cast("bigint").alias("bmp_bytes"),
+        F.length(F.element_at(m, "json")).cast("bigint").alias("json_bytes"),
+        F.md5(F.element_at(m, "txt")).alias("txt_md5"),
+    )
+
+
 SPS_DOCS = 80
 
 

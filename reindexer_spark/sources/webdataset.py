@@ -117,6 +117,60 @@ def read_shard(path: str) -> Iterator[tuple]:
             )
 
 
+def shard_name(i: int) -> str:
+    return f"shard-{i:05d}.tar"
+
+
+def write_webdataset_shards(samples, out_dir: str) -> None:
+    """The SINK half of this source: write ``(shard int, key string,
+    members map<string, binary>)`` rows as WebDataset tar shards — the
+    last mile of a training pipeline, curated corpus → the shard files
+    a dataloader consumes.  Produces exactly the layout the reader
+    expects: one POSIX tar per shard, sample members ADJACENT (the
+    format's defining invariant) and sorted by (key, ext), all tar
+    metadata (mtime/uid/gid/uname) zeroed so the same corpus yields
+    byte-identical shards — combined with the write-then-atomic-rename,
+    a retried task re-produces the same file instead of a torn one.
+
+    Scale shape: one shard = one applyInPandas group = one sequential
+    tar write, the mirror of the reader's shard-per-task parallelism;
+    shard sizing is the caller's shard-assignment column (hash or
+    round-robin of a size estimate at 100 TB)."""
+
+    def write_one(key_tuple, pdf):
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        (shard_idx,) = key_tuple
+        rows = sorted(
+            ((r.key, r.members) for r in pdf.itertuples(index=False)),
+            key=lambda kv: kv[0],
+        )
+        path = os.path.join(out_dir, shard_name(int(shard_idx)))
+        tmp = path + ".tmp"
+        with tarfile.open(tmp, "w") as tf:
+            for key, members in rows:
+                for ext, data in sorted(dict(members).items()):
+                    data = bytes(data)
+                    info = tarfile.TarInfo(name=f"{key}.{ext}")
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    tf.addfile(info, io.BytesIO(data))
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            {"shard": [int(shard_idx)], "n_samples": [len(rows)]}
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    samples.groupBy("shard").applyInPandas(
+        write_one, "shard int, n_samples bigint"
+    ).count()  # force the write
+
+
 class _ShardPartition(InputPartition):
     def __init__(self, path: str):
         self.path = path

@@ -184,3 +184,41 @@ def test_stream_matches_batch_over_same_shards(spark, tmp_path):
     assert sorted(map(tuple, stream.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_distributed_writer_is_deterministic_and_atomic(spark, tmp_path):
+    """The production sink (write_webdataset_shards): writing the same
+    samples twice produces byte-identical shard files (zeroed tar
+    metadata + sorted member order — the retry-idempotence claim), no
+    .tmp turds survive the atomic rename, and the repo's own reader
+    gets every sample back with byte-exact members."""
+    import os
+
+    from reindexer_spark.sources.webdataset import write_webdataset_shards
+
+    rows = [
+        (i % 2, f"k{i:04d}", {"txt": f"body {i}".encode(), "bin": bytes([i])})
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "shard int, key string, members map<string, binary>"
+    )
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_webdataset_shards(df, out1)
+    write_webdataset_shards(df, out2)
+
+    names1 = sorted(os.listdir(out1))
+    assert names1 == ["shard-00000.tar", "shard-00001.tar"]
+    assert not any(n.endswith(".tmp") for n in names1)
+    for n in names1:
+        b1 = open(os.path.join(out1, n), "rb").read()
+        b2 = open(os.path.join(out2, n), "rb").read()
+        assert b1 == b2, n  # byte-identical across writes
+
+    spark.dataSource.register(WebDatasetSource)
+    back = spark.read.format("webdataset").load(out1).collect()
+    got = {r.key: dict(r.members) for r in back}
+    assert set(got) == {k for _, k, _ in rows}
+    for shard, key, members in rows:
+        assert bytes(got[key]["txt"]) == members["txt"]
+        assert bytes(got[key]["bin"]) == members["bin"]
