@@ -187,18 +187,15 @@ def text_encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
     )
 
-    fix = encoding_fix
-
-    r0 = raw
     d2 = d.select(
         "doc_id",
-        F.size(F.regexp_extract_all(r0, F.lit(MOJI_SIG), 0))
+        F.size(F.regexp_extract_all(raw, F.lit(MOJI_SIG), 0))
         .cast("int")
         .alias("n_moji_seqs"),
-        r0.alias("_r0"),
+        raw.alias("_r0"),
     )
-    d2 = d2.withColumn("_r1", fix(F.col("_r0"))).withColumn(
-        "_r2", fix(F.col("_r1"))
+    d2 = d2.withColumn("_r1", encoding_fix(F.col("_r0"))).withColumn(
+        "_r2", encoding_fix(F.col("_r1"))
     )
     return d2.select(
         "doc_id",
