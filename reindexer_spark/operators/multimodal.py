@@ -1440,10 +1440,10 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "video_scene_cuts_sig",
-    oracle="""
+    oracle=f"""
     WITH base AS (
       SELECT doc_id AS media_id, sha256(text) AS dg
-      FROM documents WHERE doc_id < 60
+      FROM documents WHERE doc_id < {SCENE_DOCS}
     ),
     s AS (
       SELECT media_id,
