@@ -117,11 +117,13 @@ def read_shard(path: str) -> Iterator[tuple]:
             )
 
 
-def shard_name(i: int) -> str:
-    return f"shard-{i:05d}.tar"
+def shard_name(i: int, compress: bool = False) -> str:
+    return f"shard-{i:05d}.tar" + (".gz" if compress else "")
 
 
-def write_webdataset_shards(samples, out_dir: str) -> None:
+def write_webdataset_shards(
+    samples, out_dir: str, compress: bool = False
+) -> None:
     """The SINK half of this source: write ``(shard int, key string,
     members map<string, binary>)`` rows as WebDataset tar shards — the
     last mile of a training pipeline, curated corpus → the shard files
@@ -138,6 +140,8 @@ def write_webdataset_shards(samples, out_dir: str) -> None:
     round-robin of a size estimate at 100 TB)."""
 
     def write_one(key_tuple, pdf):
+        import contextlib
+        import gzip
         import io
         import tarfile
 
@@ -148,9 +152,26 @@ def write_webdataset_shards(samples, out_dir: str) -> None:
             ((r.key, r.members) for r in pdf.itertuples(index=False)),
             key=lambda kv: kv[0],
         )
-        path = os.path.join(out_dir, shard_name(int(shard_idx)))
+        path = os.path.join(out_dir, shard_name(int(shard_idx), compress))
         tmp = path + ".tmp"
-        with tarfile.open(tmp, "w") as tf:
+        with contextlib.ExitStack() as stack:
+            if compress:
+                # tarfile's own "w:gz" stamps the CURRENT TIME into the
+                # gzip header; wrap a GzipFile with mtime=0 explicitly
+                # so compressed shards stay byte-identical across
+                # retries, same as the plain-tar path
+                raw = stack.enter_context(open(tmp, "wb"))
+                # filename="" keeps the gzip FNAME field empty — the
+                # default would embed the .tmp path, making the bytes
+                # depend on the output directory
+                gz = stack.enter_context(
+                    gzip.GzipFile(
+                        filename="", fileobj=raw, mode="wb", mtime=0
+                    )
+                )
+                tf = stack.enter_context(tarfile.open(fileobj=gz, mode="w"))
+            else:
+                tf = stack.enter_context(tarfile.open(tmp, "w"))
             for key, members in rows:
                 for ext, data in sorted(dict(members).items()):
                     data = bytes(data)

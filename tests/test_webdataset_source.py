@@ -222,3 +222,17 @@ def test_distributed_writer_is_deterministic_and_atomic(spark, tmp_path):
     for shard, key, members in rows:
         assert bytes(got[key]["txt"]) == members["txt"]
         assert bytes(got[key]["bin"]) == members["bin"]
+
+    # gzip shards: same determinism (zeroed gzip mtime, empty FNAME —
+    # the bytes must not depend on the output directory), same read-back
+    outg1, outg2 = str(tmp_path / "g1"), str(tmp_path / "g2")
+    write_webdataset_shards(df, outg1, compress=True)
+    write_webdataset_shards(df, outg2, compress=True)
+    namesg = sorted(os.listdir(outg1))
+    assert namesg == ["shard-00000.tar.gz", "shard-00001.tar.gz"]
+    for n in namesg:
+        bg1 = open(os.path.join(outg1, n), "rb").read()
+        bg2 = open(os.path.join(outg2, n), "rb").read()
+        assert bg1 == bg2, n
+    backg = spark.read.format("webdataset").load(outg1).collect()
+    assert {r.key: dict(r.members) for r in backg}.keys() == got.keys()
