@@ -305,9 +305,6 @@ def _append_bench_local(line: dict) -> None:
             hist = []
     except (OSError, json.JSONDecodeError):
         hist = []
-    prior = next(
-        (e for e in reversed(hist) if e.get("sf") == line.get("sf")), None
-    )
     entry = dict(line)
     entry.pop("scale_proof", None)  # these ride in their own files
     entry.pop("scale_sweep", None)
@@ -318,7 +315,6 @@ def _append_bench_local(line: dict) -> None:
             json.dump(hist[-50:], fh, indent=1)
     except OSError:
         pass
-    return prior
 
 
 _MEDIAN_WINDOW = 7  # same-sf BENCH_LOCAL entries folded into the base

@@ -774,16 +774,23 @@ def crawl_encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reindexer_spark.operators.text_clean import MOJI_SIG, encoding_fix
 
     pages = _read_pages(spark, sf_dir, "encrepair", mojibake=True)
+    # Evaluate the (expensive: encode/decode/rlike over whole pages)
+    # repair expression ONCE per row and derive was_corrupted from the
+    # materialized column — relying on codegen CSE to dedup two copies
+    # of the chain roughly doubled scan cost when it didn't fire.
     repaired = pages.select(
         "doc_id",
         F.size(F.regexp_extract_all("page", F.lit(MOJI_SIG), 0))
         .cast("int")
         .alias("n_moji_seqs"),
-        encoding_fix(F.col("page")).alias("fixed"),
-        (encoding_fix(F.col("page")) != F.col("page"))
-        .cast("int")
-        .alias("was_corrupted"),
-    ).withColumnRenamed("fixed", "page")
+        F.col("page").alias("raw_page"),
+        encoding_fix(F.col("page")).alias("page"),
+    ).select(
+        "doc_id",
+        "n_moji_seqs",
+        "page",
+        (F.col("page") != F.col("raw_page")).cast("int").alias("was_corrupted"),
+    )
     judged = _classify_paragraphs(repaired)
     kept = F.transform(
         F.array_sort(

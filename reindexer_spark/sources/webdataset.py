@@ -144,16 +144,43 @@ def write_webdataset_shards(
         import gzip
         import io
         import tarfile
+        import tempfile
 
         import pandas as pd
 
         (shard_idx,) = key_tuple
+        # Tiebreak duplicate keys by their serialized members so shard
+        # bytes don't depend on incoming pandas group order across
+        # retries — the byte-identical-shard claim must hold even for
+        # duplicate-key inputs.
         rows = sorted(
             ((r.key, r.members) for r in pdf.itertuples(index=False)),
-            key=lambda kv: kv[0],
+            key=lambda kv: (
+                kv[0],
+                sorted((e, bytes(d)) for e, d in dict(kv[1]).items()),
+            ),
         )
         path = os.path.join(out_dir, shard_name(int(shard_idx), compress))
-        tmp = path + ".tmp"
+        # Unique temp file PER ATTEMPT: with speculative execution two
+        # attempts of the same shard group can run concurrently; a
+        # shared `path + ".tmp"` lets one attempt truncate the inode
+        # the other is about to os.replace, exposing a torn shard.
+        fd, tmp = tempfile.mkstemp(
+            dir=out_dir, prefix=os.path.basename(path) + ".", suffix=".tmp"
+        )
+        os.close(fd)
+        try:
+            _write_tar(tmp, rows, compress, contextlib, gzip, io, tarfile)
+        except BaseException:
+            with contextlib.suppress(OSError):
+                os.unlink(tmp)
+            raise
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            {"shard": [int(shard_idx)], "n_samples": [len(rows)]}
+        )
+
+    def _write_tar(tmp, rows, compress, contextlib, gzip, io, tarfile):
         with contextlib.ExitStack() as stack:
             if compress:
                 # tarfile's own "w:gz" stamps the CURRENT TIME into the
@@ -181,10 +208,6 @@ def write_webdataset_shards(
                     info.uid = info.gid = 0
                     info.uname = info.gname = ""
                     tf.addfile(info, io.BytesIO(data))
-        os.replace(tmp, path)
-        return pd.DataFrame(
-            {"shard": [int(shard_idx)], "n_samples": [len(rows)]}
-        )
 
     os.makedirs(out_dir, exist_ok=True)
     samples.groupBy("shard").applyInPandas(
