@@ -1,0 +1,120 @@
+"""Hot-bucket-guarded candidate generation for LSH band joins.
+
+Every near-dup lane in this repo funnels candidates through an
+equi-self-join on a hash-bucket key (MinHash band signature, SimHash /
+aHash 8-bit band value, hyperplane-LSH bucket id).  That join's fan-out
+is k²/2 per bucket of size k — fine when buckets are balanced, fatal on
+a boilerplate-heavy crawl corpus where thousands of near-identical
+documents share every band (round-9 VERDICT "What's wrong" #1: the one
+structural scale hole in the 100 TB dedup story).
+
+:func:`banded_pairs` is the ONE implementation of that join, with the
+guard built in:
+
+- buckets of size ≤ ``cap``: the plain all-pairs self-join, unchanged;
+- buckets of size  > ``cap``: STAR pairs only — the bucket's minimum id
+  is the representative and every other member pairs with it, k-1
+  candidates instead of k²/2.
+
+Star is the right degradation for dedup: any two members of a hot
+bucket stay connected THROUGH the representative, so downstream
+cluster/connected-component semantics are preserved whenever the
+bucket's members really are mutual near-dups (the only way a bucket
+gets hot on a banded sketch) — while candidate volume, shuffle width,
+and verify-join cost all become linear in the bucket size.  Dropping
+hot buckets (the DF-cap trick used on shingle/word posting lists, where
+a hot feature is evidence of NOTHING — boilerplate) would instead lose
+exactly the clusters a dedup pass exists to find.
+
+Cost shape: one shuffle on the bucket key for the window (the same
+shuffle the join needed anyway); the hot partition is scanned O(k)
+through Spark's spill-safe window buffer, never materialized k² ways.
+The output contract is deterministic (min-id representative, no RNG),
+so the md5-twin oracles replicate it exactly — :func:`bstat_sql` /
+:func:`banded_pairs_sql` emit the equivalent DuckDB SQL.
+
+tests/test_plan_lint.py enforces the convention: any registered query
+whose plan self-joins on a band/bucket-named key must show this guard's
+window partitioned by the same key (``test_band_joins_guarded``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Above this bucket size the all-pairs join degrades to star pairs.
+# 256 keeps every bucket in this repo's fixtures on the exact path
+# (gate twins stay hash-green) while bounding a 100 TB boilerplate
+# bucket at k-1 candidates; dedup_lsh_hotcap value-gates the star path
+# itself with a 375-member constructed hot bucket.
+HOT_BUCKET_CAP = 256
+
+
+def banded_pairs(
+    bands: DataFrame,
+    keys: tuple[str, ...],
+    id_col: str,
+    out1: str = "d1",
+    out2: str = "d2",
+    cap: int = HOT_BUCKET_CAP,
+) -> DataFrame:
+    """(id, *keys) band relation → distinct candidate id pairs
+    (``out1`` < ``out2``): all-pairs within buckets of ≤ ``cap``
+    members, min-id star pairs within hotter buckets."""
+    w = Window.partitionBy(*keys)
+    b = (
+        bands.select(id_col, *keys)
+        .withColumn("_bsz", F.count("*").over(w))
+        .withColumn("_brep", F.min(id_col).over(w))
+    )
+    small = b.filter(F.col("_bsz") <= cap)
+    cond = F.col(f"x.{id_col}") < F.col(f"y.{id_col}")
+    for k in keys:
+        cond = (F.col(f"x.{k}") == F.col(f"y.{k}")) & cond
+    small_pairs = (
+        small.alias("x")
+        .join(small.alias("y"), cond)
+        .select(
+            F.col(f"x.{id_col}").alias(out1),
+            F.col(f"y.{id_col}").alias(out2),
+        )
+    )
+    hot_pairs = b.filter(
+        (F.col("_bsz") > cap) & (F.col(id_col) != F.col("_brep"))
+    ).select(F.col("_brep").alias(out1), F.col(id_col).alias(out2))
+    return small_pairs.unionByName(hot_pairs).distinct()
+
+
+def bstat_sql(
+    bands_rel: str, keys: tuple[str, ...], id_col: str
+) -> str:
+    """DuckDB CTE body replicating the guard's per-bucket stats over a
+    band relation/CTE name; pair with :func:`banded_pairs_sql`."""
+    kl = ", ".join(keys)
+    return (
+        f"SELECT {id_col}, {kl},"
+        f" COUNT(*) OVER (PARTITION BY {kl}) AS bsz,"
+        f" MIN({id_col}) OVER (PARTITION BY {kl}) AS brep"
+        f" FROM {bands_rel}"
+    )
+
+
+def banded_pairs_sql(
+    bstat_rel: str,
+    keys: tuple[str, ...],
+    id_col: str,
+    cap: int = HOT_BUCKET_CAP,
+) -> str:
+    """DuckDB SELECT body producing the guard's DISTINCT (d1, d2) pairs
+    from a :func:`bstat_sql` CTE named ``bstat_rel``."""
+    eq = " AND ".join(f"a.{k} = b.{k}" for k in keys)
+    return f"""SELECT DISTINCT d1, d2 FROM (
+        SELECT a.{id_col} AS d1, b.{id_col} AS d2
+        FROM {bstat_rel} a JOIN {bstat_rel} b
+          ON {eq} AND a.{id_col} < b.{id_col}
+        WHERE a.bsz <= {cap}
+        UNION ALL
+        SELECT brep AS d1, {id_col} AS d2 FROM {bstat_rel}
+        WHERE bsz > {cap} AND {id_col} <> brep
+      )"""

@@ -27,6 +27,11 @@ from pyspark.sql import functions as F
 
 from reindexer_spark.cache import track, untrack
 from reindexer_spark.catalog import load_table
+from reindexer_spark.operators.banding import (
+    banded_pairs,
+    banded_pairs_sql,
+    bstat_sql,
+)
 from reindexer_spark.registry import query
 
 SHINGLE_K = 3  # word n-gram width
@@ -381,19 +386,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_id", "band_hash"),
     )
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band_id") == F.col("y.band_id"))
-            & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
-        )
-        .dropDuplicates()
-    )
+    # Hot-bucket-guarded band join (banding.banded_pairs): all-pairs in
+    # buckets ≤ HOT_BUCKET_CAP, min-id star pairs above — a boilerplate
+    # bucket of k near-identical docs emits k-1 candidates, not k²/2.
+    cand = banded_pairs(bands, ("band_id", "band_hash"), "doc_id")
     # Verify candidates with true Jaccard (joins back to the inverted index).
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
@@ -480,7 +476,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands and either tighten the filter to bands-1 or accept
     best-effort recall above it (document whichever you choose)."""
     d = load_table(spark, sf_dir, "documents")
-    fingerprint = simhash_sketches(d)
+    # tracked: the sketch relation is read again to re-attach simhash
+    # values to the guarded candidate pairs (64-vote aggregation is the
+    # expensive half — never recompute it per join side)
+    fingerprint = track(simhash_sketches(d))
     chunks = fingerprint.select(
         "doc_id",
         "simhash",
@@ -496,20 +495,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunk_id", "chunk_val"),
     )
     cand = (
-        chunks.alias("x")
+        banded_pairs(chunks, ("chunk_id", "chunk_val"), "doc_id")
         .join(
-            chunks.alias("y"),
-            (F.col("x.chunk_id") == F.col("y.chunk_id"))
-            & (F.col("x.chunk_val") == F.col("y.chunk_val"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            fingerprint.select(
+                F.col("doc_id").alias("d1"), F.col("simhash").alias("sh1")
+            ),
+            "d1",
         )
-        .select(
-            F.col("x.doc_id").alias("d1"),
-            F.col("y.doc_id").alias("d2"),
-            F.col("x.simhash").alias("sh1"),
-            F.col("y.simhash").alias("sh2"),
+        .join(
+            fingerprint.select(
+                F.col("doc_id").alias("d2"), F.col("simhash").alias("sh2")
+            ),
+            "d2",
         )
-        .dropDuplicates(["d1", "d2"])
     )
     hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
     return cand.select("d1", "d2", hamming.alias("hamming")).filter(
@@ -757,7 +755,7 @@ SIMHASH_MD5_HAMMING = 6
       FROM h CROSS JOIN range(64) r(i)
       GROUP BY doc_id, i
     ),
-    fp AS (
+    fp AS MATERIALIZED (
       SELECT doc_id,
              SUM(CASE WHEN v > 0 AND i < 32
                       THEN (1::BIGINT << i) ELSE 0 END) AS sh_lo,
@@ -768,23 +766,23 @@ SIMHASH_MD5_HAMMING = 6
     chunks AS (
       SELECT doc_id, c AS chunk_id,
              CASE WHEN c < 4 THEN (sh_lo >> (8 * c)) & 255
-                  ELSE (sh_hi >> (8 * (c - 4))) & 255 END AS chunk_val,
-             sh_lo, sh_hi
+                  ELSE (sh_hi >> (8 * (c - 4))) & 255 END AS chunk_val
       FROM fp CROSS JOIN range(8) r(c)
     ),
+    bstat AS MATERIALIZED (
+      {bstat_sql("chunks", ("chunk_id", "chunk_val"), "doc_id")}
+    ),
     cand AS (
-      SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
-             x.sh_lo AS lo1, x.sh_hi AS hi1,
-             y.sh_lo AS lo2, y.sh_hi AS hi2
-      FROM chunks x
-      JOIN chunks y ON x.chunk_id = y.chunk_id
-                   AND x.chunk_val = y.chunk_val
-                   AND x.doc_id < y.doc_id
+      {banded_pairs_sql("bstat", ("chunk_id", "chunk_val"), "doc_id")}
     )
     SELECT d1, d2,
-           (bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2))) AS hamming
+           (bit_count(xor(f1.sh_lo, f2.sh_lo))
+            + bit_count(xor(f1.sh_hi, f2.sh_hi))) AS hamming
     FROM cand
-    WHERE bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2))
+    JOIN fp f1 ON f1.doc_id = d1
+    JOIN fp f2 ON f2.doc_id = d2
+    WHERE bit_count(xor(f1.sh_lo, f2.sh_lo))
+          + bit_count(xor(f1.sh_hi, f2.sh_hi))
           <= {SIMHASH_MD5_HAMMING}
     """,
 )
@@ -846,10 +844,9 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             zero,
         ).alias("sh_hi"),
     )
+    fingerprint = track(fingerprint)
     chunks = fingerprint.select(
         "doc_id",
-        "sh_lo",
-        "sh_hi",
         F.posexplode(
             F.array(
                 *[
@@ -864,22 +861,23 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunk_id", "chunk_val"),
     )
     cand = (
-        chunks.alias("x")
+        banded_pairs(chunks, ("chunk_id", "chunk_val"), "doc_id")
         .join(
-            chunks.alias("y"),
-            (F.col("x.chunk_id") == F.col("y.chunk_id"))
-            & (F.col("x.chunk_val") == F.col("y.chunk_val"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            fingerprint.select(
+                F.col("doc_id").alias("d1"),
+                F.col("sh_lo").alias("lo1"),
+                F.col("sh_hi").alias("hi1"),
+            ),
+            "d1",
         )
-        .select(
-            F.col("x.doc_id").alias("d1"),
-            F.col("y.doc_id").alias("d2"),
-            F.col("x.sh_lo").alias("lo1"),
-            F.col("x.sh_hi").alias("hi1"),
-            F.col("y.sh_lo").alias("lo2"),
-            F.col("y.sh_hi").alias("hi2"),
+        .join(
+            fingerprint.select(
+                F.col("doc_id").alias("d2"),
+                F.col("sh_lo").alias("lo2"),
+                F.col("sh_hi").alias("hi2"),
+            ),
+            "d2",
         )
-        .dropDuplicates(["d1", "d2"])
     )
     hamming = F.bit_count(
         F.col("lo1").bitwiseXOR(F.col("lo2"))
@@ -1248,10 +1246,11 @@ MH_MD5_P = 4294967291
              string_agg(mhv::VARCHAR, ':' ORDER BY i) AS sig
       FROM mh GROUP BY doc_id, i // {MH_MD5_ROWS}
     ),
+    bstat AS MATERIALIZED (
+      {bstat_sql("bands", ("band", "sig"), "doc_id")}
+    ),
     cand AS (
-      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      {banded_pairs_sql("bstat", ("band", "sig"), "doc_id")}
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
     verified AS (
@@ -1332,23 +1331,7 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("sig")
     )
-    a = bands.select(
-        F.col("doc_id").alias("d1"), "band", F.col("sig").alias("sig1")
-    )
-    b = bands.select(
-        F.col("doc_id").alias("d2"), F.col("band").alias("band2"),
-        F.col("sig").alias("sig2"),
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("band") == F.col("band2"))
-            & (F.col("sig1") == F.col("sig2"))
-            & (F.col("d1") < F.col("d2")),
-        )
-        .select("d1", "d2")
-        .distinct()
-    )
+    cand = banded_pairs(bands, ("band", "sig"), "doc_id")
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
     e1 = ex.select(F.col("doc_id").alias("d1"), F.col("gram").alias("g1"))
     e2 = ex.select(F.col("doc_id").alias("d2"), F.col("gram").alias("g2"))
@@ -1728,3 +1711,51 @@ def corpus_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- hot-bucket guard value gate -------------------------------------------
+# 500 docs at both gate scales: doc_id % 4 != 0 lands 375 members in ONE
+# band bucket — above banding.HOT_BUCKET_CAP (256) at every sf, so this
+# is the query that exercises the guard's STAR path (min-id
+# representative ↔ member) hash-exactly; the md5 LSH twins keep their
+# buckets small and gate the all-pairs path.  Together they value-pin
+# both branches of banded_pairs every round.
+
+
+@query(
+    "dedup_lsh_hotcap",
+    oracle=f"""
+    WITH bands AS (
+      SELECT doc_id, 0 AS band_id,
+             CASE WHEN doc_id % 4 <> 0 THEN CAST(-1 AS BIGINT)
+                  ELSE CAST(doc_id // 40 AS BIGINT) END AS band_val
+      FROM documents
+    ),
+    bstat AS MATERIALIZED (
+      {bstat_sql("bands", ("band_id", "band_val"), "doc_id")}
+    )
+    {banded_pairs_sql("bstat", ("band_id", "band_val"), "doc_id")}
+    """,
+)
+def dedup_lsh_hotcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value gate for the hot-LSH-bucket guard (banding.banded_pairs,
+    round-9 VERDICT "What's wrong" #1): a constructed band relation
+    where 75% of documents share one bucket — the boilerplate-crawl
+    shape (k near-identical pages) that made the unguarded band join
+    emit k²/2 candidates.  Above the cap the guard degrades to min-id
+    star pairs (k-1 candidates, cluster connectivity preserved through
+    the representative); the remaining docs form ≤10-member buckets
+    that take the exact all-pairs path.  The oracle replicates both
+    branches arithmetically, so a drift in the cap, the representative
+    choice, or either branch's pair set fails the hash."""
+    d = load_table(spark, sf_dir, "documents")
+    bands = d.select(
+        "doc_id",
+        F.lit(0).alias("band_id"),
+        F.when(
+            F.col("doc_id") % 4 != 0, F.lit(-1).cast("bigint")
+        )
+        .otherwise(F.expr("doc_id div 40"))
+        .alias("band_val"),
+    )
+    return banded_pairs(bands, ("band_id", "band_val"), "doc_id")

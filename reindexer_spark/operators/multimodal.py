@@ -13,7 +13,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from reindexer_spark.cache import track
 from reindexer_spark.catalog import load_table
+from reindexer_spark.operators.banding import (
+    banded_pairs,
+    banded_pairs_sql,
+    bstat_sql,
+)
 from reindexer_spark.registry import query
 
 
@@ -734,36 +740,43 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "ahash"])
 
     sigs = media.mapInPandas(ahash, "media_id bigint, ahash bigint")
-    from reindexer_spark.cache import track
-
     sigs = track(sigs)
-    # band signatures: 8x8 bits via shiftrightunsigned + mask
-    def band_col(i: int):
-        return (
-            F.shiftrightunsigned(F.col("ahash"), AHASH_BAND_BITS * i)
-            .bitwiseAND(F.lit((1 << AHASH_BAND_BITS) - 1))
-            .alias(f"b{i}")
+    # Band split as EXPLODED (band_id, band_val) rows → hot-bucket-
+    # guarded equi-join (banding.banded_pairs).  The previous shape —
+    # one row per signature, joined on an OR over 8 band equalities —
+    # was an all-pairs nested-loop join in disguise (an OR of
+    # equalities has no hash-join key), quadratic at scale; the
+    # exploded equi-join produces the identical candidate set.
+    bands = sigs.select(
+        "media_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(
+                        F.col("ahash"), AHASH_BAND_BITS * i
+                    ).bitwiseAND(F.lit((1 << AHASH_BAND_BITS) - 1))
+                    for i in range(AHASH_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    cand = (
+        banded_pairs(
+            bands, ("band_id", "band_val"), "media_id", out1="m1", out2="m2"
         )
-
-    banded = sigs.select(
-        "media_id", "ahash", *[band_col(i) for i in range(AHASH_BANDS)]
+        .join(
+            sigs.select(
+                F.col("media_id").alias("m1"), F.col("ahash").alias("h1")
+            ),
+            "m1",
+        )
+        .join(
+            sigs.select(
+                F.col("media_id").alias("m2"), F.col("ahash").alias("h2")
+            ),
+            "m2",
+        )
     )
-    a = banded.select(
-        F.col("media_id").alias("m1"),
-        F.col("ahash").alias("h1"),
-        *[F.col(f"b{i}").alias(f"a{i}") for i in range(AHASH_BANDS)],
-    )
-    b = banded.select(
-        F.col("media_id").alias("m2"),
-        F.col("ahash").alias("h2"),
-        *[F.col(f"b{i}").alias(f"c{i}") for i in range(AHASH_BANDS)],
-    )
-    band_match = a["a0"] == b["c0"]
-    for i in range(1, AHASH_BANDS):
-        band_match = band_match | (a[f"a{i}"] == b[f"c{i}"])
-    cand = a.join(b, (F.col("m1") < F.col("m2")) & band_match).select(
-        "m1", "m2", "h1", "h2"
-    ).distinct()
     hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
     return (
         cand.select("m1", "m2", hamming.alias("hamming"))
@@ -834,28 +847,29 @@ _PHASH_HI_MASK_SQL = _xor_fold(
              xor(hi, {_PHASH_HI_MASK_SQL}) AS hi
       FROM base WHERE media_id % {PHASH_PAIRS_COPY_MOD} = 0
     ),
-    sigs AS (
+    sigs AS MATERIALIZED (
       SELECT media_id, lo, hi FROM base
       UNION ALL SELECT media_id, lo, hi FROM copies
     ),
     chunks AS (
-      SELECT media_id, lo, hi, c AS chunk_id,
+      SELECT media_id, c AS chunk_id,
              CASE WHEN c < 4 THEN (lo >> (8 * c)) & 255
                   ELSE (hi >> (8 * (c - 4))) & 255 END AS chunk_val
       FROM sigs CROSS JOIN range(8) r(c)
     ),
+    bstat AS MATERIALIZED (
+      {bstat_sql("chunks", ("chunk_id", "chunk_val"), "media_id")}
+    ),
     cand AS (
-      SELECT DISTINCT x.media_id AS m1, y.media_id AS m2,
-             x.lo AS lo1, x.hi AS hi1, y.lo AS lo2, y.hi AS hi2
-      FROM chunks x
-      JOIN chunks y ON x.chunk_id = y.chunk_id
-                   AND x.chunk_val = y.chunk_val
-                   AND x.media_id < y.media_id
+      {banded_pairs_sql("bstat", ("chunk_id", "chunk_val"), "media_id")}
     )
-    SELECT m1, m2,
-           (bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2))) AS hamming
+    SELECT d1 AS m1, d2 AS m2,
+           (bit_count(xor(s1.lo, s2.lo)) + bit_count(xor(s1.hi, s2.hi)))
+             AS hamming
     FROM cand
-    WHERE bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2))
+    JOIN sigs s1 ON s1.media_id = d1
+    JOIN sigs s2 ON s2.media_id = d2
+    WHERE bit_count(xor(s1.lo, s2.lo)) + bit_count(xor(s1.hi, s2.hi))
           <= {AHASH_HAMMING_MAX}
     """,
 )
@@ -943,23 +957,31 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_id", "chunk_val"),
     )
+    sigs = track(sigs)
     cand = (
-        chunks.alias("x")
+        banded_pairs(
+            chunks.select("media_id", "chunk_id", "chunk_val"),
+            ("chunk_id", "chunk_val"),
+            "media_id",
+            out1="m1",
+            out2="m2",
+        )
         .join(
-            chunks.alias("y"),
-            (F.col("x.chunk_id") == F.col("y.chunk_id"))
-            & (F.col("x.chunk_val") == F.col("y.chunk_val"))
-            & (F.col("x.media_id") < F.col("y.media_id")),
+            sigs.select(
+                F.col("media_id").alias("m1"),
+                F.col("lo").alias("lo1"),
+                F.col("hi").alias("hi1"),
+            ),
+            "m1",
         )
-        .select(
-            F.col("x.media_id").alias("m1"),
-            F.col("y.media_id").alias("m2"),
-            F.col("x.lo").alias("lo1"),
-            F.col("x.hi").alias("hi1"),
-            F.col("y.lo").alias("lo2"),
-            F.col("y.hi").alias("hi2"),
+        .join(
+            sigs.select(
+                F.col("media_id").alias("m2"),
+                F.col("lo").alias("lo2"),
+                F.col("hi").alias("hi2"),
+            ),
+            "m2",
         )
-        .dropDuplicates(["m1", "m2"])
     )
     hamming = F.bit_count(
         F.col("lo1").bitwiseXOR(F.col("lo2"))
@@ -1164,17 +1186,27 @@ AUDIO_PAIRS_TAU = 0.7
              CASE WHEN i < 2 THEN xor(word, 1) ELSE word END AS word
       FROM w WHERE media_id % {AUDIO_PAIRS_COPY_MOD} = 0
     ),
-    allw AS (
+    allw AS MATERIALIZED (
       SELECT DISTINCT media_id, word
       FROM (SELECT media_id, word FROM w
             UNION ALL SELECT media_id, word FROM copies)
     ),
+    -- DF cap, mirroring the production lane's guard on the inverted
+    -- word index (words shared by > {AUDIO_FP_DF_CAP} clips are
+    -- boilerplate evidence of nothing and quadratic in the join)
+    kept AS MATERIALIZED (
+      SELECT media_id, word FROM allw
+      WHERE word NOT IN (
+        SELECT word FROM allw GROUP BY word
+        HAVING COUNT(DISTINCT media_id) > {AUDIO_FP_DF_CAP}
+      )
+    ),
     sizes AS (
-      SELECT media_id, COUNT(*) AS n_words FROM allw GROUP BY media_id
+      SELECT media_id, COUNT(*) AS n_words FROM kept GROUP BY media_id
     ),
     pairs AS (
       SELECT x.media_id AS m1, y.media_id AS m2, COUNT(*) AS n_common
-      FROM allw x JOIN allw y
+      FROM kept x JOIN kept y
         ON x.word = y.word AND x.media_id < y.media_id
       GROUP BY 1, 2
     )
@@ -1235,6 +1267,14 @@ def audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(copies.select("media_id", "word"))
         .distinct()
     )
+    # DF cap — same guard as the production lane's inverted word index
+    hot = (
+        allw.groupBy("word")
+        .agg(F.countDistinct("media_id").alias("df"))
+        .filter(F.col("df") > AUDIO_FP_DF_CAP)
+        .select("word")
+    )
+    allw = allw.join(F.broadcast(hot), "word", "left_anti")
     sizes = allw.groupBy("media_id").agg(F.count("*").alias("n_words"))
     pairs = (
         allw.alias("x")

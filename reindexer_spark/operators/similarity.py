@@ -21,8 +21,14 @@ import random
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from reindexer_spark.cache import track
 from reindexer_spark.catalog import load_table
 from reindexer_spark.functions import cosine_similarity
+from reindexer_spark.operators.banding import (
+    banded_pairs,
+    banded_pairs_sql,
+    bstat_sql,
+)
 from reindexer_spark.registry import query
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -176,13 +182,21 @@ EMBED_LSH_THRESHOLD = 0.4
 @query(
     "dedup_embedding_lsh",
     oracle=f"""
-    WITH b AS (
+    WITH b AS MATERIALIZED (
       SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
       FROM embeddings
+    ),
+    bstat AS MATERIALIZED (
+      {bstat_sql("b", ("bucket",), "vec_id")}
+    ),
+    cand AS (
+      {banded_pairs_sql("bstat", ("bucket",), "vec_id")}
     )
-    SELECT x.vec_id AS v1, y.vec_id AS v2, x.bucket AS bucket,
+    SELECT d1 AS v1, d2 AS v2, x.bucket AS bucket,
            list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) AS cosine
-    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    FROM cand
+    JOIN b x ON x.vec_id = d1
+    JOIN b y ON y.vec_id = d2
     WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
           >= {EMBED_LSH_THRESHOLD}
     """,
@@ -199,20 +213,31 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one narrow projection pass to bucket, one equi-join on
     bucket id (self-join shuffles once on an 8-bit key — salting note:
     buckets are balanced by construction for zero-mean embeddings)."""
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", bucket_expr(F.col("embedding"))
+    e = track(
+        load_table(spark, sf_dir, "embeddings").withColumn(
+            "bucket", bucket_expr(F.col("embedding"))
+        )
     )
-    a = e.select(
-        F.col("vec_id").alias("v1"),
-        F.col("bucket").alias("bucket"),
-        F.col("embedding").alias("emb1"),
+    # Hot-bucket-guarded self-join (banding.banded_pairs): both pair
+    # members share one bucket by construction, so v1's bucket is THE
+    # bucket even for star pairs from a hot bucket.
+    pairs = (
+        banded_pairs(e, ("bucket",), "vec_id", out1="v1", out2="v2")
+        .join(
+            e.select(
+                F.col("vec_id").alias("v1"),
+                "bucket",
+                F.col("embedding").alias("emb1"),
+            ),
+            "v1",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("v2"), F.col("embedding").alias("emb2")
+            ),
+            "v2",
+        )
     )
-    b = e.select(
-        F.col("vec_id").alias("v2"),
-        F.col("bucket").alias("b2"),
-        F.col("embedding").alias("emb2"),
-    )
-    pairs = a.join(b, (F.col("bucket") == F.col("b2")) & (F.col("v1") < F.col("v2")))
     cos = cosine_similarity(F.col("emb1"), F.col("emb2"))
     return pairs.select("v1", "v2", "bucket", cos.alias("cosine")).filter(
         F.col("cosine") >= EMBED_LSH_THRESHOLD

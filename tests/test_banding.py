@@ -1,0 +1,81 @@
+"""Unit contract of banding.banded_pairs — the ONE hot-bucket-guarded
+LSH band join (round-9 VERDICT wrong #1).  The oracle gate
+(dedup_lsh_hotcap) value-pins the star path at driver scale; these
+tests pin the exact branch semantics with a tiny cap so both paths and
+the boundary are exercised in one place."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reindexer_spark.operators.banding import banded_pairs
+
+
+def _bands(spark, assignment: dict[int, list[int]]):
+    rows = [
+        (i, b) for b, members in assignment.items() for i in members
+    ]
+    return spark.createDataFrame(rows, "doc_id int, band_val int").select(
+        "doc_id", F.lit(0).alias("band_id"), "band_val"
+    )
+
+
+def _pairs(df):
+    return {(r.d1, r.d2) for r in df.collect()}
+
+
+def test_small_buckets_are_all_pairs(spark):
+    b = _bands(spark, {1: [3, 1, 2], 2: [7, 9]})
+    got = _pairs(banded_pairs(b, ("band_id", "band_val"), "doc_id", cap=3))
+    assert got == {(1, 2), (1, 3), (2, 3), (7, 9)}
+
+
+def test_hot_bucket_degrades_to_min_id_star(spark):
+    b = _bands(spark, {1: [5, 2, 9, 4]})  # size 4 > cap 3
+    got = _pairs(banded_pairs(b, ("band_id", "band_val"), "doc_id", cap=3))
+    assert got == {(2, 4), (2, 5), (2, 9)}  # rep = min id = 2
+
+
+def test_cap_boundary_is_inclusive(spark):
+    b = _bands(spark, {1: [1, 2, 3]})  # size == cap → exact path
+    got = _pairs(banded_pairs(b, ("band_id", "band_val"), "doc_id", cap=3))
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_pairs_distinct_across_buckets(spark):
+    # the same pair surfacing from two buckets is emitted once
+    b = _bands(spark, {1: [1, 2], 2: [1, 2, 3]})
+    got = _pairs(banded_pairs(b, ("band_id", "band_val"), "doc_id", cap=9))
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_star_preserves_cluster_connectivity(spark):
+    """The property that makes star the RIGHT degradation for dedup:
+    every member of a hot bucket stays reachable from every other
+    through the representative."""
+    members = list(range(40, 0, -1))
+    b = _bands(spark, {1: members})
+    got = _pairs(banded_pairs(b, ("band_id", "band_val"), "doc_id", cap=8))
+    assert len(got) == len(members) - 1  # k-1, not k(k-1)/2
+    nodes = {n for p in got for n in p}
+    assert nodes == set(members)
+    assert all(p[0] == 1 for p in got)  # rep is the min id
+
+
+def test_matches_unguarded_join_when_cap_never_fires(spark):
+    b = _bands(spark, {1: [1, 5, 9], 2: [2, 9], 3: [4]})
+    guarded = _pairs(
+        banded_pairs(b, ("band_id", "band_val"), "doc_id", cap=100)
+    )
+    brute = _pairs(
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    assert guarded == brute

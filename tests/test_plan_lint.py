@@ -19,6 +19,8 @@ need are asserted in test_plans/test_streaming instead.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from reindexer_spark.registry import all_queries, get_query
@@ -34,6 +36,46 @@ BATCH_QUERIES = sorted(
     n for n in all_queries() if not n.endswith("_live")
 )
 
+# --- band-bucket join guard lint (round-9 VERDICT wrong #1 / next #5) ---
+# A self-equi-join on an LSH band/bucket key emits k²/2 candidates per
+# bucket of size k — unbounded on boilerplate-heavy corpora unless the
+# join carries banding.banded_pairs' hot-bucket guard.  Convention
+# enforced here: any Join whose condition equates a band-named column
+# with ITSELF (same name, both sides — the self-join signature; joins
+# against per-bucket aggregates or query-side relations use different
+# names) must appear in a plan that also computes the guard's window
+# (count/min partitioned by that column).
+_BAND_KEY = re.compile(r"(?:band\w*|bucket\w*|chunk\w*|sig\w*)", re.I)
+# lookbehind keeps the left name from starting mid-token (q_bucket#1 =
+# bucket#2 is NOT a self-join on bucket)
+_SELF_EQ = re.compile(r"(?<![\w#])([A-Za-z_]\w*)#\d+L?\s*=\s*\1#\d+L?")
+_WINDOWSPEC = re.compile(r"windowspecdefinition\(([^)]*)\)")
+
+
+def unguarded_band_joins(plan: str) -> list[str]:
+    """Band-key self-equi-join columns in ``plan`` (an optimized logical
+    plan string) that lack a window partitioned by the same column.
+
+    Joins carrying a broadcast hint are exempt: a broadcast side is
+    bounded by definition (the kNN lanes join a constant-size query
+    relation against candidates on the bucket key), so per-bucket
+    fan-out is linear in the big side, not quadratic."""
+    guarded_cols = set()
+    for m in _WINDOWSPEC.finditer(plan):
+        for arg in m.group(1).split(","):
+            name = arg.strip().split("#")[0]
+            if name:
+                guarded_cols.add(name)
+    hits = []
+    for line in plan.splitlines():
+        if "Join" not in line or "strategy=broadcast" in line:
+            continue
+        for m in _SELF_EQ.finditer(line):
+            col = m.group(1)
+            if _BAND_KEY.fullmatch(col) and col not in guarded_cols:
+                hits.append(col)
+    return hits
+
 
 @pytest.mark.parametrize("name", BATCH_QUERIES)
 def test_plan_has_no_scale_killers(spark, sf_dir, name):
@@ -47,3 +89,34 @@ def test_plan_has_no_scale_killers(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan, (
         f"{name}: row-at-a-time Python UDF (non-Arrow) in plan"
     )
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert not unguarded_band_joins(logical), (
+        f"{name}: band-bucket self-join without the hot-bucket guard "
+        "(route candidates through banding.banded_pairs)"
+    )
+
+
+def test_band_join_lint_flags_unguarded_fixture(spark):
+    """The lint must go RED on exactly the shape it exists to catch."""
+    from pyspark.sql import functions as F
+
+    bands = spark.range(20).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("band_hash")
+    )
+    bad = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+    )
+    plan = bad._jdf.queryExecution().optimizedPlan().toString()
+    assert "band_hash" in unguarded_band_joins(plan)
+
+    from reindexer_spark.operators.banding import banded_pairs
+
+    good = banded_pairs(bands, ("band_hash",), "doc_id")
+    gplan = good._jdf.queryExecution().optimizedPlan().toString()
+    assert not unguarded_band_joins(gplan)
