@@ -57,11 +57,15 @@ def banded_pairs(
     id_col: str,
     out1: str = "d1",
     out2: str = "d2",
-    cap: int = HOT_BUCKET_CAP,
+    cap: int | None = None,
 ) -> DataFrame:
     """(id, *keys) band relation → distinct candidate id pairs
     (``out1`` < ``out2``): all-pairs within buckets of ≤ ``cap``
-    members, min-id star pairs within hotter buckets."""
+    members, min-id star pairs within hotter buckets.  ``cap`` defaults
+    to HOT_BUCKET_CAP at call time (scale_proof.py's boilerplate leg
+    measures guard-off by passing an effectively-infinite cap)."""
+    if cap is None:
+        cap = HOT_BUCKET_CAP
     w = Window.partitionBy(*keys)
     b = (
         bands.select(id_col, *keys)

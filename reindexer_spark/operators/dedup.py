@@ -341,22 +341,11 @@ def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
-@query("dedup_minhash")  # approximate → rows-only check (no SQL oracle)
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup candidates, verified by true Jaccard.
-
-    Pipeline: shingle → 32 minhashes (xxhash64 over the 8-byte shingle
-    hash + permutation index — fixed-width input, no per-permutation
-    string concat; multiply-add permutations would be cheaper still but
-    overflow under ANSI mode) → 8 bands of 4 → band join on (band_id, band_hash)
-    → exact Jaccard verification of the candidates only.  At 100 TB the
-    band join replaces the quadratic shingle self-join with an equality
-    join whose fan-out is controlled by the band width; this is the
-    scale path, dedup_ngram_jaccard is the exact baseline it is
-    validated against (see tests).
-    """
-    ex = shingle_table(spark, sf_dir)
-    # 32 permuted hashes per (doc, shingle); min per doc per permutation.
+def minhash_bands(ex: DataFrame) -> DataFrame:
+    """(doc_id, sh) shingle relation → (doc_id, band_id, band_hash) LSH
+    band relation: 32 xxhash64 minhashes in 8 bands of 4.  Split out of
+    dedup_minhash so scale_proof.py's boilerplate leg can measure the
+    band join's candidate volume (guard on vs off) in isolation."""
     hashed = ex.select(
         "doc_id",
         "sh",
@@ -366,11 +355,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     sig = hashed.groupBy("doc_id").agg(
-        F.count("*").alias("n_shingles"),
         *[F.min(f"h{i}").alias(f"mh{i}") for i in range(MINHASH_PERMS)],
     )
     # Bands: hash 4 consecutive minhashes together.
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -386,10 +374,30 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_id", "band_hash"),
     )
-    # Hot-bucket-guarded band join (banding.banded_pairs): all-pairs in
-    # buckets ≤ HOT_BUCKET_CAP, min-id star pairs above — a boilerplate
-    # bucket of k near-identical docs emits k-1 candidates, not k²/2.
-    cand = banded_pairs(bands, ("band_id", "band_hash"), "doc_id")
+
+
+@query("dedup_minhash")  # approximate → rows-only check (no SQL oracle)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates, verified by true Jaccard.
+
+    Pipeline: shingle → 32 minhashes (xxhash64 over the 8-byte shingle
+    hash + permutation index — fixed-width input, no per-permutation
+    string concat; multiply-add permutations would be cheaper still but
+    overflow under ANSI mode) → 8 bands of 4 → hot-bucket-guarded band
+    join on (band_id, band_hash) (banding.banded_pairs: all-pairs in
+    buckets ≤ HOT_BUCKET_CAP, min-id star pairs above — a boilerplate
+    bucket of k near-identical docs emits k-1 candidates, not k²/2) →
+    exact Jaccard verification of the candidates only.  At 100 TB the
+    band join replaces the quadratic shingle self-join with an equality
+    join whose fan-out is controlled by the band width AND the bucket
+    cap; this is the scale path, dedup_ngram_jaccard is the exact
+    baseline it is validated against (see tests; candidate-volume
+    growth measured in scale_proof.py's boilerplate leg).
+    """
+    ex = shingle_table(spark, sf_dir)
+    cand = banded_pairs(
+        minhash_bands(ex), ("band_id", "band_hash"), "doc_id"
+    )
     # Verify candidates with true Jaccard (joins back to the inverted index).
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (

@@ -505,6 +505,9 @@ def run_proof() -> dict:
         }
         result["queries"][name] = per_scale
         print(f"{name}: {json.dumps(per_scale)}", file=sys.stderr)
+
+    # Hot-bucket guard leg (round-9 VERDICT wrong #1 / next #1).
+    result["boilerplate"] = boilerplate_leg(spark, ui_port)
     return result
 
 
@@ -627,7 +630,175 @@ def _salted_join_leg(spark, corpora, ui_port: int) -> dict:
     return out
 
 
+def generate_boiler_corpus(spark, out_dir: str, n_docs: int) -> None:
+    """Boilerplate-heavy corpus (round-9 VERDICT wrong #1's failure
+    shape): 5% of documents are near-identical re-crawls — 5 fixed
+    'pages' of 40 cluster-unique tokens whose LAST token rotates per
+    crawl (the timestamp), so a cluster's docs share ~36 of 40 shingles
+    (Jaccard ≈ 0.9) and, mostly, every MinHash band.  Cluster size
+    grows WITH the corpus (re-crawls accumulate linearly in a rolling
+    crawl), which is exactly the regime where the unguarded band join
+    went quadratic while staying under the shingle DF cap.  The other
+    95% are the zipf word-salad shape."""
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["id"]:
+                rng = np.random.default_rng(doc_id + 7)
+                if doc_id % 20 == 0:  # boilerplate re-crawl
+                    cluster = (doc_id // 20) % 5
+                    crng = np.random.default_rng(900_000 + cluster)
+                    words = [
+                        f"btok{cluster}x{int(t):05d}"
+                        for t in crng.integers(0, 200_000, 40)
+                    ]
+                    words[-1] = f"ts{doc_id:08d}"
+                else:
+                    n_words = int(rng.integers(10, 101))
+                    words = [
+                        VOCAB[i] for i in rng.integers(0, len(VOCAB), n_words)
+                    ]
+                    n_rare = len(words) * 3 // 10
+                    pos = rng.choice(len(words), size=n_rare, replace=False)
+                    rare = rng.integers(0, 200_000, n_rare)
+                    for p, r in zip(pos, rare):
+                        words[p] = f"tok{r:05d}"
+                text = " ".join(words)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "text": text,
+                        "lang": LANGS[int(rng.integers(0, len(LANGS)))],
+                        "source": f"src{int(rng.integers(0, 20))}",
+                        "n_chars": len(text),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+            )
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    (
+        spark.range(n_docs, numPartitions=32)
+        .mapInPandas(build, schema)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "documents.parquet"))
+    )
+
+
+def boilerplate_leg(spark, ui_port: int) -> dict:
+    """The hot-bucket guard's proof: candidate volume of the MinHash
+    band join, guard on vs off, as boilerplate clusters grow 10× (50 →
+    500 members per page; the 500-member bucket is above
+    HOT_BUCKET_CAP=256 but below the shingle DF cap=1000, i.e. the
+    window only the bucket guard covers).  Expected shape: unguarded
+    candidates grow ~100× (per-bucket quadratic), guarded candidates
+    stay ~flat (star pairs: k-1 per bucket) — and the guarded
+    end-to-end dedup_minhash wall grows ~linearly."""
+    from pyspark.sql import functions as F  # noqa: F401 (parity w/ legs)
+
+    from reindexer_spark import get_query
+    from reindexer_spark.operators.banding import banded_pairs
+    from reindexer_spark.operators.dedup import minhash_bands, shingle_table
+
+    corpora = []
+    for label, n in (("boiler-5k", N_DOCS // 10), ("boiler-50k", N_DOCS)):
+        out_dir = os.path.join(REPO, "scaledata", label)
+        if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
+            print(f"generating {n} docs at {out_dir}", file=sys.stderr)
+            generate_boiler_corpus(spark, out_dir, n)
+        corpora.append((label, out_dir))
+
+    out: dict = {
+        "note": (
+            "5 boilerplate 'pages', each re-crawled with a rotating "
+            "timestamp token; cluster size grows with the corpus "
+            "(50 -> 500 members), sitting above HOT_BUCKET_CAP (256) "
+            "and below the shingle DF cap (1000) at 50k. candidates = "
+            "banded_pairs output count over the same minhash_bands "
+            "relation, guard on (cap 256) vs off (cap inf). "
+            "dedup_minhash rows are the guarded end-to-end query."
+        )
+    }
+    q = get_query("dedup_minhash")
+    q.fn(spark, corpora[0][1]).write.format("noop").mode("overwrite").save()
+    for label, sf_dir in corpora:
+        bands = minhash_bands(shingle_table(spark, sf_dir))
+        entry = {}
+        for mode, cap in (("guarded", None), ("unguarded", 1 << 62)):
+            b0, r0 = _shuffle_totals(ui_port)
+            t0 = time.perf_counter()
+            n_cand = banded_pairs(
+                bands, ("band_id", "band_hash"), "doc_id", cap=cap
+            ).count()
+            wall = round(time.perf_counter() - t0, 3)
+            b1, r1 = _shuffle_totals(ui_port)
+            entry[mode] = {
+                "candidates": n_cand,
+                "wall_sec": wall,
+                "shuffle_write_mrec": round((r1 - r0) / 1e6, 3),
+            }
+        b0, r0 = _shuffle_totals(ui_port)
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        wall = round(time.perf_counter() - t0, 3)
+        b1, r1 = _shuffle_totals(ui_port)
+        entry["dedup_minhash"] = {
+            "wall_sec": wall,
+            "shuffle_write_mrec": round((r1 - r0) / 1e6, 3),
+        }
+        out[label] = entry
+        print(f"boilerplate {label}: {json.dumps(entry)}", file=sys.stderr)
+    small, big = out["boiler-5k"], out["boiler-50k"]
+    out["growth_at_10x"] = {
+        "candidates_guarded": round(
+            big["guarded"]["candidates"]
+            / max(small["guarded"]["candidates"], 1),
+            2,
+        ),
+        "candidates_unguarded": round(
+            big["unguarded"]["candidates"]
+            / max(small["unguarded"]["candidates"], 1),
+            2,
+        ),
+        "dedup_minhash_wall": round(
+            big["dedup_minhash"]["wall_sec"]
+            / max(small["dedup_minhash"]["wall_sec"], 1e-9),
+            2,
+        ),
+    }
+    return out
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "boiler":
+        # merge-only mode: refresh JUST the boilerplate leg
+        from reindexer_spark import get_spark
+
+        spark = get_spark(
+            "reindexer-scale-proof",
+            extra_conf={
+                "spark.ui.enabled": "true",
+                "spark.ui.retainedStages": "100000",
+                "spark.ui.retainedJobs": "50000",
+            },
+        )
+        ui_port = int(spark.conf.get("spark.ui.port", "4040"))
+        out = os.path.join(REPO, "SCALE_PROOF.json")
+        try:
+            with open(out) as fh:
+                result = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            result = {}
+        result["boilerplate"] = boilerplate_leg(spark, ui_port)
+        with open(out, "w") as fh:
+            json.dump(result, fh, indent=1)
+        print(json.dumps(result["boilerplate"]))
+        return 0
     result = run_proof()
     out = os.path.join(REPO, "SCALE_PROOF.json")
     with open(out, "w") as fh:
