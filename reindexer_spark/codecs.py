@@ -3597,6 +3597,8 @@ def _sniff(payload: bytes) -> str:
         return "flac"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return "avi"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     if payload[4:8] == b"ftyp":
         return "mp4"
     if payload[:4] == _MKV_MAGIC:
@@ -3611,6 +3613,13 @@ def _sniff(payload: bytes) -> str:
 
 
 def _decode_image(kind: str, payload: bytes) -> tuple[int, int, bytes]:
+    if kind == "webp":
+        # probe-only format (same contract as avc1/hev1 video tracks):
+        # the container/frame-header walk is real, VP8/VP8L entropy
+        # decode is outside the subset → quarantine, never wrong pixels
+        raise MediaFormatError(
+            "WebP VP8/VP8L entropy decode not supported (probe-only)"
+        )
     if kind == "bmp":
         return decode_bmp(payload)
     if kind == "ppm":
@@ -4291,19 +4300,24 @@ def encode_mp4_coded(
     level: int | None = None,
     intra_frames: list[bytes] | None = None,
     qp: int = 26,
+    gop: str = "all-intra",
 ) -> bytes:
     """Fixture builder: an ISO BMFF file whose video track is coded
     h264/hevc.  Default: real avcC/hvcC config with a synthesized SPS
     and DUMMY coded samples — the PROBE recovers the construction
     parameters, decode quarantines.  With ``intra_frames`` (RGB bytes,
-    h264 only): samples are REAL intra-only IDR slices from
-    ``reindexer_spark.h264`` — decode reconstructs actual pixels."""
+    h264 only): samples are REAL coded slices from
+    ``reindexer_spark.h264`` — all IDR by default, or IDR + P chain
+    with ``gop="ippp"`` (stss then marks only sample 1 as sync) —
+    decode reconstructs actual pixels."""
     if intra_frames is not None:
         if codec != "h264":
             raise ValueError("intra_frames requires codec='h264'")
         from reindexer_spark.h264 import encode_avcc_samples
 
-        avcc, bodies = encode_avcc_samples(width, height, intra_frames, qp)
+        avcc, bodies = encode_avcc_samples(
+            width, height, intra_frames, qp, gop=gop
+        )
         entry_tag, cfg = b"avc1", _box(b"avcC", avcc)
         n_frames = len(bodies)
     elif codec == "h264":
@@ -4342,7 +4356,14 @@ def encode_mp4_coded(
         + b"".join(struct.pack(">I", len(b)) for b in bodies),
     )
     stco = _full_box(b"stco", 0, 0, struct.pack(">II", 1, base))
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    # absent stss = every sample sync (true for all-intra); the IPPP
+    # chain marks only the IDR
+    stss = (
+        _full_box(b"stss", 0, 0, struct.pack(">II", 1, 1))
+        if (intra_frames is not None and gop == "ippp")
+        else b""
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stss + stco)
     dref = _full_box(
         b"dref", 0, 0, struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b"")
     )
@@ -4394,6 +4415,7 @@ def encode_mkv_coded(
     height: int,
     codec: str = "h264",
     n_frames: int = 3,
+    gop: str = "all-intra",
     profile: int | None = None,
     level: int | None = None,
     intra_frames: list[bytes] | None = None,
@@ -4411,7 +4433,7 @@ def encode_mkv_coded(
         from reindexer_spark.h264 import encode_avcc_samples
 
         private_intra, intra_bodies = encode_avcc_samples(
-            width, height, intra_frames, qp
+            width, height, intra_frames, qp, gop=gop
         )
         codec_id, private = b"V_MPEG4/ISO/AVC", private_intra
         n_frames = len(intra_bodies)
@@ -4473,8 +4495,15 @@ def encode_mkv_coded(
             _MKV_SIMPLE_BLOCK,
             b"\x81"
             + struct.pack(">h", i * frame_ms)
-            # intra samples: every frame is IDR => every block keyframe
-            + bytes([0x80 if (i == 0 or intra_bodies is not None) else 0x00])
+            # all-intra: every block keyframe; ippp: only block 0
+            + bytes([
+                0x80
+                if (
+                    i == 0
+                    or (intra_bodies is not None and gop != "ippp")
+                )
+                else 0x00
+            ])
             + (
                 intra_bodies[i]
                 if intra_bodies is not None
@@ -4488,6 +4517,79 @@ def encode_mkv_coded(
     )
     segment = _ebml_el(_MKV_SEGMENT, info + track + cluster)
     return ebml_header + segment
+
+
+# ---------------------------------------------------------------------------
+# WebP (RIFF container; probe-only — VP8/VP8L entropy decode quarantines)
+# ---------------------------------------------------------------------------
+#
+# Container layout per the public WebP container spec (RIFF framing,
+# word-aligned chunks) with the three layouts a crawl sees: a bare
+# lossy 'VP8 ' keyframe, a bare lossless 'VP8L' stream, and the
+# extended 'VP8X' header with an ANIM/ANMF frame list.  The fixture
+# builder writes REAL headers (correct RIFF sizes, the 0x9D012A VP8
+# keyframe start code, VP8L's 0x2F signature + 14-bit dims, VP8X's
+# 24-bit canvas fields) around deterministic filler in place of the
+# entropy-coded pixel payload — the same convention as the avc1/hev1
+# sample builders: the probe walks real structure; decoding the
+# entropy data is outside the subset and quarantines.
+
+
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    return fourcc + struct.pack("<I", len(body)) + body + (
+        b"\x00" if len(body) & 1 else b""
+    )
+
+
+def _vp8_frame(w: int, h: int, filler: bytes) -> bytes:
+    # 3-byte frame tag: keyframe (bit0=0), version 0, show_frame=1,
+    # first-partition size in bits 5..23
+    tag = (1 << 4) | (len(filler) << 5)
+    return (
+        tag.to_bytes(3, "little")
+        + b"\x9d\x01\x2a"
+        + struct.pack("<HH", w & 0x3FFF, h & 0x3FFF)
+        + filler
+    )
+
+
+def encode_webp_fixture(
+    w: int, h: int, layout: str, n_frames: int = 1, seed: bytes = b""
+) -> bytes:
+    """Probe-fixture WebP: ``layout`` in {'vp8', 'vp8l', 'vp8x-anim'}."""
+    import hashlib
+
+    filler = hashlib.sha256(seed + b"webp").digest()[:12]
+    if layout == "vp8":
+        chunks = _riff_chunk(b"VP8 ", _vp8_frame(w, h, filler))
+    elif layout == "vp8l":
+        bits = ((w - 1) & 0x3FFF) | (((h - 1) & 0x3FFF) << 14)
+        chunks = _riff_chunk(
+            b"VP8L", b"\x2f" + struct.pack("<I", bits) + filler
+        )
+    elif layout == "vp8x-anim":
+        vp8x = (
+            bytes([0x02, 0, 0, 0])  # flags: ANIM
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+        )
+        anim = struct.pack("<IH", 0xFF000000, 0)  # bg color, loop forever
+        chunks = _riff_chunk(b"VP8X", vp8x) + _riff_chunk(b"ANIM", anim)
+        for i in range(n_frames):
+            fr = hashlib.sha256(seed + bytes([i])).digest()[:10]
+            anmf = (
+                (0).to_bytes(3, "little")  # frame x / 2
+                + (0).to_bytes(3, "little")  # frame y / 2
+                + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little")
+                + (100).to_bytes(3, "little")  # duration ms
+                + bytes([0])  # blend/dispose flags
+                + _riff_chunk(b"VP8 ", _vp8_frame(w, h, fr))
+            )
+            chunks += _riff_chunk(b"ANMF", anmf)
+    else:
+        raise ValueError(f"unknown webp fixture layout {layout!r}")
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
 
 
 def probe_media(payload: bytes) -> dict:
@@ -4605,6 +4707,54 @@ def probe_media(payload: bytes) -> dict:
                 sample_rate=packed >> 44,
                 n_samples=packed & ((1 << 36) - 1),
             )
+        elif kind == "webp":
+            # chunk walk by RIFF sizes only (same discipline as wav/avi);
+            # ANMF bodies are skipped WHOLE, so embedded per-frame VP8
+            # chunks never double-count
+            n_anmf = 0
+            got = False
+            cpos = 12
+            while cpos + 8 <= len(payload):
+                cid = payload[cpos : cpos + 4]
+                size = struct.unpack_from("<I", payload, cpos + 4)[0]
+                body = cpos + 8
+                if body + size > len(payload):
+                    raise MediaFormatError("truncated WebP chunk")
+                if cid == b"VP8 " and not got:
+                    if payload[body + 3 : body + 6] != b"\x9d\x01\x2a":
+                        raise MediaFormatError(
+                            "VP8 keyframe start code missing"
+                        )
+                    vw, vh = struct.unpack_from("<HH", payload, body + 6)
+                    out.update(width=vw & 0x3FFF, height=vh & 0x3FFF)
+                    got = True
+                elif cid == b"VP8L" and not got:
+                    if payload[body] != 0x2F:
+                        raise MediaFormatError("VP8L signature missing")
+                    bits = struct.unpack_from("<I", payload, body + 1)[0]
+                    out.update(
+                        width=(bits & 0x3FFF) + 1,
+                        height=((bits >> 14) & 0x3FFF) + 1,
+                    )
+                    got = True
+                elif cid == b"VP8X" and not got:
+                    out.update(
+                        width=int.from_bytes(
+                            payload[body + 4 : body + 7], "little"
+                        )
+                        + 1,
+                        height=int.from_bytes(
+                            payload[body + 7 : body + 10], "little"
+                        )
+                        + 1,
+                    )
+                    got = True
+                elif cid == b"ANMF":
+                    n_anmf += 1
+                cpos = body + size + (size & 1)
+            if not got:
+                raise MediaFormatError("WebP missing VP8/VP8L/VP8X chunk")
+            out.update(n_frames=n_anmf if n_anmf else 1)
         elif kind == "avi":
             i = payload.index(b"avih")
             n_frames = struct.unpack_from("<I", payload, i + 8 + 16)[0]

@@ -826,6 +826,12 @@ class _FrameState:
         # Intra4x4PredMode per 4x4 block; blocks of non-I_4x4 MBs count
         # as DC (2) for the most-probable-mode rule (§8.3.1.1)
         self.i4_mode = np.full((mb_h * 4, mb_w * 4), 2, dtype=np.int32)
+        # P-slice motion state, per 4x4 block (partition granularity):
+        # the L0 motion vector in quarter-pel units and whether the
+        # block is inter-coded (intra blocks are 'not available for
+        # inter prediction' in §8.4.1.3.2 — refIdx -1, mv 0)
+        self.mv = np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int32)
+        self.inter = np.zeros((mb_h * 4, mb_w * 4), dtype=bool)
 
     def i4_mpm(self, abx: int, aby: int) -> int:
         if abx == 0 or aby == 0:
@@ -908,10 +914,24 @@ def _reconstruct_chroma(
     st: _FrameState, mbx: int, mby: int, qp: int, chroma_qp_offset: int,
     chroma_mode: int, cdc: list[np.ndarray], cac: list[list[np.ndarray]],
 ) -> None:
+    preds = [
+        _pred_chroma8(chroma_mode, plane, mbx, mby)
+        for plane in (st.u, st.v)
+    ]
+    _recon_chroma_blocks(st, mbx, mby, qp, chroma_qp_offset, preds, cdc, cac)
+
+
+def _recon_chroma_blocks(
+    st: _FrameState, mbx: int, mby: int, qp: int, chroma_qp_offset: int,
+    preds: list[np.ndarray], cdc: list[np.ndarray],
+    cac: list[list[np.ndarray]],
+) -> None:
+    """§8.5 chroma reconstruction against CALLER-SUPPLIED predictions —
+    intra modes and inter motion compensation share this tail."""
     # chroma: qPi = Clip3(0, 51, QPy + pps offset), then Table 8-15
     qpc = _QPC[max(0, min(51, qp + chroma_qp_offset))]
     for comp, plane in ((0, st.u), (1, st.v)):
-        cpred = _pred_chroma8(chroma_mode, plane, mbx, mby)
+        cpred = preds[comp]
         dc_deq_c = dequant_chroma_dc(cdc[comp], qpc)
         cx0, cy0 = mbx * 8, mby * 8
         for blk in range(4):
@@ -1050,17 +1070,25 @@ def _parse_sps_slice_fields(nal: bytes) -> dict:
 def _write_slice_header(
     w: _BitWriter, qp: int, pic_init_qp: int, idr_pic_id: int,
     log2_max_frame_num: int, poc_type: int, log2_max_poc_lsb: int,
-    deblock: bool = True,
+    deblock: bool = True, slice_type: str = "I", frame_num: int = 0,
 ) -> None:
     w.ue(0)  # first_mb_in_slice
-    w.ue(7)  # slice_type: I (all slices in picture)
+    # 5/7 = I/P + 5: 'all slices in this picture have this type'
+    w.ue(7 if slice_type == "I" else 5)
     w.ue(0)  # pps_id
-    w.u(0, log2_max_frame_num)  # frame_num (IDR: 0)
-    w.ue(idr_pic_id)
+    w.u(frame_num % (1 << log2_max_frame_num), log2_max_frame_num)
+    if slice_type == "I":  # IDR
+        w.ue(idr_pic_id)
     if poc_type == 0:
-        w.u(0, log2_max_poc_lsb)  # pic_order_cnt_lsb
-    w.u(0, 1)  # no_output_of_prior_pics
-    w.u(0, 1)  # long_term_reference_flag
+        w.u((2 * frame_num) % (1 << log2_max_poc_lsb), log2_max_poc_lsb)
+    if slice_type == "P":
+        w.u(0, 1)  # num_ref_idx_active_override_flag
+        w.u(0, 1)  # ref_pic_list_modification_flag_l0
+        # dec_ref_pic_marking (nal_ref_idc != 0, non-IDR):
+        w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (sliding window)
+    else:
+        w.u(0, 1)  # no_output_of_prior_pics
+        w.u(0, 1)  # long_term_reference_flag
     w.se(qp - pic_init_qp)  # slice_qp_delta
     if deblock:
         w.ue(0)  # disable_deblocking_filter_idc = 0 (filter on)
@@ -1071,43 +1099,68 @@ def _write_slice_header(
 
 
 def _parse_slice_header(
-    r: _BitReader, sps: dict, pps: dict
-) -> tuple[int, bool, int, int]:
-    """Returns (slice QP, deblocking enabled, alpha offset, beta
-    offset); rejects anything outside the subset."""
+    r: _BitReader, sps: dict, pps: dict, idr: bool = True
+) -> tuple[str, int, bool, int, int]:
+    """Returns (slice type 'I'/'P', slice QP, deblocking enabled, alpha
+    offset, beta offset); rejects anything outside the subset."""
     if r.ue() != 0:
         raise MediaFormatError("multi-slice pictures unsupported")
     slice_type = r.ue()
-    if slice_type % 5 != 2:  # I slice (2 or 7)
+    if slice_type % 5 == 2:
+        stype = "I"
+    elif slice_type % 5 == 0:
+        stype = "P"
+        if idr:
+            raise MediaFormatError("P slice in an IDR NAL")
+    else:
         raise MediaFormatError(
-            "inter-predicted slice: decode requires motion compensation"
+            "B/SP/SI slice outside the baseline single-reference subset"
         )
+    if idr and stype != "I":
+        raise MediaFormatError("IDR picture must carry I slices")
     r.ue()  # pps_id (single-PPS streams)
     r.u(sps["log2_max_frame_num"])
-    r.ue()  # idr_pic_id
+    if idr:
+        r.ue()  # idr_pic_id
     if sps["poc_type"] == 0:
         r.u(sps["log2_max_poc_lsb"])
-    r.u(1)
-    r.u(1)
+    if stype == "P":
+        if r.u(1):  # num_ref_idx_active_override_flag
+            if r.ue() != 0:
+                raise MediaFormatError(
+                    "multi-reference P slice outside the subset"
+                )
+        if r.u(1):  # ref_pic_list_modification_flag_l0
+            raise MediaFormatError(
+                "reference list modification outside the subset"
+            )
+        # dec_ref_pic_marking (nal_ref_idc != 0 on every slice we emit)
+        if r.u(1):  # adaptive_ref_pic_marking_mode_flag
+            raise MediaFormatError(
+                "adaptive reference marking outside the subset"
+            )
+    else:
+        r.u(1)  # no_output_of_prior_pics
+        r.u(1)  # long_term_reference_flag
     qp = pps["pic_init_qp"] + r.se()
     if not 0 <= qp <= 51:
         raise MediaFormatError("slice QP out of range")
     if not pps["deblocking_control_present"]:
         # no per-slice control => the filter defaults ON with zero
         # offsets (§8.7 is implemented for intra pictures, round 9)
-        return qp, True, 0, 0
+        return stype, qp, True, 0, 0
     idc = r.ue()
     if idc > 2:
         raise MediaFormatError("invalid disable_deblocking_filter_idc")
     if idc == 1:
-        return qp, False, 0, 0
+        return stype, qp, False, 0, 0
     # idc 0 or 2 (2 = skip slice boundaries; identical here — one
     # slice per picture): offsets follow
     alpha_off = 2 * r.se()
     beta_off = 2 * r.se()
     if not (-12 <= alpha_off <= 12 and -12 <= beta_off <= 12):
         raise MediaFormatError("deblocking offsets out of range")
-    return qp, True, alpha_off, beta_off
+    return stype, qp, True, alpha_off, beta_off
 
 
 # ---------------------------------------------------------------------------
@@ -1118,13 +1171,14 @@ def _parse_slice_header(
 def _rollback_to_pcm(
     w: _BitWriter, st: _FrameState, mbx: int, mby: int, mark: int,
     src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
+    mtype_off: int = 0,
 ) -> None:
     """Discard the coded MB bits from ``mark`` and emit I_PCM instead
     (raw source samples; §8.3.5).  Stamps the constants every later
     neighbour rule reads: TotalCoeff 16, Intra4x4PredMode DC."""
     del w.bits[mark:]
     x0, y0 = mbx * 16, mby * 16
-    w.ue(25)  # mb_type: I_PCM
+    w.ue(25 + mtype_off)  # mb_type: I_PCM
     w.align_byte()
     luma = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.uint8)
     w.raw_bytes(luma.tobytes())
@@ -1170,18 +1224,31 @@ def _encode_chroma(
         return s
 
     chroma_mode = min(clegal, key=_joint_sad)
+    cres = [
+        src[cy0 : cy0 + 8, cx0 : cx0 + 8].astype(np.int64)
+        - _pred_chroma8(chroma_mode, plane, mbx, mby)
+        for plane, src in ((st.u, src_u), (st.v, src_v))
+    ]
+    cbp_chroma, cdcq, cacq = _chroma_transform_quant(cres, qpc)
+    return chroma_mode, cbp_chroma, cdcq, cacq
+
+
+def _chroma_transform_quant(
+    cres: list[np.ndarray], qpc: int, intra: bool = True
+):
+    """Two 8x8 chroma residuals → (cbp_chroma, quantized DC grids,
+    quantized AC blocks); the transform tail shared by the intra mode
+    encoders and the P-slice motion-compensated path."""
     cdcq: list[np.ndarray] = []
     cacq: list[list[np.ndarray]] = []
-    for plane, src in ((st.u, src_u), (st.v, src_v)):
-        cpred = _pred_chroma8(chroma_mode, plane, mbx, mby)
-        cres = src[cy0 : cy0 + 8, cx0 : cx0 + 8].astype(np.int64) - cpred
+    for res in cres:
         cdc = np.empty((2, 2), dtype=np.int64)
         cacs = []
         for blk in range(4):
             bx, by = _CHROMA_BLK_XY[blk]
-            wblk = fdct4x4(cres[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4])
+            wblk = fdct4x4(res[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4])
             cdc[by, bx] = int(wblk[0, 0])
-            cacs.append(quant_ac(wblk, qpc, skip_dc=True))
+            cacs.append(quant_ac(wblk, qpc, intra=intra, skip_dc=True))
         h2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
         cdcq.append(quant_dc(h2 @ cdc @ h2, qp=qpc))
         cacq.append(cacs)
@@ -1193,7 +1260,7 @@ def _encode_chroma(
                 for _ in range(2)]
     if cbp_chroma == 0:
         cdcq = [np.zeros((2, 2), dtype=np.int64) for _ in range(2)]
-    return chroma_mode, cbp_chroma, cdcq, cacq
+    return cbp_chroma, cdcq, cacq
 
 
 def _write_chroma_residuals(
@@ -1247,7 +1314,10 @@ def _read_chroma_residuals(
 def _encode_mb(
     w: _BitWriter, st: _FrameState, mbx: int, mby: int, qp: int,
     src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
+    mtype_off: int = 0,
 ) -> None:
+    """Intra macroblock encode.  ``mtype_off`` shifts the coded
+    mb_type for intra MBs inside P slices (Table 7-13: +5)."""
     x0, y0 = mbx * 16, mby * 16
     mark = len(w.bits)
     src_blk = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64)
@@ -1286,9 +1356,11 @@ def _encode_mb(
             for m in _i4_legal_modes(avail_l, avail_t)
         )
     if i4_est * 5 < i16_sad * 4:  # >20% SAD win pays the mode bits
-        _encode_i4_mb(w, st, mbx, mby, qp, src_y, src_u, src_v)
+        _encode_i4_mb(w, st, mbx, mby, qp, src_y, src_u, src_v, mtype_off)
         if len(w.bits) - mark > _PCM_BITS:
-            _rollback_to_pcm(w, st, mbx, mby, mark, src_y, src_u, src_v)
+            _rollback_to_pcm(
+                w, st, mbx, mby, mark, src_y, src_u, src_v, mtype_off
+            )
         return
     st.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
     pred = preds[pred_mode]
@@ -1309,7 +1381,7 @@ def _encode_mb(
     )
     # ---- syntax: mb_type encodes the luma pred mode + both CBPs
     mb_type = 1 + pred_mode + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
-    w.ue(mb_type)
+    w.ue(mb_type + mtype_off)
     w.ue(chroma_mode)  # intra_chroma_pred_mode
     w.se(0)  # mb_qp_delta
     # ---- residuals (§7.3.5.3.3 block order) + nC bookkeeping
@@ -1331,7 +1403,9 @@ def _encode_mb(
     # representation (the spec's worst-case-size escape), roll the bits
     # back and emit the source samples verbatim — lossless for this MB
     if len(w.bits) - mark > _PCM_BITS:
-        _rollback_to_pcm(w, st, mbx, mby, mark, src_y, src_u, src_v)
+        _rollback_to_pcm(
+            w, st, mbx, mby, mark, src_y, src_u, src_v, mtype_off
+        )
         return
 
     # ---- closed-loop reconstruction through the DECODER path
@@ -1346,9 +1420,12 @@ def _encode_mb(
 
 def _decode_mb(
     r: _BitReader, st: _FrameState, mbx: int, mby: int, qp: int,
-    chroma_qp_offset: int = 0,
+    chroma_qp_offset: int = 0, mb_type: int | None = None,
 ) -> None:
-    mb_type = r.ue()
+    """Intra macroblock decode; ``mb_type`` is pre-read (and already
+    un-offset by 5) when called from a P slice."""
+    if mb_type is None:
+        mb_type = r.ue()
     if mb_type == 0:
         _decode_i4_mb(r, st, mbx, mby, qp, chroma_qp_offset)
         return
@@ -1405,6 +1482,7 @@ def _decode_mb(
 def encode_frame_nal(
     rgb: bytes, width: int, height: int, qp: int = DEFAULT_QP,
     idr_pic_id: int = 0, return_recon: bool = False, deblock: bool = True,
+    return_planes: bool = False,
 ):
     """One RGB frame → one IDR slice NAL (header byte included).  With
     ``return_recon``: also the encoder's closed-loop reconstruction as
@@ -1426,12 +1504,14 @@ def encode_frame_nal(
         for mbx in range(mb_w):
             _encode_mb(w, st, mbx, mby, qp, y, u, v)
     nal = b"\x65" + w.finish()  # nal_ref_idc=3, type 5 (IDR)
-    if not return_recon:
+    if not (return_recon or return_planes):
         return nal
     ry, ru, rv = (
         deblock_frame(st.y, st.u, st.v, qp) if deblock
         else (st.y, st.u, st.v)
     )
+    if return_planes:
+        return nal, (ry, ru, rv)
     recon = yuv420_to_rgb(
         ry[:height, :width],
         ru[: (height + 1) // 2, : (width + 1) // 2],
@@ -1441,26 +1521,42 @@ def encode_frame_nal(
 
 
 def decode_frame_nal(
-    nal: bytes, sps: dict, pps: dict
+    nal: bytes, sps: dict, pps: dict,
+    ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """IDR slice NAL → reconstructed (Y, U, V) planes (coded size;
-    caller crops)."""
+    """Slice NAL → reconstructed (Y, U, V) planes (coded size; caller
+    crops).  IDR slices decode standalone; P slices require ``ref`` —
+    the PREVIOUS decoded picture's output planes (single-reference
+    baseline subset)."""
     if not nal:
         raise MediaFormatError("empty NAL")
     nal_type = nal[0] & 0x1F
     if nal_type not in (1, 5):
         raise MediaFormatError(f"unexpected NAL type {nal_type} for slice")
-    if nal_type == 1:
-        raise MediaFormatError(
-            "non-IDR slice: inter prediction outside the intra subset"
-        )
     r = _BitReader(_unescape_rbsp(nal[1:]))
-    qp, deblock, a_off, b_off = _parse_slice_header(r, sps, pps)
+    stype, qp, deblock, a_off, b_off = _parse_slice_header(
+        r, sps, pps, idr=nal_type == 5
+    )
     st = _FrameState(sps["mb_w"], sps["mb_h"])
     cqo = pps.get("chroma_qp_index_offset", 0)
-    for mby in range(sps["mb_h"]):
-        for mbx in range(sps["mb_w"]):
-            _decode_mb(r, st, mbx, mby, qp, cqo)
+    if stype == "P":
+        if ref is None:
+            raise MediaFormatError(
+                "P slice without a decoded reference picture"
+            )
+        if deblock:
+            # our encoder always signals idc=1 on inter pictures; a
+            # foreign stream wanting the filter needs the inter bS
+            # derivation (coeff/mv-dependent) we don't implement —
+            # quarantine, never a subtly-wrong frame
+            raise MediaFormatError(
+                "deblocking on inter pictures outside the subset"
+            )
+        _decode_p_slice_mbs(r, st, qp, cqo, ref)
+    else:
+        for mby in range(sps["mb_h"]):
+            for mbx in range(sps["mb_w"]):
+                _decode_mb(r, st, mbx, mby, qp, cqo)
     if not r.byte_aligned_stop():
         raise MediaFormatError("trailing bits after last macroblock")
     if deblock:
@@ -1584,6 +1680,7 @@ def decode_avcc_samples(
     pps = parse_pps(pps_nal)
     w, h = sps["width"], sps["height"]
     frames = []
+    ref = None  # previous picture's output planes (single-ref P chain)
     for sample in samples:
         frame = None
         for nal in split_sample_nals(sample, length_size):
@@ -1605,7 +1702,8 @@ def decode_avcc_samples(
             elif t in (1, 5):
                 if frame is not None:
                     raise MediaFormatError("multi-slice sample unsupported")
-                y, u, v = decode_frame_nal(nal, sps, pps)
+                y, u, v = decode_frame_nal(nal, sps, pps, ref=ref)
+                ref = (y, u, v)
                 ct, cl = sps["crop_t"], sps["crop_l"]
                 frame = yuv420_to_rgb(
                     y[ct : ct + h, cl : cl + w],
@@ -1623,20 +1721,24 @@ def decode_avcc_samples(
 
 
 def encode_avcc_samples(
-    width: int, height: int, frames_rgb: list[bytes], qp: int = DEFAULT_QP
+    width: int, height: int, frames_rgb: list[bytes], qp: int = DEFAULT_QP,
+    gop: str = "all-intra",
 ) -> tuple[bytes, list[bytes]]:
     """Frames → (avcC record body, one length-prefixed sample per
     frame) — the container-side encoder seam (mp4 stsd / mkv
     CodecPrivate both carry avcC).  Memoized: fixture lanes mux the
     SAME frames into mp4 AND mkv, and the encoder is deterministic, so
     the second container reuses the first bitstream."""
-    key = (width, height, tuple(frames_rgb), qp)
+    key = (width, height, tuple(frames_rgb), qp, gop)
     hit = _AVCC_CACHE.get(key)
     if hit is not None:
         return hit
     from reindexer_spark.codecs import build_avcc
 
-    sps, pps, nals = encode_h264_intra(width, height, frames_rgb, qp)
+    if gop == "ippp":
+        sps, pps, nals = encode_h264_ippp(width, height, frames_rgb, qp)
+    else:
+        sps, pps, nals = encode_h264_intra(width, height, frames_rgb, qp)
     samples = [len(n).to_bytes(4, "big") + n for n in nals]
     out = (build_avcc(sps, pps), samples)
     if len(_AVCC_CACHE) > 64:
@@ -1684,11 +1786,16 @@ def split_annexb(data: bytes) -> list[bytes]:
 
 
 def encode_h264_annexb(
-    width: int, height: int, frames_rgb: list[bytes], qp: int = DEFAULT_QP
+    width: int, height: int, frames_rgb: list[bytes], qp: int = DEFAULT_QP,
+    gop: str = "all-intra",
 ) -> bytes:
-    """Frames → a raw Annex-B elementary stream (SPS, PPS, then one IDR
-    slice per frame, 4-byte start codes)."""
-    sps, pps, nals = encode_h264_intra(width, height, frames_rgb, qp)
+    """Frames → a raw Annex-B elementary stream (SPS, PPS, then one
+    slice per frame, 4-byte start codes).  ``gop="ippp"``: first frame
+    IDR, later frames P (single reference)."""
+    if gop == "ippp":
+        sps, pps, nals = encode_h264_ippp(width, height, frames_rgb, qp)
+    else:
+        sps, pps, nals = encode_h264_intra(width, height, frames_rgb, qp)
     sc = b"\x00\x00\x00\x01"
     return sc + sps + sc + pps + b"".join(sc + n for n in nals)
 
@@ -1716,6 +1823,7 @@ def decode_h264_annexb_stream(data: bytes) -> tuple[int, int, list[bytes]]:
     sps = pps = None
     frames = []
     w = h = None
+    ref = None
     for nal in split_annexb(data):
         t = nal[0] & 0x1F
         if t == 7:
@@ -1731,7 +1839,8 @@ def decode_h264_annexb_stream(data: bytes) -> tuple[int, int, list[bytes]]:
         elif t in (1, 5):
             if sps is None or pps is None:
                 raise MediaFormatError("slice before SPS/PPS in stream")
-            y, u, v = decode_frame_nal(nal, sps, pps)
+            y, u, v = decode_frame_nal(nal, sps, pps, ref=ref)
+            ref = (y, u, v)
             ct, cl = sps["crop_t"], sps["crop_l"]
             frames.append(
                 yuv420_to_rgb(
@@ -2100,6 +2209,7 @@ def _i4_legal_modes(avail_l: bool, avail_t: bool) -> list[int]:
 def _encode_i4_mb(
     w: _BitWriter, st: _FrameState, mbx: int, mby: int, qp: int,
     src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
+    mtype_off: int = 0,
 ) -> None:
     """Intra_4x4 macroblock: closed-loop per-block mode decision and
     reconstruction (later blocks predict from just-reconstructed
@@ -2139,7 +2249,7 @@ def _encode_i4_mb(
     )
     cbp = cbp_luma | (cbp_chroma << 4)
     # ---- syntax
-    w.ue(0)  # mb_type: I_4x4
+    w.ue(0 + mtype_off)  # mb_type: I_4x4
     for blk in range(16):
         bx, by = _LUMA_BLK_XY[blk]
         abx, aby = mbx * 4 + bx, mby * 4 + by
@@ -2221,3 +2331,570 @@ def _decode_i4_mb(
     _reconstruct_chroma(
         st, mbx, mby, qp, chroma_qp_offset, chroma_mode, cdc, cac
     )
+
+
+# ---------------------------------------------------------------------------
+# P slices (§8.4): single-reference motion compensation — round 10.
+#
+# Subset: P_Skip / P_L0_16x16 / P_L0_L0_16x8 / P_L0_L0_8x16 plus intra
+# macroblocks (mb_type + 5), ONE reference picture (the previous
+# decoded picture), quarter-pel luma interpolation (§8.4.2.2.1 6-tap)
+# and eighth-pel bilinear chroma (§8.4.2.2.2), median/directional MV
+# prediction (§8.4.1.3) and the P_Skip MV rule (§8.4.1.1), CAVLC
+# residuals with the Table 9-4 Inter CBP column.  P_8x8 sub-macroblock
+# partitions, multi-reference lists and B slices stay OUTSIDE the
+# subset and quarantine via MediaFormatError; the encoder signals the
+# deblocking filter OFF on inter pictures (a conformant encoder
+# choice), so the closed reference loop is exactly the unfiltered
+# reconstruction on both sides.
+# ---------------------------------------------------------------------------
+
+# Table 9-4, Inter column: codeNum -> coded_block_pattern.  Transcribed
+# from the published spec; self-consistency guaranteed by the shared
+# encode/decode instance, permutation + spot values pinned in tests.
+_CBP_INTER = (
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41,
+)
+_CBP_INTER_ENC = {cbp: code for code, cbp in enumerate(_CBP_INTER)}
+
+
+def _mc_luma(
+    ref_y: np.ndarray, x0: int, y0: int, bw: int, bh: int,
+    mvx: int, mvy: int,
+) -> np.ndarray:
+    """Quarter-pel luma motion compensation for a bw×bh block whose
+    top-left sits at (x0, y0), per §8.4.2.2.1: 6-tap (1,-5,20,20,-5,1)
+    half-pel filter, quarter positions by averaging (Table 8-12).
+    Out-of-picture samples come from per-coordinate clamping, which is
+    exactly the spec's edge extension."""
+    ix, iy = mvx >> 2, mvy >> 2
+    fx, fy = mvx & 3, mvy & 3
+    xs = np.clip(
+        np.arange(x0 + ix - 2, x0 + ix + bw + 3), 0, ref_y.shape[1] - 1
+    )
+    ys = np.clip(
+        np.arange(y0 + iy - 2, y0 + iy + bh + 3), 0, ref_y.shape[0] - 1
+    )
+    e = ref_y[np.ix_(ys, xs)].astype(np.int64)  # (bh+5, bw+5)
+    full = e[2 : 3 + bh, 2 : 3 + bw]  # integer grid incl. +1 row/col
+    if fx == 0 and fy == 0:
+        return full[:bh, :bw]
+    taps = (1, -5, 20, 20, -5, 1)
+
+    def hfilt(a: np.ndarray) -> np.ndarray:  # horizontal 6-tap, raw sums
+        return sum(t * a[:, k : a.shape[1] - 5 + k] for k, t in enumerate(taps))
+
+    def vfilt(a: np.ndarray) -> np.ndarray:  # vertical 6-tap, raw sums
+        return sum(t * a[k : a.shape[0] - 5 + k, :] for k, t in enumerate(taps))
+
+    # half-pel grids (b: between columns, h: between rows), §8.4.2.2.1
+    b1_full = hfilt(e)  # (bh+5, bw) raw 20-bit sums at every row
+    b = np.clip((b1_full[2 : 3 + bh, :] + 16) >> 5, 0, 255)  # (bh+1, bw)
+    h1 = vfilt(e[:, 2 : 3 + bw])  # (bh, bw+1)
+    hh = np.clip((h1 + 16) >> 5, 0, 255)
+    j = np.clip((vfilt(b1_full) + 512) >> 10, 0, 255)  # (bh, bw) center
+
+    g0 = full[:bh, :bw]
+    h_right = full[:bh, 1 : 1 + bw]
+    m_down = full[1 : 1 + bh, :bw]
+    b0, s = b[:bh, :], b[1 : 1 + bh, :]
+    h0, m = hh[:, :bw], hh[:, 1 : 1 + bw]
+    sel = {
+        (1, 0): (g0, b0), (2, 0): (b0, None), (3, 0): (b0, h_right),
+        (0, 1): (g0, h0), (0, 2): (h0, None), (0, 3): (h0, m_down),
+        (1, 1): (b0, h0), (3, 1): (b0, m), (1, 3): (h0, s),
+        (3, 3): (m, s), (2, 1): (b0, j), (1, 2): (h0, j),
+        (3, 2): (j, m), (2, 3): (j, s), (2, 2): (j, None),
+    }[(fx, fy)]
+    a0, a1 = sel
+    return a0 if a1 is None else (a0 + a1 + 1) >> 1
+
+
+def _mc_chroma(
+    ref_c: np.ndarray, cx0: int, cy0: int, bw: int, bh: int,
+    mvx: int, mvy: int,
+) -> np.ndarray:
+    """Eighth-pel bilinear chroma MC (§8.4.2.2.2); same coordinate
+    clamping as luma.  The luma quarter-pel MV applies verbatim (chroma
+    coordinates are halved, so the same integer is in eighth units)."""
+    ix, iy = mvx >> 3, mvy >> 3
+    fx, fy = mvx & 7, mvy & 7
+    xs = np.clip(np.arange(cx0 + ix, cx0 + ix + bw + 1), 0, ref_c.shape[1] - 1)
+    ys = np.clip(np.arange(cy0 + iy, cy0 + iy + bh + 1), 0, ref_c.shape[0] - 1)
+    e = ref_c[np.ix_(ys, xs)].astype(np.int64)
+    a = e[:bh, :bw]
+    bb = e[:bh, 1 : 1 + bw]
+    c = e[1 : 1 + bh, :bw]
+    d = e[1 : 1 + bh, 1 : 1 + bw]
+    return (
+        (8 - fx) * (8 - fy) * a + fx * (8 - fy) * bb
+        + (8 - fx) * fy * c + fx * fy * d + 32
+    ) >> 6
+
+
+# partition geometry per P mb_type: (kind, block-dx, block-dy, bw, bh)
+_P_PARTS = {
+    0: (("16x16", 0, 0, 4, 4),),
+    1: (("16x8t", 0, 0, 4, 2), ("16x8b", 0, 2, 4, 2)),
+    2: (("8x16l", 0, 0, 2, 4), ("8x16r", 2, 0, 2, 4)),
+}
+
+
+def _mv_nbr(st: _FrameState, bx: int, by: int):
+    """Neighbour block info for MV prediction: (available, inter, mv).
+    Out-of-picture → unavailable; intra blocks are available but not
+    inter (refIdx -1, mv 0 per §8.4.1.3.2)."""
+    if bx < 0 or by < 0 or bx >= st.mb_w * 4 or by >= st.mb_h * 4:
+        return (False, False, (0, 0))
+    if not st.inter[by, bx]:
+        return (True, False, (0, 0))
+    return (True, True, (int(st.mv[by, bx, 0]), int(st.mv[by, bx, 1])))
+
+
+def _pred_mv(
+    st: _FrameState, abx: int, aby: int, pw: int, kind: str
+) -> tuple[int, int]:
+    """§8.4.1.3 MV predictor for the partition whose top-left 4x4 block
+    is (abx, aby), ``pw`` blocks wide.  Single reference list: every
+    inter neighbour matches refIdx 0."""
+    a = _mv_nbr(st, abx - 1, aby)
+    b = _mv_nbr(st, abx, aby - 1)
+    # C = top-right of the partition; available only when its row is in
+    # the MB row above (blocks right of the current partition in the
+    # SAME MB row are not yet decoded) — else substitute D (top-left)
+    c_bx = abx + pw
+    if aby % 4 == 0 and c_bx < st.mb_w * 4:
+        c = _mv_nbr(st, c_bx, aby - 1)
+    else:
+        c = (False, False, (0, 0))
+    if not c[0]:
+        c = _mv_nbr(st, abx - 1, aby - 1)  # D
+    # §8.4.1.3.2 edge rule: only A usable → A supplies B and C
+    if a[0] and not b[0] and not c[0]:
+        b = c = a
+    # directional rules for the rectangular partitions (§8.4.1.3):
+    # the named neighbour wins IFF its refIdx matches (== it is inter)
+    if kind == "16x8t" and b[1]:
+        return b[2]
+    if kind == "16x8b" and a[1]:
+        return a[2]
+    if kind == "8x16l" and a[1]:
+        return a[2]
+    if kind == "8x16r" and c[1]:
+        return c[2]
+    matching = [n for n in (a, b, c) if n[1]]
+    if len(matching) == 1:
+        return matching[0][2]
+    mvs = [n[2] for n in (a, b, c)]
+    return (
+        int(np.median([m[0] for m in mvs])),
+        int(np.median([m[1] for m in mvs])),
+    )
+
+
+def _skip_mv(st: _FrameState, mbx: int, mby: int) -> tuple[int, int]:
+    """§8.4.1.1: P_Skip motion — zero when either edge neighbour is
+    missing or a zero-MV refIdx-0 neighbour exists, else the 16x16
+    predictor."""
+    a = _mv_nbr(st, mbx * 4 - 1, mby * 4)
+    b = _mv_nbr(st, mbx * 4, mby * 4 - 1)
+    if not a[0] or not b[0]:
+        return (0, 0)
+    if (a[1] and a[2] == (0, 0)) or (b[1] and b[2] == (0, 0)):
+        return (0, 0)
+    return _pred_mv(st, mbx * 4, mby * 4, 4, "16x16")
+
+
+def _mc_mb_pred(
+    ref: tuple[np.ndarray, np.ndarray, np.ndarray],
+    mbx: int, mby: int,
+    parts: tuple, mvs: list[tuple[int, int]],
+):
+    """Assemble the full 16x16 luma + 8x8 chroma MC prediction for a
+    partitioned macroblock."""
+    ry, ru, rv = ref
+    pred_y = np.empty((16, 16), dtype=np.int64)
+    pred_u = np.empty((8, 8), dtype=np.int64)
+    pred_v = np.empty((8, 8), dtype=np.int64)
+    for (kind, dx, dy, pw, ph), (mvx, mvy) in zip(parts, mvs):
+        lx, ly, lw, lh = dx * 4, dy * 4, pw * 4, ph * 4
+        pred_y[ly : ly + lh, lx : lx + lw] = _mc_luma(
+            ry, mbx * 16 + lx, mby * 16 + ly, lw, lh, mvx, mvy
+        )
+        cx, cy, cw, ch = dx * 2, dy * 2, pw * 2, ph * 2
+        pred_u[cy : cy + ch, cx : cx + cw] = _mc_chroma(
+            ru, mbx * 8 + cx, mby * 8 + cy, cw, ch, mvx, mvy
+        )
+        pred_v[cy : cy + ch, cx : cx + cw] = _mc_chroma(
+            rv, mbx * 8 + cx, mby * 8 + cy, cw, ch, mvx, mvy
+        )
+    return pred_y, pred_u, pred_v
+
+
+def _store_part_mv(
+    st: _FrameState, mbx: int, mby: int, part, mv: tuple[int, int]
+) -> None:
+    _, dx, dy, pw, ph = part
+    bx, by = mbx * 4 + dx, mby * 4 + dy
+    st.mv[by : by + ph, bx : bx + pw] = mv
+    st.inter[by : by + ph, bx : bx + pw] = True
+
+
+def _recon_p_skip(
+    st: _FrameState, mbx: int, mby: int,
+    ref: tuple[np.ndarray, np.ndarray, np.ndarray],
+) -> None:
+    mv = _skip_mv(st, mbx, mby)
+    pred_y, pred_u, pred_v = _mc_mb_pred(
+        ref, mbx, mby, _P_PARTS[0], [mv]
+    )
+    x0, y0 = mbx * 16, mby * 16
+    st.y[y0 : y0 + 16, x0 : x0 + 16] = pred_y
+    cx0, cy0 = mbx * 8, mby * 8
+    st.u[cy0 : cy0 + 8, cx0 : cx0 + 8] = pred_u
+    st.v[cy0 : cy0 + 8, cx0 : cx0 + 8] = pred_v
+    _store_part_mv(st, mbx, mby, _P_PARTS[0][0], mv)
+    st.nc_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+    for comp in range(2):
+        st.nc_c[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+    st.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
+
+
+def _inter_luma_quant(
+    src_y: np.ndarray, pred_y: np.ndarray, mbx: int, mby: int, qp: int
+):
+    """(source, MC prediction) → 16 quantized 4x4 blocks + cbp_luma.
+    Inter luma codes full 16-coefficient blocks (no I_16x16 DC split)
+    with the inter quantization deadzone."""
+    x0, y0 = mbx * 16, mby * 16
+    resid = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64) - pred_y
+    zs = []
+    cbp_luma = 0
+    for blk in range(16):
+        bx, by = _LUMA_BLK_XY[blk]
+        z = quant_ac(
+            fdct4x4(resid[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]),
+            qp, intra=False,
+        )
+        zs.append(z)
+    for b8 in range(4):
+        if any(np.any(zs[b8 * 4 + k]) for k in range(4)):
+            cbp_luma |= 1 << b8
+    return zs, cbp_luma
+
+
+def _recon_inter_luma(
+    st: _FrameState, mbx: int, mby: int, qp: int,
+    pred_y: np.ndarray, zs: list[np.ndarray], cbp_luma: int,
+) -> None:
+    x0, y0 = mbx * 16, mby * 16
+    out = pred_y.copy()
+    for blk in range(16):
+        if not cbp_luma & (1 << (blk // 4)):
+            continue
+        bx, by = _LUMA_BLK_XY[blk]
+        res = idct4x4(dequant_ac(zs[blk], qp))
+        out[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] += res
+    st.y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(out, 0, 255)
+
+
+def _encode_p_mb(
+    w: _BitWriter, st: _FrameState, mbx: int, mby: int, qp: int,
+    src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
+    ref: tuple[np.ndarray, np.ndarray, np.ndarray], skip_run: int,
+) -> int:
+    """Encode one macroblock of a P slice; returns the updated
+    mb_skip_run (incremented if this MB became P_Skip, else flushed
+    before the coded MB)."""
+    x0, y0 = mbx * 16, mby * 16
+    src_blk = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64)
+    ry = ref[0]
+
+    def sad_at(mvx: int, mvy: int, dx=0, dy=0, bw=16, bh=16) -> int:
+        p = _mc_luma(ry, x0 + dx, y0 + dy, bw, bh, mvx, mvy)
+        s = src_blk[dy : dy + bh, dx : dx + bw]
+        return int(np.abs(s - p).sum())
+
+    def search(pmv: tuple[int, int], dx=0, dy=0, bw=16, bh=16):
+        # integer-pel full search ±4 around the predictor (plus the
+        # zero vector), then one half- and one quarter-pel refinement
+        # ring — the classic two-stage refinement
+        base = (pmv[0] >> 2 << 2, pmv[1] >> 2 << 2)
+        best, best_cost = None, None
+        cands = {(0, 0), base}
+        cands.update(
+            (base[0] + 4 * sx, base[1] + 4 * sy)
+            for sx in range(-4, 5) for sy in range(-4, 5)
+        )
+        for mv in cands:
+            cost = sad_at(mv[0], mv[1], dx, dy, bw, bh) + 2 * (
+                abs(mv[0] - pmv[0]) + abs(mv[1] - pmv[1])
+            )
+            if best_cost is None or cost < best_cost:
+                best, best_cost = mv, cost
+        for step in (2, 1):
+            improved = True
+            while improved:
+                improved = False
+                for sx, sy in ((step, 0), (-step, 0), (0, step), (0, -step)):
+                    mv = (best[0] + sx, best[1] + sy)
+                    cost = sad_at(mv[0], mv[1], dx, dy, bw, bh) + 2 * (
+                        abs(mv[0] - pmv[0]) + abs(mv[1] - pmv[1])
+                    )
+                    if cost < best_cost:
+                        best, best_cost = mv, cost
+                        improved = True
+        return best, best_cost
+
+    # ---- 16x16 motion estimation
+    pmv16 = _pred_mv(st, mbx * 4, mby * 4, 4, "16x16")
+    mv16, cost16 = search(pmv16)
+    # ---- rectangular partitions: estimate with the 16x16 pmv as the
+    # search anchor (the exact per-partition pmv is applied at WRITE
+    # time; a suboptimal anchor only costs rate, never conformance)
+    best_rect = None
+    for mtype in (1, 2):
+        mvs, cost = [], 10  # ~bits penalty for the second mvd
+        for kind, dx, dy, pw, ph in _P_PARTS[mtype]:
+            mv, c = search(pmv16, dx * 4, dy * 4, pw * 4, ph * 4)
+            mvs.append(mv)
+            cost += c
+        if best_rect is None or cost < best_rect[2]:
+            best_rect = (mtype, mvs, cost)
+    # ---- intra fallback cost (same SAD basis)
+    legal = [L16_DC]
+    if mby > 0:
+        legal.append(L16_VERTICAL)
+    if mbx > 0:
+        legal.append(L16_HORIZONTAL)
+    intra_sad = min(
+        int(np.abs(src_blk - _pred_luma16(m, st.y, mbx, mby)).sum())
+        for m in legal
+    )
+    inter_cost = min(cost16, best_rect[2])
+    if intra_sad + 24 < inter_cost:  # intra must win past its rate cost
+        w.ue(skip_run)
+        _encode_mb(w, st, mbx, mby, qp, src_y, src_u, src_v, mtype_off=5)
+        # intra blocks: not available for inter prediction (defaults
+        # in a fresh frame state, but this MB may overwrite)
+        st.inter[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = False
+        st.mv[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+        return 0
+    if cost16 <= best_rect[2]:
+        mtype, mvs = 0, [mv16]
+    else:
+        mtype, mvs = best_rect[0], best_rect[1]
+    parts = _P_PARTS[mtype]
+    pred_y, pred_u, pred_v = _mc_mb_pred(ref, mbx, mby, parts, mvs)
+    zs, cbp_luma = _inter_luma_quant(src_y, pred_y, mbx, mby, qp)
+    qpc = _QPC[max(0, min(51, qp))]
+    cx0, cy0 = mbx * 8, mby * 8
+    cres = [
+        src[cy0 : cy0 + 8, cx0 : cx0 + 8].astype(np.int64) - pred
+        for src, pred in ((src_u, pred_u), (src_v, pred_v))
+    ]
+    cbp_chroma, cdcq, cacq = _chroma_transform_quant(cres, qpc, intra=False)
+    cbp = cbp_luma | (cbp_chroma << 4)
+    # ---- P_Skip: 16x16, MV equal to the skip MV, nothing coded
+    if mtype == 0 and cbp == 0 and mvs[0] == _skip_mv(st, mbx, mby):
+        _recon_p_skip(st, mbx, mby, ref)
+        return skip_run + 1
+    # ---- syntax
+    w.ue(skip_run)
+    w.ue(mtype)
+    for part, mv in zip(parts, mvs):
+        kind, dx, dy, pw, _ = part
+        pmv = _pred_mv(st, mbx * 4 + dx, mby * 4 + dy, pw, kind)
+        w.se(mv[0] - pmv[0])
+        w.se(mv[1] - pmv[1])
+        _store_part_mv(st, mbx, mby, part, mv)
+    st.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
+    w.ue(_CBP_INTER_ENC[cbp])
+    if cbp:
+        w.se(0)  # mb_qp_delta
+    for blk in range(16):
+        bx, by = _LUMA_BLK_XY[blk]
+        abx, aby = mbx * 4 + bx, mby * 4 + by
+        if cbp_luma & (1 << (blk // 4)):
+            total = encode_residual(
+                w, _zigzag_list(zs[blk], skip_dc=False), st.nc_luma(abx, aby)
+            )
+            st.nc_y[aby, abx] = total
+        else:
+            st.nc_y[aby, abx] = 0
+    _write_chroma_residuals(w, st, mbx, mby, cbp_chroma, cdcq, cacq)
+    # ---- closed-loop reconstruction (decoder path)
+    _recon_inter_luma(st, mbx, mby, qp, pred_y, zs, cbp_luma)
+    _recon_chroma_blocks(
+        st, mbx, mby, qp, 0, [pred_u, pred_v], cdcq, cacq
+    )
+    return 0
+
+
+def _decode_p_mb(
+    r: _BitReader, st: _FrameState, mbx: int, mby: int, qp: int,
+    cqo: int, ref: tuple[np.ndarray, np.ndarray, np.ndarray],
+) -> None:
+    mb_type = r.ue()
+    if mb_type >= 5:
+        # Table 7-13: intra macroblock types offset by 5 in P slices
+        st.inter[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = False
+        st.mv[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+        _decode_mb(r, st, mbx, mby, qp, cqo, mb_type=mb_type - 5)
+        return
+    if mb_type in (3, 4):
+        raise MediaFormatError(
+            "P_8x8 sub-macroblock partitions outside the subset"
+        )
+    parts = _P_PARTS[mb_type]
+    mvs = []
+    for part in parts:
+        kind, dx, dy, pw, _ = part
+        pmv = _pred_mv(st, mbx * 4 + dx, mby * 4 + dy, pw, kind)
+        mv = (pmv[0] + r.se(), pmv[1] + r.se())
+        mvs.append(mv)
+        _store_part_mv(st, mbx, mby, part, mv)
+    st.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
+    code = r.ue()
+    if code >= len(_CBP_INTER):
+        raise MediaFormatError("coded_block_pattern code out of range")
+    cbp = _CBP_INTER[code]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp_chroma > 2:
+        raise MediaFormatError("invalid chroma coded_block_pattern")
+    if cbp and r.se() != 0:
+        raise MediaFormatError("mb_qp_delta outside the fixed-QP subset")
+    zs = []
+    for blk in range(16):
+        bx, by = _LUMA_BLK_XY[blk]
+        abx, aby = mbx * 4 + bx, mby * 4 + by
+        if cbp_luma & (1 << (blk // 4)):
+            coeffs, total = decode_residual(r, st.nc_luma(abx, aby), 16)
+            st.nc_y[aby, abx] = total
+            zs.append(_unzigzag(coeffs, skip_dc=False))
+        else:
+            st.nc_y[aby, abx] = 0
+            zs.append(np.zeros((4, 4), dtype=np.int64))
+    cdc, cac = _read_chroma_residuals(r, st, mbx, mby, cbp_chroma)
+    pred_y, pred_u, pred_v = _mc_mb_pred(ref, mbx, mby, parts, mvs)
+    _recon_inter_luma(st, mbx, mby, qp, pred_y, zs, cbp_luma)
+    _recon_chroma_blocks(
+        st, mbx, mby, qp, cqo, [pred_u, pred_v], cdc, cac
+    )
+
+
+def _decode_p_slice_mbs(
+    r: _BitReader, st: _FrameState, qp: int, cqo: int,
+    ref: tuple[np.ndarray, np.ndarray, np.ndarray],
+) -> None:
+    n_mbs = st.mb_w * st.mb_h
+    i = 0
+    while i < n_mbs:
+        run = r.ue()  # mb_skip_run
+        if run > n_mbs - i:
+            raise MediaFormatError("mb_skip_run overruns the picture")
+        for _ in range(run):
+            _recon_p_skip(st, i % st.mb_w, i // st.mb_w, ref)
+            i += 1
+        if i >= n_mbs:
+            break
+        _decode_p_mb(r, st, i % st.mb_w, i // st.mb_w, qp, cqo, ref)
+        i += 1
+
+
+def encode_p_frame_nal(
+    rgb: bytes, width: int, height: int, qp: int,
+    ref: tuple[np.ndarray, np.ndarray, np.ndarray], frame_num: int,
+):
+    """One RGB frame → one P slice NAL against ``ref`` (the previous
+    picture's reconstruction planes).  Returns (nal, recon planes) —
+    the planes feed the next frame's reference, and by the closed-loop
+    contract they are byte-identical to any conforming decoder's
+    output for this NAL."""
+    y, u, v = rgb_to_yuv420(rgb, width, height)
+    y, u, v = _pad_plane(y, 16), _pad_plane(u, 8), _pad_plane(v, 8)
+    mb_w, mb_h = y.shape[1] // 16, y.shape[0] // 16
+    st = _FrameState(mb_w, mb_h)
+    w = _BitWriter()
+    _write_slice_header(
+        w, qp, DEFAULT_QP, 0, log2_max_frame_num=4, poc_type=0,
+        log2_max_poc_lsb=4, deblock=False, slice_type="P",
+        frame_num=frame_num,
+    )
+    skip_run = 0
+    for mby in range(mb_h):
+        for mbx in range(mb_w):
+            skip_run = _encode_p_mb(
+                w, st, mbx, mby, qp, y, u, v, ref, skip_run
+            )
+    if skip_run:
+        w.ue(skip_run)  # trailing skip run
+    nal = b"\x41" + w.finish()  # nal_ref_idc=2, type 1 (non-IDR slice)
+    return nal, (st.y, st.u, st.v)
+
+
+def encode_h264_ippp(
+    width: int, height: int, frames_rgb: list[bytes], qp: int = DEFAULT_QP,
+    return_recon: bool = False,
+):
+    """Frames → (SPS, PPS, [IDR slice, P slice, ...][, recon frames]):
+    the first frame intra, every later frame predicted from its
+    predecessor (single reference).  The encoder signals the deblocking
+    filter OFF on every slice — a conformant encoder choice that makes
+    the reference loop exactly the unfiltered reconstruction, so
+    encoder recon ≡ any conforming decoder's output, byte for byte."""
+    sps = write_h264_sps(width, height, 66, 30)
+    pps = write_pps(DEFAULT_QP)
+    out = encode_frame_nal(
+        frames_rgb[0], width, height, qp, idr_pic_id=0,
+        deblock=False, return_planes=True,
+    )
+    nals = [out[0]]
+    planes = out[1]
+    recons = [planes]
+    for i, f in enumerate(frames_rgb[1:], start=1):
+        nal, planes = encode_p_frame_nal(f, width, height, qp, planes, i)
+        nals.append(nal)
+        recons.append(planes)
+    if not return_recon:
+        return sps, pps, nals
+    rgb_recons = [
+        yuv420_to_rgb(
+            y[:height, :width],
+            u[: (height + 1) // 2, : (width + 1) // 2],
+            v[: (height + 1) // 2, : (width + 1) // 2],
+        )
+        for y, u, v in recons
+    ]
+    return sps, pps, nals, rgb_recons
+
+
+def decode_h264_stream(
+    sps_nal: bytes, pps_nal: bytes, slice_nals: list[bytes]
+) -> tuple[int, int, list[bytes]]:
+    """(SPS, PPS, slices) → (width, height, RGB frames) for IDR+P
+    sequences (single reference: each picture predicts from its
+    predecessor's output).  Raises MediaFormatError outside the
+    subset."""
+    sps = _parse_sps_slice_fields(sps_nal)
+    pps = parse_pps(pps_nal)
+    w, h = sps["width"], sps["height"]
+    ct, cl = sps["crop_t"], sps["crop_l"]
+    frames = []
+    ref = None
+    for nal in slice_nals:
+        planes = decode_frame_nal(nal, sps, pps, ref=ref)
+        ref = planes
+        y, u, v = planes
+        frames.append(
+            yuv420_to_rgb(
+                y[ct : ct + h, cl : cl + w],
+                u[ct // 2 : ct // 2 + (h + 1) // 2,
+                  cl // 2 : cl // 2 + (w + 1) // 2],
+                v[ct // 2 : ct // 2 + (h + 1) // 2,
+                  cl // 2 : cl // 2 + (w + 1) // 2],
+            )
+        )
+    return w, h, frames

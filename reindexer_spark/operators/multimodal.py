@@ -1533,6 +1533,54 @@ def video_scene_cuts_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("media_id", "container", "n_frames", "n_cuts", "cuts")
 
 
+def _synth_webp(d: DataFrame) -> DataFrame:
+    """documents → probe-only WebP rows (media_id + 2_000_000), rotating
+    the three container layouts a crawl carries: bare lossy VP8
+    keyframe (doc_id % 36 == 9), bare lossless VP8L (% 36 == 21), and
+    extended VP8X + ANIM/ANMF (% 36 == 33, 2-4 frames).  Geometry
+    derives from sha256(text) like every other fixture lane so the
+    oracle re-derives it arithmetically.  WebP is probe-only (the
+    VP8/VP8L entropy layers quarantine on decode — same contract as
+    avc1/hev1 tracks), so these rows join the PROBE fixture only, not
+    _synth_media's decode rotation."""
+    schema = (
+        "media_id bigint, kind string, payload binary, meta map<string,string>"
+    )
+
+    def build(batches):
+        import hashlib
+
+        import pandas as pd
+
+        from reindexer_spark.codecs import encode_webp_fixture
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                seed = hashlib.sha256(r.text.encode("utf-8")).digest()
+                w, h = 8 + seed[0] % 9, 8 + seed[1] % 9
+                mod = r.doc_id % 36
+                if mod == 9:
+                    layout, nf = "vp8", 1
+                elif mod == 21:
+                    layout, nf = "vp8l", 1
+                else:
+                    layout, nf = "vp8x-anim", 2 + seed[2] % 3
+                rows.append(
+                    {
+                        "media_id": int(r.doc_id) + 2_000_000,
+                        "kind": "image-webp",
+                        "payload": encode_webp_fixture(w, h, layout, nf, seed),
+                        "meta": {"layout": layout},
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return d.mapInPandas(build, schema)
+
+
 def _probe_meta_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE header-probe pipeline shared by the rows-only metadata lane
     and its hash-gated signature twin (same recipe as the decode /
@@ -1540,8 +1588,9 @@ def _probe_meta_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the rows-only lane cannot diverge)."""
     import pandas as pd
 
-    media = _synth_media(
-        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = _synth_media(docs).unionByName(
+        _synth_webp(docs.filter(F.col("doc_id") % 12 == 9))
     )
 
     def probe(batches):
@@ -1666,6 +1715,19 @@ def multimodal_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(NULL AS INT) AS profile,
       CAST(NULL AS INT) AS level
     FROM k
+    UNION ALL
+    SELECT media_id + 2000000 AS media_id,
+      'image-webp' AS kind, 'webp' AS probe_kind,
+      CAST(8 + s0 % 9 AS INT) AS width,
+      CAST(8 + s1 % 9 AS INT) AS height,
+      CAST(CASE WHEN media_id % 36 = 33 THEN 2 + s2 % 3 ELSE 1 END AS INT)
+        AS n_frames,
+      CAST(NULL AS INT) AS sample_rate,
+      CAST(NULL AS BIGINT) AS n_samples,
+      CAST(NULL AS VARCHAR) AS codec,
+      CAST(NULL AS INT) AS profile,
+      CAST(NULL AS INT) AS level
+    FROM s WHERE media_id % 12 = 9
     """,
 )
 def multimodal_probe_meta_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1676,7 +1738,9 @@ def multimodal_probe_meta_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sha256(text), which DuckDB re-derives arithmetically — so
     equality proves the HEADER path alone (no LZW/DCT/Rice/inflate
     anywhere) reports the constructed geometry for every one of the
-    nine container formats, and the oracle-pinned NULL codec/profile/
+    ten container formats (round 10 adds WebP across its three
+    layouts: bare VP8 keyframe, bare VP8L, VP8X+ANIM — probe-only,
+    decode quarantines), and the oracle-pinned NULL codec/profile/
     level columns prove the probe claims no codec facts these
     containers don't carry."""
     return _probe_meta_core(spark, sf_dir).drop("n_bytes")
@@ -2187,4 +2251,189 @@ def video_intra_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
         thumb,
         "media_id bigint, container string, width int, height int, "
         "thumb_w int, thumb_h int, thumb_bytes bigint, decoded int",
+    )
+
+
+INTER_DOCS = 16  # bounded fixture count (ME is the priciest encode)
+
+
+def _inter_fixture(mid: int, text: str):
+    """Digest-seeded IPPP fixture: a noise base frame TRANSLATING by a
+    per-document (dx, dy) each frame — real motion, so P slices carry
+    real motion vectors (the np.roll wrap seam keeps a thin band of
+    residual/intra MBs alive in every picture).  One synthesis rule
+    shared by the lane and its oracle."""
+    import hashlib
+
+    import numpy as np
+
+    dg = hashlib.sha256(text.encode("utf-8")).digest()
+    # dims ≥ 32: the np.roll wrap seam (which motion compensation
+    # cannot predict) must stay a thin minority band, so the
+    # p_smaller=1 contract is structural, not luck — an 18x22 frame is
+    # mostly seam and P can lose to intra there (found at the sf0.01
+    # gate, media_id 18)
+    w = 2 * (16 + dg[0] % 13)
+    h = 2 * (16 + dg[1] % 9)
+    n_frames = 3 + dg[2] % 3
+    qp = 20 + dg[3] % 18  # 20..37
+    dx, dy = 1 + dg[4] % 3, 1 + dg[5] % 3
+    # true per-pixel noise (digest-seeded): tiling the 32-byte digest
+    # (the intra lane's trick) degenerates into identical rows, which
+    # intra H-prediction codes almost for free and the p_smaller
+    # contract dies; noise makes intra expensive and MC nearly free —
+    # the regime P slices exist for
+    rng = np.random.default_rng(int.from_bytes(dg[:8], "big"))
+    base = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    frames = [
+        np.roll(base, shift=(i * dy, i * dx), axis=(0, 1)).tobytes()
+        for i in range(n_frames)
+    ]
+    container = "mp4" if mid % 2 == 0 else "mkv"
+    return w, h, n_frames, qp, frames, container
+
+
+@query(
+    "video_inter_decode",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {INTER_DOCS}
+    ), s AS (
+      SELECT media_id,
+             CAST(('0x' || substr(dg, 1, 2)) AS INT) AS s0,
+             CAST(('0x' || substr(dg, 3, 2)) AS INT) AS s1,
+             CAST(('0x' || substr(dg, 5, 2)) AS INT) AS s2
+      FROM base
+    )
+    SELECT media_id,
+      CASE WHEN media_id % 2 = 0 THEN 'mp4' ELSE 'mkv' END AS container,
+      CAST(2 * (16 + s0 % 13) AS INT) AS width,
+      CAST(2 * (16 + s1 % 9) AS INT) AS height,
+      CAST(3 + s2 % 3 AS INT) AS n_frames,
+      CAST(2 * (16 + s0 % 13) * 2 * (16 + s1 % 9) * 3 AS BIGINT)
+        AS frame_bytes,
+      CAST(1 AS INT) AS decodable,
+      CAST(1 AS INT) AS only_first_sync,
+      CAST(1 AS INT) AS containers_agree,
+      CAST(1 AS INT) AS p_smaller,
+      CAST(1 AS INT) AS recon_exact
+    FROM s
+    """,
+)
+def video_inter_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL inter-predicted H.264 decode (round-9 VERDICT next #4
+    closed): per document, synthesize a digest-seeded TRANSLATING
+    scene, encode it as an IPPP chain (reindexer_spark.h264 P slices —
+    P_Skip / 16x16 / 16x8 / 8x16 partitions, quarter-pel MC, median MV
+    prediction, single reference), mux into mp4 OR mkv, and decode the
+    pixels back.
+
+    Oracle-pinned contract columns (all re-derived from sha256(text)):
+    ``decodable=1`` — the IPPP chain decodes through the container
+    path; ``only_first_sync=1`` — the container's sync table marks
+    exactly the IDR (stss / SimpleBlock keyframe flags must tell the
+    truth about an inter chain); ``containers_agree=1`` — the same
+    bitstream decodes bit-identically through mp4 AND mkv;
+    ``p_smaller=1`` — the P tail costs fewer bits than the same frames
+    coded all-intra (motion compensation must actually pay);
+    ``recon_exact=1`` — decoder output is BYTE-EXACT against the
+    encoder's closed-loop reconstruction, the §8.4 conformance claim
+    (any mismatch in interpolation, MV prediction, skip inference, or
+    the inter CBP table breaks it).
+
+    Scale shape: identical to video_intra_decode — Arrow-batched
+    mapInPandas, payloads never shuffle; at 100 TB this is the pass
+    that makes real crawl video (overwhelmingly inter-predicted)
+    decodable instead of probe-only."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < INTER_DOCS
+    )
+
+    def build_and_decode(batches):
+        from reindexer_spark.codecs import (
+            MediaFormatError,
+            decode_mkv,
+            decode_mp4,
+            encode_mkv_coded,
+            encode_mp4_coded,
+        )
+        from reindexer_spark.h264 import encode_h264_intra, encode_h264_ippp
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.doc_id)
+                w, h, n_frames, qp, frames, container = _inter_fixture(
+                    mid, r.text
+                )
+                _s, _p, p_nals, recon = encode_h264_ippp(
+                    w, h, frames, qp=qp, return_recon=True
+                )
+                _s, _p, i_nals = encode_h264_intra(w, h, frames, qp=qp)
+                p_smaller = int(
+                    sum(len(n) for n in p_nals[1:])
+                    < sum(len(n) for n in i_nals[1:])
+                )
+                mp4 = encode_mp4_coded(
+                    w, h, intra_frames=frames, qp=qp, gop="ippp"
+                )
+                mkv = encode_mkv_coded(
+                    w, h, intra_frames=frames, qp=qp, gop="ippp"
+                )
+                payload = mp4 if container == "mp4" else mkv
+                dec = decode_mp4 if container == "mp4" else decode_mkv
+                try:
+                    dw, dh, _durs, out, sync = dec(payload)
+                    decodable = 1
+                except MediaFormatError:
+                    dw = dh = 0
+                    out, sync = [], []
+                    decodable = 0
+                only_first_sync = int(
+                    len(sync) == n_frames
+                    and sync[0]
+                    and not any(sync[1:])
+                )
+                other = decode_mkv if container == "mp4" else decode_mp4
+                try:
+                    _w2, _h2, _d2, out2, _s2 = other(
+                        mkv if container == "mp4" else mp4
+                    )
+                    agree = int(out == out2 and len(out) == n_frames)
+                except MediaFormatError:
+                    agree = 0
+                recon_exact = int(out == recon)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "container": container,
+                        "width": dw,
+                        "height": dh,
+                        "n_frames": len(out),
+                        "frame_bytes": len(out[0]) if out else 0,
+                        "decodable": decodable,
+                        "only_first_sync": only_first_sync,
+                        "containers_agree": agree,
+                        "p_smaller": p_smaller,
+                        "recon_exact": recon_exact,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "container", "width", "height", "n_frames",
+                    "frame_bytes", "decodable", "only_first_sync",
+                    "containers_agree", "p_smaller", "recon_exact",
+                ],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build_and_decode,
+        "media_id bigint, container string, width int, height int, "
+        "n_frames int, frame_bytes bigint, decodable int, "
+        "only_first_sync int, containers_agree int, p_smaller int, "
+        "recon_exact int",
     )

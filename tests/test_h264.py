@@ -197,7 +197,9 @@ def test_out_of_subset_streams_quarantine():
     sps, pps, nals = H.encode_h264_intra(16, 16, [bytes(16 * 16 * 3)])
     sd = H._parse_sps_slice_fields(sps)
     pd = H.parse_pps(pps)
-    # non-IDR NAL type 1: inter prediction
+    # non-IDR NAL wrapping IDR-written slice bits: the header desyncs
+    # (no idr_pic_id on a non-IDR parse) and must quarantine, never
+    # decode garbage
     with pytest.raises(MediaFormatError):
         H.decode_frame_nal(b"\x41" + nals[0][1:], sd, pd)
     # CABAC PPS
@@ -231,8 +233,8 @@ def test_out_of_subset_streams_quarantine():
     deblock_pps = H.parse_pps(b"\x68" + w.finish())
     assert not deblock_pps["deblocking_control_present"]
     r = H._BitReader(_unescape_rbsp(nals[0][1:]))
-    qp, on, a_off, b_off = H._parse_slice_header(r, sd, deblock_pps)
-    assert on and (a_off, b_off) == (0, 0)
+    stype, qp, on, a_off, b_off = H._parse_slice_header(r, sd, deblock_pps)
+    assert stype == "I" and on and (a_off, b_off) == (0, 0)
 
 
 def test_fuzz_quarantine_contract():
