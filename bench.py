@@ -169,6 +169,9 @@ EXTENDED = [
     "crawl_encoding_repair",
     "text_encoding_repair_cp1252",
     "corpus_to_webdataset",
+    # round 10
+    "video_inter_decode",
+    "dedup_lsh_hotcap",
 ]
 
 

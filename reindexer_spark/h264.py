@@ -1544,14 +1544,6 @@ def decode_frame_nal(
             raise MediaFormatError(
                 "P slice without a decoded reference picture"
             )
-        if deblock:
-            # our encoder always signals idc=1 on inter pictures; a
-            # foreign stream wanting the filter needs the inter bS
-            # derivation (coeff/mv-dependent) we don't implement —
-            # quarantine, never a subtly-wrong frame
-            raise MediaFormatError(
-                "deblocking on inter pictures outside the subset"
-            )
         _decode_p_slice_mbs(r, st, qp, cqo, ref)
     else:
         for mby in range(sps["mb_h"]):
@@ -1561,8 +1553,13 @@ def decode_frame_nal(
         raise MediaFormatError("trailing bits after last macroblock")
     if deblock:
         # output post-pass only: intra prediction above already read
-        # the unfiltered samples, per §8.7 / §8.3.1
-        return deblock_frame(st.y, st.u, st.v, qp, cqo, a_off, b_off)
+        # the unfiltered samples, per §8.7 / §8.3.1.  P pictures use
+        # the §8.7.2.1 per-edge strengths from the frame state; the
+        # FILTERED picture is what callers store as the next reference
+        return deblock_frame(
+            st.y, st.u, st.v, qp, cqo, a_off, b_off,
+            st=st if stype == "P" else None,
+        )
     return st.y, st.u, st.v
 
 
@@ -1946,13 +1943,62 @@ def _filter_edge_line(p: list[int], q: list[int], bs: int, idx_a: int,
     return p, q
 
 
+def _intra_bs_grids(mb_w: int, mb_h: int) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed all-intra boundary strengths: 4 on macroblock edges, 3 on
+    internal transform edges (both members of every edge are intra)."""
+    bs_v = np.full((mb_h * 4, mb_w * 4), 3, dtype=np.int32)
+    bs_h = np.full((mb_h * 4, mb_w * 4), 3, dtype=np.int32)
+    bs_v[:, ::4] = 4
+    bs_h[::4, :] = 4
+    return bs_v, bs_h
+
+
+def _inter_bs_grids(st: _FrameState) -> tuple[np.ndarray, np.ndarray]:
+    """§8.7.2.1 boundary strengths for a P picture, per 4x4-block edge
+    (single reference list, frame coding): either side intra → 4 on MB
+    edges / 3 inside; else either side carries coefficients → 2; else
+    an MV component differs by ≥ 4 quarter-pel units → 1; else 0 (the
+    segment is not filtered).  bs_v[by, bx] is the VERTICAL edge on the
+    left of block (bx, by); bs_h the HORIZONTAL edge above it."""
+    bh, bw = st.nc_y.shape
+    bs_v = np.zeros((bh, bw), dtype=np.int32)
+    bs_h = np.zeros((bh, bw), dtype=np.int32)
+
+    def bs(pbx, pby, qbx, qby, mb_edge):
+        p_intra = not st.inter[pby, pbx]
+        q_intra = not st.inter[qby, qbx]
+        if p_intra or q_intra:
+            return 4 if mb_edge else 3
+        if st.nc_y[pby, pbx] or st.nc_y[qby, qbx]:
+            return 2
+        if (
+            abs(int(st.mv[pby, pbx, 0]) - int(st.mv[qby, qbx, 0])) >= 4
+            or abs(int(st.mv[pby, pbx, 1]) - int(st.mv[qby, qbx, 1])) >= 4
+        ):
+            return 1
+        return 0
+
+    for by in range(bh):
+        for bx in range(1, bw):
+            bs_v[by, bx] = bs(bx - 1, by, bx, by, bx % 4 == 0)
+    for by in range(1, bh):
+        for bx in range(bw):
+            bs_h[by, bx] = bs(bx, by - 1, bx, by, by % 4 == 0)
+    return bs_v, bs_h
+
+
 def _deblock_plane(plane: np.ndarray, mb_size: int, qp_idx: int,
-                   idx_b: int, is_luma: bool) -> None:
+                   idx_b: int, is_luma: bool,
+                   bs_v: np.ndarray, bs_h: np.ndarray) -> None:
     """Filter one plane in place: per MB (raster order), all vertical
     edges left-to-right, then all horizontal edges top-to-bottom —
-    later edges read already-filtered samples, per §8.7."""
+    later edges read already-filtered samples, per §8.7.  Boundary
+    strengths come per 4x4-LUMA-block segment from the grids (chroma
+    edges map to their co-located luma segment — the spec's 4:2:0
+    rule), so a bS-0 segment is left untouched."""
     h, w = plane.shape
     step = 4
+    scale = 1 if is_luma else 2  # chroma coords → luma block coords
     for mby in range(h // mb_size):
         for mbx in range(w // mb_size):
             x0, y0 = mbx * mb_size, mby * mb_size
@@ -1960,8 +2006,11 @@ def _deblock_plane(plane: np.ndarray, mb_size: int, qp_idx: int,
                 x = x0 + ex
                 if x == 0:
                     continue  # no left neighbour
-                bs = 4 if ex == 0 else 3
+                bcol = (x * scale) // 4
                 for y in range(y0, y0 + mb_size):
+                    bs = int(bs_v[(y * scale) // 4, bcol])
+                    if bs == 0:
+                        continue
                     p = [int(plane[y, x - 1 - k]) for k in range(4)]
                     q = [int(plane[y, x + k]) for k in range(4)]
                     out = _filter_edge_line(p, q, bs, qp_idx, idx_b, is_luma)
@@ -1975,8 +2024,11 @@ def _deblock_plane(plane: np.ndarray, mb_size: int, qp_idx: int,
                 y = y0 + ey
                 if y == 0:
                     continue
-                bs = 4 if ey == 0 else 3
+                brow = (y * scale) // 4
                 for x in range(x0, x0 + mb_size):
+                    bs = int(bs_h[brow, (x * scale) // 4])
+                    if bs == 0:
+                        continue
                     p = [int(plane[y - 1 - k, x]) for k in range(4)]
                     q = [int(plane[y + k, x]) for k in range(4)]
                     out = _filter_edge_line(p, q, bs, qp_idx, idx_b, is_luma)
@@ -1991,18 +2043,26 @@ def _deblock_plane(plane: np.ndarray, mb_size: int, qp_idx: int,
 def deblock_frame(
     y: np.ndarray, u: np.ndarray, v: np.ndarray, qp: int,
     chroma_qp_offset: int = 0, alpha_off: int = 0, beta_off: int = 0,
+    st: _FrameState | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """§8.7 over an all-intra frame (returns filtered copies; inputs —
-    the prediction-reference planes — are left untouched)."""
+    """§8.7 over a decoded frame (returns filtered copies; inputs — the
+    intra-prediction-reference planes — are left untouched).  Without
+    ``st``: the fixed all-intra strengths.  With ``st`` (a P picture's
+    frame state): the §8.7.2.1 per-edge derivation from intra-ness,
+    coefficient presence (TotalCoeff maps) and MV deltas."""
     y, u, v = y.copy(), u.copy(), v.copy()
+    if st is None:
+        bs_v, bs_h = _intra_bs_grids(y.shape[1] // 16, y.shape[0] // 16)
+    else:
+        bs_v, bs_h = _inter_bs_grids(st)
     idx_a = max(0, min(51, qp + alpha_off))
     idx_b = max(0, min(51, qp + beta_off))
-    _deblock_plane(y, 16, idx_a, idx_b, True)
+    _deblock_plane(y, 16, idx_a, idx_b, True, bs_v, bs_h)
     qpc = _QPC[max(0, min(51, qp + chroma_qp_offset))]
     idx_ac = max(0, min(51, qpc + alpha_off))
     idx_bc = max(0, min(51, qpc + beta_off))
-    _deblock_plane(u, 8, idx_ac, idx_bc, False)
-    _deblock_plane(v, 8, idx_ac, idx_bc, False)
+    _deblock_plane(u, 8, idx_ac, idx_bc, False, bs_v, bs_h)
+    _deblock_plane(v, 8, idx_ac, idx_bc, False, bs_v, bs_h)
     return y, u, v
 
 
@@ -2807,9 +2867,11 @@ def _decode_p_slice_mbs(
 def encode_p_frame_nal(
     rgb: bytes, width: int, height: int, qp: int,
     ref: tuple[np.ndarray, np.ndarray, np.ndarray], frame_num: int,
+    deblock: bool = True,
 ):
     """One RGB frame → one P slice NAL against ``ref`` (the previous
-    picture's reconstruction planes).  Returns (nal, recon planes) —
+    picture's FILTERED output planes).  Returns (nal, output planes —
+    deblocked with the §8.7.2.1 inter strengths when ``deblock``) —
     the planes feed the next frame's reference, and by the closed-loop
     contract they are byte-identical to any conforming decoder's
     output for this NAL."""
@@ -2820,7 +2882,7 @@ def encode_p_frame_nal(
     w = _BitWriter()
     _write_slice_header(
         w, qp, DEFAULT_QP, 0, log2_max_frame_num=4, poc_type=0,
-        log2_max_poc_lsb=4, deblock=False, slice_type="P",
+        log2_max_poc_lsb=4, deblock=deblock, slice_type="P",
         frame_num=frame_num,
     )
     skip_run = 0
@@ -2832,6 +2894,8 @@ def encode_p_frame_nal(
     if skip_run:
         w.ue(skip_run)  # trailing skip run
     nal = b"\x41" + w.finish()  # nal_ref_idc=2, type 1 (non-IDR slice)
+    if deblock:
+        return nal, deblock_frame(st.y, st.u, st.v, qp, st=st)
     return nal, (st.y, st.u, st.v)
 
 
@@ -2841,15 +2905,16 @@ def encode_h264_ippp(
 ):
     """Frames → (SPS, PPS, [IDR slice, P slice, ...][, recon frames]):
     the first frame intra, every later frame predicted from its
-    predecessor (single reference).  The encoder signals the deblocking
-    filter OFF on every slice — a conformant encoder choice that makes
-    the reference loop exactly the unfiltered reconstruction, so
-    encoder recon ≡ any conforming decoder's output, byte for byte."""
+    predecessor (single reference).  The deblocking filter is ON, the
+    spec-realistic configuration: references are the FILTERED pictures
+    (§8.7.2.1 per-edge strengths on P pictures), mirrored exactly by
+    the decoder, so encoder recon ≡ any conforming decoder's output,
+    byte for byte."""
     sps = write_h264_sps(width, height, 66, 30)
     pps = write_pps(DEFAULT_QP)
     out = encode_frame_nal(
         frames_rgb[0], width, height, qp, idr_pic_id=0,
-        deblock=False, return_planes=True,
+        return_planes=True,
     )
     nals = [out[0]]
     planes = out[1]

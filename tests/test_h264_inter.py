@@ -117,16 +117,45 @@ def test_skip_run_overrun_quarantines():
         _decode_p_bits(w)
 
 
-def test_deblock_on_p_quarantines():
-    w = H._BitWriter()
-    H._write_slice_header(
-        w, H.DEFAULT_QP, H.DEFAULT_QP, 0, log2_max_frame_num=4,
-        poc_type=0, log2_max_poc_lsb=4, deblock=True, slice_type="P",
-        frame_num=1,
-    )
-    w.ue(1)  # one skipped MB (never reached)
-    with pytest.raises(MediaFormatError, match="deblocking on inter"):
-        _decode_p_bits(w)
+def test_deblock_filter_on_is_the_default_and_round_trips():
+    # the GOP encoder signals the filter ON (spec-realistic); the
+    # closed loop over FILTERED references must still be byte-exact
+    frames = _moving_frames(48, 32, 4)
+    sps, pps, nals = H.encode_h264_ippp(48, 32, frames, qp=24)
+    sd = H._parse_sps_slice_fields(sps)
+    pd = H.parse_pps(pps)
+    r = H._BitReader(_unescape_rbsp(nals[1][1:]))
+    stype, _qp, on, _a, _b = H._parse_slice_header(r, sd, pd, idr=False)
+    assert stype == "P" and on  # filter signalled ON in the P header
+    _, _, _, recons = H.encode_h264_ippp(48, 32, frames, qp=24,
+                                         return_recon=True)
+    _, _, dec = H.decode_h264_stream(sps, pps, nals)
+    assert dec == recons
+
+
+def test_inter_bs_grid_rules():
+    # §8.7.2.1: skip/skip same-MV edge → 0; coefficients → 2; MV delta
+    # ≥ 4 quarter units → 1; intra neighbour → 4 on the MB edge
+    st = H._FrameState(2, 1)  # two MBs side by side
+    st.inter[:] = True
+    bs_v, _ = H._inter_bs_grids(st)
+    assert bs_v[0, 4] == 0  # same zero MV, no coeffs, MB edge
+    st.mv[0:4, 4:8, 0] = 4  # right MB moves 1 full pel
+    bs_v, _ = H._inter_bs_grids(st)
+    assert bs_v[0, 4] == 1
+    st.nc_y[0, 4] = 3  # right MB's first block carries coefficients
+    bs_v, _ = H._inter_bs_grids(st)
+    assert bs_v[0, 4] == 2
+    st.inter[0:4, 0:4] = False  # left MB intra
+    bs_v, _ = H._inter_bs_grids(st)
+    assert bs_v[0, 4] == 4  # intra on an MB edge
+    assert bs_v[0, 5] == 2  # internal edge: coeff rule again
+    st.nc_y[0, 4] = 0
+    st.inter[0:4, 0:4] = True
+    st.mv[:] = 0
+    st.inter[0:4, 4:8] = False  # right MB intra, internal edges → 3
+    bs_v, _ = H._inter_bs_grids(st)
+    assert bs_v[0, 4] == 4 and bs_v[0, 5] == 3
 
 
 def test_cbp_inter_table_pins():
