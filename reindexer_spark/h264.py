@@ -2501,6 +2501,18 @@ _P_PARTS = {
     2: (("8x16l", 0, 0, 2, 4), ("8x16r", 2, 0, 2, 4)),
 }
 
+# P_8x8 sub-partition geometry per sub_mb_type (Table 7-17), offsets
+# relative to the 8x8 quadrant's block origin, in decode order; the
+# quadrants themselves walk z-order.  Sub-partitions use the plain
+# median MV predictor ("sub" matches no directional rule).
+_P_SUB_PARTS = {
+    0: ((0, 0, 2, 2),),                                  # P_L0_8x8
+    1: ((0, 0, 2, 1), (0, 1, 2, 1)),                     # P_L0_8x4
+    2: ((0, 0, 1, 2), (1, 0, 1, 2)),                     # P_L0_4x8
+    3: ((0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)),
+}
+_P8_QUADS = ((0, 0), (2, 0), (0, 2), (2, 2))  # z-order block offsets
+
 
 def _mv_nbr(st: _FrameState, bx: int, by: int):
     """Neighbour block info for MV prediction: (available, inter, mv).
@@ -2521,11 +2533,18 @@ def _pred_mv(
     inter neighbour matches refIdx 0."""
     a = _mv_nbr(st, abx - 1, aby)
     b = _mv_nbr(st, abx, aby - 1)
-    # C = top-right of the partition; available only when its row is in
-    # the MB row above (blocks right of the current partition in the
-    # SAME MB row are not yet decoded) — else substitute D (top-left)
+    # C = top-right of the partition; available only if already DECODED
+    # under raster-MB + z-scan order (§6.4.11) — exact via _blk_order,
+    # which covers both the cross-MB cases and top-right blocks inside
+    # the current MB (reachable for P_8x8 sub-partitions) — else
+    # substitute D (top-left)
     c_bx = abx + pw
-    if aby % 4 == 0 and c_bx < st.mb_w * 4:
+    if (
+        c_bx < st.mb_w * 4
+        and aby > 0
+        and _blk_order(c_bx, aby - 1, st.mb_w)
+        < _blk_order(abx, aby, st.mb_w)
+    ):
         c = _mv_nbr(st, c_bx, aby - 1)
     else:
         c = (False, False, (0, 0))
@@ -2723,6 +2742,33 @@ def _encode_p_mb(
             cost += c
         if best_rect is None or cost < best_rect[2]:
             best_rect = (mtype, mvs, cost)
+    # ---- P_8x8 quadrants, tried only when the large partitions
+    # leave high residual (ME for 4 quadrants + optional 4x4 splits is
+    # the priciest search — spend it where it can pay)
+    best_sub = None
+    if min(cost16, best_rect[2]) > 1200:
+        sub_types, sub_parts, sub_mvs = [], [], []
+        cost8 = 16  # sub_mb_type + extra mvd bits estimate
+        for qx, qy in _P8_QUADS:
+            mv8, c8 = search(pmv16, qx * 4, qy * 4, 8, 8)
+            choice = (0, [((0, 0, 2, 2), mv8)], c8)
+            if c8 > 400:  # quadrant still poor: try the 4x4 split
+                mv4s, c4 = [], 12
+                for geom in _P_SUB_PARTS[3]:
+                    sdx, sdy, pw, ph = geom
+                    mv4, c = search(
+                        mv8, (qx + sdx) * 4, (qy + sdy) * 4, 4, 4
+                    )
+                    mv4s.append((geom, mv4))
+                    c4 += c
+                if c4 < c8:
+                    choice = (3, mv4s, c4)
+            sub_types.append(choice[0])
+            for (sdx, sdy, pw, ph), mv in choice[1]:
+                sub_parts.append(("sub", qx + sdx, qy + sdy, pw, ph))
+                sub_mvs.append(mv)
+            cost8 += choice[2]
+        best_sub = (sub_types, sub_parts, sub_mvs, cost8)
     # ---- intra fallback cost (same SAD basis)
     legal = [L16_DC]
     if mby > 0:
@@ -2733,7 +2779,9 @@ def _encode_p_mb(
         int(np.abs(src_blk - _pred_luma16(m, st.y, mbx, mby)).sum())
         for m in legal
     )
-    inter_cost = min(cost16, best_rect[2])
+    inter_cost = min(
+        cost16, best_rect[2], best_sub[3] if best_sub else 1 << 30
+    )
     if intra_sad + 24 < inter_cost:  # intra must win past its rate cost
         w.ue(skip_run)
         _encode_mb(w, st, mbx, mby, qp, src_y, src_u, src_v, mtype_off=5)
@@ -2742,11 +2790,16 @@ def _encode_p_mb(
         st.inter[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = False
         st.mv[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
         return 0
-    if cost16 <= best_rect[2]:
+    sub_types = None
+    if best_sub and best_sub[3] < min(cost16, best_rect[2]):
+        mtype, parts, mvs = 3, tuple(best_sub[1]), best_sub[2]
+        sub_types = best_sub[0]
+    elif cost16 <= best_rect[2]:
         mtype, mvs = 0, [mv16]
+        parts = _P_PARTS[0]
     else:
         mtype, mvs = best_rect[0], best_rect[1]
-    parts = _P_PARTS[mtype]
+        parts = _P_PARTS[mtype]
     pred_y, pred_u, pred_v = _mc_mb_pred(ref, mbx, mby, parts, mvs)
     zs, cbp_luma = _inter_luma_quant(src_y, pred_y, mbx, mby, qp)
     qpc = _QPC[max(0, min(51, qp))]
@@ -2764,6 +2817,9 @@ def _encode_p_mb(
     # ---- syntax
     w.ue(skip_run)
     w.ue(mtype)
+    if sub_types is not None:
+        for t_ in sub_types:
+            w.ue(t_)
     for part, mv in zip(parts, mvs):
         kind, dx, dy, pw, _ = part
         pmv = _pred_mv(st, mbx * 4 + dx, mby * 4 + dy, pw, kind)
@@ -2805,17 +2861,32 @@ def _decode_p_mb(
         _decode_mb(r, st, mbx, mby, qp, cqo, mb_type=mb_type - 5)
         return
     if mb_type in (3, 4):
-        raise MediaFormatError(
-            "P_8x8 sub-macroblock partitions outside the subset"
-        )
-    parts = _P_PARTS[mb_type]
-    mvs = []
-    for part in parts:
-        kind, dx, dy, pw, _ = part
-        pmv = _pred_mv(st, mbx * 4 + dx, mby * 4 + dy, pw, kind)
-        mv = (pmv[0] + r.se(), pmv[1] + r.se())
-        mvs.append(mv)
-        _store_part_mv(st, mbx, mby, part, mv)
+        # P_8x8 / P_8x8ref0: four sub_mb_types first (§7.3.5.2), then
+        # every sub-partition's mvd in order (single ref: no ref_idx,
+        # and the two mb_types decode identically)
+        sub_types = [r.ue() for _ in range(4)]
+        if any(t_ > 3 for t_ in sub_types):
+            raise MediaFormatError("invalid P sub_mb_type")
+        parts, mvs = [], []
+        for q8, (qx, qy) in enumerate(_P8_QUADS):
+            for sdx, sdy, pw, ph in _P_SUB_PARTS[sub_types[q8]]:
+                part = ("sub", qx + sdx, qy + sdy, pw, ph)
+                pmv = _pred_mv(
+                    st, mbx * 4 + part[1], mby * 4 + part[2], pw, "sub"
+                )
+                mv = (pmv[0] + r.se(), pmv[1] + r.se())
+                mvs.append(mv)
+                parts.append(part)
+                _store_part_mv(st, mbx, mby, part, mv)
+    else:
+        parts = _P_PARTS[mb_type]
+        mvs = []
+        for part in parts:
+            kind, dx, dy, pw, _ = part
+            pmv = _pred_mv(st, mbx * 4 + dx, mby * 4 + dy, pw, kind)
+            mv = (pmv[0] + r.se(), pmv[1] + r.se())
+            mvs.append(mv)
+            _store_part_mv(st, mbx, mby, part, mv)
     st.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
     code = r.ue()
     if code >= len(_CBP_INTER):

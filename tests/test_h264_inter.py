@@ -102,12 +102,94 @@ def _decode_p_bits(w):
     return H.decode_frame_nal(b"\x41" + w.finish(), sd, pd, ref=ref)
 
 
-def test_p8x8_subpartitions_quarantine():
+def test_p8x8_all_sub_types_decode():
+    """Crafted bitstream: one P_8x8 MB exercising every sub_mb_type —
+    8x8, 8x4, 4x8 and 4x4 — with hand-picked mvds and no residual; the
+    decoded picture must equal motion compensation computed in the
+    test with HARDCODED partition geometry (so a Table 7-17 mix-up in
+    the decoder's tables cannot self-confirm)."""
+    rng = np.random.default_rng(11)
+    ry = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    ru = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    rv = rng.integers(0, 256, (8, 8), dtype=np.uint8)
     w = _p_header_writer()
     w.ue(0)  # mb_skip_run
     w.ue(3)  # P_8x8
-    with pytest.raises(MediaFormatError, match="P_8x8"):
-        _decode_p_bits(w)
+    for t_ in (0, 1, 2, 3):
+        w.ue(t_)
+    # hardcoded decode-order geometry: (bx, by, bw, bh) in 4x4 blocks
+    geoms = [
+        (0, 0, 2, 2),                       # quad0: 8x8
+        (2, 0, 2, 1), (2, 1, 2, 1),         # quad1: two 8x4
+        (0, 2, 1, 2), (1, 2, 1, 2),         # quad2: two 4x8
+        (2, 2, 1, 1), (3, 2, 1, 1), (2, 3, 1, 1), (3, 3, 1, 1),
+    ]
+    mvds = [(8, 4), (0, 0), (-4, 0), (4, -8), (0, 4),
+            (0, 0), (12, 0), (0, 0), (-8, -4)]
+    # replay the predictor to know each partition's absolute MV
+    st_ref = H._FrameState(1, 1)
+    mvs = []
+    for (bx, by, bw, bh), mvd in zip(geoms, mvds):
+        pmv = H._pred_mv(st_ref, bx, by, bw, "sub")
+        mv = (pmv[0] + mvd[0], pmv[1] + mvd[1])
+        mvs.append(mv)
+        st_ref.mv[by : by + bh, bx : bx + bw] = mv
+        st_ref.inter[by : by + bh, bx : bx + bw] = True
+        w.se(mvd[0])
+        w.se(mvd[1])
+    w.ue(0)  # coded_block_pattern: nothing coded
+    dy, du, dv = _decode_p_bits_ref(w, (ry, ru, rv))
+    exp_y = np.zeros((16, 16), dtype=np.int64)
+    exp_u = np.zeros((8, 8), dtype=np.int64)
+    exp_v = np.zeros((8, 8), dtype=np.int64)
+    for (bx, by, bw, bh), mv in zip(geoms, mvs):
+        exp_y[by * 4 : by * 4 + bh * 4, bx * 4 : bx * 4 + bw * 4] = (
+            H._mc_luma(ry, bx * 4, by * 4, bw * 4, bh * 4, mv[0], mv[1])
+        )
+        exp_u[by * 2 : by * 2 + bh * 2, bx * 2 : bx * 2 + bw * 2] = (
+            H._mc_chroma(ru, bx * 2, by * 2, bw * 2, bh * 2, mv[0], mv[1])
+        )
+        exp_v[by * 2 : by * 2 + bh * 2, bx * 2 : bx * 2 + bw * 2] = (
+            H._mc_chroma(rv, bx * 2, by * 2, bw * 2, bh * 2, mv[0], mv[1])
+        )
+    assert np.array_equal(dy, exp_y) and np.array_equal(du, exp_u)
+    assert np.array_equal(dv, exp_v)
+
+
+def test_p8x8_encoder_chooses_it_on_quadrant_motion():
+    """Four quadrants of one MB translating in four different
+    directions: the encoder must pick P_8x8 (the rectangle modes leave
+    high residual), and the closed loop must stay byte-exact."""
+    rng = np.random.default_rng(23)
+    base = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    f0 = base[4:20, 4:20].copy()
+    f1 = np.empty_like(f0)
+    shifts = {(0, 0): (2, 0), (8, 0): (0, 2), (0, 8): (-2, 0),
+              (8, 8): (0, -2)}
+    for (qx, qy), (dx, dy) in shifts.items():
+        f1[qy : qy + 8, qx : qx + 8] = base[
+            4 + qy - dy : 12 + qy - dy, 4 + qx - dx : 12 + qx - dx
+        ]
+    frames = [f0.tobytes(), f1.tobytes()]
+    sps, pps, nals, recons = H.encode_h264_ippp(
+        16, 16, frames, qp=24, return_recon=True
+    )
+    _, _, dec = H.decode_h264_stream(sps, pps, nals)
+    assert dec == recons
+    # parse the P slice's first mb_type: must be P_8x8 (3)
+    sd = H._parse_sps_slice_fields(sps)
+    pd = H.parse_pps(pps)
+    r = H._BitReader(_unescape_rbsp(nals[1][1:]))
+    H._parse_slice_header(r, sd, pd, idr=False)
+    assert r.ue() == 0  # mb_skip_run
+    assert r.ue() == 3  # P_8x8
+
+
+def _decode_p_bits_ref(w, ref):
+    sps_nal = H.write_h264_sps(16, 16, 66, 30)
+    sd = H._parse_sps_slice_fields(sps_nal)
+    pd = H.parse_pps(H.write_pps())
+    return H.decode_frame_nal(b"\x41" + w.finish(), sd, pd, ref=ref)
 
 
 def test_skip_run_overrun_quarantines():
