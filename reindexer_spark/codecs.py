@@ -374,7 +374,7 @@ def decode_avi(payload: bytes) -> tuple[int, int, int, list[bytes]]:
 # samples via stss), with Photo-JPEG ('jpeg' VisualSampleEntry) sample
 # data decoded through the baseline JPEG codec.  Inter-predicted codecs
 # (hev1/vp09/... and inter-predicted avc1) raise MediaFormatError into
-# the quarantine lane; intra-only avc1 decodes via reindexer_spark.h264.
+# the quarantine lane; avc1 IDR/IPPP streams decode via reindexer_spark.h264.
 # Without a motion-compensation decoder only sync-sample formats are
 # honestly decodable, and Photo-JPEG is the one whose entropy layer the
 # repo already implements from spec (ITU T.81).
@@ -639,7 +639,8 @@ def decode_mp4(
     mdhd timescale), and stss (absent = all sync, per spec) flags the
     keyframes.  'jpeg' (Photo-JPEG) entries decode frame-per-sample;
     'avc1'/'avc3' entries decode IFF every sample is intra-only
-    (reindexer_spark.h264, round 9) — inter-predicted h264 and all
+    (reindexer_spark.h264; round 10 adds single-reference P slices, so
+    IDR and IPPP streams both decode) — B/CABAC h264 and all
     other coding names (hev1/...) need a motion-compensation decoder
     and raise MediaFormatError into the quarantine lane.  ANY malformed
     stream raises MediaFormatError, never a bare parser exception —
@@ -685,8 +686,9 @@ def _decode_mp4_impl(
     entry_tag = payload[p + 8 : p + 12]
     avcc_body: bytes | None = None
     if entry_tag in (b"avc1", b"avc3"):
-        # h264 track: decodable IFF every sample is inside the intra
-        # subset (reindexer_spark.h264); inter-predicted streams raise
+        # h264 track: decodable IFF every sample is inside the
+        # IDR/IPPP single-reference subset (reindexer_spark.h264);
+        # B/CABAC/multi-ref streams raise
         # MediaFormatError out of the slice parser — same quarantine
         # lane as before, now entered honestly per-stream instead of
         # per-coding-name
@@ -843,8 +845,9 @@ def _decode_mp4_impl(
 # and a Cues-based keyframe index readable without touching frame data.
 # V_MJPEG tracks decode (each frame a standalone baseline JPEG — the
 # same Photo-JPEG scope as the mp4 decoder), and V_MPEG4/ISO/AVC tracks
-# decode IFF their blocks are intra-only (reindexer_spark.h264, round
-# 9); inter-predicted h264 and the other coded ids (V_MPEGH/ISO/HEVC,
+# decode IFF their blocks are inside the IDR/IPPP single-reference
+# subset (reindexer_spark.h264; round 10 added P slices); B/CABAC
+# h264 and the other coded ids (V_MPEGH/ISO/HEVC,
 # V_VP8/9) raise MediaFormatError into the quarantine lane, never a
 # crash.
 # --------------------------------------------------------------------------
@@ -1065,8 +1068,8 @@ def _decode_mkv_impl(
     frames: list[bytes] = []
     sync: list[bool] = []
     if h264_track:
-        # intra-subset h264 (reindexer_spark.h264): blocks carry
-        # avcC-style length-prefixed NALs; inter-predicted streams
+        # IDR/IPPP-subset h264 (reindexer_spark.h264): blocks carry
+        # avcC-style length-prefixed NALs; B/CABAC/multi-ref streams
         # raise MediaFormatError out of the slice parser (quarantine)
         from reindexer_spark.h264 import decode_avcc_samples
 

@@ -1,11 +1,31 @@
-"""Intra-only H.264 baseline codec (ITU-T H.264, public spec).
+"""H.264 baseline codec: the intra half plus single-reference P slices
+(ITU-T H.264, public spec).
 
 Round-8 VERDICT stretch #8: the SPS probe (codecs.py) recovers
-dimensions from coded video without decoding; THIS module closes the
-last honest media gap by actually DECODING the intra-only subset —
-IDR keyframes — so probe+thumbnail works on real coded video, while
-inter-predicted streams (P/B slices, motion compensation) continue to
-quarantine via MediaFormatError.
+dimensions from coded video without decoding; round 9 added the full
+intra subset; round 10 adds INTER prediction — P slices with motion
+compensation — so IPPP streams (the overwhelming shape of real crawl
+video's coded pictures) decode for real, while B slices, CABAC,
+multi-reference lists and multi-slice pictures continue to quarantine
+via MediaFormatError.
+
+Scope — the INTER half (round 10):
+
+- P slices, single reference (each picture predicts from its
+  predecessor's FILTERED output), one slice per picture: P_Skip,
+  P_L0_16x16, P_L0_L0_16x8, P_L0_L0_8x16, P_8x8/P_8x8ref0 with all
+  four Table 7-17 sub-partition shapes, and intra macroblocks
+  (mb_type + 5).
+- Quarter-pel luma interpolation (§8.4.2.2.1 6-tap + Table 8-12
+  quarter averaging), eighth-pel bilinear chroma (§8.4.2.2.2), edge
+  extension by coordinate clamping.
+- Median/directional MV prediction (§8.4.1.3; neighbour availability
+  by exact raster+z decode order) and P_Skip MV inference (§8.4.1.1);
+  mb_skip_run CAVLC syntax; Table 9-4 Inter CBP column.
+- §8.7 deblocking on P pictures with the real §8.7.2.1 per-edge
+  boundary strengths (intra-ness / TotalCoeff / MV-delta rules);
+  references are the filtered pictures, mirrored exactly by encoder
+  (closed loop) and decoder.
 
 Scope — the full INTRA half of H.264 Baseline (round 9):
 
@@ -26,9 +46,10 @@ Scope — the full INTRA half of H.264 Baseline (round 9):
   Hadamard and 2x2 chroma-DC transforms, (x+32)>>6 reconstruction);
   PPS chroma_qp_index_offset is applied via Table 8-15.
 - What remains OUTSIDE the subset raises MediaFormatError — the
-  quarantine contract, never a wrong frame: P/B slices (motion
-  compensation), CABAC, field/MBAFF coding, non-4:2:0 or >8-bit
-  sampling, scaling matrices, multi-slice pictures, POC type 1.
+  quarantine contract, never a wrong frame: B slices, CABAC,
+  multi-reference/modified reference lists, adaptive reference
+  marking, field/MBAFF coding, non-4:2:0 or >8-bit sampling, scaling
+  matrices, multi-slice pictures, POC type 1.
 
 The CAVLC code tables (Tables 9-5, 9-7..9-10) are transcribed from
 the published spec.  Encoder and decoder share one table instance, so
