@@ -84,7 +84,15 @@ def test_probe_agrees_with_full_decoders(spark, sf_dir):
     )
 
     probed = {r.media_id: r for r in multimodal_probe_meta(spark, sf_dir).collect()}
-    assert len(probed) == 200
+    # 200 decode-rotation rows + the probe-only WebP rows (round 10:
+    # one per doc_id < 200 with doc_id % 12 == 9, media_id + 2_000_000)
+    n_webp = len([i for i in range(200) if i % 12 == 9])
+    assert len(probed) == 200 + n_webp
+    for i in range(200):
+        if i % 12 == 9:
+            pw = probed[i + 2_000_000]
+            assert pw.probe_kind == "webp" and pw.kind == "image-webp"
+            assert pw.width >= 8 and pw.height >= 8 and pw.n_frames >= 1
     media = _synth_media(
         load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     ).collect()
