@@ -1234,10 +1234,10 @@ MH_MD5_VERIFY = 0.5  # exact-Jaccard verification threshold
 MH_MD5_P = 4294967291
 
 
-@query(
-    "dedup_minhash_md5",
-    oracle=f"""
-    WITH {_SHINGLE_SQL},
+# md5 MinHash band construction as DuckDB CTEs (dig/mh/bands over the
+# _SHINGLE_SQL `ex` relation) — ONE text shared by dedup_minhash_md5's
+# and dedup_minhash_incremental's oracles so they cannot drift.
+_MH_MD5_BANDS_SQL = f"""
     dig AS (
       SELECT doc_id,
              ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
@@ -1253,7 +1253,66 @@ MH_MD5_P = 4294967291
       SELECT doc_id, i // {MH_MD5_ROWS} AS band,
              string_agg(mhv::VARCHAR, ':' ORDER BY i) AS sig
       FROM mh GROUP BY doc_id, i // {MH_MD5_ROWS}
-    ),
+    )"""
+
+
+def _md5_shingle_bands(spark: SparkSession, sf_dir: str):
+    """(DF-capped md5 shingle relation, LSH band-signature relation) —
+    the oracle-replicable MinHash pipeline shared by dedup_minhash_md5
+    (from-scratch build) and dedup_minhash_incremental (maintenance):
+    gram strings → ONE md5 per gram split into two 32-bit halves →
+    MH_MD5_PERMS Kirsch-Mitzenmacher permutations → per-doc mins →
+    MH_MD5_BANDS band signature strings."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    raw = track(
+        d.select(
+            "doc_id", F.explode(word_shingles(F.col("toks"))).alias("gram")
+        )
+    )
+    hot = (
+        raw.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("gram")
+    )
+    ex = track(raw.join(F.broadcast(hot), "gram", "left_anti"))
+    dig = ex.select("doc_id", F.md5("gram").alias("dg")).select(
+        "doc_id",
+        F.conv(F.substring("dg", 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring("dg", 9, 8), 16, 10).cast("bigint").alias("h2"),
+    )
+    hashed = dig.select(
+        "doc_id",
+        "h1",
+        "h2",
+        F.explode(F.sequence(F.lit(0), F.lit(MH_MD5_PERMS - 1))).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        ((F.col("h1") + F.col("i") * F.col("h2")) % MH_MD5_P).alias("hv"),
+    )
+    mh = hashed.groupBy("doc_id", "i").agg(F.min("hv").alias("mhv"))
+    bands = mh.groupBy(
+        "doc_id", (F.col("i") / MH_MD5_ROWS).cast("int").alias("band")
+    ).agg(
+        F.concat_ws(
+            ":",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mhv"))),
+                lambda s: s["mhv"].cast("string"),
+            ),
+        ).alias("sig")
+    )
+    return ex, bands
+
+
+@query(
+    "dedup_minhash_md5",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    {_MH_MD5_BANDS_SQL},
     bstat AS MATERIALIZED (
       {bstat_sql("bands", ("band", "sig"), "doc_id")}
     ),
@@ -1297,48 +1356,7 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 16x fan-out is cheap bigint arithmetic aggregating map-side to
     |docs|x16 partial mins before the shuffle, and the band join's
     fan-out is bounded by band width, never corpus size."""
-    d = load_table(spark, sf_dir, "documents").withColumn(
-        "toks", F.split("text", " ")
-    )
-    raw = track(
-        d.select(
-            "doc_id", F.explode(word_shingles(F.col("toks"))).alias("gram")
-        )
-    )
-    hot = (
-        raw.groupBy("gram")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > DF_CAP)
-        .select("gram")
-    )
-    ex = track(raw.join(F.broadcast(hot), "gram", "left_anti"))
-    dig = ex.select("doc_id", F.md5("gram").alias("dg")).select(
-        "doc_id",
-        F.conv(F.substring("dg", 1, 8), 16, 10).cast("bigint").alias("h1"),
-        F.conv(F.substring("dg", 9, 8), 16, 10).cast("bigint").alias("h2"),
-    )
-    hashed = dig.select(
-        "doc_id",
-        "h1",
-        "h2",
-        F.explode(F.sequence(F.lit(0), F.lit(MH_MD5_PERMS - 1))).alias("i"),
-    ).select(
-        "doc_id",
-        "i",
-        ((F.col("h1") + F.col("i") * F.col("h2")) % MH_MD5_P).alias("hv"),
-    )
-    mh = hashed.groupBy("doc_id", "i").agg(F.min("hv").alias("mhv"))
-    bands = mh.groupBy(
-        "doc_id", (F.col("i") / MH_MD5_ROWS).cast("int").alias("band")
-    ).agg(
-        F.concat_ws(
-            ":",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "mhv"))),
-                lambda s: s["mhv"].cast("string"),
-            ),
-        ).alias("sig")
-    )
+    ex, bands = _md5_shingle_bands(spark, sf_dir)
     cand = banded_pairs(bands, ("band", "sig"), "doc_id")
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
     e1 = ex.select(F.col("doc_id").alias("d1"), F.col("gram").alias("g1"))

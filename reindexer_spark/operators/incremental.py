@@ -21,8 +21,11 @@ from pyspark.sql import functions as F
 
 from reindexer_spark.cache import track
 from reindexer_spark.catalog import load_table
+from reindexer_spark.operators.banding import HOT_BUCKET_CAP
 from reindexer_spark.operators.dedup import (
     JACCARD_THRESHOLD,
+    MH_MD5_VERIFY,
+    _MH_MD5_BANDS_SQL,
     _SHINGLE_SQL,
     shingle_table,
 )
@@ -388,4 +391,115 @@ def dataset_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "change")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("source", "change")
+    )
+
+
+@query(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH {_SHINGLE_SQL},
+    {_MH_MD5_BANDS_SQL},
+    nb AS (
+      SELECT * FROM bands
+      WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '{NEW_BATCH_HEX}'
+    ),
+    obc AS MATERIALIZED (
+      SELECT doc_id, band, sig FROM (
+        SELECT doc_id, band, sig,
+               ROW_NUMBER() OVER (PARTITION BY band, sig ORDER BY doc_id)
+                 AS rn
+        FROM bands
+        WHERE substr(md5(doc_id::VARCHAR), 1, 4) >= '{NEW_BATCH_HEX}'
+      ) WHERE rn <= {HOT_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS corpus_id
+      FROM nb n JOIN obc o ON n.band = o.band AND n.sig = o.sig
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    verified AS (
+      SELECT c.new_id, c.corpus_id, COUNT(*) AS n_common
+      FROM cand c
+      JOIN ex e1 ON e1.doc_id = c.new_id
+      JOIN ex e2 ON e2.doc_id = c.corpus_id AND e2.shingle = e1.shingle
+      GROUP BY 1, 2
+    )
+    SELECT v.new_id, v.corpus_id, v.n_common,
+           CAST(v.n_common AS DOUBLE) / (s1.n + s2.n - v.n_common)
+             AS jaccard
+    FROM verified v
+    JOIN sizes s1 ON s1.doc_id = v.new_id
+    JOIN sizes s2 ON s2.doc_id = v.corpus_id
+    WHERE CAST(v.n_common AS DOUBLE) / (s1.n + s2.n - v.n_common)
+          >= {MH_MD5_VERIFY}
+    """,
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup via MinHash LSH: the NEW batch (~10% of
+    docs, md5 split) banded and probed against the STANDING corpus's
+    band index — the maintenance mode of dedup_minhash, completing the
+    incremental family next to dedup_incremental (whose candidate
+    generation is the exact inverted-shingle join; this one scales by
+    LSH banding instead).
+
+    Scale shape: the batch's band signatures are a bounded relation
+    (Catalyst broadcasts them), so the standing index contributes only
+    the buckets the batch actually probes — no corpus self-join
+    anywhere.  The corpus side of each bucket is CAPPED at the
+    HOT_BUCKET_CAP smallest doc_ids (deterministic, oracle-replicated):
+    a new document landing in a boilerplate bucket of 100k re-crawls
+    still surfaces as a duplicate (it pairs with the bucket's stable
+    representatives) while per-probe fan-out stays bounded.
+    Verification is exact Jaccard against the DF-capped shingle index,
+    same threshold as the from-scratch md5 twin; the whole pipeline —
+    signatures, band split, bucket cap, candidate set, verification —
+    is replicated by the DuckDB oracle, so this 'approximate
+    incremental' lane is value-exact at the gate."""
+    from reindexer_spark.operators.dedup import _md5_shingle_bands
+
+    ex, bands = _md5_shingle_bands(spark, sf_dir)
+    is_new = _batch_hash("doc_id") < F.lit(NEW_BATCH_HEX)
+    nb = bands.filter(is_new)
+    ob = bands.filter(~is_new)
+    w = Window.partitionBy("band", "sig").orderBy("doc_id")
+    obc = (
+        ob.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HOT_BUCKET_CAP)
+        .drop("rn")
+    )
+    cand = (
+        nb.select("band", "sig", F.col("doc_id").alias("new_id"))
+        .join(
+            obc.select("band", "sig", F.col("doc_id").alias("corpus_id")),
+            ["band", "sig"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    e1 = ex.select(F.col("doc_id").alias("new_id"), F.col("gram").alias("g1"))
+    e2 = ex.select(
+        F.col("doc_id").alias("corpus_id"), F.col("gram").alias("g2")
+    )
+    verified = (
+        cand.join(e1, "new_id")
+        .join(
+            e2,
+            (cand.corpus_id == e2.corpus_id) & (F.col("g1") == F.col("g2")),
+        )
+        .groupBy(cand.new_id, cand.corpus_id)
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("new_id"), F.col("n").alias("n1"))
+    s2 = sizes.select(
+        F.col("doc_id").alias("corpus_id"), F.col("n").alias("n2")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("n_common")
+    )
+    return (
+        verified.join(F.broadcast(s1), "new_id")  # batch-bounded side
+        .join(s2, "corpus_id")  # per-corpus-doc: AQE decides, no hint
+        .select("new_id", "corpus_id", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= MH_MD5_VERIFY)
     )
