@@ -172,6 +172,8 @@ EXTENDED = [
     # round 10
     "video_inter_decode",
     "dedup_lsh_hotcap",
+    "dedup_minhash_incremental",
+    "stream_minhash_dedup_live",
 ]
 
 

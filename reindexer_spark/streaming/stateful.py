@@ -309,3 +309,55 @@ def pack_greedy_stream(toks: DataFrame, budget: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def minhash_dedup_stream(bands: DataFrame, cap: int) -> DataFrame:
+    """Streaming MinHash-LSH near-dup candidates — dedupe ON INGEST,
+    the fourth custom stateful operator: band rows ``(doc_id, band,
+    sig)`` arrive as an unbounded stream, each (band, sig) bucket
+    carries the doc_ids of its first ``cap`` members as state, and
+    every arriving document immediately pairs with the members already
+    resident in its bucket.  This is the 100 TB crawl-ingest shape: a
+    new page is checked against the standing corpus the moment it
+    lands, instead of re-running dedup over the corpus per batch.
+
+    Semantics (oracle-replicable): a pair ``(d1, d2)`` emits for a
+    band iff d1 arrived before d2 in that bucket AND d1 is among the
+    bucket's first ``cap`` arrivals — the same first-k-representatives
+    cap dedup_minhash_incremental applies to its corpus buckets, so a
+    boilerplate bucket costs O(cap) state and O(cap) pairs per
+    arrival, never O(members).  Within a micro-batch rows apply in
+    doc_id order; with deterministic batch boundaries and doc_id-
+    ordered arrival the emitted relation equals the batch ranked
+    self-join row for row (the gate), while cross-batch state carry is
+    pinned in multi-batch unit tests.
+
+    State per bucket: up to ``cap`` longs — bounded regardless of
+    stream volume."""
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (members,) = state.get if state.exists else ([],)
+        members = list(members)
+        out: list[tuple] = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("doc_id")
+            for d in pdf["doc_id"]:
+                d = int(d)
+                out.extend((key[0], int(m), d) for m in members if m < d)
+                if len(members) < cap:
+                    members.append(d)
+        state.update((members,))
+        yield pd.DataFrame(out, columns=["band", "d1", "d2"])
+
+    return bands.groupBy("band", "sig").applyInPandasWithState(
+        fn,
+        outputStructType="band int, d1 bigint, d2 bigint",
+        stateStructType="members array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -584,3 +584,54 @@ def test_pack_greedy_cursor_survives_restart(spark, tmp_path):
     # recovered cursor (0, 8): next doc overflows into sequence 1
     assert got[second[0]] == (1, 4) and got[second[1]] == (1, 8)
     assert len(got) == 4  # pre-restart docs not reprocessed
+
+
+def test_stateful_minhash_dedup_carries_bucket_state_across_batches(
+    spark, tmp_path
+):
+    """The streaming LSH dedup's bucket-representative state must carry
+    across micro-batches: duplicates of a batch-1 document arriving in
+    batches 2 and 3 each pair against the ORIGINAL's doc_id, and the
+    cap keeps later copies out of state (pairs always name the first
+    `cap` arrivals as d1)."""
+    from reindexer_spark.operators.windows_time import _rowwise_md5_bands
+    from reindexer_spark.streaming.stateful import minhash_dedup_stream
+
+    text_a = "alpha beta gamma delta epsilon zeta"
+    text_b = "one two three four five six seven"
+    # doc 0/10/20 share text_a; 1/11 share text_b; others unique noise
+    def doc(i):
+        if i % 10 == 0:
+            return (i, text_a)
+        if i % 10 == 1:
+            return (i, text_b)
+        return (i, f"unique{i} filler{i} tail{i} pad{i}")
+
+    docs = [doc(i) for i in range(30)]
+    batches = [docs[:10], docs[10:20], docs[20:]]
+    root = _mk_doc_files(spark, tmp_path, batches)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/batch_*.parquet")
+    )
+    out = run_stream_to_memory(
+        minhash_dedup_stream(_rowwise_md5_bands(stream), cap=1),
+        output_mode="append",
+    )
+    pairs = {(r.d1, r.d2) for r in out.collect()}
+    # identical texts share every band; cap=1 keeps only the FIRST
+    # arrival as representative, so copies pair with it and never with
+    # each other (20 pairs with 10, not with 0, would break this)
+    assert (0, 10) in pairs and (0, 20) in pairs
+    assert (1, 11) in pairs
+    assert (10, 20) not in pairs  # 10 never entered state (cap=1)
+    assert all(d1 in (0, 1) for d1, _ in pairs), pairs
+
+
+def test_stream_minhash_dedup_single_batch_equals_oracle_shape(spark, sf_dir):
+    """With the whole table in one micro-batch, the live lane equals
+    its DuckDB oracle (the premise the gate builds on)."""
+    from reindexer_spark.oracle import compare_query
+
+    assert compare_query(spark, "stream_minhash_dedup_live", sf_dir) == []
