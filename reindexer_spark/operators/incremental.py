@@ -104,7 +104,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("new_id", "corpus_id")
         .agg(F.count("*").alias("n_common"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("new_id"), F.col("n").alias("n1"))
+    # s1 is FILTERED to the arriving batch BEFORE the broadcast hint —
+    # hinting the full per-corpus-doc sizes relation renamed to new_id
+    # would ship billions of rows (the join key restricts rows, not
+    # the broadcast build side).  s2 stays per-CORPUS-doc: no hint,
+    # AQE broadcasts while it fits (always, locally).
+    s1 = sizes.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), F.col("n").alias("n1")
+    )
     s2 = sizes.select(
         F.col("doc_id").alias("corpus_id"), F.col("n").alias("n2")
     )
@@ -112,9 +119,6 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1") + F.col("n2") - F.col("n_common")
     )
     return (
-        # s1 (the arriving batch) stays hinted — bounded by the batch.
-        # s2 is per-CORPUS-doc: not broadcastable at billions of docs,
-        # so no hint — AQE broadcasts while it fits (always, locally)
         pairs.join(F.broadcast(s1), "new_id")
         .join(s2, "corpus_id")
         .select("new_id", "corpus_id", "n_common", jac.alias("jaccard"))
@@ -490,7 +494,12 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(cand.new_id, cand.corpus_id)
         .agg(F.count("*").alias("n_common"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("new_id"), F.col("n").alias("n1"))
+    # batch-bounded broadcast: filter sizes to the batch BEFORE the
+    # hint (the full per-doc relation is not broadcastable at corpus
+    # scale — same fix as dedup_incremental)
+    s1 = sizes.filter(is_new).select(
+        F.col("doc_id").alias("new_id"), F.col("n").alias("n1")
+    )
     s2 = sizes.select(
         F.col("doc_id").alias("corpus_id"), F.col("n").alias("n2")
     )
