@@ -1120,7 +1120,8 @@ def _write_slice_header(
 
 
 def _parse_slice_header(
-    r: _BitReader, sps: dict, pps: dict, idr: bool = True
+    r: _BitReader, sps: dict, pps: dict, idr: bool = True,
+    nal_ref_idc: int = 3,
 ) -> tuple[str, int, bool, int, int]:
     """Returns (slice type 'I'/'P', slice QP, deblocking enabled, alpha
     offset, beta offset); rejects anything outside the subset."""
@@ -1155,14 +1156,20 @@ def _parse_slice_header(
             raise MediaFormatError(
                 "reference list modification outside the subset"
             )
-        # dec_ref_pic_marking (nal_ref_idc != 0 on every slice we emit)
+    # dec_ref_pic_marking presence follows the NAL header, NOT the
+    # slice type (§7.3.3): IDR pictures carry the two output/long-term
+    # flags; non-IDR REFERENCE pictures (nal_ref_idc != 0) carry
+    # adaptive_ref_pic_marking_mode_flag — including non-IDR I slices
+    # (open-GOP recovery points), which previously misparsed here and
+    # could desync into wrong pixels instead of quarantining.
+    if idr:
+        r.u(1)  # no_output_of_prior_pics
+        r.u(1)  # long_term_reference_flag
+    elif nal_ref_idc != 0:
         if r.u(1):  # adaptive_ref_pic_marking_mode_flag
             raise MediaFormatError(
                 "adaptive reference marking outside the subset"
             )
-    else:
-        r.u(1)  # no_output_of_prior_pics
-        r.u(1)  # long_term_reference_flag
     qp = pps["pic_init_qp"] + r.se()
     if not 0 <= qp <= 51:
         raise MediaFormatError("slice QP out of range")
@@ -1556,7 +1563,7 @@ def decode_frame_nal(
         raise MediaFormatError(f"unexpected NAL type {nal_type} for slice")
     r = _BitReader(_unescape_rbsp(nal[1:]))
     stype, qp, deblock, a_off, b_off = _parse_slice_header(
-        r, sps, pps, idr=nal_type == 5
+        r, sps, pps, idr=nal_type == 5, nal_ref_idc=nal[0] >> 5
     )
     st = _FrameState(sps["mb_w"], sps["mb_h"])
     cqo = pps.get("chroma_qp_index_offset", 0)
@@ -2417,17 +2424,18 @@ def _decode_i4_mb(
 # ---------------------------------------------------------------------------
 # P slices (§8.4): single-reference motion compensation — round 10.
 #
-# Subset: P_Skip / P_L0_16x16 / P_L0_L0_16x8 / P_L0_L0_8x16 plus intra
-# macroblocks (mb_type + 5), ONE reference picture (the previous
-# decoded picture), quarter-pel luma interpolation (§8.4.2.2.1 6-tap)
-# and eighth-pel bilinear chroma (§8.4.2.2.2), median/directional MV
-# prediction (§8.4.1.3) and the P_Skip MV rule (§8.4.1.1), CAVLC
-# residuals with the Table 9-4 Inter CBP column.  P_8x8 sub-macroblock
-# partitions, multi-reference lists and B slices stay OUTSIDE the
-# subset and quarantine via MediaFormatError; the encoder signals the
-# deblocking filter OFF on inter pictures (a conformant encoder
-# choice), so the closed reference loop is exactly the unfiltered
-# reconstruction on both sides.
+# Subset: P_Skip / P_L0_16x16 / P_L0_L0_16x8 / P_L0_L0_8x16 /
+# P_8x8+P_8x8ref0 (all four Table 7-17 sub-partition shapes) plus
+# intra macroblocks (mb_type + 5), ONE reference picture (the previous
+# decoded picture's FILTERED output), quarter-pel luma interpolation
+# (§8.4.2.2.1 6-tap) and eighth-pel bilinear chroma (§8.4.2.2.2),
+# median/directional MV prediction (§8.4.1.3) and the P_Skip MV rule
+# (§8.4.1.1), CAVLC residuals with the Table 9-4 Inter CBP column, and
+# §8.7 deblocking with the real §8.7.2.1 per-edge boundary strengths
+# (the encoder signals the filter ON — the spec-realistic default —
+# and both sides run the identical filtered reference loop).
+# Multi-reference lists, B slices and CABAC stay OUTSIDE the subset
+# and quarantine via MediaFormatError.
 # ---------------------------------------------------------------------------
 
 # Table 9-4, Inter column: codeNum -> coded_block_pattern.  Transcribed
@@ -2991,6 +2999,9 @@ def encode_p_frame_nal(
     return nal, (st.y, st.u, st.v)
 
 
+_IPPP_CACHE: dict = {}
+
+
 def encode_h264_ippp(
     width: int, height: int, frames_rgb: list[bytes], qp: int = DEFAULT_QP,
     return_recon: bool = False,
@@ -3002,30 +3013,43 @@ def encode_h264_ippp(
     (§8.7.2.1 per-edge strengths on P pictures), mirrored exactly by
     the decoder, so encoder recon ≡ any conforming decoder's output,
     byte for byte."""
-    sps = write_h264_sps(width, height, 66, 30)
-    pps = write_pps(DEFAULT_QP)
-    out = encode_frame_nal(
-        frames_rgb[0], width, height, qp, idr_pic_id=0,
-        return_planes=True,
-    )
-    nals = [out[0]]
-    planes = out[1]
-    recons = [planes]
-    for i, f in enumerate(frames_rgb[1:], start=1):
-        nal, planes = encode_p_frame_nal(f, width, height, qp, planes, i)
-        nals.append(nal)
-        recons.append(planes)
-    if not return_recon:
-        return sps, pps, nals
-    rgb_recons = [
-        yuv420_to_rgb(
-            y[:height, :width],
-            u[: (height + 1) // 2, : (width + 1) // 2],
-            v[: (height + 1) // 2, : (width + 1) // 2],
+    # Memoized like encode_avcc_samples: fixture lanes encode the SAME
+    # GOP for the mp4 container, the mkv container AND the closed-loop
+    # recon comparison; motion estimation dominates, so the second and
+    # third encodes must be cache hits, not re-searches.  RGB recons
+    # are always computed into the cache (YUV→RGB is trivial next to
+    # ME) and sliced off per call.
+    key = (width, height, tuple(frames_rgb), qp)
+    hit = _IPPP_CACHE.get(key)
+    if hit is None:
+        sps = write_h264_sps(width, height, 66, 30)
+        pps = write_pps(DEFAULT_QP)
+        out = encode_frame_nal(
+            frames_rgb[0], width, height, qp, idr_pic_id=0,
+            return_planes=True,
         )
-        for y, u, v in recons
-    ]
-    return sps, pps, nals, rgb_recons
+        nals = [out[0]]
+        planes = out[1]
+        recons = [planes]
+        for i, f in enumerate(frames_rgb[1:], start=1):
+            nal, planes = encode_p_frame_nal(f, width, height, qp, planes, i)
+            nals.append(nal)
+            recons.append(planes)
+        rgb_recons = [
+            yuv420_to_rgb(
+                y[:height, :width],
+                u[: (height + 1) // 2, : (width + 1) // 2],
+                v[: (height + 1) // 2, : (width + 1) // 2],
+            )
+            for y, u, v in recons
+        ]
+        if len(_IPPP_CACHE) > 16:
+            _IPPP_CACHE.clear()
+        hit = (sps, pps, nals, rgb_recons)
+        _IPPP_CACHE[key] = hit
+    if not return_recon:
+        return hit[0], hit[1], hit[2]
+    return hit
 
 
 def decode_h264_stream(

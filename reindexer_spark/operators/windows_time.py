@@ -1015,6 +1015,12 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- streaming MinHash-LSH dedup on ingest (round 10) ----------------------
 
+from reindexer_spark.operators.dedup import (  # noqa: E402
+    MH_MD5_P as _MH_P,
+    MH_MD5_PERMS as _MH_PERMS,
+    MH_MD5_ROWS as _MH_ROWS,
+)
+
 STREAM_LSH_CAP = 2  # per-bucket representative cap AT THE GATE: small
 # enough that sf fixtures (buckets of 3-4 near-dup docs exist at every
 # sf) exercise the cap branch under the oracle; production would run
@@ -1043,19 +1049,27 @@ def _rowwise_md5_bands(docs: DataFrame) -> DataFrame:
     d = docs.withColumn("toks", F.split("text", " ")).withColumn(
         "grams", word_shingles(F.col("toks"))
     )
-    d = d.filter(F.size("grams") > 0).withColumn(
-        "hs",
-        F.transform(
-            "grams",
-            lambda g: F.struct(
-                F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
-                .cast("bigint")
-                .alias("h1"),
-                F.conv(F.substring(F.md5(g), 9, 8), 16, 10)
-                .cast("bigint")
-                .alias("h2"),
+    # ONE md5 per gram (the batch twin's stated optimization), then
+    # split the digest — a single transform computing md5 twice would
+    # double the digest work per arriving gram (higher-order lambdas
+    # get no codegen subexpression elimination)
+    d = (
+        d.filter(F.size("grams") > 0)
+        .withColumn("digs", F.transform("grams", lambda g: F.md5(g)))
+        .withColumn(
+            "hs",
+            F.transform(
+                "digs",
+                lambda m: F.struct(
+                    F.conv(F.substring(m, 1, 8), 16, 10)
+                    .cast("bigint")
+                    .alias("h1"),
+                    F.conv(F.substring(m, 9, 8), 16, 10)
+                    .cast("bigint")
+                    .alias("h2"),
+                ),
             ),
-        ),
+        )
     )
 
     def mh(i: int):
@@ -1098,14 +1112,14 @@ def _rowwise_md5_bands(docs: DataFrame) -> DataFrame:
       FROM ex_all
     ),
     mh AS (
-      SELECT doc_id, i, MIN((h1 + i * h2) % 4294967291) AS mhv
-      FROM dig CROSS JOIN range(16) r(i)
+      SELECT doc_id, i, MIN((h1 + i * h2) % {_MH_P}) AS mhv
+      FROM dig CROSS JOIN range({_MH_PERMS}) r(i)
       GROUP BY doc_id, i
     ),
     bands AS (
-      SELECT doc_id, i // 4 AS band,
+      SELECT doc_id, i // {_MH_ROWS} AS band,
              string_agg(mhv::VARCHAR, ':' ORDER BY i) AS sig
-      FROM mh GROUP BY doc_id, i // 4
+      FROM mh GROUP BY doc_id, i // {_MH_ROWS}
     ),
     ranked AS MATERIALIZED (
       SELECT doc_id, band, sig,

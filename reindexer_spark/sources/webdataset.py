@@ -169,6 +169,13 @@ def write_webdataset_shards(
             dir=out_dir, prefix=os.path.basename(path) + ".", suffix=".tmp"
         )
         os.close(fd)
+        # mkstemp creates 0600 and os.replace keeps the mode; restore
+        # the umask-equivalent permissions a plain open() would have
+        # given the published shard (dataloaders under other accounts
+        # read these files)
+        umask = os.umask(0)
+        os.umask(umask)
+        os.chmod(tmp, 0o666 & ~umask)
         try:
             _write_tar(tmp, rows, compress, contextlib, gzip, io, tarfile)
         except BaseException:

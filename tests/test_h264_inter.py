@@ -2,10 +2,10 @@
 
 The load-bearing invariant mirrors the intra suite: the encoder's
 closed-loop reconstruction is byte-identical to the decoder's output
-for every frame of an IPPP chain (single reference, deblocking
-signalled off — so both sides run the same unfiltered loop).  Plus the
-published-table pins CAVLC round-trips cannot catch, and the
-quarantine edges of the subset."""
+for every frame of an IPPP chain (single reference, deblocking ON with
+the §8.7.2.1 inter strengths — both sides run the identical FILTERED
+reference loop).  Plus the published-table pins CAVLC round-trips
+cannot catch, and the quarantine edges of the subset."""
 
 from __future__ import annotations
 
@@ -336,3 +336,37 @@ def test_annexb_ippp_round_trip_and_probe():
     assert dec == recons
     meta = H.probe_annexb(es)
     assert meta["n_frames"] == 4
+
+
+def test_non_idr_i_slice_parses_and_decodes():
+    """Open-GOP recovery point: a NON-IDR NAL carrying an I slice has
+    no idr_pic_id and its dec_ref_pic_marking is the single adaptive
+    flag (nal_ref_idc != 0) — previously misparsed as the two IDR
+    flags, desyncing the bitstream.  A hand-written 1-MB I_PCM picture
+    decodes byte-exactly through the non-IDR path."""
+    w = H._BitWriter()
+    w.ue(0)   # first_mb_in_slice
+    w.ue(7)   # slice_type: I (all slices)
+    w.ue(0)   # pps_id
+    w.u(3, 4) # frame_num
+    # poc_type 0 in our SPS:
+    w.u(6, 4) # pic_order_cnt_lsb
+    w.u(0, 1) # adaptive_ref_pic_marking_mode_flag (non-IDR, ref_idc!=0)
+    w.se(0)   # slice_qp_delta
+    w.ue(1)   # disable_deblocking_filter_idc = 1 (filter off)
+    w.ue(25)  # mb_type: I_PCM
+    w.align_byte()
+    rng = np.random.default_rng(5)
+    luma = rng.integers(0, 256, 256, dtype=np.uint8)
+    cb = rng.integers(0, 256, 64, dtype=np.uint8)
+    cr = rng.integers(0, 256, 64, dtype=np.uint8)
+    for plane in (luma, cb, cr):
+        w.raw_bytes(plane.tobytes())
+    sps_nal = H.write_h264_sps(16, 16, 66, 30)
+    sd = H._parse_sps_slice_fields(sps_nal)
+    pd = H.parse_pps(H.write_pps())
+    # nal_ref_idc = 2, type 1 (non-IDR slice)
+    y, u, v = H.decode_frame_nal(b"\x41" + w.finish(), sd, pd)
+    assert np.array_equal(y, luma.reshape(16, 16))
+    assert np.array_equal(u, cb.reshape(8, 8))
+    assert np.array_equal(v, cr.reshape(8, 8))
