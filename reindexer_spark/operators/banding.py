@@ -12,19 +12,25 @@ structural scale hole in the 100 TB dedup story).
 guard built in:
 
 - buckets of size ≤ ``cap``: the plain all-pairs self-join, unchanged;
-- buckets of size  > ``cap``: STAR pairs only — the bucket's minimum id
-  is the representative and every other member pairs with it, k-1
-  candidates instead of k²/2.
+- buckets of size  > ``cap``: SIGNATURE-GROUPED STAR — star pairs
+  within each equal-full-sketch group (min-id representative ↔
+  member) plus all-pairs across the group representatives; with no
+  ``sig_cols`` the bucket is one group, i.e. the plain min-id star.
 
-Star is the right degradation for dedup: any two members of a hot
-bucket stay connected THROUGH the representative, so downstream
-cluster/connected-component semantics are preserved whenever the
-bucket's members really are mutual near-dups (the only way a bucket
-gets hot on a banded sketch) — while candidate volume, shuffle width,
-and verify-join cost all become linear in the bucket size.  Dropping
-hot buckets (the DF-cap trick used on shingle/word posting lists, where
-a hot feature is evidence of NOTHING — boilerplate) would instead lose
-exactly the clusters a dedup pass exists to find.
+The two degradation regimes (round-10 review refinement): on WIDE band
+keys (MinHash band signatures) a hot bucket can only be mutual
+near-dups, so plain star keeps every true pair connected through the
+representative while candidate volume, shuffle width and verify cost
+become linear in the bucket.  On NARROW keys (8-bit simhash/aHash
+bands, hyperplane buckets) buckets also go hot by CHANCE once the
+corpus outgrows cap·2^bits, and a bucket-wide star would hide true
+pairs behind an unrelated representative — grouping by the full
+sketch keeps a boilerplate bucket at k-1 pairs while a chance-hot
+bucket retains every cross-signature candidate (quadratic only in
+DISTINCT sketches, the width trade those lanes document).  Dropping
+hot buckets outright (the DF-cap trick used on shingle/word posting
+lists, where a hot feature is evidence of NOTHING — boilerplate)
+would instead lose exactly the clusters a dedup pass exists to find.
 
 Cost shape: one shuffle on the bucket key for the window (the same
 shuffle the join needed anyway); the hot partition is scanned O(k)
@@ -58,19 +64,40 @@ def banded_pairs(
     out1: str = "d1",
     out2: str = "d2",
     cap: int | None = None,
+    sig_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, *keys) band relation → distinct candidate id pairs
     (``out1`` < ``out2``): all-pairs within buckets of ≤ ``cap``
-    members, min-id star pairs within hotter buckets.  ``cap`` defaults
-    to HOT_BUCKET_CAP at call time (scale_proof.py's boilerplate leg
-    measures guard-off by passing an effectively-infinite cap)."""
+    members; hotter buckets degrade to SIGNATURE-GROUPED STAR — star
+    pairs within each equal-``sig_cols`` group (min-id representative
+    ↔ member) plus all-pairs across the group representatives.  With
+    empty ``sig_cols`` the whole bucket is one group, i.e. the plain
+    min-id star.
+
+    Why the grouping matters (round-10 review finding): on WIDE band
+    keys (MinHash band signatures) a hot bucket can only be mutual
+    near-dups, so plain star is safe.  On NARROW keys — the 8-bit
+    simhash/aHash bands and hyperplane buckets — buckets go hot by
+    CHANCE once the corpus outgrows cap·2^bits, and plain star would
+    silently drop true pairs whose members hide behind an unrelated
+    representative.  Grouping by the FULL sketch fixes both regimes:
+    a boilerplate bucket (one signature) still collapses to k-1 star
+    pairs, while a chance-hot bucket (distinct signatures) keeps every
+    cross-signature candidate.  For lanes whose verification depends
+    only on the sketch (hamming / equal-signature checks), the guarded
+    output provably has the SAME connected components as the unguarded
+    join: within-group members are verification-equivalent to their
+    representative (pinned in tests/test_banding.py).
+
+    ``cap`` defaults to HOT_BUCKET_CAP at call time (scale_proof.py's
+    boilerplate leg measures guard-off with an effectively-infinite
+    cap)."""
     if cap is None:
         cap = HOT_BUCKET_CAP
     w = Window.partitionBy(*keys)
     b = (
-        bands.select(id_col, *keys)
+        bands.select(id_col, *keys, *sig_cols)
         .withColumn("_bsz", F.count("*").over(w))
-        .withColumn("_brep", F.min(id_col).over(w))
     )
     small = b.filter(F.col("_bsz") <= cap)
     cond = F.col(f"x.{id_col}") < F.col(f"y.{id_col}")
@@ -84,22 +111,44 @@ def banded_pairs(
             F.col(f"y.{id_col}").alias(out2),
         )
     )
-    hot_pairs = b.filter(
-        (F.col("_bsz") > cap) & (F.col(id_col) != F.col("_brep"))
-    ).select(F.col("_brep").alias(out1), F.col(id_col).alias(out2))
-    return small_pairs.unionByName(hot_pairs).distinct()
+    wg = Window.partitionBy(*keys, *sig_cols)
+    hot = b.filter(F.col("_bsz") > cap).withColumn(
+        "_grep", F.min(id_col).over(wg)
+    )
+    within = hot.filter(F.col(id_col) != F.col("_grep")).select(
+        F.col("_grep").alias(out1), F.col(id_col).alias(out2)
+    )
+    reps = hot.filter(F.col(id_col) == F.col("_grep"))
+    rep_pairs = (
+        reps.alias("x")
+        .join(reps.alias("y"), cond)
+        .select(
+            F.col(f"x.{id_col}").alias(out1),
+            F.col(f"y.{id_col}").alias(out2),
+        )
+    )
+    return (
+        small_pairs.unionByName(within)
+        .unionByName(rep_pairs)
+        .distinct()
+    )
 
 
 def bstat_sql(
-    bands_rel: str, keys: tuple[str, ...], id_col: str
+    bands_rel: str, keys: tuple[str, ...], id_col: str,
+    sig_cols: tuple[str, ...] = (),
 ) -> str:
     """DuckDB CTE body replicating the guard's per-bucket stats over a
-    band relation/CTE name; pair with :func:`banded_pairs_sql`."""
+    band relation/CTE name; pair with :func:`banded_pairs_sql`.
+    ``grep`` is the per-signature-group representative (equal to the
+    bucket min when ``sig_cols`` is empty)."""
     kl = ", ".join(keys)
+    gl = ", ".join((*keys, *sig_cols))
+    cols = ", ".join((id_col, *keys, *sig_cols))
     return (
-        f"SELECT {id_col}, {kl},"
+        f"SELECT {cols},"
         f" COUNT(*) OVER (PARTITION BY {kl}) AS bsz,"
-        f" MIN({id_col}) OVER (PARTITION BY {kl}) AS brep"
+        f" MIN({id_col}) OVER (PARTITION BY {gl}) AS grep"
         f" FROM {bands_rel}"
     )
 
@@ -111,7 +160,10 @@ def banded_pairs_sql(
     cap: int = HOT_BUCKET_CAP,
 ) -> str:
     """DuckDB SELECT body producing the guard's DISTINCT (d1, d2) pairs
-    from a :func:`bstat_sql` CTE named ``bstat_rel``."""
+    from a :func:`bstat_sql` CTE named ``bstat_rel``: all-pairs for
+    small buckets, within-signature-group star + representative
+    all-pairs for hot ones (the exact mirror of
+    :func:`banded_pairs`)."""
     eq = " AND ".join(f"a.{k} = b.{k}" for k in keys)
     return f"""SELECT DISTINCT d1, d2 FROM (
         SELECT a.{id_col} AS d1, b.{id_col} AS d2
@@ -119,6 +171,12 @@ def banded_pairs_sql(
           ON {eq} AND a.{id_col} < b.{id_col}
         WHERE a.bsz <= {cap}
         UNION ALL
-        SELECT brep AS d1, {id_col} AS d2 FROM {bstat_rel}
-        WHERE bsz > {cap} AND {id_col} <> brep
+        SELECT grep AS d1, {id_col} AS d2 FROM {bstat_rel}
+        WHERE bsz > {cap} AND {id_col} <> grep
+        UNION ALL
+        SELECT a.{id_col} AS d1, b.{id_col} AS d2
+        FROM {bstat_rel} a JOIN {bstat_rel} b
+          ON {eq} AND a.{id_col} < b.{id_col}
+        WHERE a.bsz > {cap} AND a.{id_col} = a.grep
+          AND b.{id_col} = b.grep
       )"""

@@ -503,7 +503,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunk_id", "chunk_val"),
     )
     cand = (
-        banded_pairs(chunks, ("chunk_id", "chunk_val"), "doc_id")
+        banded_pairs(
+            chunks, ("chunk_id", "chunk_val"), "doc_id",
+            sig_cols=("simhash",),
+        )
         .join(
             fingerprint.select(
                 F.col("doc_id").alias("d1"), F.col("simhash").alias("sh1")
@@ -772,13 +775,14 @@ SIMHASH_MD5_HAMMING = 6
       FROM votes GROUP BY doc_id
     ),
     chunks AS (
-      SELECT doc_id, c AS chunk_id,
+      SELECT doc_id, sh_lo, sh_hi, c AS chunk_id,
              CASE WHEN c < 4 THEN (sh_lo >> (8 * c)) & 255
                   ELSE (sh_hi >> (8 * (c - 4))) & 255 END AS chunk_val
       FROM fp CROSS JOIN range(8) r(c)
     ),
     bstat AS MATERIALIZED (
-      {bstat_sql("chunks", ("chunk_id", "chunk_val"), "doc_id")}
+      {bstat_sql("chunks", ("chunk_id", "chunk_val"), "doc_id",
+                 ("sh_lo", "sh_hi"))}
     ),
     cand AS (
       {banded_pairs_sql("bstat", ("chunk_id", "chunk_val"), "doc_id")}
@@ -855,6 +859,8 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint = track(fingerprint)
     chunks = fingerprint.select(
         "doc_id",
+        "sh_lo",
+        "sh_hi",
         F.posexplode(
             F.array(
                 *[
@@ -869,7 +875,10 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chunk_id", "chunk_val"),
     )
     cand = (
-        banded_pairs(chunks, ("chunk_id", "chunk_val"), "doc_id")
+        banded_pairs(
+            chunks, ("chunk_id", "chunk_val"), "doc_id",
+            sig_cols=("sh_lo", "sh_hi"),
+        )
         .join(
             fingerprint.select(
                 F.col("doc_id").alias("d1"),
@@ -1785,3 +1794,45 @@ def dedup_lsh_hotcap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("band_val"),
     )
     return banded_pairs(bands, ("band_id", "band_val"), "doc_id")
+
+
+@query(
+    "dedup_lsh_hotcap_grouped",
+    oracle=f"""
+    WITH bands AS (
+      SELECT doc_id, 0 AS band_id,
+             CASE WHEN doc_id % 4 <> 0 THEN CAST(-1 AS BIGINT)
+                  ELSE CAST(doc_id // 40 AS BIGINT) END AS band_val,
+             CAST(doc_id % 5 AS BIGINT) AS sig
+      FROM documents
+    ),
+    bstat AS MATERIALIZED (
+      {bstat_sql("bands", ("band_id", "band_val"), "doc_id", ("sig",))}
+    )
+    {banded_pairs_sql("bstat", ("band_id", "band_val"), "doc_id")}
+    """,
+)
+def dedup_lsh_hotcap_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value gate for the SIGNATURE-GROUPED star path (the round-10
+    review refinement): the same constructed 375-member hot bucket as
+    dedup_lsh_hotcap, but members carry a 5-valued full-sketch column —
+    the hot bucket must degrade to star WITHIN each equal-sketch group
+    plus all-pairs across the five group representatives, never the
+    plain bucket-wide star (which would hide true pairs behind an
+    unrelated representative on narrow band keys).  The small buckets
+    still take the exact all-pairs path.  Oracle replicates both
+    branches arithmetically."""
+    d = load_table(spark, sf_dir, "documents")
+    bands = d.select(
+        "doc_id",
+        F.lit(0).alias("band_id"),
+        F.when(
+            F.col("doc_id") % 4 != 0, F.lit(-1).cast("bigint")
+        )
+        .otherwise(F.expr("doc_id div 40"))
+        .alias("band_val"),
+        (F.col("doc_id") % 5).cast("bigint").alias("sig"),
+    )
+    return banded_pairs(
+        bands, ("band_id", "band_val"), "doc_id", sig_cols=("sig",)
+    )

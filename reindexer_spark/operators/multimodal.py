@@ -749,6 +749,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exploded equi-join produces the identical candidate set.
     bands = sigs.select(
         "media_id",
+        "ahash",
         F.posexplode(
             F.array(
                 *[
@@ -762,7 +763,8 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         banded_pairs(
-            bands, ("band_id", "band_val"), "media_id", out1="m1", out2="m2"
+            bands, ("band_id", "band_val"), "media_id", out1="m1", out2="m2",
+            sig_cols=("ahash",),
         )
         .join(
             sigs.select(
@@ -852,13 +854,14 @@ _PHASH_HI_MASK_SQL = _xor_fold(
       UNION ALL SELECT media_id, lo, hi FROM copies
     ),
     chunks AS (
-      SELECT media_id, c AS chunk_id,
+      SELECT media_id, lo, hi, c AS chunk_id,
              CASE WHEN c < 4 THEN (lo >> (8 * c)) & 255
                   ELSE (hi >> (8 * (c - 4))) & 255 END AS chunk_val
       FROM sigs CROSS JOIN range(8) r(c)
     ),
     bstat AS MATERIALIZED (
-      {bstat_sql("chunks", ("chunk_id", "chunk_val"), "media_id")}
+      {bstat_sql("chunks", ("chunk_id", "chunk_val"), "media_id",
+                 ("lo", "hi"))}
     ),
     cand AS (
       {banded_pairs_sql("bstat", ("chunk_id", "chunk_val"), "media_id")}
@@ -960,11 +963,12 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = track(sigs)
     cand = (
         banded_pairs(
-            chunks.select("media_id", "chunk_id", "chunk_val"),
+            chunks.select("media_id", "lo", "hi", "chunk_id", "chunk_val"),
             ("chunk_id", "chunk_val"),
             "media_id",
             out1="m1",
             out2="m2",
+            sig_cols=("lo", "hi"),
         )
         .join(
             sigs.select(

@@ -187,7 +187,7 @@ EMBED_LSH_THRESHOLD = 0.4
       FROM embeddings
     ),
     bstat AS MATERIALIZED (
-      {bstat_sql("b", ("bucket",), "vec_id")}
+      {bstat_sql("b", ("bucket",), "vec_id", ("embedding",))}
     ),
     cand AS (
       {banded_pairs_sql("bstat", ("bucket",), "vec_id")}
@@ -222,7 +222,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # members share one bucket by construction, so v1's bucket is THE
     # bucket even for star pairs from a hot bucket.
     pairs = (
-        banded_pairs(e, ("bucket",), "vec_id", out1="v1", out2="v2")
+        banded_pairs(
+            e, ("bucket",), "vec_id", out1="v1", out2="v2",
+            sig_cols=("embedding",),
+        )
         .join(
             e.select(
                 F.col("vec_id").alias("v1"),

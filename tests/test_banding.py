@@ -79,3 +79,44 @@ def test_matches_unguarded_join_when_cap_never_fires(spark):
         .distinct()
     )
     assert guarded == brute
+
+
+def test_hot_bucket_signature_grouped_star(spark):
+    """Narrow-key refinement (round-10 review): a hot bucket degrades
+    to star WITHIN each equal-signature group plus all-pairs across
+    the group representatives — a chance-hot bucket must not hide true
+    pairs behind an unrelated bucket-wide representative."""
+    rows = [  # one bucket of 6 (> cap 3), sigs: {1,2,5}=A, {3,4}=B, {6}=C
+        (1, 0, "A"), (2, 0, "A"), (5, 0, "A"),
+        (3, 0, "B"), (4, 0, "B"), (6, 0, "C"),
+    ]
+    b = spark.createDataFrame(
+        rows, "doc_id int, band_val int, sig string"
+    ).select("doc_id", F.lit(0).alias("band_id"), "band_val", "sig")
+    got = _pairs(
+        banded_pairs(
+            b, ("band_id", "band_val"), "doc_id", cap=3, sig_cols=("sig",)
+        )
+    )
+    within = {(1, 2), (1, 5), (3, 4)}          # star inside each group
+    across = {(1, 3), (1, 6), (3, 6)}          # rep all-pairs (1, 3, 6)
+    assert got == within | across
+    # connectivity: every equal-sig pair reaches its group rep, and
+    # every cross-sig pair is represented by its reps' pair — for
+    # signature-verified lanes this preserves connected components
+    # exactly (equal-sig members are verification-equivalent)
+
+
+def test_grouped_star_reduces_to_plain_star_without_sigs(spark):
+    b = _bands(spark, {1: [5, 2, 9, 4]})
+    plain = _pairs(banded_pairs(b, ("band_id", "band_val"), "doc_id", cap=3))
+    via_const_sig = _pairs(
+        banded_pairs(
+            b.select("*", F.lit("x").alias("sig")),
+            ("band_id", "band_val"),
+            "doc_id",
+            cap=3,
+            sig_cols=("sig",),
+        )
+    )
+    assert plain == via_const_sig == {(2, 4), (2, 5), (2, 9)}
