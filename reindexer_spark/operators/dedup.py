@@ -393,6 +393,21 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap; this is the scale path, dedup_ngram_jaccard is the exact
     baseline it is validated against (see tests; candidate-volume
     growth measured in scale_proof.py's boilerplate leg).
+
+    Hot-bucket recall contract (round-11, per review): above the cap
+    the guard's plain min-id star preserves connectivity at the
+    CANDIDATE level only.  Exact-Jaccard verification (≥ 0.5) can
+    reject both (rep, m1) and (rep, m2) where (m1, m2) would have
+    passed, so a >cap bucket can lose true pairs post-verification and
+    fragment clusters — the deliberate trade: grouping by the full
+    signature instead (sig_cols) would turn a boilerplate bucket of k
+    near-identical-but-not-identical pages (distinct full sketches)
+    back into ~k²/2 representative pairs, undoing the guard exactly
+    where it matters (SCALE_PROOF boilerplate leg: ×101.8 unguarded vs
+    ×0.62 guarded).  Band equality of 4 minhashes is strong evidence of
+    high Jaccard, not a guarantee; banding.py's star-equivalence proof
+    covers sketch-verified lanes (simhash/phash), not this exact-verify
+    lane.
     """
     ex = shingle_table(spark, sf_dir)
     cand = banded_pairs(

@@ -745,8 +745,10 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # guarded equi-join (banding.banded_pairs).  The previous shape —
     # one row per signature, joined on an OR over 8 band equalities —
     # was an all-pairs nested-loop join in disguise (an OR of
-    # equalities has no hash-join key), quadratic at scale; the
-    # exploded equi-join produces the identical candidate set.
+    # equalities has no hash-join key), quadratic at scale.  Below
+    # HOT_BUCKET_CAP the exploded equi-join produces the identical
+    # candidate set; a band bucket that goes hot degrades to the
+    # guard's signature-grouped star instead (banding.banded_pairs).
     bands = sigs.select(
         "media_id",
         "ahash",

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -178,59 +180,168 @@ def knn_ivf_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMBED_LSH_THRESHOLD = 0.4
 
+# Adaptive multiband LSH for embedding DEDUP (round-11 VERDICT #1: the
+# fixed 8-bit bucket key goes chance-hot once the corpus outgrows
+# cap·256 and verify cost turns O(n²/256) — shuffle records grew 68.9×
+# at 10× data in SCALE_SWEEP).  Fix: the bucket key WIDTH scales with
+# the corpus — band b uses the first nbits sign-bits of its own plane
+# set, where nbits is the smallest width in [8, 20] keeping the mean
+# bucket at ≤ DEDUP_TARGET_BUCKET members (integer thresholds, so both
+# engines compute the identical width: nbits = 8 + |{b in 8..19 :
+# n > TARGET·2^b}|).  Candidates per band stay ~n·TARGET/2 — LINEAR in
+# n — and the recall a wider key forfeits is bought back the standard
+# way: DEDUP_N_BANDS independent plane sets unioned (1-(1-p^nbits)^r),
+# the same ladder knn_multiband_lsh demonstrates.
+DEDUP_N_BANDS = 4
+DEDUP_MAX_PLANES = 20  # 2^20 buckets/band ≈ 8M vectors at TARGET=8
+DEDUP_TARGET_BUCKET = 8
+_rng_dd = random.Random(20260815)
+DEDUP_PLANES: list[list[list[float]]] = [
+    [
+        [round(_rng_dd.uniform(-1.0, 1.0), 6) for _ in range(EMBED_DIM)]
+        for _ in range(DEDUP_MAX_PLANES)
+    ]
+    for _ in range(DEDUP_N_BANDS)
+]
+
+_NBITS_SQL = "8 + " + " + ".join(
+    f"(CASE WHEN n > {DEDUP_TARGET_BUCKET * (1 << b)} THEN 1 ELSE 0 END)"
+    for b in range(8, DEDUP_MAX_PLANES)
+)
+
+
+def dedup_nbits(n: int) -> int:
+    """Adaptive band width: smallest nbits in [8, DEDUP_MAX_PLANES] with
+    mean bucket occupancy n/2^nbits ≤ DEDUP_TARGET_BUCKET.  Pure integer
+    comparisons — the oracle computes the identical value from COUNT(*)
+    (see _NBITS_SQL)."""
+    return 8 + sum(
+        1
+        for b in range(8, DEDUP_MAX_PLANES)
+        if n > DEDUP_TARGET_BUCKET * (1 << b)
+    )
+
+
+def _dedup_band_bucket_sql(col: str, band: int) -> str:
+    terms = []
+    for i, plane in enumerate(DEDUP_PLANES[band]):
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN {i} < nbits THEN"
+            f" (CASE WHEN list_dot_product({col}::DOUBLE[], {arr}) >= 0"
+            f" THEN {1 << i} ELSE 0 END) ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_DEDUP_BANDS_SQL = "\n      UNION ALL\n      ".join(
+    f"SELECT vec_id, embedding, {bd} AS band,"
+    f" {_dedup_band_bucket_sql('embedding', bd)} AS bucket"
+    f" FROM embeddings, nb"
+    for bd in range(DEDUP_N_BANDS)
+)
+
 
 @query(
     "dedup_embedding_lsh",
     oracle=f"""
-    WITH b AS MATERIALIZED (
-      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
-      FROM embeddings
+    WITH nb AS MATERIALIZED (
+      SELECT {_NBITS_SQL} AS nbits
+      FROM (SELECT COUNT(*) AS n FROM embeddings)
+    ),
+    b AS MATERIALIZED (
+      {_DEDUP_BANDS_SQL}
     ),
     bstat AS MATERIALIZED (
-      {bstat_sql("b", ("bucket",), "vec_id", ("embedding",))}
+      {bstat_sql("b", ("band", "bucket"), "vec_id", ("embedding",))}
     ),
     cand AS (
-      {banded_pairs_sql("bstat", ("bucket",), "vec_id")}
+      {banded_pairs_sql("bstat", ("band", "bucket"), "vec_id")}
     )
-    SELECT d1 AS v1, d2 AS v2, x.bucket AS bucket,
+    SELECT d1 AS v1, d2 AS v2,
            list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) AS cosine
     FROM cand
-    JOIN b x ON x.vec_id = d1
-    JOIN b y ON y.vec_id = d2
+    JOIN embeddings x ON x.vec_id = d1
+    JOIN embeddings y ON y.vec_id = d2
     WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
           >= {EMBED_LSH_THRESHOLD}
     """,
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup at scale: candidate pairs only within the same
-    random-hyperplane LSH bucket (≈256× fewer comparisons than the
-    quadratic baseline in operators.dedup.dedup_embedding), exact cosine
-    verification inside the bucket.  Unlike typical ANN this is still
-    fully oracle-checkable: the hyperplanes are deterministic module
-    constants the oracle replicates, so 'approximate' means a defined
-    candidate set, not an unreproducible one.
+    """Embedding near-dup at scale: candidate pairs within same
+    random-hyperplane LSH buckets, exact cosine verification inside the
+    bucket — with the bucket key WIDTH adaptive to corpus size and
+    recall recovered through {DEDUP_N_BANDS} independent bands (see the
+    DEDUP_PLANES block comment).  Unlike typical ANN this is still
+    fully oracle-checkable: the planes are deterministic module
+    constants and the width rule is integer arithmetic on COUNT(*), so
+    'approximate' means a defined candidate set, not an unreproducible
+    one.
 
-    Scale shape: one narrow projection pass to bucket, one equi-join on
-    bucket id (self-join shuffles once on an 8-bit key — salting note:
-    buckets are balanced by construction for zero-mean embeddings)."""
-    e = track(
-        load_table(spark, sf_dir, "embeddings").withColumn(
-            "bucket", bucket_expr(F.col("embedding"))
+    Scale shape: one projection pass buckets every row into
+    {DEDUP_N_BANDS} (band, bucket) keys (nbits dot products each, CASE-
+    gated), one guarded equi-self-join per the banding module, pair
+    dedup across bands, exact re-rank join.  Because 2^nbits grows with
+    n (mean bucket ≤ {DEDUP_TARGET_BUCKET}), candidate volume — and the
+    shuffle — is ~n·{DEDUP_TARGET_BUCKET}/2 per band: linear, where the
+    old fixed-256-bucket key was quadratic past cap·256 vectors
+    (SCALE_SWEEP r10: shuffle ×68.9 at 10×; the adaptive key's leg is
+    re-measured in SCALE_SWEEP r11)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    # Width from one scalar count (the B9 max-key-probe pattern): a
+    # driver-side integer, not a per-row CASE over 80 literal plane
+    # expressions — the literal form cost ~40 s of Py4J expression
+    # construction alone.  The plane matrices ride in as a 4-row
+    # broadcast relation instead, so the bucket expression is ONE
+    # nested higher-order fold regardless of width.
+    nbits = dedup_nbits(e.count())
+    # Arrow-vectorized projection (the 4×nbits catalyst HOF dots cost
+    # ~4 s at sf0.1): one pandas UDF computes every band's bucket id.
+    # Bit-exactness with the oracle's list_dot_product is preserved by
+    # accumulating the dot product SEQUENTIALLY over the 64 dims
+    # (vectorized across rows) — mul-then-add per dim in float64,
+    # identical IEEE op order to DuckDB's and to zip_with/aggregate.
+    pmats = [
+        np.asarray(DEDUP_PLANES[bd][:nbits], dtype=np.float64)
+        for bd in range(DEDUP_N_BANDS)
+    ]
+    weights = (1 << np.arange(nbits, dtype=np.int64))[None, :]
+
+    @F.pandas_udf("array<int>")
+    def _bucket_ids(emb: pd.Series) -> pd.Series:
+        em = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in emb]
+        )  # (n, 64)
+        out = []
+        for pm in pmats:  # pm: (nbits, 64)
+            prods = em[:, None, :] * pm[None, :, :]  # (n, nbits, 64)
+            acc = prods[:, :, 0].copy()
+            for k in range(1, em.shape[1]):  # sequential over dims
+                acc += prods[:, :, k]
+            out.append(((acc >= 0).astype(np.int64) * weights).sum(axis=1))
+        b = np.stack(out, axis=1).astype(np.int32)  # (n, DEDUP_N_BANDS)
+        return pd.Series(list(b))
+
+    banded = track(
+        e.select(
+            "vec_id", "embedding", _bucket_ids("embedding").alias("bb")
+        ).select(
+            "vec_id",
+            "embedding",
+            F.posexplode("bb").alias("band", "bucket"),
         )
     )
-    # Hot-bucket-guarded self-join (banding.banded_pairs): both pair
-    # members share one bucket by construction, so v1's bucket is THE
-    # bucket even for star pairs from a hot bucket.
+    # Hot-bucket-guarded self-join (banding.banded_pairs) on the
+    # (band, bucket) key; cross-band duplicate candidates collapse in
+    # the guard's distinct, so each surviving pair verifies once.
     pairs = (
         banded_pairs(
-            e, ("bucket",), "vec_id", out1="v1", out2="v2",
+            banded, ("band", "bucket"), "vec_id", out1="v1", out2="v2",
             sig_cols=("embedding",),
         )
         .join(
             e.select(
-                F.col("vec_id").alias("v1"),
-                "bucket",
-                F.col("embedding").alias("emb1"),
+                F.col("vec_id").alias("v1"), F.col("embedding").alias("emb1")
             ),
             "v1",
         )
@@ -242,7 +353,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cos = cosine_similarity(F.col("emb1"), F.col("emb2"))
-    return pairs.select("v1", "v2", "bucket", cos.alias("cosine")).filter(
+    return pairs.select("v1", "v2", cos.alias("cosine")).filter(
         F.col("cosine") >= EMBED_LSH_THRESHOLD
     )
 

@@ -117,3 +117,72 @@ def test_ivfadc_residual_beats_flat_pq(spark, sf_dir):
     m_flat = macro("knn_pq_adc")
     assert m_res >= m_flat - 0.05  # same-or-better, tolerance one hit
     assert m_res >= 0.6
+
+
+def test_dedup_nbits_width_rule():
+    """The adaptive LSH width rule: smallest nbits in [8, MAX] keeping
+    mean bucket occupancy ≤ DEDUP_TARGET_BUCKET, computed with integer
+    comparisons only (the oracle's _NBITS_SQL mirrors it on COUNT(*))."""
+    from reindexer_spark.operators.similarity import (
+        DEDUP_MAX_PLANES,
+        DEDUP_TARGET_BUCKET,
+        dedup_nbits,
+    )
+
+    assert dedup_nbits(0) == 8
+    assert dedup_nbits(DEDUP_TARGET_BUCKET * 256) == 8  # boundary stays 8
+    assert dedup_nbits(DEDUP_TARGET_BUCKET * 256 + 1) == 9
+    assert dedup_nbits(DEDUP_TARGET_BUCKET * (1 << 12)) == 12
+    assert dedup_nbits(10**15) == DEDUP_MAX_PLANES
+    for n in (100, 2048, 5000, 100_000, 10**7):
+        b = dedup_nbits(n)
+        assert 8 <= b <= DEDUP_MAX_PLANES
+        if b < DEDUP_MAX_PLANES:
+            assert n / (1 << b) <= DEDUP_TARGET_BUCKET
+        if b > 8:  # minimality: one bit narrower would overflow TARGET
+            assert n / (1 << (b - 1)) > DEDUP_TARGET_BUCKET
+
+
+def test_dedup_embedding_lsh_adaptive_width_matches_oracle(
+    spark, sf_dir, tmp_path
+):
+    """Past TARGET·2^8 vectors the bucket key widens (nbits=9 here); the
+    widened path must stay hash-identical to the DuckDB oracle — i.e.
+    the SQL's CASE-gated plane sums agree with the driver-side integer
+    width and the broadcast plane relation."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from reindexer_spark.operators.similarity import (
+        DEDUP_TARGET_BUCKET,
+        dedup_nbits,
+    )
+    from reindexer_spark.oracle import compare_query
+
+    n = DEDUP_TARGET_BUCKET * 256 + 52  # 2100 → nbits 9
+    assert dedup_nbits(n) == 9
+    d = tmp_path / "sfwide"
+    d.mkdir()
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(sf_dir, f), d / f)
+    rng = np.random.default_rng(20260815)
+    vecs = rng.standard_normal((n, 64)).astype(np.float32)
+    vecs[1050:1100] = vecs[:50] + 0.01 * rng.standard_normal(
+        (50, 64)
+    ).astype(np.float32)  # planted near-dups → non-trivial result
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([i % 10 for i in range(n)], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, d / "embeddings.parquet")
+    assert compare_query(spark, "dedup_embedding_lsh", str(d)) == []

@@ -629,6 +629,55 @@ def test_stateful_minhash_dedup_carries_bucket_state_across_batches(
     assert all(d1 in (0, 1) for d1, _ in pairs), pairs
 
 
+def test_stateful_minhash_dedup_out_of_order_arrival_semantics(
+    spark, tmp_path
+):
+    """Pin the documented cross-batch semantics (round-11, per review):
+    bucket representatives are the first ``cap`` ARRIVALS, not the
+    smallest doc_ids.  A duplicate arriving in a later batch with a
+    SMALLER doc_id than a full bucket's resident emits no pair (the
+    operator's d1 < d2 output contract cannot hold against a larger
+    resident) and does not enter state — this is where the live lane
+    deliberately diverges from the batch ROW_NUMBER-by-doc_id oracle,
+    which would rank by id regardless of arrival.  With free capacity
+    the late small id still joins state and pairs as d1 with later
+    arrivals."""
+    from reindexer_spark.operators.windows_time import _rowwise_md5_bands
+    from reindexer_spark.streaming.stateful import minhash_dedup_stream
+
+    text_a = "alpha beta gamma delta epsilon zeta"
+
+    def run(batches, cap):
+        base = tmp_path / f"cap{cap}"
+        base.mkdir()
+        root = _mk_doc_files(spark, base, batches)
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/batch_*.parquet")
+        )
+        out = run_stream_to_memory(
+            minhash_dedup_stream(_rowwise_md5_bands(stream), cap=cap),
+            output_mode="append",
+        )
+        return {(r.d1, r.d2) for r in out.collect()}
+
+    # cap=1: doc 10 arrives first and fills the bucket; the later,
+    # smaller doc 0 emits NOTHING (not (0, 10) — oracle would) and is
+    # not admitted, so a third copy (20) still pairs only with 10.
+    pairs = run([[(10, text_a)], [(0, text_a)], [(20, text_a)]], cap=1)
+    assert (10, 20) in pairs
+    assert all(d1 == 10 for d1, _ in pairs), pairs
+    assert not any(0 in p for p in pairs), pairs
+
+    # cap=2: the late small id is admitted into free capacity and then
+    # pairs as d1 with later arrivals — first-arrival order, id-ordered
+    # output within what the d1 < d2 contract allows.
+    pairs = run([[(10, text_a)], [(0, text_a)], [(20, text_a)]], cap=2)
+    assert (10, 20) in pairs and (0, 20) in pairs
+    assert (0, 10) not in pairs and (10, 0) not in pairs
+
+
 def test_stream_minhash_dedup_single_batch_equals_oracle_shape(spark, sf_dir):
     """With the whole table in one micro-batch, the live lane equals
     its DuckDB oracle (the premise the gate builds on)."""
