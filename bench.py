@@ -174,13 +174,74 @@ EXTENDED = [
     "dedup_lsh_hotcap",
     "dedup_minhash_incremental",
     "stream_minhash_dedup_live",
+    # round 11
+    "video_cabac_decode",
 ]
+
+
+def _status_totals(ui_port: int) -> dict:
+    """Cumulative work counters from the Spark status REST API (stage
+    sums + executor GC), snapshotted around each query so BENCH_r*.json
+    carries attributable per-query stage metrics (round-11 VERDICT
+    next #7: when the driver's wall diverges from the local wall, the
+    task-time/GC split says whether the work or the machine changed)."""
+    import urllib.request
+
+    base = f"http://localhost:{ui_port}/api/v1"
+    out = {
+        "run_ms": 0, "cpu_ms": 0, "gc_ms": 0, "tasks": 0, "stages": 0,
+        "shuf_write_mrec": 0.0, "shuf_read_mrec": 0.0, "input_mb": 0.0,
+    }
+    try:
+        apps = json.load(
+            urllib.request.urlopen(f"{base}/applications", timeout=10)
+        )
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(
+                f"{base}/applications/{app_id}/stages?status=complete",
+                timeout=10,
+            )
+        )
+        execs = json.load(
+            urllib.request.urlopen(
+                f"{base}/applications/{app_id}/executors", timeout=10
+            )
+        )
+    except Exception:
+        return out
+    out["run_ms"] = sum(s.get("executorRunTime", 0) for s in stages)
+    out["cpu_ms"] = sum(s.get("executorCpuTime", 0) for s in stages) // 1_000_000
+    out["gc_ms"] = sum(e.get("totalGCTime", 0) for e in execs)
+    out["tasks"] = sum(s.get("numCompleteTasks", 0) for s in stages)
+    out["stages"] = len(stages)
+    out["shuf_write_mrec"] = round(
+        sum(s.get("shuffleWriteRecords", 0) for s in stages) / 1e6, 3
+    )
+    out["shuf_read_mrec"] = round(
+        sum(s.get("shuffleReadRecords", 0) for s in stages) / 1e6, 3
+    )
+    out["input_mb"] = round(
+        sum(s.get("inputBytes", 0) for s in stages) / 1e6, 1
+    )
+    return out
 
 
 def main() -> int:
     from reindexer_spark import get_query, get_spark
 
-    spark = get_spark("reindexer-bench")
+    spark = get_spark(
+        "reindexer-bench",
+        extra_conf={
+            # live status store only (no event logs): the per-query
+            # stage metrics below need the REST API; retention sized
+            # for the full sweep
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "50000",
+        },
+    )
+    ui_port = int(spark.conf.get("spark.ui.port", "4040"))
     # Warm up the JVM/codegen/file-listing paths once so per-query numbers
     # measure the queries, not first-action session initialization.
     from reindexer_spark.catalog import TABLES, load_table
@@ -201,12 +262,20 @@ def main() -> int:
     # noise of the old single-sweep wall total, since per-query timing
     # gaps are microseconds).
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    stage_metrics: dict[str, dict] = {}
+
     def median_sweep(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
             q = get_query(name)
+            before = _status_totals(ui_port)
             runs = sorted(run_once(q) for _ in range(reps))
+            after = _status_totals(ui_port)
             out[name] = round(runs[len(runs) // 2], 3)
+            stage_metrics[name] = {
+                k: round((after[k] - before[k]) / reps, 3)
+                for k in after
+            } | {"wall_all": [round(r, 3) for r in runs]}
         return out
 
     timings = median_sweep(HEADLINE)
@@ -241,6 +310,10 @@ def main() -> int:
         "headline2_total": total2,
         "headline2_queries": timings2,
         "extended_queries": extended,
+        # per-query per-rep averages from the status API: executor
+        # run/cpu/GC ms, task/stage counts, shuffle records, input MB
+        # — the attribution data for driver-vs-local wall gaps
+        "stage_metrics": stage_metrics,
         "sf": sf,
     }
     # Codec throughput table (after the timed sweeps — driver-side CPU
@@ -335,6 +408,11 @@ def _codec_throughput() -> dict:
         "h264-intra": (
             annexb,
             lambda p: H.decode_h264_intra(sps, pps, nals),
+        ),
+        "h264-cabac": (
+            H.encode_h264_annexb(vw, vh, vframes, gop="ippp",
+                                 entropy="cabac"),
+            H.decode_h264_annexb_stream,
         ),
         "webp": (C.encode_webp_fixture(w, h, "vp8x-anim", 3, b"b"), None),
     }

@@ -4304,6 +4304,7 @@ def encode_mp4_coded(
     intra_frames: list[bytes] | None = None,
     qp: int = 26,
     gop: str = "all-intra",
+    entropy: str = "cavlc",
 ) -> bytes:
     """Fixture builder: an ISO BMFF file whose video track is coded
     h264/hevc.  Default: real avcC/hvcC config with a synthesized SPS
@@ -4319,7 +4320,7 @@ def encode_mp4_coded(
         from reindexer_spark.h264 import encode_avcc_samples
 
         avcc, bodies = encode_avcc_samples(
-            width, height, intra_frames, qp, gop=gop
+            width, height, intra_frames, qp, gop=gop, entropy=entropy
         )
         entry_tag, cfg = b"avc1", _box(b"avcC", avcc)
         n_frames = len(bodies)
@@ -4423,6 +4424,7 @@ def encode_mkv_coded(
     level: int | None = None,
     intra_frames: list[bytes] | None = None,
     qp: int = 26,
+    entropy: str = "cavlc",
 ) -> bytes:
     """Fixture builder: a Matroska file whose video track is coded
     h264/hevc — CodecID V_MPEG4/ISO/AVC / V_MPEGH/ISO/HEVC with the
@@ -4436,7 +4438,7 @@ def encode_mkv_coded(
         from reindexer_spark.h264 import encode_avcc_samples
 
         private_intra, intra_bodies = encode_avcc_samples(
-            width, height, intra_frames, qp, gop=gop
+            width, height, intra_frames, qp, gop=gop, entropy=entropy
         )
         codec_id, private = b"V_MPEG4/ISO/AVC", private_intra
         n_frames = len(intra_bodies)

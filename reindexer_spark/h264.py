@@ -5,9 +5,12 @@ Round-8 VERDICT stretch #8: the SPS probe (codecs.py) recovers
 dimensions from coded video without decoding; round 9 added the full
 intra subset; round 10 adds INTER prediction — P slices with motion
 compensation — so IPPP streams (the overwhelming shape of real crawl
-video's coded pictures) decode for real, while B slices, CABAC,
+video's coded pictures) decode for real, while B slices,
 multi-reference lists and multi-slice pictures continue to quarantine
-via MediaFormatError.
+via MediaFormatError.  Round 11: CABAC I/P entropy coding lives in
+the companion module ``h264_cabac`` (provenance-marked streams only —
+see its honesty-boundary docstring); externally-encoded CABAC still
+quarantines here.
 
 Scope — the INTER half (round 10):
 
@@ -46,7 +49,8 @@ Scope — the full INTRA half of H.264 Baseline (round 9):
   Hadamard and 2x2 chroma-DC transforms, (x+32)>>6 reconstruction);
   PPS chroma_qp_index_offset is applied via Table 8-15.
 - What remains OUTSIDE the subset raises MediaFormatError — the
-  quarantine contract, never a wrong frame: B slices, CABAC,
+  quarantine contract, never a wrong frame: B slices, external
+  CABAC (h264_cabac decodes only provenance-marked streams),
   multi-reference/modified reference lists, adaptive reference
   marking, field/MBAFF coding, non-4:2:0 or >8-bit sampling, scaling
   matrices, multi-slice pictures, POC type 1.
@@ -976,13 +980,16 @@ DEFAULT_QP = 26
 _PCM_BITS = 384 * 8
 
 
-def write_pps(qp: int = DEFAULT_QP, chroma_qp_offset: int = 0) -> bytes:
-    """Minimal CAVLC PPS: one slice group, deblocking-control present
-    (so slices can legally disable it)."""
+def write_pps(
+    qp: int = DEFAULT_QP, chroma_qp_offset: int = 0, cabac: bool = False,
+) -> bytes:
+    """Minimal PPS: one slice group, deblocking-control present
+    (so slices can legally disable it).  ``cabac`` sets
+    entropy_coding_mode_flag (h264_cabac streams)."""
     w = _RbspWriter()
     w.ue(0)  # pps_id
     w.ue(0)  # sps_id
-    w.u(0, 1)  # entropy_coding_mode: CAVLC
+    w.u(1 if cabac else 0, 1)  # entropy_coding_mode
     w.u(0, 1)  # bottom_field_pic_order_in_frame_present
     w.ue(0)  # num_slice_groups_minus1
     w.ue(0)  # num_ref_idx_l0_default_active_minus1
@@ -998,14 +1005,18 @@ def write_pps(qp: int = DEFAULT_QP, chroma_qp_offset: int = 0) -> bytes:
     return b"\x68" + w.finish()
 
 
-def parse_pps(nal: bytes) -> dict:
+def parse_pps(nal: bytes, allow_cabac: bool = False) -> dict:
     if not nal or (nal[0] & 0x1F) != 8:
         raise MediaFormatError("not an H.264 PPS NAL")
     r = _RbspReader(_unescape_rbsp(nal[1:]))
     out = {"pps_id": r.ue(), "sps_id": r.ue()}
     out["entropy_coding_mode"] = r.u(1)
-    if out["entropy_coding_mode"]:
-        raise MediaFormatError("CABAC stream: intra decoder is CAVLC-only")
+    if out["entropy_coding_mode"] and not allow_cabac:
+        # Default quarantine.  Callers that can verify the h264_cabac
+        # provenance marker (SEI, see h264_cabac.CABAC_MARKER_UUID)
+        # opt in with allow_cabac=True and enforce the marker at the
+        # first CABAC slice — externally-encoded CABAC never decodes.
+        raise MediaFormatError("CABAC stream: decoder is CAVLC-only")
     if r.u(1):
         # adds delta_pic_order_cnt_bottom to slice headers, which the
         # slice parser does not read — desync, so refuse up front
@@ -1561,6 +1572,10 @@ def decode_frame_nal(
     nal_type = nal[0] & 0x1F
     if nal_type not in (1, 5):
         raise MediaFormatError(f"unexpected NAL type {nal_type} for slice")
+    if pps.get("entropy_coding_mode"):
+        from reindexer_spark.h264_cabac import decode_frame_nal_cabac
+
+        return decode_frame_nal_cabac(nal, sps, pps, ref=ref)
     r = _BitReader(_unescape_rbsp(nal[1:]))
     stype, qp, deblock, a_off, b_off = _parse_slice_header(
         r, sps, pps, idr=nal_type == 5, nal_ref_idc=nal[0] >> 5
@@ -1697,14 +1712,20 @@ def decode_avcc_samples(
 ) -> tuple[int, int, list[bytes]]:
     """avcC config + length-prefixed samples → (w, h, RGB frames).
     One frame per sample; in-band SPS/PPS override the config; SEI/AUD
-    skip; anything outside the intra subset raises MediaFormatError."""
+    skip (the h264_cabac provenance SEI is recognised); anything
+    outside the subset raises MediaFormatError.  CABAC slices decode
+    ONLY after the provenance marker (module h264_cabac's honesty
+    boundary) — external CABAC quarantines."""
+    from reindexer_spark.h264_cabac import is_cabac_marker
+
     sps_nal, pps_nal, length_size = avcc_parameter_sets(avcc_body)
     if pps_nal is None:
         raise MediaFormatError("avcC carries no PPS")
     sps = _parse_sps_slice_fields(sps_nal)
-    pps = parse_pps(pps_nal)
+    pps = parse_pps(pps_nal, allow_cabac=True)
     w, h = sps["width"], sps["height"]
     frames = []
+    marker_seen = False
     ref = None  # previous picture's output planes (single-ref P chain)
     for sample in samples:
         frame = None
@@ -1721,10 +1742,18 @@ def decode_avcc_samples(
                     )
                 sps = new_sps
             elif t == 8:
-                pps = parse_pps(nal)
+                pps = parse_pps(nal, allow_cabac=True)
             elif t in (6, 9):
+                if is_cabac_marker(nal):
+                    marker_seen = True
                 continue  # SEI / AUD
             elif t in (1, 5):
+                if pps.get("entropy_coding_mode") and not marker_seen:
+                    raise MediaFormatError(
+                        "CABAC stream without the h264_cabac provenance "
+                        "marker: init-table fidelity unverified, decode "
+                        "quarantined"
+                    )
                 if frame is not None:
                     raise MediaFormatError("multi-slice sample unsupported")
                 y, u, v = decode_frame_nal(nal, sps, pps, ref=ref)
@@ -1747,24 +1776,42 @@ def decode_avcc_samples(
 
 def encode_avcc_samples(
     width: int, height: int, frames_rgb: list[bytes], qp: int = DEFAULT_QP,
-    gop: str = "all-intra",
+    gop: str = "all-intra", entropy: str = "cavlc",
 ) -> tuple[bytes, list[bytes]]:
     """Frames → (avcC record body, one length-prefixed sample per
     frame) — the container-side encoder seam (mp4 stsd / mkv
     CodecPrivate both carry avcC).  Memoized: fixture lanes mux the
     SAME frames into mp4 AND mkv, and the encoder is deterministic, so
-    the second container reuses the first bitstream."""
-    key = (width, height, tuple(frames_rgb), qp, gop)
+    the second container reuses the first bitstream.
+    ``entropy="cabac"`` (requires ``gop="ippp"``): Main-profile CABAC
+    samples via h264_cabac; the provenance SEI rides in the first
+    sample so the decode path accepts the stream."""
+    key = (width, height, tuple(frames_rgb), qp, gop, entropy)
     hit = _AVCC_CACHE.get(key)
     if hit is not None:
         return hit
     from reindexer_spark.codecs import build_avcc
 
-    if gop == "ippp":
+    prefix_nals: list[bytes] = []
+    if entropy == "cabac":
+        if gop != "ippp":
+            raise ValueError("CABAC fixtures use gop='ippp'")
+        from reindexer_spark.h264_cabac import encode_h264_ippp_cabac
+
+        sps, pps, nals = encode_h264_ippp_cabac(
+            width, height, frames_rgb, qp
+        )
+        prefix_nals, nals = [nals[0]], nals[1:]  # marker SEI
+    elif gop == "ippp":
         sps, pps, nals = encode_h264_ippp(width, height, frames_rgb, qp)
     else:
         sps, pps, nals = encode_h264_intra(width, height, frames_rgb, qp)
     samples = [len(n).to_bytes(4, "big") + n for n in nals]
+    if prefix_nals:
+        samples[0] = (
+            b"".join(len(n).to_bytes(4, "big") + n for n in prefix_nals)
+            + samples[0]
+        )
     out = (build_avcc(sps, pps), samples)
     if len(_AVCC_CACHE) > 64:
         _AVCC_CACHE.clear()
@@ -1812,12 +1859,21 @@ def split_annexb(data: bytes) -> list[bytes]:
 
 def encode_h264_annexb(
     width: int, height: int, frames_rgb: list[bytes], qp: int = DEFAULT_QP,
-    gop: str = "all-intra",
+    gop: str = "all-intra", entropy: str = "cavlc",
 ) -> bytes:
     """Frames → a raw Annex-B elementary stream (SPS, PPS, then one
     slice per frame, 4-byte start codes).  ``gop="ippp"``: first frame
-    IDR, later frames P (single reference)."""
-    if gop == "ippp":
+    IDR, later frames P (single reference).  ``entropy="cabac"``:
+    Main-profile CABAC with the provenance SEI in-stream."""
+    if entropy == "cabac":
+        if gop != "ippp":
+            raise ValueError("CABAC fixtures use gop='ippp'")
+        from reindexer_spark.h264_cabac import encode_h264_ippp_cabac
+
+        sps, pps, nals = encode_h264_ippp_cabac(
+            width, height, frames_rgb, qp
+        )
+    elif gop == "ippp":
         sps, pps, nals = encode_h264_ippp(width, height, frames_rgb, qp)
     else:
         sps, pps, nals = encode_h264_intra(width, height, frames_rgb, qp)
@@ -1845,10 +1901,13 @@ def probe_annexb(data: bytes) -> dict:
 def decode_h264_annexb_stream(data: bytes) -> tuple[int, int, list[bytes]]:
     """Annex-B stream → (w, h, RGB frames); intra subset only, same
     quarantine contract as the container paths."""
+    from reindexer_spark.h264_cabac import is_cabac_marker
+
     sps = pps = None
     frames = []
     w = h = None
     ref = None
+    marker_seen = False
     for nal in split_annexb(data):
         t = nal[0] & 0x1F
         if t == 7:
@@ -1858,12 +1917,19 @@ def decode_h264_annexb_stream(data: bytes) -> tuple[int, int, list[bytes]]:
             sps = new_sps
             w, h = sps["width"], sps["height"]
         elif t == 8:
-            pps = parse_pps(nal)
+            pps = parse_pps(nal, allow_cabac=True)
         elif t in (6, 9):
+            if is_cabac_marker(nal):
+                marker_seen = True
             continue
         elif t in (1, 5):
             if sps is None or pps is None:
                 raise MediaFormatError("slice before SPS/PPS in stream")
+            if pps.get("entropy_coding_mode") and not marker_seen:
+                raise MediaFormatError(
+                    "CABAC stream without the h264_cabac provenance "
+                    "marker: decode quarantined"
+                )
             y, u, v = decode_frame_nal(nal, sps, pps, ref=ref)
             ref = (y, u, v)
             ct, cl = sps["crop_t"], sps["crop_l"]
@@ -2434,8 +2500,9 @@ def _decode_i4_mb(
 # §8.7 deblocking with the real §8.7.2.1 per-edge boundary strengths
 # (the encoder signals the filter ON — the spec-realistic default —
 # and both sides run the identical filtered reference loop).
-# Multi-reference lists, B slices and CABAC stay OUTSIDE the subset
-# and quarantine via MediaFormatError.
+# Multi-reference lists and B slices stay OUTSIDE the subset and
+# quarantine via MediaFormatError; CABAC I/P is the h264_cabac
+# module (provenance-marked streams only).
 # ---------------------------------------------------------------------------
 
 # Table 9-4, Inter column: codeNum -> coded_block_pattern.  Transcribed
@@ -2708,14 +2775,19 @@ def _recon_inter_luma(
     st.y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(out, 0, 255)
 
 
-def _encode_p_mb(
-    w: _BitWriter, st: _FrameState, mbx: int, mby: int, qp: int,
+def _p_mb_decide(
+    st: _FrameState, mbx: int, mby: int, qp: int,
     src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
-    ref: tuple[np.ndarray, np.ndarray, np.ndarray], skip_run: int,
-) -> int:
-    """Encode one macroblock of a P slice; returns the updated
-    mb_skip_run (incremented if this MB became P_Skip, else flushed
-    before the coded MB)."""
+    ref: tuple[np.ndarray, np.ndarray, np.ndarray],
+) -> tuple[str, dict | None]:
+    """Entropy-agnostic P-macroblock decision (motion search, partition
+    choice, transform/quant, skip test) — shared by the CAVLC emitter
+    below and the CABAC emitter (h264_cabac).  Returns
+    ``("intra", None)`` (the caller runs its intra MB encoder),
+    ``("skip", None)`` (the caller reconstructs P_Skip), or
+    ``("inter", payload)`` with everything the emitter needs.  Does NOT
+    mutate ``st`` beyond reads: MV storage happens at write time (each
+    partition's predictor depends on previously written partitions)."""
     x0, y0 = mbx * 16, mby * 16
     src_blk = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64)
     ry = ref[0]
@@ -2812,13 +2884,7 @@ def _encode_p_mb(
         cost16, best_rect[2], best_sub[3] if best_sub else 1 << 30
     )
     if intra_sad + 24 < inter_cost:  # intra must win past its rate cost
-        w.ue(skip_run)
-        _encode_mb(w, st, mbx, mby, qp, src_y, src_u, src_v, mtype_off=5)
-        # intra blocks: not available for inter prediction (defaults
-        # in a fresh frame state, but this MB may overwrite)
-        st.inter[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = False
-        st.mv[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
-        return 0
+        return "intra", None
     sub_types = None
     if best_sub and best_sub[3] < min(cost16, best_rect[2]):
         mtype, parts, mvs = 3, tuple(best_sub[1]), best_sub[2]
@@ -2841,8 +2907,47 @@ def _encode_p_mb(
     cbp = cbp_luma | (cbp_chroma << 4)
     # ---- P_Skip: 16x16, MV equal to the skip MV, nothing coded
     if mtype == 0 and cbp == 0 and mvs[0] == _skip_mv(st, mbx, mby):
+        return "skip", None
+    return "inter", {
+        "mtype": mtype,
+        "sub_types": sub_types,
+        "parts": parts,
+        "mvs": mvs,
+        "zs": zs,
+        "cbp_luma": cbp_luma,
+        "cbp_chroma": cbp_chroma,
+        "cdcq": cdcq,
+        "cacq": cacq,
+        "preds": (pred_y, pred_u, pred_v),
+    }
+
+
+def _encode_p_mb(
+    w: _BitWriter, st: _FrameState, mbx: int, mby: int, qp: int,
+    src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
+    ref: tuple[np.ndarray, np.ndarray, np.ndarray], skip_run: int,
+) -> int:
+    """Encode one macroblock of a P slice (CAVLC); returns the updated
+    mb_skip_run (incremented if this MB became P_Skip, else flushed
+    before the coded MB).  Decisions live in _p_mb_decide."""
+    kind, d = _p_mb_decide(st, mbx, mby, qp, src_y, src_u, src_v, ref)
+    if kind == "intra":
+        w.ue(skip_run)
+        _encode_mb(w, st, mbx, mby, qp, src_y, src_u, src_v, mtype_off=5)
+        # intra blocks: not available for inter prediction (defaults
+        # in a fresh frame state, but this MB may overwrite)
+        st.inter[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = False
+        st.mv[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+        return 0
+    if kind == "skip":
         _recon_p_skip(st, mbx, mby, ref)
         return skip_run + 1
+    mtype, sub_types = d["mtype"], d["sub_types"]
+    parts, mvs = d["parts"], d["mvs"]
+    zs, cbp_luma, cbp_chroma = d["zs"], d["cbp_luma"], d["cbp_chroma"]
+    cdcq, cacq = d["cdcq"], d["cacq"]
+    pred_y, pred_u, pred_v = d["preds"]
+    cbp = cbp_luma | (cbp_chroma << 4)
     # ---- syntax
     w.ue(skip_run)
     w.ue(mtype)
@@ -3059,13 +3164,25 @@ def decode_h264_stream(
     sequences (single reference: each picture predicts from its
     predecessor's output).  Raises MediaFormatError outside the
     subset."""
+    from reindexer_spark.h264_cabac import is_cabac_marker
+
     sps = _parse_sps_slice_fields(sps_nal)
-    pps = parse_pps(pps_nal)
+    pps = parse_pps(pps_nal, allow_cabac=True)
     w, h = sps["width"], sps["height"]
     ct, cl = sps["crop_t"], sps["crop_l"]
     frames = []
     ref = None
+    marker_seen = False
     for nal in slice_nals:
+        if (nal[0] & 0x1F) == 6:
+            if is_cabac_marker(nal):
+                marker_seen = True
+            continue
+        if pps.get("entropy_coding_mode") and not marker_seen:
+            raise MediaFormatError(
+                "CABAC stream without the h264_cabac provenance marker: "
+                "decode quarantined"
+            )
         planes = decode_frame_nal(nal, sps, pps, ref=ref)
         ref = planes
         y, u, v = planes

@@ -1,0 +1,1471 @@
+"""H.264 CABAC entropy layer for the I/P slice subset (ITU-T H.264
+§9.3 structure; round-11 VERDICT next #2).
+
+Real crawl H.264 is overwhelmingly Main-profile CABAC, so the CAVLC
+Baseline subset in ``reindexer_spark.h264`` caps the decode lane's
+real-world coverage.  This module adds the CABAC half: the binary
+arithmetic coding engine (§9.3.4 encoder / §9.3.3.2 decoder flow —
+range subdivision, renormalization with outstanding-bit carry
+resolution, bypass and terminate modes), per-context adaptive
+probability state machines, the binarizations for every syntax element
+the I/P subset uses (mb_skip_flag, I- and P-slice mb_type trees with
+the terminate-coded I_PCM escape, sub_mb_type, UEG3 motion-vector
+differences, TU-coded intra modes and CBP with neighbour-conditioned
+context increments, and §9.3.2.3 residual coding: coded_block_flag /
+significance + last maps / UEG0 levels with the Eq1/Gt1 context
+ladder), and the I/P macroblock + slice layer on top — prediction,
+transform and reconstruction are SHARED with the CAVLC module (the
+mode decisions route through the same helpers, P decisions through
+``h264._p_mb_decide``), so both entropy layers drive one §8 decoder.
+
+HONESTY BOUNDARY — what is and is not claimed:
+
+- The ENGINE tables (rangeTabLPS, transIdxLPS) are transcribed from
+  the published standard to the best of available references; the
+  context INITIALIZATION uses a uniform equiprobable start
+  (pStateIdx 0, valMPS 0 for every context) instead of the spec's
+  per-QP init Tables 9-12..9-33 — ~1000 signed constants that cannot
+  be transcribed reliably in this environment, and whose values
+  affect CODING EFFICIENCY for a matched encoder/decoder pair but
+  would silently corrupt decode of externally-encoded streams if
+  mis-transcribed.
+- Therefore: encoder and decoder here are exactly consistent (the
+  closed-loop recon gate proves the engine, binarizations, context
+  selection and adaptation end to end), but decode of CABAC streams
+  from OTHER encoders is NOT claimed and stays quarantined: this
+  module's streams carry a user_data_unregistered SEI provenance
+  marker (CABAC_MARKER_UUID), and the container/Annex-B decode paths
+  refuse CABAC slices unless the marker was seen first — never a
+  wrong frame, per the media quarantine contract.
+
+Reference parity note: /root/reference has no media layer at all —
+this module exists for the LLM-training-pipeline multimodal surface
+(SURVEY.md §2 C12), same as h264.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from reindexer_spark.codecs import (
+    MediaFormatError,
+    _unescape_rbsp,
+    write_h264_sps,
+)
+from reindexer_spark.h264 import (
+    DEFAULT_QP,
+    L16_DC,
+    L16_HORIZONTAL,
+    L16_PLANE,
+    L16_VERTICAL,
+    _BitReader,
+    _BitWriter,
+    _CHROMA_BLK_XY,
+    _FrameState,
+    _LUMA_BLK_XY,
+    _P8_QUADS,
+    _P_PARTS,
+    _P_SUB_PARTS,
+    _encode_chroma,
+    _fetch_i4_neighbours,
+    _i4_legal_modes,
+    _inter_luma_quant,
+    _mc_mb_pred,
+    _p_mb_decide,
+    _pad_plane,
+    _parse_slice_header,
+    _pred_i4,
+    _pred_luma16,
+    _pred_mv,
+    _recon_chroma_blocks,
+    _recon_inter_luma,
+    _recon_p_skip,
+    _reconstruct_chroma,
+    _reconstruct_mb,
+    _skip_mv,
+    _store_part_mv,
+    _unzigzag,
+    _write_slice_header,
+    _zigzag_list,
+    deblock_frame,
+    dequant_ac,
+    fdct4x4,
+    hadamard4x4,
+    idct4x4,
+    quant_ac,
+    quant_dc,
+    rgb_to_yuv420,
+    write_pps,
+    yuv420_to_rgb,
+)
+
+# ---------------------------------------------------------------------------
+# §9.3.3.2.1 probability state machine tables.
+# rangeTabLPS: LPS subrange by (pStateIdx, (codIRange >> 6) & 3);
+# transIdxLPS: next state after an LPS.  MPS transition is
+# min(pStateIdx + 1, 62).  Transcribed from the published tables;
+# structural invariants (monotone decay, row 0 / row 63 anchors) are
+# pinned in tests — and because encoder and decoder share THIS
+# instance, the closed-loop gate holds independently of transcription
+# fidelity (see module docstring).
+# ---------------------------------------------------------------------------
+
+_RANGE_LPS = (
+    (128, 176, 208, 240), (128, 167, 197, 227), (128, 158, 187, 216),
+    (123, 150, 178, 205), (116, 142, 169, 195), (111, 135, 160, 185),
+    (105, 128, 152, 175), (100, 122, 144, 166), (95, 116, 137, 158),
+    (90, 110, 130, 150), (85, 104, 123, 142), (81, 99, 117, 135),
+    (77, 94, 111, 128), (73, 89, 105, 122), (69, 85, 100, 116),
+    (66, 80, 95, 110), (62, 76, 90, 104), (59, 72, 86, 99),
+    (56, 69, 81, 94), (53, 65, 77, 89), (51, 62, 73, 85),
+    (48, 59, 69, 80), (46, 56, 66, 76), (43, 53, 63, 72),
+    (41, 50, 59, 69), (39, 48, 56, 65), (37, 45, 54, 62),
+    (35, 43, 51, 59), (33, 41, 48, 56), (32, 39, 46, 53),
+    (30, 37, 43, 50), (28, 35, 41, 48), (27, 33, 39, 45),
+    (25, 31, 37, 43), (24, 30, 35, 41), (23, 28, 33, 39),
+    (22, 27, 32, 37), (21, 26, 30, 35), (20, 24, 29, 33),
+    (19, 23, 27, 31), (18, 22, 26, 30), (17, 21, 25, 28),
+    (16, 20, 23, 27), (15, 19, 22, 25), (14, 18, 21, 24),
+    (14, 17, 20, 23), (13, 16, 19, 22), (12, 15, 18, 21),
+    (12, 14, 17, 20), (11, 14, 16, 19), (11, 13, 15, 18),
+    (10, 12, 15, 17), (10, 12, 14, 16), (9, 11, 13, 15),
+    (9, 11, 12, 14), (8, 10, 12, 14), (8, 9, 11, 13),
+    (7, 9, 11, 12), (7, 9, 10, 12), (7, 8, 10, 11),
+    (6, 8, 9, 11), (6, 7, 9, 10), (6, 7, 8, 9), (2, 2, 2, 2),
+)
+_TRANS_LPS = (
+    0, 0, 1, 2, 2, 4, 4, 5, 6, 7, 8, 9, 9, 11, 11, 12, 13, 13, 15, 15,
+    16, 16, 18, 18, 19, 19, 21, 21, 23, 22, 23, 24, 24, 25, 26, 26, 27,
+    27, 28, 29, 29, 30, 30, 30, 31, 32, 32, 33, 33, 33, 34, 34, 35, 35,
+    35, 36, 36, 36, 37, 37, 37, 38, 38, 63,
+)
+
+# ---------------------------------------------------------------------------
+# Context index allocation (spec-shaped ctxIdx ranges for the subset).
+# ---------------------------------------------------------------------------
+
+CTX_MB_TYPE_I = 3      # 3..10: I-slice mb_type tree
+CTX_MB_SKIP = 11       # 11..13
+CTX_MB_TYPE_P = 14     # 14..16 prefix; 17..20 intra suffix
+CTX_SUB_MB_P = 21      # 21..23
+CTX_MVD_X = 40         # 40..46 (UEG3 prefix)
+CTX_MVD_Y = 47         # 47..53
+CTX_QP_DELTA = 60      # 60..63
+CTX_CHROMA_PRED = 64   # 64..67
+CTX_I4_PREV = 68
+CTX_I4_REM = 69
+CTX_CBP_LUMA = 73      # 73..76
+CTX_CBP_CHROMA = 77    # 77..84
+CTX_CBF = 85           # + ctxBlockCat*4, 85..104
+CTX_SIG = 105          # + cat offset + scan position
+CTX_LAST = 166
+CTX_ABS = 227          # + cat offset + Eq1/Gt1 ladder
+N_CTX = 277
+
+# ctxBlockCat: 0 luma DC (I16), 1 luma AC (I16), 2 luma 4x4,
+# 3 chroma DC, 4 chroma AC
+_SIG_CAT_OFF = {0: 0, 1: 15, 2: 29, 3: 44, 4: 47}
+_ABS_CAT_OFF = {0: 0, 1: 10, 2: 20, 3: 30, 4: 39}
+_MAX_COEFF = {0: 16, 1: 15, 2: 16, 3: 4, 4: 15}
+
+
+class _Contexts:
+    """Adaptive probability state per ctxIdx.  Equiprobable init
+    (pStateIdx 0, valMPS 0) — the documented deviation from Tables
+    9-12..9-33 (module docstring); reset per slice like the spec."""
+
+    __slots__ = ("state", "mps")
+
+    def __init__(self) -> None:
+        self.state = bytearray(N_CTX)
+        self.mps = bytearray(N_CTX)
+
+
+# ---------------------------------------------------------------------------
+# §9.3.4 arithmetic ENCODER
+# ---------------------------------------------------------------------------
+
+
+class CabacEncoder:
+    def __init__(self, w: _BitWriter) -> None:
+        self.w = w
+        self.low = 0
+        self.range = 510
+        self.first = True
+        self.outstanding = 0
+
+    def _put(self, b: int) -> None:
+        if self.first:  # the spec discards the very first PutBit
+            self.first = False
+        else:
+            self.w.bits.append(b)
+        while self.outstanding:
+            self.w.bits.append(1 - b)
+            self.outstanding -= 1
+
+    def _renorm(self) -> None:
+        while self.range < 256:
+            if self.low >= 512:
+                self.low -= 512
+                self._put(1)
+            elif self.low < 256:
+                self._put(0)
+            else:
+                self.low -= 256
+                self.outstanding += 1
+            self.range <<= 1
+            self.low <<= 1
+
+    def decision(self, ctxs: _Contexts, idx: int, b: int) -> None:
+        state = ctxs.state[idx]
+        mps = ctxs.mps[idx]
+        lps = _RANGE_LPS[state][(self.range >> 6) & 3]
+        self.range -= lps
+        if b != mps:
+            self.low += self.range
+            self.range = lps
+            if state == 0:
+                ctxs.mps[idx] = 1 - mps
+            ctxs.state[idx] = _TRANS_LPS[state]
+        else:
+            ctxs.state[idx] = min(state + 1, 62)
+        self._renorm()
+
+    def bypass(self, b: int) -> None:
+        self.low <<= 1
+        if b:
+            self.low += self.range
+        if self.low >= 1024:
+            self._put(1)
+            self.low -= 1024
+        elif self.low < 512:
+            self._put(0)
+        else:
+            self.low -= 512
+            self.outstanding += 1
+
+    def terminate(self, b: int) -> None:
+        self.range -= 2
+        if b:
+            self.low += self.range
+            # EncodeFlush (§9.3.4.6)
+            self.range = 2
+            self._renorm()
+            self._put((self.low >> 9) & 1)
+            self.w.u(((self.low >> 7) & 3) | 1, 2)
+        else:
+            self._renorm()
+
+
+# ---------------------------------------------------------------------------
+# §9.3.3.2 arithmetic DECODER
+# ---------------------------------------------------------------------------
+
+
+class CabacDecoder:
+    def __init__(self, r: _BitReader) -> None:
+        self.r = r
+        self.overrun = 0
+        self.range = 510
+        self.offset = 0
+        for _ in range(9):
+            self.offset = (self.offset << 1) | self._bit()
+
+    def _bit(self) -> int:
+        r = self.r
+        byte = r.pos >> 3
+        if byte >= len(r.data):
+            # renormalization may legally read a few bits past the
+            # RBSP end (the flush wrote the live register); bound it
+            self.overrun += 1
+            if self.overrun > 64:
+                raise MediaFormatError("CABAC decoder ran off the slice")
+            r.pos += 1
+            return 0
+        b = (r.data[byte] >> (7 - (r.pos & 7))) & 1
+        r.pos += 1
+        return b
+
+    def decision(self, ctxs: _Contexts, idx: int) -> int:
+        state = ctxs.state[idx]
+        mps = ctxs.mps[idx]
+        lps = _RANGE_LPS[state][(self.range >> 6) & 3]
+        self.range -= lps
+        if self.offset >= self.range:
+            b = 1 - mps
+            self.offset -= self.range
+            self.range = lps
+            if state == 0:
+                ctxs.mps[idx] = 1 - mps
+            ctxs.state[idx] = _TRANS_LPS[state]
+        else:
+            b = mps
+            ctxs.state[idx] = min(state + 1, 62)
+        while self.range < 256:
+            self.range <<= 1
+            self.offset = (self.offset << 1) | self._bit()
+        return b
+
+    def bypass(self) -> int:
+        self.offset = (self.offset << 1) | self._bit()
+        if self.offset >= self.range:
+            self.offset -= self.range
+            return 1
+        return 0
+
+    def terminate(self) -> int:
+        self.range -= 2
+        if self.offset >= self.range:
+            return 1
+        while self.range < 256:
+            self.range <<= 1
+            self.offset = (self.offset << 1) | self._bit()
+        return 0
+
+
+class CabacIO:
+    """One object drives BOTH directions: methods take ``val`` to
+    encode and return it, or decode when ``val is None`` — so every
+    binarization below is written once and cannot drift between
+    encoder and decoder."""
+
+    def __init__(
+        self, enc: CabacEncoder | None = None,
+        dec: CabacDecoder | None = None,
+    ) -> None:
+        self.enc, self.dec = enc, dec
+        self.ctxs = _Contexts()
+
+    def bin(self, idx: int, val: int | None = None) -> int:
+        if self.enc is not None:
+            self.enc.decision(self.ctxs, idx, val)
+            return val
+        return self.dec.decision(self.ctxs, idx)
+
+    def byp(self, val: int | None = None) -> int:
+        if self.enc is not None:
+            self.enc.bypass(val)
+            return val
+        return self.dec.bypass()
+
+    def term(self, val: int | None = None) -> int:
+        if self.enc is not None:
+            self.enc.terminate(val)
+            return val
+        return self.dec.terminate()
+
+
+# ---------------------------------------------------------------------------
+# Neighbour state for context increments (the CABAC analogue of the
+# CAVLC nC maps in _FrameState).
+# ---------------------------------------------------------------------------
+
+
+class _CabacMbState:
+    def __init__(self, mb_w: int, mb_h: int) -> None:
+        self.mb_w, self.mb_h = mb_w, mb_h
+        self.skip = np.zeros((mb_h, mb_w), dtype=bool)
+        self.intra = np.zeros((mb_h, mb_w), dtype=bool)
+        self.i4 = np.zeros((mb_h, mb_w), dtype=bool)
+        self.cbp_l = np.zeros((mb_h, mb_w), dtype=np.int32)
+        self.cbp_c = np.zeros((mb_h, mb_w), dtype=np.int32)
+        self.cmode = np.zeros((mb_h, mb_w), dtype=np.int32)
+        self.cbf_dc_y = np.zeros((mb_h, mb_w), dtype=np.int8)
+        self.cbf_y = np.zeros((mb_h * 4, mb_w * 4), dtype=np.int8)
+        self.cbf_dc_c = np.zeros((2, mb_h, mb_w), dtype=np.int8)
+        self.cbf_c = np.zeros((2, mb_h * 2, mb_w * 2), dtype=np.int8)
+        self.absmvd = np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int32)
+
+    # --- context increments (each mirrors a §9.3.3.1 condTermFlag
+    # rule; unavailable neighbours contribute 0 except where noted) ---
+
+    def skip_inc(self, mbx: int, mby: int) -> int:
+        inc = 0
+        if mbx > 0 and not self.skip[mby, mbx - 1]:
+            inc += 1
+        if mby > 0 and not self.skip[mby - 1, mbx]:
+            inc += 1
+        return inc
+
+    def mbtype_i_inc(self, mbx: int, mby: int) -> int:
+        inc = 0
+        if mbx > 0 and self.intra[mby, mbx - 1] and not self.i4[mby, mbx - 1]:
+            inc += 1
+        if mby > 0 and self.intra[mby - 1, mbx] and not self.i4[mby - 1, mbx]:
+            inc += 1
+        return inc
+
+    def chroma_inc(self, mbx: int, mby: int) -> int:
+        inc = 0
+        if mbx > 0 and self.cmode[mby, mbx - 1] != 0:
+            inc += 1
+        if mby > 0 and self.cmode[mby - 1, mbx] != 0:
+            inc += 1
+        return inc
+
+    def cbp_luma_inc(self, mbx: int, mby: int, j: int, partial: int) -> int:
+        """Bin j codes 8x8 block j (raster in MB); condTermFlagN is 1
+        when the NEIGHBOUR 8x8 block's cbp bit is ZERO.  In-MB
+        neighbours read the bits of this very CBP coded so far
+        (``partial``)."""
+        jx, jy = j & 1, j >> 1
+        if jx:
+            left = (partial >> (j - 1)) & 1
+            a = 1 - left
+        elif mbx > 0:
+            a = 1 - ((int(self.cbp_l[mby, mbx - 1]) >> (j + 1)) & 1)
+        else:
+            a = 0
+        if jy:
+            top = (partial >> (j - 2)) & 1
+            b = 1 - top
+        elif mby > 0:
+            b = 1 - ((int(self.cbp_l[mby - 1, mbx]) >> (j + 2)) & 1)
+        else:
+            b = 0
+        return a + 2 * b
+
+    def cbp_chroma_inc(self, mbx: int, mby: int, binno: int) -> int:
+        thresh = 0 if binno == 0 else 1
+        a = 1 if mbx > 0 and int(self.cbp_c[mby, mbx - 1]) > thresh else 0
+        b = 1 if mby > 0 and int(self.cbp_c[mby - 1, mbx]) > thresh else 0
+        return a + 2 * b
+
+    def mvd_inc(self, comp: int, abx: int, aby: int) -> int:
+        a = int(self.absmvd[aby, abx - 1, comp]) if abx > 0 else 0
+        b = int(self.absmvd[aby - 1, abx, comp]) if aby > 0 else 0
+        s = a + b
+        return 0 if s < 3 else (2 if s > 32 else 1)
+
+    def _cbf_pair(self, grid, x: int, y: int, cur_intra: bool) -> int:
+        """condTermFlagA + 2*condTermFlagB over a cbf grid; an
+        unavailable neighbour counts as coded for intra MBs (the §9.3
+        rule that seeds intra DC blocks at the picture edge)."""
+        edge = 1 if cur_intra else 0
+        a = int(grid[y, x - 1]) if x > 0 else edge
+        b = int(grid[y - 1, x]) if y > 0 else edge
+        return a + 2 * b
+
+    def cbf_inc(
+        self, cat: int, mbx: int, mby: int, bx: int, by: int,
+        comp: int, cur_intra: bool,
+    ) -> int:
+        if cat == 0:
+            return self._cbf_pair(self.cbf_dc_y, mbx, mby, cur_intra)
+        if cat in (1, 2):
+            return self._cbf_pair(self.cbf_y, bx, by, cur_intra)
+        if cat == 3:
+            return self._cbf_pair(self.cbf_dc_c[comp], mbx, mby, cur_intra)
+        return self._cbf_pair(self.cbf_c[comp], bx, by, cur_intra)
+
+
+# ---------------------------------------------------------------------------
+# Binarizations (§9.3.2) — one function per syntax element, symmetric
+# encode/decode through CabacIO.
+# ---------------------------------------------------------------------------
+
+
+def _syn_ueg(
+    io: CabacIO, ctx0: int, ctx_rest: tuple[int, ...], ucoff: int, k: int,
+    val: int | None = None,
+) -> int:
+    """UEGk: truncated-unary prefix (cMax=ucoff, context-coded, bin 0
+    on ``ctx0`` then ``ctx_rest`` capped at its last entry) + EGk
+    bypass suffix.  Unsigned magnitude only (sign is the caller's)."""
+
+    def pctx(j: int) -> int:
+        if j == 0:
+            return ctx0
+        return ctx_rest[min(j - 1, len(ctx_rest) - 1)]
+
+    if val is not None:
+        pre = min(val, ucoff)
+        for j in range(pre):
+            io.bin(pctx(j), 1)
+        if pre < ucoff:
+            io.bin(pctx(pre), 0)
+        else:
+            v = val - ucoff
+            kk = k
+            while v >= (1 << kk):
+                io.byp(1)
+                v -= 1 << kk
+                kk += 1
+            io.byp(0)
+            for i in range(kk - 1, -1, -1):
+                io.byp((v >> i) & 1)
+        return val
+    pre = 0
+    while pre < ucoff and io.bin(pctx(pre)):
+        pre += 1
+    if pre < ucoff:
+        return pre
+    v = 0
+    kk = k
+    while io.byp():
+        v += 1 << kk
+        kk += 1
+        if kk > 30:
+            raise MediaFormatError("oversized CABAC EGk suffix")
+    rem = 0
+    for _ in range(kk):
+        rem = (rem << 1) | io.byp()
+    return ucoff + v + rem
+
+
+def _syn_mb_type_i(
+    io: CabacIO, cst: _CabacMbState, mbx: int, mby: int,
+    val: int | None = None, p_suffix: bool = False,
+) -> int:
+    """I-macroblock mb_type in CAVLC numbering (0 = I_4x4, 1..24 =
+    I_16x16 with pred/cbp folded in, 25 = I_PCM).  Tree: '0' → I_4x4;
+    '1' + terminate(1) → I_PCM (quarantined here — this encoder never
+    emits it); '1' + terminate(0) + cbp_luma bin + cbp_chroma TU +
+    2 pred-mode bins → I_16x16."""
+    if p_suffix:
+        b0ctx, rest = CTX_MB_TYPE_P + 3, (
+            CTX_MB_TYPE_P + 4, CTX_MB_TYPE_P + 5, CTX_MB_TYPE_P + 5,
+            CTX_MB_TYPE_P + 6, CTX_MB_TYPE_P + 6,
+        )
+    else:
+        b0ctx = CTX_MB_TYPE_I + cst.mbtype_i_inc(mbx, mby)
+        rest = (
+            CTX_MB_TYPE_I + 3, CTX_MB_TYPE_I + 4, CTX_MB_TYPE_I + 5,
+            CTX_MB_TYPE_I + 6, CTX_MB_TYPE_I + 7,
+        )
+    if val is not None:
+        if val == 25:
+            raise MediaFormatError(
+                "I_PCM is outside the CABAC encode subset"
+            )
+        if io.bin(b0ctx, 0 if val == 0 else 1) == 0:
+            return 0
+        io.term(0)  # not I_PCM
+        m = val - 1
+        io.bin(rest[0], 1 if m >= 12 else 0)
+        cc = (m % 12) // 4
+        io.bin(rest[1], 1 if cc > 0 else 0)
+        if cc > 0:
+            io.bin(rest[2], cc - 1)
+        pm = m % 4
+        io.bin(rest[3], pm >> 1)
+        io.bin(rest[4], pm & 1)
+        return val
+    if io.bin(b0ctx) == 0:
+        return 0
+    if io.term():
+        raise MediaFormatError("I_PCM in a CABAC slice: outside the subset")
+    cl = io.bin(rest[0])
+    cc = 0
+    if io.bin(rest[1]):
+        cc = 1 + io.bin(rest[2])
+    pm = (io.bin(rest[3]) << 1) | io.bin(rest[4])
+    return 1 + pm + 4 * cc + 12 * cl
+
+
+def _syn_mb_type_p(io: CabacIO, val: int | None = None) -> int:
+    """P-slice mb_type prefix: 0..3 inter shapes ('000', '011', '010',
+    '001'), or -1 meaning 'intra follows' ('1' prefix; the caller then
+    runs _syn_mb_type_i with p_suffix=True).  P_8x8ref0 (4) has no
+    CABAC binarization, per the spec table."""
+    if val is not None:
+        if val == -1:
+            io.bin(CTX_MB_TYPE_P, 1)
+            return val
+        io.bin(CTX_MB_TYPE_P, 0)
+        b1, b2 = ((0, 0), (1, 1), (1, 0), (0, 1))[val]
+        io.bin(CTX_MB_TYPE_P + 1, b1)
+        io.bin(CTX_MB_TYPE_P + 2, b2)
+        return val
+    if io.bin(CTX_MB_TYPE_P):
+        return -1
+    b1 = io.bin(CTX_MB_TYPE_P + 1)
+    b2 = io.bin(CTX_MB_TYPE_P + 2)
+    return {(0, 0): 0, (1, 1): 1, (1, 0): 2, (0, 1): 3}[(b1, b2)]
+
+
+def _syn_sub_mb_type(io: CabacIO, val: int | None = None) -> int:
+    """P sub_mb_type: 8x8 '1'; 8x4 '00'; 4x8 '011'; 4x4 '010'."""
+    if val is not None:
+        if val == 0:
+            io.bin(CTX_SUB_MB_P, 1)
+        elif val == 1:
+            io.bin(CTX_SUB_MB_P, 0)
+            io.bin(CTX_SUB_MB_P + 1, 0)
+        else:
+            io.bin(CTX_SUB_MB_P, 0)
+            io.bin(CTX_SUB_MB_P + 1, 1)
+            io.bin(CTX_SUB_MB_P + 2, 1 if val == 2 else 0)
+        return val
+    if io.bin(CTX_SUB_MB_P):
+        return 0
+    if not io.bin(CTX_SUB_MB_P + 1):
+        return 1
+    return 2 if io.bin(CTX_SUB_MB_P + 2) else 3
+
+
+def _syn_mvd(
+    io: CabacIO, cst: _CabacMbState, comp: int, abx: int, aby: int,
+    val: int | None = None,
+) -> int:
+    """Signed mvd component: UEG3 magnitude (uCoff 9) with the
+    neighbour-|mvd| conditioned first bin, bypass sign."""
+    base = CTX_MVD_X if comp == 0 else CTX_MVD_Y
+    ctx0 = base + cst.mvd_inc(comp, abx, aby)
+    rest = (base + 3, base + 4, base + 5, base + 6, base + 6)
+    if val is not None:
+        mag = _syn_ueg(io, ctx0, rest, 9, 3, abs(val))
+        if mag:
+            io.byp(1 if val < 0 else 0)
+        return val
+    mag = _syn_ueg(io, ctx0, rest, 9, 3)
+    if mag == 0:
+        return 0
+    return -mag if io.byp() else mag
+
+
+def _syn_chroma_mode(
+    io: CabacIO, cst: _CabacMbState, mbx: int, mby: int,
+    val: int | None = None,
+) -> int:
+    ctx0 = CTX_CHROMA_PRED + cst.chroma_inc(mbx, mby)
+    tail = CTX_CHROMA_PRED + 3
+    if val is not None:
+        if io.bin(ctx0, 0 if val == 0 else 1) == 0:
+            return 0
+        io.bin(tail, 0 if val == 1 else 1)
+        if val >= 2:
+            io.bin(tail, val - 2)
+        return val
+    if io.bin(ctx0) == 0:
+        return 0
+    if io.bin(tail) == 0:
+        return 1
+    return 2 + io.bin(tail)
+
+
+def _syn_i4_modes(
+    io: CabacIO, st: _FrameState, mbx: int, mby: int,
+    modes: list[int] | None = None,
+) -> list[int]:
+    """16 × (prev_intra4x4_pred_mode_flag, rem 3-bit FL) against the
+    most-probable mode; updates st.i4_mode as it goes (the MPM of a
+    later block depends on earlier blocks of the SAME MB)."""
+    out = []
+    for blk in range(16):
+        bx, by = _LUMA_BLK_XY[blk]
+        abx, aby = mbx * 4 + bx, mby * 4 + by
+        mpm = st.i4_mpm(abx, aby)
+        if modes is not None:
+            mode = modes[blk]
+            if mode == mpm:
+                io.bin(CTX_I4_PREV, 1)
+            else:
+                io.bin(CTX_I4_PREV, 0)
+                rem = mode if mode < mpm else mode - 1
+                io.bin(CTX_I4_REM, (rem >> 2) & 1)
+                io.bin(CTX_I4_REM, (rem >> 1) & 1)
+                io.bin(CTX_I4_REM, rem & 1)
+        else:
+            if io.bin(CTX_I4_PREV):
+                mode = mpm
+            else:
+                rem = (
+                    (io.bin(CTX_I4_REM) << 2)
+                    | (io.bin(CTX_I4_REM) << 1)
+                    | io.bin(CTX_I4_REM)
+                )
+                mode = rem if rem < mpm else rem + 1
+        st.i4_mode[aby, abx] = mode
+        out.append(mode)
+    return out
+
+
+def _syn_cbp(
+    io: CabacIO, cst: _CabacMbState, mbx: int, mby: int,
+    val: int | None = None,
+) -> int:
+    """coded_block_pattern: 4 luma bins (8x8 blocks, neighbour-zero
+    conditioned) + TU-ish chroma pair."""
+    if val is not None:
+        cl, cc = val & 15, val >> 4
+        partial = 0
+        for j in range(4):
+            b = (cl >> j) & 1
+            io.bin(
+                CTX_CBP_LUMA + cst.cbp_luma_inc(mbx, mby, j, partial), b
+            )
+            partial |= b << j
+        io.bin(
+            CTX_CBP_CHROMA + cst.cbp_chroma_inc(mbx, mby, 0),
+            0 if cc == 0 else 1,
+        )
+        if cc:
+            io.bin(
+                CTX_CBP_CHROMA + 4 + cst.cbp_chroma_inc(mbx, mby, 1),
+                cc - 1,
+            )
+        return val
+    cl = 0
+    for j in range(4):
+        cl |= io.bin(
+            CTX_CBP_LUMA + cst.cbp_luma_inc(mbx, mby, j, cl)
+        ) << j
+    cc = 0
+    if io.bin(CTX_CBP_CHROMA + cst.cbp_chroma_inc(mbx, mby, 0)):
+        cc = 1 + io.bin(
+            CTX_CBP_CHROMA + 4 + cst.cbp_chroma_inc(mbx, mby, 1)
+        )
+    return cl | (cc << 4)
+
+
+def _syn_qp_delta(io: CabacIO, val: int | None = None) -> int:
+    """Fixed-QP subset: mb_qp_delta is always 0 (one '0' bin); a
+    nonzero delta quarantines, mirroring the CAVLC subset."""
+    if val is not None:
+        if val != 0:
+            raise MediaFormatError("mb_qp_delta outside the fixed-QP subset")
+        io.bin(CTX_QP_DELTA, 0)
+        return 0
+    if io.bin(CTX_QP_DELTA):
+        raise MediaFormatError("mb_qp_delta outside the fixed-QP subset")
+    return 0
+
+
+def _syn_level(
+    io: CabacIO, cat: int, eq1: int, gt1: int, val: int | None = None,
+) -> int:
+    """coeff_abs_level_minus1: UEG0 with uCoff 14; first bin on the
+    Eq1 ladder (frozen once a >1 level appeared), later bins on the
+    Gt1 ladder."""
+    off = CTX_ABS + _ABS_CAT_OFF[cat]
+    gcap = 3 if cat == 3 else 4
+    ctx0 = off + (0 if gt1 else min(4, 1 + eq1))
+    ctxn = off + 5 + min(gcap, gt1)
+    return _syn_ueg(io, ctx0, (ctxn,), 14, 0, val)
+
+
+def _syn_residual(
+    io: CabacIO, cst: _CabacMbState, cat: int,
+    mbx: int, mby: int, bx: int, by: int, comp: int, cur_intra: bool,
+    coeffs: list[int] | None = None,
+) -> tuple[list[int], int]:
+    """§9.3.2.3 residual block: coded_block_flag, significance + last
+    maps over the scan, levels high-frequency-first with the Eq1/Gt1
+    context ladder, bypass signs.  Returns (scan-order coefficient
+    list of full length, nonzero count) and records the cbf in the
+    neighbour state grids."""
+    n = _MAX_COEFF[cat]
+    sig_off = CTX_SIG + _SIG_CAT_OFF[cat]
+    last_off = CTX_LAST + _SIG_CAT_OFF[cat]
+    cbf_ctx = CTX_CBF + cat * 4 + cst.cbf_inc(
+        cat, mbx, mby, bx, by, comp, cur_intra
+    )
+    if coeffs is not None:
+        sig_pos = [i for i, c in enumerate(coeffs) if c]
+        cbf = 1 if sig_pos else 0
+        io.bin(cbf_ctx, cbf)
+        _store_cbf(cst, cat, mbx, mby, bx, by, comp, cbf)
+        if not cbf:
+            return [0] * n, 0
+        last = sig_pos[-1]
+        for i in range(n - 1):
+            s = 1 if i < len(coeffs) and coeffs[i] else 0
+            io.bin(sig_off + i, s)
+            if s:
+                lf = 1 if i == last else 0
+                io.bin(last_off + i, lf)
+                if lf:
+                    break
+        eq1 = gt1 = 0
+        for i in reversed(sig_pos):
+            lvl = abs(coeffs[i]) - 1
+            _syn_level(io, cat, eq1, gt1, lvl)
+            io.byp(1 if coeffs[i] < 0 else 0)
+            if lvl == 0:
+                eq1 += 1
+            else:
+                gt1 += 1
+        full = list(coeffs) + [0] * (n - len(coeffs))
+        return full, len(sig_pos)
+    cbf = io.bin(cbf_ctx)
+    _store_cbf(cst, cat, mbx, mby, bx, by, comp, cbf)
+    out = [0] * n
+    if not cbf:
+        return out, 0
+    sig_pos = []
+    i = 0
+    last_seen = False
+    while i < n - 1:
+        if io.bin(sig_off + i):
+            sig_pos.append(i)
+            if io.bin(last_off + i):
+                last_seen = True
+                break
+        i += 1
+    if not last_seen:
+        sig_pos.append(n - 1)
+    eq1 = gt1 = 0
+    for i in reversed(sig_pos):
+        lvl = _syn_level(io, cat, eq1, gt1)
+        sgn = io.byp()
+        out[i] = -(lvl + 1) if sgn else lvl + 1
+        if lvl == 0:
+            eq1 += 1
+        else:
+            gt1 += 1
+    return out, len(sig_pos)
+
+
+def _store_cbf(
+    cst: _CabacMbState, cat: int, mbx: int, mby: int,
+    bx: int, by: int, comp: int, cbf: int,
+) -> None:
+    if cat == 0:
+        cst.cbf_dc_y[mby, mbx] = cbf
+    elif cat in (1, 2):
+        cst.cbf_y[by, bx] = cbf
+    elif cat == 3:
+        cst.cbf_dc_c[comp][mby, mbx] = cbf
+    else:
+        cst.cbf_c[comp][by, bx] = cbf
+
+
+# ---------------------------------------------------------------------------
+# Macroblock layer — intra
+# ---------------------------------------------------------------------------
+
+
+def _chroma_blocks_cabac(
+    io: CabacIO, cst: _CabacMbState, st: _FrameState, mbx: int, mby: int,
+    cbp_chroma: int, cur_intra: bool,
+    cdcq: list[np.ndarray] | None = None,
+    cacq: list[list[np.ndarray]] | None = None,
+):
+    """Chroma DC (cat 3) + AC (cat 4) residual blocks, both directions;
+    returns (cdc, cac) arrays and keeps the CAVLC nc maps in sync so
+    the §8.7 boundary-strength grids stay entropy-agnostic."""
+    enc = cdcq is not None
+    cdc = [np.zeros((2, 2), dtype=np.int64) for _ in range(2)]
+    cac = [
+        [np.zeros((4, 4), dtype=np.int64) for _ in range(4)]
+        for _ in range(2)
+    ]
+    if cbp_chroma:
+        for comp in range(2):
+            coeffs = (
+                [int(x) for x in cdcq[comp].reshape(4)] if enc else None
+            )
+            got, _tot = _syn_residual(
+                io, cst, 3, mbx, mby, 0, 0, comp, cur_intra, coeffs
+            )
+            cdc[comp] = np.array(got, dtype=np.int64).reshape(2, 2)
+    else:
+        for comp in range(2):
+            cst.cbf_dc_c[comp][mby, mbx] = 0
+    if cbp_chroma == 2:
+        for comp in range(2):
+            for blk in range(4):
+                bx, by = _CHROMA_BLK_XY[blk]
+                abx, aby = mbx * 2 + bx, mby * 2 + by
+                coeffs = (
+                    _zigzag_list(cacq[comp][blk], skip_dc=True)
+                    if enc else None
+                )
+                got, tot = _syn_residual(
+                    io, cst, 4, mbx, mby, abx, aby, comp, cur_intra, coeffs
+                )
+                st.nc_c[comp][aby, abx] = tot
+                cac[comp][blk] = _unzigzag(got, skip_dc=True)
+    else:
+        for comp in range(2):
+            cst.cbf_c[comp][
+                mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2
+            ] = 0
+            st.nc_c[comp][
+                mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2
+            ] = 0
+    return cdc, cac
+
+
+def _mark_intra(cst: _CabacMbState, mbx: int, mby: int, i4: bool) -> None:
+    cst.intra[mby, mbx] = True
+    cst.i4[mby, mbx] = i4
+    cst.skip[mby, mbx] = False
+    cst.absmvd[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+
+
+def _encode_mb_i_cabac(
+    io: CabacIO, st: _FrameState, cst: _CabacMbState, mbx: int, mby: int,
+    qp: int, src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
+    in_p: bool = False,
+) -> None:
+    """Intra MB, CABAC syntax.  The I_16x16-vs-I_4x4 decision and all
+    prediction/transform math mirror h264._encode_mb / _encode_i4_mb
+    (no I_PCM escape: CABAC has no CAVLC worst-case blowup to guard,
+    a pathological MB just spends bins)."""
+    x0, y0 = mbx * 16, mby * 16
+    src_blk = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64)
+    legal = [L16_DC]
+    if mby > 0:
+        legal.append(L16_VERTICAL)
+    if mbx > 0:
+        legal.append(L16_HORIZONTAL)
+    if mbx > 0 and mby > 0:
+        legal.append(L16_PLANE)
+    preds = {m: _pred_luma16(m, st.y, mbx, mby) for m in legal}
+    pred_mode = min(
+        legal, key=lambda m: int(np.abs(src_blk - preds[m]).sum())
+    )
+    i16_sad = int(np.abs(src_blk - preds[pred_mode]).sum())
+    i4_est = 0
+    for blk in range(16):
+        bx, by = _LUMA_BLK_XY[blk]
+        abx, aby = mbx * 4 + bx, mby * 4 + by
+        left, top, corner, avail_l, avail_t = _fetch_i4_neighbours(
+            src_y, abx, aby
+        )
+        sblk = src_y[aby * 4 : aby * 4 + 4, abx * 4 : abx * 4 + 4].astype(
+            np.int64
+        )
+        i4_est += min(
+            int(np.abs(sblk - _pred_i4(m, left, top, corner,
+                                       avail_l, avail_t)).sum())
+            for m in _i4_legal_modes(avail_l, avail_t)
+        )
+    if i4_est * 5 < i16_sad * 4:
+        _encode_mb_i4_cabac(
+            io, st, cst, mbx, mby, qp, src_y, src_u, src_v, in_p
+        )
+        return
+    st.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
+    pred = preds[pred_mode]
+    resid = src_blk - pred
+    dc_grid = np.empty((4, 4), dtype=np.int64)
+    ac_blocks: list[np.ndarray] = [None] * 16  # type: ignore[list-item]
+    for blk in range(16):
+        bx, by = _LUMA_BLK_XY[blk]
+        wblk = fdct4x4(resid[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4])
+        dc_grid[by, bx] = int(wblk[0, 0])
+        ac_blocks[blk] = quant_ac(wblk, qp, skip_dc=True)
+    had = hadamard4x4(dc_grid)
+    had = np.sign(had) * (np.abs(had) >> 1)
+    dcq = quant_dc(had, qp)
+    cbp_luma = 15 if any(np.any(b) for b in ac_blocks) else 0
+    chroma_mode, cbp_chroma, cdcq, cacq = _encode_chroma(
+        st, mbx, mby, qp, src_u, src_v
+    )
+    mb_type = 1 + pred_mode + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
+    # ---- syntax
+    if in_p:
+        _syn_mb_type_p(io, -1)
+        _syn_mb_type_i(io, cst, mbx, mby, mb_type, p_suffix=True)
+    else:
+        _syn_mb_type_i(io, cst, mbx, mby, mb_type)
+    _mark_intra(cst, mbx, mby, i4=False)
+    cst.cbp_l[mby, mbx] = cbp_luma
+    cst.cbp_c[mby, mbx] = cbp_chroma
+    cst.cmode[mby, mbx] = chroma_mode
+    _syn_chroma_mode(io, cst, mbx, mby, chroma_mode)
+    _syn_qp_delta(io, 0)
+    _syn_residual(
+        io, cst, 0, mbx, mby, 0, 0, 0, True,
+        _zigzag_list(dcq, skip_dc=False),
+    )
+    if cbp_luma:
+        for blk in range(16):
+            bx, by = _LUMA_BLK_XY[blk]
+            abx, aby = mbx * 4 + bx, mby * 4 + by
+            _got, tot = _syn_residual(
+                io, cst, 1, mbx, mby, abx, aby, 0, True,
+                _zigzag_list(ac_blocks[blk], skip_dc=True),
+            )
+            st.nc_y[aby, abx] = tot
+    else:
+        cst.cbf_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+        st.nc_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+    _chroma_blocks_cabac(
+        io, cst, st, mbx, mby, cbp_chroma, True, cdcq, cacq
+    )
+    _reconstruct_mb(
+        st, mbx, mby, qp, dcq,
+        [b.copy() for b in ac_blocks] if cbp_luma
+        else [np.zeros((4, 4), dtype=np.int64) for _ in range(16)],
+        cdcq, cacq,
+        pred_mode=pred_mode, chroma_mode=chroma_mode,
+    )
+
+
+def _encode_mb_i4_cabac(
+    io: CabacIO, st: _FrameState, cst: _CabacMbState, mbx: int, mby: int,
+    qp: int, src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
+    in_p: bool,
+) -> None:
+    zs: list[np.ndarray] = []
+    modes: list[int] = []
+    for blk in range(16):
+        bx, by = _LUMA_BLK_XY[blk]
+        abx, aby = mbx * 4 + bx, mby * 4 + by
+        x0, y0 = abx * 4, aby * 4
+        left, top, corner, avail_l, avail_t = _fetch_i4_neighbours(
+            st.y, abx, aby
+        )
+        sblk = src_y[y0 : y0 + 4, x0 : x0 + 4].astype(np.int64)
+        best_sad, mode, best_pred = None, None, None
+        for m in _i4_legal_modes(avail_l, avail_t):
+            p = _pred_i4(m, left, top, corner, avail_l, avail_t)
+            sad = int(np.abs(sblk - p).sum())
+            if best_sad is None or sad < best_sad:
+                best_sad, mode, best_pred = sad, m, p
+        z = quant_ac(fdct4x4(sblk - best_pred), qp)
+        st.y[y0 : y0 + 4, x0 : x0 + 4] = np.clip(
+            best_pred + idct4x4(dequant_ac(z, qp)), 0, 255
+        )
+        zs.append(z)
+        modes.append(mode)
+    cbp_luma = 0
+    for b8 in range(4):
+        if any(np.any(zs[b8 * 4 + k]) for k in range(4)):
+            cbp_luma |= 1 << b8
+    chroma_mode, cbp_chroma, cdcq, cacq = _encode_chroma(
+        st, mbx, mby, qp, src_u, src_v
+    )
+    cbp = cbp_luma | (cbp_chroma << 4)
+    # ---- syntax (st.i4_mode was already written block-by-block above
+    # for the closed-loop recon; _syn_i4_modes re-writes identical
+    # values while walking the MPM chain)
+    if in_p:
+        _syn_mb_type_p(io, -1)
+        _syn_mb_type_i(io, cst, mbx, mby, 0, p_suffix=True)
+    else:
+        _syn_mb_type_i(io, cst, mbx, mby, 0)
+    _mark_intra(cst, mbx, mby, i4=True)
+    cst.cbp_l[mby, mbx] = cbp_luma
+    cst.cbp_c[mby, mbx] = cbp_chroma
+    cst.cmode[mby, mbx] = chroma_mode
+    _syn_i4_modes(io, st, mbx, mby, modes)
+    _syn_chroma_mode(io, cst, mbx, mby, chroma_mode)
+    _syn_cbp(io, cst, mbx, mby, cbp)
+    if cbp:
+        _syn_qp_delta(io, 0)
+    cst.cbf_dc_y[mby, mbx] = 0
+    for blk in range(16):
+        bx, by = _LUMA_BLK_XY[blk]
+        abx, aby = mbx * 4 + bx, mby * 4 + by
+        if cbp_luma & (1 << (blk // 4)):
+            _got, tot = _syn_residual(
+                io, cst, 2, mbx, mby, abx, aby, 0, True,
+                _zigzag_list(zs[blk], skip_dc=False),
+            )
+            st.nc_y[aby, abx] = tot
+        else:
+            cst.cbf_y[aby, abx] = 0
+            st.nc_y[aby, abx] = 0
+    _chroma_blocks_cabac(
+        io, cst, st, mbx, mby, cbp_chroma, True, cdcq, cacq
+    )
+    _reconstruct_chroma(st, mbx, mby, qp, 0, chroma_mode, cdcq, cacq)
+
+
+def _decode_mb_i_cabac(
+    io: CabacIO, st: _FrameState, cst: _CabacMbState, mbx: int, mby: int,
+    qp: int, cqo: int, in_p: bool = False,
+) -> None:
+    mb_type = _syn_mb_type_i(io, cst, mbx, mby, p_suffix=in_p)
+    if mb_type == 0:
+        _decode_mb_i4_cabac(io, st, cst, mbx, mby, qp, cqo)
+        return
+    _mark_intra(cst, mbx, mby, i4=False)
+    st.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
+    m = mb_type - 1
+    pred_mode = m % 4
+    cbp_chroma = (m % 12) // 4
+    cbp_luma = 0 if m < 12 else 15
+    cst.cbp_l[mby, mbx] = cbp_luma
+    cst.cbp_c[mby, mbx] = cbp_chroma
+    chroma_mode = _syn_chroma_mode(io, cst, mbx, mby)
+    cst.cmode[mby, mbx] = chroma_mode
+    _syn_qp_delta(io)
+    dc_list, _tot = _syn_residual(io, cst, 0, mbx, mby, 0, 0, 0, True)
+    dcq = _unzigzag(dc_list, skip_dc=False)
+    ac_blocks = []
+    if cbp_luma:
+        for blk in range(16):
+            bx, by = _LUMA_BLK_XY[blk]
+            abx, aby = mbx * 4 + bx, mby * 4 + by
+            got, tot = _syn_residual(
+                io, cst, 1, mbx, mby, abx, aby, 0, True
+            )
+            st.nc_y[aby, abx] = tot
+            ac_blocks.append(_unzigzag(got, skip_dc=True))
+    else:
+        cst.cbf_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+        st.nc_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+        ac_blocks = [np.zeros((4, 4), dtype=np.int64) for _ in range(16)]
+    cdc, cac = _chroma_blocks_cabac(
+        io, cst, st, mbx, mby, cbp_chroma, True
+    )
+    _reconstruct_mb(
+        st, mbx, mby, qp, dcq, ac_blocks, cdc, cac, cqo,
+        pred_mode=pred_mode, chroma_mode=chroma_mode,
+    )
+
+
+def _decode_mb_i4_cabac(
+    io: CabacIO, st: _FrameState, cst: _CabacMbState, mbx: int, mby: int,
+    qp: int, cqo: int,
+) -> None:
+    _mark_intra(cst, mbx, mby, i4=True)
+    modes = _syn_i4_modes(io, st, mbx, mby)
+    chroma_mode = _syn_chroma_mode(io, cst, mbx, mby)
+    cst.cmode[mby, mbx] = chroma_mode
+    cbp = _syn_cbp(io, cst, mbx, mby)
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp_chroma > 2:
+        raise MediaFormatError("invalid chroma coded_block_pattern")
+    cst.cbp_l[mby, mbx] = cbp_luma
+    cst.cbp_c[mby, mbx] = cbp_chroma
+    if cbp:
+        _syn_qp_delta(io)
+    cst.cbf_dc_y[mby, mbx] = 0
+    for blk in range(16):
+        bx, by = _LUMA_BLK_XY[blk]
+        abx, aby = mbx * 4 + bx, mby * 4 + by
+        x0, y0 = abx * 4, aby * 4
+        if cbp_luma & (1 << (blk // 4)):
+            got, tot = _syn_residual(
+                io, cst, 2, mbx, mby, abx, aby, 0, True
+            )
+            st.nc_y[aby, abx] = tot
+            z = _unzigzag(got, skip_dc=False)
+        else:
+            cst.cbf_y[aby, abx] = 0
+            st.nc_y[aby, abx] = 0
+            z = np.zeros((4, 4), dtype=np.int64)
+        left, top, corner, avail_l, avail_t = _fetch_i4_neighbours(
+            st.y, abx, aby
+        )
+        pred = _pred_i4(modes[blk], left, top, corner, avail_l, avail_t)
+        st.y[y0 : y0 + 4, x0 : x0 + 4] = np.clip(
+            pred + idct4x4(dequant_ac(z, qp)), 0, 255
+        )
+    cdc, cac = _chroma_blocks_cabac(
+        io, cst, st, mbx, mby, cbp_chroma, True
+    )
+    _reconstruct_chroma(st, mbx, mby, qp, cqo, chroma_mode, cdc, cac)
+
+
+# ---------------------------------------------------------------------------
+# Macroblock layer — P (inter)
+# ---------------------------------------------------------------------------
+
+
+def _mark_inter(cst: _CabacMbState, mbx: int, mby: int) -> None:
+    cst.intra[mby, mbx] = False
+    cst.i4[mby, mbx] = False
+    cst.skip[mby, mbx] = False
+    cst.cmode[mby, mbx] = 0
+
+
+def _mark_skip(
+    cst: _CabacMbState, st: _FrameState, mbx: int, mby: int
+) -> None:
+    cst.skip[mby, mbx] = True
+    cst.intra[mby, mbx] = False
+    cst.i4[mby, mbx] = False
+    cst.cmode[mby, mbx] = 0
+    cst.cbp_l[mby, mbx] = 0
+    cst.cbp_c[mby, mbx] = 0
+    cst.absmvd[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+    cst.cbf_dc_y[mby, mbx] = 0
+    cst.cbf_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+    for comp in range(2):
+        cst.cbf_dc_c[comp][mby, mbx] = 0
+        cst.cbf_c[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+    st.nc_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+    for comp in range(2):
+        st.nc_c[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+
+
+def _part_mvds(
+    io: CabacIO, st: _FrameState, cst: _CabacMbState, mbx: int, mby: int,
+    parts, mvs=None,
+):
+    """Per-partition mvd coding (both directions): predictor at write
+    time, |mvd| stored per covered 4x4 block for later context
+    increments.  Returns the motion vectors."""
+    out = []
+    for i, part in enumerate(parts):
+        kind, dx, dy, pw, ph = part
+        abx, aby = mbx * 4 + dx, mby * 4 + dy
+        pmv = _pred_mv(st, abx, aby, pw, kind)
+        if mvs is not None:
+            mv = mvs[i]
+            mvdx = _syn_mvd(io, cst, 0, abx, aby, mv[0] - pmv[0])
+            mvdy = _syn_mvd(io, cst, 1, abx, aby, mv[1] - pmv[1])
+        else:
+            mvdx = _syn_mvd(io, cst, 0, abx, aby)
+            mvdy = _syn_mvd(io, cst, 1, abx, aby)
+            mv = (pmv[0] + mvdx, pmv[1] + mvdy)
+        _store_part_mv(st, mbx, mby, part, mv)
+        cst.absmvd[aby : aby + ph, abx : abx + pw, 0] = abs(mvdx)
+        cst.absmvd[aby : aby + ph, abx : abx + pw, 1] = abs(mvdy)
+        out.append(mv)
+    return out
+
+
+def _inter_body_cabac(
+    io: CabacIO, st: _FrameState, cst: _CabacMbState, mbx: int, mby: int,
+    qp: int, cqo: int, ref, d: dict | None,
+) -> None:
+    """Everything after the 'this MB is inter-coded' decision: mb_type
+    prefix, sub types, mvds, CBP, residuals, reconstruction — encode
+    when ``d`` (the _p_mb_decide payload) is given, decode otherwise."""
+    if d is not None:
+        mtype = _syn_mb_type_p(io, d["mtype"])
+        _mark_inter(cst, mbx, mby)
+        if d["sub_types"] is not None:
+            for t_ in d["sub_types"]:
+                _syn_sub_mb_type(io, t_)
+        parts = d["parts"]
+        _part_mvds(io, st, cst, mbx, mby, parts, d["mvs"])
+        zs, cbp_luma, cbp_chroma = d["zs"], d["cbp_luma"], d["cbp_chroma"]
+        cbp = cbp_luma | (cbp_chroma << 4)
+        pred_y, pred_u, pred_v = d["preds"]
+        cdcq, cacq = d["cdcq"], d["cacq"]
+    else:
+        mtype = _syn_mb_type_p(io)
+        if mtype == -1:
+            _decode_mb_i_cabac(io, st, cst, mbx, mby, qp, cqo, in_p=True)
+            st.inter[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = False
+            st.mv[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+            return
+        _mark_inter(cst, mbx, mby)
+        if mtype == 3:
+            sub_types = [_syn_sub_mb_type(io) for _ in range(4)]
+            parts = []
+            for q8, (qx, qy) in enumerate(_P8_QUADS):
+                for sdx, sdy, pw, ph in _P_SUB_PARTS[sub_types[q8]]:
+                    parts.append(("sub", qx + sdx, qy + sdy, pw, ph))
+        else:
+            parts = _P_PARTS[mtype]
+        mvs = _part_mvds(io, st, cst, mbx, mby, parts)
+    st.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
+    if d is not None:
+        _syn_cbp(io, cst, mbx, mby, cbp)
+    else:
+        cbp = _syn_cbp(io, cst, mbx, mby)
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp_chroma > 2:
+            raise MediaFormatError("invalid chroma coded_block_pattern")
+    cst.cbp_l[mby, mbx] = cbp_luma
+    cst.cbp_c[mby, mbx] = cbp_chroma
+    if cbp:
+        _syn_qp_delta(io, 0 if d is not None else None)
+    cst.cbf_dc_y[mby, mbx] = 0
+    zs_out = []
+    for blk in range(16):
+        bx, by = _LUMA_BLK_XY[blk]
+        abx, aby = mbx * 4 + bx, mby * 4 + by
+        if cbp_luma & (1 << (blk // 4)):
+            coeffs = (
+                _zigzag_list(d["zs"][blk], skip_dc=False)
+                if d is not None else None
+            )
+            got, tot = _syn_residual(
+                io, cst, 2, mbx, mby, abx, aby, 0, False, coeffs
+            )
+            st.nc_y[aby, abx] = tot
+            zs_out.append(_unzigzag(got, skip_dc=False))
+        else:
+            cst.cbf_y[aby, abx] = 0
+            st.nc_y[aby, abx] = 0
+            zs_out.append(np.zeros((4, 4), dtype=np.int64))
+    if d is not None:
+        cdc, cac = _chroma_blocks_cabac(
+            io, cst, st, mbx, mby, cbp_chroma, False, cdcq, cacq
+        )
+    else:
+        cdc, cac = _chroma_blocks_cabac(
+            io, cst, st, mbx, mby, cbp_chroma, False
+        )
+        pred_y, pred_u, pred_v = _mc_mb_pred(ref, mbx, mby, parts, mvs)
+    _recon_inter_luma(st, mbx, mby, qp, pred_y, zs_out, cbp_luma)
+    _recon_chroma_blocks(
+        st, mbx, mby, qp, cqo, [pred_u, pred_v], cdc, cac
+    )
+
+
+# ---------------------------------------------------------------------------
+# Slice layer
+# ---------------------------------------------------------------------------
+
+
+def _encode_slice_cabac(
+    stype: str, qp: int, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+    ref=None, frame_num: int = 0, idr_pic_id: int = 0,
+    deblock: bool = True,
+) -> tuple[bytes, _FrameState]:
+    mb_w, mb_h = y.shape[1] // 16, y.shape[0] // 16
+    st = _FrameState(mb_w, mb_h)
+    cst = _CabacMbState(mb_w, mb_h)
+    w = _BitWriter()
+    _write_slice_header(
+        w, qp, DEFAULT_QP, idr_pic_id, log2_max_frame_num=4, poc_type=0,
+        log2_max_poc_lsb=4, deblock=deblock, slice_type=stype,
+        frame_num=frame_num,
+    )
+    while len(w.bits) & 7:
+        w.bits.append(1)  # cabac_alignment_one_bit
+    io = CabacIO(enc=CabacEncoder(w))
+    n_mbs = mb_w * mb_h
+    for i in range(n_mbs):
+        mbx, mby = i % mb_w, i // mb_w
+        if stype == "I":
+            _encode_mb_i_cabac(io, st, cst, mbx, mby, qp, y, u, v)
+        else:
+            kind, d = _p_mb_decide(st, mbx, mby, qp, y, u, v, ref)
+            if kind == "skip":
+                io.bin(CTX_MB_SKIP + cst.skip_inc(mbx, mby), 1)
+                _mark_skip(cst, st, mbx, mby)
+                _recon_p_skip(st, mbx, mby, ref)
+            else:
+                io.bin(CTX_MB_SKIP + cst.skip_inc(mbx, mby), 0)
+                if kind == "intra":
+                    _encode_mb_i_cabac(
+                        io, st, cst, mbx, mby, qp, y, u, v, in_p=True
+                    )
+                    st.inter[
+                        mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4
+                    ] = False
+                    st.mv[
+                        mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4
+                    ] = 0
+                else:
+                    _inter_body_cabac(
+                        io, st, cst, mbx, mby, qp, 0, ref, d
+                    )
+        io.term(1 if i == n_mbs - 1 else 0)  # end_of_slice_flag
+    nal_hdr = b"\x65" if stype == "I" else b"\x41"
+    return nal_hdr + w.finish(), st
+
+
+def decode_frame_nal_cabac(
+    nal: bytes, sps: dict, pps: dict, ref=None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """CABAC slice NAL → (Y, U, V) planes; dispatched from
+    h264.decode_frame_nal when the PPS signals entropy mode 1."""
+    r = _BitReader(_unescape_rbsp(nal[1:]))
+    nal_type = nal[0] & 0x1F
+    stype, qp, deblock, a_off, b_off = _parse_slice_header(
+        r, sps, pps, idr=nal_type == 5, nal_ref_idc=nal[0] >> 5
+    )
+    while r.pos & 7:
+        if r.u(1) != 1:
+            raise MediaFormatError("bad cabac_alignment_one_bit")
+    mb_w, mb_h = sps["mb_w"], sps["mb_h"]
+    st = _FrameState(mb_w, mb_h)
+    cst = _CabacMbState(mb_w, mb_h)
+    cqo = pps.get("chroma_qp_index_offset", 0)
+    io = CabacIO(dec=CabacDecoder(r))
+    if stype == "P" and ref is None:
+        raise MediaFormatError("P slice without a decoded reference picture")
+    n_mbs = mb_w * mb_h
+    for i in range(n_mbs):
+        mbx, mby = i % mb_w, i // mb_w
+        if stype == "I":
+            _decode_mb_i_cabac(io, st, cst, mbx, mby, qp, cqo)
+        else:
+            if io.bin(CTX_MB_SKIP + cst.skip_inc(mbx, mby)):
+                _mark_skip(cst, st, mbx, mby)
+                _recon_p_skip(st, mbx, mby, ref)
+            else:
+                _inter_body_cabac(io, st, cst, mbx, mby, qp, cqo, ref, None)
+        eos = io.term()
+        if eos != (1 if i == n_mbs - 1 else 0):
+            raise MediaFormatError(
+                "CABAC end_of_slice_flag out of position"
+            )
+    if deblock:
+        return deblock_frame(
+            st.y, st.u, st.v, qp, cqo, a_off, b_off,
+            st=st if stype == "P" else None,
+        )
+    return st.y, st.u, st.v
+
+
+# ---------------------------------------------------------------------------
+# Stream assembly + provenance marker
+# ---------------------------------------------------------------------------
+
+# user_data_unregistered SEI UUID marking streams produced by THIS
+# module (see the module docstring's honesty boundary): decode paths
+# require it before attempting CABAC decode.
+CABAC_MARKER_UUID = bytes.fromhex("8f1d0c6a42b5489bb1e2a90f4c7d5e33")
+
+
+def cabac_marker_sei() -> bytes:
+    """SEI NAL (type 6, payloadType 5 user_data_unregistered) carrying
+    CABAC_MARKER_UUID."""
+    payload = CABAC_MARKER_UUID
+    body = bytes([5, len(payload)]) + payload
+    return b"\x06" + body + b"\x80"  # rbsp_trailing_bits
+
+
+def is_cabac_marker(nal: bytes) -> bool:
+    return (
+        len(nal) >= 19
+        and (nal[0] & 0x1F) == 6
+        and nal[1] == 5
+        and nal[2] >= 16
+        and nal[3:19] == CABAC_MARKER_UUID
+    )
+
+
+_CABAC_IPPP_CACHE: dict = {}
+
+
+def encode_h264_ippp_cabac(
+    width: int, height: int, frames_rgb: list[bytes], qp: int = DEFAULT_QP,
+    return_recon: bool = False,
+):
+    """Frames → (Main-profile SPS, CABAC PPS, [marker SEI, IDR, P...],
+    [, recon frames]): the CABAC twin of h264.encode_h264_ippp — same
+    GOP structure, same prediction/transform decisions, arithmetic
+    entropy layer.  The marker SEI leads the NAL list so decoders can
+    verify provenance before the first CABAC slice."""
+    key = (width, height, tuple(frames_rgb), qp)
+    hit = _CABAC_IPPP_CACHE.get(key)
+    if hit is None:
+        sps = write_h264_sps(width, height, 77, 30)  # Main profile
+        pps = write_pps(DEFAULT_QP, cabac=True)
+        y, u, v = rgb_to_yuv420(frames_rgb[0], width, height)
+        y, u, v = _pad_plane(y, 16), _pad_plane(u, 8), _pad_plane(v, 8)
+        nal, st = _encode_slice_cabac("I", qp, y, u, v)
+        planes = deblock_frame(st.y, st.u, st.v, qp)
+        nals = [cabac_marker_sei(), nal]
+        recons = [planes]
+        for i, f in enumerate(frames_rgb[1:], start=1):
+            y, u, v = rgb_to_yuv420(f, width, height)
+            y, u, v = _pad_plane(y, 16), _pad_plane(u, 8), _pad_plane(v, 8)
+            nal, st = _encode_slice_cabac(
+                "P", qp, y, u, v, ref=planes, frame_num=i
+            )
+            planes = deblock_frame(st.y, st.u, st.v, qp, st=st)
+            nals.append(nal)
+            recons.append(planes)
+        rgb_recons = [
+            yuv420_to_rgb(
+                ry[:height, :width],
+                ru[: (height + 1) // 2, : (width + 1) // 2],
+                rv[: (height + 1) // 2, : (width + 1) // 2],
+            )
+            for ry, ru, rv in recons
+        ]
+        if len(_CABAC_IPPP_CACHE) > 16:
+            _CABAC_IPPP_CACHE.clear()
+        hit = (sps, pps, nals, rgb_recons)
+        _CABAC_IPPP_CACHE[key] = hit
+    if not return_recon:
+        return hit[0], hit[1], hit[2]
+    return hit

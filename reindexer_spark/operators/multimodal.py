@@ -2443,3 +2443,170 @@ def video_inter_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "only_first_sync int, containers_agree int, p_smaller int, "
         "recon_exact int",
     )
+
+
+CABAC_DOCS = 10  # bounded: ME + a pure-Python arithmetic coder per doc
+
+
+@query(
+    "video_cabac_decode",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {CABAC_DOCS}
+    ), s AS (
+      SELECT media_id,
+             CAST(('0x' || substr(dg, 1, 2)) AS INT) AS s0,
+             CAST(('0x' || substr(dg, 3, 2)) AS INT) AS s1,
+             CAST(('0x' || substr(dg, 5, 2)) AS INT) AS s2
+      FROM base
+    )
+    SELECT media_id,
+      CASE WHEN media_id % 2 = 0 THEN 'mp4' ELSE 'mkv' END AS container,
+      CAST(2 * (16 + s0 % 13) AS INT) AS width,
+      CAST(2 * (16 + s1 % 9) AS INT) AS height,
+      CAST(3 + s2 % 3 AS INT) AS n_frames,
+      CAST(1 AS INT) AS decodable,
+      CAST(77 AS INT) AS profile_idc,
+      CAST(1 AS INT) AS only_first_sync,
+      CAST(1 AS INT) AS containers_agree,
+      CAST(1 AS INT) AS recon_exact,
+      CAST(1 AS INT) AS markerless_quarantined
+    FROM s
+    """,
+)
+def video_cabac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL CABAC-coded H.264 decode (round-11 VERDICT next #2): the
+    same digest-seeded translating IPPP scenes as video_inter_decode,
+    but entropy-coded with the §9.3 binary arithmetic coder
+    (reindexer_spark.h264_cabac — adaptive contexts, bypass/terminate
+    modes, UEG binarizations, significance-map residuals), muxed into
+    mp4 OR mkv as Main-profile (77) streams, and decoded back.
+
+    Oracle-pinned contract columns (all re-derived from sha256(text)):
+    ``decodable=1`` — the CABAC IPPP chain decodes through the
+    container path; ``profile_idc=77`` — the probe reads the Main
+    profile that signals CABAC; ``only_first_sync=1`` — sync tables
+    still truthful; ``containers_agree=1`` — mp4 and mkv decode
+    bit-identically; ``recon_exact=1`` — decoder ≡ encoder closed loop
+    through deblocked references (the engine/binarization/context
+    conformance claim); ``markerless_quarantined=1`` — the SAME stream
+    with its provenance SEI stripped refuses to decode (the h264_cabac
+    honesty boundary: context-init tables are not claimed
+    spec-faithful, so external CABAC must quarantine, never produce a
+    wrong frame).
+
+    Scale shape: identical to the other video lanes — Arrow-batched
+    mapInPandas, payloads never shuffle."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < CABAC_DOCS
+    )
+
+    def build_and_decode(batches):
+        from reindexer_spark.codecs import (
+            MediaFormatError,
+            decode_mkv,
+            decode_mp4,
+            encode_mkv_coded,
+            encode_mp4_coded,
+            probe_media,
+        )
+        from reindexer_spark.h264 import (
+            decode_avcc_samples,
+            encode_avcc_samples,
+            split_sample_nals,
+        )
+        from reindexer_spark.h264_cabac import encode_h264_ippp_cabac
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.doc_id)
+                w, h, n_frames, qp, frames, container = _inter_fixture(
+                    mid, r.text
+                )
+                _s, _p, _nals, recon = encode_h264_ippp_cabac(
+                    w, h, frames, qp=qp, return_recon=True
+                )
+                mp4 = encode_mp4_coded(
+                    w, h, intra_frames=frames, qp=qp, gop="ippp",
+                    entropy="cabac",
+                )
+                mkv = encode_mkv_coded(
+                    w, h, intra_frames=frames, qp=qp, gop="ippp",
+                    entropy="cabac",
+                )
+                payload = mp4 if container == "mp4" else mkv
+                dec = decode_mp4 if container == "mp4" else decode_mkv
+                try:
+                    dw, dh, _durs, out, sync = dec(payload)
+                    decodable = 1
+                except MediaFormatError:
+                    dw = dh = 0
+                    out, sync = [], []
+                    decodable = 0
+                profile = int(probe_media(payload).get("profile") or 0)
+                only_first_sync = int(
+                    len(sync) == n_frames
+                    and sync[0]
+                    and not any(sync[1:])
+                )
+                other = decode_mkv if container == "mp4" else decode_mp4
+                try:
+                    _w2, _h2, _d2, out2, _s2 = other(
+                        mkv if container == "mp4" else mp4
+                    )
+                    agree = int(out == out2 and len(out) == n_frames)
+                except MediaFormatError:
+                    agree = 0
+                recon_exact = int(out == recon)
+                # the provenance contract: same bitstream, marker SEI
+                # stripped, must refuse to decode
+                avcc, samples = encode_avcc_samples(
+                    w, h, frames, qp, gop="ippp", entropy="cabac"
+                )
+                nals0 = split_sample_nals(samples[0], 4)
+                stripped = b"".join(
+                    len(n).to_bytes(4, "big") + n
+                    for n in nals0
+                    if (n[0] & 0x1F) != 6
+                )
+                try:
+                    decode_avcc_samples(avcc, [stripped] + samples[1:])
+                    quarantined = 0
+                except MediaFormatError:
+                    quarantined = 1
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "container": container,
+                        "width": dw,
+                        "height": dh,
+                        "n_frames": len(out),
+                        "decodable": decodable,
+                        "profile_idc": profile,
+                        "only_first_sync": only_first_sync,
+                        "containers_agree": agree,
+                        "recon_exact": recon_exact,
+                        "markerless_quarantined": quarantined,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "container", "width", "height", "n_frames",
+                    "decodable", "profile_idc", "only_first_sync",
+                    "containers_agree", "recon_exact",
+                    "markerless_quarantined",
+                ],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build_and_decode,
+        "media_id bigint, container string, width int, height int, "
+        "n_frames int, decodable int, profile_idc int, "
+        "only_first_sync int, containers_agree int, recon_exact int, "
+        "markerless_quarantined int",
+    )

@@ -134,3 +134,154 @@ def test_library_resizer_and_sampler_real_paths():
     assert LibraryFrameSampler().duration_ms(wav) == 1000
     with pytest.raises(MediaFormatError):  # true video still needs pyav
         LibraryFrameSampler().duration_ms(b"\x00\x00\x01\xbafake")
+
+
+def _stub_pil(monkeypatch, calls):
+    """Install a minimal fake Pillow into sys.modules: Image.open
+    understands payloads of the form b'STUBIMG' + w + h + rgb (and
+    nothing else), recording every invocation."""
+    import sys
+    import types
+
+    class _Img:
+        def __init__(self, w, h, rgb):
+            self.width, self.height, self._rgb = w, h, rgb
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def tobytes(self):
+            return self._rgb
+
+    image_mod = types.ModuleType("PIL.Image")
+
+    def _open(fh):
+        calls.append("open")
+        data = fh.read()
+        if not data.startswith(b"STUBIMG"):
+            raise ValueError("stub cannot decode this")
+        w, h = data[7], data[8]
+        rgb = data[9 : 9 + w * h * 3]
+        if len(rgb) != w * h * 3:
+            raise ValueError("truncated stub payload")
+        return _Img(w, h, rgb)
+
+    image_mod.open = _open
+    pil_mod = types.ModuleType("PIL")
+    pil_mod.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil_mod)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+
+def test_library_codec_escape_hatch_end_to_end(monkeypatch):
+    """Round-11 VERDICT next #5: drive the LibraryCodec upgrade seam
+    with an injected library codec and prove the contract — (a) native
+    containers NEVER route through the library (byte-identical with
+    and without it, from-spec decoders stay the oracle), (b) an
+    unknown container the library understands decodes through the
+    canonical-PPM path with features identical to decoding the same
+    pixels natively, (c) library failures still quarantine as
+    MediaFormatError."""
+    from reindexer_spark.codecs import (
+        MediaFormatError,
+        PurePythonCodec,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    calls: list[str] = []
+    _stub_pil(monkeypatch, calls)
+
+    # (a) canonical payload: identical to from-spec decode, stub unused
+    bmp = encode_bmp(6, 4, bytes(range(72)))
+    assert LibraryCodec().decode(bmp) == PurePythonCodec().decode(bmp)
+    assert calls == []
+
+    # (b) unknown container → stub decodes → canonical-PPM feature path
+    rgb = bytes((i * 7) % 256 for i in range(5 * 3 * 3))
+    stub_payload = b"STUBIMG" + bytes([5, 3]) + rgb
+    got = LibraryCodec().decode(stub_payload)
+    assert calls == ["open"]
+    assert got == PurePythonCodec().decode(encode_ppm(5, 3, rgb))
+
+    # (c) payload neither side understands → quarantine, library
+    # exception wrapped
+    with pytest.raises(MediaFormatError):
+        LibraryCodec().decode(b"\x00garbage that is not an image")
+
+
+def test_library_codec_escape_hatch_spark_e2e(spark):
+    """The same seam through the Spark pipeline: mixed native /
+    library-only / undecodable payloads through extract_media_features
+    with the injected library — native rows byte-identical to the
+    from-spec run, library rows decoded, garbage quarantined per-row."""
+    from reindexer_spark.codecs import PurePythonCodec, encode_bmp
+
+    class _StubInjectingCodec(LibraryCodec):
+        """LibraryCodec that installs the fake Pillow INSIDE the decode
+        call — Spark pickles this object into the Python workers (separate
+        processes from the pytest driver, so a driver-side monkeypatch
+        never reaches them)."""
+
+        def decode(self, payload: bytes) -> dict:
+            import sys
+            import types
+
+            if "PIL" not in sys.modules or not getattr(
+                sys.modules["PIL"], "_rs_stub", False
+            ):
+                class _Img:
+                    def __init__(self, w, h, rgb):
+                        self.width, self.height, self._rgb = w, h, rgb
+
+                    def convert(self, mode):
+                        return self
+
+                    def tobytes(self):
+                        return self._rgb
+
+                image_mod = types.ModuleType("PIL.Image")
+
+                def _open(fh):
+                    data = fh.read()
+                    if not data.startswith(b"STUBIMG"):
+                        raise ValueError("stub cannot decode this")
+                    w, h = data[7], data[8]
+                    rgb = data[9 : 9 + w * h * 3]
+                    if len(rgb) != w * h * 3:
+                        raise ValueError("truncated stub payload")
+                    return _Img(w, h, rgb)
+
+                image_mod.open = _open
+                pil_mod = types.ModuleType("PIL")
+                pil_mod.Image = image_mod
+                pil_mod._rs_stub = True
+                sys.modules["PIL"] = pil_mod
+                sys.modules["PIL.Image"] = image_mod
+            return super().decode(payload)
+
+    bmp = encode_bmp(4, 4, bytes(range(48)))
+    rgb = bytes((i * 11) % 256 for i in range(4 * 2 * 3))
+    stub_payload = b"STUBIMG" + bytes([4, 2]) + rgb
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(bmp), {}),
+            (2, "image", bytearray(stub_payload), {}),
+            (3, "image", bytearray(b"\x01junk"), {}),
+        ],
+        "media_id bigint, kind string, payload binary, "
+        "meta map<string,string>",
+    )
+    rows = {
+        r.media_id: r
+        for r in extract_media_features(
+            media, codec=_StubInjectingCodec()
+        ).collect()
+    }
+    native = PurePythonCodec().decode(bmp)
+    assert rows[1].width == native["width"]
+    assert list(rows[1].features) == pytest.approx(native["features"])
+    assert rows[2].width == 4 and rows[2].height == 2
+    assert rows[2].features is not None
+    assert rows[3].features is None and rows[3].checksum is not None
