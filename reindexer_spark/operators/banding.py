@@ -49,6 +49,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from reindexer_spark.cache import track
+
 # Above this bucket size the all-pairs join degrades to star pairs.
 # 256 keeps every bucket in this repo's fixtures on the exact path
 # (gate twins stay hash-green) while bounding a 100 TB boilerplate
@@ -95,7 +97,15 @@ def banded_pairs(
     if cap is None:
         cap = HOT_BUCKET_CAP
     w = Window.partitionBy(*keys)
-    b = (
+    # Materialize the windowed relation once (cache.track — released at
+    # the next query start): the guard's five branch references
+    # (small×2, within, reps×2) would otherwise each re-run the ENTIRE
+    # upstream band pipeline — measured on dedup_minhash at sf0.1 as 8
+    # window passes / 37 exchanges / 0 reuse, the round-10 guard
+    # regression (+~1 s).  The cached relation is narrow (id, keys,
+    # sigs, count) and its recompute is deterministic, track()'s
+    # contract.
+    b = track(
         bands.select(id_col, *keys, *sig_cols)
         .withColumn("_bsz", F.count("*").over(w))
     )

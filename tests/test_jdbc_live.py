@@ -210,3 +210,108 @@ def test_full_reference_pipeline_from_live_db(
     # suffixed field from the flattened JSON payload made it through
     sample = submitted[0]
     assert any(k.startswith("n_") or k == "n_l" for k in sample), sample
+
+
+def test_dialect_profile_inferred_from_url_live(
+    spark, derby_docs, tmp_path_factory
+):
+    """Round-11 VERDICT next #6: the partition_expr dialect seam
+    resolves from the JDBC URL subprotocol — the Derby profile is
+    looked up from PARTITION_EXPRS (no explicit expression passed) and
+    the live partitioned read still tiles exactly-once."""
+    from reindexer_spark.sources.jdbc import (
+        PARTITION_EXPRS,
+        partition_expr_for_url,
+    )
+
+    assert partition_expr_for_url(DERBY_URL) == PARTITION_EXPRS["derby"]
+    assert (
+        partition_expr_for_url("jdbc:postgresql://h:5432/db")
+        == PARTITION_EXPRS["postgresql"]
+    )
+    with pytest.raises(ValueError, match="no partition-key dialect"):
+        partition_expr_for_url("jdbc:oracle:thin:@h:1521/db")
+    conf = live_conf(tmp_path_factory)
+    df = read_documents_jdbc(
+        spark,
+        conf,
+        url=DERBY_URL,  # profile inferred: no partition_expr kwarg
+        num_partitions=3,
+        lower_bound=0,
+        upper_bound=N_DOCS,
+    )
+    ids = [r.ID for r in df.collect()]
+    assert sorted(ids) == [
+        f"id{i:05d}" for i in range(N_DOCS) if i % 10 != 9
+    ]
+
+
+def _spark_stride_clauses(col, lb, ub, n):
+    """Spark JDBCRelation.columnPartition's stride arithmetic: the
+    first partition is unbounded below (and catches NULL), the last
+    unbounded above, so the ranges tile the whole line regardless of
+    the configured bounds."""
+    stride = ub // n - lb // n
+    clauses = []
+    current = lb
+    for i in range(n):
+        lclause = f"{col} >= {current}" if i > 0 else None
+        current += stride
+        uclause = f"{col} < {current}" if i < n - 1 else None
+        if lclause and uclause:
+            clauses.append(f"{lclause} AND {uclause}")
+        elif uclause:
+            clauses.append(f"{uclause} OR {col} IS NULL")
+        else:
+            clauses.append(lclause)
+    return clauses
+
+
+def test_duckdb_profile_live_replay(tmp_path_factory):
+    """Second LIVE dialect leg: the hash-and-mask profile (the
+    postgres-shaped one, with DuckDB's hash()) executed by DuckDB
+    against the EXACT wrapped dbtable SQL jdbc_reader_options emits,
+    partitioned with Spark's own stride arithmetic — every row exactly
+    once, every partition key inside [0, 2^31).  This validates the
+    wrapper + masking contract on a REAL hash distribution, which the
+    Derby numeric-suffix profile cannot exercise."""
+    import duckdb
+
+    from reindexer_spark.sources.jdbc import jdbc_reader_options
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS "
+        "SELECT 'id' || lpad(CAST(i AS VARCHAR), 5, '0') AS id, "
+        "'txn' || CAST(i % 10 AS VARCHAR) AS txn_id, "
+        "'owner' || CAST(i % 3 AS VARCHAR) AS owner, "
+        "'{}' AS content, (i % 10 = 9) AS deleted "
+        "FROM range(100) t(i)"
+    )
+    conf = live_conf(tmp_path_factory)
+    opts = jdbc_reader_options(
+        conf,
+        url="jdbc:duckdb:memory:x",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=1 << 31,
+    )
+    assert "hash(q.id)" in opts["dbtable"]
+    inner = opts["dbtable"].rsplit(" AS partitioned_src", 1)[0]
+    seen = []
+    for clause in _spark_stride_clauses(
+        opts["partitionColumn"],
+        int(opts["lowerBound"]),
+        int(opts["upperBound"]),
+        int(opts["numPartitions"]),
+    ):
+        rows = con.execute(
+            f"SELECT id, doc_seq FROM {inner} WHERE {clause}"
+        ).fetchall()
+        seen.extend(rows)
+    assert sorted(r[0] for r in seen) == sorted(
+        f"id{i:05d}" for i in range(100) if i % 10 != 9
+    )  # exactly-once across the stride tiling
+    assert all(0 <= r[1] < (1 << 31) for r in seen)  # mask contract
+    # keys actually spread (a real hash, not a constant)
+    assert len({r[1] for r in seen}) > 50
