@@ -176,6 +176,7 @@ EXTENDED = [
     "stream_minhash_dedup_live",
     # round 11
     "video_cabac_decode",
+    "webp_lossless_decode",
 ]
 
 
@@ -357,6 +358,7 @@ def _codec_throughput() -> dict:
 
     from reindexer_spark import codecs as C
     from reindexer_spark import h264 as H
+    from reindexer_spark import vp8l as VL
 
     def px(n: int, tag: bytes) -> bytes:
         out = bytearray()
@@ -415,6 +417,10 @@ def _codec_throughput() -> dict:
             H.decode_h264_annexb_stream,
         ),
         "webp": (C.encode_webp_fixture(w, h, "vp8x-anim", 3, b"b"), None),
+        "webp-vp8l": (
+            VL.encode_webp_lossless(w, h, rgb),
+            VL.decode_webp_lossless,
+        ),
     }
 
     def mbps(fn, payload: bytes) -> float:

@@ -3617,12 +3617,12 @@ def _sniff(payload: bytes) -> str:
 
 def _decode_image(kind: str, payload: bytes) -> tuple[int, int, bytes]:
     if kind == "webp":
-        # probe-only format (same contract as avc1/hev1 video tracks):
-        # the container/frame-header walk is real, VP8/VP8L entropy
-        # decode is outside the subset → quarantine, never wrong pixels
-        raise MediaFormatError(
-            "WebP VP8/VP8L entropy decode not supported (probe-only)"
-        )
+        # round 11: VP8L (lossless) decodes for real via the vp8l
+        # module; VP8-lossy and extended/animated layouts keep the
+        # probe-only quarantine (never wrong pixels)
+        from reindexer_spark.vp8l import decode_webp_lossless
+
+        return decode_webp_lossless(payload)
     if kind == "bmp":
         return decode_bmp(payload)
     if kind == "ppm":

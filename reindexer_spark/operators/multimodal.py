@@ -2610,3 +2610,124 @@ def video_cabac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "only_first_sync int, containers_agree int, recon_exact int, "
         "markerless_quarantined int",
     )
+
+
+WEBP_DOCS = 24
+
+
+@query(
+    "webp_lossless_decode",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {WEBP_DOCS}
+    ), dims AS (
+      SELECT media_id, dg,
+             4 + CAST(('0x' || substr(dg, 1, 2)) AS INT) % 13 AS w,
+             4 + CAST(('0x' || substr(dg, 3, 2)) AS INT) % 9 AS h
+      FROM base
+    ), chain AS (
+      SELECT media_id, w, h,
+             substr(
+               string_agg(sha256(dg || '-' || i), '' ORDER BY i),
+               1, 2 * w * h * 3
+             ) AS rgbhex
+      FROM dims CROSS JOIN range(18) r(i)  -- 18 = ceil(16*12*3/32) max
+      WHERE i < CEIL(w * h * 3 / 32.0)
+      GROUP BY media_id, w, h, dg
+    )
+    SELECT media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(media_id % 2 AS INT) AS subtract_green,
+           md5(rgbhex) AS rgb_md5,
+           CAST(1 AS INT) AS roundtrip_exact,
+           CAST(1 AS INT) AS lossy_quarantined
+    FROM chain
+    """,
+)
+def webp_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP lossless decode (round-11 VERDICT next #4): per
+    document, derive an RGB image from sha256 hex chains BOTH engines
+    can compute, encode it as a spec-legal VP8L stream
+    (reindexer_spark.vp8l — canonical prefix codes via the code-length
+    code, optional SUBTRACT_GREEN on odd docs), wrap in RIFF/WEBP, and
+    decode the pixels back through the production image path
+    (codecs._decode_image).
+
+    Oracle-pinned columns: ``width``/``height`` — decoded geometry
+    equals the digest arithmetic; ``rgb_md5`` — md5 of the DECODED
+    pixels' hex equals md5 of the oracle's independently-built chain
+    (VP8L is lossless, so decode must return the source bytes);
+    ``roundtrip_exact=1``; ``lossy_quarantined=1`` — a VP8-lossy
+    payload for the same doc still refuses to decode (the probe-only
+    quarantine the VP8L path must NOT loosen).
+
+    Scale shape: mapInPandas, payloads never shuffle — same as every
+    media lane."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < WEBP_DOCS
+    )
+
+    def build_and_decode(batches):
+        import hashlib
+
+        from reindexer_spark.codecs import (
+            MediaFormatError,
+            _decode_image,
+            encode_webp_fixture,
+        )
+        from reindexer_spark.vp8l import encode_webp_lossless
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.doc_id)
+                dg = hashlib.sha256(r.text.encode("utf-8")).hexdigest()
+                w = 4 + int(dg[0:2], 16) % 13
+                h = 4 + int(dg[2:4], 16) % 9
+                n = w * h * 3
+                hexchain = "".join(
+                    hashlib.sha256(f"{dg}-{i}".encode()).hexdigest()
+                    for i in range((n + 31) // 32)
+                )[: 2 * n]
+                rgb = bytes.fromhex(hexchain)
+                payload = encode_webp_lossless(
+                    w, h, rgb, subtract_green=bool(mid % 2)
+                )
+                dw, dh, out = _decode_image("webp", payload)
+                try:
+                    _decode_image(
+                        "webp", encode_webp_fixture(8, 8, "vp8")
+                    )
+                    lossy_q = 0
+                except MediaFormatError:
+                    lossy_q = 1
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": dw,
+                        "height": dh,
+                        "subtract_green": mid % 2,
+                        "rgb_md5": hashlib.md5(
+                            out.hex().encode()
+                        ).hexdigest(),
+                        "roundtrip_exact": int(out == rgb),
+                        "lossy_quarantined": lossy_q,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "subtract_green",
+                    "rgb_md5", "roundtrip_exact", "lossy_quarantined",
+                ],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build_and_decode,
+        "media_id bigint, width int, height int, subtract_green int, "
+        "rgb_md5 string, roundtrip_exact int, lossy_quarantined int",
+    )
