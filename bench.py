@@ -242,7 +242,11 @@ def main() -> int:
             "spark.ui.retainedJobs": "50000",
         },
     )
-    ui_port = int(spark.conf.get("spark.ui.port", "4040"))
+    # the BOUND port, not the configured one: if 4040 is taken by a
+    # concurrent session (the driver benches alongside its own), Spark
+    # auto-increments and the REST poll must follow it
+    ui_url = spark.sparkContext.uiWebUrl or "http://localhost:4040"
+    ui_port = int(ui_url.rsplit(":", 1)[1])
     # Warm up the JVM/codegen/file-listing paths once so per-query numbers
     # measure the queries, not first-action session initialization.
     from reindexer_spark.catalog import TABLES, load_table

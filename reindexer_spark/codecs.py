@@ -1870,8 +1870,33 @@ class _BitReader:
                 raise MediaFormatError("truncated JPEG entropy stream")
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | byte
+        # trim consumed high bits so the accumulator stays a small int
+        # (it previously grew one byte per fill for the whole stream)
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | byte
         self.nbits += 8
+
+    def _fill_soft(self) -> bool:
+        """Like _fill but never raises: returns False at stream end, a
+        marker, or an RST — the PEEK path pads with absent bits and the
+        consuming path re-raises the precise error if those bits are
+        actually needed."""
+        if self.pos >= len(self.data):
+            return False
+        byte = self.data[self.pos]
+        if byte == 0xFF:
+            nxt = (
+                self.data[self.pos + 1]
+                if self.pos + 1 < len(self.data)
+                else None
+            )
+            if nxt != 0x00:
+                return False
+            self.pos += 2
+        else:
+            self.pos += 1
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | byte
+        self.nbits += 8
+        return True
 
     def bit(self) -> int:
         if self.nbits == 0:
@@ -1880,10 +1905,23 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def peek16(self) -> tuple[int, int]:
+        """(next-16-bits window MSB-aligned, bits actually available) —
+        missing bits at the stream edge read as zero and are reported
+        via the second element; nothing is consumed."""
+        while self.nbits < 16 and self._fill_soft():
+            pass
+        if self.nbits >= 16:
+            return (self.acc >> (self.nbits - 16)) & 0xFFFF, 16
+        return (self.acc << (16 - self.nbits)) & 0xFFFF, self.nbits
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
 
     def align_restart(self) -> None:
         """Byte-align and consume one RSTn marker."""
@@ -1899,25 +1937,59 @@ class _BitReader:
             raise MediaFormatError("expected RST marker at restart interval")
 
 
-def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol."""
-    table: dict[tuple[int, int], int] = {}
+class _HuffTable:
+    """JPEG huffman decode table: (length, code)→symbol map plus a
+    9-bit first-level LUT — one peek resolves the overwhelming
+    majority of codes instead of one Python call per bit (the profile
+    had 77k reader.bit() calls per 96×64 image, ~60% of decode)."""
+
+    __slots__ = ("map", "lut")
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.map: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.map[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        self.lut: list[tuple[int, int] | None] = [None] * 512
+        for (length, code), sym in self.map.items():
+            if length <= 9:
+                base = code << (9 - length)
+                for i in range(1 << (9 - length)):
+                    self.lut[base + i] = (sym, length)
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> _HuffTable:
+    return _HuffTable(bits, vals)
+
+
+def _huff_read(reader: _BitReader, table: _HuffTable) -> int:
+    window, avail = reader.peek16()
+    ent = table.lut[window >> 7]
+    if ent is not None and ent[1] <= avail:
+        reader.skip(ent[1])
+        return ent[0]
+    # codes longer than 9 bits, or a stream edge: resolve against the
+    # full window, then consume bit-by-bit so truncation/RST errors
+    # surface at the exact bit as before
+    tmap = table.map
     code = 0
-    k = 0
     for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
-
-
-def _huff_read(reader: _BitReader, table: dict) -> int:
+        code = (code << 1) | ((window >> (16 - length)) & 1)
+        if length > avail:
+            break
+        sym = tmap.get((length, code))
+        if sym is not None:
+            reader.skip(length)
+            return sym
     code = 0
     for length in range(1, 17):
         code = (code << 1) | reader.bit()
-        sym = table.get((length, code))
+        sym = tmap.get((length, code))
         if sym is not None:
             return sym
     raise MediaFormatError("invalid huffman code in JPEG stream")
@@ -3108,25 +3180,35 @@ class GifFrameSampler:
 # --------------------------------------------------------------------------
 
 
+def _crc_tab(poly: int, width: int) -> list[int]:
+    mask = (1 << width) - 1
+    top = 1 << (width - 1)
+    tab = []
+    for b in range(256):
+        c = b << (width - 8)
+        for _ in range(8):
+            c = ((c << 1) ^ poly) & mask if c & top else (c << 1) & mask
+        tab.append(c)
+    return tab
+
+
+_CRC8_TAB = _crc_tab(0x07, 8)
+_CRC16_TAB = _crc_tab(0x8005, 16)
+
+
 def _crc8(data: bytes) -> int:
     crc = 0
+    tab = _CRC8_TAB
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = tab[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
+    tab = _CRC16_TAB
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = (
-                ((crc << 1) ^ 0x8005) & 0xFFFF
-                if crc & 0x8000
-                else (crc << 1) & 0xFFFF
-            )
+        crc = ((crc << 8) & 0xFFFF) ^ tab[(crc >> 8) ^ b]
     return crc
 
 
@@ -3182,12 +3264,30 @@ class _MsbBitReader:
         return v - (1 << n) if v >= (1 << (n - 1)) else v
 
     def unary(self) -> int:
+        """Count leading zeros up to the next 1 bit, scanning the
+        buffered accumulator wholesale instead of one bits(1) call per
+        bit (the round-11 profile's hottest FLAC path)."""
         q = 0
-        while self.bits(1) == 0:
-            q += 1
+        while True:
+            if self.nbits == 0:
+                if self.pos >= len(self.data):
+                    raise MediaFormatError("FLAC bitstream exhausted")
+                self.acc = self.data[self.pos]
+                self.pos += 1
+                self.nbits = 8
+            if self.acc == 0:
+                q += self.nbits
+                self.nbits = 0
+                if q > 1 << 24:
+                    raise MediaFormatError("FLAC unary run out of bounds")
+                continue
+            bl = self.acc.bit_length()
+            q += self.nbits - bl
             if q > 1 << 24:
                 raise MediaFormatError("FLAC unary run out of bounds")
-        return q
+            self.nbits = bl - 1  # consume the zeros and the 1
+            self.acc &= (1 << self.nbits) - 1
+            return q
 
     def align(self) -> None:
         self.nbits = 0
