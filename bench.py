@@ -189,7 +189,7 @@ def _status_totals(ui_port: int) -> dict:
     import urllib.request
 
     base = f"http://localhost:{ui_port}/api/v1"
-    out = {
+    out: dict | None = {
         "run_ms": 0, "cpu_ms": 0, "gc_ms": 0, "tasks": 0, "stages": 0,
         "shuf_write_mrec": 0.0, "shuf_read_mrec": 0.0, "input_mb": 0.0,
     }
@@ -210,7 +210,8 @@ def _status_totals(ui_port: int) -> dict:
             )
         )
     except Exception:
-        return out
+        return None  # poll failed — callers must SKIP the delta, not
+        # book the app's cumulative totals against one query
     out["run_ms"] = sum(s.get("executorRunTime", 0) for s in stages)
     out["cpu_ms"] = sum(s.get("executorCpuTime", 0) for s in stages) // 1_000_000
     out["gc_ms"] = sum(e.get("totalGCTime", 0) for e in execs)
@@ -277,10 +278,16 @@ def main() -> int:
             runs = sorted(run_once(q) for _ in range(reps))
             after = _status_totals(ui_port)
             out[name] = round(runs[len(runs) // 2], 3)
-            stage_metrics[name] = {
-                k: round((after[k] - before[k]) / reps, 3)
-                for k in after
-            } | {"wall_all": [round(r, 3) for r in runs]}
+            if before is None or after is None:
+                stage_metrics[name] = {
+                    "error": "status API unavailable",
+                    "wall_all": [round(r, 3) for r in runs],
+                }
+            else:
+                stage_metrics[name] = {
+                    k: round((after[k] - before[k]) / reps, 3)
+                    for k in after
+                } | {"wall_all": [round(r, 3) for r in runs]}
         return out
 
     timings = median_sweep(HEADLINE)

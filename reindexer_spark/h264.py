@@ -1103,6 +1103,7 @@ def _write_slice_header(
     w: _BitWriter, qp: int, pic_init_qp: int, idr_pic_id: int,
     log2_max_frame_num: int, poc_type: int, log2_max_poc_lsb: int,
     deblock: bool = True, slice_type: str = "I", frame_num: int = 0,
+    cabac: bool = False,
 ) -> None:
     w.ue(0)  # first_mb_in_slice
     # 5/7 = I/P + 5: 'all slices in this picture have this type'
@@ -1121,6 +1122,8 @@ def _write_slice_header(
     else:
         w.u(0, 1)  # no_output_of_prior_pics
         w.u(0, 1)  # long_term_reference_flag
+    if cabac and slice_type != "I":
+        w.ue(0)  # cabac_init_idc (§7.3.3: present in CABAC P slices)
     w.se(qp - pic_init_qp)  # slice_qp_delta
     if deblock:
         w.ue(0)  # disable_deblocking_filter_idc = 0 (filter on)
@@ -1181,6 +1184,9 @@ def _parse_slice_header(
             raise MediaFormatError(
                 "adaptive reference marking outside the subset"
             )
+    if pps.get("entropy_coding_mode") and stype != "I":
+        if r.ue() > 2:  # cabac_init_idc (§7.3.3, CABAC P slices)
+            raise MediaFormatError("invalid cabac_init_idc")
     qp = pps["pic_init_qp"] + r.se()
     if not 0 <= qp <= 51:
         raise MediaFormatError("slice QP out of range")
@@ -1350,19 +1356,17 @@ def _read_chroma_residuals(
     return cdc, cac
 
 
-def _encode_mb(
-    w: _BitWriter, st: _FrameState, mbx: int, mby: int, qp: int,
-    src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
-    mtype_off: int = 0,
-) -> None:
-    """Intra macroblock encode.  ``mtype_off`` shifts the coded
-    mb_type for intra MBs inside P slices (Table 7-13: +5)."""
+def _intra_mode_estimate(
+    st: _FrameState, mbx: int, mby: int, src_y: np.ndarray,
+):
+    """Shared intra-MB mode decision (CAVLC _encode_mb and the CABAC
+    twin drive ONE copy — round-11 review): the best legal Intra_16x16
+    mode by source SAD against closed-loop neighbour predictions, and
+    the I_4x4-vs-I_16x16 choice from the open-loop per-block estimate
+    (I_4x4 costs ~4+ bits/block of mode signalling, so it must win by
+    >20%).  Returns (use_i4, pred_mode, preds, src_blk)."""
     x0, y0 = mbx * 16, mby * 16
-    mark = len(w.bits)
     src_blk = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64)
-    # ---- luma: per-MB mode decision over the LEGAL Intra_16x16 modes
-    # (closed loop: predictions read reconstructed neighbours), best
-    # source SAD wins — DC always legal, V/H/Plane by availability
     legal = [L16_DC]
     if mby > 0:
         legal.append(L16_VERTICAL)
@@ -1375,10 +1379,6 @@ def _encode_mb(
         legal, key=lambda m: int(np.abs(src_blk - preds[m]).sum())
     )
     i16_sad = int(np.abs(src_blk - preds[pred_mode]).sum())
-    # ---- I_16x16 vs I_4x4 decision: estimate the per-block best SAD
-    # with SOURCE neighbours (the standard open-loop approximation —
-    # the real encode below is closed-loop); I_4x4 costs ~4+ bits per
-    # block of mode signalling, so it must win by a margin
     i4_est = 0
     for blk in range(16):
         bx, by = _LUMA_BLK_XY[blk]
@@ -1394,7 +1394,22 @@ def _encode_mb(
                                        avail_l, avail_t)).sum())
             for m in _i4_legal_modes(avail_l, avail_t)
         )
-    if i4_est * 5 < i16_sad * 4:  # >20% SAD win pays the mode bits
+    return i4_est * 5 < i16_sad * 4, pred_mode, preds, src_blk
+
+
+def _encode_mb(
+    w: _BitWriter, st: _FrameState, mbx: int, mby: int, qp: int,
+    src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
+    mtype_off: int = 0,
+) -> None:
+    """Intra macroblock encode.  ``mtype_off`` shifts the coded
+    mb_type for intra MBs inside P slices (Table 7-13: +5)."""
+    x0, y0 = mbx * 16, mby * 16
+    mark = len(w.bits)
+    use_i4, pred_mode, preds, src_blk = _intra_mode_estimate(
+        st, mbx, mby, src_y
+    )
+    if use_i4:
         _encode_i4_mb(w, st, mbx, mby, qp, src_y, src_u, src_v, mtype_off)
         if len(w.bits) - mark > _PCM_BITS:
             _rollback_to_pcm(
@@ -1562,6 +1577,7 @@ def encode_frame_nal(
 def decode_frame_nal(
     nal: bytes, sps: dict, pps: dict,
     ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+    cabac_ok: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Slice NAL → reconstructed (Y, U, V) planes (coded size; caller
     crops).  IDR slices decode standalone; P slices require ``ref`` —
@@ -1573,6 +1589,16 @@ def decode_frame_nal(
     if nal_type not in (1, 5):
         raise MediaFormatError(f"unexpected NAL type {nal_type} for slice")
     if pps.get("entropy_coding_mode"):
+        if not cabac_ok:
+            # the gate is UNSKIPPABLE here, not only at the container
+            # walks: a caller must positively assert it saw the
+            # h264_cabac provenance marker before any CABAC slice
+            # decodes (init-table fidelity is not claimed for external
+            # streams — h264_cabac docstring)
+            raise MediaFormatError(
+                "CABAC slice without the h264_cabac provenance marker: "
+                "decode quarantined"
+            )
         from reindexer_spark.h264_cabac import decode_frame_nal_cabac
 
         return decode_frame_nal_cabac(nal, sps, pps, ref=ref)
@@ -1748,15 +1774,11 @@ def decode_avcc_samples(
                     marker_seen = True
                 continue  # SEI / AUD
             elif t in (1, 5):
-                if pps.get("entropy_coding_mode") and not marker_seen:
-                    raise MediaFormatError(
-                        "CABAC stream without the h264_cabac provenance "
-                        "marker: init-table fidelity unverified, decode "
-                        "quarantined"
-                    )
                 if frame is not None:
                     raise MediaFormatError("multi-slice sample unsupported")
-                y, u, v = decode_frame_nal(nal, sps, pps, ref=ref)
+                y, u, v = decode_frame_nal(
+                    nal, sps, pps, ref=ref, cabac_ok=marker_seen
+                )
                 ref = (y, u, v)
                 ct, cl = sps["crop_t"], sps["crop_l"]
                 frame = yuv420_to_rgb(
@@ -1925,12 +1947,9 @@ def decode_h264_annexb_stream(data: bytes) -> tuple[int, int, list[bytes]]:
         elif t in (1, 5):
             if sps is None or pps is None:
                 raise MediaFormatError("slice before SPS/PPS in stream")
-            if pps.get("entropy_coding_mode") and not marker_seen:
-                raise MediaFormatError(
-                    "CABAC stream without the h264_cabac provenance "
-                    "marker: decode quarantined"
-                )
-            y, u, v = decode_frame_nal(nal, sps, pps, ref=ref)
+            y, u, v = decode_frame_nal(
+                nal, sps, pps, ref=ref, cabac_ok=marker_seen
+            )
             ref = (y, u, v)
             ct, cl = sps["crop_t"], sps["crop_l"]
             frames.append(
@@ -3178,12 +3197,9 @@ def decode_h264_stream(
             if is_cabac_marker(nal):
                 marker_seen = True
             continue
-        if pps.get("entropy_coding_mode") and not marker_seen:
-            raise MediaFormatError(
-                "CABAC stream without the h264_cabac provenance marker: "
-                "decode quarantined"
-            )
-        planes = decode_frame_nal(nal, sps, pps, ref=ref)
+        planes = decode_frame_nal(
+            nal, sps, pps, ref=ref, cabac_ok=marker_seen
+        )
         ref = planes
         y, u, v = planes
         frames.append(

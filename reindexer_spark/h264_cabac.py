@@ -54,10 +54,6 @@ from reindexer_spark.codecs import (
 )
 from reindexer_spark.h264 import (
     DEFAULT_QP,
-    L16_DC,
-    L16_HORIZONTAL,
-    L16_PLANE,
-    L16_VERTICAL,
     _BitReader,
     _BitWriter,
     _CHROMA_BLK_XY,
@@ -69,20 +65,18 @@ from reindexer_spark.h264 import (
     _encode_chroma,
     _fetch_i4_neighbours,
     _i4_legal_modes,
-    _inter_luma_quant,
+    _intra_mode_estimate,
     _mc_mb_pred,
     _p_mb_decide,
     _pad_plane,
     _parse_slice_header,
     _pred_i4,
-    _pred_luma16,
     _pred_mv,
     _recon_chroma_blocks,
     _recon_inter_luma,
     _recon_p_skip,
     _reconstruct_chroma,
     _reconstruct_mb,
-    _skip_mv,
     _store_part_mv,
     _unzigzag,
     _write_slice_header,
@@ -904,36 +898,10 @@ def _encode_mb_i_cabac(
     prediction/transform math mirror h264._encode_mb / _encode_i4_mb
     (no I_PCM escape: CABAC has no CAVLC worst-case blowup to guard,
     a pathological MB just spends bins)."""
-    x0, y0 = mbx * 16, mby * 16
-    src_blk = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64)
-    legal = [L16_DC]
-    if mby > 0:
-        legal.append(L16_VERTICAL)
-    if mbx > 0:
-        legal.append(L16_HORIZONTAL)
-    if mbx > 0 and mby > 0:
-        legal.append(L16_PLANE)
-    preds = {m: _pred_luma16(m, st.y, mbx, mby) for m in legal}
-    pred_mode = min(
-        legal, key=lambda m: int(np.abs(src_blk - preds[m]).sum())
+    use_i4, pred_mode, preds, src_blk = _intra_mode_estimate(
+        st, mbx, mby, src_y
     )
-    i16_sad = int(np.abs(src_blk - preds[pred_mode]).sum())
-    i4_est = 0
-    for blk in range(16):
-        bx, by = _LUMA_BLK_XY[blk]
-        abx, aby = mbx * 4 + bx, mby * 4 + by
-        left, top, corner, avail_l, avail_t = _fetch_i4_neighbours(
-            src_y, abx, aby
-        )
-        sblk = src_y[aby * 4 : aby * 4 + 4, abx * 4 : abx * 4 + 4].astype(
-            np.int64
-        )
-        i4_est += min(
-            int(np.abs(sblk - _pred_i4(m, left, top, corner,
-                                       avail_l, avail_t)).sum())
-            for m in _i4_legal_modes(avail_l, avail_t)
-        )
-    if i4_est * 5 < i16_sad * 4:
+    if use_i4:
         _encode_mb_i4_cabac(
             io, st, cst, mbx, mby, qp, src_y, src_u, src_v, in_p
         )
@@ -1313,7 +1281,7 @@ def _encode_slice_cabac(
     _write_slice_header(
         w, qp, DEFAULT_QP, idr_pic_id, log2_max_frame_num=4, poc_type=0,
         log2_max_poc_lsb=4, deblock=deblock, slice_type=stype,
-        frame_num=frame_num,
+        frame_num=frame_num, cabac=True,
     )
     while len(w.bits) & 7:
         w.bits.append(1)  # cabac_alignment_one_bit

@@ -314,10 +314,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )  # (n, 64)
         out = []
         for pm in pmats:  # pm: (nbits, 64)
-            prods = em[:, None, :] * pm[None, :, :]  # (n, nbits, 64)
-            acc = prods[:, :, 0].copy()
-            for k in range(1, em.shape[1]):  # sequential over dims
-                acc += prods[:, :, k]
+            # per-dim outer products accumulated sequentially: same
+            # IEEE mul-then-add order as the (n, nbits, 64) tensor
+            # form, at O(n·nbits) peak memory instead of 64× that
+            acc = em[:, None, 0] * pm[None, :, 0]  # (n, nbits)
+            for k in range(1, em.shape[1]):
+                acc += em[:, None, k] * pm[None, :, k]
             out.append(((acc >= 0).astype(np.int64) * weights).sum(axis=1))
         b = np.stack(out, axis=1).astype(np.int32)  # (n, DEDUP_N_BANDS)
         return pd.Series(list(b))

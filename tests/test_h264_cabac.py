@@ -192,7 +192,8 @@ def test_cabac_ippp_closed_loop_noise():
     ref = None
     outs = []
     for nal in nals[1:]:
-        y, u, v = decode_frame_nal(nal, sps, pps, ref=ref)
+        # direct decode_frame_nal callers must assert marker provenance
+        y, u, v = decode_frame_nal(nal, sps, pps, ref=ref, cabac_ok=True)
         ref = (y, u, v)
         ct, cl = sps["crop_t"], sps["crop_l"]
         outs.append(
@@ -246,7 +247,7 @@ def test_cabac_covers_i4_and_sub_partitions(monkeypatch):
     pps = parse_pps(pps_nal, allow_cabac=True)
     ref = None
     for nal in nals[1:]:
-        ref = decode_frame_nal(nal, sps, pps, ref=ref)
+        ref = decode_frame_nal(nal, sps, pps, ref=ref, cabac_ok=True)
     hc._CABAC_IPPP_CACHE.clear()
 
 
