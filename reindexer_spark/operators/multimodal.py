@@ -160,6 +160,12 @@ def _synth_media(d: DataFrame) -> DataFrame:
     schema = (
         "media_id bigint, kind string, payload binary, meta map<string,string>"
     )
+    # spread the synthesis across tasks BEFORE payloads exist: the
+    # single-file documents scan is one partition, which serialized
+    # every encode-heavy media lane through one core (round 11); the
+    # shuffle moves only (doc_id, text) rows, so the 'payloads never
+    # shuffle' contract holds
+    d = d.repartition(F.col("doc_id"))
 
     def build(batches):
         import hashlib
@@ -1102,8 +1108,15 @@ def _audio_dedup_core(media: DataFrame) -> DataFrame:
                     out.append({"media_id": r.media_id, "word": word})
             yield pd.DataFrame(out, columns=["media_id", "word"])
 
-    words = both.select("media_id", "payload").mapInPandas(
-        fingerprint, "media_id bigint, word bigint"
+    # materialize the (media_id, word) relation once: the DF-cap agg,
+    # the anti-join, the sizes agg and BOTH pair-join sides consume it,
+    # and without the persist each branch re-ran synthesis + the FLAC
+    # transcode + fingerprint end to end (round 11: the lane's wall was
+    # 4-6 recomputes, not the audio math)
+    words = track(
+        both.select("media_id", "payload").mapInPandas(
+            fingerprint, "media_id bigint, word bigint"
+        )
     )
     hot = (
         words.groupBy("word")
@@ -1160,10 +1173,18 @@ def audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ({AUDIO_FP_DF_CAP}) so viral/boilerplate audio (jingles, silence)
     cannot blow up the candidate join; verification is a pair-count
     aggregation, no re-decode."""
+    # pre-select the AUDIO documents before synthesis (the kind
+    # rotation is doc_id arithmetic): synthesizing all 200 rows built
+    # every expensive video fixture only to filter it away (round 11)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200)
+        & (F.col("doc_id") % 3 == 2)
+        & (F.col("doc_id") % 12 != 2)
+    )
     return _audio_dedup_core(
-        _synth_media(
-            load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-        ).filter(F.col("kind").isin("audio-wav", "audio-flac"))
+        _synth_media(docs).filter(
+            F.col("kind").isin("audio-wav", "audio-flac")
+        )
     )
 
 
@@ -1552,6 +1573,12 @@ def _synth_webp(d: DataFrame) -> DataFrame:
     schema = (
         "media_id bigint, kind string, payload binary, meta map<string,string>"
     )
+    # spread the synthesis across tasks BEFORE payloads exist: the
+    # single-file documents scan is one partition, which serialized
+    # every encode-heavy media lane through one core (round 11); the
+    # shuffle moves only (doc_id, text) rows, so the 'payloads never
+    # shuffle' contract holds
+    d = d.repartition(F.col("doc_id"))
 
     def build(batches):
         import hashlib
@@ -2145,7 +2172,7 @@ def video_intra_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return docs.select("doc_id", "text").repartition(INTRA_DOCS).mapInPandas(
         build_and_decode,
         "media_id bigint, container string, width int, height int, "
         "n_frames int, frame_bytes bigint, decodable int, "
@@ -2436,7 +2463,10 @@ def video_inter_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    # each row is seconds of encoder CPU: spread the bounded fixture
+    # set across tasks (the single-file documents scan is 1 partition,
+    # which serialized the whole lane through one core — round 11)
+    return docs.select("doc_id", "text").repartition(INTER_DOCS).mapInPandas(
         build_and_decode,
         "media_id bigint, container string, width int, height int, "
         "n_frames int, frame_bytes bigint, decodable int, "
@@ -2603,7 +2633,7 @@ def video_cabac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return docs.select("doc_id", "text").repartition(CABAC_DOCS).mapInPandas(
         build_and_decode,
         "media_id bigint, container string, width int, height int, "
         "n_frames int, decodable int, profile_idc int, "
@@ -2726,7 +2756,7 @@ def webp_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return docs.select("doc_id", "text").repartition(WEBP_DOCS).mapInPandas(
         build_and_decode,
         "media_id bigint, width int, height int, subtract_green int, "
         "rgb_md5 string, roundtrip_exact int, lossy_quarantined int",
