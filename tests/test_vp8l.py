@@ -42,14 +42,35 @@ def test_roundtrip_plain_and_subtract_green():
             assert (dw, dh, out) == (w, h, rgb)
 
 
-def test_dist_map_shape_and_published_fragment():
-    assert len(_DIST_MAP) == 120
+# libwebp's plane_to_code_lut (public domain table, lossless decoder):
+# 8 rows x 16 columns; entry v at (row, col) means distance code v+1
+# maps to the 2D offset (x = 8 - col, y = row); 255 = unused slot.
+_PLANE_TO_CODE_LUT = [
+    96,  73,  55,  39,  23,  13,   5,   1, 255, 255, 255, 255, 255, 255, 255, 255,  # noqa: E501
+    101, 78,  58,  42,  26,  16,   8,   2,   0,   3,   9,  17,  27,  43,  59,  79,  # noqa: E501
+    102, 86,  62,  46,  32,  20,  10,   6,   4,   7,  11,  21,  33,  47,  63,  87,  # noqa: E501
+    105, 90,  70,  52,  37,  28,  18,  14,  12,  15,  19,  29,  38,  53,  71,  91,  # noqa: E501
+    110, 99,  82,  66,  48,  35,  30,  24,  22,  25,  31,  36,  49,  67,  83, 100,  # noqa: E501
+    115, 108, 94,  76,  64,  50,  44,  40,  34,  41,  45,  51,  65,  77,  95, 109,  # noqa: E501
+    118, 113, 103, 92,  80,  68,  60,  56,  54,  57,  61,  69,  81,  93, 104, 114,  # noqa: E501
+    119, 116, 111, 106, 97,  88,  84,  74,  72,  75,  85,  89,  98, 107, 112, 117,  # noqa: E501
+]
+
+
+def test_dist_map_matches_libwebp_lut_all_120_entries():
+    """Pin EVERY entry against the published plane_to_code_lut — a
+    prefix pin missed the round-11 bug where codes 97-120 were wrong
+    (domain was y<=8 / |x|<=8 instead of y<=7 / x in [-7,8])."""
+    real = {}
+    for i, v in enumerate(_PLANE_TO_CODE_LUT):
+        if v == 255:
+            continue
+        y, col = divmod(i, 16)
+        real[v] = (8 - col, y)
+    assert len(real) == 120
+    assert _DIST_MAP == [real[i] for i in range(120)]
     assert len(set(_DIST_MAP)) == 120
     assert all(y >= 0 and (y > 0 or x > 0) for x, y in _DIST_MAP)
-    assert _DIST_MAP[:14] == [
-        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2),
-        (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0),
-    ]
     # d² never decreases along the table
     d2 = [x * x + y * y for x, y in _DIST_MAP]
     assert d2 == sorted(d2)
@@ -328,6 +349,41 @@ def test_directed_lz77_2d_distance():
     assert (dw, dh) == (2, 2)
     row0 = bytes([7, 40, 9, 7, 50, 9])
     assert rgb == row0 + row0  # row 1 copied from one row above
+
+
+def test_directed_lz77_2d_distance_code_97():
+    """9×1: eight literals then a length-1 copy with 2D distance value
+    97 → (8, 0) → dist 8, copying pixel 0.  Code 97 sits in the
+    97-120 block the round-11 map generated WRONG ((0, 8), which here
+    would be dist 72 → out-of-range error) — a directed decode through
+    the fixed region, not just a table pin."""
+    w = _LsbWriter()
+    _header(w, 9, 1)
+    w.bits(0, 1)  # no transform
+    w.bits(0, 1)  # no cache
+    w.bits(0, 1)  # no meta
+    lengths_g = [0] * 280
+    for g in range(1, 9):  # eight literal greens 1..8
+        lengths_g[g] = 4
+    lengths_g[256] = 4     # length code 0 → value 1
+    _emit_full_code(w, lengths_g)
+    _write_single_symbol(w, 5)    # red
+    _write_single_symbol(w, 6)    # blue
+    _write_single_symbol(w, 255)  # alpha
+    # distance code 13: extra=5, offset=(2+1)<<5=96 → value 96+rb+1;
+    # rb=0 → dist_val 97 → _DIST_MAP[96] = (8, 0) → dist 8
+    _write_single_symbol(w, 13)
+    cm = _canon(lengths_g)
+    for g in range(1, 9):
+        code, ln = cm[g]
+        w.code(code, ln)
+    code, ln = cm[256]
+    w.code(code, ln)  # length 1
+    w.bits(0, 5)      # distance extra bits → dist_val 97
+    dw, dh, rgb = decode_vp8l(_finish(w))
+    assert (dw, dh) == (9, 1)
+    expect = b"".join(bytes([5, g, 6]) for g in range(1, 9))
+    assert rgb == expect + bytes([5, 1, 6])  # last px copies px 0
 
 
 def test_directed_meta_prefix_groups():
