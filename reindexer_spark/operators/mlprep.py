@@ -10,6 +10,8 @@ order on both engines (Spark ``aggregate`` fold ≡ DuckDB
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -542,18 +544,42 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SemDeDup: cluster-then-prune semantic deduplication --------------
 
-SEMDEDUP_K = 8
+SEMDEDUP_TARGET_CLUSTER = 64
+SEMDEDUP_MIN_K = 8
 SEMDEDUP_TAU = 0.35
+
+# The oracle's mirror of semdedup_k(): pure integer arithmetic on
+# COUNT(*), same recipe as similarity._NBITS_SQL.
+_SEMDEDUP_K_SQL = (
+    f"GREATEST({SEMDEDUP_MIN_K},"
+    f" (n + {SEMDEDUP_TARGET_CLUSTER - 1}) // {SEMDEDUP_TARGET_CLUSTER})"
+)
+
+
+def semdedup_k(n: int) -> int:
+    """Adaptive cluster count: K = max(MIN_K, ceil(n / TARGET)) so the
+    mean cluster size stays ≤ SEMDEDUP_TARGET_CLUSTER and the
+    within-cluster pairwise stage stays ~n·TARGET/2 pairs — linear in
+    the corpus, where the round-11 fixed K=8 made it O(n²/8) (measured
+    wall ×19.2 at 10× in SCALE_PROOF).  Pure integer comparisons; the
+    oracle computes the identical value from COUNT(*) (_SEMDEDUP_K_SQL)."""
+    return max(
+        SEMDEDUP_MIN_K,
+        (n + SEMDEDUP_TARGET_CLUSTER - 1) // SEMDEDUP_TARGET_CLUSTER,
+    )
 
 
 @query(
     "embed_semdedup",
     oracle=f"""
-    WITH e AS (
+    WITH kk AS MATERIALIZED (
+      SELECT {_SEMDEDUP_K_SQL} AS k
+      FROM (SELECT COUNT(*) AS n FROM embeddings)
+    ), e AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
-    ), seeds AS (
+    ), seeds AS MATERIALIZED (
       SELECT vec_id AS cluster_id, emb AS centroid
-      FROM e WHERE vec_id < {SEMDEDUP_K}
+      FROM e, kk WHERE vec_id < kk.k
     ), assigned AS (
       SELECT vec_id, emb, cluster_id FROM (
         SELECT e.vec_id, e.emb, s.cluster_id,
@@ -598,28 +624,64 @@ def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves as embed_kmeans_lloyd (assignment) and dedup_embedding_lsh
     (cosine verify).
 
-    Scale shape: the K seed centroids broadcast, so assignment is a
-    map-side constant fan-out with a vec_id-partitioned argmax window
-    (uniform keys, K rows each) — the corpus is shuffled once, by
-    cluster_id, for the within-cluster self-join.  The pairwise stage
-    is quadratic ONLY within a cluster: that is SemDeDup's actual
-    design contract (K grows with the corpus so E[|cluster|²] stays
-    bounded — the paper runs K=50k over 5 B embeddings, ~100k-vector
-    clusters sharded exactly like this).  Skewed clusters are the real
-    risk at 100 TB; the emitted n_cluster column is the skew audit.
+    Scale shape: K adapts to the corpus (semdedup_k: ceil(n/64), the
+    paper's own contract — it runs K=50k over 5 B embeddings so
+    E[|cluster|²] stays bounded), which keeps the within-cluster
+    pairwise stage at ~n·64/2 pairs — linear.  The K seed centroids
+    (lowest vec_ids, deterministic) ride into an Arrow pandas UDF as a
+    broadcast (K×64) matrix, so assignment is map-side with ZERO
+    shuffle — the round-11 crossJoin+window form shuffled n·K rows,
+    which with adaptive K would have been quadratic.  The corpus then
+    shuffles ONCE, by cluster_id, for the within-cluster self-join.
+    Beyond ~1M clusters the seed matrix outgrows a task broadcast and
+    assignment would shard hierarchically (coarse quantize, then
+    refine); the emitted n_cluster column is the skew audit either way.
 
-    Determinism: dots fold in array order on both engines, the cosine
-    is FLOOR-quantized once before MAX, assignment ties break to the
-    lower cluster_id, and the keep rule ("survives unless an EARLIER
-    vector is within τ") makes the kept set a pure function of vec_id
-    order — no RNG, fully oracle-checkable."""
+    Determinism: the UDF accumulates each dot SEQUENTIALLY per
+    dimension in float64 — the same IEEE mul-then-add order as DuckDB's
+    list_dot_product (the dedup_embedding_lsh contract; never np.dot /
+    BLAS) — the dot is FLOOR-quantized before the argmax, ties break to
+    the lower cluster_id (np.argmax first-max + ascending cid order),
+    the cosine is FLOOR-quantized once before MAX, and the keep rule
+    ("survives unless an EARLIER vector is within τ") makes the kept
+    set a pure function of vec_id order — no RNG, fully
+    oracle-checkable."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seeds = e.filter(F.col("vec_id") < SEMDEDUP_K).select(
-        F.col("vec_id").alias("cluster_id"),
-        F.transform("embedding", lambda v: v.cast("double")).alias("centroid"),
+    # One scalar count → K (the B9 max-key-probe pattern), then a
+    # bounded K-row collect of the seed set — the same data volume the
+    # old plan broadcast to every task via crossJoin(broadcast(seeds)).
+    k = semdedup_k(e.count())
+    seed_rows = (
+        e.filter(F.col("vec_id") < k)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda v: v.cast("double")).alias("c"),
+        )
+        .collect()
     )
-    assigned = _kmeans_assign(e, seeds).select(
-        "vec_id", "embedding", "cluster_id"
+    seed_rows.sort(key=lambda r: r.vec_id)
+    cents = np.asarray([r.c for r in seed_rows], dtype=np.float64)  # (K, 64)
+    cids = np.asarray([r.vec_id for r in seed_rows], dtype=np.int64)
+
+    @F.pandas_udf("bigint")
+    def _assign(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int64")
+        em = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in emb]
+        )  # (n, 64)
+        # sequential per-dim accumulation: same IEEE op order as
+        # DuckDB's list_dot_product (see docstring)
+        acc = em[:, None, 0] * cents[None, :, 0]  # (n, K)
+        for d in range(1, em.shape[1]):
+            acc += em[:, None, d] * cents[None, :, d]
+        q = np.floor(acc * 1e6)
+        # first max = lowest cluster_id (cids ascend), matching the
+        # oracle's ORDER BY q DESC, cluster_id
+        return pd.Series(cids[np.argmax(q, axis=1)])
+
+    assigned = e.select(
+        "vec_id", "embedding", _assign("embedding").alias("cluster_id")
     )
     normed = assigned.withColumn(
         "nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))

@@ -87,11 +87,12 @@ ANN_QUERIES = (
     "dedup_embedding_lsh",
     # iterative-algorithm leg: Lloyd k-means broadcast-assign/recompute
     "embed_kmeans_lloyd",
-    # semantic-dedup leg: broadcast-assign then within-cluster pairwise
-    # — quadratic ONLY inside a cluster (SemDeDup's contract); at a
-    # fixed K the 10× corpus grows cluster sizes 10×, so pair volume
-    # (shuffle records) growing ~100× here is the EXPECTED shape and
-    # the reason production scales K with the corpus.
+    # semantic-dedup leg: map-side broadcast-matrix assign then
+    # within-cluster pairwise — quadratic ONLY inside a cluster
+    # (SemDeDup's contract), and since round 12 K = ceil(n/64) grows
+    # with the corpus (semdedup_k), so cluster sizes — and pair volume
+    # per vector — stay bounded: wall and shuffle should grow ~linearly
+    # here (the round-11 fixed K=8 measured wall ×19.2 at 10×).
     "embed_semdedup",
     # quantized-ANN legs: codes and integer distance tables move, never
     # floats; candidate volume is nprobe/K (IVF) or the corpus code
@@ -463,8 +464,21 @@ def run_proof() -> dict:
         f"salted_join: {json.dumps(result['salted_join'])}", file=sys.stderr
     )
 
-    # ANN leg: clustered embeddings at 2k and 20k vectors — the LSH
-    # bucketed kNN / embedding near-dup scale path.
+    ann_q, ann_n = ann_leg(spark, ui_port)
+    result["queries"].update(ann_q)
+    result["n_vecs"] = ann_n
+
+    # Hot-bucket guard leg (round-9 VERDICT wrong #1 / next #1).
+    result["boilerplate"] = boilerplate_leg(spark, ui_port)
+    return result
+
+
+def ann_leg(spark, ui_port: int) -> tuple[dict, dict]:
+    """ANN leg: clustered embeddings at 2k and 20k vectors — the LSH
+    bucketed kNN / embedding near-dup scale path."""
+    from reindexer_spark import get_query
+
+    queries: dict = {}
     ann_corpora = []
     for label, n in (("emb-2k", N_VECS // 10), ("emb-20k", N_VECS)):
         out_dir = os.path.join(REPO, "scaledata", label)
@@ -472,7 +486,7 @@ def run_proof() -> dict:
             print(f"generating {n} vectors at {out_dir}", file=sys.stderr)
             generate_embeddings(spark, out_dir, n)
         ann_corpora.append((label, out_dir))
-    result["n_vecs"] = {"emb-2k": N_VECS // 10, "emb-20k": N_VECS}
+    n_vecs = {"emb-2k": N_VECS // 10, "emb-20k": N_VECS}
     for name in ANN_QUERIES:
         q = get_query(name)
         per_scale = {}
@@ -503,12 +517,9 @@ def run_proof() -> dict:
                 else None
             ),
         }
-        result["queries"][name] = per_scale
+        queries[name] = per_scale
         print(f"{name}: {json.dumps(per_scale)}", file=sys.stderr)
-
-    # Hot-bucket guard leg (round-9 VERDICT wrong #1 / next #1).
-    result["boilerplate"] = boilerplate_leg(spark, ui_port)
-    return result
+    return queries, n_vecs
 
 
 _ZIPF_K = 1000  # key = floor(K/(1+u)): ~2*sqrt(K) distinct keys, hottest ~50%
@@ -775,8 +786,8 @@ def boilerplate_leg(spark, ui_port: int) -> dict:
 
 
 def main() -> int:
-    if len(sys.argv) > 1 and sys.argv[1] == "boiler":
-        # merge-only mode: refresh JUST the boilerplate leg
+    if len(sys.argv) > 1 and sys.argv[1] in ("boiler", "ann"):
+        # merge-only modes: refresh JUST the named leg
         from reindexer_spark import get_spark
 
         spark = get_spark(
@@ -794,10 +805,17 @@ def main() -> int:
                 result = json.load(fh)
         except (OSError, json.JSONDecodeError):
             result = {}
-        result["boilerplate"] = boilerplate_leg(spark, ui_port)
+        if sys.argv[1] == "boiler":
+            result["boilerplate"] = boilerplate_leg(spark, ui_port)
+            fresh = result["boilerplate"]
+        else:
+            ann_q, ann_n = ann_leg(spark, ui_port)
+            result.setdefault("queries", {}).update(ann_q)
+            result["n_vecs"] = ann_n
+            fresh = ann_q
         with open(out, "w") as fh:
             json.dump(result, fh, indent=1)
-        print(json.dumps(result["boilerplate"]))
+        print(json.dumps(fresh))
         return 0
     result = run_proof()
     out = os.path.join(REPO, "SCALE_PROOF.json")

@@ -143,13 +143,10 @@ def test_dedup_nbits_width_rule():
             assert n / (1 << (b - 1)) > DEDUP_TARGET_BUCKET
 
 
-def test_dedup_embedding_lsh_adaptive_width_matches_oracle(
-    spark, sf_dir, tmp_path
-):
-    """Past TARGET·2^8 vectors the bucket key widens (nbits=9 here); the
-    widened path must stay hash-identical to the DuckDB oracle — i.e.
-    the SQL's CASE-gated plane sums agree with the driver-side integer
-    width and the broadcast plane relation."""
+def _wide_embeddings_dir(sf_dir, tmp_path, n: int) -> str:
+    """A copy of sf_dir whose embeddings table is replaced by n
+    synthetic vectors (with planted near-dups) — big enough to push the
+    adaptive-width / adaptive-K rules past their floor values."""
     import os
     import shutil
 
@@ -157,14 +154,6 @@ def test_dedup_embedding_lsh_adaptive_width_matches_oracle(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from reindexer_spark.operators.similarity import (
-        DEDUP_TARGET_BUCKET,
-        dedup_nbits,
-    )
-    from reindexer_spark.oracle import compare_query
-
-    n = DEDUP_TARGET_BUCKET * 256 + 52  # 2100 → nbits 9
-    assert dedup_nbits(n) == 9
     d = tmp_path / "sfwide"
     d.mkdir()
     for f in os.listdir(sf_dir):
@@ -185,4 +174,62 @@ def test_dedup_embedding_lsh_adaptive_width_matches_oracle(
         }
     )
     pq.write_table(tbl, d / "embeddings.parquet")
-    assert compare_query(spark, "dedup_embedding_lsh", str(d)) == []
+    return str(d)
+
+
+def test_dedup_embedding_lsh_adaptive_width_matches_oracle(
+    spark, sf_dir, tmp_path
+):
+    """Past TARGET·2^8 vectors the bucket key widens (nbits=9 here); the
+    widened path must stay hash-identical to the DuckDB oracle — i.e.
+    the SQL's CASE-gated plane sums agree with the driver-side integer
+    width and the broadcast plane relation."""
+    from reindexer_spark.operators.similarity import (
+        DEDUP_TARGET_BUCKET,
+        dedup_nbits,
+    )
+    from reindexer_spark.oracle import compare_query
+
+    n = DEDUP_TARGET_BUCKET * 256 + 52  # 2100 → nbits 9
+    assert dedup_nbits(n) == 9
+    d = _wide_embeddings_dir(sf_dir, tmp_path, n)
+    assert compare_query(spark, "dedup_embedding_lsh", d) == []
+
+
+def test_semdedup_k_rule():
+    """The adaptive cluster-count rule: K = max(8, ceil(n/TARGET)),
+    integer arithmetic only (the oracle's _SEMDEDUP_K_SQL mirrors it
+    on COUNT(*))."""
+    from reindexer_spark.operators.mlprep import (
+        SEMDEDUP_MIN_K,
+        SEMDEDUP_TARGET_CLUSTER,
+        semdedup_k,
+    )
+
+    t = SEMDEDUP_TARGET_CLUSTER
+    assert semdedup_k(0) == SEMDEDUP_MIN_K
+    assert semdedup_k(500) == SEMDEDUP_MIN_K  # sf0.001/0.01 stay K=8
+    assert semdedup_k(SEMDEDUP_MIN_K * t) == SEMDEDUP_MIN_K
+    assert semdedup_k(SEMDEDUP_MIN_K * t + 1) == SEMDEDUP_MIN_K + 1
+    assert semdedup_k(2000) == 32  # sf0.1 widened path
+    for n in (1000, 2100, 20_000, 10**6):
+        k = semdedup_k(n)
+        # mean cluster size bounded by TARGET (K never undershoots)
+        assert n / k <= t
+        # minimality above the floor: one fewer cluster would overshoot
+        if k > SEMDEDUP_MIN_K:
+            assert n / (k - 1) > t
+
+
+def test_embed_semdedup_adaptive_k_matches_oracle(spark, sf_dir, tmp_path):
+    """Past MIN_K·TARGET vectors the cluster count grows (K=33 at
+    n=2100); the widened assignment path — map-side pandas-UDF argmax
+    over the broadcast seed matrix — must stay hash-identical to the
+    DuckDB oracle's crossJoin + ROW_NUMBER form."""
+    from reindexer_spark.operators.mlprep import semdedup_k
+    from reindexer_spark.oracle import compare_query
+
+    n = 2100
+    assert semdedup_k(n) == 33
+    d = _wide_embeddings_dir(sf_dir, tmp_path, n)
+    assert compare_query(spark, "embed_semdedup", d) == []
