@@ -120,3 +120,24 @@ def test_grouped_star_reduces_to_plain_star_without_sigs(spark):
         )
     )
     assert plain == via_const_sig == {(2, 4), (2, 5), (2, 9)}
+
+
+def test_plain_star_is_candidate_level_only(spark):
+    """The dedup_minhash recall contract (round-11 review, VERDICT r11
+    wrong #3): with empty sig_cols a >cap bucket emits ONLY (rep,
+    member) candidates — the member-member pair (m1, m2) is absent by
+    design.  A downstream EXACT verifier (dedup_minhash's true-Jaccard
+    ≥ 0.5) can therefore reject both rep links and lose a true (m1,
+    m2) pair, fragmenting the cluster.  This is the deliberate trade
+    documented in dedup.dedup_minhash's docstring: grouping by the
+    full sketch instead would re-expand a boilerplate bucket of
+    near-identical pages (distinct sketches) to ~k²/2 rep pairs,
+    undoing the guard where it matters.  This test locks the candidate
+    shape in so the documented behavior can't drift silently."""
+    members = [11, 12, 13, 14, 15]
+    b = _bands(spark, {1: members})
+    got = _pairs(banded_pairs(b, ("band_id", "band_val"), "doc_id", cap=3))
+    assert got == {(11, 12), (11, 13), (11, 14), (11, 15)}
+    # every member-member candidate is absent — connectivity exists at
+    # the CANDIDATE level only, through the min-id representative
+    assert not any(a != 11 for a, _ in got)
