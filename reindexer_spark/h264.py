@@ -1741,8 +1741,9 @@ def decode_avcc_samples(
     skip (the h264_cabac provenance SEI is recognised); anything
     outside the subset raises MediaFormatError.  CABAC slices decode
     ONLY after the provenance marker (module h264_cabac's honesty
-    boundary) — external CABAC quarantines."""
-    from reindexer_spark.h264_cabac import is_cabac_marker
+    boundary), whose embedded digest must match the stream's actual
+    slice bytes — external CABAC (marker or not) quarantines."""
+    from reindexer_spark.h264_cabac import cabac_provenance_ok
 
     sps_nal, pps_nal, length_size = avcc_parameter_sets(avcc_body)
     if pps_nal is None:
@@ -1751,7 +1752,17 @@ def decode_avcc_samples(
     pps = parse_pps(pps_nal, allow_cabac=True)
     w, h = sps["width"], sps["height"]
     frames = []
-    marker_seen = False
+    # provenance pre-pass: the marker SEI binds a digest of the coded
+    # slices, so it verifies against the whole walk, not NAL-by-NAL
+    seis, slices = [], []
+    for sample in samples:
+        for nal in split_sample_nals(sample, length_size):
+            t = nal[0] & 0x1F
+            if t == 6:
+                seis.append(nal)
+            elif t in (1, 5):
+                slices.append(nal)
+    marker_seen = cabac_provenance_ok(seis, slices)
     ref = None  # previous picture's output planes (single-ref P chain)
     for sample in samples:
         frame = None
@@ -1770,9 +1781,7 @@ def decode_avcc_samples(
             elif t == 8:
                 pps = parse_pps(nal, allow_cabac=True)
             elif t in (6, 9):
-                if is_cabac_marker(nal):
-                    marker_seen = True
-                continue  # SEI / AUD
+                continue  # SEI / AUD (provenance verified in pre-pass)
             elif t in (1, 5):
                 if frame is not None:
                     raise MediaFormatError("multi-slice sample unsupported")
@@ -1923,14 +1932,18 @@ def probe_annexb(data: bytes) -> dict:
 def decode_h264_annexb_stream(data: bytes) -> tuple[int, int, list[bytes]]:
     """Annex-B stream → (w, h, RGB frames); intra subset only, same
     quarantine contract as the container paths."""
-    from reindexer_spark.h264_cabac import is_cabac_marker
+    from reindexer_spark.h264_cabac import cabac_provenance_ok
 
     sps = pps = None
     frames = []
     w = h = None
     ref = None
-    marker_seen = False
-    for nal in split_annexb(data):
+    all_nals = split_annexb(data)
+    marker_seen = cabac_provenance_ok(
+        [n for n in all_nals if (n[0] & 0x1F) == 6],
+        [n for n in all_nals if (n[0] & 0x1F) in (1, 5)],
+    )
+    for nal in all_nals:
         t = nal[0] & 0x1F
         if t == 7:
             new_sps = _parse_sps_slice_fields(nal)
@@ -1941,9 +1954,7 @@ def decode_h264_annexb_stream(data: bytes) -> tuple[int, int, list[bytes]]:
         elif t == 8:
             pps = parse_pps(nal, allow_cabac=True)
         elif t in (6, 9):
-            if is_cabac_marker(nal):
-                marker_seen = True
-            continue
+            continue  # SEI / AUD (provenance verified in pre-pass)
         elif t in (1, 5):
             if sps is None or pps is None:
                 raise MediaFormatError("slice before SPS/PPS in stream")
@@ -3200,7 +3211,7 @@ def decode_h264_stream(
     sequences (single reference: each picture predicts from its
     predecessor's output).  Raises MediaFormatError outside the
     subset."""
-    from reindexer_spark.h264_cabac import is_cabac_marker
+    from reindexer_spark.h264_cabac import cabac_provenance_ok
 
     sps = _parse_sps_slice_fields(sps_nal)
     pps = parse_pps(pps_nal, allow_cabac=True)
@@ -3208,12 +3219,13 @@ def decode_h264_stream(
     ct, cl = sps["crop_t"], sps["crop_l"]
     frames = []
     ref = None
-    marker_seen = False
+    marker_seen = cabac_provenance_ok(
+        [n for n in slice_nals if (n[0] & 0x1F) == 6],
+        [n for n in slice_nals if (n[0] & 0x1F) in (1, 5)],
+    )
     for nal in slice_nals:
         if (nal[0] & 0x1F) == 6:
-            if is_cabac_marker(nal):
-                marker_seen = True
-            continue
+            continue  # provenance verified in pre-pass
         planes = decode_frame_nal(
             nal, sps, pps, ref=ref, cabac_ok=marker_seen
         )

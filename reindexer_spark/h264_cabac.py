@@ -34,9 +34,13 @@ HONESTY BOUNDARY — what is and is not claimed:
   selection and adaptation end to end), but decode of CABAC streams
   from OTHER encoders is NOT claimed and stays quarantined: this
   module's streams carry a user_data_unregistered SEI provenance
-  marker (CABAC_MARKER_UUID), and the container/Annex-B decode paths
-  refuse CABAC slices unless the marker was seen first — never a
-  wrong frame, per the media quarantine contract.
+  marker (CABAC_MARKER_UUID + a digest of the stream's coded-slice
+  NALs), and the container/Annex-B decode paths refuse CABAC slices
+  unless a marker whose digest matches the ACTUAL slice bytes was
+  seen (cabac_provenance_ok) — the UUID alone is a public constant a
+  foreign stream could embed, but it cannot carry a matching digest
+  for slices this encoder didn't produce — never a wrong frame, per
+  the media quarantine contract.
 
 Reference parity note: /root/reference has no media layer at all —
 this module exists for the LLM-training-pipeline multimodal surface
@@ -1368,25 +1372,59 @@ def decode_frame_nal_cabac(
 
 # user_data_unregistered SEI UUID marking streams produced by THIS
 # module (see the module docstring's honesty boundary): decode paths
-# require it before attempting CABAC decode.
+# require it before attempting CABAC decode.  The UUID alone is a
+# public constant any stream could embed (round-12 review), so the SEI
+# also carries a digest of the coded-slice NALs and dispatch verifies
+# it: a forged marker in front of foreign slices fails the digest and
+# the stream quarantines — the marker attests "these exact slice bytes
+# came from this module's encoder", not merely "a marker exists".
 CABAC_MARKER_UUID = bytes.fromhex("8f1d0c6a42b5489bb1e2a90f4c7d5e33")
 
 
-def cabac_marker_sei() -> bytes:
+def cabac_stream_digest(slice_nals: list[bytes]) -> bytes:
+    """16-byte binding digest over the stream's coded-slice NALs
+    (types 1/5) in stream order, length-prefixed so NAL boundaries
+    can't be shifted."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for n in slice_nals:
+        h.update(len(n).to_bytes(4, "big"))
+        h.update(n)
+    return h.digest()[:16]
+
+
+def cabac_marker_sei(slice_nals: list[bytes]) -> bytes:
     """SEI NAL (type 6, payloadType 5 user_data_unregistered) carrying
-    CABAC_MARKER_UUID."""
-    payload = CABAC_MARKER_UUID
+    CABAC_MARKER_UUID + cabac_stream_digest(slice_nals)."""
+    payload = CABAC_MARKER_UUID + cabac_stream_digest(slice_nals)
     body = bytes([5, len(payload)]) + payload
     return b"\x06" + body + b"\x80"  # rbsp_trailing_bits
 
 
 def is_cabac_marker(nal: bytes) -> bool:
+    """Structural check only (UUID present) — provenance needs the
+    digest too: use cabac_provenance_ok on the full NAL walk."""
     return (
-        len(nal) >= 19
+        len(nal) >= 35
         and (nal[0] & 0x1F) == 6
         and nal[1] == 5
-        and nal[2] >= 16
+        and nal[2] >= 32
         and nal[3:19] == CABAC_MARKER_UUID
+    )
+
+
+def cabac_provenance_ok(
+    sei_nals: list[bytes], slice_nals: list[bytes]
+) -> bool:
+    """True iff some marker SEI's embedded digest matches the digest of
+    the stream's actual coded-slice NALs — the gate every CABAC decode
+    path must pass before trusting the equiprobable context init."""
+    if not any(is_cabac_marker(n) for n in sei_nals):
+        return False
+    want = cabac_stream_digest(slice_nals)
+    return any(
+        is_cabac_marker(n) and n[19:35] == want for n in sei_nals
     )
 
 
@@ -1411,7 +1449,7 @@ def encode_h264_ippp_cabac(
         y, u, v = _pad_plane(y, 16), _pad_plane(u, 8), _pad_plane(v, 8)
         nal, st = _encode_slice_cabac("I", qp, y, u, v)
         planes = deblock_frame(st.y, st.u, st.v, qp)
-        nals = [cabac_marker_sei(), nal]
+        nals = [nal]
         recons = [planes]
         for i, f in enumerate(frames_rgb[1:], start=1):
             y, u, v = rgb_to_yuv420(f, width, height)
@@ -1430,6 +1468,9 @@ def encode_h264_ippp_cabac(
             )
             for ry, ru, rv in recons
         ]
+        # marker last-built, first-placed: its digest binds the exact
+        # slice bytes that follow it
+        nals = [cabac_marker_sei(nals)] + nals
         if len(_CABAC_IPPP_CACHE) > 16:
             _CABAC_IPPP_CACHE.clear()
         hit = (sps, pps, nals, rgb_recons)

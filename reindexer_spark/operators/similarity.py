@@ -309,6 +309,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("array<int>")
     def _bucket_ids(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:  # empty Arrow batch: (0,)-shaped asarray
+            return pd.Series([], dtype=object)
         em = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in emb]
         )  # (n, 64)

@@ -126,29 +126,45 @@ PARTITION_EXPRS = {
     # cast); live-executed against the exact wrapped dbtable SQL +
     # Spark's stride arithmetic in tests
     "duckdb": "CAST(hash(q.id) & 2147483647 AS BIGINT)",
-    # Embedded Derby (the live CI engine): its SQL dialect has no
-    # server-side string hash at all, so the profile extracts the
-    # reference id format's numeric tail — still a stable,
-    # server-evaluable key in range, which is the seam's contract
-    "derby": "CAST(SUBSTR(q.id, 3) AS INT)",
     # MySQL-flavored deployments: crc32 is server-side and stable
     "mysql": "(crc32(q.id) & 2147483647)",
 }
 
+# Embedded Derby (the live CI engine) has NO server-side string hash,
+# so the only in-range stable key is schema-specific arithmetic on the
+# id column.  This expression assumes the reference id format (numeric
+# tail after a 2-char prefix, driver.go's idNNNNN) — against any other
+# Derby schema it would fail server-side (or mis-partition) at READ
+# time, which is why Derby is deliberately NOT in PARTITION_EXPRS:
+# auto-resolving a format-assuming expression turns a configuration
+# mistake into a runtime error (round-11 review).  Pass it (or a
+# schema-appropriate expression) as partition_expr= explicitly.
+DERBY_FIXTURE_PART_EXPR = "CAST(SUBSTR(q.id, 3) AS INT)"
+
 
 def partition_expr_for_url(url: str) -> str:
     """Resolve the dialect profile from a JDBC URL's subprotocol
-    (``jdbc:postgresql://...`` → ``postgresql``)."""
+    (``jdbc:postgresql://...`` → ``postgresql``).  Only schema-AGNOSTIC
+    profiles (server-side hashes of the id) resolve automatically;
+    Derby has none, so it always requires an explicit partition_expr=
+    (DERBY_FIXTURE_PART_EXPR for the reference fixture schema)."""
     scheme = ""
     if url.startswith("jdbc:"):
         scheme = url[5:].split(":", 1)[0].lower()
     try:
         return PARTITION_EXPRS[scheme]
     except KeyError:
+        hint = (
+            " (Derby has no server-side string hash: pass "
+            "DERBY_FIXTURE_PART_EXPR for the fixture id schema, or a "
+            "schema-appropriate expression)"
+            if scheme == "derby"
+            else ""
+        )
         raise ValueError(
             f"no partition-key dialect profile for JDBC subprotocol "
             f"{scheme!r}; pass partition_expr= explicitly or add a "
-            f"profile (known: {sorted(PARTITION_EXPRS)})"
+            f"profile (known: {sorted(PARTITION_EXPRS)}){hint}"
         ) from None
 
 

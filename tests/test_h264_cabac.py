@@ -307,9 +307,47 @@ def test_markerless_cabac_quarantines():
 
 
 def test_marker_sei_shape():
-    sei = cabac_marker_sei()
+    from reindexer_spark.h264_cabac import (
+        cabac_provenance_ok,
+        cabac_stream_digest,
+    )
+
+    slices = [b"\x65fake-idr", b"\x41fake-p"]
+    sei = cabac_marker_sei(slices)
     assert (sei[0] & 0x1F) == 6 and is_cabac_marker(sei)
     assert not is_cabac_marker(b"\x06\x05\x10" + bytes(16) + b"\x80")
+    # the embedded digest binds the exact slice bytes
+    assert sei[19:35] == cabac_stream_digest(slices)
+    assert cabac_provenance_ok([sei], slices)
+    assert not cabac_provenance_ok([sei], slices[:1])
+    assert not cabac_provenance_ok([sei], list(reversed(slices)))
+    assert not cabac_provenance_ok([], slices)
+
+
+def test_spoofed_marker_still_quarantines():
+    """Round-12 review: the marker UUID is a public constant — a
+    foreign CABAC stream that embeds it must STILL quarantine, because
+    the SEI's digest can't match slices our encoder didn't produce."""
+    from reindexer_spark.h264_cabac import cabac_marker_sei as mk
+
+    w, h = 32, 32
+    frames = _noise_clip(w, h, 2, seed=13)
+    avcc, samples = encode_avcc_samples(
+        w, h, frames, 26, gop="ippp", entropy="cabac"
+    )
+    nals = split_sample_nals(samples[0], 4)
+    slices = [n for n in nals if (n[0] & 0x1F) not in (6,)]
+    # forge a marker whose digest covers DIFFERENT slices (an attacker
+    # can copy the UUID, but not predict a digest for foreign bytes)
+    forged = mk([b"\x65not-this-stream"])
+    spoofed0 = b"".join(
+        len(n).to_bytes(4, "big") + n for n in [forged] + slices
+    )
+    with pytest.raises(MediaFormatError):
+        decode_avcc_samples(avcc, [spoofed0] + samples[1:])
+    # sanity: the genuine sample (marker digest == slice digest) decodes
+    dw, dh, outs = decode_avcc_samples(avcc, samples)
+    assert (dw, dh) == (w, h) and len(outs) == 2
 
 
 def test_cavlc_paths_unaffected():

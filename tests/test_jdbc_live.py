@@ -20,12 +20,14 @@ import json
 import pytest
 
 from reindexer_spark.docpipe.config import ReindexConfig
-from reindexer_spark.sources.jdbc import jdbc_reader_options, read_documents_jdbc
+from reindexer_spark.sources.jdbc import (
+    DERBY_FIXTURE_PART_EXPR as DERBY_PART_EXPR,
+    jdbc_reader_options,
+    read_documents_jdbc,
+)
 
 N_DOCS = 100
 DERBY_URL = "jdbc:derby:memory:livedocs"
-# Derby-legal stable numeric derived from the string id ('id00042' -> 42)
-DERBY_PART_EXPR = "CAST(SUBSTR(q.id, 3) AS INT)"
 
 
 @pytest.fixture(scope="module")
@@ -215,16 +217,22 @@ def test_full_reference_pipeline_from_live_db(
 def test_dialect_profile_inferred_from_url_live(
     spark, derby_docs, tmp_path_factory
 ):
-    """Round-11 VERDICT next #6: the partition_expr dialect seam
-    resolves from the JDBC URL subprotocol — the Derby profile is
-    looked up from PARTITION_EXPRS (no explicit expression passed) and
-    the live partitioned read still tiles exactly-once."""
+    """Round-11 VERDICT next #6 + round-12 review: the partition_expr
+    dialect seam resolves schema-AGNOSTIC profiles (server-side hashes)
+    from the JDBC URL subprotocol, but Derby — whose only in-range key
+    is schema-specific id arithmetic — deliberately does NOT
+    auto-resolve: it raises with a hint at CONFIGURATION time instead
+    of mis-partitioning at read time.  The live partitioned read with
+    the explicit fixture expression still tiles exactly-once."""
     from reindexer_spark.sources.jdbc import (
+        DERBY_FIXTURE_PART_EXPR,
         PARTITION_EXPRS,
         partition_expr_for_url,
     )
 
-    assert partition_expr_for_url(DERBY_URL) == PARTITION_EXPRS["derby"]
+    assert "derby" not in PARTITION_EXPRS
+    with pytest.raises(ValueError, match="DERBY_FIXTURE_PART_EXPR"):
+        partition_expr_for_url(DERBY_URL)
     assert (
         partition_expr_for_url("jdbc:postgresql://h:5432/db")
         == PARTITION_EXPRS["postgresql"]
@@ -235,7 +243,8 @@ def test_dialect_profile_inferred_from_url_live(
     df = read_documents_jdbc(
         spark,
         conf,
-        url=DERBY_URL,  # profile inferred: no partition_expr kwarg
+        url=DERBY_URL,
+        partition_expr=DERBY_FIXTURE_PART_EXPR,  # explicit by contract
         num_partitions=3,
         lower_bound=0,
         upper_bound=N_DOCS,
