@@ -1208,57 +1208,82 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     with sample-init codebooks; re-ranked recall is what the emitted
     column measures).
 
-    Scale shape: codebooks are {PQ_M}×{PQ_K}×{PQ_SUB} values →
-    broadcast; encoding is a map-side argmin per (vector, subspace)
-    resolved by a window over uniform {PQ_K}-row groups; the per-query
-    table is |Q|×{PQ_M}×{PQ_K} rows → broadcast; the ADC scan is an
-    equi-join of codes to table entries on (subspace, code) — no
-    floats move at query time, only 4-bit codes and precomputed
-    integers.  The exact leg exists only to measure the recall column
-    (|Q|-bounded).  IVF composition (probe-then-scan) is proven in
-    knn_ivf_adc; this is the flat-scan variant, so together they are
-    IVFADC minus only the residual encoding.
+    Scale shape (re-audited round 12 — SCALE_PROOF showed shuffle
+    ×17.5 at 10×, driven by the old explode+groupBy encode shuffling
+    n×{PQ_M}×{PQ_K} records plus an equal-size argmin window): the
+    codebook is {PQ_K}×{PQ_M}×{PQ_SUB} values → a bounded driver-side
+    collect broadcast into an Arrow pandas UDF, so ENCODING IS
+    MAP-SIDE with zero shuffle — exactly how a PQ serving system ships
+    codebooks to workers; the per-query table is |Q|×{PQ_M}×{PQ_K}
+    rows → broadcast; the ADC scan is an equi-join of codes to table
+    entries on (subspace, code) — no floats move at query time, only
+    4-bit codes and precomputed integers.  The exact leg (|Q|-bounded,
+    recall measurement only) computes distances as a map-side HOF fold
+    against the broadcast query set instead of an exploded
+    n×64×|Q|-row groupBy.  IVF composition (probe-then-scan) is proven
+    in knn_ivf_adc; this is the flat-scan variant, so together they
+    are IVFADC minus only the residual encoding.
 
     Determinism: every distance is a sum of FLOOR-quantized BIGINT
-    terms (reduction-order-free); argmins and ranks break ties on the
-    lower id."""
+    terms (reduction-order-free, so numpy/HOF/SQL all agree); argmins
+    and ranks break ties on the lower id (np.argmin first-min =
+    lowest cid)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda v: v.cast("double")).alias("emb"),
     )
-    sub = e.select(
-        "vec_id", F.posexplode("emb").alias("idx", "v")
+    # codebook: the PQ_K lowest vec_ids (deterministic sample init) —
+    # a bounded PQ_K-row collect, the broadcast-codebook set
+    cb_rows = e.filter(F.col("vec_id") < PQ_K).collect()
+    cb_rows.sort(key=lambda r: r.vec_id)
+    cb = np.asarray([r.emb for r in cb_rows], dtype=np.float64)  # (K, 64)
+
+    @F.pandas_udf("array<int>")
+    def _pq_codes(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        em = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in emb]
+        )  # (n, 64)
+        out = np.empty((em.shape[0], PQ_M), dtype=np.int32)
+        for s in range(PQ_M):
+            xs = em[:, s * PQ_SUB : (s + 1) * PQ_SUB]  # (n, SUB)
+            cs = cb[:, s * PQ_SUB : (s + 1) * PQ_SUB]  # (K, SUB)
+            diff = xs[:, None, :] - cs[None, :, :]  # (n, K, SUB)
+            # int64 term sum: order-free, bit-identical to the SQL's
+            # SUM(CAST(FLOOR(...) AS BIGINT)) regardless of axis order
+            dist = np.floor(diff * diff * 1e6).astype(np.int64).sum(axis=2)
+            out[:, s] = np.argmin(dist, axis=1)
+        return pd.Series(list(out))
+
+    codes = e.select(
+        "vec_id", F.posexplode(_pq_codes("emb")).alias("s", "code")
+    )
+    # per-query distance table: |Q| constant → the exploded join stays
+    # a constant-size relation; broadcast downstream
+    subq = e.filter(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode("emb").alias("idx", "v"),
     ).select(
-        "vec_id",
+        "query_id",
         (F.col("idx") / PQ_SUB).cast("int").alias("s"),
         (F.col("idx") % PQ_SUB).alias("d"),
         "v",
     )
-    cents = sub.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("cid"), "s", "d", F.col("v").alias("cv")
+    cents = e.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"),
+        F.posexplode("emb").alias("idx", "cv"),
+    ).select(
+        "cid",
+        (F.col("idx") / PQ_SUB).cast("int").alias("s"),
+        (F.col("idx") % PQ_SUB).alias("d"),
+        "cv",
     )
     term = F.floor(
         (F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv")) * 1e6
     )
-    enc_dist = (
-        sub.join(F.broadcast(cents), ["s", "d"])
-        .groupBy("vec_id", "s", "cid")
-        .agg(F.sum(term).alias("dist_q"))
-    )
-    codes = (
-        enc_dist.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id", "s").orderBy("dist_q", "cid")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", F.col("cid").alias("code"))
-    )
     qtab = (
-        sub.filter(F.col("vec_id") < PQ_NQ)
-        .withColumnRenamed("vec_id", "query_id")
-        .join(F.broadcast(cents), ["s", "d"])
+        subq.join(F.broadcast(cents), ["s", "d"])
         .groupBy("query_id", "s", "cid")
         .agg(F.sum(term).alias("tab_q"))
     )
@@ -1286,18 +1311,26 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("crn") <= PQ_CAND)
         .drop("crn")
     )
-    flat = e.select("vec_id", F.posexplode("emb").alias("idx", "v"))
-    qflat = flat.filter(F.col("vec_id") < PQ_NQ).select(
-        F.col("vec_id").alias("query_id"), "idx", F.col("v").alias("qv")
+    q8 = e.filter(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
     exact = (
-        flat.join(F.broadcast(qflat), "idx")
+        e.crossJoin(F.broadcast(q8))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(
-            F.sum(
-                F.floor((F.col("qv") - F.col("v")) * (F.col("qv") - F.col("v")) * 1e6)
-            ).alias("dist_q")
+        .select(
+            "query_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    "qemb",
+                    "emb",
+                    lambda qv, v: F.floor((qv - v) * (qv - v) * 1e6).cast(
+                        "bigint"
+                    ),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("dist_q"),
         )
     )
     reranked = (
