@@ -270,24 +270,72 @@ def main() -> int:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     stage_metrics: dict[str, dict] = {}
 
+    # Contention flagging (round-11 VERDICT next #5): a rep whose task
+    # wall (executorRunTime) far exceeds its actual CPU time is a rep
+    # that sat on contended cores — the round-11 phantom +94% had
+    # run_ms 125,535 vs ~23,000 on clean reps with IDENTICAL tasks/
+    # stages/shuffle.  A rep is contended iff run_ms > RATIO×cpu_ms
+    # (+ floor, so trivial queries can't trip on overhead) AND its wall
+    # is well above the sweep's best rep (anchoring to observed clean
+    # behavior, so legitimately I/O-waity queries aren't flagged).
+    # Headline values become the median of CLEAN reps; flags are
+    # emitted per rep in stage_metrics so the artifact shows exactly
+    # which samples were discarded.
+    CONTENTION_RUN_CPU_RATIO = 3.0
+    CONTENTION_RUN_FLOOR_MS = 500
+    CONTENTION_WALL_RATIO = 1.5
+
     def median_sweep(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
             q = get_query(name)
-            before = _status_totals(ui_port)
-            runs = sorted(run_once(q) for _ in range(reps))
-            after = _status_totals(ui_port)
-            out[name] = round(runs[len(runs) // 2], 3)
-            if before is None or after is None:
-                stage_metrics[name] = {
-                    "error": "status API unavailable",
-                    "wall_all": [round(r, 3) for r in runs],
-                }
-            else:
-                stage_metrics[name] = {
-                    k: round((after[k] - before[k]) / reps, 3)
-                    for k in after
-                } | {"wall_all": [round(r, 3) for r in runs]}
+            walls: list[float] = []
+            deltas: list[dict | None] = []
+            for _ in range(reps):
+                before = _status_totals(ui_port)
+                walls.append(run_once(q))
+                after = _status_totals(ui_port)
+                deltas.append(
+                    None
+                    if before is None or after is None
+                    else {k: after[k] - before[k] for k in after}
+                )
+            wall_min = min(walls)
+            flags = [
+                bool(
+                    d is not None
+                    and d["run_ms"]
+                    > CONTENTION_RUN_CPU_RATIO * d["cpu_ms"]
+                    + CONTENTION_RUN_FLOOR_MS
+                    and w > CONTENTION_WALL_RATIO * wall_min
+                )
+                for w, d in zip(walls, deltas)
+            ]
+            clean = sorted(
+                w for w, c in zip(walls, flags) if not c
+            ) or sorted(walls)
+            out[name] = round(clean[len(clean) // 2], 3)
+            ok = [d for d in deltas if d is not None]
+            sm: dict = (
+                {k: round(sum(d[k] for d in ok) / len(ok), 3) for k in ok[0]}
+                if ok
+                else {"error": "status API unavailable"}
+            )
+            sm["wall_all"] = [round(r, 3) for r in walls]
+            if any(flags):
+                # per-rep attribution only when something was flagged —
+                # keeps the artifact small on clean sweeps
+                sm["contended"] = flags
+                sm["run_ms_all"] = [
+                    d["run_ms"] if d else None for d in deltas
+                ]
+                sm["cpu_ms_all"] = [
+                    d["cpu_ms"] if d else None for d in deltas
+                ]
+                # 0 = every rep flagged (value falls back to median of
+                # all reps and should be read with suspicion)
+                sm["clean_reps"] = sum(1 for c in flags if not c)
+            stage_metrics[name] = sm
         return out
 
     timings = median_sweep(HEADLINE)
@@ -317,7 +365,10 @@ def main() -> int:
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
-        "reps": reps,  # headline values are per-query medians of N runs
+        # headline values are per-query medians of the N CLEAN reps
+        # (contended reps — run_ms ≫ cpu_ms at inflated wall — are
+        # flagged in stage_metrics and excluded from the median)
+        "reps": reps,
         "queries": timings,
         "headline2_total": total2,
         "headline2_queries": timings2,
