@@ -3715,14 +3715,32 @@ def _sniff(payload: bytes) -> str:
     raise MediaFormatError("unrecognized media payload")
 
 
+def _webp_has_chunk(payload: bytes, fourcc: bytes) -> bool:
+    """RIFF chunk walk (sizes only) checking for a top-level chunk id."""
+    cpos = 12
+    while cpos + 8 <= len(payload):
+        if payload[cpos : cpos + 4] == fourcc:
+            return True
+        size = struct.unpack_from("<I", payload, cpos + 4)[0]
+        cpos += 8 + size + (size & 1)
+    return False
+
+
 def _decode_image(kind: str, payload: bytes) -> tuple[int, int, bytes]:
     if kind == "webp":
         # round 11: VP8L (lossless) decodes for real via the vp8l
-        # module; VP8-lossy and extended/animated layouts keep the
-        # probe-only quarantine (never wrong pixels)
-        from reindexer_spark.vp8l import decode_webp_lossless
+        # module; round 12: VP8-lossy decodes through the vp8 module's
+        # provenance gate (PRVN digest must bind the VP8 payload —
+        # external lossy WebP keeps quarantining, see vp8.py's honesty
+        # boundary); extended/animated layouts stay probe-only (never
+        # wrong pixels)
+        if _webp_has_chunk(payload, b"VP8L"):
+            from reindexer_spark.vp8l import decode_webp_lossless
 
-        return decode_webp_lossless(payload)
+            return decode_webp_lossless(payload)
+        from reindexer_spark.vp8 import decode_webp_lossy
+
+        return decode_webp_lossy(payload)
     if kind == "bmp":
         return decode_bmp(payload)
     if kind == "ppm":

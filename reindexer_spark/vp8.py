@@ -1,0 +1,1179 @@
+"""VP8 lossy (WebP ``VP8 `` chunk) keyframe codec — closed-loop
+encoder/decoder implementing RFC 6386's keyframe machinery (round-11
+VERDICT next #3: most real-world WebP is lossy; VP8L landed round 11).
+
+Implemented from the public spec (RFC 6386): the boolean arithmetic
+coder (§7, the exact published bool_decoder recurrence; the encoder is
+its carry-propagating inverse, fuzz-proven against the decoder); the
+keyframe layout (§9: 3-byte frame tag, 9D 01 2A start code, 14-bit
+dims + scale, bool-coded header fields in spec order — color space,
+clamping, segmentation off, filter type/level/sharpness, partition
+count, quantizer indices with the five delta flags, refresh-entropy,
+the 4×8×3×11 coefficient-probability update lattice, mb_no_coeff_skip);
+per-MB intra modes; token-tree residual coding (§13: coefficient bands,
+zero-run context demotion, the no-EOB-after-ZERO rule, cat1-6 extra
+bits, sign bool); zigzag; per-plane dequantization with the spec's
+plane multipliers (§14.1: y2dc = 2·dc, y2ac = max(8, ac·155/100),
+uvdc ≤ 132); the exact-integer 4×4 inverse DCT with the published
+20091/35468 multipliers and the inverse WHT for the Y2 block (§14.3);
+16×16/8×8 intra prediction with the 127/129 edge conventions (§12);
+and the simple loop filter (§15.2) applied identically on both sides
+of the loop.
+
+HONESTY BOUNDARY (same contract as reindexer_spark.h264_cabac): the
+spec's EMPIRICAL constant tables — default_coeff_probs (Table 13.5,
+1056 values), coeff_update_probs (Table 13.4, 1056 values), the
+kf mode trees' probabilities, and the dc/ac quantizer lookup tables —
+cannot be transcribed reliably in this environment, and a single wrong
+value silently corrupts external decode.  This module therefore uses
+DETERMINISTIC house tables (seeded formulas below) shared by encoder
+and decoder: the closed-loop gate proves the coder, contexts, bands,
+transforms, prediction and filter end to end, but decode of lossy
+streams from OTHER encoders is NOT claimed.  Provenance gating: the
+WebP container this module writes carries a ``PRVN`` RIFF chunk
+(VP8_MARKER_UUID + a digest of the exact VP8 chunk payload); the
+decode path refuses a lossy WebP whose PRVN digest is absent or does
+not match — never a wrong pixel.  Real crawl lossy WebP keeps the
+probe-only path (dims/flags via codecs.probe_media, which reads only
+the uncompressed header).
+
+The encoder is deliberately subset-minimal but spec-shaped: 16×16 luma
+modes (DC/V/H/TM, per-MB SSE decision) + 8×8 chroma modes, one token
+partition, no segmentation, simple loop filter.  B_PRED, multiple
+partitions and segmentation raise MediaFormatError on decode.
+
+Reference parity note: /root/reference has no media layer; this module
+serves the LLM-pipeline multimodal surface (SURVEY.md §2 C12)."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from reindexer_spark.codecs import MediaFormatError
+
+# ---------------------------------------------------------------------------
+# boolean arithmetic coder (RFC 6386 §7)
+# ---------------------------------------------------------------------------
+
+
+class BoolDecoder:
+    """The spec's bool_decoder: 16-bit value window over a big-endian
+    byte stream, range in [128, 255], one-bit renormalization."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        if len(data) < 2:
+            data = data + b"\x00\x00"
+        self.value = (data[0] << 8) | data[1]
+        self.pos = 2
+        self.range = 255
+        self.bit_count = 0
+
+    def bool(self, prob: int) -> int:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        big = split << 8
+        if self.value >= big:
+            ret = 1
+            self.range -= split
+            self.value -= big
+        else:
+            ret = 0
+            self.range = split
+        while self.range < 128:
+            self.value <<= 1
+            self.range <<= 1
+            self.bit_count += 1
+            if self.bit_count == 8:
+                self.bit_count = 0
+                if self.pos < len(self.data):
+                    self.value |= self.data[self.pos]
+                self.pos += 1
+        return ret
+
+    def literal(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bool(128)
+        return v
+
+    def signed_literal(self, n: int) -> int:
+        v = self.literal(n)
+        return -v if self.bool(128) else v
+
+    def tree(self, tree: tuple, probs) -> int:
+        """Walk a spec-style token tree: negative entries are leaves,
+        positive entries index the next node pair; probs[i >> 1] is the
+        probability at node i."""
+        i = 0
+        while True:
+            i = tree[i + self.bool(probs[i >> 1])]
+            if i <= 0:
+                return -i
+
+
+class BoolEncoder:
+    """Exact inverse of BoolDecoder: tracks the interval bottom as an
+    unbounded integer in the decoder's own scale (range unit = 2^8 of
+    the stream fraction at start, doubling per renormalization), then
+    emits the bottom's bits — carry propagation comes free from Python
+    big-int addition.  O(bits) memory; fixture frames are a few
+    thousand bools, far below where this matters.  Round-trip against
+    BoolDecoder is fuzz-proven in tests/test_vp8.py."""
+
+    def __init__(self) -> None:
+        self.low = 0
+        self.range = 255
+        self.nbits = 8  # scale: the interval lives in [0, 2^nbits)
+
+    def bool(self, prob: int, value: int) -> None:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        if value:
+            self.low += split
+            self.range -= split
+        else:
+            self.range = split
+        while self.range < 128:
+            self.range <<= 1
+            self.low <<= 1
+            self.nbits += 1
+
+    def literal(self, n: int, v: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bool(128, (v >> i) & 1)
+
+    def signed_literal(self, n: int, v: int) -> None:
+        self.literal(n, abs(v))
+        self.bool(128, 1 if v < 0 else 0)
+
+    def tree(self, tree: tuple, probs, leaf: int) -> None:
+        # find the root-to-leaf path by DFS (trees here are tiny)
+        path = self._path(tree, 0, -leaf)
+        if path is None:
+            raise ValueError(f"leaf {leaf} not in tree")
+        for node, bit in path:
+            self.bool(probs[node >> 1], bit)
+
+    def _path(self, tree: tuple, i: int, target: int):
+        for bit in (0, 1):
+            nxt = tree[i + bit]
+            if nxt == target and nxt <= 0:
+                return [(i, bit)]
+            if nxt > 0:
+                sub = self._path(tree, nxt, target)
+                if sub is not None:
+                    return [(i, bit)] + sub
+        return None
+
+    def finish(self) -> bytes:
+        # 32 trailing zero bits (the spec encoder's flush), then pad to
+        # a byte boundary; the stream IS the interval bottom's bits
+        total = self.nbits + 32
+        pad = (-total) % 8
+        return (self.low << (32 + pad)).to_bytes((total + pad) // 8, "big")
+
+
+# ---------------------------------------------------------------------------
+# house probability tables (deterministic — see module honesty boundary)
+# ---------------------------------------------------------------------------
+
+# token tree (§13.2 structure): leaves are token ids 0..11
+T_EOB, T_ZERO, T_ONE, T_TWO, T_THREE, T_FOUR = 0, 1, 2, 3, 4, 5
+T_CAT1, T_CAT2, T_CAT3, T_CAT4, T_CAT5, T_CAT6 = 6, 7, 8, 9, 10, 11
+COEFF_TREE = (
+    -T_EOB, 2,
+    -T_ZERO, 4,
+    -T_ONE, 6,
+    8, 12,
+    -T_TWO, 10,
+    -T_THREE, -T_FOUR,
+    14, 16,
+    -T_CAT1, -T_CAT2,
+    18, 20,
+    -T_CAT3, -T_CAT4,
+    -T_CAT5, -T_CAT6,
+)
+# category base values and extra-bit counts (§13.2)
+CAT_BASE = {T_CAT1: 5, T_CAT2: 7, T_CAT3: 11, T_CAT4: 19,
+            T_CAT5: 35, T_CAT6: 67}
+CAT_BITS = {T_CAT1: 1, T_CAT2: 2, T_CAT3: 3, T_CAT4: 4,
+            T_CAT5: 5, T_CAT6: 11}
+# house per-category extra-bit probabilities (spec's are empirical)
+CAT_PROBS = {
+    t: [159 - 6 * i for i in range(CAT_BITS[t])] for t in CAT_BASE
+}
+
+# coefficient band per zigzag position (§13.3 — structural, published)
+COEFF_BANDS = (0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
+ZIGZAG = (0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+
+def _house_coeff_probs() -> list:
+    """Deterministic stand-in for Table 13.5: probs[plane][band][ctx]
+    → 11 node probabilities, derived from a fixed hash so every value
+    is reproducible and in [1, 254].  Biased high for the early nodes
+    (EOB/ZERO likely) so the coder behaves sanely on real residue."""
+    probs = []
+    for plane in range(4):
+        pp = []
+        for band in range(8):
+            bb = []
+            for ctx in range(3):
+                dg = hashlib.sha256(
+                    b"vp8-house-coeff-%d-%d-%d" % (plane, band, ctx)
+                ).digest()
+                base = [200, 170, 150, 140, 130, 128, 128, 128, 128,
+                        128, 128]
+                bb.append(
+                    [
+                        max(1, min(254, base[i] + dg[i] % 31 - 15))
+                        for i in range(11)
+                    ]
+                )
+            pp.append(bb)
+        probs.append(pp)
+    return probs
+
+
+COEFF_PROBS = _house_coeff_probs()
+# house stand-in for Table 13.4 (update probabilities): all 255 — the
+# encoder never updates, and P(update)=255 makes each "no update" flag
+# nearly free, exactly the table's design intent
+COEFF_UPDATE_PROB = 255
+
+# intra mode trees (structure per §11.2; probabilities are house values)
+DC_PRED, V_PRED, H_PRED, TM_PRED, B_PRED = 0, 1, 2, 3, 4
+KF_YMODE_TREE = (-B_PRED, 2, 4, 6, -DC_PRED, -V_PRED, -H_PRED, -TM_PRED)
+KF_YMODE_PROBS = (145, 156, 163, 128)
+UV_MODE_TREE = (-DC_PRED, 2, -V_PRED, 4, -H_PRED, -TM_PRED)
+KF_UV_PROBS = (142, 114, 183)
+
+# ---------------------------------------------------------------------------
+# quantization (house base lookup; spec plane multipliers per §14.1)
+# ---------------------------------------------------------------------------
+
+
+def _dc_q(qi: int) -> int:
+    # house formula (spec's dc_qlookup is empirical): 4..99, the real
+    # table's span is 4..157 with a similar early slope
+    return 4 + (3 * qi) // 4
+
+
+def _ac_q(qi: int) -> int:
+    # house formula (spec's ac_qlookup is empirical): 4..131 vs the
+    # real table's 4..284 — same monotone shape, coarser tail
+    return 4 + qi
+
+
+def quant_factors(qi: int) -> dict:
+    """Per-plane (dc, ac) dequantization factors; the inter-plane
+    multipliers are the spec's own (§14.1)."""
+    dc, ac = _dc_q(qi), _ac_q(qi)
+    return {
+        "y": (dc, ac),
+        "y2": (dc * 2, max(8, ac * 155 // 100)),
+        "uv": (min(dc, 132), ac),
+    }
+
+
+# ---------------------------------------------------------------------------
+# transforms (§14.3 inverse forms; forward analogs for the encoder)
+# ---------------------------------------------------------------------------
+
+_C1 = 20091  # cospi8sqrt2 - 1, Q16 (published constant)
+_C2 = 35468  # sinpi8sqrt2, Q16 (published constant)
+
+
+def idct4x4(coefs: list[int]) -> list[int]:
+    """Exact-integer 4×4 inverse DCT, row-major 16 coefficients →
+    16 residuals (§14.3 reference structure)."""
+    tmp = [0] * 16
+    for i in range(4):  # columns
+        ip = coefs[i::4]
+        a1 = ip[0] + ip[2]
+        b1 = ip[0] - ip[2]
+        c1 = ((ip[1] * _C2) >> 16) - (ip[3] + ((ip[3] * _C1) >> 16))
+        d1 = (ip[1] + ((ip[1] * _C1) >> 16)) + ((ip[3] * _C2) >> 16)
+        tmp[i] = a1 + d1
+        tmp[i + 12] = a1 - d1
+        tmp[i + 4] = b1 + c1
+        tmp[i + 8] = b1 - c1
+    out = [0] * 16
+    for i in range(4):  # rows
+        ip = tmp[4 * i : 4 * i + 4]
+        a1 = ip[0] + ip[2]
+        b1 = ip[0] - ip[2]
+        c1 = ((ip[1] * _C2) >> 16) - (ip[3] + ((ip[3] * _C1) >> 16))
+        d1 = (ip[1] + ((ip[1] * _C1) >> 16)) + ((ip[3] * _C2) >> 16)
+        out[4 * i] = (a1 + d1 + 4) >> 3
+        out[4 * i + 3] = (a1 - d1 + 4) >> 3
+        out[4 * i + 1] = (b1 + c1 + 4) >> 3
+        out[4 * i + 2] = (b1 - c1 + 4) >> 3
+    return out
+
+
+def fdct4x4(block: list[int]) -> list[int]:
+    """Forward 4×4 DCT (encoder side; libvpx-style fixed point).
+    Closed-loop exactness does not depend on this — the encoder
+    reconstructs through idct4x4 like the decoder."""
+    tmp = [0] * 16
+    for i in range(4):  # rows
+        ip = block[4 * i : 4 * i + 4]
+        a1 = (ip[0] + ip[3]) * 8
+        b1 = (ip[1] + ip[2]) * 8
+        c1 = (ip[1] - ip[2]) * 8
+        d1 = (ip[0] - ip[3]) * 8
+        tmp[4 * i] = a1 + b1
+        tmp[4 * i + 2] = a1 - b1
+        tmp[4 * i + 1] = (c1 * 2217 + d1 * 5352 + 14500) >> 12
+        tmp[4 * i + 3] = (d1 * 2217 - c1 * 5352 + 7500) >> 12
+    out = [0] * 16
+    for i in range(4):  # columns
+        ip = tmp[i::4]
+        a1 = ip[0] + ip[3]
+        b1 = ip[1] + ip[2]
+        c1 = ip[1] - ip[2]
+        d1 = ip[0] - ip[3]
+        out[i] = (a1 + b1 + 7) >> 4
+        out[i + 8] = (a1 - b1 + 7) >> 4
+        out[i + 4] = ((c1 * 2217 + d1 * 5352 + 12000) >> 16) + (
+            1 if d1 else 0
+        )
+        out[i + 12] = (d1 * 2217 - c1 * 5352 + 51000) >> 16
+    return out
+
+
+def iwht4x4(coefs: list[int]) -> list[int]:
+    """Inverse Walsh-Hadamard for the Y2 block (§14.3 structure)."""
+    tmp = [0] * 16
+    for i in range(4):
+        ip = coefs[i::4]
+        a1 = ip[0] + ip[3]
+        b1 = ip[1] + ip[2]
+        c1 = ip[1] - ip[2]
+        d1 = ip[0] - ip[3]
+        tmp[i] = a1 + b1
+        tmp[i + 4] = c1 + d1
+        tmp[i + 8] = a1 - b1
+        tmp[i + 12] = d1 - c1
+    out = [0] * 16
+    for i in range(4):
+        ip = tmp[4 * i : 4 * i + 4]
+        a1 = ip[0] + ip[3]
+        b1 = ip[1] + ip[2]
+        c1 = ip[1] - ip[2]
+        d1 = ip[0] - ip[3]
+        out[4 * i] = (a1 + b1 + 3) >> 3
+        out[4 * i + 1] = (c1 + d1 + 3) >> 3
+        out[4 * i + 2] = (a1 - b1 + 3) >> 3
+        out[4 * i + 3] = (d1 - c1 + 3) >> 3
+    return out
+
+
+def fwht4x4(block: list[int]) -> list[int]:
+    """Forward WHT for the Y2 DC block (encoder side)."""
+    tmp = [0] * 16
+    for i in range(4):
+        ip = block[4 * i : 4 * i + 4]
+        a1 = (ip[0] + ip[2]) * 4
+        d1 = (ip[1] + ip[3]) * 4
+        c1 = (ip[1] - ip[3]) * 4
+        b1 = (ip[0] - ip[2]) * 4
+        tmp[4 * i] = a1 + d1 + (1 if a1 else 0)
+        tmp[4 * i + 1] = b1 + c1
+        tmp[4 * i + 2] = b1 - c1
+        tmp[4 * i + 3] = a1 - d1
+    out = [0] * 16
+    for i in range(4):
+        ip = tmp[i::4]
+        a1 = ip[0] + ip[2]
+        d1 = ip[1] + ip[3]
+        c1 = ip[1] - ip[3]
+        b1 = ip[0] - ip[2]
+        a2 = a1 + d1
+        b2 = b1 + c1
+        c2 = b1 - c1
+        d2 = a1 - d1
+        a2 += 1 if a2 < 0 else 0
+        b2 += 1 if b2 < 0 else 0
+        c2 += 1 if c2 < 0 else 0
+        d2 += 1 if d2 < 0 else 0
+        out[i] = (a2 + 3) >> 3
+        out[i + 4] = (b2 + 3) >> 3
+        out[i + 8] = (c2 + 3) >> 3
+        out[i + 12] = (d2 + 3) >> 3
+    return out
+
+
+# ---------------------------------------------------------------------------
+# intra prediction (§12: 127/129 edge conventions)
+# ---------------------------------------------------------------------------
+
+
+def _clamp8(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def predict_block(
+    plane: list[list[int]], x: int, y: int, size: int, mode: int,
+) -> list[list[int]]:
+    """Predict a size×size block at (x, y) from already-reconstructed
+    pixels in ``plane`` (an MB-padded 2D list).  Outside-frame rows
+    read 127 (above) / 129 (left), corner 127 — the spec's keyframe
+    edge conventions."""
+    above = [
+        plane[y - 1][x + i] if y > 0 and x + i < len(plane[0]) else 127
+        for i in range(size)
+    ]
+    left = [
+        plane[y + i][x - 1] if x > 0 else 129 for i in range(size)
+    ]
+    if mode == DC_PRED:
+        if y > 0 and x > 0:
+            dc = (sum(above) + sum(left) + size) >> _dc_shift(size)
+        elif y > 0:
+            dc = (sum(above) + size // 2) >> _dc_shift(size, half=True)
+        elif x > 0:
+            dc = (sum(left) + size // 2) >> _dc_shift(size, half=True)
+        else:
+            dc = 128
+        return [[dc] * size for _ in range(size)]
+    if mode == V_PRED:
+        return [list(above) for _ in range(size)]
+    if mode == H_PRED:
+        return [[left[r]] * size for r in range(size)]
+    # TM_PRED
+    corner = plane[y - 1][x - 1] if (x > 0 and y > 0) else 127
+    return [
+        [_clamp8(left[r] + above[c] - corner) for c in range(size)]
+        for r in range(size)
+    ]
+
+
+def _dc_shift(size: int, half: bool = False) -> int:
+    n = {4: 2, 8: 3, 16: 4}[size]
+    return n + (0 if half else 1)
+
+
+# ---------------------------------------------------------------------------
+# simple loop filter (§15.2)
+# ---------------------------------------------------------------------------
+
+
+def _s8(v: int) -> int:
+    """uint8 pixel → the spec's signed representation (x - 128)."""
+    return v - 128
+
+
+def _c127(v: int) -> int:
+    return -128 if v < -128 else 127 if v > 127 else v
+
+
+def _simple_filter_pair(p1: int, p0: int, q0: int, q1: int, limit: int):
+    """One 4-pixel edge segment of the simple filter: returns adjusted
+    (p0, q0) or None when the edge is out of range."""
+    if abs(_s8(p0) - _s8(q0)) * 2 + abs(_s8(p1) - _s8(q1)) // 2 > limit:
+        return None
+    a = _c127(3 * (_s8(q0) - _s8(p0)) + _c127(_s8(p1) - _s8(q1)))
+    f1 = _c127(a + 4) >> 3
+    f2 = _c127(a + 3) >> 3
+    return (
+        _clamp8(_s8(p0) + f2 + 128),
+        _clamp8(_s8(q0) - f1 + 128),
+    )
+
+
+def simple_loop_filter(y: list[list[int]], level: int, mbw: int, mbh: int):
+    """In-place simple loop filter over the luma plane: MB edges use
+    limit 2·level + 2·? per spec = (level + 2)·2? — the spec's simple
+    MB edge limit is 2·(level + 2); interior 4×4 edges use 2·level.
+    Both forms below follow §15.1's mbedge/subblock limit expressions."""
+    if level == 0:
+        return
+    mb_lim = 2 * (level + 2)
+    sb_lim = 2 * level
+    H, W = mbh * 16, mbw * 16
+    # vertical edges (filter columns), left-to-right
+    for cx in range(4, W, 4):
+        lim = mb_lim if cx % 16 == 0 else sb_lim
+        for r in range(H):
+            row = y[r]
+            got = _simple_filter_pair(
+                row[cx - 2], row[cx - 1], row[cx], row[cx + 1], lim
+            )
+            if got is not None:
+                row[cx - 1], row[cx] = got
+    # horizontal edges (filter rows), top-to-bottom
+    for cy in range(4, H, 4):
+        lim = mb_lim if cy % 16 == 0 else sb_lim
+        for c in range(W):
+            got = _simple_filter_pair(
+                y[cy - 2][c], y[cy - 1][c], y[cy][c], y[cy + 1][c], lim
+            )
+            if got is not None:
+                y[cy - 1][c], y[cy][c] = got
+
+
+# ---------------------------------------------------------------------------
+# residual token coding (§13)
+# ---------------------------------------------------------------------------
+# plane types: 0 = Y after Y2 (no DC), 1 = Y2, 2 = UV, 3 = Y with DC
+
+
+def decode_coeffs(
+    bd: BoolDecoder, plane: int, ctx0: int, first: int
+) -> list[int]:
+    """Decode one 4×4 block's coefficients (zigzag order undone).
+    Returns the 16 raw (quantized) coefficients row-major."""
+    out = [0] * 16
+    ctx = ctx0
+    i = first
+    skip_eob = False
+    while i < 16:
+        probs = COEFF_PROBS[plane][COEFF_BANDS[i]][ctx]
+        if skip_eob:
+            # after ZERO, EOB cannot follow: walk from node 2
+            node = 2
+            tok = None
+            while True:
+                node = COEFF_TREE[node + bd.bool(probs[node >> 1])]
+                if node <= 0:
+                    tok = -node
+                    break
+        else:
+            tok = bd.tree(COEFF_TREE, probs)
+        if tok == T_EOB:
+            break
+        if tok == T_ZERO:
+            ctx = 0
+            skip_eob = True
+            i += 1
+            continue
+        skip_eob = False
+        if tok <= T_FOUR:
+            val = tok - T_ZERO  # ONE..FOUR → 1..4
+        else:
+            extra = 0
+            for p in CAT_PROBS[tok]:
+                extra = (extra << 1) | bd.bool(p)
+            val = CAT_BASE[tok] + extra
+        if bd.bool(128):
+            val = -val
+        out[ZIGZAG[i]] = val
+        ctx = 1 if abs(val) == 1 else 2
+        i += 1
+    return out
+
+
+def encode_coeffs(
+    be: BoolEncoder, coefs: list[int], plane: int, ctx0: int, first: int
+) -> None:
+    """Inverse of decode_coeffs for the same tables."""
+    zz = [coefs[ZIGZAG[i]] for i in range(16)]
+    last = -1
+    for i in range(first, 16):
+        if zz[i]:
+            last = i
+    ctx = ctx0
+    skip_eob = False
+    for i in range(first, 16):
+        probs = COEFF_PROBS[plane][COEFF_BANDS[i]][ctx]
+        if i > last:
+            if not skip_eob:
+                be.tree(COEFF_TREE, probs, T_EOB)
+            return
+        v = zz[i]
+        if v == 0:
+            if skip_eob:
+                # encode ZERO from node 2 (path: node2 → -T_ZERO is bit 0)
+                be.bool(probs[1], 0)
+            else:
+                be.tree(COEFF_TREE, probs, T_ZERO)
+            ctx = 0
+            skip_eob = True
+            continue
+        a = abs(v)
+        if a <= 4:
+            tok = T_ZERO + a
+        elif a <= 6:
+            tok = T_CAT1
+        elif a <= 10:
+            tok = T_CAT2
+        elif a <= 18:
+            tok = T_CAT3
+        elif a <= 34:
+            tok = T_CAT4
+        elif a <= 66:
+            tok = T_CAT5
+        else:
+            tok = T_CAT6
+            a = min(a, 67 + (1 << 11) - 1)
+        if skip_eob:
+            # walk from node 2: emit bit 1 at node 2 then the tree path
+            # below node 4
+            be.bool(probs[1], 1)
+            path = be._path(COEFF_TREE, 4, -tok)
+            for node, bit in path:
+                be.bool(probs[node >> 1], bit)
+        else:
+            be.tree(COEFF_TREE, probs, tok)
+        skip_eob = False
+        if tok >= T_CAT1:
+            extra = a - CAT_BASE[tok]
+            bits = CAT_BITS[tok]
+            for bi, p in zip(range(bits - 1, -1, -1), CAT_PROBS[tok]):
+                be.bool(p, (extra >> bi) & 1)
+        be.bool(128, 1 if v < 0 else 0)
+        ctx = 1 if abs(v) == 1 else 2
+    # all 16 coefficients written: no EOB needed
+
+
+# ---------------------------------------------------------------------------
+# plane helpers
+# ---------------------------------------------------------------------------
+
+
+def _mb_pad(w: int, h: int) -> tuple[int, int]:
+    return (w + 15) // 16, (h + 15) // 16
+
+
+def _make_plane(wpx: int, hpx: int, fill: int = 0) -> list[list[int]]:
+    return [[fill] * wpx for _ in range(hpx)]
+
+
+def rgb_to_yuv420(
+    rgb: bytes, w: int, h: int
+) -> tuple[list[list[int]], list[list[int]], list[list[int]]]:
+    """BT.601 full-swing integer conversion (same arithmetic family as
+    the h264 module's, local copy to keep this module self-contained)."""
+    y = _make_plane(w, h)
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    u = _make_plane(cw, ch)
+    v = _make_plane(cw, ch)
+    usum = [[0] * cw for _ in range(ch)]
+    vsum = [[0] * cw for _ in range(ch)]
+    cnt = [[0] * cw for _ in range(ch)]
+    for r in range(h):
+        for c in range(w):
+            i = 3 * (r * w + c)
+            R, G, B = rgb[i], rgb[i + 1], rgb[i + 2]
+            y[r][c] = _clamp8((299 * R + 587 * G + 114 * B + 500) // 1000)
+            usum[r // 2][c // 2] += 128 + ((-169 * R - 331 * G + 500 * B) // 1000)
+            vsum[r // 2][c // 2] += 128 + ((500 * R - 419 * G - 81 * B) // 1000)
+            cnt[r // 2][c // 2] += 1
+    for r in range(ch):
+        for c in range(cw):
+            n = cnt[r][c]
+            u[r][c] = _clamp8((usum[r][c] + n // 2) // n)
+            v[r][c] = _clamp8((vsum[r][c] + n // 2) // n)
+    return y, u, v
+
+
+def yuv420_to_rgb(
+    y: list[list[int]], u: list[list[int]], v: list[list[int]],
+    w: int, h: int,
+) -> bytes:
+    out = bytearray(3 * w * h)
+    for r in range(h):
+        for c in range(w):
+            Y = y[r][c]
+            U = u[r // 2][c // 2] - 128
+            V = v[r // 2][c // 2] - 128
+            i = 3 * (r * w + c)
+            out[i] = _clamp8(Y + (1402 * V + 500) // 1000)
+            out[i + 1] = _clamp8(Y - (344 * U + 714 * V + 500) // 1000)
+            out[i + 2] = _clamp8(Y + (1772 * U + 500) // 1000)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# keyframe encoder
+# ---------------------------------------------------------------------------
+
+LOOP_FILTER_LEVEL = 12  # encoder's fixed simple-filter level
+
+
+def _quantize_block(
+    coefs: list[int], dcq: int, acq: int, first: int
+) -> list[int]:
+    """Truncating quantizer in raster order; when ``first`` is 1 the
+    DC slot belongs to the Y2 block and is zeroed here."""
+    out = [0] * 16
+    for pos in range(16):
+        step = dcq if pos == 0 else acq
+        v = coefs[pos]
+        out[pos] = (abs(v) // step) * (1 if v >= 0 else -1)
+    if first == 1:
+        out[0] = 0
+    return out
+
+
+def _dequant_block(q: list[int], dcq: int, acq: int) -> list[int]:
+    return [
+        q[pos] * (dcq if pos == 0 else acq) for pos in range(16)
+    ]
+
+
+def _block_ctx(nz_above: bool, nz_left: bool) -> int:
+    return int(nz_above) + int(nz_left)
+
+
+class _MbCoder:
+    """Shared per-frame state: nonzero flags for above/left context
+    tracking, identical walk on encoder and decoder."""
+
+    def __init__(self, mbw: int, mbh: int) -> None:
+        # per-4x4-column / row nonzero flags: y (4 per MB), u, v (2), y2
+        self.above_y = [False] * (mbw * 4)
+        self.above_u = [False] * (mbw * 2)
+        self.above_v = [False] * (mbw * 2)
+        self.above_y2 = [False] * mbw
+        self.reset_left()
+
+    def reset_left(self) -> None:
+        self.left_y = [False] * 4
+        self.left_u = [False] * 2
+        self.left_v = [False] * 2
+        self.left_y2 = False
+
+
+def encode_vp8_keyframe(
+    w: int, h: int, rgb: bytes, qi: int = 32
+) -> tuple[bytes, bytes]:
+    """RGB frame → (VP8 chunk payload, reconstructed RGB) — the recon
+    is what a conforming decoder of THIS module must output exactly
+    (closed loop through the simple loop filter)."""
+    if not (0 < w <= 0x3FFF and 0 < h <= 0x3FFF):
+        raise MediaFormatError("VP8 dims out of range")
+    qi = max(0, min(127, qi))
+    mbw, mbh = _mb_pad(w, h)
+    ysrc, usrc, vsrc = rgb_to_yuv420(rgb, w, h)
+    # mb-padded planes (replicate edge pixels into the padding)
+    Y = _make_plane(mbw * 16, mbh * 16)
+    for r in range(mbh * 16):
+        for c in range(mbw * 16):
+            Y[r][c] = ysrc[min(r, h - 1)][min(c, w - 1)]
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    U = _make_plane(mbw * 8, mbh * 8)
+    V = _make_plane(mbw * 8, mbh * 8)
+    for r in range(mbh * 8):
+        for c in range(mbw * 8):
+            U[r][c] = usrc[min(r, ch - 1)][min(c, cw - 1)]
+            V[r][c] = vsrc[min(r, ch - 1)][min(c, cw - 1)]
+    # reconstruction planes (decoder-visible state for prediction)
+    RY = _make_plane(mbw * 16, mbh * 16)
+    RU = _make_plane(mbw * 8, mbh * 8)
+    RV = _make_plane(mbw * 8, mbh * 8)
+
+    qf = quant_factors(qi)
+    hdr = BoolEncoder()
+    # frame header (§9.2+): color space, clamping
+    hdr.bool(128, 0)
+    hdr.bool(128, 0)
+    hdr.bool(128, 0)  # segmentation_enabled = 0
+    hdr.bool(128, 1)  # filter_type = simple
+    hdr.literal(6, LOOP_FILTER_LEVEL)
+    hdr.literal(3, 0)  # sharpness
+    hdr.bool(128, 0)  # loop_filter_adj_enable = 0
+    hdr.literal(2, 0)  # log2(#token partitions) = 0 → 1 partition
+    hdr.literal(7, qi)  # y_ac_qi
+    for _ in range(5):  # the five quantizer delta flags, all absent
+        hdr.bool(128, 0)
+    hdr.bool(128, 1)  # refresh_entropy_probs
+    for _p in range(4):  # coefficient-probability update lattice
+        for _b in range(8):
+            for _c in range(3):
+                for _n in range(11):
+                    hdr.bool(COEFF_UPDATE_PROB, 0)
+    hdr.bool(128, 1)  # mb_no_coeff_skip
+    PROB_SKIP = 128
+    hdr.literal(8, PROB_SKIP)
+
+    tok = BoolEncoder()
+    st = _MbCoder(mbw, mbh)
+    mb_modes: list[tuple] = []
+    # ---- per-MB: decide mode, transform, quantize, reconstruct ----
+    for my in range(mbh):
+        for mx in range(mbw):
+            bx, by = mx * 16, my * 16
+            # luma mode decision by SSE over candidate predictions
+            best = None
+            for mode in (DC_PRED, V_PRED, H_PRED, TM_PRED):
+                pred = predict_block(RY, bx, by, 16, mode)
+                sse = 0
+                for r in range(16):
+                    prow = pred[r]
+                    srow = Y[by + r]
+                    for c in range(16):
+                        d = srow[bx + c] - prow[c]
+                        sse += d * d
+                if best is None or sse < best[0]:
+                    best = (sse, mode, pred)
+            _, ymode, ypred = best
+            best = None
+            for mode in (DC_PRED, V_PRED, H_PRED, TM_PRED):
+                pu = predict_block(RU, mx * 8, my * 8, 8, mode)
+                pv = predict_block(RV, mx * 8, my * 8, 8, mode)
+                sse = 0
+                for r in range(8):
+                    for c in range(8):
+                        du = U[my * 8 + r][mx * 8 + c] - pu[r][c]
+                        dv = V[my * 8 + r][mx * 8 + c] - pv[r][c]
+                        sse += du * du + dv * dv
+                if best is None or sse < best[0]:
+                    best = (sse, mode, pu, pv)
+            _, uvmode, upred, vpred = best
+
+            # 16 luma 4×4 residual blocks → fdct → split DC into Y2
+            yq = []
+            dcs = []
+            for sb in range(16):
+                sx, sy = (sb % 4) * 4, (sb // 4) * 4
+                blk = [
+                    Y[by + sy + r][bx + sx + c] - ypred[sy + r][sx + c]
+                    for r in range(4)
+                    for c in range(4)
+                ]
+                co = fdct4x4(blk)
+                dcs.append(co[0])
+                q = _quantize_block(co, qf["y"][0], qf["y"][1], first=1)
+                yq.append(q)
+            y2 = fwht4x4(dcs)
+            y2q = _quantize_block(y2, qf["y2"][0], qf["y2"][1], first=0)
+            uq, vq = [], []
+            for plane_src, pred_p, store in (
+                (U, upred, uq), (V, vpred, vq)
+            ):
+                for sb in range(4):
+                    sx, sy = (sb % 2) * 4, (sb // 2) * 4
+                    blk = [
+                        plane_src[my * 8 + sy + r][mx * 8 + sx + c]
+                        - pred_p[sy + r][sx + c]
+                        for r in range(4)
+                        for c in range(4)
+                    ]
+                    co = fdct4x4(blk)
+                    store.append(
+                        _quantize_block(co, qf["uv"][0], qf["uv"][1], 0)
+                    )
+            skip = (
+                not any(any(q) for q in yq)
+                and not any(y2q)
+                and not any(any(q) for q in uq)
+                and not any(any(q) for q in vq)
+            )
+            mb_modes.append((ymode, uvmode, skip, yq, y2q, uq, vq))
+
+            # ---- reconstruction (exactly the decoder's math) ----
+            y2d = _dequant_block(y2q, qf["y2"][0], qf["y2"][1])
+            dc_out = iwht4x4(y2d)
+            for sb in range(16):
+                sx, sy = (sb % 4) * 4, (sb // 4) * 4
+                d = _dequant_block(yq[sb], qf["y"][0], qf["y"][1])
+                d[0] = dc_out[sb]
+                res = idct4x4(d)
+                for r in range(4):
+                    for c in range(4):
+                        RY[by + sy + r][bx + sx + c] = _clamp8(
+                            ypred[sy + r][sx + c] + res[4 * r + c]
+                        )
+            for qlist, pred_p, RP in ((uq, upred, RU), (vq, vpred, RV)):
+                for sb in range(4):
+                    sx, sy = (sb % 2) * 4, (sb // 2) * 4
+                    d = _dequant_block(qlist[sb], qf["uv"][0], qf["uv"][1])
+                    res = idct4x4(d)
+                    for r in range(4):
+                        for c in range(4):
+                            RP[my * 8 + sy + r][mx * 8 + sx + c] = _clamp8(
+                                pred_p[sy + r][sx + c] + res[4 * r + c]
+                            )
+
+    # ---- emit per-MB mode + token streams with context tracking ----
+    idx = 0
+    for my in range(mbh):
+        st.reset_left()
+        for mx in range(mbw):
+            ymode, uvmode, skip, yq, y2q, uq, vq = mb_modes[idx]
+            idx += 1
+            hdr.bool(PROB_SKIP, 1 if skip else 0)
+            hdr.tree(KF_YMODE_TREE, KF_YMODE_PROBS, ymode)
+            hdr.tree(UV_MODE_TREE, KF_UV_PROBS, uvmode)
+            if skip:
+                # spec: skipped MBs leave the Y2 context untouched for
+                # 16x16-mode MBs? House rule (shared both sides): skip
+                # clears all nonzero contexts for this MB.
+                st.left_y = [False] * 4
+                st.left_u = [False] * 2
+                st.left_v = [False] * 2
+                st.left_y2 = False
+                for i in range(4):
+                    st.above_y[mx * 4 + i] = False
+                for i in range(2):
+                    st.above_u[mx * 2 + i] = False
+                    st.above_v[mx * 2 + i] = False
+                st.above_y2[mx] = False
+                continue
+            # Y2 first (plane 1)
+            ctx = _block_ctx(st.above_y2[mx], st.left_y2)
+            encode_coeffs(tok, y2q, 1, ctx, 0)
+            nz = any(y2q)
+            st.above_y2[mx] = st.left_y2 = nz
+            # 16 Y blocks (plane 0, first=1)
+            for sb in range(16):
+                col, row = sb % 4, sb // 4
+                ctx = _block_ctx(
+                    st.above_y[mx * 4 + col], st.left_y[row]
+                )
+                encode_coeffs(tok, yq[sb], 0, ctx, 1)
+                nz = any(v for p, v in enumerate(yq[sb]) if p != 0)
+                st.above_y[mx * 4 + col] = st.left_y[row] = nz
+            # U then V (plane 2)
+            for qlist, above, left in (
+                (uq, st.above_u, st.left_u),
+                (vq, st.above_v, st.left_v),
+            ):
+                for sb in range(4):
+                    col, row = sb % 2, sb // 2
+                    ctx = _block_ctx(above[mx * 2 + col], left[row])
+                    encode_coeffs(tok, qlist[sb], 2, ctx, 0)
+                    nz = any(qlist[sb])
+                    above[mx * 2 + col] = left[row] = nz
+
+    part0 = hdr.finish()
+    part1 = tok.finish()
+    # frame tag: keyframe(0), version 0, show_frame 1, part0 size
+    tag = (1 << 4) | (len(part0) << 5)
+    payload = (
+        tag.to_bytes(3, "little")
+        + b"\x9d\x01\x2a"
+        + struct.pack("<HH", w & 0x3FFF, h & 0x3FFF)
+        + part0
+        + part1
+    )
+    # loop filter on the recon (closed loop: decoder must match)
+    simple_loop_filter(RY, LOOP_FILTER_LEVEL, mbw, mbh)
+    recon = yuv420_to_rgb(RY, RU, RV, w, h)
+    return payload, recon
+
+
+# ---------------------------------------------------------------------------
+# keyframe decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_vp8_keyframe(payload: bytes) -> tuple[int, int, bytes]:
+    """VP8 chunk payload → (w, h, RGB).  Decodes the module subset;
+    raises MediaFormatError outside it.  NOTE: callers must enforce the
+    provenance gate (decode_webp_lossy) — this function trusts its
+    input came from encode_vp8_keyframe."""
+    if len(payload) < 10:
+        raise MediaFormatError("truncated VP8 payload")
+    tag = int.from_bytes(payload[0:3], "little")
+    if tag & 1:
+        raise MediaFormatError("VP8 interframe unsupported")
+    part0_len = tag >> 5
+    if payload[3:6] != b"\x9d\x01\x2a":
+        raise MediaFormatError("VP8 keyframe start code missing")
+    w16, h16 = struct.unpack_from("<HH", payload, 6)
+    w, h = w16 & 0x3FFF, h16 & 0x3FFF
+    if w == 0 or h == 0:
+        raise MediaFormatError("VP8 zero dimension")
+    body = payload[10:]
+    if part0_len > len(body):
+        raise MediaFormatError("VP8 first partition overruns payload")
+    hdr = BoolDecoder(body[:part0_len])
+    tokd = BoolDecoder(body[part0_len:])
+
+    if hdr.bool(128) or hdr.bool(128):
+        raise MediaFormatError("VP8 color space / clamping outside subset")
+    if hdr.bool(128):
+        raise MediaFormatError("VP8 segmentation outside subset")
+    filter_type = hdr.bool(128)
+    filter_level = hdr.literal(6)
+    sharpness = hdr.literal(3)
+    if hdr.bool(128):
+        raise MediaFormatError("VP8 loop-filter deltas outside subset")
+    if hdr.literal(2) != 0:
+        raise MediaFormatError("VP8 multi-partition outside subset")
+    qi = hdr.literal(7)
+    for _ in range(5):
+        if hdr.bool(128):
+            raise MediaFormatError("VP8 quantizer deltas outside subset")
+    hdr.bool(128)  # refresh_entropy_probs
+    for _p in range(4):
+        for _b in range(8):
+            for _c in range(3):
+                for _n in range(11):
+                    if hdr.bool(COEFF_UPDATE_PROB):
+                        raise MediaFormatError(
+                            "VP8 coefficient prob update outside subset"
+                        )
+    if not hdr.bool(128):
+        raise MediaFormatError("VP8 mb_no_coeff_skip=0 outside subset")
+    prob_skip = hdr.literal(8)
+
+    mbw, mbh = _mb_pad(w, h)
+    RY = _make_plane(mbw * 16, mbh * 16)
+    RU = _make_plane(mbw * 8, mbh * 8)
+    RV = _make_plane(mbw * 8, mbh * 8)
+    qf = quant_factors(qi)
+    st = _MbCoder(mbw, mbh)
+    for my in range(mbh):
+        st.reset_left()
+        for mx in range(mbw):
+            bx, by = mx * 16, my * 16
+            skip = hdr.bool(prob_skip)
+            ymode = hdr.tree(KF_YMODE_TREE, KF_YMODE_PROBS)
+            if ymode == B_PRED:
+                raise MediaFormatError("VP8 B_PRED outside subset")
+            uvmode = hdr.tree(UV_MODE_TREE, KF_UV_PROBS)
+            ypred = predict_block(RY, bx, by, 16, ymode)
+            upred = predict_block(RU, mx * 8, my * 8, 8, uvmode)
+            vpred = predict_block(RV, mx * 8, my * 8, 8, uvmode)
+            if skip:
+                yq = [[0] * 16 for _ in range(16)]
+                y2q = [0] * 16
+                uq = [[0] * 16 for _ in range(4)]
+                vq = [[0] * 16 for _ in range(4)]
+                st.left_y = [False] * 4
+                st.left_u = [False] * 2
+                st.left_v = [False] * 2
+                st.left_y2 = False
+                for i in range(4):
+                    st.above_y[mx * 4 + i] = False
+                for i in range(2):
+                    st.above_u[mx * 2 + i] = False
+                    st.above_v[mx * 2 + i] = False
+                st.above_y2[mx] = False
+            else:
+                ctx = _block_ctx(st.above_y2[mx], st.left_y2)
+                y2q = decode_coeffs(tokd, 1, ctx, 0)
+                nz = any(y2q)
+                st.above_y2[mx] = st.left_y2 = nz
+                yq = []
+                for sb in range(16):
+                    col, row = sb % 4, sb // 4
+                    ctx = _block_ctx(
+                        st.above_y[mx * 4 + col], st.left_y[row]
+                    )
+                    q = decode_coeffs(tokd, 0, ctx, 1)
+                    yq.append(q)
+                    nz = any(v for p, v in enumerate(q) if p != 0)
+                    st.above_y[mx * 4 + col] = st.left_y[row] = nz
+                uq, vq = [], []
+                for store, above, left in (
+                    (uq, st.above_u, st.left_u),
+                    (vq, st.above_v, st.left_v),
+                ):
+                    for sb in range(4):
+                        col, row = sb % 2, sb // 2
+                        ctx = _block_ctx(above[mx * 2 + col], left[row])
+                        q = decode_coeffs(tokd, 2, ctx, 0)
+                        store.append(q)
+                        nz = any(q)
+                        above[mx * 2 + col] = left[row] = nz
+            # reconstruction
+            y2d = _dequant_block(y2q, qf["y2"][0], qf["y2"][1])
+            dc_out = iwht4x4(y2d)
+            for sb in range(16):
+                sx, sy = (sb % 4) * 4, (sb // 4) * 4
+                d = _dequant_block(yq[sb], qf["y"][0], qf["y"][1])
+                d[0] = dc_out[sb]
+                res = idct4x4(d)
+                for r in range(4):
+                    for c in range(4):
+                        RY[by + sy + r][bx + sx + c] = _clamp8(
+                            ypred[sy + r][sx + c] + res[4 * r + c]
+                        )
+            for qlist, pred_p, RP in ((uq, upred, RU), (vq, vpred, RV)):
+                for sb in range(4):
+                    sx, sy = (sb % 2) * 4, (sb // 2) * 4
+                    d = _dequant_block(qlist[sb], qf["uv"][0], qf["uv"][1])
+                    res = idct4x4(d)
+                    for r in range(4):
+                        for c in range(4):
+                            RP[my * 8 + sy + r][mx * 8 + sx + c] = _clamp8(
+                                pred_p[sy + r][sx + c] + res[4 * r + c]
+                            )
+    if filter_type == 1:
+        simple_loop_filter(RY, filter_level, mbw, mbh)
+    elif filter_level != 0:
+        raise MediaFormatError("VP8 normal loop filter outside subset")
+    _ = sharpness
+    return w, h, yuv420_to_rgb(RY, RU, RV, w, h)
+
+
+# ---------------------------------------------------------------------------
+# WebP container + provenance gate
+# ---------------------------------------------------------------------------
+
+VP8_MARKER_UUID = bytes.fromhex("5ca1ab1e0dec0de5b10c0ffee1d2c3d4")
+
+
+def vp8_payload_digest(vp8_chunk_body: bytes) -> bytes:
+    return hashlib.sha256(b"vp8-prvn" + vp8_chunk_body).digest()[:16]
+
+
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    return fourcc + struct.pack("<I", len(body)) + body + (
+        b"\x00" if len(body) & 1 else b""
+    )
+
+
+def encode_webp_lossy(
+    w: int, h: int, rgb: bytes, qi: int = 32
+) -> tuple[bytes, bytes]:
+    """RGB → (RIFF/WEBP bytes with the PRVN provenance chunk, recon
+    RGB).  The PRVN chunk precedes VP8 and binds the exact VP8 chunk
+    payload; conforming WebP readers skip unknown chunks, so the file
+    stays spec-legal."""
+    payload, recon = encode_vp8_keyframe(w, h, rgb, qi)
+    prvn = _riff_chunk(
+        b"PRVN", VP8_MARKER_UUID + vp8_payload_digest(payload)
+    )
+    chunks = prvn + _riff_chunk(b"VP8 ", payload)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks,
+        recon,
+    )
+
+
+def decode_webp_lossy(data: bytes) -> tuple[int, int, bytes]:
+    """Provenance-gated lossy WebP decode: walks the RIFF chunks, and
+    decodes the VP8 payload ONLY when a PRVN chunk carries this
+    module's UUID plus a digest matching the exact VP8 chunk body —
+    otherwise MediaFormatError (the probe-only quarantine for external
+    lossy WebP; see the module honesty boundary)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise MediaFormatError("not a WebP container")
+    pos = 12
+    prvn = None
+    vp8 = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = pos + 8
+        if body + size > len(data):
+            raise MediaFormatError("truncated WebP chunk")
+        if cid == b"PRVN" and prvn is None:
+            prvn = data[body : body + size]
+        elif cid == b"VP8 " and vp8 is None:
+            vp8 = data[body : body + size]
+        elif cid in (b"VP8X", b"ANIM", b"ANMF"):
+            raise MediaFormatError(
+                "extended/animated WebP stays probe-only"
+            )
+        pos = body + size + (size & 1)
+    if vp8 is None:
+        raise MediaFormatError("WebP carries no VP8 lossy chunk")
+    if (
+        prvn is None
+        or len(prvn) < 32
+        or prvn[:16] != VP8_MARKER_UUID
+        or prvn[16:32] != vp8_payload_digest(vp8)
+    ):
+        raise MediaFormatError(
+            "lossy WebP without matching provenance stays quarantined "
+            "(house probability tables: external decode not claimed)"
+        )
+    return decode_vp8_keyframe(vp8)
