@@ -177,6 +177,8 @@ EXTENDED = [
     # round 11
     "video_cabac_decode",
     "webp_lossless_decode",
+    # round 12
+    "webp_lossy_decode",
 ]
 
 
@@ -420,6 +422,7 @@ def _codec_throughput() -> dict:
 
     from reindexer_spark import codecs as C
     from reindexer_spark import h264 as H
+    from reindexer_spark import vp8 as V8
     from reindexer_spark import vp8l as VL
 
     def px(n: int, tag: bytes) -> bytes:
@@ -482,6 +485,10 @@ def _codec_throughput() -> dict:
         "webp-vp8l": (
             VL.encode_webp_lossless(w, h, rgb),
             VL.decode_webp_lossless,
+        ),
+        "webp-vp8": (
+            V8.encode_webp_lossy(w, h, rgb, 32)[0],
+            V8.decode_webp_lossy,
         ),
     }
 

@@ -2761,3 +2761,141 @@ def webp_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id bigint, width int, height int, subtract_green int, "
         "rgb_md5 string, roundtrip_exact int, lossy_quarantined int",
     )
+
+
+WEBP_LOSSY_DOCS = 20
+
+
+@query(
+    "webp_lossy_decode",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {WEBP_LOSSY_DOCS}
+    ), s AS (
+      SELECT media_id,
+             CAST(('0x' || substr(dg, 1, 2)) AS INT) AS s0,
+             CAST(('0x' || substr(dg, 3, 2)) AS INT) AS s1,
+             CAST(('0x' || substr(dg, 5, 2)) AS INT) AS s2
+      FROM base
+    )
+    SELECT media_id,
+      CAST(4 + s0 % 21 AS INT) AS width,
+      CAST(4 + s1 % 15 AS INT) AS height,
+      CAST(8 + s2 % 96 AS INT) AS qi,
+      CAST(1 AS INT) AS recon_exact,
+      CAST(1 AS INT) AS probe_ok,
+      CAST(1 AS INT) AS markerless_quarantined
+    FROM s
+    """,
+)
+def webp_lossy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL VP8 lossy keyframe decode (round-11 VERDICT next #3): per
+    document, derive an RGB image and a quantizer index from sha256
+    arithmetic BOTH engines can compute, encode it as a VP8 keyframe
+    (reindexer_spark.vp8 — boolean arithmetic coder, token-tree
+    residuals with band/zero-run contexts, Y2 WHT, exact-integer iDCT,
+    intra prediction, simple loop filter), wrap in RIFF/WEBP with the
+    PRVN provenance chunk, and decode the pixels back through the
+    production image path (codecs._decode_image).
+
+    Oracle-pinned columns: ``width``/``height``/``qi`` — digest
+    arithmetic (dims deliberately non-multiple-of-16 so MB padding and
+    cropping are exercised); ``recon_exact=1`` — decoder output is
+    byte-equal to the ENCODER'S closed-loop reconstruction through the
+    loop filter (lossy codecs can't round-trip the source; the
+    closed-loop equality is the conformance claim, same contract as
+    video_cabac_decode); ``probe_ok=1`` — the header-only probe reads
+    the same dims from the uncompressed keyframe header;
+    ``markerless_quarantined=1`` — the same container with its PRVN
+    chunk stripped refuses to decode (vp8.py's honesty boundary: house
+    probability tables, so external lossy WebP must quarantine, never
+    produce a wrong pixel).
+
+    Scale shape: Arrow-batched mapInPandas, payloads never shuffle —
+    same as every media lane."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < WEBP_LOSSY_DOCS
+    )
+
+    def build_and_decode(batches):
+        import hashlib
+        import struct
+
+        from reindexer_spark.codecs import (
+            MediaFormatError,
+            _decode_image,
+            probe_media,
+        )
+        from reindexer_spark.vp8 import encode_webp_lossy
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.doc_id)
+                dg = hashlib.sha256(r.text.encode("utf-8")).hexdigest()
+                w = 4 + int(dg[0:2], 16) % 21
+                h = 4 + int(dg[2:4], 16) % 15
+                qi = 8 + int(dg[4:6], 16) % 96
+                n = w * h * 3
+                hexchain = "".join(
+                    hashlib.sha256(f"{dg}-{i}".encode()).hexdigest()
+                    for i in range((n + 31) // 32)
+                )[: 2 * n]
+                rgb = bytes.fromhex(hexchain)
+                webp, recon = encode_webp_lossy(w, h, rgb, qi)
+                dw, dh, out = _decode_image("webp", webp)
+                meta = probe_media(webp)
+                probe_ok = int(
+                    meta.get("width") == w and meta.get("height") == h
+                )
+                # strip the PRVN chunk and require the quarantine
+                pos, keep = 12, b""
+                while pos + 8 <= len(webp):
+                    cid = webp[pos : pos + 4]
+                    size = struct.unpack_from("<I", webp, pos + 4)[0]
+                    end = pos + 8 + size + (size & 1)
+                    if cid != b"PRVN":
+                        keep += webp[pos:end]
+                    pos = end
+                stripped = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + len(keep))
+                    + b"WEBP"
+                    + keep
+                )
+                try:
+                    _decode_image("webp", stripped)
+                    quarantined = 0
+                except MediaFormatError:
+                    quarantined = 1
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": dw if dw == w else -dw,
+                        "height": dh if dh == h else -dh,
+                        "qi": qi,
+                        "recon_exact": int(out == recon),
+                        "probe_ok": probe_ok,
+                        "markerless_quarantined": quarantined,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "qi", "recon_exact",
+                    "probe_ok", "markerless_quarantined",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .repartition(WEBP_LOSSY_DOCS)
+        .mapInPandas(
+            build_and_decode,
+            "media_id bigint, width int, height int, qi int, "
+            "recon_exact int, probe_ok int, markerless_quarantined int",
+        )
+    )
