@@ -4220,11 +4220,14 @@ def parse_hevc_sps(nal: bytes) -> dict:
 
 
 def write_h264_sps(
-    width: int, height: int, profile: int = 66, level: int = 30
+    width: int, height: int, profile: int = 66, level: int = 30,
+    num_ref_frames: int = 1,
 ) -> bytes:
     """Synthesize a spec-shaped SPS NAL for fixtures: frame_mbs_only,
     4:2:0, cropping as needed for non-multiple-of-16 dimensions (even
-    dims only — 4:2:0 crop units are 2 luma samples)."""
+    dims only — 4:2:0 crop units are 2 luma samples).
+    ``num_ref_frames``: 1 for the IDR/IPPP chains, 2 for IPB (the B
+    subset holds two references in its DPB)."""
     if width % 2 or height % 2 or width <= 0 or height <= 0:
         raise ValueError("H.264 fixture dims must be positive and even")
     pw = (width + 15) // 16
@@ -4243,7 +4246,7 @@ def write_h264_sps(
     w.ue(0)  # log2_max_frame_num_minus4
     w.ue(0)  # pic_order_cnt_type
     w.ue(0)  # log2_max_pic_order_cnt_lsb_minus4
-    w.ue(1)  # max_num_ref_frames
+    w.ue(num_ref_frames)  # max_num_ref_frames
     w.u(0, 1)
     w.ue(pw - 1)
     w.ue(ph - 1)
@@ -4479,10 +4482,10 @@ def encode_mp4_coded(
     )
     stco = _full_box(b"stco", 0, 0, struct.pack(">II", 1, base))
     # absent stss = every sample sync (true for all-intra); the IPPP
-    # chain marks only the IDR
+    # and IPB chains mark only the IDR
     stss = (
         _full_box(b"stss", 0, 0, struct.pack(">II", 1, 1))
-        if (intra_frames is not None and gop == "ippp")
+        if (intra_frames is not None and gop in ("ippp", "ipb"))
         else b""
     )
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stss + stco)
@@ -4618,12 +4621,15 @@ def encode_mkv_coded(
             _MKV_SIMPLE_BLOCK,
             b"\x81"
             + struct.pack(">h", i * frame_ms)
-            # all-intra: every block keyframe; ippp: only block 0
+            # all-intra: every block keyframe; ippp/ipb: only block 0
             + bytes([
                 0x80
                 if (
                     i == 0
-                    or (intra_bodies is not None and gop != "ippp")
+                    or (
+                        intra_bodies is not None
+                        and gop not in ("ippp", "ipb")
+                    )
                 )
                 else 0x00
             ])

@@ -857,6 +857,13 @@ class _FrameState:
         # inter prediction' in §8.4.1.3.2 — refIdx -1, mv 0)
         self.mv = np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int32)
         self.inter = np.zeros((mb_h * 4, mb_w * 4), dtype=bool)
+        # B-slice additions (round 12): the L1 motion field and
+        # per-list usage flags.  For P slices uses0 == inter and uses1
+        # stays False, so the P paths (which write via _store_part_mv)
+        # need no changes; B paths write both.
+        self.mv1 = np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int32)
+        self.uses0 = np.zeros((mb_h * 4, mb_w * 4), dtype=bool)
+        self.uses1 = np.zeros((mb_h * 4, mb_w * 4), dtype=bool)
 
     def i4_mpm(self, abx: int, aby: int) -> int:
         if abx == 0 or aby == 0:
@@ -1025,10 +1032,17 @@ def parse_pps(nal: bytes, allow_cabac: bool = False) -> dict:
         )
     if r.ue() != 0:
         raise MediaFormatError("slice groups unsupported")
-    r.ue()
-    r.ue()
-    r.u(1)
-    r.u(2)
+    if r.ue() != 0 or r.ue() != 0:
+        # >1 default active ref per list ⇒ ref_idx syntax in every
+        # inter MB, which the MB parsers don't read — desync, refuse
+        raise MediaFormatError(
+            "multi-reference PPS defaults outside the subset"
+        )
+    if r.u(1) or r.u(2):
+        # weighted_pred / weighted_bipred_idc add pred_weight_table
+        # syntax (explicit) or change the B average (implicit) — both
+        # outside the subset
+        raise MediaFormatError("weighted prediction outside the subset")
     out["pic_init_qp"] = 26 + r.se()
     r.se()
     out["chroma_qp_index_offset"] = r.se()
@@ -1103,18 +1117,27 @@ def _write_slice_header(
     w: _BitWriter, qp: int, pic_init_qp: int, idr_pic_id: int,
     log2_max_frame_num: int, poc_type: int, log2_max_poc_lsb: int,
     deblock: bool = True, slice_type: str = "I", frame_num: int = 0,
-    cabac: bool = False,
+    cabac: bool = False, poc_lsb: int | None = None,
 ) -> None:
     w.ue(0)  # first_mb_in_slice
-    # 5/7 = I/P + 5: 'all slices in this picture have this type'
-    w.ue(7 if slice_type == "I" else 5)
+    # I/P/B + 5: 'all slices in this picture have this type'
+    w.ue({"I": 7, "P": 5, "B": 6}[slice_type])
     w.ue(0)  # pps_id
     w.u(frame_num % (1 << log2_max_frame_num), log2_max_frame_num)
     if slice_type == "I":  # IDR
         w.ue(idr_pic_id)
     if poc_type == 0:
-        w.u((2 * frame_num) % (1 << log2_max_poc_lsb), log2_max_poc_lsb)
-    if slice_type == "P":
+        if poc_lsb is None:
+            poc_lsb = 2 * frame_num
+        w.u(poc_lsb % (1 << log2_max_poc_lsb), log2_max_poc_lsb)
+    if slice_type == "B":
+        w.u(1, 1)  # direct_spatial_mv_pred_flag (spatial; direct
+        #            modes themselves stay outside the subset)
+        w.u(0, 1)  # num_ref_idx_active_override_flag
+        w.u(0, 1)  # ref_pic_list_modification_flag_l0
+        w.u(0, 1)  # ref_pic_list_modification_flag_l1
+        # non-reference picture (nal_ref_idc 0): NO dec_ref_pic_marking
+    elif slice_type == "P":
         w.u(0, 1)  # num_ref_idx_active_override_flag
         w.u(0, 1)  # ref_pic_list_modification_flag_l0
         # dec_ref_pic_marking (nal_ref_idc != 0, non-IDR):
@@ -1148,9 +1171,13 @@ def _parse_slice_header(
         stype = "P"
         if idr:
             raise MediaFormatError("P slice in an IDR NAL")
+    elif slice_type % 5 == 1:
+        stype = "B"
+        if idr:
+            raise MediaFormatError("B slice in an IDR NAL")
     else:
         raise MediaFormatError(
-            "B/SP/SI slice outside the baseline single-reference subset"
+            "SP/SI slice outside the baseline single-reference subset"
         )
     if idr and stype != "I":
         raise MediaFormatError("IDR picture must carry I slices")
@@ -1160,7 +1187,25 @@ def _parse_slice_header(
         r.ue()  # idr_pic_id
     if sps["poc_type"] == 0:
         r.u(sps["log2_max_poc_lsb"])
-    if stype == "P":
+    if stype == "B":
+        if not r.u(1):  # direct_spatial_mv_pred_flag
+            raise MediaFormatError(
+                "temporal direct prediction outside the subset"
+            )
+        if r.u(1):  # num_ref_idx_active_override_flag
+            if r.ue() != 0 or r.ue() != 0:
+                raise MediaFormatError(
+                    "multi-reference B slice outside the subset"
+                )
+        if r.u(1):  # ref_pic_list_modification_flag_l0
+            raise MediaFormatError(
+                "reference list modification outside the subset"
+            )
+        if r.u(1):  # ref_pic_list_modification_flag_l1
+            raise MediaFormatError(
+                "reference list modification outside the subset"
+            )
+    elif stype == "P":
         if r.u(1):  # num_ref_idx_active_override_flag
             if r.ue() != 0:
                 raise MediaFormatError(
@@ -1578,11 +1623,13 @@ def decode_frame_nal(
     nal: bytes, sps: dict, pps: dict,
     ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
     cabac_ok: bool = False,
+    ref2: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Slice NAL → reconstructed (Y, U, V) planes (coded size; caller
     crops).  IDR slices decode standalone; P slices require ``ref`` —
-    the PREVIOUS decoded picture's output planes (single-reference
-    baseline subset)."""
+    the most recent REFERENCE picture's output planes; B slices
+    additionally require ``ref2`` — the previous reference (L1[0]
+    under the default-list swap)."""
     if not nal:
         raise MediaFormatError("empty NAL")
     nal_type = nal[0] & 0x1F
@@ -1614,6 +1661,12 @@ def decode_frame_nal(
                 "P slice without a decoded reference picture"
             )
         _decode_p_slice_mbs(r, st, qp, cqo, ref)
+    elif stype == "B":
+        if ref is None or ref2 is None:
+            raise MediaFormatError(
+                "B slice without two decoded reference pictures"
+            )
+        _decode_b_slice_mbs(r, st, qp, cqo, [ref, ref2])
     else:
         for mby in range(sps["mb_h"]):
             for mbx in range(sps["mb_w"]):
@@ -1627,7 +1680,7 @@ def decode_frame_nal(
         # FILTERED picture is what callers store as the next reference
         return deblock_frame(
             st.y, st.u, st.v, qp, cqo, a_off, b_off,
-            st=st if stype == "P" else None,
+            st=st if stype in ("P", "B") else None,
         )
     return st.y, st.u, st.v
 
@@ -1763,7 +1816,7 @@ def decode_avcc_samples(
             elif t in (1, 5):
                 slices.append(nal)
     marker_seen = cabac_provenance_ok(seis, slices)
-    ref = None  # previous picture's output planes (single-ref P chain)
+    refs: list = []  # 2-deep DPB, most recent reference first
     for sample in samples:
         frame = None
         for nal in split_sample_nals(sample, length_size):
@@ -1786,9 +1839,13 @@ def decode_avcc_samples(
                 if frame is not None:
                     raise MediaFormatError("multi-slice sample unsupported")
                 y, u, v = decode_frame_nal(
-                    nal, sps, pps, ref=ref, cabac_ok=marker_seen
+                    nal, sps, pps,
+                    ref=refs[0] if refs else None,
+                    ref2=refs[1] if len(refs) > 1 else None,
+                    cabac_ok=marker_seen,
                 )
-                ref = (y, u, v)
+                if nal[0] >> 5:  # reference picture → enters the DPB
+                    refs = [(y, u, v)] + refs[:1]
                 ct, cl = sps["crop_t"], sps["crop_l"]
                 frame = yuv420_to_rgb(
                     y[ct : ct + h, cl : cl + w],
@@ -1835,6 +1892,8 @@ def encode_avcc_samples(
         prefix_nals, nals = [nals[0]], nals[1:]  # marker SEI
     elif gop == "ippp":
         sps, pps, nals = encode_h264_ippp(width, height, frames_rgb, qp)
+    elif gop == "ipb":
+        sps, pps, nals = encode_h264_ipb(width, height, frames_rgb, qp)
     else:
         sps, pps, nals = encode_h264_intra(width, height, frames_rgb, qp)
     samples = [len(n).to_bytes(4, "big") + n for n in nals]
@@ -1906,6 +1965,8 @@ def encode_h264_annexb(
         )
     elif gop == "ippp":
         sps, pps, nals = encode_h264_ippp(width, height, frames_rgb, qp)
+    elif gop == "ipb":
+        sps, pps, nals = encode_h264_ipb(width, height, frames_rgb, qp)
     else:
         sps, pps, nals = encode_h264_intra(width, height, frames_rgb, qp)
     sc = b"\x00\x00\x00\x01"
@@ -1937,7 +1998,7 @@ def decode_h264_annexb_stream(data: bytes) -> tuple[int, int, list[bytes]]:
     sps = pps = None
     frames = []
     w = h = None
-    ref = None
+    refs: list = []  # 2-deep DPB, most recent reference first
     all_nals = split_annexb(data)
     marker_seen = cabac_provenance_ok(
         [n for n in all_nals if (n[0] & 0x1F) == 6],
@@ -1959,9 +2020,13 @@ def decode_h264_annexb_stream(data: bytes) -> tuple[int, int, list[bytes]]:
             if sps is None or pps is None:
                 raise MediaFormatError("slice before SPS/PPS in stream")
             y, u, v = decode_frame_nal(
-                nal, sps, pps, ref=ref, cabac_ok=marker_seen
+                nal, sps, pps,
+                ref=refs[0] if refs else None,
+                ref2=refs[1] if len(refs) > 1 else None,
+                cabac_ok=marker_seen,
             )
-            ref = (y, u, v)
+            if nal[0] >> 5:  # reference picture → enters the DPB
+                refs = [(y, u, v)] + refs[:1]
             ct, cl = sps["crop_t"], sps["crop_l"]
             frames.append(
                 yuv420_to_rgb(
@@ -2095,9 +2160,23 @@ def _inter_bs_grids(st: _FrameState) -> tuple[np.ndarray, np.ndarray]:
             return 4 if mb_edge else 3
         if st.nc_y[pby, pbx] or st.nc_y[qby, qbx]:
             return 2
-        if (
+        # §8.7.2.1 motion rules, extended for B (round 12): different
+        # prediction shape (list usage = which reference pictures are
+        # used, refIdx 0 each) → 1; else any used list's MV components
+        # differ by ≥ 4 quarter-pel units → 1.  For P pictures uses1
+        # is all-False and this reduces to the single-list rule.
+        if (bool(st.uses0[pby, pbx]), bool(st.uses1[pby, pbx])) != (
+            bool(st.uses0[qby, qbx]), bool(st.uses1[qby, qbx])
+        ):
+            return 1
+        if st.uses0[pby, pbx] and (
             abs(int(st.mv[pby, pbx, 0]) - int(st.mv[qby, qbx, 0])) >= 4
             or abs(int(st.mv[pby, pbx, 1]) - int(st.mv[qby, qbx, 1])) >= 4
+        ):
+            return 1
+        if st.uses1[pby, pbx] and (
+            abs(int(st.mv1[pby, pbx, 0]) - int(st.mv1[qby, qbx, 0])) >= 4
+            or abs(int(st.mv1[pby, pbx, 1]) - int(st.mv1[qby, qbx, 1])) >= 4
         ):
             return 1
         return 0
@@ -2745,6 +2824,105 @@ def _store_part_mv(
     bx, by = mbx * 4 + dx, mby * 4 + dy
     st.mv[by : by + ph, bx : bx + pw] = mv
     st.inter[by : by + ph, bx : bx + pw] = True
+    st.uses0[by : by + ph, bx : bx + pw] = True
+
+
+# ---------------------------------------------------------------------------
+# B slices (round 12): two reference lists, 16x16 L0/L1/Bi prediction
+# ---------------------------------------------------------------------------
+# Subset: low-delay B — both references PRECEDE the B picture in
+# display order (coded order == display order, so containers carry no
+# reorder), non-reference NALs (nal_ref_idc 0), one slice per picture,
+# 16x16 partitions only, num_ref_idx_active = 1 per list (no ref_idx
+# syntax).  Default RefPicList construction (§8.2.4.2.3) then gives
+# L0 = [most recent ref, older ref] and L1 = L0 with the first two
+# entries swapped → L1[0] = the OLDER reference.  B_Skip / B_Direct
+# (which need colocated-motion access even in spatial mode) and
+# partitioned B types stay OUTSIDE the subset and quarantine.
+
+
+def _mv_nbr_l(st: _FrameState, bx: int, by: int, lst: int):
+    """Per-list neighbour info for B MV prediction: (available,
+    uses-this-list, mv).  A neighbour that doesn't predict from the
+    list contributes refIdx -1 / mv 0 (§8.4.1.3.2)."""
+    if bx < 0 or by < 0 or bx >= st.mb_w * 4 or by >= st.mb_h * 4:
+        return (False, False, (0, 0))
+    uses = st.uses1 if lst else st.uses0
+    if not uses[by, bx]:
+        return (True, False, (0, 0))
+    mvf = st.mv1 if lst else st.mv
+    return (True, True, (int(mvf[by, bx, 0]), int(mvf[by, bx, 1])))
+
+
+def _pred_mv_b(st: _FrameState, mbx: int, mby: int, lst: int):
+    """§8.4.1.3 median MV predictor for a 16x16 B partition on list
+    ``lst`` (refIdx always 0 in the subset)."""
+    abx, aby = mbx * 4, mby * 4
+    a = _mv_nbr_l(st, abx - 1, aby, lst)
+    b = _mv_nbr_l(st, abx, aby - 1, lst)
+    c_bx = abx + 4
+    if (
+        c_bx < st.mb_w * 4
+        and aby > 0
+        and _blk_order(c_bx, aby - 1, st.mb_w)
+        < _blk_order(abx, aby, st.mb_w)
+    ):
+        c = _mv_nbr_l(st, c_bx, aby - 1, lst)
+    else:
+        c = (False, False, (0, 0))
+    if not c[0]:
+        c = _mv_nbr_l(st, abx - 1, aby - 1, lst)
+    if a[0] and not b[0] and not c[0]:
+        b = c = a
+    matching = [n for n in (a, b, c) if n[1]]
+    if len(matching) == 1:
+        return matching[0][2]
+    mvs = [n[2] for n in (a, b, c)]
+    return (
+        int(np.median([m[0] for m in mvs])),
+        int(np.median([m[1] for m in mvs])),
+    )
+
+
+def _store_b_mv(
+    st: _FrameState, mbx: int, mby: int,
+    mv0, mv1, u0: bool, u1: bool,
+) -> None:
+    bx, by = mbx * 4, mby * 4
+    st.inter[by : by + 4, bx : bx + 4] = True
+    st.uses0[by : by + 4, bx : bx + 4] = u0
+    st.uses1[by : by + 4, bx : bx + 4] = u1
+    if u0:
+        st.mv[by : by + 4, bx : bx + 4] = mv0
+    if u1:
+        st.mv1[by : by + 4, bx : bx + 4] = mv1
+
+
+def _mc_b_pred(
+    refs, mbx: int, mby: int, mode: str, mv0, mv1,
+):
+    """16x16 luma + 8x8 chroma prediction for a B macroblock:
+    single-list MC, or the default bi average (predL0 + predL1 + 1)>>1
+    (§8.4.2.3, no weighted prediction in the subset)."""
+    preds = []
+    for use, ref, mv in (
+        (mode in ("l0", "bi"), refs[0], mv0),
+        (mode in ("l1", "bi"), refs[1], mv1),
+    ):
+        if not use:
+            continue
+        ry, ru, rv = ref
+        preds.append((
+            _mc_luma(ry, mbx * 16, mby * 16, 16, 16, mv[0], mv[1]),
+            _mc_chroma(ru, mbx * 8, mby * 8, 8, 8, mv[0], mv[1]),
+            _mc_chroma(rv, mbx * 8, mby * 8, 8, 8, mv[0], mv[1]),
+        ))
+    if len(preds) == 1:
+        return preds[0]
+    return tuple(
+        (p0.astype(np.int64) + p1.astype(np.int64) + 1) >> 1
+        for p0, p1 in zip(preds[0], preds[1])
+    )
 
 
 def _recon_p_skip(
@@ -2805,6 +2983,62 @@ def _recon_inter_luma(
     st.y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(out, 0, 255)
 
 
+def _motion_search(
+    ry: np.ndarray, src_blk: np.ndarray, x0: int, y0: int,
+    pmv: tuple[int, int], dx=0, dy=0, bw=16, bh=16,
+) -> tuple[tuple[int, int], int]:
+    """Integer-pel full search ±4 around the predictor (plus the zero
+    vector), then one half- and one quarter-pel refinement ring — the
+    classic two-stage refinement, shared by the P and B deciders.  The
+    81-candidate grid is ONE vectorized SAD (sliding_window_view over
+    a clamped gather window — per-coordinate clamping identical to
+    _mc_luma's edge extension); ties break deterministically: zero
+    vector first, then grid row-major (round-11: motion search
+    dominated the video fixture lanes ~10:1 over decode)."""
+
+    def sad_at(mvx: int, mvy: int) -> int:
+        p = _mc_luma(ry, x0 + dx, y0 + dy, bw, bh, mvx, mvy)
+        s = src_blk[dy : dy + bh, dx : dx + bw]
+        return int(np.abs(s - p).sum())
+
+    base = (pmv[0] >> 2 << 2, pmv[1] >> 2 << 2)
+    bx0 = x0 + dx + (base[0] >> 2)
+    by0 = y0 + dy + (base[1] >> 2)
+    xs = np.clip(np.arange(bx0 - 4, bx0 + bw + 4), 0, ry.shape[1] - 1)
+    ys = np.clip(np.arange(by0 - 4, by0 + bh + 4), 0, ry.shape[0] - 1)
+    win = ry[np.ix_(ys, xs)].astype(np.int64)
+    s = src_blk[dy : dy + bh, dx : dx + bw]
+    wins = np.lib.stride_tricks.sliding_window_view(win, (bh, bw))
+    sads = np.abs(wins - s[None, None]).sum(axis=(2, 3))
+    offs = np.arange(-4, 5) * 4
+    mvxg = base[0] + offs[None, :]
+    mvyg = base[1] + offs[:, None]
+    costs = sads + 2 * (
+        np.abs(mvxg - pmv[0]) + np.abs(mvyg - pmv[1])
+    )
+    best = (0, 0)
+    best_cost = sad_at(0, 0) + 2 * (abs(pmv[0]) + abs(pmv[1]))
+    k = int(np.argmin(costs))
+    gy, gx = divmod(k, 9)
+    gc = int(costs[gy, gx])
+    if gc < best_cost:
+        best = (int(mvxg[0, gx]), int(mvyg[gy, 0]))
+        best_cost = gc
+    for step in (2, 1):
+        improved = True
+        while improved:
+            improved = False
+            for sx, sy in ((step, 0), (-step, 0), (0, step), (0, -step)):
+                mv = (best[0] + sx, best[1] + sy)
+                cost = sad_at(mv[0], mv[1]) + 2 * (
+                    abs(mv[0] - pmv[0]) + abs(mv[1] - pmv[1])
+                )
+                if cost < best_cost:
+                    best, best_cost = mv, cost
+                    improved = True
+    return best, best_cost
+
+
 def _p_mb_decide(
     st: _FrameState, mbx: int, mby: int, qp: int,
     src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
@@ -2822,58 +3056,8 @@ def _p_mb_decide(
     src_blk = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64)
     ry = ref[0]
 
-    def sad_at(mvx: int, mvy: int, dx=0, dy=0, bw=16, bh=16) -> int:
-        p = _mc_luma(ry, x0 + dx, y0 + dy, bw, bh, mvx, mvy)
-        s = src_blk[dy : dy + bh, dx : dx + bw]
-        return int(np.abs(s - p).sum())
-
     def search(pmv: tuple[int, int], dx=0, dy=0, bw=16, bh=16):
-        # integer-pel full search ±4 around the predictor (plus the
-        # zero vector), then one half- and one quarter-pel refinement
-        # ring — the classic two-stage refinement.  The 81-candidate
-        # grid is ONE vectorized SAD (sliding_window_view over a
-        # clamped gather window — per-coordinate clamping identical to
-        # _mc_luma's edge extension); ties break deterministically:
-        # zero vector first, then grid row-major (round-11: motion
-        # search dominated the video fixture lanes ~10:1 over decode).
-        base = (pmv[0] >> 2 << 2, pmv[1] >> 2 << 2)
-        bx0 = x0 + dx + (base[0] >> 2)
-        by0 = y0 + dy + (base[1] >> 2)
-        xs = np.clip(np.arange(bx0 - 4, bx0 + bw + 4), 0, ry.shape[1] - 1)
-        ys = np.clip(np.arange(by0 - 4, by0 + bh + 4), 0, ry.shape[0] - 1)
-        win = ry[np.ix_(ys, xs)].astype(np.int64)
-        s = src_blk[dy : dy + bh, dx : dx + bw]
-        wins = np.lib.stride_tricks.sliding_window_view(win, (bh, bw))
-        sads = np.abs(wins - s[None, None]).sum(axis=(2, 3))
-        offs = np.arange(-4, 5) * 4
-        mvxg = base[0] + offs[None, :]
-        mvyg = base[1] + offs[:, None]
-        costs = sads + 2 * (
-            np.abs(mvxg - pmv[0]) + np.abs(mvyg - pmv[1])
-        )
-        best = (0, 0)
-        best_cost = sad_at(0, 0, dx, dy, bw, bh) + 2 * (
-            abs(pmv[0]) + abs(pmv[1])
-        )
-        k = int(np.argmin(costs))
-        gy, gx = divmod(k, 9)
-        gc = int(costs[gy, gx])
-        if gc < best_cost:
-            best = (int(mvxg[0, gx]), int(mvyg[gy, 0]))
-            best_cost = gc
-        for step in (2, 1):
-            improved = True
-            while improved:
-                improved = False
-                for sx, sy in ((step, 0), (-step, 0), (0, step), (0, -step)):
-                    mv = (best[0] + sx, best[1] + sy)
-                    cost = sad_at(mv[0], mv[1], dx, dy, bw, bh) + 2 * (
-                        abs(mv[0] - pmv[0]) + abs(mv[1] - pmv[1])
-                    )
-                    if cost < best_cost:
-                        best, best_cost = mv, cost
-                        improved = True
-        return best, best_cost
+        return _motion_search(ry, src_blk, x0, y0, pmv, dx, dy, bw, bh)
 
     # ---- 16x16 motion estimation
     pmv16 = _pred_mv(st, mbx * 4, mby * 4, 4, "16x16")
@@ -3116,10 +3300,298 @@ def _decode_p_slice_mbs(
         i += 1
 
 
+_B_MODE_MBTYPE = {"l0": 1, "l1": 2, "bi": 3}  # Table 7-14
+_B_MBTYPE_MODE = {v: k for k, v in _B_MODE_MBTYPE.items()}
+
+
+def _b_mb_decide(
+    st: _FrameState, mbx: int, mby: int, qp: int,
+    src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
+    refs,
+) -> tuple[str, dict | None]:
+    """Entropy-agnostic B-macroblock decision: one 16x16 motion search
+    per reference list, a bi-predictive average of the two winners,
+    and the intra fallback.  Mirrors _p_mb_decide's contract."""
+    x0, y0 = mbx * 16, mby * 16
+    src_blk = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64)
+    pmv0 = _pred_mv_b(st, mbx, mby, 0)
+    pmv1 = _pred_mv_b(st, mbx, mby, 1)
+    mv0, c0 = _motion_search(refs[0][0], src_blk, x0, y0, pmv0)
+    mv1, c1 = _motion_search(refs[1][0], src_blk, x0, y0, pmv1)
+    p_bi = (
+        _mc_luma(refs[0][0], x0, y0, 16, 16, mv0[0], mv0[1]).astype(
+            np.int64
+        )
+        + _mc_luma(refs[1][0], x0, y0, 16, 16, mv1[0], mv1[1]).astype(
+            np.int64
+        )
+        + 1
+    ) >> 1
+    c_bi = int(np.abs(src_blk - p_bi).sum()) + 2 * (
+        abs(mv0[0] - pmv0[0]) + abs(mv0[1] - pmv0[1])
+        + abs(mv1[0] - pmv1[0]) + abs(mv1[1] - pmv1[1])
+    ) + 8  # second mvd's rate
+    mode, cost = min(
+        (("l0", c0), ("l1", c1), ("bi", c_bi)), key=lambda t: t[1]
+    )
+    legal = [L16_DC]
+    if mby > 0:
+        legal.append(L16_VERTICAL)
+    if mbx > 0:
+        legal.append(L16_HORIZONTAL)
+    intra_sad = min(
+        int(np.abs(src_blk - _pred_luma16(m, st.y, mbx, mby)).sum())
+        for m in legal
+    )
+    if intra_sad + 24 < cost:
+        return "intra", None
+    pred_y, pred_u, pred_v = _mc_b_pred(refs, mbx, mby, mode, mv0, mv1)
+    zs, cbp_luma = _inter_luma_quant(src_y, pred_y, mbx, mby, qp)
+    qpc = _QPC[max(0, min(51, qp))]
+    cx0, cy0 = mbx * 8, mby * 8
+    cres = [
+        src[cy0 : cy0 + 8, cx0 : cx0 + 8].astype(np.int64) - pred
+        for src, pred in ((src_u, pred_u), (src_v, pred_v))
+    ]
+    cbp_chroma, cdcq, cacq = _chroma_transform_quant(cres, qpc, intra=False)
+    return "inter", {
+        "mode": mode,
+        "mv0": mv0,
+        "mv1": mv1,
+        "zs": zs,
+        "cbp_luma": cbp_luma,
+        "cbp_chroma": cbp_chroma,
+        "cdcq": cdcq,
+        "cacq": cacq,
+        "preds": (pred_y, pred_u, pred_v),
+    }
+
+
+def _b_mb_finish(
+    st: _FrameState, mbx: int, mby: int, qp: int, cqo: int, d: dict
+) -> None:
+    """Shared state update + reconstruction for a coded B inter MB
+    (encoder closed loop and decoder run the identical math)."""
+    mode = d["mode"]
+    _store_b_mv(
+        st, mbx, mby, d["mv0"], d["mv1"],
+        mode in ("l0", "bi"), mode in ("l1", "bi"),
+    )
+    st.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
+    pred_y, pred_u, pred_v = d["preds"]
+    _recon_inter_luma(st, mbx, mby, qp, pred_y, d["zs"], d["cbp_luma"])
+    _recon_chroma_blocks(
+        st, mbx, mby, qp, cqo, [pred_u, pred_v], d["cdcq"], d["cacq"]
+    )
+
+
+def _encode_b_mb(
+    w: _BitWriter, st: _FrameState, mbx: int, mby: int, qp: int,
+    src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray, refs,
+) -> None:
+    kind, d = _b_mb_decide(st, mbx, mby, qp, src_y, src_u, src_v, refs)
+    w.ue(0)  # mb_skip_run (B_Skip/direct outside the subset)
+    if kind == "intra":
+        _encode_mb(w, st, mbx, mby, qp, src_y, src_u, src_v, mtype_off=23)
+        st.inter[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = False
+        st.uses0[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = False
+        st.uses1[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = False
+        st.mv[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+        st.mv1[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+        return
+    mode = d["mode"]
+    w.ue(_B_MODE_MBTYPE[mode])
+    # mb_pred (§7.3.5.1): num_ref_idx_active = 1 per list → no
+    # ref_idx syntax; mvd_l0 then mvd_l1, each only if the list is used
+    if mode in ("l0", "bi"):
+        pmv0 = _pred_mv_b(st, mbx, mby, 0)
+        w.se(d["mv0"][0] - pmv0[0])
+        w.se(d["mv0"][1] - pmv0[1])
+    if mode in ("l1", "bi"):
+        pmv1 = _pred_mv_b(st, mbx, mby, 1)
+        w.se(d["mv1"][0] - pmv1[0])
+        w.se(d["mv1"][1] - pmv1[1])
+    cbp = d["cbp_luma"] | (d["cbp_chroma"] << 4)
+    w.ue(_CBP_INTER_ENC[cbp])
+    if cbp:
+        w.se(0)  # mb_qp_delta
+    for blk in range(16):
+        bx, by = _LUMA_BLK_XY[blk]
+        abx, aby = mbx * 4 + bx, mby * 4 + by
+        if d["cbp_luma"] & (1 << (blk // 4)):
+            total = encode_residual(
+                w, _zigzag_list(d["zs"][blk], skip_dc=False),
+                st.nc_luma(abx, aby),
+            )
+            st.nc_y[aby, abx] = total
+        else:
+            st.nc_y[aby, abx] = 0
+    _write_chroma_residuals(
+        w, st, mbx, mby, d["cbp_chroma"], d["cdcq"], d["cacq"]
+    )
+    _b_mb_finish(st, mbx, mby, qp, 0, d)
+
+
+def _decode_b_mb(
+    r: _BitReader, st: _FrameState, mbx: int, mby: int, qp: int,
+    cqo: int, refs,
+) -> None:
+    mb_type = r.ue()
+    if mb_type >= 23:
+        # Table 7-14: intra macroblock types offset by 23 in B slices
+        st.inter[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = False
+        st.uses0[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = False
+        st.uses1[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = False
+        st.mv[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+        st.mv1[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+        _decode_mb(r, st, mbx, mby, qp, cqo, mb_type=mb_type - 23)
+        return
+    if mb_type not in _B_MBTYPE_MODE:
+        raise MediaFormatError(
+            "B_Direct_16x16 / partitioned B types outside the subset"
+        )
+    mode = _B_MBTYPE_MODE[mb_type]
+    mv0 = mv1 = (0, 0)
+    if mode in ("l0", "bi"):
+        pmv0 = _pred_mv_b(st, mbx, mby, 0)
+        mv0 = (pmv0[0] + r.se(), pmv0[1] + r.se())
+    if mode in ("l1", "bi"):
+        pmv1 = _pred_mv_b(st, mbx, mby, 1)
+        mv1 = (pmv1[0] + r.se(), pmv1[1] + r.se())
+    code = r.ue()
+    if code >= len(_CBP_INTER):
+        raise MediaFormatError("coded_block_pattern code out of range")
+    cbp = _CBP_INTER[code]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp_chroma > 2:
+        raise MediaFormatError("invalid chroma coded_block_pattern")
+    if cbp and r.se() != 0:
+        raise MediaFormatError("mb_qp_delta outside the fixed-QP subset")
+    # store motion BEFORE residuals? No: nc contexts don't depend on
+    # motion; residual decode matches the encoder's emission order.
+    zs = []
+    for blk in range(16):
+        bx, by = _LUMA_BLK_XY[blk]
+        abx, aby = mbx * 4 + bx, mby * 4 + by
+        if cbp_luma & (1 << (blk // 4)):
+            coeffs, total = decode_residual(r, st.nc_luma(abx, aby), 16)
+            st.nc_y[aby, abx] = total
+            zs.append(_unzigzag(coeffs, skip_dc=False))
+        else:
+            st.nc_y[aby, abx] = 0
+            zs.append(np.zeros((4, 4), dtype=np.int64))
+    cdc, cac = _read_chroma_residuals(r, st, mbx, mby, cbp_chroma)
+    pred_y, pred_u, pred_v = _mc_b_pred(refs, mbx, mby, mode, mv0, mv1)
+    _b_mb_finish(
+        st, mbx, mby, qp, cqo,
+        {
+            "mode": mode, "mv0": mv0, "mv1": mv1, "zs": zs,
+            "cbp_luma": cbp_luma, "cdcq": cdc, "cacq": cac,
+            "preds": (pred_y, pred_u, pred_v),
+        },
+    )
+
+
+def _decode_b_slice_mbs(
+    r: _BitReader, st: _FrameState, qp: int, cqo: int, refs,
+) -> None:
+    n_mbs = st.mb_w * st.mb_h
+    for i in range(n_mbs):
+        if r.ue() != 0:  # mb_skip_run
+            raise MediaFormatError(
+                "B_Skip (direct inference) outside the subset"
+            )
+        _decode_b_mb(r, st, i % st.mb_w, i // st.mb_w, qp, cqo, refs)
+
+
+def encode_b_frame_nal(
+    rgb: bytes, width: int, height: int, qp: int,
+    refs, frame_num: int, poc_lsb: int, deblock: bool = True,
+):
+    """One RGB frame → one non-reference B slice NAL against ``refs``
+    (= [most recent reference, older reference], both FILTERED —
+    exactly the default RefPicList L0 order; L1[0] is refs[1] after
+    the §8.2.4.2.3 first-two swap).  Returns (nal, output planes)."""
+    y, u, v = rgb_to_yuv420(rgb, width, height)
+    y, u, v = _pad_plane(y, 16), _pad_plane(u, 8), _pad_plane(v, 8)
+    mb_w, mb_h = y.shape[1] // 16, y.shape[0] // 16
+    st = _FrameState(mb_w, mb_h)
+    w = _BitWriter()
+    _write_slice_header(
+        w, qp, DEFAULT_QP, 0, log2_max_frame_num=4, poc_type=0,
+        log2_max_poc_lsb=4, deblock=deblock, slice_type="B",
+        frame_num=frame_num, poc_lsb=poc_lsb,
+    )
+    for mby in range(mb_h):
+        for mbx in range(mb_w):
+            _encode_b_mb(w, st, mbx, mby, qp, y, u, v, refs)
+    nal = b"\x01" + w.finish()  # nal_ref_idc=0 (non-ref), type 1
+    if deblock:
+        return nal, deblock_frame(st.y, st.u, st.v, qp, st=st)
+    return nal, (st.y, st.u, st.v)
+
+
+_IPB_CACHE: dict = {}
+
+
+def encode_h264_ipb(
+    width: int, height: int, frames_rgb: list[bytes], qp: int = DEFAULT_QP,
+    return_recon: bool = False,
+):
+    """Frames → (SPS, PPS, [IDR, P, B, P, B, ...][, recon frames]):
+    low-delay B — coded order == display order, odd frames are
+    reference P pictures, even frames (from 2) are NON-reference B
+    pictures predicting from the two most recent references (L0[0] =
+    newer, L1[0] = older, per the default list construction).  B
+    frames never enter the DPB, so the reference chain is exactly the
+    P chain.  SPS advertises num_ref_frames=2."""
+    key = (width, height, tuple(frames_rgb), qp)
+    hit = _IPB_CACHE.get(key)
+    if hit is None:
+        sps = write_h264_sps(width, height, 66, 30, num_ref_frames=2)
+        pps = write_pps(DEFAULT_QP)
+        out = encode_frame_nal(
+            frames_rgb[0], width, height, qp, idr_pic_id=0,
+            return_planes=True,
+        )
+        nals = [out[0]]
+        dpb = [out[1]]  # most recent reference first
+        recons = [out[1]]
+        fn = 1  # next reference picture's frame_num
+        for i, f in enumerate(frames_rgb[1:], start=1):
+            if i % 2 == 1 or len(dpb) < 2:
+                nal, planes = encode_p_frame_nal(
+                    f, width, height, qp, dpb[0], fn, poc_lsb=2 * i
+                )
+                dpb = [planes] + dpb[:1]
+                fn += 1
+            else:
+                nal, planes = encode_b_frame_nal(
+                    f, width, height, qp, dpb, fn, poc_lsb=2 * i
+                )
+            nals.append(nal)
+            recons.append(planes)
+        rgb_recons = [
+            yuv420_to_rgb(
+                y[:height, :width],
+                u[: (height + 1) // 2, : (width + 1) // 2],
+                v[: (height + 1) // 2, : (width + 1) // 2],
+            )
+            for y, u, v in recons
+        ]
+        if len(_IPB_CACHE) > 16:
+            _IPB_CACHE.clear()
+        hit = (sps, pps, nals, rgb_recons)
+        _IPB_CACHE[key] = hit
+    if not return_recon:
+        return hit[0], hit[1], hit[2]
+    return hit
+
+
 def encode_p_frame_nal(
     rgb: bytes, width: int, height: int, qp: int,
     ref: tuple[np.ndarray, np.ndarray, np.ndarray], frame_num: int,
-    deblock: bool = True,
+    deblock: bool = True, poc_lsb: int | None = None,
 ):
     """One RGB frame → one P slice NAL against ``ref`` (the previous
     picture's FILTERED output planes).  Returns (nal, output planes —
@@ -3135,7 +3607,7 @@ def encode_p_frame_nal(
     _write_slice_header(
         w, qp, DEFAULT_QP, 0, log2_max_frame_num=4, poc_type=0,
         log2_max_poc_lsb=4, deblock=deblock, slice_type="P",
-        frame_num=frame_num,
+        frame_num=frame_num, poc_lsb=poc_lsb,
     )
     skip_run = 0
     for mby in range(mb_h):
@@ -3218,7 +3690,7 @@ def decode_h264_stream(
     w, h = sps["width"], sps["height"]
     ct, cl = sps["crop_t"], sps["crop_l"]
     frames = []
-    ref = None
+    refs: list = []  # 2-deep DPB, most recent reference first
     marker_seen = cabac_provenance_ok(
         [n for n in slice_nals if (n[0] & 0x1F) == 6],
         [n for n in slice_nals if (n[0] & 0x1F) in (1, 5)],
@@ -3227,9 +3699,13 @@ def decode_h264_stream(
         if (nal[0] & 0x1F) == 6:
             continue  # provenance verified in pre-pass
         planes = decode_frame_nal(
-            nal, sps, pps, ref=ref, cabac_ok=marker_seen
+            nal, sps, pps,
+            ref=refs[0] if refs else None,
+            ref2=refs[1] if len(refs) > 1 else None,
+            cabac_ok=marker_seen,
         )
-        ref = planes
+        if nal[0] >> 5:  # reference picture → enters the DPB
+            refs = [planes] + refs[:1]
         y, u, v = planes
         frames.append(
             yuv420_to_rgb(

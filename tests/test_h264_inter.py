@@ -220,6 +220,7 @@ def test_inter_bs_grid_rules():
     # ≥ 4 quarter units → 1; intra neighbour → 4 on the MB edge
     st = H._FrameState(2, 1)  # two MBs side by side
     st.inter[:] = True
+    st.uses0[:] = True  # P-state invariant (_store_part_mv sets both)
     bs_v, _ = H._inter_bs_grids(st)
     assert bs_v[0, 4] == 0  # same zero MV, no coeffs, MB edge
     st.mv[0:4, 4:8, 0] = 4  # right MB moves 1 full pel
@@ -238,6 +239,24 @@ def test_inter_bs_grid_rules():
     st.inter[0:4, 4:8] = False  # right MB intra, internal edges → 3
     bs_v, _ = H._inter_bs_grids(st)
     assert bs_v[0, 4] == 4 and bs_v[0, 5] == 3
+
+
+def test_b_bs_grid_list_rules():
+    """Round-12 B extension of §8.7.2.1: differing list usage → 1;
+    same bi usage with both lists' MVs equal → 0; an L1 MV delta ≥ 4
+    → 1 even when L0 matches."""
+    st = H._FrameState(2, 1)
+    st.inter[:] = True
+    st.uses0[:] = True
+    st.uses1[0:4, 4:8] = True  # right MB bi, left L0-only
+    bs_v, _ = H._inter_bs_grids(st)
+    assert bs_v[0, 4] == 1  # prediction shape differs
+    st.uses1[:] = True  # both bi, all MVs zero
+    bs_v, _ = H._inter_bs_grids(st)
+    assert bs_v[0, 4] == 0
+    st.mv1[0:4, 4:8, 1] = 4  # L1 vertical delta of one full pel
+    bs_v, _ = H._inter_bs_grids(st)
+    assert bs_v[0, 4] == 1
 
 
 def test_cbp_inter_table_pins():
