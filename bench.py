@@ -179,6 +179,7 @@ EXTENDED = [
     "webp_lossless_decode",
     # round 12
     "webp_lossy_decode",
+    "video_bslice_decode",
 ]
 
 

@@ -3437,7 +3437,10 @@ def _decode_b_mb(
     cqo: int, refs,
 ) -> None:
     mb_type = r.ue()
+    if not hasattr(st, "b_mode_counts"):
+        st.b_mode_counts = {"l0": 0, "l1": 0, "bi": 0, "intra": 0}
     if mb_type >= 23:
+        st.b_mode_counts["intra"] += 1
         # Table 7-14: intra macroblock types offset by 23 in B slices
         st.inter[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = False
         st.uses0[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = False
@@ -3451,6 +3454,7 @@ def _decode_b_mb(
             "B_Direct_16x16 / partitioned B types outside the subset"
         )
     mode = _B_MBTYPE_MODE[mb_type]
+    st.b_mode_counts[mode] += 1
     mv0 = mv1 = (0, 0)
     if mode in ("l0", "bi"):
         pmv0 = _pred_mv_b(st, mbx, mby, 0)
@@ -3502,6 +3506,26 @@ def _decode_b_slice_mbs(
                 "B_Skip (direct inference) outside the subset"
             )
         _decode_b_mb(r, st, i % st.mb_w, i // st.mb_w, qp, cqo, refs)
+
+
+def b_mode_histogram(
+    nal: bytes, sps: dict, pps: dict, ref, ref2
+) -> dict:
+    """Decode one B slice NAL and return its macroblock mode counts
+    ({'l0', 'l1', 'bi', 'intra'}) — the lane-level proof that the
+    bi-predictive machinery actually engages instead of degenerating
+    to L0-only."""
+    r = _BitReader(_unescape_rbsp(nal[1:]))
+    stype, qp, _d, _a, _b = _parse_slice_header(
+        r, sps, pps, idr=False, nal_ref_idc=nal[0] >> 5
+    )
+    if stype != "B":
+        raise MediaFormatError("b_mode_histogram expects a B slice")
+    st = _FrameState(sps["mb_w"], sps["mb_h"])
+    _decode_b_slice_mbs(
+        r, st, qp, pps.get("chroma_qp_index_offset", 0), [ref, ref2]
+    )
+    return dict(st.b_mode_counts)
 
 
 def encode_b_frame_nal(

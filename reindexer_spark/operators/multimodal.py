@@ -2475,6 +2475,164 @@ def video_inter_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BSLICE_DOCS = 12  # bounded: two motion searches per B macroblock
+
+
+@query(
+    "video_bslice_decode",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {BSLICE_DOCS}
+    ), s AS (
+      SELECT media_id,
+             CAST(('0x' || substr(dg, 1, 2)) AS INT) AS s0,
+             CAST(('0x' || substr(dg, 3, 2)) AS INT) AS s1,
+             CAST(('0x' || substr(dg, 5, 2)) AS INT) AS s2
+      FROM base
+    )
+    SELECT media_id,
+      CASE WHEN media_id % 2 = 0 THEN 'mp4' ELSE 'mkv' END AS container,
+      CAST(2 * (16 + s0 % 13) AS INT) AS width,
+      CAST(2 * (16 + s1 % 9) AS INT) AS height,
+      CAST(3 + s2 % 3 AS INT) AS n_frames,
+      CAST((3 + s2 % 3 - 1) // 2 AS INT) AS n_b_frames,
+      CAST(1 AS INT) AS decodable,
+      CAST(1 AS INT) AS only_first_sync,
+      CAST(1 AS INT) AS containers_agree,
+      CAST(1 AS INT) AS b_smaller,
+      CAST(1 AS INT) AS recon_exact
+    FROM s
+    """,
+)
+def video_bslice_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL bi-predictive H.264 decode (round-11 VERDICT next #4): the
+    same digest-seeded translating scenes as video_inter_decode,
+    encoded as a low-delay IPB chain (reindexer_spark.h264 B slices —
+    two reference lists, B_L0/B_L1/B_Bi 16x16 modes, per-list median
+    MV prediction, the default bi average, non-reference NALs), muxed
+    into mp4 OR mkv, and decoded back.
+
+    Oracle-pinned contract columns (all re-derived from sha256(text)):
+    ``n_b_frames`` — the chain carries (n-1)//2 non-reference B
+    pictures; ``decodable=1``; ``only_first_sync=1`` — sync tables
+    still mark exactly the IDR; ``containers_agree=1`` — mp4 and mkv
+    decode bit-identically; ``b_smaller=1`` — the B frames cost fewer
+    bits than the same frames coded all-intra (the p_smaller analog;
+    chain-vs-chain is not pinnable: on exactly-translating fixtures a
+    B frame sometimes ties its P twin because the subset has no
+    B_Skip); ``recon_exact=1`` — decoder ≡ encoder closed loop through
+    the per-list §8.7.2.1 deblocking strengths (any mismatch in list
+    construction, per-list MV prediction, the bi average, or the
+    non-reference DPB rule breaks it).  The bi/L1 machinery engagement
+    is pinned in tests/test_h264_bslice.py (per-doc mode histograms
+    are encoder-choice, not digest arithmetic).
+
+    Scale shape: identical to the other video lanes — Arrow-batched
+    mapInPandas, payloads never shuffle."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < BSLICE_DOCS
+    )
+
+    def build_and_decode(batches):
+        from reindexer_spark.codecs import (
+            MediaFormatError,
+            decode_mkv,
+            decode_mp4,
+            encode_mkv_coded,
+            encode_mp4_coded,
+        )
+        from reindexer_spark.h264 import (
+            encode_h264_intra,
+            encode_h264_ipb,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.doc_id)
+                w, h, n_frames, qp, frames, container = _inter_fixture(
+                    mid, r.text
+                )
+                _s, _p, b_nals, recon = encode_h264_ipb(
+                    w, h, frames, qp=qp, return_recon=True
+                )
+                _s, _p, i_nals = encode_h264_intra(w, h, frames, qp=qp)
+                b_idx = [i for i in range(2, n_frames, 2)]
+                n_b = sum(1 for i in b_idx if b_nals[i][0] >> 5 == 0)
+                b_smaller = int(
+                    sum(len(b_nals[i]) for i in b_idx)
+                    < sum(len(i_nals[i]) for i in b_idx)
+                )
+                mp4 = encode_mp4_coded(
+                    w, h, intra_frames=frames, qp=qp, gop="ipb"
+                )
+                mkv = encode_mkv_coded(
+                    w, h, intra_frames=frames, qp=qp, gop="ipb"
+                )
+                payload = mp4 if container == "mp4" else mkv
+                dec = decode_mp4 if container == "mp4" else decode_mkv
+                try:
+                    dw, dh, _durs, out, sync = dec(payload)
+                    decodable = 1
+                except MediaFormatError:
+                    dw = dh = 0
+                    out, sync = [], []
+                    decodable = 0
+                only_first_sync = int(
+                    len(sync) == n_frames
+                    and sync[0]
+                    and not any(sync[1:])
+                )
+                other = decode_mkv if container == "mp4" else decode_mp4
+                try:
+                    _w2, _h2, _d2, out2, _s2 = other(
+                        mkv if container == "mp4" else mp4
+                    )
+                    agree = int(out == out2 and len(out) == n_frames)
+                except MediaFormatError:
+                    agree = 0
+                recon_exact = int(out == recon)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "container": container,
+                        "width": dw,
+                        "height": dh,
+                        "n_frames": len(out),
+                        "n_b_frames": n_b,
+                        "decodable": decodable,
+                        "only_first_sync": only_first_sync,
+                        "containers_agree": agree,
+                        "b_smaller": b_smaller,
+                        "recon_exact": recon_exact,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "container", "width", "height",
+                    "n_frames", "n_b_frames", "decodable",
+                    "only_first_sync", "containers_agree", "b_smaller",
+                    "recon_exact",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .repartition(BSLICE_DOCS)
+        .mapInPandas(
+            build_and_decode,
+            "media_id bigint, container string, width int, height int, "
+            "n_frames int, n_b_frames int, decodable int, "
+            "only_first_sync int, containers_agree int, b_smaller int, "
+            "recon_exact int",
+        )
+    )
+
+
 CABAC_DOCS = 10  # bounded: ME + a pure-Python arithmetic coder per doc
 
 

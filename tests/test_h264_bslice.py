@@ -82,18 +82,39 @@ def test_bi_prediction_beats_p_only_rate():
 
 
 def test_b_mb_types_exercised():
-    """The chain must actually use bi/one-list modes (parse the B NALs
-    back and count mb types via the decoder's own state)."""
+    """The bi-predictive machinery must actually ENGAGE: on a
+    translating-noise clip the decoded B frames' mode histogram
+    (b_mode_histogram — the decoder's own mb_type walk) contains Bi or
+    L1 macroblocks, not just the L0 fallback that would make B a more
+    expensive P.  The clip is the textbook bi case: the B frame is the
+    AVERAGE of its two references (a cross-fade), so neither single
+    list matches but (predL0 + predL1 + 1) >> 1 is near-exact."""
     w, h = 64, 48
-    frames = _moving_frames(w, h, 6)
-    sps, pps, nals, _ = H.encode_h264_ipb(
-        w, h, frames, qp=26, return_recon=True
-    )
-    b_nals = [n for n in nals if n[0] >> 5 == 0]
-    assert len(b_nals) == 2
-    # decode succeeds ⇒ every mb_type was in {1, 2, 3} ∪ intra; assert
-    # the stream is non-trivially coded
-    assert all(len(n) > 24 for n in b_nals)
+    rng = np.random.default_rng(11)
+    f0 = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    f1 = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    fade = ((f0.astype(np.int32) + f1 + 1) // 2).astype(np.uint8)
+    frames = [f0.tobytes(), f1.tobytes(), fade.tobytes(), f1.tobytes()]
+    sps, pps, nals = H.encode_h264_ipb(w, h, frames, qp=26)
+    sd = H._parse_sps_slice_fields(sps)
+    pd = H.parse_pps(pps)
+    refs: list = []
+    hist = {"l0": 0, "l1": 0, "bi": 0, "intra": 0}
+    for nal in nals:
+        if nal[0] >> 5 == 0:
+            hh = H.b_mode_histogram(nal, sd, pd, refs[0], refs[1])
+            for k in hist:
+                hist[k] += hh[k]
+        else:
+            pl = H.decode_frame_nal(
+                nal, sd, pd,
+                ref=refs[0] if refs else None,
+                ref2=refs[1] if len(refs) > 1 else None,
+            )
+            refs = [pl] + refs[:1]
+    # n=4 → one B frame (index 2), 12 macroblocks
+    assert sum(hist.values()) == (w // 16) * (h // 16)
+    assert hist["bi"] + hist["l1"] > 0, hist
 
 
 def test_b_without_two_references_quarantines():
