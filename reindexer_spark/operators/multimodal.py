@@ -2941,6 +2941,8 @@ WEBP_LOSSY_DOCS = 20
       CAST(4 + s0 % 21 AS INT) AS width,
       CAST(4 + s1 % 15 AS INT) AS height,
       CAST(8 + s2 % 96 AS INT) AS qi,
+      CASE WHEN media_id % 2 = 0 THEN 'simple' ELSE 'normal' END
+        AS filter_type,
       CAST(1 AS INT) AS recon_exact,
       CAST(1 AS INT) AS probe_ok,
       CAST(1 AS INT) AS markerless_quarantined
@@ -2953,9 +2955,11 @@ def webp_lossy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic BOTH engines can compute, encode it as a VP8 keyframe
     (reindexer_spark.vp8 — boolean arithmetic coder, token-tree
     residuals with band/zero-run contexts, Y2 WHT, exact-integer iDCT,
-    intra prediction, simple loop filter), wrap in RIFF/WEBP with the
-    PRVN provenance chunk, and decode the pixels back through the
-    production image path (codecs._decode_image).
+    intra prediction, and the §15 loop filter: SIMPLE on even docs,
+    NORMAL — HEV branch, 27/18/9 MB-edge taps, chroma included — on
+    odd docs, so both signalled filter types gate every round), wrap
+    in RIFF/WEBP with the PRVN provenance chunk, and decode the pixels
+    back through the production image path (codecs._decode_image).
 
     Oracle-pinned columns: ``width``/``height``/``qi`` — digest
     arithmetic (dims deliberately non-multiple-of-16 so MB padding and
@@ -2997,13 +3001,14 @@ def webp_lossy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w = 4 + int(dg[0:2], 16) % 21
                 h = 4 + int(dg[2:4], 16) % 15
                 qi = 8 + int(dg[4:6], 16) % 96
+                ft = "simple" if mid % 2 == 0 else "normal"
                 n = w * h * 3
                 hexchain = "".join(
                     hashlib.sha256(f"{dg}-{i}".encode()).hexdigest()
                     for i in range((n + 31) // 32)
                 )[: 2 * n]
                 rgb = bytes.fromhex(hexchain)
-                webp, recon = encode_webp_lossy(w, h, rgb, qi)
+                webp, recon = encode_webp_lossy(w, h, rgb, qi, ft)
                 dw, dh, out = _decode_image("webp", webp)
                 meta = probe_media(webp)
                 probe_ok = int(
@@ -3035,6 +3040,7 @@ def webp_lossy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "width": dw if dw == w else -dw,
                         "height": dh if dh == h else -dh,
                         "qi": qi,
+                        "filter_type": ft,
                         "recon_exact": int(out == recon),
                         "probe_ok": probe_ok,
                         "markerless_quarantined": quarantined,
@@ -3043,8 +3049,8 @@ def webp_lossy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "media_id", "width", "height", "qi", "recon_exact",
-                    "probe_ok", "markerless_quarantined",
+                    "media_id", "width", "height", "qi", "filter_type",
+                    "recon_exact", "probe_ok", "markerless_quarantined",
                 ],
             )
 
@@ -3054,6 +3060,7 @@ def webp_lossy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(
             build_and_decode,
             "media_id bigint, width int, height int, qi int, "
-            "recon_exact int, probe_ok int, markerless_quarantined int",
+            "filter_type string, recon_exact int, probe_ok int, "
+            "markerless_quarantined int",
         )
     )

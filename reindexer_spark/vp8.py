@@ -17,8 +17,11 @@ plane multipliers (§14.1: y2dc = 2·dc, y2ac = max(8, ac·155/100),
 uvdc ≤ 132); the exact-integer 4×4 inverse DCT with the published
 20091/35468 multipliers and the inverse WHT for the Y2 block (§14.3);
 16×16/8×8 intra prediction with the 127/129 edge conventions (§12);
-and the simple loop filter (§15.2) applied identically on both sides
-of the loop.
+and BOTH loop filters — the simple filter (§15.2, luma MB + interior
+edges) and the normal filter (§15.3: sharpness-adjusted interior/edge
+limits, the HEV branch, 27/18/9-weight MB-edge taps and the
+half-step sub-block adjustment, over Y, U and V) — applied
+identically on both sides of the loop.
 
 HONESTY BOUNDARY (same contract as reindexer_spark.h264_cabac): the
 spec's EMPIRICAL constant tables — default_coeff_probs (Table 13.5,
@@ -483,6 +486,96 @@ def _simple_filter_pair(p1: int, p0: int, q0: int, q1: int, limit: int):
     )
 
 
+def _nf_limits(level: int, sharpness: int) -> tuple[int, int, int, int]:
+    """Normal-filter limits from (level, sharpness) per §15: interior
+    limit, MB-edge limit, sub-block edge limit, HEV threshold
+    (keyframe thresholds)."""
+    interior = level
+    if sharpness:
+        interior >>= 2 if sharpness > 4 else 1
+        interior = min(interior, 9 - sharpness)
+    interior = max(interior, 1)
+    mb_lim = ((level + 2) * 2) + interior
+    sb_lim = (level * 2) + interior
+    hev = 2 if level >= 40 else (1 if level >= 15 else 0)
+    return interior, mb_lim, sb_lim, hev
+
+
+def _nf_segment(px: list[int], lim: int, interior: int, hev_t: int,
+                mb_edge: bool) -> list[int] | None:
+    """One 8-pixel segment [p3 p2 p1 p0 q0 q1 q2 q3] through the
+    normal filter; returns the adjusted segment or None if the edge is
+    out of range (§15.3 structure: range check over all interior
+    deltas, HEV branch adjusts the outer pair only, non-HEV MB edges
+    use the 27/18/9 six-tap weights, non-HEV sub-block edges the
+    4/3-tap plus the half-step outer adjustment)."""
+    p3, p2, p1, p0, q0, q1, q2, q3 = (_s8(v) for v in px)
+    if (
+        abs(p0 - q0) * 2 + abs(p1 - q1) // 2 > lim
+        or abs(p3 - p2) > interior or abs(p2 - p1) > interior
+        or abs(p1 - p0) > interior or abs(q1 - q0) > interior
+        or abs(q2 - q1) > interior or abs(q3 - q2) > interior
+    ):
+        return None
+    hev = abs(p1 - p0) > hev_t or abs(q1 - q0) > hev_t
+    if hev:
+        a = _c127(_c127(p1 - q1) + 3 * (q0 - p0))
+        f1 = _c127(a + 4) >> 3
+        f2 = _c127(a + 3) >> 3
+        p0, q0 = _c127(p0 + f2), _c127(q0 - f1)
+    elif mb_edge:
+        w = _c127(_c127(p1 - q1) + 3 * (q0 - p0))
+        a = _c127((27 * w + 63) >> 7)
+        p0, q0 = _c127(p0 + a), _c127(q0 - a)
+        a = _c127((18 * w + 63) >> 7)
+        p1, q1 = _c127(p1 + a), _c127(q1 - a)
+        a = _c127((9 * w + 63) >> 7)
+        p2, q2 = _c127(p2 + a), _c127(q2 - a)
+    else:
+        a = _c127(3 * (q0 - p0))
+        f1 = _c127(a + 4) >> 3
+        f2 = _c127(a + 3) >> 3
+        p0, q0 = _c127(p0 + f2), _c127(q0 - f1)
+        a2 = (f1 + 1) >> 1
+        p1, q1 = _c127(p1 + a2), _c127(q1 - a2)
+    return [_clamp8(v + 128) for v in (p3, p2, p1, p0, q0, q1, q2, q3)]
+
+
+def normal_loop_filter(
+    planes: list[list[list[int]]], level: int, sharpness: int,
+    mbw: int, mbh: int,
+) -> None:
+    """In-place §15.3 normal loop filter over [Y, U, V] planes: MB
+    edges then interior 4×4 edges (8×8 for chroma), vertical pass then
+    horizontal, same traversal both sides of the closed loop."""
+    if level == 0:
+        return
+    interior, mb_lim, sb_lim, hev_t = _nf_limits(level, sharpness)
+    for pi, plane in enumerate(planes):
+        mbs = 16 if pi == 0 else 8
+        step = 4  # 4×4 transforms everywhere → interior edges per 4 px
+        H, W = mbh * mbs, mbw * mbs
+        for cx in range(step, W, step):
+            mb_edge = cx % mbs == 0
+            lim = mb_lim if mb_edge else sb_lim
+            for r in range(H):
+                row = plane[r]
+                seg = [row[cx - 4 + k] for k in range(8)]
+                got = _nf_segment(seg, lim, interior, hev_t, mb_edge)
+                if got is not None:
+                    for k in range(8):
+                        row[cx - 4 + k] = got[k]
+        for cy in range(step, H, step):
+            mb_edge = cy % mbs == 0
+            lim = mb_lim if mb_edge else sb_lim
+            for c in range(W):
+                seg = [planes[pi][cy - 4 + k][c] for k in range(8)]
+                got = _nf_segment(seg, lim, interior, hev_t, mb_edge)
+                if got is not None:
+                    for k in range(8):
+                        planes[pi][cy - 4 + k][c] = got[k]
+
+
 def simple_loop_filter(y: list[list[int]], level: int, mbw: int, mbh: int):
     """In-place simple loop filter over the luma plane: MB edges use
     limit 2·level + 2·? per spec = (level + 2)·2? — the spec's simple
@@ -738,11 +831,13 @@ class _MbCoder:
 
 
 def encode_vp8_keyframe(
-    w: int, h: int, rgb: bytes, qi: int = 32
+    w: int, h: int, rgb: bytes, qi: int = 32,
+    filter_type: str = "simple",
 ) -> tuple[bytes, bytes]:
     """RGB frame → (VP8 chunk payload, reconstructed RGB) — the recon
     is what a conforming decoder of THIS module must output exactly
-    (closed loop through the simple loop filter)."""
+    (closed loop through the signalled loop filter: ``filter_type`` in
+    {"simple", "normal"})."""
     if not (0 < w <= 0x3FFF and 0 < h <= 0x3FFF):
         raise MediaFormatError("VP8 dims out of range")
     qi = max(0, min(127, qi))
@@ -771,7 +866,7 @@ def encode_vp8_keyframe(
     hdr.bool(128, 0)
     hdr.bool(128, 0)
     hdr.bool(128, 0)  # segmentation_enabled = 0
-    hdr.bool(128, 1)  # filter_type = simple
+    hdr.bool(128, 1 if filter_type == "simple" else 0)
     hdr.literal(6, LOOP_FILTER_LEVEL)
     hdr.literal(3, 0)  # sharpness
     hdr.bool(128, 0)  # loop_filter_adj_enable = 0
@@ -951,7 +1046,10 @@ def encode_vp8_keyframe(
         + part1
     )
     # loop filter on the recon (closed loop: decoder must match)
-    simple_loop_filter(RY, LOOP_FILTER_LEVEL, mbw, mbh)
+    if filter_type == "simple":
+        simple_loop_filter(RY, LOOP_FILTER_LEVEL, mbw, mbh)
+    else:
+        normal_loop_filter([RY, RU, RV], LOOP_FILTER_LEVEL, 0, mbw, mbh)
     recon = yuv420_to_rgb(RY, RU, RV, w, h)
     return payload, recon
 
@@ -1097,9 +1195,10 @@ def decode_vp8_keyframe(payload: bytes) -> tuple[int, int, bytes]:
                             )
     if filter_type == 1:
         simple_loop_filter(RY, filter_level, mbw, mbh)
-    elif filter_level != 0:
-        raise MediaFormatError("VP8 normal loop filter outside subset")
-    _ = sharpness
+    else:
+        normal_loop_filter(
+            [RY, RU, RV], filter_level, sharpness, mbw, mbh
+        )
     return w, h, yuv420_to_rgb(RY, RU, RV, w, h)
 
 
@@ -1121,13 +1220,14 @@ def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
 
 
 def encode_webp_lossy(
-    w: int, h: int, rgb: bytes, qi: int = 32
+    w: int, h: int, rgb: bytes, qi: int = 32,
+    filter_type: str = "simple",
 ) -> tuple[bytes, bytes]:
     """RGB → (RIFF/WEBP bytes with the PRVN provenance chunk, recon
     RGB).  The PRVN chunk precedes VP8 and binds the exact VP8 chunk
     payload; conforming WebP readers skip unknown chunks, so the file
     stays spec-legal."""
-    payload, recon = encode_vp8_keyframe(w, h, rgb, qi)
+    payload, recon = encode_vp8_keyframe(w, h, rgb, qi, filter_type)
     prvn = _riff_chunk(
         b"PRVN", VP8_MARKER_UUID + vp8_payload_digest(payload)
     )

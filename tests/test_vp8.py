@@ -162,19 +162,31 @@ def test_coeff_probs_shape():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.parametrize("ft", ["simple", "normal"])
 @pytest.mark.parametrize(
     "w,h,qi",
     [(16, 16, 16), (32, 32, 32), (48, 16, 8), (12, 10, 40), (17, 5, 64)],
 )
-def test_keyframe_closed_loop(w, h, qi):
+def test_keyframe_closed_loop(w, h, qi, ft):
     """decode(encode(img)) == the encoder's own reconstruction, exactly
-    — including non-multiple-of-16 dims and the simple loop filter."""
+    — including non-multiple-of-16 dims, under BOTH loop filters."""
     rgb = _rgb(w, h, b"vp8-%d-%d" % (w, h))
-    payload, recon = encode_vp8_keyframe(w, h, rgb, qi)
+    payload, recon = encode_vp8_keyframe(w, h, rgb, qi, filter_type=ft)
     dw, dh, out = decode_vp8_keyframe(payload)
     assert (dw, dh) == (w, h)
     assert out == recon
     assert len(out) == 3 * w * h
+
+
+def test_filter_types_actually_differ():
+    """The two filters must produce different reconstructions on real
+    residue (otherwise the filter_type bit isn't exercised) and the
+    normal filter touches chroma (the simple filter is luma-only)."""
+    w, h = 32, 32
+    rgb = _rgb(w, h, b"ftdiff")
+    _, r_simple = encode_vp8_keyframe(w, h, rgb, 40, "simple")
+    _, r_normal = encode_vp8_keyframe(w, h, rgb, 40, "normal")
+    assert r_simple != r_normal
 
 
 def test_keyframe_flat_image_skips():
