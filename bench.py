@@ -180,6 +180,7 @@ EXTENDED = [
     # round 12
     "webp_lossy_decode",
     "video_bslice_decode",
+    "dsir_select",
 ]
 
 

@@ -734,3 +734,175 @@ def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_kept"),
         )
     )
+
+
+# --- DSIR-style importance resampling ---------------------------------
+
+DSIR_NB = 128          # hashed n-gram feature buckets
+DSIR_KEEP_DIV = 4      # keep top 1/4 of the raw pool
+DSIR_TARGET_LANG = "en"
+
+_DSIR_W_SQL = (
+    f"(1000000 * (tc + 1) * (s_tot + {DSIR_NB}))"
+    f" // ((sc + 1) * (t_tot + {DSIR_NB}))"
+)
+
+
+@query(
+    "dsir_select",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, lang, t,
+             unnest(generate_series(1, len(t) - 1)) AS i
+      FROM toks
+    ), grams AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 8))::BIGINT
+               % {DSIR_NB} AS bucket
+      FROM idx
+    ), tot AS MATERIALIZED (
+      SELECT
+        SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+          AS t_tot,
+        SUM(CASE WHEN lang <> '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+          AS s_tot
+      FROM grams
+    ), wts AS MATERIALIZED (
+      SELECT bucket,
+             SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+               AS tc,
+             SUM(CASE WHEN lang <> '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+               AS sc
+      FROM grams GROUP BY bucket
+    ), pool AS (
+      SELECT doc_id, lang, source FROM documents
+      WHERE lang <> '{DSIR_TARGET_LANG}'
+    ), scored AS (
+      SELECT p.doc_id, p.source,
+             CAST(COALESCE(SUM({_DSIR_W_SQL}), 0) AS BIGINT) AS score,
+             COUNT(w.bucket) AS n_grams
+      FROM pool p
+      LEFT JOIN grams g ON g.doc_id = p.doc_id
+      LEFT JOIN wts w ON w.bucket = g.bucket
+      CROSS JOIN tot
+      GROUP BY p.doc_id, p.source
+    ), ranked AS (
+      SELECT doc_id, source, score, n_grams,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk,
+             COUNT(*) OVER () AS n_pool
+      FROM scored
+    )
+    SELECT doc_id, source, score, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(rnk AS BIGINT) AS rnk,
+           CAST(rnk <= n_pool // {DSIR_KEEP_DIV} AS INT) AS is_kept
+    FROM ranked
+    """,
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    estimate per-feature importance weights of a TARGET distribution
+    (here: the '{en}' slice standing in for the benchmark corpus) over
+    a RAW pool using hashed n-gram features, score every raw document,
+    and keep the top fraction — the data-selection pass that picks
+    "target-like" pretraining data out of a crawl.
+
+    This variant keeps the whole computation in INTEGER arithmetic so
+    the gate is value-exact across engines: features are md5-hashed
+    word bigrams into {128} buckets, each bucket's weight is the
+    add-one-smoothed frequency ratio quantized as
+    (1e6·(tc+1)·(S+NB)) // ((sc+1)·(T+NB)) — the linear
+    likelihood-ratio surrogate for DSIR's log ratio (no transcendental
+    crosses the engine boundary; log-free scoring preserves the
+    ordering wherever per-feature ratios are within a bounded range,
+    and IS the documented estimator here), and a document's score is
+    the BIGINT sum of its grams' weights (order-free).
+
+    Scale shape: the gram relation is one explode (zip_with over the
+    token array, JVM-side); the weight table is {128} rows → broadcast
+    to the scoring join; totals are a 1-row aggregate riding the same
+    broadcast; the only corpus-sized shuffles are the per-doc score
+    aggregation and the final rank.  The global top-K window is the
+    resampling step — at 100 TB the same keep decision runs as a
+    threshold on the score histogram instead of a total order (the
+    audit column n_grams and the deterministic (score, doc_id) order
+    make either form reproducible)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", "source", F.split("text", " ").alias("t")
+    )
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("gram"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+            .cast("bigint")
+            % DSIR_NB
+        ).alias("bucket"),
+    )
+    is_t = (F.col("lang") == DSIR_TARGET_LANG).cast("bigint")
+    tot = grams.agg(
+        F.sum(is_t).alias("t_tot"),
+        F.sum(1 - is_t).alias("s_tot"),
+    )
+    wts = grams.groupBy("bucket").agg(
+        F.sum(is_t).alias("tc"),
+        F.sum(1 - is_t).alias("sc"),
+    )
+    pool = d.filter(F.col("lang") != DSIR_TARGET_LANG).select(
+        "doc_id", "source"
+    )
+    scored = (
+        pool.join(
+            grams.filter(F.col("lang") != DSIR_TARGET_LANG).select(
+                "doc_id", "bucket"
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(F.broadcast(wts), "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.floor(
+                        (
+                            F.lit(1000000)
+                            * (F.col("tc") + 1)
+                            * (F.col("s_tot") + DSIR_NB)
+                        )
+                        / ((F.col("sc") + 1) * (F.col("t_tot") + DSIR_NB))
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("score"),
+            F.count("bucket").cast("bigint").alias("n_grams"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    n_pool = pool.count()
+    return scored.select(
+        "doc_id",
+        "source",
+        "score",
+        "n_grams",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    ).withColumn(
+        "is_kept",
+        (F.col("rnk") <= n_pool // DSIR_KEEP_DIV).cast("int"),
+    )

@@ -233,3 +233,34 @@ def test_embed_semdedup_adaptive_k_matches_oracle(spark, sf_dir, tmp_path):
     assert semdedup_k(n) == 33
     d = _wide_embeddings_dir(sf_dir, tmp_path, n)
     assert compare_query(spark, "embed_semdedup", d) == []
+
+
+def test_dsir_select_semantics(spark, sf_dir):
+    """DSIR selection invariants beyond oracle parity: the pool is
+    exactly the non-target docs, ranks are a dense permutation ordered
+    by (score DESC, doc_id), exactly floor(pool/4) docs are kept, and
+    the kept set's mean score strictly exceeds the dropped set's (the
+    selection actually selects)."""
+    from reindexer_spark import get_query
+    from reindexer_spark.operators.mlprep import (
+        DSIR_KEEP_DIV,
+        DSIR_TARGET_LANG,
+    )
+
+    rows = sorted(
+        get_query("dsir_select").fn(spark, sf_dir).collect(),
+        key=lambda r: r.rnk,
+    )
+    from reindexer_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    n_pool = d.filter(d.lang != DSIR_TARGET_LANG).count()
+    assert len(rows) == n_pool
+    assert [r.rnk for r in rows] == list(range(1, n_pool + 1))
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    kept = [r for r in rows if r.is_kept]
+    assert len(kept) == n_pool // DSIR_KEEP_DIV
+    dropped = [r for r in rows if not r.is_kept]
+    assert (sum(r.score for r in kept) / len(kept)
+            > sum(r.score for r in dropped) / len(dropped))
