@@ -5,7 +5,12 @@ Round-8 VERDICT stretch #8: the SPS probe (codecs.py) recovers
 dimensions from coded video without decoding; round 9 added the full
 intra subset; round 10 adds INTER prediction — P slices with motion
 compensation — so IPPP streams (the overwhelming shape of real crawl
-video's coded pictures) decode for real, while B slices,
+video's coded pictures) decode for real; round 12 adds B SLICES for
+the CAVLC subset — low-delay bi-prediction with two reference lists,
+B_L0/B_L1/B_Bi 16x16 modes, SPATIAL DIRECT (B_Skip and
+B_Direct_16x16 with the §8.4.1.2.2 derivation incl. the
+colocated-motion colZeroFlag), per-list MV prediction and deblock
+strengths — while partitioned B types, temporal direct,
 multi-reference lists and multi-slice pictures continue to quarantine
 via MediaFormatError.  Round 11: CABAC I/P entropy coding lives in
 the companion module ``h264_cabac`` (provenance-marked streams only —
@@ -49,11 +54,12 @@ Scope — the full INTRA half of H.264 Baseline (round 9):
   Hadamard and 2x2 chroma-DC transforms, (x+32)>>6 reconstruction);
   PPS chroma_qp_index_offset is applied via Table 8-15.
 - What remains OUTSIDE the subset raises MediaFormatError — the
-  quarantine contract, never a wrong frame: B slices, external
-  CABAC (h264_cabac decodes only provenance-marked streams),
-  multi-reference/modified reference lists, adaptive reference
-  marking, field/MBAFF coding, non-4:2:0 or >8-bit sampling, scaling
-  matrices, multi-slice pictures, POC type 1.
+  quarantine contract, never a wrong frame: partitioned B types and
+  temporal direct, external CABAC (h264_cabac decodes only
+  provenance-marked streams), multi-reference/modified reference
+  lists, adaptive reference marking, field/MBAFF coding, non-4:2:0 or
+  >8-bit sampling, scaling matrices, multi-slice pictures, POC
+  type 1.
 
 The CAVLC code tables (Tables 9-5, 9-7..9-10) are transcribed from
 the published spec.  Encoder and decoder share one table instance, so
@@ -1131,8 +1137,7 @@ def _write_slice_header(
             poc_lsb = 2 * frame_num
         w.u(poc_lsb % (1 << log2_max_poc_lsb), log2_max_poc_lsb)
     if slice_type == "B":
-        w.u(1, 1)  # direct_spatial_mv_pred_flag (spatial; direct
-        #            modes themselves stay outside the subset)
+        w.u(1, 1)  # direct_spatial_mv_pred_flag (spatial direct)
         w.u(0, 1)  # num_ref_idx_active_override_flag
         w.u(0, 1)  # ref_pic_list_modification_flag_l0
         w.u(0, 1)  # ref_pic_list_modification_flag_l1
@@ -1624,12 +1629,17 @@ def decode_frame_nal(
     ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
     cabac_ok: bool = False,
     ref2: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+    col_motion: dict | None = None,
+    motion_sink: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Slice NAL → reconstructed (Y, U, V) planes (coded size; caller
     crops).  IDR slices decode standalone; P slices require ``ref`` —
     the most recent REFERENCE picture's output planes; B slices
     additionally require ``ref2`` — the previous reference (L1[0]
-    under the default-list swap)."""
+    under the default-list swap) — and use ``col_motion`` (that same
+    picture's motion snapshot) for spatial direct.  Callers tracking a
+    DPB pass ``motion_sink`` on REFERENCE pictures to capture the
+    motion state the next B picture's direct derivation reads."""
     if not nal:
         raise MediaFormatError("empty NAL")
     nal_type = nal[0] & 0x1F
@@ -1666,11 +1676,13 @@ def decode_frame_nal(
             raise MediaFormatError(
                 "B slice without two decoded reference pictures"
             )
-        _decode_b_slice_mbs(r, st, qp, cqo, [ref, ref2])
+        _decode_b_slice_mbs(r, st, qp, cqo, [ref, ref2], col_motion)
     else:
         for mby in range(sps["mb_h"]):
             for mbx in range(sps["mb_w"]):
                 _decode_mb(r, st, mbx, mby, qp, cqo)
+    if motion_sink is not None:
+        motion_sink.update(_motion_snapshot(st))
     if not r.byte_aligned_stop():
         raise MediaFormatError("trailing bits after last macroblock")
     if deblock:
@@ -1817,6 +1829,7 @@ def decode_avcc_samples(
                 slices.append(nal)
     marker_seen = cabac_provenance_ok(seis, slices)
     refs: list = []  # 2-deep DPB, most recent reference first
+    ref_motion: list = []  # parallel motion snapshots (spatial direct)
     for sample in samples:
         frame = None
         for nal in split_sample_nals(sample, length_size):
@@ -1838,14 +1851,20 @@ def decode_avcc_samples(
             elif t in (1, 5):
                 if frame is not None:
                     raise MediaFormatError("multi-slice sample unsupported")
+                sink: dict = {}
                 y, u, v = decode_frame_nal(
                     nal, sps, pps,
                     ref=refs[0] if refs else None,
                     ref2=refs[1] if len(refs) > 1 else None,
                     cabac_ok=marker_seen,
+                    col_motion=(
+                        ref_motion[1] if len(ref_motion) > 1 else None
+                    ),
+                    motion_sink=sink,
                 )
                 if nal[0] >> 5:  # reference picture → enters the DPB
                     refs = [(y, u, v)] + refs[:1]
+                    ref_motion = [sink or None] + ref_motion[:1]
                 ct, cl = sps["crop_t"], sps["crop_l"]
                 frame = yuv420_to_rgb(
                     y[ct : ct + h, cl : cl + w],
@@ -1999,6 +2018,7 @@ def decode_h264_annexb_stream(data: bytes) -> tuple[int, int, list[bytes]]:
     frames = []
     w = h = None
     refs: list = []  # 2-deep DPB, most recent reference first
+    ref_motion: list = []  # parallel motion snapshots (spatial direct)
     all_nals = split_annexb(data)
     marker_seen = cabac_provenance_ok(
         [n for n in all_nals if (n[0] & 0x1F) == 6],
@@ -2019,14 +2039,20 @@ def decode_h264_annexb_stream(data: bytes) -> tuple[int, int, list[bytes]]:
         elif t in (1, 5):
             if sps is None or pps is None:
                 raise MediaFormatError("slice before SPS/PPS in stream")
+            sink: dict = {}
             y, u, v = decode_frame_nal(
                 nal, sps, pps,
                 ref=refs[0] if refs else None,
                 ref2=refs[1] if len(refs) > 1 else None,
                 cabac_ok=marker_seen,
+                col_motion=(
+                    ref_motion[1] if len(ref_motion) > 1 else None
+                ),
+                motion_sink=sink,
             )
             if nal[0] >> 5:  # reference picture → enters the DPB
                 refs = [(y, u, v)] + refs[:1]
+                ref_motion = [sink or None] + ref_motion[:1]
             ct, cl = sps["crop_t"], sps["crop_l"]
             frames.append(
                 yuv420_to_rgb(
@@ -2609,9 +2635,10 @@ def _decode_i4_mb(
 # §8.7 deblocking with the real §8.7.2.1 per-edge boundary strengths
 # (the encoder signals the filter ON — the spec-realistic default —
 # and both sides run the identical filtered reference loop).
-# Multi-reference lists and B slices stay OUTSIDE the subset and
-# quarantine via MediaFormatError; CABAC I/P is the h264_cabac
-# module (provenance-marked streams only).
+# Multi-reference lists stay OUTSIDE the subset and quarantine via
+# MediaFormatError (B slices decode since round 12 — see the B
+# section below); CABAC I/P is the h264_cabac module
+# (provenance-marked streams only).
 # ---------------------------------------------------------------------------
 
 # Table 9-4, Inter column: codeNum -> coded_block_pattern.  Transcribed
@@ -2836,9 +2863,13 @@ def _store_part_mv(
 # 16x16 partitions only, num_ref_idx_active = 1 per list (no ref_idx
 # syntax).  Default RefPicList construction (§8.2.4.2.3) then gives
 # L0 = [most recent ref, older ref] and L1 = L0 with the first two
-# entries swapped → L1[0] = the OLDER reference.  B_Skip / B_Direct
-# (which need colocated-motion access even in spatial mode) and
-# partitioned B types stay OUTSIDE the subset and quarantine.
+# entries swapped → L1[0] = the OLDER reference.  B_Skip and
+# B_Direct_16x16 decode via SPATIAL direct (§8.4.1.2.2: MinPositive
+# neighbour refIdx per list, median MVs, per-8x8-quadrant zeroing
+# when RefPicList1[0]'s colocated corner block — callers thread that
+# picture's motion snapshot — is refIdx-0 inter with |mvCol| ≤ 1);
+# partitioned B types and temporal direct stay OUTSIDE the subset
+# and quarantine.
 
 
 def _mv_nbr_l(st: _FrameState, bx: int, by: int, lst: int):
@@ -3304,16 +3335,168 @@ _B_MODE_MBTYPE = {"l0": 1, "l1": 2, "bi": 3}  # Table 7-14
 _B_MBTYPE_MODE = {v: k for k, v in _B_MODE_MBTYPE.items()}
 
 
+def _motion_snapshot(st: _FrameState) -> dict:
+    """The per-4x4 motion state a DECODED reference picture leaves
+    behind, kept by callers for spatial-direct's colocated-motion
+    access (§8.4.1.2.2's colZeroFlag reads RefPicList1[0]'s motion)."""
+    return {
+        "inter": st.inter.copy(),
+        "uses0": st.uses0.copy(),
+        "mv": st.mv.copy(),
+    }
+
+
+def _intra_motion(mb_w: int, mb_h: int) -> dict:
+    """Motion snapshot of an all-intra (IDR) picture: every colocated
+    block reads as intra (refIdxCol -1), so colZeroFlag is 0."""
+    return {
+        "inter": np.zeros((mb_h * 4, mb_w * 4), dtype=bool),
+        "uses0": np.zeros((mb_h * 4, mb_w * 4), dtype=bool),
+        "mv": np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int32),
+    }
+
+
+_B_QUADS = ((0, 0), (1, 0), (0, 1), (1, 1))  # (qx, qy) raster order
+
+
+def _b_direct_mvs(st: _FrameState, mbx: int, mby: int, col: dict | None):
+    """§8.4.1.2.2 spatial direct derivation for one 16x16 MB under the
+    subset's refIdx ∈ {0, -1} lists: refIdxLX = 0 iff any of the A/B/C
+    neighbours uses list X (the MinPositive rule); when NEITHER list
+    has a reference, direct-zero-prediction makes the MB bi with zero
+    MVs; otherwise each used list takes the §8.4.1.3 median predictor,
+    zeroed PER 8x8 QUADRANT when the colocated corner block in
+    RefPicList1[0] (direct_8x8_inference corners 0/3/12/15) is inter
+    with refIdx 0 and |mvCol| ≤ 1 in both components (colZeroFlag).
+    Returns (use0, use1, [(mv0, mv1)] × 4 quadrants)."""
+    abx, aby = mbx * 4, mby * 4
+    use = []
+    for lst in (0, 1):
+        a = _mv_nbr_l(st, abx - 1, aby, lst)
+        b = _mv_nbr_l(st, abx, aby - 1, lst)
+        c_bx = abx + 4
+        if (
+            c_bx < st.mb_w * 4
+            and aby > 0
+            and _blk_order(c_bx, aby - 1, st.mb_w)
+            < _blk_order(abx, aby, st.mb_w)
+        ):
+            c = _mv_nbr_l(st, c_bx, aby - 1, lst)
+        else:
+            c = (False, False, (0, 0))
+        if not c[0]:
+            c = _mv_nbr_l(st, abx - 1, aby - 1, lst)
+        use.append(a[1] or b[1] or c[1])
+    use0, use1 = use
+    if not use0 and not use1:
+        # directZeroPredictionFlag: both lists, zero motion everywhere
+        return True, True, [((0, 0), (0, 0))] * 4
+    mv0 = _pred_mv_b(st, mbx, mby, 0) if use0 else (0, 0)
+    mv1 = _pred_mv_b(st, mbx, mby, 1) if use1 else (0, 0)
+    parts = []
+    for qx, qy in _B_QUADS:
+        colzero = False
+        if col is not None:
+            cbx = abx + (3 if qx else 0)
+            cby = aby + (3 if qy else 0)
+            if col["inter"][cby, cbx] and col["uses0"][cby, cbx]:
+                mcx = int(col["mv"][cby, cbx, 0])
+                mcy = int(col["mv"][cby, cbx, 1])
+                colzero = abs(mcx) <= 1 and abs(mcy) <= 1
+        parts.append(
+            (
+                (0, 0) if (colzero and use0) else mv0,
+                (0, 0) if (colzero and use1) else mv1,
+            )
+        )
+    return use0, use1, parts
+
+
+def _mc_direct_pred(refs, mbx: int, mby: int, use0, use1, parts):
+    """Assemble the 16x16 luma + 8x8 chroma direct prediction from the
+    four 8x8 quadrants' per-list MVs (bi average when both lists)."""
+    pred_y = np.empty((16, 16), dtype=np.int64)
+    pred_u = np.empty((8, 8), dtype=np.int64)
+    pred_v = np.empty((8, 8), dtype=np.int64)
+    for (qx, qy), (mv0, mv1) in zip(_B_QUADS, parts):
+        lx, ly = qx * 8, qy * 8
+        cx, cy = qx * 4, qy * 4
+        planes = []
+        for use, ref, mv in ((use0, refs[0], mv0), (use1, refs[1], mv1)):
+            if not use:
+                continue
+            ry, ru, rv = ref
+            planes.append((
+                _mc_luma(ry, mbx * 16 + lx, mby * 16 + ly, 8, 8,
+                         mv[0], mv[1]),
+                _mc_chroma(ru, mbx * 8 + cx, mby * 8 + cy, 4, 4,
+                           mv[0], mv[1]),
+                _mc_chroma(rv, mbx * 8 + cx, mby * 8 + cy, 4, 4,
+                           mv[0], mv[1]),
+            ))
+        if len(planes) == 2:
+            py, pu, pv = (
+                (p0.astype(np.int64) + p1.astype(np.int64) + 1) >> 1
+                for p0, p1 in zip(planes[0], planes[1])
+            )
+        else:
+            py, pu, pv = planes[0]
+        pred_y[ly : ly + 8, lx : lx + 8] = py
+        pred_u[cy : cy + 4, cx : cx + 4] = pu
+        pred_v[cy : cy + 4, cx : cx + 4] = pv
+    return pred_y, pred_u, pred_v
+
+
+def _store_b_direct_mv(
+    st: _FrameState, mbx: int, mby: int, use0, use1, parts
+) -> None:
+    bx, by = mbx * 4, mby * 4
+    st.inter[by : by + 4, bx : bx + 4] = True
+    st.uses0[by : by + 4, bx : bx + 4] = use0
+    st.uses1[by : by + 4, bx : bx + 4] = use1
+    for (qx, qy), (mv0, mv1) in zip(_B_QUADS, parts):
+        qbx, qby = bx + qx * 2, by + qy * 2
+        if use0:
+            st.mv[qby : qby + 2, qbx : qbx + 2] = mv0
+        if use1:
+            st.mv1[qby : qby + 2, qbx : qbx + 2] = mv1
+    st.i4_mode[by : by + 4, bx : bx + 4] = 2
+
+
+def _recon_b_skip(
+    st: _FrameState, mbx: int, mby: int, refs, col: dict | None
+) -> None:
+    """B_Skip: spatial-direct prediction, nothing coded."""
+    use0, use1, parts = _b_direct_mvs(st, mbx, mby, col)
+    pred_y, pred_u, pred_v = _mc_direct_pred(
+        refs, mbx, mby, use0, use1, parts
+    )
+    x0, y0 = mbx * 16, mby * 16
+    st.y[y0 : y0 + 16, x0 : x0 + 16] = pred_y
+    cx0, cy0 = mbx * 8, mby * 8
+    st.u[cy0 : cy0 + 8, cx0 : cx0 + 8] = pred_u
+    st.v[cy0 : cy0 + 8, cx0 : cx0 + 8] = pred_v
+    _store_b_direct_mv(st, mbx, mby, use0, use1, parts)
+    st.nc_y[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
+    for comp in range(2):
+        st.nc_c[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+
+
 def _b_mb_decide(
     st: _FrameState, mbx: int, mby: int, qp: int,
     src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
-    refs,
+    refs, col: dict | None,
 ) -> tuple[str, dict | None]:
-    """Entropy-agnostic B-macroblock decision: one 16x16 motion search
-    per reference list, a bi-predictive average of the two winners,
-    and the intra fallback.  Mirrors _p_mb_decide's contract."""
+    """Entropy-agnostic B-macroblock decision: the spatial-direct
+    candidate (no motion bits at all), one 16x16 motion search per
+    reference list, a bi-predictive average of the two winners, and
+    the intra fallback.  Mirrors _p_mb_decide's contract."""
     x0, y0 = mbx * 16, mby * 16
     src_blk = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64)
+    # --- spatial-direct candidate (mvd-free; small rate edge)
+    use0, use1, parts = _b_direct_mvs(st, mbx, mby, col)
+    d_pred = _mc_direct_pred(refs, mbx, mby, use0, use1, parts)
+    c_dir = int(np.abs(src_blk - d_pred[0]).sum())
     pmv0 = _pred_mv_b(st, mbx, mby, 0)
     pmv1 = _pred_mv_b(st, mbx, mby, 1)
     mv0, c0 = _motion_search(refs[0][0], src_blk, x0, y0, pmv0)
@@ -3331,8 +3514,12 @@ def _b_mb_decide(
         abs(mv0[0] - pmv0[0]) + abs(mv0[1] - pmv0[1])
         + abs(mv1[0] - pmv1[0]) + abs(mv1[1] - pmv1[1])
     ) + 8  # second mvd's rate
+    # deterministic preference order on ties: direct (cheapest syntax)
+    # first, then l0/l1/bi
     mode, cost = min(
-        (("l0", c0), ("l1", c1), ("bi", c_bi)), key=lambda t: t[1]
+        (("direct", c_dir), ("l0", c0 + 4), ("l1", c1 + 4),
+         ("bi", c_bi + 4)),
+        key=lambda t: t[1],
     )
     legal = [L16_DC]
     if mby > 0:
@@ -3345,7 +3532,12 @@ def _b_mb_decide(
     )
     if intra_sad + 24 < cost:
         return "intra", None
-    pred_y, pred_u, pred_v = _mc_b_pred(refs, mbx, mby, mode, mv0, mv1)
+    if mode == "direct":
+        pred_y, pred_u, pred_v = d_pred
+    else:
+        pred_y, pred_u, pred_v = _mc_b_pred(
+            refs, mbx, mby, mode, mv0, mv1
+        )
     zs, cbp_luma = _inter_luma_quant(src_y, pred_y, mbx, mby, qp)
     qpc = _QPC[max(0, min(51, qp))]
     cx0, cy0 = mbx * 8, mby * 8
@@ -3354,10 +3546,13 @@ def _b_mb_decide(
         for src, pred in ((src_u, pred_u), (src_v, pred_v))
     ]
     cbp_chroma, cdcq, cacq = _chroma_transform_quant(cres, qpc, intra=False)
+    if mode == "direct" and cbp_luma == 0 and cbp_chroma == 0:
+        return "skip", None  # B_Skip: direct prediction, nothing coded
     return "inter", {
         "mode": mode,
         "mv0": mv0,
         "mv1": mv1,
+        "direct": (use0, use1, parts),
         "zs": zs,
         "cbp_luma": cbp_luma,
         "cbp_chroma": cbp_chroma,
@@ -3373,10 +3568,13 @@ def _b_mb_finish(
     """Shared state update + reconstruction for a coded B inter MB
     (encoder closed loop and decoder run the identical math)."""
     mode = d["mode"]
-    _store_b_mv(
-        st, mbx, mby, d["mv0"], d["mv1"],
-        mode in ("l0", "bi"), mode in ("l1", "bi"),
-    )
+    if mode == "direct":
+        _store_b_direct_mv(st, mbx, mby, *d["direct"])
+    else:
+        _store_b_mv(
+            st, mbx, mby, d["mv0"], d["mv1"],
+            mode in ("l0", "bi"), mode in ("l1", "bi"),
+        )
     st.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
     pred_y, pred_u, pred_v = d["preds"]
     _recon_inter_luma(st, mbx, mby, qp, pred_y, d["zs"], d["cbp_luma"])
@@ -3388,9 +3586,18 @@ def _b_mb_finish(
 def _encode_b_mb(
     w: _BitWriter, st: _FrameState, mbx: int, mby: int, qp: int,
     src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray, refs,
-) -> None:
-    kind, d = _b_mb_decide(st, mbx, mby, qp, src_y, src_u, src_v, refs)
-    w.ue(0)  # mb_skip_run (B_Skip/direct outside the subset)
+    col: dict | None, skip_run: int,
+) -> int:
+    """Encode one B macroblock; returns the updated mb_skip_run
+    (incremented when this MB became B_Skip, flushed before a coded
+    MB — the same contract as _encode_p_mb)."""
+    kind, d = _b_mb_decide(
+        st, mbx, mby, qp, src_y, src_u, src_v, refs, col
+    )
+    if kind == "skip":
+        _recon_b_skip(st, mbx, mby, refs, col)
+        return skip_run + 1
+    w.ue(skip_run)
     if kind == "intra":
         _encode_mb(w, st, mbx, mby, qp, src_y, src_u, src_v, mtype_off=23)
         st.inter[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = False
@@ -3398,11 +3605,12 @@ def _encode_b_mb(
         st.uses1[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = False
         st.mv[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
         st.mv1[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
-        return
+        return 0
     mode = d["mode"]
-    w.ue(_B_MODE_MBTYPE[mode])
+    w.ue(0 if mode == "direct" else _B_MODE_MBTYPE[mode])
     # mb_pred (§7.3.5.1): num_ref_idx_active = 1 per list → no
-    # ref_idx syntax; mvd_l0 then mvd_l1, each only if the list is used
+    # ref_idx syntax; B_Direct_16x16 carries NO motion syntax at all;
+    # otherwise mvd_l0 then mvd_l1, each only if the list is used
     if mode in ("l0", "bi"):
         pmv0 = _pred_mv_b(st, mbx, mby, 0)
         w.se(d["mv0"][0] - pmv0[0])
@@ -3430,15 +3638,24 @@ def _encode_b_mb(
         w, st, mbx, mby, d["cbp_chroma"], d["cdcq"], d["cacq"]
     )
     _b_mb_finish(st, mbx, mby, qp, 0, d)
+    return 0
+
+
+def _ensure_b_counts(st: _FrameState) -> dict:
+    if not hasattr(st, "b_mode_counts"):
+        st.b_mode_counts = {
+            "l0": 0, "l1": 0, "bi": 0, "intra": 0,
+            "direct": 0, "skip": 0,
+        }
+    return st.b_mode_counts
 
 
 def _decode_b_mb(
     r: _BitReader, st: _FrameState, mbx: int, mby: int, qp: int,
-    cqo: int, refs,
+    cqo: int, refs, col: dict | None,
 ) -> None:
     mb_type = r.ue()
-    if not hasattr(st, "b_mode_counts"):
-        st.b_mode_counts = {"l0": 0, "l1": 0, "bi": 0, "intra": 0}
+    _ensure_b_counts(st)
     if mb_type >= 23:
         st.b_mode_counts["intra"] += 1
         # Table 7-14: intra macroblock types offset by 23 in B slices
@@ -3449,13 +3666,15 @@ def _decode_b_mb(
         st.mv1[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
         _decode_mb(r, st, mbx, mby, qp, cqo, mb_type=mb_type - 23)
         return
-    if mb_type not in _B_MBTYPE_MODE:
-        raise MediaFormatError(
-            "B_Direct_16x16 / partitioned B types outside the subset"
-        )
-    mode = _B_MBTYPE_MODE[mb_type]
+    if mb_type != 0 and mb_type not in _B_MBTYPE_MODE:
+        raise MediaFormatError("partitioned B types outside the subset")
+    mode = "direct" if mb_type == 0 else _B_MBTYPE_MODE[mb_type]
     st.b_mode_counts[mode] += 1
     mv0 = mv1 = (0, 0)
+    direct = None
+    if mode == "direct":
+        # B_Direct_16x16: spatial derivation, no motion syntax
+        direct = _b_direct_mvs(st, mbx, mby, col)
     if mode in ("l0", "bi"):
         pmv0 = _pred_mv_b(st, mbx, mby, 0)
         mv0 = (pmv0[0] + r.se(), pmv0[1] + r.se())
@@ -3485,12 +3704,19 @@ def _decode_b_mb(
             st.nc_y[aby, abx] = 0
             zs.append(np.zeros((4, 4), dtype=np.int64))
     cdc, cac = _read_chroma_residuals(r, st, mbx, mby, cbp_chroma)
-    pred_y, pred_u, pred_v = _mc_b_pred(refs, mbx, mby, mode, mv0, mv1)
+    if mode == "direct":
+        pred_y, pred_u, pred_v = _mc_direct_pred(
+            refs, mbx, mby, *direct
+        )
+    else:
+        pred_y, pred_u, pred_v = _mc_b_pred(
+            refs, mbx, mby, mode, mv0, mv1
+        )
     _b_mb_finish(
         st, mbx, mby, qp, cqo,
         {
-            "mode": mode, "mv0": mv0, "mv1": mv1, "zs": zs,
-            "cbp_luma": cbp_luma, "cdcq": cdc, "cacq": cac,
+            "mode": mode, "mv0": mv0, "mv1": mv1, "direct": direct,
+            "zs": zs, "cbp_luma": cbp_luma, "cdcq": cdc, "cacq": cac,
             "preds": (pred_y, pred_u, pred_v),
         },
     )
@@ -3498,23 +3724,32 @@ def _decode_b_mb(
 
 def _decode_b_slice_mbs(
     r: _BitReader, st: _FrameState, qp: int, cqo: int, refs,
+    col: dict | None = None,
 ) -> None:
     n_mbs = st.mb_w * st.mb_h
-    for i in range(n_mbs):
-        if r.ue() != 0:  # mb_skip_run
-            raise MediaFormatError(
-                "B_Skip (direct inference) outside the subset"
-            )
-        _decode_b_mb(r, st, i % st.mb_w, i // st.mb_w, qp, cqo, refs)
+    i = 0
+    while i < n_mbs:
+        run = r.ue()  # mb_skip_run: B_Skip = spatial direct, no residue
+        if run > n_mbs - i:
+            raise MediaFormatError("mb_skip_run overruns the picture")
+        for _ in range(run):
+            _recon_b_skip(st, i % st.mb_w, i // st.mb_w, refs, col)
+            _ensure_b_counts(st)["skip"] += 1
+            i += 1
+        if i >= n_mbs:
+            break
+        _decode_b_mb(r, st, i % st.mb_w, i // st.mb_w, qp, cqo, refs, col)
+        i += 1
 
 
 def b_mode_histogram(
-    nal: bytes, sps: dict, pps: dict, ref, ref2
+    nal: bytes, sps: dict, pps: dict, ref, ref2,
+    col: dict | None = None,
 ) -> dict:
     """Decode one B slice NAL and return its macroblock mode counts
-    ({'l0', 'l1', 'bi', 'intra'}) — the lane-level proof that the
-    bi-predictive machinery actually engages instead of degenerating
-    to L0-only."""
+    ({'l0', 'l1', 'bi', 'direct', 'skip', 'intra'}) — the lane-level
+    proof that the bi-predictive / direct machinery actually engages
+    instead of degenerating to L0-only."""
     r = _BitReader(_unescape_rbsp(nal[1:]))
     stype, qp, _d, _a, _b = _parse_slice_header(
         r, sps, pps, idr=False, nal_ref_idc=nal[0] >> 5
@@ -3522,8 +3757,10 @@ def b_mode_histogram(
     if stype != "B":
         raise MediaFormatError("b_mode_histogram expects a B slice")
     st = _FrameState(sps["mb_w"], sps["mb_h"])
+    _ensure_b_counts(st)
     _decode_b_slice_mbs(
-        r, st, qp, pps.get("chroma_qp_index_offset", 0), [ref, ref2]
+        r, st, qp, pps.get("chroma_qp_index_offset", 0), [ref, ref2],
+        col,
     )
     return dict(st.b_mode_counts)
 
@@ -3531,11 +3768,14 @@ def b_mode_histogram(
 def encode_b_frame_nal(
     rgb: bytes, width: int, height: int, qp: int,
     refs, frame_num: int, poc_lsb: int, deblock: bool = True,
+    col: dict | None = None,
 ):
     """One RGB frame → one non-reference B slice NAL against ``refs``
     (= [most recent reference, older reference], both FILTERED —
     exactly the default RefPicList L0 order; L1[0] is refs[1] after
-    the §8.2.4.2.3 first-two swap).  Returns (nal, output planes)."""
+    the §8.2.4.2.3 first-two swap).  ``col`` is RefPicList1[0]'s
+    motion snapshot for spatial direct's colZeroFlag.  Returns
+    (nal, output planes)."""
     y, u, v = rgb_to_yuv420(rgb, width, height)
     y, u, v = _pad_plane(y, 16), _pad_plane(u, 8), _pad_plane(v, 8)
     mb_w, mb_h = y.shape[1] // 16, y.shape[0] // 16
@@ -3546,9 +3786,14 @@ def encode_b_frame_nal(
         log2_max_poc_lsb=4, deblock=deblock, slice_type="B",
         frame_num=frame_num, poc_lsb=poc_lsb,
     )
+    skip_run = 0
     for mby in range(mb_h):
         for mbx in range(mb_w):
-            _encode_b_mb(w, st, mbx, mby, qp, y, u, v, refs)
+            skip_run = _encode_b_mb(
+                w, st, mbx, mby, qp, y, u, v, refs, col, skip_run
+            )
+    if skip_run:
+        w.ue(skip_run)  # trailing skip run
     nal = b"\x01" + w.finish()  # nal_ref_idc=0 (non-ref), type 1
     if deblock:
         return nal, deblock_frame(st.y, st.u, st.v, qp, st=st)
@@ -3580,18 +3825,24 @@ def encode_h264_ipb(
         )
         nals = [out[0]]
         dpb = [out[1]]  # most recent reference first
+        mb_w, mb_h = out[1][0].shape[1] // 16, out[1][0].shape[0] // 16
+        dpb_motion = [_intra_motion(mb_w, mb_h)]
         recons = [out[1]]
         fn = 1  # next reference picture's frame_num
         for i, f in enumerate(frames_rgb[1:], start=1):
             if i % 2 == 1 or len(dpb) < 2:
+                sink: dict = {}
                 nal, planes = encode_p_frame_nal(
-                    f, width, height, qp, dpb[0], fn, poc_lsb=2 * i
+                    f, width, height, qp, dpb[0], fn, poc_lsb=2 * i,
+                    motion_sink=sink,
                 )
                 dpb = [planes] + dpb[:1]
+                dpb_motion = [sink] + dpb_motion[:1]
                 fn += 1
             else:
                 nal, planes = encode_b_frame_nal(
-                    f, width, height, qp, dpb, fn, poc_lsb=2 * i
+                    f, width, height, qp, dpb, fn, poc_lsb=2 * i,
+                    col=dpb_motion[1],  # RefPicList1[0]'s motion
                 )
             nals.append(nal)
             recons.append(planes)
@@ -3616,6 +3867,7 @@ def encode_p_frame_nal(
     rgb: bytes, width: int, height: int, qp: int,
     ref: tuple[np.ndarray, np.ndarray, np.ndarray], frame_num: int,
     deblock: bool = True, poc_lsb: int | None = None,
+    motion_sink: dict | None = None,
 ):
     """One RGB frame → one P slice NAL against ``ref`` (the previous
     picture's FILTERED output planes).  Returns (nal, output planes —
@@ -3641,6 +3893,8 @@ def encode_p_frame_nal(
             )
     if skip_run:
         w.ue(skip_run)  # trailing skip run
+    if motion_sink is not None:
+        motion_sink.update(_motion_snapshot(st))
     nal = b"\x41" + w.finish()  # nal_ref_idc=2, type 1 (non-IDR slice)
     if deblock:
         return nal, deblock_frame(st.y, st.u, st.v, qp, st=st)
@@ -3715,6 +3969,7 @@ def decode_h264_stream(
     ct, cl = sps["crop_t"], sps["crop_l"]
     frames = []
     refs: list = []  # 2-deep DPB, most recent reference first
+    ref_motion: list = []  # parallel motion snapshots (spatial direct)
     marker_seen = cabac_provenance_ok(
         [n for n in slice_nals if (n[0] & 0x1F) == 6],
         [n for n in slice_nals if (n[0] & 0x1F) in (1, 5)],
@@ -3722,14 +3977,18 @@ def decode_h264_stream(
     for nal in slice_nals:
         if (nal[0] & 0x1F) == 6:
             continue  # provenance verified in pre-pass
+        sink: dict = {}
         planes = decode_frame_nal(
             nal, sps, pps,
             ref=refs[0] if refs else None,
             ref2=refs[1] if len(refs) > 1 else None,
             cabac_ok=marker_seen,
+            col_motion=ref_motion[1] if len(ref_motion) > 1 else None,
+            motion_sink=sink,
         )
         if nal[0] >> 5:  # reference picture → enters the DPB
             refs = [planes] + refs[:1]
+            ref_motion = [sink or None] + ref_motion[:1]
         y, u, v = planes
         frames.append(
             yuv420_to_rgb(

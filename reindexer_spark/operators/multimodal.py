@@ -2509,9 +2509,10 @@ def video_bslice_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL bi-predictive H.264 decode (round-11 VERDICT next #4): the
     same digest-seeded translating scenes as video_inter_decode,
     encoded as a low-delay IPB chain (reindexer_spark.h264 B slices —
-    two reference lists, B_L0/B_L1/B_Bi 16x16 modes, per-list median
-    MV prediction, the default bi average, non-reference NALs), muxed
-    into mp4 OR mkv, and decoded back.
+    two reference lists, B_L0/B_L1/B_Bi 16x16 modes, SPATIAL DIRECT
+    B_Skip/B_Direct_16x16 with the colocated-motion colZeroFlag,
+    per-list median MV prediction, the default bi average,
+    non-reference NALs), muxed into mp4 OR mkv, and decoded back.
 
     Oracle-pinned contract columns (all re-derived from sha256(text)):
     ``n_b_frames`` — the chain carries (n-1)//2 non-reference B
@@ -2519,14 +2520,16 @@ def video_bslice_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     still mark exactly the IDR; ``containers_agree=1`` — mp4 and mkv
     decode bit-identically; ``b_smaller=1`` — the B frames cost fewer
     bits than the same frames coded all-intra (the p_smaller analog;
-    chain-vs-chain is not pinnable: on exactly-translating fixtures a
-    B frame sometimes ties its P twin because the subset has no
-    B_Skip); ``recon_exact=1`` — decoder ≡ encoder closed loop through
+    chain-vs-chain stays unpinnable even with B_Skip: on
+    exactly-translating fixtures direct's median prediction can't
+    always match the roll motion, so a B frame occasionally ties its
+    P twin); ``recon_exact=1`` — decoder ≡ encoder closed loop through
     the per-list §8.7.2.1 deblocking strengths (any mismatch in list
-    construction, per-list MV prediction, the bi average, or the
-    non-reference DPB rule breaks it).  The bi/L1 machinery engagement
-    is pinned in tests/test_h264_bslice.py (per-doc mode histograms
-    are encoder-choice, not digest arithmetic).
+    construction, per-list MV prediction, the bi average, the spatial
+    direct derivation, or the non-reference DPB rule breaks it).  The
+    bi/L1/direct/skip machinery engagement is pinned in
+    tests/test_h264_bslice.py (per-doc mode histograms are
+    encoder-choice, not digest arithmetic).
 
     Scale shape: identical to the other video lanes — Arrow-batched
     mapInPandas, payloads never shuffle."""

@@ -99,7 +99,8 @@ def test_b_mb_types_exercised():
     sd = H._parse_sps_slice_fields(sps)
     pd = H.parse_pps(pps)
     refs: list = []
-    hist = {"l0": 0, "l1": 0, "bi": 0, "intra": 0}
+    hist = {"l0": 0, "l1": 0, "bi": 0, "intra": 0, "direct": 0,
+            "skip": 0}
     for nal in nals:
         if nal[0] >> 5 == 0:
             hh = H.b_mode_histogram(nal, sd, pd, refs[0], refs[1])
@@ -114,7 +115,12 @@ def test_b_mb_types_exercised():
             refs = [pl] + refs[:1]
     # n=4 → one B frame (index 2), 12 macroblocks
     assert sum(hist.values()) == (w // 16) * (h // 16)
-    assert hist["bi"] + hist["l1"] > 0, hist
+    # two-list prediction engaged: explicit Bi/L1, or spatial direct
+    # (whose zero-prediction on this static cross-fade IS the bi
+    # average — both lists referenced, no motion syntax)
+    assert (
+        hist["bi"] + hist["l1"] + hist["direct"] + hist["skip"] > 0
+    ), hist
 
 
 def test_b_without_two_references_quarantines():
@@ -130,9 +136,11 @@ def test_b_without_two_references_quarantines():
         H.decode_frame_nal(nals[2], sd, pd, ref=one, ref2=None)
 
 
-def test_b_skip_run_quarantines():
-    """A B slice whose mb_skip_run is nonzero (B_Skip → direct
-    inference) is outside the subset and must refuse, not guess."""
+def test_b_skip_decodes_as_spatial_direct():
+    """B_Skip (round 12): a skipped macroblock reconstructs EXACTLY
+    the spatial-direct prediction — here the first MB of a picture,
+    whose direct derivation is the zero-prediction (no inter
+    neighbours → both refIdx < 0 → bi with zero MVs)."""
     w, h = 16, 16
     frames = _moving_frames(w, h, 3)
     sps, pps, nals = H.encode_h264_ipb(w, h, frames, qp=26)
@@ -140,17 +148,26 @@ def test_b_skip_run_quarantines():
     pd = H.parse_pps(pps)
     r0 = H.decode_frame_nal(nals[0], sd, pd)
     r1 = H.decode_frame_nal(nals[1], sd, pd, ref=r0)
-    # craft a B slice with mb_skip_run=1: reuse the real header bits,
-    # then write ue(1).  Simpler: flip the first mb_skip_run ue(0)
-    # (bit '1') to ue(1) (bits '010') via re-encoding the header is
-    # fiddly — instead decode the real NAL and assert the crafted
-    # header path through _decode_b_slice_mbs directly.
     st = H._FrameState(sd["mb_w"], sd["mb_h"])
     w_ = H._BitWriter()
-    w_.ue(1)  # mb_skip_run = 1
-    r_ = H._BitReader(w_.finish())
+    w_.ue(1)  # mb_skip_run = 1 (the whole 16x16 picture)
+    H._decode_b_slice_mbs(
+        H._BitReader(w_.finish()), st, 26, 0, [r1, r0]
+    )
+    # zero-prediction: the bi average of the two references
+    expect = (
+        r1[0][:16, :16].astype(int) + r0[0][:16, :16].astype(int) + 1
+    ) >> 1
+    assert (st.y[:16, :16].astype(int) == expect).all()
+    assert st.b_mode_counts["skip"] == 1
+    # an overrunning skip run still refuses
+    st2 = H._FrameState(sd["mb_w"], sd["mb_h"])
+    w2 = H._BitWriter()
+    w2.ue(5)
     with pytest.raises(MediaFormatError):
-        H._decode_b_slice_mbs(r_, st, 26, 0, [r0, r1])
+        H._decode_b_slice_mbs(
+            H._BitReader(w2.finish()), st2, 26, 0, [r1, r0]
+        )
 
 
 def test_ipb_through_mp4_and_mkv_containers():
@@ -200,3 +217,61 @@ def test_temporal_direct_flag_quarantines():
     r_ = H._BitReader(w2.finish())
     with pytest.raises(MediaFormatError, match="temporal direct"):
         H._parse_slice_header(r_, sd, pd, idr=False, nal_ref_idc=0)
+
+
+def test_static_b_frames_collapse_to_skip():
+    """A still scene's B frames degenerate to B_Skip runs: spatial
+    direct predicts the (static) picture exactly once the loop
+    settles, so the B NALs shrink toward a single skip-run and the
+    histogram is skip-dominated."""
+    w, h = 64, 48
+    frames = _moving_frames(w, h, 5, still=True)
+    sps, pps, nals = H.encode_h264_ipb(w, h, frames, qp=28)
+    sd = H._parse_sps_slice_fields(sps)
+    pd = H.parse_pps(pps)
+    refs: list = []
+    ref_motion: list = []
+    skip_total = mb_total = 0
+    b_sizes = []
+    for nal in nals:
+        if nal[0] >> 5 == 0:
+            hh = H.b_mode_histogram(
+                nal, sd, pd, refs[0], refs[1],
+                col=ref_motion[1] if len(ref_motion) > 1 else None,
+            )
+            skip_total += hh["skip"] + hh["direct"]
+            mb_total += sum(hh.values())
+            b_sizes.append(len(nal))
+        else:
+            sink: dict = {}
+            pl = H.decode_frame_nal(
+                nal, sd, pd,
+                ref=refs[0] if refs else None,
+                ref2=refs[1] if len(refs) > 1 else None,
+                col_motion=(
+                    ref_motion[1] if len(ref_motion) > 1 else None
+                ),
+                motion_sink=sink,
+            )
+            refs = [pl] + refs[:1]
+            ref_motion = [sink or None] + ref_motion[:1]
+    assert mb_total == 2 * (w // 16) * (h // 16)
+    # the first B still codes residue against the settling loop; the
+    # majority of B macroblocks across the chain go direct/skip
+    assert skip_total > mb_total // 2, (skip_total, mb_total)
+    assert min(b_sizes) < 48, b_sizes  # a skip-dominated B is tiny
+
+
+def test_ipb_closed_loop_with_direct_and_skip():
+    """Closed loop must hold THROUGH the direct/skip paths: a mixed
+    clip (translation + static tail) forces skip, direct, explicit
+    modes and the colZeroFlag quadrant zeroing into one chain."""
+    w, h = 48, 32
+    base = _moving_frames(w, h, 3)
+    frames = base + [base[-1], base[-1]]  # static tail
+    sps, pps, nals, recons = H.encode_h264_ipb(
+        w, h, frames, qp=26, return_recon=True
+    )
+    dw, dh, dec = H.decode_h264_stream(sps, pps, nals)
+    assert (dw, dh) == (w, h)
+    assert dec == recons
