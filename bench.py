@@ -315,9 +315,9 @@ def main() -> int:
                 )
                 for w, d in zip(walls, deltas)
             ]
-            clean = sorted(
-                w for w, c in zip(walls, flags) if not c
-            ) or sorted(walls)
+            # the minimum-wall rep can never trip the wall-ratio
+            # anchor, so at least one rep is always clean
+            clean = sorted(w for w, c in zip(walls, flags) if not c)
             out[name] = round(clean[len(clean) // 2], 3)
             ok = [d for d in deltas if d is not None]
             sm: dict = (
@@ -336,8 +336,7 @@ def main() -> int:
                 sm["cpu_ms_all"] = [
                     d["cpu_ms"] if d else None for d in deltas
                 ]
-                # 0 = every rep flagged (value falls back to median of
-                # all reps and should be read with suspicion)
+                # always ≥ 1: the best rep anchors the wall ratio
                 sm["clean_reps"] = sum(1 for c in flags if not c)
             stage_metrics[name] = sm
         return out

@@ -1163,10 +1163,19 @@ def _write_slice_header(
 
 def _parse_slice_header(
     r: _BitReader, sps: dict, pps: dict, idr: bool = True,
-    nal_ref_idc: int = 3,
+    nal_ref_idc: int = 3, poc_ctx: dict | None = None,
 ) -> tuple[str, int, bool, int, int]:
-    """Returns (slice type 'I'/'P', slice QP, deblocking enabled, alpha
-    offset, beta offset); rejects anything outside the subset."""
+    """Returns (slice type 'I'/'P'/'B', slice QP, deblocking enabled,
+    alpha offset, beta offset); rejects anything outside the subset.
+
+    ``poc_ctx`` (a dict carried across one stream walk) enforces the
+    LOW-DELAY subset: pic_order_cnt_lsb must move strictly FORWARD
+    (mod-wrap distance < half the lsb range) between pictures.  A
+    display-reordered stream — the overwhelmingly common B shape,
+    where the B's POC sits BETWEEN its references' — would otherwise
+    decode with swapped L0/L1 lists against the recency-ordered DPB
+    and emit silent wrong frames (round-12 review); with the check it
+    quarantines.  An IDR resets the context."""
     if r.ue() != 0:
         raise MediaFormatError("multi-slice pictures unsupported")
     slice_type = r.ue()
@@ -1191,7 +1200,18 @@ def _parse_slice_header(
     if idr:
         r.ue()  # idr_pic_id
     if sps["poc_type"] == 0:
-        r.u(sps["log2_max_poc_lsb"])
+        poc_lsb = r.u(sps["log2_max_poc_lsb"])
+        if poc_ctx is not None:
+            prev = poc_ctx.get("poc")
+            if prev is not None and not idr:
+                span = 1 << sps["log2_max_poc_lsb"]
+                fwd = (poc_lsb - prev) % span
+                if fwd == 0 or fwd >= span // 2:
+                    raise MediaFormatError(
+                        "non-monotonic picture order: display-reordered "
+                        "stream outside the low-delay subset"
+                    )
+            poc_ctx["poc"] = poc_lsb
     if stype == "B":
         if not r.u(1):  # direct_spatial_mv_pred_flag
             raise MediaFormatError(
@@ -1631,6 +1651,7 @@ def decode_frame_nal(
     ref2: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
     col_motion: dict | None = None,
     motion_sink: dict | None = None,
+    poc_ctx: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Slice NAL → reconstructed (Y, U, V) planes (coded size; caller
     crops).  IDR slices decode standalone; P slices require ``ref`` —
@@ -1639,7 +1660,11 @@ def decode_frame_nal(
     under the default-list swap) — and use ``col_motion`` (that same
     picture's motion snapshot) for spatial direct.  Callers tracking a
     DPB pass ``motion_sink`` on REFERENCE pictures to capture the
-    motion state the next B picture's direct derivation reads."""
+    motion state the next B picture's direct derivation reads, and a
+    shared ``poc_ctx`` so _parse_slice_header can reject
+    display-reordered (non-low-delay) streams.  CABAC slices bypass
+    the POC check — they are provenance-gated to this module's own
+    (low-delay, B-free) streams already."""
     if not nal:
         raise MediaFormatError("empty NAL")
     nal_type = nal[0] & 0x1F
@@ -1661,7 +1686,8 @@ def decode_frame_nal(
         return decode_frame_nal_cabac(nal, sps, pps, ref=ref)
     r = _BitReader(_unescape_rbsp(nal[1:]))
     stype, qp, deblock, a_off, b_off = _parse_slice_header(
-        r, sps, pps, idr=nal_type == 5, nal_ref_idc=nal[0] >> 5
+        r, sps, pps, idr=nal_type == 5, nal_ref_idc=nal[0] >> 5,
+        poc_ctx=poc_ctx,
     )
     st = _FrameState(sps["mb_w"], sps["mb_h"])
     cqo = pps.get("chroma_qp_index_offset", 0)
@@ -1817,22 +1843,24 @@ def decode_avcc_samples(
     pps = parse_pps(pps_nal, allow_cabac=True)
     w, h = sps["width"], sps["height"]
     frames = []
-    # provenance pre-pass: the marker SEI binds a digest of the coded
-    # slices, so it verifies against the whole walk, not NAL-by-NAL
-    seis, slices = [], []
-    for sample in samples:
-        for nal in split_sample_nals(sample, length_size):
-            t = nal[0] & 0x1F
-            if t == 6:
-                seis.append(nal)
-            elif t in (1, 5):
-                slices.append(nal)
-    marker_seen = cabac_provenance_ok(seis, slices)
+    # split each sample ONCE: the provenance pre-pass and the decode
+    # loop share the NAL lists (the marker SEI binds a digest of the
+    # coded slices, so it verifies against the whole walk, not
+    # NAL-by-NAL)
+    sample_nals = [
+        split_sample_nals(sample, length_size) for sample in samples
+    ]
+    flat = [n for nals in sample_nals for n in nals]
+    marker_seen = cabac_provenance_ok(
+        [n for n in flat if (n[0] & 0x1F) == 6],
+        [n for n in flat if (n[0] & 0x1F) in (1, 5)],
+    )
     refs: list = []  # 2-deep DPB, most recent reference first
     ref_motion: list = []  # parallel motion snapshots (spatial direct)
-    for sample in samples:
+    poc_ctx: dict = {}  # low-delay POC monotonicity
+    for nals in sample_nals:
         frame = None
-        for nal in split_sample_nals(sample, length_size):
+        for nal in nals:
             t = nal[0] & 0x1F
             if t == 7:
                 new_sps = _parse_sps_slice_fields(nal)
@@ -1851,6 +1879,10 @@ def decode_avcc_samples(
             elif t in (1, 5):
                 if frame is not None:
                     raise MediaFormatError("multi-slice sample unsupported")
+                if t == 5:
+                    # an IDR empties the DPB (8.2.5.1): pre-IDR
+                    # references must never predict post-IDR pictures
+                    refs, ref_motion = [], []
                 sink: dict = {}
                 y, u, v = decode_frame_nal(
                     nal, sps, pps,
@@ -1861,6 +1893,7 @@ def decode_avcc_samples(
                         ref_motion[1] if len(ref_motion) > 1 else None
                     ),
                     motion_sink=sink,
+                    poc_ctx=poc_ctx,
                 )
                 if nal[0] >> 5:  # reference picture → enters the DPB
                     refs = [(y, u, v)] + refs[:1]
@@ -2019,6 +2052,7 @@ def decode_h264_annexb_stream(data: bytes) -> tuple[int, int, list[bytes]]:
     w = h = None
     refs: list = []  # 2-deep DPB, most recent reference first
     ref_motion: list = []  # parallel motion snapshots (spatial direct)
+    poc_ctx: dict = {}  # low-delay POC monotonicity
     all_nals = split_annexb(data)
     marker_seen = cabac_provenance_ok(
         [n for n in all_nals if (n[0] & 0x1F) == 6],
@@ -2039,6 +2073,8 @@ def decode_h264_annexb_stream(data: bytes) -> tuple[int, int, list[bytes]]:
         elif t in (1, 5):
             if sps is None or pps is None:
                 raise MediaFormatError("slice before SPS/PPS in stream")
+            if t == 5:
+                refs, ref_motion = [], []  # IDR empties the DPB
             sink: dict = {}
             y, u, v = decode_frame_nal(
                 nal, sps, pps,
@@ -2049,6 +2085,7 @@ def decode_h264_annexb_stream(data: bytes) -> tuple[int, int, list[bytes]]:
                     ref_motion[1] if len(ref_motion) > 1 else None
                 ),
                 motion_sink=sink,
+                poc_ctx=poc_ctx,
             )
             if nal[0] >> 5:  # reference picture → enters the DPB
                 refs = [(y, u, v)] + refs[:1]
@@ -2885,9 +2922,12 @@ def _mv_nbr_l(st: _FrameState, bx: int, by: int, lst: int):
     return (True, True, (int(mvf[by, bx, 0]), int(mvf[by, bx, 1])))
 
 
-def _pred_mv_b(st: _FrameState, mbx: int, mby: int, lst: int):
-    """§8.4.1.3 median MV predictor for a 16x16 B partition on list
-    ``lst`` (refIdx always 0 in the subset)."""
+def _b_nbrs(st: _FrameState, mbx: int, mby: int, lst: int):
+    """The A/B/C neighbour triple for a 16x16 B partition on list
+    ``lst`` — C availability by exact decode order with the D
+    (top-left) fallback, and the §8.4.1.3.2 only-A edge rule.  Shared
+    by MV prediction AND spatial-direct derivation so the two can
+    never drift (round-12 review)."""
     abx, aby = mbx * 4, mby * 4
     a = _mv_nbr_l(st, abx - 1, aby, lst)
     b = _mv_nbr_l(st, abx, aby - 1, lst)
@@ -2905,6 +2945,13 @@ def _pred_mv_b(st: _FrameState, mbx: int, mby: int, lst: int):
         c = _mv_nbr_l(st, abx - 1, aby - 1, lst)
     if a[0] and not b[0] and not c[0]:
         b = c = a
+    return a, b, c
+
+
+def _pred_mv_b(st: _FrameState, mbx: int, mby: int, lst: int):
+    """§8.4.1.3 median MV predictor for a 16x16 B partition on list
+    ``lst`` (refIdx always 0 in the subset)."""
+    a, b, c = _b_nbrs(st, mbx, mby, lst)
     matching = [n for n in (a, b, c) if n[1]]
     if len(matching) == 1:
         return matching[0][2]
@@ -3372,20 +3419,7 @@ def _b_direct_mvs(st: _FrameState, mbx: int, mby: int, col: dict | None):
     abx, aby = mbx * 4, mby * 4
     use = []
     for lst in (0, 1):
-        a = _mv_nbr_l(st, abx - 1, aby, lst)
-        b = _mv_nbr_l(st, abx, aby - 1, lst)
-        c_bx = abx + 4
-        if (
-            c_bx < st.mb_w * 4
-            and aby > 0
-            and _blk_order(c_bx, aby - 1, st.mb_w)
-            < _blk_order(abx, aby, st.mb_w)
-        ):
-            c = _mv_nbr_l(st, c_bx, aby - 1, lst)
-        else:
-            c = (False, False, (0, 0))
-        if not c[0]:
-            c = _mv_nbr_l(st, abx - 1, aby - 1, lst)
+        a, b, c = _b_nbrs(st, mbx, mby, lst)
         use.append(a[1] or b[1] or c[1])
     use0, use1 = use
     if not use0 and not use1:
@@ -3970,6 +4004,7 @@ def decode_h264_stream(
     frames = []
     refs: list = []  # 2-deep DPB, most recent reference first
     ref_motion: list = []  # parallel motion snapshots (spatial direct)
+    poc_ctx: dict = {}  # low-delay POC monotonicity
     marker_seen = cabac_provenance_ok(
         [n for n in slice_nals if (n[0] & 0x1F) == 6],
         [n for n in slice_nals if (n[0] & 0x1F) in (1, 5)],
@@ -3977,6 +4012,8 @@ def decode_h264_stream(
     for nal in slice_nals:
         if (nal[0] & 0x1F) == 6:
             continue  # provenance verified in pre-pass
+        if (nal[0] & 0x1F) == 5:
+            refs, ref_motion = [], []  # IDR empties the DPB
         sink: dict = {}
         planes = decode_frame_nal(
             nal, sps, pps,
@@ -3985,6 +4022,7 @@ def decode_h264_stream(
             cabac_ok=marker_seen,
             col_motion=ref_motion[1] if len(ref_motion) > 1 else None,
             motion_sink=sink,
+            poc_ctx=poc_ctx,
         )
         if nal[0] >> 5:  # reference picture → enters the DPB
             refs = [planes] + refs[:1]

@@ -1396,22 +1396,37 @@ def cabac_stream_digest(slice_nals: list[bytes]) -> bytes:
 
 def cabac_marker_sei(slice_nals: list[bytes]) -> bytes:
     """SEI NAL (type 6, payloadType 5 user_data_unregistered) carrying
-    CABAC_MARKER_UUID + cabac_stream_digest(slice_nals)."""
+    CABAC_MARKER_UUID + cabac_stream_digest(slice_nals).  The payload
+    is EMULATION-ESCAPED (§7.4.1.1): unlike the old fixed UUID, the
+    digest varies per stream and can contain a start-code pattern that
+    would split the NAL in Annex-B walks (round-12 review)."""
+    from reindexer_spark.codecs import _escape_rbsp
+
     payload = CABAC_MARKER_UUID + cabac_stream_digest(slice_nals)
-    body = bytes([5, len(payload)]) + payload
-    return b"\x06" + body + b"\x80"  # rbsp_trailing_bits
+    body = bytes([5, len(payload)]) + payload + b"\x80"
+    return b"\x06" + _escape_rbsp(body)
+
+
+def _marker_rbsp(nal: bytes) -> bytes | None:
+    """Unescaped SEI body when ``nal`` is structurally a marker SEI
+    (UUID present), else None."""
+    if not nal or (nal[0] & 0x1F) != 6:
+        return None
+    body = _unescape_rbsp(nal[1:])
+    if (
+        len(body) >= 34
+        and body[0] == 5
+        and body[1] >= 32
+        and body[2:18] == CABAC_MARKER_UUID
+    ):
+        return body
+    return None
 
 
 def is_cabac_marker(nal: bytes) -> bool:
     """Structural check only (UUID present) — provenance needs the
     digest too: use cabac_provenance_ok on the full NAL walk."""
-    return (
-        len(nal) >= 35
-        and (nal[0] & 0x1F) == 6
-        and nal[1] == 5
-        and nal[2] >= 32
-        and nal[3:19] == CABAC_MARKER_UUID
-    )
+    return _marker_rbsp(nal) is not None
 
 
 def cabac_provenance_ok(
@@ -1420,12 +1435,11 @@ def cabac_provenance_ok(
     """True iff some marker SEI's embedded digest matches the digest of
     the stream's actual coded-slice NALs — the gate every CABAC decode
     path must pass before trusting the equiprobable context init."""
-    if not any(is_cabac_marker(n) for n in sei_nals):
+    bodies = [_marker_rbsp(n) for n in sei_nals]
+    if not any(b is not None for b in bodies):
         return False
     want = cabac_stream_digest(slice_nals)
-    return any(
-        is_cabac_marker(n) and n[19:35] == want for n in sei_nals
-    )
+    return any(b is not None and b[18:34] == want for b in bodies)
 
 
 _CABAC_IPPP_CACHE: dict = {}

@@ -877,14 +877,14 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source")
         .agg(
             F.coalesce(
+                # Spark SQL's `div` is exact INTEGER division — the
+                # `/`+floor form goes through a double whose 53-bit
+                # mantissa diverges from DuckDB's exact `//` once the
+                # numerator outgrows 2^53 (round-12 review)
                 F.sum(
-                    F.floor(
-                        (
-                            F.lit(1000000)
-                            * (F.col("tc") + 1)
-                            * (F.col("s_tot") + DSIR_NB)
-                        )
-                        / ((F.col("sc") + 1) * (F.col("t_tot") + DSIR_NB))
+                    F.expr(
+                        f"(1000000 * (tc + 1) * (s_tot + {DSIR_NB}))"
+                        f" div ((sc + 1) * (t_tot + {DSIR_NB}))"
                     )
                 ),
                 F.lit(0),

@@ -1237,6 +1237,12 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb_rows = e.filter(F.col("vec_id") < PQ_K).collect()
     cb_rows.sort(key=lambda r: r.vec_id)
     cb = np.asarray([r.emb for r in cb_rows], dtype=np.float64)  # (K, 64)
+    # codes are the centroids' vec_ids, NOT array indices: with a
+    # sparse/filtered corpus the two diverge and the ADC join on
+    # t.cid would silently mismatch (round-12 review); np.argmin's
+    # first-min + this ascending-id order still matches the oracle's
+    # ORDER BY dist_q, cid tie-break
+    cb_ids = np.asarray([r.vec_id for r in cb_rows], dtype=np.int32)
 
     @F.pandas_udf("array<int>")
     def _pq_codes(emb: pd.Series) -> pd.Series:
@@ -1253,7 +1259,7 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             # int64 term sum: order-free, bit-identical to the SQL's
             # SUM(CAST(FLOOR(...) AS BIGINT)) regardless of axis order
             dist = np.floor(diff * diff * 1e6).astype(np.int64).sum(axis=2)
-            out[:, s] = np.argmin(dist, axis=1)
+            out[:, s] = cb_ids[np.argmin(dist, axis=1)]
         return pd.Series(list(out))
 
     codes = e.select(

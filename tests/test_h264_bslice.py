@@ -275,3 +275,34 @@ def test_ipb_closed_loop_with_direct_and_skip():
     dw, dh, dec = H.decode_h264_stream(sps, pps, nals)
     assert (dw, dh) == (w, h)
     assert dec == recons
+
+
+def test_display_reordered_stream_quarantines():
+    """Round-12 review: a conformant DISPLAY-REORDERED B stream (the
+    common shape: the B's POC sits between its references') must
+    refuse — the recency-ordered DPB would hand it swapped L0/L1
+    lists and emit wrong frames.  The walkers thread a shared poc_ctx;
+    a backward POC step is a MediaFormatError, and the low-delay
+    chain (strictly increasing POC) still decodes."""
+    w, h = 16, 16
+    frames = _moving_frames(w, h, 3)
+    sps, pps, nals = H.encode_h264_ipb(w, h, frames, qp=26)
+    sd = H._parse_sps_slice_fields(sps)
+    pd = H.parse_pps(pps)
+    ctx: dict = {}
+    r0 = H.decode_frame_nal(nals[0], sd, pd, poc_ctx=ctx)
+    r1 = H.decode_frame_nal(nals[1], sd, pd, ref=r0, poc_ctx=ctx)
+    assert ctx["poc"] == 2  # the P picture's poc_lsb
+    # craft a B header whose POC steps BACKWARD (display reorder)
+    w2 = H._BitWriter()
+    H._write_slice_header(
+        w2, 26, H.DEFAULT_QP, 0, log2_max_frame_num=4, poc_type=0,
+        log2_max_poc_lsb=4, slice_type="B", frame_num=2, poc_lsb=1,
+    )
+    bad = b"\x01" + w2.finish()
+    with pytest.raises(MediaFormatError, match="non-monotonic"):
+        H.decode_frame_nal(bad, sd, pd, ref=r1, ref2=r0, poc_ctx=ctx)
+    # the genuine low-delay B (poc 4) still decodes under the context
+    out = H.decode_frame_nal(nals[2], sd, pd, ref=r1, ref2=r0,
+                             poc_ctx=ctx)
+    assert out[0].shape == (16, 16)

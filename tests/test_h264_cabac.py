@@ -307,6 +307,7 @@ def test_markerless_cabac_quarantines():
 
 
 def test_marker_sei_shape():
+    from reindexer_spark.codecs import _unescape_rbsp
     from reindexer_spark.h264_cabac import (
         cabac_provenance_ok,
         cabac_stream_digest,
@@ -316,12 +317,46 @@ def test_marker_sei_shape():
     sei = cabac_marker_sei(slices)
     assert (sei[0] & 0x1F) == 6 and is_cabac_marker(sei)
     assert not is_cabac_marker(b"\x06\x05\x10" + bytes(16) + b"\x80")
-    # the embedded digest binds the exact slice bytes
-    assert sei[19:35] == cabac_stream_digest(slices)
+    # the embedded digest binds the exact slice bytes (parse through
+    # the emulation-escape layer, not raw byte offsets)
+    assert _unescape_rbsp(sei[1:])[18:34] == cabac_stream_digest(slices)
     assert cabac_provenance_ok([sei], slices)
     assert not cabac_provenance_ok([sei], slices[:1])
     assert not cabac_provenance_ok([sei], list(reversed(slices)))
     assert not cabac_provenance_ok([], slices)
+
+
+def test_marker_sei_digest_emulation_escaped():
+    """Round-12 review: a digest containing a start-code pattern must
+    be emulation-escaped or the Annex-B walk splits the module's OWN
+    marker SEI.  Mine a slice set whose digest embeds 00 00 0x, then
+    assert the NAL contains no start-code pattern and still verifies
+    after an Annex-B split round trip."""
+    from reindexer_spark.h264 import split_annexb
+    from reindexer_spark.h264_cabac import (
+        cabac_provenance_ok,
+        cabac_stream_digest,
+    )
+
+    found = None
+    for i in range(200_000):
+        s = [b"\x65" + i.to_bytes(4, "big")]
+        dg = cabac_stream_digest(s)
+        if any(
+            dg[k] == 0 and dg[k + 1] == 0 and dg[k + 2] <= 3
+            for k in range(len(dg) - 2)
+        ):
+            found = s
+            break
+    assert found is not None, "no emulation-triggering digest in range"
+    sei = cabac_marker_sei(found)
+    # no byte-aligned start-code pattern inside the NAL payload
+    assert b"\x00\x00\x00" not in sei and b"\x00\x00\x01" not in sei
+    # survives an Annex-B framing round trip intact
+    stream = b"\x00\x00\x00\x01" + sei + b"\x00\x00\x00\x01" + found[0]
+    nals = split_annexb(stream)
+    assert len(nals) == 2
+    assert cabac_provenance_ok([nals[0]], [nals[1]])
 
 
 def test_spoofed_marker_still_quarantines():
