@@ -796,7 +796,6 @@ _DSIR_W_SQL = (
       FROM scored
     )
     SELECT doc_id, source, score, CAST(n_grams AS BIGINT) AS n_grams,
-           CAST(rnk AS BIGINT) AS rnk,
            CAST(rnk <= n_pool // {DSIR_KEEP_DIV} AS INT) AS is_kept
     FROM ranked
     """,
@@ -824,11 +823,20 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     token array, JVM-side); the weight table is {128} rows → broadcast
     to the scoring join; totals are a 1-row aggregate riding the same
     broadcast; the only corpus-sized shuffles are the per-doc score
-    aggregation and the final rank.  The global top-K window is the
-    resampling step — at 100 TB the same keep decision runs as a
-    threshold on the score histogram instead of a total order (the
-    audit column n_grams and the deterministic (score, doc_id) order
-    make either form reproducible)."""
+    aggregation and the score-key join of the keep decision.  The keep
+    rule itself is a HISTOGRAM THRESHOLD, never a global total order:
+    scores are quantized BIGINTs, so ``groupBy(score).count()``
+    collapses the pool to one row per distinct score, a cumulative
+    count over that (score-ordered, aggregate-sized) histogram finds
+    the boundary score, whole score classes above/below it are decided
+    without any ranking, and a per-doc ROW_NUMBER runs ONLY inside the
+    single boundary score class (``Window.partitionBy(score)`` — the
+    bounded audit slice), reproducing the oracle's
+    ``rnk <= n_pool // {4}`` keep set exactly (rank-within-class +
+    strictly-better-count ≡ global rank ordered by score DESC, doc_id).
+    ``n_pool`` rides the histogram as a 1-row broadcast aggregate —
+    no separate count() action, no unpartitioned corpus-sized window
+    anywhere in the plan (round-12 VERDICT finding #2)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "lang", "source", F.split("text", " ").alias("t")
@@ -894,15 +902,50 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("bucket").cast("bigint").alias("n_grams"),
         )
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    n_pool = pool.count()
-    return scored.select(
+    # Keep rule as a histogram threshold (see docstring).  cum_excl =
+    # docs with a STRICTLY better (score, then any doc_id) position,
+    # per score class; need = how many of this class the top-quarter
+    # still admits.
+    hist = scored.groupBy("score").agg(F.count("*").alias("cnt"))
+    totals = hist.agg(F.sum("cnt").cast("bigint").alias("n_pool"))
+    w_cum = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cuts = (
+        hist.withColumn(
+            "cum_excl",
+            F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).cast("bigint"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "score",
+            "cnt",
+            (
+                F.expr(f"n_pool div {DSIR_KEEP_DIV}") - F.col("cum_excl")
+            ).alias("need"),
+        )
+    )
+    tagged = scored.join(cuts, "score")
+    decided = tagged.filter(
+        (F.col("need") <= 0) | (F.col("need") >= F.col("cnt"))
+    ).select(
         "doc_id",
         "source",
         "score",
         "n_grams",
-        F.row_number().over(w).cast("bigint").alias("rnk"),
-    ).withColumn(
-        "is_kept",
-        (F.col("rnk") <= n_pool // DSIR_KEEP_DIV).cast("int"),
+        (F.col("need") >= F.col("cnt")).cast("int").alias("is_kept"),
     )
+    # exactly one score class straddles the threshold; only IT is ranked
+    w_in = Window.partitionBy("score").orderBy("doc_id")
+    boundary = (
+        tagged.filter((F.col("need") > 0) & (F.col("need") < F.col("cnt")))
+        .withColumn("rn_in", F.row_number().over(w_in))
+        .select(
+            "doc_id",
+            "source",
+            "score",
+            "n_grams",
+            (F.col("rn_in") <= F.col("need")).cast("int").alias("is_kept"),
+        )
+    )
+    return decided.unionByName(boundary)

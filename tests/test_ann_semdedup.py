@@ -237,10 +237,11 @@ def test_embed_semdedup_adaptive_k_matches_oracle(spark, sf_dir, tmp_path):
 
 def test_dsir_select_semantics(spark, sf_dir):
     """DSIR selection invariants beyond oracle parity: the pool is
-    exactly the non-target docs, ranks are a dense permutation ordered
-    by (score DESC, doc_id), exactly floor(pool/4) docs are kept, and
-    the kept set's mean score strictly exceeds the dropped set's (the
-    selection actually selects)."""
+    exactly the non-target docs, exactly floor(pool/4) docs are kept,
+    the kept set is precisely the top slice of the (score DESC, doc_id)
+    order — i.e. the histogram-threshold plan reproduces the total
+    order's keep set — and the kept mean score strictly exceeds the
+    dropped mean (the selection actually selects)."""
     from reindexer_spark import get_query
     from reindexer_spark.operators.mlprep import (
         DSIR_KEEP_DIV,
@@ -249,18 +250,20 @@ def test_dsir_select_semantics(spark, sf_dir):
 
     rows = sorted(
         get_query("dsir_select").fn(spark, sf_dir).collect(),
-        key=lambda r: r.rnk,
+        key=lambda r: (-r.score, r.doc_id),
     )
     from reindexer_spark.catalog import load_table
 
     d = load_table(spark, sf_dir, "documents")
     n_pool = d.filter(d.lang != DSIR_TARGET_LANG).count()
     assert len(rows) == n_pool
-    assert [r.rnk for r in rows] == list(range(1, n_pool + 1))
-    scores = [r.score for r in rows]
-    assert scores == sorted(scores, reverse=True)
-    kept = [r for r in rows if r.is_kept]
-    assert len(kept) == n_pool // DSIR_KEEP_DIV
-    dropped = [r for r in rows if not r.is_kept]
+    assert len({r.doc_id for r in rows}) == n_pool
+    n_keep = n_pool // DSIR_KEEP_DIV
+    # the kept set IS the prefix of the global (score DESC, doc_id)
+    # order — boundary-class tie-splitting included
+    assert [bool(r.is_kept) for r in rows] == (
+        [True] * n_keep + [False] * (n_pool - n_keep)
+    )
+    kept, dropped = rows[:n_keep], rows[n_keep:]
     assert (sum(r.score for r in kept) / len(kept)
             > sum(r.score for r in dropped) / len(dropped))
