@@ -519,6 +519,44 @@ def ann_leg(spark, ui_port: int) -> tuple[dict, dict]:
         }
         queries[name] = per_scale
         print(f"{name}: {json.dumps(per_scale)}", file=sys.stderr)
+
+    # Round-13 decade extension (round-12 VERDICT next #1): prove the
+    # two-level semdedup assignment holds one more decade — emb-200k —
+    # with wall growth <= ~3x per 10x and a SUBLINEAR seed collect
+    # (kc = ceil(sqrt(ceil(n/64))) rows, the only driver-side collect).
+    from reindexer_spark.operators.mlprep import semdedup_k, semdedup_kc
+
+    label, n200 = "emb-200k", N_VECS * 10
+    out_dir = os.path.join(REPO, "scaledata", label)
+    if not os.path.exists(os.path.join(out_dir, "embeddings.parquet")):
+        print(f"generating {n200} vectors at {out_dir}", file=sys.stderr)
+        generate_embeddings(spark, out_dir, n200)
+    n_vecs[label] = n200
+    sem = queries["embed_semdedup"]
+    q = get_query("embed_semdedup")
+    b0, r0 = _shuffle_totals(ui_port)
+    t0 = time.perf_counter()
+    q.fn(spark, out_dir).write.format("noop").mode("overwrite").save()
+    wall = round(time.perf_counter() - t0, 3)
+    b1, r1 = _shuffle_totals(ui_port)
+    sem[label] = {
+        "wall_sec": wall,
+        "shuffle_write_mb": round((b1 - b0) / 1e6, 2),
+        "shuffle_write_mrec": round((r1 - r0) / 1e6, 3),
+    }
+    a, b = sem["emb-20k"], sem["emb-200k"]
+    sem["growth_at_10x_2nd_decade"] = {
+        "wall": round(b["wall_sec"] / max(a["wall_sec"], 1e-9), 2),
+        "shuffle_records": (
+            round(b["shuffle_write_mrec"] / a["shuffle_write_mrec"], 2)
+            if a["shuffle_write_mrec"] >= 0.01
+            else None
+        ),
+    }
+    sem["seed_collect_rows"] = {
+        lbl: semdedup_kc(semdedup_k(nv)) for lbl, nv in n_vecs.items()
+    }
+    print(f"embed_semdedup (2nd decade): {json.dumps(sem)}", file=sys.stderr)
     return queries, n_vecs
 
 

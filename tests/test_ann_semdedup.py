@@ -221,6 +221,35 @@ def test_semdedup_k_rule():
             assert n / (k - 1) > t
 
 
+def test_semdedup_kc_rule():
+    """The coarse-group rule: kc = max(4, ceil(sqrt(kf))), exact
+    integer ceil-sqrt (the oracle's _SEMDEDUP_KC_SQL mirrors it via
+    CEIL(SQRT(..)) on COUNT(*)) — and the sublinear-collect contract:
+    the driver-side coarse-seed collect is O(sqrt(n/64)) rows."""
+    import math
+
+    from reindexer_spark.operators.mlprep import (
+        SEMDEDUP_MIN_KC,
+        semdedup_k,
+        semdedup_kc,
+    )
+
+    assert semdedup_kc(8) == SEMDEDUP_MIN_KC    # fixture scales stay 4
+    assert semdedup_kc(16) == SEMDEDUP_MIN_KC
+    assert semdedup_kc(17) == 5
+    assert semdedup_kc(33) == 6                 # the widened-path kf
+    assert semdedup_kc(313) == 18               # emb-20k
+    assert semdedup_kc(3125) == 56              # emb-200k
+    for kf in (8, 33, 100, 3125, 10**6, 10**6 + 1):
+        kcv = semdedup_kc(kf)
+        assert kcv >= math.isqrt(kf)            # ceil, never floor-short
+        assert (kcv - 1) ** 2 < kf or kcv == SEMDEDUP_MIN_KC
+    # sublinear: a 100x corpus grows the collect ~10x, not 100x
+    c_small = semdedup_kc(semdedup_k(20_000))
+    c_big = semdedup_kc(semdedup_k(2_000_000))
+    assert c_big <= 12 * c_small
+
+
 def test_embed_semdedup_adaptive_k_matches_oracle(spark, sf_dir, tmp_path):
     """Past MIN_K·TARGET vectors the cluster count grows (K=33 at
     n=2100); the widened assignment path — map-side pandas-UDF argmax
