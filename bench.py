@@ -405,7 +405,14 @@ def main() -> int:
     return 0
 
 
-_LIBRARY_CODEC_FLOOR_MBPS = 1.0
+# Floor separating "route bulk decode through LibraryCodec" from "the
+# pure-Python decoder is fine": every entropy-coded format measures
+# <=~2 MB/s (h264 0.04-0.08, webp 0.21-0.24, jpeg/mjpeg 0.66-0.97,
+# flac 1.49, gif 2.03) while every raw/container format measures
+# >=134 MB/s — 8.0 sits in that two-orders-of-magnitude gap, so flac
+# and gif are flagged too (round-12 VERDICT next #5: at 100 TB a
+# 1.5-2 MB/s lane is as dead as a 0.5 MB/s one).
+_LIBRARY_CODEC_FLOOR_MBPS = 8.0
 
 
 def _codec_throughput() -> dict:

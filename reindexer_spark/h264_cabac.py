@@ -1381,17 +1381,22 @@ def decode_frame_nal_cabac(
 CABAC_MARKER_UUID = bytes.fromhex("8f1d0c6a42b5489bb1e2a90f4c7d5e33")
 
 
+def _framed_slices(slice_nals: list[bytes]) -> bytes:
+    """Length-prefixed concatenation of the coded-slice NALs in stream
+    order — the provenance PAYLOAD (prefixing keeps NAL boundaries from
+    shifting)."""
+    return b"".join(
+        len(n).to_bytes(4, "big") + n for n in slice_nals
+    )
+
+
 def cabac_stream_digest(slice_nals: list[bytes]) -> bytes:
     """16-byte binding digest over the stream's coded-slice NALs
-    (types 1/5) in stream order, length-prefixed so NAL boundaries
-    can't be shifted."""
-    import hashlib
+    (types 1/5), via the shared provenance helper (empty domain — the
+    framing already namespaces the payload)."""
+    from reindexer_spark.provenance import payload_digest
 
-    h = hashlib.sha256()
-    for n in slice_nals:
-        h.update(len(n).to_bytes(4, "big"))
-        h.update(n)
-    return h.digest()[:16]
+    return payload_digest(b"", _framed_slices(slice_nals))
 
 
 def cabac_marker_sei(slice_nals: list[bytes]) -> bytes:
@@ -1401,8 +1406,11 @@ def cabac_marker_sei(slice_nals: list[bytes]) -> bytes:
     digest varies per stream and can contain a start-code pattern that
     would split the NAL in Annex-B walks (round-12 review)."""
     from reindexer_spark.codecs import _escape_rbsp
+    from reindexer_spark.provenance import provenance_marker
 
-    payload = CABAC_MARKER_UUID + cabac_stream_digest(slice_nals)
+    payload = provenance_marker(
+        CABAC_MARKER_UUID, b"", _framed_slices(slice_nals)
+    )
     body = bytes([5, len(payload)]) + payload + b"\x80"
     return b"\x06" + _escape_rbsp(body)
 
@@ -1432,14 +1440,18 @@ def is_cabac_marker(nal: bytes) -> bool:
 def cabac_provenance_ok(
     sei_nals: list[bytes], slice_nals: list[bytes]
 ) -> bool:
-    """True iff some marker SEI's embedded digest matches the digest of
-    the stream's actual coded-slice NALs — the gate every CABAC decode
-    path must pass before trusting the equiprobable context init."""
-    bodies = [_marker_rbsp(n) for n in sei_nals]
-    if not any(b is not None for b in bodies):
-        return False
-    want = cabac_stream_digest(slice_nals)
-    return any(b is not None and b[18:34] == want for b in bodies)
+    """True iff some marker SEI's embedded marker verifies against the
+    stream's actual coded-slice NALs (shared provenance contract) — the
+    gate every CABAC decode path must pass before trusting the
+    equiprobable context init."""
+    from reindexer_spark.provenance import verify_provenance
+
+    framed = _framed_slices(slice_nals)
+    return any(
+        b is not None
+        and verify_provenance(b[2:34], CABAC_MARKER_UUID, b"", framed)
+        for b in (_marker_rbsp(n) for n in sei_nals)
+    )
 
 
 _CABAC_IPPP_CACHE: dict = {}

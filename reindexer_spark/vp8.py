@@ -1207,10 +1207,13 @@ def decode_vp8_keyframe(payload: bytes) -> tuple[int, int, bytes]:
 # ---------------------------------------------------------------------------
 
 VP8_MARKER_UUID = bytes.fromhex("5ca1ab1e0dec0de5b10c0ffee1d2c3d4")
+_VP8_PRVN_DOMAIN = b"vp8-prvn"
 
 
 def vp8_payload_digest(vp8_chunk_body: bytes) -> bytes:
-    return hashlib.sha256(b"vp8-prvn" + vp8_chunk_body).digest()[:16]
+    from reindexer_spark.provenance import payload_digest
+
+    return payload_digest(_VP8_PRVN_DOMAIN, vp8_chunk_body)
 
 
 def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
@@ -1227,9 +1230,12 @@ def encode_webp_lossy(
     RGB).  The PRVN chunk precedes VP8 and binds the exact VP8 chunk
     payload; conforming WebP readers skip unknown chunks, so the file
     stays spec-legal."""
+    from reindexer_spark.provenance import provenance_marker
+
     payload, recon = encode_vp8_keyframe(w, h, rgb, qi, filter_type)
     prvn = _riff_chunk(
-        b"PRVN", VP8_MARKER_UUID + vp8_payload_digest(payload)
+        b"PRVN",
+        provenance_marker(VP8_MARKER_UUID, _VP8_PRVN_DOMAIN, payload),
     )
     chunks = prvn + _riff_chunk(b"VP8 ", payload)
     return (
@@ -1266,12 +1272,9 @@ def decode_webp_lossy(data: bytes) -> tuple[int, int, bytes]:
         pos = body + size + (size & 1)
     if vp8 is None:
         raise MediaFormatError("WebP carries no VP8 lossy chunk")
-    if (
-        prvn is None
-        or len(prvn) < 32
-        or prvn[:16] != VP8_MARKER_UUID
-        or prvn[16:32] != vp8_payload_digest(vp8)
-    ):
+    from reindexer_spark.provenance import verify_provenance
+
+    if not verify_provenance(prvn, VP8_MARKER_UUID, _VP8_PRVN_DOMAIN, vp8):
         raise MediaFormatError(
             "lossy WebP without matching provenance stays quarantined "
             "(house probability tables: external decode not claimed)"

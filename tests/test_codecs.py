@@ -1996,3 +1996,32 @@ def test_avcc_truncated_sps_quarantines_exactly_at_boundary():
             parse_avcc(avcc[:cut])
     # exactly-complete SPS (PPS tail cut off) still parses
     assert parse_avcc(avcc[:sps_end])["width"] == 640
+
+
+def test_codec_floor_flags_all_entropy_decoders():
+    """The library_codec_first floor (bench.py) must flag EVERY
+    entropy-coded pure-Python decoder — including flac (~1.5 MB/s) and
+    gif (~2 MB/s), which the old 1.0 MB/s floor missed (round-12
+    VERDICT next #5) — while raw/container formats (>=~134 MB/s
+    measured) stay unflagged.  Decode only gets SLOWER under load, so
+    asserting flagged=True is contention-safe; the unflagged side is
+    guarded by a contention escape."""
+    import bench
+
+    out = bench._codec_throughput()
+    entropy = {
+        "jpeg-baseline", "jpeg-progressive", "gif", "flac",
+        "avi-mjpeg", "mp4-mjpeg", "mkv-mjpeg",
+        "h264-intra", "h264-cabac", "webp-vp8", "webp-vp8l",
+    }
+    for name in entropy:
+        assert out[name]["library_codec_first"] is True, (
+            f"{name}: decode {out[name]['decode_mbps']} MB/s must be "
+            "library-first"
+        )
+    raw = {"bmp", "png", "wav", "avi-dib"}
+    # contention escape: if even the raw decoders measured under the
+    # floor the machine is thrashing — skip the negative assertions
+    if all(out[n]["decode_mbps"] > bench._LIBRARY_CODEC_FLOOR_MBPS for n in raw):
+        for name in raw:
+            assert out[name]["library_codec_first"] is False

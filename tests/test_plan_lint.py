@@ -51,6 +51,112 @@ _BAND_KEY = re.compile(r"(?:band\w*|bucket\w*|chunk\w*|sig\w*)", re.I)
 _SELF_EQ = re.compile(r"(?<![\w#])([A-Za-z_]\w*)#\d+L?\s*=\s*\1#\d+L?")
 _WINDOWSPEC = re.compile(r"windowspecdefinition\(([^)]*)\)")
 
+# --- single-partition window lint (round-12 VERDICT next #3) -----------
+# A Window with NO partitionBy funnels its whole input through one task
+# (WindowExec "Moving all data to a single partition").  That is fatal
+# over a corpus-sized relation but fine over an aggregate-sized one, so
+# the lint flags unpartitioned Window nodes whose child chain does NOT
+# pass through a cardinality-reducing node (Aggregate / Limit /
+# Deduplicate) before anything that can be corpus-sized (join, generate,
+# scan).  Queries whose global window IS over a small relation the
+# walker can't prove (e.g. the reduction happens driver-side or behind a
+# localCheckpoint) go on the explicit allowlist with a justification.
+
+# nodes that cannot increase cardinality on the way down to the reducer
+_CARD_TRANSPARENT = {
+    "Project",
+    "Filter",
+    "Sort",
+    "Repartition",
+    "RepartitionByExpression",
+    "Coalesce",
+    "SubqueryAlias",
+    "ResolvedHint",
+    "UnresolvedHint",
+    "InMemoryRelation",  # transparent wrapper; its child line follows
+    "Window",  # a window never changes cardinality; the inner window
+    #            gets its own check when the outer scan reaches it
+}
+# nodes that bound the window's input to dimension size
+_CARD_REDUCERS = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+
+# Global windows the walker cannot clear structurally, each justified.
+# (The round-12 VERDICT's other four dimension-sized sites —
+# events_rfm_segments (per-user RFM aggregate joined to a 1-row max,
+# analytics.py:117), top-supplier cum-revenue (per-supplier aggregate,
+# analytics.py:440), dq_key_skew (top-10 limit before the rank/cumsum
+# windows, analytics.py:1136) and the zipf-slope vocab rank
+# (word-count aggregate, text_clean.py:817) — are PROVEN
+# dimension-sized by the recursive walker, no allowlist entry needed.)
+WINDOW_OK: dict[str, str] = {
+    # the ffill window runs over the hourly time spine (a
+    # sequence()+explode Generate, which the walker rightly never
+    # trusts) LEFT JOIN the per-hour aggregate: rows = distinct hours
+    # in the event range — time-dimension-sized by construction
+    "events_resample_ffill": "hourly-spine input, rows = hours in range",
+}
+
+
+def _node_name(line: str) -> str:
+    stripped = line.lstrip(" :+-")
+    return re.split(r"[ \[(]", stripped, maxsplit=1)[0]
+
+
+def unpartitioned_raw_windows(plan: str) -> list[str]:
+    """Unpartitioned Window nodes in ``plan`` (an optimized logical plan
+    tree string) whose input subtree is not provably dimension-sized.
+    A subtree is "reduced" when its root is a cardinality reducer, a
+    cardinality-transparent node over a reduced child, or a Join/Union
+    ALL of whose children are reduced (joining aggregates stays
+    aggregate-sized).  Generate/Expand and relation scans are never
+    reduced.  Returns one snippet per offending Window."""
+    lines = plan.splitlines()
+
+    def depth(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-"))
+
+    def children(i: int) -> list[int]:
+        d = depth(lines[i])
+        kids, kid_depth = [], None
+        for j in range(i + 1, len(lines)):
+            dj = depth(lines[j])
+            if dj <= d:
+                break
+            if kid_depth is None or dj < kid_depth:
+                kids, kid_depth = [j], dj
+            elif dj == kid_depth:
+                kids.append(j)
+        return kids
+
+    def reduced(i: int) -> bool:
+        name = _node_name(lines[i])
+        if name in _CARD_REDUCERS:
+            return True
+        kids = children(i)
+        if name in _CARD_TRANSPARENT:
+            return bool(kids) and reduced(kids[0])
+        if name in ("Join", "Union"):
+            return bool(kids) and all(reduced(k) for k in kids)
+        return False
+
+    hits = []
+    for i, line in enumerate(lines):
+        if _node_name(line) != "Window":
+            continue
+        m = _WINDOWSPEC.search(line)
+        if not m:
+            continue
+        # partition columns come first inside windowspecdefinition and
+        # carry no sort direction; if the FIRST argument is an order
+        # entry (ASC/DESC) the partition spec is empty
+        first = m.group(1).split(",")[0]
+        if " ASC" not in first and " DESC" not in first:
+            continue
+        kids = children(i)
+        if not (kids and reduced(kids[0])):
+            hits.append(line.strip()[:120])
+    return hits
+
 
 def unguarded_band_joins(plan: str) -> list[str]:
     """Band-key self-equi-join columns in ``plan`` (an optimized logical
@@ -94,6 +200,13 @@ def test_plan_has_no_scale_killers(spark, sf_dir, name):
         f"{name}: band-bucket self-join without the hot-bucket guard "
         "(route candidates through banding.banded_pairs)"
     )
+    if name not in WINDOW_OK:
+        assert not unpartitioned_raw_windows(logical), (
+            f"{name}: unpartitioned Window over a potentially "
+            "corpus-sized input (single-partition funnel) — reduce "
+            "first (groupBy / limit) or add the query to WINDOW_OK "
+            "with a justification"
+        )
 
 
 def test_band_join_lint_flags_unguarded_fixture(spark):
@@ -120,3 +233,56 @@ def test_band_join_lint_flags_unguarded_fixture(spark):
     good = banded_pairs(bands, ("band_hash",), "doc_id")
     gplan = good._jdf.queryExecution().optimizedPlan().toString()
     assert not unguarded_band_joins(gplan)
+
+
+def test_unpartitioned_window_lint_flags_raw_and_clears_reduced(spark):
+    """The single-partition-window lint must go RED on a global window
+    over a raw corpus-sized relation, and stay green when the window's
+    input passed through an aggregation, a limit, or a partitioned
+    window spec."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    raw = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("score")
+    )
+
+    def logical(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    # RED: global row_number straight over the raw relation
+    bad = raw.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("score"), "doc_id"))
+    )
+    assert unpartitioned_raw_windows(logical(bad))
+
+    # green: same window over a groupBy-reduced histogram
+    hist = raw.groupBy("score").agg(F.count("*").alias("cnt"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy(F.desc("score")).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    assert not unpartitioned_raw_windows(logical(cum))
+
+    # green: partitioned window over the raw relation
+    part = raw.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("score").orderBy("doc_id"))
+    )
+    assert not unpartitioned_raw_windows(logical(part))
+
+    # green: global window above a limit (top-k then rank)
+    topk = raw.orderBy(F.desc("score"), "doc_id").limit(10).withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("score"), "doc_id"))
+    )
+    assert not unpartitioned_raw_windows(logical(topk))
+
+    # green: a second global window stacked on a reduced input (windows
+    # are cardinality-transparent; each is judged by what feeds it)
+    stacked = cum.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("cum")))
+    )
+    assert not unpartitioned_raw_windows(logical(stacked))
