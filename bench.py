@@ -181,6 +181,8 @@ EXTENDED = [
     "webp_lossy_decode",
     "video_bslice_decode",
     "dsir_select",
+    # round 13
+    "stream_dsir_select_live",
 ]
 
 

@@ -846,10 +846,73 @@ _DSIR_W_SQL = (
 )
 
 
-@query(
-    "dsir_select",
-    oracle=f"""
-    WITH toks AS (
+def _dsir_bucket_arr(tcol: Column) -> Column:
+    """Token-array column → array of hashed-bigram feature buckets
+    (md5 of ``"tok_i tok_{{i+1}}"`` mod DSIR_NB, as BIGINTs) — the ONE
+    featurizer shared by the batch scorer (which explodes it) and the
+    streaming scorer (which folds it per row), so both lanes and both
+    oracles hash identically."""
+    return F.transform(
+        F.zip_with(
+            F.slice(tcol, 1, F.size(tcol) - 1),
+            F.slice(tcol, 2, F.size(tcol) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % DSIR_NB,
+    )
+
+
+def dsir_weight_map(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict[int, int], int]:
+    """The DSIR importance-weight table as a plain dict
+    ``{bucket: quantized weight}`` plus the unseen-bucket default
+    (tc=sc=0 smoothing), computed from the STATIC documents table with
+    the same grams/totals arithmetic as the batch lane.  Bounded by
+    construction — at most DSIR_NB entries — so it rides into a
+    streaming plan as a map literal (a broadcast in all but name)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "lang",
+        F.explode(_dsir_bucket_arr(F.split("text", " "))).alias("bucket"),
+    )
+    is_t = (F.col("lang") == DSIR_TARGET_LANG).cast("bigint")
+    rows = (
+        grams.groupBy("bucket")
+        .agg(F.sum(is_t).alias("tc"), F.sum(1 - is_t).alias("sc"))
+        .crossJoin(
+            F.broadcast(
+                grams.agg(
+                    F.sum(is_t).alias("t_tot"),
+                    F.sum(1 - is_t).alias("s_tot"),
+                )
+            )
+        )
+        .select(
+            "bucket",
+            F.expr(
+                f"(1000000 * (tc + 1) * (s_tot + {DSIR_NB}))"
+                f" div ((sc + 1) * (t_tot + {DSIR_NB}))"
+            ).alias("w"),
+            "t_tot",
+            "s_tot",
+        )
+        .collect()
+    )
+    if not rows:
+        return {}, 10**6
+    t_tot, s_tot = rows[0].t_tot, rows[0].s_tot
+    default = (10**6 * (s_tot + DSIR_NB)) // (t_tot + DSIR_NB)
+    return {int(r.bucket): int(r.w) for r in rows}, int(default)
+
+
+# The CTE chain shared by the batch keep-rule oracle and the streaming
+# selector oracle: hashed-bigram buckets → weight table → per-doc
+# integer scores over the non-target pool.
+_DSIR_CORE_SQL = f"""toks AS (
       SELECT doc_id, lang, string_split(text, ' ') AS t
       FROM documents
     ), idx AS (
@@ -892,7 +955,13 @@ _DSIR_W_SQL = (
              ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk,
              COUNT(*) OVER () AS n_pool
       FROM scored
-    )
+    )"""
+
+
+@query(
+    "dsir_select",
+    oracle=f"""
+    WITH {_DSIR_CORE_SQL}
     SELECT doc_id, source, score, CAST(n_grams AS BIGINT) AS n_grams,
            CAST(rnk <= n_pool // {DSIR_KEEP_DIV} AS INT) AS is_kept
     FROM ranked
@@ -942,21 +1011,7 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = toks.select(
         "doc_id",
         "lang",
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("t"), 1, F.size("t") - 1),
-                F.slice(F.col("t"), 2, F.size("t") - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ).alias("gram"),
-    ).select(
-        "doc_id",
-        "lang",
-        (
-            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
-            .cast("bigint")
-            % DSIR_NB
-        ).alias("bucket"),
+        F.explode(_dsir_bucket_arr(F.col("t"))).alias("bucket"),
     )
     is_t = (F.col("lang") == DSIR_TARGET_LANG).cast("bigint")
     tot = grams.agg(

@@ -1163,3 +1163,109 @@ def stream_minhash_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(pairs, output_mode="append").orderBy(
         "band", "d1", "d2"
     )
+
+
+from reindexer_spark.operators.mlprep import (  # noqa: E402
+    _DSIR_CORE_SQL,
+    DSIR_KEEP_DIV,
+)
+from reindexer_spark.operators.sampling import N_SHARDS  # noqa: E402
+
+_STREAM_DSIR_ORACLE = f"""
+    WITH {_DSIR_CORE_SQL}, thr AS (
+      SELECT MIN(score) AS s FROM ranked
+      WHERE rnk <= n_pool // {DSIR_KEEP_DIV}
+    ), dec AS (
+      SELECT r.doc_id,
+             CAST(('0x' || substr(md5(r.doc_id::VARCHAR), 1, 4))::BIGINT
+                  % {N_SHARDS} AS INT) AS shard,
+             r.score,
+             COALESCE(CAST(r.score >= t.s AS INT), 0) AS is_kept
+      FROM ranked r CROSS JOIN thr t
+    )
+    SELECT doc_id, shard, score, is_kept,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id)
+                AS BIGINT) AS seen_so_far,
+           CAST(SUM(is_kept) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS kept_so_far
+    FROM dec
+    ORDER BY doc_id
+    """
+
+
+@query("stream_dsir_select_live", oracle=_STREAM_DSIR_ORACLE)
+def stream_dsir_select_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIFTH custom stateful operator at the value gate: DSIR-style
+    quality/selection gating ON INGEST under the real streaming engine
+    (round-12 VERDICT next #7) — the batch selection surface's missing
+    streaming half.  The importance-weight table (at most DSIR_NB
+    integer rows, learned batch-side from the static reference corpus
+    by ``dsir_weight_map``) rides into the stream as a map literal, so
+    each arriving document's score is a JVM-side fold over its hashed
+    bigrams — no aggregation precedes the stateful operator (the
+    stream-safety constraint) and no Python touches the hot path
+    before the Arrow-batched selector.
+
+    The keep decision compares against the batch lane's boundary score
+    (``score >= threshold`` — the whole boundary class passes; an
+    online selector cannot tie-split a class it has not finished
+    seeing), and ``dsir_select_stream`` carries per-shard ``(seen,
+    kept)`` counters as state — the live acceptance-rate audit.
+    Oracle: DuckDB recomputes weights, scores, the batch threshold,
+    md5 shards, and the (shard, doc_id)-ordered running counters;
+    restart safety rides the same checkpoint machinery as the other
+    stateful lanes and cross-batch counter carry is pinned in
+    multi-batch unit tests (tests/test_streaming.py)."""
+    from reindexer_spark.operators.mlprep import (
+        DSIR_TARGET_LANG,
+        _dsir_bucket_arr,
+        dsir_select,
+        dsir_weight_map,
+    )
+    from reindexer_spark.streaming import (
+        run_stream_to_memory,
+        stream_documents,
+    )
+    from reindexer_spark.streaming.stateful import dsir_select_stream
+
+    wmap, wdef = dsir_weight_map(spark, sf_dir)
+    thr_row = (
+        dsir_select(spark, sf_dir)
+        .filter(F.col("is_kept") == 1)
+        .agg(F.min("score").alias("s"))
+        .collect()[0]
+    )
+    threshold = None if thr_row.s is None else int(thr_row.s)
+    keys = sorted(wmap)
+    if keys:
+        wcol = F.map_from_arrays(
+            F.lit([int(k) for k in keys]).cast("array<bigint>"),
+            F.lit([int(wmap[k]) for k in keys]).cast("array<bigint>"),
+        )
+    else:
+        wcol = F.expr("cast(map() as map<bigint,bigint>)")
+    docs = stream_documents(spark, sf_dir).filter(
+        F.col("lang") != DSIR_TARGET_LANG
+    )
+    scored = docs.select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("bigint")
+            % N_SHARDS
+        )
+        .cast("int")
+        .alias("shard"),
+        F.aggregate(
+            _dsir_bucket_arr(F.split("text", " ")),
+            F.lit(0).cast("bigint"),
+            lambda acc, b: acc
+            + F.coalesce(F.element_at(wcol, b), F.lit(int(wdef))),
+        ).alias("score"),
+    )
+    out = dsir_select_stream(scored, threshold)
+    return run_stream_to_memory(out, output_mode="append").orderBy("doc_id")

@@ -361,3 +361,69 @@ def minhash_dedup_stream(bands: DataFrame, cap: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DSIR_SELECT_OUT_SCHEMA = (
+    "doc_id bigint, shard int, score bigint, is_kept int, "
+    "seen_so_far bigint, kept_so_far bigint"
+)
+DSIR_SELECT_STATE_SCHEMA = "seen bigint, kept bigint"
+
+
+def dsir_select_stream(scored: DataFrame, threshold: int | None) -> DataFrame:
+    """Streaming DSIR-style data selection — the FIFTH custom stateful
+    operator: pre-scored documents ``(doc_id, shard, score)`` arrive as
+    an unbounded stream and each one is kept or dropped THE MOMENT IT
+    ARRIVES by comparing its integer importance score against a fixed
+    ``threshold`` learned from the static reference corpus (the batch
+    ``dsir_select``'s boundary score).  Each hash shard carries two
+    longs of state — ``(seen, kept)`` running selection counters, the
+    live acceptance-rate audit a crawl-selection pipeline alarms on —
+    so state is O(|shards|) regardless of stream volume, the
+    bounded-state survival property.
+
+    Semantics (oracle-replicable): ``is_kept = score >= threshold`` —
+    the whole boundary score class passes, unlike the batch lane's
+    exact top-quarter tie-split, because an online selector cannot
+    rank inside a class it has not finished seeing (``threshold=None``
+    — an empty keep set batch-side — keeps nothing).  Within a
+    micro-batch rows apply in doc_id order; with deterministic batch
+    boundaries the emitted counters equal the batch running counts
+    ordered by (shard, doc_id) row for row (the gate), while
+    cross-batch counter carry is pinned in multi-batch unit tests."""
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        seen, kept = state.get if state.exists else (0, 0)
+        out: list[tuple] = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("doc_id")
+            for d, s in zip(pdf["doc_id"], pdf["score"]):
+                seen += 1
+                ok = int(threshold is not None and int(s) >= threshold)
+                kept += ok
+                out.append((int(d), key[0], int(s), ok, seen, kept))
+        state.update((int(seen), int(kept)))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id",
+                "shard",
+                "score",
+                "is_kept",
+                "seen_so_far",
+                "kept_so_far",
+            ],
+        )
+
+    return scored.groupBy("shard").applyInPandasWithState(
+        fn,
+        outputStructType=DSIR_SELECT_OUT_SCHEMA,
+        stateStructType=DSIR_SELECT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

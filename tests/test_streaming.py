@@ -684,3 +684,88 @@ def test_stream_minhash_dedup_single_batch_equals_oracle_shape(spark, sf_dir):
     from reindexer_spark.oracle import compare_query
 
     assert compare_query(spark, "stream_minhash_dedup_live", sf_dir) == []
+
+
+def test_stateful_dsir_select_carries_counters_across_batches(
+    spark, tmp_path
+):
+    """The streaming DSIR selector's per-shard (seen, kept) counters
+    must carry across micro-batches AND survive a full stop/restart
+    against the same checkpointLocation: batch-2 docs continue the
+    batch-1 counts (seen_so_far proves the recovered state), and
+    pre-restart files are not reprocessed."""
+    import hashlib
+
+    from reindexer_spark.operators.sampling import N_SHARDS
+    from reindexer_spark.streaming.stateful import dsir_select_stream
+
+    # four doc ids landing in ONE shard so the counter chain is visible
+    ids = [i for i in range(400) if int(
+        hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % N_SHARDS == 3][:4]
+    assert len(ids) == 4
+    scores = {ids[0]: 10, ids[1]: 3, ids[2]: 7, ids[3]: 99}
+    root = tmp_path / "scoredsrc"
+    root.mkdir()
+
+    def write(idx, batch_ids):
+        spark.createDataFrame(
+            [(i, 3, scores[i]) for i in batch_ids],
+            "doc_id bigint, shard int, score bigint",
+        ).coalesce(1).write.parquet(str(root / f"b{idx:03d}.parquet"))
+
+    write(0, ids[:2])
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id bigint, shard int, score bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/b*.parquet")
+        )
+        _run_checkpointed(dsir_select_stream(stream, 7), out_dir, ckpt)
+
+    run()
+    write(1, ids[2:])
+    run()  # restart must resume from (seen=2, kept=1)
+    got = {r.doc_id: (r.is_kept, r.seen_so_far, r.kept_so_far)
+           for r in spark.read.parquet(out_dir).collect()}
+    a, b = sorted(ids[:2])
+    c, d = sorted(ids[2:])
+    by_doc = {i: scores[i] >= 7 for i in ids}
+    assert got[a] == (int(by_doc[a]), 1, int(by_doc[a]))
+    assert got[b] == (int(by_doc[b]), 2, int(by_doc[a]) + int(by_doc[b]))
+    k2 = int(by_doc[a]) + int(by_doc[b])
+    assert got[c] == (int(by_doc[c]), 3, k2 + int(by_doc[c]))
+    assert got[d] == (
+        int(by_doc[d]), 4, k2 + int(by_doc[c]) + int(by_doc[d]))
+    assert len(got) == 4  # pre-restart docs not reprocessed
+
+
+def test_dsir_select_stream_none_threshold_keeps_nothing(spark, tmp_path):
+    """threshold=None (an empty batch keep set) must drop every doc
+    while still counting arrivals."""
+    from reindexer_spark.streaming.stateful import dsir_select_stream
+
+    root = tmp_path / "nonesrc"
+    root.mkdir()
+    spark.createDataFrame(
+        [(1, 0, 100), (2, 0, 200)], "doc_id bigint, shard int, score bigint"
+    ).coalesce(1).write.parquet(str(root / "b0.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id bigint, shard int, score bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/b*.parquet")
+    )
+    _run_checkpointed(
+        dsir_select_stream(stream, None),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    rows = sorted(
+        spark.read.parquet(str(tmp_path / "out")).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [(r.is_kept, r.seen_so_far, r.kept_so_far) for r in rows] == [
+        (0, 1, 0),
+        (0, 2, 0),
+    ]
