@@ -413,6 +413,14 @@ class _BitWriter(_RbspWriter):
     def bits_str(self, s: str) -> None:
         self.bits.extend(1 if c == "1" else 0 for c in s)
 
+    def te(self, v: int, cmax: int) -> None:
+        """§9.1.1 truncated Exp-Golomb: a single INVERTED bit when the
+        range is [0, 1], plain ue(v) otherwise (ref_idx syntax)."""
+        if cmax == 1:
+            self.u(1 - v, 1)
+        else:
+            self.ue(v)
+
     def align_byte(self) -> None:
         while len(self.bits) & 7:
             self.bits.append(0)  # pcm_alignment_zero_bit
@@ -425,6 +433,12 @@ class _BitWriter(_RbspWriter):
 class _BitReader(_RbspReader):
     """_RbspReader plus greedy prefix-code lookup against a
     {bitstring: value} table."""
+
+    def te(self, cmax: int) -> int:
+        """§9.1.1 truncated Exp-Golomb (see _BitWriter.te)."""
+        if cmax == 1:
+            return 1 - self.u(1)
+        return self.ue()
 
     def vlc(self, table: dict, what: str):
         acc = ""
@@ -870,6 +884,16 @@ class _FrameState:
         self.mv1 = np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int32)
         self.uses0 = np.zeros((mb_h * 4, mb_w * 4), dtype=bool)
         self.uses1 = np.zeros((mb_h * 4, mb_w * 4), dtype=bool)
+        # Multi-reference additions (round 13): per-4x4 reference index
+        # into each list (meaningful only where the list is used; 0
+        # everywhere in the single-reference paths, so those stay
+        # byte-identical), and the lists' full picture order counts —
+        # set only by the multi-ref / temporal-direct walks, read by
+        # the §8.7.2.1 same-reference-PICTURE deblock rule.
+        self.ref0 = np.zeros((mb_h * 4, mb_w * 4), dtype=np.int32)
+        self.ref1 = np.zeros((mb_h * 4, mb_w * 4), dtype=np.int32)
+        self.l0_pocs: tuple | None = None
+        self.l1_pocs: tuple | None = None
 
     def i4_mpm(self, abx: int, aby: int) -> int:
         if abx == 0 or aby == 0:
@@ -1124,6 +1148,8 @@ def _write_slice_header(
     log2_max_frame_num: int, poc_type: int, log2_max_poc_lsb: int,
     deblock: bool = True, slice_type: str = "I", frame_num: int = 0,
     cabac: bool = False, poc_lsb: int | None = None,
+    num_ref_l0: int = 1, num_ref_l1: int = 1,
+    direct_spatial: bool = True,
 ) -> None:
     w.ue(0)  # first_mb_in_slice
     # I/P/B + 5: 'all slices in this picture have this type'
@@ -1137,13 +1163,22 @@ def _write_slice_header(
             poc_lsb = 2 * frame_num
         w.u(poc_lsb % (1 << log2_max_poc_lsb), log2_max_poc_lsb)
     if slice_type == "B":
-        w.u(1, 1)  # direct_spatial_mv_pred_flag (spatial direct)
-        w.u(0, 1)  # num_ref_idx_active_override_flag
+        w.u(1 if direct_spatial else 0, 1)  # direct_spatial_mv_pred_flag
+        if num_ref_l0 > 1 or num_ref_l1 > 1:
+            w.u(1, 1)  # num_ref_idx_active_override_flag
+            w.ue(num_ref_l0 - 1)
+            w.ue(num_ref_l1 - 1)
+        else:
+            w.u(0, 1)  # num_ref_idx_active_override_flag
         w.u(0, 1)  # ref_pic_list_modification_flag_l0
         w.u(0, 1)  # ref_pic_list_modification_flag_l1
         # non-reference picture (nal_ref_idc 0): NO dec_ref_pic_marking
     elif slice_type == "P":
-        w.u(0, 1)  # num_ref_idx_active_override_flag
+        if num_ref_l0 > 1:
+            w.u(1, 1)  # num_ref_idx_active_override_flag
+            w.ue(num_ref_l0 - 1)
+        else:
+            w.u(0, 1)  # num_ref_idx_active_override_flag
         w.u(0, 1)  # ref_pic_list_modification_flag_l0
         # dec_ref_pic_marking (nal_ref_idc != 0, non-IDR):
         w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (sliding window)
@@ -1164,9 +1199,13 @@ def _write_slice_header(
 def _parse_slice_header(
     r: _BitReader, sps: dict, pps: dict, idr: bool = True,
     nal_ref_idc: int = 3, poc_ctx: dict | None = None,
-) -> tuple[str, int, bool, int, int]:
+) -> tuple[str, int, bool, int, int, dict]:
     """Returns (slice type 'I'/'P'/'B', slice QP, deblocking enabled,
-    alpha offset, beta offset); rejects anything outside the subset.
+    alpha offset, beta offset, info) — ``info`` carries the round-13
+    additions: ``num_ref_l0``/``num_ref_l1`` (the active reference
+    counts, ≥1), ``direct_spatial`` (False = temporal direct), and
+    ``poc`` (the FULL picture order count, unwrapped via ``poc_ctx``) —
+    and rejects anything outside the subset.
 
     ``poc_ctx`` (a dict carried across one stream walk) enforces the
     LOW-DELAY subset: pic_order_cnt_lsb must move strictly FORWARD
@@ -1199,11 +1238,15 @@ def _parse_slice_header(
     r.u(sps["log2_max_frame_num"])
     if idr:
         r.ue()  # idr_pic_id
+    poc_full = None
     if sps["poc_type"] == 0:
         poc_lsb = r.u(sps["log2_max_poc_lsb"])
+        poc_full = poc_lsb
         if poc_ctx is not None:
             prev = poc_ctx.get("poc")
-            if prev is not None and not idr:
+            if idr:
+                poc_full = poc_lsb
+            elif prev is not None:
                 span = 1 << sps["log2_max_poc_lsb"]
                 fwd = (poc_lsb - prev) % span
                 if fwd == 0 or fwd >= span // 2:
@@ -1211,16 +1254,19 @@ def _parse_slice_header(
                         "non-monotonic picture order: display-reordered "
                         "stream outside the low-delay subset"
                     )
+                poc_full = poc_ctx.get("poc_full", prev) + fwd
             poc_ctx["poc"] = poc_lsb
+            poc_ctx["poc_full"] = poc_full
+    info = {"num_ref_l0": 1, "num_ref_l1": 1, "direct_spatial": True,
+            "poc": poc_full}
     if stype == "B":
-        if not r.u(1):  # direct_spatial_mv_pred_flag
-            raise MediaFormatError(
-                "temporal direct prediction outside the subset"
-            )
+        info["direct_spatial"] = bool(r.u(1))
         if r.u(1):  # num_ref_idx_active_override_flag
-            if r.ue() != 0 or r.ue() != 0:
+            info["num_ref_l0"] = r.ue() + 1
+            info["num_ref_l1"] = r.ue() + 1
+            if info["num_ref_l0"] > 8 or info["num_ref_l1"] > 8:
                 raise MediaFormatError(
-                    "multi-reference B slice outside the subset"
+                    "num_ref_idx_active beyond the 8-deep subset"
                 )
         if r.u(1):  # ref_pic_list_modification_flag_l0
             raise MediaFormatError(
@@ -1232,9 +1278,10 @@ def _parse_slice_header(
             )
     elif stype == "P":
         if r.u(1):  # num_ref_idx_active_override_flag
-            if r.ue() != 0:
+            info["num_ref_l0"] = r.ue() + 1
+            if info["num_ref_l0"] > 8:
                 raise MediaFormatError(
-                    "multi-reference P slice outside the subset"
+                    "num_ref_idx_active beyond the 8-deep subset"
                 )
         if r.u(1):  # ref_pic_list_modification_flag_l0
             raise MediaFormatError(
@@ -1263,19 +1310,19 @@ def _parse_slice_header(
     if not pps["deblocking_control_present"]:
         # no per-slice control => the filter defaults ON with zero
         # offsets (§8.7 is implemented for intra pictures, round 9)
-        return stype, qp, True, 0, 0
+        return stype, qp, True, 0, 0, info
     idc = r.ue()
     if idc > 2:
         raise MediaFormatError("invalid disable_deblocking_filter_idc")
     if idc == 1:
-        return stype, qp, False, 0, 0
+        return stype, qp, False, 0, 0, info
     # idc 0 or 2 (2 = skip slice boundaries; identical here — one
     # slice per picture): offsets follow
     alpha_off = 2 * r.se()
     beta_off = 2 * r.se()
     if not (-12 <= alpha_off <= 12 and -12 <= beta_off <= 12):
         raise MediaFormatError("deblocking offsets out of range")
-    return stype, qp, True, alpha_off, beta_off
+    return stype, qp, True, alpha_off, beta_off, info
 
 
 # ---------------------------------------------------------------------------
@@ -1652,6 +1699,8 @@ def decode_frame_nal(
     col_motion: dict | None = None,
     motion_sink: dict | None = None,
     poc_ctx: dict | None = None,
+    refs: list | None = None,
+    ref_pocs: list | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Slice NAL → reconstructed (Y, U, V) planes (coded size; caller
     crops).  IDR slices decode standalone; P slices require ``ref`` —
@@ -1685,30 +1734,65 @@ def decode_frame_nal(
 
         return decode_frame_nal_cabac(nal, sps, pps, ref=ref)
     r = _BitReader(_unescape_rbsp(nal[1:]))
-    stype, qp, deblock, a_off, b_off = _parse_slice_header(
+    stype, qp, deblock, a_off, b_off, hinfo = _parse_slice_header(
         r, sps, pps, idr=nal_type == 5, nal_ref_idc=nal[0] >> 5,
         poc_ctx=poc_ctx,
     )
     st = _FrameState(sps["mb_w"], sps["mb_h"])
     cqo = pps.get("chroma_qp_index_offset", 0)
     if stype == "P":
-        if ref is None:
+        l0 = refs if refs is not None else (
+            [ref] if ref is not None else []
+        )
+        if not l0:
             raise MediaFormatError(
                 "P slice without a decoded reference picture"
             )
-        _decode_p_slice_mbs(r, st, qp, cqo, ref)
+        n_ref = hinfo["num_ref_l0"]
+        if n_ref > len(l0):
+            raise MediaFormatError(
+                "num_ref_idx_active exceeds the decoded DPB depth"
+            )
+        if ref_pocs is not None:
+            st.l0_pocs = tuple(ref_pocs[:n_ref])
+        _decode_p_slice_mbs(
+            r, st, qp, cqo, l0[0],
+            refs=l0[:n_ref] if n_ref > 1 else None, n_ref=n_ref,
+        )
     elif stype == "B":
-        if ref is None or ref2 is None:
+        l0 = refs if refs is not None else (
+            [ref, ref2] if ref is not None and ref2 is not None else []
+        )
+        if len(l0) < 2:
             raise MediaFormatError(
                 "B slice without two decoded reference pictures"
             )
-        _decode_b_slice_mbs(r, st, qp, cqo, [ref, ref2], col_motion)
+        if hinfo["num_ref_l0"] > len(l0) or hinfo["num_ref_l1"] > len(l0):
+            raise MediaFormatError(
+                "num_ref_idx_active exceeds the decoded DPB depth"
+            )
+        ctx = _b_ctx(
+            l0, direct_spatial=hinfo["direct_spatial"],
+            col=col_motion,
+            l0_pocs=ref_pocs[: len(l0)] if ref_pocs is not None else None,
+            poc=hinfo["poc"],
+            n_ref_l0=hinfo["num_ref_l0"], n_ref_l1=hinfo["num_ref_l1"],
+        )
+        if ctx["l0_pocs"] is not None:
+            st.l0_pocs = ctx["l0_pocs"]
+            st.l1_pocs = ctx["l1_pocs"]
+        _decode_b_slice_mbs(r, st, qp, cqo, ctx)
     else:
         for mby in range(sps["mb_h"]):
             for mbx in range(sps["mb_w"]):
                 _decode_mb(r, st, mbx, mby, qp, cqo)
     if motion_sink is not None:
         motion_sink.update(_motion_snapshot(st))
+        motion_sink["poc"] = hinfo["poc"]
+        if st.l0_pocs is None and ref_pocs is not None:
+            # single-ref P: L0 = [refs[0]] — temporal direct still
+            # needs to know which PICTURE that is
+            motion_sink["l0_pocs"] = (ref_pocs[0],)
     if not r.byte_aligned_stop():
         raise MediaFormatError("trailing bits after last macroblock")
     if deblock:
@@ -1855,9 +1939,10 @@ def decode_avcc_samples(
         [n for n in flat if (n[0] & 0x1F) == 6],
         [n for n in flat if (n[0] & 0x1F) in (1, 5)],
     )
-    refs: list = []  # 2-deep DPB, most recent reference first
-    ref_motion: list = []  # parallel motion snapshots (spatial direct)
-    poc_ctx: dict = {}  # low-delay POC monotonicity
+    refs: list = []  # sliding-window DPB, most recent reference first
+    ref_motion: list = []  # parallel motion snapshots (direct modes)
+    ref_pocs: list = []  # parallel full POCs (temporal direct, bS)
+    poc_ctx: dict = {}  # low-delay POC monotonicity + full unwrap
     for nals in sample_nals:
         frame = None
         for nal in nals:
@@ -1882,7 +1967,7 @@ def decode_avcc_samples(
                 if t == 5:
                     # an IDR empties the DPB (8.2.5.1): pre-IDR
                     # references must never predict post-IDR pictures
-                    refs, ref_motion = [], []
+                    refs, ref_motion, ref_pocs = [], [], []
                 sink: dict = {}
                 y, u, v = decode_frame_nal(
                     nal, sps, pps,
@@ -1894,10 +1979,17 @@ def decode_avcc_samples(
                     ),
                     motion_sink=sink,
                     poc_ctx=poc_ctx,
+                    refs=refs if len(refs) > 1 else None,
+                    ref_pocs=(
+                        ref_pocs
+                        if refs and all(p is not None for p in ref_pocs)
+                        else None
+                    ),
                 )
                 if nal[0] >> 5:  # reference picture → enters the DPB
-                    refs = [(y, u, v)] + refs[:1]
-                    ref_motion = [sink or None] + ref_motion[:1]
+                    refs = [(y, u, v)] + refs[:7]
+                    ref_motion = [sink or None] + ref_motion[:7]
+                    ref_pocs = [sink.get("poc")] + ref_pocs[:7]
                 ct, cl = sps["crop_t"], sps["crop_l"]
                 frame = yuv420_to_rgb(
                     y[ct : ct + h, cl : cl + w],
@@ -1946,6 +2038,14 @@ def encode_avcc_samples(
         sps, pps, nals = encode_h264_ippp(width, height, frames_rgb, qp)
     elif gop == "ipb":
         sps, pps, nals = encode_h264_ipb(width, height, frames_rgb, qp)
+    elif gop == "ipb-temporal":
+        sps, pps, nals = encode_h264_ipb(
+            width, height, frames_rgb, qp, direct="temporal"
+        )
+    elif gop == "ippp-multiref":
+        sps, pps, nals = encode_h264_ippp(
+            width, height, frames_rgb, qp, n_refs=3
+        )
     else:
         sps, pps, nals = encode_h264_intra(width, height, frames_rgb, qp)
     samples = [len(n).to_bytes(4, "big") + n for n in nals]
@@ -2019,6 +2119,14 @@ def encode_h264_annexb(
         sps, pps, nals = encode_h264_ippp(width, height, frames_rgb, qp)
     elif gop == "ipb":
         sps, pps, nals = encode_h264_ipb(width, height, frames_rgb, qp)
+    elif gop == "ipb-temporal":
+        sps, pps, nals = encode_h264_ipb(
+            width, height, frames_rgb, qp, direct="temporal"
+        )
+    elif gop == "ippp-multiref":
+        sps, pps, nals = encode_h264_ippp(
+            width, height, frames_rgb, qp, n_refs=3
+        )
     else:
         sps, pps, nals = encode_h264_intra(width, height, frames_rgb, qp)
     sc = b"\x00\x00\x00\x01"
@@ -2216,6 +2324,34 @@ def _inter_bs_grids(st: _FrameState) -> tuple[np.ndarray, np.ndarray]:
     bs_v = np.zeros((bh, bw), dtype=np.int32)
     bs_h = np.zeros((bh, bw), dtype=np.int32)
 
+    def pics(bx, by):
+        """The (picture, mv) pairs one side of an edge predicts from.
+        Pictures are identified by full POC when the slice walk set
+        the list POCs (multi-ref / temporal chains) and by (list,
+        refIdx) otherwise — identical partitioning for the refIdx-0
+        subsets, so the pre-round-13 fixtures filter byte-identically."""
+        out = []
+        if st.uses0[by, bx]:
+            ri = int(st.ref0[by, bx])
+            pid = (
+                ("poc", st.l0_pocs[ri])
+                if st.l0_pocs is not None else ("l0", ri)
+            )
+            out.append((pid, (int(st.mv[by, bx, 0]),
+                              int(st.mv[by, bx, 1]))))
+        if st.uses1[by, bx]:
+            ri = int(st.ref1[by, bx])
+            pid = (
+                ("poc", st.l1_pocs[ri])
+                if st.l1_pocs is not None else ("l1", ri)
+            )
+            out.append((pid, (int(st.mv1[by, bx, 0]),
+                              int(st.mv1[by, bx, 1]))))
+        return out
+
+    def mv_far(m0, m1):
+        return abs(m0[0] - m1[0]) >= 4 or abs(m0[1] - m1[1]) >= 4
+
     def bs(pbx, pby, qbx, qby, mb_edge):
         p_intra = not st.inter[pby, pbx]
         q_intra = not st.inter[qby, qbx]
@@ -2223,26 +2359,32 @@ def _inter_bs_grids(st: _FrameState) -> tuple[np.ndarray, np.ndarray]:
             return 4 if mb_edge else 3
         if st.nc_y[pby, pbx] or st.nc_y[qby, qbx]:
             return 2
-        # §8.7.2.1 motion rules, extended for B (round 12): different
-        # prediction shape (list usage = which reference pictures are
-        # used, refIdx 0 each) → 1; else any used list's MV components
-        # differ by ≥ 4 quarter-pel units → 1.  For P pictures uses1
-        # is all-False and this reduces to the single-list rule.
-        if (bool(st.uses0[pby, pbx]), bool(st.uses1[pby, pbx])) != (
-            bool(st.uses0[qby, qbx]), bool(st.uses1[qby, qbx])
+        # §8.7.2.1 motion rules (round 13: reference-PICTURE identity,
+        # not list/index identity): bS 1 unless both sides predict
+        # from the same picture set AND some pairing of same-picture
+        # predictions keeps every MV component difference < 4
+        # quarter-pel units.  For single-list refIdx-0 P pictures this
+        # reduces to the classic single-MV rule.
+        p_side, q_side = pics(pbx, pby), pics(qbx, qby)
+        if len(p_side) != len(q_side):
+            return 1
+        if sorted(pid for pid, _ in p_side) != sorted(
+            pid for pid, _ in q_side
         ):
             return 1
-        if st.uses0[pby, pbx] and (
-            abs(int(st.mv[pby, pbx, 0]) - int(st.mv[qby, qbx, 0])) >= 4
-            or abs(int(st.mv[pby, pbx, 1]) - int(st.mv[qby, qbx, 1])) >= 4
-        ):
-            return 1
-        if st.uses1[pby, pbx] and (
-            abs(int(st.mv1[pby, pbx, 0]) - int(st.mv1[qby, qbx, 0])) >= 4
-            or abs(int(st.mv1[pby, pbx, 1]) - int(st.mv1[qby, qbx, 1])) >= 4
-        ):
-            return 1
-        return 0
+        if len(p_side) == 1:
+            return 1 if mv_far(p_side[0][1], q_side[0][1]) else 0
+        # two predictions per side: try the direct pairing, and the
+        # swapped one when both predictions come from ONE picture
+        (pa, ma), (pb, mb_) = p_side
+        qm = {0: q_side[0], 1: q_side[1]}
+        if qm[0][0] != pa:
+            qm = {0: q_side[1], 1: q_side[0]}
+        ok = not mv_far(ma, qm[0][1]) and not mv_far(mb_, qm[1][1])
+        if not ok and pa == pb:
+            ok = (not mv_far(ma, qm[1][1])
+                  and not mv_far(mb_, qm[0][1]))
+        return 0 if ok else 1
 
     for by in range(bh):
         for bx in range(1, bw):
@@ -2784,22 +2926,29 @@ _P8_QUADS = ((0, 0), (2, 0), (0, 2), (2, 2))  # z-order block offsets
 
 
 def _mv_nbr(st: _FrameState, bx: int, by: int):
-    """Neighbour block info for MV prediction: (available, inter, mv).
-    Out-of-picture → unavailable; intra blocks are available but not
-    inter (refIdx -1, mv 0 per §8.4.1.3.2)."""
+    """Neighbour block info for MV prediction: (available, inter, mv,
+    refIdxL0).  Out-of-picture → unavailable; intra blocks are
+    available but not inter (refIdx -1, mv 0 per §8.4.1.3.2)."""
     if bx < 0 or by < 0 or bx >= st.mb_w * 4 or by >= st.mb_h * 4:
-        return (False, False, (0, 0))
+        return (False, False, (0, 0), -1)
     if not st.inter[by, bx]:
-        return (True, False, (0, 0))
-    return (True, True, (int(st.mv[by, bx, 0]), int(st.mv[by, bx, 1])))
+        return (True, False, (0, 0), -1)
+    return (
+        True, True,
+        (int(st.mv[by, bx, 0]), int(st.mv[by, bx, 1])),
+        int(st.ref0[by, bx]),
+    )
 
 
 def _pred_mv(
-    st: _FrameState, abx: int, aby: int, pw: int, kind: str
+    st: _FrameState, abx: int, aby: int, pw: int, kind: str,
+    ref_idx: int = 0,
 ) -> tuple[int, int]:
     """§8.4.1.3 MV predictor for the partition whose top-left 4x4 block
-    is (abx, aby), ``pw`` blocks wide.  Single reference list: every
-    inter neighbour matches refIdx 0."""
+    is (abx, aby), ``pw`` blocks wide, predicting from L0 ``ref_idx``.
+    A neighbour "matches" iff it is inter AND references the same
+    index (§8.4.1.3.2); non-matching inter neighbours still contribute
+    their MV to the median (§8.4.1.3.1)."""
     a = _mv_nbr(st, abx - 1, aby)
     b = _mv_nbr(st, abx, aby - 1)
     # C = top-right of the partition; available only if already DECODED
@@ -2823,16 +2972,16 @@ def _pred_mv(
     if a[0] and not b[0] and not c[0]:
         b = c = a
     # directional rules for the rectangular partitions (§8.4.1.3):
-    # the named neighbour wins IFF its refIdx matches (== it is inter)
-    if kind == "16x8t" and b[1]:
+    # the named neighbour wins IFF its refIdx matches
+    if kind == "16x8t" and b[1] and b[3] == ref_idx:
         return b[2]
-    if kind == "16x8b" and a[1]:
+    if kind == "16x8b" and a[1] and a[3] == ref_idx:
         return a[2]
-    if kind == "8x16l" and a[1]:
+    if kind == "8x16l" and a[1] and a[3] == ref_idx:
         return a[2]
-    if kind == "8x16r" and c[1]:
+    if kind == "8x16r" and c[1] and c[3] == ref_idx:
         return c[2]
-    matching = [n for n in (a, b, c) if n[1]]
+    matching = [n for n in (a, b, c) if n[1] and n[3] == ref_idx]
     if len(matching) == 1:
         return matching[0][2]
     mvs = [n[2] for n in (a, b, c)]
@@ -2845,28 +2994,37 @@ def _pred_mv(
 def _skip_mv(st: _FrameState, mbx: int, mby: int) -> tuple[int, int]:
     """§8.4.1.1: P_Skip motion — zero when either edge neighbour is
     missing or a zero-MV refIdx-0 neighbour exists, else the 16x16
-    predictor."""
+    predictor (refIdx 0: P_Skip always references L0[0])."""
     a = _mv_nbr(st, mbx * 4 - 1, mby * 4)
     b = _mv_nbr(st, mbx * 4, mby * 4 - 1)
     if not a[0] or not b[0]:
         return (0, 0)
-    if (a[1] and a[2] == (0, 0)) or (b[1] and b[2] == (0, 0)):
+    if (a[1] and a[3] == 0 and a[2] == (0, 0)) or (
+        b[1] and b[3] == 0 and b[2] == (0, 0)
+    ):
         return (0, 0)
     return _pred_mv(st, mbx * 4, mby * 4, 4, "16x16")
 
 
 def _mc_mb_pred(
-    ref: tuple[np.ndarray, np.ndarray, np.ndarray],
-    mbx: int, mby: int,
+    ref, mbx: int, mby: int,
     parts: tuple, mvs: list[tuple[int, int]],
+    refidxs: list[int] | None = None,
 ):
     """Assemble the full 16x16 luma + 8x8 chroma MC prediction for a
-    partitioned macroblock."""
-    ry, ru, rv = ref
+    partitioned macroblock.  ``ref`` is a single (Y, U, V) tuple
+    (single-reference paths) or a LIST of them indexed by the
+    per-partition ``refidxs`` (multi-reference P, round 13)."""
+    multi = isinstance(ref, list)
     pred_y = np.empty((16, 16), dtype=np.int64)
     pred_u = np.empty((8, 8), dtype=np.int64)
     pred_v = np.empty((8, 8), dtype=np.int64)
-    for (kind, dx, dy, pw, ph), (mvx, mvy) in zip(parts, mvs):
+    for i, ((kind, dx, dy, pw, ph), (mvx, mvy)) in enumerate(
+        zip(parts, mvs)
+    ):
+        ry, ru, rv = (
+            ref[refidxs[i] if refidxs else 0] if multi else ref
+        )
         lx, ly, lw, lh = dx * 4, dy * 4, pw * 4, ph * 4
         pred_y[ly : ly + lh, lx : lx + lw] = _mc_luma(
             ry, mbx * 16 + lx, mby * 16 + ly, lw, lh, mvx, mvy
@@ -2882,13 +3040,15 @@ def _mc_mb_pred(
 
 
 def _store_part_mv(
-    st: _FrameState, mbx: int, mby: int, part, mv: tuple[int, int]
+    st: _FrameState, mbx: int, mby: int, part, mv: tuple[int, int],
+    ref_idx: int = 0,
 ) -> None:
     _, dx, dy, pw, ph = part
     bx, by = mbx * 4 + dx, mby * 4 + dy
     st.mv[by : by + ph, bx : bx + pw] = mv
     st.inter[by : by + ph, bx : bx + pw] = True
     st.uses0[by : by + ph, bx : bx + pw] = True
+    st.ref0[by : by + ph, bx : bx + pw] = ref_idx
 
 
 # ---------------------------------------------------------------------------
@@ -2911,27 +3071,38 @@ def _store_part_mv(
 
 def _mv_nbr_l(st: _FrameState, bx: int, by: int, lst: int):
     """Per-list neighbour info for B MV prediction: (available,
-    uses-this-list, mv).  A neighbour that doesn't predict from the
-    list contributes refIdx -1 / mv 0 (§8.4.1.3.2)."""
+    uses-this-list, mv, refIdx).  A neighbour that doesn't predict
+    from the list contributes refIdx -1 / mv 0 (§8.4.1.3.2)."""
     if bx < 0 or by < 0 or bx >= st.mb_w * 4 or by >= st.mb_h * 4:
-        return (False, False, (0, 0))
+        return (False, False, (0, 0), -1)
     uses = st.uses1 if lst else st.uses0
     if not uses[by, bx]:
-        return (True, False, (0, 0))
+        return (True, False, (0, 0), -1)
     mvf = st.mv1 if lst else st.mv
-    return (True, True, (int(mvf[by, bx, 0]), int(mvf[by, bx, 1])))
+    reff = st.ref1 if lst else st.ref0
+    return (
+        True, True,
+        (int(mvf[by, bx, 0]), int(mvf[by, bx, 1])),
+        int(reff[by, bx]),
+    )
 
 
-def _b_nbrs(st: _FrameState, mbx: int, mby: int, lst: int):
-    """The A/B/C neighbour triple for a 16x16 B partition on list
-    ``lst`` — C availability by exact decode order with the D
-    (top-left) fallback, and the §8.4.1.3.2 only-A edge rule.  Shared
-    by MV prediction AND spatial-direct derivation so the two can
-    never drift (round-12 review)."""
-    abx, aby = mbx * 4, mby * 4
+def _b_nbrs(
+    st: _FrameState, mbx: int, mby: int, lst: int,
+    abx: int | None = None, aby: int | None = None, pw: int = 4,
+):
+    """The A/B/C neighbour triple for a B partition on list ``lst`` —
+    C availability by exact decode order with the D (top-left)
+    fallback, and the §8.4.1.3.2 only-A edge rule.  Shared by MV
+    prediction AND spatial-direct derivation so the two can never
+    drift (round-12 review).  Defaults to the MB's own 16x16
+    partition; round 13 callers pass (abx, aby, pw) for the
+    rectangular / 8x8 B partitions."""
+    if abx is None:
+        abx, aby = mbx * 4, mby * 4
     a = _mv_nbr_l(st, abx - 1, aby, lst)
     b = _mv_nbr_l(st, abx, aby - 1, lst)
-    c_bx = abx + 4
+    c_bx = abx + pw
     if (
         c_bx < st.mb_w * 4
         and aby > 0
@@ -2940,7 +3111,7 @@ def _b_nbrs(st: _FrameState, mbx: int, mby: int, lst: int):
     ):
         c = _mv_nbr_l(st, c_bx, aby - 1, lst)
     else:
-        c = (False, False, (0, 0))
+        c = (False, False, (0, 0), -1)
     if not c[0]:
         c = _mv_nbr_l(st, abx - 1, aby - 1, lst)
     if a[0] and not b[0] and not c[0]:
@@ -2948,11 +3119,25 @@ def _b_nbrs(st: _FrameState, mbx: int, mby: int, lst: int):
     return a, b, c
 
 
-def _pred_mv_b(st: _FrameState, mbx: int, mby: int, lst: int):
-    """§8.4.1.3 median MV predictor for a 16x16 B partition on list
-    ``lst`` (refIdx always 0 in the subset)."""
-    a, b, c = _b_nbrs(st, mbx, mby, lst)
-    matching = [n for n in (a, b, c) if n[1]]
+def _pred_mv_b(
+    st: _FrameState, mbx: int, mby: int, lst: int, ref_idx: int = 0,
+    abx: int | None = None, aby: int | None = None, pw: int = 4,
+    kind: str = "16x16",
+):
+    """§8.4.1.3 median MV predictor for a B partition on list ``lst``
+    predicting from ``ref_idx`` — a neighbour matches iff it uses the
+    list with the same index; the directional 16x8/8x16 rules apply
+    for the rectangular partitions (round 13)."""
+    a, b, c = _b_nbrs(st, mbx, mby, lst, abx, aby, pw)
+    if kind == "16x8t" and b[1] and b[3] == ref_idx:
+        return b[2]
+    if kind == "16x8b" and a[1] and a[3] == ref_idx:
+        return a[2]
+    if kind == "8x16l" and a[1] and a[3] == ref_idx:
+        return a[2]
+    if kind == "8x16r" and c[1] and c[3] == ref_idx:
+        return c[2]
+    matching = [n for n in (a, b, c) if n[1] and n[3] == ref_idx]
     if len(matching) == 1:
         return matching[0][2]
     mvs = [n[2] for n in (a, b, c)]
@@ -2964,7 +3149,7 @@ def _pred_mv_b(st: _FrameState, mbx: int, mby: int, lst: int):
 
 def _store_b_mv(
     st: _FrameState, mbx: int, mby: int,
-    mv0, mv1, u0: bool, u1: bool,
+    mv0, mv1, u0: bool, u1: bool, r0: int = 0, r1: int = 0,
 ) -> None:
     bx, by = mbx * 4, mby * 4
     st.inter[by : by + 4, bx : bx + 4] = True
@@ -2972,8 +3157,10 @@ def _store_b_mv(
     st.uses1[by : by + 4, bx : bx + 4] = u1
     if u0:
         st.mv[by : by + 4, bx : bx + 4] = mv0
+        st.ref0[by : by + 4, bx : bx + 4] = r0
     if u1:
         st.mv1[by : by + 4, bx : bx + 4] = mv1
+        st.ref1[by : by + 4, bx : bx + 4] = r1
 
 
 def _mc_b_pred(
@@ -3121,6 +3308,7 @@ def _p_mb_decide(
     st: _FrameState, mbx: int, mby: int, qp: int,
     src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
     ref: tuple[np.ndarray, np.ndarray, np.ndarray],
+    refs: list | None = None,
 ) -> tuple[str, dict | None]:
     """Entropy-agnostic P-macroblock decision (motion search, partition
     choice, transform/quant, skip test) — shared by the CAVLC emitter
@@ -3129,17 +3317,30 @@ def _p_mb_decide(
     ``("skip", None)`` (the caller reconstructs P_Skip), or
     ``("inter", payload)`` with everything the emitter needs.  Does NOT
     mutate ``st`` beyond reads: MV storage happens at write time (each
-    partition's predictor depends on previously written partitions)."""
+    partition's predictor depends on previously written partitions).
+
+    Multi-reference (round 13): when ``refs`` (the full RefPicList0,
+    most recent first — ref == refs[0]) is given, the 16x16 search
+    runs once per reference with a te(v)-rate penalty and the winner's
+    index anchors every partition of this macroblock (per-partition
+    indices stay legal syntax; one index per MB is an encoder choice,
+    the decoder accepts any mix)."""
     x0, y0 = mbx * 16, mby * 16
     src_blk = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64)
-    ry = ref[0]
+    n_refs = len(refs) if refs is not None else 1
+    # ---- 16x16 motion estimation (per reference when multi-ref)
+    mb_ref = 0
+    pmv16 = _pred_mv(st, mbx * 4, mby * 4, 4, "16x16")
+    mv16, cost16 = _motion_search(ref[0], src_blk, x0, y0, pmv16)
+    for ri in range(1, n_refs):
+        pmv_i = _pred_mv(st, mbx * 4, mby * 4, 4, "16x16", ref_idx=ri)
+        mv_i, c_i = _motion_search(refs[ri][0], src_blk, x0, y0, pmv_i)
+        if c_i + 6 * ri < cost16:  # ref_idx te(v) rate penalty
+            mb_ref, pmv16, mv16, cost16 = ri, pmv_i, mv_i, c_i + 6 * ri
+    ry = (refs[mb_ref] if refs is not None else ref)[0]
 
     def search(pmv: tuple[int, int], dx=0, dy=0, bw=16, bh=16):
         return _motion_search(ry, src_blk, x0, y0, pmv, dx, dy, bw, bh)
-
-    # ---- 16x16 motion estimation
-    pmv16 = _pred_mv(st, mbx * 4, mby * 4, 4, "16x16")
-    mv16, cost16 = search(pmv16)
     # ---- rectangular partitions: estimate with the 16x16 pmv as the
     # search anchor (the exact per-partition pmv is applied at WRITE
     # time; a suboptimal anchor only costs rate, never conformance)
@@ -3204,7 +3405,10 @@ def _p_mb_decide(
     else:
         mtype, mvs = best_rect[0], best_rect[1]
         parts = _P_PARTS[mtype]
-    pred_y, pred_u, pred_v = _mc_mb_pred(ref, mbx, mby, parts, mvs)
+    refidxs = [mb_ref] * len(parts)
+    pred_y, pred_u, pred_v = _mc_mb_pred(
+        refs if refs is not None else ref, mbx, mby, parts, mvs, refidxs
+    )
     zs, cbp_luma = _inter_luma_quant(src_y, pred_y, mbx, mby, qp)
     qpc = _QPC[max(0, min(51, qp))]
     cx0, cy0 = mbx * 8, mby * 8
@@ -3214,14 +3418,19 @@ def _p_mb_decide(
     ]
     cbp_chroma, cdcq, cacq = _chroma_transform_quant(cres, qpc, intra=False)
     cbp = cbp_luma | (cbp_chroma << 4)
-    # ---- P_Skip: 16x16, MV equal to the skip MV, nothing coded
-    if mtype == 0 and cbp == 0 and mvs[0] == _skip_mv(st, mbx, mby):
+    # ---- P_Skip: 16x16 refIdx 0, MV equal to the skip MV, no residue
+    if (
+        mtype == 0 and cbp == 0 and mb_ref == 0
+        and mvs[0] == _skip_mv(st, mbx, mby)
+    ):
         return "skip", None
     return "inter", {
         "mtype": mtype,
         "sub_types": sub_types,
         "parts": parts,
         "mvs": mvs,
+        "refidxs": refidxs,
+        "n_refs": n_refs,
         "zs": zs,
         "cbp_luma": cbp_luma,
         "cbp_chroma": cbp_chroma,
@@ -3235,11 +3444,14 @@ def _encode_p_mb(
     w: _BitWriter, st: _FrameState, mbx: int, mby: int, qp: int,
     src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
     ref: tuple[np.ndarray, np.ndarray, np.ndarray], skip_run: int,
+    refs: list | None = None,
 ) -> int:
     """Encode one macroblock of a P slice (CAVLC); returns the updated
     mb_skip_run (incremented if this MB became P_Skip, else flushed
     before the coded MB).  Decisions live in _p_mb_decide."""
-    kind, d = _p_mb_decide(st, mbx, mby, qp, src_y, src_u, src_v, ref)
+    kind, d = _p_mb_decide(
+        st, mbx, mby, qp, src_y, src_u, src_v, ref, refs=refs
+    )
     if kind == "intra":
         w.ue(skip_run)
         _encode_mb(w, st, mbx, mby, qp, src_y, src_u, src_v, mtype_off=5)
@@ -3253,6 +3465,7 @@ def _encode_p_mb(
         return skip_run + 1
     mtype, sub_types = d["mtype"], d["sub_types"]
     parts, mvs = d["parts"], d["mvs"]
+    refidxs, n_refs = d["refidxs"], d["n_refs"]
     zs, cbp_luma, cbp_chroma = d["zs"], d["cbp_luma"], d["cbp_chroma"]
     cdcq, cacq = d["cdcq"], d["cacq"]
     pred_y, pred_u, pred_v = d["preds"]
@@ -3263,12 +3476,22 @@ def _encode_p_mb(
     if sub_types is not None:
         for t_ in sub_types:
             w.ue(t_)
-    for part, mv in zip(parts, mvs):
+    # mb_pred / sub_mb_pred (§7.3.5.1/.2): with more than one active
+    # reference, EVERY partition's ref_idx_l0 (te(v)) precedes every
+    # mvd — one te per 8x8 quadrant for P_8x8 (mb_type 3), one per
+    # partition otherwise
+    if n_refs > 1:
+        n_te = 4 if mtype == 3 else len(parts)
+        for i in range(n_te):
+            w.te(refidxs[min(i, len(refidxs) - 1)], n_refs - 1)
+    for part, mv, ri in zip(parts, mvs, refidxs):
         kind, dx, dy, pw, _ = part
-        pmv = _pred_mv(st, mbx * 4 + dx, mby * 4 + dy, pw, kind)
+        pmv = _pred_mv(
+            st, mbx * 4 + dx, mby * 4 + dy, pw, kind, ref_idx=ri
+        )
         w.se(mv[0] - pmv[0])
         w.se(mv[1] - pmv[1])
-        _store_part_mv(st, mbx, mby, part, mv)
+        _store_part_mv(st, mbx, mby, part, mv, ref_idx=ri)
     st.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
     w.ue(_CBP_INTER_ENC[cbp])
     if cbp:
@@ -3295,6 +3518,7 @@ def _encode_p_mb(
 def _decode_p_mb(
     r: _BitReader, st: _FrameState, mbx: int, mby: int, qp: int,
     cqo: int, ref: tuple[np.ndarray, np.ndarray, np.ndarray],
+    refs: list | None = None, n_ref: int = 1,
 ) -> None:
     mb_type = r.ue()
     if mb_type >= 5:
@@ -3303,33 +3527,49 @@ def _decode_p_mb(
         st.mv[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
         _decode_mb(r, st, mbx, mby, qp, cqo, mb_type=mb_type - 5)
         return
+    refs_l = refs if refs is not None else [ref]
     if mb_type in (3, 4):
         # P_8x8 / P_8x8ref0: four sub_mb_types first (§7.3.5.2), then
-        # every sub-partition's mvd in order (single ref: no ref_idx,
-        # and the two mb_types decode identically)
+        # per-quadrant ref_idx_l0 (only P_8x8 with >1 active ref —
+        # P_8x8ref0 pins every index to 0), then every sub-partition's
+        # mvd in order
         sub_types = [r.ue() for _ in range(4)]
         if any(t_ > 3 for t_ in sub_types):
             raise MediaFormatError("invalid P sub_mb_type")
-        parts, mvs = [], []
+        q_refs = [0, 0, 0, 0]
+        if n_ref > 1 and mb_type == 3:
+            q_refs = [r.te(n_ref - 1) for _ in range(4)]
+            if any(ri >= n_ref for ri in q_refs):
+                raise MediaFormatError("ref_idx_l0 out of range")
+        parts, mvs, refidxs = [], [], []
         for q8, (qx, qy) in enumerate(_P8_QUADS):
             for sdx, sdy, pw, ph in _P_SUB_PARTS[sub_types[q8]]:
                 part = ("sub", qx + sdx, qy + sdy, pw, ph)
                 pmv = _pred_mv(
-                    st, mbx * 4 + part[1], mby * 4 + part[2], pw, "sub"
+                    st, mbx * 4 + part[1], mby * 4 + part[2], pw, "sub",
+                    ref_idx=q_refs[q8],
                 )
                 mv = (pmv[0] + r.se(), pmv[1] + r.se())
                 mvs.append(mv)
                 parts.append(part)
-                _store_part_mv(st, mbx, mby, part, mv)
+                refidxs.append(q_refs[q8])
+                _store_part_mv(st, mbx, mby, part, mv, ref_idx=q_refs[q8])
     else:
         parts = _P_PARTS[mb_type]
+        refidxs = [0] * len(parts)
+        if n_ref > 1:
+            refidxs = [r.te(n_ref - 1) for _ in parts]
+            if any(ri >= n_ref for ri in refidxs):
+                raise MediaFormatError("ref_idx_l0 out of range")
         mvs = []
-        for part in parts:
+        for part, ri in zip(parts, refidxs):
             kind, dx, dy, pw, _ = part
-            pmv = _pred_mv(st, mbx * 4 + dx, mby * 4 + dy, pw, kind)
+            pmv = _pred_mv(
+                st, mbx * 4 + dx, mby * 4 + dy, pw, kind, ref_idx=ri
+            )
             mv = (pmv[0] + r.se(), pmv[1] + r.se())
             mvs.append(mv)
-            _store_part_mv(st, mbx, mby, part, mv)
+            _store_part_mv(st, mbx, mby, part, mv, ref_idx=ri)
     st.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
     code = r.ue()
     if code >= len(_CBP_INTER):
@@ -3352,7 +3592,10 @@ def _decode_p_mb(
             st.nc_y[aby, abx] = 0
             zs.append(np.zeros((4, 4), dtype=np.int64))
     cdc, cac = _read_chroma_residuals(r, st, mbx, mby, cbp_chroma)
-    pred_y, pred_u, pred_v = _mc_mb_pred(ref, mbx, mby, parts, mvs)
+    pred_y, pred_u, pred_v = _mc_mb_pred(
+        refs_l if refs is not None else ref, mbx, mby, parts, mvs,
+        refidxs,
+    )
     _recon_inter_luma(st, mbx, mby, qp, pred_y, zs, cbp_luma)
     _recon_chroma_blocks(
         st, mbx, mby, qp, cqo, [pred_u, pred_v], cdc, cac
@@ -3362,6 +3605,7 @@ def _decode_p_mb(
 def _decode_p_slice_mbs(
     r: _BitReader, st: _FrameState, qp: int, cqo: int,
     ref: tuple[np.ndarray, np.ndarray, np.ndarray],
+    refs: list | None = None, n_ref: int = 1,
 ) -> None:
     n_mbs = st.mb_w * st.mb_h
     i = 0
@@ -3374,7 +3618,10 @@ def _decode_p_slice_mbs(
             i += 1
         if i >= n_mbs:
             break
-        _decode_p_mb(r, st, i % st.mb_w, i // st.mb_w, qp, cqo, ref)
+        _decode_p_mb(
+            r, st, i % st.mb_w, i // st.mb_w, qp, cqo, ref,
+            refs=refs, n_ref=n_ref,
+        )
         i += 1
 
 
@@ -3384,12 +3631,17 @@ _B_MBTYPE_MODE = {v: k for k, v in _B_MODE_MBTYPE.items()}
 
 def _motion_snapshot(st: _FrameState) -> dict:
     """The per-4x4 motion state a DECODED reference picture leaves
-    behind, kept by callers for spatial-direct's colocated-motion
-    access (§8.4.1.2.2's colZeroFlag reads RefPicList1[0]'s motion)."""
+    behind, kept by callers for direct prediction's colocated-motion
+    access: spatial's colZeroFlag reads RefPicList1[0]'s inter/mv
+    state (§8.4.1.2.2); TEMPORAL direct (round 13, §8.4.1.2.3)
+    additionally reads the colocated block's reference index and that
+    picture's L0 POCs to identify refPicCol."""
     return {
         "inter": st.inter.copy(),
         "uses0": st.uses0.copy(),
         "mv": st.mv.copy(),
+        "ref0": st.ref0.copy(),
+        "l0_pocs": st.l0_pocs,
     }
 
 
@@ -3400,63 +3652,202 @@ def _intra_motion(mb_w: int, mb_h: int) -> dict:
         "inter": np.zeros((mb_h * 4, mb_w * 4), dtype=bool),
         "uses0": np.zeros((mb_h * 4, mb_w * 4), dtype=bool),
         "mv": np.zeros((mb_h * 4, mb_w * 4, 2), dtype=np.int32),
+        "ref0": np.zeros((mb_h * 4, mb_w * 4), dtype=np.int32),
+        "l0_pocs": None,
     }
 
 
 _B_QUADS = ((0, 0), (1, 0), (0, 1), (1, 1))  # (qx, qy) raster order
 
 
-def _b_direct_mvs(st: _FrameState, mbx: int, mby: int, col: dict | None):
-    """§8.4.1.2.2 spatial direct derivation for one 16x16 MB under the
-    subset's refIdx ∈ {0, -1} lists: refIdxLX = 0 iff any of the A/B/C
-    neighbours uses list X (the MinPositive rule); when NEITHER list
-    has a reference, direct-zero-prediction makes the MB bi with zero
-    MVs; otherwise each used list takes the §8.4.1.3 median predictor,
-    zeroed PER 8x8 QUADRANT when the colocated corner block in
-    RefPicList1[0] (direct_8x8_inference corners 0/3/12/15) is inter
-    with refIdx 0 and |mvCol| ≤ 1 in both components (colZeroFlag).
-    Returns (use0, use1, [(mv0, mv1)] × 4 quadrants)."""
+def _b_ctx(
+    l0: list, direct_spatial: bool = True, col: dict | None = None,
+    l0_pocs=None, poc: int | None = None,
+    n_ref_l0: int | None = None, n_ref_l1: int = 1,
+):
+    """The B-slice prediction context threaded through every B
+    macroblock: RefPicList0 (``l0``, most recent reference first) and
+    the §8.2.4.2.3 default RefPicList1 (L0 with the first two entries
+    swapped — all references precede the picture in the low-delay
+    subset, so both initial lists are POC-descending and the swap rule
+    applies), the direct mode, RefPicList1[0]'s motion snapshot, and
+    the full POCs temporal direct and the deblock picture-identity
+    rule read."""
+    l1 = [l0[1], l0[0]] + list(l0[2:])
+    l1_pocs = None
+    if l0_pocs is not None:
+        l0_pocs = tuple(l0_pocs)
+        l1_pocs = (l0_pocs[1], l0_pocs[0]) + tuple(l0_pocs[2:])
+    return {
+        "l0": list(l0),
+        "l1": l1,
+        "n_ref_l0": n_ref_l0 if n_ref_l0 is not None else len(l0),
+        "n_ref_l1": n_ref_l1,
+        "direct_spatial": direct_spatial,
+        "col": col,
+        "l0_pocs": l0_pocs,
+        "l1_pocs": l1_pocs,
+        "poc": poc,
+    }
+
+
+def _b_direct_spatial(st: _FrameState, mbx: int, mby: int, ctx: dict):
+    """§8.4.1.2.2 spatial direct derivation for one 16x16 MB:
+    refIdxLX = the MinPositive neighbour refIdx per list; when NEITHER
+    list has a reference, direct-zero-prediction makes the MB bi with
+    zero MVs; otherwise each used list takes the §8.4.1.3 median
+    predictor for that refIdx, zeroed PER 8x8 QUADRANT when refIdxLX
+    is 0 and the colocated corner block in RefPicList1[0]
+    (direct_8x8_inference corners 0/3/12/15) is inter with refIdx 0
+    and |mvCol| ≤ 1 in both components (colZeroFlag).  Returns
+    (use0, use1, [(mv0, mv1, r0, r1)] × 4 quadrants)."""
+    col = ctx["col"]
     abx, aby = mbx * 4, mby * 4
-    use = []
+    ref = []
     for lst in (0, 1):
         a, b, c = _b_nbrs(st, mbx, mby, lst)
-        use.append(a[1] or b[1] or c[1])
-    use0, use1 = use
-    if not use0 and not use1:
+        cand = [n[3] for n in (a, b, c) if n[1]]
+        ref.append(min(cand) if cand else -1)
+    r0, r1 = ref
+    if r0 < 0 and r1 < 0:
         # directZeroPredictionFlag: both lists, zero motion everywhere
-        return True, True, [((0, 0), (0, 0))] * 4
-    mv0 = _pred_mv_b(st, mbx, mby, 0) if use0 else (0, 0)
-    mv1 = _pred_mv_b(st, mbx, mby, 1) if use1 else (0, 0)
+        return True, True, [((0, 0), (0, 0), 0, 0)] * 4
+    use0, use1 = r0 >= 0, r1 >= 0
+    mv0 = _pred_mv_b(st, mbx, mby, 0, ref_idx=r0) if use0 else (0, 0)
+    mv1 = _pred_mv_b(st, mbx, mby, 1, ref_idx=r1) if use1 else (0, 0)
     parts = []
     for qx, qy in _B_QUADS:
         colzero = False
         if col is not None:
             cbx = abx + (3 if qx else 0)
             cby = aby + (3 if qy else 0)
-            if col["inter"][cby, cbx] and col["uses0"][cby, cbx]:
+            if (
+                col["inter"][cby, cbx]
+                and col["uses0"][cby, cbx]
+                and int(col.get("ref0", _Z)[cby, cbx]) == 0
+            ):
                 mcx = int(col["mv"][cby, cbx, 0])
                 mcy = int(col["mv"][cby, cbx, 1])
                 colzero = abs(mcx) <= 1 and abs(mcy) <= 1
         parts.append(
             (
-                (0, 0) if (colzero and use0) else mv0,
-                (0, 0) if (colzero and use1) else mv1,
+                (0, 0) if (colzero and use0 and r0 == 0) else mv0,
+                (0, 0) if (colzero and use1 and r1 == 0) else mv1,
+                max(r0, 0),
+                max(r1, 0),
             )
         )
     return use0, use1, parts
 
 
-def _mc_direct_pred(refs, mbx: int, mby: int, use0, use1, parts):
+class _ZeroGrid:
+    """Fallback colocated-refIdx grid for snapshots predating the
+    ref0 key (always 0 — the single-reference invariant they hold)."""
+
+    def __getitem__(self, _):
+        return 0
+
+
+_Z = _ZeroGrid()
+
+
+def _b_direct_temporal(st: _FrameState, mbx: int, mby: int, ctx: dict):
+    """§8.4.1.2.3 TEMPORAL direct derivation (round 13) for one 16x16
+    MB, per 8x8 quadrant (direct_8x8_inference corners): the colocated
+    block in RefPicList1[0] supplies mvCol and (via its own L0 POCs)
+    the picture refPicCol; refIdxL0 maps refPicCol into the CURRENT
+    list 0 (lowest index — default-ordered lists, so by POC);
+    refIdxL1 = 0; then with tb = Clip3(-128, 127, poc(cur) -
+    poc(refPicCol)) and td = Clip3(-128, 127, poc(colPic) -
+    poc(refPicCol)):
+
+        tx  = (16384 + Abs(td/2)) / td          (toward-zero division)
+        dsf = Clip3(-1024, 1023, (tb*tx + 32) >> 6)
+        mvL0 = (dsf * mvCol + 128) >> 8          (arithmetic shift)
+        mvL1 = mvL0 - mvCol
+
+    An intra colocated block contributes zero motion with refIdxL0 0
+    (§8.4.1.2.3's refIdxCol < 0 branch); td == 0 degenerates to
+    mvL0 = mvCol, mvL1 = 0.  Temporal direct NEEDS picture order:
+    callers without full POCs (or whose colocated snapshot predates
+    POC tracking) quarantine rather than guess."""
+    col, cur = ctx["col"], ctx["poc"]
+    l0_pocs = ctx["l0_pocs"]
+    if cur is None or l0_pocs is None:
+        raise MediaFormatError(
+            "temporal direct without picture order context"
+        )
+    col_l0p = col.get("l0_pocs") if col is not None else None
+    colpic_poc = ctx["l1_pocs"][0]
+    parts = []
+    for qx, qy in _B_QUADS:
+        cbx = mbx * 4 + (3 if qx else 0)
+        cby = mby * 4 + (3 if qy else 0)
+        if (
+            col is None
+            or not col["inter"][cby, cbx]
+            or not col["uses0"][cby, cbx]
+        ):
+            parts.append(((0, 0), (0, 0), 0, 0))
+            continue
+        rcol = int(col.get("ref0", _Z)[cby, cbx])
+        if col_l0p is None or rcol >= len(col_l0p):
+            raise MediaFormatError(
+                "temporal direct: colocated reference picture unknown"
+            )
+        ref_poc = col_l0p[rcol]
+        try:
+            r0 = l0_pocs.index(ref_poc)
+        except ValueError:
+            raise MediaFormatError(
+                "temporal direct: colocated reference not in "
+                "RefPicList0"
+            )
+        if r0 >= ctx["n_ref_l0"]:
+            raise MediaFormatError(
+                "temporal direct: mapped refIdxL0 beyond the active "
+                "list"
+            )
+        mvcol = (int(col["mv"][cby, cbx, 0]), int(col["mv"][cby, cbx, 1]))
+        td = max(-128, min(127, colpic_poc - ref_poc))
+        tb = max(-128, min(127, cur - ref_poc))
+        if td == 0:
+            mv0, mv1 = mvcol, (0, 0)
+        else:
+            num = 16384 + abs(td) // 2
+            tx = num // td if td > 0 else -(num // -td)
+            dsf = max(-1024, min(1023, (tb * tx + 32) >> 6))
+            mv0 = ((dsf * mvcol[0] + 128) >> 8,
+                   (dsf * mvcol[1] + 128) >> 8)
+            mv1 = (mv0[0] - mvcol[0], mv0[1] - mvcol[1])
+        parts.append((mv0, mv1, r0, 0))
+    return True, True, parts
+
+
+def _b_direct_mvs(st: _FrameState, mbx: int, mby: int, ctx: dict):
+    """Direct-mode dispatch: spatial (§8.4.1.2.2) or temporal
+    (§8.4.1.2.3) per the slice header flag.  Returns (use0, use1,
+    [(mv0, mv1, refIdxL0, refIdxL1)] × 4 quadrants)."""
+    if ctx["direct_spatial"]:
+        return _b_direct_spatial(st, mbx, mby, ctx)
+    return _b_direct_temporal(st, mbx, mby, ctx)
+
+
+def _mc_direct_pred(ctx, mbx: int, mby: int, use0, use1, parts):
     """Assemble the 16x16 luma + 8x8 chroma direct prediction from the
-    four 8x8 quadrants' per-list MVs (bi average when both lists)."""
+    four 8x8 quadrants' per-list MVs and reference indices (bi average
+    when both lists)."""
     pred_y = np.empty((16, 16), dtype=np.int64)
     pred_u = np.empty((8, 8), dtype=np.int64)
     pred_v = np.empty((8, 8), dtype=np.int64)
-    for (qx, qy), (mv0, mv1) in zip(_B_QUADS, parts):
+    for (qx, qy), (mv0, mv1, r0, r1) in zip(_B_QUADS, parts):
         lx, ly = qx * 8, qy * 8
         cx, cy = qx * 4, qy * 4
         planes = []
-        for use, ref, mv in ((use0, refs[0], mv0), (use1, refs[1], mv1)):
+        for use, ref, mv in (
+            (use0, ctx["l0"][r0] if use0 else None, mv0),
+            (use1, ctx["l1"][r1] if use1 else None, mv1),
+        ):
             if not use:
                 continue
             ry, ru, rv = ref
@@ -3488,22 +3879,25 @@ def _store_b_direct_mv(
     st.inter[by : by + 4, bx : bx + 4] = True
     st.uses0[by : by + 4, bx : bx + 4] = use0
     st.uses1[by : by + 4, bx : bx + 4] = use1
-    for (qx, qy), (mv0, mv1) in zip(_B_QUADS, parts):
+    for (qx, qy), (mv0, mv1, r0, r1) in zip(_B_QUADS, parts):
         qbx, qby = bx + qx * 2, by + qy * 2
         if use0:
             st.mv[qby : qby + 2, qbx : qbx + 2] = mv0
+            st.ref0[qby : qby + 2, qbx : qbx + 2] = r0
         if use1:
             st.mv1[qby : qby + 2, qbx : qbx + 2] = mv1
+            st.ref1[qby : qby + 2, qbx : qbx + 2] = r1
     st.i4_mode[by : by + 4, bx : bx + 4] = 2
 
 
 def _recon_b_skip(
-    st: _FrameState, mbx: int, mby: int, refs, col: dict | None
+    st: _FrameState, mbx: int, mby: int, ctx: dict
 ) -> None:
-    """B_Skip: spatial-direct prediction, nothing coded."""
-    use0, use1, parts = _b_direct_mvs(st, mbx, mby, col)
+    """B_Skip: direct prediction (spatial or temporal per the slice
+    header), nothing coded."""
+    use0, use1, parts = _b_direct_mvs(st, mbx, mby, ctx)
     pred_y, pred_u, pred_v = _mc_direct_pred(
-        refs, mbx, mby, use0, use1, parts
+        ctx, mbx, mby, use0, use1, parts
     )
     x0, y0 = mbx * 16, mby * 16
     st.y[y0 : y0 + 16, x0 : x0 + 16] = pred_y
@@ -3519,27 +3913,29 @@ def _recon_b_skip(
 def _b_mb_decide(
     st: _FrameState, mbx: int, mby: int, qp: int,
     src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
-    refs, col: dict | None,
+    ctx: dict,
 ) -> tuple[str, dict | None]:
-    """Entropy-agnostic B-macroblock decision: the spatial-direct
-    candidate (no motion bits at all), one 16x16 motion search per
-    reference list, a bi-predictive average of the two winners, and
-    the intra fallback.  Mirrors _p_mb_decide's contract."""
+    """Entropy-agnostic B-macroblock decision: the direct candidate
+    (spatial or temporal per the slice header — no motion bits at
+    all), one 16x16 motion search per reference list (refIdx 0 — the
+    encoder's choice; the DECODER accepts any active index), a
+    bi-predictive average of the two winners, and the intra fallback.
+    Mirrors _p_mb_decide's contract."""
     x0, y0 = mbx * 16, mby * 16
     src_blk = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64)
-    # --- spatial-direct candidate (mvd-free; small rate edge)
-    use0, use1, parts = _b_direct_mvs(st, mbx, mby, col)
-    d_pred = _mc_direct_pred(refs, mbx, mby, use0, use1, parts)
+    # --- direct candidate (mvd-free; small rate edge)
+    use0, use1, parts = _b_direct_mvs(st, mbx, mby, ctx)
+    d_pred = _mc_direct_pred(ctx, mbx, mby, use0, use1, parts)
     c_dir = int(np.abs(src_blk - d_pred[0]).sum())
     pmv0 = _pred_mv_b(st, mbx, mby, 0)
     pmv1 = _pred_mv_b(st, mbx, mby, 1)
-    mv0, c0 = _motion_search(refs[0][0], src_blk, x0, y0, pmv0)
-    mv1, c1 = _motion_search(refs[1][0], src_blk, x0, y0, pmv1)
+    mv0, c0 = _motion_search(ctx["l0"][0][0], src_blk, x0, y0, pmv0)
+    mv1, c1 = _motion_search(ctx["l1"][0][0], src_blk, x0, y0, pmv1)
     p_bi = (
-        _mc_luma(refs[0][0], x0, y0, 16, 16, mv0[0], mv0[1]).astype(
+        _mc_luma(ctx["l0"][0][0], x0, y0, 16, 16, mv0[0], mv0[1]).astype(
             np.int64
         )
-        + _mc_luma(refs[1][0], x0, y0, 16, 16, mv1[0], mv1[1]).astype(
+        + _mc_luma(ctx["l1"][0][0], x0, y0, 16, 16, mv1[0], mv1[1]).astype(
             np.int64
         )
         + 1
@@ -3570,7 +3966,7 @@ def _b_mb_decide(
         pred_y, pred_u, pred_v = d_pred
     else:
         pred_y, pred_u, pred_v = _mc_b_pred(
-            refs, mbx, mby, mode, mv0, mv1
+            (ctx["l0"][0], ctx["l1"][0]), mbx, mby, mode, mv0, mv1
         )
     zs, cbp_luma = _inter_luma_quant(src_y, pred_y, mbx, mby, qp)
     qpc = _QPC[max(0, min(51, qp))]
@@ -3608,6 +4004,7 @@ def _b_mb_finish(
         _store_b_mv(
             st, mbx, mby, d["mv0"], d["mv1"],
             mode in ("l0", "bi"), mode in ("l1", "bi"),
+            d.get("r0", 0), d.get("r1", 0),
         )
     st.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
     pred_y, pred_u, pred_v = d["preds"]
@@ -3619,17 +4016,17 @@ def _b_mb_finish(
 
 def _encode_b_mb(
     w: _BitWriter, st: _FrameState, mbx: int, mby: int, qp: int,
-    src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray, refs,
-    col: dict | None, skip_run: int,
+    src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
+    ctx: dict, skip_run: int,
 ) -> int:
     """Encode one B macroblock; returns the updated mb_skip_run
     (incremented when this MB became B_Skip, flushed before a coded
     MB — the same contract as _encode_p_mb)."""
     kind, d = _b_mb_decide(
-        st, mbx, mby, qp, src_y, src_u, src_v, refs, col
+        st, mbx, mby, qp, src_y, src_u, src_v, ctx
     )
     if kind == "skip":
-        _recon_b_skip(st, mbx, mby, refs, col)
+        _recon_b_skip(st, mbx, mby, ctx)
         return skip_run + 1
     w.ue(skip_run)
     if kind == "intra":
@@ -3642,9 +4039,15 @@ def _encode_b_mb(
         return 0
     mode = d["mode"]
     w.ue(0 if mode == "direct" else _B_MODE_MBTYPE[mode])
-    # mb_pred (§7.3.5.1): num_ref_idx_active = 1 per list → no
-    # ref_idx syntax; B_Direct_16x16 carries NO motion syntax at all;
-    # otherwise mvd_l0 then mvd_l1, each only if the list is used
+    # mb_pred (§7.3.5.1): B_Direct_16x16 carries NO motion syntax at
+    # all; otherwise ref_idx_lX te(v) per used list (only with >1
+    # active reference — the encoder always picks index 0, a rate
+    # choice, while the decoder accepts any), then mvd_l0, then mvd_l1
+    if mode != "direct":
+        if ctx["n_ref_l0"] > 1 and mode in ("l0", "bi"):
+            w.te(0, ctx["n_ref_l0"] - 1)
+        if ctx["n_ref_l1"] > 1 and mode in ("l1", "bi"):
+            w.te(0, ctx["n_ref_l1"] - 1)
     if mode in ("l0", "bi"):
         pmv0 = _pred_mv_b(st, mbx, mby, 0)
         w.se(d["mv0"][0] - pmv0[0])
@@ -3686,7 +4089,7 @@ def _ensure_b_counts(st: _FrameState) -> dict:
 
 def _decode_b_mb(
     r: _BitReader, st: _FrameState, mbx: int, mby: int, qp: int,
-    cqo: int, refs, col: dict | None,
+    cqo: int, ctx: dict,
 ) -> None:
     mb_type = r.ue()
     _ensure_b_counts(st)
@@ -3705,15 +4108,25 @@ def _decode_b_mb(
     mode = "direct" if mb_type == 0 else _B_MBTYPE_MODE[mb_type]
     st.b_mode_counts[mode] += 1
     mv0 = mv1 = (0, 0)
+    ri0 = ri1 = 0
     direct = None
     if mode == "direct":
-        # B_Direct_16x16: spatial derivation, no motion syntax
-        direct = _b_direct_mvs(st, mbx, mby, col)
+        # B_Direct_16x16: direct derivation, no motion syntax
+        direct = _b_direct_mvs(st, mbx, mby, ctx)
+    if mode != "direct":
+        if ctx["n_ref_l0"] > 1 and mode in ("l0", "bi"):
+            ri0 = r.te(ctx["n_ref_l0"] - 1)
+            if ri0 >= ctx["n_ref_l0"]:
+                raise MediaFormatError("ref_idx_l0 out of range")
+        if ctx["n_ref_l1"] > 1 and mode in ("l1", "bi"):
+            ri1 = r.te(ctx["n_ref_l1"] - 1)
+            if ri1 >= ctx["n_ref_l1"]:
+                raise MediaFormatError("ref_idx_l1 out of range")
     if mode in ("l0", "bi"):
-        pmv0 = _pred_mv_b(st, mbx, mby, 0)
+        pmv0 = _pred_mv_b(st, mbx, mby, 0, ref_idx=ri0)
         mv0 = (pmv0[0] + r.se(), pmv0[1] + r.se())
     if mode in ("l1", "bi"):
-        pmv1 = _pred_mv_b(st, mbx, mby, 1)
+        pmv1 = _pred_mv_b(st, mbx, mby, 1, ref_idx=ri1)
         mv1 = (pmv1[0] + r.se(), pmv1[1] + r.se())
     code = r.ue()
     if code >= len(_CBP_INTER):
@@ -3740,16 +4153,17 @@ def _decode_b_mb(
     cdc, cac = _read_chroma_residuals(r, st, mbx, mby, cbp_chroma)
     if mode == "direct":
         pred_y, pred_u, pred_v = _mc_direct_pred(
-            refs, mbx, mby, *direct
+            ctx, mbx, mby, *direct
         )
     else:
         pred_y, pred_u, pred_v = _mc_b_pred(
-            refs, mbx, mby, mode, mv0, mv1
+            (ctx["l0"][ri0], ctx["l1"][ri1]), mbx, mby, mode, mv0, mv1
         )
     _b_mb_finish(
         st, mbx, mby, qp, cqo,
         {
             "mode": mode, "mv0": mv0, "mv1": mv1, "direct": direct,
+            "r0": ri0, "r1": ri1,
             "zs": zs, "cbp_luma": cbp_luma, "cdcq": cdc, "cacq": cac,
             "preds": (pred_y, pred_u, pred_v),
         },
@@ -3757,44 +4171,49 @@ def _decode_b_mb(
 
 
 def _decode_b_slice_mbs(
-    r: _BitReader, st: _FrameState, qp: int, cqo: int, refs,
-    col: dict | None = None,
+    r: _BitReader, st: _FrameState, qp: int, cqo: int, ctx: dict,
 ) -> None:
     n_mbs = st.mb_w * st.mb_h
     i = 0
     while i < n_mbs:
-        run = r.ue()  # mb_skip_run: B_Skip = spatial direct, no residue
+        run = r.ue()  # mb_skip_run: B_Skip = direct, no residue
         if run > n_mbs - i:
             raise MediaFormatError("mb_skip_run overruns the picture")
         for _ in range(run):
-            _recon_b_skip(st, i % st.mb_w, i // st.mb_w, refs, col)
+            _recon_b_skip(st, i % st.mb_w, i // st.mb_w, ctx)
             _ensure_b_counts(st)["skip"] += 1
             i += 1
         if i >= n_mbs:
             break
-        _decode_b_mb(r, st, i % st.mb_w, i // st.mb_w, qp, cqo, refs, col)
+        _decode_b_mb(r, st, i % st.mb_w, i // st.mb_w, qp, cqo, ctx)
         i += 1
 
 
 def b_mode_histogram(
     nal: bytes, sps: dict, pps: dict, ref, ref2,
     col: dict | None = None,
+    refs: list | None = None, ref_pocs: list | None = None,
 ) -> dict:
     """Decode one B slice NAL and return its macroblock mode counts
     ({'l0', 'l1', 'bi', 'direct', 'skip', 'intra'}) — the lane-level
     proof that the bi-predictive / direct machinery actually engages
     instead of degenerating to L0-only."""
     r = _BitReader(_unescape_rbsp(nal[1:]))
-    stype, qp, _d, _a, _b = _parse_slice_header(
+    stype, qp, _d, _a, _b, hinfo = _parse_slice_header(
         r, sps, pps, idr=False, nal_ref_idc=nal[0] >> 5
     )
     if stype != "B":
         raise MediaFormatError("b_mode_histogram expects a B slice")
     st = _FrameState(sps["mb_w"], sps["mb_h"])
     _ensure_b_counts(st)
+    l0 = refs if refs is not None else [ref, ref2]
+    ctx = _b_ctx(
+        l0, direct_spatial=hinfo["direct_spatial"], col=col,
+        l0_pocs=ref_pocs, poc=hinfo["poc"],
+        n_ref_l0=hinfo["num_ref_l0"], n_ref_l1=hinfo["num_ref_l1"],
+    )
     _decode_b_slice_mbs(
-        r, st, qp, pps.get("chroma_qp_index_offset", 0), [ref, ref2],
-        col,
+        r, st, qp, pps.get("chroma_qp_index_offset", 0), ctx
     )
     return dict(st.b_mode_counts)
 
@@ -3803,28 +4222,50 @@ def encode_b_frame_nal(
     rgb: bytes, width: int, height: int, qp: int,
     refs, frame_num: int, poc_lsb: int, deblock: bool = True,
     col: dict | None = None,
+    direct: str = "spatial",
+    ref_pocs: list | None = None, poc: int | None = None,
 ):
     """One RGB frame → one non-reference B slice NAL against ``refs``
-    (= [most recent reference, older reference], both FILTERED —
-    exactly the default RefPicList L0 order; L1[0] is refs[1] after
-    the §8.2.4.2.3 first-two swap).  ``col`` is RefPicList1[0]'s
-    motion snapshot for spatial direct's colZeroFlag.  Returns
-    (nal, output planes)."""
+    (= the FILTERED reference pictures, most recent first — exactly
+    the default RefPicList L0 order; L1 is L0 after the §8.2.4.2.3
+    first-two swap).  ``col`` is RefPicList1[0]'s motion snapshot for
+    direct prediction.  Returns (nal, output planes).
+
+    ``direct="temporal"`` (round 13): the slice signals
+    direct_spatial_mv_pred_flag 0 and B_Skip/B_Direct_16x16 derive
+    motion by POC scaling (§8.4.1.2.3) — requires ``ref_pocs`` (full
+    POCs of ``refs``), ``poc`` (this picture's), and a colocated
+    snapshot carrying its own reference POCs; pass len(refs) ≥ 3 so
+    the colocated picture's reference maps into the current list 0."""
     y, u, v = rgb_to_yuv420(rgb, width, height)
     y, u, v = _pad_plane(y, 16), _pad_plane(u, 8), _pad_plane(v, 8)
     mb_w, mb_h = y.shape[1] // 16, y.shape[0] // 16
     st = _FrameState(mb_w, mb_h)
+    # spatial B keeps the pre-round-13 single-active-reference syntax
+    # (no override, no ref_idx bits — byte-identical streams); the
+    # temporal chain opens the full list so the colocated reference
+    # maps into it
+    n_ref_l0 = len(refs) if direct == "temporal" else 1
+    ctx = _b_ctx(
+        list(refs), direct_spatial=direct == "spatial", col=col,
+        l0_pocs=ref_pocs, poc=poc, n_ref_l0=n_ref_l0, n_ref_l1=1,
+    )
+    if ctx["l0_pocs"] is not None:
+        st.l0_pocs = ctx["l0_pocs"][:n_ref_l0]
+        st.l1_pocs = ctx["l1_pocs"][:1]
     w = _BitWriter()
     _write_slice_header(
         w, qp, DEFAULT_QP, 0, log2_max_frame_num=4, poc_type=0,
         log2_max_poc_lsb=4, deblock=deblock, slice_type="B",
         frame_num=frame_num, poc_lsb=poc_lsb,
+        num_ref_l0=n_ref_l0, num_ref_l1=1,
+        direct_spatial=direct == "spatial",
     )
     skip_run = 0
     for mby in range(mb_h):
         for mbx in range(mb_w):
             skip_run = _encode_b_mb(
-                w, st, mbx, mby, qp, y, u, v, refs, col, skip_run
+                w, st, mbx, mby, qp, y, u, v, ctx, skip_run
             )
     if skip_run:
         w.ue(skip_run)  # trailing skip run
@@ -3839,7 +4280,7 @@ _IPB_CACHE: dict = {}
 
 def encode_h264_ipb(
     width: int, height: int, frames_rgb: list[bytes], qp: int = DEFAULT_QP,
-    return_recon: bool = False,
+    return_recon: bool = False, direct: str = "spatial",
 ):
     """Frames → (SPS, PPS, [IDR, P, B, P, B, ...][, recon frames]):
     low-delay B — coded order == display order, odd frames are
@@ -3847,11 +4288,17 @@ def encode_h264_ipb(
     pictures predicting from the two most recent references (L0[0] =
     newer, L1[0] = older, per the default list construction).  B
     frames never enter the DPB, so the reference chain is exactly the
-    P chain.  SPS advertises num_ref_frames=2."""
-    key = (width, height, tuple(frames_rgb), qp)
+    P chain.  SPS advertises num_ref_frames=2.
+
+    ``direct="temporal"`` (round 13): the B slices signal temporal
+    direct; the DPB deepens to 3 (SPS num_ref_frames=3) and each B
+    opens the full list 0 so the colocated picture's own reference —
+    two references back — maps into it (§8.4.1.2.3)."""
+    key = (width, height, tuple(frames_rgb), qp, direct)
     hit = _IPB_CACHE.get(key)
     if hit is None:
-        sps = write_h264_sps(width, height, 66, 30, num_ref_frames=2)
+        depth = 3 if direct == "temporal" else 2
+        sps = write_h264_sps(width, height, 66, 30, num_ref_frames=depth)
         pps = write_pps(DEFAULT_QP)
         out = encode_frame_nal(
             frames_rgb[0], width, height, qp, idr_pic_id=0,
@@ -3861,6 +4308,7 @@ def encode_h264_ipb(
         dpb = [out[1]]  # most recent reference first
         mb_w, mb_h = out[1][0].shape[1] // 16, out[1][0].shape[0] // 16
         dpb_motion = [_intra_motion(mb_w, mb_h)]
+        dpb_pocs = [0]
         recons = [out[1]]
         fn = 1  # next reference picture's frame_num
         for i, f in enumerate(frames_rgb[1:], start=1):
@@ -3869,14 +4317,24 @@ def encode_h264_ipb(
                 nal, planes = encode_p_frame_nal(
                     f, width, height, qp, dpb[0], fn, poc_lsb=2 * i,
                     motion_sink=sink,
+                    refs=[dpb[0]] if direct == "temporal" else None,
+                    ref_pocs=(
+                        dpb_pocs[:1] if direct == "temporal" else None
+                    ),
                 )
-                dpb = [planes] + dpb[:1]
-                dpb_motion = [sink] + dpb_motion[:1]
+                dpb = [planes] + dpb[: depth - 1]
+                dpb_motion = [sink] + dpb_motion[: depth - 1]
+                dpb_pocs = [2 * i] + dpb_pocs[: depth - 1]
                 fn += 1
             else:
                 nal, planes = encode_b_frame_nal(
                     f, width, height, qp, dpb, fn, poc_lsb=2 * i,
                     col=dpb_motion[1],  # RefPicList1[0]'s motion
+                    direct=direct,
+                    ref_pocs=(
+                        dpb_pocs if direct == "temporal" else None
+                    ),
+                    poc=2 * i if direct == "temporal" else None,
                 )
             nals.append(nal)
             recons.append(planes)
@@ -3902,28 +4360,38 @@ def encode_p_frame_nal(
     ref: tuple[np.ndarray, np.ndarray, np.ndarray], frame_num: int,
     deblock: bool = True, poc_lsb: int | None = None,
     motion_sink: dict | None = None,
+    refs: list | None = None, ref_pocs: list | None = None,
 ):
     """One RGB frame → one P slice NAL against ``ref`` (the previous
     picture's FILTERED output planes).  Returns (nal, output planes —
     deblocked with the §8.7.2.1 inter strengths when ``deblock``) —
     the planes feed the next frame's reference, and by the closed-loop
     contract they are byte-identical to any conforming decoder's
-    output for this NAL."""
+    output for this NAL.
+
+    Multi-reference (round 13): pass ``refs`` — the full RefPicList0,
+    most recent first, refs[0] == ref — to code against up to 8
+    references with per-partition ref_idx_l0 te(v) syntax; ``ref_pocs``
+    (full POCs, same order) feeds the same-reference-picture deblock
+    rule and the motion snapshot temporal direct reads."""
     y, u, v = rgb_to_yuv420(rgb, width, height)
     y, u, v = _pad_plane(y, 16), _pad_plane(u, 8), _pad_plane(v, 8)
     mb_w, mb_h = y.shape[1] // 16, y.shape[0] // 16
     st = _FrameState(mb_w, mb_h)
+    if refs is not None and ref_pocs is not None:
+        st.l0_pocs = tuple(ref_pocs)
     w = _BitWriter()
     _write_slice_header(
         w, qp, DEFAULT_QP, 0, log2_max_frame_num=4, poc_type=0,
         log2_max_poc_lsb=4, deblock=deblock, slice_type="P",
         frame_num=frame_num, poc_lsb=poc_lsb,
+        num_ref_l0=len(refs) if refs is not None else 1,
     )
     skip_run = 0
     for mby in range(mb_h):
         for mbx in range(mb_w):
             skip_run = _encode_p_mb(
-                w, st, mbx, mby, qp, y, u, v, ref, skip_run
+                w, st, mbx, mby, qp, y, u, v, ref, skip_run, refs=refs
             )
     if skip_run:
         w.ue(skip_run)  # trailing skip run
@@ -3940,7 +4408,7 @@ _IPPP_CACHE: dict = {}
 
 def encode_h264_ippp(
     width: int, height: int, frames_rgb: list[bytes], qp: int = DEFAULT_QP,
-    return_recon: bool = False,
+    return_recon: bool = False, n_refs: int = 1,
 ):
     """Frames → (SPS, PPS, [IDR slice, P slice, ...][, recon frames]):
     the first frame intra, every later frame predicted from its
@@ -3948,17 +4416,24 @@ def encode_h264_ippp(
     spec-realistic configuration: references are the FILTERED pictures
     (§8.7.2.1 per-edge strengths on P pictures), mirrored exactly by
     the decoder, so encoder recon ≡ any conforming decoder's output,
-    byte for byte."""
+    byte for byte.
+
+    ``n_refs`` > 1 (round 13): every P picture codes against the
+    ``n_refs`` most recent references (sliding window) with
+    per-partition ref_idx_l0 signalling — the flip-flop/occlusion
+    pattern where the best match is two or three pictures back."""
     # Memoized like encode_avcc_samples: fixture lanes encode the SAME
     # GOP for the mp4 container, the mkv container AND the closed-loop
     # recon comparison; motion estimation dominates, so the second and
     # third encodes must be cache hits, not re-searches.  RGB recons
     # are always computed into the cache (YUV→RGB is trivial next to
     # ME) and sliced off per call.
-    key = (width, height, tuple(frames_rgb), qp)
+    key = (width, height, tuple(frames_rgb), qp, n_refs)
     hit = _IPPP_CACHE.get(key)
     if hit is None:
-        sps = write_h264_sps(width, height, 66, 30)
+        sps = write_h264_sps(
+            width, height, 66, 30, num_ref_frames=n_refs
+        )
         pps = write_pps(DEFAULT_QP)
         out = encode_frame_nal(
             frames_rgb[0], width, height, qp, idr_pic_id=0,
@@ -3967,8 +4442,17 @@ def encode_h264_ippp(
         nals = [out[0]]
         planes = out[1]
         recons = [planes]
+        dpb = [planes]  # most recent reference first
+        dpb_pocs = [0]
         for i, f in enumerate(frames_rgb[1:], start=1):
-            nal, planes = encode_p_frame_nal(f, width, height, qp, planes, i)
+            use = min(n_refs, len(dpb))
+            nal, planes = encode_p_frame_nal(
+                f, width, height, qp, dpb[0], i, poc_lsb=2 * i,
+                refs=dpb[:use] if use > 1 else None,
+                ref_pocs=dpb_pocs[:use] if use > 1 else None,
+            )
+            dpb = [planes] + dpb[: n_refs - 1]
+            dpb_pocs = [2 * i] + dpb_pocs[: n_refs - 1]
             nals.append(nal)
             recons.append(planes)
         rgb_recons = [
@@ -4002,9 +4486,13 @@ def decode_h264_stream(
     w, h = sps["width"], sps["height"]
     ct, cl = sps["crop_t"], sps["crop_l"]
     frames = []
-    refs: list = []  # 2-deep DPB, most recent reference first
-    ref_motion: list = []  # parallel motion snapshots (spatial direct)
-    poc_ctx: dict = {}  # low-delay POC monotonicity
+    # Sliding-window DPB, most recent reference first; depth 8 covers
+    # the subset bound (num_ref_idx_active ≤ 8 quarantined in the
+    # header parse; pictures never referenced simply age out)
+    refs: list = []
+    ref_motion: list = []  # parallel motion snapshots (direct modes)
+    ref_pocs: list = []  # parallel full POCs (temporal direct, bS)
+    poc_ctx: dict = {}  # low-delay POC monotonicity + full unwrap
     marker_seen = cabac_provenance_ok(
         [n for n in slice_nals if (n[0] & 0x1F) == 6],
         [n for n in slice_nals if (n[0] & 0x1F) in (1, 5)],
@@ -4013,7 +4501,7 @@ def decode_h264_stream(
         if (nal[0] & 0x1F) == 6:
             continue  # provenance verified in pre-pass
         if (nal[0] & 0x1F) == 5:
-            refs, ref_motion = [], []  # IDR empties the DPB
+            refs, ref_motion, ref_pocs = [], [], []  # IDR: DPB empties
         sink: dict = {}
         planes = decode_frame_nal(
             nal, sps, pps,
@@ -4023,10 +4511,17 @@ def decode_h264_stream(
             col_motion=ref_motion[1] if len(ref_motion) > 1 else None,
             motion_sink=sink,
             poc_ctx=poc_ctx,
+            refs=refs if len(refs) > 1 else None,
+            ref_pocs=(
+                ref_pocs
+                if refs and all(p is not None for p in ref_pocs)
+                else None
+            ),
         )
         if nal[0] >> 5:  # reference picture → enters the DPB
-            refs = [planes] + refs[:1]
-            ref_motion = [sink or None] + ref_motion[:1]
+            refs = [planes] + refs[:7]
+            ref_motion = [sink or None] + ref_motion[:7]
+            ref_pocs = [sink.get("poc")] + ref_pocs[:7]
         y, u, v = planes
         frames.append(
             yuv420_to_rgb(

@@ -233,7 +233,7 @@ def test_out_of_subset_streams_quarantine():
     deblock_pps = H.parse_pps(b"\x68" + w.finish())
     assert not deblock_pps["deblocking_control_present"]
     r = H._BitReader(_unescape_rbsp(nals[0][1:]))
-    stype, qp, on, a_off, b_off = H._parse_slice_header(r, sd, deblock_pps)
+    stype, qp, on, a_off, b_off, _i = H._parse_slice_header(r, sd, deblock_pps)
     assert stype == "I" and on and (a_off, b_off) == (0, 0)
 
 

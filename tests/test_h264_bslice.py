@@ -152,7 +152,7 @@ def test_b_skip_decodes_as_spatial_direct():
     w_ = H._BitWriter()
     w_.ue(1)  # mb_skip_run = 1 (the whole 16x16 picture)
     H._decode_b_slice_mbs(
-        H._BitReader(w_.finish()), st, 26, 0, [r1, r0]
+        H._BitReader(w_.finish()), st, 26, 0, H._b_ctx([r1, r0])
     )
     # zero-prediction: the bi average of the two references
     expect = (
@@ -166,7 +166,7 @@ def test_b_skip_decodes_as_spatial_direct():
     w2.ue(5)
     with pytest.raises(MediaFormatError):
         H._decode_b_slice_mbs(
-            H._BitReader(w2.finish()), st2, 26, 0, [r1, r0]
+            H._BitReader(w2.finish()), st2, 26, 0, H._b_ctx([r1, r0])
         )
 
 
@@ -198,25 +198,43 @@ def test_annexb_ipb_stream_decodes():
     assert (dw, dh) == (w, h) and out == recons
 
 
-def test_temporal_direct_flag_quarantines():
-    """direct_spatial_mv_pred_flag = 0 (temporal direct) must refuse
-    at the slice header."""
+def test_temporal_direct_header_parses():
+    """direct_spatial_mv_pred_flag = 0 (temporal direct) parses since
+    round 13 — the flag lands in the header info for the decode
+    dispatch (the decode itself is covered by
+    tests/test_h264_temporal.py)."""
     w, h = 16, 16
     frames = _moving_frames(w, h, 3)
-    sps, pps, nals = H.encode_h264_ipb(w, h, frames, qp=26)
+    sps, pps, nals = H.encode_h264_ipb(
+        w, h, frames, qp=26, direct="temporal"
+    )
     sd = H._parse_sps_slice_fields(sps)
     pd = H.parse_pps(pps)
-    # hand-build a B slice header with the temporal-direct flag
-    w2 = H._BitWriter()
-    w2.ue(0)   # first_mb_in_slice
-    w2.ue(6)   # slice_type B
-    w2.ue(0)   # pps_id
-    w2.u(2, 4)  # frame_num
-    w2.u(4, 4)  # poc_lsb
-    w2.u(0, 1)  # direct_spatial_mv_pred_flag = 0 (temporal!)
-    r_ = H._BitReader(w2.finish())
+    b_nal = nals[2]
+    assert b_nal[0] >> 5 == 0
+    r_ = H._BitReader(H._unescape_rbsp(b_nal[1:]))
+    stype, _qp, _d, _a, _b, info = H._parse_slice_header(
+        r_, sd, pd, idr=False, nal_ref_idc=0
+    )
+    assert stype == "B" and info["direct_spatial"] is False
+    # temporal direct WITHOUT picture order context must refuse, not
+    # guess: a B_Skip run under a temporal header with no POCs
+    # quarantines at the derivation
+    refs = []
+    poc_ctx: dict = {}
+    for nal in nals[:2]:
+        pl = H.decode_frame_nal(
+            nal, sd, pd, ref=refs[0] if refs else None, poc_ctx=poc_ctx
+        )
+        refs = [pl] + refs
+    st = H._FrameState(sd["mb_w"], sd["mb_h"])
+    w_ = H._BitWriter()
+    w_.ue(1)  # mb_skip_run = 1 → direct derivation required
     with pytest.raises(MediaFormatError, match="temporal direct"):
-        H._parse_slice_header(r_, sd, pd, idr=False, nal_ref_idc=0)
+        H._decode_b_slice_mbs(
+            H._BitReader(w_.finish()), st, 26, 0,
+            H._b_ctx([refs[0], refs[1]], direct_spatial=False),
+        )
 
 
 def test_static_b_frames_collapse_to_skip():

@@ -207,7 +207,7 @@ def test_deblock_filter_on_is_the_default_and_round_trips():
     sd = H._parse_sps_slice_fields(sps)
     pd = H.parse_pps(pps)
     r = H._BitReader(_unescape_rbsp(nals[1][1:]))
-    stype, _qp, on, _a, _b = H._parse_slice_header(r, sd, pd, idr=False)
+    stype, _qp, on, _a, _b, _i = H._parse_slice_header(r, sd, pd, idr=False)
     assert stype == "P" and on  # filter signalled ON in the P header
     _, _, _, recons = H.encode_h264_ippp(48, 32, frames, qp=24,
                                          return_recon=True)
