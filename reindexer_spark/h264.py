@@ -1,5 +1,6 @@
-"""H.264 baseline codec: the intra half plus single-reference P slices
-(ITU-T H.264, public spec).
+"""H.264 codec: the intra half, P slices (single- and MULTI-reference),
+and B slices (16x16 + partitioned, spatial + TEMPORAL direct) for the
+CAVLC subset (ITU-T H.264, public spec).
 
 Round-8 VERDICT stretch #8: the SPS probe (codecs.py) recovers
 dimensions from coded video without decoding; round 9 added the full
@@ -10,12 +11,21 @@ the CAVLC subset — low-delay bi-prediction with two reference lists,
 B_L0/B_L1/B_Bi 16x16 modes, SPATIAL DIRECT (B_Skip and
 B_Direct_16x16 with the §8.4.1.2.2 derivation incl. the
 colocated-motion colZeroFlag), per-list MV prediction and deblock
-strengths — while partitioned B types, temporal direct,
-multi-reference lists and multi-slice pictures continue to quarantine
-via MediaFormatError.  Round 11: CABAC I/P entropy coding lives in
-the companion module ``h264_cabac`` (provenance-marked streams only —
-see its honesty-boundary docstring); externally-encoded CABAC still
-quarantines here.
+strengths.  Round 13 closes three more quarantines: MULTI-REFERENCE
+P (§7.3.5 ref_idx_l0 te(v) signalling, refIdx-matching §8.4.1.3 MV
+prediction, the §8.7.2.1 same-reference-PICTURE deblock rule, sliding
+DPB up to 8), TEMPORAL DIRECT (§8.4.1.2.3 POC-scaled colocated
+motion with full picture-order tracking through every stream walker —
+quarantining, never guessing, when POC or the colocated reference is
+unknown), and PARTITIONED B (all Table 7-14 two-partition 16x8/8x16
+list pairs and B_8x8 with every Table 7-18 sub_mb_type incl.
+B_Direct_8x8 and the 8x4/4x8/4x4 splits).  Still OUTSIDE the subset
+and quarantined: reference-list modification, adaptive marking
+(MMCO), field/MBAFF coding, multi-slice pictures, weighted
+prediction, >8 active references.  Round 11: CABAC I/P entropy coding
+lives in the companion module ``h264_cabac`` (provenance-marked
+streams only — see its honesty-boundary docstring);
+externally-encoded CABAC still quarantines here.
 
 Scope — the INTER half (round 10):
 
@@ -54,10 +64,10 @@ Scope — the full INTRA half of H.264 Baseline (round 9):
   Hadamard and 2x2 chroma-DC transforms, (x+32)>>6 reconstruction);
   PPS chroma_qp_index_offset is applied via Table 8-15.
 - What remains OUTSIDE the subset raises MediaFormatError — the
-  quarantine contract, never a wrong frame: partitioned B types and
-  temporal direct, external CABAC (h264_cabac decodes only
-  provenance-marked streams), multi-reference/modified reference
-  lists, adaptive reference marking, field/MBAFF coding, non-4:2:0 or
+  quarantine contract, never a wrong frame: external CABAC
+  (h264_cabac decodes only provenance-marked streams), modified
+  reference lists, adaptive reference marking, field/MBAFF coding,
+  weighted prediction, non-4:2:0 or
   >8-bit sampling, scaling matrices, multi-slice pictures, POC
   type 1.
 
@@ -2802,22 +2812,24 @@ def _decode_i4_mb(
 
 
 # ---------------------------------------------------------------------------
-# P slices (§8.4): single-reference motion compensation — round 10.
+# P slices (§8.4): motion compensation — round 10; MULTI-REFERENCE
+# lists round 13.
 #
 # Subset: P_Skip / P_L0_16x16 / P_L0_L0_16x8 / P_L0_L0_8x16 /
 # P_8x8+P_8x8ref0 (all four Table 7-17 sub-partition shapes) plus
-# intra macroblocks (mb_type + 5), ONE reference picture (the previous
-# decoded picture's FILTERED output), quarter-pel luma interpolation
+# intra macroblocks (mb_type + 5), up to 8 reference pictures
+# (FILTERED outputs, sliding window, per-partition ref_idx_l0 te(v)
+# when the header opens more than one), quarter-pel luma interpolation
 # (§8.4.2.2.1 6-tap) and eighth-pel bilinear chroma (§8.4.2.2.2),
-# median/directional MV prediction (§8.4.1.3) and the P_Skip MV rule
-# (§8.4.1.1), CAVLC residuals with the Table 9-4 Inter CBP column, and
-# §8.7 deblocking with the real §8.7.2.1 per-edge boundary strengths
-# (the encoder signals the filter ON — the spec-realistic default —
-# and both sides run the identical filtered reference loop).
-# Multi-reference lists stay OUTSIDE the subset and quarantine via
-# MediaFormatError (B slices decode since round 12 — see the B
-# section below); CABAC I/P is the h264_cabac module
-# (provenance-marked streams only).
+# median/directional MV prediction with refIdx matching (§8.4.1.3)
+# and the P_Skip MV rule (§8.4.1.1), CAVLC residuals with the
+# Table 9-4 Inter CBP column, and §8.7 deblocking with the real
+# §8.7.2.1 per-edge boundary strengths — the motion rule comparing
+# reference PICTURES (POC identity), not list indices (the encoder
+# signals the filter ON — the spec-realistic default — and both sides
+# run the identical filtered reference loop).  B slices decode since
+# round 12 — see the B section below; CABAC I/P is the h264_cabac
+# module (provenance-marked streams only).
 # ---------------------------------------------------------------------------
 
 # Table 9-4, Inter column: codeNum -> coded_block_pattern.  Transcribed
@@ -3052,21 +3064,24 @@ def _store_part_mv(
 
 
 # ---------------------------------------------------------------------------
-# B slices (round 12): two reference lists, 16x16 L0/L1/Bi prediction
+# B slices (round 12; partitioned + temporal direct round 13)
 # ---------------------------------------------------------------------------
-# Subset: low-delay B — both references PRECEDE the B picture in
+# Subset: low-delay B — all references PRECEDE the B picture in
 # display order (coded order == display order, so containers carry no
-# reorder), non-reference NALs (nal_ref_idc 0), one slice per picture,
-# 16x16 partitions only, num_ref_idx_active = 1 per list (no ref_idx
-# syntax).  Default RefPicList construction (§8.2.4.2.3) then gives
-# L0 = [most recent ref, older ref] and L1 = L0 with the first two
-# entries swapped → L1[0] = the OLDER reference.  B_Skip and
-# B_Direct_16x16 decode via SPATIAL direct (§8.4.1.2.2: MinPositive
-# neighbour refIdx per list, median MVs, per-8x8-quadrant zeroing
-# when RefPicList1[0]'s colocated corner block — callers thread that
-# picture's motion snapshot — is refIdx-0 inter with |mvCol| ≤ 1);
-# partitioned B types and temporal direct stay OUTSIDE the subset
-# and quarantine.
+# reorder), non-reference NALs (nal_ref_idc 0), one slice per picture.
+# Default RefPicList construction (§8.2.4.2.3) gives L0 = references
+# in recency (= POC-descending) order and L1 = L0 with the first two
+# entries swapped → L1[0] = the second-most-recent reference.  Modes:
+# 16x16 B_L0/B_L1/B_Bi, every Table 7-14 two-partition 16x8/8x16 list
+# pair, B_8x8 with all Table 7-18 sub_mb_types, B_Skip and
+# B_Direct_16x16/B_Direct_8x8 via SPATIAL direct (§8.4.1.2.2:
+# MinPositive neighbour refIdx per list, median MVs,
+# per-8x8-quadrant zeroing when RefPicList1[0]'s colocated corner
+# block — callers thread that picture's motion snapshot — is refIdx-0
+# inter with |mvCol| ≤ 1) or TEMPORAL direct (§8.4.1.2.3: POC-scaled
+# colocated motion; see _b_direct_temporal), per the slice header
+# flag.  ref_idx te(v) syntax appears when the header opens more than
+# one reference per list.
 
 
 def _mv_nbr_l(st: _FrameState, bx: int, by: int, lst: int):
@@ -3628,6 +3643,113 @@ def _decode_p_slice_mbs(
 _B_MODE_MBTYPE = {"l0": 1, "l1": 2, "bi": 3}  # Table 7-14
 _B_MBTYPE_MODE = {v: k for k, v in _B_MODE_MBTYPE.items()}
 
+# Table 7-14 two-partition B types (round 13): mb_type 4 + 2*i (+1 for
+# the 8x16 variant) → the (first, second) partition prediction modes,
+# pairs in spec order
+_B_PART_PAIRS = (
+    ("l0", "l0"), ("l1", "l1"), ("l0", "l1"), ("l1", "l0"),
+    ("l0", "bi"), ("l1", "bi"), ("bi", "l0"), ("bi", "l1"),
+    ("bi", "bi"),
+)
+_B_PAIR_MBTYPE = {
+    (pair, shape): 4 + 2 * i + (0 if shape == 1 else 1)
+    for i, pair in enumerate(_B_PART_PAIRS)
+    for shape in (1, 2)
+}
+
+# Table 7-18 B sub_mb_type → (prediction mode, _P_SUB_PARTS shape key);
+# mode None = B_Direct_8x8
+_B_SUB_TYPES = {
+    0: (None, 0),
+    1: ("l0", 0), 2: ("l1", 0), 3: ("bi", 0),
+    4: ("l0", 1), 5: ("l0", 2), 6: ("l1", 1), 7: ("l1", 2),
+    8: ("bi", 1), 9: ("bi", 2),
+    10: ("l0", 3), 11: ("l1", 3), 12: ("bi", 3),
+}
+_B_SUB_ENC = {v: k for k, v in _B_SUB_TYPES.items()}
+
+
+def _store_b_part_lst(
+    st: _FrameState, mbx: int, mby: int, part, lst: int,
+    mv, ri: int,
+) -> None:
+    """Store one B partition's motion for ONE list (round 13: the
+    partitioned B syntax orders every mvd_l0 before any mvd_l1, so
+    list states must land progressively — a later partition's list-0
+    predictor reads the earlier partition's list-0 motion before
+    either one's list-1 motion exists)."""
+    _, dx, dy, pw, ph = part
+    bx, by = mbx * 4 + dx, mby * 4 + dy
+    st.inter[by : by + ph, bx : bx + pw] = True
+    if lst:
+        st.uses1[by : by + ph, bx : bx + pw] = True
+        st.mv1[by : by + ph, bx : bx + pw] = mv
+        st.ref1[by : by + ph, bx : bx + pw] = ri
+    else:
+        st.uses0[by : by + ph, bx : bx + pw] = True
+        st.mv[by : by + ph, bx : bx + pw] = mv
+        st.ref0[by : by + ph, bx : bx + pw] = ri
+
+
+def _store_b_direct_quad(
+    st: _FrameState, mbx: int, mby: int, qx: int, qy: int,
+    use0, use1, quad,
+) -> None:
+    """Store ONE 8x8 quadrant's direct-derived motion (B_Direct_8x8
+    inside B_8x8).  ``qx``/``qy`` are the quadrant's BLOCK offsets
+    within the MB (0 or 2 — _P8_QUADS coordinates)."""
+    mv0, mv1, r0, r1 = quad
+    bx, by = mbx * 4 + qx, mby * 4 + qy
+    st.inter[by : by + 2, bx : bx + 2] = True
+    if use0:
+        st.uses0[by : by + 2, bx : bx + 2] = True
+        st.mv[by : by + 2, bx : bx + 2] = mv0
+        st.ref0[by : by + 2, bx : bx + 2] = r0
+    if use1:
+        st.uses1[by : by + 2, bx : bx + 2] = True
+        st.mv1[by : by + 2, bx : bx + 2] = mv1
+        st.ref1[by : by + 2, bx : bx + 2] = r1
+
+
+def _mc_b_parts(ctx, mbx: int, mby: int, plist):
+    """Assemble the 16x16 luma + 8x8 chroma prediction for a
+    PARTITIONED B macroblock from per-partition (geometry, mode, mv0,
+    mv1, refIdxL0, refIdxL1) entries — single-list MC or the §8.4.2.3
+    default bi average per partition."""
+    pred_y = np.empty((16, 16), dtype=np.int64)
+    pred_u = np.empty((8, 8), dtype=np.int64)
+    pred_v = np.empty((8, 8), dtype=np.int64)
+    for (kind, dx, dy, pw, ph), mode, mv0, mv1, r0, r1 in plist:
+        lx, ly, lw, lh = dx * 4, dy * 4, pw * 4, ph * 4
+        cx, cy, cw, ch = dx * 2, dy * 2, pw * 2, ph * 2
+        planes = []
+        for use, lst_refs, ri, mv in (
+            (mode in ("l0", "bi"), ctx["l0"], r0, mv0),
+            (mode in ("l1", "bi"), ctx["l1"], r1, mv1),
+        ):
+            if not use:
+                continue
+            ry, ru, rv = lst_refs[ri]
+            planes.append((
+                _mc_luma(ry, mbx * 16 + lx, mby * 16 + ly, lw, lh,
+                         mv[0], mv[1]),
+                _mc_chroma(ru, mbx * 8 + cx, mby * 8 + cy, cw, ch,
+                           mv[0], mv[1]),
+                _mc_chroma(rv, mbx * 8 + cx, mby * 8 + cy, cw, ch,
+                           mv[0], mv[1]),
+            ))
+        if len(planes) == 2:
+            py, pu, pv = (
+                (p0.astype(np.int64) + p1.astype(np.int64) + 1) >> 1
+                for p0, p1 in zip(planes[0], planes[1])
+            )
+        else:
+            py, pu, pv = planes[0]
+        pred_y[ly : ly + lh, lx : lx + lw] = py
+        pred_u[cy : cy + ch, cx : cx + cw] = pu
+        pred_v[cy : cy + ch, cx : cx + cw] = pv
+    return pred_y, pred_u, pred_v
+
 
 def _motion_snapshot(st: _FrameState) -> dict:
     """The per-4x4 motion state a DECODED reference picture leaves
@@ -3681,7 +3803,10 @@ def _b_ctx(
     return {
         "l0": list(l0),
         "l1": l1,
-        "n_ref_l0": n_ref_l0 if n_ref_l0 is not None else len(l0),
+        # the header's no-override default is ONE active reference per
+        # list (this PPS writes 0 for both defaults) — callers opening
+        # wider lists pass the parsed/emitted count explicitly
+        "n_ref_l0": n_ref_l0 if n_ref_l0 is not None else 1,
         "n_ref_l1": n_ref_l1,
         "direct_spatial": direct_spatial,
         "col": col,
@@ -3910,6 +4035,140 @@ def _recon_b_skip(
         st.nc_c[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
 
 
+def _b_part_decide(
+    st: _FrameState, mbx: int, mby: int, src_blk, x0, y0, ctx,
+    pmv0, pmv1, direct, d_pred,
+):
+    """Partitioned-B encoder decision (round 13): per-partition list
+    choice for the 16x8/8x16 pairs, then per-quadrant modes (direct /
+    l0 / l1 / bi, with a 4x4 split attempt inside the chosen mode)
+    for B_8x8.  Returns {"cost", "kind2", "mb_type", "sub_types",
+    "modes", "mvs", "parts_g", "quads", "plist"} or None.  refIdx is
+    always 0 (encoder rate choice; decode accepts any)."""
+    l0y, l1y = ctx["l0"][0][0], ctx["l1"][0][0]
+
+    def bi_cost(dx, dy, bw, bh, m0, m1):
+        sub = src_blk[dy : dy + bh, dx : dx + bw]
+        pb0 = _mc_luma(
+            l0y, x0 + dx, y0 + dy, bw, bh, m0[0], m0[1]
+        ).astype(np.int64)
+        pb1 = _mc_luma(
+            l1y, x0 + dx, y0 + dy, bw, bh, m1[0], m1[1]
+        ).astype(np.int64)
+        return int(np.abs(sub - ((pb0 + pb1 + 1) >> 1)).sum())
+
+    best = None
+    for shape in (1, 2):
+        parts_g = _P_PARTS[shape]
+        modes, mvs, total = [], [], 12
+        for kind, dx, dy, pw, ph in parts_g:
+            m0, c0p = _motion_search(
+                l0y, src_blk, x0, y0, pmv0, dx * 4, dy * 4,
+                pw * 4, ph * 4,
+            )
+            m1, c1p = _motion_search(
+                l1y, src_blk, x0, y0, pmv1, dx * 4, dy * 4,
+                pw * 4, ph * 4,
+            )
+            cbip = bi_cost(dx * 4, dy * 4, pw * 4, ph * 4, m0, m1) + 10
+            pmode, pc = min(
+                (("l0", c0p + 2), ("l1", c1p + 2), ("bi", cbip)),
+                key=lambda t: t[1],
+            )
+            modes.append(pmode)
+            mvs.append((m0, m1))
+            total += pc
+        if best is None or total < best["cost"]:
+            parts_list = list(parts_g)
+            plist = [
+                (part, mode, m0, m1, 0, 0)
+                for part, mode, (m0, m1) in zip(
+                    parts_list, modes, mvs
+                )
+            ]
+            best = {
+                "cost": total, "kind2": "two",
+                "mb_type": _B_PAIR_MBTYPE[(tuple(modes), shape)],
+                "modes": modes, "mvs": mvs, "parts_g": parts_list,
+                "plist": plist,
+            }
+    if best["cost"] > 1200:
+        use0, use1, dparts = direct
+        dmode = "bi" if use0 and use1 else ("l0" if use0 else "l1")
+        sub_types, quads, plist8, total8 = [], [], [], 20
+        for q8, (qx, qy) in enumerate(_P8_QUADS):
+            sub = src_blk[qy * 4 : qy * 4 + 8, qx * 4 : qx * 4 + 8]
+            ddir = int(
+                np.abs(
+                    sub
+                    - d_pred[0][qy * 4 : qy * 4 + 8, qx * 4 : qx * 4 + 8]
+                ).sum()
+            )
+            m0, c0q = _motion_search(
+                l0y, src_blk, x0, y0, pmv0, qx * 4, qy * 4, 8, 8
+            )
+            m1, c1q = _motion_search(
+                l1y, src_blk, x0, y0, pmv1, qx * 4, qy * 4, 8, 8
+            )
+            cbiq = bi_cost(qx * 4, qy * 4, 8, 8, m0, m1) + 10
+            qmode, qc = min(
+                (("direct", ddir), ("l0", c0q + 4), ("l1", c1q + 4),
+                 ("bi", cbiq)),
+                key=lambda t: t[1],
+            )
+            if qmode == "direct":
+                quad = dparts[(qy // 2) * 2 + qx // 2]
+                sub_types.append(0)
+                quads.append(("direct", [], []))
+                plist8.append((
+                    ("sub", qx, qy, 2, 2), dmode,
+                    quad[0], quad[1], quad[2], quad[3],
+                ))
+                total8 += qc
+                continue
+            shape8, geom_mvs = 0, [(("sub", qx, qy, 2, 2), (m0, m1))]
+            if qc > 400:
+                # 4x4 split inside the chosen mode's list(s)
+                split, csplit = [], 16
+                for sdx, sdy, pw, ph in _P_SUB_PARTS[3]:
+                    g = ("sub", qx + sdx, qy + sdy, pw, ph)
+                    s0, s1 = m0, m1
+                    c4 = 0
+                    if qmode in ("l0", "bi"):
+                        s0, c0s = _motion_search(
+                            l0y, src_blk, x0, y0, m0,
+                            (qx + sdx) * 4, (qy + sdy) * 4, 4, 4,
+                        )
+                        c4 += c0s
+                    if qmode in ("l1", "bi"):
+                        s1, c1s = _motion_search(
+                            l1y, src_blk, x0, y0, m1,
+                            (qx + sdx) * 4, (qy + sdy) * 4, 4, 4,
+                        )
+                        c4 += c1s
+                    if qmode == "bi":
+                        c4 = bi_cost(
+                            (qx + sdx) * 4, (qy + sdy) * 4, 4, 4, s0, s1
+                        ) + 8
+                    split.append((g, (s0, s1)))
+                    csplit += c4
+                if csplit < qc:
+                    shape8, geom_mvs, qc = 3, split, csplit
+            sub_types.append(_B_SUB_ENC[(qmode, shape8)])
+            quads.append((qmode, [g for g, _ in geom_mvs],
+                          [mv for _, mv in geom_mvs]))
+            for g, (s0, s1) in geom_mvs:
+                plist8.append((g, qmode, s0, s1, 0, 0))
+            total8 += qc
+        if total8 < best["cost"]:
+            best = {
+                "cost": total8, "kind2": "b8", "mb_type": 22,
+                "sub_types": sub_types, "quads": quads,
+                "direct": direct, "plist": plist8,
+            }
+    return best
+
+
 def _b_mb_decide(
     st: _FrameState, mbx: int, mby: int, qp: int,
     src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
@@ -3951,6 +4210,18 @@ def _b_mb_decide(
          ("bi", c_bi + 4)),
         key=lambda t: t[1],
     )
+    # --- partitioned candidates (round 13): tried only when the
+    # whole-MB modes leave high residual — per-partition list choice
+    # (16x8/8x16 two-partition types), then per-8x8-quadrant modes
+    # with optional 4x4 splits (B_8x8)
+    part_cand = None
+    if cost > 800:
+        part_cand = _b_part_decide(
+            st, mbx, mby, src_blk, x0, y0, ctx, pmv0, pmv1,
+            (use0, use1, parts), d_pred,
+        )
+        if part_cand is not None and part_cand["cost"] < cost:
+            mode, cost = "parts", part_cand["cost"]
     legal = [L16_DC]
     if mby > 0:
         legal.append(L16_VERTICAL)
@@ -3964,6 +4235,10 @@ def _b_mb_decide(
         return "intra", None
     if mode == "direct":
         pred_y, pred_u, pred_v = d_pred
+    elif mode == "parts":
+        pred_y, pred_u, pred_v = _mc_b_parts(
+            ctx, mbx, mby, part_cand["plist"]
+        )
     else:
         pred_y, pred_u, pred_v = _mc_b_pred(
             (ctx["l0"][0], ctx["l1"][0]), mbx, mby, mode, mv0, mv1
@@ -3983,6 +4258,7 @@ def _b_mb_decide(
         "mv0": mv0,
         "mv1": mv1,
         "direct": (use0, use1, parts),
+        "part": part_cand if mode == "parts" else None,
         "zs": zs,
         "cbp_luma": cbp_luma,
         "cbp_chroma": cbp_chroma,
@@ -4038,24 +4314,28 @@ def _encode_b_mb(
         st.mv1[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
         return 0
     mode = d["mode"]
-    w.ue(0 if mode == "direct" else _B_MODE_MBTYPE[mode])
-    # mb_pred (§7.3.5.1): B_Direct_16x16 carries NO motion syntax at
-    # all; otherwise ref_idx_lX te(v) per used list (only with >1
-    # active reference — the encoder always picks index 0, a rate
-    # choice, while the decoder accepts any), then mvd_l0, then mvd_l1
-    if mode != "direct":
-        if ctx["n_ref_l0"] > 1 and mode in ("l0", "bi"):
-            w.te(0, ctx["n_ref_l0"] - 1)
-        if ctx["n_ref_l1"] > 1 and mode in ("l1", "bi"):
-            w.te(0, ctx["n_ref_l1"] - 1)
-    if mode in ("l0", "bi"):
-        pmv0 = _pred_mv_b(st, mbx, mby, 0)
-        w.se(d["mv0"][0] - pmv0[0])
-        w.se(d["mv0"][1] - pmv0[1])
-    if mode in ("l1", "bi"):
-        pmv1 = _pred_mv_b(st, mbx, mby, 1)
-        w.se(d["mv1"][0] - pmv1[0])
-        w.se(d["mv1"][1] - pmv1[1])
+    if mode == "parts":
+        _emit_b_part_pred(w, st, mbx, mby, ctx, d["part"])
+    else:
+        w.ue(0 if mode == "direct" else _B_MODE_MBTYPE[mode])
+        # mb_pred (§7.3.5.1): B_Direct_16x16 carries NO motion syntax
+        # at all; otherwise ref_idx_lX te(v) per used list (only with
+        # >1 active reference — the encoder always picks index 0, a
+        # rate choice, while the decoder accepts any), then mvd_l0,
+        # then mvd_l1
+        if mode != "direct":
+            if ctx["n_ref_l0"] > 1 and mode in ("l0", "bi"):
+                w.te(0, ctx["n_ref_l0"] - 1)
+            if ctx["n_ref_l1"] > 1 and mode in ("l1", "bi"):
+                w.te(0, ctx["n_ref_l1"] - 1)
+        if mode in ("l0", "bi"):
+            pmv0 = _pred_mv_b(st, mbx, mby, 0)
+            w.se(d["mv0"][0] - pmv0[0])
+            w.se(d["mv0"][1] - pmv0[1])
+        if mode in ("l1", "bi"):
+            pmv1 = _pred_mv_b(st, mbx, mby, 1)
+            w.se(d["mv1"][0] - pmv1[0])
+            w.se(d["mv1"][1] - pmv1[1])
     cbp = d["cbp_luma"] | (d["cbp_chroma"] << 4)
     w.ue(_CBP_INTER_ENC[cbp])
     if cbp:
@@ -4074,8 +4354,86 @@ def _encode_b_mb(
     _write_chroma_residuals(
         w, st, mbx, mby, d["cbp_chroma"], d["cdcq"], d["cacq"]
     )
-    _b_mb_finish(st, mbx, mby, qp, 0, d)
+    if mode == "parts":
+        # motion already stored progressively by the emitter — run
+        # reconstruction only (the decoder's _decode_b_part_mb tail)
+        st.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
+        pred_y, pred_u, pred_v = d["preds"]
+        _recon_inter_luma(st, mbx, mby, qp, pred_y, d["zs"],
+                          d["cbp_luma"])
+        _recon_chroma_blocks(
+            st, mbx, mby, qp, 0, [pred_u, pred_v], d["cdcq"], d["cacq"]
+        )
+    else:
+        _b_mb_finish(st, mbx, mby, qp, 0, d)
     return 0
+
+
+def _emit_b_part_pred(
+    w: _BitWriter, st: _FrameState, mbx: int, mby: int, ctx: dict,
+    pc: dict,
+) -> None:
+    """Emit the prediction half of a partitioned B macroblock in
+    EXACTLY _b_part_layout's parse order (sub_mb_types → ref_idx_l0 →
+    ref_idx_l1 → every mvd_l0 → every mvd_l1), storing motion
+    progressively so each mvd's predictor matches the decoder's."""
+    w.ue(pc["mb_type"])
+    if pc["kind2"] == "b8":
+        for t_ in pc["sub_types"]:
+            w.ue(t_)
+        use0, use1, dparts = pc["direct"]
+        for q8, (qx, qy) in enumerate(_P8_QUADS):
+            if pc["sub_types"][q8] == 0:
+                _store_b_direct_quad(
+                    st, mbx, mby, qx, qy, use0, use1,
+                    dparts[(qy // 2) * 2 + qx // 2],
+                )
+        for lst in (0, 1):
+            nref = ctx["n_ref_l0"] if lst == 0 else ctx["n_ref_l1"]
+            for qmode, _g, _m in pc["quads"]:
+                if nref > 1 and qmode in (
+                    ("l0", "bi") if lst == 0 else ("l1", "bi")
+                ):
+                    w.te(0, nref - 1)
+        for lst in (0, 1):
+            for qmode, geoms, mvs in pc["quads"]:
+                if qmode not in (
+                    ("l0", "bi") if lst == 0 else ("l1", "bi")
+                ):
+                    continue
+                for g, (m0, m1) in zip(geoms, mvs):
+                    _k, dx, dy, pw, _ph = g
+                    mv = m0 if lst == 0 else m1
+                    pmv = _pred_mv_b(
+                        st, mbx, mby, lst, ref_idx=0,
+                        abx=mbx * 4 + dx, aby=mby * 4 + dy, pw=pw,
+                        kind="sub",
+                    )
+                    w.se(mv[0] - pmv[0])
+                    w.se(mv[1] - pmv[1])
+                    _store_b_part_lst(st, mbx, mby, g, lst, mv, 0)
+        return
+    modes, mvs, parts_g = pc["modes"], pc["mvs"], pc["parts_g"]
+    for lst in (0, 1):
+        nref = ctx["n_ref_l0"] if lst == 0 else ctx["n_ref_l1"]
+        for mode in modes:
+            if nref > 1 and mode in (
+                ("l0", "bi") if lst == 0 else ("l1", "bi")
+            ):
+                w.te(0, nref - 1)
+    for lst in (0, 1):
+        for part, mode, (m0, m1) in zip(parts_g, modes, mvs):
+            if mode not in (("l0", "bi") if lst == 0 else ("l1", "bi")):
+                continue
+            kind, dx, dy, pw, _ph = part
+            mv = m0 if lst == 0 else m1
+            pmv = _pred_mv_b(
+                st, mbx, mby, lst, ref_idx=0,
+                abx=mbx * 4 + dx, aby=mby * 4 + dy, pw=pw, kind=kind,
+            )
+            w.se(mv[0] - pmv[0])
+            w.se(mv[1] - pmv[1])
+            _store_b_part_lst(st, mbx, mby, part, lst, mv, 0)
 
 
 def _ensure_b_counts(st: _FrameState) -> dict:
@@ -4103,8 +4461,11 @@ def _decode_b_mb(
         st.mv1[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
         _decode_mb(r, st, mbx, mby, qp, cqo, mb_type=mb_type - 23)
         return
+    if 4 <= mb_type <= 22:
+        _decode_b_part_mb(r, st, mbx, mby, qp, cqo, ctx, mb_type)
+        return
     if mb_type != 0 and mb_type not in _B_MBTYPE_MODE:
-        raise MediaFormatError("partitioned B types outside the subset")
+        raise MediaFormatError("invalid B mb_type")
     mode = "direct" if mb_type == 0 else _B_MBTYPE_MODE[mb_type]
     st.b_mode_counts[mode] += 1
     mv0 = mv1 = (0, 0)
@@ -4167,6 +4528,164 @@ def _decode_b_mb(
             "zs": zs, "cbp_luma": cbp_luma, "cdcq": cdc, "cacq": cac,
             "preds": (pred_y, pred_u, pred_v),
         },
+    )
+
+
+def _b_part_layout(r: _BitReader, st, mbx, mby, ctx, mb_type):
+    """Parse the PREDICTION half of a partitioned B macroblock
+    (§7.3.5.1 two-partition types 4-21 / §7.3.5.2 B_8x8) and store
+    motion progressively.  Returns the plist for _mc_b_parts.  Shared
+    by decoder and (via the emit callbacks) kept in lockstep with the
+    encoder's write order: [sub_mb_type ×4] → ref_idx_l0 per L0-using
+    partition → ref_idx_l1 per L1-using → every mvd_l0 → every
+    mvd_l1."""
+    if mb_type == 22:  # B_8x8
+        sub_types = [r.ue() for _ in range(4)]
+        if any(t_ not in _B_SUB_TYPES for t_ in sub_types):
+            raise MediaFormatError("invalid B sub_mb_type")
+        direct = None
+        if any(_B_SUB_TYPES[t_][0] is None for t_ in sub_types):
+            # B_Direct_8x8: the MB-level derivation, applied per
+            # quadrant (computed BEFORE any of this MB's own motion
+            # lands — the derivation reads only neighbours)
+            direct = _b_direct_mvs(st, mbx, mby, ctx)
+        # quadrant → (mode, [sub-part geoms]); direct quadrants STORE
+        # immediately so the MB's own explicit sub-partitions' MV
+        # predictors see their derived motion (§8.4.1.3 reads decoded
+        # partition motion, derived or parsed)
+        quads = []
+        for q8, (qx, qy) in enumerate(_P8_QUADS):
+            mode, shape = _B_SUB_TYPES[sub_types[q8]]
+            geoms = [
+                ("sub", qx + sdx, qy + sdy, pw, ph)
+                for sdx, sdy, pw, ph in _P_SUB_PARTS[shape]
+            ]
+            quads.append((mode, geoms, qx // 2, qy // 2))
+            if mode is None:
+                use0, use1, dparts = direct
+                _store_b_direct_quad(
+                    st, mbx, mby, qx, qy, use0, use1,
+                    dparts[(qy // 2) * 2 + qx // 2],
+                )
+        refidx = {0: {}, 1: {}}
+        for lst in (0, 1):
+            nref = ctx["n_ref_l0"] if lst == 0 else ctx["n_ref_l1"]
+            for q8, (mode, _g, _qx, _qy) in enumerate(quads):
+                if mode in (("l0", "bi") if lst == 0 else ("l1", "bi")):
+                    ri = r.te(nref - 1) if nref > 1 else 0
+                    if ri >= nref:
+                        raise MediaFormatError("ref_idx out of range")
+                    refidx[lst][q8] = ri
+        plist = []
+        part_mvs: dict = {}
+        for lst in (0, 1):
+            for q8, (mode, geoms, _qx, _qy) in enumerate(quads):
+                if mode is None or mode not in (
+                    ("l0", "bi") if lst == 0 else ("l1", "bi")
+                ):
+                    continue
+                ri = refidx[lst].get(q8, 0)
+                for g in geoms:
+                    _k, dx, dy, pw, _ph = g
+                    pmv = _pred_mv_b(
+                        st, mbx, mby, lst, ref_idx=ri,
+                        abx=mbx * 4 + dx, aby=mby * 4 + dy, pw=pw,
+                        kind="sub",
+                    )
+                    mv = (pmv[0] + r.se(), pmv[1] + r.se())
+                    _store_b_part_lst(st, mbx, mby, g, lst, mv, ri)
+                    part_mvs.setdefault((q8, g), {})[lst] = (mv, ri)
+        for q8, (mode, geoms, qx2, qy2) in enumerate(quads):
+            if mode is None:
+                use0, use1, dparts = direct
+                quad = dparts[qy2 * 2 + qx2]
+                dmode = (
+                    "bi" if use0 and use1 else ("l0" if use0 else "l1")
+                )
+                plist.append((
+                    ("sub", qx2 * 2, qy2 * 2, 2, 2), dmode,
+                    quad[0], quad[1], quad[2], quad[3],
+                ))
+                continue
+            for g in geoms:
+                got = part_mvs[(q8, g)]
+                mv0, r0 = got.get(0, ((0, 0), 0))
+                mv1, r1 = got.get(1, ((0, 0), 0))
+                plist.append((g, mode, mv0, mv1, r0, r1))
+        return plist
+    # two-partition types 4..21
+    parts = _P_PARTS[1 if mb_type % 2 == 0 else 2]
+    modes = _B_PART_PAIRS[(mb_type - 4) // 2]
+    refidx = {0: {}, 1: {}}
+    for lst in (0, 1):
+        nref = ctx["n_ref_l0"] if lst == 0 else ctx["n_ref_l1"]
+        for i, mode in enumerate(modes):
+            if mode in (("l0", "bi") if lst == 0 else ("l1", "bi")):
+                ri = r.te(nref - 1) if nref > 1 else 0
+                if ri >= nref:
+                    raise MediaFormatError("ref_idx out of range")
+                refidx[lst][i] = ri
+    part_mvs = {}
+    for lst in (0, 1):
+        for i, (part, mode) in enumerate(zip(parts, modes)):
+            if mode not in (("l0", "bi") if lst == 0 else ("l1", "bi")):
+                continue
+            kind, dx, dy, pw, _ph = part
+            ri = refidx[lst].get(i, 0)
+            pmv = _pred_mv_b(
+                st, mbx, mby, lst, ref_idx=ri,
+                abx=mbx * 4 + dx, aby=mby * 4 + dy, pw=pw, kind=kind,
+            )
+            mv = (pmv[0] + r.se(), pmv[1] + r.se())
+            _store_b_part_lst(st, mbx, mby, part, lst, mv, ri)
+            part_mvs.setdefault(i, {})[lst] = (mv, ri)
+    plist = []
+    for i, (part, mode) in enumerate(zip(parts, modes)):
+        got = part_mvs[i]
+        mv0, r0 = got.get(0, ((0, 0), 0))
+        mv1, r1 = got.get(1, ((0, 0), 0))
+        plist.append((part, mode, mv0, mv1, r0, r1))
+    return plist
+
+
+def _decode_b_part_mb(
+    r: _BitReader, st: _FrameState, mbx: int, mby: int, qp: int,
+    cqo: int, ctx: dict, mb_type: int,
+) -> None:
+    """Decode one PARTITIONED B macroblock (round 13): the 16x8/8x16
+    two-partition types and B_8x8 with every Table 7-18 sub shape."""
+    key = "b8x8" if mb_type == 22 else "parts"
+    st.b_mode_counts[key] = st.b_mode_counts.get(key, 0) + 1
+    plist = _b_part_layout(r, st, mbx, mby, ctx, mb_type)
+    if mb_type == 22 and any(p[0][3] < 2 or p[0][4] < 2 for p in plist):
+        # at least one sub-8x8 split shape decoded (Table 7-18 ≥ 4)
+        st.b_mode_counts["bsub"] = st.b_mode_counts.get("bsub", 0) + 1
+    code = r.ue()
+    if code >= len(_CBP_INTER):
+        raise MediaFormatError("coded_block_pattern code out of range")
+    cbp = _CBP_INTER[code]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp_chroma > 2:
+        raise MediaFormatError("invalid chroma coded_block_pattern")
+    if cbp and r.se() != 0:
+        raise MediaFormatError("mb_qp_delta outside the fixed-QP subset")
+    zs = []
+    for blk in range(16):
+        bx, by = _LUMA_BLK_XY[blk]
+        abx, aby = mbx * 4 + bx, mby * 4 + by
+        if cbp_luma & (1 << (blk // 4)):
+            coeffs, total = decode_residual(r, st.nc_luma(abx, aby), 16)
+            st.nc_y[aby, abx] = total
+            zs.append(_unzigzag(coeffs, skip_dc=False))
+        else:
+            st.nc_y[aby, abx] = 0
+            zs.append(np.zeros((4, 4), dtype=np.int64))
+    cdc, cac = _read_chroma_residuals(r, st, mbx, mby, cbp_chroma)
+    pred_y, pred_u, pred_v = _mc_b_parts(ctx, mbx, mby, plist)
+    st.i4_mode[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 2
+    _recon_inter_luma(st, mbx, mby, qp, pred_y, zs, cbp_luma)
+    _recon_chroma_blocks(
+        st, mbx, mby, qp, cqo, [pred_u, pred_v], cdc, cac
     )
 
 
