@@ -1029,10 +1029,13 @@ _PCM_BITS = 384 * 8
 
 def write_pps(
     qp: int = DEFAULT_QP, chroma_qp_offset: int = 0, cabac: bool = False,
+    weighted_pred: bool = False,
 ) -> bytes:
     """Minimal PPS: one slice group, deblocking-control present
     (so slices can legally disable it).  ``cabac`` sets
-    entropy_coding_mode_flag (h264_cabac streams)."""
+    entropy_coding_mode_flag (h264_cabac streams); ``weighted_pred``
+    sets weighted_pred_flag — P slice headers then carry a
+    pred_weight_table (round 13; weighted_bipred_idc stays 0)."""
     w = _RbspWriter()
     w.ue(0)  # pps_id
     w.ue(0)  # sps_id
@@ -1041,7 +1044,7 @@ def write_pps(
     w.ue(0)  # num_slice_groups_minus1
     w.ue(0)  # num_ref_idx_l0_default_active_minus1
     w.ue(0)  # num_ref_idx_l1_default_active_minus1
-    w.u(0, 1)  # weighted_pred
+    w.u(1 if weighted_pred else 0, 1)  # weighted_pred
     w.u(0, 2)  # weighted_bipred_idc
     w.se(qp - 26)  # pic_init_qp_minus26
     w.se(0)  # pic_init_qs_minus26
@@ -1078,11 +1081,14 @@ def parse_pps(nal: bytes, allow_cabac: bool = False) -> dict:
         raise MediaFormatError(
             "multi-reference PPS defaults outside the subset"
         )
-    if r.u(1) or r.u(2):
-        # weighted_pred / weighted_bipred_idc add pred_weight_table
-        # syntax (explicit) or change the B average (implicit) — both
-        # outside the subset
-        raise MediaFormatError("weighted prediction outside the subset")
+    out["weighted_pred"] = bool(r.u(1))
+    if r.u(2):
+        # weighted_bipred_idc: explicit B weighting adds a second
+        # pred_weight_table, implicit changes the B average by POC —
+        # both outside the subset (P explicit WP decodes, round 13)
+        raise MediaFormatError(
+            "weighted bi-prediction outside the subset"
+        )
     out["pic_init_qp"] = 26 + r.se()
     r.se()
     out["chroma_qp_index_offset"] = r.se()
@@ -1159,7 +1165,7 @@ def _write_slice_header(
     deblock: bool = True, slice_type: str = "I", frame_num: int = 0,
     cabac: bool = False, poc_lsb: int | None = None,
     num_ref_l0: int = 1, num_ref_l1: int = 1,
-    direct_spatial: bool = True,
+    direct_spatial: bool = True, wp: dict | None = None,
 ) -> None:
     w.ue(0)  # first_mb_in_slice
     # I/P/B + 5: 'all slices in this picture have this type'
@@ -1190,6 +1196,23 @@ def _write_slice_header(
         else:
             w.u(0, 1)  # num_ref_idx_active_override_flag
         w.u(0, 1)  # ref_pic_list_modification_flag_l0
+        if wp is not None:
+            # pred_weight_table (§7.3.3.2) — explicit weighted
+            # prediction, one entry per active list-0 reference
+            w.ue(wp["ld"])
+            w.ue(wp["cd"])
+            for ent in wp["w"]:
+                if ent is None:
+                    w.u(0, 1)  # luma_weight_l0_flag
+                    w.u(0, 1)  # chroma_weight_l0_flag
+                    continue
+                w.u(1, 1)
+                w.se(ent["lw"])
+                w.se(ent["lo"])
+                w.u(1, 1)
+                for j in range(2):
+                    w.se(ent["cw"][j])
+                    w.se(ent["co"][j])
         # dec_ref_pic_marking (nal_ref_idc != 0, non-IDR):
         w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (sliding window)
     else:
@@ -1297,6 +1320,33 @@ def _parse_slice_header(
             raise MediaFormatError(
                 "reference list modification outside the subset"
             )
+        if pps.get("weighted_pred"):
+            # pred_weight_table (§7.3.3.2): explicit weights/offsets
+            # per active list-0 reference; absent flags mean identity
+            # (weight = 1 << denom, offset 0)
+            ld = r.ue()
+            cd = r.ue()
+            if ld > 7 or cd > 7:
+                raise MediaFormatError("weight denominator out of range")
+            wlist = []
+            for _ in range(info["num_ref_l0"]):
+                ent = {"lw": 1 << ld, "lo": 0,
+                       "cw": [1 << cd, 1 << cd], "co": [0, 0]}
+                if r.u(1):  # luma_weight_l0_flag
+                    ent["lw"] = r.se()
+                    ent["lo"] = r.se()
+                if r.u(1):  # chroma_weight_l0_flag
+                    ent["cw"], ent["co"] = [], []
+                    for _j in range(2):
+                        ent["cw"].append(r.se())
+                        ent["co"].append(r.se())
+                for v in (ent["lw"], ent["lo"], *ent["cw"], *ent["co"]):
+                    if not -128 <= v <= 127:
+                        raise MediaFormatError(
+                            "prediction weight out of range"
+                        )
+                wlist.append(ent)
+            info["wp"] = {"ld": ld, "cd": cd, "w": wlist}
     # dec_ref_pic_marking presence follows the NAL header, NOT the
     # slice type (§7.3.3): IDR pictures carry the two output/long-term
     # flags; non-IDR REFERENCE pictures (nal_ref_idc != 0) carry
@@ -1768,6 +1818,7 @@ def decode_frame_nal(
         _decode_p_slice_mbs(
             r, st, qp, cqo, l0[0],
             refs=l0[:n_ref] if n_ref > 1 else None, n_ref=n_ref,
+            wp=hinfo.get("wp"),
         )
     elif stype == "B":
         l0 = refs if refs is not None else (
@@ -2056,6 +2107,10 @@ def encode_avcc_samples(
         sps, pps, nals = encode_h264_ippp(
             width, height, frames_rgb, qp, n_refs=3
         )
+    elif gop == "ippp-wp":
+        sps, pps, nals = encode_h264_ippp(
+            width, height, frames_rgb, qp, weighted=True
+        )
     else:
         sps, pps, nals = encode_h264_intra(width, height, frames_rgb, qp)
     samples = [len(n).to_bytes(4, "big") + n for n in nals]
@@ -2136,6 +2191,10 @@ def encode_h264_annexb(
     elif gop == "ippp-multiref":
         sps, pps, nals = encode_h264_ippp(
             width, height, frames_rgb, qp, n_refs=3
+        )
+    elif gop == "ippp-wp":
+        sps, pps, nals = encode_h264_ippp(
+            width, height, frames_rgb, qp, weighted=True
         )
     else:
         sps, pps, nals = encode_h264_intra(width, height, frames_rgb, qp)
@@ -3018,15 +3077,29 @@ def _skip_mv(st: _FrameState, mbx: int, mby: int) -> tuple[int, int]:
     return _pred_mv(st, mbx * 4, mby * 4, 4, "16x16")
 
 
+def _wp_apply(p: np.ndarray, w: int, o: int, d: int) -> np.ndarray:
+    """§8.4.2.3.2 explicit weighted sample prediction (single list):
+    Clip1(((p * w + 2^(d-1)) >> d) + o) — arithmetic shift, so
+    negative weights follow the spec's sign-extending >>."""
+    if d > 0:
+        v = ((p * w + (1 << (d - 1))) >> d) + o
+    else:
+        v = p * w + o
+    return np.clip(v, 0, 255)
+
+
 def _mc_mb_pred(
     ref, mbx: int, mby: int,
     parts: tuple, mvs: list[tuple[int, int]],
     refidxs: list[int] | None = None,
+    wp: dict | None = None,
 ):
     """Assemble the full 16x16 luma + 8x8 chroma MC prediction for a
     partitioned macroblock.  ``ref`` is a single (Y, U, V) tuple
     (single-reference paths) or a LIST of them indexed by the
-    per-partition ``refidxs`` (multi-reference P, round 13)."""
+    per-partition ``refidxs`` (multi-reference P, round 13).  ``wp``
+    (a parsed pred_weight_table) applies §8.4.2.3.2 explicit
+    weighting per partition by its reference index."""
     multi = isinstance(ref, list)
     pred_y = np.empty((16, 16), dtype=np.int64)
     pred_u = np.empty((8, 8), dtype=np.int64)
@@ -3034,20 +3107,35 @@ def _mc_mb_pred(
     for i, ((kind, dx, dy, pw, ph), (mvx, mvy)) in enumerate(
         zip(parts, mvs)
     ):
-        ry, ru, rv = (
-            ref[refidxs[i] if refidxs else 0] if multi else ref
-        )
+        ri = refidxs[i] if refidxs else 0
+        ry, ru, rv = ref[ri] if multi else ref
         lx, ly, lw, lh = dx * 4, dy * 4, pw * 4, ph * 4
-        pred_y[ly : ly + lh, lx : lx + lw] = _mc_luma(
+        py = _mc_luma(
             ry, mbx * 16 + lx, mby * 16 + ly, lw, lh, mvx, mvy
         )
         cx, cy, cw, ch = dx * 2, dy * 2, pw * 2, ph * 2
-        pred_u[cy : cy + ch, cx : cx + cw] = _mc_chroma(
+        pu = _mc_chroma(
             ru, mbx * 8 + cx, mby * 8 + cy, cw, ch, mvx, mvy
         )
-        pred_v[cy : cy + ch, cx : cx + cw] = _mc_chroma(
+        pv = _mc_chroma(
             rv, mbx * 8 + cx, mby * 8 + cy, cw, ch, mvx, mvy
         )
+        if wp is not None:
+            ent = wp["w"][ri]
+            py = _wp_apply(
+                py.astype(np.int64), ent["lw"], ent["lo"], wp["ld"]
+            )
+            pu = _wp_apply(
+                pu.astype(np.int64), ent["cw"][0], ent["co"][0],
+                wp["cd"],
+            )
+            pv = _wp_apply(
+                pv.astype(np.int64), ent["cw"][1], ent["co"][1],
+                wp["cd"],
+            )
+        pred_y[ly : ly + lh, lx : lx + lw] = py
+        pred_u[cy : cy + ch, cx : cx + cw] = pu
+        pred_v[cy : cy + ch, cx : cx + cw] = pv
     return pred_y, pred_u, pred_v
 
 
@@ -3208,10 +3296,11 @@ def _mc_b_pred(
 def _recon_p_skip(
     st: _FrameState, mbx: int, mby: int,
     ref: tuple[np.ndarray, np.ndarray, np.ndarray],
+    wp: dict | None = None,
 ) -> None:
     mv = _skip_mv(st, mbx, mby)
     pred_y, pred_u, pred_v = _mc_mb_pred(
-        ref, mbx, mby, _P_PARTS[0], [mv]
+        ref, mbx, mby, _P_PARTS[0], [mv], wp=wp
     )
     x0, y0 = mbx * 16, mby * 16
     st.y[y0 : y0 + 16, x0 : x0 + 16] = pred_y
@@ -3324,6 +3413,7 @@ def _p_mb_decide(
     src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
     ref: tuple[np.ndarray, np.ndarray, np.ndarray],
     refs: list | None = None,
+    wp: dict | None = None,
 ) -> tuple[str, dict | None]:
     """Entropy-agnostic P-macroblock decision (motion search, partition
     choice, transform/quant, skip test) — shared by the CAVLC emitter
@@ -3408,7 +3498,9 @@ def _p_mb_decide(
     inter_cost = min(
         cost16, best_rect[2], best_sub[3] if best_sub else 1 << 30
     )
-    if intra_sad + 24 < inter_cost:  # intra must win past its rate cost
+    # with weighted prediction, search SADs are unweighted — the real
+    # inter cost is re-measured on the WEIGHTED prediction below
+    if wp is None and intra_sad + 24 < inter_cost:
         return "intra", None
     sub_types = None
     if best_sub and best_sub[3] < min(cost16, best_rect[2]):
@@ -3422,8 +3514,14 @@ def _p_mb_decide(
         parts = _P_PARTS[mtype]
     refidxs = [mb_ref] * len(parts)
     pred_y, pred_u, pred_v = _mc_mb_pred(
-        refs if refs is not None else ref, mbx, mby, parts, mvs, refidxs
+        refs if refs is not None else ref, mbx, mby, parts, mvs,
+        refidxs, wp=wp,
     )
+    if wp is not None:
+        x0b, y0b = mbx * 16, mby * 16
+        inter_w = int(np.abs(src_blk - pred_y).sum())
+        if intra_sad + 24 < inter_w:
+            return "intra", None
     zs, cbp_luma = _inter_luma_quant(src_y, pred_y, mbx, mby, qp)
     qpc = _QPC[max(0, min(51, qp))]
     cx0, cy0 = mbx * 8, mby * 8
@@ -3459,13 +3557,13 @@ def _encode_p_mb(
     w: _BitWriter, st: _FrameState, mbx: int, mby: int, qp: int,
     src_y: np.ndarray, src_u: np.ndarray, src_v: np.ndarray,
     ref: tuple[np.ndarray, np.ndarray, np.ndarray], skip_run: int,
-    refs: list | None = None,
+    refs: list | None = None, wp: dict | None = None,
 ) -> int:
     """Encode one macroblock of a P slice (CAVLC); returns the updated
     mb_skip_run (incremented if this MB became P_Skip, else flushed
     before the coded MB).  Decisions live in _p_mb_decide."""
     kind, d = _p_mb_decide(
-        st, mbx, mby, qp, src_y, src_u, src_v, ref, refs=refs
+        st, mbx, mby, qp, src_y, src_u, src_v, ref, refs=refs, wp=wp
     )
     if kind == "intra":
         w.ue(skip_run)
@@ -3476,7 +3574,7 @@ def _encode_p_mb(
         st.mv[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = 0
         return 0
     if kind == "skip":
-        _recon_p_skip(st, mbx, mby, ref)
+        _recon_p_skip(st, mbx, mby, ref, wp=wp)
         return skip_run + 1
     mtype, sub_types = d["mtype"], d["sub_types"]
     parts, mvs = d["parts"], d["mvs"]
@@ -3533,7 +3631,7 @@ def _encode_p_mb(
 def _decode_p_mb(
     r: _BitReader, st: _FrameState, mbx: int, mby: int, qp: int,
     cqo: int, ref: tuple[np.ndarray, np.ndarray, np.ndarray],
-    refs: list | None = None, n_ref: int = 1,
+    refs: list | None = None, n_ref: int = 1, wp: dict | None = None,
 ) -> None:
     mb_type = r.ue()
     if mb_type >= 5:
@@ -3609,7 +3707,7 @@ def _decode_p_mb(
     cdc, cac = _read_chroma_residuals(r, st, mbx, mby, cbp_chroma)
     pred_y, pred_u, pred_v = _mc_mb_pred(
         refs_l if refs is not None else ref, mbx, mby, parts, mvs,
-        refidxs,
+        refidxs, wp=wp,
     )
     _recon_inter_luma(st, mbx, mby, qp, pred_y, zs, cbp_luma)
     _recon_chroma_blocks(
@@ -3620,7 +3718,7 @@ def _decode_p_mb(
 def _decode_p_slice_mbs(
     r: _BitReader, st: _FrameState, qp: int, cqo: int,
     ref: tuple[np.ndarray, np.ndarray, np.ndarray],
-    refs: list | None = None, n_ref: int = 1,
+    refs: list | None = None, n_ref: int = 1, wp: dict | None = None,
 ) -> None:
     n_mbs = st.mb_w * st.mb_h
     i = 0
@@ -3629,13 +3727,13 @@ def _decode_p_slice_mbs(
         if run > n_mbs - i:
             raise MediaFormatError("mb_skip_run overruns the picture")
         for _ in range(run):
-            _recon_p_skip(st, i % st.mb_w, i // st.mb_w, ref)
+            _recon_p_skip(st, i % st.mb_w, i // st.mb_w, ref, wp=wp)
             i += 1
         if i >= n_mbs:
             break
         _decode_p_mb(
             r, st, i % st.mb_w, i // st.mb_w, qp, cqo, ref,
-            refs=refs, n_ref=n_ref,
+            refs=refs, n_ref=n_ref, wp=wp,
         )
         i += 1
 
@@ -4880,6 +4978,7 @@ def encode_p_frame_nal(
     deblock: bool = True, poc_lsb: int | None = None,
     motion_sink: dict | None = None,
     refs: list | None = None, ref_pocs: list | None = None,
+    wp: dict | None = None,
 ):
     """One RGB frame → one P slice NAL against ``ref`` (the previous
     picture's FILTERED output planes).  Returns (nal, output planes —
@@ -4905,12 +5004,14 @@ def encode_p_frame_nal(
         log2_max_poc_lsb=4, deblock=deblock, slice_type="P",
         frame_num=frame_num, poc_lsb=poc_lsb,
         num_ref_l0=len(refs) if refs is not None else 1,
+        wp=wp,
     )
     skip_run = 0
     for mby in range(mb_h):
         for mbx in range(mb_w):
             skip_run = _encode_p_mb(
-                w, st, mbx, mby, qp, y, u, v, ref, skip_run, refs=refs
+                w, st, mbx, mby, qp, y, u, v, ref, skip_run, refs=refs,
+                wp=wp,
             )
     if skip_run:
         w.ue(skip_run)  # trailing skip run
@@ -4925,9 +5026,37 @@ def encode_p_frame_nal(
 _IPPP_CACHE: dict = {}
 
 
+def _estimate_wp(y, u, v, ref, n_entries: int) -> dict:
+    """Global fade estimate for explicit weighted prediction: per
+    plane, weight = round(32 * mean(cur)/mean(ref)) (denominator 5)
+    and offset = the residual mean — the textbook fade model.  Entry 0
+    carries the estimate; further active references (if any) keep the
+    identity default (entry None)."""
+    ry, ru, rv = ref
+
+    def est(cur, refp, denom):
+        m_ref = float(refp.mean())
+        m_cur = float(cur.mean())
+        if m_ref < 1e-6:
+            return 1 << denom, 0
+        w_ = int(round((1 << denom) * m_cur / m_ref))
+        w_ = max(-128, min(127, w_))
+        o_ = int(round(m_cur - m_ref * w_ / (1 << denom)))
+        return w_, max(-128, min(127, o_))
+
+    lw, lo = est(y, ry, 5)
+    cw0, co0 = est(u, ru, 5)
+    cw1, co1 = est(v, rv, 5)
+    return {
+        "ld": 5, "cd": 5,
+        "w": [{"lw": lw, "lo": lo, "cw": [cw0, cw1],
+               "co": [co0, co1]}] + [None] * (n_entries - 1),
+    }
+
+
 def encode_h264_ippp(
     width: int, height: int, frames_rgb: list[bytes], qp: int = DEFAULT_QP,
-    return_recon: bool = False, n_refs: int = 1,
+    return_recon: bool = False, n_refs: int = 1, weighted: bool = False,
 ):
     """Frames → (SPS, PPS, [IDR slice, P slice, ...][, recon frames]):
     the first frame intra, every later frame predicted from its
@@ -4947,13 +5076,13 @@ def encode_h264_ippp(
     # third encodes must be cache hits, not re-searches.  RGB recons
     # are always computed into the cache (YUV→RGB is trivial next to
     # ME) and sliced off per call.
-    key = (width, height, tuple(frames_rgb), qp, n_refs)
+    key = (width, height, tuple(frames_rgb), qp, n_refs, weighted)
     hit = _IPPP_CACHE.get(key)
     if hit is None:
         sps = write_h264_sps(
             width, height, 66, 30, num_ref_frames=n_refs
         )
-        pps = write_pps(DEFAULT_QP)
+        pps = write_pps(DEFAULT_QP, weighted_pred=weighted)
         out = encode_frame_nal(
             frames_rgb[0], width, height, qp, idr_pic_id=0,
             return_planes=True,
@@ -4965,10 +5094,15 @@ def encode_h264_ippp(
         dpb_pocs = [0]
         for i, f in enumerate(frames_rgb[1:], start=1):
             use = min(n_refs, len(dpb))
+            wp = None
+            if weighted:
+                fy, fu, fv = rgb_to_yuv420(f, width, height)
+                wp = _estimate_wp(fy, fu, fv, dpb[0], use)
             nal, planes = encode_p_frame_nal(
                 f, width, height, qp, dpb[0], i, poc_lsb=2 * i,
                 refs=dpb[:use] if use > 1 else None,
                 ref_pocs=dpb_pocs[:use] if use > 1 else None,
+                wp=wp,
             )
             dpb = [planes] + dpb[: n_refs - 1]
             dpb_pocs = [2 * i] + dpb_pocs[: n_refs - 1]

@@ -1329,6 +1329,10 @@ def decode_frame_nal_cabac(
     h264.decode_frame_nal when the PPS signals entropy mode 1."""
     r = _BitReader(_unescape_rbsp(nal[1:]))
     nal_type = nal[0] & 0x1F
+    if pps.get("weighted_pred"):
+        raise MediaFormatError(
+            "weighted prediction outside the CABAC subset"
+        )
     stype, qp, deblock, a_off, b_off, _hinfo = _parse_slice_header(
         r, sps, pps, idr=nal_type == 5, nal_ref_idc=nal[0] >> 5
     )
