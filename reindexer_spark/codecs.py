@@ -4485,7 +4485,7 @@ def encode_mp4_coded(
     # and IPB chains mark only the IDR
     stss = (
         _full_box(b"stss", 0, 0, struct.pack(">II", 1, 1))
-        if (intra_frames is not None and gop in ("ippp", "ipb", "ipb-temporal", "ippp-multiref", "ippp-wp"))
+        if (intra_frames is not None and gop in ("ippp", "ipb", "ipb-temporal", "ippp-multiref", "ippp-wp", "ippp-ms2"))
         else b""
     )
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stss + stco)
@@ -4628,7 +4628,7 @@ def encode_mkv_coded(
                     i == 0
                     or (
                         intra_bodies is not None
-                        and gop not in ("ippp", "ipb", "ipb-temporal", "ippp-multiref", "ippp-wp")
+                        and gop not in ("ippp", "ipb", "ipb-temporal", "ippp-multiref", "ippp-wp", "ippp-ms2")
                     )
                 )
                 else 0x00

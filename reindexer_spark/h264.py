@@ -65,9 +65,10 @@ Scope — the full INTRA half of H.264 Baseline (round 9):
   PPS chroma_qp_index_offset is applied via Table 8-15.
 - What remains OUTSIDE the subset raises MediaFormatError — the
   quarantine contract, never a wrong frame: external CABAC
-  (h264_cabac decodes only provenance-marked streams), modified
-  reference lists, adaptive reference marking, field/MBAFF coding,
-  weighted prediction, non-4:2:0 or
+  (h264_cabac decodes only provenance-marked streams; CABAC also
+  stays single-slice and unweighted), modified reference lists,
+  adaptive reference marking, field/MBAFF coding, weighted
+  BI-prediction (P explicit WP decodes, round 13), non-4:2:0 or
   >8-bit sampling, scaling matrices, multi-slice pictures, POC
   type 1.
 
@@ -749,17 +750,32 @@ def _plane_pred(top: np.ndarray, left: np.ndarray, corner: int,
     return np.clip(out, 0, 255).astype(np.int64)
 
 
+def _avail_lt(st, mbx: int, mby: int) -> tuple[bool, bool]:
+    """(left, top) MB-neighbour availability — position-only when no
+    frame state is given, position + same-slice otherwise (§6.4.9)."""
+    if st is None:
+        return mbx > 0, mby > 0
+    return st.mb_avail(mbx - 1, mby), st.mb_avail(mbx, mby - 1)
+
+
 def _pred_luma16(
-    mode: int, recon: np.ndarray, mbx: int, mby: int
+    mode: int, recon: np.ndarray, mbx: int, mby: int, st=None
 ) -> np.ndarray:
     """16x16 luma prediction block for the given Intra_16x16 mode;
     raises MediaFormatError when the mode's neighbours are absent (a
     conforming encoder never picks such a mode)."""
+    avail_l, avail_t = _avail_lt(st, mbx, mby)
     x0, y0 = mbx * 16, mby * 16
-    top = recon[y0 - 1, x0 : x0 + 16].astype(np.int64) if mby > 0 else None
-    left = recon[y0 : y0 + 16, x0 - 1].astype(np.int64) if mbx > 0 else None
+    top = (
+        recon[y0 - 1, x0 : x0 + 16].astype(np.int64) if avail_t else None
+    )
+    left = (
+        recon[y0 : y0 + 16, x0 - 1].astype(np.int64) if avail_l else None
+    )
     if mode == L16_DC:
-        return np.full((16, 16), _pred_luma_dc(recon, mbx, mby), np.int64)
+        return np.full(
+            (16, 16), _pred_luma_dc(recon, mbx, mby, st=st), np.int64
+        )
     if mode == L16_VERTICAL:
         if top is None:
             raise MediaFormatError("vertical pred without top neighbour")
@@ -777,14 +793,19 @@ def _pred_luma16(
 
 
 def _pred_chroma8(
-    mode: int, recon: np.ndarray, mbx: int, mby: int
+    mode: int, recon: np.ndarray, mbx: int, mby: int, st=None
 ) -> np.ndarray:
     """8x8 chroma prediction for intra_chroma_pred_mode (§8.3.4)."""
+    avail_l, avail_t = _avail_lt(st, mbx, mby)
     x0, y0 = mbx * 8, mby * 8
-    top = recon[y0 - 1, x0 : x0 + 8].astype(np.int64) if mby > 0 else None
-    left = recon[y0 : y0 + 8, x0 - 1].astype(np.int64) if mbx > 0 else None
+    top = (
+        recon[y0 - 1, x0 : x0 + 8].astype(np.int64) if avail_t else None
+    )
+    left = (
+        recon[y0 : y0 + 8, x0 - 1].astype(np.int64) if avail_l else None
+    )
     if mode == C_DC:
-        return _pred_chroma_dc(recon, mbx, mby)
+        return _pred_chroma_dc(recon, mbx, mby, st=st)
     if mode == C_HORIZONTAL:
         if left is None:
             raise MediaFormatError("chroma H pred without left neighbour")
@@ -801,10 +822,17 @@ def _pred_chroma8(
     raise MediaFormatError(f"invalid chroma prediction mode {mode}")
 
 
-def _pred_luma_dc(recon: np.ndarray, mbx: int, mby: int) -> int:
+def _pred_luma_dc(
+    recon: np.ndarray, mbx: int, mby: int, st=None
+) -> int:
+    avail_l, avail_t = _avail_lt(st, mbx, mby)
     x0, y0 = mbx * 16, mby * 16
-    top = recon[y0 - 1, x0 : x0 + 16].astype(np.int64) if mby > 0 else None
-    left = recon[y0 : y0 + 16, x0 - 1].astype(np.int64) if mbx > 0 else None
+    top = (
+        recon[y0 - 1, x0 : x0 + 16].astype(np.int64) if avail_t else None
+    )
+    left = (
+        recon[y0 : y0 + 16, x0 - 1].astype(np.int64) if avail_l else None
+    )
     if top is not None and left is not None:
         return int((top.sum() + left.sum() + 16) >> 5)
     if top is not None:
@@ -814,12 +842,19 @@ def _pred_luma_dc(recon: np.ndarray, mbx: int, mby: int) -> int:
     return 128
 
 
-def _pred_chroma_dc(recon: np.ndarray, mbx: int, mby: int) -> np.ndarray:
+def _pred_chroma_dc(
+    recon: np.ndarray, mbx: int, mby: int, st=None
+) -> np.ndarray:
     """8x8 DC prediction, per-4x4-quadrant neighbor rules (§8.3.4
     mode 0).  Returns the 8x8 prediction block."""
+    avail_l, avail_t = _avail_lt(st, mbx, mby)
     x0, y0 = mbx * 8, mby * 8
-    top = recon[y0 - 1, x0 : x0 + 8].astype(np.int64) if mby > 0 else None
-    left = recon[y0 : y0 + 8, x0 - 1].astype(np.int64) if mbx > 0 else None
+    top = (
+        recon[y0 - 1, x0 : x0 + 8].astype(np.int64) if avail_t else None
+    )
+    left = (
+        recon[y0 : y0 + 8, x0 - 1].astype(np.int64) if avail_l else None
+    )
     pred = np.empty((8, 8), dtype=np.int64)
 
     def fill(bx, by, val):
@@ -904,17 +939,46 @@ class _FrameState:
         self.ref1 = np.zeros((mb_h * 4, mb_w * 4), dtype=np.int32)
         self.l0_pocs: tuple | None = None
         self.l1_pocs: tuple | None = None
+        # Multi-slice pictures (round 13): per-MB slice id, written as
+        # each macroblock decodes/encodes, and the id of the slice in
+        # flight.  Neighbour AVAILABILITY (§6.4.9: a neighbour in a
+        # different slice of the same picture is not available) is
+        # position + same-slice; the single-slice paths keep ids 0/0,
+        # so every check degenerates to the pure position rule.
+        self.slice_id = np.zeros((mb_h, mb_w), dtype=np.int32)
+        self.cur_slice = 0
+
+    def mb_avail(self, mbx: int, mby: int) -> bool:
+        """Is MB (mbx, mby) available as a neighbour for the slice in
+        flight — inside the picture AND in the same slice."""
+        if mbx < 0 or mby < 0 or mbx >= self.mb_w or mby >= self.mb_h:
+            return False
+        return int(self.slice_id[mby, mbx]) == self.cur_slice
+
+    def blk_avail(self, bx: int, by: int) -> bool:
+        """Availability of the 4x4 luma block (bx, by)."""
+        if bx < 0 or by < 0 or bx >= self.mb_w * 4 or by >= self.mb_h * 4:
+            return False
+        return int(self.slice_id[by // 4, bx // 4]) == self.cur_slice
 
     def i4_mpm(self, abx: int, aby: int) -> int:
-        if abx == 0 or aby == 0:
+        if not self.blk_avail(abx - 1, aby) or not self.blk_avail(
+            abx, aby - 1
+        ):
             return 2  # unavailable neighbour forces DC
         return int(
             min(self.i4_mode[aby, abx - 1], self.i4_mode[aby - 1, abx])
         )
 
     def nc_luma(self, bx: int, by: int) -> int:
-        a = int(self.nc_y[by, bx - 1]) if bx > 0 else None
-        b = int(self.nc_y[by - 1, bx]) if by > 0 else None
+        a = (
+            int(self.nc_y[by, bx - 1])
+            if self.blk_avail(bx - 1, by) else None
+        )
+        b = (
+            int(self.nc_y[by - 1, bx])
+            if self.blk_avail(bx, by - 1) else None
+        )
         if a is not None and b is not None:
             return (a + b + 1) >> 1
         if a is not None:
@@ -925,8 +989,14 @@ class _FrameState:
 
     def nc_chroma(self, comp: int, bx: int, by: int) -> int:
         m = self.nc_c[comp]
-        a = int(m[by, bx - 1]) if bx > 0 else None
-        b = int(m[by - 1, bx]) if by > 0 else None
+        a = (
+            int(m[by, bx - 1])
+            if self.mb_avail((bx - 1) // 2, by // 2) else None
+        )
+        b = (
+            int(m[by - 1, bx])
+            if self.mb_avail(bx // 2, (by - 1) // 2) else None
+        )
         if a is not None and b is not None:
             return (a + b + 1) >> 1
         if a is not None:
@@ -966,7 +1036,7 @@ def _reconstruct_mb(
     """Shared §8.5 reconstruction: quantized levels in, clipped pixels
     into the frame state."""
     # luma
-    pred = _pred_luma16(pred_mode, st.y, mbx, mby)
+    pred = _pred_luma16(pred_mode, st.y, mbx, mby, st=st)
     dc_deq = dequant_luma_dc(dc_grid, qp)
     x0, y0 = mbx * 16, mby * 16
     for blk in range(16):
@@ -987,7 +1057,7 @@ def _reconstruct_chroma(
     chroma_mode: int, cdc: list[np.ndarray], cac: list[list[np.ndarray]],
 ) -> None:
     preds = [
-        _pred_chroma8(chroma_mode, plane, mbx, mby)
+        _pred_chroma8(chroma_mode, plane, mbx, mby, st=st)
         for plane in (st.u, st.v)
     ]
     _recon_chroma_blocks(st, mbx, mby, qp, chroma_qp_offset, preds, cdc, cac)
@@ -1166,8 +1236,9 @@ def _write_slice_header(
     cabac: bool = False, poc_lsb: int | None = None,
     num_ref_l0: int = 1, num_ref_l1: int = 1,
     direct_spatial: bool = True, wp: dict | None = None,
+    first_mb: int = 0,
 ) -> None:
-    w.ue(0)  # first_mb_in_slice
+    w.ue(first_mb)  # first_mb_in_slice
     # I/P/B + 5: 'all slices in this picture have this type'
     w.ue({"I": 7, "P": 5, "B": 6}[slice_type])
     w.ue(0)  # pps_id
@@ -1248,8 +1319,7 @@ def _parse_slice_header(
     decode with swapped L0/L1 lists against the recency-ordered DPB
     and emit silent wrong frames (round-12 review); with the check it
     quarantines.  An IDR resets the context."""
-    if r.ue() != 0:
-        raise MediaFormatError("multi-slice pictures unsupported")
+    first_mb = r.ue()
     slice_type = r.ue()
     if slice_type % 5 == 2:
         stype = "I"
@@ -1291,7 +1361,7 @@ def _parse_slice_header(
             poc_ctx["poc"] = poc_lsb
             poc_ctx["poc_full"] = poc_full
     info = {"num_ref_l0": 1, "num_ref_l1": 1, "direct_spatial": True,
-            "poc": poc_full}
+            "poc": poc_full, "first_mb": first_mb}
     if stype == "B":
         info["direct_spatial"] = bool(r.u(1))
         if r.u(1):  # num_ref_idx_active_override_flag
@@ -1425,19 +1495,20 @@ def _encode_chroma(
     spec codes a single intra_chroma_pred_mode), chosen by joint SAD.
     Our PPS writes chroma_qp_index_offset=0."""
     qpc = _QPC[max(0, min(51, qp))]
+    avail_l, avail_t = _avail_lt(st, mbx, mby)
     clegal = [C_DC]
-    if mbx > 0:
+    if avail_l:
         clegal.append(C_HORIZONTAL)
-    if mby > 0:
+    if avail_t:
         clegal.append(C_VERTICAL)
-    if mbx > 0 and mby > 0:
+    if avail_l and avail_t:
         clegal.append(C_PLANE)
     cx0, cy0 = mbx * 8, mby * 8
 
     def _joint_sad(m: int) -> int:
         s = 0
         for plane, srcp in ((st.u, src_u), (st.v, src_v)):
-            cp = _pred_chroma8(m, plane, mbx, mby)
+            cp = _pred_chroma8(m, plane, mbx, mby, st=st)
             s += int(
                 np.abs(
                     srcp[cy0 : cy0 + 8, cx0 : cx0 + 8].astype(np.int64) - cp
@@ -1448,7 +1519,7 @@ def _encode_chroma(
     chroma_mode = min(clegal, key=_joint_sad)
     cres = [
         src[cy0 : cy0 + 8, cx0 : cx0 + 8].astype(np.int64)
-        - _pred_chroma8(chroma_mode, plane, mbx, mby)
+        - _pred_chroma8(chroma_mode, plane, mbx, mby, st=st)
         for plane, src in ((st.u, src_u), (st.v, src_v))
     ]
     cbp_chroma, cdcq, cacq = _chroma_transform_quant(cres, qpc)
@@ -1544,14 +1615,15 @@ def _intra_mode_estimate(
     >20%).  Returns (use_i4, pred_mode, preds, src_blk)."""
     x0, y0 = mbx * 16, mby * 16
     src_blk = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64)
+    avail_l, avail_t = _avail_lt(st, mbx, mby)
     legal = [L16_DC]
-    if mby > 0:
+    if avail_t:
         legal.append(L16_VERTICAL)
-    if mbx > 0:
+    if avail_l:
         legal.append(L16_HORIZONTAL)
-    if mbx > 0 and mby > 0:
+    if avail_l and avail_t:
         legal.append(L16_PLANE)
-    preds = {m: _pred_luma16(m, st.y, mbx, mby) for m in legal}
+    preds = {m: _pred_luma16(m, st.y, mbx, mby, st=st) for m in legal}
     pred_mode = min(
         legal, key=lambda m: int(np.abs(src_blk - preds[m]).sum())
     )
@@ -1561,7 +1633,7 @@ def _intra_mode_estimate(
         bx, by = _LUMA_BLK_XY[blk]
         abx, aby = mbx * 4 + bx, mby * 4 + by
         left, top, corner, avail_l, avail_t = _fetch_i4_neighbours(
-            src_y, abx, aby
+            src_y, abx, aby, st=st
         )
         sblk = src_y[aby * 4 : aby * 4 + 4, abx * 4 : abx * 4 + 4].astype(
             np.int64
@@ -1751,6 +1823,105 @@ def encode_frame_nal(
     return nal, recon
 
 
+def _slice_ranges(n_mbs: int, n_slices: int) -> list[tuple[int, int]]:
+    """Balanced contiguous [start, end) macroblock ranges."""
+    n_slices = max(1, min(n_slices, n_mbs))
+    base, extra = divmod(n_mbs, n_slices)
+    out, start = [], 0
+    for si in range(n_slices):
+        end = start + base + (1 if si < extra else 0)
+        out.append((start, end))
+        start = end
+    return out
+
+
+def encode_h264_multislice(
+    width: int, height: int, frames_rgb: list[bytes],
+    qp: int = DEFAULT_QP, n_slices: int = 2, return_recon: bool = False,
+):
+    """Frames → (SPS, PPS, [[slice NALs] per picture][, recon
+    frames]): the IPPP chain with every picture coded as ``n_slices``
+    contiguous-range slices (round 13).  Each slice re-anchors
+    availability — intra prediction, CAVLC nC contexts, MV prediction
+    and skip inference all stop at the slice border (§6.4.9) — and
+    carries its own mb_skip_run state; the deblocking filter still
+    crosses slice borders (disable_deblocking_filter_idc 0), matching
+    the decoder's frame-level post-pass."""
+    sps = write_h264_sps(width, height, 66, 30)
+    pps = write_pps(DEFAULT_QP)
+    pictures: list[list[bytes]] = []
+    recons = []
+    planes = None
+    for fi, rgb in enumerate(frames_rgb):
+        y, u, v = rgb_to_yuv420(rgb, width, height)
+        y, u, v = _pad_plane(y, 16), _pad_plane(u, 8), _pad_plane(v, 8)
+        mb_w, mb_h = y.shape[1] // 16, y.shape[0] // 16
+        st = _FrameState(mb_w, mb_h)
+        st.slice_id[:] = -1
+        nals = []
+        for si, (start, end) in enumerate(
+            _slice_ranges(mb_w * mb_h, n_slices)
+        ):
+            st.cur_slice = si
+            w = _BitWriter()
+            _write_slice_header(
+                w, qp, DEFAULT_QP, 0, log2_max_frame_num=4,
+                poc_type=0, log2_max_poc_lsb=4,
+                slice_type="I" if fi == 0 else "P",
+                frame_num=fi, first_mb=start,
+            )
+            skip_run = 0
+            for i in range(start, end):
+                mbx, mby = i % mb_w, i // mb_w
+                st.slice_id[mby, mbx] = si
+                if fi == 0:
+                    _encode_mb(w, st, mbx, mby, qp, y, u, v)
+                else:
+                    skip_run = _encode_p_mb(
+                        w, st, mbx, mby, qp, y, u, v, planes, skip_run
+                    )
+            if skip_run:
+                w.ue(skip_run)  # trailing skip run ends the slice
+            hdr = b"\x65" if fi == 0 else b"\x41"
+            nals.append(hdr + w.finish())
+        pictures.append(nals)
+        planes = deblock_frame(st.y, st.u, st.v, qp, st=st if fi else None)
+        recons.append(planes)
+    if not return_recon:
+        return sps, pps, pictures
+    rgb_recons = [
+        yuv420_to_rgb(
+            y[:height, :width],
+            u[: (height + 1) // 2, : (width + 1) // 2],
+            v[: (height + 1) // 2, : (width + 1) // 2],
+        )
+        for y, u, v in recons
+    ]
+    return sps, pps, pictures, rgb_recons
+
+
+def slice_first_mb(nal: bytes) -> int:
+    """first_mb_in_slice of a coded slice NAL — the picture-boundary
+    signal the stream walkers group by (a new picture starts at 0)."""
+    r = _BitReader(_unescape_rbsp(nal[1:]))
+    return r.ue()
+
+
+def _decode_i_slice_mbs(
+    r: _BitReader, st: _FrameState, qp: int, cqo: int,
+    first_mb: int = 0, until_end: bool = False,
+) -> int:
+    n_mbs = st.mb_w * st.mb_h
+    i = first_mb
+    while i < n_mbs:
+        if until_end and i > first_mb and r.byte_aligned_stop():
+            break
+        st.slice_id[i // st.mb_w, i % st.mb_w] = st.cur_slice
+        _decode_mb(r, st, i % st.mb_w, i // st.mb_w, qp, cqo)
+        i += 1
+    return i
+
+
 def decode_frame_nal(
     nal: bytes, sps: dict, pps: dict,
     ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
@@ -1762,21 +1933,52 @@ def decode_frame_nal(
     refs: list | None = None,
     ref_pocs: list | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Slice NAL → reconstructed (Y, U, V) planes (coded size; caller
-    crops).  IDR slices decode standalone; P slices require ``ref`` —
-    the most recent REFERENCE picture's output planes; B slices
-    additionally require ``ref2`` — the previous reference (L1[0]
-    under the default-list swap) — and use ``col_motion`` (that same
-    picture's motion snapshot) for spatial direct.  Callers tracking a
-    DPB pass ``motion_sink`` on REFERENCE pictures to capture the
-    motion state the next B picture's direct derivation reads, and a
-    shared ``poc_ctx`` so _parse_slice_header can reject
-    display-reordered (non-low-delay) streams.  CABAC slices bypass
-    the POC check — they are provenance-gated to this module's own
-    (low-delay, B-free) streams already."""
-    if not nal:
+    """Single slice NAL covering a WHOLE picture → reconstructed
+    (Y, U, V) planes (coded size; caller crops) — the one-slice
+    special case of decode_picture below."""
+    return decode_picture(
+        [nal], sps, pps, ref=ref, cabac_ok=cabac_ok, ref2=ref2,
+        col_motion=col_motion, motion_sink=motion_sink,
+        poc_ctx=poc_ctx, refs=refs, ref_pocs=ref_pocs,
+    )
+
+
+def decode_picture(
+    nals: list[bytes], sps: dict, pps: dict,
+    ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+    cabac_ok: bool = False,
+    ref2: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+    col_motion: dict | None = None,
+    motion_sink: dict | None = None,
+    poc_ctx: dict | None = None,
+    refs: list | None = None,
+    ref_pocs: list | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The slice NALs of ONE picture (contiguous first_mb ranges, in
+    order) → reconstructed (Y, U, V) planes.  IDR slices decode
+    standalone; P slices require ``ref`` — the most recent REFERENCE
+    picture's output planes; B slices additionally require ``ref2`` —
+    the previous reference (L1[0] under the default-list swap) — and
+    use ``col_motion`` (that same picture's motion snapshot) for
+    direct prediction.  Callers tracking a DPB pass ``motion_sink``
+    on REFERENCE pictures to capture the motion state the next B
+    picture's direct derivation reads, and a shared ``poc_ctx`` so
+    _parse_slice_header can reject display-reordered (non-low-delay)
+    streams.  CABAC slices bypass the POC check — they are
+    provenance-gated to this module's own (low-delay, B-free,
+    single-slice) streams already.
+
+    MULTI-SLICE pictures (round 13): each slice carries its own QP
+    and skip runs; neighbour availability stops at the slice border
+    (§6.4.9 — the per-MB slice grid gates intra prediction, CAVLC nC
+    and MV prediction alike); slices must share the slice type and
+    deblock settings (subset bound), tile the picture exactly, and
+    agree on pic_order_cnt_lsb."""
+    if not nals or not nals[0]:
         raise MediaFormatError("empty NAL")
-    nal_type = nal[0] & 0x1F
+    nal_type = nals[0][0] & 0x1F
+    if any((n[0] & 0x1F) != nal_type for n in nals):
+        raise MediaFormatError("mixed NAL types within one picture")
     if nal_type not in (1, 5):
         raise MediaFormatError(f"unexpected NAL type {nal_type} for slice")
     if pps.get("entropy_coding_mode"):
@@ -1790,63 +1992,110 @@ def decode_frame_nal(
                 "CABAC slice without the h264_cabac provenance marker: "
                 "decode quarantined"
             )
+        if len(nals) != 1:
+            raise MediaFormatError(
+                "multi-slice CABAC pictures outside the subset"
+            )
         from reindexer_spark.h264_cabac import decode_frame_nal_cabac
 
-        return decode_frame_nal_cabac(nal, sps, pps, ref=ref)
-    r = _BitReader(_unescape_rbsp(nal[1:]))
-    stype, qp, deblock, a_off, b_off, hinfo = _parse_slice_header(
-        r, sps, pps, idr=nal_type == 5, nal_ref_idc=nal[0] >> 5,
-        poc_ctx=poc_ctx,
-    )
+        return decode_frame_nal_cabac(nals[0], sps, pps, ref=ref)
     st = _FrameState(sps["mb_w"], sps["mb_h"])
+    if len(nals) > 1:
+        st.slice_id[:] = -1  # nothing decoded yet
     cqo = pps.get("chroma_qp_index_offset", 0)
-    if stype == "P":
-        l0 = refs if refs is not None else (
-            [ref] if ref is not None else []
+    n_mbs = sps["mb_w"] * sps["mb_h"]
+    expected = 0
+    pic = None  # (stype, deblock, a_off, b_off, poc_lsb_raw)
+    hinfo = None
+    for si, nal in enumerate(nals):
+        r = _BitReader(_unescape_rbsp(nal[1:]))
+        stype, qp, deblock, a_off, b_off, hinfo = _parse_slice_header(
+            r, sps, pps, idr=nal_type == 5, nal_ref_idc=nal[0] >> 5,
+            poc_ctx=poc_ctx if si == 0 else None,
         )
-        if not l0:
+        if si == 0:
+            pic = (stype, deblock, a_off, b_off, qp)
+            poc_full = hinfo["poc"]
+        else:
+            if (stype, deblock, a_off, b_off, qp) != pic:
+                # per-slice QP is legal H.264, but the §8.7 filter
+                # thresholds here are per-picture — refuse rather than
+                # filter with the wrong QP
+                raise MediaFormatError(
+                    "slices of one picture disagree on type, QP or "
+                    "deblock settings"
+                )
+            hinfo["poc"] = poc_full  # later slices parsed without ctx
+        if hinfo["first_mb"] != expected:
             raise MediaFormatError(
-                "P slice without a decoded reference picture"
+                "slice does not tile the picture (first_mb gap or "
+                "overlap)"
             )
-        n_ref = hinfo["num_ref_l0"]
-        if n_ref > len(l0):
-            raise MediaFormatError(
-                "num_ref_idx_active exceeds the decoded DPB depth"
+        st.cur_slice = si
+        until_end = len(nals) > 1
+        if stype == "P":
+            l0 = refs if refs is not None else (
+                [ref] if ref is not None else []
             )
-        if ref_pocs is not None:
-            st.l0_pocs = tuple(ref_pocs[:n_ref])
-        _decode_p_slice_mbs(
-            r, st, qp, cqo, l0[0],
-            refs=l0[:n_ref] if n_ref > 1 else None, n_ref=n_ref,
-            wp=hinfo.get("wp"),
-        )
-    elif stype == "B":
-        l0 = refs if refs is not None else (
-            [ref, ref2] if ref is not None and ref2 is not None else []
-        )
-        if len(l0) < 2:
-            raise MediaFormatError(
-                "B slice without two decoded reference pictures"
+            if not l0:
+                raise MediaFormatError(
+                    "P slice without a decoded reference picture"
+                )
+            n_ref = hinfo["num_ref_l0"]
+            if n_ref > len(l0):
+                raise MediaFormatError(
+                    "num_ref_idx_active exceeds the decoded DPB depth"
+                )
+            if ref_pocs is not None:
+                st.l0_pocs = tuple(ref_pocs[:n_ref])
+            expected = _decode_p_slice_mbs(
+                r, st, qp, cqo, l0[0],
+                refs=l0[:n_ref] if n_ref > 1 else None, n_ref=n_ref,
+                wp=hinfo.get("wp"),
+                first_mb=expected, until_end=until_end,
             )
-        if hinfo["num_ref_l0"] > len(l0) or hinfo["num_ref_l1"] > len(l0):
-            raise MediaFormatError(
-                "num_ref_idx_active exceeds the decoded DPB depth"
+        elif stype == "B":
+            l0 = refs if refs is not None else (
+                [ref, ref2]
+                if ref is not None and ref2 is not None else []
             )
-        ctx = _b_ctx(
-            l0, direct_spatial=hinfo["direct_spatial"],
-            col=col_motion,
-            l0_pocs=ref_pocs[: len(l0)] if ref_pocs is not None else None,
-            poc=hinfo["poc"],
-            n_ref_l0=hinfo["num_ref_l0"], n_ref_l1=hinfo["num_ref_l1"],
-        )
-        if ctx["l0_pocs"] is not None:
-            st.l0_pocs = ctx["l0_pocs"]
-            st.l1_pocs = ctx["l1_pocs"]
-        _decode_b_slice_mbs(r, st, qp, cqo, ctx)
-    else:
-        for mby in range(sps["mb_h"]):
-            for mbx in range(sps["mb_w"]):
-                _decode_mb(r, st, mbx, mby, qp, cqo)
+            if len(l0) < 2:
+                raise MediaFormatError(
+                    "B slice without two decoded reference pictures"
+                )
+            if (
+                hinfo["num_ref_l0"] > len(l0)
+                or hinfo["num_ref_l1"] > len(l0)
+            ):
+                raise MediaFormatError(
+                    "num_ref_idx_active exceeds the decoded DPB depth"
+                )
+            ctx = _b_ctx(
+                l0, direct_spatial=hinfo["direct_spatial"],
+                col=col_motion,
+                l0_pocs=(
+                    ref_pocs[: len(l0)] if ref_pocs is not None else None
+                ),
+                poc=hinfo["poc"],
+                n_ref_l0=hinfo["num_ref_l0"],
+                n_ref_l1=hinfo["num_ref_l1"],
+            )
+            if ctx["l0_pocs"] is not None:
+                st.l0_pocs = ctx["l0_pocs"]
+                st.l1_pocs = ctx["l1_pocs"]
+            expected = _decode_b_slice_mbs(
+                r, st, qp, cqo, ctx,
+                first_mb=expected, until_end=until_end,
+            )
+        else:
+            expected = _decode_i_slice_mbs(
+                r, st, qp, cqo, first_mb=expected, until_end=until_end,
+            )
+        if not r.byte_aligned_stop():
+            raise MediaFormatError("trailing bits after last macroblock")
+    if expected != n_mbs:
+        raise MediaFormatError("slices do not cover the whole picture")
+    stype, deblock, a_off, b_off, qp = pic
     if motion_sink is not None:
         motion_sink.update(_motion_snapshot(st))
         motion_sink["poc"] = hinfo["poc"]
@@ -1854,13 +2103,15 @@ def decode_frame_nal(
             # single-ref P: L0 = [refs[0]] — temporal direct still
             # needs to know which PICTURE that is
             motion_sink["l0_pocs"] = (ref_pocs[0],)
-    if not r.byte_aligned_stop():
-        raise MediaFormatError("trailing bits after last macroblock")
     if deblock:
         # output post-pass only: intra prediction above already read
         # the unfiltered samples, per §8.7 / §8.3.1.  P pictures use
         # the §8.7.2.1 per-edge strengths from the frame state; the
         # FILTERED picture is what callers store as the next reference
+        # (filtering crosses slice borders — idc 0; idc 2 would skip
+        # them and quarantines for multi-slice pictures in the header
+        # consistency check above only if settings differ, so the
+        # encoder subset never emits it)
         return deblock_frame(
             st.y, st.u, st.v, qp, cqo, a_off, b_off,
             st=st if stype in ("P", "B") else None,
@@ -2005,7 +2256,7 @@ def decode_avcc_samples(
     ref_pocs: list = []  # parallel full POCs (temporal direct, bS)
     poc_ctx: dict = {}  # low-delay POC monotonicity + full unwrap
     for nals in sample_nals:
-        frame = None
+        slice_nals_au: list[bytes] = []
         for nal in nals:
             t = nal[0] & 0x1F
             if t == 7:
@@ -2023,46 +2274,49 @@ def decode_avcc_samples(
             elif t in (6, 9):
                 continue  # SEI / AUD (provenance verified in pre-pass)
             elif t in (1, 5):
-                if frame is not None:
-                    raise MediaFormatError("multi-slice sample unsupported")
-                if t == 5:
-                    # an IDR empties the DPB (8.2.5.1): pre-IDR
-                    # references must never predict post-IDR pictures
-                    refs, ref_motion, ref_pocs = [], [], []
-                sink: dict = {}
-                y, u, v = decode_frame_nal(
-                    nal, sps, pps,
-                    ref=refs[0] if refs else None,
-                    ref2=refs[1] if len(refs) > 1 else None,
-                    cabac_ok=marker_seen,
-                    col_motion=(
-                        ref_motion[1] if len(ref_motion) > 1 else None
-                    ),
-                    motion_sink=sink,
-                    poc_ctx=poc_ctx,
-                    refs=refs if len(refs) > 1 else None,
-                    ref_pocs=(
-                        ref_pocs
-                        if refs and all(p is not None for p in ref_pocs)
-                        else None
-                    ),
-                )
-                if nal[0] >> 5:  # reference picture → enters the DPB
-                    refs = [(y, u, v)] + refs[:7]
-                    ref_motion = [sink or None] + ref_motion[:7]
-                    ref_pocs = [sink.get("poc")] + ref_pocs[:7]
-                ct, cl = sps["crop_t"], sps["crop_l"]
-                frame = yuv420_to_rgb(
-                    y[ct : ct + h, cl : cl + w],
-                    u[ct // 2 : ct // 2 + (h + 1) // 2,
-                      cl // 2 : cl // 2 + (w + 1) // 2],
-                    v[ct // 2 : ct // 2 + (h + 1) // 2,
-                      cl // 2 : cl // 2 + (w + 1) // 2],
-                )
+                # one sample = one access unit: its slice NALs (one
+                # or SEVERAL — multi-slice pictures, round 13) decode
+                # together after the in-band parameter sets resolve
+                slice_nals_au.append(nal)
             else:
                 raise MediaFormatError(f"unsupported NAL type {t} in sample")
-        if frame is None:
+        if not slice_nals_au:
             raise MediaFormatError("sample carries no coded slice")
+        t0 = slice_nals_au[0][0] & 0x1F
+        if t0 == 5:
+            # an IDR empties the DPB (8.2.5.1): pre-IDR references
+            # must never predict post-IDR pictures
+            refs, ref_motion, ref_pocs = [], [], []
+        sink: dict = {}
+        y, u, v = decode_picture(
+            slice_nals_au, sps, pps,
+            ref=refs[0] if refs else None,
+            ref2=refs[1] if len(refs) > 1 else None,
+            cabac_ok=marker_seen,
+            col_motion=(
+                ref_motion[1] if len(ref_motion) > 1 else None
+            ),
+            motion_sink=sink,
+            poc_ctx=poc_ctx,
+            refs=refs if len(refs) > 1 else None,
+            ref_pocs=(
+                ref_pocs
+                if refs and all(p is not None for p in ref_pocs)
+                else None
+            ),
+        )
+        if slice_nals_au[0][0] >> 5:  # reference picture → enters DPB
+            refs = [(y, u, v)] + refs[:7]
+            ref_motion = [sink or None] + ref_motion[:7]
+            ref_pocs = [sink.get("poc")] + ref_pocs[:7]
+        ct, cl = sps["crop_t"], sps["crop_l"]
+        frame = yuv420_to_rgb(
+            y[ct : ct + h, cl : cl + w],
+            u[ct // 2 : ct // 2 + (h + 1) // 2,
+              cl // 2 : cl // 2 + (w + 1) // 2],
+            v[ct // 2 : ct // 2 + (h + 1) // 2,
+              cl // 2 : cl // 2 + (w + 1) // 2],
+        )
         frames.append(frame)
     return w, h, frames
 
@@ -2111,9 +2365,19 @@ def encode_avcc_samples(
         sps, pps, nals = encode_h264_ippp(
             width, height, frames_rgb, qp, weighted=True
         )
+    elif gop == "ippp-ms2":
+        sps, pps, pics = encode_h264_multislice(
+            width, height, frames_rgb, qp, n_slices=2
+        )
+        nals = None
     else:
         sps, pps, nals = encode_h264_intra(width, height, frames_rgb, qp)
-    samples = [len(n).to_bytes(4, "big") + n for n in nals]
+    if nals is not None:
+        pics = [[n] for n in nals]
+    samples = [
+        b"".join(len(n).to_bytes(4, "big") + n for n in pic)
+        for pic in pics
+    ]
     if prefix_nals:
         samples[0] = (
             b"".join(len(n).to_bytes(4, "big") + n for n in prefix_nals)
@@ -2571,16 +2835,24 @@ def _blk_order(abx: int, aby: int, mb_w: int) -> int:
     ]
 
 
-def _fetch_i4_neighbours(plane: np.ndarray, abx: int, aby: int):
+def _fetch_i4_neighbours(plane: np.ndarray, abx: int, aby: int, st=None):
     """(left[4], top[8], corner, avail_left, avail_top) for the 4x4
     block at absolute block coords; top[4..7] (the top-right run)
     substitutes top[3] when the above-right block is not yet decoded
-    (§8.3.1.2's sample substitution)."""
+    (§8.3.1.2's sample substitution).  ``st`` makes availability
+    slice-aware (§6.4.9): a neighbour in another slice is absent —
+    and since slices are contiguous raster ranges, a same-slice top
+    neighbour implies the corner and above-right run are same-slice
+    too."""
     x0, y0 = abx * 4, aby * 4
     h, w = plane.shape
     blocks_w, mb_w = w // 4, w // 16
-    avail_top = aby > 0
-    avail_left = abx > 0
+    if st is None:
+        avail_top = aby > 0
+        avail_left = abx > 0
+    else:
+        avail_top = st.blk_avail(abx, aby - 1)
+        avail_left = st.blk_avail(abx - 1, aby)
     top = np.zeros(8, dtype=np.int64)
     left = np.zeros(4, dtype=np.int64)
     corner = 0
@@ -2589,6 +2861,8 @@ def _fetch_i4_neighbours(plane: np.ndarray, abx: int, aby: int):
         tr_ok = abx + 1 < blocks_w and _blk_order(
             abx + 1, aby - 1, mb_w
         ) < _blk_order(abx, aby, mb_w)
+        if st is not None:
+            tr_ok = tr_ok and st.blk_avail(abx + 1, aby - 1)
         if tr_ok:
             top[4:] = plane[y0 - 1, x0 + 4 : x0 + 8]
         else:
@@ -2761,7 +3035,7 @@ def _encode_i4_mb(
         abx, aby = mbx * 4 + bx, mby * 4 + by
         x0, y0 = abx * 4, aby * 4
         left, top, corner, avail_l, avail_t = _fetch_i4_neighbours(
-            st.y, abx, aby
+            st.y, abx, aby, st=st
         )
         src_blk = src_y[y0 : y0 + 4, x0 : x0 + 4].astype(np.int64)
         best_sad, mode, best_pred = None, None, None
@@ -2858,7 +3132,7 @@ def _decode_i4_mb(
             st.nc_y[aby, abx] = 0
             z = np.zeros((4, 4), dtype=np.int64)
         left, top, corner, avail_l, avail_t = _fetch_i4_neighbours(
-            st.y, abx, aby
+            st.y, abx, aby, st=st
         )
         pred = _pred_i4(modes[blk], left, top, corner, avail_l, avail_t)
         st.y[y0 : y0 + 4, x0 : x0 + 4] = np.clip(
@@ -3000,7 +3274,7 @@ def _mv_nbr(st: _FrameState, bx: int, by: int):
     """Neighbour block info for MV prediction: (available, inter, mv,
     refIdxL0).  Out-of-picture → unavailable; intra blocks are
     available but not inter (refIdx -1, mv 0 per §8.4.1.3.2)."""
-    if bx < 0 or by < 0 or bx >= st.mb_w * 4 or by >= st.mb_h * 4:
+    if not st.blk_avail(bx, by):
         return (False, False, (0, 0), -1)
     if not st.inter[by, bx]:
         return (True, False, (0, 0), -1)
@@ -3029,14 +3303,13 @@ def _pred_mv(
     # substitute D (top-left)
     c_bx = abx + pw
     if (
-        c_bx < st.mb_w * 4
-        and aby > 0
+        st.blk_avail(c_bx, aby - 1)
         and _blk_order(c_bx, aby - 1, st.mb_w)
         < _blk_order(abx, aby, st.mb_w)
     ):
         c = _mv_nbr(st, c_bx, aby - 1)
     else:
-        c = (False, False, (0, 0))
+        c = (False, False, (0, 0), -1)
     if not c[0]:
         c = _mv_nbr(st, abx - 1, aby - 1)  # D
     # §8.4.1.3.2 edge rule: only A usable → A supplies B and C
@@ -3176,7 +3449,7 @@ def _mv_nbr_l(st: _FrameState, bx: int, by: int, lst: int):
     """Per-list neighbour info for B MV prediction: (available,
     uses-this-list, mv, refIdx).  A neighbour that doesn't predict
     from the list contributes refIdx -1 / mv 0 (§8.4.1.3.2)."""
-    if bx < 0 or by < 0 or bx >= st.mb_w * 4 or by >= st.mb_h * 4:
+    if not st.blk_avail(bx, by):
         return (False, False, (0, 0), -1)
     uses = st.uses1 if lst else st.uses0
     if not uses[by, bx]:
@@ -3207,8 +3480,7 @@ def _b_nbrs(
     b = _mv_nbr_l(st, abx, aby - 1, lst)
     c_bx = abx + pw
     if (
-        c_bx < st.mb_w * 4
-        and aby > 0
+        st.blk_avail(c_bx, aby - 1)
         and _blk_order(c_bx, aby - 1, st.mb_w)
         < _blk_order(abx, aby, st.mb_w)
     ):
@@ -3486,13 +3758,16 @@ def _p_mb_decide(
             cost8 += choice[2]
         best_sub = (sub_types, sub_parts, sub_mvs, cost8)
     # ---- intra fallback cost (same SAD basis)
+    avail_l16, avail_t16 = _avail_lt(st, mbx, mby)
     legal = [L16_DC]
-    if mby > 0:
+    if avail_t16:
         legal.append(L16_VERTICAL)
-    if mbx > 0:
+    if avail_l16:
         legal.append(L16_HORIZONTAL)
     intra_sad = min(
-        int(np.abs(src_blk - _pred_luma16(m, st.y, mbx, mby)).sum())
+        int(np.abs(
+            src_blk - _pred_luma16(m, st.y, mbx, mby, st=st)
+        ).sum())
         for m in legal
     )
     inter_cost = min(
@@ -3719,23 +3994,31 @@ def _decode_p_slice_mbs(
     r: _BitReader, st: _FrameState, qp: int, cqo: int,
     ref: tuple[np.ndarray, np.ndarray, np.ndarray],
     refs: list | None = None, n_ref: int = 1, wp: dict | None = None,
-) -> None:
+    first_mb: int = 0, until_end: bool = False,
+) -> int:
     n_mbs = st.mb_w * st.mb_h
-    i = 0
+    i = first_mb
     while i < n_mbs:
+        if until_end and i > first_mb and r.byte_aligned_stop():
+            break  # the slice's own rbsp end bounds it (§7.3.4)
         run = r.ue()  # mb_skip_run
         if run > n_mbs - i:
             raise MediaFormatError("mb_skip_run overruns the picture")
         for _ in range(run):
+            st.slice_id[i // st.mb_w, i % st.mb_w] = st.cur_slice
             _recon_p_skip(st, i % st.mb_w, i // st.mb_w, ref, wp=wp)
             i += 1
         if i >= n_mbs:
             break
+        if until_end and run and r.byte_aligned_stop():
+            break  # slice ended on a trailing skip run
+        st.slice_id[i // st.mb_w, i % st.mb_w] = st.cur_slice
         _decode_p_mb(
             r, st, i % st.mb_w, i // st.mb_w, qp, cqo, ref,
             refs=refs, n_ref=n_ref, wp=wp,
         )
         i += 1
+    return i
 
 
 _B_MODE_MBTYPE = {"l0": 1, "l1": 2, "bi": 3}  # Table 7-14
@@ -4320,13 +4603,16 @@ def _b_mb_decide(
         )
         if part_cand is not None and part_cand["cost"] < cost:
             mode, cost = "parts", part_cand["cost"]
+    avail_l16, avail_t16 = _avail_lt(st, mbx, mby)
     legal = [L16_DC]
-    if mby > 0:
+    if avail_t16:
         legal.append(L16_VERTICAL)
-    if mbx > 0:
+    if avail_l16:
         legal.append(L16_HORIZONTAL)
     intra_sad = min(
-        int(np.abs(src_blk - _pred_luma16(m, st.y, mbx, mby)).sum())
+        int(np.abs(
+            src_blk - _pred_luma16(m, st.y, mbx, mby, st=st)
+        ).sum())
         for m in legal
     )
     if intra_sad + 24 < cost:
@@ -4789,21 +5075,29 @@ def _decode_b_part_mb(
 
 def _decode_b_slice_mbs(
     r: _BitReader, st: _FrameState, qp: int, cqo: int, ctx: dict,
-) -> None:
+    first_mb: int = 0, until_end: bool = False,
+) -> int:
     n_mbs = st.mb_w * st.mb_h
-    i = 0
+    i = first_mb
     while i < n_mbs:
+        if until_end and i > first_mb and r.byte_aligned_stop():
+            break
         run = r.ue()  # mb_skip_run: B_Skip = direct, no residue
         if run > n_mbs - i:
             raise MediaFormatError("mb_skip_run overruns the picture")
         for _ in range(run):
+            st.slice_id[i // st.mb_w, i % st.mb_w] = st.cur_slice
             _recon_b_skip(st, i % st.mb_w, i // st.mb_w, ctx)
             _ensure_b_counts(st)["skip"] += 1
             i += 1
         if i >= n_mbs:
             break
+        if until_end and run and r.byte_aligned_stop():
+            break
+        st.slice_id[i // st.mb_w, i % st.mb_w] = st.cur_slice
         _decode_b_mb(r, st, i % st.mb_w, i // st.mb_w, qp, cqo, ctx)
         i += 1
+    return i
 
 
 def b_mode_histogram(
@@ -5150,14 +5444,27 @@ def decode_h264_stream(
         [n for n in slice_nals if (n[0] & 0x1F) == 6],
         [n for n in slice_nals if (n[0] & 0x1F) in (1, 5)],
     )
+    # group slice NALs into pictures: a slice with first_mb 0 starts
+    # a new access unit (multi-slice pictures, round 13)
+    pictures: list[list[bytes]] = []
     for nal in slice_nals:
         if (nal[0] & 0x1F) == 6:
             continue  # provenance verified in pre-pass
+        if (
+            pictures
+            and not pps.get("entropy_coding_mode")
+            and slice_first_mb(nal) != 0
+        ):
+            pictures[-1].append(nal)
+        else:
+            pictures.append([nal])
+    for pic_nals in pictures:
+        nal = pic_nals[0]
         if (nal[0] & 0x1F) == 5:
             refs, ref_motion, ref_pocs = [], [], []  # IDR: DPB empties
         sink: dict = {}
-        planes = decode_frame_nal(
-            nal, sps, pps,
+        planes = decode_picture(
+            pic_nals, sps, pps,
             ref=refs[0] if refs else None,
             ref2=refs[1] if len(refs) > 1 else None,
             cabac_ok=marker_seen,
