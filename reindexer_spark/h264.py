@@ -758,13 +758,26 @@ def _avail_lt(st, mbx: int, mby: int) -> tuple[bool, bool]:
     return st.mb_avail(mbx - 1, mby), st.mb_avail(mbx, mby - 1)
 
 
+def _avail_ltc(st, mbx: int, mby: int) -> tuple[bool, bool, bool]:
+    """(left, top, top-left corner) availability.  The corner needs
+    its OWN slice check: the MB above can be the first MB of a slice
+    whose predecessor (the corner) belongs to the previous slice."""
+    if st is None:
+        return mbx > 0, mby > 0, mbx > 0 and mby > 0
+    return (
+        st.mb_avail(mbx - 1, mby),
+        st.mb_avail(mbx, mby - 1),
+        st.mb_avail(mbx - 1, mby - 1),
+    )
+
+
 def _pred_luma16(
     mode: int, recon: np.ndarray, mbx: int, mby: int, st=None
 ) -> np.ndarray:
     """16x16 luma prediction block for the given Intra_16x16 mode;
     raises MediaFormatError when the mode's neighbours are absent (a
     conforming encoder never picks such a mode)."""
-    avail_l, avail_t = _avail_lt(st, mbx, mby)
+    avail_l, avail_t, avail_c = _avail_ltc(st, mbx, mby)
     x0, y0 = mbx * 16, mby * 16
     top = (
         recon[y0 - 1, x0 : x0 + 16].astype(np.int64) if avail_t else None
@@ -785,7 +798,7 @@ def _pred_luma16(
             raise MediaFormatError("horizontal pred without left neighbour")
         return np.tile(left[:, None], (1, 16))
     if mode == L16_PLANE:
-        if top is None or left is None:
+        if top is None or left is None or not avail_c:
             raise MediaFormatError("plane pred without both neighbours")
         corner = int(recon[y0 - 1, x0 - 1])
         return _plane_pred(top, left, corner, 16)
@@ -796,7 +809,7 @@ def _pred_chroma8(
     mode: int, recon: np.ndarray, mbx: int, mby: int, st=None
 ) -> np.ndarray:
     """8x8 chroma prediction for intra_chroma_pred_mode (§8.3.4)."""
-    avail_l, avail_t = _avail_lt(st, mbx, mby)
+    avail_l, avail_t, avail_c = _avail_ltc(st, mbx, mby)
     x0, y0 = mbx * 8, mby * 8
     top = (
         recon[y0 - 1, x0 : x0 + 8].astype(np.int64) if avail_t else None
@@ -815,7 +828,7 @@ def _pred_chroma8(
             raise MediaFormatError("chroma V pred without top neighbour")
         return np.tile(top, (8, 1))
     if mode == C_PLANE:
-        if top is None or left is None:
+        if top is None or left is None or not avail_c:
             raise MediaFormatError("chroma plane pred without neighbours")
         corner = int(recon[y0 - 1, x0 - 1])
         return _plane_pred(top, left, corner, 8)
@@ -1495,13 +1508,13 @@ def _encode_chroma(
     spec codes a single intra_chroma_pred_mode), chosen by joint SAD.
     Our PPS writes chroma_qp_index_offset=0."""
     qpc = _QPC[max(0, min(51, qp))]
-    avail_l, avail_t = _avail_lt(st, mbx, mby)
+    avail_l, avail_t, avail_c = _avail_ltc(st, mbx, mby)
     clegal = [C_DC]
     if avail_l:
         clegal.append(C_HORIZONTAL)
     if avail_t:
         clegal.append(C_VERTICAL)
-    if avail_l and avail_t:
+    if avail_l and avail_t and avail_c:
         clegal.append(C_PLANE)
     cx0, cy0 = mbx * 8, mby * 8
 
@@ -1615,13 +1628,13 @@ def _intra_mode_estimate(
     >20%).  Returns (use_i4, pred_mode, preds, src_blk)."""
     x0, y0 = mbx * 16, mby * 16
     src_blk = src_y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64)
-    avail_l, avail_t = _avail_lt(st, mbx, mby)
+    avail_l, avail_t, avail_c = _avail_ltc(st, mbx, mby)
     legal = [L16_DC]
     if avail_t:
         legal.append(L16_VERTICAL)
     if avail_l:
         legal.append(L16_HORIZONTAL)
-    if avail_l and avail_t:
+    if avail_l and avail_t and avail_c:
         legal.append(L16_PLANE)
     preds = {m: _pred_luma16(m, st.y, mbx, mby, st=st) for m in legal}
     pred_mode = min(
@@ -1632,8 +1645,8 @@ def _intra_mode_estimate(
     for blk in range(16):
         bx, by = _LUMA_BLK_XY[blk]
         abx, aby = mbx * 4 + bx, mby * 4 + by
-        left, top, corner, avail_l, avail_t = _fetch_i4_neighbours(
-            src_y, abx, aby, st=st
+        left, top, corner, avail_l, avail_t, avail_c = (
+            _fetch_i4_neighbours(src_y, abx, aby, st=st)
         )
         sblk = src_y[aby * 4 : aby * 4 + 4, abx * 4 : abx * 4 + 4].astype(
             np.int64
@@ -1641,7 +1654,7 @@ def _intra_mode_estimate(
         i4_est += min(
             int(np.abs(sblk - _pred_i4(m, left, top, corner,
                                        avail_l, avail_t)).sum())
-            for m in _i4_legal_modes(avail_l, avail_t)
+            for m in _i4_legal_modes(avail_l, avail_t, avail_c)
         )
     return i4_est * 5 < i16_sad * 4, pred_mode, preds, src_blk
 
@@ -2005,7 +2018,7 @@ def decode_picture(
     cqo = pps.get("chroma_qp_index_offset", 0)
     n_mbs = sps["mb_w"] * sps["mb_h"]
     expected = 0
-    pic = None  # (stype, deblock, a_off, b_off, poc_lsb_raw)
+    pic = None  # (stype, deblock, a_off, b_off, qp)
     hinfo = None
     for si, nal in enumerate(nals):
         r = _BitReader(_unescape_rbsp(nal[1:]))
@@ -2016,7 +2029,13 @@ def decode_picture(
         if si == 0:
             pic = (stype, deblock, a_off, b_off, qp)
             poc_full = hinfo["poc"]
+            lsb0 = poc_ctx["poc"] if poc_ctx is not None else hinfo["poc"]
         else:
+            if hinfo["poc"] is not None and hinfo["poc"] != lsb0:
+                raise MediaFormatError(
+                    "slices of one picture disagree on "
+                    "pic_order_cnt_lsb"
+                )
             if (stype, deblock, a_off, b_off, qp) != pic:
                 # per-slice QP is legal H.264, but the §8.7 filter
                 # thresholds here are per-picture — refuse rather than
@@ -2850,9 +2869,11 @@ def _fetch_i4_neighbours(plane: np.ndarray, abx: int, aby: int, st=None):
     if st is None:
         avail_top = aby > 0
         avail_left = abx > 0
+        avail_c = avail_top and avail_left
     else:
         avail_top = st.blk_avail(abx, aby - 1)
         avail_left = st.blk_avail(abx - 1, aby)
+        avail_c = st.blk_avail(abx - 1, aby - 1)
     top = np.zeros(8, dtype=np.int64)
     left = np.zeros(4, dtype=np.int64)
     corner = 0
@@ -2869,13 +2890,13 @@ def _fetch_i4_neighbours(plane: np.ndarray, abx: int, aby: int, st=None):
             top[4:] = top[3]
     if avail_left:
         left[:] = plane[y0 : y0 + 4, x0 - 1]
-    if avail_top and avail_left:
+    if avail_c:
         corner = int(plane[y0 - 1, x0 - 1])
-    return left, top, corner, avail_left, avail_top
+    return left, top, corner, avail_left, avail_top, avail_c
 
 
 def _pred_i4(mode: int, left, top, corner: int, avail_l: bool,
-             avail_t: bool) -> np.ndarray:
+             avail_t: bool, avail_c: bool | None = None) -> np.ndarray:
     """One 4x4 prediction block (§8.3.1.2.1-9).  Raises for modes
     whose neighbours are absent."""
     t, l = top, left  # noqa: E741
@@ -2911,7 +2932,9 @@ def _pred_i4(mode: int, left, top, corner: int, avail_l: bool,
                     pred[y, x] = (t[k] + 2 * t[k + 1] + t[k + 2] + 2) >> 2
         return pred
     if mode in (I4_DDR, I4_VR, I4_HD):
-        if not (avail_t and avail_l):
+        if avail_c is None:
+            avail_c = avail_t and avail_l
+        if not (avail_t and avail_l and avail_c):
             raise MediaFormatError("I4 diagonal without both neighbours")
     if mode == I4_DDR:
         for y in range(4):
@@ -3006,13 +3029,17 @@ def _pred_i4(mode: int, left, top, corner: int, avail_l: bool,
     raise MediaFormatError(f"invalid Intra_4x4 mode {mode}")
 
 
-def _i4_legal_modes(avail_l: bool, avail_t: bool) -> list[int]:
+def _i4_legal_modes(
+    avail_l: bool, avail_t: bool, avail_c: bool | None = None
+) -> list[int]:
+    if avail_c is None:
+        avail_c = avail_l and avail_t
     modes = [I4_DC]
     if avail_t:
         modes += [I4_V, I4_DDL, I4_VL]
     if avail_l:
         modes += [I4_H, I4_HU]
-    if avail_t and avail_l:
+    if avail_t and avail_l and avail_c:
         modes += [I4_DDR, I4_VR, I4_HD]
     return modes
 
@@ -3034,13 +3061,14 @@ def _encode_i4_mb(
         bx, by = _LUMA_BLK_XY[blk]
         abx, aby = mbx * 4 + bx, mby * 4 + by
         x0, y0 = abx * 4, aby * 4
-        left, top, corner, avail_l, avail_t = _fetch_i4_neighbours(
-            st.y, abx, aby, st=st
+        left, top, corner, avail_l, avail_t, avail_c = (
+            _fetch_i4_neighbours(st.y, abx, aby, st=st)
         )
         src_blk = src_y[y0 : y0 + 4, x0 : x0 + 4].astype(np.int64)
         best_sad, mode, best_pred = None, None, None
-        for m in _i4_legal_modes(avail_l, avail_t):
-            p = _pred_i4(m, left, top, corner, avail_l, avail_t)
+        for m in _i4_legal_modes(avail_l, avail_t, avail_c):
+            p = _pred_i4(m, left, top, corner, avail_l, avail_t,
+                         avail_c)
             sad = int(np.abs(src_blk - p).sum())
             if best_sad is None or sad < best_sad:
                 best_sad, mode, best_pred = sad, m, p
@@ -3131,10 +3159,11 @@ def _decode_i4_mb(
         else:
             st.nc_y[aby, abx] = 0
             z = np.zeros((4, 4), dtype=np.int64)
-        left, top, corner, avail_l, avail_t = _fetch_i4_neighbours(
-            st.y, abx, aby, st=st
+        left, top, corner, avail_l, avail_t, avail_c = (
+            _fetch_i4_neighbours(st.y, abx, aby, st=st)
         )
-        pred = _pred_i4(modes[blk], left, top, corner, avail_l, avail_t)
+        pred = _pred_i4(modes[blk], left, top, corner, avail_l,
+                        avail_t, avail_c)
         st.y[y0 : y0 + 4, x0 : x0 + 4] = np.clip(
             pred + idct4x4(dequant_ac(z, qp)), 0, 255
         )
@@ -3393,7 +3422,7 @@ def _mc_mb_pred(
         pv = _mc_chroma(
             rv, mbx * 8 + cx, mby * 8 + cy, cw, ch, mvx, mvy
         )
-        if wp is not None:
+        if wp is not None and wp["w"][ri] is not None:
             ent = wp["w"][ri]
             py = _wp_apply(
                 py.astype(np.int64), ent["lw"], ent["lo"], wp["ld"]

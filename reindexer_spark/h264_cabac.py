@@ -979,13 +979,13 @@ def _encode_mb_i4_cabac(
         bx, by = _LUMA_BLK_XY[blk]
         abx, aby = mbx * 4 + bx, mby * 4 + by
         x0, y0 = abx * 4, aby * 4
-        left, top, corner, avail_l, avail_t = _fetch_i4_neighbours(
+        left, top, corner, avail_l, avail_t, avail_c = _fetch_i4_neighbours(
             st.y, abx, aby
         )
         sblk = src_y[y0 : y0 + 4, x0 : x0 + 4].astype(np.int64)
         best_sad, mode, best_pred = None, None, None
-        for m in _i4_legal_modes(avail_l, avail_t):
-            p = _pred_i4(m, left, top, corner, avail_l, avail_t)
+        for m in _i4_legal_modes(avail_l, avail_t, avail_c):
+            p = _pred_i4(m, left, top, corner, avail_l, avail_t, avail_c)
             sad = int(np.abs(sblk - p).sum())
             if best_sad is None or sad < best_sad:
                 best_sad, mode, best_pred = sad, m, p
@@ -1114,10 +1114,10 @@ def _decode_mb_i4_cabac(
             cst.cbf_y[aby, abx] = 0
             st.nc_y[aby, abx] = 0
             z = np.zeros((4, 4), dtype=np.int64)
-        left, top, corner, avail_l, avail_t = _fetch_i4_neighbours(
+        left, top, corner, avail_l, avail_t, avail_c = _fetch_i4_neighbours(
             st.y, abx, aby
         )
-        pred = _pred_i4(modes[blk], left, top, corner, avail_l, avail_t)
+        pred = _pred_i4(modes[blk], left, top, corner, avail_l, avail_t, avail_c)
         st.y[y0 : y0 + 4, x0 : x0 + 4] = np.clip(
             pred + idct4x4(dequant_ac(z, qp)), 0, 255
         )

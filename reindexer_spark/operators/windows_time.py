@@ -1218,9 +1218,9 @@ def stream_dsir_select_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateful lanes and cross-batch counter carry is pinned in
     multi-batch unit tests (tests/test_streaming.py)."""
     from reindexer_spark.operators.mlprep import (
+        DSIR_KEEP_DIV,
         DSIR_TARGET_LANG,
         _dsir_bucket_arr,
-        dsir_select,
         dsir_weight_map,
     )
     from reindexer_spark.streaming import (
@@ -1230,13 +1230,6 @@ def stream_dsir_select_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reindexer_spark.streaming.stateful import dsir_select_stream
 
     wmap, wdef = dsir_weight_map(spark, sf_dir)
-    thr_row = (
-        dsir_select(spark, sf_dir)
-        .filter(F.col("is_kept") == 1)
-        .agg(F.min("score").alias("s"))
-        .collect()[0]
-    )
-    threshold = None if thr_row.s is None else int(thr_row.s)
     keys = sorted(wmap)
     if keys:
         wcol = F.map_from_arrays(
@@ -1245,6 +1238,55 @@ def stream_dsir_select_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     else:
         wcol = F.expr("cast(map() as map<bigint,bigint>)")
+
+    def _score_col():
+        # the EXACT scoring fold the stream runs (map-literal lookup
+        # with the unseen-bucket default) — the setup threshold and
+        # the live selector can never drift
+        return F.aggregate(
+            _dsir_bucket_arr(F.split("text", " ")),
+            F.lit(0).cast("bigint"),
+            lambda acc, b: acc
+            + F.coalesce(F.element_at(wcol, b), F.lit(int(wdef))),
+        )
+
+    # Boundary score straight from the static pool's score HISTOGRAM
+    # (one corpus scan — round-13 review: re-running the whole batch
+    # dsir_select lane here re-scanned the corpus twice for a scalar):
+    # with ranks ordered (score DESC, doc_id), the rank-(n_pool//K)
+    # document's score is the LARGEST score whose descending
+    # cumulative class count reaches the keep budget; the batch lane's
+    # min-kept-score is exactly that, and the oracle (which recomputes
+    # the threshold independently) pins the equivalence every round.
+    hist = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") != DSIR_TARGET_LANG)
+        .select(_score_col().alias("score"))
+        .groupBy("score")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wdesc = (
+        Window.orderBy(F.desc("score"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    thr_row = (
+        hist.select(
+            "score",
+            F.sum("c").over(wdesc).alias("cum"),
+            F.sum("c").over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n_pool"),
+        )
+        .filter(
+            (F.col("n_pool") >= DSIR_KEEP_DIV)
+            & (F.col("cum") >= F.floor(F.col("n_pool") / DSIR_KEEP_DIV))
+        )
+        .agg(F.max("score").alias("s"))
+        .collect()[0]
+    )
+    threshold = None if thr_row.s is None else int(thr_row.s)
     docs = stream_documents(spark, sf_dir).filter(
         F.col("lang") != DSIR_TARGET_LANG
     )

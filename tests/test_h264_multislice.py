@@ -190,3 +190,74 @@ def test_mixed_qp_slices_quarantine():
     )
     with pytest.raises(MediaFormatError, match="disagree"):
         H.decode_picture([pics[0][0], pics28[0][1]], sd, pd)
+
+
+def test_corner_unavailable_across_slice_border():
+    """Round-13 review finding: the top-left CORNER needs its own
+    slice check — the MB above can be the first MB of the current
+    slice while the corner still belongs to the previous slice.  Such
+    a position must lose the corner-dependent modes (I16/chroma PLANE,
+    I4 diagonal family)."""
+    st = H._FrameState(4, 3)
+    st.slice_id[:] = -1
+    # slice 0 = MBs 0..5, slice 1 = MBs 6..11 on the 4-wide grid:
+    # MB (2,1) has its TOP (2,0)=MB 2 in slice 0, LEFT (1,1)=MB 5 in
+    # slice 0 → for cur_slice 1 both are unavailable; but MB (3,1)=MB 7
+    # (slice 1) has LEFT MB 6 (slice 1, available) and TOP MB 3
+    # (slice 0, unavailable)
+    st.slice_id[0] = 0
+    st.slice_id[1, :2] = 0
+    st.slice_id[1, 2:] = 1
+    st.cur_slice = 1
+    # construct the corner case directly: left avail, top avail,
+    # corner NOT — a grid where the MB above is the slice's first MB
+    st2 = H._FrameState(2, 2)
+    st2.slice_id[:] = -1
+    st2.slice_id[0, 0] = 0   # corner MB: previous slice
+    st2.slice_id[0, 1] = 1   # top MB: first MB of slice 1
+    st2.slice_id[1, 0] = 1   # left MB: slice 1
+    st2.cur_slice = 1
+    avail_l, avail_t, avail_c = H._avail_ltc(st2, 1, 1)
+    assert avail_l and avail_t and not avail_c
+    # corner-dependent modes are illegal / refuse
+    assert H.L16_PLANE not in (
+        [H.L16_DC]
+        + ([H.L16_VERTICAL] if avail_t else [])
+        + ([H.L16_HORIZONTAL] if avail_l else [])
+        + ([H.L16_PLANE] if avail_l and avail_t and avail_c else [])
+    )
+    with pytest.raises(MediaFormatError, match="plane"):
+        H._pred_luma16(H.L16_PLANE, st2.y, 1, 1, st=st2)
+    assert H.I4_DDR not in H._i4_legal_modes(avail_l, avail_t, avail_c)
+    with pytest.raises(MediaFormatError, match="diagonal"):
+        H._pred_i4(
+            H.I4_DDR, np.zeros(4, np.int64), np.zeros(8, np.int64), 0,
+            avail_l, avail_t, avail_c,
+        )
+
+
+def test_slices_disagreeing_on_poc_quarantine():
+    """Round-13 review finding: slices of one picture must agree on
+    pic_order_cnt_lsb — a mismatching second slice refuses instead of
+    silently inheriting slice 0's POC."""
+    w, h = 48, 32
+    frames = _moving_frames(w, h, 1)
+    sps, pps, pics = H.encode_h264_multislice(
+        w, h, frames, qp=26, n_slices=2
+    )
+    sd = H._parse_sps_slice_fields(sps)
+    pd = H.parse_pps(pps)
+    n_mbs_half = (w // 16) * (h // 16) // 2
+    # rebuild slice 2's header with a different poc_lsb, keeping the
+    # payload: easiest is re-encoding the same frame with a different
+    # frame poc via the per-frame encoder — instead, hand-craft a
+    # minimal second slice whose header disagrees
+    wtr = H._BitWriter()
+    H._write_slice_header(
+        wtr, 26, H.DEFAULT_QP, 0, log2_max_frame_num=4, poc_type=0,
+        log2_max_poc_lsb=4, slice_type="I", frame_num=0,
+        first_mb=n_mbs_half, poc_lsb=4,
+    )
+    bad = b"\x65" + wtr.finish()
+    with pytest.raises(MediaFormatError, match="pic_order_cnt_lsb"):
+        H.decode_picture([pics[0][0], bad], sd, pd)

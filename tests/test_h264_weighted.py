@@ -204,3 +204,26 @@ def test_weight_denominator_bounds():
     r = H._BitReader(w2.finish())
     with pytest.raises(MediaFormatError, match="denominator"):
         H._parse_slice_header(r, sd, pd, idr=False, nal_ref_idc=2)
+
+
+def test_weighted_composes_with_multiref():
+    """Round-13 review finding: multi-reference + weighted prediction
+    crashed when a macroblock picked refIdx > 0 (the encoder-built
+    table holds identity-None entries past index 0).  The flip-flop
+    fade fixture forces both features into one chain."""
+    from tests.test_h264_temporal import _flip_flop
+
+    w, h = 48, 32
+    base = _flip_flop(w, h, 5)
+    frames = []
+    for i, f in enumerate(base):
+        a = np.frombuffer(f, np.uint8).reshape(h, w, 3).astype(np.float64)
+        frames.append(
+            np.clip(a * (1.0 - 0.1 * i) + 4 * i, 0, 255)
+            .astype(np.uint8).tobytes()
+        )
+    sps, pps, nals, rec = H.encode_h264_ippp(
+        w, h, frames, qp=26, return_recon=True, n_refs=2, weighted=True
+    )
+    dw, dh, dec = H.decode_h264_stream(sps, pps, nals)
+    assert dec == rec
