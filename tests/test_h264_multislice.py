@@ -261,3 +261,54 @@ def test_slices_disagreeing_on_poc_quarantine():
     bad = b"\x65" + wtr.finish()
     with pytest.raises(MediaFormatError, match="pic_order_cnt_lsb"):
         H.decode_picture([pics[0][0], bad], sd, pd)
+
+
+def test_fuzz_quarantine_contract_round13_paths():
+    """The round-13 decode paths (multi-slice, temporal direct,
+    weighted, multi-reference) keep the quarantine contract under
+    mutation: a corrupted/truncated/reordered stream either decodes
+    or raises MediaFormatError — never an uncontrolled exception.
+    Deterministic mutation schedule; larger sweeps run ad hoc."""
+    rng = np.random.default_rng(7)
+    frames = _moving_frames(48, 32, 4)
+    sps_ms, pps_ms, pics = H.encode_h264_multislice(
+        48, 32, frames, qp=26, n_slices=3
+    )
+    cases = [
+        ("multislice", sps_ms, pps_ms,
+         [n for p in pics for n in p]),
+        ("temporal", *H.encode_h264_ipb(48, 32, frames, qp=26,
+                                        direct="temporal")),
+        ("weighted", *H.encode_h264_ippp(48, 32, frames, qp=26,
+                                         weighted=True)),
+        ("multiref", *H.encode_h264_ippp(48, 32, frames, qp=26,
+                                         n_refs=3)),
+    ]
+    for _label, sps, pps, nals in cases:
+        for _trial in range(60):
+            mode = rng.integers(0, 5)
+            mut = list(nals)
+            i = int(rng.integers(1, len(mut)))
+            nal = bytearray(mut[i])
+            if mode == 0:
+                mut[i] = bytes(nal[: int(rng.integers(2, len(nal)))])
+            elif mode == 1:
+                mut[i] = bytes(
+                    nal[: int(rng.integers(2, len(nal)))]
+                ) + bytes(
+                    rng.integers(0, 256, int(rng.integers(1, 20)),
+                                 dtype=np.uint8)
+                )
+            elif mode == 2:
+                for _ in range(5):
+                    p = int(rng.integers(1, len(nal)))
+                    nal[p] = int(rng.integers(0, 256))
+                mut[i] = bytes(nal)
+            elif mode == 3:
+                del mut[i]
+            else:
+                mut.insert(i, mut[i])
+            try:
+                H.decode_h264_stream(sps, pps, mut)
+            except MediaFormatError:
+                pass  # the contract: quarantine, never crash
