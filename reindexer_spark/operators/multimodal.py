@@ -2867,6 +2867,200 @@ def video_bdirect_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WPMS_DOCS = 10  # bounded: three encode chains per doc
+
+
+@query(
+    "video_wp_multislice",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {WPMS_DOCS}
+    ), s AS (
+      SELECT media_id,
+             CAST(('0x' || substr(dg, 1, 2)) AS INT) AS s0,
+             CAST(('0x' || substr(dg, 3, 2)) AS INT) AS s1,
+             CAST(('0x' || substr(dg, 5, 2)) AS INT) AS s2,
+             CAST(('0x' || substr(dg, 7, 2)) AS INT) AS s3
+      FROM base
+    )
+    SELECT media_id,
+      CASE WHEN media_id % 2 = 0 THEN 'mp4' ELSE 'mkv' END AS container,
+      CAST(2 * (16 + s0 % 13) AS INT) AS width,
+      CAST(2 * (16 + s1 % 9) AS INT) AS height,
+      CAST(4 + s2 % 3 AS INT) AS n_frames,
+      CAST(20 + s3 % 18 AS INT) AS qp,
+      CAST(1 AS INT) AS decodable,
+      CAST(1 AS INT) AS wp_smaller,
+      CAST(1 AS INT) AS wp_recon_exact,
+      CAST(1 AS INT) AS ms_recon_exact,
+      CAST(1 AS INT) AS ms_differs,
+      CAST(1 AS INT) AS containers_agree
+    FROM s
+    """,
+)
+def video_wp_multislice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED-PREDICTION and MULTI-SLICE H.264 decode (round 13):
+    digest-seeded FADE clips — a global luminance ramp plain motion
+    compensation cannot follow — coded three ways from one fixture:
+    an explicit-weighted IPPP chain (§7.3.3.2 pred_weight_table,
+    §8.4.2.3.2 weighted samples), the same frames as TWO-SLICE
+    pictures (§6.4.9 slice-bounded availability), and the plain
+    single-slice chain as the comparison baseline.
+
+    Oracle-pinned contract columns (re-derived from sha256(text)):
+    ``qp`` — the digest-derived QP really drives all three chains;
+    ``wp_smaller=1`` — the weighted chain codes SMALLER than the
+    plain chain on a fade (structural: the per-reference gain/offset
+    model collapses the ramp residual); ``wp_recon_exact=1`` — the
+    weighted chain decodes byte-exact through its container
+    (mp4 or mkv by parity, gop="ippp-wp"); ``ms_recon_exact=1`` —
+    the two-slice chain decodes byte-exact via decode_picture
+    (annex-b walk); ``ms_differs=1`` — the two-slice reconstruction
+    DIFFERS from the single-slice one (slice borders really cut
+    prediction availability; if this ever fails, availability leaked
+    across the border); ``containers_agree=1`` — the weighted chain
+    through the OTHER container decodes identically.
+
+    Scale shape: identical to the other video lanes — Arrow-batched
+    mapInPandas over a bounded fixture set, payloads never shuffle."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < WPMS_DOCS
+    )
+
+    def build_and_decode(batches):
+        import hashlib
+
+        import numpy as np
+
+        from reindexer_spark.codecs import (
+            MediaFormatError,
+            decode_mkv,
+            decode_mp4,
+            encode_mkv_coded,
+            encode_mp4_coded,
+        )
+        from reindexer_spark.h264 import (
+            decode_h264_stream,
+            encode_h264_ippp,
+            encode_h264_multislice,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.doc_id)
+                dg = hashlib.sha256(r.text.encode("utf-8")).digest()
+                w = 2 * (16 + dg[0] % 13)
+                h = 2 * (16 + dg[1] % 9)
+                n_frames = 4 + dg[2] % 3
+                qp = 20 + dg[3] % 18
+                rng = np.random.default_rng(
+                    int.from_bytes(dg[:8], "big")
+                )
+                base = rng.integers(30, 226, (h, w, 3)).astype(
+                    np.float64
+                )
+                frames = [
+                    np.clip(base * (1.0 - 0.11 * i) + 5 * i, 0, 255)
+                    .astype(np.uint8)
+                    .tobytes()
+                    for i in range(n_frames)
+                ]
+                container = "mp4" if mid % 2 == 0 else "mkv"
+                # --- weighted chain through its container
+                _s, _p, wp_nals, wp_rec = encode_h264_ippp(
+                    w, h, frames, qp=qp, return_recon=True,
+                    weighted=True,
+                )
+                _s, _p, pl_nals = encode_h264_ippp(
+                    w, h, frames, qp=qp
+                )
+                wp_smaller = int(
+                    sum(len(x) for x in wp_nals)
+                    < sum(len(x) for x in pl_nals)
+                )
+                mp4 = encode_mp4_coded(
+                    w, h, intra_frames=frames, qp=qp, gop="ippp-wp"
+                )
+                mkv = encode_mkv_coded(
+                    w, h, intra_frames=frames, qp=qp, gop="ippp-wp"
+                )
+                payload = mp4 if container == "mp4" else mkv
+                dec = decode_mp4 if container == "mp4" else decode_mkv
+                try:
+                    dw, dh, _durs, out, _sync = dec(payload)
+                    decodable = 1
+                except MediaFormatError:
+                    dw = dh = 0
+                    out = []
+                    decodable = 0
+                wp_recon_exact = int(out == wp_rec)
+                other = decode_mkv if container == "mp4" else decode_mp4
+                try:
+                    _w2, _h2, _d2, out2, _s2 = other(
+                        mkv if container == "mp4" else mp4
+                    )
+                    agree = int(out == out2 and len(out) == n_frames)
+                except MediaFormatError:
+                    agree = 0
+                # --- two-slice chain through the annex-b walk
+                msps, mpps, pics, ms_rec = encode_h264_multislice(
+                    w, h, frames, qp=qp, n_slices=2, return_recon=True
+                )
+                flat = [x for p in pics for x in p]
+                try:
+                    _mw, _mh, ms_out = decode_h264_stream(
+                        msps, mpps, flat
+                    )
+                    ms_recon_exact = int(ms_out == ms_rec)
+                except MediaFormatError:
+                    ms_recon_exact = 0
+                _s, _p, _n, ss_rec = encode_h264_ippp(
+                    w, h, frames, qp=qp, return_recon=True
+                )
+                ms_differs = int(ms_rec != ss_rec)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "container": container,
+                        "width": dw,
+                        "height": dh,
+                        "n_frames": len(out),
+                        "qp": qp,
+                        "decodable": decodable,
+                        "wp_smaller": wp_smaller,
+                        "wp_recon_exact": wp_recon_exact,
+                        "ms_recon_exact": ms_recon_exact,
+                        "ms_differs": ms_differs,
+                        "containers_agree": agree,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "container", "width", "height",
+                    "n_frames", "qp", "decodable", "wp_smaller",
+                    "wp_recon_exact", "ms_recon_exact", "ms_differs",
+                    "containers_agree",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .repartition(WPMS_DOCS)
+        .mapInPandas(
+            build_and_decode,
+            "media_id bigint, container string, width int, height int, "
+            "n_frames int, qp int, decodable int, wp_smaller int, "
+            "wp_recon_exact int, ms_recon_exact int, ms_differs int, "
+            "containers_agree int",
+        )
+    )
+
+
 CABAC_DOCS = 10  # bounded: ME + a pure-Python arithmetic coder per doc
 
 
