@@ -687,11 +687,12 @@ def _decode_mp4_impl(
     avcc_body: bytes | None = None
     if entry_tag in (b"avc1", b"avc3"):
         # h264 track: decodable IFF every sample is inside the
-        # IDR/IPPP single-reference subset (reindexer_spark.h264);
-        # B/CABAC/multi-ref streams raise
-        # MediaFormatError out of the slice parser — same quarantine
-        # lane as before, now entered honestly per-stream instead of
-        # per-coding-name
+        # reindexer_spark.h264 CAVLC subset (intra, multi-reference/
+        # weighted P, 16x16+partitioned B with spatial or temporal
+        # direct, multi-slice access units); external CABAC, list
+        # modification, MMCO and field coding raise MediaFormatError
+        # out of the slice parser — the quarantine lane is entered
+        # honestly per-stream instead of per-coding-name
         entry_size = struct.unpack_from(">I", payload, p + 4)[0]
         entry_end = p + 4 + entry_size
         q = p + 12 + 78  # VisualSampleEntry body is 78 bytes

@@ -1346,7 +1346,7 @@ def _parse_slice_header(
             raise MediaFormatError("B slice in an IDR NAL")
     else:
         raise MediaFormatError(
-            "SP/SI slice outside the baseline single-reference subset"
+            "SP/SI slice outside the subset"
         )
     if idr and stype != "I":
         raise MediaFormatError("IDR picture must carry I slices")
