@@ -4389,15 +4389,198 @@ def parse_hvcc(body: bytes) -> dict:
     raise MediaFormatError("hvcC carries no SPS")
 
 
+def _leb128(v: int) -> bytes:
+    """AV1 §4.10.5 unsigned LEB128."""
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            return bytes(out)
+
+
+def _read_leb128(data: bytes, pos: int) -> tuple[int, int]:
+    v = 0
+    for i in range(8):
+        if pos >= len(data):
+            raise MediaFormatError("truncated LEB128")
+        b = data[pos]
+        pos += 1
+        v |= (b & 0x7F) << (7 * i)
+        if not (b & 0x80):
+            return v, pos
+    raise MediaFormatError("LEB128 too long")
+
+
+def write_av1_seq_obu(
+    width: int, height: int, profile: int = 0, level: int = 8,
+    tier: int = 0,
+) -> bytes:
+    """A minimal spec-legal AV1 sequence header OBU (AV1 spec §5.5:
+    one operating point, no timing info, order hints off, 4:2:0
+    8-bit) — the fixture side of the header-only probe."""
+    w = _RbspWriter()
+    w.u(profile, 3)
+    w.u(0, 1)  # still_picture
+    w.u(0, 1)  # reduced_still_picture_header
+    w.u(0, 1)  # timing_info_present_flag
+    w.u(0, 1)  # initial_display_delay_present_flag
+    w.u(0, 5)  # operating_points_cnt_minus_1
+    w.u(0, 12)  # operating_point_idc[0]
+    w.u(level, 5)  # seq_level_idx[0]
+    if level > 7:
+        w.u(tier, 1)
+    wb = max(1, (width - 1).bit_length())
+    hb = max(1, (height - 1).bit_length())
+    w.u(wb - 1, 4)
+    w.u(hb - 1, 4)
+    w.u(width - 1, wb)
+    w.u(height - 1, hb)
+    w.u(0, 1)  # frame_id_numbers_present_flag
+    w.u(1, 1)  # use_128x128_superblock
+    w.u(0, 1)  # enable_filter_intra
+    w.u(0, 1)  # enable_intra_edge_filter
+    w.u(0, 1)  # enable_interintra_compound
+    w.u(0, 1)  # enable_masked_compound
+    w.u(0, 1)  # enable_warped_motion
+    w.u(0, 1)  # enable_dual_filter
+    w.u(0, 1)  # enable_order_hint (off → no jnt/ref-mvs/bits fields)
+    w.u(0, 1)  # seq_choose_screen_content_tools
+    w.u(0, 1)  # seq_force_screen_content_tools = 0 (→ no integer_mv)
+    w.u(0, 1)  # enable_superres
+    w.u(0, 1)  # enable_cdef
+    w.u(0, 1)  # enable_restoration
+    # color_config(): 8-bit 4:2:0
+    w.u(0, 1)  # high_bitdepth
+    if profile != 1:
+        w.u(0, 1)  # mono_chrome
+    w.u(0, 1)  # color_description_present_flag
+    if profile == 0:
+        w.u(0, 2)  # chroma_sample_position (4:2:0 implied)
+    w.u(0, 1)  # separate_uv_delta_q
+    w.u(0, 1)  # film_grain_params_present
+    w.u(1, 1)  # trailing one bit
+    payload = w.finish_raw() if hasattr(w, "finish_raw") else None
+    if payload is None:
+        # _RbspWriter.finish appends rbsp trailing bits — the AV1
+        # trailing bit is written above, so emit the raw byte-aligned
+        # buffer instead
+        while len(w.bits) & 7:
+            w.bits.append(0)
+        payload = bytes(
+            int("".join(str(b) for b in w.bits[i : i + 8]), 2)
+            for i in range(0, len(w.bits), 8)
+        )
+    return bytes([0x0A]) + _leb128(len(payload)) + payload
+
+
+def parse_av1_seq_obu(payload: bytes) -> dict:
+    """AV1 sequence-header OBU payload → {codec, profile, level,
+    width, height}.  Header-only: enough of §5.5 to reach the frame
+    size, quarantining the decoder-model path."""
+    r = _RbspReader(payload)
+    profile = r.u(3)
+    if profile > 2:
+        raise MediaFormatError("invalid AV1 seq_profile")
+    r.u(1)  # still_picture
+    reduced = r.u(1)
+    if reduced:
+        level = r.u(5)
+    else:
+        if r.u(1):  # timing_info_present_flag
+            r.u(32)  # num_units_in_display_tick
+            r.u(32)  # time_scale
+            if r.u(1):  # equal_picture_interval
+                # uvlc num_ticks_per_picture_minus_1
+                lead = 0
+                while lead < 32 and r.u(1) == 0:
+                    lead += 1
+                if lead >= 32:
+                    raise MediaFormatError("AV1 uvlc overflow")
+                if lead:
+                    r.u(lead)
+            if r.u(1):  # decoder_model_info_present_flag
+                raise MediaFormatError(
+                    "AV1 decoder-model signalling outside the probe "
+                    "subset"
+                )
+        init_delay = r.u(1)
+        n_ops = r.u(5) + 1
+        level = None
+        for i in range(n_ops):
+            r.u(12)  # operating_point_idc
+            li = r.u(5)
+            if li > 7:
+                r.u(1)  # seq_tier
+            if i == 0:
+                level = li
+            if init_delay and r.u(1):
+                r.u(4)  # initial_display_delay_minus_1
+    wb = r.u(4) + 1
+    hb = r.u(4) + 1
+    width = r.u(wb) + 1
+    height = r.u(hb) + 1
+    return {
+        "codec": "av1",
+        "profile": profile,
+        "level": level,
+        "width": width,
+        "height": height,
+    }
+
+
+def build_av1c(
+    seq_obu: bytes, profile: int = 0, level: int = 8, tier: int = 0
+) -> bytes:
+    """AV1CodecConfigurationRecord (AV1-ISOBMFF §2.3): fixed 4-byte
+    prefix + the sequence header OBU as configOBUs."""
+    b1 = ((profile & 7) << 5) | (level & 0x1F)
+    b2 = (tier & 1) << 7  # 8-bit, 4:2:0, chroma position 0
+    b2 |= 0x0C  # subsampling_x=1, subsampling_y=1
+    return bytes([0x81, b1, b2, 0x00]) + seq_obu
+
+
+def parse_av1c(body: bytes) -> dict:
+    """av1C box body / mkv V_AV1 CodecPrivate → sequence-header probe
+    dict (configOBUs scanned for OBU type 1)."""
+    if len(body) < 4 or body[0] != 0x81:
+        raise MediaFormatError("malformed av1C record")
+    pos = 4
+    while pos < len(body):
+        hdr = body[pos]
+        if hdr & 0x80:
+            raise MediaFormatError("invalid OBU forbidden bit")
+        obu_type = (hdr >> 3) & 0xF
+        has_ext = (hdr >> 2) & 1
+        has_size = (hdr >> 1) & 1
+        pos += 1
+        if has_ext:
+            pos += 1
+        if not has_size:
+            raise MediaFormatError(
+                "av1C OBU without a size field"
+            )
+        size, pos = _read_leb128(body, pos)
+        if pos + size > len(body):
+            raise MediaFormatError("truncated av1C OBU")
+        if obu_type == 1:  # sequence header
+            return parse_av1_seq_obu(body[pos : pos + size])
+        pos += size
+    raise MediaFormatError("av1C carries no sequence header")
+
+
 _MP4_CODED_ENTRIES = {
     b"avc1": ("avcC", parse_avcc),
     b"avc3": ("avcC", parse_avcc),
     b"hvc1": ("hvcC", parse_hvcc),
     b"hev1": ("hvcC", parse_hvcc),
+    b"av01": ("av1C", parse_av1c),
 }
 _MKV_CODED_IDS = {
     "V_MPEG4/ISO/AVC": parse_avcc,
     "V_MPEGH/ISO/HEVC": parse_hvcc,
+    "V_AV1": parse_av1c,
 }
 
 
@@ -4460,6 +4643,12 @@ def encode_mp4_coded(
             level if level is not None else 93,
         )
         entry_tag, cfg = b"hvc1", _box(b"hvcC", build_hvcc(sps))
+    elif codec == "av1":
+        prof = profile if profile is not None else 0
+        lev = level if level is not None else 8
+        obu = write_av1_seq_obu(width, height, prof, lev)
+        entry_tag = b"av01"
+        cfg = _box(b"av1C", build_av1c(obu, prof, lev))
     else:
         raise ValueError(f"unknown coded fixture codec {codec!r}")
     if intra_frames is None:
@@ -4578,6 +4767,11 @@ def encode_mkv_coded(
             level if level is not None else 93,
         )
         codec_id, private = b"V_MPEGH/ISO/HEVC", build_hvcc(sps)
+    elif codec == "av1":
+        prof = profile if profile is not None else 0
+        lev = level if level is not None else 8
+        obu = write_av1_seq_obu(width, height, prof, lev)
+        codec_id, private = b"V_AV1", build_av1c(obu, prof, lev)
     else:
         raise ValueError(f"unknown coded fixture codec {codec!r}")
     ebml_header = _ebml_el(

@@ -2019,6 +2019,119 @@ def video_sps_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AV1_DOCS = 12  # bounded: header synthesis only, no entropy coding
+
+
+@query(
+    "video_av1_probe",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {AV1_DOCS}
+    ), s AS (
+      SELECT media_id,
+             CAST(('0x' || substr(dg, 1, 2)) AS INT) AS s0,
+             CAST(('0x' || substr(dg, 3, 2)) AS INT) AS s1,
+             CAST(('0x' || substr(dg, 5, 2)) AS INT) AS s2
+      FROM base
+    )
+    SELECT media_id,
+      CAST('av1' AS VARCHAR) AS codec,
+      CASE WHEN media_id % 2 = 0 THEN 'mp4' ELSE 'mkv' END AS container,
+      CAST(2 * (60 + s0 % 100) + (s0 % 2) AS INT) AS width,
+      CAST(2 * (40 + s1 % 100) + (s1 % 2) AS INT) AS height,
+      CAST(media_id % 3 AS INT) AS profile,
+      CAST(8 + s2 % 12 AS INT) AS n_level,
+      CAST(3 + s1 % 4 AS INT) AS n_frames,
+      CAST(0 AS INT) AS decodable
+    FROM s
+    """,
+)
+def video_av1_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AV1 PROBE (round 13) — the modern crawl-video codec joins the
+    header-only funnel: width/height/profile/level recovered from the
+    SEQUENCE HEADER OBU (AV1 spec §5.5 — profile/level/operating
+    points, the frame-size bit-width fields, color config) inside the
+    av1C codec-configuration record (AV1-ISOBMFF §2.3: mp4 ``av01``
+    sample entry / mkv ``V_AV1`` CodecPrivate), across both containers
+    with sha256-derived ODD (non-multiple-of-2) dimensions — AV1 frame
+    sizes are exact, no cropping arithmetic to hide behind — and
+    levels above 7 exercising the per-operating-point tier bit.
+    ``decodable=0`` is oracle-pinned: no AV1 entropy decoder is
+    claimed, the quarantine contract holds while the probe recovers
+    everything a 100 TB resolution/codec filter needs.
+
+    Scale shape: one Arrow-batched mapInPandas pass, header bytes per
+    object — the same funnel economics as video_sps_probe."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < AV1_DOCS
+    )
+
+    def build_and_probe(batches):
+        import hashlib
+
+        from reindexer_spark.codecs import (
+            MediaFormatError,
+            decode_mkv,
+            decode_mp4,
+            encode_mkv_coded,
+            encode_mp4_coded,
+            probe_media,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.doc_id)
+                dg = hashlib.sha256(r.text.encode("utf-8")).digest()
+                w = 2 * (60 + dg[0] % 100) + (dg[0] % 2)
+                h = 2 * (40 + dg[1] % 100) + (dg[1] % 2)
+                prof = mid % 3
+                lev = 8 + dg[2] % 12
+                n_frames = 3 + dg[1] % 4
+                enc = encode_mp4_coded if mid % 2 == 0 else encode_mkv_coded
+                dec = decode_mp4 if mid % 2 == 0 else decode_mkv
+                payload = enc(
+                    w, h, codec="av1", n_frames=n_frames,
+                    profile=prof, level=lev,
+                )
+                p = probe_media(payload)
+                try:
+                    dec(payload)
+                    decodable = 1
+                except MediaFormatError:
+                    decodable = 0
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "codec": p["codec"],
+                        "container": "mp4" if mid % 2 == 0 else "mkv",
+                        "width": p["width"],
+                        "height": p["height"],
+                        "profile": p["profile"],
+                        "n_level": p["level"],
+                        "n_frames": p["n_frames"],
+                        "decodable": decodable,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "codec", "container", "width", "height",
+                    "profile", "n_level", "n_frames", "decodable",
+                ],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build_and_probe,
+        "media_id bigint, codec string, container string, width int, "
+        "height int, profile int, n_level int, n_frames int, "
+        "decodable int",
+    )
+
+
 INTRA_DOCS = 24  # bounded fixture count (constant work at any sf)
 
 
