@@ -3684,6 +3684,180 @@ class FlacFrameSampler:
 IMAGE_KINDS = frozenset({"bmp", "ppm", "jpeg", "png", "gif"})
 
 
+# ---------------------------------------------------------------------------
+# Ogg container probe (RFC 3533 pages; OpusHead per RFC 7845 §5.1,
+# Vorbis identification header per the Vorbis I spec §4.2.2) — the
+# audio member of the probe-first funnel: codec/channels/rate/duration
+# recovered headers-only, decode quarantined (no Opus/Vorbis entropy
+# decoder is claimed).
+# ---------------------------------------------------------------------------
+
+_OGG_CRC_TABLE = []
+for _i in range(256):
+    _r = _i << 24
+    for _ in range(8):
+        _r = ((_r << 1) ^ 0x04C11DB7) if (_r & 0x80000000) else (_r << 1)
+    _OGG_CRC_TABLE.append(_r & 0xFFFFFFFF)
+
+
+def _ogg_crc(data: bytes) -> int:
+    """RFC 3533 §6: CRC-32, polynomial 0x04c11db7, init 0, no
+    reflection, no final xor."""
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[
+            ((crc >> 24) & 0xFF) ^ b
+        ]
+    return crc
+
+
+def _ogg_page(
+    serial: int, seq: int, granule: int, packets: list[bytes],
+    bos: bool = False, eos: bool = False,
+) -> bytes:
+    lacing = bytearray()
+    body = bytearray()
+    for pkt in packets:
+        q, r = divmod(len(pkt), 255)
+        lacing.extend([255] * q)
+        lacing.append(r)
+        body.extend(pkt)
+    if len(lacing) > 255:
+        raise MediaFormatError("ogg page lacing overflow")
+    hdr = bytearray(b"OggS\x00")
+    hdr.append((1 if eos else 0) << 2 | (1 if bos else 0) << 1)
+    hdr += struct.pack("<q", granule)
+    hdr += struct.pack("<I", serial)
+    hdr += struct.pack("<I", seq)
+    hdr += b"\x00\x00\x00\x00"  # crc placeholder
+    hdr.append(len(lacing))
+    hdr += lacing
+    page = bytes(hdr) + bytes(body)
+    crc = _ogg_crc(page)
+    return page[:22] + struct.pack("<I", crc) + page[26:]
+
+
+def write_ogg_opus(
+    channels: int, input_rate: int, n_samples: int,
+    pre_skip: int = 312, serial: int = 1,
+) -> bytes:
+    """Fixture builder: a minimal Ogg Opus stream — OpusHead (BOS),
+    OpusTags, dummy audio pages whose final granule position encodes
+    ``n_samples`` PCM samples at 48 kHz past the pre-skip (RFC 7845
+    §4/§5).  Audio packet bodies are opaque placeholders: probe-only."""
+    head = (
+        b"OpusHead" + bytes([1, channels])
+        + struct.pack("<H", pre_skip)
+        + struct.pack("<I", input_rate)
+        + struct.pack("<h", 0)  # output gain
+        + bytes([0])  # mapping family 0
+    )
+    tags = b"OpusTags" + struct.pack("<I", 4) + b"spkg" + struct.pack("<I", 0)
+    pages = [
+        _ogg_page(serial, 0, 0, [head], bos=True),
+        _ogg_page(serial, 1, 0, [tags]),
+        _ogg_page(serial, 2, pre_skip + n_samples // 2, [b"\xfc" * 40]),
+        _ogg_page(serial, 3, pre_skip + n_samples, [b"\xfc" * 40],
+                  eos=True),
+    ]
+    return b"".join(pages)
+
+
+def write_ogg_vorbis(
+    channels: int, rate: int, n_samples: int, serial: int = 2
+) -> bytes:
+    """Fixture builder: a minimal Ogg Vorbis stream — identification
+    header (BOS), comment header, dummy audio pages; the final granule
+    position IS the PCM sample count at the stream rate."""
+    ident = (
+        b"\x01vorbis" + struct.pack("<I", 0)
+        + bytes([channels]) + struct.pack("<I", rate)
+        + struct.pack("<iii", 0, 128000, 0)
+        + bytes([0xB8])  # blocksizes 2^8 / 2^11
+        + bytes([1])  # framing bit
+    )
+    comment = b"\x03vorbis" + struct.pack("<I", 4) + b"spkg" + struct.pack(
+        "<I", 0
+    ) + bytes([1])
+    pages = [
+        _ogg_page(serial, 0, 0, [ident], bos=True),
+        _ogg_page(serial, 1, 0, [comment]),
+        _ogg_page(serial, 2, n_samples // 2, [b"\x00" * 32]),
+        _ogg_page(serial, 3, n_samples, [b"\x00" * 32], eos=True),
+    ]
+    return b"".join(pages)
+
+
+def _ogg_probe(payload: bytes) -> dict:
+    """Headers-only Ogg walk: the FIRST page's first packet identifies
+    the codec (OpusHead / \x01vorbis) and carries channels/rate; pages
+    are then skipped by their lacing sums to the last page whose
+    granule position is set — PCM duration without touching any audio
+    packet.  The first page's CRC is verified (RFC 3533 §6), so a
+    corrupted header quarantines rather than mis-probing."""
+    if len(payload) < 28:
+        raise MediaFormatError("truncated ogg page")
+    nsegs = payload[26]
+    if len(payload) < 27 + nsegs:
+        raise MediaFormatError("truncated ogg lacing table")
+    lacing = payload[27 : 27 + nsegs]
+    body_len = sum(lacing)
+    first_end = 27 + nsegs + body_len
+    if len(payload) < first_end:
+        raise MediaFormatError("truncated ogg page body")
+    page = payload[:first_end]
+    stored = struct.unpack_from("<I", page, 22)[0]
+    if _ogg_crc(page[:22] + b"\x00" * 4 + page[26:]) != stored:
+        raise MediaFormatError("ogg page CRC mismatch")
+    first_pkt_len = 0
+    for sl in lacing:
+        first_pkt_len += sl
+        if sl < 255:
+            break
+    pkt = payload[27 + nsegs : 27 + nsegs + first_pkt_len]
+    pre_skip = 0
+    if pkt[:8] == b"OpusHead":
+        if len(pkt) < 19 or pkt[8] != 1:
+            raise MediaFormatError("malformed OpusHead")
+        codec = "opus"
+        channels = pkt[9]
+        pre_skip = struct.unpack_from("<H", pkt, 10)[0]
+        rate = struct.unpack_from("<I", pkt, 12)[0]
+    elif pkt[:7] == b"\x01vorbis":
+        if len(pkt) < 30:
+            raise MediaFormatError("malformed vorbis ident header")
+        codec = "vorbis"
+        channels = pkt[11]
+        rate = struct.unpack_from("<I", pkt, 12)[0]
+    else:
+        raise MediaFormatError("unrecognized ogg codec header")
+    # walk remaining pages by lengths for the last set granule
+    pos = first_end
+    last_granule = None
+    while pos + 27 <= len(payload):
+        if payload[pos : pos + 4] != b"OggS":
+            raise MediaFormatError("ogg page desync")
+        g = struct.unpack_from("<q", payload, pos + 6)[0]
+        ns = payload[pos + 26]
+        if pos + 27 + ns > len(payload):
+            raise MediaFormatError("truncated ogg lacing table")
+        blen = sum(payload[pos + 27 : pos + 27 + ns])
+        pos += 27 + ns + blen
+        if pos > len(payload):
+            raise MediaFormatError("truncated ogg page body")
+        if g != -1:
+            last_granule = g
+    n_samples = None
+    if last_granule is not None:
+        n_samples = max(0, last_granule - pre_skip)
+    return {
+        "codec": codec,
+        "channels": channels,
+        "sample_rate": rate,
+        "n_samples": n_samples,
+    }
+
+
 def _sniff(payload: bytes) -> str:
     if payload[:2] == b"BM":
         return "bmp"
@@ -3707,6 +3881,8 @@ def _sniff(payload: bytes) -> str:
         return "mp4"
     if payload[:4] == _MKV_MAGIC:
         return "mkv"
+    if payload[:4] == b"OggS":
+        return "ogg"
     if payload[:4] == b"\x00\x00\x00\x01" and len(payload) > 4 and (
         payload[4] & 0x1F
     ) in (7, 9):
@@ -4927,9 +5103,11 @@ def probe_media(payload: bytes) -> dict:
     out = {
         "kind": kind, "width": None, "height": None,
         "n_frames": None, "sample_rate": None, "n_samples": None,
-        # coded-video (h264/hevc) tracks: probe-only SPS metadata;
-        # decode of these tracks still quarantines
+        # coded-video (h264/hevc/av1) tracks: probe-only metadata;
+        # decode of these tracks still quarantines.  "channels" is the
+        # coded-AUDIO (ogg opus/vorbis) analog, round 13.
         "codec": None, "profile": None, "level": None,
+        "channels": None,
     }
     try:
         if kind == "bmp":
@@ -5030,6 +5208,14 @@ def probe_media(payload: bytes) -> dict:
             out.update(
                 sample_rate=packed >> 44,
                 n_samples=packed & ((1 << 36) - 1),
+            )
+        elif kind == "ogg":
+            om = _ogg_probe(payload)
+            out.update(
+                codec=om["codec"],
+                channels=om["channels"],
+                sample_rate=om["sample_rate"],
+                n_samples=om["n_samples"],
             )
         elif kind == "webp":
             # chunk walk by RIFF sizes only (same discipline as wav/avi);

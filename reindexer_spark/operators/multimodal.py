@@ -2019,6 +2019,120 @@ def video_sps_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OGG_DOCS = 12  # bounded: header synthesis only, no entropy coding
+
+
+@query(
+    "audio_ogg_probe",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {OGG_DOCS}
+    ), s AS (
+      SELECT media_id,
+             CAST(('0x' || substr(dg, 1, 2)) AS INT) AS s0,
+             CAST(('0x' || substr(dg, 3, 2)) AS INT) AS s1,
+             CAST(('0x' || substr(dg, 5, 4)) AS INT) AS s2
+      FROM base
+    )
+    SELECT media_id,
+      CASE WHEN media_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
+      CAST(1 + s0 % 2 AS INT) AS channels,
+      CAST(CASE WHEN media_id % 2 = 0
+           THEN (CASE s1 % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                 WHEN 2 THEN 24000 ELSE 48000 END)
+           ELSE (CASE s1 % 4 WHEN 0 THEN 22050 WHEN 1 THEN 32000
+                 WHEN 2 THEN 44100 ELSE 48000 END)
+           END AS INT) AS sample_rate,
+      CAST(4800 + s2 % 96000 AS BIGINT) AS n_samples,
+      CAST(0 AS INT) AS decodable
+    FROM s
+    """,
+)
+def audio_ogg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGG OPUS/VORBIS PROBE (round 13) — the coded-audio member of
+    the probe-first funnel: codec, channel count, sample rate and PCM
+    duration recovered HEADERS-ONLY from the Ogg page structure (RFC
+    3533 — first-page CRC verified, later pages skipped by lacing
+    sums) and the codec identification packet (OpusHead per RFC 7845
+    §5.1 with the pre-skip subtracted from the final granule position;
+    the Vorbis identification header per Vorbis I §4.2.2, whose final
+    granule IS the sample count).  ``decodable=0`` is oracle-pinned by
+    attempting both real audio decoders (WAV, FLAC) on the payload:
+    no Opus/Vorbis entropy decoder is claimed — the quarantine
+    contract holds while the probe recovers everything an audio
+    curation filter (duration/rate/channel gates) needs.
+
+    Scale shape: one Arrow-batched mapInPandas pass, header bytes per
+    object — the audio analog of video_sps_probe."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < OGG_DOCS
+    )
+
+    def build_and_probe(batches):
+        import hashlib
+
+        from reindexer_spark.codecs import (
+            MediaFormatError,
+            decode_flac,
+            decode_wav,
+            probe_media,
+            write_ogg_opus,
+            write_ogg_vorbis,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.doc_id)
+                dg = hashlib.sha256(r.text.encode("utf-8")).digest()
+                channels = 1 + dg[0] % 2
+                n_samples = 4800 + (
+                    int.from_bytes(dg[2:4], "big") % 96000
+                )
+                if mid % 2 == 0:
+                    rate = (8000, 16000, 24000, 48000)[dg[1] % 4]
+                    payload = write_ogg_opus(channels, rate, n_samples)
+                else:
+                    rate = (22050, 32000, 44100, 48000)[dg[1] % 4]
+                    payload = write_ogg_vorbis(
+                        channels, rate, n_samples
+                    )
+                p = probe_media(payload)
+                decodable = 0
+                for dec in (decode_wav, decode_flac):
+                    try:
+                        dec(payload)
+                        decodable = 1
+                    except MediaFormatError:
+                        pass
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "codec": p["codec"],
+                        "channels": p["channels"],
+                        "sample_rate": p["sample_rate"],
+                        "n_samples": p["n_samples"],
+                        "decodable": decodable,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "codec", "channels", "sample_rate",
+                    "n_samples", "decodable",
+                ],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build_and_probe,
+        "media_id bigint, codec string, channels int, "
+        "sample_rate int, n_samples bigint, decodable int",
+    )
+
+
 AV1_DOCS = 12  # bounded: header synthesis only, no entropy coding
 
 
