@@ -3858,6 +3858,177 @@ def _ogg_probe(payload: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# MPEG audio probes (round 13): MP3 (MPEG-1/2 Layer III frame headers,
+# ISO 11172-3 / 13818-3) and ADTS AAC (ISO 13818-7 §6.2) — the two
+# coded-audio formats real crawls overwhelmingly carry.  Headers-only:
+# frames are SKIPPED by their computed lengths, no subband/MDCT
+# decoding is claimed.
+# ---------------------------------------------------------------------------
+
+# Layer III bitrates (kbps), index 1..14 (0 = free format, 15 = bad)
+_MP3_BR_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+              256, 320)
+_MP3_BR_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+              160)
+_MP3_RATES = {
+    3: (44100, 48000, 32000),   # MPEG-1
+    2: (22050, 24000, 16000),   # MPEG-2
+    0: (11025, 12000, 8000),    # MPEG-2.5
+}
+_AAC_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+              16000, 12000, 11025, 8000, 7350)
+
+
+def write_mp3(
+    channels: int, rate: int, n_frames: int, bitrate_kbps: int = 128
+) -> bytes:
+    """Fixture builder: MPEG-1/2 Layer III frame headers with opaque
+    payloads (probe-only).  ``rate`` selects the MPEG version."""
+    for ver, rates in ((3, _MP3_RATES[3]), (2, _MP3_RATES[2]),
+                       (0, _MP3_RATES[0])):
+        if rate in rates:
+            sr_idx = rates.index(rate)
+            break
+    else:
+        raise ValueError(f"unsupported mp3 sample rate {rate}")
+    table = _MP3_BR_V1 if ver == 3 else _MP3_BR_V2
+    if bitrate_kbps not in table[1:]:
+        bitrate_kbps = table[9]
+    br_idx = table.index(bitrate_kbps)
+    coef = 144000 if ver == 3 else 72000
+    flen = coef * bitrate_kbps // rate
+    mode = 3 if channels == 1 else 0  # mono / stereo
+    hdr = bytes([
+        0xFF,
+        0xE0 | (ver << 3) | (1 << 1) | 1,  # sync, version, layer III
+        (br_idx << 4) | (sr_idx << 2),     # no padding, no private
+        (mode << 6),
+    ])
+    frame = hdr + bytes(flen - 4)
+    return frame * n_frames
+
+
+def write_adts_aac(
+    channels: int, rate: int, n_frames: int, payload_len: int = 64
+) -> bytes:
+    """Fixture builder: ADTS AAC-LC frames with opaque payloads
+    (probe-only).  One raw data block (1024 samples) per frame."""
+    if rate not in _AAC_RATES:
+        raise ValueError(f"unsupported aac sample rate {rate}")
+    sf_idx = _AAC_RATES.index(rate)
+    flen = 7 + payload_len
+    out = bytearray()
+    for _ in range(n_frames):
+        hdr = bytearray(7)
+        hdr[0] = 0xFF
+        hdr[1] = 0xF1  # sync, MPEG-4, layer 00, no CRC
+        hdr[2] = (1 << 6) | (sf_idx << 2) | ((channels >> 2) & 1)
+        hdr[3] = ((channels & 3) << 6) | ((flen >> 11) & 3)
+        hdr[4] = (flen >> 3) & 0xFF
+        hdr[5] = ((flen & 7) << 5) | 0x1F
+        hdr[6] = 0xFC  # buffer fullness low bits, 1 raw block
+        out += bytes(hdr) + bytes(payload_len)
+    return bytes(out)
+
+
+def _skip_id3v2(payload: bytes) -> int:
+    """ID3v2 tag length (syncsafe size) or 0."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return 0
+    size = 0
+    for b in payload[6:10]:
+        if b & 0x80:
+            raise MediaFormatError("malformed ID3v2 syncsafe size")
+        size = (size << 7) | b
+    return 10 + size
+
+
+def _mp3_probe(payload: bytes) -> dict:
+    pos = _skip_id3v2(payload)
+    n_frames = 0
+    rate = channels = spf = None
+    while pos + 4 <= len(payload):
+        b0, b1, b2, b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise MediaFormatError("mp3 frame desync")
+        ver = (b1 >> 3) & 3
+        layer = (b1 >> 1) & 3
+        if ver == 1 or layer != 1:
+            raise MediaFormatError(
+                "non-Layer-III MPEG audio outside the probe subset"
+            )
+        br_idx = b2 >> 4
+        sr_idx = (b2 >> 2) & 3
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise MediaFormatError(
+                "free-format/invalid mp3 header outside the probe subset"
+            )
+        table = _MP3_BR_V1 if ver == 3 else _MP3_BR_V2
+        f_rate = _MP3_RATES[ver][sr_idx]
+        pad = (b2 >> 1) & 1
+        coef = 144000 if ver == 3 else 72000
+        flen = coef * table[br_idx] // f_rate + pad
+        if flen < 4:
+            raise MediaFormatError("mp3 frame length underflow")
+        f_ch = 1 if ((b3 >> 6) & 3) == 3 else 2
+        f_spf = 1152 if ver == 3 else 576
+        if rate is None:
+            rate, channels, spf = f_rate, f_ch, f_spf
+        elif (f_rate, f_ch) != (rate, channels):
+            raise MediaFormatError(
+                "mp3 stream changes rate/channels mid-file"
+            )
+        n_frames += 1
+        pos += flen
+    if n_frames == 0:
+        raise MediaFormatError("mp3 carries no frames")
+    return {
+        "codec": "mp3", "channels": channels, "sample_rate": rate,
+        "n_samples": n_frames * spf, "n_frames": n_frames,
+    }
+
+
+def _aac_probe(payload: bytes) -> dict:
+    pos = 0
+    n_frames = 0
+    rate = channels = None
+    while pos + 7 <= len(payload):
+        if payload[pos] != 0xFF or (payload[pos + 1] & 0xF6) != 0xF0:
+            raise MediaFormatError("adts frame desync")
+        sf_idx = (payload[pos + 2] >> 2) & 0xF
+        if sf_idx >= len(_AAC_RATES):
+            raise MediaFormatError("invalid adts sampling index")
+        f_rate = _AAC_RATES[sf_idx]
+        f_ch = ((payload[pos + 2] & 1) << 2) | (payload[pos + 3] >> 6)
+        if f_ch == 0:
+            raise MediaFormatError(
+                "PCE-configured adts channels outside the probe subset"
+            )
+        flen = (
+            ((payload[pos + 3] & 3) << 11)
+            | (payload[pos + 4] << 3)
+            | (payload[pos + 5] >> 5)
+        )
+        if flen < 7:
+            raise MediaFormatError("adts frame length underflow")
+        blocks = (payload[pos + 6] & 3) + 1
+        if rate is None:
+            rate, channels = f_rate, f_ch
+        elif (f_rate, f_ch) != (rate, channels):
+            raise MediaFormatError(
+                "adts stream changes rate/channels mid-file"
+            )
+        n_frames += blocks
+        pos += flen
+    if n_frames == 0:
+        raise MediaFormatError("adts carries no frames")
+    return {
+        "codec": "aac", "channels": channels, "sample_rate": rate,
+        "n_samples": n_frames * 1024, "n_frames": n_frames,
+    }
+
+
 def _sniff(payload: bytes) -> str:
     if payload[:2] == b"BM":
         return "bmp"
@@ -3883,6 +4054,23 @@ def _sniff(payload: bytes) -> str:
         return "mkv"
     if payload[:4] == b"OggS":
         return "ogg"
+    if payload[:3] == b"ID3":
+        return "mp3"
+    if (
+        len(payload) > 3
+        and payload[0] == 0xFF
+        and (payload[1] & 0xF6) == 0xF0
+    ):
+        # ADTS AAC: sync FFF with layer bits 00
+        return "aac"
+    if (
+        len(payload) > 3
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+        and (payload[1] >> 1) & 3 != 0
+    ):
+        # bare MPEG audio frame sync (layer bits nonzero)
+        return "mp3"
     if payload[:4] == b"\x00\x00\x00\x01" and len(payload) > 4 and (
         payload[4] & 0x1F
     ) in (7, 9):
@@ -5216,6 +5404,17 @@ def probe_media(payload: bytes) -> dict:
                 channels=om["channels"],
                 sample_rate=om["sample_rate"],
                 n_samples=om["n_samples"],
+            )
+        elif kind in ("mp3", "aac"):
+            am = _mp3_probe(payload) if kind == "mp3" else _aac_probe(
+                payload
+            )
+            out.update(
+                codec=am["codec"],
+                channels=am["channels"],
+                sample_rate=am["sample_rate"],
+                n_samples=am["n_samples"],
+                n_frames=am["n_frames"],
             )
         elif kind == "webp":
             # chunk walk by RIFF sizes only (same discipline as wav/avi);

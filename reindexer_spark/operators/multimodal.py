@@ -2019,6 +2019,121 @@ def video_sps_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MPEG_AUDIO_DOCS = 12  # bounded: header synthesis only
+
+
+@query(
+    "audio_mpeg_probe",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {MPEG_AUDIO_DOCS}
+    ), s AS (
+      SELECT media_id,
+             CAST(('0x' || substr(dg, 1, 2)) AS INT) AS s0,
+             CAST(('0x' || substr(dg, 3, 2)) AS INT) AS s1,
+             CAST(('0x' || substr(dg, 5, 2)) AS INT) AS s2
+      FROM base
+    )
+    SELECT media_id,
+      CASE WHEN media_id % 2 = 0 THEN 'mp3' ELSE 'aac' END AS codec,
+      CAST(1 + s0 % 2 AS INT) AS channels,
+      CAST(CASE WHEN media_id % 2 = 0
+           THEN (CASE s1 % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                 WHEN 2 THEN 32000 ELSE 22050 END)
+           ELSE (CASE s1 % 4 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+                 WHEN 2 THEN 24000 ELSE 16000 END)
+           END AS INT) AS sample_rate,
+      CAST(5 + s2 % 60 AS INT) AS n_frames,
+      CAST((5 + s2 % 60) * CASE
+           WHEN media_id % 2 = 1 THEN 1024
+           WHEN s1 % 4 = 3 THEN 576
+           ELSE 1152 END AS BIGINT) AS n_samples,
+      CAST(0 AS INT) AS decodable
+    FROM s
+    """,
+)
+def audio_mpeg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 / ADTS-AAC PROBE (round 13) — the two coded-audio formats
+    real crawls overwhelmingly carry join the header-only funnel:
+    MPEG-1/2 Layer III frame headers (ISO 11172-3/13818-3 — version/
+    bitrate/rate/mode fields, frames skipped by the computed
+    144000·kbps/rate (+pad) length, 1152 samples per MPEG-1 frame and
+    576 per MPEG-2) and ADTS AAC-LC (ISO 13818-7 §6.2 — sampling
+    index, channel config, 13-bit frame length walk, 1024 samples per
+    raw block).  The MPEG-2 rate (22050) exercises the 576-sample
+    branch in the oracle's arithmetic.  ``decodable=0`` is pinned by
+    attempting both real audio decoders — no subband/MDCT decoder is
+    claimed.
+
+    Scale shape: one Arrow-batched mapInPandas pass, header bytes per
+    object — the bulk-audio analog of video_sps_probe."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < MPEG_AUDIO_DOCS
+    )
+
+    def build_and_probe(batches):
+        import hashlib
+
+        from reindexer_spark.codecs import (
+            MediaFormatError,
+            decode_flac,
+            decode_wav,
+            probe_media,
+            write_adts_aac,
+            write_mp3,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.doc_id)
+                dg = hashlib.sha256(r.text.encode("utf-8")).digest()
+                channels = 1 + dg[0] % 2
+                n_frames = 5 + dg[2] % 60
+                if mid % 2 == 0:
+                    rate = (44100, 48000, 32000, 22050)[dg[1] % 4]
+                    payload = write_mp3(channels, rate, n_frames)
+                else:
+                    rate = (48000, 44100, 24000, 16000)[dg[1] % 4]
+                    payload = write_adts_aac(channels, rate, n_frames)
+                p = probe_media(payload)
+                decodable = 0
+                for dec in (decode_wav, decode_flac):
+                    try:
+                        dec(payload)
+                        decodable = 1
+                    except MediaFormatError:
+                        pass
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "codec": p["codec"],
+                        "channels": p["channels"],
+                        "sample_rate": p["sample_rate"],
+                        "n_frames": p["n_frames"],
+                        "n_samples": p["n_samples"],
+                        "decodable": decodable,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "codec", "channels", "sample_rate",
+                    "n_frames", "n_samples", "decodable",
+                ],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build_and_probe,
+        "media_id bigint, codec string, channels int, "
+        "sample_rate int, n_frames int, n_samples bigint, "
+        "decodable int",
+    )
+
+
 OGG_DOCS = 12  # bounded: header synthesis only, no entropy coding
 
 
