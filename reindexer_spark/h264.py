@@ -19,10 +19,14 @@ motion with full picture-order tracking through every stream walker —
 quarantining, never guessing, when POC or the colocated reference is
 unknown), and PARTITIONED B (all Table 7-14 two-partition 16x8/8x16
 list pairs and B_8x8 with every Table 7-18 sub_mb_type incl.
-B_Direct_8x8 and the 8x4/4x8/4x4 splits).  Still OUTSIDE the subset
-and quarantined: reference-list modification, adaptive marking
-(MMCO), field/MBAFF coding, multi-slice pictures, weighted
-prediction, >8 active references.  Round 11: CABAC I/P entropy coding
+B_Direct_8x8 and the 8x4/4x8/4x4 splits) — plus MULTI-SLICE
+pictures (encode_h264_multislice; first_mb_in_slice walking with
+cross-slice neighbour masking) and EXPLICIT WEIGHTED PREDICTION for
+P slices (§8.4.2.3 pred_weight_table, tested by
+tests/test_h264_weighted.py / test_h264_multislice.py).  Still
+OUTSIDE the subset and quarantined: reference-list modification,
+adaptive marking (MMCO), POC type 1, field/MBAFF coding, weighted
+BI-prediction, >8 active references.  Round 11: CABAC I/P entropy coding
 lives in the companion module ``h264_cabac`` (provenance-marked
 streams only — see its honesty-boundary docstring);
 externally-encoded CABAC still quarantines here.
@@ -69,8 +73,8 @@ Scope — the full INTRA half of H.264 Baseline (round 9):
   stays single-slice and unweighted), modified reference lists,
   adaptive reference marking, field/MBAFF coding, weighted
   BI-prediction (P explicit WP decodes, round 13), non-4:2:0 or
-  >8-bit sampling, scaling matrices, multi-slice pictures, POC
-  type 1.
+  >8-bit sampling, scaling matrices, POC type 1 (multi-slice
+  pictures decode since round 13).
 
 The CAVLC code tables (Tables 9-5, 9-7..9-10) are transcribed from
 the published spec.  Encoder and decoder share one table instance, so
