@@ -1156,6 +1156,67 @@ def mkv_keyframe_index(payload: bytes) -> list[tuple[int, int]]:
         raise MediaFormatError(f"malformed mkv Cues: {exc}") from exc
 
 
+def mkv_block_keyframes(payload: bytes) -> list[int]:
+    """→ 1-based block ordinals of the video track's keyframe-flagged
+    SimpleBlocks — the per-SAMPLE sync index (headers only: the EBML
+    walk skips every frame body by size).  Complements
+    ``mkv_keyframe_index`` (Cues): fixtures and many real files carry
+    no Cues, but every block header carries the keyframe bit.  The
+    mp4 analogue is ``mp4_keyframe_index`` (round 14 — uniform
+    clip-sampling metadata across both video containers)."""
+    try:
+        seg_s, seg_e = _mkv_segment(payload)
+        tr = _mkv_video_track(payload, seg_s, seg_e)
+        out: list[int] = []
+        for i, (_, key, _, _) in enumerate(
+            _mkv_blocks(payload, seg_s, seg_e, tr["number"]), start=1
+        ):
+            if key:
+                out.append(i)
+        return out
+    except MediaFormatError:
+        raise
+    except (struct.error, ValueError, IndexError, KeyError) as exc:
+        raise MediaFormatError(f"malformed mkv blocks: {exc}") from exc
+
+
+def mp4_keyframe_index(payload: bytes) -> list[int]:
+    """→ 1-based sync-sample numbers of the mp4 video track, from the
+    stss box (absent stss = every sample sync, per ISO 14496-12) —
+    headers only, no mdat byte touched.  The 100 TB clip-sampling
+    pass reads THIS to pick decodable keyframes before paying for any
+    decode; the mkv analogue is ``mkv_block_keyframes``."""
+    try:
+        trak_s, trak_e = _bmff_video_trak(payload)
+        stbl_s, stbl_e = _bmff_find(
+            payload, trak_s, trak_e, [b"mdia", b"minf", b"stbl"]
+        )
+        tables = {
+            t: (b, e) for t, b, e in _bmff_boxes(payload, stbl_s, stbl_e)
+        }
+        zb, ze = tables[b"stsz"]
+        q = _full_body(payload, zb, ze)
+        n_samples = struct.unpack_from(">I", payload, q + 4)[0]
+        if b"stss" not in tables:
+            return list(range(1, n_samples + 1))
+        sb, se = tables[b"stss"]
+        sq = _full_body(payload, sb, se)
+        n_sync = struct.unpack_from(">I", payload, sq)[0]
+        if sq + 4 + 4 * n_sync > se:
+            raise MediaFormatError("truncated mp4 stss")
+        out = []
+        for i in range(n_sync):
+            s = struct.unpack_from(">I", payload, sq + 4 + 4 * i)[0]
+            if not 1 <= s <= n_samples:
+                raise MediaFormatError("mp4 stss sample out of range")
+            out.append(s)
+        return out
+    except MediaFormatError:
+        raise
+    except (struct.error, ValueError, IndexError, KeyError) as exc:
+        raise MediaFormatError(f"malformed mp4 sample tables: {exc}") from exc
+
+
 def _ebml_size_bytes(val: int) -> bytes:
     for ln in range(1, 9):
         if val < (1 << (7 * ln)) - 1:
@@ -4529,7 +4590,12 @@ def parse_h264_sps(nal: bytes) -> dict:
 
 def parse_hevc_sps(nal: bytes) -> dict:
     """SPS NAL (2-byte header included) → {codec, profile, level,
-    width, height} per ITU-T H.265 §7.3.2.2.1 + §7.3.3."""
+    tier, width, height, chroma_format, bit_depth} per ITU-T H.265
+    §7.3.2.2.1 + §7.3.3 — round 14 deepens the probe to the AV1
+    probe's metadata surface (round-13 VERDICT next #7): tier flag,
+    chroma format and luma bit depth now ride out of the header so
+    the funnel reports uniform codec metadata across h264/hevc/av1
+    without touching a single coded byte."""
     if len(nal) < 2 or ((nal[0] >> 1) & 0x3F) != 33:
         raise MediaFormatError("not an HEVC SPS NAL")
     r = _RbspReader(_unescape_rbsp(nal[2:]))
@@ -4539,7 +4605,7 @@ def parse_hevc_sps(nal: bytes) -> dict:
     # profile_tier_level(1, max_sub_layers): general PTL is 88 bits +
     # 8-bit level; sub-layer PTLs follow their presence flags
     r.u(2)  # general_profile_space
-    r.u(1)  # general_tier_flag
+    tier_flag = r.u(1)  # general_tier_flag
     profile_idc = r.u(5)
     r.u(32)  # profile_compatibility_flags
     r.u(4)  # progressive/interlaced/non_packed/frame_only
@@ -4575,12 +4641,19 @@ def parse_hevc_sps(nal: bytes) -> dict:
         height -= subh * (win_t + win_b)
     if width <= 0 or height <= 0:
         raise MediaFormatError("HEVC SPS window exceeds coded size")
+    bit_depth_luma = 8 + r.ue()  # bit_depth_luma_minus8
+    bit_depth_chroma = 8 + r.ue()  # bit_depth_chroma_minus8
+    if not 8 <= bit_depth_luma <= 16 or not 8 <= bit_depth_chroma <= 16:
+        raise MediaFormatError("HEVC SPS bit depth out of range")
     return {
         "codec": "hevc",
         "profile": profile_idc,
         "level": level_idc,
+        "tier": tier_flag,
         "width": width,
         "height": height,
+        "chroma_format": chroma_format_idc,
+        "bit_depth": bit_depth_luma,
     }
 
 
@@ -4632,21 +4705,31 @@ def write_h264_sps(
 
 
 def write_hevc_sps(
-    width: int, height: int, profile: int = 1, level: int = 93
+    width: int, height: int, profile: int = 1, level: int = 93,
+    tier: int = 0, chroma_format: int = 1, bit_depth: int = 8,
 ) -> bytes:
-    """Synthesize a spec-shaped HEVC SPS NAL for fixtures: 4:2:0,
-    8-bit, single layer, conformance window as needed (coded size is
-    padded to the 8-sample minimum CTB multiple)."""
+    """Synthesize a spec-shaped HEVC SPS NAL for fixtures: single
+    layer, conformance window as needed (coded size is padded to the
+    8-sample minimum CTB multiple).  Round 14: ``tier`` (Main/High),
+    ``chroma_format`` (1=4:2:0, 2=4:2:2, 3=4:4:4) and ``bit_depth``
+    (8..16, luma == chroma) are writable so the probe's deepened
+    metadata surface is exercised against real header bits."""
     if width % 2 or height % 2 or width <= 0 or height <= 0:
         raise ValueError("HEVC fixture dims must be positive and even")
+    if chroma_format not in (1, 2, 3):
+        raise ValueError("HEVC fixture chroma_format must be 1, 2 or 3")
+    if not 8 <= bit_depth <= 16:
+        raise ValueError("HEVC fixture bit_depth must be 8..16")
     cw = (width + 7) // 8 * 8
     ch = (height + 7) // 8 * 8
+    subw = 2 if chroma_format in (1, 2) else 1
+    subh = 2 if chroma_format == 1 else 1
     w = _RbspWriter()
     w.u(0, 4)  # vps_id
     w.u(0, 3)  # max_sub_layers_minus1
     w.u(1, 1)  # temporal_id_nesting
     w.u(0, 2)  # profile_space
-    w.u(0, 1)  # tier
+    w.u(1 if tier else 0, 1)  # general_tier_flag
     w.u(profile, 5)
     w.u(1 << (31 - profile) if profile < 32 else 0, 32)  # compat flags
     w.u(0b1011, 4)  # progressive, non-packed, frame-only
@@ -4655,21 +4738,22 @@ def write_hevc_sps(
     w.u(0, 1)
     w.u(level, 8)
     w.ue(0)  # sps_id
-    w.ue(1)  # chroma_format_idc 4:2:0
+    w.ue(chroma_format)
+    if chroma_format == 3:
+        w.u(0, 1)  # separate_colour_plane_flag
     w.ue(cw)
     w.ue(ch)
     if cw != width or ch != height:
         w.u(1, 1)
         w.ue(0)
-        w.ue((cw - width) // 2)
+        w.ue((cw - width) // subw)
         w.ue(0)
-        w.ue((ch - height) // 2)
+        w.ue((ch - height) // subh)
     else:
         w.u(0, 1)
-    # minimal valid tail the parser never reads: bit depths + sub-layer
-    # ordering info for layer 0
-    w.ue(0)
-    w.ue(0)  # bit_depth_luma/chroma_minus8
+    # bit depths (probed), then sub-layer ordering info for layer 0
+    w.ue(bit_depth - 8)
+    w.ue(bit_depth - 8)  # bit_depth_luma/chroma_minus8
     w.ue(4)  # log2_max_pic_order_cnt_lsb_minus4
     w.u(1, 1)  # sub_layer_ordering_info_present
     w.ue(1)
@@ -4974,6 +5058,10 @@ def encode_mp4_coded(
     qp: int = 26,
     gop: str = "all-intra",
     entropy: str = "cavlc",
+    sync_every: int = 1,
+    tier: int = 0,
+    chroma_format: int = 1,
+    bit_depth: int = 8,
 ) -> bytes:
     """Fixture builder: an ISO BMFF file whose video track is coded
     h264/hevc.  Default: real avcC/hvcC config with a synthesized SPS
@@ -5005,6 +5093,7 @@ def encode_mp4_coded(
             width, height,
             profile if profile is not None else 1,
             level if level is not None else 93,
+            tier=tier, chroma_format=chroma_format, bit_depth=bit_depth,
         )
         entry_tag, cfg = b"hvc1", _box(b"hvcC", build_hvcc(sps))
     elif codec == "av1":
@@ -5036,12 +5125,22 @@ def encode_mp4_coded(
     )
     stco = _full_box(b"stco", 0, 0, struct.pack(">II", 1, base))
     # absent stss = every sample sync (true for all-intra); the IPPP
-    # and IPB chains mark only the IDR
-    stss = (
-        _full_box(b"stss", 0, 0, struct.pack(">II", 1, 1))
-        if (intra_frames is not None and gop in ("ippp", "ipb", "ipb-temporal", "ippp-multiref", "ippp-wp", "ippp-ms2"))
-        else b""
-    )
+    # and IPB chains mark only the IDR; dummy-sample probe fixtures
+    # with sync_every > 1 mark every sync_every-th sample (round 14 —
+    # exercises the header-only keyframe index on coded tracks)
+    if intra_frames is not None and gop in ("ippp", "ipb", "ipb-temporal", "ippp-multiref", "ippp-wp", "ippp-ms2"):
+        stss = _full_box(b"stss", 0, 0, struct.pack(">II", 1, 1))
+    elif intra_frames is None and sync_every > 1:
+        sync = list(range(1, n_frames + 1, sync_every))
+        stss = _full_box(
+            b"stss",
+            0,
+            0,
+            struct.pack(">I", len(sync))
+            + b"".join(struct.pack(">I", s) for s in sync),
+        )
+    else:
+        stss = b""
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stss + stco)
     dref = _full_box(
         b"dref", 0, 0, struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b"")
@@ -5100,6 +5199,10 @@ def encode_mkv_coded(
     intra_frames: list[bytes] | None = None,
     qp: int = 26,
     entropy: str = "cavlc",
+    sync_every: int = 1,
+    tier: int = 0,
+    chroma_format: int = 1,
+    bit_depth: int = 8,
 ) -> bytes:
     """Fixture builder: a Matroska file whose video track is coded
     h264/hevc — CodecID V_MPEG4/ISO/AVC / V_MPEGH/ISO/HEVC with the
@@ -5129,6 +5232,7 @@ def encode_mkv_coded(
             width, height,
             profile if profile is not None else 1,
             level if level is not None else 93,
+            tier=tier, chroma_format=chroma_format, bit_depth=bit_depth,
         )
         codec_id, private = b"V_MPEGH/ISO/HEVC", build_hvcc(sps)
     elif codec == "av1":
@@ -5180,7 +5284,9 @@ def encode_mkv_coded(
             _MKV_SIMPLE_BLOCK,
             b"\x81"
             + struct.pack(">h", i * frame_ms)
-            # all-intra: every block keyframe; ippp/ipb: only block 0
+            # all-intra: every block keyframe; ippp/ipb: only block 0;
+            # dummy probe fixtures honour sync_every (round 14 — the
+            # keyframe flags must agree with the mp4 twin's stss)
             + bytes([
                 0x80
                 if (
@@ -5188,6 +5294,11 @@ def encode_mkv_coded(
                     or (
                         intra_bodies is not None
                         and gop not in ("ippp", "ipb", "ipb-temporal", "ippp-multiref", "ippp-wp", "ippp-ms2")
+                    )
+                    or (
+                        intra_bodies is None
+                        and sync_every > 1
+                        and i % sync_every == 0
                     )
                 )
                 else 0x00
@@ -5293,9 +5404,15 @@ def probe_media(payload: bytes) -> dict:
         "n_frames": None, "sample_rate": None, "n_samples": None,
         # coded-video (h264/hevc/av1) tracks: probe-only metadata;
         # decode of these tracks still quarantines.  "channels" is the
-        # coded-AUDIO (ogg opus/vorbis) analog, round 13.
+        # coded-AUDIO (ogg opus/vorbis) analog, round 13.  Round 14
+        # (VERDICT next #7): tier/bit_depth/chroma_format deepen the
+        # hevc probe to the av1 probe's surface, and n_keyframes
+        # reports the per-sample sync index (mp4 stss / mkv block
+        # flags) headers-only for BOTH video containers.
         "codec": None, "profile": None, "level": None,
         "channels": None,
+        "tier": None, "bit_depth": None, "chroma_format": None,
+        "n_keyframes": None,
     }
     try:
         if kind == "bmp":
@@ -5484,7 +5601,18 @@ def probe_media(payload: bytes) -> dict:
             zb, ze = tables[b"stsz"]
             q = _full_body(payload, zb, ze)
             n_frames = struct.unpack_from(">I", payload, q + 4)[0]
-            out.update(width=w, height=h, n_frames=n_frames)
+            # sync-sample count from stss (absent = all sync, per
+            # spec) — same table the decoder walks, zero frame bytes
+            if b"stss" in tables:
+                sb, se = tables[b"stss"]
+                sq = _full_body(payload, sb, se)
+                n_keyframes = struct.unpack_from(">I", payload, sq)[0]
+            else:
+                n_keyframes = n_frames
+            out.update(
+                width=w, height=h, n_frames=n_frames,
+                n_keyframes=n_keyframes,
+            )
             # coded tracks (avc1/hev1/...): the SPS inside the
             # avcC/hvcC config box is the authoritative source of
             # dimensions (container fields can lie about cropping) and
@@ -5511,16 +5639,26 @@ def probe_media(payload: bytes) -> dict:
                     codec=sps_meta["codec"],
                     profile=sps_meta["profile"],
                     level=sps_meta["level"],
+                    tier=sps_meta.get("tier"),
+                    bit_depth=sps_meta.get("bit_depth"),
+                    chroma_format=sps_meta.get("chroma_format"),
                 )
         elif kind == "mkv":
             # EBML sizes let the block walk skip every frame body —
             # headers only, no JPEG entropy data touched
             seg_s, seg_e = _mkv_segment(payload)
             tr = _mkv_video_track(payload, seg_s, seg_e)
-            n = sum(
-                1 for _ in _mkv_blocks(payload, seg_s, seg_e, tr["number"])
+            n = n_kf = 0
+            for _, key, _, _ in _mkv_blocks(
+                payload, seg_s, seg_e, tr["number"]
+            ):
+                n += 1
+                if key:
+                    n_kf += 1
+            out.update(
+                width=tr["w"], height=tr["h"], n_frames=n,
+                n_keyframes=n_kf,
             )
-            out.update(width=tr["w"], height=tr["h"], n_frames=n)
             if tr["codec"] in _MKV_CODED_IDS:
                 if not tr["private"]:
                     raise MediaFormatError(
@@ -5533,6 +5671,9 @@ def probe_media(payload: bytes) -> dict:
                     codec=sps_meta["codec"],
                     profile=sps_meta["profile"],
                     level=sps_meta["level"],
+                    tier=sps_meta.get("tier"),
+                    bit_depth=sps_meta.get("bit_depth"),
+                    chroma_format=sps_meta.get("chroma_format"),
                 )
         elif kind == "h264":
             # raw elementary stream: SPS metadata + slice count from
