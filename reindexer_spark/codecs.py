@@ -5267,13 +5267,16 @@ def parse_hevc_sps(nal: bytes) -> dict:
 
 def write_h264_sps(
     width: int, height: int, profile: int = 66, level: int = 30,
-    num_ref_frames: int = 1,
+    num_ref_frames: int = 1, poc_type: int = 0,
 ) -> bytes:
     """Synthesize a spec-shaped SPS NAL for fixtures: frame_mbs_only,
     4:2:0, cropping as needed for non-multiple-of-16 dimensions (even
     dims only — 4:2:0 crop units are 2 luma samples).
     ``num_ref_frames``: 1 for the IDR/IPPP chains, 2 for IPB (the B
-    subset holds two references in its DPB)."""
+    subset holds two references in its DPB).  ``poc_type=1``
+    (round 14): frame_num-derived POC with a one-entry offset cycle
+    of +2 and delta_pic_order_always_zero — POC == 2·frame_num, the
+    same ordering the poc_type-0 fixtures signal explicitly."""
     if width % 2 or height % 2 or width <= 0 or height <= 0:
         raise ValueError("H.264 fixture dims must be positive and even")
     pw = (width + 15) // 16
@@ -5290,8 +5293,18 @@ def write_h264_sps(
         w.u(0, 1)
         w.u(0, 1)  # no scaling matrix
     w.ue(0)  # log2_max_frame_num_minus4
-    w.ue(0)  # pic_order_cnt_type
-    w.ue(0)  # log2_max_pic_order_cnt_lsb_minus4
+    if poc_type == 0:
+        w.ue(0)  # pic_order_cnt_type
+        w.ue(0)  # log2_max_pic_order_cnt_lsb_minus4
+    elif poc_type == 1:
+        w.ue(1)  # pic_order_cnt_type
+        w.u(1, 1)  # delta_pic_order_always_zero_flag
+        w.se(0)  # offset_for_non_ref_pic
+        w.se(0)  # offset_for_top_to_bottom_field
+        w.ue(1)  # num_ref_frames_in_pic_order_cnt_cycle
+        w.se(2)  # offset_for_ref_frame[0] -> POC = 2*frame_num
+    else:
+        raise ValueError("fixture SPS supports poc_type 0 or 1")
     w.ue(num_ref_frames)  # max_num_ref_frames
     w.u(0, 1)
     w.ue(pw - 1)
@@ -5736,7 +5749,7 @@ def encode_mp4_coded(
     # and IPB chains mark only the IDR; dummy-sample probe fixtures
     # with sync_every > 1 mark every sync_every-th sample (round 14 —
     # exercises the header-only keyframe index on coded tracks)
-    if intra_frames is not None and gop in ("ippp", "ipb", "ipb-temporal", "ippp-multiref", "ippp-wp", "ippp-ms2"):
+    if intra_frames is not None and gop in ("ippp", "ipb", "ipb-temporal", "ippp-multiref", "ippp-wp", "ippp-ms2", "ippp-reflist", "ippp-poc1"):
         stss = _full_box(b"stss", 0, 0, struct.pack(">II", 1, 1))
     elif intra_frames is None and sync_every > 1:
         sync = list(range(1, n_frames + 1, sync_every))
@@ -5901,7 +5914,7 @@ def encode_mkv_coded(
                     i == 0
                     or (
                         intra_bodies is not None
-                        and gop not in ("ippp", "ipb", "ipb-temporal", "ippp-multiref", "ippp-wp", "ippp-ms2")
+                        and gop not in ("ippp", "ipb", "ipb-temporal", "ippp-multiref", "ippp-wp", "ippp-ms2", "ippp-reflist", "ippp-poc1")
                     )
                     or (
                         intra_bodies is None

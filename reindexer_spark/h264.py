@@ -23,9 +23,15 @@ B_Direct_8x8 and the 8x4/4x8/4x4 splits) — plus MULTI-SLICE
 pictures (encode_h264_multislice; first_mb_in_slice walking with
 cross-slice neighbour masking) and EXPLICIT WEIGHTED PREDICTION for
 P slices (§8.4.2.3 pred_weight_table, tested by
-tests/test_h264_weighted.py / test_h264_multislice.py).  Still
-OUTSIDE the subset and quarantined: reference-list modification,
-adaptive marking (MMCO), POC type 1, field/MBAFF coding, weighted
+tests/test_h264_weighted.py / test_h264_multislice.py).  Round 14
+closes the table-free quarantines: REFERENCE-LIST MODIFICATION
+(§7.3.3.1 / §8.2.4.3 short-term picNum reordering, P and B lists,
+closed-loop-gated by `video_reflist_mmco`), ADAPTIVE MARKING MMCO 1
+(§7.3.3.3 / §8.2.5.4.1 short-term drop — the DPB develops real
+holes), and frame_num-derived POC TYPES 1 AND 2 (§8.2.1.3/§8.2.1.4
+incl. frame_num wrap).  Still OUTSIDE the subset and quarantined:
+LONG-TERM references (RPLM idc 2, MMCO 2/3/4/6, the IDR long-term
+flag), the MMCO 5 stream reset, field/MBAFF coding, weighted
 BI-prediction, >8 active references.  Round 11: CABAC I/P entropy coding
 lives in the companion module ``h264_cabac`` (provenance-marked
 streams only — see its honesty-boundary docstring);
@@ -70,11 +76,13 @@ Scope — the full INTRA half of H.264 Baseline (round 9):
 - What remains OUTSIDE the subset raises MediaFormatError — the
   quarantine contract, never a wrong frame: external CABAC
   (h264_cabac decodes only provenance-marked streams; CABAC also
-  stays single-slice and unweighted), modified reference lists,
-  adaptive reference marking, field/MBAFF coding, weighted
+  stays single-slice and unweighted), LONG-TERM reference machinery
+  (RPLM idc 2, MMCO 2/3/4/6, the IDR long-term flag), the MMCO 5
+  stream reset, field/MBAFF coding, weighted
   BI-prediction (P explicit WP decodes, round 13), non-4:2:0 or
-  >8-bit sampling, scaling matrices, POC type 1 (multi-slice
-  pictures decode since round 13).
+  >8-bit sampling, scaling matrices (multi-slice pictures decode
+  since round 13; short-term RPLM, MMCO 1 and POC types 1/2 decode
+  since round 14).
 
 The CAVLC code tables (Tables 9-5, 9-7..9-10) are transcribed from
 the published spec.  Encoder and decoder share one table instance, so
@@ -1222,7 +1230,18 @@ def _parse_sps_slice_fields(nal: bytes) -> dict:
     if poc_type == 0:
         meta["log2_max_poc_lsb"] = 4 + r.ue()
     elif poc_type == 1:
-        raise MediaFormatError("poc_type 1 unsupported")
+        # §8.2.1.3 frame_num-derived POC (round 14): the cycle fields
+        # are pure structural syntax — parsed in full, derived in
+        # _parse_slice_header via the shared poc_ctx
+        meta["poc1_always_zero"] = bool(r.u(1))
+        meta["poc1_offset_nonref"] = r.se()
+        r.se()  # offset_for_top_to_bottom_field (frame_mbs_only)
+        n_cyc = r.ue()
+        if n_cyc > 255:
+            raise MediaFormatError("POC cycle length out of range")
+        meta["poc1_offsets"] = [r.se() for _ in range(n_cyc)]
+    elif poc_type != 2:
+        raise MediaFormatError("invalid pic_order_cnt_type")
     r.ue()  # max_num_ref_frames
     r.u(1)  # gaps_in_frame_num_value_allowed
     meta["mb_w"] = r.ue() + 1
@@ -1253,7 +1272,8 @@ def _write_slice_header(
     cabac: bool = False, poc_lsb: int | None = None,
     num_ref_l0: int = 1, num_ref_l1: int = 1,
     direct_spatial: bool = True, wp: dict | None = None,
-    first_mb: int = 0,
+    first_mb: int = 0, rplm_l0: list | None = None,
+    rplm_l1: list | None = None, mmco: list | None = None,
 ) -> None:
     w.ue(first_mb)  # first_mb_in_slice
     # I/P/B + 5: 'all slices in this picture have this type'
@@ -1274,8 +1294,15 @@ def _write_slice_header(
             w.ue(num_ref_l1 - 1)
         else:
             w.u(0, 1)  # num_ref_idx_active_override_flag
-        w.u(0, 1)  # ref_pic_list_modification_flag_l0
-        w.u(0, 1)  # ref_pic_list_modification_flag_l1
+        for ops in (rplm_l0, rplm_l1):
+            if ops:
+                w.u(1, 1)  # ref_pic_list_modification_flag (round 14)
+                for idc, val in ops:
+                    w.ue(idc)
+                    w.ue(val)
+                w.ue(3)
+            else:
+                w.u(0, 1)
         # non-reference picture (nal_ref_idc 0): NO dec_ref_pic_marking
     elif slice_type == "P":
         if num_ref_l0 > 1:
@@ -1283,7 +1310,16 @@ def _write_slice_header(
             w.ue(num_ref_l0 - 1)
         else:
             w.u(0, 1)  # num_ref_idx_active_override_flag
-        w.u(0, 1)  # ref_pic_list_modification_flag_l0
+        if rplm_l0:
+            # §7.3.3.1 ref_pic_list_modification (round 14): short-term
+            # reorder ops, terminated by idc 3
+            w.u(1, 1)
+            for idc, val in rplm_l0:
+                w.ue(idc)
+                w.ue(val)
+            w.ue(3)
+        else:
+            w.u(0, 1)  # ref_pic_list_modification_flag_l0
         if wp is not None:
             # pred_weight_table (§7.3.3.2) — explicit weighted
             # prediction, one entry per active list-0 reference
@@ -1302,7 +1338,16 @@ def _write_slice_header(
                     w.se(ent["cw"][j])
                     w.se(ent["co"][j])
         # dec_ref_pic_marking (nal_ref_idc != 0, non-IDR):
-        w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (sliding window)
+        if mmco:
+            # §7.3.3.3 adaptive marking (round 14): MMCO 1 ops,
+            # terminated by op 0
+            w.u(1, 1)
+            for op, val in mmco:
+                w.ue(op)
+                w.ue(val)
+            w.ue(0)
+        else:
+            w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (sliding)
     else:
         w.u(0, 1)  # no_output_of_prior_pics
         w.u(0, 1)  # long_term_reference_flag
@@ -1315,6 +1360,33 @@ def _write_slice_header(
         w.se(0)  # slice_beta_offset_div2
     else:
         w.ue(1)  # idc = 1: filter off, in-stream
+
+
+def _parse_rplm(r: _BitReader) -> list | None:
+    """§7.3.3.1 ref_pic_list_modification for one list → list of
+    (idc, abs_diff_pic_num_minus1) ops, or None when the flag is 0
+    (round 14).  Short-term selection only: idc 2 (long-term pic num)
+    quarantines — no long-term reference machinery is claimed."""
+    if not r.u(1):
+        return None
+    ops: list = []
+    while True:
+        idc = r.ue()
+        if idc == 3:
+            break
+        if idc in (0, 1):
+            ops.append((idc, r.ue()))
+        elif idc == 2:
+            raise MediaFormatError(
+                "long-term reference selection outside the subset"
+            )
+        else:
+            raise MediaFormatError(
+                "invalid ref_pic_list_modification idc"
+            )
+        if len(ops) > 32:
+            raise MediaFormatError("ref list modification overlong")
+    return ops
 
 
 def _parse_slice_header(
@@ -1355,7 +1427,7 @@ def _parse_slice_header(
     if idr and stype != "I":
         raise MediaFormatError("IDR picture must carry I slices")
     r.ue()  # pps_id (single-PPS streams)
-    r.u(sps["log2_max_frame_num"])
+    frame_num = r.u(sps["log2_max_frame_num"])
     if idr:
         r.ue()  # idr_pic_id
     poc_full = None
@@ -1377,8 +1449,62 @@ def _parse_slice_header(
                 poc_full = poc_ctx.get("poc_full", prev) + fwd
             poc_ctx["poc"] = poc_lsb
             poc_ctx["poc_full"] = poc_full
+    else:
+        # POC types 1 and 2 derive from frame_num (§8.2.1.3 /
+        # §8.2.1.4, round 14).  Type-1 syntax is parsed regardless of
+        # context (bitstream layout); derivation runs only on the
+        # first slice (poc_ctx present), like the type-0 path.
+        delta0 = 0
+        if sps["poc_type"] == 1 and not sps["poc1_always_zero"]:
+            delta0 = r.se()  # delta_pic_order_cnt[0]
+        if poc_ctx is not None:
+            max_fn = 1 << sps["log2_max_frame_num"]
+            if idr:
+                if frame_num != 0:
+                    raise MediaFormatError("IDR frame_num must be 0")
+                fno = 0
+            else:
+                prev_fn = poc_ctx.get("prev_frame_num")
+                if prev_fn is None:
+                    raise MediaFormatError(
+                        "non-IDR picture before any IDR"
+                    )
+                fno = poc_ctx.get("frame_num_offset", 0)
+                if frame_num < prev_fn:
+                    fno += max_fn
+            if sps["poc_type"] == 1:
+                offsets = sps["poc1_offsets"]
+                ncyc = len(offsets)
+                abs_fn = fno + frame_num if ncyc else 0
+                if nal_ref_idc == 0 and abs_fn > 0:
+                    abs_fn -= 1
+                if abs_fn > 0:
+                    cyc_cnt = (abs_fn - 1) // ncyc
+                    in_cyc = (abs_fn - 1) % ncyc
+                    expected = cyc_cnt * sum(offsets) + sum(
+                        offsets[: in_cyc + 1]
+                    )
+                else:
+                    expected = 0
+                if nal_ref_idc == 0:
+                    expected += sps["poc1_offset_nonref"]
+                poc_full = expected + delta0
+            else:  # poc_type 2
+                tmp = 2 * (fno + frame_num)
+                poc_full = tmp - 1 if nal_ref_idc == 0 else tmp
+            prev_poc = poc_ctx.get("poc_full")
+            if not idr and prev_poc is not None and poc_full <= prev_poc:
+                raise MediaFormatError(
+                    "non-monotonic picture order: display-reordered "
+                    "stream outside the low-delay subset"
+                )
+            poc_ctx["poc_full"] = poc_full
+            poc_ctx["frame_num_offset"] = fno
+            poc_ctx["prev_frame_num"] = frame_num
     info = {"num_ref_l0": 1, "num_ref_l1": 1, "direct_spatial": True,
-            "poc": poc_full, "first_mb": first_mb}
+            "poc": poc_full, "first_mb": first_mb,
+            "frame_num": frame_num, "rplm_l0": None, "rplm_l1": None,
+            "mmco": None}
     if stype == "B":
         info["direct_spatial"] = bool(r.u(1))
         if r.u(1):  # num_ref_idx_active_override_flag
@@ -1388,14 +1514,8 @@ def _parse_slice_header(
                 raise MediaFormatError(
                     "num_ref_idx_active beyond the 8-deep subset"
                 )
-        if r.u(1):  # ref_pic_list_modification_flag_l0
-            raise MediaFormatError(
-                "reference list modification outside the subset"
-            )
-        if r.u(1):  # ref_pic_list_modification_flag_l1
-            raise MediaFormatError(
-                "reference list modification outside the subset"
-            )
+        info["rplm_l0"] = _parse_rplm(r)
+        info["rplm_l1"] = _parse_rplm(r)
     elif stype == "P":
         if r.u(1):  # num_ref_idx_active_override_flag
             info["num_ref_l0"] = r.ue() + 1
@@ -1403,10 +1523,7 @@ def _parse_slice_header(
                 raise MediaFormatError(
                     "num_ref_idx_active beyond the 8-deep subset"
                 )
-        if r.u(1):  # ref_pic_list_modification_flag_l0
-            raise MediaFormatError(
-                "reference list modification outside the subset"
-            )
+        info["rplm_l0"] = _parse_rplm(r)
         if pps.get("weighted_pred"):
             # pred_weight_table (§7.3.3.2): explicit weights/offsets
             # per active list-0 reference; absent flags mean identity
@@ -1442,12 +1559,38 @@ def _parse_slice_header(
     # could desync into wrong pixels instead of quarantining.
     if idr:
         r.u(1)  # no_output_of_prior_pics
-        r.u(1)  # long_term_reference_flag
+        if r.u(1):  # long_term_reference_flag
+            raise MediaFormatError(
+                "long-term IDR marking outside the subset"
+            )
     elif nal_ref_idc != 0:
         if r.u(1):  # adaptive_ref_pic_marking_mode_flag
-            raise MediaFormatError(
-                "adaptive reference marking outside the subset"
-            )
+            # §7.3.3.3 adaptive marking (round 14): MMCO 1 — drop a
+            # named short-term reference — decodes; the long-term ops
+            # (2, 3, 4, 6) and the MMCO 5 stream reset stay outside
+            # the subset and quarantine by name.
+            ops: list = []
+            while True:
+                op = r.ue()
+                if op == 0:
+                    break
+                if op == 1:
+                    ops.append((1, r.ue()))
+                elif op in (2, 3, 4, 6):
+                    raise MediaFormatError(
+                        "long-term reference marking outside the subset"
+                    )
+                elif op == 5:
+                    raise MediaFormatError(
+                        "MMCO 5 stream reset outside the subset"
+                    )
+                else:
+                    raise MediaFormatError(
+                        "invalid memory_management_control_operation"
+                    )
+                if len(ops) > 32:
+                    raise MediaFormatError("MMCO op list overlong")
+            info["mmco"] = ops
     if pps.get("entropy_coding_mode") and stype != "I":
         if r.ue() > 2:  # cabac_init_idc (§7.3.3, CABAC P slices)
             raise MediaFormatError("invalid cabac_init_idc")
@@ -1802,7 +1945,7 @@ def _decode_mb(
 def encode_frame_nal(
     rgb: bytes, width: int, height: int, qp: int = DEFAULT_QP,
     idr_pic_id: int = 0, return_recon: bool = False, deblock: bool = True,
-    return_planes: bool = False,
+    return_planes: bool = False, poc_type: int = 0,
 ):
     """One RGB frame → one IDR slice NAL (header byte included).  With
     ``return_recon``: also the encoder's closed-loop reconstruction as
@@ -1818,7 +1961,7 @@ def encode_frame_nal(
     st = _FrameState(mb_w, mb_h)
     w = _BitWriter()
     _write_slice_header(w, qp, DEFAULT_QP, idr_pic_id,
-                        log2_max_frame_num=4, poc_type=0,
+                        log2_max_frame_num=4, poc_type=poc_type,
                         log2_max_poc_lsb=4, deblock=deblock)
     for mby in range(mb_h):
         for mbx in range(mb_w):
@@ -1960,6 +2103,93 @@ def decode_frame_nal(
     )
 
 
+def _apply_mmco(
+    mmco: list, cur_fn: int, max_fn: int,
+    refs: list, ref_motion: list, ref_pocs: list, ref_fnums: list,
+) -> tuple[list, list, list, list]:
+    """§8.2.5.4.1 adaptive marking, MMCO 1 (round 14): mark the named
+    short-term reference unused — remove it from every parallel DPB
+    list, BEFORE the current picture enters.  Ops other than 1
+    quarantined at parse.  Returns the four pruned lists."""
+    refs = list(refs)
+    ref_motion = list(ref_motion)
+    ref_pocs = list(ref_pocs)
+    ref_fnums = list(ref_fnums)
+    for _op, diff_m1 in mmco:
+        pic_num = (cur_fn - (diff_m1 + 1)) % max_fn
+        for j, fn in enumerate(ref_fnums):
+            if fn is not None and fn % max_fn == pic_num:
+                del refs[j]
+                del ref_motion[j]
+                del ref_pocs[j]
+                del ref_fnums[j]
+                break
+        else:
+            raise MediaFormatError(
+                "MMCO 1 names a picture not in the DPB"
+            )
+    return refs, ref_motion, ref_pocs, ref_fnums
+
+
+def _ref_list_order(
+    n_avail: int,
+    rplm: list | None,
+    cur_fn: int,
+    ref_fnums: list,
+    max_fn: int,
+    num_active: int,
+    default: list | None = None,
+) -> list[int]:
+    """§8.2.4.3.1 short-term reference list modification over a
+    recency-ordered DPB (round 14).  ``default`` is the initial index
+    order (identity = recency = PicNum-descending for the low-delay
+    subset; B-L1 passes the §8.2.4.2.3 swapped order).  Each RPLM op
+    derives picNumLX from the running predictor, finds the DPB entry
+    whose FrameNum matches it mod MaxFrameNum (entries live within
+    one wrap window, so the modular compare is exact), inserts it at
+    the next index and drops the later duplicate.  Returns
+    ``num_active`` indices into the DPB."""
+    order = list(default) if default is not None else list(range(n_avail))
+    lst = order[:num_active]
+    if len(lst) < num_active:
+        raise MediaFormatError(
+            "num_ref_idx_active exceeds the decoded DPB depth"
+        )
+    if not rplm:
+        return lst
+    pred = cur_fn
+    next_i = 0
+    for idc, diff_m1 in rplm:
+        if idc == 0:
+            pred -= diff_m1 + 1
+            if pred < 0:
+                pred += max_fn
+        else:
+            pred += diff_m1 + 1
+            if pred >= max_fn:
+                pred -= max_fn
+        target = None
+        for j in range(n_avail):
+            if ref_fnums[j] is not None and ref_fnums[j] % max_fn == pred:
+                target = j
+                break
+        if target is None:
+            raise MediaFormatError(
+                "ref list modification names a picture not in the DPB"
+            )
+        if next_i >= num_active:
+            raise MediaFormatError(
+                "ref list modification longer than the active list"
+            )
+        lst = (
+            lst[:next_i]
+            + [target]
+            + [x for x in lst[next_i:] if x != target]
+        )[:num_active]
+        next_i += 1
+    return lst
+
+
 def decode_picture(
     nals: list[bytes], sps: dict, pps: dict,
     ref: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
@@ -1970,6 +2200,8 @@ def decode_picture(
     poc_ctx: dict | None = None,
     refs: list | None = None,
     ref_pocs: list | None = None,
+    ref_frame_nums: list | None = None,
+    ref_motions: list | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """The slice NALs of ONE picture (contiguous first_mb ranges, in
     order) → reconstructed (Y, U, V) planes.  IDR slices decode
@@ -2032,8 +2264,15 @@ def decode_picture(
         )
         if si == 0:
             pic = (stype, deblock, a_off, b_off, qp)
+            ref_hdr = (hinfo["frame_num"], hinfo["rplm_l0"],
+                       hinfo["rplm_l1"], hinfo["mmco"])
             poc_full = hinfo["poc"]
-            lsb0 = poc_ctx["poc"] if poc_ctx is not None else hinfo["poc"]
+            # type-0 streams compare later slices' raw lsb; types 1/2
+            # have no per-slice POC syntax — frame_num equality (the
+            # ref_hdr check below) is the §7.4.3 constraint there
+            lsb0 = (
+                poc_ctx.get("poc") if poc_ctx is not None else hinfo["poc"]
+            )
         else:
             if hinfo["poc"] is not None and hinfo["poc"] != lsb0:
                 raise MediaFormatError(
@@ -2047,6 +2286,12 @@ def decode_picture(
                 raise MediaFormatError(
                     "slices of one picture disagree on type, QP or "
                     "deblock settings"
+                )
+            if (hinfo["frame_num"], hinfo["rplm_l0"], hinfo["rplm_l1"],
+                    hinfo["mmco"]) != ref_hdr:
+                raise MediaFormatError(
+                    "slices of one picture disagree on reference "
+                    "handling (frame_num / RPLM / MMCO)"
                 )
             hinfo["poc"] = poc_full  # later slices parsed without ctx
         if hinfo["first_mb"] != expected:
@@ -2069,8 +2314,25 @@ def decode_picture(
                 raise MediaFormatError(
                     "num_ref_idx_active exceeds the decoded DPB depth"
                 )
-            if ref_pocs is not None:
-                st.l0_pocs = tuple(ref_pocs[:n_ref])
+            pocs_l0 = list(ref_pocs[:n_ref]) if ref_pocs is not None else None
+            if hinfo["rplm_l0"]:
+                # §8.2.4.3 modified RefPicList0 (round 14) — needs the
+                # walker-tracked DPB FrameNums to resolve picNums
+                if ref_frame_nums is None:
+                    raise MediaFormatError(
+                        "reference list modification without a tracked "
+                        "DPB (raw single-reference path)"
+                    )
+                order = _ref_list_order(
+                    len(l0), hinfo["rplm_l0"], hinfo["frame_num"],
+                    ref_frame_nums, 1 << sps["log2_max_frame_num"],
+                    n_ref,
+                )
+                l0 = [l0[i] for i in order]
+                if ref_pocs is not None:
+                    pocs_l0 = [ref_pocs[i] for i in order]
+            if pocs_l0 is not None:
+                st.l0_pocs = tuple(pocs_l0)
             expected = _decode_p_slice_mbs(
                 r, st, qp, cqo, l0[0],
                 refs=l0[:n_ref] if n_ref > 1 else None, n_ref=n_ref,
@@ -2093,16 +2355,72 @@ def decode_picture(
                 raise MediaFormatError(
                     "num_ref_idx_active exceeds the decoded DPB depth"
                 )
-            ctx = _b_ctx(
-                l0, direct_spatial=hinfo["direct_spatial"],
-                col=col_motion,
-                l0_pocs=(
-                    ref_pocs[: len(l0)] if ref_pocs is not None else None
-                ),
-                poc=hinfo["poc"],
-                n_ref_l0=hinfo["num_ref_l0"],
-                n_ref_l1=hinfo["num_ref_l1"],
-            )
+            if hinfo["rplm_l0"] or hinfo["rplm_l1"]:
+                # §8.2.4.3 modified B lists (round 14): each list gets
+                # the shared short-term modification routine over its
+                # §8.2.4.2.3 default order; RefPicList1[0]'s motion
+                # snapshot (direct modes) must follow the modified
+                # list, so the full walker-tracked DPB is required
+                if ref_frame_nums is None or ref_motions is None:
+                    raise MediaFormatError(
+                        "reference list modification without a tracked "
+                        "DPB (raw single-reference path)"
+                    )
+                max_fn = 1 << sps["log2_max_frame_num"]
+                n0, n1 = hinfo["num_ref_l0"], hinfo["num_ref_l1"]
+                default1 = (
+                    [1, 0] + list(range(2, len(l0)))
+                    if len(l0) > 1
+                    else [0]
+                )
+                ord0 = _ref_list_order(
+                    len(l0), hinfo["rplm_l0"], hinfo["frame_num"],
+                    ref_frame_nums, max_fn, n0,
+                )
+                ord1 = _ref_list_order(
+                    len(l0), hinfo["rplm_l1"], hinfo["frame_num"],
+                    ref_frame_nums, max_fn, n1,
+                    default=default1,
+                )
+                pocs = (
+                    list(ref_pocs[: len(l0)])
+                    if ref_pocs is not None
+                    else None
+                )
+                ctx = {
+                    "l0": [l0[i] for i in ord0],
+                    "l1": [l0[i] for i in ord1],
+                    "n_ref_l0": n0,
+                    "n_ref_l1": n1,
+                    "direct_spatial": hinfo["direct_spatial"],
+                    "col": (
+                        ref_motions[ord1[0]]
+                        if ord1[0] < len(ref_motions)
+                        else None
+                    ),
+                    "l0_pocs": (
+                        tuple(pocs[i] for i in ord0)
+                        if pocs is not None
+                        else None
+                    ),
+                    "l1_pocs": (
+                        tuple(pocs[i] for i in ord1)
+                        if pocs is not None
+                        else None
+                    ),
+                    "poc": hinfo["poc"],
+                }
+            else:
+                ctx = _b_ctx(
+                    l0, direct_spatial=hinfo["direct_spatial"],
+                    col=col_motion,
+                    l0_pocs=(
+                        ref_pocs[: len(l0)] if ref_pocs is not None else None
+                    ),
+                    poc=hinfo["poc"],
+                    n_ref_l0=hinfo["num_ref_l0"],
+                    n_ref_l1=hinfo["num_ref_l1"],
+                )
             if ctx["l0_pocs"] is not None:
                 st.l0_pocs = ctx["l0_pocs"]
                 st.l1_pocs = ctx["l1_pocs"]
@@ -2122,6 +2440,11 @@ def decode_picture(
     if motion_sink is not None:
         motion_sink.update(_motion_snapshot(st))
         motion_sink["poc"] = hinfo["poc"]
+        # round 14: the walkers' DPB bookkeeping needs the picture's
+        # frame_num (PicNum arithmetic) and its MMCO ops (applied to
+        # the DPB when this reference enters it)
+        motion_sink["frame_num"] = hinfo["frame_num"]
+        motion_sink["mmco"] = hinfo["mmco"]
         if st.l0_pocs is None and ref_pocs is not None:
             # single-ref P: L0 = [refs[0]] — temporal direct still
             # needs to know which PICTURE that is
@@ -2277,6 +2600,7 @@ def decode_avcc_samples(
     refs: list = []  # sliding-window DPB, most recent reference first
     ref_motion: list = []  # parallel motion snapshots (direct modes)
     ref_pocs: list = []  # parallel full POCs (temporal direct, bS)
+    ref_fnums: list = []  # parallel FrameNums (PicNum math: RPLM/MMCO)
     poc_ctx: dict = {}  # low-delay POC monotonicity + full unwrap
     for nals in sample_nals:
         slice_nals_au: list[bytes] = []
@@ -2309,7 +2633,7 @@ def decode_avcc_samples(
         if t0 == 5:
             # an IDR empties the DPB (8.2.5.1): pre-IDR references
             # must never predict post-IDR pictures
-            refs, ref_motion, ref_pocs = [], [], []
+            refs, ref_motion, ref_pocs, ref_fnums = [], [], [], []
         sink: dict = {}
         y, u, v = decode_picture(
             slice_nals_au, sps, pps,
@@ -2327,11 +2651,20 @@ def decode_avcc_samples(
                 if refs and all(p is not None for p in ref_pocs)
                 else None
             ),
+            ref_frame_nums=ref_fnums if refs else None,
+            ref_motions=ref_motion if refs else None,
         )
         if slice_nals_au[0][0] >> 5:  # reference picture → enters DPB
+            if sink.get("mmco"):
+                refs, ref_motion, ref_pocs, ref_fnums = _apply_mmco(
+                    sink["mmco"], sink["frame_num"],
+                    1 << sps["log2_max_frame_num"],
+                    refs, ref_motion, ref_pocs, ref_fnums,
+                )
             refs = [(y, u, v)] + refs[:7]
             ref_motion = [sink or None] + ref_motion[:7]
             ref_pocs = [sink.get("poc")] + ref_pocs[:7]
+            ref_fnums = [sink.get("frame_num")] + ref_fnums[:7]
         ct, cl = sps["crop_t"], sps["crop_l"]
         frame = yuv420_to_rgb(
             y[ct : ct + h, cl : cl + w],
@@ -2383,6 +2716,14 @@ def encode_avcc_samples(
     elif gop == "ippp-multiref":
         sps, pps, nals = encode_h264_ippp(
             width, height, frames_rgb, qp, n_refs=3
+        )
+    elif gop == "ippp-reflist":
+        sps, pps, nals = encode_h264_ippp(
+            width, height, frames_rgb, qp, n_refs=3, reflist=True
+        )
+    elif gop == "ippp-poc1":
+        sps, pps, nals = encode_h264_ippp(
+            width, height, frames_rgb, qp, poc_type=1
         )
     elif gop == "ippp-wp":
         sps, pps, nals = encode_h264_ippp(
@@ -2478,6 +2819,14 @@ def encode_h264_annexb(
     elif gop == "ippp-multiref":
         sps, pps, nals = encode_h264_ippp(
             width, height, frames_rgb, qp, n_refs=3
+        )
+    elif gop == "ippp-reflist":
+        sps, pps, nals = encode_h264_ippp(
+            width, height, frames_rgb, qp, n_refs=3, reflist=True
+        )
+    elif gop == "ippp-poc1":
+        sps, pps, nals = encode_h264_ippp(
+            width, height, frames_rgb, qp, poc_type=1
         )
     elif gop == "ippp-wp":
         sps, pps, nals = encode_h264_ippp(
@@ -5305,7 +5654,8 @@ def encode_p_frame_nal(
     deblock: bool = True, poc_lsb: int | None = None,
     motion_sink: dict | None = None,
     refs: list | None = None, ref_pocs: list | None = None,
-    wp: dict | None = None,
+    wp: dict | None = None, poc_type: int = 0,
+    rplm_l0: list | None = None, mmco: list | None = None,
 ):
     """One RGB frame → one P slice NAL against ``ref`` (the previous
     picture's FILTERED output planes).  Returns (nal, output planes —
@@ -5327,11 +5677,11 @@ def encode_p_frame_nal(
         st.l0_pocs = tuple(ref_pocs)
     w = _BitWriter()
     _write_slice_header(
-        w, qp, DEFAULT_QP, 0, log2_max_frame_num=4, poc_type=0,
+        w, qp, DEFAULT_QP, 0, log2_max_frame_num=4, poc_type=poc_type,
         log2_max_poc_lsb=4, deblock=deblock, slice_type="P",
         frame_num=frame_num, poc_lsb=poc_lsb,
         num_ref_l0=len(refs) if refs is not None else 1,
-        wp=wp,
+        wp=wp, rplm_l0=rplm_l0, mmco=mmco,
     )
     skip_run = 0
     for mby in range(mb_h):
@@ -5384,6 +5734,7 @@ def _estimate_wp(y, u, v, ref, n_entries: int) -> dict:
 def encode_h264_ippp(
     width: int, height: int, frames_rgb: list[bytes], qp: int = DEFAULT_QP,
     return_recon: bool = False, n_refs: int = 1, weighted: bool = False,
+    reflist: bool = False, poc_type: int = 0,
 ):
     """Frames → (SPS, PPS, [IDR slice, P slice, ...][, recon frames]):
     the first frame intra, every later frame predicted from its
@@ -5403,36 +5754,69 @@ def encode_h264_ippp(
     # third encodes must be cache hits, not re-searches.  RGB recons
     # are always computed into the cache (YUV→RGB is trivial next to
     # ME) and sliced off per call.
-    key = (width, height, tuple(frames_rgb), qp, n_refs, weighted)
+    key = (width, height, tuple(frames_rgb), qp, n_refs, weighted,
+           reflist, poc_type)
     hit = _IPPP_CACHE.get(key)
     if hit is None:
         sps = write_h264_sps(
-            width, height, 66, 30, num_ref_frames=n_refs
+            width, height, 66, 30, num_ref_frames=n_refs,
+            poc_type=poc_type,
         )
         pps = write_pps(DEFAULT_QP, weighted_pred=weighted)
         out = encode_frame_nal(
             frames_rgb[0], width, height, qp, idr_pic_id=0,
-            return_planes=True,
+            return_planes=True, poc_type=poc_type,
         )
         nals = [out[0]]
         planes = out[1]
         recons = [planes]
         dpb = [planes]  # most recent reference first
         dpb_pocs = [0]
+        dpb_fnums = [0]
         for i, f in enumerate(frames_rgb[1:], start=1):
             use = min(n_refs, len(dpb))
             wp = None
             if weighted:
                 fy, fu, fv = rgb_to_yuv420(f, width, height)
                 wp = _estimate_wp(fy, fu, fv, dpb[0], use)
+            refs_use = dpb[:use]
+            pocs_use = dpb_pocs[:use]
+            rplm = mmco = None
+            if reflist and use >= 2:
+                # ``reflist`` chain (round 14): every multi-ref P
+                # signals an RPLM that puts the SECOND-most-recent
+                # reference first — picNum CurrPicNum-2 to index 0
+                # (idc 0, diff 2), then picNum CurrPicNum-1 (idc 1,
+                # diff 1 forward from the predictor) — and the
+                # encoder predicts against the SAME modified order,
+                # so any conforming decoder that applies §8.2.4.3
+                # reproduces the closed loop bit-exactly
+                order = [1, 0] + list(range(2, use))
+                refs_use = [refs_use[j] for j in order]
+                pocs_use = [pocs_use[j] for j in order]
+                rplm = [(0, 1), (1, 0)]
+            if reflist and i == 3 and len(dpb) >= 2:
+                # one mid-chain MMCO 1: drop the OLDEST reference
+                # (difference_of_pic_nums_minus1 relative to
+                # CurrPicNum) — the DPB develops a real hole that
+                # later pictures' PicNum arithmetic must respect
+                oldest_fn = dpb_fnums[-1]
+                mmco = [(1, i - oldest_fn - 1)]
             nal, planes = encode_p_frame_nal(
-                f, width, height, qp, dpb[0], i, poc_lsb=2 * i,
-                refs=dpb[:use] if use > 1 else None,
-                ref_pocs=dpb_pocs[:use] if use > 1 else None,
-                wp=wp,
+                f, width, height, qp, refs_use[0], i, poc_lsb=2 * i,
+                refs=refs_use if use > 1 else None,
+                ref_pocs=pocs_use if use > 1 else None,
+                wp=wp, poc_type=poc_type, rplm_l0=rplm, mmco=mmco,
             )
+            if mmco:
+                # mirror the decoder: marking applies AFTER the
+                # current picture decodes, before it enters the DPB
+                dpb = dpb[:-1]
+                dpb_pocs = dpb_pocs[:-1]
+                dpb_fnums = dpb_fnums[:-1]
             dpb = [planes] + dpb[: n_refs - 1]
             dpb_pocs = [2 * i] + dpb_pocs[: n_refs - 1]
+            dpb_fnums = [i] + dpb_fnums[: n_refs - 1]
             nals.append(nal)
             recons.append(planes)
         rgb_recons = [
@@ -5472,6 +5856,7 @@ def decode_h264_stream(
     refs: list = []
     ref_motion: list = []  # parallel motion snapshots (direct modes)
     ref_pocs: list = []  # parallel full POCs (temporal direct, bS)
+    ref_fnums: list = []  # parallel FrameNums (PicNum math: RPLM/MMCO)
     poc_ctx: dict = {}  # low-delay POC monotonicity + full unwrap
     marker_seen = cabac_provenance_ok(
         [n for n in slice_nals if (n[0] & 0x1F) == 6],
@@ -5494,7 +5879,7 @@ def decode_h264_stream(
     for pic_nals in pictures:
         nal = pic_nals[0]
         if (nal[0] & 0x1F) == 5:
-            refs, ref_motion, ref_pocs = [], [], []  # IDR: DPB empties
+            refs, ref_motion, ref_pocs, ref_fnums = [], [], [], []
         sink: dict = {}
         planes = decode_picture(
             pic_nals, sps, pps,
@@ -5510,11 +5895,20 @@ def decode_h264_stream(
                 if refs and all(p is not None for p in ref_pocs)
                 else None
             ),
+            ref_frame_nums=ref_fnums if refs else None,
+            ref_motions=ref_motion if refs else None,
         )
         if nal[0] >> 5:  # reference picture → enters the DPB
+            if sink.get("mmco"):
+                refs, ref_motion, ref_pocs, ref_fnums = _apply_mmco(
+                    sink["mmco"], sink["frame_num"],
+                    1 << sps["log2_max_frame_num"],
+                    refs, ref_motion, ref_pocs, ref_fnums,
+                )
             refs = [planes] + refs[:7]
             ref_motion = [sink or None] + ref_motion[:7]
             ref_pocs = [sink.get("poc")] + ref_pocs[:7]
+            ref_fnums = [sink.get("frame_num")] + ref_fnums[:7]
         y, u, v = planes
         frames.append(
             yuv420_to_rgb(

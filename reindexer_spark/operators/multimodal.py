@@ -3369,6 +3369,219 @@ def video_bdirect_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REFLIST_DOCS = 10  # bounded: two encode chains per doc
+
+
+@query(
+    "video_reflist_mmco",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {REFLIST_DOCS}
+    ), s AS (
+      SELECT media_id,
+             CAST(('0x' || substr(dg, 1, 2)) AS INT) AS s0,
+             CAST(('0x' || substr(dg, 3, 2)) AS INT) AS s1,
+             CAST(('0x' || substr(dg, 5, 2)) AS INT) AS s2
+      FROM base
+    ), p AS (
+      SELECT media_id, s0, s1,
+             CAST(6 + s2 % 2 AS INT) AS n_frames,
+             CASE WHEN media_id % 3 = 2 THEN 'poc1' ELSE 'reflist' END
+               AS variant
+      FROM s
+    )
+    SELECT media_id,
+      CASE WHEN media_id % 2 = 0 THEN 'mp4' ELSE 'mkv' END AS container,
+      variant,
+      CAST(2 * (16 + s0 % 13) AS INT) AS width,
+      CAST(2 * (16 + s1 % 9) AS INT) AS height,
+      n_frames,
+      CAST(CASE WHEN variant = 'reflist' THEN n_frames - 2 ELSE 0 END
+        AS INT) AS n_rplm,
+      CAST(CASE WHEN variant = 'reflist' THEN 1 ELSE 0 END AS INT)
+        AS n_mmco,
+      CAST(CASE WHEN variant = 'poc1' THEN 1 ELSE 0 END AS INT)
+        AS poc_type,
+      CAST(1 AS INT) AS decodable,
+      CAST(1 AS INT) AS only_first_sync,
+      CAST(1 AS INT) AS containers_agree,
+      CAST(1 AS INT) AS recon_exact
+    FROM p
+    """,
+)
+def video_reflist_mmco(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENCE-LIST MODIFICATION + ADAPTIVE MARKING + POC TYPE 1
+    (round 14, VERDICT r13 next #2 — the table-free h264 quarantines):
+    digest-seeded translating-noise clips encoded as two chain
+    shapes — ``reflist``: a 3-reference IPPP chain where every
+    multi-reference P slice signals a §7.3.3.1 RPLM that puts the
+    SECOND-most-recent picture first (idc 0 then idc 1, real picNum
+    predictor arithmetic) and one mid-chain picture carries a §7.3.3.3
+    MMCO 1 dropping the OLDEST reference (the DPB develops a hole
+    later PicNum math must respect); ``poc1``: the same IPPP chain
+    under pic_order_cnt_type 1 (§8.2.1.3 — POC derived from frame_num
+    through the SPS offset cycle, no per-slice POC syntax) — muxed
+    into mp4 AND mkv and decoded back.
+
+    Oracle-pinned contract columns: ``n_rplm`` — every P header from
+    the third picture on really carries a modification list
+    (parse-checked per header, like the temporal gate's flag);
+    ``n_mmco=1`` on the reflist chain; ``poc_type`` as signalled;
+    ``recon_exact=1`` — decoder ≡ encoder closed loop, which fails if
+    the §8.2.4.3 reorder, the §8.2.5.4.1 drop, or the §8.2.1.3
+    derivation picks ANY wrong picture (references differ → pixels
+    differ); ``containers_agree=1``; ``only_first_sync=1``.
+    Long-term ops (RPLM idc 2, MMCO 2/3/4/6) and the MMCO 5 stream
+    reset stay quarantined by name — tests/test_h264_reflist.py pins
+    those negatives.
+
+    Scale shape: identical to the other video lanes — Arrow-batched
+    mapInPandas over a bounded fixture set, payloads never shuffle."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < REFLIST_DOCS
+    )
+
+    def build_and_decode(batches):
+        import hashlib
+
+        import numpy as np
+
+        from reindexer_spark.codecs import (
+            MediaFormatError,
+            _unescape_rbsp,
+            decode_mkv,
+            decode_mp4,
+            encode_mkv_coded,
+            encode_mp4_coded,
+        )
+        from reindexer_spark.h264 import (
+            _BitReader,
+            _parse_slice_header,
+            _parse_sps_slice_fields,
+            encode_h264_ippp,
+            parse_pps,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.doc_id)
+                dg = hashlib.sha256(r.text.encode("utf-8")).digest()
+                w = 2 * (16 + dg[0] % 13)
+                h = 2 * (16 + dg[1] % 9)
+                n_frames = 6 + dg[2] % 2
+                qp = 20 + dg[3] % 18
+                dx, dy = 1 + dg[4] % 3, 1 + dg[5] % 3
+                variant = "poc1" if mid % 3 == 2 else "reflist"
+                container = "mp4" if mid % 2 == 0 else "mkv"
+                rng = np.random.default_rng(
+                    int.from_bytes(dg[:8], "big")
+                )
+                base = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                frames = [
+                    np.roll(
+                        base, shift=(i * dy, i * dx), axis=(0, 1)
+                    ).tobytes()
+                    for i in range(n_frames)
+                ]
+                kw = (
+                    {"n_refs": 3, "reflist": True}
+                    if variant == "reflist"
+                    else {"poc_type": 1}
+                )
+                sps, pps, nals, recon = encode_h264_ippp(
+                    w, h, frames, qp=qp, return_recon=True, **kw
+                )
+                # parse-check: count headers that REALLY carry RPLM /
+                # MMCO syntax, and confirm the signalled poc_type
+                sd = _parse_sps_slice_fields(sps)
+                pd_ = parse_pps(pps)
+                n_rplm = n_mmco = 0
+                for nal in nals[1:]:
+                    rr = _BitReader(_unescape_rbsp(nal[1:]))
+                    _s, _q, _d, _a, _b2, info = _parse_slice_header(
+                        rr, sd, pd_, idr=False, nal_ref_idc=nal[0] >> 5
+                    )
+                    if info["rplm_l0"]:
+                        n_rplm += 1
+                    if info["mmco"]:
+                        n_mmco += 1
+                gop = (
+                    "ippp-reflist" if variant == "reflist"
+                    else "ippp-poc1"
+                )
+                mp4 = encode_mp4_coded(
+                    w, h, intra_frames=frames, qp=qp, gop=gop
+                )
+                mkv = encode_mkv_coded(
+                    w, h, intra_frames=frames, qp=qp, gop=gop
+                )
+                payload = mp4 if container == "mp4" else mkv
+                dec = decode_mp4 if container == "mp4" else decode_mkv
+                try:
+                    _dw, _dh, _durs, out, sync = dec(payload)
+                    decodable = 1
+                except MediaFormatError:
+                    out, sync = [], []
+                    decodable = 0
+                only_first_sync = int(
+                    len(sync) == n_frames
+                    and bool(sync[0])
+                    and not any(sync[1:])
+                )
+                other = decode_mkv if container == "mp4" else decode_mp4
+                try:
+                    _w2, _h2, _d2, out2, _s2 = other(
+                        mkv if container == "mp4" else mp4
+                    )
+                    agree = int(out == out2 and len(out) == n_frames)
+                except MediaFormatError:
+                    agree = 0
+                recon_exact = int(out == recon)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "container": container,
+                        "variant": variant,
+                        "width": w,
+                        "height": h,
+                        "n_frames": n_frames,
+                        "n_rplm": n_rplm,
+                        "n_mmco": n_mmco,
+                        "poc_type": sd["poc_type"],
+                        "decodable": decodable,
+                        "only_first_sync": only_first_sync,
+                        "containers_agree": agree,
+                        "recon_exact": recon_exact,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "container", "variant", "width",
+                    "height", "n_frames", "n_rplm", "n_mmco",
+                    "poc_type", "decodable", "only_first_sync",
+                    "containers_agree", "recon_exact",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .repartition(REFLIST_DOCS)
+        .mapInPandas(
+            build_and_decode,
+            "media_id bigint, container string, variant string, "
+            "width int, height int, n_frames int, n_rplm int, "
+            "n_mmco int, poc_type int, decodable int, "
+            "only_first_sync int, containers_agree int, "
+            "recon_exact int",
+        )
+    )
+
+
 WPMS_DOCS = 10  # bounded: three encode chains per doc
 
 
