@@ -823,7 +823,92 @@ def boilerplate_leg(spark, ui_port: int) -> dict:
     return out
 
 
+def minhash_decade_leg(spark, ui_port: int) -> dict:
+    """One more decade for the HEADLINE near-dup lane (round-13
+    VERDICT next #4): dense-500k / zipf-500k documents for
+    ``dedup_minhash``, mirroring the round-13 emb-200k extension.
+    The hot-bucket cap's dense-regime claim was proven at one decade
+    (5k→50k, wall ×2.48); the saturated-shingle boilerplate regime is
+    exactly where the next decade could bend, so this leg measures
+    50k→500k of BOTH distributions in one session (same-session
+    ratios — cross-session walls on this VM are ±2× noise; shuffle
+    records are the trustworthy signal)."""
+    from reindexer_spark import get_query
+    from reindexer_spark.catalog import load_table
+
+    q = get_query("dedup_minhash")
+    leg: dict = {}
+    for shape, zipf in (("dense", False), ("zipf", True)):
+        for size, n in (("50k", N_DOCS), ("500k", N_DOCS * 10)):
+            label = f"{shape}-{size}"
+            out_dir = os.path.join(REPO, "scaledata", label)
+            if not os.path.exists(
+                os.path.join(out_dir, "documents.parquet")
+            ):
+                print(f"generating {n} docs at {out_dir}", file=sys.stderr)
+                generate_corpus(spark, out_dir, zipf_tail=zipf, n_docs=n)
+            load_table(spark, out_dir, "documents").limit(1).count()
+            if not leg:
+                # untimed warmup before the first timed leg (Python
+                # worker spin-up / codegen — the run_proof convention)
+                q.fn(spark, out_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            b0, r0 = _shuffle_totals(ui_port)
+            t0 = time.perf_counter()
+            q.fn(spark, out_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            wall = round(time.perf_counter() - t0, 3)
+            b1, r1 = _shuffle_totals(ui_port)
+            leg[label] = {
+                "wall_sec": wall,
+                "shuffle_write_mb": round((b1 - b0) / 1e6, 2),
+                "shuffle_write_mrec": round((r1 - r0) / 1e6, 3),
+            }
+            print(f"dedup_minhash {label}: {json.dumps(leg[label])}",
+                  file=sys.stderr)
+    for shape in ("dense", "zipf"):
+        a, b = leg[f"{shape}-50k"], leg[f"{shape}-500k"]
+        leg[f"growth_at_2nd_10x_{shape}"] = {
+            "wall": round(b["wall_sec"] / max(a["wall_sec"], 1e-9), 2),
+            "shuffle_records": round(
+                b["shuffle_write_mrec"]
+                / max(a["shuffle_write_mrec"], 1e-9),
+                2,
+            ),
+        }
+    return leg
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "minhash":
+        # merge-only mode: the 2nd-decade dedup_minhash leg alone
+        from reindexer_spark import get_spark
+
+        spark = get_spark(
+            "reindexer-scale-proof",
+            extra_conf={
+                "spark.ui.enabled": "true",
+                "spark.ui.retainedStages": "100000",
+                "spark.ui.retainedJobs": "50000",
+            },
+        )
+        ui_port = int(spark.conf.get("spark.ui.port", "4040"))
+        out = os.path.join(REPO, "SCALE_PROOF.json")
+        try:
+            with open(out) as fh:
+                result = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            result = {}
+        leg = minhash_decade_leg(spark, ui_port)
+        result.setdefault("queries", {}).setdefault(
+            "dedup_minhash", {}
+        ).update(leg)
+        with open(out, "w") as fh:
+            json.dump(result, fh, indent=1)
+        print(json.dumps(leg))
+        return 0
     if len(sys.argv) > 1 and sys.argv[1] in ("boiler", "ann"):
         # merge-only modes: refresh JUST the named leg
         from reindexer_spark import get_spark
