@@ -25,13 +25,18 @@ cross-slice neighbour masking) and EXPLICIT WEIGHTED PREDICTION for
 P slices (§8.4.2.3 pred_weight_table, tested by
 tests/test_h264_weighted.py / test_h264_multislice.py).  Round 14
 closes the table-free quarantines: REFERENCE-LIST MODIFICATION
-(§7.3.3.1 / §8.2.4.3 short-term picNum reordering, P and B lists,
-closed-loop-gated by `video_reflist_mmco`), ADAPTIVE MARKING MMCO 1
-(§7.3.3.3 / §8.2.5.4.1 short-term drop — the DPB develops real
-holes), and frame_num-derived POC TYPES 1 AND 2 (§8.2.1.3/§8.2.1.4
-incl. frame_num wrap).  Still OUTSIDE the subset and quarantined:
-LONG-TERM references (RPLM idc 2, MMCO 2/3/4/6, the IDR long-term
-flag), the MMCO 5 stream reset, field/MBAFF coding, weighted
+(§7.3.3.1 / §8.2.4.3 picNum AND long_term_pic_num reordering, P and
+B lists, closed-loop-gated by `video_reflist_mmco`), ADAPTIVE
+MARKING (§7.3.3.3 / §8.2.5.4 MMCO 1/2/3/4/6 — short-term drops AND
+the full LONG-TERM lifecycle: MMCO 4 index space, MMCO 3/6
+assignment, pinned pictures that outlive the §8.2.5.3 sliding
+window, which now counts against the SPS max_num_ref_frames and
+never evicts a long-term; the IDR long_term_reference_flag is
+honoured), and frame_num-derived POC TYPES 1 AND 2
+(§8.2.1.3/§8.2.1.4 incl. frame_num wrap).  Still OUTSIDE the subset
+and quarantined: the MMCO 5 stream reset, long-term references
+under B slices (the §8.4.1.2.3 long-term scaling branches are not
+claimed), field/MBAFF coding, weighted
 BI-prediction, >8 active references.  Round 11: CABAC I/P entropy coding
 lives in the companion module ``h264_cabac`` (provenance-marked
 streams only — see its honesty-boundary docstring);
@@ -76,13 +81,12 @@ Scope — the full INTRA half of H.264 Baseline (round 9):
 - What remains OUTSIDE the subset raises MediaFormatError — the
   quarantine contract, never a wrong frame: external CABAC
   (h264_cabac decodes only provenance-marked streams; CABAC also
-  stays single-slice and unweighted), LONG-TERM reference machinery
-  (RPLM idc 2, MMCO 2/3/4/6, the IDR long-term flag), the MMCO 5
-  stream reset, field/MBAFF coding, weighted
+  stays single-slice and unweighted), the MMCO 5 stream reset,
+  long-term references under B slices, field/MBAFF coding, weighted
   BI-prediction (P explicit WP decodes, round 13), non-4:2:0 or
   >8-bit sampling, scaling matrices (multi-slice pictures decode
-  since round 13; short-term RPLM, MMCO 1 and POC types 1/2 decode
-  since round 14).
+  since round 13; RPLM incl. long-term selection, MMCO 1/2/3/4/6
+  and POC types 1/2 decode since round 14).
 
 The CAVLC code tables (Tables 9-5, 9-7..9-10) are transcribed from
 the published spec.  Encoder and decoder share one table instance, so
@@ -1242,7 +1246,10 @@ def _parse_sps_slice_fields(nal: bytes) -> dict:
         meta["poc1_offsets"] = [r.se() for _ in range(n_cyc)]
     elif poc_type != 2:
         raise MediaFormatError("invalid pic_order_cnt_type")
-    r.ue()  # max_num_ref_frames
+    # §8.2.5.3's sliding window counts against THIS, not a fixed
+    # depth: with long-term references in the DPB (round 14) the
+    # short-term window is num_ref_frames minus the long-term count
+    meta["max_num_ref_frames"] = r.ue()
     r.u(1)  # gaps_in_frame_num_value_allowed
     meta["mb_w"] = r.ue() + 1
     mb_h_units = r.ue() + 1
@@ -1339,12 +1346,13 @@ def _write_slice_header(
                     w.se(ent["co"][j])
         # dec_ref_pic_marking (nal_ref_idc != 0, non-IDR):
         if mmco:
-            # §7.3.3.3 adaptive marking (round 14): MMCO 1 ops,
-            # terminated by op 0
+            # §7.3.3.3 adaptive marking (round 14): ops terminated by
+            # op 0; MMCO 3 carries two operands (picNum diff + index)
             w.u(1, 1)
-            for op, val in mmco:
-                w.ue(op)
-                w.ue(val)
+            for op in mmco:
+                w.ue(op[0])
+                for v in op[1:]:
+                    w.ue(v)
             w.ue(0)
         else:
             w.u(0, 1)  # adaptive_ref_pic_marking_mode_flag (sliding)
@@ -1364,9 +1372,10 @@ def _write_slice_header(
 
 def _parse_rplm(r: _BitReader) -> list | None:
     """§7.3.3.1 ref_pic_list_modification for one list → list of
-    (idc, abs_diff_pic_num_minus1) ops, or None when the flag is 0
-    (round 14).  Short-term selection only: idc 2 (long-term pic num)
-    quarantines — no long-term reference machinery is claimed."""
+    (idc, value) ops, or None when the flag is 0 (round 14).  idc
+    0/1 carry abs_diff_pic_num_minus1 (short-term picNum steps);
+    idc 2 carries long_term_pic_num — selection out of the DPB's
+    long-term entries (round-14 long-term machinery)."""
     if not r.u(1):
         return None
     ops: list = []
@@ -1377,9 +1386,9 @@ def _parse_rplm(r: _BitReader) -> list | None:
         if idc in (0, 1):
             ops.append((idc, r.ue()))
         elif idc == 2:
-            raise MediaFormatError(
-                "long-term reference selection outside the subset"
-            )
+            # long_term_pic_num (frame coding: == LongTermFrameIdx);
+            # resolved against the tracked DPB's long-term entries
+            ops.append((2, r.ue()))
         else:
             raise MediaFormatError(
                 "invalid ref_pic_list_modification idc"
@@ -1559,10 +1568,10 @@ def _parse_slice_header(
     # could desync into wrong pixels instead of quarantining.
     if idr:
         r.u(1)  # no_output_of_prior_pics
-        if r.u(1):  # long_term_reference_flag
-            raise MediaFormatError(
-                "long-term IDR marking outside the subset"
-            )
+        # long_term_reference_flag (round 14): the IDR itself enters
+        # the DPB as the long-term reference with LongTermFrameIdx 0
+        # (§8.2.5.1); the walkers honour it via the marking info
+        info["idr_longterm"] = bool(r.u(1))
     elif nal_ref_idc != 0:
         if r.u(1):  # adaptive_ref_pic_marking_mode_flag
             # §7.3.3.3 adaptive marking (round 14): MMCO 1 — drop a
@@ -1576,10 +1585,15 @@ def _parse_slice_header(
                     break
                 if op == 1:
                     ops.append((1, r.ue()))
-                elif op in (2, 3, 4, 6):
-                    raise MediaFormatError(
-                        "long-term reference marking outside the subset"
-                    )
+                elif op == 2:
+                    ops.append((2, r.ue()))  # long_term_pic_num
+                elif op == 3:
+                    # difference_of_pic_nums_minus1 + long_term_frame_idx
+                    ops.append((3, r.ue(), r.ue()))
+                elif op == 4:
+                    ops.append((4, r.ue()))  # max_long_term_frame_idx+1
+                elif op == 6:
+                    ops.append((6, r.ue()))  # current → long-term idx
                 elif op == 5:
                     raise MediaFormatError(
                         "MMCO 5 stream reset outside the subset"
@@ -2103,32 +2117,149 @@ def decode_frame_nal(
     )
 
 
-def _apply_mmco(
-    mmco: list, cur_fn: int, max_fn: int,
-    refs: list, ref_motion: list, ref_pocs: list, ref_fnums: list,
-) -> tuple[list, list, list, list]:
-    """§8.2.5.4.1 adaptive marking, MMCO 1 (round 14): mark the named
-    short-term reference unused — remove it from every parallel DPB
-    list, BEFORE the current picture enters.  Ops other than 1
-    quarantined at parse.  Returns the four pruned lists."""
-    refs = list(refs)
-    ref_motion = list(ref_motion)
-    ref_pocs = list(ref_pocs)
-    ref_fnums = list(ref_fnums)
-    for _op, diff_m1 in mmco:
-        pic_num = (cur_fn - (diff_m1 + 1)) % max_fn
-        for j, fn in enumerate(ref_fnums):
-            if fn is not None and fn % max_fn == pic_num:
-                del refs[j]
-                del ref_motion[j]
-                del ref_pocs[j]
-                del ref_fnums[j]
+class _Dpb:
+    """Decoded picture buffer for the stream walkers (round 14):
+    parallel lists kept in DEFAULT-LIST order — short-term references
+    most-recent-first, then long-term references by ascending
+    LongTermFrameIdx — which IS the §8.2.4.2.1 initial P list, so
+    decode_picture's default order is the identity.  Marking
+    (§8.2.5.4 ops 1/2/3/4/6) and the §8.2.5.3 sliding window (which
+    counts against the SPS max_num_ref_frames and only ever evicts
+    short-term pictures) both live here, shared by the avcC and
+    elementary-stream walkers."""
+
+    __slots__ = ("planes", "motions", "pocs", "fnums", "lts", "max_lt")
+
+    def __init__(self) -> None:
+        self.planes: list = []
+        self.motions: list = []
+        self.pocs: list = []
+        self.fnums: list = []
+        self.lts: list = []  # None = short-term, int = LongTermFrameIdx
+        self.max_lt: int | None = None  # MaxLongTermFrameIdx
+
+    def clear(self) -> None:
+        self.__init__()
+
+    def n_short(self) -> int:
+        return sum(1 for x in self.lts if x is None)
+
+    def _del(self, j: int) -> None:
+        del self.planes[j]
+        del self.motions[j]
+        del self.pocs[j]
+        del self.fnums[j]
+        del self.lts[j]
+
+    def _find_short(self, pic_num: int, max_fn: int):
+        for j, fn in enumerate(self.fnums):
+            if (
+                self.lts[j] is None
+                and fn is not None
+                and fn % max_fn == pic_num
+            ):
+                return j
+        return None
+
+    def _put_long(self, entry: tuple, ltidx: int) -> None:
+        # an assignment to an occupied LongTermFrameIdx replaces the
+        # previous holder (§8.2.5.4.3)
+        for i, lt in enumerate(self.lts):
+            if lt == ltidx:
+                self._del(i)
                 break
-        else:
-            raise MediaFormatError(
-                "MMCO 1 names a picture not in the DPB"
-            )
-    return refs, ref_motion, ref_pocs, ref_fnums
+        pos = self.n_short()
+        while pos < len(self.lts) and self.lts[pos] < ltidx:
+            pos += 1
+        planes, motion, poc, fnum = entry
+        self.planes.insert(pos, planes)
+        self.motions.insert(pos, motion)
+        self.pocs.insert(pos, poc)
+        self.fnums.insert(pos, fnum)
+        self.lts.insert(pos, ltidx)
+
+    def apply_marking(self, mmco, cur_fn: int, max_fn: int):
+        """§8.2.5.4 ops in signalled order; returns the CURRENT
+        picture's LongTermFrameIdx when an op 6 assigned one (the
+        caller inserts it accordingly)."""
+        cur_lt = None
+        for op in mmco or ():
+            kind = op[0]
+            if kind == 1:
+                j = self._find_short((cur_fn - (op[1] + 1)) % max_fn,
+                                     max_fn)
+                if j is None:
+                    raise MediaFormatError(
+                        "MMCO 1 names a picture not in the DPB"
+                    )
+                self._del(j)
+            elif kind == 2:
+                j = next(
+                    (i for i, lt in enumerate(self.lts) if lt == op[1]),
+                    None,
+                )
+                if j is None:
+                    raise MediaFormatError(
+                        "MMCO 2 names a long-term picture not in the DPB"
+                    )
+                self._del(j)
+            elif kind == 3:
+                if self.max_lt is None or op[2] > self.max_lt:
+                    raise MediaFormatError(
+                        "long-term frame index beyond MaxLongTermFrameIdx"
+                    )
+                j = self._find_short((cur_fn - (op[1] + 1)) % max_fn,
+                                     max_fn)
+                if j is None:
+                    raise MediaFormatError(
+                        "MMCO 3 names a picture not in the DPB"
+                    )
+                entry = (self.planes[j], self.motions[j],
+                         self.pocs[j], self.fnums[j])
+                self._del(j)
+                self._put_long(entry, op[2])
+            elif kind == 4:
+                self.max_lt = op[1] - 1 if op[1] > 0 else None
+                for i in reversed(range(len(self.lts))):
+                    if self.lts[i] is not None and (
+                        self.max_lt is None or self.lts[i] > self.max_lt
+                    ):
+                        self._del(i)
+            elif kind == 6:
+                if self.max_lt is None or op[1] > self.max_lt:
+                    raise MediaFormatError(
+                        "long-term frame index beyond MaxLongTermFrameIdx"
+                    )
+                cur_lt = op[1]
+        return cur_lt
+
+    def insert_current(
+        self, planes, motion, poc, fnum, lt, num_ref_frames: int,
+    ) -> None:
+        """Store the current reference picture: §8.2.5.3 sliding
+        window first (evicts the OLDEST short-term while the buffer
+        is at capacity — long-term pictures never slide), then the
+        insert that keeps the default-list order invariant."""
+        cap = max(1, min(int(num_ref_frames or 1), 8))
+        if lt is not None:
+            self._put_long((planes, motion, poc, fnum), lt)
+            if len(self.planes) > cap:
+                raise MediaFormatError(
+                    "DPB overfull with long-term references"
+                )
+            return
+        while len(self.planes) >= cap:
+            ns = self.n_short()
+            if ns == 0:
+                raise MediaFormatError(
+                    "DPB overfull with long-term references"
+                )
+            self._del(ns - 1)  # oldest short-term
+        self.planes.insert(0, planes)
+        self.motions.insert(0, motion)
+        self.pocs.insert(0, poc)
+        self.fnums.insert(0, fnum)
+        self.lts.insert(0, None)
 
 
 def _ref_list_order(
@@ -2139,6 +2270,7 @@ def _ref_list_order(
     max_fn: int,
     num_active: int,
     default: list | None = None,
+    ref_lts: list | None = None,
 ) -> list[int]:
     """§8.2.4.3.1 short-term reference list modification over a
     recency-ordered DPB (round 14).  ``default`` is the initial index
@@ -2159,20 +2291,35 @@ def _ref_list_order(
         return lst
     pred = cur_fn
     next_i = 0
-    for idc, diff_m1 in rplm:
-        if idc == 0:
-            pred -= diff_m1 + 1
-            if pred < 0:
-                pred += max_fn
-        else:
-            pred += diff_m1 + 1
-            if pred >= max_fn:
-                pred -= max_fn
+    for idc, val in rplm:
         target = None
-        for j in range(n_avail):
-            if ref_fnums[j] is not None and ref_fnums[j] % max_fn == pred:
-                target = j
-                break
+        if idc == 2:
+            # long_term_pic_num selection (round-14 long-term support)
+            if ref_lts is None:
+                raise MediaFormatError(
+                    "long-term selection without a tracked DPB"
+                )
+            for j in range(n_avail):
+                if ref_lts[j] is not None and ref_lts[j] == val:
+                    target = j
+                    break
+        else:
+            if idc == 0:
+                pred -= val + 1
+                if pred < 0:
+                    pred += max_fn
+            else:
+                pred += val + 1
+                if pred >= max_fn:
+                    pred -= max_fn
+            for j in range(n_avail):
+                if (
+                    (ref_lts is None or ref_lts[j] is None)
+                    and ref_fnums[j] is not None
+                    and ref_fnums[j] % max_fn == pred
+                ):
+                    target = j
+                    break
         if target is None:
             raise MediaFormatError(
                 "ref list modification names a picture not in the DPB"
@@ -2202,6 +2349,7 @@ def decode_picture(
     ref_pocs: list | None = None,
     ref_frame_nums: list | None = None,
     ref_motions: list | None = None,
+    ref_lts: list | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """The slice NALs of ONE picture (contiguous first_mb ranges, in
     order) → reconstructed (Y, U, V) planes.  IDR slices decode
@@ -2265,7 +2413,8 @@ def decode_picture(
         if si == 0:
             pic = (stype, deblock, a_off, b_off, qp)
             ref_hdr = (hinfo["frame_num"], hinfo["rplm_l0"],
-                       hinfo["rplm_l1"], hinfo["mmco"])
+                       hinfo["rplm_l1"], hinfo["mmco"],
+                       hinfo.get("idr_longterm"))
             poc_full = hinfo["poc"]
             # type-0 streams compare later slices' raw lsb; types 1/2
             # have no per-slice POC syntax — frame_num equality (the
@@ -2288,7 +2437,7 @@ def decode_picture(
                     "deblock settings"
                 )
             if (hinfo["frame_num"], hinfo["rplm_l0"], hinfo["rplm_l1"],
-                    hinfo["mmco"]) != ref_hdr:
+                    hinfo["mmco"], hinfo.get("idr_longterm")) != ref_hdr:
                 raise MediaFormatError(
                     "slices of one picture disagree on reference "
                     "handling (frame_num / RPLM / MMCO)"
@@ -2326,7 +2475,7 @@ def decode_picture(
                 order = _ref_list_order(
                     len(l0), hinfo["rplm_l0"], hinfo["frame_num"],
                     ref_frame_nums, 1 << sps["log2_max_frame_num"],
-                    n_ref,
+                    n_ref, ref_lts=ref_lts,
                 )
                 l0 = [l0[i] for i in order]
                 if ref_pocs is not None:
@@ -2340,6 +2489,16 @@ def decode_picture(
                 first_mb=expected, until_end=until_end,
             )
         elif stype == "B":
+            if ref_lts is not None and any(
+                lt is not None for lt in ref_lts
+            ):
+                # the §8.4.1.2.3 temporal scaling and implicit rules
+                # have distinct long-term branches this subset does
+                # not claim — quarantine rather than scale wrongly
+                raise MediaFormatError(
+                    "long-term references with B slices outside the "
+                    "subset"
+                )
             l0 = refs if refs is not None else (
                 [ref, ref2]
                 if ref is not None and ref2 is not None else []
@@ -2375,12 +2534,12 @@ def decode_picture(
                 )
                 ord0 = _ref_list_order(
                     len(l0), hinfo["rplm_l0"], hinfo["frame_num"],
-                    ref_frame_nums, max_fn, n0,
+                    ref_frame_nums, max_fn, n0, ref_lts=ref_lts,
                 )
                 ord1 = _ref_list_order(
                     len(l0), hinfo["rplm_l1"], hinfo["frame_num"],
                     ref_frame_nums, max_fn, n1,
-                    default=default1,
+                    default=default1, ref_lts=ref_lts,
                 )
                 pocs = (
                     list(ref_pocs[: len(l0)])
@@ -2445,6 +2604,7 @@ def decode_picture(
         # the DPB when this reference enters it)
         motion_sink["frame_num"] = hinfo["frame_num"]
         motion_sink["mmco"] = hinfo["mmco"]
+        motion_sink["idr_longterm"] = hinfo.get("idr_longterm", False)
         if st.l0_pocs is None and ref_pocs is not None:
             # single-ref P: L0 = [refs[0]] — temporal direct still
             # needs to know which PICTURE that is
@@ -2597,10 +2757,7 @@ def decode_avcc_samples(
         [n for n in flat if (n[0] & 0x1F) == 6],
         [n for n in flat if (n[0] & 0x1F) in (1, 5)],
     )
-    refs: list = []  # sliding-window DPB, most recent reference first
-    ref_motion: list = []  # parallel motion snapshots (direct modes)
-    ref_pocs: list = []  # parallel full POCs (temporal direct, bS)
-    ref_fnums: list = []  # parallel FrameNums (PicNum math: RPLM/MMCO)
+    dpb = _Dpb()  # §8.2.5 DPB: shorts recency-first, longs by index
     poc_ctx: dict = {}  # low-delay POC monotonicity + full unwrap
     for nals in sample_nals:
         slice_nals_au: list[bytes] = []
@@ -2633,38 +2790,44 @@ def decode_avcc_samples(
         if t0 == 5:
             # an IDR empties the DPB (8.2.5.1): pre-IDR references
             # must never predict post-IDR pictures
-            refs, ref_motion, ref_pocs, ref_fnums = [], [], [], []
+            dpb.clear()
         sink: dict = {}
+        refs = dpb.planes
         y, u, v = decode_picture(
             slice_nals_au, sps, pps,
             ref=refs[0] if refs else None,
             ref2=refs[1] if len(refs) > 1 else None,
             cabac_ok=marker_seen,
             col_motion=(
-                ref_motion[1] if len(ref_motion) > 1 else None
+                dpb.motions[1] if len(refs) > 1 else None
             ),
             motion_sink=sink,
             poc_ctx=poc_ctx,
             refs=refs if len(refs) > 1 else None,
             ref_pocs=(
-                ref_pocs
-                if refs and all(p is not None for p in ref_pocs)
+                dpb.pocs
+                if refs and all(p is not None for p in dpb.pocs)
                 else None
             ),
-            ref_frame_nums=ref_fnums if refs else None,
-            ref_motions=ref_motion if refs else None,
+            ref_frame_nums=dpb.fnums if refs else None,
+            ref_motions=dpb.motions if refs else None,
+            ref_lts=dpb.lts if refs else None,
         )
         if slice_nals_au[0][0] >> 5:  # reference picture → enters DPB
-            if sink.get("mmco"):
-                refs, ref_motion, ref_pocs, ref_fnums = _apply_mmco(
-                    sink["mmco"], sink["frame_num"],
-                    1 << sps["log2_max_frame_num"],
-                    refs, ref_motion, ref_pocs, ref_fnums,
-                )
-            refs = [(y, u, v)] + refs[:7]
-            ref_motion = [sink or None] + ref_motion[:7]
-            ref_pocs = [sink.get("poc")] + ref_pocs[:7]
-            ref_fnums = [sink.get("frame_num")] + ref_fnums[:7]
+            # CABAC pictures bypass the sink (their own module path):
+            # no mmco there, frame_num absent is fine
+            cur_lt = dpb.apply_marking(
+                sink.get("mmco"), sink.get("frame_num", 0),
+                1 << sps["log2_max_frame_num"],
+            )
+            if t0 == 5 and sink.get("idr_longterm"):
+                dpb.max_lt = 0  # §8.2.5.1: IDR long-term → idx 0
+                cur_lt = 0
+            dpb.insert_current(
+                (y, u, v), sink or None, sink.get("poc"),
+                sink.get("frame_num"), cur_lt,
+                sps.get("max_num_ref_frames", 8),
+            )
         ct, cl = sps["crop_t"], sps["crop_l"]
         frame = yuv420_to_rgb(
             y[ct : ct + h, cl : cl + w],
@@ -2724,6 +2887,10 @@ def encode_avcc_samples(
     elif gop == "ippp-poc1":
         sps, pps, nals = encode_h264_ippp(
             width, height, frames_rgb, qp, poc_type=1
+        )
+    elif gop == "ippp-longterm":
+        sps, pps, nals = encode_h264_ippp(
+            width, height, frames_rgb, qp, longterm=True
         )
     elif gop == "ippp-wp":
         sps, pps, nals = encode_h264_ippp(
@@ -2827,6 +2994,10 @@ def encode_h264_annexb(
     elif gop == "ippp-poc1":
         sps, pps, nals = encode_h264_ippp(
             width, height, frames_rgb, qp, poc_type=1
+        )
+    elif gop == "ippp-longterm":
+        sps, pps, nals = encode_h264_ippp(
+            width, height, frames_rgb, qp, longterm=True
         )
     elif gop == "ippp-wp":
         sps, pps, nals = encode_h264_ippp(
@@ -5734,7 +5905,7 @@ def _estimate_wp(y, u, v, ref, n_entries: int) -> dict:
 def encode_h264_ippp(
     width: int, height: int, frames_rgb: list[bytes], qp: int = DEFAULT_QP,
     return_recon: bool = False, n_refs: int = 1, weighted: bool = False,
-    reflist: bool = False, poc_type: int = 0,
+    reflist: bool = False, poc_type: int = 0, longterm: bool = False,
 ):
     """Frames → (SPS, PPS, [IDR slice, P slice, ...][, recon frames]):
     the first frame intra, every later frame predicted from its
@@ -5754,8 +5925,10 @@ def encode_h264_ippp(
     # third encodes must be cache hits, not re-searches.  RGB recons
     # are always computed into the cache (YUV→RGB is trivial next to
     # ME) and sliced off per call.
+    if longterm:
+        n_refs = max(n_refs, 2)
     key = (width, height, tuple(frames_rgb), qp, n_refs, weighted,
-           reflist, poc_type)
+           reflist, poc_type, longterm)
     hit = _IPPP_CACHE.get(key)
     if hit is None:
         sps = write_h264_sps(
@@ -5773,15 +5946,35 @@ def encode_h264_ippp(
         dpb = [planes]  # most recent reference first
         dpb_pocs = [0]
         dpb_fnums = [0]
+        lt_entry = None  # (planes, poc) of the pinned long-term ref
         for i, f in enumerate(frames_rgb[1:], start=1):
-            use = min(n_refs, len(dpb))
+            refs_all = dpb + ([lt_entry[0]] if lt_entry else [])
+            pocs_all = dpb_pocs + ([lt_entry[1]] if lt_entry else [])
+            use = min(n_refs, len(refs_all))
             wp = None
             if weighted:
                 fy, fu, fv = rgb_to_yuv420(f, width, height)
                 wp = _estimate_wp(fy, fu, fv, dpb[0], use)
-            refs_use = dpb[:use]
-            pocs_use = dpb_pocs[:use]
+            refs_use = refs_all[:use]
+            pocs_use = pocs_all[:use]
             rplm = mmco = None
+            if longterm:
+                # ``longterm`` chain (round 14): picture 1 pins the
+                # IDR as the long-term reference (MMCO 4 opens index
+                # space, MMCO 3 assigns LongTermFrameIdx 0) — it then
+                # outlives the 1-deep short-term window, a DPB shape
+                # impossible without long-term marking.  Picture 4
+                # selects it FIRST via RPLM idc 2 (long_term_pic_num),
+                # and the second-to-last picture discards it with
+                # MMCO 2, so the tail re-proves the drop.
+                if i == 1:
+                    mmco = [(4, 1), (3, i - 0 - 1, 0)]
+                if lt_entry and use >= 2 and i == 4:
+                    rplm = [(2, 0)]
+                    refs_use = ([refs_all[-1]] + refs_all[:-1])[:use]
+                    pocs_use = ([pocs_all[-1]] + pocs_all[:-1])[:use]
+                if lt_entry and i == len(frames_rgb) - 2:
+                    mmco = (mmco or []) + [(2, 0)]
             if reflist and use >= 2:
                 # ``reflist`` chain (round 14): every multi-ref P
                 # signals an RPLM that puts the SECOND-most-recent
@@ -5808,15 +6001,24 @@ def encode_h264_ippp(
                 ref_pocs=pocs_use if use > 1 else None,
                 wp=wp, poc_type=poc_type, rplm_l0=rplm, mmco=mmco,
             )
-            if mmco:
+            for op in mmco or ():
                 # mirror the decoder: marking applies AFTER the
                 # current picture decodes, before it enters the DPB
-                dpb = dpb[:-1]
-                dpb_pocs = dpb_pocs[:-1]
-                dpb_fnums = dpb_fnums[:-1]
-            dpb = [planes] + dpb[: n_refs - 1]
-            dpb_pocs = [2 * i] + dpb_pocs[: n_refs - 1]
-            dpb_fnums = [i] + dpb_fnums[: n_refs - 1]
+                if op[0] == 1:
+                    dpb = dpb[:-1]
+                    dpb_pocs = dpb_pocs[:-1]
+                    dpb_fnums = dpb_fnums[:-1]
+                elif op[0] == 3:
+                    lt_entry = (dpb[-1], dpb_pocs[-1])
+                    dpb = dpb[:-1]
+                    dpb_pocs = dpb_pocs[:-1]
+                    dpb_fnums = dpb_fnums[:-1]
+                elif op[0] == 2:
+                    lt_entry = None
+            scap = max(1, n_refs - (1 if lt_entry else 0))
+            dpb = [planes] + dpb[: scap - 1]
+            dpb_pocs = [2 * i] + dpb_pocs[: scap - 1]
+            dpb_fnums = [i] + dpb_fnums[: scap - 1]
             nals.append(nal)
             recons.append(planes)
         rgb_recons = [
@@ -5853,10 +6055,7 @@ def decode_h264_stream(
     # Sliding-window DPB, most recent reference first; depth 8 covers
     # the subset bound (num_ref_idx_active ≤ 8 quarantined in the
     # header parse; pictures never referenced simply age out)
-    refs: list = []
-    ref_motion: list = []  # parallel motion snapshots (direct modes)
-    ref_pocs: list = []  # parallel full POCs (temporal direct, bS)
-    ref_fnums: list = []  # parallel FrameNums (PicNum math: RPLM/MMCO)
+    dpb = _Dpb()  # §8.2.5 DPB: shorts recency-first, longs by index
     poc_ctx: dict = {}  # low-delay POC monotonicity + full unwrap
     marker_seen = cabac_provenance_ok(
         [n for n in slice_nals if (n[0] & 0x1F) == 6],
@@ -5879,36 +6078,42 @@ def decode_h264_stream(
     for pic_nals in pictures:
         nal = pic_nals[0]
         if (nal[0] & 0x1F) == 5:
-            refs, ref_motion, ref_pocs, ref_fnums = [], [], [], []
+            dpb.clear()  # IDR empties the DPB
         sink: dict = {}
+        refs = dpb.planes
         planes = decode_picture(
             pic_nals, sps, pps,
             ref=refs[0] if refs else None,
             ref2=refs[1] if len(refs) > 1 else None,
             cabac_ok=marker_seen,
-            col_motion=ref_motion[1] if len(ref_motion) > 1 else None,
+            col_motion=dpb.motions[1] if len(refs) > 1 else None,
             motion_sink=sink,
             poc_ctx=poc_ctx,
             refs=refs if len(refs) > 1 else None,
             ref_pocs=(
-                ref_pocs
-                if refs and all(p is not None for p in ref_pocs)
+                dpb.pocs
+                if refs and all(p is not None for p in dpb.pocs)
                 else None
             ),
-            ref_frame_nums=ref_fnums if refs else None,
-            ref_motions=ref_motion if refs else None,
+            ref_frame_nums=dpb.fnums if refs else None,
+            ref_motions=dpb.motions if refs else None,
+            ref_lts=dpb.lts if refs else None,
         )
         if nal[0] >> 5:  # reference picture → enters the DPB
-            if sink.get("mmco"):
-                refs, ref_motion, ref_pocs, ref_fnums = _apply_mmco(
-                    sink["mmco"], sink["frame_num"],
-                    1 << sps["log2_max_frame_num"],
-                    refs, ref_motion, ref_pocs, ref_fnums,
-                )
-            refs = [planes] + refs[:7]
-            ref_motion = [sink or None] + ref_motion[:7]
-            ref_pocs = [sink.get("poc")] + ref_pocs[:7]
-            ref_fnums = [sink.get("frame_num")] + ref_fnums[:7]
+            # CABAC pictures bypass the sink (their own module path):
+            # no mmco there, frame_num absent is fine
+            cur_lt = dpb.apply_marking(
+                sink.get("mmco"), sink.get("frame_num", 0),
+                1 << sps["log2_max_frame_num"],
+            )
+            if (nal[0] & 0x1F) == 5 and sink.get("idr_longterm"):
+                dpb.max_lt = 0
+                cur_lt = 0
+            dpb.insert_current(
+                planes, sink or None, sink.get("poc"),
+                sink.get("frame_num"), cur_lt,
+                sps.get("max_num_ref_frames", 8),
+            )
         y, u, v = planes
         frames.append(
             yuv420_to_rgb(

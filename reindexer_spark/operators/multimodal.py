@@ -3387,8 +3387,9 @@ REFLIST_DOCS = 10  # bounded: two encode chains per doc
     ), p AS (
       SELECT media_id, s0, s1,
              CAST(6 + s2 % 2 AS INT) AS n_frames,
-             CASE WHEN media_id % 3 = 2 THEN 'poc1' ELSE 'reflist' END
-               AS variant
+             CASE media_id % 3 WHEN 0 THEN 'reflist'
+                               WHEN 1 THEN 'poc1'
+                               ELSE 'longterm' END AS variant
       FROM s
     )
     SELECT media_id,
@@ -3397,12 +3398,16 @@ REFLIST_DOCS = 10  # bounded: two encode chains per doc
       CAST(2 * (16 + s0 % 13) AS INT) AS width,
       CAST(2 * (16 + s1 % 9) AS INT) AS height,
       n_frames,
-      CAST(CASE WHEN variant = 'reflist' THEN n_frames - 2 ELSE 0 END
-        AS INT) AS n_rplm,
-      CAST(CASE WHEN variant = 'reflist' THEN 1 ELSE 0 END AS INT)
-        AS n_mmco,
+      CAST(CASE WHEN variant = 'reflist' THEN n_frames - 2
+                WHEN variant = 'longterm' THEN 1
+                ELSE 0 END AS INT) AS n_rplm,
+      CAST(CASE WHEN variant = 'reflist' THEN 1
+                WHEN variant = 'longterm' THEN 2
+                ELSE 0 END AS INT) AS n_mmco,
       CAST(CASE WHEN variant = 'poc1' THEN 1 ELSE 0 END AS INT)
         AS poc_type,
+      CAST(CASE WHEN variant = 'longterm' THEN 1 ELSE 0 END AS INT)
+        AS uses_longterm,
       CAST(1 AS INT) AS decodable,
       CAST(1 AS INT) AS only_first_sync,
       CAST(1 AS INT) AS containers_agree,
@@ -3431,10 +3436,11 @@ def video_reflist_mmco(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``recon_exact=1`` — decoder ≡ encoder closed loop, which fails if
     the §8.2.4.3 reorder, the §8.2.5.4.1 drop, or the §8.2.1.3
     derivation picks ANY wrong picture (references differ → pixels
-    differ); ``containers_agree=1``; ``only_first_sync=1``.
-    Long-term ops (RPLM idc 2, MMCO 2/3/4/6) and the MMCO 5 stream
-    reset stay quarantined by name — tests/test_h264_reflist.py pins
-    those negatives.
+    differ); ``containers_agree=1``; ``only_first_sync=1``;
+    ``uses_longterm`` parse-checks that a real MMCO 3 assignment
+    rides the longterm stream.  Only the MMCO 5 stream reset (and
+    long-term references under B slices) stay quarantined —
+    tests/test_h264_reflist.py pins those negatives.
 
     Scale shape: identical to the other video lanes — Arrow-batched
     mapInPandas over a bounded fixture set, payloads never shuffle."""
@@ -3475,7 +3481,7 @@ def video_reflist_mmco(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_frames = 6 + dg[2] % 2
                 qp = 20 + dg[3] % 18
                 dx, dy = 1 + dg[4] % 3, 1 + dg[5] % 3
-                variant = "poc1" if mid % 3 == 2 else "reflist"
+                variant = ("reflist", "poc1", "longterm")[mid % 3]
                 container = "mp4" if mid % 2 == 0 else "mkv"
                 rng = np.random.default_rng(
                     int.from_bytes(dg[:8], "big")
@@ -3487,11 +3493,11 @@ def video_reflist_mmco(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).tobytes()
                     for i in range(n_frames)
                 ]
-                kw = (
-                    {"n_refs": 3, "reflist": True}
-                    if variant == "reflist"
-                    else {"poc_type": 1}
-                )
+                kw = {
+                    "reflist": {"n_refs": 3, "reflist": True},
+                    "poc1": {"poc_type": 1},
+                    "longterm": {"longterm": True},
+                }[variant]
                 sps, pps, nals, recon = encode_h264_ippp(
                     w, h, frames, qp=qp, return_recon=True, **kw
                 )
@@ -3499,7 +3505,7 @@ def video_reflist_mmco(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # MMCO syntax, and confirm the signalled poc_type
                 sd = _parse_sps_slice_fields(sps)
                 pd_ = parse_pps(pps)
-                n_rplm = n_mmco = 0
+                n_rplm = n_mmco = uses_lt = 0
                 for nal in nals[1:]:
                     rr = _BitReader(_unescape_rbsp(nal[1:]))
                     _s, _q, _d, _a, _b2, info = _parse_slice_header(
@@ -3509,10 +3515,13 @@ def video_reflist_mmco(spark: SparkSession, sf_dir: str) -> DataFrame:
                         n_rplm += 1
                     if info["mmco"]:
                         n_mmco += 1
-                gop = (
-                    "ippp-reflist" if variant == "reflist"
-                    else "ippp-poc1"
-                )
+                        if any(op[0] == 3 for op in info["mmco"]):
+                            uses_lt = 1
+                gop = {
+                    "reflist": "ippp-reflist",
+                    "poc1": "ippp-poc1",
+                    "longterm": "ippp-longterm",
+                }[variant]
                 mp4 = encode_mp4_coded(
                     w, h, intra_frames=frames, qp=qp, gop=gop
                 )
@@ -3552,6 +3561,7 @@ def video_reflist_mmco(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "n_rplm": n_rplm,
                         "n_mmco": n_mmco,
                         "poc_type": sd["poc_type"],
+                        "uses_longterm": uses_lt,
                         "decodable": decodable,
                         "only_first_sync": only_first_sync,
                         "containers_agree": agree,
@@ -3563,8 +3573,9 @@ def video_reflist_mmco(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=[
                     "media_id", "container", "variant", "width",
                     "height", "n_frames", "n_rplm", "n_mmco",
-                    "poc_type", "decodable", "only_first_sync",
-                    "containers_agree", "recon_exact",
+                    "poc_type", "uses_longterm", "decodable",
+                    "only_first_sync", "containers_agree",
+                    "recon_exact",
                 ],
             )
 
@@ -3575,9 +3586,9 @@ def video_reflist_mmco(spark: SparkSession, sf_dir: str) -> DataFrame:
             build_and_decode,
             "media_id bigint, container string, variant string, "
             "width int, height int, n_frames int, n_rplm int, "
-            "n_mmco int, poc_type int, decodable int, "
-            "only_first_sync int, containers_agree int, "
-            "recon_exact int",
+            "n_mmco int, poc_type int, uses_longterm int, "
+            "decodable int, only_first_sync int, containers_agree "
+            "int, recon_exact int",
         )
     )
 

@@ -1,14 +1,18 @@
 """Reference-list modification (§7.3.3.1 / §8.2.4.3), adaptive
-marking MMCO 1 (§7.3.3.3 / §8.2.5.4.1) and frame_num-derived POC
-(types 1 and 2, §8.2.1.3 / §8.2.1.4) — round 14, the table-free
-h264 quarantine closures.
+marking (§7.3.3.3 / §8.2.5.4 — MMCO 1/2/3/4/6 incl. the LONG-TERM
+reference machinery), and frame_num-derived POC (types 1 and 2,
+§8.2.1.3 / §8.2.1.4) — round 14, the table-free h264 quarantine
+closures.
 
-The closed-loop contract is the load-bearing check: the encoder's
-``reflist`` chain signals real RPLM + MMCO syntax and predicts
-against the MODIFIED lists, so a decoder that mis-applies any picNum
-step reconstructs different pixels.  Long-term machinery stays
-OUTSIDE the subset: RPLM idc 2, MMCO 2/3/4/6, the MMCO 5 reset and
-the IDR long_term_reference_flag all quarantine by name."""
+The closed-loop contracts are the load-bearing checks: the encoder's
+``reflist`` chain signals real RPLM + MMCO-1 syntax, and the
+``longterm`` chain pins a picture past the short-term window (MMCO
+4+3), selects it via RPLM idc 2 and drops it via MMCO 2 — in every
+case predicting against the MODIFIED lists, so a decoder that
+mis-applies any picNum/LongTermFrameIdx step reconstructs different
+pixels.  Still quarantined: the MMCO 5 stream reset, long-term
+references under B slices, and semantic violations (unknown
+pictures, indices beyond MaxLongTermFrameIdx)."""
 
 from __future__ import annotations
 
@@ -227,22 +231,133 @@ def _parse_hdr(nal):
     )
 
 
-def test_rplm_long_term_idc_quarantines():
+def test_rplm_long_term_idc_parses():
+    """idc 2 carries long_term_pic_num — now a parsed op, resolved
+    against the tracked DPB at application time."""
     nal = _hdr_bits(rplm_l0=[(2, 0)])
-    with pytest.raises(MediaFormatError, match="long-term"):
+    *_, info = _parse_hdr(nal)
+    assert info["rplm_l0"] == [(2, 0)]
+
+
+def test_rplm_long_term_without_longterm_in_dpb_quarantines():
+    with pytest.raises(MediaFormatError, match="not in the DPB"):
+        _ref_list_order(2, [(2, 0)], 5, [4, 3], 16, 2,
+                        ref_lts=[None, None])
+
+
+def test_rplm_long_term_without_tracked_lts_quarantines():
+    with pytest.raises(MediaFormatError, match="tracked DPB"):
+        _ref_list_order(2, [(2, 0)], 5, [4, 3], 16, 2)
+
+
+def test_mmco5_still_quarantines():
+    nal = _hdr_bits(mmco=[(5,)])
+    with pytest.raises(MediaFormatError, match="MMCO 5"):
         _parse_hdr(nal)
 
 
-@pytest.mark.parametrize("op,msg", [
-    (2, "long-term"), (3, "long-term"), (4, "long-term"),
-    (6, "long-term"), (5, "MMCO 5"),
-])
-def test_long_term_and_reset_mmco_quarantine(op, msg):
-    # ops that carry a parameter get one; 5 and 6 are parameterless in
-    # our writer's (op, val) emission, so emit val only for 1..4
-    nal = _hdr_bits(mmco=[(op, 0)] if op != 5 else [(5, 0)])
-    with pytest.raises(MediaFormatError, match=msg):
-        _parse_hdr(nal)
+def test_mmco_longterm_ops_parse():
+    nal = _hdr_bits(mmco=[(4, 1), (3, 0, 0), (2, 0), (6, 0)])
+    *_, info = _parse_hdr(nal)
+    assert info["mmco"] == [(4, 1), (3, 0, 0), (2, 0), (6, 0)]
+
+
+def test_dpb_mmco3_without_mmco4_quarantines():
+    from reindexer_spark.h264 import _Dpb
+
+    dpb = _Dpb()
+    dpb.insert_current("p0", None, 0, 0, None, 2)
+    with pytest.raises(MediaFormatError, match="MaxLongTermFrameIdx"):
+        dpb.apply_marking([(3, 0, 0)], 1, 16)
+
+
+def test_dpb_longterm_lifecycle_and_ordering():
+    """MMCO 4 opens index space, MMCO 3 converts a short to long,
+    sliding never evicts the long, MMCO 2 drops it; the parallel
+    lists stay in default-list order (shorts recency-first, then
+    longs ascending)."""
+    from reindexer_spark.h264 import _Dpb
+
+    dpb = _Dpb()
+    dpb.insert_current("p0", None, 0, 0, None, 2)
+    # picture 1: pin p0 as long-term 0, then insert p1 as short
+    assert dpb.apply_marking([(4, 1), (3, 0, 0)], 1, 16) is None
+    dpb.insert_current("p1", None, 2, 1, None, 2)
+    assert dpb.planes == ["p1", "p0"]
+    assert dpb.lts == [None, 0]
+    # pictures 2..4: the 1-deep short window slides, p0 stays pinned
+    for i in (2, 3, 4):
+        dpb.insert_current(f"p{i}", None, 2 * i, i, None, 2)
+        assert dpb.planes == [f"p{i}", "p0"]
+    # MMCO 2 drops the long-term
+    dpb.apply_marking([(2, 0)], 5, 16)
+    assert dpb.lts == [None]
+    assert dpb.planes == ["p4"]
+
+
+def test_dpb_mmco4_zero_clears_longterms():
+    from reindexer_spark.h264 import _Dpb
+
+    dpb = _Dpb()
+    dpb.insert_current("p0", None, 0, 0, None, 2)
+    dpb.apply_marking([(4, 1), (3, 0, 0)], 1, 16)
+    dpb.insert_current("p1", None, 2, 1, None, 2)
+    dpb.apply_marking([(4, 0)], 2, 16)  # max_plus1 0: no long-terms
+    assert dpb.lts == [None]
+    assert dpb.max_lt is None
+
+
+def test_mmco6_current_becomes_longterm():
+    from reindexer_spark.h264 import _Dpb
+
+    dpb = _Dpb()
+    dpb.insert_current("p0", None, 0, 0, None, 2)
+    cur_lt = dpb.apply_marking([(4, 1), (6, 0)], 1, 16)
+    assert cur_lt == 0
+    dpb.insert_current("p1", None, 2, 1, cur_lt, 2)
+    assert dpb.lts == [None, 0]
+    assert dpb.planes == ["p0", "p1"]
+
+
+def test_longterm_chain_closed_loop():
+    frames = _clip(n=7)
+    sps, pps, nals, recons = encode_h264_ippp(
+        64, 48, frames, 26, return_recon=True, longterm=True
+    )
+    assert decode_h264_stream(sps, pps, nals)[2] == recons
+    avcc, samples = encode_avcc_samples(
+        64, 48, frames, 26, gop="ippp-longterm"
+    )
+    assert decode_avcc_samples(avcc, samples)[2] == recons
+
+
+def test_longterm_chain_signals_rplm_idc2_and_mmco():
+    frames = _clip(n=7)
+    sps, pps, nals, _ = encode_h264_ippp(
+        64, 48, frames, 26, return_recon=True, longterm=True
+    )
+    sd = _parse_sps_slice_fields(sps)
+    pd_ = parse_pps(pps)
+    kinds = []
+    for nal in nals[1:]:
+        r = _BitReader(_unescape_rbsp(nal[1:]))
+        *_, info = _parse_slice_header(
+            r, sd, pd_, idr=False, nal_ref_idc=nal[0] >> 5
+        )
+        kinds.append((info["rplm_l0"], info["mmco"]))
+    assert kinds[0][1] == [(4, 1), (3, 0, 0)]  # picture 1 pins lt0
+    assert any(rp == [(2, 0)] for rp, _ in kinds)  # idc 2 selection
+    assert any(mm and (2, 0) in mm for _, mm in kinds)  # the drop
+
+
+def test_b_with_longterm_refs_quarantines():
+    sps, pps, refs, pocs, fnums = _two_refs()
+    with pytest.raises(MediaFormatError, match="long-term references"):
+        decode_picture(
+            [_b_skip_nal()], sps, pps, refs=refs, ref_pocs=pocs,
+            ref_frame_nums=fnums, ref_motions=[None, None],
+            ref_lts=[None, 0], poc_ctx={},
+        )
 
 
 def test_mmco1_unknown_picture_quarantines():
@@ -264,7 +379,7 @@ def test_mmco1_unknown_picture_quarantines():
         decode_h264_stream(sps, pps, [nals[0], nals[1], bad])
 
 
-def test_idr_long_term_flag_quarantines():
+def test_idr_long_term_flag_parses():
     frames = _clip(n=1)
     nal = encode_frame_nal(frames[0], 64, 48, 26)
     # the IDR header's two flags are the last bits before the first
@@ -287,9 +402,9 @@ def test_idr_long_term_flag_quarantines():
     sps = _parse_sps_slice_fields(write_h264_sps(64, 48))
     pps = parse_pps(write_pps(DEFAULT_QP))
     r = _BitReader(_unescape_rbsp(hdr[1:]))
-    with pytest.raises(MediaFormatError, match="long-term IDR"):
-        _parse_slice_header(r, sps, pps, idr=True, nal_ref_idc=3,
-                            poc_ctx={})
+    *_, info = _parse_slice_header(r, sps, pps, idr=True,
+                                   nal_ref_idc=3, poc_ctx={})
+    assert info["idr_longterm"] is True  # §8.2.5.1: IDR → long-term 0
     assert nal  # the real encoder never sets the flag
 
 
