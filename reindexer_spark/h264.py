@@ -1595,9 +1595,10 @@ def _parse_slice_header(
                 elif op == 6:
                     ops.append((6, r.ue()))  # current → long-term idx
                 elif op == 5:
-                    raise MediaFormatError(
-                        "MMCO 5 stream reset outside the subset"
-                    )
+                    # stream reset (round 14): every reference marked
+                    # unused, the current picture's frame_num and POC
+                    # become 0 for all subsequent derivations
+                    ops.append((5,))
                 else:
                     raise MediaFormatError(
                         "invalid memory_management_control_operation"
@@ -2179,12 +2180,22 @@ class _Dpb:
         self.lts.insert(pos, ltidx)
 
     def apply_marking(self, mmco, cur_fn: int, max_fn: int):
-        """§8.2.5.4 ops in signalled order; returns the CURRENT
-        picture's LongTermFrameIdx when an op 6 assigned one (the
-        caller inserts it accordingly)."""
+        """§8.2.5.4 ops in signalled order; returns (cur_lt, reset5):
+        the CURRENT picture's LongTermFrameIdx when an op 6 assigned
+        one, and whether an op 5 reset fired — the caller then stores
+        the current picture with frame_num/POC 0 and resets its POC
+        context (§8.2.1: prev values become 0 for what follows)."""
         cur_lt = None
+        reset5 = False
         for op in mmco or ():
             kind = op[0]
+            if kind == 5:
+                # §8.2.5.4.5: all references unused; long-term index
+                # space closes (a following MMCO 6 needs its own
+                # MMCO 4 to reopen it)
+                self.clear()
+                reset5 = True
+                continue
             if kind == 1:
                 j = self._find_short((cur_fn - (op[1] + 1)) % max_fn,
                                      max_fn)
@@ -2231,7 +2242,7 @@ class _Dpb:
                         "long-term frame index beyond MaxLongTermFrameIdx"
                     )
                 cur_lt = op[1]
-        return cur_lt
+        return cur_lt, reset5
 
     def insert_current(
         self, planes, motion, poc, fnum, lt, num_ref_frames: int,
@@ -2816,16 +2827,25 @@ def decode_avcc_samples(
         if slice_nals_au[0][0] >> 5:  # reference picture → enters DPB
             # CABAC pictures bypass the sink (their own module path):
             # no mmco there, frame_num absent is fine
-            cur_lt = dpb.apply_marking(
+            cur_lt, reset5 = dpb.apply_marking(
                 sink.get("mmco"), sink.get("frame_num", 0),
                 1 << sps["log2_max_frame_num"],
             )
             if t0 == 5 and sink.get("idr_longterm"):
                 dpb.max_lt = 0  # §8.2.5.1: IDR long-term → idx 0
                 cur_lt = 0
+            poc_in = sink.get("poc")
+            fnum_in = sink.get("frame_num")
+            if reset5:
+                # the current picture IS the new origin (§8.2.1)
+                poc_in, fnum_in = 0, 0
+                poc_ctx.clear()
+                poc_ctx.update(
+                    {"poc": 0, "poc_full": 0, "prev_frame_num": 0,
+                     "frame_num_offset": 0}
+                )
             dpb.insert_current(
-                (y, u, v), sink or None, sink.get("poc"),
-                sink.get("frame_num"), cur_lt,
+                (y, u, v), sink or None, poc_in, fnum_in, cur_lt,
                 sps.get("max_num_ref_frames", 8),
             )
         ct, cl = sps["crop_t"], sps["crop_l"]
@@ -2891,6 +2911,10 @@ def encode_avcc_samples(
     elif gop == "ippp-longterm":
         sps, pps, nals = encode_h264_ippp(
             width, height, frames_rgb, qp, longterm=True
+        )
+    elif gop == "ippp-mmco5":
+        sps, pps, nals = encode_h264_ippp(
+            width, height, frames_rgb, qp, mmco5=True
         )
     elif gop == "ippp-wp":
         sps, pps, nals = encode_h264_ippp(
@@ -2998,6 +3022,10 @@ def encode_h264_annexb(
     elif gop == "ippp-longterm":
         sps, pps, nals = encode_h264_ippp(
             width, height, frames_rgb, qp, longterm=True
+        )
+    elif gop == "ippp-mmco5":
+        sps, pps, nals = encode_h264_ippp(
+            width, height, frames_rgb, qp, mmco5=True
         )
     elif gop == "ippp-wp":
         sps, pps, nals = encode_h264_ippp(
@@ -5906,6 +5934,7 @@ def encode_h264_ippp(
     width: int, height: int, frames_rgb: list[bytes], qp: int = DEFAULT_QP,
     return_recon: bool = False, n_refs: int = 1, weighted: bool = False,
     reflist: bool = False, poc_type: int = 0, longterm: bool = False,
+    mmco5: bool = False,
 ):
     """Frames → (SPS, PPS, [IDR slice, P slice, ...][, recon frames]):
     the first frame intra, every later frame predicted from its
@@ -5928,7 +5957,7 @@ def encode_h264_ippp(
     if longterm:
         n_refs = max(n_refs, 2)
     key = (width, height, tuple(frames_rgb), qp, n_refs, weighted,
-           reflist, poc_type, longterm)
+           reflist, poc_type, longterm, mmco5)
     hit = _IPPP_CACHE.get(key)
     if hit is None:
         sps = write_h264_sps(
@@ -5947,7 +5976,9 @@ def encode_h264_ippp(
         dpb_pocs = [0]
         dpb_fnums = [0]
         lt_entry = None  # (planes, poc) of the pinned long-term ref
+        fn_base = 0  # MMCO 5 rebases frame_num/POC to the reset point
         for i, f in enumerate(frames_rgb[1:], start=1):
+            eff_fn = i - fn_base
             refs_all = dpb + ([lt_entry[0]] if lt_entry else [])
             pocs_all = dpb_pocs + ([lt_entry[1]] if lt_entry else [])
             use = min(n_refs, len(refs_all))
@@ -5975,6 +6006,11 @@ def encode_h264_ippp(
                     pocs_use = ([pocs_all[-1]] + pocs_all[:-1])[:use]
                 if lt_entry and i == len(frames_rgb) - 2:
                     mmco = (mmco or []) + [(2, 0)]
+            if mmco5 and i == 3:
+                # ``mmco5`` chain (round 14): one mid-chain stream
+                # reset — every reference marked unused, this picture
+                # becomes frame_num/POC origin 0 for what follows
+                mmco = [(5,)]
             if reflist and use >= 2:
                 # ``reflist`` chain (round 14): every multi-ref P
                 # signals an RPLM that puts the SECOND-most-recent
@@ -5996,15 +6032,22 @@ def encode_h264_ippp(
                 oldest_fn = dpb_fnums[-1]
                 mmco = [(1, i - oldest_fn - 1)]
             nal, planes = encode_p_frame_nal(
-                f, width, height, qp, refs_use[0], i, poc_lsb=2 * i,
+                f, width, height, qp, refs_use[0], eff_fn,
+                poc_lsb=2 * eff_fn,
                 refs=refs_use if use > 1 else None,
                 ref_pocs=pocs_use if use > 1 else None,
                 wp=wp, poc_type=poc_type, rplm_l0=rplm, mmco=mmco,
             )
+            reset5 = False
             for op in mmco or ():
                 # mirror the decoder: marking applies AFTER the
                 # current picture decodes, before it enters the DPB
-                if op[0] == 1:
+                if op[0] == 5:
+                    dpb, dpb_pocs, dpb_fnums = [], [], []
+                    lt_entry = None
+                    fn_base = i
+                    reset5 = True
+                elif op[0] == 1:
                     dpb = dpb[:-1]
                     dpb_pocs = dpb_pocs[:-1]
                     dpb_fnums = dpb_fnums[:-1]
@@ -6016,9 +6059,11 @@ def encode_h264_ippp(
                 elif op[0] == 2:
                     lt_entry = None
             scap = max(1, n_refs - (1 if lt_entry else 0))
+            cur_poc = 0 if reset5 else 2 * eff_fn
+            cur_fn = 0 if reset5 else eff_fn
             dpb = [planes] + dpb[: scap - 1]
-            dpb_pocs = [2 * i] + dpb_pocs[: scap - 1]
-            dpb_fnums = [i] + dpb_fnums[: scap - 1]
+            dpb_pocs = [cur_poc] + dpb_pocs[: scap - 1]
+            dpb_fnums = [cur_fn] + dpb_fnums[: scap - 1]
             nals.append(nal)
             recons.append(planes)
         rgb_recons = [
@@ -6102,16 +6147,24 @@ def decode_h264_stream(
         if nal[0] >> 5:  # reference picture → enters the DPB
             # CABAC pictures bypass the sink (their own module path):
             # no mmco there, frame_num absent is fine
-            cur_lt = dpb.apply_marking(
+            cur_lt, reset5 = dpb.apply_marking(
                 sink.get("mmco"), sink.get("frame_num", 0),
                 1 << sps["log2_max_frame_num"],
             )
             if (nal[0] & 0x1F) == 5 and sink.get("idr_longterm"):
                 dpb.max_lt = 0
                 cur_lt = 0
+            poc_in = sink.get("poc")
+            fnum_in = sink.get("frame_num")
+            if reset5:
+                poc_in, fnum_in = 0, 0
+                poc_ctx.clear()
+                poc_ctx.update(
+                    {"poc": 0, "poc_full": 0, "prev_frame_num": 0,
+                     "frame_num_offset": 0}
+                )
             dpb.insert_current(
-                planes, sink or None, sink.get("poc"),
-                sink.get("frame_num"), cur_lt,
+                planes, sink or None, poc_in, fnum_in, cur_lt,
                 sps.get("max_num_ref_frames", 8),
             )
         y, u, v = planes

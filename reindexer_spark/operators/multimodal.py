@@ -3387,9 +3387,10 @@ REFLIST_DOCS = 10  # bounded: two encode chains per doc
     ), p AS (
       SELECT media_id, s0, s1,
              CAST(6 + s2 % 2 AS INT) AS n_frames,
-             CASE media_id % 3 WHEN 0 THEN 'reflist'
+             CASE media_id % 4 WHEN 0 THEN 'reflist'
                                WHEN 1 THEN 'poc1'
-                               ELSE 'longterm' END AS variant
+                               WHEN 2 THEN 'longterm'
+                               ELSE 'mmco5' END AS variant
       FROM s
     )
     SELECT media_id,
@@ -3403,6 +3404,7 @@ REFLIST_DOCS = 10  # bounded: two encode chains per doc
                 ELSE 0 END AS INT) AS n_rplm,
       CAST(CASE WHEN variant = 'reflist' THEN 1
                 WHEN variant = 'longterm' THEN 2
+                WHEN variant = 'mmco5' THEN 1
                 ELSE 0 END AS INT) AS n_mmco,
       CAST(CASE WHEN variant = 'poc1' THEN 1 ELSE 0 END AS INT)
         AS poc_type,
@@ -3416,9 +3418,10 @@ REFLIST_DOCS = 10  # bounded: two encode chains per doc
     """,
 )
 def video_reflist_mmco(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REFERENCE-LIST MODIFICATION + ADAPTIVE MARKING + POC TYPE 1
+    """REFERENCE-LIST MODIFICATION + ADAPTIVE MARKING (MMCO 1..6) +
+    FRAME_NUM-DERIVED POC
     (round 14, VERDICT r13 next #2 — the table-free h264 quarantines):
-    digest-seeded translating-noise clips encoded as two chain
+    digest-seeded translating-noise clips encoded as four chain
     shapes — ``reflist``: a 3-reference IPPP chain where every
     multi-reference P slice signals a §7.3.3.1 RPLM that puts the
     SECOND-most-recent picture first (idc 0 then idc 1, real picNum
@@ -3426,21 +3429,29 @@ def video_reflist_mmco(spark: SparkSession, sf_dir: str) -> DataFrame:
     MMCO 1 dropping the OLDEST reference (the DPB develops a hole
     later PicNum math must respect); ``poc1``: the same IPPP chain
     under pic_order_cnt_type 1 (§8.2.1.3 — POC derived from frame_num
-    through the SPS offset cycle, no per-slice POC syntax) — muxed
-    into mp4 AND mkv and decoded back.
+    through the SPS offset cycle, no per-slice POC syntax);
+    ``longterm``: picture 1 PINS the IDR as a long-term reference
+    (MMCO 4 opens the index space, MMCO 3 assigns LongTermFrameIdx 0)
+    that then OUTLIVES the 1-deep short-term sliding window — a DPB
+    shape impossible without long-term marking — picture 4 selects it
+    first via RPLM idc 2 (long_term_pic_num) and the second-to-last
+    picture discards it with MMCO 2; ``mmco5``: one mid-chain
+    §8.2.5.4.5 STREAM RESET — every reference marked unused and the
+    carrying picture becomes frame_num/POC origin 0 for the tail —
+    each muxed into mp4 AND mkv and decoded back.
 
     Oracle-pinned contract columns: ``n_rplm`` — every P header from
     the third picture on really carries a modification list
     (parse-checked per header, like the temporal gate's flag);
-    ``n_mmco=1`` on the reflist chain; ``poc_type`` as signalled;
-    ``recon_exact=1`` — decoder ≡ encoder closed loop, which fails if
-    the §8.2.4.3 reorder, the §8.2.5.4.1 drop, or the §8.2.1.3
-    derivation picks ANY wrong picture (references differ → pixels
-    differ); ``containers_agree=1``; ``only_first_sync=1``;
-    ``uses_longterm`` parse-checks that a real MMCO 3 assignment
-    rides the longterm stream.  Only the MMCO 5 stream reset (and
-    long-term references under B slices) stay quarantined —
-    tests/test_h264_reflist.py pins those negatives.
+    ``n_mmco`` per chain shape; ``poc_type`` as signalled;
+    ``uses_longterm`` — a real MMCO 3 assignment rides the longterm
+    stream; ``recon_exact=1`` — decoder ≡ encoder closed loop, which
+    fails if the §8.2.4.3 reorder, any §8.2.5.4 marking op, or the
+    §8.2.1.3 derivation picks ANY wrong picture (references differ →
+    pixels differ); ``containers_agree=1``; ``only_first_sync=1``.
+    The only remaining marking quarantine is long-term references
+    under B slices (the §8.4.1.2.3 long-term scaling branches are
+    not claimed) — tests/test_h264_reflist.py pins the negatives.
 
     Scale shape: identical to the other video lanes — Arrow-batched
     mapInPandas over a bounded fixture set, payloads never shuffle."""
@@ -3481,7 +3492,9 @@ def video_reflist_mmco(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_frames = 6 + dg[2] % 2
                 qp = 20 + dg[3] % 18
                 dx, dy = 1 + dg[4] % 3, 1 + dg[5] % 3
-                variant = ("reflist", "poc1", "longterm")[mid % 3]
+                variant = (
+                    "reflist", "poc1", "longterm", "mmco5"
+                )[mid % 4]
                 container = "mp4" if mid % 2 == 0 else "mkv"
                 rng = np.random.default_rng(
                     int.from_bytes(dg[:8], "big")
@@ -3497,6 +3510,7 @@ def video_reflist_mmco(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "reflist": {"n_refs": 3, "reflist": True},
                     "poc1": {"poc_type": 1},
                     "longterm": {"longterm": True},
+                    "mmco5": {"mmco5": True},
                 }[variant]
                 sps, pps, nals, recon = encode_h264_ippp(
                     w, h, frames, qp=qp, return_recon=True, **kw
@@ -3521,6 +3535,7 @@ def video_reflist_mmco(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "reflist": "ippp-reflist",
                     "poc1": "ippp-poc1",
                     "longterm": "ippp-longterm",
+                    "mmco5": "ippp-mmco5",
                 }[variant]
                 mp4 = encode_mp4_coded(
                     w, h, intra_frames=frames, qp=qp, gop=gop

@@ -250,10 +250,35 @@ def test_rplm_long_term_without_tracked_lts_quarantines():
         _ref_list_order(2, [(2, 0)], 5, [4, 3], 16, 2)
 
 
-def test_mmco5_still_quarantines():
+def test_mmco5_parses_and_chain_closes_the_loop():
     nal = _hdr_bits(mmco=[(5,)])
-    with pytest.raises(MediaFormatError, match="MMCO 5"):
-        _parse_hdr(nal)
+    *_, info = _parse_hdr(nal)
+    assert info["mmco"] == [(5,)]
+    frames = _clip(n=6)
+    sps, pps, nals, recons = encode_h264_ippp(
+        64, 48, frames, 26, return_recon=True, mmco5=True
+    )
+    assert decode_h264_stream(sps, pps, nals)[2] == recons
+
+
+def test_mmco5_resets_frame_num_and_poc_origin():
+    frames = _clip(n=6)
+    sps, pps, nals, _ = encode_h264_ippp(
+        64, 48, frames, 26, return_recon=True, mmco5=True
+    )
+    sd = _parse_sps_slice_fields(sps)
+    pd_ = parse_pps(pps)
+    fns = []
+    for nal in nals[1:]:
+        r = _BitReader(_unescape_rbsp(nal[1:]))
+        *_, info = _parse_slice_header(
+            r, sd, pd_, idr=False, nal_ref_idc=nal[0] >> 5
+        )
+        fns.append((info["frame_num"], info["mmco"]))
+    # pictures 1..3 count 1,2,3; the reset picture carries (5,); the
+    # tail restarts at 1 relative to the new origin
+    assert fns[2] == (3, [(5,)])
+    assert [f for f, _ in fns] == [1, 2, 3, 1, 2]
 
 
 def test_mmco_longterm_ops_parse():
@@ -281,7 +306,7 @@ def test_dpb_longterm_lifecycle_and_ordering():
     dpb = _Dpb()
     dpb.insert_current("p0", None, 0, 0, None, 2)
     # picture 1: pin p0 as long-term 0, then insert p1 as short
-    assert dpb.apply_marking([(4, 1), (3, 0, 0)], 1, 16) is None
+    assert dpb.apply_marking([(4, 1), (3, 0, 0)], 1, 16) == (None, False)
     dpb.insert_current("p1", None, 2, 1, None, 2)
     assert dpb.planes == ["p1", "p0"]
     assert dpb.lts == [None, 0]
@@ -312,8 +337,8 @@ def test_mmco6_current_becomes_longterm():
 
     dpb = _Dpb()
     dpb.insert_current("p0", None, 0, 0, None, 2)
-    cur_lt = dpb.apply_marking([(4, 1), (6, 0)], 1, 16)
-    assert cur_lt == 0
+    cur_lt, reset5 = dpb.apply_marking([(4, 1), (6, 0)], 1, 16)
+    assert cur_lt == 0 and not reset5
     dpb.insert_current("p1", None, 2, 1, cur_lt, 2)
     assert dpb.lts == [None, 0]
     assert dpb.planes == ["p0", "p1"]
