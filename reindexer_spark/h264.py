@@ -2107,6 +2107,9 @@ def decode_frame_nal(
     poc_ctx: dict | None = None,
     refs: list | None = None,
     ref_pocs: list | None = None,
+    ref_frame_nums: list | None = None,
+    ref_motions: list | None = None,
+    ref_lts: list | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Single slice NAL covering a WHOLE picture → reconstructed
     (Y, U, V) planes (coded size; caller crops) — the one-slice
@@ -2114,6 +2117,8 @@ def decode_frame_nal(
     return decode_picture(
         [nal], sps, pps, ref=ref, cabac_ok=cabac_ok, ref2=ref2,
         col_motion=col_motion, motion_sink=motion_sink,
+        ref_frame_nums=ref_frame_nums, ref_motions=ref_motions,
+        ref_lts=ref_lts,
         poc_ctx=poc_ctx, refs=refs, ref_pocs=ref_pocs,
     )
 
@@ -3062,8 +3067,7 @@ def decode_h264_annexb_stream(data: bytes) -> tuple[int, int, list[bytes]]:
     sps = pps = None
     frames = []
     w = h = None
-    refs: list = []  # 2-deep DPB, most recent reference first
-    ref_motion: list = []  # parallel motion snapshots (spatial direct)
+    dpb = _Dpb()  # §8.2.5 DPB (round 14: full marking, like avcC)
     poc_ctx: dict = {}  # low-delay POC monotonicity
     all_nals = split_annexb(data)
     marker_seen = cabac_provenance_ok(
@@ -3086,22 +3090,50 @@ def decode_h264_annexb_stream(data: bytes) -> tuple[int, int, list[bytes]]:
             if sps is None or pps is None:
                 raise MediaFormatError("slice before SPS/PPS in stream")
             if t == 5:
-                refs, ref_motion = [], []  # IDR empties the DPB
+                dpb.clear()  # IDR empties the DPB
             sink: dict = {}
+            refs = dpb.planes
             y, u, v = decode_frame_nal(
                 nal, sps, pps,
                 ref=refs[0] if refs else None,
                 ref2=refs[1] if len(refs) > 1 else None,
                 cabac_ok=marker_seen,
                 col_motion=(
-                    ref_motion[1] if len(ref_motion) > 1 else None
+                    dpb.motions[1] if len(refs) > 1 else None
                 ),
                 motion_sink=sink,
                 poc_ctx=poc_ctx,
+                refs=refs if len(refs) > 1 else None,
+                ref_pocs=(
+                    dpb.pocs
+                    if refs and all(p is not None for p in dpb.pocs)
+                    else None
+                ),
+                ref_frame_nums=dpb.fnums if refs else None,
+                ref_motions=dpb.motions if refs else None,
+                ref_lts=dpb.lts if refs else None,
             )
             if nal[0] >> 5:  # reference picture → enters the DPB
-                refs = [(y, u, v)] + refs[:1]
-                ref_motion = [sink or None] + ref_motion[:1]
+                cur_lt, reset5 = dpb.apply_marking(
+                    sink.get("mmco"), sink.get("frame_num", 0),
+                    1 << sps["log2_max_frame_num"],
+                )
+                if t == 5 and sink.get("idr_longterm"):
+                    dpb.max_lt = 0
+                    cur_lt = 0
+                poc_in = sink.get("poc")
+                fnum_in = sink.get("frame_num")
+                if reset5:
+                    poc_in, fnum_in = 0, 0
+                    poc_ctx.clear()
+                    poc_ctx.update(
+                        {"poc": 0, "poc_full": 0, "prev_frame_num": 0,
+                         "frame_num_offset": 0}
+                    )
+                dpb.insert_current(
+                    (y, u, v), sink or None, poc_in, fnum_in, cur_lt,
+                    sps.get("max_num_ref_frames", 8),
+                )
             ct, cl = sps["crop_t"], sps["crop_l"]
             frames.append(
                 yuv420_to_rgb(

@@ -498,3 +498,32 @@ def test_idr_frame_num_must_be_zero_for_derived_poc():
     sps_nal = write_h264_sps(64, 48, poc_type=1)
     with pytest.raises(MediaFormatError, match="IDR frame_num"):
         _poc_of(sps_nal, 2, 3, {}, idr=True)
+
+
+# ---------- Annex-B walker parity (round 14: full _Dpb there too) ----------
+
+
+@pytest.mark.parametrize("gop,kw", [
+    ("ippp-reflist", {"n_refs": 3, "reflist": True}),
+    ("ippp-poc1", {"poc_type": 1}),
+    ("ippp-longterm", {"longterm": True}),
+    ("ippp-mmco5", {"mmco5": True}),
+    ("ippp-multiref", {"n_refs": 3}),
+])
+def test_annexb_walker_decodes_all_marking_chains(gop, kw):
+    """The elementary-stream walker shares the avcC walker's _Dpb —
+    raw .h264 dumps with RPLM / long-term marking / MMCO 5 / POC
+    type 1 / multi-reference windows decode byte-identically to the
+    encoder's closed loop (they previously quarantined on the old
+    2-deep ad-hoc DPB)."""
+    from reindexer_spark.h264 import (
+        decode_h264_annexb_stream,
+        encode_h264_annexb,
+    )
+
+    frames = _clip(n=7)
+    stream = encode_h264_annexb(64, 48, frames, 26, gop=gop)
+    _s, _p, _n, recons = encode_h264_ippp(
+        64, 48, frames, 26, return_recon=True, **kw
+    )
+    assert decode_h264_annexb_stream(stream)[2] == recons
