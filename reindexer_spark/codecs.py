@@ -5142,11 +5142,12 @@ def parse_h264_sps(nal: bytes) -> dict:
     level_idc = r.u(8)
     r.ue()  # seq_parameter_set_id
     chroma_format_idc, separate_planes = 1, 0
+    bit_depth = 8
     if profile_idc in _H264_HIGH_PROFILES:
         chroma_format_idc = r.ue()
         if chroma_format_idc == 3:
             separate_planes = r.u(1)
-        r.ue()  # bit_depth_luma_minus8
+        bit_depth = 8 + r.ue()  # bit_depth_luma_minus8
         r.ue()  # bit_depth_chroma_minus8
         r.u(1)  # qpprime_y_zero_transform_bypass
         if r.u(1):  # seq_scaling_matrix_present
@@ -5193,6 +5194,14 @@ def parse_h264_sps(nal: bytes) -> dict:
         "level": level_idc,
         "width": width,
         "height": height,
+        # round 14 (probe uniformity across h264/hevc/av1): baseline/
+        # main profiles imply 4:2:0 8-bit; high profiles carry the
+        # explicit fields parsed above.  0 = monochrome, like hevc.
+        "bit_depth": bit_depth,
+        "chroma_format": (
+            0 if separate_planes == 0 and chroma_format_idc == 0
+            else chroma_format_idc
+        ),
     }
 
 
@@ -5484,11 +5493,15 @@ def _read_leb128(data: bytes, pos: int) -> tuple[int, int]:
 
 def write_av1_seq_obu(
     width: int, height: int, profile: int = 0, level: int = 8,
-    tier: int = 0,
+    tier: int = 0, bit_depth: int = 8,
 ) -> bytes:
     """A minimal spec-legal AV1 sequence header OBU (AV1 spec §5.5:
-    one operating point, no timing info, order hints off, 4:2:0
-    8-bit) — the fixture side of the header-only probe."""
+    one operating point, no timing info, order hints off; subsampling
+    follows the profile — 0 = 4:2:0, 1 = 4:4:4, 2 = 4:2:2 (4:2:0 when
+    12-bit); ``bit_depth`` 8/10 on any profile, 12 on profile 2) —
+    the fixture side of the header-only probe."""
+    if bit_depth not in (8, 10, 12) or (bit_depth == 12 and profile != 2):
+        raise ValueError("AV1 fixture bit_depth 8/10 (12: profile 2 only)")
     w = _RbspWriter()
     w.u(profile, 3)
     w.u(0, 1)  # still_picture
@@ -5520,13 +5533,19 @@ def write_av1_seq_obu(
     w.u(0, 1)  # enable_superres
     w.u(0, 1)  # enable_cdef
     w.u(0, 1)  # enable_restoration
-    # color_config(): 8-bit 4:2:0
-    w.u(0, 1)  # high_bitdepth
+    # color_config() (§5.5.2): subsampling implied by the profile
+    w.u(1 if bit_depth >= 10 else 0, 1)  # high_bitdepth
+    if profile == 2 and bit_depth >= 10:
+        w.u(1 if bit_depth == 12 else 0, 1)  # twelve_bit
     if profile != 1:
         w.u(0, 1)  # mono_chrome
     w.u(0, 1)  # color_description_present_flag
-    if profile == 0:
-        w.u(0, 2)  # chroma_sample_position (4:2:0 implied)
+    w.u(0, 1)  # color_range
+    if profile == 2 and bit_depth == 12:
+        w.u(1, 1)  # subsampling_x
+        w.u(1, 1)  # subsampling_y → 4:2:0
+    if profile == 0 or (profile == 2 and bit_depth == 12):
+        w.u(0, 2)  # chroma_sample_position (ss_x & ss_y)
     w.u(0, 1)  # separate_uv_delta_q
     w.u(0, 1)  # film_grain_params_present
     w.u(1, 1)  # trailing one bit
@@ -5546,13 +5565,17 @@ def write_av1_seq_obu(
 
 def parse_av1_seq_obu(payload: bytes) -> dict:
     """AV1 sequence-header OBU payload → {codec, profile, level,
-    width, height}.  Header-only: enough of §5.5 to reach the frame
-    size, quarantining the decoder-model path."""
+    tier, width, height, bit_depth, chroma_format}.  Round 14 walks
+    the full §5.5 syntax through color_config(), so the probe reports
+    the same metadata surface as the h264/hevc SPS probes
+    (chroma_format codes 0=mono, 1=4:2:0, 2=4:2:2, 3=4:4:4);
+    decoder-model signalling still quarantines."""
     r = _RbspReader(payload)
     profile = r.u(3)
     if profile > 2:
         raise MediaFormatError("invalid AV1 seq_profile")
     r.u(1)  # still_picture
+    tier = 0
     reduced = r.u(1)
     if reduced:
         level = r.u(5)
@@ -5580,22 +5603,79 @@ def parse_av1_seq_obu(payload: bytes) -> dict:
         for i in range(n_ops):
             r.u(12)  # operating_point_idc
             li = r.u(5)
-            if li > 7:
-                r.u(1)  # seq_tier
+            ti = r.u(1) if li > 7 else 0  # seq_tier
             if i == 0:
                 level = li
+                tier = ti
             if init_delay and r.u(1):
                 r.u(4)  # initial_display_delay_minus_1
     wb = r.u(4) + 1
     hb = r.u(4) + 1
     width = r.u(wb) + 1
     height = r.u(hb) + 1
+    # the §5.5.2 tail down to color_config() — all structural flags
+    if not reduced:
+        if r.u(1):  # frame_id_numbers_present_flag
+            r.u(4)  # delta_frame_id_length_minus_2
+            r.u(3)  # additional_frame_id_length_minus_1
+    r.u(1)  # use_128x128_superblock
+    r.u(1)  # enable_filter_intra
+    r.u(1)  # enable_intra_edge_filter
+    if not reduced:
+        r.u(4)  # interintra/masked/warped/dual_filter
+        order_hint = r.u(1)
+        if order_hint:
+            r.u(2)  # enable_jnt_comp, enable_ref_frame_mvs
+        force_sct = 2 if r.u(1) else r.u(1)
+        if force_sct > 0:
+            if not r.u(1):  # seq_choose_integer_mv
+                r.u(1)  # seq_force_integer_mv
+        if order_hint:
+            r.u(3)  # order_hint_bits_minus_1
+    r.u(3)  # enable_superres / cdef / restoration
+    # color_config()
+    high = r.u(1)
+    if profile == 2 and high:
+        bit_depth = 12 if r.u(1) else 10
+    else:
+        bit_depth = 10 if high else 8
+    mono = r.u(1) if profile != 1 else 0
+    if r.u(1):  # color_description_present_flag
+        cp, tc, mc = r.u(8), r.u(8), r.u(8)
+    else:
+        cp = tc = mc = 2  # unspecified
+    if mono:
+        r.u(1)  # color_range
+        ssx = ssy = 1
+        chroma = 0
+    else:
+        if cp == 1 and tc == 13 and mc == 0:  # sRGB: 4:4:4 full range
+            ssx = ssy = 0
+        else:
+            r.u(1)  # color_range
+            if profile == 0:
+                ssx, ssy = 1, 1
+            elif profile == 1:
+                ssx, ssy = 0, 0
+            elif bit_depth == 12:
+                ssx = r.u(1)
+                ssy = r.u(1) if ssx else 0
+            else:
+                ssx, ssy = 1, 0
+            if ssx and ssy:
+                r.u(2)  # chroma_sample_position
+        chroma = {(1, 1): 1, (1, 0): 2, (0, 0): 3}[(ssx, ssy)]
+        r.u(1)  # separate_uv_delta_q
+    r.u(1)  # film_grain_params_present
     return {
         "codec": "av1",
         "profile": profile,
         "level": level,
+        "tier": tier,
         "width": width,
         "height": height,
+        "bit_depth": bit_depth,
+        "chroma_format": chroma,
     }
 
 

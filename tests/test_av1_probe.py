@@ -39,9 +39,12 @@ def _payload(obu: bytes) -> bytes:
 def test_seq_obu_roundtrip(w, h, prof, lev):
     obu = write_av1_seq_obu(w, h, prof, lev)
     meta = parse_av1_seq_obu(_payload(obu))
+    # round 14: the probe walks the full §5.5 tail — bit depth,
+    # chroma (profile-implied: 0=4:2:0, 1=4:4:4, 2=4:2:2) and tier
     assert meta == {
-        "codec": "av1", "profile": prof, "level": lev,
-        "width": w, "height": h,
+        "codec": "av1", "profile": prof, "level": lev, "tier": 0,
+        "width": w, "height": h, "bit_depth": 8,
+        "chroma_format": {0: 1, 1: 3, 2: 2}[prof],
     }
 
 

@@ -120,12 +120,13 @@ def test_hevc_decode_still_quarantines():
             dec(payload)
 
 
-def test_h264_probe_keeps_new_keys_none():
-    """Non-HEVC coded tracks must not invent depth metadata."""
+def test_h264_probe_reports_uniform_depth_metadata():
+    """Round 14: h264 reports the same depth surface as hevc/av1 —
+    baseline implies 4:2:0 8-bit; tier stays None (h264 has none)."""
     p = probe_media(encode_mp4_coded(100, 64, codec="h264"))
     assert p["tier"] is None
-    assert p["bit_depth"] is None
-    assert p["chroma_format"] is None
+    assert p["bit_depth"] == 8
+    assert p["chroma_format"] == 1
     # keyframe count still reports (container-level, codec-agnostic)
     assert p["n_keyframes"] == p["n_frames"]
 
