@@ -4289,6 +4289,13 @@ def _read_residual(r: _MsbBitReader, n: int, order: int) -> list[int]:
     if n % n_parts:
         raise MediaFormatError("FLAC partition order does not divide blocksize")
     res: list[int] = []
+    ap = res.append
+    # Rice sample loop inlined over the reader's own state (round 14):
+    # three method calls per sample became straight-line accumulator
+    # arithmetic — same fill/consume/mask steps, same error points,
+    # state written back after each partition
+    data = r.data
+    dlen = len(data)
     for p in range(n_parts):
         count = n // n_parts - (order if p == 0 else 0)
         if count < 0:
@@ -4299,10 +4306,56 @@ def _read_residual(r: _MsbBitReader, n: int, order: int) -> list[int]:
             for _ in range(count):
                 res.append(r.signed(raw) if raw else 0)
         else:
+            pos = r.pos
+            acc = r.acc
+            nbits = r.nbits
+            kmask = (1 << k) - 1
             for _ in range(count):
-                q = r.unary()
-                u = (q << k) | (r.bits(k) if k else 0)
-                res.append((u >> 1) if (u & 1) == 0 else -((u + 1) >> 1))
+                q = 0
+                while True:
+                    if nbits == 0:
+                        if pos >= dlen:
+                            raise MediaFormatError(
+                                "FLAC bitstream exhausted"
+                            )
+                        acc = data[pos]
+                        pos += 1
+                        nbits = 8
+                    if acc == 0:
+                        q += nbits
+                        nbits = 0
+                        if q > 1 << 24:
+                            raise MediaFormatError(
+                                "FLAC unary run out of bounds"
+                            )
+                        continue
+                    bl = acc.bit_length()
+                    q += nbits - bl
+                    if q > 1 << 24:
+                        raise MediaFormatError(
+                            "FLAC unary run out of bounds"
+                        )
+                    nbits = bl - 1  # consume the zeros and the 1
+                    acc &= (1 << nbits) - 1
+                    break
+                if k:
+                    while nbits < k:
+                        if pos >= dlen:
+                            raise MediaFormatError(
+                                "FLAC bitstream exhausted"
+                            )
+                        acc = (acc << 8) | data[pos]
+                        pos += 1
+                        nbits += 8
+                    nbits -= k
+                    u = (q << k) | ((acc >> nbits) & kmask)
+                    acc &= (1 << nbits) - 1
+                else:
+                    u = q
+                ap((u >> 1) if (u & 1) == 0 else -((u + 1) >> 1))
+            r.pos = pos
+            r.acc = acc
+            r.nbits = nbits
     return res
 
 
@@ -4322,11 +4375,35 @@ def _decode_subframe(r: _MsbBitReader, n: int, bps: int) -> list[int]:
         order = ftype - 8
         warm = [r.signed(eff) for _ in range(order)]
         res = _read_residual(r, n, order)
-        coefs = _FLAC_FIXED_COEFS[order]
         out = list(warm)
-        for v in res:
-            pred = sum(c * out[-i - 1] for i, c in enumerate(coefs))
-            out.append(pred + v)
+        # unrolled per order (round 14): the generic coefficient sum
+        # was one generator + sum() per SAMPLE; these are the exact
+        # same integer recurrences
+        oa = out.append
+        if order == 0:
+            out.extend(res)
+        elif order == 1:
+            a1 = out[-1]
+            for v in res:
+                a1 = a1 + v
+                oa(a1)
+        elif order == 2:
+            a2, a1 = out[-2], out[-1]
+            for v in res:
+                a2, a1 = a1, 2 * a1 - a2 + v
+                oa(a1)
+        elif order == 3:
+            a3, a2, a1 = out[-3], out[-2], out[-1]
+            for v in res:
+                nxt = 3 * a1 - 3 * a2 + a3 + v
+                a3, a2, a1 = a2, a1, nxt
+                oa(a1)
+        else:
+            a4, a3, a2, a1 = out[-4], out[-3], out[-2], out[-1]
+            for v in res:
+                nxt = 4 * a1 - 6 * a2 + 4 * a3 - a4 + v
+                a4, a3, a2, a1 = a3, a2, a1, nxt
+                oa(a1)
     elif ftype >= 32:  # LPC
         order = ftype - 31
         warm = [r.signed(eff) for _ in range(order)]
