@@ -3696,36 +3696,52 @@ def _lzw_decompress(data: bytes, min_code_size: int, n_expected: int) -> bytes:
     out = bytearray()
     acc = n_bits = pos = 0
     prev: bytes | None = None
-    while len(out) < n_expected:
+    # round 14: lengths tracked as locals — the per-code len() calls
+    # (data, table, out — three per code) were a third of the loop
+    dlen = len(data)
+    tlen = len(table)
+    produced = 0
+    wmask = (1 << width) - 1
+    grow_at = 1 << width
+    tappend = table.append
+    while produced < n_expected:
         while n_bits < width:
-            if pos >= len(data):
+            if pos >= dlen:
                 raise MediaFormatError("GIF LZW stream truncated")
             acc |= data[pos] << n_bits
             pos += 1
             n_bits += 8
-        code = acc & ((1 << width) - 1)
+        code = acc & wmask
         acc >>= width
         n_bits -= width
         if code == clear:
             table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            tappend = table.append
+            tlen = clear + 2
             width = min_code_size + 1
+            wmask = (1 << width) - 1
+            grow_at = 1 << width
             prev = None
             continue
         if code == eoi:
             break
-        if code < len(table) and (code < clear or table[code]):
+        if code < tlen and (code < clear or table[code]):
             entry = table[code]
-        elif code == len(table) and prev is not None:
+        elif code == tlen and prev is not None:
             entry = prev + prev[:1]  # the KwKwK case
         else:
             raise MediaFormatError("GIF LZW code out of range")
         out += entry
-        if prev is not None and len(table) < 4096:
-            table.append(prev + entry[:1])
-            if len(table) == (1 << width) and width < 12:
+        produced += len(entry)
+        if prev is not None and tlen < 4096:
+            tappend(prev + entry[:1])
+            tlen += 1
+            if tlen == grow_at and width < 12:
                 width += 1
+                wmask = (1 << width) - 1
+                grow_at = 1 << width
         prev = entry
-    if len(out) < n_expected:
+    if produced < n_expected:
         raise MediaFormatError("GIF LZW stream ended early")
     return bytes(out[:n_expected])
 
