@@ -456,16 +456,17 @@ def main() -> int:
 
 # Floor separating "route bulk decode through LibraryCodec" from "the
 # pure-Python decoder is fine": every entropy-coded format measures
-# <=~2.5 MB/s (h264 0.05-0.07, webp 0.23-0.27, jpeg-progressive 1.2,
-# flac 1.7, mjpeg 1.65-1.85, jpeg-baseline 1.9, gif 2.5 — the jpeg/
-# mjpeg numbers are the round-14 LUT16+batched-iDCT rewrite, 3.0-3.9x
-# over round 13 and at the measured CPython per-symbol floor: 5.2
-# bits/symbol means ~12.8k huffman symbols in the 8.3 KB fixture, and
-# ~20 interpreted ops/symbol bounds the lane near ~2 MB/s) while
-# every raw/container format measures >=134 MB/s — 8.0 sits in that
-# two-orders-of-magnitude gap, so flac and gif are flagged too
-# (round-12 VERDICT next #5: at 100 TB a 1.5-2 MB/s lane is as dead
-# as a 0.5 MB/s one).
+# <=~3 MB/s (h264 0.05-0.07, webp 0.23-0.27, jpeg-progressive 2.0,
+# jpeg-baseline 2.1, gif 2.8, mjpeg 2.9-3.0, flac 3.0 — the jpeg/
+# mjpeg/flac/gif numbers are the round-14 segment+LUT16+batched-iDCT
+# rewrites, 2-6x over round 13 and at the measured CPython
+# per-symbol floor: 5.2 bits/symbol means ~12.8k huffman symbols in
+# the 8.3 KB jpeg fixture, and ~20 interpreted ops/symbol bounds any
+# pure-Python entropy lane near 2-3 MB/s) while every raw/container
+# format measures >=134 MB/s — 8.0 sits in that
+# two-orders-of-magnitude gap, so every entropy decoder stays
+# flagged (round-12 VERDICT next #5: at 100 TB a 2-3 MB/s lane is as
+# dead as a 0.5 MB/s one).
 _LIBRARY_CODEC_FLOOR_MBPS = 8.0
 
 
