@@ -5927,13 +5927,23 @@ def parse_av1_seq_obu(payload: bytes) -> dict:
 
 
 def build_av1c(
-    seq_obu: bytes, profile: int = 0, level: int = 8, tier: int = 0
+    seq_obu: bytes, profile: int = 0, level: int = 8, tier: int = 0,
+    bit_depth: int = 8,
 ) -> bytes:
     """AV1CodecConfigurationRecord (AV1-ISOBMFF §2.3): fixed 4-byte
-    prefix + the sequence header OBU as configOBUs."""
+    prefix + the sequence header OBU as configOBUs.  Round 14: the
+    record's tier/high_bitdepth/twelve_bit/subsampling flags mirror
+    the OBU (the probe still reads the OBU — the authoritative
+    source — but the record should not contradict it)."""
     b1 = ((profile & 7) << 5) | (level & 0x1F)
-    b2 = (tier & 1) << 7  # 8-bit, 4:2:0, chroma position 0
-    b2 |= 0x0C  # subsampling_x=1, subsampling_y=1
+    b2 = (tier & 1) << 7
+    if bit_depth >= 10:
+        b2 |= 0x40  # high_bitdepth
+    if bit_depth == 12:
+        b2 |= 0x20  # twelve_bit
+    ssx = 0 if profile == 1 else 1
+    ssy = 1 if (profile == 0 or (profile == 2 and bit_depth == 12)) else 0
+    b2 |= (ssx << 3) | (ssy << 2)
     return bytes([0x81, b1, b2, 0x00]) + seq_obu
 
 
@@ -6047,9 +6057,14 @@ def encode_mp4_coded(
     elif codec == "av1":
         prof = profile if profile is not None else 0
         lev = level if level is not None else 8
-        obu = write_av1_seq_obu(width, height, prof, lev)
+        obu = write_av1_seq_obu(
+            width, height, prof, lev, tier=tier, bit_depth=bit_depth
+        )
         entry_tag = b"av01"
-        cfg = _box(b"av1C", build_av1c(obu, prof, lev))
+        cfg = _box(
+            b"av1C",
+            build_av1c(obu, prof, lev, tier=tier, bit_depth=bit_depth),
+        )
     else:
         raise ValueError(f"unknown coded fixture codec {codec!r}")
     if intra_frames is None:
@@ -6186,8 +6201,12 @@ def encode_mkv_coded(
     elif codec == "av1":
         prof = profile if profile is not None else 0
         lev = level if level is not None else 8
-        obu = write_av1_seq_obu(width, height, prof, lev)
-        codec_id, private = b"V_AV1", build_av1c(obu, prof, lev)
+        obu = write_av1_seq_obu(
+            width, height, prof, lev, tier=tier, bit_depth=bit_depth
+        )
+        codec_id, private = b"V_AV1", build_av1c(
+            obu, prof, lev, tier=tier, bit_depth=bit_depth
+        )
     else:
         raise ValueError(f"unknown coded fixture codec {codec!r}")
     ebml_header = _ebml_el(

@@ -1998,6 +1998,9 @@ def video_sps_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "width": p["width"],
                         "height": p["height"],
                         "profile": p["profile"],
+                        "tier": p["tier"],
+                        "bit_depth": p["bit_depth"],
+                        "chroma_fmt": p["chroma_format"],
                         "n_level": p["level"],
                         "n_frames": p["n_frames"],
                         "decodable": decodable,
@@ -2007,15 +2010,16 @@ def video_sps_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows,
                 columns=[
                     "media_id", "codec", "container", "width", "height",
-                    "profile", "n_level", "n_frames", "decodable",
+                    "profile", "tier", "bit_depth", "chroma_fmt",
+                    "n_level", "n_frames", "decodable",
                 ],
             )
 
     return docs.select("doc_id", "text").mapInPandas(
         build_and_probe,
         "media_id bigint, codec string, container string, width int, "
-        "height int, profile int, n_level int, n_frames int, "
-        "decodable int",
+        "height int, profile int, tier int, bit_depth int, "
+        "chroma_fmt int, n_level int, n_frames int, decodable int",
     )
 
 
@@ -2261,26 +2265,42 @@ AV1_DOCS = 12  # bounded: header synthesis only, no entropy coding
       SELECT media_id,
              CAST(('0x' || substr(dg, 1, 2)) AS INT) AS s0,
              CAST(('0x' || substr(dg, 3, 2)) AS INT) AS s1,
-             CAST(('0x' || substr(dg, 5, 2)) AS INT) AS s2
+             CAST(('0x' || substr(dg, 5, 2)) AS INT) AS s2,
+             CAST(('0x' || substr(dg, 7, 2)) AS INT) AS s3
       FROM base
+    ), p AS (
+      SELECT media_id, s0, s1, s2, s3,
+             CAST(media_id % 3 AS INT) AS prof,
+             CAST(CASE WHEN media_id % 3 = 2
+                       THEN 8 + 2 * ((s3 // 2) % 3)
+                       ELSE 8 + 2 * ((s3 // 2) % 2) END AS INT)
+               AS bit_depth
+      FROM s
     )
     SELECT media_id,
       CAST('av1' AS VARCHAR) AS codec,
       CASE WHEN media_id % 2 = 0 THEN 'mp4' ELSE 'mkv' END AS container,
       CAST(2 * (60 + s0 % 100) + (s0 % 2) AS INT) AS width,
       CAST(2 * (40 + s1 % 100) + (s1 % 2) AS INT) AS height,
-      CAST(media_id % 3 AS INT) AS profile,
+      prof AS profile,
+      CAST(s3 % 2 AS INT) AS tier,
+      bit_depth,
+      CAST(CASE prof WHEN 0 THEN 1 WHEN 1 THEN 3
+           ELSE CASE WHEN bit_depth = 12 THEN 1 ELSE 2 END END AS INT)
+        AS chroma_fmt,
       CAST(8 + s2 % 12 AS INT) AS n_level,
       CAST(3 + s1 % 4 AS INT) AS n_frames,
       CAST(0 AS INT) AS decodable
-    FROM s
+    FROM p
     """,
 )
 def video_av1_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AV1 PROBE (round 13) — the modern crawl-video codec joins the
-    header-only funnel: width/height/profile/level recovered from the
-    SEQUENCE HEADER OBU (AV1 spec §5.5 — profile/level/operating
-    points, the frame-size bit-width fields, color config) inside the
+    """AV1 PROBE (round 13; round 14 deepens it to the uniform
+    coded-video surface) — the modern crawl-video codec in the
+    header-only funnel: width/height/profile/level plus TIER,
+    BIT DEPTH (8/10, and 12 on profile 2) and the profile-implied
+    CHROMA FORMAT recovered from the full SEQUENCE HEADER OBU walk
+    (AV1 spec §5.5 through color_config()) inside the
     av1C codec-configuration record (AV1-ISOBMFF §2.3: mp4 ``av01``
     sample entry / mkv ``V_AV1`` CodecPrivate), across both containers
     with sha256-derived ODD (non-multiple-of-2) dimensions — AV1 frame
@@ -2319,12 +2339,17 @@ def video_av1_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h = 2 * (40 + dg[1] % 100) + (dg[1] % 2)
                 prof = mid % 3
                 lev = 8 + dg[2] % 12
+                tier = dg[3] % 2  # levels are all > 7 → bit present
+                bit_depth = 8 + 2 * (
+                    (dg[3] // 2) % (3 if prof == 2 else 2)
+                )
                 n_frames = 3 + dg[1] % 4
                 enc = encode_mp4_coded if mid % 2 == 0 else encode_mkv_coded
                 dec = decode_mp4 if mid % 2 == 0 else decode_mkv
                 payload = enc(
                     w, h, codec="av1", n_frames=n_frames,
-                    profile=prof, level=lev,
+                    profile=prof, level=lev, tier=tier,
+                    bit_depth=bit_depth,
                 )
                 p = probe_media(payload)
                 try:
@@ -2340,6 +2365,9 @@ def video_av1_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "width": p["width"],
                         "height": p["height"],
                         "profile": p["profile"],
+                        "tier": p["tier"],
+                        "bit_depth": p["bit_depth"],
+                        "chroma_fmt": p["chroma_format"],
                         "n_level": p["level"],
                         "n_frames": p["n_frames"],
                         "decodable": decodable,
@@ -2349,15 +2377,16 @@ def video_av1_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows,
                 columns=[
                     "media_id", "codec", "container", "width", "height",
-                    "profile", "n_level", "n_frames", "decodable",
+                    "profile", "tier", "bit_depth", "chroma_fmt",
+                    "n_level", "n_frames", "decodable",
                 ],
             )
 
     return docs.select("doc_id", "text").mapInPandas(
         build_and_probe,
         "media_id bigint, codec string, container string, width int, "
-        "height int, profile int, n_level int, n_frames int, "
-        "decodable int",
+        "height int, profile int, tier int, bit_depth int, "
+        "chroma_fmt int, n_level int, n_frames int, decodable int",
     )
 
 
