@@ -183,6 +183,9 @@ EXTENDED = [
     "dsir_select",
     # round 13
     "stream_dsir_select_live",
+    # round 14
+    "video_reflist_mmco",
+    "video_hevc_probe",
 ]
 
 
