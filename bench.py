@@ -459,9 +459,10 @@ def main() -> int:
 
 # Floor separating "route bulk decode through LibraryCodec" from "the
 # pure-Python decoder is fine": every entropy-coded format measures
-# <=~3 MB/s (h264 0.05-0.07, webp 0.23-0.27, jpeg-progressive 2.0,
+# <=~3 MB/s (h264 0.05-0.07, webp-vp8 0.22, webp-vp8l 1.5,
+# jpeg-progressive 2.0,
 # jpeg-baseline 2.1, gif 2.8, mjpeg 2.9-3.0, flac 3.0 — the jpeg/
-# mjpeg/flac/gif numbers are the round-14 segment+LUT16+batched-iDCT
+# mjpeg/flac/gif/vp8l numbers are the round-14 segment+LUT+batched
 # rewrites, 2-6x over round 13 and at the measured CPython
 # per-symbol floor: 5.2 bits/symbol means ~12.8k huffman symbols in
 # the 8.3 KB jpeg fixture, and ~20 interpreted ops/symbol bounds any

@@ -1914,6 +1914,11 @@ SPS_DOCS = 80
                 THEN CASE WHEN media_id % 2 = 0 THEN 66 ELSE 100 END
                 ELSE CASE WHEN media_id % 2 = 0 THEN 1 ELSE 2 END
            END AS INT) AS profile,
+      -- round 14 (uniform coded-video probe surface): h264 has no
+      -- tier; these fixtures are all 4:2:0 8-bit on both codecs
+      CAST(CASE WHEN v IN (0, 1) THEN NULL ELSE 0 END AS INT) AS tier,
+      CAST(8 AS INT) AS bit_depth,
+      CAST(1 AS INT) AS chroma_fmt,
       CAST(CASE WHEN v IN (0, 1)
                 THEN CASE WHEN media_id % 2 = 0 THEN 30 ELSE 41 END
                 ELSE CASE WHEN media_id % 2 = 0 THEN 93 ELSE 120 END
