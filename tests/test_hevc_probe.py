@@ -136,3 +136,26 @@ def test_keyframe_helpers_reject_garbage():
         mp4_keyframe_index(b"\x00" * 64)
     with pytest.raises(MediaFormatError):
         mkv_block_keyframes(b"\x00" * 64)
+
+
+def test_uniform_coded_video_probe_surface():
+    """Round 14: h264, hevc and av1 report ONE metadata surface —
+    codec/profile/level/bit_depth/chroma_format (+ tier where the
+    codec has one) — so a 100 TB resolution/depth filter never
+    branches per codec."""
+    for codec, prof, lev in (("h264", 66, 30), ("hevc", 1, 93),
+                             ("av1", 0, 8)):
+        p = probe_media(
+            encode_mp4_coded(100, 64, codec=codec, profile=prof,
+                             level=lev)
+        )
+        assert p["codec"] == codec
+        assert p["profile"] is not None
+        assert p["level"] is not None
+        assert p["bit_depth"] == 8
+        assert p["chroma_format"] == 1  # all fixtures default 4:2:0
+        assert p["n_keyframes"] == p["n_frames"]
+        if codec == "h264":
+            assert p["tier"] is None  # h264 has no tier
+        else:
+            assert p["tier"] == 0
