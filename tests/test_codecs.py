@@ -2025,3 +2025,108 @@ def test_codec_floor_flags_all_entropy_decoders():
     if all(out[n]["decode_mbps"] > bench._LIBRARY_CODEC_FLOOR_MBPS for n in raw):
         for name in raw:
             assert out[name]["library_codec_first"] is False
+
+
+def test_progressive_restart_intervals_decode():
+    """DRI + RSTn inside PROGRESSIVE scans (no house encoder emits
+    them — real encoders do): the DC scan's align_restart path and
+    the round-14 AC scan's segment-switch path must both reset state
+    (DC predictor, EOB run) and keep decoding.  Built by hand: a
+    2-block grayscale SOF2 frame, DRI=1, each scan carrying an RST
+    between the two blocks; the no-restart twin stream with the same
+    coefficients must decode byte-identically."""
+    import struct
+
+    from reindexer_spark.codecs import (
+        _BitWriter,
+        _HUFF_AC_LUMA,
+        _HUFF_DC_LUMA,
+        _canonical_codes,
+        _dht,
+        _magnitude,
+        _seg,
+        decode_jpeg_baseline,
+    )
+
+    dc = _canonical_codes(*_HUFF_DC_LUMA)
+    ac = _canonical_codes(*_HUFF_AC_LUMA)
+    # two blocks, zigzag coefficients: DC + a few ACs incl. a run
+    blocks = [
+        {0: -34, 1: 5, 3: -2, 9: 1},
+        {0: 17, 2: -7, 63: 1},  # coefficient at the band's last slot
+    ]
+
+    def put_dc(w, v, pred):
+        s, bits = _magnitude(v - pred)
+        code, ln = dc[s]
+        w.put(code, ln)
+        if s:
+            w.put(bits, s)
+        return v
+
+    def put_ac_band(w, blk, ss, se):
+        run = 0
+        nz = [k for k in range(ss, se + 1) if blk.get(k)]
+        if not nz:
+            code, ln = ac[0x00]  # EOB (run-length 1)
+            w.put(code, ln)
+            return
+        for k in range(ss, se + 1):
+            v = blk.get(k, 0)
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac[0xF0]
+                w.put(code, ln)
+                run -= 16
+            s, bits = _magnitude(v)
+            code, ln = ac[(run << 4) | s]
+            w.put(code, ln)
+            w.put(bits, s)
+            run = 0
+        if nz[-1] < se:
+            code, ln = ac[0x00]
+            w.put(code, ln)
+
+    def build(restart: bool) -> bytes:
+        out = bytearray(b"\xff\xd8")
+        out += _seg(0xDB, bytes([0]) + bytes([1] * 64))  # flat q=1
+        out += _seg(
+            0xC2, bytes([8]) + struct.pack(">HH", 8, 16) + bytes([1])
+            + bytes([1, 0x11, 0])
+        )
+        out += _dht(0, 0, _HUFF_DC_LUMA)
+        out += _dht(1, 0, _HUFF_AC_LUMA)
+        if restart:
+            out += _seg(0xDD, struct.pack(">H", 1))
+        # scan 1: DC first pass (Al=0)
+        out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+        w = _BitWriter()
+        pred = put_dc(w, blocks[0][0], 0)
+        if restart:
+            w.flush()
+            out += bytes(w.out) + b"\xff\xd0"
+            w = _BitWriter()
+            pred = 0
+        put_dc(w, blocks[1][0], pred)
+        w.flush()
+        out += bytes(w.out)
+        # scan 2: AC first pass over the whole band
+        out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0]))
+        w = _BitWriter()
+        put_ac_band(w, blocks[0], 1, 63)
+        if restart:
+            w.flush()
+            out += bytes(w.out) + b"\xff\xd1"
+            w = _BitWriter()
+        put_ac_band(w, blocks[1], 1, 63)
+        w.flush()
+        out += bytes(w.out)
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    plain = decode_jpeg_baseline(build(False))
+    rst = decode_jpeg_baseline(build(True))
+    assert rst == plain
+    assert plain[0] == 16 and plain[1] == 8

@@ -527,3 +527,18 @@ def test_annexb_walker_decodes_all_marking_chains(gop, kw):
         64, 48, frames, 26, return_recon=True, **kw
     )
     assert decode_h264_annexb_stream(stream)[2] == recons
+
+
+@pytest.mark.parametrize("kw", [
+    {"n_refs": 3, "reflist": True},
+    {"longterm": True},
+])
+def test_chains_survive_frame_num_wrap(kw):
+    """20+ pictures cross the frame_num wrap (log2_max_frame_num=4 →
+    16): RPLM's modular picNum predictor and the long-term pin must
+    keep resolving the right DPB entries on the far side."""
+    frames = _clip(n=20, seed=11)
+    sps, pps, nals, recons = encode_h264_ippp(
+        64, 48, frames, 26, return_recon=True, **kw
+    )
+    assert decode_h264_stream(sps, pps, nals)[2] == recons
