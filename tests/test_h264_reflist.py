@@ -542,3 +542,55 @@ def test_chains_survive_frame_num_wrap(kw):
         64, 48, frames, 26, return_recon=True, **kw
     )
     assert decode_h264_stream(sps, pps, nals)[2] == recons
+
+
+def test_fuzz_quarantine_contract_round14_paths():
+    """The round-14 decode paths (RPLM, long-term marking, MMCO 5,
+    POC type 1) keep the quarantine contract under mutation: a
+    corrupted/truncated/reordered stream either decodes or raises
+    MediaFormatError — never an uncontrolled exception.  Same
+    deterministic schedule as the round-13 fuzz."""
+    import numpy as np
+
+    from reindexer_spark import h264 as H
+
+    rng = np.random.default_rng(14)
+    frames = _clip(n=6)
+    cases = [
+        ("reflist", *H.encode_h264_ippp(64, 48, frames, qp=26,
+                                        n_refs=3, reflist=True)),
+        ("longterm", *H.encode_h264_ippp(64, 48, frames, qp=26,
+                                         longterm=True)),
+        ("mmco5", *H.encode_h264_ippp(64, 48, frames, qp=26,
+                                      mmco5=True)),
+        ("poc1", *H.encode_h264_ippp(64, 48, frames, qp=26,
+                                     poc_type=1)),
+    ]
+    for _label, sps, pps, nals in cases:
+        for _trial in range(60):
+            mode = rng.integers(0, 5)
+            mut = list(nals)
+            i = int(rng.integers(1, len(mut)))
+            nal = bytearray(mut[i])
+            if mode == 0:
+                mut[i] = bytes(nal[: int(rng.integers(2, len(nal)))])
+            elif mode == 1:
+                mut[i] = bytes(
+                    nal[: int(rng.integers(2, len(nal)))]
+                ) + bytes(
+                    rng.integers(0, 256, int(rng.integers(1, 20)),
+                                 dtype=np.uint8)
+                )
+            elif mode == 2:
+                for _ in range(5):
+                    p = int(rng.integers(1, len(nal)))
+                    nal[p] = int(rng.integers(0, 256))
+                mut[i] = bytes(nal)
+            elif mode == 3:
+                del mut[i]
+            else:
+                mut.insert(i, mut[i])
+            try:
+                H.decode_h264_stream(sps, pps, mut)
+            except MediaFormatError:
+                pass  # the contract: quarantine, never crash
