@@ -32,11 +32,12 @@ the full LONG-TERM lifecycle: MMCO 4 index space, MMCO 3/6
 assignment, pinned pictures that outlive the §8.2.5.3 sliding
 window, which now counts against the SPS max_num_ref_frames and
 never evicts a long-term; the IDR long_term_reference_flag is
-honoured), and frame_num-derived POC TYPES 1 AND 2
-(§8.2.1.3/§8.2.1.4 incl. frame_num wrap).  Still OUTSIDE the subset
-and quarantined: the MMCO 5 stream reset, long-term references
-under B slices (the §8.4.1.2.3 long-term scaling branches are not
-claimed), field/MBAFF coding, weighted
+honoured), the MMCO 5 STREAM RESET (§8.2.5.4.5 — every reference
+marked unused, frame_num/POC rebased to the reset point), and
+frame_num-derived POC TYPES 1 AND 2 (§8.2.1.3/§8.2.1.4 incl.
+frame_num wrap).  Still OUTSIDE the subset and quarantined:
+long-term references under B slices (the §8.4.1.2.3 long-term
+scaling branches are not claimed), field/MBAFF coding, weighted
 BI-prediction, >8 active references.  Round 11: CABAC I/P entropy coding
 lives in the companion module ``h264_cabac`` (provenance-marked
 streams only — see its honesty-boundary docstring);
@@ -81,12 +82,13 @@ Scope — the full INTRA half of H.264 Baseline (round 9):
 - What remains OUTSIDE the subset raises MediaFormatError — the
   quarantine contract, never a wrong frame: external CABAC
   (h264_cabac decodes only provenance-marked streams; CABAC also
-  stays single-slice and unweighted), the MMCO 5 stream reset,
+  stays single-slice and unweighted),
   long-term references under B slices, field/MBAFF coding, weighted
   BI-prediction (P explicit WP decodes, round 13), non-4:2:0 or
   >8-bit sampling, scaling matrices (multi-slice pictures decode
-  since round 13; RPLM incl. long-term selection, MMCO 1/2/3/4/6
-  and POC types 1/2 decode since round 14).
+  since round 13; RPLM incl. long-term selection, the full MMCO
+  1/2/3/4/5/6 marking layer and POC types 1/2 decode since
+  round 14).
 
 The CAVLC code tables (Tables 9-5, 9-7..9-10) are transcribed from
 the published spec.  Encoder and decoder share one table instance, so
@@ -1574,10 +1576,10 @@ def _parse_slice_header(
         info["idr_longterm"] = bool(r.u(1))
     elif nal_ref_idc != 0:
         if r.u(1):  # adaptive_ref_pic_marking_mode_flag
-            # §7.3.3.3 adaptive marking (round 14): MMCO 1 — drop a
-            # named short-term reference — decodes; the long-term ops
-            # (2, 3, 4, 6) and the MMCO 5 stream reset stay outside
-            # the subset and quarantine by name.
+            # §7.3.3.3 adaptive marking (round 14): the full MMCO
+            # layer decodes — 1 (short-term drop), 2/3/4/6 (long-term
+            # lifecycle) and 5 (stream reset); semantic violations
+            # still quarantine when the ops are applied.
             ops: list = []
             while True:
                 op = r.ue()

@@ -10,9 +10,11 @@ The closed-loop contracts are the load-bearing checks: the encoder's
 4+3), selects it via RPLM idc 2 and drops it via MMCO 2 — in every
 case predicting against the MODIFIED lists, so a decoder that
 mis-applies any picNum/LongTermFrameIdx step reconstructs different
-pixels.  Still quarantined: the MMCO 5 stream reset, long-term
-references under B slices, and semantic violations (unknown
-pictures, indices beyond MaxLongTermFrameIdx)."""
+pixels.  The ``mmco5`` chain additionally pins the §8.2.5.4.5 stream
+reset (all references dropped, frame_num/POC rebased).  Still
+quarantined: long-term references under B slices, and semantic
+violations (unknown pictures, indices beyond
+MaxLongTermFrameIdx)."""
 
 from __future__ import annotations
 
