@@ -186,6 +186,7 @@ EXTENDED = [
     # round 14
     "video_reflist_mmco",
     "video_hevc_probe",
+    "video_blongterm",
 ]
 
 

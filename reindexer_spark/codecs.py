@@ -6091,7 +6091,7 @@ def encode_mp4_coded(
     # and IPB chains mark only the IDR; dummy-sample probe fixtures
     # with sync_every > 1 mark every sync_every-th sample (round 14 —
     # exercises the header-only keyframe index on coded tracks)
-    if intra_frames is not None and gop in ("ippp", "ipb", "ipb-temporal", "ippp-multiref", "ippp-wp", "ippp-ms2", "ippp-reflist", "ippp-poc1", "ippp-longterm", "ippp-mmco5"):
+    if intra_frames is not None and gop in ("ippp", "ipb", "ipb-temporal", "ipb-longterm", "ippp-multiref", "ippp-wp", "ippp-ms2", "ippp-reflist", "ippp-poc1", "ippp-longterm", "ippp-mmco5"):
         stss = _full_box(b"stss", 0, 0, struct.pack(">II", 1, 1))
     elif intra_frames is None and sync_every > 1:
         sync = list(range(1, n_frames + 1, sync_every))
@@ -6260,7 +6260,7 @@ def encode_mkv_coded(
                     i == 0
                     or (
                         intra_bodies is not None
-                        and gop not in ("ippp", "ipb", "ipb-temporal", "ippp-multiref", "ippp-wp", "ippp-ms2", "ippp-reflist", "ippp-poc1", "ippp-longterm", "ippp-mmco5")
+                        and gop not in ("ippp", "ipb", "ipb-temporal", "ipb-longterm", "ippp-multiref", "ippp-wp", "ippp-ms2", "ippp-reflist", "ippp-poc1", "ippp-longterm", "ippp-mmco5")
                     )
                     or (
                         intra_bodies is None

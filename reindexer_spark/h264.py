@@ -35,10 +35,13 @@ never evicts a long-term; the IDR long_term_reference_flag is
 honoured), the MMCO 5 STREAM RESET (§8.2.5.4.5 — every reference
 marked unused, frame_num/POC rebased to the reset point), and
 frame_num-derived POC TYPES 1 AND 2 (§8.2.1.3/§8.2.1.4 incl.
-frame_num wrap).  Still OUTSIDE the subset and quarantined:
-long-term references under B slices (the §8.4.1.2.3 long-term
-scaling branches are not claimed), field/MBAFF coding, weighted
-BI-prediction, >8 active references.  Round 11: CABAC I/P entropy coding
+frame_num wrap).  Late round 14 closes LONG-TERM REFERENCES UNDER B
+SLICES — §8.2.4.2.3 initial B lists over a pinned picture, RPLM
+idc 2 on either list, the §8.4.1.2.2 short-term colZeroFlag
+condition, and the §8.4.1.2.3 long-term unscaled-copy branch
+(gated by `video_blongterm`; tests/test_h264_blongterm.py pins each
+branch as load-bearing).  Still OUTSIDE the subset and quarantined:
+field/MBAFF coding, weighted BI-prediction, >8 active references.  Round 11: CABAC I/P entropy coding
 lives in the companion module ``h264_cabac`` (provenance-marked
 streams only — see its honesty-boundary docstring);
 externally-encoded CABAC still quarantines here.
@@ -83,12 +86,12 @@ Scope — the full INTRA half of H.264 Baseline (round 9):
   quarantine contract, never a wrong frame: external CABAC
   (h264_cabac decodes only provenance-marked streams; CABAC also
   stays single-slice and unweighted),
-  long-term references under B slices, field/MBAFF coding, weighted
+  field/MBAFF coding, weighted
   BI-prediction (P explicit WP decodes, round 13), non-4:2:0 or
   >8-bit sampling, scaling matrices (multi-slice pictures decode
   since round 13; RPLM incl. long-term selection, the full MMCO
-  1/2/3/4/5/6 marking layer and POC types 1/2 decode since
-  round 14).
+  1/2/3/4/5/6 marking layer, POC types 1/2 AND long-term references
+  under B slices decode since round 14).
 
 The CAVLC code tables (Tables 9-5, 9-7..9-10) are transcribed from
 the published spec.  Encoder and decoder share one table instance, so
@@ -2507,16 +2510,6 @@ def decode_picture(
                 first_mb=expected, until_end=until_end,
             )
         elif stype == "B":
-            if ref_lts is not None and any(
-                lt is not None for lt in ref_lts
-            ):
-                # the §8.4.1.2.3 temporal scaling and implicit rules
-                # have distinct long-term branches this subset does
-                # not claim — quarantine rather than scale wrongly
-                raise MediaFormatError(
-                    "long-term references with B slices outside the "
-                    "subset"
-                )
             l0 = refs if refs is not None else (
                 [ref, ref2]
                 if ref is not None and ref2 is not None else []
@@ -2585,6 +2578,18 @@ def decode_picture(
                         if pocs is not None
                         else None
                     ),
+                    # long-term flags follow the modified lists
+                    # (round 14 — the direct-mode long-term branches)
+                    "l0_lts": (
+                        tuple(ref_lts[i] for i in ord0)
+                        if ref_lts is not None
+                        else None
+                    ),
+                    "l1_lts": (
+                        tuple(ref_lts[i] for i in ord1)
+                        if ref_lts is not None
+                        else None
+                    ),
                     "poc": hinfo["poc"],
                 }
             else:
@@ -2597,6 +2602,9 @@ def decode_picture(
                     poc=hinfo["poc"],
                     n_ref_l0=hinfo["num_ref_l0"],
                     n_ref_l1=hinfo["num_ref_l1"],
+                    ref_lts=(
+                        ref_lts[: len(l0)] if ref_lts is not None else None
+                    ),
                 )
             if ctx["l0_pocs"] is not None:
                 st.l0_pocs = ctx["l0_pocs"]
@@ -2903,6 +2911,10 @@ def encode_avcc_samples(
         sps, pps, nals = encode_h264_ipb(
             width, height, frames_rgb, qp, direct="temporal"
         )
+    elif gop == "ipb-longterm":
+        sps, pps, nals = encode_h264_ipb(
+            width, height, frames_rgb, qp, longterm=True
+        )
     elif gop == "ippp-multiref":
         sps, pps, nals = encode_h264_ippp(
             width, height, frames_rgb, qp, n_refs=3
@@ -3013,6 +3025,10 @@ def encode_h264_annexb(
     elif gop == "ipb-temporal":
         sps, pps, nals = encode_h264_ipb(
             width, height, frames_rgb, qp, direct="temporal"
+        )
+    elif gop == "ipb-longterm":
+        sps, pps, nals = encode_h264_ipb(
+            width, height, frames_rgb, qp, longterm=True
         )
     elif gop == "ippp-multiref":
         sps, pps, nals = encode_h264_ippp(
@@ -4782,20 +4798,32 @@ def _b_ctx(
     l0: list, direct_spatial: bool = True, col: dict | None = None,
     l0_pocs=None, poc: int | None = None,
     n_ref_l0: int | None = None, n_ref_l1: int = 1,
+    ref_lts: list | None = None,
 ):
     """The B-slice prediction context threaded through every B
     macroblock: RefPicList0 (``l0``, most recent reference first) and
     the §8.2.4.2.3 default RefPicList1 (L0 with the first two entries
     swapped — all references precede the picture in the low-delay
     subset, so both initial lists are POC-descending and the swap rule
-    applies), the direct mode, RefPicList1[0]'s motion snapshot, and
-    the full POCs temporal direct and the deblock picture-identity
-    rule read."""
+    applies; long-terms order AFTER the short-terms by ascending
+    LongTermFrameIdx, which is the _Dpb storage order, so identity
+    holds with a pinned picture too), the direct mode,
+    RefPicList1[0]'s motion snapshot, and the full POCs temporal
+    direct and the deblock picture-identity rule read.  ``ref_lts``
+    (round 14, long-term B support) carries each entry's
+    LongTermFrameIdx (None = short-term): spatial direct suppresses
+    colZeroFlag when RefPicList1[0] is long-term and temporal direct
+    copies mvCol unscaled when RefPicList0[refIdxL0] is long-term
+    (§8.4.1.2.2 / §8.4.1.2.3)."""
     l1 = [l0[1], l0[0]] + list(l0[2:])
     l1_pocs = None
     if l0_pocs is not None:
         l0_pocs = tuple(l0_pocs)
         l1_pocs = (l0_pocs[1], l0_pocs[0]) + tuple(l0_pocs[2:])
+    l0_lts = l1_lts = None
+    if ref_lts is not None:
+        l0_lts = tuple(ref_lts)
+        l1_lts = (l0_lts[1], l0_lts[0]) + tuple(l0_lts[2:])
     return {
         "l0": list(l0),
         "l1": l1,
@@ -4808,6 +4836,8 @@ def _b_ctx(
         "col": col,
         "l0_pocs": l0_pocs,
         "l1_pocs": l1_pocs,
+        "l0_lts": l0_lts,
+        "l1_lts": l1_lts,
         "poc": poc,
     }
 
@@ -4820,9 +4850,17 @@ def _b_direct_spatial(st: _FrameState, mbx: int, mby: int, ctx: dict):
     predictor for that refIdx, zeroed PER 8x8 QUADRANT when refIdxLX
     is 0 and the colocated corner block in RefPicList1[0]
     (direct_8x8_inference corners 0/3/12/15) is inter with refIdx 0
-    and |mvCol| ≤ 1 in both components (colZeroFlag).  Returns
+    and |mvCol| ≤ 1 in both components (colZeroFlag — which §8.4.1.2.2
+    additionally requires RefPicList1[0] to be a SHORT-TERM reference
+    picture: a long-term colocated picture forces colZeroFlag 0,
+    round 14).  Returns
     (use0, use1, [(mv0, mv1, r0, r1)] × 4 quadrants)."""
     col = ctx["col"]
+    l1_lts = ctx.get("l1_lts")
+    if l1_lts is not None and l1_lts[0] is not None:
+        # RefPicList1[0] is long-term → colZeroFlag is 0 everywhere;
+        # the colocated motion is never consulted
+        col = None
     abx, aby = mbx * 4, mby * 4
     ref = []
     for lst in (0, 1):
@@ -4889,7 +4927,10 @@ def _b_direct_temporal(st: _FrameState, mbx: int, mby: int, ctx: dict):
 
     An intra colocated block contributes zero motion with refIdxL0 0
     (§8.4.1.2.3's refIdxCol < 0 branch); td == 0 degenerates to
-    mvL0 = mvCol, mvL1 = 0.  Temporal direct NEEDS picture order:
+    mvL0 = mvCol, mvL1 = 0, and so does a LONG-TERM
+    RefPicList0[refIdxL0] (round 14 — the spec's long-term branch:
+    no POC distance is defined for a pinned picture, so the motion
+    copies unscaled).  Temporal direct NEEDS picture order:
     callers without full POCs (or whose colocated snapshot predates
     POC tracking) quarantine rather than guess."""
     col, cur = ctx["col"], ctx["poc"]
@@ -4930,9 +4971,13 @@ def _b_direct_temporal(st: _FrameState, mbx: int, mby: int, ctx: dict):
                 "list"
             )
         mvcol = (int(col["mv"][cby, cbx, 0]), int(col["mv"][cby, cbx, 1]))
+        l0_lts = ctx.get("l0_lts")
+        ref_is_lt = l0_lts is not None and l0_lts[r0] is not None
         td = max(-128, min(127, colpic_poc - ref_poc))
         tb = max(-128, min(127, cur - ref_poc))
-        if td == 0:
+        if ref_is_lt or td == 0:
+            # §8.4.1.2.3: a long-term RefPicList0[refIdxL0] (or zero
+            # POC distance) copies the colocated motion unscaled
             mv0, mv1 = mvcol, (0, 0)
         else:
             num = 16384 + abs(td) // 2
@@ -5218,6 +5263,22 @@ def _b_mb_decide(
         )
         if part_cand is not None and part_cand["cost"] < cost:
             mode, cost = "parts", part_cand["cost"]
+    if ctx.get("direct_lt_bias") and mode != "direct":
+        # encoder-side mode-decision bias (round 14, longterm chain):
+        # when the direct derivation pulls NONZERO motion through a
+        # LONG-TERM RefPicList0 entry, prefer direct over a marginally
+        # cheaper explicit mode (≤25% SAD edge).  A pure translation
+        # makes single-reference explicit prediction exactly as good
+        # as direct, so without the bias no conforming stream of this
+        # encoder would ever CODE the §8.4.1.2.3 long-term branch —
+        # the bias is ordinary encoder freedom (the decoder is
+        # untouched) and the closed loop stays exact either way.
+        lt0 = ctx.get("l0_lts")
+        touches_lt = use0 and lt0 is not None and any(
+            p[0] != (0, 0) and lt0[p[2]] is not None for p in parts
+        )
+        if touches_lt and c_dir <= cost * 5 // 4:
+            mode, cost = "direct", c_dir
     avail_l16, avail_t16 = _avail_lt(st, mbx, mby)
     legal = [L16_DC]
     if avail_t16:
@@ -5750,19 +5811,33 @@ def encode_b_frame_nal(
     col: dict | None = None,
     direct: str = "spatial",
     ref_pocs: list | None = None, poc: int | None = None,
+    ref_fnums: list | None = None, ref_lts: list | None = None,
+    ref_motions: list | None = None,
+    rplm_l0: list | None = None, rplm_l1: list | None = None,
+    n_ref_l0: int | None = None, n_ref_l1: int | None = None,
+    direct_lt_bias: bool = False,
 ):
     """One RGB frame → one non-reference B slice NAL against ``refs``
-    (= the FILTERED reference pictures, most recent first — exactly
-    the default RefPicList L0 order; L1 is L0 after the §8.2.4.2.3
-    first-two swap).  ``col`` is RefPicList1[0]'s motion snapshot for
-    direct prediction.  Returns (nal, output planes).
+    (= the FILTERED reference pictures in DEFAULT-LIST order:
+    short-terms most recent first, then long-terms by ascending
+    LongTermFrameIdx; L1 is that list after the §8.2.4.2.3 first-two
+    swap).  ``col`` is RefPicList1[0]'s motion snapshot for direct
+    prediction.  Returns (nal, output planes).
 
     ``direct="temporal"`` (round 13): the slice signals
     direct_spatial_mv_pred_flag 0 and B_Skip/B_Direct_16x16 derive
     motion by POC scaling (§8.4.1.2.3) — requires ``ref_pocs`` (full
     POCs of ``refs``), ``poc`` (this picture's), and a colocated
     snapshot carrying its own reference POCs; pass len(refs) ≥ 3 so
-    the colocated picture's reference maps into the current list 0."""
+    the colocated picture's reference maps into the current list 0.
+
+    Round 14 (long-term B): ``ref_lts`` carries per-entry
+    LongTermFrameIdx (None = short-term), ``rplm_l0``/``rplm_l1``
+    signal real §7.3.3.1 modification ops on either list — resolved
+    through the SAME _ref_list_order the decoder runs (``ref_fnums``
+    supplies the picNum arithmetic), so encoder prediction and any
+    conforming decoder stay in lockstep; ``ref_motions`` (full DPB
+    snapshot list) lets the colocated picture follow a modified L1."""
     y, u, v = rgb_to_yuv420(rgb, width, height)
     y, u, v = _pad_plane(y, 16), _pad_plane(u, 8), _pad_plane(v, 8)
     mb_w, mb_h = y.shape[1] // 16, y.shape[0] // 16
@@ -5771,21 +5846,74 @@ def encode_b_frame_nal(
     # (no override, no ref_idx bits — byte-identical streams); the
     # temporal chain opens the full list so the colocated reference
     # maps into it
-    n_ref_l0 = len(refs) if direct == "temporal" else 1
-    ctx = _b_ctx(
-        list(refs), direct_spatial=direct == "spatial", col=col,
-        l0_pocs=ref_pocs, poc=poc, n_ref_l0=n_ref_l0, n_ref_l1=1,
-    )
+    if n_ref_l0 is None:
+        n_ref_l0 = len(refs) if direct == "temporal" else 1
+    if n_ref_l1 is None:
+        n_ref_l1 = 1
+    if rplm_l0 or rplm_l1:
+        # mirror decode_picture's modified-list construction exactly
+        max_fn = 1 << 4
+        default1 = (
+            [1, 0] + list(range(2, len(refs)))
+            if len(refs) > 1
+            else [0]
+        )
+        ord0 = _ref_list_order(
+            len(refs), rplm_l0, frame_num, ref_fnums, max_fn,
+            n_ref_l0, ref_lts=ref_lts,
+        )
+        ord1 = _ref_list_order(
+            len(refs), rplm_l1, frame_num, ref_fnums, max_fn,
+            n_ref_l1, default=default1, ref_lts=ref_lts,
+        )
+        ctx = {
+            "l0": [refs[i] for i in ord0],
+            "l1": [refs[i] for i in ord1],
+            "n_ref_l0": n_ref_l0,
+            "n_ref_l1": n_ref_l1,
+            "direct_spatial": direct == "spatial",
+            "col": (
+                ref_motions[ord1[0]] if ref_motions is not None else col
+            ),
+            "l0_pocs": (
+                tuple(ref_pocs[i] for i in ord0)
+                if ref_pocs is not None else None
+            ),
+            "l1_pocs": (
+                tuple(ref_pocs[i] for i in ord1)
+                if ref_pocs is not None else None
+            ),
+            "l0_lts": (
+                tuple(ref_lts[i] for i in ord0)
+                if ref_lts is not None else None
+            ),
+            "l1_lts": (
+                tuple(ref_lts[i] for i in ord1)
+                if ref_lts is not None else None
+            ),
+            "poc": poc,
+        }
+    else:
+        if ref_motions is not None and len(refs) > 1:
+            col = ref_motions[1]  # default L1[0] = l0[1] (the swap)
+        ctx = _b_ctx(
+            list(refs), direct_spatial=direct == "spatial", col=col,
+            l0_pocs=ref_pocs, poc=poc, n_ref_l0=n_ref_l0,
+            n_ref_l1=n_ref_l1, ref_lts=ref_lts,
+        )
+    if direct_lt_bias:
+        ctx["direct_lt_bias"] = True  # encoder-only; see _b_mb_decide
     if ctx["l0_pocs"] is not None:
         st.l0_pocs = ctx["l0_pocs"][:n_ref_l0]
-        st.l1_pocs = ctx["l1_pocs"][:1]
+        st.l1_pocs = ctx["l1_pocs"][:n_ref_l1]
     w = _BitWriter()
     _write_slice_header(
         w, qp, DEFAULT_QP, 0, log2_max_frame_num=4, poc_type=0,
         log2_max_poc_lsb=4, deblock=deblock, slice_type="B",
         frame_num=frame_num, poc_lsb=poc_lsb,
-        num_ref_l0=n_ref_l0, num_ref_l1=1,
+        num_ref_l0=n_ref_l0, num_ref_l1=n_ref_l1,
         direct_spatial=direct == "spatial",
+        rplm_l0=rplm_l0, rplm_l1=rplm_l1,
     )
     skip_run = 0
     for mby in range(mb_h):
@@ -5804,9 +5932,107 @@ def encode_b_frame_nal(
 _IPB_CACHE: dict = {}
 
 
+def _encode_ipb_longterm(
+    width: int, height: int, frames_rgb: list[bytes], qp: int,
+):
+    """The ``ipb-longterm`` chain body (round 14 — long-term
+    references UNDER B SLICES): picture 1 is a P picture that pins
+    ITSELF long-term (MMCO 4 opens LongTermFrameIdx space, MMCO 6
+    assigns index 0 to the current picture), so every later B decodes
+    with a long-term in its DPB.  The B pictures then cycle four
+    shapes, each predicting against lists the decoder must rebuild
+    identically:
+
+    - variant 0 (spatial, default lists): the §8.2.4.2.3 swap puts
+      the LONG-TERM at RefPicList1[0] when the DPB is
+      [short, long] — its (inter) motion snapshot must NOT feed
+      colZeroFlag (§8.4.1.2.2's short-term condition);
+    - variant 1 (TEMPORAL, rplm_l1 selects the newest short-term as
+      the colocated picture): that picture's own blocks reference
+      both a short-term (POC-scaled motion) and the long-term
+      (UNSCALED copy — the §8.4.1.2.3 long-term branch);
+    - variant 2 (spatial, rplm_l0 = long_term_pic_num to index 0):
+      every L0/bi prediction comes FROM the pinned picture;
+    - variant 3 (spatial, rplm_l1 likewise): L1/bi predictions from
+      the pinned picture AND the long-term-colocated suppression.
+
+    Reference P pictures code multi-reference lists over
+    [short-terms..., long-term] so the pinned picture stays a live
+    predictor the whole chain (and feeds variant 1's colocated
+    mapping).  Returns (nals, recon planes)."""
+    out = encode_frame_nal(
+        frames_rgb[0], width, height, qp, idr_pic_id=0,
+        return_planes=True,
+    )
+    nals = [out[0]]
+    recons = [out[1]]
+    mb_w, mb_h = out[1][0].shape[1] // 16, out[1][0].shape[0] // 16
+    # (planes, motion, poc, frame_num) per DPB entry
+    shorts = [(out[1], _intra_motion(mb_w, mb_h), 0, 0)]
+    lt = None  # the pinned long-term entry (LongTermFrameIdx 0)
+    depth = 3  # SPS num_ref_frames: 2 short-terms + the long-term
+    fn = 1
+    bvar = 0
+    for i, f in enumerate(frames_rgb[1:], start=1):
+        entries = shorts + ([lt] if lt is not None else [])
+        refs_all = [e[0] for e in entries]
+        mots_all = [e[1] for e in entries]
+        pocs_all = [e[2] for e in entries]
+        fnums_all = [e[3] for e in entries]
+        lts_all = [None] * len(shorts) + ([0] if lt is not None else [])
+        if i % 2 == 1:
+            # reference P picture (multi-ref once the DPB deepens)
+            use = min(depth, len(entries))
+            sink: dict = {}
+            mmco = [(4, 1), (6, 0)] if i == 1 else None
+            nal, planes = encode_p_frame_nal(
+                f, width, height, qp, refs_all[0], fn, poc_lsb=2 * i,
+                motion_sink=sink,
+                refs=refs_all[:use] if use > 1 else None,
+                ref_pocs=pocs_all[:use] if use > 1 else None,
+                mmco=mmco,
+            )
+            entry = (planes, sink, 2 * i, fn)
+            if i == 1:
+                lt = entry  # MMCO 6: the current picture pins itself
+            else:
+                shorts = [entry] + shorts
+            shorts = shorts[: depth - (1 if lt is not None else 0)]
+            fn += 1
+        else:
+            # non-reference B picture; cycle the four long-term shapes
+            kw: dict = {"direct": "spatial"}
+            if bvar == 1 and len(shorts) >= 2:
+                # temporal: L1[0] = the newest short-term via a real
+                # picNum op (idc 0 diff 0 against CurrPicNum = fn);
+                # the direct_lt_bias makes the encoder CODE the
+                # long-term scaling branch where the derivation
+                # reaches it (see _b_mb_decide)
+                kw = {
+                    "direct": "temporal",
+                    "rplm_l1": [(0, 0)],
+                    "n_ref_l0": len(entries),
+                    "direct_lt_bias": True,
+                }
+            elif bvar == 2:
+                kw["rplm_l0"] = [(2, 0)]
+            elif bvar == 3:
+                kw["rplm_l1"] = [(2, 0)]
+            nal, planes = encode_b_frame_nal(
+                f, width, height, qp, refs_all, fn, poc_lsb=2 * i,
+                ref_pocs=pocs_all, poc=2 * i, ref_fnums=fnums_all,
+                ref_lts=lts_all, ref_motions=mots_all, **kw,
+            )
+            bvar = (bvar + 1) % 4
+        nals.append(nal)
+        recons.append(planes)
+    return nals, recons
+
+
 def encode_h264_ipb(
     width: int, height: int, frames_rgb: list[bytes], qp: int = DEFAULT_QP,
     return_recon: bool = False, direct: str = "spatial",
+    longterm: bool = False,
 ):
     """Frames → (SPS, PPS, [IDR, P, B, P, B, ...][, recon frames]):
     low-delay B — coded order == display order, odd frames are
@@ -5819,9 +6045,31 @@ def encode_h264_ipb(
     ``direct="temporal"`` (round 13): the B slices signal temporal
     direct; the DPB deepens to 3 (SPS num_ref_frames=3) and each B
     opens the full list 0 so the colocated picture's own reference —
-    two references back — maps into it (§8.4.1.2.3)."""
-    key = (width, height, tuple(frames_rgb), qp, direct)
+    two references back — maps into it (§8.4.1.2.3).
+
+    ``longterm=True`` (round 14): the _encode_ipb_longterm chain —
+    picture 1 pins itself long-term via MMCO 4+6 and the B pictures
+    cycle the four long-term shapes (see that helper's docstring);
+    ``direct`` is ignored (the chain mixes spatial and temporal
+    slices)."""
+    key = (width, height, tuple(frames_rgb), qp, direct, longterm)
     hit = _IPB_CACHE.get(key)
+    if hit is None and longterm:
+        sps = write_h264_sps(width, height, 66, 30, num_ref_frames=3)
+        pps = write_pps(DEFAULT_QP)
+        nals, recons = _encode_ipb_longterm(width, height, frames_rgb, qp)
+        rgb_recons = [
+            yuv420_to_rgb(
+                y[:height, :width],
+                u[: (height + 1) // 2, : (width + 1) // 2],
+                v[: (height + 1) // 2, : (width + 1) // 2],
+            )
+            for y, u, v in recons
+        ]
+        if len(_IPB_CACHE) > 16:
+            _IPB_CACHE.clear()
+        hit = (sps, pps, nals, rgb_recons)
+        _IPB_CACHE[key] = hit
     if hit is None:
         depth = 3 if direct == "temporal" else 2
         sps = write_h264_sps(width, height, 66, 30, num_ref_frames=depth)

@@ -3642,6 +3642,252 @@ def video_reflist_mmco(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLT_DOCS = 8  # bounded: one ~10-frame IPB encode + 5 decodes per doc
+
+
+@query(
+    "video_blongterm",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {BLT_DOCS}
+    ), s AS (
+      SELECT media_id,
+             CAST(('0x' || substr(dg, 1, 2)) AS INT) AS s0,
+             CAST(('0x' || substr(dg, 5, 2)) AS INT) AS s2,
+             CAST(('0x' || substr(dg, 7, 2)) AS INT) AS s3
+      FROM base
+    )
+    SELECT media_id,
+      CASE WHEN media_id % 2 = 0 THEN 'mp4' ELSE 'mkv' END AS container,
+      CAST(80 + 16 * (s0 % 2) AS INT) AS width,
+      CAST(48 AS INT) AS height,
+      CAST(9 + s2 % 2 AS INT) AS n_frames,
+      CAST(20 + s3 % 14 AS INT) AS qp,
+      CAST(4 AS INT) AS n_b,
+      CAST(1 AS INT) AS b_plain,
+      CAST(1 AS INT) AS b_temporal,
+      CAST(1 AS INT) AS b_lt_l0,
+      CAST(1 AS INT) AS b_lt_l1,
+      CAST(1 AS INT) AS mmco46,
+      CAST(1 AS INT) AS lt_colzero_matters,
+      CAST(1 AS INT) AS lt_unscaled_matters,
+      CAST(1 AS INT) AS decodable,
+      CAST(1 AS INT) AS only_first_sync,
+      CAST(1 AS INT) AS containers_agree,
+      CAST(1 AS INT) AS recon_exact
+    FROM s
+    """,
+)
+def video_blongterm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LONG-TERM REFERENCES UNDER B SLICES (late round 14 — the last
+    h264 marking quarantine): digest-seeded clips whose picture 1 pins
+    ITSELF long-term (MMCO 4 + MMCO 6) so every B picture decodes
+    over a [short-terms..., long-term] DPB, coded by the
+    ``ipb-longterm`` chain (h264._encode_ipb_longterm) whose four B
+    shapes exercise: the §8.2.4.2.3 initial lists with a pinned
+    picture (default-list B — the swap puts the LONG-TERM at
+    RefPicList1[0]); a TEMPORAL-direct B whose colocated picture
+    references the long-term (the §8.4.1.2.3 UNSCALED-copy branch);
+    and RPLM idc 2 (long_term_pic_num) on L0 and on L1.  The fixture
+    is a translating 32x32 "mover" (static until the pinned picture)
+    plus a 32-wide "flip" patch that exists only in the pinned
+    picture and P pictures — the long-term is its only predictor, so
+    colocated motion routes through it.
+
+    Oracle-pinned contract columns: ``n_b``/``b_plain``/
+    ``b_temporal``/``b_lt_l0``/``b_lt_l1``/``mmco46`` — parse-checked
+    header syntax really carries each shape; ``recon_exact=1`` —
+    decoder ≡ encoder closed loop; ``containers_agree=1``;
+    ``lt_colzero_matters=1`` — a decoder that lets the LONG-TERM
+    RefPicList1[0]'s motion feed colZeroFlag (§8.4.1.2.2 requires
+    short-term) reconstructs DIFFERENT pixels, asserted by actually
+    decoding with the rule flipped; ``lt_unscaled_matters=1`` — a
+    decoder that POC-scales temporal-direct motion through a
+    long-term RefPicList0 entry likewise differs.  The two *_matters
+    columns make the lane fail if the long-term branches ever stop
+    being load-bearing (e.g. an encoder regression stops coding
+    them).
+
+    Scale shape: identical to the other video lanes — Arrow-batched
+    mapInPandas over a bounded fixture set, payloads never shuffle."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < BLT_DOCS
+    )
+
+    def build_and_decode(batches):
+        import hashlib
+
+        import numpy as np
+
+        from reindexer_spark import h264 as H
+        from reindexer_spark.codecs import (
+            MediaFormatError,
+            _unescape_rbsp,
+            decode_mkv,
+            decode_mp4,
+            encode_mkv_coded,
+            encode_mp4_coded,
+        )
+
+        def flipped(fname, key, dec, payload):
+            """Decode with the named direct rule's long-term flags
+            hidden (the wrong-decoder simulation); returns frames or
+            None on quarantine."""
+            orig = getattr(H, fname)
+
+            def wrong(st, mbx, mby, ctx):
+                c2 = dict(ctx)
+                c2[key] = None
+                return orig(st, mbx, mby, c2)
+
+            setattr(H, fname, wrong)
+            try:
+                return dec(payload)[3]
+            except MediaFormatError:
+                return None
+            finally:
+                setattr(H, fname, orig)
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.doc_id)
+                dg = hashlib.sha256(r.text.encode("utf-8")).digest()
+                w = 80 + 16 * (dg[0] % 2)
+                h = 48
+                n_frames = 9 + dg[2] % 2
+                qp = 20 + dg[3] % 14
+                container = "mp4" if mid % 2 == 0 else "mkv"
+                rng = np.random.default_rng(
+                    int.from_bytes(dg[:8], "big")
+                )
+                bg = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                mover = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+                flip = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+                frames = []
+                for i in range(n_frames):
+                    f = bg.copy()
+                    mx = 4 + (0 if i <= 1 else 2 * (i - 1))
+                    my = 8 + (0 if i <= 1 else (i - 1))
+                    f[my : my + 32, mx : mx + 32] = mover
+                    if i >= 1:
+                        fx = (w - 32) - 3 * ((i - 1) // 2)
+                        f[24:48, fx : fx + 32] = flip
+                    frames.append(f.tobytes())
+                sps, pps, nals, recon = H.encode_h264_ipb(
+                    w, h, frames, qp=qp, return_recon=True,
+                    longterm=True,
+                )
+                # parse-check: each B shape really rides the headers
+                sd = H._parse_sps_slice_fields(sps)
+                pd_ = H.parse_pps(pps)
+                n_b = b_plain = b_temporal = b_lt_l0 = b_lt_l1 = 0
+                mmco46 = 0
+                for nal in nals[1:]:
+                    rr = H._BitReader(_unescape_rbsp(nal[1:]))
+                    stype, _q, _d, _a, _b2, info = H._parse_slice_header(
+                        rr, sd, pd_, idr=False, nal_ref_idc=nal[0] >> 5
+                    )
+                    if stype == "P":
+                        mm = info.get("mmco") or []
+                        if any(op[0] == 4 for op in mm) and any(
+                            op[0] == 6 for op in mm
+                        ):
+                            mmco46 += 1
+                        continue
+                    n_b += 1
+                    r0, r1 = info["rplm_l0"], info["rplm_l1"]
+                    if not info["direct_spatial"]:
+                        b_temporal += 1
+                    elif r0 and r0[0][0] == 2:
+                        b_lt_l0 += 1
+                    elif r1 and r1[0][0] == 2:
+                        b_lt_l1 += 1
+                    elif not r0 and not r1:
+                        b_plain += 1
+                mp4 = encode_mp4_coded(
+                    w, h, intra_frames=frames, qp=qp, gop="ipb-longterm"
+                )
+                mkv = encode_mkv_coded(
+                    w, h, intra_frames=frames, qp=qp, gop="ipb-longterm"
+                )
+                payload = mp4 if container == "mp4" else mkv
+                dec = decode_mp4 if container == "mp4" else decode_mkv
+                try:
+                    _dw, _dh, _durs, out, sync = dec(payload)
+                    decodable = 1
+                except MediaFormatError:
+                    out, sync = [], []
+                    decodable = 0
+                only_first_sync = int(
+                    len(sync) == n_frames
+                    and bool(sync[0])
+                    and not any(sync[1:])
+                )
+                other = decode_mkv if container == "mp4" else decode_mp4
+                try:
+                    agree = int(
+                        other(mkv if container == "mp4" else mp4)[3]
+                        == out
+                        and len(out) == n_frames
+                    )
+                except MediaFormatError:
+                    agree = 0
+                recon_exact = int(out == recon)
+                cz = flipped("_b_direct_spatial", "l1_lts", dec, payload)
+                un = flipped("_b_direct_temporal", "l0_lts", dec, payload)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "container": container,
+                        "width": w,
+                        "height": h,
+                        "n_frames": n_frames,
+                        "qp": qp,
+                        "n_b": n_b,
+                        "b_plain": min(b_plain, 1),
+                        "b_temporal": min(b_temporal, 1),
+                        "b_lt_l0": min(b_lt_l0, 1),
+                        "b_lt_l1": min(b_lt_l1, 1),
+                        "mmco46": mmco46,
+                        "lt_colzero_matters": int(cz != recon),
+                        "lt_unscaled_matters": int(un != recon),
+                        "decodable": decodable,
+                        "only_first_sync": only_first_sync,
+                        "containers_agree": agree,
+                        "recon_exact": recon_exact,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "container", "width", "height",
+                    "n_frames", "qp", "n_b", "b_plain", "b_temporal",
+                    "b_lt_l0", "b_lt_l1", "mmco46",
+                    "lt_colzero_matters", "lt_unscaled_matters",
+                    "decodable", "only_first_sync",
+                    "containers_agree", "recon_exact",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .repartition(BLT_DOCS)
+        .mapInPandas(
+            build_and_decode,
+            "media_id bigint, container string, width int, "
+            "height int, n_frames int, qp int, n_b int, b_plain int, "
+            "b_temporal int, b_lt_l0 int, b_lt_l1 int, mmco46 int, "
+            "lt_colzero_matters int, lt_unscaled_matters int, "
+            "decodable int, only_first_sync int, containers_agree "
+            "int, recon_exact int",
+        )
+    )
+
+
 WPMS_DOCS = 10  # bounded: three encode chains per doc
 
 

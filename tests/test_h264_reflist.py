@@ -11,8 +11,9 @@ The closed-loop contracts are the load-bearing checks: the encoder's
 case predicting against the MODIFIED lists, so a decoder that
 mis-applies any picNum/LongTermFrameIdx step reconstructs different
 pixels.  The ``mmco5`` chain additionally pins the §8.2.5.4.5 stream
-reset (all references dropped, frame_num/POC rebased).  Still
-quarantined: long-term references under B slices, and semantic
+reset (all references dropped, frame_num/POC rebased).  Long-term
+references under B slices decode since late round 14
+(tests/test_h264_blongterm.py).  Still quarantined: semantic
 violations (unknown pictures, indices beyond
 MaxLongTermFrameIdx)."""
 
@@ -377,14 +378,18 @@ def test_longterm_chain_signals_rplm_idc2_and_mmco():
     assert any(mm and (2, 0) in mm for _, mm in kinds)  # the drop
 
 
-def test_b_with_longterm_refs_quarantines():
+def test_b_with_longterm_refs_decodes():
+    """Round-14 (late): long-term references under B slices left the
+    quarantine — a B_Skip picture over a [short, long] DPB decodes
+    (the lt-aware list init and direct rules live in
+    tests/test_h264_blongterm.py)."""
     sps, pps, refs, pocs, fnums = _two_refs()
-    with pytest.raises(MediaFormatError, match="long-term references"):
-        decode_picture(
-            [_b_skip_nal()], sps, pps, refs=refs, ref_pocs=pocs,
-            ref_frame_nums=fnums, ref_motions=[None, None],
-            ref_lts=[None, 0], poc_ctx={},
-        )
+    y, _u, _v = decode_picture(
+        [_b_skip_nal()], sps, pps, refs=refs, ref_pocs=pocs,
+        ref_frame_nums=fnums, ref_motions=[None, None],
+        ref_lts=[None, 0], poc_ctx={},
+    )
+    assert y.shape == (48, 64)
 
 
 def test_mmco1_unknown_picture_quarantines():
@@ -567,6 +572,8 @@ def test_fuzz_quarantine_contract_round14_paths():
                                       mmco5=True)),
         ("poc1", *H.encode_h264_ippp(64, 48, frames, qp=26,
                                      poc_type=1)),
+        ("b-longterm", *H.encode_h264_ipb(64, 48, frames, qp=26,
+                                          longterm=True)),
     ]
     for _label, sps, pps, nals in cases:
         for _trial in range(60):
