@@ -187,6 +187,7 @@ EXTENDED = [
     "video_reflist_mmco",
     "video_hevc_probe",
     "video_blongterm",
+    "dedup_cdc_chunks",
 ]
 
 

@@ -1851,3 +1851,149 @@ def dedup_lsh_hotcap_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded_pairs(
         bands, ("band_id", "band_val"), "doc_id", sig_cols=("sig",)
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup — round 14 (late)
+# ---------------------------------------------------------------------------
+# Rolling-window boundary rule: position p (1-based, p in [W, len]) is a
+# cut iff the last hex digit of md5 over the W chars ENDING at p is '0'
+# (P = 1/16 → expected chunk ~W+16 chars).  Content-defined boundaries
+# re-synchronize after insertions/deletions, so shifted copies of a
+# passage still share every chunk past the first boundary — the property
+# fixed-size chunking (chunk_plan, docpipe/chunker.py) structurally
+# lacks, and the reason storage/dataset dedup (LBFS, casync, restic,
+# Hugging Face Xet) chunks this way.  md5-over-window is the
+# cross-engine-replicable stand-in for a gear/Rabin rolling hash: same
+# boundary distribution, value-exact in DuckDB.
+CDC_W = 16
+
+
+def _cdc_chunks(t):
+    """Column expr: text → array<string> of content-defined chunks."""
+    n = F.length(t)
+    pos = F.sequence(F.lit(CDC_W), n)  # empty when n < W
+    cuts = F.filter(
+        pos,
+        lambda p: (
+            F.md5(t.substr(p - F.lit(CDC_W - 1), F.lit(CDC_W))).endswith("0")
+            & (p < n)
+        ),
+    )
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform(cuts, lambda p: p + 1)
+    )
+    ends = F.concat(cuts, F.array(n))
+    return F.zip_with(
+        starts, ends, lambda s, e: t.substr(s, e - s + 1)
+    )
+
+
+_CDC_SQL = f"""
+ex AS (
+  SELECT doc_id, chunk
+  FROM (
+    SELECT doc_id,
+      list_transform(
+        list_zip(
+          list_prepend(1, list_transform(cuts, p -> p + 1)),
+          list_append(cuts, n)
+        ),
+        se -> substring(text, se[1], se[2] - se[1] + 1)
+      ) AS chunks
+    FROM (
+      SELECT doc_id, text, n,
+        list_filter(
+          range(CAST({CDC_W} AS BIGINT), CAST(n + 1 AS BIGINT)),
+          p -> substring(
+                 md5(substring(text, CAST(p - {CDC_W - 1} AS INT),
+                     {CDC_W})), 32, 1) = '0'
+               AND p < n
+        ) AS cuts
+      FROM (SELECT doc_id, text, length(text) AS n FROM documents)
+    )
+  ), UNNEST(chunks) AS u(chunk)
+)
+"""
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH {_CDC_SQL},
+    df AS (
+      SELECT md5(chunk) AS h, COUNT(DISTINCT doc_id) AS nd
+      FROM ex GROUP BY md5(chunk)
+    )
+    SELECT ex.doc_id,
+           COUNT(*) AS n_chunks,
+           COUNT(DISTINCT md5(chunk)) AS distinct_chunks,
+           CAST(SUM(length(chunk)) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS shared_occ,
+           CAST(SUM(CASE WHEN df.nd > 1 THEN length(chunk) ELSE 0 END)
+             AS BIGINT) AS shared_chars
+    FROM ex JOIN df ON df.h = md5(ex.chunk)
+    GROUP BY ex.doc_id
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING dedup (round 14 — the chunk-level
+    member of the dedup family): every document is split at
+    content-defined boundaries (rolling md5 window, CDC_W=16, cut
+    probability 1/16 per position) and chunk fingerprints are counted
+    across the corpus.  Unlike document-level exact/near dedup, this
+    measures SUB-document duplication — boilerplate passages, quoted
+    blocks, shared headers — and unlike fixed-size chunking the
+    boundaries re-synchronize across insertions, so a passage shifted
+    by an edit still deduplicates (the LBFS/FastCDC property; gear
+    hash at 100 TB, md5-window here for the value-exact DuckDB
+    replica).
+
+    Per document: chunk count, distinct chunk fingerprints, total
+    chunk chars (≡ doc length — pins the chunker covers every char
+    exactly once), occurrences of chunks shared with ANY other
+    document, and the chars those cover (the dedup savings bound).
+
+    Scale shape: chunking is one JVM-side higher-order-function pass
+    (sequence → filter → zip_with substr — no Python, no shuffle);
+    the corpus then shuffles 16-byte chunk HASHES twice (DF count +
+    join back) and never the text.  Chunk-hash join fan-out is 1:1
+    per instance — hot boilerplate chunks cost linear rows, never the
+    quadratic pair blow-up the pair-enumerating lanes cap with
+    DF_CAP."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = (
+        d.select(
+            "doc_id",
+            F.explode(_cdc_chunks(F.col("text"))).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            F.md5(F.col("chunk")).alias("h"),
+            F.length("chunk").alias("clen"),
+        )
+    )
+    # two downstream references (DF table + join back): persist until
+    # the next query starts (registry release), NOT untrack-now — the
+    # consumer has not materialized yet
+    ex = track(ex)
+    df = ex.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    out = (
+        ex.join(df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count_distinct("h").alias("distinct_chunks"),
+            F.sum("clen").alias("total_chars"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias(
+                "shared_occ"
+            ),
+            F.sum(
+                F.when(F.col("nd") > 1, F.col("clen")).otherwise(0)
+            ).alias("shared_chars"),
+        )
+    )
+    return out
