@@ -188,6 +188,8 @@ EXTENDED = [
     "video_hevc_probe",
     "video_blongterm",
     "dedup_cdc_chunks",
+    "image_tiff_decode",
+    "image_exif_scrub",
 ]
 
 

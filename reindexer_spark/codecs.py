@@ -4960,6 +4960,8 @@ def _sniff(payload: bytes) -> str:
         return "wav"
     if payload[:4] == b"fLaC":
         return "flac"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return "avi"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
@@ -5031,6 +5033,10 @@ def _decode_image(kind: str, payload: bytes) -> tuple[int, int, bytes]:
     if kind == "gif":  # as a still image: the first composited frame
         w, h, _delays, frames = decode_gif(payload)
         return w, h, frames[0]
+    if kind == "tiff":  # round 14: baseline uncompressed TIFF
+        from reindexer_spark.tiff import decode_tiff
+
+        return decode_tiff(payload)
     return decode_jpeg_baseline(payload)
 
 
@@ -6395,6 +6401,13 @@ def probe_media(payload: bytes) -> dict:
                 raise MediaFormatError("PNG missing IHDR")
             w, h = struct.unpack_from(">II", payload, 16)
             out.update(width=w, height=h, n_frames=1)
+        elif kind == "tiff":
+            from reindexer_spark.tiff import probe_tiff
+
+            tp = probe_tiff(payload)
+            out.update(
+                width=tp["width"], height=tp["height"], n_frames=1
+            )
         elif kind == "gif":
             w, h = struct.unpack_from("<HH", payload, 6)
             # frame count = number of image descriptors; walking the

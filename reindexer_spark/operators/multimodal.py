@@ -4513,3 +4513,341 @@ def webp_lossy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "markerless_quarantined int",
         )
     )
+
+
+TIFF_DOCS = 20
+
+
+@query(
+    "image_tiff_decode",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {TIFF_DOCS}
+    ), dims AS (
+      SELECT media_id, dg,
+             4 + CAST(('0x' || substr(dg, 1, 2)) AS INT) % 13 AS w,
+             4 + CAST(('0x' || substr(dg, 3, 2)) AS INT) % 9 AS h,
+             CASE WHEN media_id % 3 = 0 THEN 1 ELSE 0 END AS gray
+      FROM base
+    ), chain AS (
+      SELECT media_id, w, h, gray,
+             substr(
+               string_agg(sha256(dg || '-' || i), '' ORDER BY i),
+               1,
+               2 * w * h * CASE WHEN gray = 1 THEN 1 ELSE 3 END
+             ) AS hexsrc
+      FROM dims CROSS JOIN range(18) r(i)
+      WHERE i < CEIL(w * h * (CASE WHEN gray = 1 THEN 1 ELSE 3 END)
+                     / 32.0)
+      GROUP BY media_id, w, h, gray, dg
+    ), px AS (
+      SELECT media_id, w, h, gray,
+             CASE WHEN gray = 1 THEN
+               array_to_string(
+                 list_transform(
+                   range(CAST(w * h AS BIGINT)),
+                   j -> repeat(substr(hexsrc, CAST(2 * j + 1 AS INT), 2), 3)
+                 ), ''
+               )
+             ELSE hexsrc END AS rgbhex
+      FROM chain
+    )
+    SELECT media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CASE WHEN media_id % 2 = 0 THEN 'II' ELSE 'MM' END
+             AS byte_order,
+           CAST(gray AS INT) AS gray,
+           CAST(2 AS INT) AS n_strips,
+           md5(rgbhex) AS rgb_md5,
+           CAST(1 AS INT) AS roundtrip_exact,
+           CAST(1 AS INT) AS probe_agrees,
+           CAST(1 AS INT) AS lzw_quarantined
+    FROM px
+    """,
+)
+def image_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline TIFF decode (round 14 — TIFF joins the image formats;
+    scans/datasets ship it, and a 100 TB crawl funnel must at least
+    probe it): per document, derive pixels from sha256 hex chains
+    BOTH engines can compute, write a real two-strip uncompressed
+    TIFF (reindexer_spark.tiff — grayscale every third doc, byte
+    order by parity), and decode it back through the production image
+    path (codecs._decode_image).
+
+    Oracle-pinned columns: geometry from the digest arithmetic;
+    ``rgb_md5`` — md5 of the DECODED pixels' hex equals the oracle's
+    independently built chain (gray docs store luma which is EXACTLY
+    the source byte for r=g=b inputs, so the oracle triples each
+    chain byte); ``roundtrip_exact=1``; ``probe_agrees=1`` — the
+    headers-only probe reports the decoder's geometry;
+    ``lzw_quarantined=1`` — the same fixture with its Compression tag
+    flipped to LZW refuses to DECODE while the probe still reads its
+    dims (probe-first funnel: metadata recovered, pixels never
+    guessed).
+
+    Scale shape: mapInPandas, payloads never shuffle — same as every
+    media lane."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < TIFF_DOCS
+    )
+
+    def build_and_decode(batches):
+        import hashlib
+        import struct as st
+
+        from reindexer_spark.codecs import (
+            MediaFormatError,
+            _decode_image,
+            probe_media,
+        )
+        from reindexer_spark.tiff import TAG_COMPRESSION, encode_tiff
+
+        def with_lzw_tag(payload: bytes) -> bytes:
+            le = payload[:2] == b"II"
+            f = "<" if le else ">"
+            buf = bytearray(payload)
+            (ifd,) = st.unpack_from(f + "I", buf, 4)
+            (n,) = st.unpack_from(f + "H", buf, ifd)
+            for i in range(n):
+                e = ifd + 2 + 12 * i
+                if st.unpack_from(f + "H", buf, e)[0] == TAG_COMPRESSION:
+                    st.pack_into(f + "H", buf, e + 8, 5)  # LZW
+                    return bytes(buf)
+            raise MediaFormatError("fixture lacks a Compression tag")
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.doc_id)
+                dg = hashlib.sha256(r.text.encode("utf-8")).hexdigest()
+                w = 4 + int(dg[0:2], 16) % 13
+                h = 4 + int(dg[2:4], 16) % 9
+                gray = mid % 3 == 0
+                le = mid % 2 == 0
+                n = w * h * (1 if gray else 3)
+                hexsrc = "".join(
+                    hashlib.sha256(f"{dg}-{i}".encode()).hexdigest()
+                    for i in range((n + 31) // 32)
+                )[: 2 * n]
+                src = bytes.fromhex(hexsrc)
+                if gray:
+                    rgb = b"".join(bytes((v, v, v)) for v in src)
+                else:
+                    rgb = src
+                payload = encode_tiff(w, h, rgb, le=le, gray=gray)
+                dw, dh, out = _decode_image("tiff", payload)
+                pm = probe_media(payload)
+                agrees = int(
+                    pm["kind"] == "tiff"
+                    and pm["width"] == dw
+                    and pm["height"] == dh
+                )
+                lzw = with_lzw_tag(payload)
+                try:
+                    _decode_image("tiff", lzw)
+                    lzw_q = 0
+                except MediaFormatError:
+                    lzw_q = int(probe_media(lzw)["width"] == dw)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": dw,
+                        "height": dh,
+                        "byte_order": "II" if le else "MM",
+                        "gray": int(gray),
+                        "n_strips": 2,
+                        "rgb_md5": hashlib.md5(
+                            out.hex().encode()
+                        ).hexdigest(),
+                        "roundtrip_exact": int(out == rgb),
+                        "probe_agrees": agrees,
+                        "lzw_quarantined": lzw_q,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "byte_order",
+                    "gray", "n_strips", "rgb_md5", "roundtrip_exact",
+                    "probe_agrees", "lzw_quarantined",
+                ],
+            )
+
+    return docs.select("doc_id", "text").repartition(TIFF_DOCS).mapInPandas(
+        build_and_decode,
+        "media_id bigint, width int, height int, byte_order string, "
+        "gray int, n_strips int, rgb_md5 string, roundtrip_exact int, "
+        "probe_agrees int, lzw_quarantined int",
+    )
+
+
+EXIF_DOCS = 16
+
+
+@query(
+    "image_exif_scrub",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {EXIF_DOCS}
+    ), s AS (
+      SELECT media_id,
+             CAST(('0x' || substr(dg, 1, 2)) AS INT) AS s0,
+             CAST(('0x' || substr(dg, 3, 2)) AS INT) AS s1,
+             CAST(('0x' || substr(dg, 5, 2)) AS INT) AS s2,
+             CAST(('0x' || substr(dg, 7, 2)) AS INT) AS s3,
+             CAST(('0x' || substr(dg, 9, 2)) AS INT) AS s4,
+             CAST(('0x' || substr(dg, 11, 2)) AS INT) AS s5,
+             CAST(('0x' || substr(dg, 13, 2)) AS INT) AS s6
+      FROM base
+    )
+    SELECT media_id,
+      CAST(16 + s0 % 17 AS INT) AS width,
+      CAST(16 + s1 % 9 AS INT) AS height,
+      CAST(1 + s2 % 8 AS INT) AS orientation,
+      CAST(CASE WHEN s5 % 2 = 0 THEN 1 ELSE -1 END
+           * ((s3 * 256 + s4) % 90000) AS BIGINT) AS lat_milli,
+      CAST(CASE WHEN s6 % 2 = 0 THEN 1 ELSE -1 END
+           * ((s4 * 256 + s5) % 180000) AS BIGINT) AS lon_milli,
+      CAST(1 AS INT) AS had_gps,
+      CAST(0 AS INT) AS gps_after_scrub,
+      CAST(1 AS INT) AS len_unchanged,
+      CAST(1 AS INT) AS pixels_identical,
+      CAST(1 AS INT) AS meta_preserved,
+      CAST(1 AS INT) AS no_exif_passthrough
+    FROM s
+    """,
+)
+def image_exif_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF GPS PII scrub (round 14 — the image-side PII-removal pass
+    next to text_pii_redact): per document, build a real JPEG with an
+    EXIF APP1 (orientation, timestamps, Make/Model, and GPS
+    coordinates — all digest-derived), then SCRUB the GPS IFD in
+    place (reindexer_spark.tiff.scrub_exif_gps: entry count zeroed,
+    entries and out-of-line rationals zeroed, segment length
+    unchanged).
+
+    Oracle-pinned columns: ``orientation``/``lat_milli``/``lon_milli``
+    — the EXIF writer→parser round trip is EXACT integer millidegree
+    arithmetic (the rational shape (deg/1, min/1, sec*100/100) is
+    invertible), so the parsed values equal the digest arithmetic;
+    ``had_gps=1`` / ``gps_after_scrub=0``; ``len_unchanged=1`` — the
+    scrub is in-place, no other byte offset moves;
+    ``pixels_identical=1`` — decoding the scrubbed JPEG returns
+    byte-identical pixels (coded data untouched);
+    ``meta_preserved=1`` — Make/Model/DateTime/DateTimeOriginal/
+    orientation survive the scrub (only LOCATION is PII here);
+    ``no_exif_passthrough=1`` — a JPEG without EXIF passes through
+    unchanged.
+
+    Scale shape: mapInPandas, payloads never shuffle — same as every
+    media lane."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < EXIF_DOCS
+    )
+
+    def build_and_scrub(batches):
+        import hashlib
+
+        from reindexer_spark.codecs import (
+            decode_jpeg_baseline,
+            encode_jpeg_baseline,
+        )
+        from reindexer_spark.tiff import (
+            build_exif_app1,
+            insert_exif,
+            parse_exif,
+            scrub_exif_gps,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.doc_id)
+                dgb = hashlib.sha256(r.text.encode("utf-8")).digest()
+                s = list(dgb)
+                w = 16 + s[0] % 17
+                h = 16 + s[1] % 9
+                orientation = 1 + s[2] % 8
+                lat = (1 if s[5] % 2 == 0 else -1) * (
+                    (s[3] * 256 + s[4]) % 90000
+                )
+                lon = (1 if s[6] % 2 == 0 else -1) * (
+                    (s[4] * 256 + s[5]) % 180000
+                )
+                dt = "20%02d:%02d:%02d 12:00:00" % (
+                    10 + s[7] % 15, 1 + s[8] % 12, 1 + s[9] % 28
+                )
+                rng_bytes = hashlib.sha256(dgb).digest()
+                rgb = (rng_bytes * ((w * h * 3) // 32 + 1))[: w * h * 3]
+                plain = encode_jpeg_baseline(w, h, rgb, quality=80)
+                app1 = build_exif_app1(
+                    orientation=orientation,
+                    datetime=dt,
+                    dt_original=dt,
+                    gps_lat_milli=lat,
+                    gps_lon_milli=lon,
+                    le=mid % 2 == 0,
+                )
+                tagged = insert_exif(plain, app1)
+                meta = parse_exif(tagged) or {}
+                gps = meta.get("gps") or {}
+                scrubbed, had = scrub_exif_gps(tagged)
+                after = parse_exif(scrubbed) or {}
+                meta_ok = int(
+                    after.get("make") == meta.get("make")
+                    and after.get("model") == meta.get("model")
+                    and after.get("orientation") == orientation
+                    and after.get("datetime") == dt
+                    and after.get("dt_original") == dt
+                )
+                pix = int(
+                    decode_jpeg_baseline(scrubbed)
+                    == decode_jpeg_baseline(tagged)
+                )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "orientation": meta.get("orientation"),
+                        "lat_milli": gps.get("lat_milli"),
+                        "lon_milli": gps.get("lon_milli"),
+                        "had_gps": int(had),
+                        "gps_after_scrub": int(
+                            (after.get("gps") or None) is not None
+                        ),
+                        "len_unchanged": int(
+                            len(scrubbed) == len(tagged)
+                        ),
+                        "pixels_identical": pix,
+                        "meta_preserved": meta_ok,
+                        "no_exif_passthrough": int(
+                            scrub_exif_gps(plain) == (plain, False)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "orientation",
+                    "lat_milli", "lon_milli", "had_gps",
+                    "gps_after_scrub", "len_unchanged",
+                    "pixels_identical", "meta_preserved",
+                    "no_exif_passthrough",
+                ],
+            )
+
+    return docs.select("doc_id", "text").repartition(EXIF_DOCS).mapInPandas(
+        build_and_scrub,
+        "media_id bigint, width int, height int, orientation int, "
+        "lat_milli bigint, lon_milli bigint, had_gps int, "
+        "gps_after_scrub int, len_unchanged int, pixels_identical int, "
+        "meta_preserved int, no_exif_passthrough int",
+    )

@@ -1,0 +1,552 @@
+"""Baseline TIFF 6.0 and EXIF metadata (both public specs: Adobe
+"TIFF Revision 6.0", 1992; JEITA CP-3451 / EXIF 2.3 — EXIF's APP1
+payload IS a TIFF block, so one IFD walker serves both).
+
+TIFF scope (decode_tiff): single-image (first IFD), UNCOMPRESSED
+(Compression=1) strip layout, 8-bit grayscale (PhotometricInterpretation
+1, also 0 = WhiteIsZero) or 8-bit RGB (PI 2), chunky planar
+configuration, both byte orders.  Everything outside raises
+MediaFormatError — the repo's quarantine contract, never a wrong
+image: LZW/PackBits/JPEG-in-TIFF compression, tiled layout,
+planar=2, palettes, 16-bit or float samples.
+
+EXIF scope: parse Make/Model/Orientation/DateTime from IFD0,
+DateTimeOriginal from the Exif sub-IFD, latitude/longitude from the
+GPS sub-IFD — and SCRUB the GPS IFD in place (``scrub_exif_gps``):
+the IFD's entry count is set to 0 and every entry plus its
+out-of-line value bytes are zeroed, all within the APP1 segment, so
+the output JPEG is the SAME length with byte-identical coded image
+data (decoded pixels cannot change) and no recoverable location.
+This is the PII-removal pass a training-data pipeline runs over
+crawled images; parsing never trusts offsets beyond the segment.
+
+Reference parity note: /root/reference has no media layer — this
+module belongs to the repo's LLM-training-data extensions (probe
+first; strip PII in place without re-encoding).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from reindexer_spark.codecs import MediaFormatError
+
+# TIFF value types (spec §2): id → byte size of one value
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+_MAX_IFD_ENTRIES = 512  # sanity cap: corrupt counts can't balloon walks
+
+# IFD0 / Exif / GPS tag ids used here
+TAG_WIDTH = 256
+TAG_HEIGHT = 257
+TAG_BITS = 258
+TAG_COMPRESSION = 259
+TAG_PHOTOMETRIC = 262
+TAG_MAKE = 271
+TAG_MODEL = 272
+TAG_STRIP_OFFSETS = 273
+TAG_ORIENTATION = 274
+TAG_SPP = 277
+TAG_ROWS_PER_STRIP = 278
+TAG_STRIP_COUNTS = 279
+TAG_PLANAR = 284
+TAG_DATETIME = 306
+TAG_EXIF_IFD = 34665
+TAG_GPS_IFD = 34853
+TAG_DT_ORIGINAL = 36867
+GPS_LAT_REF = 1
+GPS_LAT = 2
+GPS_LON_REF = 3
+GPS_LON = 4
+
+
+def _fmt(le: bool) -> str:
+    return "<" if le else ">"
+
+
+def read_ifd(data: bytes, off: int, le: bool):
+    """One IFD at ``off`` within the TIFF block ``data`` →
+    (entries, next_ifd_offset).  entries: tag → dict(type, count,
+    values, val_off, val_size); out-of-line offsets are validated
+    against the block before any read."""
+    f = _fmt(le)
+    if off < 0 or off + 2 > len(data):
+        raise MediaFormatError("TIFF IFD offset beyond block")
+    (n,) = struct.unpack_from(f + "H", data, off)
+    if n > _MAX_IFD_ENTRIES:
+        raise MediaFormatError("TIFF IFD entry count implausible")
+    end = off + 2 + 12 * n
+    if end + 4 > len(data):
+        raise MediaFormatError("TIFF IFD overruns block")
+    entries: dict[int, dict] = {}
+    for i in range(n):
+        e = off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(f + "HHI", data, e)
+        size = _TYPE_SIZE.get(typ, 0) * cnt
+        if size == 0:
+            continue  # unknown type: skip, per spec readers must
+        if size <= 4:
+            voff = e + 8
+        else:
+            (voff,) = struct.unpack_from(f + "I", data, e + 8)
+        if voff + size > len(data):
+            raise MediaFormatError("TIFF value beyond block")
+        raw = data[voff : voff + size]
+        if typ == 2:
+            values: object = raw.split(b"\x00", 1)[0].decode(
+                "ascii", "replace"
+            )
+        elif typ in (3, 8):
+            values = list(
+                struct.unpack_from(f + "%dh" % cnt if typ == 8 else
+                                   f + "%dH" % cnt, raw)
+            )
+        elif typ in (4, 9):
+            values = list(
+                struct.unpack_from(f + "%di" % cnt if typ == 9 else
+                                   f + "%dI" % cnt, raw)
+            )
+        elif typ in (5, 10):
+            flat = struct.unpack_from(
+                (f + "%di" % (2 * cnt)) if typ == 10
+                else (f + "%dI" % (2 * cnt)),
+                raw,
+            )
+            values = [(flat[2 * j], flat[2 * j + 1]) for j in range(cnt)]
+        else:  # BYTE / UNDEFINED
+            values = list(raw)
+        entries[tag] = {
+            "type": typ,
+            "count": cnt,
+            "values": values,
+            "val_off": voff,
+            "val_size": size,
+        }
+    (nxt,) = struct.unpack_from(f + "I", data, end)
+    return entries, nxt
+
+
+def _tiff_header(payload: bytes) -> tuple[bool, int]:
+    """→ (little_endian, first IFD offset); raises on a non-TIFF head."""
+    if payload[:4] == b"II*\x00":
+        le = True
+    elif payload[:4] == b"MM\x00*":
+        le = False
+    else:
+        raise MediaFormatError("not a TIFF payload")
+    (off,) = struct.unpack_from(_fmt(le) + "I", payload, 4)
+    return le, off
+
+
+def probe_tiff(payload: bytes) -> dict:
+    """Headers-only TIFF probe: dims + layout, zero sample bytes read."""
+    le, off = _tiff_header(payload)
+    ent, _nxt = read_ifd(payload, off, le)
+
+    def one(tag, default=None):
+        e = ent.get(tag)
+        if e is None:
+            return default
+        v = e["values"]
+        return v[0] if isinstance(v, list) else v
+
+    if TAG_WIDTH not in ent or TAG_HEIGHT not in ent:
+        raise MediaFormatError("TIFF IFD lacks image dimensions")
+    bits = ent.get(TAG_BITS, {"values": [1]})["values"]
+    strips = ent.get(TAG_STRIP_OFFSETS, {"count": 0})["count"]
+    return {
+        "kind": "tiff",
+        "width": int(one(TAG_WIDTH)),
+        "height": int(one(TAG_HEIGHT)),
+        "compression": int(one(TAG_COMPRESSION, 1)),
+        "bits": int(bits[0] if isinstance(bits, list) else bits),
+        "spp": int(one(TAG_SPP, 1)),
+        "photometric": int(one(TAG_PHOTOMETRIC, 1)),
+        "n_strips": int(strips),
+        "byte_order": "II" if le else "MM",
+    }
+
+
+def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
+    """→ (width, height, RGB bytes) for the baseline subset; raises
+    MediaFormatError for anything outside it (see module header)."""
+    le, off = _tiff_header(payload)
+    ent, _nxt = read_ifd(payload, off, le)
+
+    def one(tag, default=None):
+        e = ent.get(tag)
+        if e is None:
+            if default is None:
+                raise MediaFormatError(f"TIFF missing required tag {tag}")
+            return default
+        v = e["values"]
+        return v[0] if isinstance(v, list) else v
+
+    w, h = int(one(TAG_WIDTH)), int(one(TAG_HEIGHT))
+    if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
+        raise MediaFormatError("TIFF dimensions out of range")
+    comp = int(one(TAG_COMPRESSION, 1))
+    if comp != 1:
+        raise MediaFormatError(
+            f"TIFF compression {comp} outside the uncompressed subset"
+        )
+    if int(one(TAG_PLANAR, 1)) != 1:
+        raise MediaFormatError("TIFF planar configuration 2 not supported")
+    pi = int(one(TAG_PHOTOMETRIC))
+    spp = int(one(TAG_SPP, 1))
+    bits = ent.get(TAG_BITS, {"values": [1]})["values"]
+    if not isinstance(bits, list):
+        bits = [bits]
+    if any(b != 8 for b in bits):
+        raise MediaFormatError("only 8-bit TIFF samples supported")
+    if pi == 2:
+        if spp < 3:
+            raise MediaFormatError("RGB TIFF needs 3 samples per pixel")
+    elif pi in (0, 1):
+        if spp != 1:
+            raise MediaFormatError("grayscale TIFF needs 1 sample/pixel")
+    else:
+        raise MediaFormatError(
+            f"TIFF photometric {pi} (palette/CMYK/YCbCr) not supported"
+        )
+    if 322 in ent or 323 in ent or 324 in ent or 325 in ent:
+        raise MediaFormatError("tiled TIFF not supported")
+    if TAG_STRIP_OFFSETS not in ent or TAG_STRIP_COUNTS not in ent:
+        raise MediaFormatError("TIFF missing strip tables")
+    offsets = ent[TAG_STRIP_OFFSETS]["values"]
+    counts = ent[TAG_STRIP_COUNTS]["values"]
+    if not isinstance(offsets, list) or not isinstance(counts, list):
+        raise MediaFormatError("malformed TIFF strip tables")
+    if len(offsets) != len(counts):
+        raise MediaFormatError("TIFF strip tables disagree")
+    data = bytearray()
+    for o, c in zip(offsets, counts):
+        if o < 0 or c < 0 or o + c > len(payload):
+            raise MediaFormatError("TIFF strip beyond payload")
+        data += payload[o : o + c]
+    if len(data) != w * h * spp:
+        raise MediaFormatError("TIFF strip data does not tile the image")
+    if pi == 2:
+        if spp == 3:
+            rgb = bytes(data)
+        else:  # extra samples (alpha): drop them
+            rgb = b"".join(
+                data[i : i + 3] for i in range(0, len(data), spp)
+            )
+    else:
+        if pi == 0:  # WhiteIsZero: invert
+            data = bytearray(255 - b for b in data)
+        rgb = b"".join(bytes((v, v, v)) for v in data)
+    return w, h, rgb
+
+
+def encode_tiff(
+    width: int,
+    height: int,
+    rgb: bytes,
+    le: bool = True,
+    gray: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Fixture/production writer for the decode subset: uncompressed
+    strips (two by default, exercising the strip walk), 8-bit gray or
+    RGB, either byte order."""
+    if len(rgb) != width * height * 3:
+        raise MediaFormatError("rgb byte count does not match dimensions")
+    f = _fmt(le)
+    spp = 1 if gray else 3
+    if gray:
+        # ITU-R BT.601 integer luma, same coefficients as rgb_to_yuv
+        sam = bytes(
+            (77 * rgb[i] + 150 * rgb[i + 1] + 29 * rgb[i + 2] + 128) >> 8
+            for i in range(0, len(rgb), 3)
+        )
+    else:
+        sam = rgb
+    rps = rows_per_strip or max(1, (height + 1) // 2)
+    strips = [
+        sam[r * width * spp : min(r + rps, height) * width * spp]
+        for r in range(0, height, rps)
+    ]
+    n = len(strips)
+    tags = [
+        (TAG_WIDTH, 3, [width]),
+        (TAG_HEIGHT, 3, [height]),
+        (TAG_BITS, 3, [8] * spp),
+        (TAG_COMPRESSION, 3, [1]),
+        (TAG_PHOTOMETRIC, 3, [2 if not gray else 1]),
+        (TAG_STRIP_OFFSETS, 4, [0] * n),  # patched below
+        (TAG_SPP, 3, [spp]),
+        (TAG_ROWS_PER_STRIP, 3, [min(rps, 65535)]),
+        (TAG_STRIP_COUNTS, 4, [len(s) for s in strips]),
+        (TAG_PLANAR, 3, [1]),
+    ]
+    block, offs = _write_ifds(le, [tags])
+    # strip data appended after the IFD block; patch the offsets
+    data_off = len(block)
+    strip_offs = []
+    pos = data_off
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+    block = bytearray(block)
+    _patch_values(block, offs[0], TAG_STRIP_OFFSETS, strip_offs, le)
+    return bytes(block) + b"".join(strips)
+
+
+def _entry_bytes(f: str, typ: int, values) -> bytes:
+    if typ == 2:
+        raw = values.encode("ascii") + b"\x00"
+    elif typ == 3:
+        raw = struct.pack(f + "%dH" % len(values), *values)
+    elif typ == 4:
+        raw = struct.pack(f + "%dI" % len(values), *values)
+    elif typ == 5:
+        flat = [x for pair in values for x in pair]
+        raw = struct.pack(f + "%dI" % len(flat), *flat)
+    elif typ in (1, 7):
+        raw = bytes(values)
+    else:
+        raise MediaFormatError(f"unsupported TIFF write type {typ}")
+    return raw
+
+
+def _write_ifds(le: bool, ifds: list[list[tuple]]) -> tuple[bytes, list]:
+    """Serialize a TIFF block: header + the given IFDs (each a list of
+    (tag, type, values)) laid out sequentially, out-of-line values in
+    a shared data area.  Returns (block, [ifd offsets])."""
+    f = _fmt(le)
+    head = (b"II*\x00" if le else b"MM\x00*") + struct.pack(f + "I", 8)
+    ifd_offs = []
+    pos = 8
+    sizes = []
+    for tags in ifds:
+        ifd_offs.append(pos)
+        sizes.append(2 + 12 * len(tags) + 4)
+        pos += sizes[-1]
+    data_area = bytearray()
+    data_base = pos
+    chunks = [head]
+    for tags, ioff in zip(ifds, ifd_offs):
+        body = bytearray(struct.pack(f + "H", len(tags)))
+        for tag, typ, values in sorted(tags, key=lambda t: t[0]):
+            cnt = (
+                len(values) + 1
+                if typ == 2
+                else len(values)
+            )
+            raw = _entry_bytes(f, typ, values)
+            body += struct.pack(f + "HHI", tag, typ, cnt)
+            if len(raw) <= 4:
+                body += raw.ljust(4, b"\x00")
+            else:
+                body += struct.pack(f + "I", data_base + len(data_area))
+                data_area += raw
+                if len(raw) & 1:
+                    data_area += b"\x00"
+        body += struct.pack(f + "I", 0)  # next IFD
+        chunks.append(bytes(body))
+    return b"".join(chunks) + bytes(data_area), ifd_offs
+
+
+def _patch_values(block: bytearray, ifd_off: int, tag: int, values, le):
+    """Rewrite an existing LONG-typed entry's values in place."""
+    f = _fmt(le)
+    (n,) = struct.unpack_from(f + "H", block, ifd_off)
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        t, typ, cnt = struct.unpack_from(f + "HHI", block, e)
+        if t != tag:
+            continue
+        raw = struct.pack(f + "%dI" % len(values), *values)
+        if len(raw) <= 4:
+            block[e + 8 : e + 8 + len(raw)] = raw
+        else:
+            (voff,) = struct.unpack_from(f + "I", block, e + 8)
+            block[voff : voff + len(raw)] = raw
+        return
+    raise MediaFormatError("patch target tag not found")
+
+
+# ---------------------------------------------------------------------------
+# EXIF over JPEG APP1
+# ---------------------------------------------------------------------------
+
+_EXIF_HEAD = b"Exif\x00\x00"
+
+
+def _deg_to_rationals(value_milli: int) -> list[tuple[int, int]]:
+    """Millidegrees → (deg, min, sec×100) rationals, the standard EXIF
+    GPS encoding shape."""
+    deg = value_milli // 1000
+    rem = value_milli % 1000  # millidegrees
+    minutes = rem * 60 // 1000
+    sec100 = (rem * 60 % 1000) * 6000 // 1000
+    return [(deg, 1), (minutes, 1), (sec100, 100)]
+
+
+def build_exif_app1(
+    orientation: int = 1,
+    datetime: str = "2020:01:01 00:00:00",
+    make: str = "spark-graft",
+    model: str = "fixture",
+    dt_original: str | None = None,
+    gps_lat_milli: int | None = None,
+    gps_lon_milli: int | None = None,
+    le: bool = True,
+) -> bytes:
+    """→ a complete APP1 segment (FF E1 len 'Exif\\0\\0' + TIFF block)
+    with IFD0 (Make/Model/Orientation/DateTime + Exif & GPS pointers),
+    an Exif sub-IFD (DateTimeOriginal) and, when coordinates are
+    given, a GPS sub-IFD."""
+    f = _fmt(le)
+    exif_tags = [(TAG_DT_ORIGINAL, 2, dt_original or datetime)]
+    gps_tags = []
+    if gps_lat_milli is not None and gps_lon_milli is not None:
+        gps_tags = [
+            (GPS_LAT_REF, 2, "N" if gps_lat_milli >= 0 else "S"),
+            (GPS_LAT, 5, _deg_to_rationals(abs(gps_lat_milli))),
+            (GPS_LON_REF, 2, "E" if gps_lon_milli >= 0 else "W"),
+            (GPS_LON, 5, _deg_to_rationals(abs(gps_lon_milli))),
+        ]
+    ifd0 = [
+        (TAG_MAKE, 2, make),
+        (TAG_MODEL, 2, model),
+        (TAG_ORIENTATION, 3, [orientation]),
+        (TAG_DATETIME, 2, datetime),
+        (TAG_EXIF_IFD, 4, [0]),  # patched below
+    ]
+    ifds = [ifd0, exif_tags]
+    if gps_tags:
+        ifd0.append((TAG_GPS_IFD, 4, [0]))
+        ifds.append(gps_tags)
+    block, offs = _write_ifds(le, ifds)
+    block = bytearray(block)
+    _patch_values(block, offs[0], TAG_EXIF_IFD, [offs[1]], le)
+    if gps_tags:
+        _patch_values(block, offs[0], TAG_GPS_IFD, [offs[2]], le)
+    body = _EXIF_HEAD + bytes(block)
+    if len(body) + 2 > 0xFFFF:
+        raise MediaFormatError("EXIF block too large for one APP1")
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def insert_exif(jpeg: bytes, app1: bytes) -> bytes:
+    """Insert an APP1 segment right after SOI."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise MediaFormatError("not a JPEG payload (missing SOI)")
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+def _find_exif_app1(jpeg: bytes):
+    """→ (seg_start, tiff_start, tiff_len) of the Exif APP1, or None.
+    Walks markers exactly like the decoder; stops at SOS."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise MediaFormatError("not a JPEG payload (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(jpeg):
+        if jpeg[pos] != 0xFF:
+            raise MediaFormatError("JPEG marker desync")
+        marker = jpeg[pos + 1]
+        if marker in (0xDA, 0xD9):  # SOS / EOI: no headers past here
+            return None
+        (length,) = struct.unpack_from(">H", jpeg, pos + 2)
+        if marker == 0xE1 and jpeg[pos + 4 : pos + 10] == _EXIF_HEAD:
+            return pos, pos + 10, length - 2 - 6
+        pos += 2 + length
+    return None
+
+
+def parse_exif(jpeg: bytes) -> dict | None:
+    """EXIF metadata from a JPEG, or None when no Exif APP1 rides it.
+    Keys: make, model, orientation, datetime, dt_original,
+    gps (dict with lat_milli/lon_milli, or None)."""
+    loc = _find_exif_app1(jpeg)
+    if loc is None:
+        return None
+    _seg, t0, tlen = loc
+    block = jpeg[t0 : t0 + tlen]
+    le, off = _tiff_header(block)
+    ifd0, _ = read_ifd(block, off, le)
+
+    def sval(ent, tag):
+        e = ent.get(tag)
+        if e is None:
+            return None
+        v = e["values"]
+        return v if isinstance(v, str) else (v[0] if v else None)
+
+    out = {
+        "make": sval(ifd0, TAG_MAKE),
+        "model": sval(ifd0, TAG_MODEL),
+        "orientation": sval(ifd0, TAG_ORIENTATION),
+        "datetime": sval(ifd0, TAG_DATETIME),
+        "dt_original": None,
+        "gps": None,
+    }
+    if TAG_EXIF_IFD in ifd0:
+        sub, _ = read_ifd(block, ifd0[TAG_EXIF_IFD]["values"][0], le)
+        out["dt_original"] = sval(sub, TAG_DT_ORIGINAL)
+    if TAG_GPS_IFD in ifd0:
+        gps, _ = read_ifd(block, ifd0[TAG_GPS_IFD]["values"][0], le)
+        if GPS_LAT in gps and GPS_LON in gps:
+
+            def milli(rats) -> int:
+                # exact inverse of _deg_to_rationals for its
+                # (deg/1, min/1, sec*100/100) shape: r2 = sec100/6 is
+                # exact (sec100 is a multiple of 6 by construction),
+                # rem = (min*1000 + r2)/60 is the div/mod identity
+                (d, dd), (m, md), (s100, sd) = rats
+                if (dd, md, sd) != (1, 1, 100):
+                    # foreign denominators: round to nearest milli
+                    return round(
+                        1000
+                        * (d / max(dd, 1) + m / max(md, 1) / 60
+                           + s100 / max(sd, 1) / 3600)
+                    )
+                return d * 1000 + (m * 1000 + s100 // 6) // 60
+
+            lat = milli(gps[GPS_LAT]["values"])
+            lon = milli(gps[GPS_LON]["values"])
+            if (gps.get(GPS_LAT_REF, {}).get("values") or "N") == "S":
+                lat = -lat
+            if (gps.get(GPS_LON_REF, {}).get("values") or "E") == "W":
+                lon = -lon
+            out["gps"] = {"lat_milli": lat, "lon_milli": lon}
+    return out
+
+
+def scrub_exif_gps(jpeg: bytes) -> tuple[bytes, bool]:
+    """Remove GPS data from a JPEG's EXIF IN PLACE: the GPS IFD's
+    entry count becomes 0 and every entry plus its out-of-line value
+    bytes are zeroed (all confined to the APP1 segment).  The segment
+    length — and therefore every other byte offset in the file — is
+    unchanged, so coded image data is untouched and decoded pixels
+    are byte-identical.  Returns (jpeg_bytes, had_gps)."""
+    loc = _find_exif_app1(jpeg)
+    if loc is None:
+        return jpeg, False
+    _seg, t0, tlen = loc
+    block = bytearray(jpeg[t0 : t0 + tlen])
+    le, off = _tiff_header(bytes(block))
+    f = _fmt(le)
+    ifd0, _ = read_ifd(bytes(block), off, le)
+    if TAG_GPS_IFD not in ifd0:
+        return jpeg, False
+    goff = ifd0[TAG_GPS_IFD]["values"][0]
+    gps, _nxt = read_ifd(bytes(block), goff, le)
+    (n,) = struct.unpack_from(f + "H", block, goff)
+    if n == 0:
+        return jpeg, False  # already empty (e.g. a prior scrub)
+    # zero out-of-line values first (entries still describe them)
+    for e in gps.values():
+        if e["val_size"] > 4:
+            block[e["val_off"] : e["val_off"] + e["val_size"]] = bytes(
+                e["val_size"]
+            )
+    # then the entries and the next-IFD pointer, then the count
+    span = 2 + 12 * n + 4
+    block[goff + 2 : goff + span] = bytes(span - 2)
+    struct.pack_into(f + "H", block, goff, 0)
+    out = bytearray(jpeg)
+    out[t0 : t0 + tlen] = block
+    return bytes(out), True
