@@ -4559,11 +4559,16 @@ TIFF_DOCS = 20
            CASE WHEN media_id % 2 = 0 THEN 'II' ELSE 'MM' END
              AS byte_order,
            CAST(gray AS INT) AS gray,
+           CASE media_id % 4 WHEN 0 THEN 'none' WHEN 1 THEN 'lzw'
+                             WHEN 2 THEN 'packbits' ELSE 'deflate' END
+             AS compression,
+           CAST(CASE WHEN media_id % 4 IN (1, 3) THEN 2 ELSE 1 END
+                AS INT) AS predictor,
            CAST(2 AS INT) AS n_strips,
            md5(rgbhex) AS rgb_md5,
            CAST(1 AS INT) AS roundtrip_exact,
            CAST(1 AS INT) AS probe_agrees,
-           CAST(1 AS INT) AS lzw_quarantined
+           CAST(1 AS INT) AS ccitt_quarantined
     FROM px
     """,
 )
@@ -4571,21 +4576,23 @@ def image_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Baseline TIFF decode (round 14 — TIFF joins the image formats;
     scans/datasets ship it, and a 100 TB crawl funnel must at least
     probe it): per document, derive pixels from sha256 hex chains
-    BOTH engines can compute, write a real two-strip uncompressed
-    TIFF (reindexer_spark.tiff — grayscale every third doc, byte
-    order by parity), and decode it back through the production image
-    path (codecs._decode_image).
+    BOTH engines can compute, write a real two-strip TIFF
+    (reindexer_spark.tiff — grayscale every third doc, byte order by
+    parity, compression cycling none / LZW+Predictor2 / PackBits /
+    Deflate+Predictor2 by media_id%4), and decode it back through the
+    production image path (codecs._decode_image).
 
-    Oracle-pinned columns: geometry from the digest arithmetic;
-    ``rgb_md5`` — md5 of the DECODED pixels' hex equals the oracle's
-    independently built chain (gray docs store luma which is EXACTLY
-    the source byte for r=g=b inputs, so the oracle triples each
-    chain byte); ``roundtrip_exact=1``; ``probe_agrees=1`` — the
+    Oracle-pinned columns: geometry/compression/predictor from the
+    digest arithmetic; ``rgb_md5`` — md5 of the DECODED pixels' hex
+    equals the oracle's independently built chain across ALL FOUR
+    compression schemes (gray docs store luma which is EXACTLY the
+    source byte for r=g=b inputs, so the oracle triples each chain
+    byte); ``roundtrip_exact=1``; ``probe_agrees=1`` — the
     headers-only probe reports the decoder's geometry;
-    ``lzw_quarantined=1`` — the same fixture with its Compression tag
-    flipped to LZW refuses to DECODE while the probe still reads its
-    dims (probe-first funnel: metadata recovered, pixels never
-    guessed).
+    ``ccitt_quarantined=1`` — the same fixture with its Compression
+    tag flipped to CCITT Group 3 refuses to DECODE while the probe
+    still reads its dims (probe-first funnel: metadata recovered,
+    pixels never guessed).
 
     Scale shape: mapInPandas, payloads never shuffle — same as every
     media lane."""
@@ -4606,7 +4613,7 @@ def image_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         from reindexer_spark.tiff import TAG_COMPRESSION, encode_tiff
 
-        def with_lzw_tag(payload: bytes) -> bytes:
+        def with_ccitt_tag(payload: bytes) -> bytes:
             le = payload[:2] == b"II"
             f = "<" if le else ">"
             buf = bytearray(payload)
@@ -4615,7 +4622,7 @@ def image_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(n):
                 e = ifd + 2 + 12 * i
                 if st.unpack_from(f + "H", buf, e)[0] == TAG_COMPRESSION:
-                    st.pack_into(f + "H", buf, e + 8, 5)  # LZW
+                    st.pack_into(f + "H", buf, e + 8, 2)  # CCITT G3
                     return bytes(buf)
             raise MediaFormatError("fixture lacks a Compression tag")
 
@@ -4628,6 +4635,12 @@ def image_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h = 4 + int(dg[2:4], 16) % 9
                 gray = mid % 3 == 0
                 le = mid % 2 == 0
+                comp, cname, pred = (
+                    (1, "none", 1),
+                    (5, "lzw", 2),
+                    (32773, "packbits", 1),
+                    (8, "deflate", 2),
+                )[mid % 4]
                 n = w * h * (1 if gray else 3)
                 hexsrc = "".join(
                     hashlib.sha256(f"{dg}-{i}".encode()).hexdigest()
@@ -4638,7 +4651,10 @@ def image_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rgb = b"".join(bytes((v, v, v)) for v in src)
                 else:
                     rgb = src
-                payload = encode_tiff(w, h, rgb, le=le, gray=gray)
+                payload = encode_tiff(
+                    w, h, rgb, le=le, gray=gray,
+                    compression=comp, predictor=pred,
+                )
                 dw, dh, out = _decode_image("tiff", payload)
                 pm = probe_media(payload)
                 agrees = int(
@@ -4646,12 +4662,12 @@ def image_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     and pm["width"] == dw
                     and pm["height"] == dh
                 )
-                lzw = with_lzw_tag(payload)
+                ccitt = with_ccitt_tag(payload)
                 try:
-                    _decode_image("tiff", lzw)
-                    lzw_q = 0
+                    _decode_image("tiff", ccitt)
+                    ccitt_q = 0
                 except MediaFormatError:
-                    lzw_q = int(probe_media(lzw)["width"] == dw)
+                    ccitt_q = int(probe_media(ccitt)["width"] == dw)
                 rows.append(
                     {
                         "media_id": mid,
@@ -4659,29 +4675,33 @@ def image_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "height": dh,
                         "byte_order": "II" if le else "MM",
                         "gray": int(gray),
+                        "compression": cname,
+                        "predictor": pred,
                         "n_strips": 2,
                         "rgb_md5": hashlib.md5(
                             out.hex().encode()
                         ).hexdigest(),
                         "roundtrip_exact": int(out == rgb),
                         "probe_agrees": agrees,
-                        "lzw_quarantined": lzw_q,
+                        "ccitt_quarantined": ccitt_q,
                     }
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "media_id", "width", "height", "byte_order",
-                    "gray", "n_strips", "rgb_md5", "roundtrip_exact",
-                    "probe_agrees", "lzw_quarantined",
+                    "gray", "compression", "predictor", "n_strips",
+                    "rgb_md5", "roundtrip_exact",
+                    "probe_agrees", "ccitt_quarantined",
                 ],
             )
 
     return docs.select("doc_id", "text").repartition(TIFF_DOCS).mapInPandas(
         build_and_decode,
         "media_id bigint, width int, height int, byte_order string, "
-        "gray int, n_strips int, rgb_md5 string, roundtrip_exact int, "
-        "probe_agrees int, lzw_quarantined int",
+        "gray int, compression string, predictor int, n_strips int, "
+        "rgb_md5 string, roundtrip_exact int, "
+        "probe_agrees int, ccitt_quarantined int",
     )
 
 

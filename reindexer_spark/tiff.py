@@ -2,13 +2,17 @@
 "TIFF Revision 6.0", 1992; JEITA CP-3451 / EXIF 2.3 — EXIF's APP1
 payload IS a TIFF block, so one IFD walker serves both).
 
-TIFF scope (decode_tiff): single-image (first IFD), UNCOMPRESSED
-(Compression=1) strip layout, 8-bit grayscale (PhotometricInterpretation
-1, also 0 = WhiteIsZero) or 8-bit RGB (PI 2), chunky planar
-configuration, both byte orders.  Everything outside raises
-MediaFormatError — the repo's quarantine contract, never a wrong
-image: LZW/PackBits/JPEG-in-TIFF compression, tiled layout,
-planar=2, palettes, 16-bit or float samples.
+TIFF scope (decode_tiff): single-image (first IFD), strip layout,
+8-bit grayscale (PhotometricInterpretation 1, also 0 = WhiteIsZero)
+or 8-bit RGB (PI 2), chunky planar configuration, both byte orders,
+with Compression 1 (none), 5 (LZW, §13 — MSB-first codes with the
+EarlyChange width rule, encoder+decoder below, hand-computed code
+vector pinned in tests), 8/32946 (Deflate, stdlib zlib) and 32773
+(PackBits, §9), plus horizontal-differencing Predictor 2 (§14).
+Everything outside raises MediaFormatError — the repo's quarantine
+contract, never a wrong image: CCITT (2/3/4) and JPEG-in-TIFF (6/7)
+compression, tiled layout, planar=2, palettes, 16-bit or float
+samples.
 
 EXIF scope: parse Make/Model/Orientation/DateTime from IFD0,
 DateTimeOriginal from the Exif sub-IFD, latitude/longitude from the
@@ -185,10 +189,15 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
     if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
         raise MediaFormatError("TIFF dimensions out of range")
     comp = int(one(TAG_COMPRESSION, 1))
-    if comp != 1:
+    if comp not in (1, 5, 8, 32773, 32946):
+        # CCITT (2/3/4) and JPEG-in-TIFF (6/7) stay outside the subset
         raise MediaFormatError(
-            f"TIFF compression {comp} outside the uncompressed subset"
+            f"TIFF compression {comp} outside the "
+            "none/LZW/Deflate/PackBits subset"
         )
+    predictor = int(one(317, 1))
+    if predictor not in (1, 2):
+        raise MediaFormatError("TIFF predictor outside the subset")
     if int(one(TAG_PLANAR, 1)) != 1:
         raise MediaFormatError("TIFF planar configuration 2 not supported")
     pi = int(one(TAG_PHOTOMETRIC))
@@ -218,11 +227,36 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
         raise MediaFormatError("malformed TIFF strip tables")
     if len(offsets) != len(counts):
         raise MediaFormatError("TIFF strip tables disagree")
+    rps = int(one(TAG_ROWS_PER_STRIP, h))
+    if rps <= 0:
+        raise MediaFormatError("TIFF rows-per-strip out of range")
     data = bytearray()
-    for o, c in zip(offsets, counts):
+    for si, (o, c) in enumerate(zip(offsets, counts)):
         if o < 0 or c < 0 or o + c > len(payload):
             raise MediaFormatError("TIFF strip beyond payload")
-        data += payload[o : o + c]
+        raw = payload[o : o + c]
+        rows = min(rps, h - si * rps)
+        if rows <= 0:
+            raise MediaFormatError("TIFF strips exceed the image height")
+        want = rows * w * spp
+        if comp == 5:
+            raw = lzw_decode_tiff(raw, want)
+        elif comp in (8, 32946):
+            import zlib
+
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise MediaFormatError(
+                    f"TIFF deflate strip: {exc}"
+                ) from exc
+        elif comp == 32773:
+            raw = packbits_decode(raw, want)
+        if len(raw) != want:
+            raise MediaFormatError("TIFF strip length mismatch")
+        if predictor == 2:
+            raw = predictor2_decode(raw, w, spp)
+        data += raw
     if len(data) != w * h * spp:
         raise MediaFormatError("TIFF strip data does not tile the image")
     if pi == 2:
@@ -246,12 +280,18 @@ def encode_tiff(
     le: bool = True,
     gray: bool = False,
     rows_per_strip: int | None = None,
+    compression: int = 1,
+    predictor: int = 1,
 ) -> bytes:
-    """Fixture/production writer for the decode subset: uncompressed
-    strips (two by default, exercising the strip walk), 8-bit gray or
-    RGB, either byte order."""
+    """Fixture/production writer for the decode subset: strips (two by
+    default, exercising the strip walk), 8-bit gray or RGB, either
+    byte order; ``compression`` 1 (none), 5 (LZW), 8 (Deflate) or
+    32773 (PackBits), optionally with the horizontal-differencing
+    ``predictor`` 2."""
     if len(rgb) != width * height * 3:
         raise MediaFormatError("rgb byte count does not match dimensions")
+    if compression not in (1, 5, 8, 32773):
+        raise MediaFormatError("unsupported TIFF write compression")
     f = _fmt(le)
     spp = 1 if gray else 3
     if gray:
@@ -263,16 +303,26 @@ def encode_tiff(
     else:
         sam = rgb
     rps = rows_per_strip or max(1, (height + 1) // 2)
-    strips = [
-        sam[r * width * spp : min(r + rps, height) * width * spp]
-        for r in range(0, height, rps)
-    ]
+    strips = []
+    for r in range(0, height, rps):
+        raw = sam[r * width * spp : min(r + rps, height) * width * spp]
+        if predictor == 2:
+            raw = predictor2_encode(raw, width, spp)
+        if compression == 5:
+            raw = lzw_encode_tiff(raw)
+        elif compression == 8:
+            import zlib
+
+            raw = zlib.compress(raw, 6)
+        elif compression == 32773:
+            raw = packbits_encode(raw)
+        strips.append(raw)
     n = len(strips)
     tags = [
         (TAG_WIDTH, 3, [width]),
         (TAG_HEIGHT, 3, [height]),
         (TAG_BITS, 3, [8] * spp),
-        (TAG_COMPRESSION, 3, [1]),
+        (TAG_COMPRESSION, 3, [compression]),
         (TAG_PHOTOMETRIC, 3, [2 if not gray else 1]),
         (TAG_STRIP_OFFSETS, 4, [0] * n),  # patched below
         (TAG_SPP, 3, [spp]),
@@ -280,6 +330,8 @@ def encode_tiff(
         (TAG_STRIP_COUNTS, 4, [len(s) for s in strips]),
         (TAG_PLANAR, 3, [1]),
     ]
+    if predictor == 2:
+        tags.append((317, 3, [2]))
     block, offs = _write_ifds(le, [tags])
     # strip data appended after the IFD block; patch the offsets
     data_off = len(block)
@@ -550,3 +602,207 @@ def scrub_exif_gps(jpeg: bytes) -> tuple[bytes, bool]:
     out = bytearray(jpeg)
     out[t0 : t0 + tlen] = block
     return bytes(out), True
+
+
+# ---------------------------------------------------------------------------
+# TIFF compression schemes (round 14, late): LZW (§13) and PackBits (§9)
+# ---------------------------------------------------------------------------
+# TIFF LZW differs from GIF's: codes pack MSB-FIRST, the alphabet is
+# fixed at 8 bits (Clear=256, EOI=257, first dynamic entry 258), and
+# the code width grows ONE CODE EARLY (the spec's "NextCode equals
+# 511/1023/2047" rule — the famous EarlyChange).  Encoder and decoder
+# below mirror each other; transcription fidelity is additionally
+# pinned by a hand-computed known-codes vector in tests/test_tiff.py
+# (the round-trip cannot catch a shared off-by-one, the directed
+# bitstream can).
+
+_LZW_CLEAR = 256
+_LZW_EOI = 257
+
+
+class _MsbWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.acc = (self.acc << width) | code
+        self.nbits += width
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.buf.append((self.acc << (8 - self.nbits)) & 0xFF)
+            self.acc = self.nbits = 0
+        return bytes(self.buf)
+
+
+def lzw_encode_tiff(data: bytes) -> bytes:
+    w = _MsbWriter()
+    table: dict[bytes, int] = {bytes((i,)): i for i in range(256)}
+    nxt = 258
+    width = 9
+    w.put(_LZW_CLEAR, width)
+    omega = b""
+    for b in data:
+        cand = omega + bytes((b,))
+        if cand in table:
+            omega = cand
+            continue
+        w.put(table[omega], width)
+        table[cand] = nxt
+        nxt += 1
+        if nxt in (511, 1023, 2047):
+            width += 1
+        omega = bytes((b,))
+        if nxt == 4094:
+            # table full: flush the pending string, clear, restart
+            w.put(table[omega], width)
+            w.put(_LZW_CLEAR, width)
+            table = {bytes((i,)): i for i in range(256)}
+            nxt = 258
+            width = 9
+            omega = b""
+    if omega:
+        w.put(table[omega], width)
+    w.put(_LZW_EOI, width)
+    return w.finish()
+
+
+def lzw_decode_tiff(data: bytes, n_expected: int) -> bytes:
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    acc = nbits = pos = 0
+    old: bytes | None = None
+
+    def init() -> None:
+        nonlocal table, width
+        table = [bytes((i,)) for i in range(256)] + [b"", b""]
+        width = 9
+
+    init()
+    while len(out) < n_expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise MediaFormatError("TIFF LZW stream truncated")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            init()
+            old = None
+            continue
+        if old is None:
+            if code >= 256:
+                raise MediaFormatError("TIFF LZW first code not literal")
+            s = table[code]
+        elif code < len(table):
+            s = table[code]
+            table.append(old + s[:1])
+        elif code == len(table):
+            s = old + old[:1]
+            table.append(s)
+        else:
+            raise MediaFormatError("TIFF LZW code beyond table")
+        # EarlyChange, decoder side: the decoder's table lags the
+        # encoder's by exactly one entry (the encoder adds as it
+        # WRITES a code, the decoder adds as it reads the NEXT one),
+        # so it must widen one entry earlier — at 510/1022/2046 —
+        # to read the encoder's 511/1023/2047 boundary codes at the
+        # new width.  This asymmetry IS the §13 early-change rule.
+        if len(table) in (510, 1022, 2046):
+            width += 1
+        if width > 12:
+            raise MediaFormatError("TIFF LZW width overflow")
+        out += s
+        old = s
+    if len(out) != n_expected:
+        raise MediaFormatError("TIFF LZW strip length mismatch")
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # run of >= 2 identical bytes → repeat packet
+        j = i
+        while j + 1 < n and data[j + 1] == data[j] and j - i < 127:
+            j += 1
+        if j > i:
+            out.append(257 - (j - i + 1))
+            out.append(data[i])
+            i = j + 1
+            continue
+        # literal run until the next 3-byte repeat (2-byte runs are
+        # cheaper inside a literal) or the 128 cap
+        j = i + 1
+        while (
+            j < n
+            and j - i < 128
+            and not (
+                j + 2 <= n - 1
+                and data[j] == data[j + 1] == data[j + 2]
+            )
+        ):
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, n_expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < n_expected:
+        if i >= len(data):
+            raise MediaFormatError("PackBits strip truncated")
+        n = data[i]
+        i += 1
+        if n < 128:
+            if i + n + 1 > len(data):
+                raise MediaFormatError("PackBits literal overruns strip")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise MediaFormatError("PackBits repeat overruns strip")
+            out += bytes((data[i],)) * (257 - n)
+            i += 1
+        # n == 128: noop, per spec
+    if len(out) != n_expected:
+        raise MediaFormatError("PackBits strip length mismatch")
+    return bytes(out)
+
+
+def predictor2_encode(rows: bytes, width: int, spp: int) -> bytes:
+    """§14 horizontal differencing, 8-bit: sample minus the previous
+    sample of the same channel within the row (mod 256)."""
+    import numpy as np
+
+    a = np.frombuffer(rows, dtype=np.uint8).reshape(-1, width, spp)
+    d = a.copy()
+    d[:, 1:, :] = (
+        a[:, 1:, :].astype(np.int16) - a[:, :-1, :].astype(np.int16)
+    ).astype(np.uint8)
+    return d.tobytes()
+
+
+def predictor2_decode(rows: bytes, width: int, spp: int) -> bytes:
+    import numpy as np
+
+    a = np.frombuffer(rows, dtype=np.uint8).reshape(-1, width, spp)
+    return (
+        np.cumsum(a.astype(np.int64), axis=1) % 256
+    ).astype(np.uint8).tobytes()

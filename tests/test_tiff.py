@@ -97,8 +97,8 @@ def _patch_short(payload: bytes, tag: int, value: int) -> bytes:
 def test_out_of_subset_quarantines():
     payload = encode_tiff(10, 10, _rgb(10, 10))
     for tag, val, why in [
-        (TAG_COMPRESSION, 5, "LZW"),
-        (TAG_COMPRESSION, 32773, "PackBits"),
+        (TAG_COMPRESSION, 2, "CCITT G3"),
+        (TAG_COMPRESSION, 4, "CCITT G4"),
         (TAG_COMPRESSION, 7, "JPEG-in-TIFF"),
         (TAG_PLANAR, 2, "planar"),
         (TAG_BITS, 16, "16-bit"),
@@ -107,6 +107,53 @@ def test_out_of_subset_quarantines():
             decode_tiff(_patch_short(payload, tag, val))
         # the probe still reads geometry on every quarantined variant
         assert probe_tiff(_patch_short(payload, tag, val))["width"] == 10
+
+
+@pytest.mark.parametrize("comp,pred", [(5, 1), (5, 2), (8, 1), (8, 2),
+                                       (32773, 1), (32773, 2)])
+@pytest.mark.parametrize("le", [True, False])
+def test_compressed_roundtrip_exact(comp, pred, le):
+    w, h = 21, 13
+    rgb = _rgb(w, h, seed=comp + pred)
+    p = encode_tiff(w, h, rgb, le=le, compression=comp, predictor=pred)
+    assert decode_tiff(p) == (w, h, rgb)
+    assert probe_tiff(p)["compression"] == comp
+
+
+def test_lzw_known_code_vector():
+    """Hand-computed §13 bitstream for input [7,7,7,8]: codes
+    Clear(256), 7, 258, 8, EOI(257) at 9 bits MSB-first — the
+    external pin a shared encoder/decoder table cannot fake."""
+    from reindexer_spark.tiff import lzw_decode_tiff, lzw_encode_tiff
+
+    enc = lzw_encode_tiff(bytes([7, 7, 7, 8]))
+    assert enc == bytes.fromhex("8001e0408808")
+    assert lzw_decode_tiff(enc, 4) == bytes([7, 7, 7, 8])
+
+
+def test_lzw_earlychange_and_table_full_regimes():
+    """Structured data deep enough to cross every width boundary AND
+    the 4094-entry Clear reset round-trips exactly."""
+    from reindexer_spark.tiff import lzw_decode_tiff, lzw_encode_tiff
+
+    rng = np.random.default_rng(3)
+    data = (
+        b"abcdefgh" * 30000
+        + rng.integers(0, 256, 6000, dtype=np.uint8).tobytes()
+    )
+    assert lzw_decode_tiff(lzw_encode_tiff(data), len(data)) == data
+
+
+def test_packbits_known_shapes():
+    from reindexer_spark.tiff import packbits_decode, packbits_encode
+
+    # the spec's own example shapes: runs and literals interleaved
+    data = b"\x00" * 10 + b"ABC" + b"\xff" * 130 + b"Z"
+    enc = packbits_encode(data)
+    assert packbits_decode(enc, len(data)) == data
+    assert len(enc) < len(data)
+    # a 128-noop byte is tolerated on decode
+    assert packbits_decode(b"\x80\x00A", 1) == b"A"
 
 
 def test_fuzz_quarantine_contract():
