@@ -190,6 +190,7 @@ EXTENDED = [
     "dedup_cdc_chunks",
     "image_tiff_decode",
     "image_exif_scrub",
+    "image_orient_normalize",
 ]
 
 

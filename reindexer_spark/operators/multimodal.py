@@ -4871,3 +4871,162 @@ def image_exif_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gps_after_scrub int, len_unchanged int, pixels_identical int, "
         "meta_preserved int, no_exif_passthrough int",
     )
+
+
+ORIENT_DOCS = 16
+
+
+@query(
+    "image_orient_normalize",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {ORIENT_DOCS}
+    ), dims AS (
+      SELECT media_id, dg,
+             4 + CAST(('0x' || substr(dg, 1, 2)) AS INT) % 13 AS w,
+             4 + CAST(('0x' || substr(dg, 3, 2)) AS INT) % 9 AS h,
+             1 + CAST(media_id % 8 AS INT) AS o
+      FROM base
+    ), chain AS (
+      SELECT media_id, w, h, o,
+             substr(
+               string_agg(sha256(dg || '-' || i), '' ORDER BY i),
+               1, 2 * w * h * 3
+             ) AS rgbhex
+      FROM dims CROSS JOIN range(18) r(i)
+      WHERE i < CEIL(w * h * 3 / 32.0)
+      GROUP BY media_id, w, h, o, dg
+    ), norm AS (
+      SELECT media_id, w, h, o, rgbhex,
+             CASE WHEN o <= 4 THEN w ELSE h END AS ow,
+             CASE WHEN o <= 4 THEN h ELSE w END AS oh
+      FROM chain
+    ), px AS (
+      SELECT media_id, w, h, o, ow, oh, rgbhex,
+        array_to_string(
+          list_transform(
+            range(CAST(ow * oh AS BIGINT)),
+            k -> substr(rgbhex, CAST(1 + 6 * (
+              CASE o
+                WHEN 1 THEN (k // ow) * w + (k % ow)
+                WHEN 2 THEN (k // ow) * w + (w - 1 - (k % ow))
+                WHEN 3 THEN (h - 1 - k // ow) * w + (w - 1 - (k % ow))
+                WHEN 4 THEN (h - 1 - k // ow) * w + (k % ow)
+                WHEN 5 THEN (k % ow) * w + (k // ow)
+                WHEN 6 THEN (h - 1 - (k % ow)) * w + (k // ow)
+                WHEN 7 THEN (h - 1 - (k % ow)) * w + (w - 1 - k // ow)
+                ELSE (k % ow) * w + (w - 1 - k // ow)
+              END) AS INT), 6)
+          ), ''
+        ) AS outhex
+      FROM norm
+    )
+    SELECT media_id,
+           CAST(ow AS INT) AS width,
+           CAST(oh AS INT) AS height,
+           CAST(o AS INT) AS orientation,
+           md5(rgbhex) AS src_md5,
+           md5(outhex) AS rgb_md5,
+           CAST(1 AS INT) AS probe_sees_orientation,
+           CAST(1 AS INT) AS involution_exact
+    FROM px
+    """,
+)
+def image_orient_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORIENTATION NORMALIZATION (round 14 — the display-transform
+    pass every image pipeline runs before training: cameras store
+    sideways pixels + tag 274, models need upright ones): per
+    document, derive pixels from sha256 hex chains, write a TIFF
+    whose Orientation tag cycles ALL EIGHT tag-274 cases by
+    media_id%8, decode, and normalize via
+    reindexer_spark.tiff.apply_orientation (flips / rotations /
+    transposes; cases 5-8 swap the output dimensions).
+
+    Oracle-pinned columns: output ``width``/``height`` (swapped for
+    5-8); ``src_md5`` — decode returns the chain (pins the carrier);
+    ``rgb_md5`` — md5 of the NORMALIZED pixels equals an hex chain
+    the oracle PERMUTES ITSELF with the hand-derived per-case index
+    maps (an independent re-implementation of all eight transforms —
+    a wrong flip direction or a mixed-up rotation cannot pass);
+    ``probe_sees_orientation=1`` — the headers-only probe reports the
+    tag; ``involution_exact=1`` — applying the inverse case (6↔8,
+    others self-inverse) returns the stored pixels bit-exactly.
+
+    Scale shape: mapInPandas, payloads never shuffle — same as every
+    media lane."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < ORIENT_DOCS
+    )
+
+    def build_and_normalize(batches):
+        import hashlib
+
+        from reindexer_spark.codecs import _decode_image
+        from reindexer_spark.tiff import (
+            apply_orientation,
+            encode_tiff,
+            probe_tiff,
+        )
+
+        inverse = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.doc_id)
+                dg = hashlib.sha256(r.text.encode("utf-8")).hexdigest()
+                w = 4 + int(dg[0:2], 16) % 13
+                h = 4 + int(dg[2:4], 16) % 9
+                o = 1 + mid % 8
+                n = w * h * 3
+                hexsrc = "".join(
+                    hashlib.sha256(f"{dg}-{i}".encode()).hexdigest()
+                    for i in range((n + 31) // 32)
+                )[: 2 * n]
+                rgb = bytes.fromhex(hexsrc)
+                payload = encode_tiff(w, h, rgb, orientation=o)
+                dw, dh, stored = _decode_image("tiff", payload)
+                po = probe_tiff(payload)["orientation"]
+                ow, oh, out = apply_orientation(dw, dh, stored, o)
+                bw, bh, back = apply_orientation(
+                    ow, oh, out, inverse[o]
+                )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": ow,
+                        "height": oh,
+                        "orientation": o,
+                        "src_md5": hashlib.md5(
+                            stored.hex().encode()
+                        ).hexdigest(),
+                        "rgb_md5": hashlib.md5(
+                            out.hex().encode()
+                        ).hexdigest(),
+                        "probe_sees_orientation": int(po == o),
+                        "involution_exact": int(
+                            (bw, bh, back) == (dw, dh, stored)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "orientation",
+                    "src_md5", "rgb_md5", "probe_sees_orientation",
+                    "involution_exact",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .repartition(ORIENT_DOCS)
+        .mapInPandas(
+            build_and_normalize,
+            "media_id bigint, width int, height int, orientation int, "
+            "src_md5 string, rgb_md5 string, "
+            "probe_sees_orientation int, involution_exact int",
+        )
+    )

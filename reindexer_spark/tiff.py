@@ -167,6 +167,7 @@ def probe_tiff(payload: bytes) -> dict:
         "photometric": int(one(TAG_PHOTOMETRIC, 1)),
         "n_strips": int(strips),
         "byte_order": "II" if le else "MM",
+        "orientation": int(one(TAG_ORIENTATION, 1)),
     }
 
 
@@ -282,6 +283,7 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     compression: int = 1,
     predictor: int = 1,
+    orientation: int = 1,
 ) -> bytes:
     """Fixture/production writer for the decode subset: strips (two by
     default, exercising the strip walk), 8-bit gray or RGB, either
@@ -332,6 +334,8 @@ def encode_tiff(
     ]
     if predictor == 2:
         tags.append((317, 3, [2]))
+    if orientation != 1:
+        tags.append((TAG_ORIENTATION, 3, [orientation]))
     block, offs = _write_ifds(le, [tags])
     # strip data appended after the IFD block; patch the offsets
     data_off = len(block)
@@ -806,3 +810,40 @@ def predictor2_decode(rows: bytes, width: int, spp: int) -> bytes:
     return (
         np.cumsum(a.astype(np.int64), axis=1) % 256
     ).astype(np.uint8).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Orientation normalization (TIFF/EXIF tag 274) — round 14, late
+# ---------------------------------------------------------------------------
+
+def apply_orientation(
+    width: int, height: int, rgb: bytes, orientation: int
+) -> tuple[int, int, bytes]:
+    """Normalize stored pixels to display orientation per the eight
+    tag-274 cases (1 identity, 2 flip-H, 3 rotate-180, 4 flip-V,
+    5 transpose, 6 rotate-90-CW, 7 transverse, 8 rotate-270-CW).
+    Cases 5-8 swap the output dimensions.  → (out_w, out_h, rgb)."""
+    import numpy as np
+
+    if orientation not in range(1, 9):
+        raise MediaFormatError("orientation outside 1..8")
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    if orientation == 1:
+        out = a
+    elif orientation == 2:
+        out = a[:, ::-1]
+    elif orientation == 3:
+        out = a[::-1, ::-1]
+    elif orientation == 4:
+        out = a[::-1, :]
+    elif orientation == 5:
+        out = a.transpose(1, 0, 2)
+    elif orientation == 6:
+        # stored row 0 is the scene's RIGHT side → rotate 90° CW
+        out = a.transpose(1, 0, 2)[:, ::-1]
+    elif orientation == 7:
+        out = a.transpose(1, 0, 2)[::-1, ::-1]
+    else:  # 8: rotate 270° CW
+        out = a.transpose(1, 0, 2)[::-1, :]
+    oh, ow = out.shape[:2]
+    return ow, oh, np.ascontiguousarray(out).tobytes()

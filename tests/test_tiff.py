@@ -294,3 +294,46 @@ def test_exif_fuzz_never_escapes():
             assert len(out) == len(data)
         except MediaFormatError:
             pass
+
+
+def test_orientation_all_eight_cases_match_index_maps():
+    """apply_orientation vs hand-derived source-index maps for every
+    tag-274 case (the same maps the image_orient_normalize oracle
+    re-implements in SQL)."""
+    from reindexer_spark.tiff import apply_orientation
+
+    w, h = 5, 3
+    rgb = bytes(range(w * h * 3))
+
+    def src(o, X, Y):
+        return {
+            1: (X, Y), 2: (w - 1 - X, Y), 3: (w - 1 - X, h - 1 - Y),
+            4: (X, h - 1 - Y), 5: (Y, X), 6: (Y, h - 1 - X),
+            7: (w - 1 - Y, h - 1 - X), 8: (w - 1 - Y, X),
+        }[o]
+
+    for o in range(1, 9):
+        ow, oh, out = apply_orientation(w, h, rgb, o)
+        assert (ow, oh) == ((w, h) if o <= 4 else (h, w))
+        for Y in range(oh):
+            for X in range(ow):
+                sx, sy = src(o, X, Y)
+                oi, si = 3 * (Y * ow + X), 3 * (sy * w + sx)
+                assert out[oi : oi + 3] == rgb[si : si + 3], (o, X, Y)
+
+
+def test_orientation_involutions_and_tag_roundtrip():
+    from reindexer_spark.tiff import apply_orientation, probe_tiff
+
+    w, h = 7, 4
+    rgb = _rgb(w, h, seed=42)
+    inverse = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+    for o in range(1, 9):
+        ow, oh, out = apply_orientation(w, h, rgb, o)
+        assert apply_orientation(ow, oh, out, inverse[o]) == (w, h, rgb)
+        p = encode_tiff(w, h, rgb, orientation=o)
+        assert probe_tiff(p)["orientation"] == o
+        assert decode_tiff(p) == (w, h, rgb)  # decode stays RAW
+
+    with pytest.raises(MediaFormatError):
+        apply_orientation(w, h, rgb, 9)
