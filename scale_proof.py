@@ -881,7 +881,93 @@ def minhash_decade_leg(spark, ui_port: int) -> dict:
     return leg
 
 
+def cdc_decade_leg(spark, ui_port: int) -> dict:
+    """Scale legs for ``dedup_cdc_chunks`` (round 14): the chunker is
+    one JVM pass and the dedup is two hash shuffles of 16-byte chunk
+    hashes, so BOTH distributions should grow linearly in rows — the
+    dense (boilerplate-heavy) corpus maximizes chunk sharing, the
+    canonical worst case for pair-based lanes, and must NOT bend here
+    because chunk-hash joins fan out 1:1 per instance.  Measures
+    5k -> 50k on both shapes and a 2nd decade (50k -> 500k) on zipf."""
+    from reindexer_spark import get_query
+    from reindexer_spark.catalog import load_table
+
+    q = get_query("dedup_cdc_chunks")
+    legs = [
+        ("dense-5k", False, N_DOCS // 10),
+        ("dense-50k", False, N_DOCS),
+        ("zipf-5k", True, N_DOCS // 10),
+        ("zipf-50k", True, N_DOCS),
+        ("zipf-500k", True, N_DOCS * 10),
+    ]
+    leg: dict = {}
+    for label, zipf, n in legs:
+        out_dir = os.path.join(REPO, "scaledata", label)
+        if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
+            print(f"generating {n} docs at {out_dir}", file=sys.stderr)
+            generate_corpus(spark, out_dir, zipf_tail=zipf, n_docs=n)
+        load_table(spark, out_dir, "documents").limit(1).count()
+        if not leg:
+            q.fn(spark, out_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()  # untimed warmup (worker spin-up convention)
+        b0, r0 = _shuffle_totals(ui_port)
+        t0 = time.perf_counter()
+        q.fn(spark, out_dir).write.format("noop").mode("overwrite").save()
+        wall = round(time.perf_counter() - t0, 3)
+        b1, r1 = _shuffle_totals(ui_port)
+        leg[label] = {
+            "wall_sec": wall,
+            "shuffle_write_mb": round((b1 - b0) / 1e6, 2),
+            "shuffle_write_mrec": round((r1 - r0) / 1e6, 3),
+        }
+        print(f"dedup_cdc_chunks {label}: {json.dumps(leg[label])}",
+              file=sys.stderr)
+    for a_l, b_l, name in (
+        ("dense-5k", "dense-50k", "growth_at_10x_dense"),
+        ("zipf-5k", "zipf-50k", "growth_at_10x_zipf"),
+        ("zipf-50k", "zipf-500k", "growth_at_2nd_10x_zipf"),
+    ):
+        a, b = leg[a_l], leg[b_l]
+        leg[name] = {
+            "wall": round(b["wall_sec"] / max(a["wall_sec"], 1e-9), 2),
+            "shuffle_records": round(
+                b["shuffle_write_mrec"]
+                / max(a["shuffle_write_mrec"], 1e-9),
+                2,
+            ),
+        }
+    return leg
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "cdc":
+        # merge-only mode: the dedup_cdc_chunks scale legs alone
+        from reindexer_spark import get_spark
+
+        spark = get_spark(
+            "reindexer-scale-proof",
+            extra_conf={
+                "spark.ui.enabled": "true",
+                "spark.ui.retainedStages": "100000",
+                "spark.ui.retainedJobs": "50000",
+            },
+        )
+        ui_port = int(spark.conf.get("spark.ui.port", "4040"))
+        out = os.path.join(REPO, "SCALE_PROOF.json")
+        try:
+            with open(out) as fh:
+                result = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            result = {}
+        leg = cdc_decade_leg(spark, ui_port)
+        result.setdefault("queries", {}).setdefault(
+            "dedup_cdc_chunks", {}
+        ).update(leg)
+        with open(out, "w") as fh:
+            json.dump(result, fh, indent=1)
+        print(json.dumps(leg))
+        return 0
     if len(sys.argv) > 1 and sys.argv[1] == "minhash":
         # merge-only mode: the 2nd-decade dedup_minhash leg alone
         from reindexer_spark import get_spark
