@@ -191,6 +191,8 @@ EXTENDED = [
     "image_tiff_decode",
     "image_exif_scrub",
     "image_orient_normalize",
+    "stream_cdc_dedup_live",
+    "embed_matryoshka_recall",
 ]
 
 

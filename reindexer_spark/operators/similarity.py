@@ -1965,3 +1965,135 @@ def knn_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "neighbor_is_new")
         .orderBy("query_id", "rnk")
     )
+
+
+# Matryoshka prefix dimensions evaluated against the full-dim truth
+MRL_DIMS = (8, 16, 32)
+
+
+def _mrl_topk(e, d: int):
+    """Exact cosine top-K using only the first ``d`` dims — the
+    truncated-embedding retrieval a Matryoshka deployment runs."""
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.slice("embedding", 1, d).alias("q_emb"),
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.slice("embedding", 1, d).alias("c_emb"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _mrl_sql(d: int) -> str:
+    return f"""
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                   (q.embedding[1:{d}])::DOUBLE[],
+                   (c.embedding[1:{d}])::DOUBLE[]) DESC,
+                 c.vec_id
+               ) AS rnk
+        FROM embeddings q JOIN embeddings c ON c.vec_id >= {{nq}}
+        WHERE q.vec_id < {{nq}}
+      ) WHERE rnk <= {{k}}
+    """
+
+
+@query(
+    "embed_matryoshka_recall",
+    oracle=f"""
+    WITH bf AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                 c.embedding::DOUBLE[]) DESC,
+                          c.vec_id
+               ) AS rnk
+        FROM embeddings q JOIN embeddings c ON c.vec_id >= {N_QUERIES}
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rnk <= {TOP_K}
+    ),
+    {", ".join(
+        f"m{d} AS ({_mrl_sql(d).format(nq=N_QUERIES, k=TOP_K)})"
+        for d in MRL_DIMS
+    )}
+    SELECT bf.query_id,
+           {", ".join(
+               f"CAST(COUNT(m{d}.neighbor_id) AS BIGINT) AS n_hits_d{d}, "
+               f"COUNT(m{d}.neighbor_id) / {TOP_K} AS recall_d{d}"
+               for d in MRL_DIMS
+           )}
+    FROM bf
+    {" ".join(
+        f"LEFT JOIN m{d} ON m{d}.query_id = bf.query_id "
+        f"AND m{d}.neighbor_id = bf.neighbor_id"
+        for d in MRL_DIMS
+    )}
+    GROUP BY bf.query_id
+    """,
+)
+def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA truncation evaluation (round 14): recall@k of
+    PREFIX-DIMENSION retrieval (first 8/16/32 of 64 dims) against the
+    full-dimension exact top-k — the acceptance metric behind
+    truncatable-embedding deployments (MRL: retrieve with a cheap
+    prefix, optionally re-rank with the full vector; every serving
+    stack that adopts it monitors exactly this curve before cutting
+    index memory 2-8x).
+
+    Per query vector: n_hits_d{{8,16,32}} / recall_d{{8,16,32}} —
+    how many of the true top-k survive when only the prefix is
+    indexed.  Fully oracle-exact: both engines slice the same arrays
+    and rank by cosine with the same id tie-break; ground truth stays
+    the left side so a truncation that loses every true neighbor
+    reads recall 0 rather than vanishing.
+
+    Scale shape: the query side is broadcast (N_QUERIES rows); each
+    prefix variant is one candidate scan + per-query window, and the
+    final join is on (query_id, neighbor_id) — no all-pairs shuffle.
+    At 100 TB the prefix scans read SHORTER vectors, which is the
+    point of the technique."""
+    from reindexer_spark.cache import track
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bf = track(
+        knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    )
+    out = bf
+    for d in MRL_DIMS:
+        md = track(
+            _mrl_topk(e, d).withColumn(f"hit_d{d}", F.lit(1))
+        )
+        out = out.join(md, ["query_id", "neighbor_id"], "left")
+    agg = [
+        F.sum(F.coalesce(F.col(f"hit_d{d}"), F.lit(0))).alias(
+            f"n_hits_d{d}"
+        )
+        for d in MRL_DIMS
+    ]
+    res = out.groupBy("query_id").agg(*agg)
+    sel = ["query_id"]
+    for d in MRL_DIMS:
+        sel.append(f"n_hits_d{d}")
+        res = res.withColumn(
+            f"recall_d{d}", F.col(f"n_hits_d{d}") / TOP_K
+        )
+        sel.append(f"recall_d{d}")
+    return res.select(*sel)

@@ -1311,3 +1311,92 @@ def stream_dsir_select_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = dsir_select_stream(scored, threshold)
     return run_stream_to_memory(out, output_mode="append").orderBy("doc_id")
+
+
+@query(
+    "stream_cdc_dedup_live",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, text, length(text) AS n FROM documents
+    ), cut AS (
+      SELECT doc_id,
+        list_transform(
+          list_zip(
+            list_prepend(1, list_transform(cuts, p -> p + 1)),
+            list_append(cuts, n)
+          ),
+          se -> substring(text, se[1], se[2] - se[1] + 1)
+        ) AS chunks
+      FROM (
+        SELECT doc_id, text, n,
+          list_filter(
+            range(CAST(16 AS BIGINT), CAST(n + 1 AS BIGINT)),
+            p -> substring(md5(substring(text, CAST(p - 15 AS INT), 16)),
+                           32, 1) = '0'
+                 AND p < n
+          ) AS cuts
+        FROM c
+      )
+    ), inst AS (
+      SELECT doc_id,
+             CAST(s['i'] AS INT) AS idx,
+             md5(s['c']) AS h,
+             CAST(length(s['c']) AS INT) AS clen
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(len(chunks)),
+                 i -> {'i': i, 'c': chunks[CAST(i + 1 AS INT)]}
+               )) AS s
+        FROM cut
+      )
+    )
+    SELECT doc_id, idx, h, clen,
+           FIRST_VALUE(doc_id) OVER w AS first_doc,
+           CAST(ROW_NUMBER() OVER w = 1 AS INT) AS is_new
+    FROM inst
+    WINDOW w AS (PARTITION BY h ORDER BY doc_id, idx)
+    ORDER BY doc_id, idx
+    """,
+)
+def stream_cdc_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SIXTH custom stateful operator at the value gate:
+    content-defined-chunk dedup ON INGEST under the real streaming
+    engine (applyInPandasWithState) — the streaming half of
+    ``dedup_cdc_chunks``.  Every arriving document is split at the
+    SAME rolling md5-window boundaries (row-wise higher-order
+    functions — stream-safe, no aggregation precedes the stateful
+    operator, no Python before the Arrow-batched classifier) and each
+    chunk instance is classified the moment it lands: new fingerprint
+    or a duplicate of ``first_doc``.  This is transfer/storage dedup
+    at crawl time: a landing page ships only the chunks the corpus
+    lacks, with TWO LONGS of state per distinct fingerprint.
+
+    Gate: the emitted relation must equal the batch window
+    FIRST_VALUE/ROW_NUMBER over (PARTITION BY fingerprint ORDER BY
+    doc_id, idx) — DuckDB rebuilds the chunks, fingerprints and
+    arrival order independently.  Cross-batch state carry (a chunk
+    seen in batch 1 marks arrivals dup in batch 2) is pinned in
+    tests/test_streaming.py; restart safety rides the same checkpoint
+    machinery as the other five stateful lanes."""
+    from reindexer_spark.operators.dedup import _cdc_chunks
+    from reindexer_spark.streaming import (
+        run_stream_to_memory,
+        stream_documents,
+    )
+    from reindexer_spark.streaming.stateful import cdc_dedup_stream
+
+    d = stream_documents(spark, sf_dir)
+    ex = d.select(
+        "doc_id",
+        F.posexplode(_cdc_chunks(F.col("text"))).alias("idx", "chunk"),
+    ).select(
+        "doc_id",
+        "idx",
+        F.md5("chunk").alias("h"),
+        F.length("chunk").alias("clen"),
+    )
+    out = cdc_dedup_stream(ex)
+    return run_stream_to_memory(out, output_mode="append").orderBy(
+        "doc_id", "idx"
+    )

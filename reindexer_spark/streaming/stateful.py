@@ -427,3 +427,66 @@ def dsir_select_stream(scored: DataFrame, threshold: int | None) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cdc_dedup_stream(chunks: DataFrame) -> DataFrame:
+    """Streaming CONTENT-DEFINED-CHUNK dedup — the sixth custom
+    stateful operator: chunk instances ``(doc_id, idx, h, clen)``
+    arrive as an unbounded stream (h = the chunk fingerprint from the
+    row-wise CDC splitter — no aggregation precedes the stateful
+    operator) and every instance is classified THE MOMENT IT ARRIVES:
+    ``is_new=1`` iff its fingerprint was never seen before,
+    ``first_doc`` = the document that introduced it.  This is
+    chunk-level storage/transfer dedup at ingest (the LBFS/casync/Xet
+    shape): a landing page only ships the chunks the corpus lacks.
+
+    State per fingerprint: two longs (first_doc, first_idx) — bounded
+    by DISTINCT chunks, never by stream volume, and each group's
+    state is O(1).
+
+    Semantics (oracle-replicable): within a micro-batch rows apply in
+    (doc_id, idx) order; with deterministic batch boundaries the
+    emitted relation equals the batch window
+    ``FIRST_VALUE/ROW_NUMBER OVER (PARTITION BY h ORDER BY doc_id,
+    idx)`` row for row — the gate; cross-batch state carry is pinned
+    in multi-batch unit tests."""
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            first_doc, first_idx = state.get
+        else:
+            first_doc = first_idx = None
+        out: list[tuple] = []
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if parts:
+            pdf = pd.concat(parts).sort_values(["doc_id", "idx"])
+            for d, i, cl in zip(pdf["doc_id"], pdf["idx"], pdf["clen"]):
+                d, i, cl = int(d), int(i), int(cl)
+                if first_doc is None:
+                    first_doc, first_idx = d, i
+                    out.append((d, i, key[0], cl, d, 1))
+                else:
+                    out.append((d, i, key[0], cl, first_doc, 0))
+        if first_doc is not None:
+            state.update((first_doc, first_idx))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id", "idx", "h", "clen", "first_doc", "is_new"
+            ],
+        )
+
+    return chunks.groupBy("h").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "doc_id bigint, idx int, h string, clen int, "
+            "first_doc bigint, is_new int"
+        ),
+        stateStructType="first_doc bigint, first_idx bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

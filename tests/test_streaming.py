@@ -769,3 +769,60 @@ def test_dsir_select_stream_none_threshold_keeps_nothing(spark, tmp_path):
         (0, 1, 0),
         (0, 2, 0),
     ]
+
+
+def test_stateful_cdc_dedup_carries_fingerprints_across_batches(
+    spark, tmp_path
+):
+    """The streaming chunk dedup's per-fingerprint state must carry
+    across micro-batches: a chunk introduced in batch 1 marks every
+    later arrival of the same content as a duplicate of the ORIGINAL
+    document — including arrivals two batches later — while novel
+    chunks stay is_new=1."""
+    from reindexer_spark.operators.dedup import _cdc_chunks
+    from reindexer_spark.streaming.stateful import cdc_dedup_stream
+    from pyspark.sql import functions as F
+
+    shared = "the quick brown fox jumps over the lazy dog " * 4
+    def doc(i):
+        if i % 10 == 0:
+            return (i, shared)  # docs 0, 10, 20 share every chunk
+        return (i, f"unique{i} body text for document number {i} " * 3)
+
+    docs = [doc(i) for i in range(30)]
+    batches = [docs[:10], docs[10:20], docs[20:]]
+    root = _mk_doc_files(spark, tmp_path, batches)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{root}/batch_*.parquet")
+    )
+    ex = stream.select(
+        "doc_id",
+        F.posexplode(_cdc_chunks(F.col("text"))).alias("idx", "chunk"),
+    ).select(
+        "doc_id", "idx", F.md5("chunk").alias("h"),
+        F.length("chunk").alias("clen"),
+    )
+    out = run_stream_to_memory(
+        cdc_dedup_stream(ex), output_mode="append"
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 0 introduced every shared chunk (its text repeats a phrase,
+    # so SOME of its own chunks are internal duplicates — still
+    # attributed to doc 0)
+    assert all(r.first_doc == 0 for r in by_doc[0])
+    assert any(r.is_new == 1 for r in by_doc[0])
+    # docs 10 and 20 (batches 2 and 3) are fully duplicate OF DOC 0
+    for d in (10, 20):
+        assert all(
+            r.is_new == 0 and r.first_doc == 0 for r in by_doc[d]
+        ), d
+    # a unique doc's chunks are self-attributed and none predate it
+    assert all(r.first_doc == 5 for r in by_doc[5])
+    assert any(r.is_new == 1 for r in by_doc[5])
+    # chunks tile: per-doc clen sums equal text lengths
+    for i, text in docs:
+        assert sum(r.clen for r in by_doc[i]) == len(text), i
