@@ -565,6 +565,16 @@ def _codec_throughput() -> dict:
             V8.decode_webp_lossy,
         ),
     }
+    from reindexer_spark import tiff as T
+
+    fixtures["tiff-lzw"] = (
+        T.encode_tiff(w, h, rgb, compression=5, predictor=2),
+        T.decode_tiff,
+    )
+    fixtures["tiff-packbits"] = (
+        T.encode_tiff(w, h, rgb, compression=32773),
+        T.decode_tiff,
+    )
 
     def mbps(fn, payload: bytes) -> float:
         fn(payload)  # warm (codegen-free, but first-call imports)

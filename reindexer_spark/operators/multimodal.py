@@ -4738,7 +4738,8 @@ EXIF_DOCS = 16
       CAST(1 AS INT) AS len_unchanged,
       CAST(1 AS INT) AS pixels_identical,
       CAST(1 AS INT) AS meta_preserved,
-      CAST(1 AS INT) AS no_exif_passthrough
+      CAST(1 AS INT) AS no_exif_passthrough,
+      CAST(1 AS INT) AS tiff_scrub_ok
     FROM s
     """,
 )
@@ -4762,7 +4763,10 @@ def image_exif_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``meta_preserved=1`` — Make/Model/DateTime/DateTimeOriginal/
     orientation survive the scrub (only LOCATION is PII here);
     ``no_exif_passthrough=1`` — a JPEG without EXIF passes through
-    unchanged.
+    unchanged; ``tiff_scrub_ok=1`` — the BARE-TIFF twin
+    (scrub_tiff_gps over a GPSInfo IFD carried directly by a TIFF
+    file, same coordinates) holds the identical invariants: removed,
+    same length, pixels untouched, idempotent.
 
     Scale shape: mapInPandas, payloads never shuffle — same as every
     media lane."""
@@ -4781,9 +4785,12 @@ def image_exif_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         from reindexer_spark.tiff import (
             build_exif_app1,
+            decode_tiff,
+            encode_tiff,
             insert_exif,
             parse_exif,
             scrub_exif_gps,
+            scrub_tiff_gps,
         )
 
         for pdf in batches:
@@ -4831,6 +4838,24 @@ def image_exif_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                     decode_jpeg_baseline(scrubbed)
                     == decode_jpeg_baseline(tagged)
                 )
+                # the bare-TIFF twin of the scrub: same coordinates in
+                # a GPSInfo IFD carried by a TIFF file, removed in
+                # place with identical invariants
+                tpix = bytes(
+                    hashlib.sha256(dgb + b"t").digest()
+                    * ((12 * 8 * 3) // 32 + 1)
+                )[: 12 * 8 * 3]
+                t_file = encode_tiff(
+                    12, 8, tpix, gps_lat_milli=lat, gps_lon_milli=lon
+                )
+                t_scrubbed, t_had = scrub_tiff_gps(t_file)
+                tiff_ok = int(
+                    t_had
+                    and len(t_scrubbed) == len(t_file)
+                    and decode_tiff(t_scrubbed) == decode_tiff(t_file)
+                    and scrub_tiff_gps(t_scrubbed)
+                    == (t_scrubbed, False)
+                )
                 rows.append(
                     {
                         "media_id": mid,
@@ -4851,6 +4876,7 @@ def image_exif_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "no_exif_passthrough": int(
                             scrub_exif_gps(plain) == (plain, False)
                         ),
+                        "tiff_scrub_ok": tiff_ok,
                     }
                 )
             yield pd.DataFrame(
@@ -4860,7 +4886,7 @@ def image_exif_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "lat_milli", "lon_milli", "had_gps",
                     "gps_after_scrub", "len_unchanged",
                     "pixels_identical", "meta_preserved",
-                    "no_exif_passthrough",
+                    "no_exif_passthrough", "tiff_scrub_ok",
                 ],
             )
 
@@ -4869,7 +4895,7 @@ def image_exif_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id bigint, width int, height int, orientation int, "
         "lat_milli bigint, lon_milli bigint, had_gps int, "
         "gps_after_scrub int, len_unchanged int, pixels_identical int, "
-        "meta_preserved int, no_exif_passthrough int",
+        "meta_preserved int, no_exif_passthrough int, tiff_scrub_ok int",
     )
 
 

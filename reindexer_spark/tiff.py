@@ -284,12 +284,16 @@ def encode_tiff(
     compression: int = 1,
     predictor: int = 1,
     orientation: int = 1,
+    gps_lat_milli: int | None = None,
+    gps_lon_milli: int | None = None,
 ) -> bytes:
     """Fixture/production writer for the decode subset: strips (two by
     default, exercising the strip walk), 8-bit gray or RGB, either
     byte order; ``compression`` 1 (none), 5 (LZW), 8 (Deflate) or
     32773 (PackBits), optionally with the horizontal-differencing
-    ``predictor`` 2."""
+    ``predictor`` 2.  GPS millidegrees (when given) ride a real
+    GPSInfo sub-IFD — the bare-TIFF location-PII carrier
+    ``scrub_tiff_gps`` removes."""
     if len(rgb) != width * height * 3:
         raise MediaFormatError("rgb byte count does not match dimensions")
     if compression not in (1, 5, 8, 32773):
@@ -336,7 +340,16 @@ def encode_tiff(
         tags.append((317, 3, [2]))
     if orientation != 1:
         tags.append((TAG_ORIENTATION, 3, [orientation]))
-    block, offs = _write_ifds(le, [tags])
+    ifds = [tags]
+    if gps_lat_milli is not None and gps_lon_milli is not None:
+        tags.append((TAG_GPS_IFD, 4, [0]))  # patched below
+        ifds.append([
+            (GPS_LAT_REF, 2, "N" if gps_lat_milli >= 0 else "S"),
+            (GPS_LAT, 5, _deg_to_rationals(abs(gps_lat_milli))),
+            (GPS_LON_REF, 2, "E" if gps_lon_milli >= 0 else "W"),
+            (GPS_LON, 5, _deg_to_rationals(abs(gps_lon_milli))),
+        ])
+    block, offs = _write_ifds(le, ifds)
     # strip data appended after the IFD block; patch the offsets
     data_off = len(block)
     strip_offs = []
@@ -346,6 +359,8 @@ def encode_tiff(
         pos += len(s)
     block = bytearray(block)
     _patch_values(block, offs[0], TAG_STRIP_OFFSETS, strip_offs, le)
+    if len(offs) > 1:
+        _patch_values(block, offs[0], TAG_GPS_IFD, [offs[1]], le)
     return bytes(block) + b"".join(strips)
 
 
@@ -571,6 +586,34 @@ def parse_exif(jpeg: bytes) -> dict | None:
     return out
 
 
+def _scrub_gps_block(block: bytearray) -> bool:
+    """Zero a TIFF block's GPS IFD in place (shared by the JPEG-APP1
+    and bare-TIFF scrubs): out-of-line values, then the entries and
+    next-IFD pointer, then the entry count.  Returns whether any GPS
+    data was present."""
+    le, off = _tiff_header(bytes(block))
+    f = _fmt(le)
+    ifd0, _ = read_ifd(bytes(block), off, le)
+    if TAG_GPS_IFD not in ifd0:
+        return False
+    goff = ifd0[TAG_GPS_IFD]["values"][0]
+    gps, _nxt = read_ifd(bytes(block), goff, le)
+    (n,) = struct.unpack_from(f + "H", block, goff)
+    if n == 0:
+        return False  # already empty (e.g. a prior scrub)
+    # zero out-of-line values first (entries still describe them)
+    for e in gps.values():
+        if e["val_size"] > 4:
+            block[e["val_off"] : e["val_off"] + e["val_size"]] = bytes(
+                e["val_size"]
+            )
+    # then the entries and the next-IFD pointer, then the count
+    span = 2 + 12 * n + 4
+    block[goff + 2 : goff + span] = bytes(span - 2)
+    struct.pack_into(f + "H", block, goff, 0)
+    return True
+
+
 def scrub_exif_gps(jpeg: bytes) -> tuple[bytes, bool]:
     """Remove GPS data from a JPEG's EXIF IN PLACE: the GPS IFD's
     entry count becomes 0 and every entry plus its out-of-line value
@@ -583,29 +626,22 @@ def scrub_exif_gps(jpeg: bytes) -> tuple[bytes, bool]:
         return jpeg, False
     _seg, t0, tlen = loc
     block = bytearray(jpeg[t0 : t0 + tlen])
-    le, off = _tiff_header(bytes(block))
-    f = _fmt(le)
-    ifd0, _ = read_ifd(bytes(block), off, le)
-    if TAG_GPS_IFD not in ifd0:
+    if not _scrub_gps_block(block):
         return jpeg, False
-    goff = ifd0[TAG_GPS_IFD]["values"][0]
-    gps, _nxt = read_ifd(bytes(block), goff, le)
-    (n,) = struct.unpack_from(f + "H", block, goff)
-    if n == 0:
-        return jpeg, False  # already empty (e.g. a prior scrub)
-    # zero out-of-line values first (entries still describe them)
-    for e in gps.values():
-        if e["val_size"] > 4:
-            block[e["val_off"] : e["val_off"] + e["val_size"]] = bytes(
-                e["val_size"]
-            )
-    # then the entries and the next-IFD pointer, then the count
-    span = 2 + 12 * n + 4
-    block[goff + 2 : goff + span] = bytes(span - 2)
-    struct.pack_into(f + "H", block, goff, 0)
     out = bytearray(jpeg)
     out[t0 : t0 + tlen] = block
     return bytes(out), True
+
+
+def scrub_tiff_gps(payload: bytes) -> tuple[bytes, bool]:
+    """The bare-TIFF twin of :func:`scrub_exif_gps`: TIFF files carry
+    the same GPSInfo IFD (tag 34853) directly in IFD0 — zero it in
+    place.  File length unchanged, sample strips untouched, decoded
+    pixels byte-identical.  Returns (tiff_bytes, had_gps)."""
+    block = bytearray(payload)
+    if not _scrub_gps_block(block):
+        return payload, False
+    return bytes(block), True
 
 
 # ---------------------------------------------------------------------------

@@ -337,3 +337,37 @@ def test_orientation_involutions_and_tag_roundtrip():
 
     with pytest.raises(MediaFormatError):
         apply_orientation(w, h, rgb, 9)
+
+
+@pytest.mark.parametrize("le", [True, False])
+def test_tiff_gps_carry_and_scrub(le):
+    """Bare TIFF files carry the same GPSInfo IFD; scrub_tiff_gps
+    removes it in place — length unchanged, pixels untouched,
+    idempotent, passthrough without GPS."""
+    from reindexer_spark.tiff import (
+        GPS_LAT,
+        TAG_GPS_IFD,
+        _tiff_header,
+        read_ifd,
+        scrub_tiff_gps,
+    )
+
+    w, h = 14, 9
+    rgb = _rgb(w, h, seed=le)
+    t = encode_tiff(
+        w, h, rgb, le=le, compression=5, predictor=2,
+        gps_lat_milli=48858, gps_lon_milli=-70668,
+    )
+    assert decode_tiff(t) == (w, h, rgb)
+    ble, off = _tiff_header(t)
+    ifd0, _ = read_ifd(t, off, ble)
+    gps, _ = read_ifd(t, ifd0[TAG_GPS_IFD]["values"][0], ble)
+    assert GPS_LAT in gps
+    s, had = scrub_tiff_gps(t)
+    assert had and len(s) == len(t)
+    assert decode_tiff(s) == (w, h, rgb)
+    ifd0b, _ = read_ifd(s, off, ble)
+    assert not read_ifd(s, ifd0b[TAG_GPS_IFD]["values"][0], ble)[0]
+    assert scrub_tiff_gps(s) == (s, False)
+    plain = encode_tiff(w, h, rgb, le=le)
+    assert scrub_tiff_gps(plain) == (plain, False)
