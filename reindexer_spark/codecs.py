@@ -4597,7 +4597,9 @@ class FlacFrameSampler:
 # "gif" is an image to the fallback (Pillow decodes stills and
 # animations alike) even though the native decoder treats multi-frame
 # GIFs like video.
-IMAGE_KINDS = frozenset({"bmp", "ppm", "jpeg", "png", "gif"})
+IMAGE_KINDS = frozenset(
+    {"bmp", "ppm", "jpeg", "png", "gif", "webp", "tiff"}
+)
 
 
 # ---------------------------------------------------------------------------

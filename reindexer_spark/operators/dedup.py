@@ -1872,7 +1872,13 @@ CDC_W = 16
 def _cdc_chunks(t):
     """Column expr: text → array<string> of content-defined chunks."""
     n = F.length(t)
-    pos = F.sequence(F.lit(CDC_W), n)  # empty when n < W
+    # F.sequence(16, n) is DESCENDING when n < 16 (the word_shingles
+    # pitfall above) — guard explicitly so short docs never hash
+    # partial windows; the `p < n` filter conjunct below is then the
+    # interior-cut rule only, not a load-bearing backstop
+    pos = F.when(
+        n >= CDC_W, F.sequence(F.lit(CDC_W), n)
+    ).otherwise(F.array().cast("array<int>"))
     cuts = F.filter(
         pos,
         lambda p: (

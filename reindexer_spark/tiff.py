@@ -35,9 +35,43 @@ import struct
 
 from reindexer_spark.codecs import MediaFormatError
 
-# TIFF value types (spec §2): id → byte size of one value
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+# TIFF value types (spec §2): id → byte size of one value (incl. the
+# TIFF 6.0 FLOAT/DOUBLE types 11/12, which the GPS scrub must be able
+# to SIZE so their out-of-line bytes get zeroed)
+_TYPE_SIZE = {
+    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+    11: 4, 12: 8,
+}
 _MAX_IFD_ENTRIES = 512  # sanity cap: corrupt counts can't balloon walks
+
+
+def _quarantining(fn):
+    """Entry-point guard: ANY parser escape (struct.error on a
+    truncated header, TypeError/ValueError on type-confused tag
+    values, IndexError on short lists) becomes MediaFormatError — the
+    repo-wide codec quarantine contract, same shape as
+    codecs.decode_jpeg_baseline's wrapper."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except MediaFormatError:
+            raise
+        except (
+            struct.error,
+            ValueError,
+            TypeError,
+            IndexError,
+            KeyError,
+            OverflowError,
+        ) as exc:
+            raise MediaFormatError(
+                f"malformed TIFF/EXIF structure: {exc}"
+            ) from exc
+
+    return wrapped
 
 # IFD0 / Exif / GPS tag ids used here
 TAG_WIDTH = 256
@@ -137,10 +171,13 @@ def _tiff_header(payload: bytes) -> tuple[bool, int]:
         le = False
     else:
         raise MediaFormatError("not a TIFF payload")
+    if len(payload) < 8:
+        raise MediaFormatError("TIFF header truncated")
     (off,) = struct.unpack_from(_fmt(le) + "I", payload, 4)
     return le, off
 
 
+@_quarantining
 def probe_tiff(payload: bytes) -> dict:
     """Headers-only TIFF probe: dims + layout, zero sample bytes read."""
     le, off = _tiff_header(payload)
@@ -171,6 +208,7 @@ def probe_tiff(payload: bytes) -> dict:
     }
 
 
+@_quarantining
 def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
     """→ (width, height, RGB bytes) for the baseline subset; raises
     MediaFormatError for anything outside it (see module header)."""
@@ -246,7 +284,12 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
             import zlib
 
             try:
-                raw = zlib.decompress(raw)
+                # bounded inflate: the expected strip size is known, so
+                # never materialize more than want+1 bytes (a crafted
+                # few-KB strip must not balloon to GBs before the
+                # length check rejects it)
+                dec = zlib.decompressobj()
+                raw = dec.decompress(raw, want + 1)
             except zlib.error as exc:
                 raise MediaFormatError(
                     f"TIFF deflate strip: {exc}"
@@ -260,17 +303,20 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
         data += raw
     if len(data) != w * h * spp:
         raise MediaFormatError("TIFF strip data does not tile the image")
+    import numpy as np
+
+    a = np.frombuffer(bytes(data), dtype=np.uint8)
     if pi == 2:
         if spp == 3:
             rgb = bytes(data)
         else:  # extra samples (alpha): drop them
-            rgb = b"".join(
-                data[i : i + 3] for i in range(0, len(data), spp)
-            )
+            rgb = np.ascontiguousarray(
+                a.reshape(-1, spp)[:, :3]
+            ).tobytes()
     else:
         if pi == 0:  # WhiteIsZero: invert
-            data = bytearray(255 - b for b in data)
-        rgb = b"".join(bytes((v, v, v)) for v in data)
+            a = 255 - a
+        rgb = np.repeat(a, 3).tobytes()
     return w, h, rgb
 
 
@@ -302,10 +348,14 @@ def encode_tiff(
     spp = 1 if gray else 3
     if gray:
         # ITU-R BT.601 integer luma, same coefficients as rgb_to_yuv
-        sam = bytes(
-            (77 * rgb[i] + 150 * rgb[i + 1] + 29 * rgb[i + 2] + 128) >> 8
-            for i in range(0, len(rgb), 3)
+        import numpy as np
+
+        px = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3).astype(
+            np.int32
         )
+        sam = (
+            (77 * px[:, 0] + 150 * px[:, 1] + 29 * px[:, 2] + 128) >> 8
+        ).astype(np.uint8).tobytes()
     else:
         sam = rgb
     rps = rows_per_strip or max(1, (height + 1) // 2)
@@ -527,6 +577,7 @@ def _find_exif_app1(jpeg: bytes):
     return None
 
 
+@_quarantining
 def parse_exif(jpeg: bytes) -> dict | None:
     """EXIF metadata from a JPEG, or None when no Exif APP1 rides it.
     Keys: make, model, orientation, datetime, dt_original,
@@ -560,6 +611,11 @@ def parse_exif(jpeg: bytes) -> dict | None:
     if TAG_GPS_IFD in ifd0:
         gps, _ = read_ifd(block, ifd0[TAG_GPS_IFD]["values"][0], le)
         if GPS_LAT in gps and GPS_LON in gps:
+            if gps[GPS_LAT]["count"] != 3 or gps[GPS_LON]["count"] != 3:
+                raise MediaFormatError(
+                    "GPS coordinate rationals must be deg/min/sec "
+                    "triples"
+                )
 
             def milli(rats) -> int:
                 # exact inverse of _deg_to_rationals for its
@@ -586,34 +642,102 @@ def parse_exif(jpeg: bytes) -> dict | None:
     return out
 
 
+def _protected_ranges(block: bytes, le: bool, off: int) -> list:
+    """Byte ranges the GPS scrub must NEVER touch: IFD0 and the Exif
+    sub-IFD (spans + their out-of-line values) and, for bare TIFF
+    files, every strip's sample data.  A crafted GPS pointer aimed at
+    any of these quarantines instead of silently corrupting."""
+    f = _fmt(le)
+    out: list[tuple[int, int]] = []
+
+    def add_ifd(ioff: int) -> dict:
+        (n,) = struct.unpack_from(f + "H", block, ioff)
+        out.append((ioff, ioff + 2 + 12 * n + 4))
+        ent, _ = read_ifd(block, ioff, le)
+        for e in ent.values():
+            if e["val_size"] > 4:
+                out.append((e["val_off"], e["val_off"] + e["val_size"]))
+        return ent
+
+    ifd0 = add_ifd(off)
+    if TAG_EXIF_IFD in ifd0:
+        add_ifd(ifd0[TAG_EXIF_IFD]["values"][0])
+    so = ifd0.get(TAG_STRIP_OFFSETS)
+    sc = ifd0.get(TAG_STRIP_COUNTS)
+    if so is not None and sc is not None:
+        offs, cnts = so["values"], sc["values"]
+        if isinstance(offs, list) and isinstance(cnts, list):
+            for o, c in zip(offs, cnts):
+                if isinstance(o, int) and isinstance(c, int) and c > 0:
+                    out.append((o, o + c))
+    return out
+
+
 def _scrub_gps_block(block: bytearray) -> bool:
-    """Zero a TIFF block's GPS IFD in place (shared by the JPEG-APP1
-    and bare-TIFF scrubs): out-of-line values, then the entries and
-    next-IFD pointer, then the entry count.  Returns whether any GPS
+    """Zero a TIFF block's GPS IFD chain in place (shared by the
+    JPEG-APP1 and bare-TIFF scrubs): out-of-line values, then the
+    entries and next-IFD pointer, then the entry count — for EVERY
+    IFD on the GPS chain (a chained next pointer must not hide
+    coordinates).  Quarantines rather than scrubs when removal cannot
+    be GUARANTEED: a GPS entry of a type the walker cannot size
+    (possible unzeroed out-of-line bytes) or a zero range overlapping
+    image data / other metadata (a crafted pointer must not corrupt
+    pixels while claiming a clean scrub).  Returns whether any GPS
     data was present."""
     le, off = _tiff_header(bytes(block))
     f = _fmt(le)
     ifd0, _ = read_ifd(bytes(block), off, le)
     if TAG_GPS_IFD not in ifd0:
         return False
+    protected = _protected_ranges(bytes(block), le, off)
+
+    def clashes(a: int, b: int) -> bool:
+        return any(a < pe and ps < b for ps, pe in protected)
+
+    had = False
     goff = ifd0[TAG_GPS_IFD]["values"][0]
-    gps, _nxt = read_ifd(bytes(block), goff, le)
-    (n,) = struct.unpack_from(f + "H", block, goff)
-    if n == 0:
-        return False  # already empty (e.g. a prior scrub)
-    # zero out-of-line values first (entries still describe them)
-    for e in gps.values():
-        if e["val_size"] > 4:
-            block[e["val_off"] : e["val_off"] + e["val_size"]] = bytes(
-                e["val_size"]
+    for _hop in range(8):  # chain bound: corrupt cycles can't spin
+        gps, nxt = read_ifd(bytes(block), goff, le)
+        (n,) = struct.unpack_from(f + "H", block, goff)
+        if n == 0:
+            break  # already empty (e.g. a prior scrub)
+        # every entry must be SIZEABLE, or its out-of-line bytes could
+        # survive the scrub — refuse to claim success
+        for i in range(n):
+            e = goff + 2 + 12 * i
+            _tag, typ, cnt = struct.unpack_from(f + "HHI", block, e)
+            if typ not in _TYPE_SIZE:
+                raise MediaFormatError(
+                    "GPS IFD entry of unknown type: removal cannot "
+                    "be guaranteed"
+                )
+        span = 2 + 12 * n + 4
+        if clashes(goff, goff + span):
+            raise MediaFormatError(
+                "GPS IFD overlaps image data or other metadata"
             )
-    # then the entries and the next-IFD pointer, then the count
-    span = 2 + 12 * n + 4
-    block[goff + 2 : goff + span] = bytes(span - 2)
-    struct.pack_into(f + "H", block, goff, 0)
-    return True
+        # zero out-of-line values first (entries still describe them)
+        for e in gps.values():
+            if e["val_size"] > 4:
+                if clashes(e["val_off"], e["val_off"] + e["val_size"]):
+                    raise MediaFormatError(
+                        "GPS value overlaps image data or other "
+                        "metadata"
+                    )
+                block[
+                    e["val_off"] : e["val_off"] + e["val_size"]
+                ] = bytes(e["val_size"])
+        # then the entries and the next-IFD pointer, then the count
+        block[goff + 2 : goff + span] = bytes(span - 2)
+        struct.pack_into(f + "H", block, goff, 0)
+        had = True
+        if not nxt:
+            break
+        goff = nxt
+    return had
 
 
+@_quarantining
 def scrub_exif_gps(jpeg: bytes) -> tuple[bytes, bool]:
     """Remove GPS data from a JPEG's EXIF IN PLACE: the GPS IFD's
     entry count becomes 0 and every entry plus its out-of-line value
@@ -633,6 +757,7 @@ def scrub_exif_gps(jpeg: bytes) -> tuple[bytes, bool]:
     return bytes(out), True
 
 
+@_quarantining
 def scrub_tiff_gps(payload: bytes) -> tuple[bytes, bool]:
     """The bare-TIFF twin of :func:`scrub_exif_gps`: TIFF files carry
     the same GPSInfo IFD (tag 34853) directly in IFD0 — zero it in
