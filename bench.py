@@ -193,6 +193,7 @@ EXTENDED = [
     "image_orient_normalize",
     "stream_cdc_dedup_live",
     "embed_matryoshka_recall",
+    "text_contamination_bloom",
 ]
 
 

@@ -2516,3 +2516,212 @@ def text_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Bloom decontamination parameters: M bits, K md5-derived positions per
+# shingle.  Deterministic (no seed) so DuckDB replays the arithmetic.
+# Sizing note: a deployment sizes M to the BENCHMARK (fixed, small —
+# ~10 bits per member for ~1% FP); the fixture's stand-in benchmark is
+# a whole corpus source and grows with sf, so the lane's
+# n_false_positive column honestly shows the filter saturating when
+# 3x|bench| approaches M — that saturation behavior is itself part of
+# what the lane measures.
+BLOOM_M = 1 << 16
+BLOOM_K = 3
+
+
+def _bloom_pos_sql(col: str, j: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5({col}), {1 + 4 * j}, 4)) AS INT) "
+        f"% {BLOOM_M}"
+    )
+
+
+@query(
+    "text_contamination_bloom",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ), shingles AS (
+      SELECT doc_id, source, unnest({_shingle_sql(SHINGLE_K)}) AS sh FROM docs
+    ), bench AS (
+      SELECT DISTINCT sh FROM shingles WHERE source = '{BENCH_SOURCE}'
+    ), bits AS (
+      SELECT DISTINCT unnest([
+        {", ".join(_bloom_pos_sql("sh", j) for j in range(BLOOM_K))}
+      ]) AS b FROM bench
+    ), cand AS (
+      SELECT DISTINCT doc_id, sh
+      FROM shingles WHERE source <> '{BENCH_SOURCE}'
+    ), flagged AS (
+      SELECT doc_id, sh,
+        ({" AND ".join(
+            f"{_bloom_pos_sql('sh', j)} IN (SELECT b FROM bits)"
+            for j in range(BLOOM_K)
+        )}) AS bloom_hit
+      FROM cand
+    ), verified AS (
+      SELECT f.doc_id, f.sh, f.bloom_hit,
+             (f.bloom_hit AND b.sh IS NOT NULL) AS exact_hit
+      FROM flagged f LEFT JOIN bench b
+        ON f.bloom_hit AND f.sh = b.sh
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_hits,
+           CAST(SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(SUM(CASE WHEN bloom_hit AND NOT exact_hit THEN 1
+                    ELSE 0 END) AS BIGINT) AS n_false_positive,
+           CAST(SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS contamination,
+           CAST(SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) >= 0.8 AS is_contaminated
+    FROM verified
+    GROUP BY doc_id
+    """,
+)
+def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-PREFILTERED decontamination (round 14 — the scale path
+    next to text_contamination): the benchmark shingle set is folded
+    into a FIXED-SIZE bit array (BLOOM_M bits, BLOOM_K md5-derived
+    positions per shingle) that broadcasts as a literal — kilobytes
+    regardless of benchmark size, where the exact lane broadcasts the
+    full shingle STRINGS — and every corpus shingle is tested
+    MAP-SIDE with three integer bit probes.  Only bloom-flagged
+    shingles reach the exact verify join, so the corpus-side join
+    input shrinks by the true-negative rate (at a realistic
+    benchmark/corpus ratio, almost everything).
+
+    Per document: n_shingles, n_bloom_hits (prefilter), n_exact
+    (verified), n_false_positive (= bloom − exact, the filter's
+    measured FP cost), contamination and the SAME is_contaminated
+    decision as text_contamination — the prefilter is LOSSLESS by
+    construction (a true member's positions are all set; the oracle
+    recomputes both stages independently, so a bit-arithmetic drift
+    fails the gate).
+
+    Scale shape: ONE driver collect of the benchmark's bit positions
+    (≤ BLOOM_M ints — the join_bloom_prune precedent: a bounded
+    dimension-side aggregate feeding a broadcast bitset), then the
+    corpus side is a map-side filter + the shrunken broadcast verify
+    join; the 100 TB side never shuffles."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    )
+    wcol = F.col("w")
+    k = SHINGLE_K
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.size(wcol) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(wcol) - (k - 1)),
+                    lambda i: F.array_join(F.slice(wcol, i, k), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("sh"),
+    )
+
+    def pos(col, j):
+        return (
+            F.conv(F.substring(F.md5(col), 1 + 4 * j, 4), 16, 10)
+            .cast("int")
+            % BLOOM_M
+        )
+
+    bench = (
+        sh.filter(F.col("source") == BENCH_SOURCE).select("sh").distinct()
+    )
+    # the ONE driver collect: bounded by BLOOM_M regardless of corpus
+    # or benchmark size (positions, not shingles)
+    bit_rows = (
+        bench.select(
+            F.explode(
+                F.array(*[pos(F.col("sh"), j) for j in range(BLOOM_K)])
+            ).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    bits = set(r["b"] for r in bit_rows)
+    mask = [0] * ((BLOOM_M + 63) // 64)
+    for b in bits:
+        mask[b // 64] |= 1 << (b % 64)
+    # two's complement: bit 63 pushes the word past signed int64, and
+    # Spark literals are signed — bitwiseAND is bit-pattern-exact
+    # either way
+    mask_lit = F.array(
+        *[
+            F.lit(m - (1 << 64) if m >= (1 << 63) else m).cast("bigint")
+            for m in mask
+        ]
+    )
+
+    cand = (
+        sh.filter(F.col("source") != BENCH_SOURCE)
+        .select("doc_id", "sh")
+        .distinct()
+    )
+    # JVM-side bit probe per hash: mask[p//64] AND single-bit[p%64] —
+    # the whole prefilter is a map-side expression over two broadcast
+    # literal arrays, no Python and no shuffle (shiftleft takes only
+    # a literal shift count, so the 64 single-bit masks are an
+    # indexed literal array instead)
+    onebit = F.array(
+        *[
+            F.lit(
+                (1 << i) - (1 << 64) if i == 63 else (1 << i)
+            ).cast("bigint")
+            for i in range(64)
+        ]
+    )
+    hit = F.lit(True)
+    for j in range(BLOOM_K):
+        p = pos(F.col("sh"), j)
+        word = F.element_at(mask_lit, (p / F.lit(64)).cast("int") + 1)
+        test = (
+            word.bitwiseAND(
+                F.element_at(onebit, (p % 64).cast("int") + 1)
+            )
+            != 0
+        )
+        hit = hit & test
+    probed = cand.withColumn("bloom_hit", hit)
+    # the verify join: only bloom-flagged rows can match, the rest
+    # carry bloom_hit=false straight to the aggregate
+    verified = probed.join(
+        F.broadcast(bench.select(F.col("sh"), F.lit(1).alias("bmark"))),
+        "sh",
+        "left",
+    ).withColumn(
+        "exact_hit", F.col("bloom_hit") & F.col("bmark").isNotNull()
+    )
+    return (
+        verified.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.col("bloom_hit").cast("int")).alias("n_bloom_hits"),
+            F.sum(F.col("exact_hit").cast("int")).alias("n_exact"),
+            F.sum(
+                (F.col("bloom_hit") & ~F.col("exact_hit")).cast("int")
+            ).alias("n_false_positive"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_bloom_hits",
+            "n_exact",
+            "n_false_positive",
+            (F.col("n_exact").cast("double") / F.col("n_shingles")).alias(
+                "contamination"
+            ),
+            (
+                F.col("n_exact").cast("double") / F.col("n_shingles")
+                >= 0.8
+            ).alias("is_contaminated"),
+        )
+    )

@@ -288,3 +288,28 @@ def test_key_skew_topk_is_reduce_not_global_window(spark, sf_dir):
     at scale); the 10-row rank/cumsum windows that remain are bounded."""
     plan = plan_of(spark, "dq_key_skew", sf_dir)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_decontamination_prefilter_is_lossless(spark, sf_dir):
+    """text_contamination_bloom must reach the IDENTICAL per-doc
+    verdicts as the exact lane (the bloom prefilter can only add
+    false positives, never lose a true hit), with a pure-JVM plan."""
+    from reindexer_spark.operators.text_clean import (
+        text_contamination,
+        text_contamination_bloom,
+    )
+
+    bl = text_contamination_bloom(spark, sf_dir)
+    plan = bl._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    rows = {r["doc_id"]: r for r in bl.collect()}
+    exact = {
+        r["doc_id"]: r
+        for r in text_contamination(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(exact)
+    for d, r in rows.items():
+        assert r["n_exact"] == exact[d]["n_overlap"], d
+        assert r["is_contaminated"] == exact[d]["is_contaminated"], d
+        assert r["n_bloom_hits"] >= r["n_exact"], d
+        assert r["n_false_positive"] == r["n_bloom_hits"] - r["n_exact"]
