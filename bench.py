@@ -194,6 +194,7 @@ EXTENDED = [
     "stream_cdc_dedup_live",
     "embed_matryoshka_recall",
     "text_contamination_bloom",
+    "text_wordpiece_train",
 ]
 
 

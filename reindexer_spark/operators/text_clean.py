@@ -2725,3 +2725,199 @@ def text_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_contaminated"),
         )
     )
+
+
+WP_MERGES = 3  # plan-unrolled merge iterations (the BPE pattern)
+
+_WP_PAIRS = """
+      SELECT l[i] AS a, l[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS f
+      FROM (SELECT string_split(s, ' ') AS l, freq FROM {src})
+      CROSS JOIN unnest(range(1, len(l))) AS r(i)
+      GROUP BY 1, 2
+"""
+_WP_SYMS = """
+      SELECT l[i] AS sym, CAST(SUM(freq) AS BIGINT) AS sf
+      FROM (SELECT string_split(s, ' ') AS l, freq FROM {src})
+      CROSS JOIN unnest(range(1, len(l) + 1)) AS r(i)
+      GROUP BY 1
+"""
+_WP_BEST = """
+      SELECT p.a, p.b, p.f, p.f / (sa.sf * sb.sf) AS score
+      FROM p{k} p
+      JOIN sy{k} sa ON sa.sym = p.a
+      JOIN sy{k} sb ON sb.sym = p.b
+      ORDER BY score DESC, p.a, p.b LIMIT 1
+"""
+_WP_APPLY = """
+      SELECT w, freq,
+             trim(replace(
+               replace(' ' || replace(s, ' ', '  ') || ' ',
+                       ' ' || a || '  ' || b || ' ',
+                       ' ' || a || b || ' '),
+               '  ', ' ')) AS s
+      FROM v{prev} CROSS JOIN b{k}
+"""
+
+
+def _wp_oracle() -> str:
+    parts = [
+        """
+    WITH words AS (
+      SELECT w, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) >= 2
+      GROUP BY w
+    ),
+    v0 AS (
+      SELECT w, freq,
+             rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s
+      FROM words
+    )"""
+    ]
+    for k in range(1, WP_MERGES + 1):
+        prev = k - 1
+        parts.append(
+            f", p{k} AS ({_WP_PAIRS.format(src=f'v{prev}')})"
+            f", sy{k} AS ({_WP_SYMS.format(src=f'v{prev}')})"
+            f", b{k} AS ({_WP_BEST.format(k=k)})"
+            f", v{k} AS ({_WP_APPLY.format(prev=prev, k=k)})"
+        )
+    selects = [
+        f"""
+    SELECT {k} AS step, a || '+' || b AS merge_pair, f AS pair_freq,
+           score,
+           (SELECT CAST(SUM(freq * len(string_split(s, ' '))) AS BIGINT)
+            FROM v{k}) AS corpus_tokens_after
+    FROM b{k}"""
+        for k in range(1, WP_MERGES + 1)
+    ]
+    return "".join(parts) + " UNION ALL ".join(selects) + " ORDER BY step"
+
+
+@query("text_wordpiece_train", oracle=_wp_oracle())
+def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer TRAINING — the third trainer next to BPE
+    and unigram, value-exact: same character-symbol start and greedy
+    merge apply as text_bpe_train, but each iteration picks the pair
+    maximizing the LIKELIHOOD score freq(ab) / (freq(a) * freq(b))
+    (the published WordPiece criterion: merge what co-occurs more
+    than chance, not what is merely frequent — rare-but-coherent
+    morphemes win over ubiquitous-letter pairs).  The score is an
+    int64/int64 IEEE double division both engines compute bit-
+    identically (operands are exact below 2^53), with (a, b) as the
+    deterministic tie-break.
+
+    Emits the merge table: pair, raw pair frequency, score, and the
+    post-merge corpus token count.  Against the BPE lane on the same
+    corpus the CHOSEN PAIRS differ — that divergence is the point of
+    the criterion and is pinned in tests.
+
+    Scale shape: identical to text_bpe_train — the only corpus-sized
+    operation is the initial word-frequency aggregation; every
+    iteration runs over the VOCABULARY relation (pair stats + symbol
+    stats + a broadcast 1-row best-pair join), so at 100 TB each
+    merge costs two vocab-sized aggregations regardless of corpus
+    size."""
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    v = words.withColumn(
+        "s", F.rtrim(F.regexp_replace("w", "(.)", "$1 "))
+    )
+
+    def pair_stats(vv: DataFrame) -> DataFrame:
+        l = F.split("s", " ")
+        pairs = F.when(
+            F.size(l) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(l) - 1),
+                lambda i: F.struct(
+                    F.element_at(l, i).alias("a"),
+                    F.element_at(l, i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        return (
+            vv.select(F.explode(pairs).alias("p"), "freq")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").cast("bigint").alias("f"))
+        )
+
+    def sym_stats(vv: DataFrame) -> DataFrame:
+        return (
+            vv.select(F.explode(F.split("s", " ")).alias("sym"), "freq")
+            .groupBy("sym")
+            .agg(F.sum("freq").cast("bigint").alias("sf"))
+        )
+
+    def best_pair(vv: DataFrame) -> DataFrame:
+        p = pair_stats(vv)
+        sy = sym_stats(vv)
+        return (
+            p.join(
+                sy.select(
+                    F.col("sym").alias("a"), F.col("sf").alias("fa")
+                ),
+                "a",
+            )
+            .join(
+                sy.select(
+                    F.col("sym").alias("b"), F.col("sf").alias("fb")
+                ),
+                "b",
+            )
+            .withColumn("score", F.col("f") / (F.col("fa") * F.col("fb")))
+            .orderBy(F.desc("score"), "a", "b")
+            .limit(1)
+            .select("a", "b", "f", "score")
+        )
+
+    def apply_merge(vv: DataFrame, best: DataFrame) -> DataFrame:
+        doubled = F.concat(
+            F.lit(" "), F.replace("s", F.lit(" "), F.lit("  ")), F.lit(" ")
+        )
+        pat = F.concat(
+            F.lit(" "), F.col("a"), F.lit("  "), F.col("b"), F.lit(" ")
+        )
+        rep = F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" "))
+        return (
+            vv.crossJoin(F.broadcast(best))
+            .withColumn(
+                "s",
+                F.trim(
+                    F.replace(
+                        F.replace(doubled, pat, rep),
+                        F.lit("  "),
+                        F.lit(" "),
+                    )
+                ),
+            )
+            .drop("a", "b", "f", "score")
+        )
+
+    out_rows = []
+    for step in range(1, WP_MERGES + 1):
+        best = best_pair(v)
+        v = apply_merge(v, best)
+        tokens_after = v.agg(
+            F.sum(F.col("freq") * F.size(F.split("s", " ")))
+            .cast("bigint")
+            .alias("corpus_tokens_after")
+        )
+        out_rows.append(
+            best.crossJoin(tokens_after).select(
+                F.lit(step).alias("step"),
+                F.concat("a", F.lit("+"), "b").alias("merge_pair"),
+                F.col("f").alias("pair_freq"),
+                "score",
+                "corpus_tokens_after",
+            )
+        )
+    res = out_rows[0]
+    for r in out_rows[1:]:
+        res = res.unionAll(r)
+    return res.orderBy("step")

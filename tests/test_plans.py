@@ -313,3 +313,23 @@ def test_bloom_decontamination_prefilter_is_lossless(spark, sf_dir):
         assert r["is_contaminated"] == exact[d]["is_contaminated"], d
         assert r["n_bloom_hits"] >= r["n_exact"], d
         assert r["n_false_positive"] == r["n_bloom_hits"] - r["n_exact"]
+
+
+def test_wordpiece_criterion_diverges_from_bpe(spark, sf_dir):
+    """The likelihood score must pick DIFFERENT merges than raw pair
+    frequency on the same corpus (otherwise the lane adds nothing),
+    and its corpus token count must still decrease monotonically."""
+    from reindexer_spark.operators.text_clean import (
+        text_bpe_train,
+        text_wordpiece_train,
+    )
+
+    wp = text_wordpiece_train(spark, sf_dir).collect()
+    bpe = text_bpe_train(spark, sf_dir).collect()
+    assert [r["step"] for r in wp] == [1, 2, 3]
+    wp_pairs = [r["merge_pair"] for r in wp]
+    bpe_pairs = [r["merge_pair"] for r in bpe]
+    assert wp_pairs != bpe_pairs, (wp_pairs, bpe_pairs)
+    toks = [r["corpus_tokens_after"] for r in wp]
+    assert toks == sorted(toks, reverse=True)
+    assert all(r["score"] > 0 for r in wp)
