@@ -195,6 +195,7 @@ EXTENDED = [
     "embed_matryoshka_recall",
     "text_contamination_bloom",
     "text_wordpiece_train",
+    "embed_coreset_kcenter",
 ]
 
 

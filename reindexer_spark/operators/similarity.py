@@ -2097,3 +2097,162 @@ def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sel.append(f"recall_d{d}")
     return res.select(*sel)
+
+
+KCENTER_K = 4  # plan-unrolled farthest-point iterations
+
+
+def _kc_maxsim_sql(cands: str, centers: str) -> str:
+    """Per candidate: max cosine to any chosen center (the INVERSE of
+    its k-center distance-to-coverage)."""
+    return f"""
+      SELECT c.vec_id,
+             MAX(list_cosine_similarity(c.embedding::DOUBLE[],
+                                        z.embedding::DOUBLE[])) AS ms
+      FROM {cands} c CROSS JOIN {centers} z
+      GROUP BY c.vec_id
+    """
+
+
+def _kcenter_oracle() -> str:
+    parts = [
+        """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    c1 AS (SELECT vec_id, embedding FROM e
+           ORDER BY vec_id LIMIT 1)"""
+    ]
+    prev_centers = "c1"
+    for k in range(2, KCENTER_K + 1):
+        parts.append(
+            f""",
+    m{k} AS ({_kc_maxsim_sql("e", prev_centers)}),
+    pick{k} AS (
+      SELECT m{k}.vec_id, m{k}.ms FROM m{k}
+      JOIN e USING (vec_id)
+      WHERE m{k}.vec_id NOT IN (SELECT vec_id FROM {prev_centers})
+      ORDER BY m{k}.ms ASC, m{k}.vec_id LIMIT 1
+    ),
+    c{k} AS (
+      SELECT * FROM {prev_centers}
+      UNION ALL
+      SELECT e.vec_id, e.embedding FROM e
+      JOIN pick{k} USING (vec_id)
+    )"""
+        )
+        prev_centers = f"c{k}"
+    parts.append(
+        f""",
+    cov AS ({_kc_maxsim_sql("e", prev_centers)}),
+    radius AS (
+      SELECT MIN(ms) AS worst_sim FROM cov
+      WHERE vec_id NOT IN (SELECT vec_id FROM {prev_centers})
+    ),
+    sel AS (
+      SELECT 1 AS step,
+             (SELECT vec_id FROM c1) AS center_id,
+             CAST(NULL AS DOUBLE) AS sel_sim
+      {"".join(
+          f" UNION ALL SELECT {k}, (SELECT vec_id FROM pick{k}), "
+          f"(SELECT ms FROM pick{k})"
+          for k in range(2, KCENTER_K + 1)
+      )}
+    )
+    SELECT sel.step, sel.center_id, sel.sel_sim, radius.worst_sim
+    FROM sel CROSS JOIN radius
+    ORDER BY sel.step"""
+    )
+    return "".join(parts)
+
+
+@query("embed_coreset_kcenter", oracle=_kcenter_oracle())
+def embed_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORESET SELECTION by farthest-point sampling (Gonzalez k-center
+    greedy) — the diversity-maximizing subset picker behind active
+    learning and "select the most diverse N examples" curation: start
+    from the lowest vec_id, then repeatedly add the vector whose
+    nearest chosen center is FARTHEST (here: whose max cosine to the
+    chosen set is SMALLEST — cosine as the inverse distance, ties to
+    the lower vec_id).  Plan-unrolled {KCENTER_K} iterations, each a
+    broadcast join of the tiny center set against the corpus and one
+    aggregation — no driver collect, the embed_kmeans_lloyd pattern.
+
+    Output: one row per selection step (center id + its coverage
+    similarity at selection — step 1's is NULL, nothing was chosen
+    yet) and ``worst_sim``, the final k-center objective: the
+    LEAST-covered non-center vector's similarity to its nearest
+    center (higher = the coreset covers the corpus better; the greedy
+    guarantees 2-approximation of the optimum in distance terms).
+
+    Scale shape: each iteration scans the corpus once against ≤ K
+    broadcast centers (map-side max, one shuffle to pick the argmin);
+    K iterations total — exactly how farthest-point sampling runs on
+    a 100 TB embedding table, and why it beats pairwise-diversity
+    objectives that need O(n²)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    centers = e.orderBy("vec_id").limit(1)
+    rows = [(1, centers, None)]
+    for k in range(2, KCENTER_K + 1):
+        cz = centers.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cemb"),
+        )
+        ms = (
+            e.crossJoin(F.broadcast(cz))
+            .select(
+                "vec_id",
+                "embedding",
+                cosine_similarity(
+                    F.col("embedding"), F.col("cemb")
+                ).alias("sim"),
+                "cid",
+            )
+            .groupBy("vec_id")
+            .agg(F.max("sim").alias("ms"))
+        )
+        chosen = centers.select(F.col("vec_id").alias("xid"))
+        pick = (
+            ms.join(chosen, ms["vec_id"] == chosen["xid"], "left_anti")
+            .orderBy(F.asc("ms"), "vec_id")
+            .limit(1)
+        )
+        pick_full = e.join(
+            F.broadcast(pick.select("vec_id", "ms")), "vec_id"
+        )
+        rows.append((k, pick_full, None))
+        centers = centers.unionAll(
+            pick_full.select("vec_id", "embedding")
+        )
+    # final objective: the least-covered non-center vector
+    cz = centers.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    cov = (
+        e.crossJoin(F.broadcast(cz))
+        .select(
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("cemb")).alias(
+                "sim"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("sim").alias("ms"))
+        .join(
+            centers.select(F.col("vec_id").alias("xid")),
+            F.col("vec_id") == F.col("xid"),
+            "left_anti",
+        )
+        .agg(F.min("ms").alias("worst_sim"))
+    )
+    out = None
+    for k, df, _ in rows:
+        r = df.select(
+            F.lit(k).alias("step"),
+            F.col("vec_id").alias("center_id"),
+            (
+                F.col("ms") if k > 1 else F.lit(None).cast("double")
+            ).alias("sel_sim"),
+        )
+        out = r if out is None else out.unionAll(r)
+    return out.crossJoin(F.broadcast(cov)).orderBy("step")
