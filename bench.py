@@ -196,6 +196,7 @@ EXTENDED = [
     "text_contamination_bloom",
     "text_wordpiece_train",
     "embed_coreset_kcenter",
+    "layout_hilbert_key",
 ]
 
 

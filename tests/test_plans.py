@@ -333,3 +333,43 @@ def test_wordpiece_criterion_diverges_from_bpe(spark, sf_dir):
     toks = [r["corpus_tokens_after"] for r in wp]
     assert toks == sorted(toks, reverse=True)
     assert all(r["score"] > 0 for r in wp)
+
+
+def test_hilbert_key_is_a_space_filling_curve(spark):
+    """Exhaustive external pin over the full 16x16 grid: the Hilbert
+    keys are a permutation of 0..255 AND every pair of CONSECUTIVE
+    keys maps to grid-ADJACENT cells (|dx|+|dy| == 1) — the defining
+    locality property, which the Morton key provably lacks (checked
+    too: Z-order has non-adjacent jumps).  No shared code can fake
+    this: the property is independent of the implementation."""
+    from reindexer_spark.operators.layout import hilbert_key, morton_key
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x int, y int"
+    )
+    rows = grid.select(
+        "x", "y", hilbert_key("x", "y", bits=4).alias("h"),
+        morton_key("x", "y", bits=4).alias("z"),
+    ).collect()
+    hmap = {r["h"]: (r["x"], r["y"]) for r in rows}
+    assert sorted(hmap) == list(range(256))  # permutation
+    h_jumps = sum(
+        abs(hmap[k][0] - hmap[k + 1][0])
+        + abs(hmap[k][1] - hmap[k + 1][1])
+        != 1
+        for k in range(255)
+    )
+    assert h_jumps == 0  # every consecutive pair adjacent
+    zmap = {r["z"]: (r["x"], r["y"]) for r in rows}
+    z_jumps = sum(
+        abs(zmap[k][0] - zmap[k + 1][0])
+        + abs(zmap[k][1] - zmap[k + 1][1])
+        != 1
+        for k in range(255)
+    )
+    assert z_jumps > 0  # Morton's diagonal seams — the contrast
+    # the n=2 quadrant order under this implementation's axis
+    # convention (x-first; the transpose is the equally-valid
+    # reflected curve): (0,0) -> (1,0) -> (1,1) -> (0,1)
+    first4 = [hmap[k] for k in range(4)]
+    assert first4 == [(0, 0), (1, 0), (1, 1), (0, 1)]
