@@ -577,6 +577,29 @@ def _find_exif_app1(jpeg: bytes):
     return None
 
 
+def _find_all_exif_app1(jpeg: bytes) -> list:
+    """EVERY Exif APP1 in the marker stream as [(seg_start,
+    tiff_start, tiff_len)].  A writer should emit at most one, but
+    adversarial crawled files carry duplicates — the GPS scrub must
+    visit all of them or location data survives in the second
+    segment (ADVICE r15)."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise MediaFormatError("not a JPEG payload (missing SOI)")
+    out = []
+    pos = 2
+    while pos + 4 <= len(jpeg):
+        if jpeg[pos] != 0xFF:
+            raise MediaFormatError("JPEG marker desync")
+        marker = jpeg[pos + 1]
+        if marker in (0xDA, 0xD9):  # SOS / EOI: no headers past here
+            break
+        (length,) = struct.unpack_from(">H", jpeg, pos + 2)
+        if marker == 0xE1 and jpeg[pos + 4 : pos + 10] == _EXIF_HEAD:
+            out.append((pos, pos + 10, length - 2 - 6))
+        pos += 2 + length
+    return out
+
+
 @_quarantining
 def parse_exif(jpeg: bytes) -> dict | None:
     """EXIF metadata from a JPEG, or None when no Exif APP1 rides it.
@@ -642,11 +665,38 @@ def parse_exif(jpeg: bytes) -> dict | None:
     return out
 
 
+# A legitimate multi-page TIFF carries one IFD per page on IFD0's
+# next-IFD chain; bound the walk generously but FINITELY so a crafted
+# cycle quarantines instead of spinning.
+_MAX_MAIN_IFD_HOPS = 64
+
+
+def _main_ifd_chain(block: bytes, le: bool, off: int) -> list:
+    """Every IFD on the main (IFD0 → IFD1 → …) chain as
+    [(offset, entries)].  Raises when the chain exceeds
+    ``_MAX_MAIN_IFD_HOPS`` — an unbounded/cyclic chain could hide a
+    GPS pointer past the walk, so the scrub must quarantine rather
+    than claim success (ADVICE r15)."""
+    out = []
+    ioff = off
+    for _hop in range(_MAX_MAIN_IFD_HOPS):
+        ent, nxt = read_ifd(block, ioff, le)
+        out.append((ioff, ent))
+        if not nxt:
+            return out
+        ioff = nxt
+    raise MediaFormatError(
+        "TIFF main IFD chain too long or cyclic: GPS removal cannot "
+        "be guaranteed"
+    )
+
+
 def _protected_ranges(block: bytes, le: bool, off: int) -> list:
-    """Byte ranges the GPS scrub must NEVER touch: IFD0 and the Exif
-    sub-IFD (spans + their out-of-line values) and, for bare TIFF
-    files, every strip's sample data.  A crafted GPS pointer aimed at
-    any of these quarantines instead of silently corrupting."""
+    """Byte ranges the GPS scrub must NEVER touch: every IFD on the
+    main chain (IFD0, IFD1, …) and each one's Exif sub-IFD (spans +
+    their out-of-line values) and, for bare TIFF files, every strip's
+    sample data.  A crafted GPS pointer aimed at any of these
+    quarantines instead of silently corrupting."""
     f = _fmt(le)
     out: list[tuple[int, int]] = []
 
@@ -659,17 +709,18 @@ def _protected_ranges(block: bytes, le: bool, off: int) -> list:
                 out.append((e["val_off"], e["val_off"] + e["val_size"]))
         return ent
 
-    ifd0 = add_ifd(off)
-    if TAG_EXIF_IFD in ifd0:
-        add_ifd(ifd0[TAG_EXIF_IFD]["values"][0])
-    so = ifd0.get(TAG_STRIP_OFFSETS)
-    sc = ifd0.get(TAG_STRIP_COUNTS)
-    if so is not None and sc is not None:
-        offs, cnts = so["values"], sc["values"]
-        if isinstance(offs, list) and isinstance(cnts, list):
-            for o, c in zip(offs, cnts):
-                if isinstance(o, int) and isinstance(c, int) and c > 0:
-                    out.append((o, o + c))
+    for ioff, ent in _main_ifd_chain(block, le, off):
+        ifd = add_ifd(ioff)
+        if TAG_EXIF_IFD in ifd:
+            add_ifd(ifd[TAG_EXIF_IFD]["values"][0])
+        so = ifd.get(TAG_STRIP_OFFSETS)
+        sc = ifd.get(TAG_STRIP_COUNTS)
+        if so is not None and sc is not None:
+            offs, cnts = so["values"], sc["values"]
+            if isinstance(offs, list) and isinstance(cnts, list):
+                for o, c in zip(offs, cnts):
+                    if isinstance(o, int) and isinstance(c, int) and c > 0:
+                        out.append((o, o + c))
     return out
 
 
@@ -678,16 +729,25 @@ def _scrub_gps_block(block: bytearray) -> bool:
     JPEG-APP1 and bare-TIFF scrubs): out-of-line values, then the
     entries and next-IFD pointer, then the entry count — for EVERY
     IFD on the GPS chain (a chained next pointer must not hide
-    coordinates).  Quarantines rather than scrubs when removal cannot
-    be GUARANTEED: a GPS entry of a type the walker cannot size
-    (possible unzeroed out-of-line bytes) or a zero range overlapping
+    coordinates) hanging off EVERY main-chain IFD (IFD0, IFD1, … —
+    a GPS pointer on a later page must not survive; ADVICE r15).
+    Quarantines rather than scrubs when removal cannot be
+    GUARANTEED: a GPS entry of a type the walker cannot size
+    (possible unzeroed out-of-line bytes), a zero range overlapping
     image data / other metadata (a crafted pointer must not corrupt
-    pixels while claiming a clean scrub).  Returns whether any GPS
-    data was present."""
+    pixels while claiming a clean scrub), or a GPS/main chain longer
+    than the walk bound (hop-9+ IFDs would keep their coordinates
+    while the scrub claimed success).  Returns whether any GPS data
+    was present."""
     le, off = _tiff_header(bytes(block))
     f = _fmt(le)
-    ifd0, _ = read_ifd(bytes(block), off, le)
-    if TAG_GPS_IFD not in ifd0:
+    main = _main_ifd_chain(bytes(block), le, off)
+    gps_roots = [
+        ent[TAG_GPS_IFD]["values"][0]
+        for _ioff, ent in main
+        if TAG_GPS_IFD in ent
+    ]
+    if not gps_roots:
         return False
     protected = _protected_ranges(bytes(block), le, off)
 
@@ -695,45 +755,56 @@ def _scrub_gps_block(block: bytearray) -> bool:
         return any(a < pe and ps < b for ps, pe in protected)
 
     had = False
-    goff = ifd0[TAG_GPS_IFD]["values"][0]
-    for _hop in range(8):  # chain bound: corrupt cycles can't spin
-        gps, nxt = read_ifd(bytes(block), goff, le)
-        (n,) = struct.unpack_from(f + "H", block, goff)
-        if n == 0:
-            break  # already empty (e.g. a prior scrub)
-        # every entry must be SIZEABLE, or its out-of-line bytes could
-        # survive the scrub — refuse to claim success
-        for i in range(n):
-            e = goff + 2 + 12 * i
-            _tag, typ, cnt = struct.unpack_from(f + "HHI", block, e)
-            if typ not in _TYPE_SIZE:
-                raise MediaFormatError(
-                    "GPS IFD entry of unknown type: removal cannot "
-                    "be guaranteed"
-                )
-        span = 2 + 12 * n + 4
-        if clashes(goff, goff + span):
-            raise MediaFormatError(
-                "GPS IFD overlaps image data or other metadata"
-            )
-        # zero out-of-line values first (entries still describe them)
-        for e in gps.values():
-            if e["val_size"] > 4:
-                if clashes(e["val_off"], e["val_off"] + e["val_size"]):
+    for goff in gps_roots:
+        nxt = 0
+        for _hop in range(8):  # chain bound: corrupt cycles can't spin
+            gps, nxt = read_ifd(bytes(block), goff, le)
+            (n,) = struct.unpack_from(f + "H", block, goff)
+            if n == 0:
+                nxt = 0
+                break  # already empty (e.g. a prior scrub)
+            # every entry must be SIZEABLE, or its out-of-line bytes
+            # could survive the scrub — refuse to claim success
+            for i in range(n):
+                e = goff + 2 + 12 * i
+                _tag, typ, cnt = struct.unpack_from(f + "HHI", block, e)
+                if typ not in _TYPE_SIZE:
                     raise MediaFormatError(
-                        "GPS value overlaps image data or other "
-                        "metadata"
+                        "GPS IFD entry of unknown type: removal cannot "
+                        "be guaranteed"
                     )
-                block[
-                    e["val_off"] : e["val_off"] + e["val_size"]
-                ] = bytes(e["val_size"])
-        # then the entries and the next-IFD pointer, then the count
-        block[goff + 2 : goff + span] = bytes(span - 2)
-        struct.pack_into(f + "H", block, goff, 0)
-        had = True
-        if not nxt:
-            break
-        goff = nxt
+            span = 2 + 12 * n + 4
+            if clashes(goff, goff + span):
+                raise MediaFormatError(
+                    "GPS IFD overlaps image data or other metadata"
+                )
+            # zero out-of-line values first (entries still describe
+            # them)
+            for e in gps.values():
+                if e["val_size"] > 4:
+                    if clashes(e["val_off"], e["val_off"] + e["val_size"]):
+                        raise MediaFormatError(
+                            "GPS value overlaps image data or other "
+                            "metadata"
+                        )
+                    block[
+                        e["val_off"] : e["val_off"] + e["val_size"]
+                    ] = bytes(e["val_size"])
+            # then the entries and the next-IFD pointer, then the count
+            block[goff + 2 : goff + span] = bytes(span - 2)
+            struct.pack_into(f + "H", block, goff, 0)
+            had = True
+            if not nxt:
+                break
+            goff = nxt
+        if nxt:
+            # hop cap hit with the chain still pointing onward: the
+            # unvisited IFDs were never zeroed — quarantine instead of
+            # claiming a clean scrub (ADVICE r15)
+            raise MediaFormatError(
+                "GPS IFD chain too long or cyclic: removal cannot be "
+                "guaranteed"
+            )
     return had
 
 
@@ -744,16 +815,21 @@ def scrub_exif_gps(jpeg: bytes) -> tuple[bytes, bool]:
     bytes are zeroed (all confined to the APP1 segment).  The segment
     length — and therefore every other byte offset in the file — is
     unchanged, so coded image data is untouched and decoded pixels
-    are byte-identical.  Returns (jpeg_bytes, had_gps)."""
-    loc = _find_exif_app1(jpeg)
-    if loc is None:
-        return jpeg, False
-    _seg, t0, tlen = loc
-    block = bytearray(jpeg[t0 : t0 + tlen])
-    if not _scrub_gps_block(block):
+    are byte-identical.  EVERY Exif APP1 segment is scrubbed, not
+    just the first — a duplicate segment must not keep a recoverable
+    location (ADVICE r15).  Returns (jpeg_bytes, had_gps)."""
+    locs = _find_all_exif_app1(jpeg)
+    if not locs:
         return jpeg, False
     out = bytearray(jpeg)
-    out[t0 : t0 + tlen] = block
+    had = False
+    for _seg, t0, tlen in locs:
+        block = bytearray(jpeg[t0 : t0 + tlen])
+        if _scrub_gps_block(block):
+            out[t0 : t0 + tlen] = block
+            had = True
+    if not had:
+        return jpeg, False
     return bytes(out), True
 
 

@@ -484,6 +484,110 @@ def test_unknown_gps_entry_type_refuses_to_claim_a_scrub():
     assert had and len(out) == len(buf)
 
 
+def test_scrub_covers_every_exif_app1_segment():
+    """ADVICE r15: adversarial crawled JPEGs carry DUPLICATE Exif
+    APP1 segments — the scrub must visit all of them, or the second
+    segment keeps a fully recoverable location."""
+    from reindexer_spark.tiff import _find_all_exif_app1, _tiff_header, read_ifd
+
+    app1 = build_exif_app1(gps_lat_milli=48858, gps_lon_milli=2294)
+    j = insert_exif(insert_exif(_jpeg(), app1), app1)
+    assert len(_find_all_exif_app1(j)) == 2
+    out, had = scrub_exif_gps(j)
+    assert had and len(out) == len(j)
+    # EVERY segment's GPS IFD must now be empty (count zeroed)
+    for _seg, t0, tlen in _find_all_exif_app1(out):
+        block = out[t0 : t0 + tlen]
+        le, off = _tiff_header(block)
+        ifd0, _ = read_ifd(block, off, le)
+        gps, _ = read_ifd(block, ifd0[34853]["values"][0], le)
+        assert gps == {}
+    assert parse_exif(out)["gps"] is None
+    assert scrub_exif_gps(out) == (out, False)  # idempotent
+
+
+def _le_ifd(entries, nxt):
+    """Little-endian IFD bytes: entries = [(tag, typ, cnt, 4 value
+    bytes)], next-IFD pointer nxt."""
+    b = struct.pack("<H", len(entries))
+    for tag, typ, cnt, val4 in entries:
+        b += struct.pack("<HHI", tag, typ, cnt) + val4
+    return b + struct.pack("<I", nxt)
+
+
+def test_scrub_walks_ifd0_next_chain_for_gps():
+    """ADVICE r15: a GPS pointer hanging off IFD1 (IFD0's next-IFD
+    chain) must be scrubbed — previously it survived with
+    had_gps=False."""
+    from reindexer_spark.tiff import _tiff_header, read_ifd
+
+    # hand-built LE TIFF block: IFD0 (no GPS, next → IFD1), IFD1
+    # carries the GPS pointer, GPS IFD holds an inline entry.
+    ifd0_off, ifd1_off, gps_off = 8, 26, 44
+    block = (
+        b"II" + struct.pack("<HI", 42, ifd0_off)
+        + _le_ifd([(256, 3, 1, struct.pack("<HH", 8, 0))], ifd1_off)
+        + _le_ifd([(34853, 4, 1, struct.pack("<I", gps_off))], 0)
+        + _le_ifd([(0, 1, 4, b"\x02\x03\x00\x00")], 0)
+    )
+    body = b"Exif\x00\x00" + block
+    app1 = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    j = insert_exif(_jpeg(), app1)
+    out, had = scrub_exif_gps(j)
+    assert had and len(out) == len(j)
+    from reindexer_spark.tiff import _find_exif_app1
+
+    _seg, t0, tlen = _find_exif_app1(out)
+    nb = out[t0 : t0 + tlen]
+    le, off = _tiff_header(nb)
+    _ifd0, nxt = read_ifd(nb, off, le)
+    ifd1, _ = read_ifd(nb, nxt, le)
+    gps, _ = read_ifd(nb, ifd1[34853]["values"][0], le)
+    assert gps == {}  # count zeroed through the chain walk
+
+    # a CYCLIC main chain (IFD0.next → IFD0) must quarantine, never
+    # spin or claim a clean scrub
+    cyc = (
+        b"II" + struct.pack("<HI", 42, ifd0_off)
+        + _le_ifd([(34853, 4, 1, struct.pack("<I", gps_off))], ifd0_off)
+    )
+    cyc += b"\x00" * (gps_off - len(cyc))
+    cyc += _le_ifd([(0, 1, 4, b"\x02\x03\x00\x00")], 0)
+    cbody = b"Exif\x00\x00" + cyc
+    capp1 = b"\xff\xe1" + struct.pack(">H", len(cbody) + 2) + cbody
+    from reindexer_spark.codecs import MediaFormatError
+
+    with pytest.raises(MediaFormatError):
+        scrub_exif_gps(insert_exif(_jpeg(), capp1))
+
+
+def test_gps_chain_past_hop_cap_quarantines_not_claims():
+    """ADVICE r15: a GPS next-IFD chain longer than the 8-hop walk
+    bound previously returned had=True while hop-9+ coordinates
+    survived — it must quarantine instead."""
+    from reindexer_spark.codecs import MediaFormatError
+
+    def chain_jpeg(n_ifds):
+        ifd0_off = 8
+        gps0 = ifd0_off + 18
+        offs = [gps0 + 18 * i for i in range(n_ifds)]
+        block = b"II" + struct.pack("<HI", 42, ifd0_off)
+        block += _le_ifd([(34853, 4, 1, struct.pack("<I", gps0))], 0)
+        for i, _o in enumerate(offs):
+            nxt = offs[i + 1] if i + 1 < n_ifds else 0
+            block += _le_ifd([(0, 1, 4, b"\x02\x03\x00\x00")], nxt)
+        body = b"Exif\x00\x00" + block
+        app1 = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+        return insert_exif(_jpeg(), app1)
+
+    # 8 IFDs: within the bound — scrubs fine
+    out, had = scrub_exif_gps(chain_jpeg(8))
+    assert had
+    # 9 IFDs: the 9th would survive — must quarantine
+    with pytest.raises(MediaFormatError):
+        scrub_exif_gps(chain_jpeg(9))
+
+
 def test_gps_pointer_into_strip_data_quarantines():
     """A crafted GPS-IFD pointer aimed at pixel data must not let the
     scrub corrupt the image while claiming success."""
