@@ -33,6 +33,8 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
+
 from reindexer_spark.codecs import MediaFormatError
 
 # TIFF value types (spec §2): id → byte size of one value (incl. the
@@ -915,7 +917,10 @@ def lzw_encode_tiff(data: bytes) -> bytes:
     return w.finish()
 
 
-def lzw_decode_tiff(data: bytes, n_expected: int) -> bytes:
+def _lzw_decode_tiff_scalar(data: bytes, n_expected: int) -> bytes:
+    """Reference per-code decoder (the round-14 original) — kept as
+    the cross-check twin of the vectorized path and the dispatch for
+    tiny strips where numpy setup costs more than it saves."""
     out = bytearray()
     table: list[bytes] = []
     width = 9
@@ -968,6 +973,147 @@ def lzw_decode_tiff(data: bytes, n_expected: int) -> bytes:
         out += s
         old = s
     if len(out) != n_expected:
+        raise MediaFormatError("TIFF LZW strip length mismatch")
+    return bytes(out)
+
+
+# Code-width schedule since the last Clear: the decoder's table has
+# 258 + i entries after reading code i (the first code after Clear
+# appends nothing), and EarlyChange widens at 510/1022/2046 — so the
+# width of the i-th code is a pure function of i.  This determinism
+# is what lets the vectorized decoder locate EVERY code boundary of
+# a Clear-to-Clear span in one numpy pass (the VP8L bulk-bit-gather
+# precedent applied to LZW).
+_LZW_SCHED_CUM: "np.ndarray | None" = None
+
+
+def _lzw_sched_cum(n: int) -> "np.ndarray":
+    """Cumulative bit length of the first n codes since a Clear
+    (cum[i] = total bits of codes 0..i), cached and grown lazily."""
+    global _LZW_SCHED_CUM
+    if _LZW_SCHED_CUM is None or len(_LZW_SCHED_CUM) < n:
+        m = max(n, 8192)
+        w = np.full(m, 12, dtype=np.int64)
+        w[:253] = 9
+        w[253:765] = 10
+        w[765:1789] = 11
+        _LZW_SCHED_CUM = np.cumsum(w)
+    return _LZW_SCHED_CUM
+
+
+def lzw_decode_tiff(data: bytes, n_expected: int) -> bytes:
+    """§13 LZW decode, vectorized: code boundaries for each
+    Clear-to-Clear span come from the deterministic width schedule
+    (one numpy gather extracts every code), and emission exploits
+    that every table entry ≥258 is a CONTIGUOUS substring of the
+    output already produced (entry created at step i = the step-i-1
+    string plus the first byte of the step-i string, which sit
+    adjacent in the output buffer) — so each code is one C-level
+    slice copy into a preallocated buffer instead of per-code bytes
+    concatenation.  Byte-for-byte equal to the scalar reference
+    (property-pinned in tests/test_tiff.py)."""
+    if n_expected < 0:
+        raise MediaFormatError("TIFF LZW negative strip length")
+    if len(data) < 192 or n_expected == 0:
+        return _lzw_decode_tiff_scalar(data, n_expected)
+    arr = np.frombuffer(data + b"\x00\x00", dtype=np.uint8).astype(np.int64)
+    total_bits = len(data) * 8
+    out = bytearray(n_expected)
+    d = 0  # write cursor
+    bitpos = 0
+    count = 0  # codes read since last Clear (schedule index)
+    # per-Clear-cycle table: entry j (code 258+j) = out[srcs[j] :
+    # srcs[j] + lens[j]]
+    srcs: list[int] = []
+    lens: list[int] = []
+    prev_d = -1  # emission start of the previous code (-1: none yet)
+    ended = False
+    while d < n_expected and not ended:
+        # extract up to max_codes codes starting at bitpos
+        max_codes = min(n_expected - d + 2, 65536)
+        cum = _lzw_sched_cum(count + max_codes)
+        base = cum[count - 1] if count else 0
+        ends = bitpos + (cum[count : count + max_codes] - base)
+        k = int(np.searchsorted(ends, total_bits, side="right"))
+        if k == 0:
+            raise MediaFormatError("TIFF LZW stream truncated")
+        ends = ends[:k]
+        widths = np.diff(ends, prepend=bitpos)
+        offs = ends - widths
+        byte = offs >> 3
+        vals = (arr[byte] << 16) | (arr[byte + 1] << 8) | arr[byte + 2]
+        codes = (vals >> (24 - (offs & 7) - widths)) & ((1 << widths) - 1)
+        # cut the span at the first Clear/EOI
+        spec = np.nonzero((codes == _LZW_CLEAR) | (codes == _LZW_EOI))[0]
+        stop = int(spec[0]) if len(spec) else k
+        span = codes[:stop].tolist()
+        # expand the span: one slice copy per code
+        nt = len(srcs)
+        for code in span:
+            if d >= n_expected:
+                break  # scalar loop also stops reading here
+            if code < 256:
+                if prev_d >= 0:
+                    srcs.append(prev_d)
+                    lens.append(d - prev_d + 1)
+                    nt += 1
+                out[d] = code
+                prev_d = d
+                d += 1
+            else:
+                j = code - 258
+                if prev_d < 0:
+                    raise MediaFormatError(
+                        "TIFF LZW first code not literal"
+                    )
+                if j < nt:
+                    s = srcs[j]
+                    L = lens[j]
+                    srcs.append(prev_d)
+                    lens.append(d - prev_d + 1)
+                    nt += 1
+                    nd = d + L
+                    if nd > n_expected:
+                        raise MediaFormatError(
+                            "TIFF LZW strip length mismatch"
+                        )
+                    out[d:nd] = out[s : s + L]
+                    prev_d = d
+                    d = nd
+                elif j == nt:
+                    # cur = prev + prev[0]: a forward-overlapping copy
+                    # whose final byte is the region's own first byte
+                    L = d - prev_d + 1
+                    srcs.append(prev_d)
+                    lens.append(L)
+                    nt += 1
+                    nd = d + L
+                    if nd > n_expected:
+                        raise MediaFormatError(
+                            "TIFF LZW strip length mismatch"
+                        )
+                    out[d : nd - 1] = out[prev_d:d]
+                    out[nd - 1] = out[prev_d]
+                    prev_d = d
+                    d = nd
+                else:
+                    raise MediaFormatError("TIFF LZW code beyond table")
+        if d >= n_expected:
+            break
+        count += stop
+        if stop < k:  # hit a Clear or EOI
+            bitpos = int(ends[stop])
+            count += 1
+            if codes[stop] == _LZW_EOI:
+                ended = True
+            else:  # Clear: reset table, schedule, and chain state
+                count = 0
+                srcs = []
+                lens = []
+                prev_d = -1
+        else:  # span filled the extraction window: continue the cycle
+            bitpos = int(ends[k - 1])
+    if d != n_expected:
         raise MediaFormatError("TIFF LZW strip length mismatch")
     return bytes(out)
 

@@ -144,6 +144,77 @@ def test_lzw_earlychange_and_table_full_regimes():
     assert lzw_decode_tiff(lzw_encode_tiff(data), len(data)) == data
 
 
+def test_lzw_vectorized_equals_scalar_reference():
+    """The round-15 vectorized decoder (schedule-driven bulk code
+    extraction + slice-copy emission) must be byte-equal to the
+    per-code scalar reference across regimes: runs, noise, structure,
+    table-full Clear cycles, and mid-stream truncation behavior."""
+    from reindexer_spark.tiff import (
+        _lzw_decode_tiff_scalar,
+        lzw_decode_tiff,
+        lzw_encode_tiff,
+    )
+
+    rng = np.random.default_rng(15)
+    cases = [
+        b"",
+        b"x",
+        b"ab" * 400,
+        bytes(rng.integers(0, 4, 30000, dtype=np.uint8)),  # low entropy
+        rng.integers(0, 256, 40000, dtype=np.uint8).tobytes(),  # noise
+        b"abcdefgh" * 30000,  # deep table / multiple Clears
+        b"\xff" * 9000 + b"ab" * 300,
+    ]
+    for data in cases:
+        enc = lzw_encode_tiff(data)
+        assert lzw_decode_tiff(enc, len(data)) == data
+        assert _lzw_decode_tiff_scalar(enc, len(data)) == data
+        # wrong expected length: both paths agree (a shorter length
+        # may legally return a truncated prefix when code boundaries
+        # align; a longer one must raise)
+        for bad in (len(data) + 1, max(0, len(data) - 1)):
+            if bad == len(data):
+                continue
+            res = []
+            for fn in (lzw_decode_tiff, _lzw_decode_tiff_scalar):
+                try:
+                    res.append(fn(enc, bad))
+                except MediaFormatError:
+                    res.append(None)
+            assert res[0] == res[1]
+            if bad > len(data):
+                assert res[0] is None  # overshoot must raise
+    # truncations: both paths agree; deep cuts must raise (a cut in
+    # the last bytes may only lose the EOI, which is tolerated)
+    data = b"abcdefgh" * 2000
+    enc = lzw_encode_tiff(data)
+    for cut in (1, 7, len(enc) // 3, len(enc) - 2):
+        res = []
+        for fn in (lzw_decode_tiff, _lzw_decode_tiff_scalar):
+            try:
+                res.append(fn(enc[:cut], len(data)))
+            except MediaFormatError:
+                res.append(None)
+        assert res[0] == res[1]
+        if cut <= len(enc) // 3:
+            assert res[0] is None
+    # random corruption: MediaFormatError or a (possibly wrong-length
+    # caught) result — never an uncontrolled exception
+    for _ in range(60):
+        buf = bytearray(enc)
+        for _k in range(4):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        try:
+            a = lzw_decode_tiff(bytes(buf), len(data))
+        except MediaFormatError:
+            a = None
+        try:
+            b = _lzw_decode_tiff_scalar(bytes(buf), len(data))
+        except MediaFormatError:
+            b = None
+        assert a == b
+
+
 def test_packbits_known_shapes():
     from reindexer_spark.tiff import packbits_decode, packbits_encode
 
