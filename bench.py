@@ -197,6 +197,8 @@ EXTENDED = [
     "text_wordpiece_train",
     "embed_coreset_kcenter",
     "layout_hilbert_key",
+    # round 15
+    "image_tiff_tiled",
 ]
 
 

@@ -4705,6 +4705,204 @@ def image_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "image_tiff_tiled",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {TIFF_DOCS}
+    ), dims AS (
+      SELECT media_id, dg,
+             17 + CAST(('0x' || substr(dg, 1, 2)) AS INT) % 32 AS w,
+             17 + CAST(('0x' || substr(dg, 3, 2)) AS INT) % 24 AS h,
+             CASE WHEN media_id % 2 = 0 THEN 16 ELSE 8 END AS bits,
+             CASE WHEN media_id % 3 <> 0 THEN 1 ELSE 0 END AS le
+      FROM base
+    ), chain AS (
+      SELECT media_id, w, h, bits, le,
+             substr(
+               string_agg(sha256(dg || '-' || i), '' ORDER BY i),
+               1,
+               2 * w * h * 3 * (bits // 8)
+             ) AS hexsrc
+      FROM dims CROSS JOIN range(600) r(i)
+      WHERE i < CEIL(w * h * 3 * (bits // 8) / 32.0)
+      GROUP BY media_id, w, h, bits, le, dg
+    ), px AS (
+      -- decoded pixels are the HIGH byte of each sample: for 8-bit
+      -- the chain itself; for 16-bit the first (MM) or second (II)
+      -- byte of each 2-byte sample
+      SELECT media_id, w, h, bits, le,
+             CASE WHEN bits = 8 THEN hexsrc
+                  WHEN le = 1 THEN array_to_string(
+                    list_transform(
+                      range(CAST(w * h * 3 AS BIGINT)),
+                      j -> substr(hexsrc, CAST(4 * j + 3 AS INT), 2)
+                    ), '')
+                  ELSE array_to_string(
+                    list_transform(
+                      range(CAST(w * h * 3 AS BIGINT)),
+                      j -> substr(hexsrc, CAST(4 * j + 1 AS INT), 2)
+                    ), '')
+             END AS rgbhex
+      FROM chain
+    )
+    SELECT media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CASE WHEN le = 1 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(bits AS INT) AS bits,
+           CASE media_id % 4 WHEN 0 THEN 'none' WHEN 1 THEN 'lzw'
+                             WHEN 2 THEN 'packbits' ELSE 'deflate' END
+             AS compression,
+           CAST(CASE WHEN media_id % 4 IN (1, 3) THEN 2 ELSE 1 END
+                AS INT) AS predictor,
+           CAST(((w + 15) // 16) * ((h + 15) // 16) AS INT) AS n_tiles,
+           md5(rgbhex) AS rgb_md5,
+           CAST(1 AS INT) AS roundtrip_exact,
+           CAST(1 AS INT) AS probe_agrees,
+           CAST(1 AS INT) AS misaligned_quarantined
+    FROM px
+    """,
+)
+def image_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiled + 16-bit TIFF decode (round 15 — the §15 layout
+    scanned-document and scientific crawls actually use): per
+    document, derive SAMPLES from sha256 hex chains both engines can
+    compute (8-bit RGB on odd media_ids, full 16-bit samples in the
+    file's byte order on even ones), write a real 16x16-tiled TIFF
+    (edge tiles zero-padded, compression cycling none / LZW+Pred2 /
+    PackBits / Deflate+Pred2; for 16-bit, Predictor 2 differences
+    whole 16-bit sample values), and decode it back through the
+    production image path.
+
+    Oracle-pinned columns: geometry/bits/compression from the digest
+    arithmetic; ``n_tiles`` — the §15 grid count; ``rgb_md5`` — md5
+    of the decoded pixels' hex, which for 16-bit sources is the HIGH
+    byte of each sample (the oracle picks the first or second hex
+    pair of each sample by byte order); ``roundtrip_exact=1``;
+    ``probe_agrees=1``; ``misaligned_quarantined=1`` — the same
+    fixture with TileWidth patched to a non-multiple-of-16 refuses
+    to decode while the probe still reads its dims.
+
+    Scale shape: mapInPandas, payloads never shuffle — same as every
+    media lane."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < TIFF_DOCS
+    )
+
+    def build_and_decode(batches):
+        import hashlib
+        import struct as st
+
+        import numpy as np
+
+        from reindexer_spark.codecs import (
+            MediaFormatError,
+            _decode_image,
+            probe_media,
+        )
+        from reindexer_spark.tiff import TAG_TILE_WIDTH, encode_tiff
+
+        def with_misaligned_tile(payload: bytes) -> bytes:
+            le = payload[:2] == b"II"
+            f = "<" if le else ">"
+            buf = bytearray(payload)
+            (ifd,) = st.unpack_from(f + "I", buf, 4)
+            (n,) = st.unpack_from(f + "H", buf, ifd)
+            for i in range(n):
+                e = ifd + 2 + 12 * i
+                if st.unpack_from(f + "H", buf, e)[0] == TAG_TILE_WIDTH:
+                    st.pack_into(f + "H", buf, e + 8, 20)  # not %16
+                    return bytes(buf)
+            raise MediaFormatError("fixture lacks a TileWidth tag")
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.doc_id)
+                dg = hashlib.sha256(r.text.encode("utf-8")).hexdigest()
+                w = 17 + int(dg[0:2], 16) % 32
+                h = 17 + int(dg[2:4], 16) % 24
+                bits = 16 if mid % 2 == 0 else 8
+                le = mid % 3 != 0
+                comp, cname, pred = (
+                    (1, "none", 1),
+                    (5, "lzw", 2),
+                    (32773, "packbits", 1),
+                    (8, "deflate", 2),
+                )[mid % 4]
+                nbytes = w * h * 3 * (bits // 8)
+                hexsrc = "".join(
+                    hashlib.sha256(f"{dg}-{i}".encode()).hexdigest()
+                    for i in range((nbytes + 31) // 32)
+                )[: 2 * nbytes]
+                src = bytes.fromhex(hexsrc)
+                if bits == 16:
+                    dt = "<u2" if le else ">u2"
+                    hi = (
+                        np.frombuffer(src, dtype=dt).astype(np.uint16)
+                        >> 8
+                    ).astype(np.uint8)
+                    expected = hi.tobytes()
+                else:
+                    expected = src
+                payload = encode_tiff(
+                    w, h, src, le=le, bits=bits,
+                    compression=comp, predictor=pred, tile=(16, 16),
+                )
+                dw, dh, out = _decode_image("tiff", payload)
+                pm = probe_media(payload)
+                agrees = int(
+                    pm["kind"] == "tiff"
+                    and pm["width"] == dw
+                    and pm["height"] == dh
+                )
+                bad = with_misaligned_tile(payload)
+                try:
+                    _decode_image("tiff", bad)
+                    mis_q = 0
+                except MediaFormatError:
+                    mis_q = int(probe_media(bad)["width"] == dw)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": dw,
+                        "height": dh,
+                        "byte_order": "II" if le else "MM",
+                        "bits": bits,
+                        "compression": cname,
+                        "predictor": pred,
+                        "n_tiles": ((w + 15) // 16) * ((h + 15) // 16),
+                        "rgb_md5": hashlib.md5(
+                            out.hex().encode()
+                        ).hexdigest(),
+                        "roundtrip_exact": int(out == expected),
+                        "probe_agrees": agrees,
+                        "misaligned_quarantined": mis_q,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "byte_order",
+                    "bits", "compression", "predictor", "n_tiles",
+                    "rgb_md5", "roundtrip_exact",
+                    "probe_agrees", "misaligned_quarantined",
+                ],
+            )
+
+    return docs.select("doc_id", "text").repartition(TIFF_DOCS).mapInPandas(
+        build_and_decode,
+        "media_id bigint, width int, height int, byte_order string, "
+        "bits int, compression string, predictor int, n_tiles int, "
+        "rgb_md5 string, roundtrip_exact int, "
+        "probe_agrees int, misaligned_quarantined int",
+    )
+
+
 EXIF_DOCS = 16
 
 

@@ -2,17 +2,20 @@
 "TIFF Revision 6.0", 1992; JEITA CP-3451 / EXIF 2.3 — EXIF's APP1
 payload IS a TIFF block, so one IFD walker serves both).
 
-TIFF scope (decode_tiff): single-image (first IFD), strip layout,
-8-bit grayscale (PhotometricInterpretation 1, also 0 = WhiteIsZero)
-or 8-bit RGB (PI 2), chunky planar configuration, both byte orders,
-with Compression 1 (none), 5 (LZW, §13 — MSB-first codes with the
-EarlyChange width rule, encoder+decoder below, hand-computed code
-vector pinned in tests), 8/32946 (Deflate, stdlib zlib) and 32773
-(PackBits, §9), plus horizontal-differencing Predictor 2 (§14).
-Everything outside raises MediaFormatError — the repo's quarantine
-contract, never a wrong image: CCITT (2/3/4) and JPEG-in-TIFF (6/7)
-compression, tiled layout, planar=2, palettes, 16-bit or float
-samples.
+TIFF scope (decode_tiff): single-image (first IFD), strip OR tiled
+layout (§15 — TileWidth/TileLength multiples of 16, edge tiles
+padded), 8-bit or 16-bit samples (16-bit scanned/scientific crawls;
+decode returns the high byte, predictor 2 differences whole 16-bit
+samples in the file's byte order), grayscale (Photometric 1, also
+0 = WhiteIsZero) or RGB (PI 2), chunky planar configuration, both
+byte orders, with Compression 1 (none), 5 (LZW, §13 — MSB-first
+codes with the EarlyChange width rule, encoder+decoder below,
+hand-computed code vector pinned in tests), 8/32946 (Deflate,
+stdlib zlib) and 32773 (PackBits, §9), plus
+horizontal-differencing Predictor 2 (§14).  Everything outside
+raises MediaFormatError — the repo's quarantine contract, never a
+wrong image: CCITT (2/3/4) and JPEG-in-TIFF (6/7) compression,
+planar=2, palettes, float/32-bit samples.
 
 EXIF scope: parse Make/Model/Orientation/DateTime from IFD0,
 DateTimeOriginal from the Exif sub-IFD, latitude/longitude from the
@@ -89,6 +92,10 @@ TAG_SPP = 277
 TAG_ROWS_PER_STRIP = 278
 TAG_STRIP_COUNTS = 279
 TAG_PLANAR = 284
+TAG_TILE_WIDTH = 322
+TAG_TILE_LENGTH = 323
+TAG_TILE_OFFSETS = 324
+TAG_TILE_COUNTS = 325
 TAG_DATETIME = 306
 TAG_EXIF_IFD = 34665
 TAG_GPS_IFD = 34853
@@ -246,8 +253,12 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
     bits = ent.get(TAG_BITS, {"values": [1]})["values"]
     if not isinstance(bits, list):
         bits = [bits]
-    if any(b != 8 for b in bits):
-        raise MediaFormatError("only 8-bit TIFF samples supported")
+    if not bits or any(b != bits[0] for b in bits):
+        raise MediaFormatError("mixed per-channel TIFF bit depths")
+    bps = int(bits[0])
+    if bps not in (8, 16):
+        raise MediaFormatError("only 8/16-bit TIFF samples supported")
+    ss = bps // 8  # bytes per sample
     if pi == 2:
         if spp < 3:
             raise MediaFormatError("RGB TIFF needs 3 samples per pixel")
@@ -258,59 +269,110 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
         raise MediaFormatError(
             f"TIFF photometric {pi} (palette/CMYK/YCbCr) not supported"
         )
-    if 322 in ent or 323 in ent or 324 in ent or 325 in ent:
-        raise MediaFormatError("tiled TIFF not supported")
-    if TAG_STRIP_OFFSETS not in ent or TAG_STRIP_COUNTS not in ent:
-        raise MediaFormatError("TIFF missing strip tables")
-    offsets = ent[TAG_STRIP_OFFSETS]["values"]
-    counts = ent[TAG_STRIP_COUNTS]["values"]
-    if not isinstance(offsets, list) or not isinstance(counts, list):
-        raise MediaFormatError("malformed TIFF strip tables")
-    if len(offsets) != len(counts):
-        raise MediaFormatError("TIFF strip tables disagree")
-    rps = int(one(TAG_ROWS_PER_STRIP, h))
-    if rps <= 0:
-        raise MediaFormatError("TIFF rows-per-strip out of range")
-    data = bytearray()
-    for si, (o, c) in enumerate(zip(offsets, counts)):
-        if o < 0 or c < 0 or o + c > len(payload):
-            raise MediaFormatError("TIFF strip beyond payload")
-        raw = payload[o : o + c]
-        rows = min(rps, h - si * rps)
-        if rows <= 0:
-            raise MediaFormatError("TIFF strips exceed the image height")
-        want = rows * w * spp
+
+    def decompress(raw: bytes, want: int) -> bytes:
         if comp == 5:
             raw = lzw_decode_tiff(raw, want)
         elif comp in (8, 32946):
             import zlib
 
             try:
-                # bounded inflate: the expected strip size is known, so
+                # bounded inflate: the expected size is known, so
                 # never materialize more than want+1 bytes (a crafted
-                # few-KB strip must not balloon to GBs before the
+                # few-KB chunk must not balloon to GBs before the
                 # length check rejects it)
                 dec = zlib.decompressobj()
                 raw = dec.decompress(raw, want + 1)
             except zlib.error as exc:
-                raise MediaFormatError(
-                    f"TIFF deflate strip: {exc}"
-                ) from exc
+                raise MediaFormatError(f"TIFF deflate: {exc}") from exc
         elif comp == 32773:
             raw = packbits_decode(raw, want)
         if len(raw) != want:
-            raise MediaFormatError("TIFF strip length mismatch")
-        if predictor == 2:
-            raw = predictor2_decode(raw, w, spp)
-        data += raw
-    if len(data) != w * h * spp:
-        raise MediaFormatError("TIFF strip data does not tile the image")
-    import numpy as np
+            raise MediaFormatError("TIFF chunk length mismatch")
+        return raw
 
-    a = np.frombuffer(bytes(data), dtype=np.uint8)
+    def unpredict(raw: bytes, row_w: int) -> bytes:
+        if predictor != 2:
+            return raw
+        if bps == 16:
+            return predictor2_decode16(raw, row_w, spp, le)
+        return predictor2_decode(raw, row_w, spp)
+
+    tiled = TAG_TILE_OFFSETS in ent or TAG_TILE_WIDTH in ent
+    if tiled:
+        if TAG_STRIP_OFFSETS in ent or TAG_STRIP_COUNTS in ent:
+            raise MediaFormatError("TIFF carries both strip and tile tables")
+        for t in (TAG_TILE_WIDTH, TAG_TILE_LENGTH, TAG_TILE_OFFSETS,
+                  TAG_TILE_COUNTS):
+            if t not in ent:
+                raise MediaFormatError("TIFF missing tile tables")
+        tw, tl = int(one(TAG_TILE_WIDTH)), int(one(TAG_TILE_LENGTH))
+        # §15: tile dims must be positive multiples of 16
+        if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
+            raise MediaFormatError("TIFF tile dims not multiples of 16")
+        offsets = ent[TAG_TILE_OFFSETS]["values"]
+        counts = ent[TAG_TILE_COUNTS]["values"]
+        if not isinstance(offsets, list):
+            offsets = [offsets]
+        if not isinstance(counts, list):
+            counts = [counts]
+        ta = (w + tw - 1) // tw
+        td = (h + tl - 1) // tl
+        if len(offsets) != ta * td or len(counts) != ta * td:
+            raise MediaFormatError("TIFF tile tables disagree with grid")
+        dt = np.uint16 if bps == 16 else np.uint8
+        fdt = ("<u2" if le else ">u2") if bps == 16 else np.uint8
+        plane = np.zeros((h, w, spp), dtype=dt)
+        want = tl * tw * spp * ss
+        for tj in range(td):
+            for ti in range(ta):
+                o = offsets[tj * ta + ti]
+                c = counts[tj * ta + ti]
+                if not isinstance(o, int) or not isinstance(c, int):
+                    raise MediaFormatError("malformed TIFF tile tables")
+                if o < 0 or c < 0 or o + c > len(payload):
+                    raise MediaFormatError("TIFF tile beyond payload")
+                raw = unpredict(decompress(payload[o : o + c], want), tw)
+                t = np.frombuffer(raw, dtype=fdt).reshape(tl, tw, spp)
+                rows = min(tl, h - tj * tl)
+                cols = min(tw, w - ti * tw)
+                plane[
+                    tj * tl : tj * tl + rows, ti * tw : ti * tw + cols
+                ] = t[:rows, :cols]
+        a = plane.reshape(-1)
+    else:
+        if TAG_STRIP_OFFSETS not in ent or TAG_STRIP_COUNTS not in ent:
+            raise MediaFormatError("TIFF missing strip tables")
+        offsets = ent[TAG_STRIP_OFFSETS]["values"]
+        counts = ent[TAG_STRIP_COUNTS]["values"]
+        if not isinstance(offsets, list) or not isinstance(counts, list):
+            raise MediaFormatError("malformed TIFF strip tables")
+        if len(offsets) != len(counts):
+            raise MediaFormatError("TIFF strip tables disagree")
+        rps = int(one(TAG_ROWS_PER_STRIP, h))
+        if rps <= 0:
+            raise MediaFormatError("TIFF rows-per-strip out of range")
+        data = bytearray()
+        for si, (o, c) in enumerate(zip(offsets, counts)):
+            if o < 0 or c < 0 or o + c > len(payload):
+                raise MediaFormatError("TIFF strip beyond payload")
+            rows = min(rps, h - si * rps)
+            if rows <= 0:
+                raise MediaFormatError("TIFF strips exceed the image height")
+            want = rows * w * spp * ss
+            data += unpredict(decompress(payload[o : o + c], want), w)
+        if len(data) != w * h * spp * ss:
+            raise MediaFormatError("TIFF strip data does not tile the image")
+        if bps == 16:
+            a = np.frombuffer(bytes(data), dtype="<u2" if le else ">u2")
+        else:
+            a = np.frombuffer(bytes(data), dtype=np.uint8)
+    if bps == 16:
+        # decode contract stays 8-bit RGB: high byte of each sample
+        a = (a.astype(np.uint16) >> 8).astype(np.uint8)
     if pi == 2:
         if spp == 3:
-            rgb = bytes(data)
+            rgb = np.ascontiguousarray(a).tobytes()
         else:  # extra samples (alpha): drop them
             rgb = np.ascontiguousarray(
                 a.reshape(-1, spp)[:, :3]
@@ -334,24 +396,39 @@ def encode_tiff(
     orientation: int = 1,
     gps_lat_milli: int | None = None,
     gps_lon_milli: int | None = None,
+    tile: tuple[int, int] | None = None,
+    bits: int = 8,
 ) -> bytes:
     """Fixture/production writer for the decode subset: strips (two by
-    default, exercising the strip walk), 8-bit gray or RGB, either
-    byte order; ``compression`` 1 (none), 5 (LZW), 8 (Deflate) or
-    32773 (PackBits), optionally with the horizontal-differencing
+    default, exercising the strip walk) or §15 TILES (``tile`` =
+    (tile_width, tile_length), multiples of 16; edge tiles
+    zero-padded), 8-bit gray/RGB or 16-BIT samples (``bits=16``:
+    ``rgb`` must then be the raw sample bytes in the file's byte
+    order, width*height*spp*2 of them), either byte order;
+    ``compression`` 1 (none), 5 (LZW), 8 (Deflate) or 32773
+    (PackBits), optionally with the horizontal-differencing
     ``predictor`` 2.  GPS millidegrees (when given) ride a real
     GPSInfo sub-IFD — the bare-TIFF location-PII carrier
     ``scrub_tiff_gps`` removes."""
-    if len(rgb) != width * height * 3:
-        raise MediaFormatError("rgb byte count does not match dimensions")
     if compression not in (1, 5, 8, 32773):
         raise MediaFormatError("unsupported TIFF write compression")
+    if bits not in (8, 16):
+        raise MediaFormatError("unsupported TIFF write bit depth")
     f = _fmt(le)
     spp = 1 if gray else 3
-    if gray:
+    ss = bits // 8
+    if bits == 16:
+        if len(rgb) != width * height * spp * 2:
+            raise MediaFormatError(
+                "16-bit sample byte count does not match dimensions"
+            )
+        sam = rgb
+    elif gray:
+        if len(rgb) != width * height * 3:
+            raise MediaFormatError(
+                "rgb byte count does not match dimensions"
+            )
         # ITU-R BT.601 integer luma, same coefficients as rgb_to_yuv
-        import numpy as np
-
         px = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3).astype(
             np.int32
         )
@@ -359,13 +436,18 @@ def encode_tiff(
             (77 * px[:, 0] + 150 * px[:, 1] + 29 * px[:, 2] + 128) >> 8
         ).astype(np.uint8).tobytes()
     else:
+        if len(rgb) != width * height * 3:
+            raise MediaFormatError(
+                "rgb byte count does not match dimensions"
+            )
         sam = rgb
-    rps = rows_per_strip or max(1, (height + 1) // 2)
-    strips = []
-    for r in range(0, height, rps):
-        raw = sam[r * width * spp : min(r + rps, height) * width * spp]
+
+    def pack(raw: bytes, row_w: int) -> bytes:
         if predictor == 2:
-            raw = predictor2_encode(raw, width, spp)
+            if bits == 16:
+                raw = predictor2_encode16(raw, row_w, spp, le)
+            else:
+                raw = predictor2_encode(raw, row_w, spp)
         if compression == 5:
             raw = lzw_encode_tiff(raw)
         elif compression == 8:
@@ -374,20 +456,58 @@ def encode_tiff(
             raw = zlib.compress(raw, 6)
         elif compression == 32773:
             raw = packbits_encode(raw)
-        strips.append(raw)
+        return raw
+
+    if tile is not None:
+        tw, tl = tile
+        if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
+            raise MediaFormatError("tile dims must be multiples of 16")
+        fdt = ("<u2" if le else ">u2") if bits == 16 else np.uint8
+        plane = np.frombuffer(sam, dtype=fdt).reshape(height, width, spp)
+        ta = (width + tw - 1) // tw
+        td = (height + tl - 1) // tl
+        strips = []
+        for tj in range(td):
+            for ti in range(ta):
+                t = np.zeros((tl, tw, spp), dtype=fdt)
+                rows = min(tl, height - tj * tl)
+                cols = min(tw, width - ti * tw)
+                t[:rows, :cols] = plane[
+                    tj * tl : tj * tl + rows, ti * tw : ti * tw + cols
+                ]
+                strips.append(pack(t.tobytes(), tw))
+    else:
+        rps = rows_per_strip or max(1, (height + 1) // 2)
+        strips = []
+        for r in range(0, height, rps):
+            raw = sam[
+                r * width * spp * ss
+                : min(r + rps, height) * width * spp * ss
+            ]
+            strips.append(pack(raw, width))
     n = len(strips)
     tags = [
         (TAG_WIDTH, 3, [width]),
         (TAG_HEIGHT, 3, [height]),
-        (TAG_BITS, 3, [8] * spp),
+        (TAG_BITS, 3, [bits] * spp),
         (TAG_COMPRESSION, 3, [compression]),
         (TAG_PHOTOMETRIC, 3, [2 if not gray else 1]),
-        (TAG_STRIP_OFFSETS, 4, [0] * n),  # patched below
         (TAG_SPP, 3, [spp]),
-        (TAG_ROWS_PER_STRIP, 3, [min(rps, 65535)]),
-        (TAG_STRIP_COUNTS, 4, [len(s) for s in strips]),
         (TAG_PLANAR, 3, [1]),
     ]
+    if tile is not None:
+        tags += [
+            (TAG_TILE_WIDTH, 3, [tile[0]]),
+            (TAG_TILE_LENGTH, 3, [tile[1]]),
+            (TAG_TILE_OFFSETS, 4, [0] * n),  # patched below
+            (TAG_TILE_COUNTS, 4, [len(s) for s in strips]),
+        ]
+    else:
+        tags += [
+            (TAG_STRIP_OFFSETS, 4, [0] * n),  # patched below
+            (TAG_ROWS_PER_STRIP, 3, [min(rps, 65535)]),
+            (TAG_STRIP_COUNTS, 4, [len(s) for s in strips]),
+        ]
     if predictor == 2:
         tags.append((317, 3, [2]))
     if orientation != 1:
@@ -410,7 +530,13 @@ def encode_tiff(
         strip_offs.append(pos)
         pos += len(s)
     block = bytearray(block)
-    _patch_values(block, offs[0], TAG_STRIP_OFFSETS, strip_offs, le)
+    _patch_values(
+        block,
+        offs[0],
+        TAG_TILE_OFFSETS if tile is not None else TAG_STRIP_OFFSETS,
+        strip_offs,
+        le,
+    )
     if len(offs) > 1:
         _patch_values(block, offs[0], TAG_GPS_IFD, [offs[1]], le)
     return bytes(block) + b"".join(strips)
@@ -715,11 +841,18 @@ def _protected_ranges(block: bytes, le: bool, off: int) -> list:
         ifd = add_ifd(ioff)
         if TAG_EXIF_IFD in ifd:
             add_ifd(ifd[TAG_EXIF_IFD]["values"][0])
-        so = ifd.get(TAG_STRIP_OFFSETS)
-        sc = ifd.get(TAG_STRIP_COUNTS)
-        if so is not None and sc is not None:
-            offs, cnts = so["values"], sc["values"]
-            if isinstance(offs, list) and isinstance(cnts, list):
+        for to, tc in (
+            (TAG_STRIP_OFFSETS, TAG_STRIP_COUNTS),
+            (TAG_TILE_OFFSETS, TAG_TILE_COUNTS),
+        ):
+            so = ifd.get(to)
+            sc = ifd.get(tc)
+            if so is not None and sc is not None:
+                offs, cnts = so["values"], sc["values"]
+                if not isinstance(offs, list):
+                    offs = [offs]
+                if not isinstance(cnts, list):
+                    cnts = [cnts]
                 for o, c in zip(offs, cnts):
                     if isinstance(o, int) and isinstance(c, int) and c > 0:
                         out.append((o, o + c))
@@ -1193,6 +1326,27 @@ def predictor2_decode(rows: bytes, width: int, spp: int) -> bytes:
     return (
         np.cumsum(a.astype(np.int64), axis=1) % 256
     ).astype(np.uint8).tobytes()
+
+
+def predictor2_encode16(rows: bytes, width: int, spp: int, le: bool) -> bytes:
+    """§14 horizontal differencing on 16-bit samples: the difference
+    is taken on whole sample VALUES (mod 65536) in the file's byte
+    order, not on bytes."""
+    dt = "<u2" if le else ">u2"
+    a = np.frombuffer(rows, dtype=dt).reshape(-1, width, spp).astype(
+        np.int32
+    )
+    d = a.copy()
+    d[:, 1:, :] = a[:, 1:, :] - a[:, :-1, :]
+    return (d % 65536).astype(np.uint16).astype(dt).tobytes()
+
+
+def predictor2_decode16(rows: bytes, width: int, spp: int, le: bool) -> bytes:
+    dt = "<u2" if le else ">u2"
+    a = np.frombuffer(rows, dtype=dt).reshape(-1, width, spp)
+    return (
+        np.cumsum(a.astype(np.int64), axis=1) % 65536
+    ).astype(np.uint16).astype(dt).tobytes()
 
 
 # ---------------------------------------------------------------------------

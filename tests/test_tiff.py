@@ -227,6 +227,140 @@ def test_packbits_known_shapes():
     assert packbits_decode(b"\x80\x00A", 1) == b"A"
 
 
+@pytest.mark.parametrize("comp,pred", [(1, 1), (5, 2), (8, 2),
+                                       (32773, 1)])
+@pytest.mark.parametrize("le", [True, False])
+def test_tiled_roundtrip_exact(comp, pred, le):
+    """§15 tiled layout: odd dims force padded edge tiles; all four
+    compression schemes; both byte orders."""
+    w, h = 37, 23
+    rgb = _rgb(w, h, seed=comp + le)
+    p = encode_tiff(w, h, rgb, le=le, compression=comp,
+                    predictor=pred, tile=(16, 16))
+    assert decode_tiff(p) == (w, h, rgb)
+    pr = probe_tiff(p)
+    assert (pr["width"], pr["height"], pr["n_strips"]) == (w, h, 0)
+
+
+@pytest.mark.parametrize("le", [True, False])
+@pytest.mark.parametrize("tile", [None, (16, 32)])
+def test_16bit_roundtrip_high_byte(le, tile):
+    """16-bit samples decode to the high byte of each sample;
+    Predictor 2 differences whole 16-bit values in the file's byte
+    order (strips and tiles)."""
+    w, h = 33, 18
+    rng = np.random.default_rng(16 + le)
+    dt = "<u2" if le else ">u2"
+    s16 = rng.integers(0, 65536, (h, w, 3), dtype=np.uint16).astype(dt)
+    p = encode_tiff(w, h, s16.tobytes(), le=le, bits=16,
+                    compression=5, predictor=2, tile=tile)
+    dw, dh, out = decode_tiff(p)
+    hi = (s16.astype(np.uint16) >> 8).astype(np.uint8)
+    assert (dw, dh) == (w, h) and out == hi.tobytes()
+    assert probe_tiff(p)["bits"] == 16
+
+
+def test_tile_dims_must_be_multiples_of_16():
+    w, h = 32, 32
+    rgb = _rgb(w, h)
+    with pytest.raises(MediaFormatError):
+        encode_tiff(w, h, rgb, tile=(20, 16))
+    # a crafted file with misaligned TileWidth quarantines on decode
+    p = encode_tiff(w, h, rgb, tile=(16, 16))
+    buf = bytearray(p)
+    (ifd,) = struct.unpack_from("<I", buf, 4)
+    (n,) = struct.unpack_from("<H", buf, ifd)
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        if struct.unpack_from("<H", buf, e)[0] == 322:  # TileWidth
+            struct.pack_into("<H", buf, e + 8, 20)
+    with pytest.raises(MediaFormatError):
+        decode_tiff(bytes(buf))
+    assert probe_tiff(bytes(buf))["width"] == w  # probe still reads
+
+
+def test_tiled_gps_scrub_preserves_pixels():
+    """The bare-TIFF GPS scrub protects TILE data exactly like strip
+    data: pixels byte-identical after scrub, crafted GPS pointer into
+    tile bytes quarantines."""
+    from reindexer_spark.tiff import scrub_tiff_gps
+
+    w, h = 32, 32
+    rgb = _rgb(w, h, seed=5)
+    p = encode_tiff(w, h, rgb, tile=(16, 16),
+                    gps_lat_milli=7, gps_lon_milli=8)
+    s, had = scrub_tiff_gps(p)
+    assert had and len(s) == len(p)
+    assert decode_tiff(s) == (w, h, rgb)
+    # aim the GPS pointer at tile data: must quarantine, not corrupt
+    buf = bytearray(p)
+    (ifd,) = struct.unpack_from("<I", buf, 4)
+    (n,) = struct.unpack_from("<H", buf, ifd)
+    tile0 = gps_entry = None
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        tag = struct.unpack_from("<H", buf, e)[0]
+        if tag == 324:  # TileOffsets
+            (voff,) = struct.unpack_from("<I", buf, e + 8)
+            (tile0,) = struct.unpack_from("<I", buf, voff)
+        if tag == 34853:
+            gps_entry = e
+    struct.pack_into("<I", buf, gps_entry + 8, tile0)
+    with pytest.raises(MediaFormatError):
+        scrub_tiff_gps(bytes(buf))
+    assert decode_tiff(bytes(buf))  # image itself still decodes
+
+
+def test_mixed_strip_and_tile_tables_quarantine():
+    """A file carrying BOTH strip and tile tables is ambiguous — the
+    decoder must refuse rather than guess."""
+    w, h = 16, 16
+    p = encode_tiff(w, h, _rgb(w, h), tile=(16, 16))
+    # splice a StripOffsets tag id over the TileByteCounts entry: the
+    # resulting file claims both layouts
+    buf = bytearray(p)
+    (ifd,) = struct.unpack_from("<I", buf, 4)
+    (n,) = struct.unpack_from("<H", buf, ifd)
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        if struct.unpack_from("<H", buf, e)[0] == 325:
+            struct.pack_into("<H", buf, e, 273)  # → StripOffsets
+    with pytest.raises(MediaFormatError):
+        decode_tiff(bytes(buf))
+
+
+def test_fuzz_quarantine_contract_tiled():
+    """The mutation sweep extended to the tiled/16-bit fixture
+    (round-15 VERDICT ask #5): decode/probe either succeed or raise
+    MediaFormatError."""
+    rng = np.random.default_rng(15)
+    s16 = rng.integers(0, 65536, (23, 37, 3), dtype=np.uint16).astype(
+        "<u2"
+    )
+    base = encode_tiff(37, 23, s16.tobytes(), bits=16,
+                       compression=5, predictor=2, tile=(16, 16))
+    for _ in range(120):
+        buf = bytearray(base)
+        mode = rng.integers(0, 3)
+        if mode == 0:
+            buf = buf[: int(rng.integers(4, len(buf)))]
+        elif mode == 1:
+            for _k in range(6):
+                buf[int(rng.integers(0, len(buf)))] = int(
+                    rng.integers(0, 256)
+                )
+        else:
+            buf += bytes(rng.integers(0, 256, 11, dtype=np.uint8))
+        try:
+            decode_tiff(bytes(buf))
+        except MediaFormatError:
+            pass
+        try:
+            probe_tiff(bytes(buf))
+        except MediaFormatError:
+            pass
+
+
 def test_fuzz_quarantine_contract():
     """Arbitrary corruption decodes or raises MediaFormatError —
     never an uncontrolled exception (the repo-wide codec contract)."""
