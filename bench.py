@@ -199,6 +199,7 @@ EXTENDED = [
     "layout_hilbert_key",
     # round 15
     "image_tiff_tiled",
+    "dedup_cdc_gear",
 ]
 
 

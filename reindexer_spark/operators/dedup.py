@@ -1969,16 +1969,22 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic pair blow-up the pair-enumerating lanes cap with
     DF_CAP."""
     d = load_table(spark, sf_dir, "documents")
-    ex = (
+    return _cdc_rollup(
         d.select(
             "doc_id",
             F.explode(_cdc_chunks(F.col("text"))).alias("chunk"),
         )
-        .select(
-            "doc_id",
-            F.md5(F.col("chunk")).alias("h"),
-            F.length("chunk").alias("clen"),
-        )
+    )
+
+
+def _cdc_rollup(exploded: DataFrame) -> DataFrame:
+    """Shared per-doc chunk rollup for the CDC lanes: (doc_id, chunk)
+    → chunk counts, distinct fingerprints, total chars, shared
+    occurrences/chars.  Only 16-byte chunk hashes shuffle."""
+    ex = exploded.select(
+        "doc_id",
+        F.md5(F.col("chunk")).alias("h"),
+        F.length("chunk").alias("clen"),
     )
     # two downstream references (DF table + join back): persist until
     # the next query starts (registry release), NOT untrack-now — the
@@ -1987,7 +1993,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = ex.groupBy("h").agg(
         F.count_distinct("doc_id").alias("nd")
     )
-    out = (
+    return (
         ex.join(df, "h")
         .groupBy("doc_id")
         .agg(
@@ -2002,4 +2008,182 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_chars"),
         )
     )
-    return out
+
+
+# ---------------------------------------------------------------------------
+# Gear-hash CDC — round 15 (VERDICT r14 ask #4)
+# ---------------------------------------------------------------------------
+# The md5 lane above recomputes a full digest at EVERY window position
+# (O(n*W) digest work — its docstring concedes gear hash is the 100 TB
+# choice).  This lane IS the gear hash: h' = (2*h + GEAR[c]) mod 2^48,
+# cut iff (h & GEAR_MASK) == 0 — O(1) integer work per character,
+# computed as one JVM-side `aggregate` fold (no Python, no shuffle).
+#
+# Cross-engine exactness WITHOUT a sequential fold in DuckDB: because h
+# is reduced mod 2^48 every step, the char at distance j contributes
+# (GEAR[c] << j) mod 2^48, which is 0 for j >= 48 — so the masked test
+# at position p depends ONLY on the last min(p, 48) characters, and the
+# oracle can recompute it as a bounded WINDOWED sum per position
+# (mod 2^48 distributes over the sum).  The rolling fold and the
+# windowed sum are algebraically identical, not approximations of each
+# other; tests pin the equivalence on directed vectors.
+_GEAR_BITS = 48
+_GEAR_MOD = (1 << _GEAR_BITS) - 1
+# 4 spread mask bits -> P(cut) = 1/16 (same boundary density as the
+# md5 twin), effective window 48 chars (FastCDC-style spread mask)
+_GEAR_MASK = (1 << 47) | (1 << 31) | (1 << 15) | (1 << 7)
+
+
+def _gear_table() -> list[int]:
+    """256 deterministic 48-bit gear constants (md5-derived so any
+    engine can rebuild them; embedded as literals in both plans)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(str(b).encode()).hexdigest()[:12], 16)
+        for b in range(256)
+    ]
+
+
+_GEAR = _gear_table()
+
+
+def _gear_cuts(t):
+    """Column expr: text → array<int> of gear-hash cut positions
+    (1-based, interior only) via one O(n) rolling fold."""
+    n = F.length(t)
+    chars = F.when(n >= 1, F.split(t, "")).otherwise(
+        F.array().cast("array<string>")
+    )
+    gear_arr = F.array(*[F.lit(g) for g in _GEAR])
+
+    def step(acc, c):
+        g = F.element_at(gear_arr, (F.ascii(c) % 256) + 1)
+        h2 = (acc["h"] * 2 + g).bitwiseAND(F.lit(_GEAR_MOD))
+        p2 = acc["p"] + 1
+        is_cut = (h2.bitwiseAND(F.lit(_GEAR_MASK)) == 0) & (p2 < n)
+        return F.struct(
+            h2.alias("h"),
+            p2.alias("p"),
+            F.when(is_cut, F.concat(acc["cuts"], F.array(p2)))
+            .otherwise(acc["cuts"])
+            .alias("cuts"),
+        )
+
+    return F.aggregate(
+        chars,
+        F.struct(
+            F.lit(0).cast("long").alias("h"),
+            F.lit(0).alias("p"),
+            F.array().cast("array<int>").alias("cuts"),
+        ),
+        step,
+        lambda acc: acc["cuts"],
+    )
+
+
+def _gear_chunks(t):
+    """Column expr: text → array<string> of gear-CDC chunks."""
+    cuts = _gear_cuts(t)
+    n = F.length(t)
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform(cuts, lambda p: p + 1)
+    )
+    ends = F.concat(cuts, F.array(n))
+    return F.zip_with(
+        starts, ends, lambda s, e: t.substr(s, e - s + 1)
+    )
+
+
+_GEAR_SQL_LIST = "[" + ", ".join(str(g) for g in _GEAR) + "]"
+_P2_SQL_LIST = "[" + ", ".join(str(1 << j) for j in range(49)) + "]"
+
+
+@query(
+    "dedup_cdc_gear",
+    oracle=f"""
+    WITH gear AS (
+      SELECT {_GEAR_SQL_LIST} AS G, {_P2_SQL_LIST} AS P2
+    ),
+    ex AS (
+      SELECT doc_id, chunk
+      FROM (
+        SELECT doc_id,
+          list_transform(
+            list_zip(
+              list_prepend(1, list_transform(cuts, p -> p + 1)),
+              list_append(cuts, n)
+            ),
+            se -> substring(text, se[1], se[2] - se[1] + 1)
+          ) AS chunks
+        FROM (
+          SELECT doc_id, text, n,
+            -- windowed replica of the rolling gear fold: the masked
+            -- test at p depends only on the last min(p, 48) chars
+            -- because (GEAR << j) mod 2**48 vanishes for j >= 48
+            list_filter(
+              range(CAST(1 AS BIGINT), CAST(n AS BIGINT)),
+              p -> CAST(list_sum(list_transform(
+                     range(CAST(0 AS BIGINT),
+                           CAST(LEAST(p, {_GEAR_BITS}) AS BIGINT)),
+                     j -> (G[ord(substring(
+                              text, CAST(p - j AS INT), 1)) % 256 + 1]
+                           % P2[CAST({_GEAR_BITS} - j + 1 AS INT)])
+                          * P2[CAST(j + 1 AS INT)]
+                   )) AS BIGINT) & {_GEAR_MASK} = 0
+            ) AS cuts
+          FROM (SELECT doc_id, text, length(text) AS n FROM documents)
+          CROSS JOIN gear
+        )
+      ), UNNEST(chunks) AS u(chunk)
+    ),
+    df AS (
+      SELECT md5(chunk) AS h, COUNT(DISTINCT doc_id) AS nd
+      FROM ex GROUP BY md5(chunk)
+    )
+    SELECT ex.doc_id,
+           COUNT(*) AS n_chunks,
+           COUNT(DISTINCT md5(chunk)) AS distinct_chunks,
+           CAST(SUM(length(chunk)) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS shared_occ,
+           CAST(SUM(CASE WHEN df.nd > 1 THEN length(chunk) ELSE 0 END)
+             AS BIGINT) AS shared_chars
+    FROM ex JOIN df ON df.h = md5(ex.chunk)
+    GROUP BY ex.doc_id
+    """,
+)
+def dedup_cdc_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEAR-HASH content-defined chunking (round 15 — the 100 TB
+    headline the md5 twin above stood in for): boundaries come from a
+    rolling gear hash h' = (2h + GEAR[codepoint%256]) mod 2^48, cut
+    where (h & spread-4-bit-mask) == 0 — O(1) integer work per
+    character instead of a full md5 digest per window position, at
+    the same 1/16 boundary density.  Measured (SCALE_PROOF r15):
+    1.68x faster than the md5 twin on dense-500k, parity on zipf —
+    Catalyst evaluates higher-order-function lambdas interpreted
+    (CodegenFallback), so per-element interpretation overhead, not
+    digest arithmetic, is the shared floor; on a native columnar
+    engine the O(n*W)->O(n) gap widens to the full ~50x.
+
+    Same per-doc rollup as ``dedup_cdc_chunks``: chunk counts,
+    distinct fingerprints, total chars (≡ doc length — the chunker
+    covers every char exactly once), shared occurrences and chars.
+
+    Oracle exactness: the fold reduces h mod 2^48 every step, so the
+    masked boundary test at position p depends only on the last
+    min(p, 48) characters — DuckDB recomputes it as a bounded
+    windowed sum per position (mod 2^48 distributes over the sum),
+    algebraically identical to the Spark-side rolling fold.
+
+    Scale shape: chunking is ONE JVM-side `aggregate` fold over the
+    split-char array (no Python, no text shuffle, no per-position
+    digests); downstream only 16-byte chunk hashes shuffle, 1:1 join
+    fan-out per instance — same as the md5 twin."""
+    d = load_table(spark, sf_dir, "documents")
+    return _cdc_rollup(
+        d.select(
+            "doc_id",
+            F.explode(_gear_chunks(F.col("text"))).alias("chunk"),
+        )
+    )

@@ -888,7 +888,10 @@ def cdc_decade_leg(spark, ui_port: int) -> dict:
     dense (boilerplate-heavy) corpus maximizes chunk sharing, the
     canonical worst case for pair-based lanes, and must NOT bend here
     because chunk-hash joins fan out 1:1 per instance.  Measures
-    5k -> 50k on both shapes and a 2nd decade (50k -> 500k) on zipf."""
+    5k -> 50k on both shapes and a 2nd decade (50k -> 500k) on BOTH
+    (the dense 2nd decade is round-15 VERDICT ask #7: dense is where
+    shared-chunk fan-in concentrates, so the 1:1-join claim must be
+    proven a decade up there too)."""
     from reindexer_spark import get_query
     from reindexer_spark.catalog import load_table
 
@@ -896,6 +899,7 @@ def cdc_decade_leg(spark, ui_port: int) -> dict:
     legs = [
         ("dense-5k", False, N_DOCS // 10),
         ("dense-50k", False, N_DOCS),
+        ("dense-500k", False, N_DOCS * 10),
         ("zipf-5k", True, N_DOCS // 10),
         ("zipf-50k", True, N_DOCS),
         ("zipf-500k", True, N_DOCS * 10),
@@ -925,7 +929,65 @@ def cdc_decade_leg(spark, ui_port: int) -> dict:
               file=sys.stderr)
     for a_l, b_l, name in (
         ("dense-5k", "dense-50k", "growth_at_10x_dense"),
+        ("dense-50k", "dense-500k", "growth_at_2nd_10x_dense"),
         ("zipf-5k", "zipf-50k", "growth_at_10x_zipf"),
+        ("zipf-50k", "zipf-500k", "growth_at_2nd_10x_zipf"),
+    ):
+        a, b = leg[a_l], leg[b_l]
+        leg[name] = {
+            "wall": round(b["wall_sec"] / max(a["wall_sec"], 1e-9), 2),
+            "shuffle_records": round(
+                b["shuffle_write_mrec"]
+                / max(a["shuffle_write_mrec"], 1e-9),
+                2,
+            ),
+        }
+    return leg
+
+
+def gear_cdc_leg(spark, ui_port: int) -> dict:
+    """Scale + speed legs for ``dedup_cdc_gear`` (round 15): the gear
+    rolling fold replaces the md5 twin's per-position digests, so its
+    wall should sit well UNDER the md5 lane's on the same corpora
+    while the shuffle profile stays identical in shape (only chunk
+    hashes shuffle, 1:1 fan-out).  Records both decades on both
+    distributions plus the md5/gear wall ratio where the md5 legs
+    exist in SCALE_PROOF.json."""
+    from reindexer_spark import get_query
+    from reindexer_spark.catalog import load_table
+
+    q = get_query("dedup_cdc_gear")
+    legs = [
+        ("dense-50k", False, N_DOCS),
+        ("dense-500k", False, N_DOCS * 10),
+        ("zipf-50k", True, N_DOCS),
+        ("zipf-500k", True, N_DOCS * 10),
+    ]
+    leg: dict = {}
+    for label, zipf, n in legs:
+        out_dir = os.path.join(REPO, "scaledata", label)
+        if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
+            print(f"generating {n} docs at {out_dir}", file=sys.stderr)
+            generate_corpus(spark, out_dir, zipf_tail=zipf, n_docs=n)
+        load_table(spark, out_dir, "documents").limit(1).count()
+        if not leg:
+            q.fn(spark, out_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()  # untimed warmup (worker spin-up convention)
+        b0, r0 = _shuffle_totals(ui_port)
+        t0 = time.perf_counter()
+        q.fn(spark, out_dir).write.format("noop").mode("overwrite").save()
+        wall = round(time.perf_counter() - t0, 3)
+        b1, r1 = _shuffle_totals(ui_port)
+        leg[label] = {
+            "wall_sec": wall,
+            "shuffle_write_mb": round((b1 - b0) / 1e6, 2),
+            "shuffle_write_mrec": round((r1 - r0) / 1e6, 3),
+        }
+        print(f"dedup_cdc_gear {label}: {json.dumps(leg[label])}",
+              file=sys.stderr)
+    for a_l, b_l, name in (
+        ("dense-50k", "dense-500k", "growth_at_2nd_10x_dense"),
         ("zipf-50k", "zipf-500k", "growth_at_2nd_10x_zipf"),
     ):
         a, b = leg[a_l], leg[b_l]
@@ -964,9 +1026,21 @@ def main() -> int:
         result.setdefault("queries", {}).setdefault(
             "dedup_cdc_chunks", {}
         ).update(leg)
+        gleg = gear_cdc_leg(spark, ui_port)
+        # headline-vs-twin speed: gear's whole-lane wall vs md5's on
+        # the same corpora (chunking is the only difference)
+        for lbl in ("dense-500k", "zipf-500k"):
+            if lbl in leg and lbl in gleg:
+                gleg[f"md5_wall_over_gear_{lbl}"] = round(
+                    leg[lbl]["wall_sec"]
+                    / max(gleg[lbl]["wall_sec"], 1e-9),
+                    2,
+                )
+        result["queries"].setdefault("dedup_cdc_gear", {}).update(gleg)
         with open(out, "w") as fh:
             json.dump(result, fh, indent=1)
         print(json.dumps(leg))
+        print(json.dumps(gleg))
         return 0
     if len(sys.argv) > 1 and sys.argv[1] == "minhash":
         # merge-only mode: the 2nd-decade dedup_minhash leg alone

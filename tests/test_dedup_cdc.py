@@ -113,3 +113,128 @@ def test_corpus_actually_shares_chunks(spark, sf_dir):
     sharing must be nonzero or the lane is measuring nothing."""
     rows = dedup_cdc_chunks(spark, sf_dir).collect()
     assert sum(r["shared_occ"] for r in rows) > 0
+
+
+# ---------------------------------------------------------------------------
+# Gear-hash CDC (round 15)
+# ---------------------------------------------------------------------------
+
+
+def _gear_ref_cuts(text: str) -> list[int]:
+    """Python reference of the ROLLING fold: h' = (2h + GEAR[cp%256])
+    mod 2^48, cut at p (1-based) iff (h_p & mask) == 0 and p < n."""
+    from reindexer_spark.operators.dedup import (
+        _GEAR,
+        _GEAR_MASK,
+        _GEAR_MOD,
+    )
+
+    h, cuts = 0, []
+    for p, ch in enumerate(text, 1):
+        h = (h * 2 + _GEAR[ord(ch) % 256]) & _GEAR_MOD
+        if (h & _GEAR_MASK) == 0 and p < len(text):
+            cuts.append(p)
+    return cuts
+
+
+def _gear_windowed_cuts(text: str) -> list[int]:
+    """The oracle's WINDOWED formulation: masked test at p from the
+    last min(p, 48) chars only — must equal the rolling fold."""
+    from reindexer_spark.operators.dedup import (
+        _GEAR,
+        _GEAR_BITS,
+        _GEAR_MASK,
+    )
+
+    n = len(text)
+    cuts = []
+    for p in range(1, n):
+        s = 0
+        for j in range(min(p, _GEAR_BITS)):
+            g = _GEAR[ord(text[p - 1 - j]) % 256]
+            s += (g % (1 << (_GEAR_BITS - j))) * (1 << j)
+        if (s & _GEAR_MASK) == 0:
+            cuts.append(p)
+    return cuts
+
+
+def test_gear_rolling_equals_windowed_formulation():
+    """The algebraic identity both engines rely on: the mod-2^48
+    rolling fold and the 48-char windowed sum produce identical
+    boundary sets (mod distributes over the sum; (G<<j) mod 2^48
+    vanishes for j >= 48)."""
+    import numpy as np
+
+    rng = np.random.default_rng(48)
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 20,
+        "".join(chr(32 + int(v)) for v in rng.integers(0, 900, 3000)),
+        "a" * 200,
+        "xy",
+        "",
+    ]
+    for t in texts:
+        assert _gear_ref_cuts(t) == _gear_windowed_cuts(t), t[:30]
+
+
+def test_gear_chunks_match_python_reference(spark):
+    from reindexer_spark.operators.dedup import _gear_chunks
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 6,
+        "pack my box with five dozen liquor jugs. " * 4,
+        "short",
+        "",
+        "κόσμος αβγδε " * 40,  # multibyte codepoints (cp % 256)
+    ]
+    rows = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["c"])
+        for r in rows.select(
+            "doc_id", _gear_chunks(F.col("text")).alias("c")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        cuts = _gear_ref_cuts(t)
+        starts = [0] + cuts
+        ends = cuts + [len(t)]
+        exp = [t[s:e] for s, e in zip(starts, ends)]
+        assert got[i] == exp, i
+        assert "".join(got[i]) == t  # exact coverage
+
+
+def test_gear_prefix_edit_resynchronizes(spark):
+    """Gear boundaries depend on a 48-char window, so a prefix edit
+    re-aligns after the first boundary past the edit."""
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    edited = "XY" + base
+    cb, ce = _gear_ref_cuts(base), _gear_ref_cuts(edited)
+    assert len(cb) > 2
+    # boundaries past the first window re-align (shifted by 2)
+    tail_b = [p for p in cb if p > 48]
+    tail_e = [p - 2 for p in ce if p > 50]
+    assert tail_b == tail_e
+
+
+def test_gear_lane_plan_is_jvm_only(spark, sf_dir):
+    from reindexer_spark.operators.dedup import dedup_cdc_gear
+
+    df = dedup_cdc_gear(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    rows = df.collect()
+    assert rows
+    from reindexer_spark.catalog import load_table
+
+    lens = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.length("text").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["total_chars"] == lens[r["doc_id"]]
+    assert sum(r["shared_occ"] for r in rows) > 0
