@@ -200,6 +200,7 @@ EXTENDED = [
     # round 15
     "image_tiff_tiled",
     "dedup_cdc_gear",
+    "video_bweighted",
 ]
 
 

@@ -40,8 +40,13 @@ SLICES — §8.2.4.2.3 initial B lists over a pinned picture, RPLM
 idc 2 on either list, the §8.4.1.2.2 short-term colZeroFlag
 condition, and the §8.4.1.2.3 long-term unscaled-copy branch
 (gated by `video_blongterm`; tests/test_h264_blongterm.py pins each
-branch as load-bearing).  Still OUTSIDE the subset and quarantined:
-field/MBAFF coding, weighted BI-prediction, >8 active references.  Round 11: CABAC I/P entropy coding
+branch as load-bearing).  Round 15 closes EXPLICIT WEIGHTED
+BI-PREDICTION (weighted_bipred_idc 1 — two-list §7.3.3.2
+pred_weight_table in B headers, §8.4.2.3.2 unidirectional and bi
+formulas in every B prediction path, encoder fade model per list;
+gated by `video_bweighted`); implicit (idc 2) stays quarantined.
+Still OUTSIDE the subset and quarantined: field/MBAFF coding,
+>8 active references.  Round 11: CABAC I/P entropy coding
 lives in the companion module ``h264_cabac`` (provenance-marked
 streams only — see its honesty-boundary docstring);
 externally-encoded CABAC still quarantines here.
@@ -1134,12 +1139,16 @@ _PCM_BITS = 384 * 8
 def write_pps(
     qp: int = DEFAULT_QP, chroma_qp_offset: int = 0, cabac: bool = False,
     weighted_pred: bool = False,
+    weighted_bipred: bool = False,
 ) -> bytes:
     """Minimal PPS: one slice group, deblocking-control present
     (so slices can legally disable it).  ``cabac`` sets
     entropy_coding_mode_flag (h264_cabac streams); ``weighted_pred``
     sets weighted_pred_flag — P slice headers then carry a
-    pred_weight_table (round 13; weighted_bipred_idc stays 0)."""
+    pred_weight_table (round 13); ``weighted_bipred`` sets
+    weighted_bipred_idc 1 (EXPLICIT) — B slice headers then carry a
+    two-list pred_weight_table (round 15; implicit idc 2 stays
+    outside the subset)."""
     w = _RbspWriter()
     w.ue(0)  # pps_id
     w.ue(0)  # sps_id
@@ -1149,7 +1158,7 @@ def write_pps(
     w.ue(0)  # num_ref_idx_l0_default_active_minus1
     w.ue(0)  # num_ref_idx_l1_default_active_minus1
     w.u(1 if weighted_pred else 0, 1)  # weighted_pred
-    w.u(0, 2)  # weighted_bipred_idc
+    w.u(1 if weighted_bipred else 0, 2)  # weighted_bipred_idc
     w.se(qp - 26)  # pic_init_qp_minus26
     w.se(0)  # pic_init_qs_minus26
     w.se(chroma_qp_offset)  # chroma_qp_index_offset
@@ -1186,12 +1195,14 @@ def parse_pps(nal: bytes, allow_cabac: bool = False) -> dict:
             "multi-reference PPS defaults outside the subset"
         )
     out["weighted_pred"] = bool(r.u(1))
-    if r.u(2):
-        # weighted_bipred_idc: explicit B weighting adds a second
-        # pred_weight_table, implicit changes the B average by POC —
-        # both outside the subset (P explicit WP decodes, round 13)
+    out["weighted_bipred"] = r.u(2)
+    if out["weighted_bipred"] >= 2:
+        # weighted_bipred_idc 2 (implicit, POC-derived weights) stays
+        # outside the subset; EXPLICIT B weighting (idc 1) decodes
+        # since round 15 — the slice header then carries a second
+        # pred_weight_table (both lists)
         raise MediaFormatError(
-            "weighted bi-prediction outside the subset"
+            "implicit weighted bi-prediction outside the subset"
         )
     out["pic_init_qp"] = 26 + r.se()
     r.se()
@@ -1277,6 +1288,23 @@ def _parse_sps_slice_fields(nal: bytes) -> dict:
     return meta
 
 
+def _write_weight_entries(w: _BitWriter, entries: list) -> None:
+    """§7.3.3.2 weight/offset entries for ONE list (None = identity,
+    both flags 0)."""
+    for ent in entries:
+        if ent is None:
+            w.u(0, 1)  # luma_weight_lX_flag
+            w.u(0, 1)  # chroma_weight_lX_flag
+            continue
+        w.u(1, 1)
+        w.se(ent["lw"])
+        w.se(ent["lo"])
+        w.u(1, 1)
+        for j in range(2):
+            w.se(ent["cw"][j])
+            w.se(ent["co"][j])
+
+
 def _write_slice_header(
     w: _BitWriter, qp: int, pic_init_qp: int, idr_pic_id: int,
     log2_max_frame_num: int, poc_type: int, log2_max_poc_lsb: int,
@@ -1286,6 +1314,7 @@ def _write_slice_header(
     direct_spatial: bool = True, wp: dict | None = None,
     first_mb: int = 0, rplm_l0: list | None = None,
     rplm_l1: list | None = None, mmco: list | None = None,
+    wpb: dict | None = None,
 ) -> None:
     w.ue(first_mb)  # first_mb_in_slice
     # I/P/B + 5: 'all slices in this picture have this type'
@@ -1315,6 +1344,14 @@ def _write_slice_header(
                 w.ue(3)
             else:
                 w.u(0, 1)
+        if wpb is not None:
+            # pred_weight_table (§7.3.3.2, weighted_bipred_idc 1 —
+            # round 15): shared denominators, then entries for BOTH
+            # lists (one per active reference each)
+            w.ue(wpb["ld"])
+            w.ue(wpb["cd"])
+            _write_weight_entries(w, wpb["w0"])
+            _write_weight_entries(w, wpb["w1"])
         # non-reference picture (nal_ref_idc 0): NO dec_ref_pic_marking
     elif slice_type == "P":
         if num_ref_l0 > 1:
@@ -1337,18 +1374,7 @@ def _write_slice_header(
             # prediction, one entry per active list-0 reference
             w.ue(wp["ld"])
             w.ue(wp["cd"])
-            for ent in wp["w"]:
-                if ent is None:
-                    w.u(0, 1)  # luma_weight_l0_flag
-                    w.u(0, 1)  # chroma_weight_l0_flag
-                    continue
-                w.u(1, 1)
-                w.se(ent["lw"])
-                w.se(ent["lo"])
-                w.u(1, 1)
-                for j in range(2):
-                    w.se(ent["cw"][j])
-                    w.se(ent["co"][j])
+            _write_weight_entries(w, wp["w"])
         # dec_ref_pic_marking (nal_ref_idc != 0, non-IDR):
         if mmco:
             # §7.3.3.3 adaptive marking (round 14): ops terminated by
@@ -1401,6 +1427,31 @@ def _parse_rplm(r: _BitReader) -> list | None:
         if len(ops) > 32:
             raise MediaFormatError("ref list modification overlong")
     return ops
+
+
+def _parse_weight_entries(
+    r: _BitReader, n: int, ld: int, cd: int
+) -> list:
+    """§7.3.3.2 weight/offset entries for ONE list: absent flags mean
+    identity (weight = 1 << denom, offset 0); every parsed value is
+    range-checked per the spec's [-128, 127] bound."""
+    out = []
+    for _ in range(n):
+        ent = {"lw": 1 << ld, "lo": 0,
+               "cw": [1 << cd, 1 << cd], "co": [0, 0]}
+        if r.u(1):  # luma_weight_lX_flag
+            ent["lw"] = r.se()
+            ent["lo"] = r.se()
+        if r.u(1):  # chroma_weight_lX_flag
+            ent["cw"], ent["co"] = [], []
+            for _j in range(2):
+                ent["cw"].append(r.se())
+                ent["co"].append(r.se())
+        for v in (ent["lw"], ent["lo"], *ent["cw"], *ent["co"]):
+            if not -128 <= v <= 127:
+                raise MediaFormatError("prediction weight out of range")
+        out.append(ent)
+    return out
 
 
 def _parse_slice_header(
@@ -1530,6 +1581,23 @@ def _parse_slice_header(
                 )
         info["rplm_l0"] = _parse_rplm(r)
         info["rplm_l1"] = _parse_rplm(r)
+        if pps.get("weighted_bipred") == 1:
+            # pred_weight_table (§7.3.3.2, explicit B — round 15):
+            # shared denominators, then entries for BOTH lists
+            ld = r.ue()
+            cd = r.ue()
+            if ld > 7 or cd > 7:
+                raise MediaFormatError("weight denominator out of range")
+            info["wpb"] = {
+                "ld": ld,
+                "cd": cd,
+                "w0": _parse_weight_entries(
+                    r, info["num_ref_l0"], ld, cd
+                ),
+                "w1": _parse_weight_entries(
+                    r, info["num_ref_l1"], ld, cd
+                ),
+            }
     elif stype == "P":
         if r.u(1):  # num_ref_idx_active_override_flag
             info["num_ref_l0"] = r.ue() + 1
@@ -1546,25 +1614,11 @@ def _parse_slice_header(
             cd = r.ue()
             if ld > 7 or cd > 7:
                 raise MediaFormatError("weight denominator out of range")
-            wlist = []
-            for _ in range(info["num_ref_l0"]):
-                ent = {"lw": 1 << ld, "lo": 0,
-                       "cw": [1 << cd, 1 << cd], "co": [0, 0]}
-                if r.u(1):  # luma_weight_l0_flag
-                    ent["lw"] = r.se()
-                    ent["lo"] = r.se()
-                if r.u(1):  # chroma_weight_l0_flag
-                    ent["cw"], ent["co"] = [], []
-                    for _j in range(2):
-                        ent["cw"].append(r.se())
-                        ent["co"].append(r.se())
-                for v in (ent["lw"], ent["lo"], *ent["cw"], *ent["co"]):
-                    if not -128 <= v <= 127:
-                        raise MediaFormatError(
-                            "prediction weight out of range"
-                        )
-                wlist.append(ent)
-            info["wp"] = {"ld": ld, "cd": cd, "w": wlist}
+            info["wp"] = {
+                "ld": ld,
+                "cd": cd,
+                "w": _parse_weight_entries(r, info["num_ref_l0"], ld, cd),
+            }
     # dec_ref_pic_marking presence follows the NAL header, NOT the
     # slice type (§7.3.3): IDR pictures carry the two output/long-term
     # flags; non-IDR REFERENCE pictures (nal_ref_idc != 0) carry
@@ -2591,6 +2645,7 @@ def decode_picture(
                         else None
                     ),
                     "poc": hinfo["poc"],
+                    "wp": hinfo.get("wpb"),
                 }
             else:
                 ctx = _b_ctx(
@@ -2605,6 +2660,7 @@ def decode_picture(
                     ref_lts=(
                         ref_lts[: len(l0)] if ref_lts is not None else None
                     ),
+                    wpb=hinfo.get("wpb"),
                 )
             if ctx["l0_pocs"] is not None:
                 st.l0_pocs = ctx["l0_pocs"]
@@ -2915,6 +2971,10 @@ def encode_avcc_samples(
         sps, pps, nals = encode_h264_ipb(
             width, height, frames_rgb, qp, longterm=True
         )
+    elif gop == "ipb-wp":
+        sps, pps, nals = encode_h264_ipb(
+            width, height, frames_rgb, qp, weighted=True
+        )
     elif gop == "ippp-multiref":
         sps, pps, nals = encode_h264_ippp(
             width, height, frames_rgb, qp, n_refs=3
@@ -3029,6 +3089,10 @@ def encode_h264_annexb(
     elif gop == "ipb-longterm":
         sps, pps, nals = encode_h264_ipb(
             width, height, frames_rgb, qp, longterm=True
+        )
+    elif gop == "ipb-wp":
+        sps, pps, nals = encode_h264_ipb(
+            width, height, frames_rgb, qp, weighted=True
         )
     elif gop == "ippp-multiref":
         sps, pps, nals = encode_h264_ippp(
@@ -4169,16 +4233,84 @@ def _store_b_mv(
         st.ref1[by : by + 4, bx : bx + 4] = r1
 
 
+def _wp_apply_bi(
+    p0: np.ndarray, p1: np.ndarray,
+    w0: int, w1: int, o0: int, o1: int, d: int,
+) -> np.ndarray:
+    """§8.4.2.3.2 explicit weighted BI prediction (eq 8-270):
+    Clip1(((p0*w0 + p1*w1 + 2^d) >> (d+1)) + ((o0+o1+1) >> 1)) —
+    identity entries reduce it to the default (p0+p1+1)>>1 average."""
+    v = (
+        (p0 * w0 + p1 * w1 + (1 << d)) >> (d + 1)
+    ) + ((o0 + o1 + 1) >> 1)
+    return np.clip(v, 0, 255)
+
+
+def _wp_ident(ld: int, cd: int) -> dict:
+    return {"lw": 1 << ld, "lo": 0, "cw": [1 << cd, 1 << cd],
+            "co": [0, 0]}
+
+
+def _b_combine(planes: list, ents: list, wp: dict | None):
+    """Combine the used-list predictions of one B partition:
+    default average / copy when ``wp`` is None, else the §8.4.2.3.2
+    explicit formulas with per-(list, refIdx) entries (None entry =
+    identity).  ``planes``/``ents`` hold one item per USED list."""
+    if wp is None:
+        if len(planes) == 2:
+            return tuple(
+                (p0.astype(np.int64) + p1.astype(np.int64) + 1) >> 1
+                for p0, p1 in zip(planes[0], planes[1])
+            )
+        return planes[0]
+    ld, cd = wp["ld"], wp["cd"]
+    es = [e if e is not None else _wp_ident(ld, cd) for e in ents]
+    if len(planes) == 1:
+        (py, pu, pv), e = planes[0], es[0]
+        return (
+            _wp_apply(py.astype(np.int64), e["lw"], e["lo"], ld),
+            _wp_apply(pu.astype(np.int64), e["cw"][0], e["co"][0], cd),
+            _wp_apply(pv.astype(np.int64), e["cw"][1], e["co"][1], cd),
+        )
+    e0, e1 = es
+    (y0, u0, v0), (y1, u1, v1) = planes
+    return (
+        _wp_apply_bi(
+            y0.astype(np.int64), y1.astype(np.int64),
+            e0["lw"], e1["lw"], e0["lo"], e1["lo"], ld,
+        ),
+        _wp_apply_bi(
+            u0.astype(np.int64), u1.astype(np.int64),
+            e0["cw"][0], e1["cw"][0], e0["co"][0], e1["co"][0], cd,
+        ),
+        _wp_apply_bi(
+            v0.astype(np.int64), v1.astype(np.int64),
+            e0["cw"][1], e1["cw"][1], e0["co"][1], e1["co"][1], cd,
+        ),
+    )
+
+
+def _b_wp_ents(ctx: dict, lst: int, ri: int):
+    """The (list, refIdx) weight entry under ctx['wp'], or None."""
+    wp = ctx.get("wp")
+    if wp is None:
+        return None
+    return wp["w0" if lst == 0 else "w1"][ri]
+
+
 def _mc_b_pred(
-    refs, mbx: int, mby: int, mode: str, mv0, mv1,
+    ctx: dict, mbx: int, mby: int, mode: str, mv0, mv1,
+    ri0: int = 0, ri1: int = 0,
 ):
     """16x16 luma + 8x8 chroma prediction for a B macroblock:
-    single-list MC, or the default bi average (predL0 + predL1 + 1)>>1
-    (§8.4.2.3, no weighted prediction in the subset)."""
+    single-list MC or the bi combine — §8.4.2.3 default average, or
+    the §8.4.2.3.2 explicit weighted formulas when the slice carries
+    a two-list pred_weight_table (ctx['wp'], round 15)."""
     preds = []
-    for use, ref, mv in (
-        (mode in ("l0", "bi"), refs[0], mv0),
-        (mode in ("l1", "bi"), refs[1], mv1),
+    ents = []
+    for use, ref, mv, lst, ri in (
+        (mode in ("l0", "bi"), ctx["l0"][ri0], mv0, 0, ri0),
+        (mode in ("l1", "bi"), ctx["l1"][ri1], mv1, 1, ri1),
     ):
         if not use:
             continue
@@ -4188,12 +4320,8 @@ def _mc_b_pred(
             _mc_chroma(ru, mbx * 8, mby * 8, 8, 8, mv[0], mv[1]),
             _mc_chroma(rv, mbx * 8, mby * 8, 8, 8, mv[0], mv[1]),
         ))
-    if len(preds) == 1:
-        return preds[0]
-    return tuple(
-        (p0.astype(np.int64) + p1.astype(np.int64) + 1) >> 1
-        for p0, p1 in zip(preds[0], preds[1])
-    )
+        ents.append(_b_wp_ents(ctx, lst, ri))
+    return _b_combine(preds, ents, ctx.get("wp"))
 
 
 def _recon_p_skip(
@@ -4735,9 +4863,10 @@ def _mc_b_parts(ctx, mbx: int, mby: int, plist):
         lx, ly, lw, lh = dx * 4, dy * 4, pw * 4, ph * 4
         cx, cy, cw, ch = dx * 2, dy * 2, pw * 2, ph * 2
         planes = []
-        for use, lst_refs, ri, mv in (
-            (mode in ("l0", "bi"), ctx["l0"], r0, mv0),
-            (mode in ("l1", "bi"), ctx["l1"], r1, mv1),
+        ents = []
+        for use, lst_refs, ri, mv, lst in (
+            (mode in ("l0", "bi"), ctx["l0"], r0, mv0, 0),
+            (mode in ("l1", "bi"), ctx["l1"], r1, mv1, 1),
         ):
             if not use:
                 continue
@@ -4750,13 +4879,8 @@ def _mc_b_parts(ctx, mbx: int, mby: int, plist):
                 _mc_chroma(rv, mbx * 8 + cx, mby * 8 + cy, cw, ch,
                            mv[0], mv[1]),
             ))
-        if len(planes) == 2:
-            py, pu, pv = (
-                (p0.astype(np.int64) + p1.astype(np.int64) + 1) >> 1
-                for p0, p1 in zip(planes[0], planes[1])
-            )
-        else:
-            py, pu, pv = planes[0]
+            ents.append(_b_wp_ents(ctx, lst, ri))
+        py, pu, pv = _b_combine(planes, ents, ctx.get("wp"))
         pred_y[ly : ly + lh, lx : lx + lw] = py
         pred_u[cy : cy + ch, cx : cx + cw] = pu
         pred_v[cy : cy + ch, cx : cx + cw] = pv
@@ -4799,6 +4923,7 @@ def _b_ctx(
     l0_pocs=None, poc: int | None = None,
     n_ref_l0: int | None = None, n_ref_l1: int = 1,
     ref_lts: list | None = None,
+    wpb: dict | None = None,
 ):
     """The B-slice prediction context threaded through every B
     macroblock: RefPicList0 (``l0``, most recent reference first) and
@@ -4839,6 +4964,9 @@ def _b_ctx(
         "l0_lts": l0_lts,
         "l1_lts": l1_lts,
         "poc": poc,
+        # §8.4.2.3.2 explicit B weights (round 15): {"ld","cd","w0",
+        # "w1"} or None — every B prediction path reads it
+        "wp": wpb,
     }
 
 
@@ -5010,9 +5138,10 @@ def _mc_direct_pred(ctx, mbx: int, mby: int, use0, use1, parts):
         lx, ly = qx * 8, qy * 8
         cx, cy = qx * 4, qy * 4
         planes = []
-        for use, ref, mv in (
-            (use0, ctx["l0"][r0] if use0 else None, mv0),
-            (use1, ctx["l1"][r1] if use1 else None, mv1),
+        ents = []
+        for use, ref, mv, lst, ri in (
+            (use0, ctx["l0"][r0] if use0 else None, mv0, 0, r0),
+            (use1, ctx["l1"][r1] if use1 else None, mv1, 1, r1),
         ):
             if not use:
                 continue
@@ -5025,13 +5154,8 @@ def _mc_direct_pred(ctx, mbx: int, mby: int, use0, use1, parts):
                 _mc_chroma(rv, mbx * 8 + cx, mby * 8 + cy, 4, 4,
                            mv[0], mv[1]),
             ))
-        if len(planes) == 2:
-            py, pu, pv = (
-                (p0.astype(np.int64) + p1.astype(np.int64) + 1) >> 1
-                for p0, p1 in zip(planes[0], planes[1])
-            )
-        else:
-            py, pu, pv = planes[0]
+            ents.append(_b_wp_ents(ctx, lst, ri))
+        py, pu, pv = _b_combine(planes, ents, ctx.get("wp"))
         pred_y[ly : ly + 8, lx : lx + 8] = py
         pred_u[cy : cy + 4, cx : cx + 4] = pu
         pred_v[cy : cy + 4, cx : cx + 4] = pv
@@ -5301,7 +5425,7 @@ def _b_mb_decide(
         )
     else:
         pred_y, pred_u, pred_v = _mc_b_pred(
-            (ctx["l0"][0], ctx["l1"][0]), mbx, mby, mode, mv0, mv1
+            ctx, mbx, mby, mode, mv0, mv1
         )
     zs, cbp_luma = _inter_luma_quant(src_y, pred_y, mbx, mby, qp)
     qpc = _QPC[max(0, min(51, qp))]
@@ -5578,7 +5702,7 @@ def _decode_b_mb(
         )
     else:
         pred_y, pred_u, pred_v = _mc_b_pred(
-            (ctx["l0"][ri0], ctx["l1"][ri1]), mbx, mby, mode, mv0, mv1
+            ctx, mbx, mby, mode, mv0, mv1, ri0=ri0, ri1=ri1
         )
     _b_mb_finish(
         st, mbx, mby, qp, cqo,
@@ -5798,6 +5922,7 @@ def b_mode_histogram(
         l0, direct_spatial=hinfo["direct_spatial"], col=col,
         l0_pocs=ref_pocs, poc=hinfo["poc"],
         n_ref_l0=hinfo["num_ref_l0"], n_ref_l1=hinfo["num_ref_l1"],
+        wpb=hinfo.get("wpb"),
     )
     _decode_b_slice_mbs(
         r, st, qp, pps.get("chroma_qp_index_offset", 0), ctx
@@ -5816,6 +5941,7 @@ def encode_b_frame_nal(
     rplm_l0: list | None = None, rplm_l1: list | None = None,
     n_ref_l0: int | None = None, n_ref_l1: int | None = None,
     direct_lt_bias: bool = False,
+    weighted: bool = False,
 ):
     """One RGB frame → one non-reference B slice NAL against ``refs``
     (= the FILTERED reference pictures in DEFAULT-LIST order:
@@ -5842,6 +5968,19 @@ def encode_b_frame_nal(
     y, u, v = _pad_plane(y, 16), _pad_plane(u, 8), _pad_plane(v, 8)
     mb_w, mb_h = y.shape[1] // 16, y.shape[0] // 16
     st = _FrameState(mb_w, mb_h)
+    wpb = None
+    if weighted:
+        # §8.4.2.3.2 EXPLICIT B weights (round 15): the fade estimate
+        # per list against each list's FIRST reference (L1[0] is
+        # refs[1] under the §8.2.4.2.3 default swap); further active
+        # references keep identity entries.  The caller's PPS must
+        # signal weighted_bipred_idc 1.
+        e0 = _estimate_wp(y, u, v, refs[0], 1)
+        e1 = _estimate_wp(
+            y, u, v, refs[1] if len(refs) > 1 else refs[0], 1
+        )
+        wpb = {"ld": e0["ld"], "cd": e0["cd"],
+               "w0": e0["w"], "w1": e1["w"]}
     # spatial B keeps the pre-round-13 single-active-reference syntax
     # (no override, no ref_idx bits — byte-identical streams); the
     # temporal chain opens the full list so the colocated reference
@@ -5892,6 +6031,7 @@ def encode_b_frame_nal(
                 if ref_lts is not None else None
             ),
             "poc": poc,
+            "wp": wpb,
         }
     else:
         if ref_motions is not None and len(refs) > 1:
@@ -5899,7 +6039,7 @@ def encode_b_frame_nal(
         ctx = _b_ctx(
             list(refs), direct_spatial=direct == "spatial", col=col,
             l0_pocs=ref_pocs, poc=poc, n_ref_l0=n_ref_l0,
-            n_ref_l1=n_ref_l1, ref_lts=ref_lts,
+            n_ref_l1=n_ref_l1, ref_lts=ref_lts, wpb=wpb,
         )
     if direct_lt_bias:
         ctx["direct_lt_bias"] = True  # encoder-only; see _b_mb_decide
@@ -5913,7 +6053,7 @@ def encode_b_frame_nal(
         frame_num=frame_num, poc_lsb=poc_lsb,
         num_ref_l0=n_ref_l0, num_ref_l1=n_ref_l1,
         direct_spatial=direct == "spatial",
-        rplm_l0=rplm_l0, rplm_l1=rplm_l1,
+        rplm_l0=rplm_l0, rplm_l1=rplm_l1, wpb=wpb,
     )
     skip_run = 0
     for mby in range(mb_h):
@@ -6032,7 +6172,7 @@ def _encode_ipb_longterm(
 def encode_h264_ipb(
     width: int, height: int, frames_rgb: list[bytes], qp: int = DEFAULT_QP,
     return_recon: bool = False, direct: str = "spatial",
-    longterm: bool = False,
+    longterm: bool = False, weighted: bool = False,
 ):
     """Frames → (SPS, PPS, [IDR, P, B, P, B, ...][, recon frames]):
     low-delay B — coded order == display order, odd frames are
@@ -6052,7 +6192,8 @@ def encode_h264_ipb(
     cycle the four long-term shapes (see that helper's docstring);
     ``direct`` is ignored (the chain mixes spatial and temporal
     slices)."""
-    key = (width, height, tuple(frames_rgb), qp, direct, longterm)
+    key = (width, height, tuple(frames_rgb), qp, direct, longterm,
+           weighted)
     hit = _IPB_CACHE.get(key)
     if hit is None and longterm:
         sps = write_h264_sps(width, height, 66, 30, num_ref_frames=3)
@@ -6073,7 +6214,7 @@ def encode_h264_ipb(
     if hit is None:
         depth = 3 if direct == "temporal" else 2
         sps = write_h264_sps(width, height, 66, 30, num_ref_frames=depth)
-        pps = write_pps(DEFAULT_QP)
+        pps = write_pps(DEFAULT_QP, weighted_bipred=weighted)
         out = encode_frame_nal(
             frames_rgb[0], width, height, qp, idr_pic_id=0,
             return_planes=True,
@@ -6109,6 +6250,7 @@ def encode_h264_ipb(
                         dpb_pocs if direct == "temporal" else None
                     ),
                     poc=2 * i if direct == "temporal" else None,
+                    weighted=weighted,
                 )
             nals.append(nal)
             recons.append(planes)

@@ -4082,6 +4082,212 @@ def video_wp_multislice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BWP_DOCS = 10  # bounded: two IPB encode chains per doc
+
+
+@query(
+    "video_bweighted",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {BWP_DOCS}
+    ), s AS (
+      SELECT media_id,
+             CAST(('0x' || substr(dg, 1, 2)) AS INT) AS s0,
+             CAST(('0x' || substr(dg, 3, 2)) AS INT) AS s1,
+             CAST(('0x' || substr(dg, 5, 2)) AS INT) AS s2,
+             CAST(('0x' || substr(dg, 7, 2)) AS INT) AS s3
+      FROM base
+    )
+    SELECT media_id,
+      CASE WHEN media_id % 2 = 0 THEN 'mp4' ELSE 'mkv' END AS container,
+      CAST(2 * (16 + s0 % 13) AS INT) AS width,
+      CAST(2 * (16 + s1 % 9) AS INT) AS height,
+      CAST(5 + s2 % 2 AS INT) AS n_frames,
+      CAST(20 + s3 % 16 AS INT) AS qp,
+      CAST((5 + s2 % 2 - 1) // 2 AS INT) AS n_b,
+      CAST(1 AS INT) AS decodable,
+      CAST(1 AS INT) AS wpb_nonidentity,
+      CAST(1 AS INT) AS bwp_smaller,
+      CAST(1 AS INT) AS recon_exact,
+      CAST(1 AS INT) AS containers_agree
+    FROM s
+    """,
+)
+def video_bweighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT WEIGHTED BI-PREDICTION decode (round 15 — the last
+    table-free B-slice quarantine closed): digest-seeded FADE clips
+    coded as low-delay IPB with weighted_bipred_idc 1 — every B
+    slice carries a TWO-LIST §7.3.3.2 pred_weight_table and its
+    prediction runs the §8.4.2.3.2 explicit formulas (unidirectional
+    and the bi combine); the P pictures stay unweighted, isolating
+    the B machinery.
+
+    Oracle-pinned contract columns (re-derived from sha256(text)):
+    ``n_b`` — the non-reference NAL count matches the IPB layout;
+    ``wpb_nonidentity=1`` — the first B header parses back
+    NON-identity fade weights on BOTH lists (the encoder's fade
+    model really engaged); ``bwp_smaller=1`` — the weighted chain
+    codes smaller than the plain IPB chain while its P NALs are
+    byte-IDENTICAL to the plain chain's (only B slices changed);
+    ``recon_exact=1`` — container decode ≡ the encoder's closed-loop
+    reconstruction, byte for byte (if the decoder ignored or
+    mis-applied the weights this fails, because the encoder predicted
+    with them); ``containers_agree=1`` — the same GOP through the
+    other container decodes identically.
+
+    Scale shape: identical to the other video lanes — Arrow-batched
+    mapInPandas over a bounded fixture set, payloads never shuffle."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < BWP_DOCS
+    )
+
+    def build_and_decode(batches):
+        import hashlib
+
+        import numpy as np
+
+        from reindexer_spark.codecs import (
+            MediaFormatError,
+            decode_mkv,
+            decode_mp4,
+            encode_mkv_coded,
+            encode_mp4_coded,
+        )
+        from reindexer_spark.h264 import (
+            _BitReader,
+            _parse_slice_header,
+            _parse_sps_slice_fields,
+            _unescape_rbsp,
+            encode_h264_ipb,
+            parse_pps,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.doc_id)
+                dg = hashlib.sha256(r.text.encode("utf-8")).digest()
+                w = 2 * (16 + dg[0] % 13)
+                h = 2 * (16 + dg[1] % 9)
+                n_frames = 5 + dg[2] % 2
+                qp = 20 + dg[3] % 16
+                rng = np.random.default_rng(
+                    int.from_bytes(dg[:8], "big")
+                )
+                base = rng.integers(30, 226, (h, w, 3)).astype(
+                    np.float64
+                )
+                frames = [
+                    np.clip(base * (1.0 - 0.11 * i) + 5 * i, 0, 255)
+                    .astype(np.uint8)
+                    .tobytes()
+                    for i in range(n_frames)
+                ]
+                container = "mp4" if mid % 2 == 0 else "mkv"
+                sps, pps, wn, wrec = encode_h264_ipb(
+                    w, h, frames, qp=qp, return_recon=True,
+                    weighted=True,
+                )
+                _s, _p, pn = encode_h264_ipb(w, h, frames, qp=qp)
+                n_b = sum(1 for n in wn if (n[0] >> 5) == 0)
+                p_identical = all(
+                    a == b
+                    for a, b in zip(wn, pn)
+                    if (a[0] >> 5) != 0
+                )
+                bwp_smaller = int(
+                    p_identical
+                    and sum(len(x) for x in wn)
+                    < sum(len(x) for x in pn)
+                )
+                # parse the first B header back: non-identity weights
+                wpb_ni = 0
+                try:
+                    b_nal = next(n for n in wn if (n[0] >> 5) == 0)
+                    rr = _BitReader(_unescape_rbsp(b_nal[1:]))
+                    _st, _q, _d, _a, _b2, info = _parse_slice_header(
+                        rr, _parse_sps_slice_fields(sps),
+                        parse_pps(pps), idr=False, nal_ref_idc=0,
+                    )
+                    wpb = info.get("wpb") or {}
+                    ident = {"lw": 32, "lo": 0}
+                    wpb_ni = int(
+                        all(
+                            e is not None
+                            and (e["lw"], e["lo"])
+                            != (ident["lw"], ident["lo"])
+                            for e in (wpb.get("w0", [None])[0],
+                                      wpb.get("w1", [None])[0])
+                        )
+                    )
+                except MediaFormatError:
+                    wpb_ni = 0
+                mp4 = encode_mp4_coded(
+                    w, h, intra_frames=frames, qp=qp, gop="ipb-wp"
+                )
+                mkv = encode_mkv_coded(
+                    w, h, intra_frames=frames, qp=qp, gop="ipb-wp"
+                )
+                payload = mp4 if container == "mp4" else mkv
+                dec = decode_mp4 if container == "mp4" else decode_mkv
+                try:
+                    dw, dh, _durs, out, _sync = dec(payload)
+                    decodable = 1
+                except MediaFormatError:
+                    dw = dh = 0
+                    out = []
+                    decodable = 0
+                recon_exact = int(out == wrec and len(out) == n_frames)
+                other = decode_mkv if container == "mp4" else decode_mp4
+                try:
+                    _w2, _h2, _d2, out2, _s2 = other(
+                        mkv if container == "mp4" else mp4
+                    )
+                    agree = int(out == out2)
+                except MediaFormatError:
+                    agree = 0
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "container": container,
+                        "width": dw,
+                        "height": dh,
+                        "n_frames": len(out),
+                        "qp": qp,
+                        "n_b": n_b,
+                        "decodable": decodable,
+                        "wpb_nonidentity": wpb_ni,
+                        "bwp_smaller": bwp_smaller,
+                        "recon_exact": recon_exact,
+                        "containers_agree": agree,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "container", "width", "height",
+                    "n_frames", "qp", "n_b", "decodable",
+                    "wpb_nonidentity", "bwp_smaller", "recon_exact",
+                    "containers_agree",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .repartition(BWP_DOCS)
+        .mapInPandas(
+            build_and_decode,
+            "media_id bigint, container string, width int, height int, "
+            "n_frames int, qp int, n_b int, decodable int, "
+            "wpb_nonidentity int, bwp_smaller int, recon_exact int, "
+            "containers_agree int",
+        )
+    )
+
+
 CABAC_DOCS = 10  # bounded: ME + a pure-Python arithmetic coder per doc
 
 
