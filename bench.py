@@ -201,6 +201,7 @@ EXTENDED = [
     "image_tiff_tiled",
     "dedup_cdc_gear",
     "video_bweighted",
+    "audio_mpeg_index",
 ]
 
 

@@ -86,3 +86,97 @@ def test_mpeg_audio_fuzz_quarantines():
                 probe_media(bytes(mut))
             except MediaFormatError:
                 pass
+
+
+# ---------------------------------------------------------------------------
+# Frame index (round 15): offsets, duration, bit-reservoir seek points
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("ch", [1, 2])
+@pytest.mark.parametrize("rate,spf", [(44100, 1152), (22050, 576),
+                                      (16000, 576)])
+def test_mp3_index_offsets_duration_and_seek_points(ch, rate, spf):
+    from reindexer_spark.codecs import mp3_frame_index
+
+    p = write_mp3(ch, rate, 9, mdb_period=3)
+    ix = mp3_frame_index(p)
+    assert ix["n_frames"] == 9
+    assert ix["samples_per_frame"] == spf
+    assert ix["duration_ms"] == 9 * spf * 1000 // rate
+    # offsets tile the payload exactly
+    pos = ix["data_start"]
+    for off, ln, _m in ix["frames"]:
+        assert off == pos
+        pos += ln
+    assert pos == len(p)
+    # reservoir pattern: main_data_begin 0 every 3rd frame only
+    assert ix["seek_points"] == [0, 3, 6]
+    for i, (_o, _l, mdb) in enumerate(ix["frames"]):
+        assert (mdb == 0) == (i % 3 == 0)
+
+
+def test_mp3_index_parses_sideinfo_fields():
+    from reindexer_spark.codecs import (
+        _mp3_sideinfo_bits,
+        _parse_mp3_sideinfo,
+    )
+
+    # hand-built MPEG-1 stereo side info: mdb=257 needs 9 bits
+    si_len, bits = _mp3_sideinfo_bits(3, 2)
+    assert (si_len, bits) == (32, 9)
+    si = bytearray(32)
+    si[0] = 257 >> 1
+    si[1] = (257 & 1) << 7
+    out = _parse_mp3_sideinfo(bytes(si), 3, 2)
+    assert out["main_data_begin"] == 257
+    assert len(out["granules"]) == 4  # 2 granules x 2 channels
+    # LSF mono: one granule, 8-bit mdb
+    si_len, bits = _mp3_sideinfo_bits(2, 1)
+    assert (si_len, bits) == (9, 8)
+    si = bytearray(9)
+    si[0] = 77
+    out = _parse_mp3_sideinfo(bytes(si), 2, 1)
+    assert out["main_data_begin"] == 77
+    assert len(out["granules"]) == 1
+
+
+def test_mp3_index_skips_id3v2():
+    from reindexer_spark.codecs import mp3_frame_index
+
+    body = write_mp3(2, 44100, 4, mdb_period=2)
+    tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 30]) + bytes(30)
+    ix = mp3_frame_index(tag + body)
+    assert ix["data_start"] == 40
+    assert ix["n_frames"] == 4 and ix["seek_points"] == [0, 2]
+
+
+def test_adts_index_every_frame_is_a_seek_point():
+    from reindexer_spark.codecs import adts_frame_index
+
+    p = write_adts_aac(2, 48000, 7, 40)
+    ix = adts_frame_index(p)
+    assert ix["n_frames"] == 7
+    assert ix["seek_points"] == list(range(7))
+    assert ix["duration_ms"] == 7 * 1024 * 1000 // 48000
+    assert sum(f[1] for f in ix["frames"]) == len(p)
+
+
+def test_index_truncation_and_fuzz_quarantine():
+    from reindexer_spark.codecs import audio_frame_index
+
+    rng = np.random.default_rng(15)
+    for base in (write_mp3(2, 44100, 8, mdb_period=2),
+                 write_adts_aac(1, 44100, 8)):
+        with pytest.raises(MediaFormatError):
+            audio_frame_index(base[:-3])
+        for _ in range(150):
+            mut = bytearray(base)
+            for _k in range(int(rng.integers(1, 5))):
+                mut[int(rng.integers(0, len(mut)))] = int(
+                    rng.integers(0, 256)
+                )
+            try:
+                audio_frame_index(bytes(mut))
+            except MediaFormatError:
+                pass
