@@ -2126,6 +2126,24 @@ def _ac_fast_lut(table: _HuffTable) -> list:
     return lut
 
 
+# one cached zero block: block storage is appended as a C memcpy and
+# coefficients land by direct index / array-slice writes (round 15)
+_JPEG_ZERO64 = array.array("q", [0] * 64)
+
+
+def _jpeg_words48(data: bytes) -> list:
+    """The segment's bytes as 48-bit big-endian words (zero-padded
+    tail), unboxed ONCE by numpy — the safe-zone refill becomes a
+    list index instead of a slice + int.from_bytes per 6 bytes.
+    dpos stays 6-aligned through the safe zone (every refill takes
+    exactly 6 bytes), so words[dpos // 6] is exact."""
+    pad = (-len(data)) % 6
+    if pad:
+        data = data + b"\x00" * pad
+    a = np.frombuffer(data, dtype=">u2").astype(np.int64).reshape(-1, 3)
+    return ((a[:, 0] << 32) | (a[:, 1] << 16) | a[:, 2]).tolist()
+
+
 def _ac_mega_lut(table: _HuffTable) -> list:
     """window(16b) → (total_bits, ops, term) | None: as many COMPLETE
     AC coefficients as fit in the 16-bit window, decoded greedily at
@@ -2169,14 +2187,47 @@ def _ac_mega_lut(table: _HuffTable) -> list:
                 break
             cur = (w & ((1 << r) - 1)) << (16 - r)
             e = base[cur]
-        # 4th field: the entry's TOTAL k advance — when the current k
-        # plus it stays below 64, the runtime skips every per-op
-        # bounds/rollback check
-        kadv = sum(
-            ka + (1 if val is not None else 0) for ka, val, _ in ops
-        )
-        ent = (total, tuple(ops), term, kadv)
-        lut[w] = memo.setdefault(ent, ent)
+        # entry layout (round 15, rebuilt for ONE-UNPACK fast paths):
+        # (total_bits, kadv, zslice, term, prefixes)
+        # - kadv: the entry's TOTAL k advance — when the current k
+        #   plus it stays below 64 the runtime skips every per-op
+        #   bounds/rollback check;
+        # - zslice: array('q') of the zz values the entry writes (run
+        #   zeros + magnitude-decoded coefficients, precomputed at
+        #   build time — the window contains the magnitude bits), so
+        #   the fast path is ONE C-speed array slice copy;
+        # - prefixes: per-op cumulative (kadv_after, bits_through_op,
+        #   clipped zslice prefix, is_value_op) for the block-fill
+        #   rollback — the runtime picks the first prefix reaching 64
+        #   instead of re-walking ops one coefficient at a time.
+        zs: list = []
+        prefixes: list = []
+        cumk = 0
+        for ka, val, cum in ops:
+            if val is None:
+                zs.extend((0,) * 16)
+                cumk += 16
+                prefixes.append((cumk, cum, tuple(zs), 0))
+            else:
+                zs.extend((0,) * ka)
+                zs.append(val)
+                cumk += ka + 1
+                prefixes.append((cumk, cum, tuple(zs), 1))
+        ent_key = (total, cumk, tuple(zs), term, tuple(prefixes))
+        cached = memo.get(ent_key)
+        if cached is None:
+            cached = (
+                total,
+                cumk,
+                array.array("q", zs),
+                term,
+                tuple(
+                    (pk, pc, array.array("q", pz), pv)
+                    for pk, pc, pz, pv in prefixes
+                ),
+            )
+            memo[ent_key] = cached
+        lut[w] = cached
     if len(_JPEG_FAST_LUT_CACHE) >= _JPEG_FAST_LUT_CACHE_MAX:
         _JPEG_FAST_LUT_CACHE.clear()
     _JPEG_FAST_LUT_CACHE[key] = lut
@@ -2553,6 +2604,7 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, bytes]:
     seg_i = 0
     data = segments[0]
     dlen = len(data)
+    words = _jpeg_words48(data)
     dpos = 0
     acc = 0
     nbits = 0
@@ -2587,6 +2639,7 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, bytes]:
                 seg_i += 1
                 data = segments[seg_i]
                 dlen = len(data)
+                words = _jpeg_words48(data)
                 dpos = 0
                 acc = 0
                 nbits = 0
@@ -2606,7 +2659,8 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, bytes]:
                 pred = preds[ci]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        zz = [0] * 64
+                        coefs.extend(_JPEG_ZERO64)
+                        base = len(coefs) - 64
                         if dpos + 288 <= dlen:
                             # ======== SAFE-ZONE fast path: a block
                             # consumes at most ~258 bytes, so with a
@@ -2616,10 +2670,7 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, bytes]:
                             # LUT resolves ~3 coefficients per index.
                             if nbits < 16:
                                 acc = (
-                                    (acc << 48)
-                                    | int.from_bytes(
-                                        data[dpos : dpos + 6], "big"
-                                    )
+                                    (acc << 48) | words[dpos // 6]
                                 ) & 0xFFFFFFFFFFFFFFFF
                                 dpos += 6
                                 nbits += 48
@@ -2631,10 +2682,7 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, bytes]:
                                 # rare: DC code+magnitude > 16 bits
                                 if nbits < 32:
                                     acc = (
-                                        (acc << 48)
-                                        | int.from_bytes(
-                                            data[dpos : dpos + 6], "big"
-                                        )
+                                        (acc << 48) | words[dpos // 6]
                                     ) & 0xFFFFFFFFFFFFFFFFFFFF
                                     dpos += 6
                                     nbits += 48
@@ -2666,15 +2714,12 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, bytes]:
                                         if v >= (1 << (s - 1))
                                         else v - (1 << s) + 1
                                     )
-                            zz[0] = pred
+                            coefs[base] = pred
                             k = 1
                             while k < 64:
                                 if nbits < 16:
                                     acc = (
-                                        (acc << 48)
-                                        | int.from_bytes(
-                                            data[dpos : dpos + 6], "big"
-                                        )
+                                        (acc << 48) | words[dpos // 6]
                                     ) & 0xFFFFFFFFFFFFFFFF
                                     dpos += 6
                                     nbits += 48
@@ -2682,54 +2727,51 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, bytes]:
                                     (acc >> (nbits - 16)) & 0xFFFF
                                 ]
                                 if e is not None:
-                                    if k + e[3] < 64:
-                                        # whole entry fits: no bounds
-                                        # or rollback checks needed
-                                        nbits -= e[0]
-                                        for ka, val, _ in e[1]:
+                                    t, ka, zs, term, pref = e
+                                    if k + ka < 64:
+                                        # whole entry fits: ONE slice
+                                        # assignment applies every
+                                        # run zero and coefficient
+                                        nbits -= t
+                                        if ka:
+                                            bk = base + k
+                                            coefs[bk : bk + ka] = zs
                                             k += ka
-                                            if val is not None:
-                                                zz[k] = val
-                                                k += 1
-                                        if e[2]:  # EOB
+                                        if term:  # EOB
                                             break
                                         continue
+                                    # block fills mid-entry: take the
+                                    # first precomputed prefix that
+                                    # reaches 64 — bits past it (incl.
+                                    # a folded trailing EOB) belong to
+                                    # the next block
                                     stopped = False
-                                    for ka, val, cum in e[1]:
-                                        k += ka
-                                        if val is None:  # zero-run
-                                            if k >= 64:
-                                                nbits -= cum
-                                                stopped = True
-                                                break
-                                            continue
-                                        if k > 63:
-                                            raise MediaFormatError(
-                                                "AC coefficient index out of range"
-                                            )
-                                        zz[k] = val
-                                        k += 1
-                                        if k >= 64:
-                                            # block full: bits past
-                                            # this op (incl. a folded
-                                            # trailing EOB) belong to
-                                            # the next block
-                                            nbits -= cum
+                                    for pk, pc, pz, pv in pref:
+                                        nk = k + pk
+                                        if nk >= 64:
+                                            if pv and nk > 64:
+                                                raise MediaFormatError(
+                                                    "AC coefficient index out of range"
+                                                )
+                                            L = 64 - k
+                                            if L:
+                                                coefs[
+                                                    base + k : base + 64
+                                                ] = pz[:L]
+                                            nbits -= pc
+                                            k = 64
                                             stopped = True
                                             break
                                     if stopped:
                                         break
-                                    nbits -= e[0]
-                                    if e[2]:  # EOB
+                                    nbits -= t
+                                    if term:  # EOB
                                         break
                                     continue
                                 # rare: AC code+magnitude > 16 bits
                                 if nbits < 32:
                                     acc = (
-                                        (acc << 48)
-                                        | int.from_bytes(
-                                            data[dpos : dpos + 6], "big"
-                                        )
+                                        (acc << 48) | words[dpos // 6]
                                     ) & 0xFFFFFFFFFFFFFFFFFFFF
                                     dpos += 6
                                     nbits += 48
@@ -2762,13 +2804,12 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, bytes]:
                                     )
                                 nbits -= ssss
                                 v = (acc >> nbits) & ((1 << ssss) - 1)
-                                zz[k] = (
+                                coefs[base + k] = (
                                     v
                                     if v >= (1 << (ssss - 1))
                                     else v - (1 << ssss) + 1
                                 )
                                 k += 1
-                            coefs.extend(zz)
                             continue
                         # ======== CAREFUL path (stream tail): exact
                         # _BitReader starvation/error semantics.
@@ -2829,7 +2870,7 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, bytes]:
                                     if v >= (1 << (s - 1))
                                     else v - (1 << s) + 1
                                 )
-                        zz[0] = pred
+                        coefs[base] = pred
                         # --- AC run ---
                         k = 1
                         while k < 64:
@@ -2856,7 +2897,7 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, bytes]:
                                     raise MediaFormatError(
                                         "AC coefficient index out of range"
                                     )
-                                zz[k] = val
+                                coefs[base + k] = val
                                 k += 1
                                 continue
                             # slow path (exact _BitReader semantics)
@@ -2899,13 +2940,12 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, bytes]:
                                     raise _starved()
                             nbits -= ssss
                             v = (acc >> nbits) & ((1 << ssss) - 1)
-                            zz[k] = (
+                            coefs[base + k] = (
                                 v
                                 if v >= (1 << (ssss - 1))
                                 else v - (1 << ssss) + 1
                             )
                             k += 1
-                        coefs.extend(zz)
                 preds[ci] = pred
             mcu_count += 1
 
