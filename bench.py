@@ -202,6 +202,7 @@ EXTENDED = [
     "dedup_cdc_gear",
     "video_bweighted",
     "audio_mpeg_index",
+    "image_tiff_palette",
 ]
 
 

@@ -4936,6 +4936,8 @@ def _mp3_probe(payload: bytes) -> dict:
     n_frames = 0
     rate = channels = spf = None
     while pos + 4 <= len(payload):
+        if payload[pos : pos + 3] == b"TAG" and len(payload) - pos == 128:
+            break  # trailing ID3v1 tag (round 15): fixed 128 bytes
         b0, b1, b2, b3 = payload[pos : pos + 4]
         if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
             raise MediaFormatError("mp3 frame desync")
@@ -5102,7 +5104,12 @@ def mp3_frame_index(payload: bytes) -> dict:
     rate = channels = spf = ver0 = None
     frames = []
     seek = []
+    id3v1 = False
     while pos + 4 <= len(payload):
+        if payload[pos : pos + 3] == b"TAG" and len(payload) - pos == 128:
+            id3v1 = True  # trailing ID3v1 tag (round 15)
+            pos = len(payload)
+            break
         b0, b1, b2, b3 = payload[pos : pos + 4]
         if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
             raise MediaFormatError("mp3 frame desync")
@@ -5158,6 +5165,7 @@ def mp3_frame_index(payload: bytes) -> dict:
         "frames": frames,
         "seek_points": seek,
         "data_start": base,
+        "id3v1": id3v1,
     }
 
 

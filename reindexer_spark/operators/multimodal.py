@@ -5281,6 +5281,174 @@ def image_tiff_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "image_tiff_palette",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {TIFF_DOCS}
+    ), dims AS (
+      SELECT media_id, dg,
+             9 + CAST(('0x' || substr(dg, 1, 2)) AS INT) % 24 AS w,
+             9 + CAST(('0x' || substr(dg, 3, 2)) AS INT) % 16 AS h
+      FROM base
+    ), idxc AS (
+      SELECT media_id, dg, w, h,
+             substr(
+               string_agg(sha256(dg || '-' || i), '' ORDER BY i),
+               1, 2 * w * h
+             ) AS idxhex
+      FROM dims CROSS JOIN range(24) r(i)
+      WHERE i < CEIL(w * h / 32.0)
+      GROUP BY media_id, dg, w, h
+    ), cmc AS (
+      SELECT media_id, w, h, idxhex,
+             string_agg(sha256(dg || '-cm-' || i), '' ORDER BY i)
+               AS cmhex
+      FROM idxc CROSS JOIN range(24) r(i)
+      GROUP BY media_id, w, h, idxhex
+    ), px AS (
+      SELECT media_id, w, h,
+        array_to_string(
+          list_transform(
+            range(CAST(w * h AS BIGINT)),
+            j -> substr(cmhex,
+                   2 * CAST(('0x' || substr(idxhex,
+                        CAST(2 * j + 1 AS INT), 2)) AS INT) + 1, 2)
+              || substr(cmhex,
+                   2 * (256 + CAST(('0x' || substr(idxhex,
+                        CAST(2 * j + 1 AS INT), 2)) AS INT)) + 1, 2)
+              || substr(cmhex,
+                   2 * (512 + CAST(('0x' || substr(idxhex,
+                        CAST(2 * j + 1 AS INT), 2)) AS INT)) + 1, 2)
+          ), ''
+        ) AS rgbhex
+      FROM cmc
+    )
+    SELECT media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CASE media_id % 4 WHEN 0 THEN 'none' WHEN 1 THEN 'lzw'
+                             WHEN 2 THEN 'packbits' ELSE 'deflate' END
+             AS compression,
+           md5(rgbhex) AS rgb_md5,
+           CAST(1 AS INT) AS probe_agrees,
+           CAST(1 AS INT) AS short_cmap_quarantined
+    FROM px
+    """,
+)
+def image_tiff_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PALETTE-COLOR TIFF decode (round 15): PhotometricInterpretation
+    3 — 8-bit indices through a 3x256 16-bit ColorMap (the layout old
+    scanned-document crawls actually carry).  Per document, indices
+    AND the colormap derive from sha256 hex chains both engines can
+    compute: colormap values are high-byte-exact (hb << 8), so the
+    decoded pixel bytes are pure chain lookups the oracle replays
+    with substr arithmetic.
+
+    Oracle-pinned columns: geometry/compression from the digest;
+    ``rgb_md5`` — md5 of the decoded RGB hex (index → R,G,B high
+    bytes) across all four compression schemes;
+    ``short_cmap_quarantined=1`` — the same fixture with its ColorMap
+    count patched short refuses to decode while the probe still reads
+    its dims.
+
+    Scale shape: mapInPandas, payloads never shuffle — same as every
+    media lane."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < TIFF_DOCS
+    )
+
+    def build_and_decode(batches):
+        import hashlib
+        import struct as st
+
+        from reindexer_spark.codecs import (
+            MediaFormatError,
+            _decode_image,
+            probe_media,
+        )
+        from reindexer_spark.tiff import TAG_COLORMAP, encode_tiff_palette
+
+        def with_short_cmap(payload: bytes) -> bytes:
+            buf = bytearray(payload)
+            (ifd,) = st.unpack_from("<I", buf, 4)
+            (n,) = st.unpack_from("<H", buf, ifd)
+            for i in range(n):
+                e = ifd + 2 + 12 * i
+                if st.unpack_from("<H", buf, e)[0] == TAG_COLORMAP:
+                    st.pack_into("<I", buf, e + 4, 300)  # count cut
+                    return bytes(buf)
+            raise MediaFormatError("fixture lacks a ColorMap tag")
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.doc_id)
+                dg = hashlib.sha256(r.text.encode("utf-8")).hexdigest()
+                w = 9 + int(dg[0:2], 16) % 24
+                h = 9 + int(dg[2:4], 16) % 16
+                comp, cname = (
+                    (1, "none"), (5, "lzw"), (32773, "packbits"),
+                    (8, "deflate"),
+                )[mid % 4]
+                idxhex = "".join(
+                    hashlib.sha256(f"{dg}-{i}".encode()).hexdigest()
+                    for i in range((w * h + 31) // 32)
+                )[: 2 * w * h]
+                idx = bytes.fromhex(idxhex)
+                cmbytes = bytes.fromhex("".join(
+                    hashlib.sha256(f"{dg}-cm-{i}".encode()).hexdigest()
+                    for i in range(24)
+                ))
+                colormap = [b << 8 for b in cmbytes]
+                payload = encode_tiff_palette(
+                    w, h, idx, colormap, le=True, compression=comp
+                )
+                dw, dh, out = _decode_image("tiff", payload)
+                pm = probe_media(payload)
+                agrees = int(
+                    pm["kind"] == "tiff"
+                    and pm["width"] == dw
+                    and pm["height"] == dh
+                )
+                bad = with_short_cmap(payload)
+                try:
+                    _decode_image("tiff", bad)
+                    cq = 0
+                except MediaFormatError:
+                    cq = int(probe_media(bad)["width"] == dw)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": dw,
+                        "height": dh,
+                        "compression": cname,
+                        "rgb_md5": hashlib.md5(
+                            out.hex().encode()
+                        ).hexdigest(),
+                        "probe_agrees": agrees,
+                        "short_cmap_quarantined": cq,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "compression",
+                    "rgb_md5", "probe_agrees",
+                    "short_cmap_quarantined",
+                ],
+            )
+
+    return docs.select("doc_id", "text").repartition(TIFF_DOCS).mapInPandas(
+        build_and_decode,
+        "media_id bigint, width int, height int, compression string, "
+        "rgb_md5 string, probe_agrees int, short_cmap_quarantined int",
+    )
+
+
 EXIF_DOCS = 16
 
 

@@ -15,7 +15,9 @@ stdlib zlib) and 32773 (PackBits, §9), plus
 horizontal-differencing Predictor 2 (§14).  Everything outside
 raises MediaFormatError — the repo's quarantine contract, never a
 wrong image: CCITT (2/3/4) and JPEG-in-TIFF (6/7) compression,
-planar=2, palettes, float/32-bit samples.
+planar=2, float/32-bit samples, palettes with 16-bit indices.
+Palette-color images (PI 3, 8-bit indices + 3x256 16-bit ColorMap)
+decode since round 15.
 
 EXIF scope: parse Make/Model/Orientation/DateTime from IFD0,
 DateTimeOriginal from the Exif sub-IFD, latitude/longitude from the
@@ -92,6 +94,7 @@ TAG_SPP = 277
 TAG_ROWS_PER_STRIP = 278
 TAG_STRIP_COUNTS = 279
 TAG_PLANAR = 284
+TAG_COLORMAP = 320
 TAG_TILE_WIDTH = 322
 TAG_TILE_LENGTH = 323
 TAG_TILE_OFFSETS = 324
@@ -265,9 +268,25 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
     elif pi in (0, 1):
         if spp != 1:
             raise MediaFormatError("grayscale TIFF needs 1 sample/pixel")
+    elif pi == 3:
+        # palette-color (round 15): 8-bit indices into a 3x256
+        # 16-bit ColorMap; 16-bit indices would need a 196608-entry
+        # map nothing real writes — quarantine those
+        if spp != 1:
+            raise MediaFormatError("palette TIFF needs 1 sample/pixel")
+        if bps != 8:
+            raise MediaFormatError(
+                "palette TIFF with 16-bit indices not supported"
+            )
+        cme = ent.get(TAG_COLORMAP)
+        if cme is None:
+            raise MediaFormatError("palette TIFF missing ColorMap")
+        cmap = cme["values"]
+        if not isinstance(cmap, list) or len(cmap) != 3 * 256:
+            raise MediaFormatError("TIFF ColorMap length mismatch")
     else:
         raise MediaFormatError(
-            f"TIFF photometric {pi} (palette/CMYK/YCbCr) not supported"
+            f"TIFF photometric {pi} (CMYK/YCbCr) not supported"
         )
 
     def decompress(raw: bytes, want: int) -> bytes:
@@ -377,6 +396,13 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
             rgb = np.ascontiguousarray(
                 a.reshape(-1, spp)[:, :3]
             ).tobytes()
+    elif pi == 3:
+        # 16-bit ColorMap values (0xFFFF = full intensity): the 8-bit
+        # channel is the high byte, per the standard scaling
+        cm = (
+            np.asarray(cmap, dtype=np.int64).reshape(3, 256) >> 8
+        ).astype(np.uint8)
+        rgb = np.ascontiguousarray(cm[:, a].T).tobytes()
     else:
         if pi == 0:  # WhiteIsZero: invert
             a = 255 - a
@@ -539,6 +565,64 @@ def encode_tiff(
     )
     if len(offs) > 1:
         _patch_values(block, offs[0], TAG_GPS_IFD, [offs[1]], le)
+    return bytes(block) + b"".join(strips)
+
+
+def encode_tiff_palette(
+    width: int,
+    height: int,
+    idx: bytes,
+    colormap: list[int],
+    le: bool = True,
+    compression: int = 1,
+) -> bytes:
+    """Fixture/production writer for PALETTE-COLOR TIFF (PI 3,
+    round 15): ``idx`` is width*height 8-bit palette indices,
+    ``colormap`` the 768 16-bit ColorMap values (R plane, then G,
+    then B — the spec's §6 layout).  Two strips, optional
+    compression like :func:`encode_tiff`."""
+    if len(idx) != width * height:
+        raise MediaFormatError("index byte count does not match dims")
+    if len(colormap) != 3 * 256:
+        raise MediaFormatError("ColorMap must carry 3*256 values")
+    if compression not in (1, 5, 8, 32773):
+        raise MediaFormatError("unsupported TIFF write compression")
+    rps = max(1, (height + 1) // 2)
+    strips = []
+    for r in range(0, height, rps):
+        raw = idx[r * width : min(r + rps, height) * width]
+        if compression == 5:
+            raw = lzw_encode_tiff(raw)
+        elif compression == 8:
+            import zlib
+
+            raw = zlib.compress(raw, 6)
+        elif compression == 32773:
+            raw = packbits_encode(raw)
+        strips.append(raw)
+    n = len(strips)
+    tags = [
+        (TAG_WIDTH, 3, [width]),
+        (TAG_HEIGHT, 3, [height]),
+        (TAG_BITS, 3, [8]),
+        (TAG_COMPRESSION, 3, [compression]),
+        (TAG_PHOTOMETRIC, 3, [3]),
+        (TAG_STRIP_OFFSETS, 4, [0] * n),  # patched below
+        (TAG_SPP, 3, [1]),
+        (TAG_ROWS_PER_STRIP, 3, [min(rps, 65535)]),
+        (TAG_STRIP_COUNTS, 4, [len(s) for s in strips]),
+        (TAG_PLANAR, 3, [1]),
+        (TAG_COLORMAP, 3, list(colormap)),
+    ]
+    block, offs = _write_ifds(le, [tags])
+    data_off = len(block)
+    strip_offs = []
+    pos = data_off
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+    block = bytearray(block)
+    _patch_values(block, offs[0], TAG_STRIP_OFFSETS, strip_offs, le)
     return bytes(block) + b"".join(strips)
 
 

@@ -180,3 +180,18 @@ def test_index_truncation_and_fuzz_quarantine():
                 audio_frame_index(bytes(mut))
             except MediaFormatError:
                 pass
+
+
+def test_mp3_trailing_id3v1_tag_tolerated():
+    """Real crawled MP3s end with a 128-byte ID3v1 'TAG' block — the
+    probe and the index must stop there, not desync; a mid-stream
+    'TAG' of the wrong size still quarantines."""
+    from reindexer_spark.codecs import mp3_frame_index
+
+    body = write_mp3(2, 44100, 5, mdb_period=2)
+    p = body + b"TAG" + bytes(125)
+    assert probe_media(p)["n_frames"] == 5
+    ix = mp3_frame_index(p)
+    assert ix["n_frames"] == 5 and ix["id3v1"]
+    with pytest.raises(MediaFormatError):
+        mp3_frame_index(body + b"TAG" + bytes(6))

@@ -843,3 +843,47 @@ def test_deflate_strip_inflation_is_bounded():
             struct.pack_into("<I", buf, voff, 3)  # lie about count
     with pytest.raises(MediaFormatError):
         decode_tiff(bytes(buf))
+
+
+@pytest.mark.parametrize("le", [True, False])
+@pytest.mark.parametrize("comp", [1, 5, 8, 32773])
+def test_palette_roundtrip_exact(le, comp):
+    """PI 3 palette-color (round 15): indices map through the 3x256
+    16-bit ColorMap, 8-bit channel = high byte."""
+    from reindexer_spark.tiff import encode_tiff_palette
+
+    rng = np.random.default_rng(comp + le)
+    w, h = 21, 13
+    idx = rng.integers(0, 256, w * h, dtype=np.uint8).tobytes()
+    cm = [int(v) for v in rng.integers(0, 65536, 768)]
+    p = encode_tiff_palette(w, h, idx, cm, le=le, compression=comp)
+    dw, dh, rgb = decode_tiff(p)
+    cmarr = (np.array(cm).reshape(3, 256) >> 8).astype(np.uint8)
+    ia = np.frombuffer(idx, dtype=np.uint8)
+    exp = np.ascontiguousarray(cmarr[:, ia].T).tobytes()
+    assert (dw, dh) == (w, h) and rgb == exp
+    assert probe_tiff(p)["photometric"] == 3
+
+
+def test_palette_quarantines_missing_or_short_colormap():
+    from reindexer_spark.tiff import encode_tiff_palette
+
+    rng = np.random.default_rng(9)
+    idx = rng.integers(0, 256, 16 * 16, dtype=np.uint8).tobytes()
+    cm = [int(v) for v in rng.integers(0, 65536, 768)]
+    p = encode_tiff_palette(16, 16, idx, cm)
+    # cut the ColorMap count: decode refuses, probe still reads dims
+    buf = bytearray(p)
+    (ifd,) = struct.unpack_from("<I", buf, 4)
+    (n,) = struct.unpack_from("<H", buf, ifd)
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        if struct.unpack_from("<H", buf, e)[0] == 320:
+            struct.pack_into("<I", buf, e + 4, 300)
+    with pytest.raises(MediaFormatError):
+        decode_tiff(bytes(buf))
+    assert probe_tiff(bytes(buf))["width"] == 16
+    # 16-bit palette indices stay quarantined
+    p16 = _patch_short(p, TAG_BITS, 16)
+    with pytest.raises(MediaFormatError):
+        decode_tiff(p16)
