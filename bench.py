@@ -203,6 +203,7 @@ EXTENDED = [
     "video_bweighted",
     "audio_mpeg_index",
     "image_tiff_palette",
+    "image_exif_scrub_multi",
 ]
 
 

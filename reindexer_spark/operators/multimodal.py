@@ -5449,6 +5449,227 @@ def image_tiff_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCRUBX_DOCS = 16
+
+
+@query(
+    "image_exif_scrub_multi",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {SCRUBX_DOCS}
+    ), s AS (
+      SELECT media_id,
+             CAST(('0x' || substr(dg, 1, 4)) AS INT) AS s01,
+             CAST(('0x' || substr(dg, 5, 4)) AS INT) AS s23,
+             CAST(('0x' || substr(dg, 9, 2)) AS INT) AS s4,
+             CAST(('0x' || substr(dg, 11, 2)) AS INT) AS s5,
+             CAST(('0x' || substr(dg, 13, 2)) AS INT) AS s6
+      FROM base
+    )
+    SELECT media_id,
+      CASE media_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'tiff'
+                        WHEN 2 THEN 'png' ELSE 'webp' END AS kind,
+      CAST(16 + s4 % 17 AS INT) AS width,
+      CAST(16 + s5 % 9 AS INT) AS height,
+      CAST(CASE WHEN s6 % 2 = 0 THEN 1 ELSE -1 END
+           * (s01 % 90001) AS BIGINT) AS lat_milli,
+      CAST(CASE WHEN s6 % 3 = 0 THEN 1 ELSE -1 END
+           * (s23 % 180001) AS BIGINT) AS lon_milli,
+      CAST(1 AS INT) AS had_gps,
+      CAST(1 AS INT) AS len_unchanged,
+      CAST(1 AS INT) AS gps_gone,
+      CAST(1 AS INT) AS coded_identical,
+      CAST(1 AS INT) AS idempotent
+    FROM s
+    """,
+)
+def image_exif_scrub_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-FORMAT GPS scrub (round 15): the location-PII pass a
+    training pipeline runs must cover every image carrier, not just
+    JPEG — PNG carries the same TIFF block in an eXIf chunk, WebP in
+    an EXIF chunk, bare TIFF in IFD0.  One digest-seeded fixture per
+    doc cycles jpeg/tiff/png/webp, embeds real GPS coordinates, and
+    runs the ONE dispatched entry point (tiff.scrub_image_gps).
+
+    Oracle-pinned columns: ``lat_milli``/``lon_milli`` — the
+    coordinates PARSED BACK from the built file equal the digest
+    arithmetic (write→parse exact-inverse per format);
+    ``had_gps=1``; ``len_unchanged=1`` — every scrub is in-place;
+    ``gps_gone=1`` — re-parsing the scrubbed file finds no GPS;
+    ``coded_identical=1`` — decoded pixels (jpeg/tiff/png) or the
+    coded VP8L chunk bytes (webp) are unchanged; ``idempotent=1`` —
+    a second scrub reports nothing and returns the same bytes.
+
+    Scale shape: mapInPandas, payloads never shuffle — same as every
+    media lane."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < SCRUBX_DOCS
+    )
+
+    def build_and_scrub(batches):
+        import hashlib
+        import struct as st
+
+        from reindexer_spark.codecs import (
+            decode_jpeg_baseline,
+            decode_png,
+            encode_jpeg_baseline,
+            encode_png,
+        )
+        from reindexer_spark.tiff import (
+            build_exif_app1,
+            decode_tiff,
+            encode_tiff,
+            insert_exif,
+            insert_png_exif,
+            insert_webp_exif,
+            parse_gps_milli,
+            scrub_image_gps,
+        )
+        from reindexer_spark.vp8l import encode_webp_lossless
+
+        def png_block(p: bytes) -> bytes | None:
+            pos = 8
+            while pos + 8 <= len(p):
+                (ln,) = st.unpack_from(">I", p, pos)
+                if p[pos + 4 : pos + 8] == b"eXIf":
+                    return p[pos + 8 : pos + 8 + ln]
+                pos += 8 + ln + 4
+            return None
+
+        def webp_block(p: bytes) -> bytes | None:
+            pos = 12
+            while pos + 8 <= len(p):
+                cid = p[pos : pos + 4]
+                (sz,) = st.unpack_from("<I", p, pos + 4)
+                if cid == b"EXIF":
+                    body = p[pos + 8 : pos + 8 + sz]
+                    if body[:6] == b"Exif\x00\x00":
+                        body = body[6:]
+                    return body
+                pos += 8 + sz + (sz & 1)
+            return None
+
+        def webp_coded(p: bytes) -> bytes:
+            pos = 12
+            while pos + 8 <= len(p):
+                cid = p[pos : pos + 4]
+                (sz,) = st.unpack_from("<I", p, pos + 4)
+                if cid == b"VP8L":
+                    return p[pos + 8 : pos + 8 + sz]
+                pos += 8 + sz + (sz & 1)
+            return b""
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.doc_id)
+                dg = hashlib.sha256(r.text.encode("utf-8")).hexdigest()
+                kind = ("jpeg", "tiff", "png", "webp")[mid % 4]
+                w = 16 + int(dg[8:10], 16) % 17
+                h = 16 + int(dg[10:12], 16) % 9
+                s6 = int(dg[12:14], 16)
+                lat = (1 if s6 % 2 == 0 else -1) * (
+                    int(dg[0:4], 16) % 90001
+                )
+                lon = (1 if s6 % 3 == 0 else -1) * (
+                    int(dg[4:8], 16) % 180001
+                )
+                n = w * h * 3
+                hexsrc = "".join(
+                    hashlib.sha256(f"{dg}-{i}".encode()).hexdigest()
+                    for i in range((n + 31) // 32)
+                )[: 2 * n]
+                rgb = bytes.fromhex(hexsrc)
+                app1 = build_exif_app1(
+                    gps_lat_milli=lat, gps_lon_milli=lon
+                )
+                block = app1[10:]  # past marker+len+'Exif\\0\\0'
+                if kind == "jpeg":
+                    payload = insert_exif(
+                        encode_jpeg_baseline(w, h, rgb, 80), app1
+                    )
+                elif kind == "tiff":
+                    payload = encode_tiff(
+                        w, h, rgb, gps_lat_milli=lat, gps_lon_milli=lon
+                    )
+                elif kind == "png":
+                    payload = insert_png_exif(
+                        encode_png(w, h, rgb), block
+                    )
+                else:
+                    payload = insert_webp_exif(
+                        encode_webp_lossless(w, h, rgb), block
+                    )
+
+                def gps_of(p: bytes):
+                    if kind == "jpeg":
+                        from reindexer_spark.tiff import parse_exif
+
+                        m = parse_exif(p)
+                        return m["gps"] if m else None
+                    if kind == "tiff":
+                        return parse_gps_milli(p)
+                    blk = png_block(p) if kind == "png" else webp_block(p)
+                    return parse_gps_milli(blk) if blk else None
+
+                g0 = gps_of(payload) or {}
+                plat = g0.get("lat_milli")
+                plon = g0.get("lon_milli")
+                out, had, k2 = scrub_image_gps(payload)
+                g1 = gps_of(out)
+                if kind == "jpeg":
+                    same = decode_jpeg_baseline(out) == (
+                        decode_jpeg_baseline(payload)
+                    )
+                elif kind == "tiff":
+                    same = decode_tiff(out) == decode_tiff(payload)
+                elif kind == "png":
+                    same = decode_png(out) == decode_png(payload)
+                else:
+                    same = webp_coded(out) == webp_coded(payload)
+                out2, had2, _k3 = scrub_image_gps(out)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": kind,
+                        "width": w,
+                        "height": h,
+                        "lat_milli": plat,
+                        "lon_milli": plon,
+                        "had_gps": int(had and k2 == kind),
+                        "len_unchanged": int(len(out) == len(payload)),
+                        "gps_gone": int(g1 is None),
+                        "coded_identical": int(same),
+                        "idempotent": int(not had2 and out2 == out),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "width", "height",
+                    "lat_milli", "lon_milli", "had_gps",
+                    "len_unchanged", "gps_gone", "coded_identical",
+                    "idempotent",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .repartition(SCRUBX_DOCS)
+        .mapInPandas(
+            build_and_scrub,
+            "media_id bigint, kind string, width int, height int, "
+            "lat_milli bigint, lon_milli bigint, had_gps int, "
+            "len_unchanged int, gps_gone int, coded_identical int, "
+            "idempotent int",
+        )
+    )
+
+
 EXIF_DOCS = 16
 
 

@@ -843,38 +843,50 @@ def parse_exif(jpeg: bytes) -> dict | None:
     if TAG_EXIF_IFD in ifd0:
         sub, _ = read_ifd(block, ifd0[TAG_EXIF_IFD]["values"][0], le)
         out["dt_original"] = sval(sub, TAG_DT_ORIGINAL)
-    if TAG_GPS_IFD in ifd0:
-        gps, _ = read_ifd(block, ifd0[TAG_GPS_IFD]["values"][0], le)
-        if GPS_LAT in gps and GPS_LON in gps:
-            if gps[GPS_LAT]["count"] != 3 or gps[GPS_LON]["count"] != 3:
-                raise MediaFormatError(
-                    "GPS coordinate rationals must be deg/min/sec "
-                    "triples"
-                )
-
-            def milli(rats) -> int:
-                # exact inverse of _deg_to_rationals for its
-                # (deg/1, min/1, sec*100/100) shape: r2 = sec100/6 is
-                # exact (sec100 is a multiple of 6 by construction),
-                # rem = (min*1000 + r2)/60 is the div/mod identity
-                (d, dd), (m, md), (s100, sd) = rats
-                if (dd, md, sd) != (1, 1, 100):
-                    # foreign denominators: round to nearest milli
-                    return round(
-                        1000
-                        * (d / max(dd, 1) + m / max(md, 1) / 60
-                           + s100 / max(sd, 1) / 3600)
-                    )
-                return d * 1000 + (m * 1000 + s100 // 6) // 60
-
-            lat = milli(gps[GPS_LAT]["values"])
-            lon = milli(gps[GPS_LON]["values"])
-            if (gps.get(GPS_LAT_REF, {}).get("values") or "N") == "S":
-                lat = -lat
-            if (gps.get(GPS_LON_REF, {}).get("values") or "E") == "W":
-                lon = -lon
-            out["gps"] = {"lat_milli": lat, "lon_milli": lon}
+    out["gps"] = parse_gps_milli(block)
     return out
+
+
+@_quarantining
+def parse_gps_milli(block: bytes) -> dict | None:
+    """GPS coordinates from a bare TIFF block →
+    {lat_milli, lon_milli} or None (round 15: factored out of
+    parse_exif so the PNG eXIf / WebP EXIF carriers can parse the
+    same way)."""
+    le, off = _tiff_header(block)
+    ifd0, _ = read_ifd(block, off, le)
+    if TAG_GPS_IFD not in ifd0:
+        return None
+    gps, _ = read_ifd(block, ifd0[TAG_GPS_IFD]["values"][0], le)
+    if GPS_LAT not in gps or GPS_LON not in gps:
+        return None
+    if gps[GPS_LAT]["count"] != 3 or gps[GPS_LON]["count"] != 3:
+        raise MediaFormatError(
+            "GPS coordinate rationals must be deg/min/sec triples"
+        )
+
+    def milli(rats) -> int:
+        # exact inverse of _deg_to_rationals for its
+        # (deg/1, min/1, sec*100/100) shape: r2 = sec100/6 is
+        # exact (sec100 is a multiple of 6 by construction),
+        # rem = (min*1000 + r2)/60 is the div/mod identity
+        (d, dd), (m, md), (s100, sd) = rats
+        if (dd, md, sd) != (1, 1, 100):
+            # foreign denominators: round to nearest milli
+            return round(
+                1000
+                * (d / max(dd, 1) + m / max(md, 1) / 60
+                   + s100 / max(sd, 1) / 3600)
+            )
+        return d * 1000 + (m * 1000 + s100 // 6) // 60
+
+    lat = milli(gps[GPS_LAT]["values"])
+    lon = milli(gps[GPS_LON]["values"])
+    if (gps.get(GPS_LAT_REF, {}).get("values") or "N") == "S":
+        lat = -lat
+    if (gps.get(GPS_LON_REF, {}).get("values") or "E") == "W":
+        lon = -lon
+    return {"lat_milli": lat, "lon_milli": lon}
 
 
 # A legitimate multi-page TIFF carries one IFD per page on IFD0's
@@ -1050,6 +1062,162 @@ def scrub_exif_gps(jpeg: bytes) -> tuple[bytes, bool]:
     if not had:
         return jpeg, False
     return bytes(out), True
+
+
+@_quarantining
+def scrub_png_gps(payload: bytes) -> tuple[bytes, bool]:
+    """PNG twin of :func:`scrub_exif_gps` (round 15): the eXIf chunk
+    carries a raw TIFF block — zero its GPS IFD chain in place and
+    recompute the chunk CRC.  File length unchanged, IDAT untouched,
+    decoded pixels byte-identical.  EVERY eXIf chunk is visited.
+    Returns (png_bytes, had_gps)."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise MediaFormatError("not a PNG payload")
+    out = bytearray(payload)
+    pos = 8
+    had = False
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = pos + 8
+        if body + ln + 4 > len(payload):
+            raise MediaFormatError("PNG chunk overruns payload")
+        if ctype == b"eXIf":
+            block = bytearray(payload[body : body + ln])
+            if _scrub_gps_block(block):
+                out[body : body + ln] = block
+                struct.pack_into(
+                    ">I", out, body + ln,
+                    zlib.crc32(b"eXIf" + bytes(block)) & 0xFFFFFFFF,
+                )
+                had = True
+        pos = body + ln + 4
+        if ctype == b"IEND":
+            break
+    return (bytes(out), True) if had else (payload, False)
+
+
+def insert_png_exif(png: bytes, tiff_block: bytes) -> bytes:
+    """Insert an eXIf chunk (raw TIFF block) right after IHDR."""
+    import zlib
+
+    if png[:8] != b"\x89PNG\r\n\x1a\n":
+        raise MediaFormatError("not a PNG payload")
+    (ln,) = struct.unpack_from(">I", png, 8)
+    end_ihdr = 8 + 8 + ln + 4
+    chunk = (
+        struct.pack(">I", len(tiff_block))
+        + b"eXIf"
+        + tiff_block
+        + struct.pack(
+            ">I", zlib.crc32(b"eXIf" + tiff_block) & 0xFFFFFFFF
+        )
+    )
+    return png[:end_ihdr] + chunk + png[end_ihdr:]
+
+
+@_quarantining
+def scrub_webp_gps(payload: bytes) -> tuple[bytes, bool]:
+    """WebP twin of :func:`scrub_exif_gps` (round 15): the EXIF chunk
+    carries a TIFF block (some writers prefix it with 'Exif\\0\\0' —
+    both shapes handled); zero its GPS IFD chain in place.  RIFF has
+    no CRC, so the file stays the same length with only GPS bytes
+    changed.  EVERY EXIF chunk is visited.  Returns
+    (webp_bytes, had_gps)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise MediaFormatError("not a WebP payload")
+    out = bytearray(payload)
+    pos = 12
+    had = False
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if body + size > len(payload):
+            raise MediaFormatError("WebP chunk overruns payload")
+        if cid == b"EXIF":
+            off = 6 if payload[body : body + 6] == _EXIF_HEAD else 0
+            block = bytearray(payload[body + off : body + size])
+            if _scrub_gps_block(block):
+                out[body + off : body + size] = block
+                had = True
+        pos = body + size + (size & 1)
+    return (bytes(out), True) if had else (payload, False)
+
+
+def insert_webp_exif(webp: bytes, tiff_block: bytes) -> bytes:
+    """Append an EXIF chunk to a WebP, adding/patching the VP8X
+    extended header (EXIF flag 0x08) the spec requires.  Canvas dims
+    for a synthesized VP8X come from the first VP8/VP8L chunk."""
+    if webp[:4] != b"RIFF" or webp[8:12] != b"WEBP":
+        raise MediaFormatError("not a WebP payload")
+    chunks = []
+    pos = 12
+    w = h = None
+    while pos + 8 <= len(webp):
+        cid = webp[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", webp, pos + 4)
+        body = pos + 8
+        data = webp[body : body + size]
+        if cid == b"VP8 " and w is None:
+            vw, vh = struct.unpack_from("<HH", data, 6)
+            w, h = vw & 0x3FFF, vh & 0x3FFF
+        elif cid == b"VP8L" and w is None:
+            (bits,) = struct.unpack_from("<I", data, 1)
+            w, h = (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+        chunks.append([cid, data])
+        pos = body + size + (size & 1)
+    if chunks and chunks[0][0] == b"VP8X":
+        d = bytearray(chunks[0][1])
+        d[0] |= 0x08  # EXIF flag
+        chunks[0][1] = bytes(d)
+    else:
+        if w is None:
+            raise MediaFormatError("WebP lacks a VP8/VP8L chunk")
+        vp8x = (
+            bytes([0x08, 0, 0, 0])
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+        )
+        chunks.insert(0, [b"VP8X", vp8x])
+    chunks.append([b"EXIF", _EXIF_HEAD + tiff_block])
+
+    def riff(cid: bytes, data: bytes) -> bytes:
+        return (
+            cid
+            + struct.pack("<I", len(data))
+            + data
+            + (b"\x00" if len(data) & 1 else b"")
+        )
+
+    body2 = b"".join(riff(c, d) for c, d in chunks)
+    return b"RIFF" + struct.pack("<I", 4 + len(body2)) + b"WEBP" + body2
+
+
+@_quarantining
+def scrub_image_gps(payload: bytes) -> tuple[bytes, bool, str]:
+    """Format-dispatched GPS scrub — the one PII entry point a crawl
+    pipeline calls per image: JPEG APP1, bare TIFF, PNG eXIf, WebP
+    EXIF.  Returns (bytes, had_gps, kind); unknown formats
+    quarantine (never silently claim a clean scrub)."""
+    if payload[:2] == b"\xff\xd8":
+        b, had = scrub_exif_gps(payload)
+        return b, had, "jpeg"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        b, had = scrub_tiff_gps(payload)
+        return b, had, "tiff"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        b, had = scrub_png_gps(payload)
+        return b, had, "png"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        b, had = scrub_webp_gps(payload)
+        return b, had, "webp"
+    raise MediaFormatError(
+        "no GPS scrub for this payload format: removal cannot be "
+        "guaranteed"
+    )
 
 
 @_quarantining

@@ -887,3 +887,89 @@ def test_palette_quarantines_missing_or_short_colormap():
     p16 = _patch_short(p, TAG_BITS, 16)
     with pytest.raises(MediaFormatError):
         decode_tiff(p16)
+
+
+def test_png_exif_scrub_roundtrip_and_crc():
+    """PNG eXIf carrier (round 15): scrub zeroes the GPS IFD in
+    place, fixes the chunk CRC, leaves pixels byte-identical; every
+    eXIf chunk is visited."""
+    import zlib
+
+    from reindexer_spark.codecs import decode_png, encode_png
+    from reindexer_spark.tiff import (
+        insert_png_exif,
+        parse_gps_milli,
+        scrub_png_gps,
+    )
+
+    rgb = _rgb(18, 12, seed=4)
+    block = build_exif_app1(gps_lat_milli=123, gps_lon_milli=-456)[10:]
+    png = insert_png_exif(
+        insert_png_exif(encode_png(18, 12, rgb), block), block
+    )  # TWO eXIf chunks — adversarial duplicate
+    s, had = scrub_png_gps(png)
+    assert had and len(s) == len(png)
+    assert decode_png(s) == (18, 12, rgb)
+    # every chunk scrubbed and CRC valid
+    pos = 8
+    found = 0
+    while pos + 8 <= len(s):
+        (ln,) = struct.unpack_from(">I", s, pos)
+        ctype = s[pos + 4 : pos + 8]
+        if ctype == b"eXIf":
+            data = s[pos + 8 : pos + 8 + ln]
+            (crc,) = struct.unpack_from(">I", s, pos + 8 + ln)
+            assert crc == (zlib.crc32(b"eXIf" + data) & 0xFFFFFFFF)
+            assert parse_gps_milli(data) is None
+            found += 1
+        pos += 8 + ln + 4
+    assert found == 2
+    assert scrub_png_gps(s) == (s, False)
+
+
+def test_webp_exif_scrub_keeps_coded_chunk():
+    from reindexer_spark.codecs import probe_media
+    from reindexer_spark.tiff import (
+        insert_webp_exif,
+        parse_gps_milli,
+        scrub_webp_gps,
+    )
+    from reindexer_spark.vp8l import encode_webp_lossless
+
+    rgb = _rgb(20, 14, seed=6)
+    block = build_exif_app1(gps_lat_milli=89999, gps_lon_milli=1)[10:]
+    webp = insert_webp_exif(encode_webp_lossless(20, 14, rgb), block)
+    pm = probe_media(webp)
+    assert (pm["width"], pm["height"]) == (20, 14)
+    s, had = scrub_webp_gps(webp)
+    assert had and len(s) == len(webp)
+
+    def chunk(p, cid):
+        pos = 12
+        while pos + 8 <= len(p):
+            c = p[pos : pos + 4]
+            (sz,) = struct.unpack_from("<I", p, pos + 4)
+            if c == cid:
+                return p[pos + 8 : pos + 8 + sz]
+            pos += 8 + sz + (sz & 1)
+        return None
+
+    assert chunk(s, b"VP8L") == chunk(webp, b"VP8L")
+    body = chunk(s, b"EXIF")
+    assert parse_gps_milli(body[6:]) is None  # Exif\\0\\0 prefix
+    assert scrub_webp_gps(s) == (s, False)
+
+
+def test_scrub_image_gps_dispatch_and_unknown_quarantines():
+    from reindexer_spark.tiff import scrub_image_gps
+
+    t = encode_tiff(16, 16, _rgb(16, 16), gps_lat_milli=5,
+                    gps_lon_milli=6)
+    out, had, kind = scrub_image_gps(t)
+    assert had and kind == "tiff"
+    j = insert_exif(_jpeg(), build_exif_app1(gps_lat_milli=7,
+                                             gps_lon_milli=8))
+    out, had, kind = scrub_image_gps(j)
+    assert had and kind == "jpeg"
+    with pytest.raises(MediaFormatError):
+        scrub_image_gps(b"GIF89a" + bytes(64))  # no scrub → quarantine
