@@ -4849,7 +4849,7 @@ def _mp3_sideinfo_bits(ver: int, channels: int) -> tuple[int, int]:
 
 def write_mp3(
     channels: int, rate: int, n_frames: int, bitrate_kbps: int = 128,
-    mdb_period: int | None = None,
+    mdb_period: int | None = None, xing: bool = False,
 ) -> bytes:
     """Fixture builder: MPEG-1/2 Layer III frames with REAL side-info
     bytes (main_data_begin + zeroed granule fields) and opaque main
@@ -4892,7 +4892,19 @@ def write_mp3(
         si[0] = (mdb >> (mdb_bits - 8)) & 0xFF
         if mdb_bits > 8:
             si[1] = (mdb << (8 - (mdb_bits - 8))) & 0xFF
-        out += hdr + bytes(si) + bytes(flen - 4 - si_len)
+        body = bytearray(flen - 4 - si_len)
+        if xing and i == 0:
+            # Xing VBR header (round 15): tag + flags(frames|bytes) +
+            # the DATA frame count (excluding this header frame) and
+            # total stream bytes — the de-facto layout every VBR
+            # encoder writes right after the side info
+            tag = b"Xing" + struct.pack(
+                ">III", 0x3, n_frames - 1, flen * n_frames
+            )
+            if len(tag) > len(body):
+                raise ValueError("mp3 frame too short for Xing header")
+            body[: len(tag)] = tag
+        out += hdr + bytes(si) + bytes(body)
     return bytes(out)
 
 
@@ -5092,6 +5104,44 @@ def _parse_mp3_sideinfo(si: bytes, ver: int, channels: int) -> dict:
     return {"main_data_begin": mdb, "granules": grans}
 
 
+def _parse_xing(body: bytes) -> dict | None:
+    """Xing/Info VBR header right after frame 0's side info →
+    {tag, frames, bytes, has_toc, quality} or None.  Layout: 4-byte
+    tag, 4-byte big-endian flags (1=frames, 2=bytes, 4=TOC 100 bytes,
+    8=quality), then the present fields in that order."""
+    if body[:4] not in (b"Xing", b"Info"):
+        return None
+    if len(body) < 8:
+        raise MediaFormatError("truncated Xing header")
+    (flags,) = struct.unpack_from(">I", body, 4)
+    pos = 8
+    out: dict = {
+        "tag": body[:4].decode("ascii"),
+        "frames": None, "bytes": None, "has_toc": False,
+        "quality": None,
+    }
+    if flags & 1:
+        if pos + 4 > len(body):
+            raise MediaFormatError("truncated Xing frames field")
+        (out["frames"],) = struct.unpack_from(">I", body, pos)
+        pos += 4
+    if flags & 2:
+        if pos + 4 > len(body):
+            raise MediaFormatError("truncated Xing bytes field")
+        (out["bytes"],) = struct.unpack_from(">I", body, pos)
+        pos += 4
+    if flags & 4:
+        if pos + 100 > len(body):
+            raise MediaFormatError("truncated Xing TOC")
+        out["has_toc"] = True
+        pos += 100
+    if flags & 8:
+        if pos + 4 > len(body):
+            raise MediaFormatError("truncated Xing quality field")
+        (out["quality"],) = struct.unpack_from(">I", body, pos)
+    return out
+
+
 def mp3_frame_index(payload: bytes) -> dict:
     """MP3 Layer III frame index: per-frame (byte offset, length,
     main_data_begin), frame-accurate duration, and the SEEK POINTS —
@@ -5147,6 +5197,10 @@ def mp3_frame_index(payload: bytes) -> dict:
             )
         if si["main_data_begin"] == 0:
             seek.append(len(frames))
+        if not frames:
+            xing = _parse_xing(
+                payload[pos + 4 + crc + si_len : pos + flen]
+            )
         frames.append((pos, flen, si["main_data_begin"]))
         pos += flen
     if not frames:
@@ -5166,6 +5220,9 @@ def mp3_frame_index(payload: bytes) -> dict:
         "seek_points": seek,
         "data_start": base,
         "id3v1": id3v1,
+        # Xing/Info VBR header from frame 0 (or None): raw declared
+        # frame/byte counts — callers cross-check against the walk
+        "xing": xing,
     }
 
 

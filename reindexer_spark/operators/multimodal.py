@@ -2197,7 +2197,8 @@ def audio_mpeg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                      * br // rate)
            ELSE n * (7 + 32 + s4 % 64) END AS BIGINT) AS bytes_total,
       CAST(1 AS INT) AS index_tiles,
-      CAST(1 AS INT) AS probe_frames_agree
+      CAST(1 AS INT) AS probe_frames_agree,
+      CAST(1 AS INT) AS xing_agrees
     FROM q
     """,
 )
@@ -2255,9 +2256,10 @@ def audio_mpeg_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                     br = ((96, 128, 160, 192) if v1
                           else (48, 64, 80, 96))[dg[2] % 4]
                     period = 1 + dg[4] % 4
+                    with_xing = mid % 4 == 0
                     payload = write_mp3(
                         channels, rate, n_frames, br,
-                        mdb_period=period,
+                        mdb_period=period, xing=with_xing,
                     )
                 else:
                     rate = (48000, 44100, 32000, 24000, 22050,
@@ -2266,6 +2268,20 @@ def audio_mpeg_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                         channels, rate, n_frames, 32 + dg[4] % 64
                     )
                 ix = audio_frame_index(payload)
+                # Xing VBR header (mp3 with mid%4==0): declared frame
+                # and byte counts must match the walk
+                if ix["codec"] == "mp3":
+                    x = ix.get("xing")
+                    if mid % 4 == 0:
+                        xing_agrees = int(
+                            x is not None
+                            and x["frames"] == ix["n_frames"] - 1
+                            and x["bytes"] == len(payload)
+                        )
+                    else:
+                        xing_agrees = int(x is None)
+                else:
+                    xing_agrees = 1
                 # offsets contiguous from data_start, tiling the file
                 pos = ix["data_start"]
                 tiles = 1
@@ -2290,6 +2306,7 @@ def audio_mpeg_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "probe_frames_agree": int(
                             pm.get("n_frames") == ix["n_frames"]
                         ),
+                        "xing_agrees": xing_agrees,
                     }
                 )
             yield pd.DataFrame(
@@ -2298,7 +2315,7 @@ def audio_mpeg_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "media_id", "codec", "channels", "sample_rate",
                     "n_frames", "duration_ms", "n_seek",
                     "bytes_total", "index_tiles",
-                    "probe_frames_agree",
+                    "probe_frames_agree", "xing_agrees",
                 ],
             )
 
@@ -2310,7 +2327,7 @@ def audio_mpeg_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "media_id bigint, codec string, channels int, "
             "sample_rate int, n_frames int, duration_ms bigint, "
             "n_seek int, bytes_total bigint, index_tiles int, "
-            "probe_frames_agree int",
+            "probe_frames_agree int, xing_agrees int",
         )
     )
 

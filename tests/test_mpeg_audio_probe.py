@@ -195,3 +195,21 @@ def test_mp3_trailing_id3v1_tag_tolerated():
     assert ix["n_frames"] == 5 and ix["id3v1"]
     with pytest.raises(MediaFormatError):
         mp3_frame_index(body + b"TAG" + bytes(6))
+
+
+def test_mp3_xing_header_parse_and_absence():
+    from reindexer_spark.codecs import mp3_frame_index
+
+    p = write_mp3(2, 44100, 9, 128, mdb_period=3, xing=True)
+    ix = mp3_frame_index(p)
+    x = ix["xing"]
+    assert x["tag"] == "Xing" and not x["has_toc"]
+    assert x["frames"] == ix["n_frames"] - 1
+    assert x["bytes"] == len(p)
+    assert mp3_frame_index(write_mp3(2, 44100, 4))["xing"] is None
+    # truncated Xing quarantines
+    i = p.index(b"Xing")
+    with pytest.raises(MediaFormatError):
+        from reindexer_spark.codecs import _parse_xing
+
+        _parse_xing(p[i : i + 6])
