@@ -204,6 +204,7 @@ EXTENDED = [
     "audio_mpeg_index",
     "image_tiff_palette",
     "image_exif_scrub_multi",
+    "video_audio_probe",
 ]
 
 

@@ -405,6 +405,7 @@ def encode_mp4(
     quality: int = 85,
     sync_every: int = 1,
     samples_per_chunk: int = 2,
+    audio: tuple | None = None,
 ) -> bytes:
     """Pack top-down RGB frames into an ISO BMFF mp4 (Photo-JPEG track).
 
@@ -428,7 +429,13 @@ def encode_mp4(
     duration = delta * len(bodies)
 
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")
-    mdat_payload = b"".join(bodies)
+    # audio (round 15): (channels, rate, [AAC raw frames]) adds an
+    # mp4a trak — its samples land in mdat AFTER the video bodies
+    a_ch = a_rate = 0
+    a_frames: list[bytes] = []
+    if audio is not None:
+        a_ch, a_rate, a_frames = audio
+    mdat_payload = b"".join(bodies) + b"".join(a_frames)
     # chunk offsets are absolute file positions: ftyp, then mdat header
     base = len(ftyp) + 8
     chunk_offsets, chunk_sizes = [], []
@@ -539,8 +546,96 @@ def encode_mp4(
         + bytes(24)  # pre_defined
         + struct.pack(">I", 2),  # next_track_ID
     )
-    moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+    traks = _box(b"trak", tkhd + mdia)
+    if audio is not None:
+        a_base = base + sum(len(x) for x in bodies)
+        traks += _mp4_audio_trak(a_ch, a_rate, a_frames, a_base)
+    moov = _box(b"moov", mvhd + traks)
     return ftyp + _box(b"mdat", mdat_payload) + moov
+
+
+def _mp4_audio_trak(
+    channels: int, rate: int, frames: list[bytes], base: int
+) -> bytes:
+    """An AAC-LC audio trak (round 15): mp4a AudioSampleEntry + a
+    minimal esds (objectTypeIndication 0x40), one chunk holding every
+    sample, 1024 audio samples per frame at ``rate`` timescale —
+    enough for the probe funnel to recover channels / rate / duration
+    from real crawled videos."""
+    asc = bytes([0x12, 0x10])  # AudioSpecificConfig: AAC-LC, stub
+    dcd = (
+        bytes([0x04, 13 + len(asc), 0x40, 0x15])
+        + (0).to_bytes(3, "big")  # bufferSizeDB
+        + struct.pack(">II", 128000, 128000)
+        + bytes([0x05, len(asc)])
+        + asc
+    )
+    es = (
+        bytes([0x03, 3 + len(dcd) + 3])
+        + struct.pack(">HB", 2, 0)
+        + dcd
+        + bytes([0x06, 0x01, 0x02])  # SLConfig
+    )
+    esds = _full_box(b"esds", 0, 0, es)
+    entry = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 8  # reserved
+        + struct.pack(">HHHH", channels, 16, 0, 0)
+        + struct.pack(">I", rate << 16)
+        + esds
+    )
+    stsd = _full_box(
+        b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"mp4a", entry)
+    )
+    n = len(frames)
+    stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, n, 1024))
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full_box(
+        b"stsz",
+        0,
+        0,
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(x)) for x in frames),
+    )
+    stco = _full_box(b"stco", 0, 0, struct.pack(">II", 1, base))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dref = _full_box(
+        b"dref", 0, 0, struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b"")
+    )
+    minf = _box(
+        b"minf",
+        _full_box(b"smhd", 0, 0, struct.pack(">Hh", 0, 0))
+        + _box(b"dinf", dref)
+        + stbl,
+    )
+    duration = 1024 * n
+    mdhd = _full_box(
+        b"mdhd",
+        0,
+        0,
+        struct.pack(">IIIIHH", 0, 0, rate, duration, 0x55C4, 0),
+    )
+    hdlr = _full_box(
+        b"hdlr",
+        0, 0,
+        struct.pack(">I", 0) + b"soun" + bytes(12) + b"sound\x00",
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full_box(
+        b"tkhd",
+        0,
+        3,
+        struct.pack(">IIII", 0, 0, 2, 0)
+        + struct.pack(">I", duration)
+        + bytes(8)
+        + struct.pack(">HHHH", 0, 0, 0x100, 0)
+        + struct.pack(
+            ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+        )
+        + struct.pack(">II", 0, 0),
+    )
+    return _box(b"trak", tkhd + mdia)
 
 
 def _bmff_boxes(payload: bytes, pos: int, end: int):
@@ -582,6 +677,53 @@ def _full_body(payload: bytes, body: int, bend: int) -> int:
     if bend - body < 4:
         raise MediaFormatError("truncated BMFF full box")
     return body + 4  # skip version+flags
+
+
+def _mp4_audio_probe(payload: bytes) -> dict | None:
+    """Headers-only audio-trak probe (round 15): find the first trak
+    whose stsd entry is 'mp4a', read channels / 16.16 sample rate
+    from the AudioSampleEntry and the sample count from stsz (1024
+    PCM samples per AAC frame).  Returns None when the file carries
+    no mp4a trak — real crawled videos almost always do."""
+    try:
+        moov_s, moov_e = _bmff_find(
+            payload, 0, len(payload), [b"moov"]
+        )
+    except MediaFormatError:
+        return None
+    for tag, body, bend in _bmff_boxes(payload, moov_s, moov_e):
+        if tag != b"trak":
+            continue
+        try:
+            stbl_s, stbl_e = _bmff_find(
+                payload, body, bend, [b"mdia", b"minf", b"stbl"]
+            )
+            tables = {
+                t: (b_, e_)
+                for t, b_, e_ in _bmff_boxes(payload, stbl_s, stbl_e)
+            }
+            p = _full_body(payload, *tables[b"stsd"])
+            if payload[p + 8 : p + 12] != b"mp4a":
+                continue
+            # AudioSampleEntry: 6 reserved + 2 dri + 8 reserved, then
+            # channelcount(2) samplesize(2) pre_defined(2) reserved(2)
+            # samplerate(4, 16.16)
+            e = p + 12
+            channels, _ss, _pd, _rs = struct.unpack_from(
+                ">HHHH", payload, e + 16
+            )
+            (rate_fx,) = struct.unpack_from(">I", payload, e + 24)
+            zb, ze = tables[b"stsz"]
+            q = _full_body(payload, zb, ze)
+            n_frames = struct.unpack_from(">I", payload, q + 4)[0]
+            return {
+                "channels": channels,
+                "sample_rate": rate_fx >> 16,
+                "n_samples": n_frames * 1024,
+            }
+        except (MediaFormatError, KeyError, struct.error):
+            continue
+    return None
 
 
 def _bmff_video_trak(payload: bytes) -> tuple[int, int]:
@@ -870,6 +1012,9 @@ _MKV_CODEC_ID = 0x86
 _MKV_CODEC_PRIVATE = 0x63A2
 _MKV_DEFAULT_DURATION = 0x23E383
 _MKV_VIDEO = 0xE0
+_MKV_AUDIO = 0xE1
+_MKV_SAMPLING_FREQ = 0xB5
+_MKV_CHANNELS = 0x9F
 _MKV_PIXEL_W = 0xB0
 _MKV_PIXEL_H = 0xBA
 _MKV_CLUSTER = 0x1F43B675
@@ -987,6 +1132,55 @@ def _mkv_video_track(payload: bytes, seg_s: int, seg_e: int) -> dict:
                     raise MediaFormatError("mkv video TrackEntry incomplete")
                 return tr
     raise MediaFormatError("mkv has no video track")
+
+
+def _mkv_audio_track(
+    payload: bytes, seg_s: int, seg_e: int
+) -> dict | None:
+    """The first AUDIO TrackEntry (TrackType 2, round 15) →
+    {number, codec, channels, sample_rate} or None."""
+    for eid, body, bend in _ebml_children(payload, seg_s, seg_e):
+        if eid != _MKV_TRACKS:
+            continue
+        for tid, tb, te in _ebml_children(payload, body, bend):
+            if tid != _MKV_TRACK_ENTRY:
+                continue
+            tr = {"number": None, "codec": None, "type": None,
+                  "channels": None, "sample_rate": None}
+            for cid, cb, ce in _ebml_children(payload, tb, te):
+                if cid == _MKV_TRACK_NUMBER:
+                    tr["number"] = _ebml_uint(payload, cb, ce)
+                elif cid == _MKV_TRACK_TYPE:
+                    tr["type"] = _ebml_uint(payload, cb, ce)
+                elif cid == _MKV_CODEC_ID:
+                    tr["codec"] = payload[cb:ce].rstrip(b"\x00").decode(
+                        "ascii", "replace"
+                    )
+                elif cid == _MKV_AUDIO:
+                    for aid, ab, ae in _ebml_children(payload, cb, ce):
+                        if aid == _MKV_SAMPLING_FREQ:
+                            if ae - ab == 4:
+                                (f,) = struct.unpack_from(
+                                    ">f", payload, ab
+                                )
+                            elif ae - ab == 8:
+                                (f,) = struct.unpack_from(
+                                    ">d", payload, ab
+                                )
+                            else:
+                                raise MediaFormatError(
+                                    "mkv SamplingFrequency width"
+                                )
+                            tr["sample_rate"] = int(round(f))
+                        elif aid == _MKV_CHANNELS:
+                            tr["channels"] = _ebml_uint(payload, ab, ae)
+            if tr["type"] == 2:
+                if tr["number"] is None:
+                    raise MediaFormatError(
+                        "mkv audio TrackEntry incomplete"
+                    )
+                return tr
+    return None
 
 
 def _mkv_blocks(payload: bytes, seg_s: int, seg_e: int, track: int):
@@ -1242,6 +1436,7 @@ def encode_mkv(
     quality: int = 85,
     sync_every: int = 1,
     frames_per_cluster: int = 2,
+    audio: tuple | None = None,
 ) -> bytes:
     """Pack top-down RGB frames into a Matroska file (V_MJPEG track).
 
@@ -1284,21 +1479,39 @@ def encode_mkv(
         _ebml_el(_MKV_PIXEL_W, _ebml_uint_body(width))
         + _ebml_el(_MKV_PIXEL_H, _ebml_uint_body(height)),
     )
-    track = _ebml_el(
-        _MKV_TRACKS,
-        _ebml_el(
-            _MKV_TRACK_ENTRY,
-            _ebml_el(_MKV_TRACK_NUMBER, b"\x01")
-            + _ebml_el(_MKV_TRACK_UID, b"\x01")
-            + _ebml_el(_MKV_TRACK_TYPE, b"\x01")
-            + _ebml_el(_MKV_CODEC_ID, b"V_MJPEG")
-            + _ebml_el(
-                _MKV_DEFAULT_DURATION,
-                _ebml_uint_body(1_000_000_000 // fps),
-            )
-            + video,
-        ),
+    entries = _ebml_el(
+        _MKV_TRACK_ENTRY,
+        _ebml_el(_MKV_TRACK_NUMBER, b"\x01")
+        + _ebml_el(_MKV_TRACK_UID, b"\x01")
+        + _ebml_el(_MKV_TRACK_TYPE, b"\x01")
+        + _ebml_el(_MKV_CODEC_ID, b"V_MJPEG")
+        + _ebml_el(
+            _MKV_DEFAULT_DURATION,
+            _ebml_uint_body(1_000_000_000 // fps),
+        )
+        + video,
     )
+    if audio is not None:
+        # audio (round 15): (channels, rate, [AAC raw frames]) adds an
+        # A_AAC TrackEntry (TrackType 2) whose SimpleBlocks ride the
+        # first cluster — enough for the probe funnel's
+        # channels/rate/duration recovery
+        a_ch, a_rate, _a_frames = audio
+        entries += _ebml_el(
+            _MKV_TRACK_ENTRY,
+            _ebml_el(_MKV_TRACK_NUMBER, b"\x02")
+            + _ebml_el(_MKV_TRACK_UID, b"\x02")
+            + _ebml_el(_MKV_TRACK_TYPE, b"\x02")
+            + _ebml_el(_MKV_CODEC_ID, b"A_AAC")
+            + _ebml_el(
+                _MKV_AUDIO,
+                _ebml_el(
+                    _MKV_SAMPLING_FREQ, struct.pack(">f", a_rate)
+                )
+                + _ebml_el(_MKV_CHANNELS, _ebml_uint_body(a_ch)),
+            ),
+        )
+    track = _ebml_el(_MKV_TRACKS, entries)
     clusters: list[bytes] = []
     cue_entries: list[tuple[int, int]] = []  # (time units, cluster index)
     for ci, start in enumerate(range(0, len(bodies), frames_per_cluster)):
@@ -1318,6 +1531,17 @@ def encode_mkv(
                 + bytes([0x80 if key else 0x00])
                 + jpg,
             )
+        if ci == 0 and audio is not None:
+            a_ch, a_rate, a_frames = audio
+            for ai, af in enumerate(a_frames):
+                ats = ai * 1024 * 1000 // max(1, a_rate)
+                blocks += _ebml_el(
+                    _MKV_SIMPLE_BLOCK,
+                    b"\x82"  # track 2 vint
+                    + struct.pack(">h", ats - base_ts)
+                    + bytes([0x80])  # audio frames are all sync
+                    + af,
+                )
         clusters.append(
             _ebml_el(
                 _MKV_CLUSTER,
@@ -6970,6 +7194,13 @@ def probe_media(payload: bytes) -> dict:
                     bit_depth=sps_meta.get("bit_depth"),
                     chroma_format=sps_meta.get("chroma_format"),
                 )
+            aud = _mp4_audio_probe(payload)
+            if aud is not None:
+                out.update(
+                    channels=aud["channels"],
+                    sample_rate=aud["sample_rate"],
+                    n_samples=aud["n_samples"],
+                )
         elif kind == "mkv":
             # EBML sizes let the block walk skip every frame body —
             # headers only, no JPEG entropy data touched
@@ -7001,6 +7232,21 @@ def probe_media(payload: bytes) -> dict:
                     tier=sps_meta.get("tier"),
                     bit_depth=sps_meta.get("bit_depth"),
                     chroma_format=sps_meta.get("chroma_format"),
+                )
+            atr = _mkv_audio_track(payload, seg_s, seg_e)
+            if atr is not None:
+                na = sum(
+                    1
+                    for _ in _mkv_blocks(
+                        payload, seg_s, seg_e, atr["number"]
+                    )
+                )
+                out.update(
+                    channels=atr["channels"],
+                    sample_rate=atr["sample_rate"],
+                    n_samples=(
+                        na * 1024 if atr["codec"] == "A_AAC" else None
+                    ),
                 )
         elif kind == "h264":
             # raw elementary stream: SPS metadata + slice count from

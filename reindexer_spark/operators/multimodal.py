@@ -5466,6 +5466,159 @@ def image_tiff_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AVPROBE_DOCS = 12
+
+
+@query(
+    "video_audio_probe",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {AVPROBE_DOCS}
+    ), s AS (
+      SELECT media_id,
+             CAST(('0x' || substr(dg, 1, 2)) AS INT) AS s0,
+             CAST(('0x' || substr(dg, 3, 2)) AS INT) AS s1,
+             CAST(('0x' || substr(dg, 5, 2)) AS INT) AS s2,
+             CAST(('0x' || substr(dg, 7, 2)) AS INT) AS s3,
+             CAST(('0x' || substr(dg, 9, 2)) AS INT) AS s4
+      FROM base
+    )
+    SELECT media_id,
+      CASE WHEN media_id % 2 = 0 THEN 'mp4' ELSE 'mkv' END AS container,
+      CAST(16 + s0 % 17 AS INT) AS width,
+      CAST(16 + s1 % 9 AS INT) AS height,
+      CAST(2 + s2 % 3 AS INT) AS n_frames,
+      CAST(1 + s3 % 2 AS INT) AS channels,
+      CAST(CASE s4 % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+           WHEN 2 THEN 24000 ELSE 16000 END AS INT) AS sample_rate,
+      CAST((6 + s2 % 20) * 1024 AS BIGINT) AS n_audio_samples,
+      CAST((6 + s2 % 20) * 1024 * 1000
+           // (CASE s4 % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+               WHEN 2 THEN 24000 ELSE 16000 END) AS BIGINT)
+        AS audio_dur_ms,
+      CAST(1 AS INT) AS video_decodes,
+      CAST(1 AS INT) AS plain_has_no_audio
+    FROM s
+    """,
+)
+def video_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO-TRACK probe inside video containers (round 15): real
+    crawled mp4/mkv almost always carry an AAC audio track next to
+    the video — the probe funnel now recovers channels / sample rate
+    / PCM sample count from the mp4a AudioSampleEntry (16.16 rate,
+    stsz frame count × 1024) and the Matroska A_AAC TrackEntry
+    (float SamplingFrequency, per-track SimpleBlock count), while
+    video decode keeps selecting the video track untouched.
+
+    Oracle-pinned columns: audio geometry from digest arithmetic;
+    ``audio_dur_ms`` — frame-accurate duration; ``video_decodes=1`` —
+    the video track still decodes to exactly n_frames frames with the
+    audio trak present (the track-selection contract on multi-track
+    files); ``plain_has_no_audio=1`` — the same file WITHOUT the
+    audio track probes channels/sample_rate as NULL (no invented
+    audio metadata).
+
+    Scale shape: mapInPandas, payloads never shuffle — same as every
+    media lane."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < AVPROBE_DOCS
+    )
+
+    def build_and_probe(batches):
+        import hashlib
+
+        import numpy as np
+
+        from reindexer_spark.codecs import (
+            decode_mkv,
+            decode_mp4,
+            encode_mkv,
+            encode_mp4,
+            probe_media,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.doc_id)
+                dg = hashlib.sha256(r.text.encode("utf-8")).digest()
+                w = 16 + dg[0] % 17
+                h = 16 + dg[1] % 9
+                nf = 2 + dg[2] % 3
+                ch = 1 + dg[3] % 2
+                rate = (44100, 48000, 24000, 16000)[dg[4] % 4]
+                n_aac = 6 + dg[2] % 20
+                rng = np.random.default_rng(
+                    int.from_bytes(dg[:8], "big")
+                )
+                frames = [
+                    rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                    .tobytes()
+                    for _ in range(nf)
+                ]
+                aac = [
+                    bytes(rng.integers(0, 256, 40, dtype=np.uint8))
+                    for _ in range(n_aac)
+                ]
+                container = "mp4" if mid % 2 == 0 else "mkv"
+                enc = encode_mp4 if container == "mp4" else encode_mkv
+                dec = decode_mp4 if container == "mp4" else decode_mkv
+                payload = enc(w, h, frames, audio=(ch, rate, aac))
+                pm = probe_media(payload)
+                _w2, _h2, _d, out, _s = dec(payload)
+                plain = probe_media(enc(w, h, frames))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "container": container,
+                        "width": pm["width"],
+                        "height": pm["height"],
+                        "n_frames": pm["n_frames"],
+                        "channels": pm["channels"],
+                        "sample_rate": pm["sample_rate"],
+                        "n_audio_samples": pm["n_samples"],
+                        "audio_dur_ms": (
+                            pm["n_samples"] * 1000 // pm["sample_rate"]
+                            if pm["n_samples"] and pm["sample_rate"]
+                            else -1
+                        ),
+                        "video_decodes": int(
+                            len(out) == nf
+                            and _w2 == w
+                            and _h2 == h
+                        ),
+                        "plain_has_no_audio": int(
+                            plain["channels"] is None
+                            and plain["sample_rate"] is None
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "container", "width", "height",
+                    "n_frames", "channels", "sample_rate",
+                    "n_audio_samples", "audio_dur_ms",
+                    "video_decodes", "plain_has_no_audio",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .repartition(AVPROBE_DOCS)
+        .mapInPandas(
+            build_and_probe,
+            "media_id bigint, container string, width int, height int, "
+            "n_frames int, channels int, sample_rate int, "
+            "n_audio_samples bigint, audio_dur_ms bigint, "
+            "video_decodes int, plain_has_no_audio int",
+        )
+    )
+
+
 SCRUBX_DOCS = 16
 
 

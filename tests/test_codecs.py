@@ -2130,3 +2130,40 @@ def test_progressive_restart_intervals_decode():
     rst = decode_jpeg_baseline(build(True))
     assert rst == plain
     assert plain[0] == 16 and plain[1] == 8
+
+
+def test_mp4_mkv_audio_track_probe_and_video_unaffected():
+    """Round 15: containers with an AAC audio track next to the video
+    — the probe recovers channels / rate / sample count; video decode
+    and the keyframe walk keep selecting the video track."""
+    import numpy as np
+
+    from reindexer_spark.codecs import (
+        decode_mkv,
+        decode_mp4,
+        encode_mkv,
+        encode_mp4,
+        probe_media,
+    )
+
+    rng = np.random.default_rng(7)
+    w, h = 32, 32
+    frames = [
+        rng.integers(0, 256, (h, w, 3), dtype=np.uint8).tobytes()
+        for _ in range(3)
+    ]
+    aac = [
+        bytes(rng.integers(0, 256, 48, dtype=np.uint8))
+        for _ in range(12)
+    ]
+    for enc, dec in ((encode_mp4, decode_mp4), (encode_mkv, decode_mkv)):
+        p = enc(w, h, frames, audio=(2, 44100, aac))
+        pm = probe_media(p)
+        assert (pm["width"], pm["height"], pm["n_frames"]) == (w, h, 3)
+        assert pm["channels"] == 2 and pm["sample_rate"] == 44100
+        assert pm["n_samples"] == 12 * 1024
+        dw, dh, _durs, out, _sync = dec(p)
+        assert (dw, dh) == (w, h) and len(out) == 3
+        # without audio: no invented metadata
+        pm2 = probe_media(enc(w, h, frames))
+        assert pm2["channels"] is None and pm2["n_samples"] is None
