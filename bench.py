@@ -205,6 +205,7 @@ EXTENDED = [
     "image_tiff_palette",
     "image_exif_scrub_multi",
     "video_audio_probe",
+    "corpus_topic_balance",
 ]
 
 

@@ -410,6 +410,96 @@ def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_topic_balance",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+      SELECT * FROM ( {{KMEANS_SQL}} ) t
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total FROM base
+    )
+    SELECT b.vec_id,
+           b.cluster_id,
+           b.dot,
+           b.n_cluster,
+           CAST(FLOOR(t.total * 1000000.0 / ({KMEANS_K} * b.n_cluster))
+                AS BIGINT) AS weight_micro,
+           CAST(CASE WHEN
+             CAST(('0x' || substr(md5(CAST(b.vec_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) * {KMEANS_K} * b.n_cluster
+             < t.total * 4294967296
+           THEN 1 ELSE 0 END AS INT) AS kept
+    FROM base b CROSS JOIN tot t
+    """.replace("{KMEANS_SQL}", _kmeans_oracle(KMEANS_K, KMEANS_ITERS)),
+)
+def corpus_topic_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOPIC-BALANCED corpus resampling (round 15): the apply step
+    after clustering a training corpus — dominant topics are thinned
+    toward a uniform per-cluster budget instead of letting the corpus
+    mix follow crawl frequency.  Runs the embed_kmeans_lloyd
+    clustering (k=8, 2 plan-unrolled Lloyd iterations, identical
+    arithmetic), then per document emits the inverse-propensity
+    weight total/(k * n_cluster) (micro-int) and a DETERMINISTIC
+    hash-thinned keep decision: keep iff
+    u32(md5(vec_id)) * k * n_cluster < total * 2^32 — i.e. with
+    probability min(1, quota / n_cluster), so every cluster lands at
+    ~total/k expected kept documents with zero coordination.
+
+    Scale shape: the kmeans iterations are the embed_kmeans_lloyd
+    plan (k-row broadcast per iteration, no corpus reshuffle); the
+    balancing adds ONE broadcast join of the k-row cluster-size
+    relation and a 1-row total — no windows, no ranking, no driver
+    collect: the per-document keep decision is map-side integer
+    arithmetic on an md5 hash, the only shape that survives 100 TB
+    (an exact per-cluster top-Q rank would need corpus/k-sized
+    windows).  Oracle: the kmeans oracle CTE chain nested as a
+    subquery + the same integer arithmetic."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = e.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.transform("embedding", lambda v: v.cast("double")).alias(
+            "centroid"
+        ),
+    )
+    for _ in range(KMEANS_ITERS):
+        assigned = _kmeans_assign(e, cents)
+        cents = _kmeans_recompute(assigned)
+    final = _kmeans_assign(e, cents)
+    sizes = final.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_cluster")
+    )
+    tot = sizes.agg(F.sum("n_cluster").cast("bigint").alias("total"))
+    u32 = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        final.join(F.broadcast(sizes), "cluster_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "vec_id",
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            "dot",
+            "n_cluster",
+            F.floor(
+                F.col("total") * 1000000.0
+                / (F.lit(KMEANS_K) * F.col("n_cluster"))
+            )
+            .cast("bigint")
+            .alias("weight_micro"),
+            F.when(
+                u32 * KMEANS_K * F.col("n_cluster")
+                < F.col("total") * F.lit(4294967296),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+
+
 PCA_ITERS = 2
 
 
