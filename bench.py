@@ -206,6 +206,7 @@ EXTENDED = [
     "image_exif_scrub_multi",
     "video_audio_probe",
     "corpus_topic_balance",
+    "audio_flac_index",
 ]
 
 

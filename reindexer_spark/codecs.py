@@ -4450,7 +4450,8 @@ FLAC_BLOCK = 4096
 
 
 def encode_flac(
-    samples: list[int], sample_rate: int = 8000, block_size: int = FLAC_BLOCK
+    samples: list[int], sample_rate: int = 8000,
+    block_size: int = FLAC_BLOCK, seek_every: int | None = None,
 ) -> bytes:
     """Mono 16-bit PCM → FLAC (FIXED-predictor subset, lossless).
 
@@ -4473,8 +4474,10 @@ def encode_flac(
     packed = (sample_rate << 44) | (0 << 41) | (15 << 36) | total
     streaminfo += packed.to_bytes(8, "big")
     streaminfo += bytes(16)  # md5 unset (spec: 0 = unknown)
-    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    si_head = 0x00 if seek_every else 0x80
+    out += bytes([si_head]) + len(streaminfo).to_bytes(3, "big") + streaminfo
 
+    frames_out: list[bytes] = []
     for frame_idx, start in enumerate(range(0, total, block_size)):
         block = s[start : start + block_size]
         n = len(block)
@@ -4527,7 +4530,23 @@ def encode_flac(
                 body.put(u & ((1 << rice_k) - 1), rice_k)
         body.align()
         frame = header_bytes + bytes(body.out)
-        out += frame + struct.pack(">H", _crc16(frame))
+        frames_out.append(frame + struct.pack(">H", _crc16(frame)))
+    if seek_every:
+        # SEEKTABLE metadata (RFC 9639 §8.5, round 15): one 18-byte
+        # point per seek_every-th frame — sample number, byte offset
+        # from the FIRST frame header byte, samples in that frame
+        offs = []
+        p = 0
+        for i, fb in enumerate(frames_out):
+            if i % seek_every == 0:
+                nf = min(block_size, total - i * block_size)
+                offs.append((i * block_size, p, nf))
+            p += len(fb)
+        st = b"".join(
+            struct.pack(">QQH", smp, off, nf) for smp, off, nf in offs
+        )
+        out += bytes([0x83]) + len(st).to_bytes(3, "big") + st
+    out += b"".join(frames_out)
     return bytes(out)
 
 
@@ -4707,7 +4726,9 @@ def _decode_subframe(r: _MsbBitReader, n: int, bps: int) -> list[int]:
     return out
 
 
-def _decode_flac_impl(payload: bytes) -> tuple[int, list[int]]:
+def _decode_flac_impl(
+    payload: bytes, index_sink: list | None = None
+) -> tuple[int, list[int]]:
     if payload[:4] != b"fLaC":
         raise MediaFormatError("not a FLAC payload")
     pos = 4
@@ -4826,11 +4847,64 @@ def _decode_flac_impl(payload: bytes) -> tuple[int, list[int]]:
                 for i, v in enumerate(ch):
                     mixed[i] += v
             samples.extend(v // n_ch for v in mixed)
+        if index_sink is not None:
+            # (byte offset, frame length incl. CRC-16, first sample,
+            # blocksize) — the exact seek index a FLAC consumer needs
+            index_sink.append((pos, frame_end + 2 - pos, decoded, n))
         decoded += n
         pos = frame_end + 2
     if total and decoded < total:
         raise MediaFormatError("FLAC stream ended before total_samples")
     return rate, samples[: total or None]
+
+
+def flac_frame_index(payload: bytes) -> dict:
+    """FLAC frame index (round 15): exact per-frame byte offsets,
+    first-sample positions and blocksizes from the DECODER's own
+    frame walk (FLAC frames carry no length field, so the only exact
+    boundary source is the decode — the same walk real tools run to
+    build seek tables), plus the SEEKTABLE metadata block when the
+    file carries one, each point VERIFIED against a real frame
+    boundary.  Every FLAC frame is an independent decode point, so
+    all frames are seek points."""
+    frames: list = []
+    rate, samples = _decode_flac_impl(payload, index_sink=frames)
+    # SEEKTABLE (metadata type 3): 18-byte points
+    seektable = None
+    pos = 4
+    while pos + 4 <= len(payload):
+        head = payload[pos]
+        length = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        if head & 0x7F == 3:
+            if length % 18:
+                raise MediaFormatError("FLAC SEEKTABLE length not /18")
+            seektable = [
+                struct.unpack_from(">QQH", payload, pos + 4 + 18 * i)
+                for i in range(length // 18)
+            ]
+        pos += 4 + length
+        if head & 0x80:
+            break
+    agrees = None
+    if seektable is not None:
+        first = frames[0][0] if frames else 0
+        by_off = {off - first: (smp, n) for off, _ln, smp, n in frames}
+        agrees = int(
+            all(
+                off in by_off and by_off[off] == (smp, nf)
+                for smp, off, nf in seektable
+            )
+        )
+    return {
+        "sample_rate": rate,
+        "n_frames": len(frames),
+        "n_samples": len(samples),
+        "duration_ms": len(samples) * 1000 // rate,
+        "frames": frames,
+        "seek_points": list(range(len(frames))),
+        "seektable": seektable,
+        "seektable_agrees": agrees,
+    }
 
 
 class FlacFrameSampler:

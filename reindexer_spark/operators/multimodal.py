@@ -5466,6 +5466,147 @@ def image_tiff_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FLACIX_DOCS = 12
+
+
+@query(
+    "audio_flac_index",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {FLACIX_DOCS}
+    ), s AS (
+      SELECT media_id,
+             CAST(('0x' || substr(dg, 1, 2)) AS INT) AS s0,
+             CAST(('0x' || substr(dg, 3, 4)) AS INT) AS s12,
+             CAST(('0x' || substr(dg, 7, 2)) AS INT) AS s3,
+             CAST(('0x' || substr(dg, 9, 2)) AS INT) AS s4
+      FROM base
+    ), p AS (
+      SELECT media_id,
+        CASE s0 % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+        3000 + s12 % 20000 AS n,
+        CASE s3 % 4 WHEN 0 THEN 512 WHEN 1 THEN 1024
+             WHEN 2 THEN 2048 ELSE 4096 END AS bs,
+        1 + s4 % 3 AS se
+      FROM s
+    )
+    SELECT media_id,
+      CAST(rate AS INT) AS sample_rate,
+      CAST((n + bs - 1) // bs AS INT) AS n_frames,
+      CAST(n AS BIGINT) AS n_samples,
+      CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+      CAST(((n + bs - 1) // bs + se - 1) // se AS INT)
+        AS n_seek_points,
+      CAST(1 AS INT) AS seektable_agrees,
+      CAST(1 AS INT) AS frames_tile,
+      CAST(1 AS INT) AS decode_exact
+    FROM p
+    """,
+)
+def audio_flac_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC frame + SEEKTABLE index (round 15 — the lossless-audio
+    sibling of audio_mpeg_index): FLAC frames carry no length field,
+    so the only exact boundary source is the decoder's own frame
+    walk — the same walk real tools run to build seek tables.  The
+    fixture writes a real RFC 9639 §8.5 SEEKTABLE (one point per
+    digest-derived period) and the index verifies every point lands
+    on a true frame boundary with the right sample number and
+    blocksize.
+
+    Oracle-pinned columns: rate/frame/sample counts and seek-point
+    counts from digest arithmetic; ``duration_ms`` frame-accurate;
+    ``seektable_agrees=1`` — every SEEKTABLE point maps to a real
+    frame; ``frames_tile=1`` — frame extents tile the stream from
+    the first frame byte to EOF; ``decode_exact=1`` — decoded PCM
+    equals the digest-derived source (lossless round trip at every
+    blocksize/rate combination).
+
+    Scale shape: mapInPandas, payloads never shuffle — same as every
+    media lane."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < FLACIX_DOCS
+    )
+
+    def build_and_index(batches):
+        import hashlib
+
+        import numpy as np
+
+        from reindexer_spark.codecs import (
+            decode_flac,
+            encode_flac,
+            flac_frame_index,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.doc_id)
+                dg = hashlib.sha256(r.text.encode("utf-8")).digest()
+                rate = (8000, 16000, 22050, 44100)[dg[0] % 4]
+                n = 3000 + int.from_bytes(dg[1:3], "big") % 20000
+                bs = (512, 1024, 2048, 4096)[dg[3] % 4]
+                se = 1 + dg[4] % 3
+                rng = np.random.default_rng(
+                    int.from_bytes(dg[:8], "big")
+                )
+                src = [
+                    int(v)
+                    for v in rng.integers(-20000, 20000, n)
+                ]
+                payload = encode_flac(
+                    src, rate, block_size=bs, seek_every=se
+                )
+                ix = flac_frame_index(payload)
+                _r2, out = decode_flac(payload)
+                pos = ix["frames"][0][0] if ix["frames"] else 0
+                tiles = 1
+                for off, ln, _smp, _bsz in ix["frames"]:
+                    if off != pos:
+                        tiles = 0
+                    pos += ln
+                if pos != len(payload):
+                    tiles = 0
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": ix["sample_rate"],
+                        "n_frames": ix["n_frames"],
+                        "n_samples": ix["n_samples"],
+                        "duration_ms": ix["duration_ms"],
+                        "n_seek_points": len(ix["seektable"] or []),
+                        "seektable_agrees": int(
+                            ix["seektable_agrees"] == 1
+                        ),
+                        "frames_tile": tiles,
+                        "decode_exact": int(out == src),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_frames",
+                    "n_samples", "duration_ms", "n_seek_points",
+                    "seektable_agrees", "frames_tile", "decode_exact",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .repartition(FLACIX_DOCS)
+        .mapInPandas(
+            build_and_index,
+            "media_id bigint, sample_rate int, n_frames int, "
+            "n_samples bigint, duration_ms bigint, n_seek_points int, "
+            "seektable_agrees int, frames_tile int, decode_exact int",
+        )
+    )
+
+
 AVPROBE_DOCS = 12
 
 

@@ -2167,3 +2167,55 @@ def test_mp4_mkv_audio_track_probe_and_video_unaffected():
         # without audio: no invented metadata
         pm2 = probe_media(enc(w, h, frames))
         assert pm2["channels"] is None and pm2["n_samples"] is None
+
+
+def test_flac_frame_index_and_seektable():
+    """Round 15: exact frame boundaries from the decode walk, real
+    SEEKTABLE emission + point verification, tiling and lossless
+    round trip; a corrupted SEEKTABLE point is detected."""
+    import numpy as np
+    import struct as st
+
+    from reindexer_spark.codecs import (
+        decode_flac,
+        encode_flac,
+        flac_frame_index,
+    )
+
+    rng = np.random.default_rng(9)
+    src = [int(v) for v in rng.integers(-20000, 20000, 9000)]
+    p = encode_flac(src, 16000, block_size=1024, seek_every=2)
+    assert decode_flac(p)[1] == src
+    ix = flac_frame_index(p)
+    assert ix["n_frames"] == 9 and ix["n_samples"] == 9000
+    assert len(ix["seektable"]) == 5 and ix["seektable_agrees"] == 1
+    assert ix["duration_ms"] == 9000 * 1000 // 16000
+    pos = ix["frames"][0][0]
+    for off, ln, smp, bsz in ix["frames"]:
+        assert off == pos
+        pos += ln
+    assert pos == len(p)
+    # first-sample positions are the running blocksize sum
+    assert [f[2] for f in ix["frames"]] == [
+        i * 1024 for i in range(9)
+    ]
+    # corrupt a SEEKTABLE offset: agreement must drop to 0
+    i = p.index(b"fLaC") + 4
+    # find the seektable block (type 3)
+    while True:
+        head = p[i]
+        ln = int.from_bytes(p[i + 1 : i + 4], "big")
+        if head & 0x7F == 3:
+            buf = bytearray(p)
+            bad = st.unpack_from(">Q", p, i + 4 + 8)[0] + 1
+            st.pack_into(">Q", buf, i + 4 + 8, bad)
+            ix2 = flac_frame_index(bytes(buf))
+            assert ix2["seektable_agrees"] == 0
+            break
+        i += 4 + ln
+        assert not head & 0x80
+    # no-seektable files keep the byte-identical legacy layout
+    assert encode_flac(src, 16000) == encode_flac(
+        src, 16000, seek_every=None
+    )
+    assert flac_frame_index(encode_flac(src, 16000))["seektable"] is None
