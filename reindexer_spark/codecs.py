@@ -563,8 +563,10 @@ def _mp4_audio_trak(
     enough for the probe funnel to recover channels / rate / duration
     from real crawled videos."""
     asc = bytes([0x12, 0x10])  # AudioSpecificConfig: AAC-LC, stub
+    # DecoderConfigDescriptor body = 13 fixed bytes + the FULL
+    # DecoderSpecificInfo descriptor (its 2 header bytes count too)
     dcd = (
-        bytes([0x04, 13 + len(asc), 0x40, 0x15])
+        bytes([0x04, 13 + 2 + len(asc), 0x40, 0x15])
         + (0).to_bytes(3, "big")  # bufferSizeDB
         + struct.pack(">II", 128000, 128000)
         + bytes([0x05, len(asc)])
