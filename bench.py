@@ -754,27 +754,70 @@ def _print_delta_ledger(
             return f"{name}: {t:.2f}s vs median {b:.2f}s/{k} ({(t - b) / b:+.0%}){tag}"
         return f"{name}: {t:.2f}s (new){tag}"
 
+    def total_lines(label, tset, base_key, tot, base_entry):
+        """TOTAL rows for one headline set.  Three of the last four
+        driver benches needed manual stage-metric diffing to prove a
+        +13..18% TOTAL was uniform cpu inflation, not a regression
+        (r15 VERDICT next #7) — so the vs-median percentage is now
+        computed over the CLEAN (non-noise_suspect) lanes only, with
+        the flagged lanes itemized, and a wall_min-based TOTAL_MIN
+        (the best available uncontended estimate) rides next to it."""
+        out = []
+        flagged = sorted(
+            n
+            for n in tset
+            if ((stage_metrics or {}).get(n) or {}).get("noise_suspect")
+        )
+        bt, bk = base_entry
+        if bt:
+            out.append(
+                f"TOTAL{label}: {tot:.2f}s vs median {bt:.2f}s/{bk} "
+                f"({(tot - bt) / bt:+.0%})"
+            )
+        else:
+            out.append(f"TOTAL{label}: {tot:.2f}s (first tracked round)")
+        if flagged:
+            clean = {n: t for n, t in tset.items() if n not in flagged}
+            cbase = [
+                base[base_key].get(n)
+                for n in clean
+                if (base[base_key].get(n) or (None,))[0]
+            ]
+            csum = sum(clean[n] for n in clean)
+            cbsum = sum(
+                (base[base_key][n][0] for n in clean if (base[base_key].get(n) or (None,))[0]),
+            )
+            if cbase and cbsum:
+                out.append(
+                    f"TOTAL{label}(clean, {len(clean)}/{len(tset)} lanes): "
+                    f"{csum:.2f}s vs median {cbsum:.2f}s "
+                    f"({(csum - cbsum) / cbsum:+.0%}) "
+                    f"[excluded contended: {', '.join(flagged)}]"
+                )
+        if stage_metrics:
+            tmin = sum(
+                (stage_metrics.get(n) or {}).get("wall_min", tset[n])
+                for n in tset
+            )
+            out.append(
+                f"TOTAL{label}_MIN (sum of per-lane wall_min): {tmin:.2f}s"
+            )
+        return out
+
     lines = [
         f"# perf vs median of last {base['n_entries']} BENCH_LOCAL entries (sf={sf})"
     ]
     for name, t in timings.items():
         lines.append(fmt(name, t, base["queries"].get(name)))
-    bt, bk = base["total"]
-    if bt:
-        lines.append(
-            f"TOTAL: {total:.2f}s vs median {bt:.2f}s/{bk} ({(total - bt) / bt:+.0%})"
-        )
+    lines.extend(total_lines("", timings, "queries", total, base["total"]))
     if timings2:
         for name, t in timings2.items():
             lines.append(fmt(name, t, base["queries2"].get(name), " [h2]"))
         bt2, bk2 = base["total2"]
-        if bt2 and total2:
-            lines.append(
-                f"TOTAL2: {total2:.2f}s vs median {bt2:.2f}s/{bk2} "
-                f"({(total2 - bt2) / bt2:+.0%})"
+        if total2:
+            lines.extend(
+                total_lines("2", timings2, "queries2", total2, (bt2, bk2))
             )
-        elif total2:
-            lines.append(f"TOTAL2: {total2:.2f}s (first tracked round)")
     print("\n".join(lines), file=sys.stderr)
 
 
