@@ -240,8 +240,28 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
     if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
         raise MediaFormatError("TIFF dimensions out of range")
     comp = int(one(TAG_COMPRESSION, 1))
+    if comp == 7:
+        # new-style JPEG-in-TIFF (round 16): JPEGTables splice + the
+        # production baseline JPEG decoder per strip/tile
+        return _decode_tiff_jpeg(payload, ent, one, le, w, h)
+    if comp == 6:
+        # the deprecated §22 layout; never interoperable, nothing
+        # modern writes it — quarantined BY NAME (TTN2 replaced it)
+        raise MediaFormatError(
+            "old-style JPEG-in-TIFF (Compression 6) not supported"
+        )
+    if comp == 4:
+        # CCITT Group 4 / T.6 (round 16): the fax compression
+        # scanned-document TIFFs carry
+        return _decode_tiff_g4(payload, ent, one, le, w, h)
+    if comp in (2, 3):
+        # the EOL-framed G3 layer (1-D MH / mixed T.4 2-D) stays
+        # outside the subset — G4 (Compression 4) decodes
+        raise MediaFormatError(
+            f"CCITT G3 (Compression {comp}) not supported "
+            "(G4/Compression 4 decodes)"
+        )
     if comp not in (1, 5, 8, 32773, 32946):
-        # CCITT (2/3/4) and JPEG-in-TIFF (6/7) stay outside the subset
         raise MediaFormatError(
             f"TIFF compression {comp} outside the "
             "none/LZW/Deflate/PackBits subset"
@@ -1636,3 +1656,329 @@ def apply_orientation(
         out = a.transpose(1, 0, 2)[::-1, :]
     oh, ow = out.shape[:2]
     return ow, oh, np.ascontiguousarray(out).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# JPEG-in-TIFF (Compression 7, "new-style" — TIFF Technical Note 2)
+# ---------------------------------------------------------------------------
+# Each strip/tile is a complete baseline JPEG interchange stream except
+# that shared DQT/DHT tables may live in the JPEGTables tag (347): an
+# abbreviated tables-only stream (SOI + table markers + EOI).  Decode
+# splices the shared tables ahead of each chunk's own markers and runs
+# the production baseline JPEG decoder per chunk.  Old-style
+# Compression 6 (the deprecated, never-interoperable §22 layout) stays
+# quarantined by name.  Reference surface: the reference delegates all
+# image handling to external tooling (SURVEY §0); this implements the
+# scanned-document crawl format natively.
+
+TAG_JPEG_TABLES = 347
+
+
+def _jpeg_strip_segments(stream: bytes):
+    """Walk a JPEG stream's marker segments up to SOS → (list of
+    (marker, segment_bytes), offset of SOS).  Raises on non-JPEG."""
+    if stream[:2] != b"\xff\xd8":
+        raise MediaFormatError("TIFF JPEG chunk missing SOI")
+    segs = []
+    pos = 2
+    n = len(stream)
+    while pos + 4 <= n:
+        if stream[pos] != 0xFF:
+            raise MediaFormatError("TIFF JPEG chunk marker desync")
+        marker = stream[pos + 1]
+        if marker == 0xD9:  # EOI before SOS: tables-only stream
+            return segs, pos
+        (length,) = struct.unpack(">H", stream[pos + 2 : pos + 4])
+        seg = stream[pos : pos + 2 + length]
+        if len(seg) != 2 + length:
+            raise MediaFormatError("TIFF JPEG chunk segment truncated")
+        if marker == 0xDA:  # SOS: entropy data follows
+            return segs, pos
+        segs.append((marker, seg))
+        pos += 2 + length
+    raise MediaFormatError("TIFF JPEG chunk has no scan data")
+
+
+def encode_tiff_jpeg(
+    width: int,
+    height: int,
+    rgb: bytes,
+    quality: int = 80,
+    le: bool = True,
+    rows_per_strip: int | None = None,
+    tables_mode: bool = True,
+) -> bytes:
+    """Fixture/production writer for Compression-7 TIFF: the image as
+    per-strip baseline JPEG streams (photometric 6, the YCbCr space
+    JPEG actually stores), with the shared DQT/DHT tables either
+    hoisted into a JPEGTables (347) abbreviated stream
+    (``tables_mode=True``, the layout libtiff writes) or repeated
+    inline per strip."""
+    from reindexer_spark.codecs import encode_jpeg_baseline
+
+    if len(rgb) != width * height * 3:
+        raise MediaFormatError("rgb byte count does not match dimensions")
+    rps = rows_per_strip or max(1, (height + 1) // 2)
+    full_strips = []
+    for r in range(0, height, rps):
+        rows = min(rps, height - r)
+        sub = rgb[r * width * 3 : (r + rows) * width * 3]
+        full_strips.append(encode_jpeg_baseline(width, rows, sub, quality))
+    if tables_mode:
+        segs0, _sos0 = _jpeg_strip_segments(full_strips[0])
+        tables = b"".join(s for m, s in segs0 if m in (0xDB, 0xC4))
+        tables_stream = b"\xff\xd8" + tables + b"\xff\xd9"
+        strips = []
+        for fs in full_strips:
+            segs, sos = _jpeg_strip_segments(fs)
+            kept = b"".join(s for m, s in segs if m not in (0xDB, 0xC4))
+            strips.append(b"\xff\xd8" + kept + fs[sos:])
+    else:
+        strips = full_strips
+    n = len(strips)
+    tags = [
+        (TAG_WIDTH, 3, [width]),
+        (TAG_HEIGHT, 3, [height]),
+        (TAG_BITS, 3, [8, 8, 8]),
+        (TAG_COMPRESSION, 3, [7]),
+        (TAG_PHOTOMETRIC, 3, [6]),
+        (TAG_SPP, 3, [3]),
+        (TAG_PLANAR, 3, [1]),
+        (TAG_STRIP_OFFSETS, 4, [0] * n),  # patched below
+        (TAG_ROWS_PER_STRIP, 3, [min(rps, 65535)]),
+        (TAG_STRIP_COUNTS, 4, [len(s) for s in strips]),
+    ]
+    if tables_mode:
+        tags.append((TAG_JPEG_TABLES, 7, list(tables_stream)))
+    block, offs = _write_ifds(le, [tags])
+    block = bytearray(block)
+    pos = len(block)
+    strip_offs = []
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+    _patch_values(block, offs[0], TAG_STRIP_OFFSETS, strip_offs, le)
+    return bytes(block) + b"".join(strips)
+
+
+def _decode_tiff_jpeg(
+    payload: bytes, ent: dict, one, le: bool, w: int, h: int
+) -> tuple[int, int, bytes]:
+    """Compression-7 decode: per-chunk JPEGTables splice + baseline
+    JPEG decode, pasted onto the canvas.  The output contract stays
+    8-bit RGB (the JPEG decoder's own YCbCr→RGB for photometric 6,
+    gray replication for 0/1)."""
+    from reindexer_spark.codecs import decode_jpeg_baseline
+
+    pi = int(one(TAG_PHOTOMETRIC, 6))
+    if pi == 2:
+        # RGB-space JPEG-in-TIFF would need the color transform
+        # suppressed mid-decoder; nothing mainstream writes it
+        raise MediaFormatError("RGB-space JPEG-in-TIFF not supported")
+    if pi not in (0, 1, 6):
+        raise MediaFormatError(
+            f"TIFF photometric {pi} with JPEG compression not supported"
+        )
+    tables = b""
+    te = ent.get(TAG_JPEG_TABLES)
+    if te is not None:
+        raw = bytes(te["values"])
+        if len(raw) < 4 or raw[:2] != b"\xff\xd8" or raw[-2:] != b"\xff\xd9":
+            raise MediaFormatError("TIFF JPEGTables not an abbreviated stream")
+        tables = raw[2:-2]
+
+    def decode_chunk(chunk: bytes, want_w: int, want_h: int) -> np.ndarray:
+        if chunk[:2] != b"\xff\xd8":
+            raise MediaFormatError("TIFF JPEG chunk missing SOI")
+        merged = b"\xff\xd8" + tables + chunk[2:] if tables else chunk
+        cw, ch, rgb = decode_jpeg_baseline(merged)
+        if cw != want_w or ch != want_h:
+            raise MediaFormatError(
+                "TIFF JPEG chunk dimensions disagree with the layout"
+            )
+        return np.frombuffer(rgb, dtype=np.uint8).reshape(ch, cw, 3)
+
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    tiled = TAG_TILE_OFFSETS in ent or TAG_TILE_WIDTH in ent
+    if tiled:
+        for t in (TAG_TILE_WIDTH, TAG_TILE_LENGTH, TAG_TILE_OFFSETS,
+                  TAG_TILE_COUNTS):
+            if t not in ent:
+                raise MediaFormatError("TIFF missing tile tables")
+        tw, tl = int(one(TAG_TILE_WIDTH)), int(one(TAG_TILE_LENGTH))
+        if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
+            raise MediaFormatError("TIFF tile dims not multiples of 16")
+        offsets = ent[TAG_TILE_OFFSETS]["values"]
+        counts = ent[TAG_TILE_COUNTS]["values"]
+        if not isinstance(offsets, list):
+            offsets = [offsets]
+        if not isinstance(counts, list):
+            counts = [counts]
+        ta = (w + tw - 1) // tw
+        td = (h + tl - 1) // tl
+        if len(offsets) != ta * td or len(counts) != ta * td:
+            raise MediaFormatError("TIFF tile tables disagree with grid")
+        for tj in range(td):
+            for ti in range(ta):
+                o = offsets[tj * ta + ti]
+                c = counts[tj * ta + ti]
+                if not isinstance(o, int) or not isinstance(c, int):
+                    raise MediaFormatError("malformed TIFF tile tables")
+                if o < 0 or c < 0 or o + c > len(payload):
+                    raise MediaFormatError("TIFF tile beyond payload")
+                t = decode_chunk(payload[o : o + c], tw, tl)
+                rows = min(tl, h - tj * tl)
+                cols = min(tw, w - ti * tw)
+                canvas[
+                    tj * tl : tj * tl + rows, ti * tw : ti * tw + cols
+                ] = t[:rows, :cols]
+    else:
+        if TAG_STRIP_OFFSETS not in ent or TAG_STRIP_COUNTS not in ent:
+            raise MediaFormatError("TIFF missing strip tables")
+        offsets = ent[TAG_STRIP_OFFSETS]["values"]
+        counts = ent[TAG_STRIP_COUNTS]["values"]
+        if not isinstance(offsets, list):
+            offsets = [offsets]
+        if not isinstance(counts, list):
+            counts = [counts]
+        if len(offsets) != len(counts):
+            raise MediaFormatError("TIFF strip tables disagree")
+        rps = int(one(TAG_ROWS_PER_STRIP, h))
+        if rps <= 0:
+            raise MediaFormatError("TIFF rows-per-strip out of range")
+        if len(offsets) != (h + rps - 1) // rps:
+            raise MediaFormatError("TIFF strips exceed the image height")
+        for si, (o, c) in enumerate(zip(offsets, counts)):
+            if not isinstance(o, int) or not isinstance(c, int):
+                raise MediaFormatError("malformed TIFF strip tables")
+            if o < 0 or c < 0 or o + c > len(payload):
+                raise MediaFormatError("TIFF strip beyond payload")
+            rows = min(rps, h - si * rps)
+            t = decode_chunk(payload[o : o + c], w, rows)
+            canvas[si * rps : si * rps + rows] = t
+    return w, h, canvas.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# CCITT Group 4 in TIFF (Compression 4 — round 16)
+# ---------------------------------------------------------------------------
+
+TAG_T4_OPTIONS = 292
+TAG_T6_OPTIONS = 293
+TAG_FILLORDER = 266
+
+
+def _decode_tiff_g4(
+    payload: bytes, ent: dict, one, le: bool, w: int, h: int
+) -> tuple[int, int, bytes]:
+    """Compression-4 decode: per-strip T.6 streams through
+    ccitt.g4_decode (each strip restarts against the imaginary
+    all-white reference line, per the TIFF contract), honoring
+    FillOrder 1/2 and both bilevel photometrics.  T6Options with the
+    uncompressed-mode bit quarantines (nothing mainstream writes
+    it)."""
+    import numpy as np
+
+    from reindexer_spark.ccitt import g4_decode
+
+    bits = ent.get(TAG_BITS, {"values": [1]})["values"]
+    if not isinstance(bits, list):
+        bits = [bits]
+    if bits and int(bits[0]) != 1:
+        raise MediaFormatError("CCITT G4 TIFF must be 1 bit/sample")
+    if int(one(TAG_SPP, 1)) != 1:
+        raise MediaFormatError("CCITT G4 TIFF must be 1 sample/pixel")
+    pi = int(one(TAG_PHOTOMETRIC, 0))
+    if pi not in (0, 1):
+        raise MediaFormatError(
+            "CCITT G4 TIFF needs a bilevel photometric (0/1)"
+        )
+    t6 = int(one(TAG_T6_OPTIONS, 0))
+    if t6 & 0x02:
+        raise MediaFormatError(
+            "T.6 uncompressed mode (T6Options bit 1) not supported"
+        )
+    fillorder = int(one(TAG_FILLORDER, 1))
+    if TAG_STRIP_OFFSETS not in ent or TAG_STRIP_COUNTS not in ent:
+        raise MediaFormatError("TIFF missing strip tables")
+    offsets = ent[TAG_STRIP_OFFSETS]["values"]
+    counts = ent[TAG_STRIP_COUNTS]["values"]
+    if not isinstance(offsets, list):
+        offsets = [offsets]
+    if not isinstance(counts, list):
+        counts = [counts]
+    if len(offsets) != len(counts):
+        raise MediaFormatError("TIFF strip tables disagree")
+    rps = int(one(TAG_ROWS_PER_STRIP, h))
+    if rps <= 0:
+        raise MediaFormatError("TIFF rows-per-strip out of range")
+    if len(offsets) != (h + rps - 1) // rps:
+        raise MediaFormatError("TIFF strips exceed the image height")
+    px = bytearray()
+    for si, (o, c) in enumerate(zip(offsets, counts)):
+        if not isinstance(o, int) or not isinstance(c, int):
+            raise MediaFormatError("malformed TIFF strip tables")
+        if o < 0 or c < 0 or o + c > len(payload):
+            raise MediaFormatError("TIFF strip beyond payload")
+        rows = min(rps, h - si * rps)
+        px += g4_decode(payload[o : o + c], w, rows, fillorder=fillorder)
+    a = np.frombuffer(bytes(px), dtype=np.uint8)
+    # bit 1 = black; photometric 0 (WhiteIsZero) is the natural fax
+    # orientation, photometric 1 inverts
+    if pi == 0:
+        gray = (1 - a) * np.uint8(255)
+    else:
+        gray = a * np.uint8(255)
+    return w, h, np.repeat(gray, 3).tobytes()
+
+
+def encode_tiff_g4(
+    width: int,
+    height: int,
+    bits,
+    le: bool = True,
+    rows_per_strip: int | None = None,
+    fillorder: int = 1,
+    photometric: int = 0,
+    with_eofb: bool = False,
+) -> bytes:
+    """Fixture/production writer for Compression-4 TIFF: row-major
+    bilevel pixels (1 = black) as per-strip T.6 streams."""
+    from reindexer_spark.ccitt import g4_encode
+
+    if len(bits) != width * height:
+        raise MediaFormatError("CCITT pixel count mismatch")
+    rps = rows_per_strip or max(1, (height + 1) // 2)
+    strips = []
+    for r in range(0, height, rps):
+        rows = min(rps, height - r)
+        strips.append(
+            g4_encode(
+                bits[r * width : (r + rows) * width], width, rows,
+                fillorder=fillorder, with_eofb=with_eofb,
+            )
+        )
+    n = len(strips)
+    tags = [
+        (TAG_WIDTH, 3, [width]),
+        (TAG_HEIGHT, 3, [height]),
+        (TAG_BITS, 3, [1]),
+        (TAG_COMPRESSION, 3, [4]),
+        (TAG_PHOTOMETRIC, 3, [photometric]),
+        (TAG_SPP, 3, [1]),
+        (TAG_PLANAR, 3, [1]),
+        (TAG_FILLORDER, 3, [fillorder]),
+        (TAG_T6_OPTIONS, 4, [0]),
+        (TAG_STRIP_OFFSETS, 4, [0] * n),  # patched below
+        (TAG_ROWS_PER_STRIP, 3, [min(rps, 65535)]),
+        (TAG_STRIP_COUNTS, 4, [len(s) for s in strips]),
+    ]
+    block, offs = _write_ifds(le, [tags])
+    block = bytearray(block)
+    pos = len(block)
+    strip_offs = []
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
+    _patch_values(block, offs[0], TAG_STRIP_OFFSETS, strip_offs, le)
+    return bytes(block) + b"".join(strips)

@@ -973,3 +973,136 @@ def test_scrub_image_gps_dispatch_and_unknown_quarantines():
     assert had and kind == "jpeg"
     with pytest.raises(MediaFormatError):
         scrub_image_gps(b"GIF89a" + bytes(64))  # no scrub → quarantine
+
+
+# ---------------------------------------------------------------------------
+# JPEG-in-TIFF (Compression 7 — TIFF Technical Note 2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("le", [True, False])
+@pytest.mark.parametrize("tables_mode", [True, False])
+def test_jpeg_in_tiff_decodes_and_matches_direct(le, tables_mode):
+    """The strip-assembled Compression-7 decode equals pasting the
+    per-strip baseline-JPEG decodes directly — the JPEGTables splice
+    adds nothing and loses nothing."""
+    from reindexer_spark.tiff import encode_tiff_jpeg
+
+    w, h = 33, 25
+    rgb = _rgb(w, h, seed=21)
+    p = encode_tiff_jpeg(
+        w, h, rgb, quality=82, le=le, rows_per_strip=9,
+        tables_mode=tables_mode,
+    )
+    dw, dh, out = decode_tiff(p)
+    assert (dw, dh) == (w, h)
+    pm = probe_tiff(p)
+    assert pm["compression"] == 7 and pm["n_strips"] == 3
+    # direct reference: decode each strip as a self-contained stream
+    ref = encode_tiff_jpeg(
+        w, h, rgb, quality=82, le=le, rows_per_strip=9,
+        tables_mode=False,
+    )
+    assert decode_tiff(ref) == (dw, dh, out)
+    # lossy closeness at q82: decoded stays near the source
+    a = np.frombuffer(out, dtype=np.uint8).astype(int)
+    b = np.frombuffer(rgb, dtype=np.uint8).astype(int)
+    assert np.abs(a - b).mean() < 24.0
+
+
+def test_jpeg_in_tiff_tables_mode_smaller():
+    """Hoisting DQT/DHT into JPEGTables must shrink the payload —
+    the reason the layout exists."""
+    from reindexer_spark.tiff import encode_tiff_jpeg
+
+    w, h = 40, 32
+    rgb = _rgb(w, h, seed=5)
+    a = encode_tiff_jpeg(w, h, rgb, rows_per_strip=8, tables_mode=True)
+    b = encode_tiff_jpeg(w, h, rgb, rows_per_strip=8, tables_mode=False)
+    assert len(a) < len(b)
+
+
+def test_jpeg_in_tiff_old_style_quarantines_by_name():
+    from reindexer_spark.tiff import TAG_COMPRESSION, encode_tiff_jpeg
+
+    p = encode_tiff_jpeg(20, 18, _rgb(20, 18, seed=3))
+    bad = _patch_short(p, TAG_COMPRESSION, 6)
+    with pytest.raises(MediaFormatError, match="old-style"):
+        decode_tiff(bad)
+    assert probe_tiff(bad)["width"] == 20
+
+
+def test_jpeg_in_tiff_bad_tables_and_chunks_quarantine():
+    from reindexer_spark.tiff import (
+        TAG_JPEG_TABLES,
+        TAG_STRIP_OFFSETS,
+        encode_tiff_jpeg,
+    )
+
+    p = encode_tiff_jpeg(24, 20, _rgb(24, 20, seed=7), rows_per_strip=10)
+    # JPEGTables without an SOI prefix
+    buf = bytearray(p)
+    f = "<"
+    (ifd,) = struct.unpack_from(f + "I", buf, 4)
+    (n,) = struct.unpack_from(f + "H", buf, ifd)
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        if struct.unpack_from(f + "H", buf, e)[0] == TAG_JPEG_TABLES:
+            size = struct.unpack_from(f + "I", buf, e + 4)[0]
+            (voff,) = struct.unpack_from(f + "I", buf, e + 8)
+            buf[voff] = 0x00  # break the SOI
+            break
+    with pytest.raises(MediaFormatError, match="JPEGTables"):
+        decode_tiff(bytes(buf))
+    # a strip that is not a JPEG stream
+    buf = bytearray(p)
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        if struct.unpack_from(f + "H", buf, e)[0] == TAG_STRIP_OFFSETS:
+            (voff,) = struct.unpack_from(f + "I", buf, e + 8)
+            (s0,) = struct.unpack_from(f + "I", buf, voff)
+            buf[s0] = 0x00  # break the strip's SOI
+            break
+    with pytest.raises(MediaFormatError, match="SOI"):
+        decode_tiff(bytes(buf))
+
+
+def test_jpeg_in_tiff_dim_mismatch_quarantines():
+    """A strip whose SOF dims disagree with the strip layout must
+    refuse, not paste garbage."""
+    from reindexer_spark.tiff import TAG_HEIGHT, encode_tiff_jpeg
+
+    p = encode_tiff_jpeg(16, 16, _rgb(16, 16, seed=8), rows_per_strip=16)
+    bad = _patch_short(p, TAG_HEIGHT, 24)
+    with pytest.raises(MediaFormatError):
+        decode_tiff(bad)
+
+
+def test_jpeg_in_tiff_fuzz_quarantine_contract():
+    """Same repo-wide contract as the LZW fixture: arbitrary
+    corruption decodes or raises MediaFormatError, never an
+    uncontrolled exception."""
+    from reindexer_spark.tiff import encode_tiff_jpeg
+
+    rng = np.random.default_rng(16)
+    base = encode_tiff_jpeg(18, 14, _rgb(18, 14, seed=4), rows_per_strip=7)
+    for _ in range(120):
+        buf = bytearray(base)
+        mode = rng.integers(0, 3)
+        if mode == 0:
+            buf = buf[: int(rng.integers(4, len(buf)))]
+        elif mode == 1:
+            for _k in range(6):
+                buf[int(rng.integers(0, len(buf)))] = int(
+                    rng.integers(0, 256)
+                )
+        else:
+            buf += bytes(rng.integers(0, 256, 11, dtype=np.uint8))
+        try:
+            decode_tiff(bytes(buf))
+        except MediaFormatError:
+            pass
+        try:
+            probe_tiff(bytes(buf))
+        except MediaFormatError:
+            pass
