@@ -1158,7 +1158,8 @@ def write_pps(
     w.ue(0)  # num_ref_idx_l0_default_active_minus1
     w.ue(0)  # num_ref_idx_l1_default_active_minus1
     w.u(1 if weighted_pred else 0, 1)  # weighted_pred
-    w.u(1 if weighted_bipred else 0, 2)  # weighted_bipred_idc
+    # weighted_bipred_idc: 0 default, 1 explicit, 2 implicit (round 16)
+    w.u(2 if weighted_bipred == 2 else (1 if weighted_bipred else 0), 2)
     w.se(qp - 26)  # pic_init_qp_minus26
     w.se(0)  # pic_init_qs_minus26
     w.se(chroma_qp_offset)  # chroma_qp_index_offset
@@ -1196,14 +1197,9 @@ def parse_pps(nal: bytes, allow_cabac: bool = False) -> dict:
         )
     out["weighted_pred"] = bool(r.u(1))
     out["weighted_bipred"] = r.u(2)
-    if out["weighted_bipred"] >= 2:
-        # weighted_bipred_idc 2 (implicit, POC-derived weights) stays
-        # outside the subset; EXPLICIT B weighting (idc 1) decodes
-        # since round 15 — the slice header then carries a second
-        # pred_weight_table (both lists)
-        raise MediaFormatError(
-            "implicit weighted bi-prediction outside the subset"
-        )
+    if out["weighted_bipred"] == 3:
+        # idc shall be 0..2 (§7.4.2.2); 3 has no defined semantics
+        raise MediaFormatError("weighted_bipred_idc 3 is not a legal value")
     out["pic_init_qp"] = 26 + r.se()
     r.se()
     out["chroma_qp_index_offset"] = r.se()
@@ -1344,10 +1340,11 @@ def _write_slice_header(
                 w.ue(3)
             else:
                 w.u(0, 1)
-        if wpb is not None:
+        if wpb is not None and not wpb.get("implicit"):
             # pred_weight_table (§7.3.3.2, weighted_bipred_idc 1 —
             # round 15): shared denominators, then entries for BOTH
-            # lists (one per active reference each)
+            # lists (one per active reference each; implicit idc 2
+            # carries NO table — weights are POC-derived)
             w.ue(wpb["ld"])
             w.ue(wpb["cd"])
             _write_weight_entries(w, wpb["w0"])
@@ -1598,6 +1595,12 @@ def _parse_slice_header(
                     r, info["num_ref_l1"], ld, cd
                 ),
             }
+        elif pps.get("weighted_bipred") == 2:
+            # IMPLICIT weighted bi-prediction (§8.4.2.3.1, round 16):
+            # the header carries NO table — weights derive from POC
+            # distances per (refIdxL0, refIdxL1) pair at slice setup
+            # (_implicit_wp_table)
+            info["wpb"] = {"implicit": True}
     elif stype == "P":
         if r.u(1):  # num_ref_idx_active_override_flag
             info["num_ref_l0"] = r.ue() + 1
@@ -2665,6 +2668,7 @@ def decode_picture(
             if ctx["l0_pocs"] is not None:
                 st.l0_pocs = ctx["l0_pocs"]
                 st.l1_pocs = ctx["l1_pocs"]
+            _implicit_wp_table(ctx)  # no-op unless idc 2 (round 16)
             expected = _decode_b_slice_mbs(
                 r, st, qp, cqo, ctx,
                 first_mb=expected, until_end=until_end,
@@ -2975,6 +2979,10 @@ def encode_avcc_samples(
         sps, pps, nals = encode_h264_ipb(
             width, height, frames_rgb, qp, weighted=True
         )
+    elif gop == "ipb-wpi":
+        sps, pps, nals = encode_h264_ipb(
+            width, height, frames_rgb, qp, weighted="implicit"
+        )
     elif gop == "ippp-multiref":
         sps, pps, nals = encode_h264_ippp(
             width, height, frames_rgb, qp, n_refs=3
@@ -3093,6 +3101,10 @@ def encode_h264_annexb(
     elif gop == "ipb-wp":
         sps, pps, nals = encode_h264_ipb(
             width, height, frames_rgb, qp, weighted=True
+        )
+    elif gop == "ipb-wpi":
+        sps, pps, nals = encode_h264_ipb(
+            width, height, frames_rgb, qp, weighted="implicit"
         )
     elif gop == "ippp-multiref":
         sps, pps, nals = encode_h264_ippp(
@@ -4263,6 +4275,30 @@ def _b_combine(planes: list, ents: list, wp: dict | None):
                 for p0, p1 in zip(planes[0], planes[1])
             )
         return planes[0]
+    if wp.get("implicit"):
+        # §8.4.2.3.1 IMPLICIT weighted prediction (round 16): only
+        # BI-predicted partitions weight — single-list prediction is
+        # the §8.4.2.2 default copy.  logWD = 5, zero offsets, same
+        # w0/w1 for luma and chroma, looked up per
+        # (refIdxL0, refIdxL1) from the POC-derived table attached by
+        # _implicit_wp_table at slice setup.
+        if len(planes) == 1:
+            return planes[0]
+        pair = wp["tab"].get((ents[0], ents[1]))
+        if pair is None:
+            raise MediaFormatError(
+                "implicit weight for an inactive reference pair"
+            )
+        w0, w1 = pair
+        (y0, u0, v0), (y1, u1, v1) = planes
+        return (
+            _wp_apply_bi(y0.astype(np.int64), y1.astype(np.int64),
+                         w0, w1, 0, 0, 5),
+            _wp_apply_bi(u0.astype(np.int64), u1.astype(np.int64),
+                         w0, w1, 0, 0, 5),
+            _wp_apply_bi(v0.astype(np.int64), v1.astype(np.int64),
+                         w0, w1, 0, 0, 5),
+        )
     ld, cd = wp["ld"], wp["cd"]
     es = [e if e is not None else _wp_ident(ld, cd) for e in ents]
     if len(planes) == 1:
@@ -4290,11 +4326,67 @@ def _b_combine(planes: list, ents: list, wp: dict | None):
     )
 
 
+def _implicit_wp_table(ctx: dict) -> None:
+    """Attach the §8.4.2.3.1 IMPLICIT-mode weight table to a B slice
+    context (round 16): per (refIdxL0, refIdxL1), with pic0 =
+    RefPicList0[refIdxL0] and pic1 = RefPicList1[refIdxL1],
+
+        tb  = Clip3(-128, 127, poc(cur)  - poc(pic0))
+        td  = Clip3(-128, 127, poc(pic1) - poc(pic0))
+        tx  = (16384 + Abs(td/2)) / td         (toward-zero division)
+        dsf = Clip3(-1024, 1023, (tb*tx + 32) >> 6)
+        w1  = dsf >> 2,  w0 = 64 - w1          (logWD 5, offsets 0)
+
+    falling back to the default 32/32 when td == 0, either reference
+    is long-term, or w1 leaves [-64, 128] — the same tb/td/tx
+    machinery temporal direct (§8.4.1.2.3) already runs.  Implicit
+    weighting NEEDS picture order: a stream without POC context
+    quarantines rather than guesses (house rule from temporal
+    direct)."""
+    wp = ctx.get("wp")
+    if not (wp and wp.get("implicit")) or "tab" in wp:
+        return
+    cur = ctx.get("poc")
+    l0p, l1p = ctx.get("l0_pocs"), ctx.get("l1_pocs")
+    if cur is None or l0p is None or l1p is None:
+        raise MediaFormatError(
+            "implicit weighted bi-prediction without picture order "
+            "context"
+        )
+    l0_lts, l1_lts = ctx.get("l0_lts"), ctx.get("l1_lts")
+    tab: dict = {}
+    for r0 in range(len(l0p)):
+        for r1 in range(len(l1p)):
+            poc0, poc1 = l0p[r0], l1p[r1]
+            lt = (
+                (l0_lts is not None and l0_lts[r0] is not None)
+                or (l1_lts is not None and l1_lts[r1] is not None)
+            )
+            td = max(-128, min(127, poc1 - poc0))
+            tb = max(-128, min(127, cur - poc0))
+            if lt or td == 0:
+                tab[(r0, r1)] = (32, 32)
+                continue
+            num = 16384 + abs(td) // 2
+            tx = num // td if td > 0 else -(num // -td)
+            dsf = max(-1024, min(1023, (tb * tx + 32) >> 6))
+            w1 = dsf >> 2
+            if w1 < -64 or w1 > 128:
+                tab[(r0, r1)] = (32, 32)
+            else:
+                tab[(r0, r1)] = (64 - w1, w1)
+    wp["tab"] = tab
+
+
 def _b_wp_ents(ctx: dict, lst: int, ri: int):
-    """The (list, refIdx) weight entry under ctx['wp'], or None."""
+    """The (list, refIdx) weight entry under ctx['wp'], or None; in
+    IMPLICIT mode the entry is the refIdx itself — _b_combine keys
+    the POC-derived pair table with it."""
     wp = ctx.get("wp")
     if wp is None:
         return None
+    if wp.get("implicit"):
+        return ri
     return wp["w0" if lst == 0 else "w1"][ri]
 
 
@@ -5355,15 +5447,24 @@ def _b_mb_decide(
     pmv1 = _pred_mv_b(st, mbx, mby, 1)
     mv0, c0 = _motion_search(ctx["l0"][0][0], src_blk, x0, y0, pmv0)
     mv1, c1 = _motion_search(ctx["l1"][0][0], src_blk, x0, y0, pmv1)
-    p_bi = (
-        _mc_luma(ctx["l0"][0][0], x0, y0, 16, 16, mv0[0], mv0[1]).astype(
-            np.int64
-        )
-        + _mc_luma(ctx["l1"][0][0], x0, y0, 16, 16, mv1[0], mv1[1]).astype(
-            np.int64
-        )
-        + 1
-    ) >> 1
+    p0_bi = _mc_luma(
+        ctx["l0"][0][0], x0, y0, 16, 16, mv0[0], mv0[1]
+    ).astype(np.int64)
+    p1_bi = _mc_luma(
+        ctx["l1"][0][0], x0, y0, 16, 16, mv1[0], mv1[1]
+    ).astype(np.int64)
+    wp_d = ctx.get("wp")
+    if wp_d is not None and wp_d.get("implicit"):
+        # round 16: under IMPLICIT weighting the bi candidate's
+        # decision SAD must reflect the §8.4.2.3.1 weights the actual
+        # prediction will use — with the plain average the encoder
+        # almost never PICKS bi on a fade, and the mode the weights
+        # exist for goes uncoded (encoder-only; explicit idc 1 keeps
+        # the round-15 unweighted-SAD decision, byte-stable streams)
+        w0_d, w1_d = wp_d["tab"].get((0, 0), (32, 32))
+        p_bi = np.clip((p0_bi * w0_d + p1_bi * w1_d + 32) >> 6, 0, 255)
+    else:
+        p_bi = (p0_bi + p1_bi + 1) >> 1
     c_bi = int(np.abs(src_blk - p_bi).sum()) + 2 * (
         abs(mv0[0] - pmv0[0]) + abs(mv0[1] - pmv0[1])
         + abs(mv1[0] - pmv1[0]) + abs(mv1[1] - pmv1[1])
@@ -5969,7 +6070,14 @@ def encode_b_frame_nal(
     mb_w, mb_h = y.shape[1] // 16, y.shape[0] // 16
     st = _FrameState(mb_w, mb_h)
     wpb = None
-    if weighted:
+    if weighted == "implicit":
+        # §8.4.2.3.1 IMPLICIT weights (round 16): nothing estimated,
+        # nothing written — the closed loop and any conforming
+        # decoder derive identical weights from POC distances.  The
+        # caller's PPS must signal weighted_bipred_idc 2 and pass
+        # ``ref_pocs``/``poc``.
+        wpb = {"implicit": True}
+    elif weighted:
         # §8.4.2.3.2 EXPLICIT B weights (round 15): the fade estimate
         # per list against each list's FIRST reference (L1[0] is
         # refs[1] under the §8.2.4.2.3 default swap); further active
@@ -6046,6 +6154,7 @@ def encode_b_frame_nal(
     if ctx["l0_pocs"] is not None:
         st.l0_pocs = ctx["l0_pocs"][:n_ref_l0]
         st.l1_pocs = ctx["l1_pocs"][:n_ref_l1]
+    _implicit_wp_table(ctx)  # no-op unless idc 2 (round 16)
     w = _BitWriter()
     _write_slice_header(
         w, qp, DEFAULT_QP, 0, log2_max_frame_num=4, poc_type=0,
@@ -6214,7 +6323,10 @@ def encode_h264_ipb(
     if hit is None:
         depth = 3 if direct == "temporal" else 2
         sps = write_h264_sps(width, height, 66, 30, num_ref_frames=depth)
-        pps = write_pps(DEFAULT_QP, weighted_bipred=weighted)
+        pps = write_pps(
+            DEFAULT_QP,
+            weighted_bipred=2 if weighted == "implicit" else weighted,
+        )
         out = encode_frame_nal(
             frames_rgb[0], width, height, qp, idr_pic_id=0,
             return_planes=True,
@@ -6247,9 +6359,15 @@ def encode_h264_ipb(
                     col=dpb_motion[1],  # RefPicList1[0]'s motion
                     direct=direct,
                     ref_pocs=(
-                        dpb_pocs if direct == "temporal" else None
+                        dpb_pocs
+                        if direct == "temporal" or weighted == "implicit"
+                        else None
                     ),
-                    poc=2 * i if direct == "temporal" else None,
+                    poc=(
+                        2 * i
+                        if direct == "temporal" or weighted == "implicit"
+                        else None
+                    ),
                     weighted=weighted,
                 )
             nals.append(nal)

@@ -119,8 +119,9 @@ def test_static_scene_identity_weights_keep_default_behavior():
     assert dec == recons
 
 
-def test_implicit_weighted_bipred_still_quarantines():
-    # hand-build a PPS with weighted_bipred_idc = 2
+def test_implicit_idc_parses_and_idc3_quarantines():
+    # hand-build a PPS with weighted_bipred_idc = 2 (decodes since
+    # round 16 — see test_h264_bimplicit.py) and idc = 3 (illegal)
     pps = write_pps(26)
     from reindexer_spark.h264 import _RbspWriter
 
@@ -141,8 +142,18 @@ def test_implicit_weighted_bipred_still_quarantines():
     w2.u(0, 1)
     w2.u(0, 1)
     nal = b"\x68" + w2.finish()
+    assert parse_pps(nal)["weighted_bipred"] == 2
+    w3 = _RbspWriter()
+    for fn, args in [
+        ("ue", (0,)), ("ue", (0,)), ("u", (0, 1)), ("u", (0, 1)),
+        ("ue", (0,)), ("ue", (0,)), ("ue", (0,)), ("u", (0, 1)),
+        ("u", (3, 2)),  # weighted_bipred_idc = 3: no defined semantics
+        ("se", (0,)), ("se", (0,)), ("se", (0,)),
+        ("u", (1, 1)), ("u", (0, 1)), ("u", (0, 1)),
+    ]:
+        getattr(w3, fn)(*args)
     with pytest.raises(MediaFormatError):
-        parse_pps(nal)
+        parse_pps(b"\x68" + w3.finish())
     assert parse_pps(pps)["weighted_bipred"] == 0
 
 
