@@ -6332,3 +6332,844 @@ def image_orient_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_sees_orientation int, involution_exact int",
         )
     )
+
+
+@query(
+    "image_tiff_jpeg",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {TIFF_DOCS}
+    ), dims AS (
+      SELECT media_id,
+             21 + CAST(('0x' || substr(dg, 1, 2)) AS INT) % 28 AS w,
+             17 + CAST(('0x' || substr(dg, 3, 2)) AS INT) % 24 AS h,
+             5 + CAST(('0x' || substr(dg, 5, 2)) AS INT) % 11 AS rps,
+             75 + CAST(('0x' || substr(dg, 7, 2)) AS INT) % 20 AS q
+      FROM base
+    )
+    SELECT media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(rps AS INT) AS rows_per_strip,
+           CAST(q AS INT) AS quality,
+           CAST((h + rps - 1) // rps AS INT) AS n_strips,
+           CASE WHEN media_id % 2 = 0 THEN 'tables' ELSE 'inline' END
+             AS layout,
+           CAST(1 AS INT) AS splice_matches_inline,
+           CAST(1 AS INT) AS lossy_close,
+           CAST(1 AS INT) AS tables_smaller,
+           CAST(1 AS INT) AS probe_agrees,
+           CAST(1 AS INT) AS old_style_quarantined
+    FROM dims
+    """,
+)
+def image_tiff_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-style JPEG-in-TIFF decode (round 16 — Compression 7, TIFF
+    Technical Note 2): per document, derive digest RGB + a digest
+    strip/quality geometry, write BOTH layouts — shared DQT/DHT hoisted
+    into a JPEGTables (347) abbreviated stream, and self-contained
+    per-strip streams — and decode through the production TIFF path
+    (tiff.py:_decode_tiff_jpeg → codecs.decode_jpeg_baseline per
+    strip).
+
+    JPEG output bytes are not SQL-computable (lossy DCT), so the
+    oracle pins the INVARIANTS the decode must satisfy instead of a
+    pixel hash — the house pattern for every lossy lane:
+    ``splice_matches_inline=1`` (the JPEGTables splice decodes
+    byte-identically to the same strips with tables inlined — this
+    ties the splice path to decode_jpeg_baseline, whose own
+    correctness is held by the multimodal_*_sig byte-identity gates
+    and tools/jpeg_ab.py), ``lossy_close=1`` (mean |err| < 25 vs the
+    digest source at q>=75), ``tables_smaller=1`` (the layout's
+    raison d'être), ``probe_agrees=1``, and
+    ``old_style_quarantined=1`` (the same fixture patched to
+    Compression 6 refuses by name while the probe still reads dims).
+    Geometry columns are digest arithmetic both engines compute.
+
+    Reference surface: the reference shells media work out to external
+    tooling (SURVEY §0 — ingest.go:17-38); this is the native
+    scanned-document-crawl format those pipelines hit constantly.
+
+    Scale shape: mapInPandas, payloads never shuffle — same as every
+    media lane."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < TIFF_DOCS
+    )
+
+    def build_and_decode(batches):
+        import hashlib
+        import struct as st
+
+        import numpy as np
+
+        from reindexer_spark.codecs import MediaFormatError
+        from reindexer_spark.tiff import (
+            TAG_COMPRESSION,
+            decode_tiff,
+            encode_tiff_jpeg,
+            probe_tiff,
+        )
+
+        def with_compression(payload: bytes, val: int) -> bytes:
+            buf = bytearray(payload)
+            (ifd,) = st.unpack_from("<I", buf, 4)
+            (n,) = st.unpack_from("<H", buf, ifd)
+            for i in range(n):
+                e = ifd + 2 + 12 * i
+                if st.unpack_from("<H", buf, e)[0] == TAG_COMPRESSION:
+                    st.pack_into("<H", buf, e + 8, val)
+                    return bytes(buf)
+            raise MediaFormatError("fixture lacks a Compression tag")
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.doc_id)
+                dg = hashlib.sha256(r.text.encode("utf-8")).hexdigest()
+                w = 21 + int(dg[0:2], 16) % 28
+                h = 17 + int(dg[2:4], 16) % 24
+                rps = 5 + int(dg[4:6], 16) % 11
+                q = 75 + int(dg[6:8], 16) % 20
+                nbytes = w * h * 3
+                src = bytes.fromhex(
+                    "".join(
+                        hashlib.sha256(f"{dg}-{i}".encode()).hexdigest()
+                        for i in range((nbytes + 31) // 32)
+                    )[: 2 * nbytes]
+                )
+                p_tab = encode_tiff_jpeg(
+                    w, h, src, quality=q, rows_per_strip=rps,
+                    tables_mode=True,
+                )
+                p_inl = encode_tiff_jpeg(
+                    w, h, src, quality=q, rows_per_strip=rps,
+                    tables_mode=False,
+                )
+                mine = p_tab if mid % 2 == 0 else p_inl
+                dw, dh, out = decode_tiff(mine)
+                splice_ok = int(
+                    decode_tiff(p_tab) == decode_tiff(p_inl)
+                )
+                a = np.frombuffer(out, dtype=np.uint8).astype(np.int64)
+                b = np.frombuffer(src, dtype=np.uint8).astype(np.int64)
+                close = int(float(np.abs(a - b).mean()) < 25.0)
+                pm = probe_tiff(mine)
+                agrees = int(
+                    pm["compression"] == 7
+                    and pm["width"] == dw == w
+                    and pm["height"] == dh == h
+                    and pm["n_strips"] == (h + rps - 1) // rps
+                )
+                old = with_compression(mine, 6)
+                try:
+                    decode_tiff(old)
+                    old_q = 0
+                except MediaFormatError:
+                    old_q = int(probe_tiff(old)["width"] == w)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": dw,
+                        "height": dh,
+                        "rows_per_strip": rps,
+                        "quality": q,
+                        "n_strips": (h + rps - 1) // rps,
+                        "layout": "tables" if mid % 2 == 0 else "inline",
+                        "splice_matches_inline": splice_ok,
+                        "lossy_close": close,
+                        "tables_smaller": int(len(p_tab) < len(p_inl)),
+                        "probe_agrees": agrees,
+                        "old_style_quarantined": old_q,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "rows_per_strip",
+                    "quality", "n_strips", "layout",
+                    "splice_matches_inline", "lossy_close",
+                    "tables_smaller", "probe_agrees",
+                    "old_style_quarantined",
+                ],
+            )
+
+    return docs.select("doc_id", "text").repartition(TIFF_DOCS).mapInPandas(
+        build_and_decode,
+        "media_id bigint, width int, height int, rows_per_strip int, "
+        "quality int, n_strips int, layout string, "
+        "splice_matches_inline int, lossy_close int, tables_smaller int, "
+        "probe_agrees int, old_style_quarantined int",
+    )
+
+
+@query(
+    "video_bimplicit",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {14}
+    ), s AS (
+      SELECT media_id,
+             CAST(('0x' || substr(dg, 1, 2)) AS INT) AS s0,
+             CAST(('0x' || substr(dg, 3, 2)) AS INT) AS s1,
+             CAST(('0x' || substr(dg, 5, 2)) AS INT) AS s2,
+             CAST(('0x' || substr(dg, 7, 2)) AS INT) AS s3
+      FROM base
+    )
+    SELECT media_id,
+      CASE WHEN media_id % 2 = 0 THEN 'mp4' ELSE 'mkv' END AS container,
+      CAST(2 * (16 + s0 % 13) AS INT) AS width,
+      CAST(2 * (16 + s1 % 9) AS INT) AS height,
+      CAST(5 + s2 % 2 AS INT) AS n_frames,
+      CAST(20 + s3 % 16 AS INT) AS qp,
+      CAST((5 + s2 % 2 - 1) // 2 AS INT) AS n_b,
+      CAST(1 AS INT) AS decodable,
+      CAST(1 AS INT) AS headerless_weights,
+      CAST(1 AS INT) AS implicit_smaller,
+      CAST(1 AS INT) AS recon_exact,
+      CAST(1 AS INT) AS containers_agree
+    FROM s
+    """,
+)
+def video_bimplicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMPLICIT WEIGHTED BI-PREDICTION decode (round 16 — VERDICT r15
+    ask #3, the weighting two-pass encoders actually default to for
+    fades): digest-seeded FADE clips coded as low-delay IPB with
+    weighted_bipred_idc 2 — B slice headers carry NO
+    pred_weight_table; both the encoder's closed loop and the decoder
+    derive w1 = DistScaleFactor >> 2, w0 = 64 - w1 from pure POC
+    arithmetic (§8.4.2.3.1 — the same tb/td/tx machinery temporal
+    direct runs), falling back to 32/32 on td == 0 / long-term /
+    out-of-range.
+
+    Oracle-pinned contract columns (re-derived from sha256(text)):
+    ``n_b`` — the non-reference NAL count matches the IPB layout;
+    ``headerless_weights=1`` — the first B header parses back the
+    implicit marker and NO table entries (the weights exist only as
+    POC arithmetic); ``implicit_smaller=1`` — the implicit chain
+    codes smaller than the plain IPB chain on a fade while its P NALs
+    are byte-IDENTICAL to the plain chain's; ``recon_exact=1`` —
+    container decode ≡ the encoder's closed-loop reconstruction (a
+    decoder that ignored the weights fails byte-for-byte);
+    ``containers_agree=1`` — the same GOP through the other container
+    decodes identically.
+
+    Reference: ITU-T H.264 §8.4.2.3.1; reference repo delegates video
+    out entirely (SURVEY §0 — ingest.go:17-38).
+
+    Scale shape: Arrow-batched mapInPandas over a bounded fixture
+    set, payloads never shuffle — same as every video lane."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 14
+    )
+
+    def build_and_decode(batches):
+        import hashlib
+
+        import numpy as np
+
+        from reindexer_spark.codecs import (
+            MediaFormatError,
+            decode_mkv,
+            decode_mp4,
+            encode_mkv_coded,
+            encode_mp4_coded,
+        )
+        from reindexer_spark.h264 import (
+            _BitReader,
+            _parse_slice_header,
+            _parse_sps_slice_fields,
+            _unescape_rbsp,
+            encode_h264_ipb,
+            parse_pps,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.doc_id)
+                dg = hashlib.sha256(r.text.encode("utf-8")).digest()
+                w = 2 * (16 + dg[0] % 13)
+                h = 2 * (16 + dg[1] % 9)
+                n_frames = 5 + dg[2] % 2
+                qp = 20 + dg[3] % 16
+                rng = np.random.default_rng(
+                    int.from_bytes(dg[:8], "big")
+                )
+                base = rng.integers(30, 226, (h, w, 3)).astype(
+                    np.float64
+                )
+                frames = [
+                    np.clip(base * (1.0 - 0.16 * i) + 7 * i, 0, 255)
+                    .astype(np.uint8)
+                    .tobytes()
+                    for i in range(n_frames)
+                ]
+                container = "mp4" if mid % 2 == 0 else "mkv"
+                sps, pps, wn, wrec = encode_h264_ipb(
+                    w, h, frames, qp=qp, return_recon=True,
+                    weighted="implicit",
+                )
+                _s, _p, pn = encode_h264_ipb(w, h, frames, qp=qp)
+                n_b = sum(1 for n in wn if (n[0] >> 5) == 0)
+                p_identical = all(
+                    a == b
+                    for a, b in zip(wn, pn)
+                    if (a[0] >> 5) != 0
+                )
+                implicit_smaller = int(
+                    p_identical
+                    and sum(len(x) for x in wn)
+                    < sum(len(x) for x in pn)
+                )
+                # parse the first B header back: the implicit marker,
+                # idc 2 in the PPS, and NO table entries
+                headerless = 0
+                try:
+                    b_nal = next(n for n in wn if (n[0] >> 5) == 0)
+                    rr = _BitReader(_unescape_rbsp(b_nal[1:]))
+                    _st, _q, _d, _a, _b2, info = _parse_slice_header(
+                        rr, _parse_sps_slice_fields(sps),
+                        parse_pps(pps), idr=False, nal_ref_idc=0,
+                    )
+                    headerless = int(
+                        parse_pps(pps)["weighted_bipred"] == 2
+                        and info.get("wpb") == {"implicit": True}
+                    )
+                except MediaFormatError:
+                    headerless = 0
+                mp4 = encode_mp4_coded(
+                    w, h, intra_frames=frames, qp=qp, gop="ipb-wpi"
+                )
+                mkv = encode_mkv_coded(
+                    w, h, intra_frames=frames, qp=qp, gop="ipb-wpi"
+                )
+                payload = mp4 if container == "mp4" else mkv
+                dec = decode_mp4 if container == "mp4" else decode_mkv
+                try:
+                    dw, dh, _durs, out, _sync = dec(payload)
+                    decodable = 1
+                except MediaFormatError:
+                    dw = dh = 0
+                    out = []
+                    decodable = 0
+                recon_exact = int(out == wrec and len(out) == n_frames)
+                other = decode_mkv if container == "mp4" else decode_mp4
+                try:
+                    _w2, _h2, _d2, out2, _s2 = other(
+                        mkv if container == "mp4" else mp4
+                    )
+                    agree = int(out == out2)
+                except MediaFormatError:
+                    agree = 0
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "container": container,
+                        "width": dw,
+                        "height": dh,
+                        "n_frames": len(out),
+                        "qp": qp,
+                        "n_b": n_b,
+                        "decodable": decodable,
+                        "headerless_weights": headerless,
+                        "implicit_smaller": implicit_smaller,
+                        "recon_exact": recon_exact,
+                        "containers_agree": agree,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "container", "width", "height",
+                    "n_frames", "qp", "n_b", "decodable",
+                    "headerless_weights", "implicit_smaller",
+                    "recon_exact", "containers_agree",
+                ],
+            )
+
+    return docs.select("doc_id", "text").repartition(14).mapInPandas(
+        build_and_decode,
+        "media_id bigint, container string, width int, height int, "
+        "n_frames int, qp int, n_b int, decodable int, "
+        "headerless_weights int, implicit_smaller int, recon_exact int, "
+        "containers_agree int",
+    )
+
+
+WEBP_ANIM_DOCS = 16
+
+
+@query(
+    "webp_anim_decode",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {WEBP_ANIM_DOCS}
+    ), g AS (
+      SELECT media_id, dg,
+             17 + CAST(('0x' || substr(dg, 1, 2)) AS INT) % 24 AS w,
+             14 + CAST(('0x' || substr(dg, 3, 2)) AS INT) % 16 AS h,
+             2 + CAST(('0x' || substr(dg, 5, 2)) AS INT) % 3 AS nf,
+             CAST(('0x' || substr(dg, 7, 2)) AS INT) AS s3,
+             CAST(('0x' || substr(dg, 9, 2)) AS INT) AS s4,
+             CAST(('0x' || substr(dg, 11, 2)) AS INT) AS s5
+      FROM base
+    ), geo2 AS (
+      -- per overlay frame j >= 1: an even full-width band start and
+      -- clipped height (the same digest arithmetic the fixture runs)
+      SELECT media_id, dg, w, h, nf, s3,
+             list_transform(range(1, 4), j ->
+               2 * ((s4 + 7 * j) % GREATEST(1, (h - 4) // 2))) AS ys,
+             list_transform(range(1, 4), j ->
+               LEAST(3 + (s5 + j) % 4,
+                     h - 2 * ((s4 + 7 * j)
+                              % GREATEST(1, (h - 4) // 2)))) AS hs
+      FROM g
+    ), jrows AS (
+      SELECT media_id, dg, w, h, nf, ys, hs,
+             CAST(UNNEST(range(4)) AS INT) AS j
+      FROM geo2
+    ), jrows2 AS (
+      SELECT media_id, dg, w, j,
+             CASE WHEN j = 0 THEN h ELSE hs[j] END AS rj
+      FROM jrows WHERE j < nf
+    ), jchain AS (
+      -- frame j's pixel hex chain: sha256(dg-j-i) blocks, trimmed
+      SELECT media_id, j,
+             substr(string_agg(sha256(dg || '-' || j || '-' || i),
+                               '' ORDER BY i),
+                    1, 2 * rj * w * 3) AS chj
+      FROM jrows2 CROSS JOIN range(200) r2(i)
+      WHERE i < CEIL(rj * w * 3.0 / 32)
+      GROUP BY media_id, j, rj, w
+    ), chlist AS (
+      SELECT media_id, list(chj ORDER BY j) AS ch
+      FROM jchain GROUP BY media_id
+    ), fr AS (
+      SELECT g2.media_id, g2.w, g2.h, g2.nf, g2.s3, g2.ys, g2.hs,
+             chlist.ch,
+             CAST(UNNEST(range(g2.nf)) AS INT) AS k
+      FROM geo2 g2 JOIN chlist ON chlist.media_id = g2.media_id
+    ), px AS (
+      -- band compositing: each row's source is the LAST frame <= k
+      -- whose band covers it, else the frame-0 canvas
+      SELECT media_id, w, h, nf, s3, k,
+        array_to_string(
+          list_transform(range(CAST(h AS BIGINT)), r ->
+            CASE
+              WHEN k >= 3 AND r >= ys[3] AND r < ys[3] + hs[3]
+                THEN substr(ch[4],
+                            CAST((r - ys[3]) * w * 6 + 1 AS INT),
+                            w * 6)
+              WHEN k >= 2 AND r >= ys[2] AND r < ys[2] + hs[2]
+                THEN substr(ch[3],
+                            CAST((r - ys[2]) * w * 6 + 1 AS INT),
+                            w * 6)
+              WHEN k >= 1 AND r >= ys[1] AND r < ys[1] + hs[1]
+                THEN substr(ch[2],
+                            CAST((r - ys[1]) * w * 6 + 1 AS INT),
+                            w * 6)
+              ELSE substr(ch[1], CAST(r * w * 6 + 1 AS INT), w * 6)
+            END), '') AS rgbhex
+      FROM fr
+    ), tot AS (
+      SELECT media_id,
+             list_transform(range(0, 4), i ->
+               40 + 30 * ((s3 + i) % 4)) AS dl,
+             nf
+      FROM geo2
+    ), mid AS (
+      SELECT media_id, dl, nf,
+             list_sum(list_slice(dl, 1, nf)) AS total
+      FROM tot
+    ), mid2 AS (
+      SELECT media_id, total,
+        CASE
+          WHEN total // 2 < dl[1] THEN 0
+          WHEN total // 2 < dl[1] + dl[2] THEN 1
+          WHEN nf > 2 AND total // 2 < dl[1] + dl[2] + dl[3] THEN 2
+          ELSE nf - 1
+        END AS mid_idx
+      FROM mid
+    )
+    SELECT px.media_id,
+           px.k AS frame_idx,
+           CAST(px.w AS INT) AS width,
+           CAST(px.h AS INT) AS height,
+           CAST(40 + 30 * ((px.s3 + px.k) % 4) AS BIGINT)
+             AS duration_ms,
+           CAST(mid2.total AS BIGINT) AS total_ms,
+           CAST(mid2.mid_idx AS INT) AS mid_frame_idx,
+           md5(px.rgbhex) AS rgb_md5,
+           CAST(1 AS INT) AS lossy_quarantined,
+           CAST(1 AS INT) AS still_rejected
+    FROM px JOIN mid2 ON mid2.media_id = px.media_id
+    """,
+)
+def webp_anim_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED WEBP decode (round 16 — VERDICT r15 ask #4, the last
+    table-free WebP quarantine): digest-derived canvases animated as
+    VP8X + ANIM + ANMF over REAL VP8L frames — frame 0 paints the
+    full canvas, frames 1..n-1 overwrite full-width bands at even
+    digest offsets with NON-uniform digest durations — then decoded
+    and COMPOSITED through vp8l.decode_webp_anim (the GIF89a
+    compositor's container twin).
+
+    Value-exact oracle: VP8L is lossless and the band compositing is
+    row arithmetic, so DuckDB recomputes every composited frame's
+    pixels (``rgb_md5``) from the same digest chains, plus the
+    per-frame durations, the animation's total runtime, and
+    ``mid_frame_idx`` — the sampler's prefix-sum walk sampled at
+    total/2 (non-uniform delays make this index non-trivial).
+    ``lossy_quarantined=1`` pins that a VP8-filler animation still
+    refuses to decode; ``still_rejected=1`` pins that the STILL
+    lossless path keeps rejecting VP8X layouts.  The alpha-blend and
+    dispose-to-background compositor branches are pinned by
+    tests/test_webp_anim.py hand-vectors (blending is not
+    SQL-replicable at reasonable cost).
+
+    Scale shape: mapInPandas, payloads never shuffle — same as every
+    media lane."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < WEBP_ANIM_DOCS
+    )
+
+    def build_and_decode(batches):
+        import hashlib
+
+        from reindexer_spark.codecs import (
+            MediaFormatError,
+            encode_webp_fixture,
+        )
+        from reindexer_spark.vp8l import (
+            WebpAnimSampler,
+            decode_webp_anim,
+            decode_webp_lossless,
+            encode_webp_anim,
+        )
+
+        def chain(dg, j, nbytes):
+            out = []
+            i = 0
+            while len(out) * 32 < nbytes:
+                out.append(
+                    hashlib.sha256(f"{dg}-{j}-{i}".encode()).digest()
+                )
+                i += 1
+            return b"".join(out)[:nbytes]
+
+        sampler = WebpAnimSampler()
+        for pdf in batches:
+            rows = []
+            for rr in pdf.itertuples(index=False):
+                mid = int(rr.doc_id)
+                dg = hashlib.sha256(rr.text.encode("utf-8")).hexdigest()
+                w = 17 + int(dg[0:2], 16) % 24
+                h = 14 + int(dg[2:4], 16) % 16
+                nf = 2 + int(dg[4:6], 16) % 3
+                s3 = int(dg[6:8], 16)
+                s4 = int(dg[8:10], 16)
+                s5 = int(dg[10:12], 16)
+                frames = [
+                    {
+                        "x": 0, "y": 0, "w": w, "h": h,
+                        "rgb": chain(dg, 0, h * w * 3),
+                        "duration_ms": 40 + 30 * (s3 % 4),
+                        "blend": False,
+                    }
+                ]
+                for j in range(1, nf):
+                    y = 2 * ((s4 + 7 * j) % max(1, (h - 4) // 2))
+                    hh = min(3 + (s5 + j) % 4, h - y)
+                    frames.append(
+                        {
+                            "x": 0, "y": y, "w": w, "h": hh,
+                            "rgb": chain(dg, j, hh * w * 3),
+                            "duration_ms": 40 + 30 * ((s3 + j) % 4),
+                            "blend": False,
+                        }
+                    )
+                payload = encode_webp_anim(w, h, frames)
+                cw, ch, durs, out = decode_webp_anim(payload)
+                total = sum(durs)
+                mid_idx = sampler.frame_index_at(payload, total // 2)
+                try:
+                    decode_webp_anim(
+                        encode_webp_fixture(w, h, "vp8x-anim", 2, dg.encode())
+                    )
+                    lossy_q = 0
+                except MediaFormatError:
+                    lossy_q = 1
+                try:
+                    decode_webp_lossless(payload)
+                    still_r = 0
+                except MediaFormatError:
+                    still_r = 1
+                for k, (d, f) in enumerate(zip(durs, out)):
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": k,
+                            "width": cw,
+                            "height": ch,
+                            "duration_ms": d,
+                            "total_ms": total,
+                            "mid_frame_idx": mid_idx,
+                            "rgb_md5": hashlib.md5(
+                                f.hex().encode()
+                            ).hexdigest(),
+                            "lossy_quarantined": lossy_q,
+                            "still_rejected": still_r,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height",
+                    "duration_ms", "total_ms", "mid_frame_idx",
+                    "rgb_md5", "lossy_quarantined", "still_rejected",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text")
+        .repartition(WEBP_ANIM_DOCS)
+        .mapInPandas(
+            build_and_decode,
+            "media_id bigint, frame_idx int, width int, height int, "
+            "duration_ms bigint, total_ms bigint, mid_frame_idx int, "
+            "rgb_md5 string, lossy_quarantined int, still_rejected int",
+        )
+    )
+
+
+@query(
+    "image_tiff_ccitt",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {TIFF_DOCS}
+    ), g AS (
+      SELECT media_id, dg,
+             21 + CAST(('0x' || substr(dg, 1, 2)) AS INT) % 40 AS w,
+             17 + CAST(('0x' || substr(dg, 3, 2)) AS INT) % 20 AS h,
+             CAST(('0x' || substr(dg, 5, 2)) AS INT) AS s2,
+             CAST(('0x' || substr(dg, 7, 2)) AS INT) AS s3,
+             CAST(('0x' || substr(dg, 9, 2)) AS INT) AS s4,
+             CAST(('0x' || substr(dg, 11, 2)) AS INT) AS s5,
+             CAST(('0x' || substr(dg, 13, 2)) AS INT) AS s6,
+             CAST(('0x' || substr(dg, 15, 2)) AS INT) AS s7,
+             CAST(('0x' || substr(dg, 17, 2)) AS INT) AS s8,
+             CAST(('0x' || substr(dg, 19, 2)) AS INT) AS s9,
+             CAST(('0x' || substr(dg, 21, 2)) AS INT) AS s10
+      FROM base
+    ), r AS (
+      SELECT media_id, dg, w, h, s10,
+             s2 % w AS x1, s4 % h AS y1,
+             1 + s3 % (w - s2 % w) AS w1,
+             1 + s5 % (h - s4 % h) AS h1,
+             s6 % w AS x2, s8 % h AS y2,
+             1 + s7 % (w - s6 % w) AS w2,
+             1 + s9 % (h - s8 % h) AS h2
+      FROM g
+    ), nchain AS (
+      SELECT media_id,
+             string_agg(sha256(dg || '-n-' || i), '' ORDER BY i) AS nz
+      FROM r CROSS JOIN range(8) rr(i)
+      WHERE i < CEIL(2 * w / 64.0)
+      GROUP BY media_id
+    ), px AS (
+      SELECT r.media_id, r.w, r.h, r.s10,
+        array_to_string(
+          list_transform(range(CAST(r.h * r.w AS BIGINT)), i ->
+            CASE WHEN
+              ((i // r.w) >= r.y1 AND (i // r.w) < r.y1 + r.h1
+               AND (i % r.w) >= r.x1 AND (i % r.w) < r.x1 + r.w1)
+              OR
+              ((i // r.w) >= r.y2 AND (i // r.w) < r.y2 + r.h2
+               AND (i % r.w) >= r.x2 AND (i % r.w) < r.x2 + r.w2)
+              OR
+              ((i // r.w) >= r.h - 2
+               AND CAST(('0x' || substr(nchain.nz,
+                    CAST(((i // r.w) - (r.h - 2)) * r.w + (i % r.w)
+                         + 1 AS INT), 1)) AS INT) % 2 = 1)
+            THEN '000000' ELSE 'ffffff' END), '') AS rgbhex
+      FROM r JOIN nchain ON nchain.media_id = r.media_id
+    )
+    SELECT media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST((h + (5 + s10 % 7) - 1) // (5 + s10 % 7) AS INT)
+             AS n_strips,
+           CASE WHEN media_id % 2 = 0 THEN 'msb' ELSE 'lsb' END
+             AS fillorder,
+           md5(rgbhex) AS rgb_md5,
+           CAST(1 AS INT) AS roundtrip_exact,
+           CAST(1 AS INT) AS g4_smaller,
+           CAST(1 AS INT) AS probe_agrees,
+           CAST(1 AS INT) AS g3_quarantined
+    FROM px
+    """,
+)
+def image_tiff_ccitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCITT GROUP 4 TIFF decode (round 16 — VERDICT r15 ask #6, THE
+    fax/scanned-document compression): per document, derive a bilevel
+    page — two digest rectangles (the V/P-mode content fax pages are
+    made of) over a white canvas plus two digest-noise rows (H-mode
+    coverage) — write it as a real Compression-4 TIFF (per-strip T.6
+    streams restarting against the all-white reference line,
+    FillOrder alternating MSB/LSB), and decode through the production
+    TIFF path (tiff.py:_decode_tiff_g4 → ccitt.g4_decode).
+
+    Value-exact oracle: T.6 is lossless and the page is digest
+    arithmetic, so DuckDB recomputes every decoded pixel
+    (``rgb_md5``), the strip count, and the geometry.
+    ``roundtrip_exact=1`` (decoded bits == the source page);
+    ``g4_smaller=1`` (summed strip bytes < the packed 1-bit raster —
+    the reason fax uses it); ``probe_agrees=1``;
+    ``g3_quarantined=1`` (the same fixture patched to Compression 2
+    refuses BY NAME while the probe still reads dims).  The T.4/T.6
+    table transcription itself is externally pinned by
+    tests/test_ccitt.py (published codewords + prefix/Kraft
+    structure).
+
+    Reference surface: the reference delegates image handling to
+    external tooling (SURVEY §0); scanned-document crawls hit G4
+    constantly (the round-15 VERDICT's top media-gap list).
+
+    Scale shape: mapInPandas, payloads never shuffle — same as every
+    media lane."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < TIFF_DOCS
+    )
+
+    def build_and_decode(batches):
+        import hashlib
+        import struct as st
+
+        import numpy as np
+
+        from reindexer_spark.codecs import MediaFormatError
+        from reindexer_spark.tiff import (
+            TAG_COMPRESSION,
+            decode_tiff,
+            encode_tiff_g4,
+            probe_tiff,
+        )
+
+        def with_compression(payload: bytes, val: int) -> bytes:
+            buf = bytearray(payload)
+            (ifd,) = st.unpack_from("<I", buf, 4)
+            (n,) = st.unpack_from("<H", buf, ifd)
+            for i in range(n):
+                e = ifd + 2 + 12 * i
+                if st.unpack_from("<H", buf, e)[0] == TAG_COMPRESSION:
+                    st.pack_into("<H", buf, e + 8, val)
+                    return bytes(buf)
+            raise MediaFormatError("fixture lacks a Compression tag")
+
+        for pdf in batches:
+            rows = []
+            for rr in pdf.itertuples(index=False):
+                mid = int(rr.doc_id)
+                dg = hashlib.sha256(rr.text.encode("utf-8")).hexdigest()
+                s = [int(dg[2 * i : 2 * i + 2], 16) for i in range(11)]
+                w = 21 + s[0] % 40
+                h = 17 + s[1] % 20
+                x1, y1 = s[2] % w, s[4] % h
+                w1, h1 = 1 + s[3] % (w - x1), 1 + s[5] % (h - y1)
+                x2, y2 = s[6] % w, s[8] % h
+                w2, h2 = 1 + s[7] % (w - x2), 1 + s[9] % (h - y2)
+                rps = 5 + s[10] % 7
+                page = np.zeros((h, w), dtype=np.uint8)
+                page[y1 : y1 + h1, x1 : x1 + w1] = 1
+                page[y2 : y2 + h2, x2 : x2 + w2] = 1
+                nz = "".join(
+                    hashlib.sha256(f"{dg}-n-{i}".encode()).hexdigest()
+                    for i in range((2 * w + 63) // 64)
+                )
+                for j in range(2 * w):
+                    if int(nz[j], 16) % 2:
+                        page[h - 2 + j // w, j % w] = 1
+                flat = bytearray(page.reshape(-1).tolist())
+                fo = 1 if mid % 2 == 0 else 2
+                payload = encode_tiff_g4(
+                    w, h, flat, rows_per_strip=rps, fillorder=fo
+                )
+                dw, dh, rgb = decode_tiff(payload)
+                a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+                decoded_bits = (a[:, :, 0] == 0).astype(np.uint8)
+                exact = int(np.array_equal(decoded_bits, page))
+                pm = probe_tiff(payload)
+                n_strips = (h + rps - 1) // rps
+                agrees = int(
+                    pm["compression"] == 4
+                    and pm["width"] == dw == w
+                    and pm["height"] == dh == h
+                    and pm["bits"] == 1
+                    and pm["n_strips"] == n_strips
+                )
+                # strip bytes vs the packed 1-bit raster
+                from reindexer_spark.ccitt import g4_encode
+
+                strip_bytes = sum(
+                    len(
+                        g4_encode(
+                            flat[r0 * w : min(r0 + rps, h) * w],
+                            w,
+                            min(rps, h - r0),
+                            fillorder=fo,
+                        )
+                    )
+                    for r0 in range(0, h, rps)
+                )
+                smaller = int(strip_bytes < ((w + 7) // 8) * h)
+                try:
+                    decode_tiff(with_compression(payload, 2))
+                    g3q = 0
+                except MediaFormatError:
+                    g3q = int(
+                        probe_tiff(with_compression(payload, 2))["width"]
+                        == w
+                    )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": dw,
+                        "height": dh,
+                        "n_strips": n_strips,
+                        "fillorder": "msb" if fo == 1 else "lsb",
+                        "rgb_md5": hashlib.md5(
+                            rgb.hex().encode()
+                        ).hexdigest(),
+                        "roundtrip_exact": exact,
+                        "g4_smaller": smaller,
+                        "probe_agrees": agrees,
+                        "g3_quarantined": g3q,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_strips",
+                    "fillorder", "rgb_md5", "roundtrip_exact",
+                    "g4_smaller", "probe_agrees", "g3_quarantined",
+                ],
+            )
+
+    return docs.select("doc_id", "text").repartition(TIFF_DOCS).mapInPandas(
+        build_and_decode,
+        "media_id bigint, width int, height int, n_strips int, "
+        "fillorder string, rgb_md5 string, roundtrip_exact int, "
+        "g4_smaller int, probe_agrees int, g3_quarantined int",
+    )
