@@ -207,6 +207,11 @@ EXTENDED = [
     "video_audio_probe",
     "corpus_topic_balance",
     "audio_flac_index",
+    # round 16
+    "image_tiff_jpeg",
+    "video_bimplicit",
+    "webp_anim_decode",
+    "image_tiff_ccitt",
 ]
 
 
@@ -588,6 +593,37 @@ def _codec_throughput() -> dict:
     fixtures["tiff-packbits"] = (
         T.encode_tiff(w, h, rgb, compression=32773),
         T.decode_tiff,
+    )
+    # round 16: CCITT G4 on a fax-like page (rectangles + noise rows —
+    # noise-only would be the anti-fax worst case) and animated WebP
+    # over real VP8L frames
+    import numpy as _np
+
+    page = _np.zeros((h, w), dtype=_np.uint8)
+    page[8:40, 10:70] = 1
+    page[50:60, 30:90] = 1
+    noise = px(2 * w, b"g4")
+    for j in range(2 * w):
+        if noise[j] & 1:
+            page[h - 2 + j // w, j % w] = 1
+    fixtures["tiff-g4"] = (
+        T.encode_tiff_g4(w, h, bytearray(page.reshape(-1).tolist())),
+        T.decode_tiff,
+    )
+    from reindexer_spark import vp8l as VL2
+
+    fixtures["webp-anim"] = (
+        VL2.encode_webp_anim(
+            vw, vh,
+            [
+                {"x": 0, "y": 0, "w": vw, "h": vh, "rgb": vframes[0],
+                 "duration_ms": 40, "blend": False},
+                {"x": 0, "y": 8, "w": vw, "h": 8,
+                 "rgb": px(vw * 8 * 3, b"wa"), "duration_ms": 60,
+                 "blend": False},
+            ],
+        ),
+        VL2.decode_webp_anim,
     )
 
     def mbps(fn, payload: bytes) -> float:
