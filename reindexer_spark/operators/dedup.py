@@ -2095,6 +2095,72 @@ def _gear_chunks(t):
     )
 
 
+def _gear_cuts_vec(texts):
+    """VECTORIZED gear cuts (round 16): the same mod-2^48 window
+    identity the oracle uses, as 48 shifted adds over the WHOLE Arrow
+    batch concatenated — h(p) = Σ_{j<min(p,48)} GEAR[c_{p-j}]·2^j
+    (mod 2^48), wrap-exact in uint64 because 2^64 is a multiple of
+    2^48.  Docs are separated by 48 zero-gear pads so no window
+    crosses a boundary; short prefixes get their partial windows from
+    the same zeros.  Replaces the interpreted JVM `aggregate` fold in
+    the hot lane after a clean same-session A/B showed the md5 twin
+    BEATING the fold on both corpus shapes (dense md5/gear 0.49-0.60,
+    zipf 0.69-0.75): Catalyst evaluates HOF lambdas interpreted, so
+    the O(n) fold pays ~10 interpreted expression evals per character
+    while the md5 twin's per-position digest runs inside codegen.
+    The numpy form is ~50 C-speed vector ops per batch.  The fold
+    (_gear_cuts) stays as the cross-checked reference twin —
+    tests/test_dedup_cdc.py pins vec == fold on directed and random
+    vectors."""
+    import numpy as np
+    import pandas as pd
+
+    gear_arr = np.asarray(_GEAR, dtype=np.uint64)
+    gs = []
+    lens = []
+    pad = np.zeros(48, dtype=np.uint64)
+    for t in texts:
+        if t:
+            cps = (
+                np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                % 256
+            )
+            g = gear_arr[cps]
+        else:
+            g = np.zeros(0, dtype=np.uint64)
+        gs.append(g)
+        gs.append(pad)
+        lens.append(len(g))
+    if not lens:
+        return pd.Series([], dtype=object)
+    big = np.concatenate(gs)
+    acc = big.copy()
+    for j in range(1, 48):
+        acc[j:] += big[:-j] << np.uint64(j)
+    cut = (acc & np.uint64(_GEAR_MASK)) == 0
+    out = []
+    off = 0
+    for n in lens:
+        pos = np.flatnonzero(cut[off : off + n]).astype(np.int32) + 1
+        out.append(pos[pos < n])
+        off += n + 48
+    return pd.Series(out)
+
+
+def _gear_chunks_from_cuts(t, cuts):
+    """Column expr: (text, array<int> cut positions) → array<string>
+    chunks (the substr/zip_with half _gear_chunks runs, reused by the
+    vectorized lane)."""
+    n = F.length(t)
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform(cuts, lambda p: p + 1)
+    )
+    ends = F.concat(cuts, F.array(n))
+    return F.zip_with(
+        starts, ends, lambda s, e: t.substr(s, e - s + 1)
+    )
+
+
 _GEAR_SQL_LIST = "[" + ", ".join(str(g) for g in _GEAR) + "]"
 _P2_SQL_LIST = "[" + ", ".join(str(1 << j) for j in range(49)) + "]"
 
@@ -2159,12 +2225,11 @@ def dedup_cdc_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling gear hash h' = (2h + GEAR[codepoint%256]) mod 2^48, cut
     where (h & spread-4-bit-mask) == 0 — O(1) integer work per
     character instead of a full md5 digest per window position, at
-    the same 1/16 boundary density.  Measured (SCALE_PROOF r15):
-    1.68x faster than the md5 twin on dense-500k, parity on zipf —
-    Catalyst evaluates higher-order-function lambdas interpreted
-    (CodegenFallback), so per-element interpretation overhead, not
-    digest arithmetic, is the shared floor; on a native columnar
-    engine the O(n*W)->O(n) gap widens to the full ~50x.
+    the same 1/16 boundary density.  (The round-15 SCALE_PROOF
+    cross-leg comparison reported the JVM fold 1.68x faster than md5
+    on dense; a clean same-session A/B in round 16 showed that was a
+    measurement artifact — the interpreted fold actually LOSES both
+    shapes, hence the vectorized formulation below.)
 
     Same per-doc rollup as ``dedup_cdc_chunks``: chunk counts,
     distinct fingerprints, total chars (≡ doc length — the chunker
@@ -2176,14 +2241,31 @@ def dedup_cdc_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed sum per position (mod 2^48 distributes over the sum),
     algebraically identical to the Spark-side rolling fold.
 
-    Scale shape: chunking is ONE JVM-side `aggregate` fold over the
-    split-char array (no Python, no text shuffle, no per-position
-    digests); downstream only 16-byte chunk hashes shuffle, 1:1 join
-    fan-out per instance — same as the md5 twin."""
+    Scale shape (round 16): cut positions come from ONE Arrow-batched
+    numpy pass (_gear_cuts_vec — 48 C-speed shifted adds over the
+    whole batch; ArrowEvalPython, which the plan lint allows, never
+    row-at-a-time BatchEvalPython), chunk substrings and everything
+    downstream stay JVM-side; text never shuffles, only 16-byte chunk
+    hashes do, 1:1 join fan-out per instance — same as the md5 twin.
+    The interpreted JVM `aggregate` fold formulation (_gear_cuts)
+    remains the cross-checked reference twin; a clean same-session
+    A/B showed it LOSING to the md5 twin on both corpus shapes
+    (interpreted HOF lambda overhead), which is why the hot lane
+    vectorized."""
+    import pandas as pd  # noqa: F401 — pandas_udf import-time dep
+
+    cuts_udf = F.pandas_udf(_gear_cuts_vec, "array<int>")
     d = load_table(spark, sf_dir, "documents")
+    with_cuts = d.select(
+        "doc_id",
+        F.col("text"),
+        cuts_udf(F.col("text")).alias("cuts"),
+    )
     return _cdc_rollup(
-        d.select(
+        with_cuts.select(
             "doc_id",
-            F.explode(_gear_chunks(F.col("text"))).alias("chunk"),
+            F.explode(
+                _gear_chunks_from_cuts(F.col("text"), F.col("cuts"))
+            ).alias("chunk"),
         )
     )

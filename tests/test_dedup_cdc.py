@@ -218,13 +218,21 @@ def test_gear_prefix_edit_resynchronizes(spark):
     assert tail_b == tail_e
 
 
-def test_gear_lane_plan_is_jvm_only(spark, sf_dir):
+def test_gear_lane_plan_arrow_batched(spark, sf_dir):
+    """Round 16: the hot lane's cut positions come from ONE
+    Arrow-batched numpy UDF (a clean A/B showed the interpreted JVM
+    fold losing to the md5 twin on both corpus shapes); the plan must
+    show exactly that — ArrowEvalPython for the cuts, never
+    row-at-a-time BatchEvalPython, chunking/rollup JVM-side."""
     from reindexer_spark.operators.dedup import dedup_cdc_gear
 
     df = dedup_cdc_gear(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+    # the rollup's two branches read the TRACKED hash relation — the
+    # UDF subtree prints under InMemoryTableScan, it does not re-run
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
     rows = df.collect()
     assert rows
     from reindexer_spark.catalog import load_table
@@ -238,3 +246,45 @@ def test_gear_lane_plan_is_jvm_only(spark, sf_dir):
     for r in rows:
         assert r["total_chars"] == lens[r["doc_id"]]
     assert sum(r["shared_occ"] for r in rows) > 0
+
+
+def test_gear_vectorized_equals_fold_reference():
+    """The Arrow-batched numpy cuts (_gear_cuts_vec) must equal the
+    rolling-fold definition exactly — directed shapes (empty, single
+    char, long uniform, >255 codepoints) plus random sweeps.  The
+    fold is the definition; the vectorized form is the hot path."""
+    import numpy as np
+
+    from reindexer_spark.operators.dedup import (
+        _GEAR,
+        _GEAR_MASK,
+        _GEAR_MOD,
+        _gear_cuts_vec,
+    )
+
+    def fold_ref(t):
+        h = 0
+        cuts = []
+        n = len(t)
+        for p, ch in enumerate(t, 1):
+            h = (2 * h + _GEAR[ord(ch) % 256]) & _GEAR_MOD
+            if (h & _GEAR_MASK) == 0 and p < n:
+                cuts.append(p)
+        return cuts
+
+    rng = np.random.default_rng(3)
+    cases = [
+        "",
+        "a",
+        "ab",
+        "x" * 3000,
+        "".join(chr(int(c)) for c in rng.integers(32, 1200, 500)),
+    ]
+    for _ in range(60):
+        ln = int(rng.integers(0, 400))
+        cases.append(
+            "".join(chr(int(c)) for c in rng.integers(32, 127, ln))
+        )
+    got = _gear_cuts_vec(cases)
+    for t, g in zip(cases, got):
+        assert list(g) == fold_ref(t), t[:40]
