@@ -7173,3 +7173,208 @@ def image_tiff_ccitt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fillorder string, rgb_md5 string, roundtrip_exact int, "
         "g4_smaller int, probe_agrees int, g3_quarantined int",
     )
+
+
+@query(
+    "image_tiff_planar",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {TIFF_DOCS}
+    ), dims AS (
+      SELECT media_id, dg,
+             15 + CAST(('0x' || substr(dg, 1, 2)) AS INT) % 24 AS w,
+             11 + CAST(('0x' || substr(dg, 3, 2)) AS INT) % 18 AS h,
+             CASE WHEN media_id % 2 = 0 THEN 16 ELSE 8 END AS bits,
+             CASE WHEN media_id % 3 <> 0 THEN 1 ELSE 0 END AS le,
+             4 + CAST(('0x' || substr(dg, 5, 2)) AS INT) % 6 AS rps
+      FROM base
+    ), chain AS (
+      SELECT media_id, w, h, bits, le, rps,
+             substr(
+               string_agg(sha256(dg || '-' || i), '' ORDER BY i),
+               1,
+               2 * w * h * 3 * (bits // 8)
+             ) AS hexsrc
+      FROM dims CROSS JOIN range(600) r(i)
+      WHERE i < CEIL(w * h * 3 * (bits // 8) / 32.0)
+      GROUP BY media_id, w, h, bits, le, rps, dg
+    ), px AS (
+      -- decoded pixels are the HIGH byte of each sample (the tiled
+      -- lane's convention): for 8-bit the chain itself; for 16-bit
+      -- the first (MM) or second (II) byte of each 2-byte sample
+      SELECT media_id, w, h, bits, le, rps,
+             CASE WHEN bits = 8 THEN hexsrc
+                  WHEN le = 1 THEN array_to_string(
+                    list_transform(
+                      range(CAST(w * h * 3 AS BIGINT)),
+                      j -> substr(hexsrc, CAST(4 * j + 3 AS INT), 2)
+                    ), '')
+                  ELSE array_to_string(
+                    list_transform(
+                      range(CAST(w * h * 3 AS BIGINT)),
+                      j -> substr(hexsrc, CAST(4 * j + 1 AS INT), 2)
+                    ), '')
+             END AS rgbhex
+      FROM chain
+    )
+    SELECT media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CASE WHEN le = 1 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(bits AS INT) AS bits,
+           CASE media_id % 4 WHEN 0 THEN 'none' WHEN 1 THEN 'lzw'
+                             WHEN 2 THEN 'packbits' ELSE 'deflate' END
+             AS compression,
+           CAST(CASE WHEN media_id % 4 IN (1, 3) THEN 2 ELSE 1 END
+                AS INT) AS predictor,
+           CAST(3 * ((h + rps - 1) // rps) AS INT) AS n_strips,
+           md5(rgbhex) AS rgb_md5,
+           CAST(1 AS INT) AS roundtrip_exact,
+           CAST(1 AS INT) AS probe_agrees,
+           CAST(1 AS INT) AS patched_interleaved_quarantined
+    FROM px
+    """,
+)
+def image_tiff_planar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLANAR-CONFIGURATION-2 TIFF decode (round 16 — the separate
+    R/G/B plane layout scientific and scanner TIFFs write): per
+    document, digest samples (8-bit RGB on odd media_ids, full 16-bit
+    samples in the file's byte order on even ones) written as
+    planar-2 strips — ALL of component 0's strips, then component
+    1's, then 2's, with Predictor 2 differencing single-sample rows —
+    and decoded back through the production image path.
+
+    Oracle-pinned: geometry/bits/compression digest arithmetic;
+    ``n_strips`` = 3 × strips-per-image (the planar layout's
+    signature); ``rgb_md5`` — md5 of the decoded pixels' hex (HIGH
+    byte of each sample for 16-bit, matching the tiled lane's
+    convention); ``roundtrip_exact=1``; ``probe_agrees=1``;
+    ``patched_interleaved_quarantined=1`` — an interleaved fixture
+    patched to PlanarConfiguration 2 has the wrong strip count for
+    the planar layout and must refuse rather than decode garbage.
+
+    Scale shape: mapInPandas, payloads never shuffle — same as every
+    media lane."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < TIFF_DOCS
+    )
+
+    def build_and_decode(batches):
+        import hashlib
+        import struct as st
+
+        import numpy as np
+
+        from reindexer_spark.codecs import MediaFormatError
+        from reindexer_spark.tiff import (
+            TAG_PLANAR,
+            decode_tiff,
+            encode_tiff,
+            probe_tiff,
+        )
+
+        def patch_planar(payload: bytes, val: int) -> bytes:
+            le = payload[:2] == b"II"
+            f = "<" if le else ">"
+            buf = bytearray(payload)
+            (ifd,) = st.unpack_from(f + "I", buf, 4)
+            (n,) = st.unpack_from(f + "H", buf, ifd)
+            for i in range(n):
+                e = ifd + 2 + 12 * i
+                if st.unpack_from(f + "H", buf, e)[0] == TAG_PLANAR:
+                    st.pack_into(f + "H", buf, e + 8, val)
+                    return bytes(buf)
+            raise MediaFormatError("fixture lacks a PlanarConfig tag")
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.doc_id)
+                dg = hashlib.sha256(r.text.encode("utf-8")).hexdigest()
+                w = 15 + int(dg[0:2], 16) % 24
+                h = 11 + int(dg[2:4], 16) % 18
+                bits = 16 if mid % 2 == 0 else 8
+                le = mid % 3 != 0
+                rps = 4 + int(dg[4:6], 16) % 6
+                comp, cname, pred = (
+                    (1, "none", 1),
+                    (5, "lzw", 2),
+                    (32773, "packbits", 1),
+                    (8, "deflate", 2),
+                )[mid % 4]
+                nbytes = w * h * 3 * (bits // 8)
+                src = bytes.fromhex(
+                    "".join(
+                        hashlib.sha256(f"{dg}-{i}".encode()).hexdigest()
+                        for i in range((nbytes + 31) // 32)
+                    )[: 2 * nbytes]
+                )
+                if bits == 16:
+                    dt = "<u2" if le else ">u2"
+                    expected = (
+                        np.frombuffer(src, dtype=dt).astype(np.uint16)
+                        >> 8
+                    ).astype(np.uint8).tobytes()
+                else:
+                    expected = src
+                payload = encode_tiff(
+                    w, h, src, le=le, bits=bits, compression=comp,
+                    predictor=pred, planar=2, rows_per_strip=rps,
+                )
+                dw, dh, out = decode_tiff(payload)
+                pm = probe_tiff(payload)
+                n_strips = 3 * ((h + rps - 1) // rps)
+                agrees = int(
+                    pm["kind"] == "tiff"
+                    and pm["width"] == dw
+                    and pm["height"] == dh
+                    and pm["n_strips"] == n_strips
+                )
+                # an interleaved fixture patched to planar 2 refuses
+                inter = encode_tiff(
+                    w, h, src, le=le, bits=bits, compression=comp,
+                    predictor=pred, rows_per_strip=rps,
+                )
+                try:
+                    decode_tiff(patch_planar(inter, 2))
+                    pq = 0
+                except MediaFormatError:
+                    pq = 1
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": dw,
+                        "height": dh,
+                        "byte_order": "II" if le else "MM",
+                        "bits": bits,
+                        "compression": cname,
+                        "predictor": pred,
+                        "n_strips": n_strips,
+                        "rgb_md5": hashlib.md5(
+                            out.hex().encode()
+                        ).hexdigest(),
+                        "roundtrip_exact": int(out == expected),
+                        "probe_agrees": agrees,
+                        "patched_interleaved_quarantined": pq,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "byte_order",
+                    "bits", "compression", "predictor", "n_strips",
+                    "rgb_md5", "roundtrip_exact", "probe_agrees",
+                    "patched_interleaved_quarantined",
+                ],
+            )
+
+    return docs.select("doc_id", "text").repartition(TIFF_DOCS).mapInPandas(
+        build_and_decode,
+        "media_id bigint, width int, height int, byte_order string, "
+        "bits int, compression string, predictor int, n_strips int, "
+        "rgb_md5 string, roundtrip_exact int, probe_agrees int, "
+        "patched_interleaved_quarantined int",
+    )

@@ -269,8 +269,9 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
     predictor = int(one(317, 1))
     if predictor not in (1, 2):
         raise MediaFormatError("TIFF predictor outside the subset")
-    if int(one(TAG_PLANAR, 1)) != 1:
-        raise MediaFormatError("TIFF planar configuration 2 not supported")
+    planar = int(one(TAG_PLANAR, 1))
+    if planar not in (1, 2):
+        raise MediaFormatError(f"TIFF planar configuration {planar} unknown")
     pi = int(one(TAG_PHOTOMETRIC))
     spp = int(one(TAG_SPP, 1))
     bits = ent.get(TAG_BITS, {"values": [1]})["values"]
@@ -330,14 +331,19 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
             raise MediaFormatError("TIFF chunk length mismatch")
         return raw
 
-    def unpredict(raw: bytes, row_w: int) -> bytes:
+    def unpredict(raw: bytes, row_w: int, nspp: int | None = None) -> bytes:
         if predictor != 2:
             return raw
+        s = spp if nspp is None else nspp
         if bps == 16:
-            return predictor2_decode16(raw, row_w, spp, le)
-        return predictor2_decode(raw, row_w, spp)
+            return predictor2_decode16(raw, row_w, s, le)
+        return predictor2_decode(raw, row_w, s)
 
     tiled = TAG_TILE_OFFSETS in ent or TAG_TILE_WIDTH in ent
+    if planar == 2 and spp > 1 and tiled:
+        raise MediaFormatError(
+            "TIFF planar configuration 2 with tiles not supported"
+        )
     if tiled:
         if TAG_STRIP_OFFSETS in ent or TAG_STRIP_COUNTS in ent:
             raise MediaFormatError("TIFF carries both strip and tile tables")
@@ -391,21 +397,52 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
         rps = int(one(TAG_ROWS_PER_STRIP, h))
         if rps <= 0:
             raise MediaFormatError("TIFF rows-per-strip out of range")
-        data = bytearray()
-        for si, (o, c) in enumerate(zip(offsets, counts)):
-            if o < 0 or c < 0 or o + c > len(payload):
-                raise MediaFormatError("TIFF strip beyond payload")
-            rows = min(rps, h - si * rps)
-            if rows <= 0:
-                raise MediaFormatError("TIFF strips exceed the image height")
-            want = rows * w * spp * ss
-            data += unpredict(decompress(payload[o : o + c], want), w)
-        if len(data) != w * h * spp * ss:
-            raise MediaFormatError("TIFF strip data does not tile the image")
-        if bps == 16:
-            a = np.frombuffer(bytes(data), dtype="<u2" if le else ">u2")
+        fdt = ("<u2" if le else ">u2") if bps == 16 else np.uint8
+        if planar == 2 and spp > 1:
+            # PlanarConfiguration 2 (round 16): all of component 0's
+            # strips, then component 1's, ... — each strip carries ONE
+            # component, so Predictor 2 differences single-sample rows
+            spi = (h + rps - 1) // rps
+            if len(offsets) != spp * spi:
+                raise MediaFormatError(
+                    "TIFF strip tables disagree with the planar layout"
+                )
+            planes_raw = []
+            for ci in range(spp):
+                data = bytearray()
+                for si in range(spi):
+                    o = offsets[ci * spi + si]
+                    c = counts[ci * spi + si]
+                    if o < 0 or c < 0 or o + c > len(payload):
+                        raise MediaFormatError("TIFF strip beyond payload")
+                    rows = min(rps, h - si * rps)
+                    want = rows * w * ss
+                    data += unpredict(
+                        decompress(payload[o : o + c], want), w, 1
+                    )
+                if len(data) != w * h * ss:
+                    raise MediaFormatError(
+                        "TIFF strip data does not tile the image"
+                    )
+                planes_raw.append(np.frombuffer(bytes(data), dtype=fdt))
+            a = np.stack(planes_raw, axis=-1).reshape(-1)
         else:
-            a = np.frombuffer(bytes(data), dtype=np.uint8)
+            data = bytearray()
+            for si, (o, c) in enumerate(zip(offsets, counts)):
+                if o < 0 or c < 0 or o + c > len(payload):
+                    raise MediaFormatError("TIFF strip beyond payload")
+                rows = min(rps, h - si * rps)
+                if rows <= 0:
+                    raise MediaFormatError(
+                        "TIFF strips exceed the image height"
+                    )
+                want = rows * w * spp * ss
+                data += unpredict(decompress(payload[o : o + c], want), w)
+            if len(data) != w * h * spp * ss:
+                raise MediaFormatError(
+                    "TIFF strip data does not tile the image"
+                )
+            a = np.frombuffer(bytes(data), dtype=fdt)
     if bps == 16:
         # decode contract stays 8-bit RGB: high byte of each sample
         a = (a.astype(np.uint16) >> 8).astype(np.uint8)
@@ -444,6 +481,7 @@ def encode_tiff(
     gps_lon_milli: int | None = None,
     tile: tuple[int, int] | None = None,
     bits: int = 8,
+    planar: int = 1,
 ) -> bytes:
     """Fixture/production writer for the decode subset: strips (two by
     default, exercising the strip walk) or §15 TILES (``tile`` =
@@ -455,9 +493,15 @@ def encode_tiff(
     (PackBits), optionally with the horizontal-differencing
     ``predictor`` 2.  GPS millidegrees (when given) ride a real
     GPSInfo sub-IFD — the bare-TIFF location-PII carrier
-    ``scrub_tiff_gps`` removes."""
+    ``scrub_tiff_gps`` removes.  ``planar=2`` (round 16) writes
+    PlanarConfiguration 2: all of one component's strips, then the
+    next's (Predictor 2 then differences single-sample rows)."""
     if compression not in (1, 5, 8, 32773):
         raise MediaFormatError("unsupported TIFF write compression")
+    if planar not in (1, 2):
+        raise MediaFormatError("unsupported TIFF planar configuration")
+    if planar == 2 and tile is not None:
+        raise MediaFormatError("planar configuration 2 writes strips only")
     if bits not in (8, 16):
         raise MediaFormatError("unsupported TIFF write bit depth")
     f = _fmt(le)
@@ -488,12 +532,13 @@ def encode_tiff(
             )
         sam = rgb
 
-    def pack(raw: bytes, row_w: int) -> bytes:
+    def pack(raw: bytes, row_w: int, nspp: int | None = None) -> bytes:
+        s = spp if nspp is None else nspp
         if predictor == 2:
             if bits == 16:
-                raw = predictor2_encode16(raw, row_w, spp, le)
+                raw = predictor2_encode16(raw, row_w, s, le)
             else:
-                raw = predictor2_encode(raw, row_w, spp)
+                raw = predictor2_encode(raw, row_w, s)
         if compression == 5:
             raw = lzw_encode_tiff(raw)
         elif compression == 8:
@@ -522,6 +567,17 @@ def encode_tiff(
                     tj * tl : tj * tl + rows, ti * tw : ti * tw + cols
                 ]
                 strips.append(pack(t.tobytes(), tw))
+    elif planar == 2 and spp > 1:
+        rps = rows_per_strip or max(1, (height + 1) // 2)
+        fdt = ("<u2" if le else ">u2") if bits == 16 else np.uint8
+        plane = np.frombuffer(sam, dtype=fdt).reshape(height, width, spp)
+        strips = []
+        for ci in range(spp):
+            comp = np.ascontiguousarray(plane[:, :, ci])
+            for r in range(0, height, rps):
+                strips.append(
+                    pack(comp[r : min(r + rps, height)].tobytes(), width, 1)
+                )
     else:
         rps = rows_per_strip or max(1, (height + 1) // 2)
         strips = []
@@ -539,7 +595,7 @@ def encode_tiff(
         (TAG_COMPRESSION, 3, [compression]),
         (TAG_PHOTOMETRIC, 3, [2 if not gray else 1]),
         (TAG_SPP, 3, [spp]),
-        (TAG_PLANAR, 3, [1]),
+        (TAG_PLANAR, 3, [planar if spp > 1 else 1]),
     ]
     if tile is not None:
         tags += [

@@ -1106,3 +1106,130 @@ def test_jpeg_in_tiff_fuzz_quarantine_contract():
             probe_tiff(bytes(buf))
         except MediaFormatError:
             pass
+
+
+def test_jpeg_in_tiff_tiled_layout():
+    """The §15 tile branch of the Compression-7 decoder: a hand-built
+    2x2 tile grid of self-contained JPEG streams (full 16x16 tiles,
+    edge tiles padded) composites exactly like pasting the per-tile
+    decodes."""
+    from reindexer_spark.codecs import decode_jpeg_baseline, encode_jpeg_baseline
+    from reindexer_spark.tiff import (
+        TAG_BITS,
+        TAG_COMPRESSION,
+        TAG_HEIGHT,
+        TAG_PHOTOMETRIC,
+        TAG_PLANAR,
+        TAG_SPP,
+        TAG_TILE_COUNTS,
+        TAG_TILE_LENGTH,
+        TAG_TILE_OFFSETS,
+        TAG_TILE_WIDTH,
+        TAG_WIDTH,
+        _patch_values,
+        _write_ifds,
+        decode_tiff,
+    )
+
+    w, h, tw, tl = 25, 20, 16, 16
+    rng = np.random.default_rng(12)
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    tiles = []
+    for tj in range(2):
+        for ti in range(2):
+            t = np.zeros((tl, tw, 3), dtype=np.uint8)
+            rows = min(tl, h - tj * tl)
+            cols = min(tw, w - ti * tw)
+            t[:rows, :cols] = rgb[
+                tj * tl : tj * tl + rows, ti * tw : ti * tw + cols
+            ]
+            tiles.append(
+                encode_jpeg_baseline(tw, tl, t.tobytes(), 85)
+            )
+    tags = [
+        (TAG_WIDTH, 3, [w]),
+        (TAG_HEIGHT, 3, [h]),
+        (TAG_BITS, 3, [8, 8, 8]),
+        (TAG_COMPRESSION, 3, [7]),
+        (TAG_PHOTOMETRIC, 3, [6]),
+        (TAG_SPP, 3, [3]),
+        (TAG_PLANAR, 3, [1]),
+        (TAG_TILE_WIDTH, 3, [tw]),
+        (TAG_TILE_LENGTH, 3, [tl]),
+        (TAG_TILE_OFFSETS, 4, [0] * 4),
+        (TAG_TILE_COUNTS, 4, [len(t) for t in tiles]),
+    ]
+    block, offs = _write_ifds(True, [tags])
+    block = bytearray(block)
+    pos = len(block)
+    toffs = []
+    for t in tiles:
+        toffs.append(pos)
+        pos += len(t)
+    _patch_values(block, offs[0], TAG_TILE_OFFSETS, toffs, True)
+    payload = bytes(block) + b"".join(tiles)
+    dw, dh, out = decode_tiff(payload)
+    assert (dw, dh) == (w, h)
+    # reference: paste the per-tile JPEG decodes directly
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    for k, (tj, ti) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        cw, ch, trgb = decode_jpeg_baseline(tiles[k])
+        assert (cw, ch) == (tw, tl)
+        t = np.frombuffer(trgb, dtype=np.uint8).reshape(tl, tw, 3)
+        rows = min(tl, h - tj * tl)
+        cols = min(tw, w - ti * tw)
+        canvas[tj * tl : tj * tl + rows, ti * tw : ti * tw + cols] = t[
+            :rows, :cols
+        ]
+    assert out == canvas.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# PlanarConfiguration 2 (round 16)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("bits", [8, 16])
+@pytest.mark.parametrize("comp,pred", [(1, 1), (5, 2), (8, 2),
+                                       (32773, 1)])
+def test_planar2_roundtrip_exact(bits, comp, pred):
+    rng = np.random.default_rng(31)
+    w, h = 23, 17
+    for le in (True, False):
+        if bits == 8:
+            src = rng.integers(0, 256, (h, w, 3), dtype=np.uint8).tobytes()
+            expected = src
+        else:
+            dt = "<u2" if le else ">u2"
+            sam = rng.integers(0, 65536, (h, w, 3)).astype(dt)
+            src = sam.tobytes()
+            expected = (
+                (sam.astype(np.uint16) >> 8).astype(np.uint8).tobytes()
+            )
+        p = encode_tiff(
+            w, h, src, le=le, bits=bits, compression=comp,
+            predictor=pred, planar=2, rows_per_strip=5,
+        )
+        dw, dh, out = decode_tiff(p)
+        assert (dw, dh) == (w, h)
+        assert out == expected
+        # the strip count is spp * strips-per-image
+        assert probe_tiff(p)["n_strips"] == 3 * 4
+
+
+def test_planar2_quarantines():
+    rng = np.random.default_rng(32)
+    rgb = rng.integers(0, 256, (10, 12, 3), dtype=np.uint8).tobytes()
+    with pytest.raises(MediaFormatError, match="strips only"):
+        encode_tiff(12, 10, rgb, planar=2, tile=(16, 16))
+    # an interleaved fixture PATCHED to planar 2 has the wrong strip
+    # count for the planar layout — refuses, never decodes garbage
+    p = encode_tiff(12, 10, rgb)
+    from reindexer_spark.tiff import TAG_PLANAR
+
+    with pytest.raises(MediaFormatError, match="planar"):
+        decode_tiff(_patch_short(p, TAG_PLANAR, 2))
+    # unknown configuration value
+    p2 = encode_tiff(12, 10, rgb, planar=2, rows_per_strip=5)
+    with pytest.raises(MediaFormatError, match="unknown"):
+        decode_tiff(_patch_short(p2, TAG_PLANAR, 3))
