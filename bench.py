@@ -212,6 +212,7 @@ EXTENDED = [
     "video_bimplicit",
     "webp_anim_decode",
     "image_tiff_ccitt",
+    "image_tiff_planar",
 ]
 
 
