@@ -5708,8 +5708,16 @@ def _decode_image(kind: str, payload: bytes) -> tuple[int, int, bytes]:
         # module; round 12: VP8-lossy decodes through the vp8 module's
         # provenance gate (PRVN digest must bind the VP8 payload —
         # external lossy WebP keeps quarantining, see vp8.py's honesty
-        # boundary); extended/animated layouts stay probe-only (never
-        # wrong pixels)
+        # boundary); round 16: STILL VP8X layouts walk through to
+        # their VP8L chunk, and ANIMATED files decode as the first
+        # composited frame — the GIF still-image convention — via
+        # the VP8X/ANIM/ANMF compositor (lossy subframes quarantine
+        # there, so filler fixtures still refuse)
+        if _webp_has_chunk(payload, b"ANIM"):
+            from reindexer_spark.vp8l import decode_webp_anim
+
+            w, h, _durs, frames = decode_webp_anim(payload)
+            return w, h, frames[0]
         if _webp_has_chunk(payload, b"VP8L"):
             from reindexer_spark.vp8l import decode_webp_lossless
 

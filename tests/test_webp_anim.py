@@ -9,8 +9,11 @@ over REAL VP8L frames — the last table-free WebP quarantine.  Pins:
 - the sampler's prefix-sum timestamp walk over NON-uniform delays;
 - quarantines: lossy (VP8/ALPH) subframes, out-of-canvas rects, odd
   offsets, truncations/corruption (repo-wide fuzz contract);
-- the still-image path is untouched: decode_webp_lossless keeps
-  rejecting VP8X layouts.
+- the still path: decode_webp_lossless walks STILL VP8X layouts
+  through to their VP8L chunk (canvas dims cross-checked) but names
+  animated files to decode_webp_anim; the production image seam
+  treats an animated WebP like an animated GIF (first composited
+  frame).
 
 Reference: the public WebP container spec (RIFF/VP8X/ANIM/ANMF) and
 the in-repo GIF89a compositor precedent (codecs.decode_gif)."""
@@ -149,10 +152,10 @@ def test_quarantines():
 
     with pytest.raises(MediaFormatError):
         decode_webp_anim(encode_webp_lossless(w, h, rgb))
-    # the still decode path keeps rejecting VP8X layouts
+    # the still decode path names animated layouts to the compositor
     p = _anim(w, h, [{"x": 0, "y": 0, "w": w, "h": h, "rgb": rgb,
                       "blend": False}])
-    with pytest.raises(MediaFormatError):
+    with pytest.raises(MediaFormatError, match="decode_webp_anim"):
         decode_webp_lossless(p)
     # encoder refuses odd offsets and out-of-canvas rects
     with pytest.raises(MediaFormatError, match="even"):
@@ -194,3 +197,64 @@ def test_fuzz_quarantine_contract():
             decode_webp_anim(bytes(buf))
         except MediaFormatError:
             pass
+
+
+def test_vp8x_still_walks_through_to_vp8l():
+    """Round 16: a STILL extended layout (VP8X without the ANIM flag,
+    e.g. alpha/metadata riding along) decodes through to its VP8L
+    chunk; canvas-dim disagreement quarantines."""
+    import struct
+
+    from reindexer_spark.vp8l import encode_vp8l
+
+    w, h = 18, 11
+    rgb = _px(w * h * 3, b"st")
+    body = encode_vp8l(w, h, rgb)
+
+    def riff(cid, b):
+        return cid + struct.pack("<I", len(b)) + b + (
+            b"\x00" if len(b) & 1 else b""
+        )
+
+    def build(cw, ch, flags=0x10):
+        vp8x = bytes([flags, 0, 0, 0]) + (cw - 1).to_bytes(
+            3, "little"
+        ) + (ch - 1).to_bytes(3, "little")
+        chunks = riff(b"VP8X", vp8x) + riff(b"VP8L", body)
+        return (
+            b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP"
+            + chunks
+        )
+
+    assert decode_webp_lossless(build(w, h)) == (w, h, rgb)
+    with pytest.raises(MediaFormatError, match="disagree"):
+        decode_webp_lossless(build(w + 2, h))
+    # the production image seam routes it too
+    from reindexer_spark.codecs import _decode_image
+
+    assert _decode_image("webp", build(w, h)) == (w, h, rgb)
+
+
+def test_image_seam_decodes_animated_first_frame():
+    """The production still-image path treats an animated WebP like
+    an animated GIF: the first COMPOSITED frame."""
+    from reindexer_spark.codecs import _decode_image
+
+    w, h = 14, 10
+    f0 = _px(w * h * 3, b"sf")
+    p = _anim(
+        w, h,
+        [
+            {"x": 0, "y": 0, "w": w, "h": h, "rgb": f0,
+             "duration_ms": 50, "blend": False},
+            {"x": 0, "y": 2, "w": w, "h": 4,
+             "rgb": _px(w * 4 * 3, b"sg"), "duration_ms": 50,
+             "blend": False},
+        ],
+    )
+    assert _decode_image("webp", p) == (w, h, f0)
+    # VP8-filler animations still refuse through the seam
+    with pytest.raises(MediaFormatError):
+        _decode_image(
+            "webp", encode_webp_fixture(w, h, "vp8x-anim", 2, b"sq")
+        )
