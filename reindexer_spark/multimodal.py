@@ -339,6 +339,13 @@ class LibraryFrameSampler:
             return MkvFrameSampler()  # V_MJPEG; other codecs quarantine
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             return GifFrameSampler()
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            # round 16: animated WebP samples composited frames via
+            # the VP8X/ANIM/ANMF compositor (still WebP has no
+            # timeline and quarantines inside the sampler)
+            from reindexer_spark.vp8l import WebpAnimSampler
+
+            return WebpAnimSampler()
         raise MediaFormatError("unrecognized video container")
 
     def duration_ms(self, payload: bytes) -> int:
