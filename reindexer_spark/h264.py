@@ -1572,9 +1572,12 @@ def _parse_slice_header(
         if r.u(1):  # num_ref_idx_active_override_flag
             info["num_ref_l0"] = r.ue() + 1
             info["num_ref_l1"] = r.ue() + 1
-            if info["num_ref_l0"] > 8 or info["num_ref_l1"] > 8:
+            if info["num_ref_l0"] > 16 or info["num_ref_l1"] > 16:
+                # a FRAME DPB holds at most 16 references (levels cap
+                # MaxDpbFrames at 16) — round 16 widened the subset
+                # from 8 to the spec's own frame ceiling
                 raise MediaFormatError(
-                    "num_ref_idx_active beyond the 8-deep subset"
+                    "num_ref_idx_active beyond the 16-frame DPB"
                 )
         info["rplm_l0"] = _parse_rplm(r)
         info["rplm_l1"] = _parse_rplm(r)
@@ -1604,9 +1607,9 @@ def _parse_slice_header(
     elif stype == "P":
         if r.u(1):  # num_ref_idx_active_override_flag
             info["num_ref_l0"] = r.ue() + 1
-            if info["num_ref_l0"] > 8:
+            if info["num_ref_l0"] > 16:
                 raise MediaFormatError(
-                    "num_ref_idx_active beyond the 8-deep subset"
+                    "num_ref_idx_active beyond the 16-frame DPB"
                 )
         info["rplm_l0"] = _parse_rplm(r)
         if pps.get("weighted_pred"):
@@ -2318,7 +2321,7 @@ class _Dpb:
         window first (evicts the OLDEST short-term while the buffer
         is at capacity — long-term pictures never slide), then the
         insert that keeps the default-list order invariant."""
-        cap = max(1, min(int(num_ref_frames or 1), 8))
+        cap = max(1, min(int(num_ref_frames or 1), 16))
         if lt is not None:
             self._put_long((planes, motion, poc, fnum), lt)
             if len(self.planes) > cap:
@@ -2921,7 +2924,7 @@ def decode_avcc_samples(
                 )
             dpb.insert_current(
                 (y, u, v), sink or None, poc_in, fnum_in, cur_lt,
-                sps.get("max_num_ref_frames", 8),
+                sps.get("max_num_ref_frames", 16),
             )
         ct, cl = sps["crop_t"], sps["crop_l"]
         frame = yuv420_to_rgb(
@@ -3226,7 +3229,7 @@ def decode_h264_annexb_stream(data: bytes) -> tuple[int, int, list[bytes]]:
                     )
                 dpb.insert_current(
                     (y, u, v), sink or None, poc_in, fnum_in, cur_lt,
-                    sps.get("max_num_ref_frames", 8),
+                    sps.get("max_num_ref_frames", 16),
                 )
             ct, cl = sps["crop_t"], sps["crop_l"]
             frames.append(
@@ -6707,7 +6710,7 @@ def decode_h264_stream(
                 )
             dpb.insert_current(
                 planes, sink or None, poc_in, fnum_in, cur_lt,
-                sps.get("max_num_ref_frames", 8),
+                sps.get("max_num_ref_frames", 16),
             )
         y, u, v = planes
         frames.append(

@@ -603,3 +603,35 @@ def test_fuzz_quarantine_contract_round14_paths():
                 H.decode_h264_stream(sps, pps, mut)
             except MediaFormatError:
                 pass  # the contract: quarantine, never crash
+
+
+def test_deep_dpb_12_reference_chain_recon_exact():
+    """Round 16: the reference subset widened from 8 to the spec's
+    16-frame DPB ceiling — a 12-reference IPPP chain must decode
+    byte-exact against the closed loop, and num_ref_idx_active
+    beyond 16 still quarantines."""
+    import numpy as np
+
+    from reindexer_spark.h264 import (
+        decode_h264_annexb_stream,
+        encode_h264_ippp,
+    )
+
+    rng = np.random.default_rng(8)
+    w, h = 32, 32
+    base = rng.integers(0, 256, (h, w, 3))
+    frames = [
+        np.clip(base + rng.integers(-20, 21, (h, w, 3)), 0, 255)
+        .astype(np.uint8)
+        .tobytes()
+        for _ in range(14)
+    ]
+    sps, pps, nals, recons = encode_h264_ippp(
+        w, h, frames, 26, n_refs=12, return_recon=True
+    )
+    stream = b"".join(
+        b"\x00\x00\x00\x01" + n for n in (sps, pps, *nals)
+    )
+    dw, dh, out = decode_h264_annexb_stream(stream)
+    assert (dw, dh) == (w, h)
+    assert [bytes(f) for f in out] == [bytes(f) for f in recons]
