@@ -158,31 +158,34 @@ def test_weighted_through_containers():
         assert sync[0] and not any(sync[1:])
 
 
-def test_weighted_bipred_still_quarantines():
-    """weighted_bipred_idc != 0 (implicit/explicit B weighting) stays
-    outside the subset."""
-    w_ = H._RbspWriter() if hasattr(H, "_RbspWriter") else None
-    # build a PPS with weighted_bipred_idc = 2 byte-by-byte
+def test_weighted_bipred_idc_range():
+    """idc 1 (explicit, round 15) and idc 2 (implicit, round 16) both
+    PARSE now; only the undefined idc 3 quarantines."""
     from reindexer_spark.codecs import _RbspWriter
 
-    w2 = _RbspWriter()
-    w2.ue(0)
-    w2.ue(0)
-    w2.u(0, 1)
-    w2.u(0, 1)
-    w2.ue(0)
-    w2.ue(0)
-    w2.ue(0)
-    w2.u(0, 1)  # weighted_pred
-    w2.u(2, 2)  # weighted_bipred_idc = 2 (explicit B)
-    w2.se(0)
-    w2.se(0)
-    w2.se(0)
-    w2.u(1, 1)
-    w2.u(0, 1)
-    w2.u(0, 1)
-    with pytest.raises(MediaFormatError, match="weighted"):
-        H.parse_pps(b"\x68" + w2.finish())
+    def pps_with_idc(idc):
+        w2 = _RbspWriter()
+        w2.ue(0)
+        w2.ue(0)
+        w2.u(0, 1)
+        w2.u(0, 1)
+        w2.ue(0)
+        w2.ue(0)
+        w2.ue(0)
+        w2.u(0, 1)  # weighted_pred
+        w2.u(idc, 2)  # weighted_bipred_idc
+        w2.se(0)
+        w2.se(0)
+        w2.se(0)
+        w2.u(1, 1)
+        w2.u(0, 1)
+        w2.u(0, 1)
+        return b"\x68" + w2.finish()
+
+    assert H.parse_pps(pps_with_idc(1))["weighted_bipred"] == 1
+    assert H.parse_pps(pps_with_idc(2))["weighted_bipred"] == 2
+    with pytest.raises(MediaFormatError):
+        H.parse_pps(pps_with_idc(3))
 
 
 def test_weight_denominator_bounds():
