@@ -213,6 +213,7 @@ EXTENDED = [
     "webp_anim_decode",
     "image_tiff_ccitt",
     "image_tiff_planar",
+    "video_deepref",
 ]
 
 

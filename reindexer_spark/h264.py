@@ -2990,6 +2990,11 @@ def encode_avcc_samples(
         sps, pps, nals = encode_h264_ippp(
             width, height, frames_rgb, qp, n_refs=3
         )
+    elif gop == "ippp-deepref":
+        # round 16: the widened 16-frame DPB exercised at depth 10
+        sps, pps, nals = encode_h264_ippp(
+            width, height, frames_rgb, qp, n_refs=10
+        )
     elif gop == "ippp-reflist":
         sps, pps, nals = encode_h264_ippp(
             width, height, frames_rgb, qp, n_refs=3, reflist=True
@@ -3112,6 +3117,11 @@ def encode_h264_annexb(
     elif gop == "ippp-multiref":
         sps, pps, nals = encode_h264_ippp(
             width, height, frames_rgb, qp, n_refs=3
+        )
+    elif gop == "ippp-deepref":
+        # round 16: the widened 16-frame DPB exercised at depth 10
+        sps, pps, nals = encode_h264_ippp(
+            width, height, frames_rgb, qp, n_refs=10
         )
     elif gop == "ippp-reflist":
         sps, pps, nals = encode_h264_ippp(

@@ -7378,3 +7378,187 @@ def image_tiff_planar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rgb_md5 string, roundtrip_exact int, probe_agrees int, "
         "patched_interleaved_quarantined int",
     )
+
+
+@query(
+    "video_deepref",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {10}
+    ), s AS (
+      SELECT media_id,
+             CAST(('0x' || substr(dg, 1, 2)) AS INT) AS s0,
+             CAST(('0x' || substr(dg, 3, 2)) AS INT) AS s1,
+             CAST(('0x' || substr(dg, 5, 2)) AS INT) AS s2
+      FROM base
+    )
+    SELECT media_id,
+      CASE WHEN media_id % 2 = 0 THEN 'mp4' ELSE 'mkv' END AS container,
+      CAST(2 * (16 + s0 % 9) AS INT) AS width,
+      CAST(2 * (16 + s1 % 7) AS INT) AS height,
+      CAST(12 AS INT) AS n_frames,
+      CAST(24 + s2 % 8 AS INT) AS qp,
+      CAST(1 AS INT) AS decodable,
+      CAST(1 AS INT) AS recon_exact,
+      CAST(1 AS INT) AS containers_agree,
+      CAST(1 AS INT) AS over_cap_quarantined
+    FROM s
+    """,
+)
+def video_deepref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEEP-DPB multi-reference decode (round 16 — the 8-reference
+    subset cap widened to the spec's 16-frame DPB ceiling): 12-frame
+    IPPP chains coded against the 10 most recent references
+    (gop="ippp-deepref"), decoded through both containers.
+
+    Oracle-pinned: geometry/qp digest arithmetic; ``recon_exact=1`` —
+    container decode ≡ the encoder's closed loop byte-for-byte
+    (per-partition ref_idx te(v) against a 10-deep sliding window);
+    ``containers_agree=1``; ``over_cap_quarantined=1`` — a slice
+    header demanding num_ref_idx_active 17 refuses by name while 16
+    parses (pinned via the header parser on a synthetic header).
+
+    Scale shape: Arrow-batched mapInPandas over a bounded fixture
+    set, payloads never shuffle — same as every video lane."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 10
+    )
+
+    def build_and_decode(batches):
+        import hashlib
+
+        import numpy as np
+
+        from reindexer_spark.codecs import (
+            MediaFormatError,
+            decode_mkv,
+            decode_mp4,
+            encode_mkv_coded,
+            encode_mp4_coded,
+        )
+        from reindexer_spark.h264 import encode_h264_ippp
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.doc_id)
+                dg = hashlib.sha256(r.text.encode("utf-8")).digest()
+                w = 2 * (16 + dg[0] % 9)
+                h = 2 * (16 + dg[1] % 7)
+                qp = 24 + dg[2] % 8
+                rng = np.random.default_rng(
+                    int.from_bytes(dg[:8], "big")
+                )
+                base = rng.integers(0, 256, (h, w, 3))
+                frames = [
+                    np.clip(
+                        base + rng.integers(-18, 19, (h, w, 3)), 0, 255
+                    )
+                    .astype(np.uint8)
+                    .tobytes()
+                    for _ in range(12)
+                ]
+                container = "mp4" if mid % 2 == 0 else "mkv"
+                _s, _p, _n, wrec = encode_h264_ippp(
+                    w, h, frames, qp=qp, n_refs=10, return_recon=True
+                )
+                mp4 = encode_mp4_coded(
+                    w, h, intra_frames=frames, qp=qp, gop="ippp-deepref"
+                )
+                mkv = encode_mkv_coded(
+                    w, h, intra_frames=frames, qp=qp, gop="ippp-deepref"
+                )
+                payload = mp4 if container == "mp4" else mkv
+                dec = decode_mp4 if container == "mp4" else decode_mkv
+                try:
+                    dw, dh, _durs, out, _sync = dec(payload)
+                    decodable = 1
+                except MediaFormatError:
+                    dw = dh = 0
+                    out = []
+                    decodable = 0
+                recon_exact = int(out == wrec and len(out) == 12)
+                other = decode_mkv if container == "mp4" else decode_mp4
+                try:
+                    _w2, _h2, _d2, out2, _s2 = other(
+                        mkv if container == "mp4" else mp4
+                    )
+                    agree = int(out == out2)
+                except MediaFormatError:
+                    agree = 0
+                # 16 parses, 17 refuses — pinned on a synthetic header
+                from reindexer_spark.h264 import (
+                    _BitReader,
+                    _parse_slice_header,
+                    _parse_sps_slice_fields,
+                    parse_pps,
+                    write_h264_sps,
+                    write_pps,
+                )
+                from reindexer_spark.h264 import _BitWriter as _BW
+
+                spsd = _parse_sps_slice_fields(
+                    write_h264_sps(w, h, 66, 30, num_ref_frames=16)
+                )
+                ppsd = parse_pps(write_pps(26))
+
+                def p_hdr(nact: int) -> None:
+                    bw = _BW()
+                    bw.ue(0)  # first_mb
+                    bw.ue(0)  # slice_type P
+                    bw.ue(0)  # pps_id
+                    bw.u(0, 4)  # frame_num
+                    bw.u(0, 4)  # poc_lsb
+                    bw.u(1, 1)  # override
+                    bw.ue(nact - 1)
+                    bw.u(0, 1)  # no rplm
+                    bw.se(0)  # slice_qp_delta
+                    bw.ue(1)  # deblock idc 1: filter off, no offsets
+                    bw.u(0, 8)  # pad
+                    _parse_slice_header(
+                        _BitReader(bw.finish()), spsd, ppsd,
+                        idr=False, nal_ref_idc=0,
+                    )
+
+                try:
+                    p_hdr(16)
+                    ok16 = 1
+                except MediaFormatError:
+                    ok16 = 0
+                try:
+                    p_hdr(17)
+                    over_q = 0
+                except MediaFormatError:
+                    over_q = ok16
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "container": container,
+                        "width": dw,
+                        "height": dh,
+                        "n_frames": len(out),
+                        "qp": qp,
+                        "decodable": decodable,
+                        "recon_exact": recon_exact,
+                        "containers_agree": agree,
+                        "over_cap_quarantined": over_q,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "container", "width", "height",
+                    "n_frames", "qp", "decodable", "recon_exact",
+                    "containers_agree", "over_cap_quarantined",
+                ],
+            )
+
+    return docs.select("doc_id", "text").repartition(10).mapInPandas(
+        build_and_decode,
+        "media_id bigint, container string, width int, height int, "
+        "n_frames int, qp int, decodable int, recon_exact int, "
+        "containers_agree int, over_cap_quarantined int",
+    )
