@@ -96,12 +96,19 @@ def _patch_short(payload: bytes, tag: int, value: int) -> bytes:
 
 def test_out_of_subset_quarantines():
     payload = encode_tiff(10, 10, _rgb(10, 10))
+    # rounds 14-16 brought G4 (4), JPEG-in-TIFF (7), planar 2 and
+    # 16-bit INTO the subset — but each patched-in-place variant is
+    # structurally inconsistent with this interleaved 8-bit fixture
+    # (G4/JPEG strips aren't that codec's streams, planar-2 strip
+    # counts disagree, one 16-bit channel mixes depths), so every row
+    # still QUARANTINES rather than decoding garbage; G3 (2) stays
+    # out of the subset by name.
     for tag, val, why in [
-        (TAG_COMPRESSION, 2, "CCITT G3"),
-        (TAG_COMPRESSION, 4, "CCITT G4"),
-        (TAG_COMPRESSION, 7, "JPEG-in-TIFF"),
-        (TAG_PLANAR, 2, "planar"),
-        (TAG_BITS, 16, "16-bit"),
+        (TAG_COMPRESSION, 2, "CCITT G3 stream"),
+        (TAG_COMPRESSION, 4, "not a T.6 stream"),
+        (TAG_COMPRESSION, 7, "not JPEG strips"),
+        (TAG_PLANAR, 2, "planar strip-count mismatch"),
+        (TAG_BITS, 16, "mixed bit depths"),
     ]:
         with pytest.raises(MediaFormatError):
             decode_tiff(_patch_short(payload, tag, val))
