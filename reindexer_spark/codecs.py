@@ -2354,7 +2354,6 @@ def _ac_fast_lut(table: _HuffTable) -> list:
 
 # one cached zero block: block storage is appended as a C memcpy and
 # coefficients land by direct index / array-slice writes (round 15)
-_JPEG_ZERO64 = array.array("q", [0] * 64)
 # n zero coefficients as little-endian int64 bytes — the append-only
 # piece the baseline loop emits for zero runs and EOB padding
 _JPEG_ZPAD = [b"\x00" * (8 * n) for n in range(65)]
