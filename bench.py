@@ -214,6 +214,7 @@ EXTENDED = [
     "image_tiff_ccitt",
     "image_tiff_planar",
     "video_deepref",
+    "image_tiff_mh",
 ]
 
 

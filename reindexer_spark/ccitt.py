@@ -373,3 +373,74 @@ def g4_encode(
     if fillorder == 2:
         out = out.translate(_REV8)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Modified Huffman (T.4 1-D) — TIFF Compression 2 "CCITT RLE"
+# ---------------------------------------------------------------------------
+# The 1-D layer under G3: each row is an alternating white/black run
+# sequence (starting white — a row that begins black leads with a
+# zero-length white run) over the SAME T.4 tables, with no EOL codes;
+# per TIFF 6.0 §10 each row starts on a byte boundary.  Compression 3
+# proper (EOL-framed G3 with optional 2-D lines) stays quarantined by
+# name in tiff.py.
+
+
+def mh_decode(
+    data: bytes, width: int, height: int, fillorder: int = 1
+) -> bytearray:
+    """TIFF Compression-2 stream → row-major bilevel pixels (1 =
+    black)."""
+    if width <= 0 or height <= 0:
+        raise MediaFormatError("CCITT dimensions out of range")
+    if fillorder == 2:
+        data = data.translate(_REV8)
+    elif fillorder != 1:
+        raise MediaFormatError("CCITT FillOrder outside 1/2")
+    r = _Bits(data)
+    out = bytearray(width * height)
+    for row in range(height):
+        # TIFF 6.0 §10: every row begins on a byte boundary
+        r.pos = (r.pos + 7) & ~7
+        x = 0
+        white = True
+        base = row * width
+        while x < width:
+            run = _read_run(r, white)
+            if x + run > width:
+                raise MediaFormatError("MH run overruns the row")
+            if not white:
+                for i in range(x, x + run):
+                    out[base + i] = 1
+            x += run
+            white = not white
+    return out
+
+
+def mh_encode(
+    bits, width: int, height: int, fillorder: int = 1
+) -> bytes:
+    """Row-major bilevel pixels (1 = black) → a TIFF Compression-2
+    stream (byte-aligned rows)."""
+    if len(bits) != width * height:
+        raise MediaFormatError("CCITT pixel count mismatch")
+    w = _BitW()
+    for row in range(height):
+        # byte-align the row start
+        if w.n:
+            w.put("0" * (8 - w.n))
+        x = 0
+        white = True
+        base = row * width
+        while x < width:
+            run = 0
+            want = 0 if white else 1
+            while x + run < width and bits[base + x + run] == want:
+                run += 1
+            w.put(_run_bits(run, white))
+            x += run
+            white = not white
+    out = w.finish()
+    if fillorder == 2:
+        out = out.translate(_REV8)
+    return out

@@ -7176,6 +7176,223 @@ def image_tiff_ccitt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "image_tiff_mh",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {TIFF_DOCS}
+    ), g AS (
+      SELECT media_id, dg,
+             21 + CAST(('0x' || substr(dg, 1, 2)) AS INT) % 40 AS w,
+             17 + CAST(('0x' || substr(dg, 3, 2)) AS INT) % 20 AS h,
+             CAST(('0x' || substr(dg, 5, 2)) AS INT) AS s2,
+             CAST(('0x' || substr(dg, 7, 2)) AS INT) AS s3,
+             CAST(('0x' || substr(dg, 9, 2)) AS INT) AS s4,
+             CAST(('0x' || substr(dg, 11, 2)) AS INT) AS s5,
+             CAST(('0x' || substr(dg, 13, 2)) AS INT) AS s6,
+             CAST(('0x' || substr(dg, 15, 2)) AS INT) AS s7,
+             CAST(('0x' || substr(dg, 17, 2)) AS INT) AS s8,
+             CAST(('0x' || substr(dg, 19, 2)) AS INT) AS s9,
+             CAST(('0x' || substr(dg, 21, 2)) AS INT) AS s10
+      FROM base
+    ), r AS (
+      SELECT media_id, dg, w, h, s10,
+             s2 % w AS x1, s4 % h AS y1,
+             1 + s3 % (w - s2 % w) AS w1,
+             1 + s5 % (h - s4 % h) AS h1,
+             s6 % w AS x2, s8 % h AS y2,
+             1 + s7 % (w - s6 % w) AS w2,
+             1 + s9 % (h - s8 % h) AS h2
+      FROM g
+    ), nchain AS (
+      SELECT media_id,
+             string_agg(sha256(dg || '-n-' || i), '' ORDER BY i) AS nz
+      FROM r CROSS JOIN range(8) rr(i)
+      WHERE i < CEIL(2 * w / 64.0)
+      GROUP BY media_id
+    ), px AS (
+      SELECT r.media_id, r.w, r.h, r.s10,
+        array_to_string(
+          list_transform(range(CAST(r.h * r.w AS BIGINT)), i ->
+            CASE WHEN
+              ((i // r.w) >= r.y1 AND (i // r.w) < r.y1 + r.h1
+               AND (i % r.w) >= r.x1 AND (i % r.w) < r.x1 + r.w1)
+              OR
+              ((i // r.w) >= r.y2 AND (i // r.w) < r.y2 + r.h2
+               AND (i % r.w) >= r.x2 AND (i % r.w) < r.x2 + r.w2)
+              OR
+              ((i // r.w) >= r.h - 2
+               AND CAST(('0x' || substr(nchain.nz,
+                    CAST(((i // r.w) - (r.h - 2)) * r.w + (i % r.w)
+                         + 1 AS INT), 1)) AS INT) % 2 = 1)
+            THEN '000000' ELSE 'ffffff' END), '') AS rgbhex
+      FROM r JOIN nchain ON nchain.media_id = r.media_id
+    )
+    SELECT media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST((h + (5 + s10 % 7) - 1) // (5 + s10 % 7) AS INT)
+             AS n_strips,
+           CASE WHEN media_id % 2 = 0 THEN 'msb' ELSE 'lsb' END
+             AS fillorder,
+           md5(rgbhex) AS rgb_md5,
+           CAST(1 AS INT) AS roundtrip_exact,
+           CAST(1 AS INT) AS mh_smaller,
+           CAST(1 AS INT) AS probe_agrees,
+           CAST(1 AS INT) AS g3_quarantined
+    FROM px
+    """,
+)
+def image_tiff_mh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCITT 1-D MODIFIED-HUFFMAN TIFF decode (round 16 — TIFF
+    Compression 2, the RLE layer under G3 that legacy fax archives
+    carry): the same digest bilevel page as ``image_tiff_ccitt`` —
+    two rectangles plus two noise rows — written as per-strip T.4
+    1-D run sequences with BYTE-ALIGNED rows (TIFF 6.0 §10) over the
+    identical transcribed run tables, alternating MSB/LSB FillOrder,
+    decoded through the production path
+    (tiff.py:_decode_tiff_g4 → ccitt.mh_decode).
+
+    Value-exact oracle: MH is lossless, so DuckDB recomputes every
+    decoded pixel (``rgb_md5``) plus the geometry;
+    ``g3_quarantined=1`` pins that Compression 3 proper (EOL-framed
+    G3) still refuses BY NAME; ``mh_smaller=1`` compares the summed
+    strip bytes against the packed 1-bit raster.  The table
+    transcription shares tests/test_ccitt.py's external pins with
+    the G4 lane.
+
+    Scale shape: mapInPandas, payloads never shuffle — same as every
+    media lane."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < TIFF_DOCS
+    )
+
+    def build_and_decode(batches):
+        import hashlib
+        import struct as st
+
+        import numpy as np
+
+        from reindexer_spark.codecs import MediaFormatError
+        from reindexer_spark.tiff import (
+            TAG_COMPRESSION,
+            decode_tiff,
+            encode_tiff_g4,
+            probe_tiff,
+        )
+
+        def with_compression(payload: bytes, val: int) -> bytes:
+            buf = bytearray(payload)
+            (ifd,) = st.unpack_from("<I", buf, 4)
+            (n,) = st.unpack_from("<H", buf, ifd)
+            for i in range(n):
+                e = ifd + 2 + 12 * i
+                if st.unpack_from("<H", buf, e)[0] == TAG_COMPRESSION:
+                    st.pack_into("<H", buf, e + 8, val)
+                    return bytes(buf)
+            raise MediaFormatError("fixture lacks a Compression tag")
+
+        for pdf in batches:
+            rows = []
+            for rr in pdf.itertuples(index=False):
+                mid = int(rr.doc_id)
+                dg = hashlib.sha256(rr.text.encode("utf-8")).hexdigest()
+                s = [int(dg[2 * i : 2 * i + 2], 16) for i in range(11)]
+                w = 21 + s[0] % 40
+                h = 17 + s[1] % 20
+                x1, y1 = s[2] % w, s[4] % h
+                w1, h1 = 1 + s[3] % (w - x1), 1 + s[5] % (h - y1)
+                x2, y2 = s[6] % w, s[8] % h
+                w2, h2 = 1 + s[7] % (w - x2), 1 + s[9] % (h - y2)
+                rps = 5 + s[10] % 7
+                page = np.zeros((h, w), dtype=np.uint8)
+                page[y1 : y1 + h1, x1 : x1 + w1] = 1
+                page[y2 : y2 + h2, x2 : x2 + w2] = 1
+                nz = "".join(
+                    hashlib.sha256(f"{dg}-n-{i}".encode()).hexdigest()
+                    for i in range((2 * w + 63) // 64)
+                )
+                for j in range(2 * w):
+                    if int(nz[j], 16) % 2:
+                        page[h - 2 + j // w, j % w] = 1
+                flat = bytearray(page.reshape(-1).tolist())
+                fo = 1 if mid % 2 == 0 else 2
+                payload = encode_tiff_g4(
+                    w, h, flat, rows_per_strip=rps, fillorder=fo,
+                    compression=2,
+                )
+                dw, dh, rgb = decode_tiff(payload)
+                a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+                decoded_bits = (a[:, :, 0] == 0).astype(np.uint8)
+                exact = int(np.array_equal(decoded_bits, page))
+                pm = probe_tiff(payload)
+                n_strips = (h + rps - 1) // rps
+                agrees = int(
+                    pm["compression"] == 2
+                    and pm["width"] == dw == w
+                    and pm["height"] == dh == h
+                    and pm["bits"] == 1
+                    and pm["n_strips"] == n_strips
+                )
+                # strip bytes vs the packed 1-bit raster
+                from reindexer_spark.ccitt import mh_encode
+
+                strip_bytes = sum(
+                    len(
+                        mh_encode(
+                            flat[r0 * w : min(r0 + rps, h) * w],
+                            w,
+                            min(rps, h - r0),
+                            fillorder=fo,
+                        )
+                    )
+                    for r0 in range(0, h, rps)
+                )
+                smaller = int(strip_bytes < ((w + 7) // 8) * h)
+                try:
+                    decode_tiff(with_compression(payload, 3))
+                    g3q = 0
+                except MediaFormatError:
+                    g3q = int(
+                        probe_tiff(with_compression(payload, 3))["width"]
+                        == w
+                    )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": dw,
+                        "height": dh,
+                        "n_strips": n_strips,
+                        "fillorder": "msb" if fo == 1 else "lsb",
+                        "rgb_md5": hashlib.md5(
+                            rgb.hex().encode()
+                        ).hexdigest(),
+                        "roundtrip_exact": exact,
+                        "mh_smaller": smaller,
+                        "probe_agrees": agrees,
+                        "g3_quarantined": g3q,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_strips",
+                    "fillorder", "rgb_md5", "roundtrip_exact",
+                    "mh_smaller", "probe_agrees", "g3_quarantined",
+                ],
+            )
+
+    return docs.select("doc_id", "text").repartition(TIFF_DOCS).mapInPandas(
+        build_and_decode,
+        "media_id bigint, width int, height int, n_strips int, "
+        "fillorder string, rgb_md5 string, roundtrip_exact int, "
+        "mh_smaller int, probe_agrees int, g3_quarantined int",
+    )
+
+
+@query(
     "image_tiff_planar",
     oracle=f"""
     WITH base AS (

@@ -250,16 +250,16 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
         raise MediaFormatError(
             "old-style JPEG-in-TIFF (Compression 6) not supported"
         )
-    if comp == 4:
-        # CCITT Group 4 / T.6 (round 16): the fax compression
-        # scanned-document TIFFs carry
-        return _decode_tiff_g4(payload, ent, one, le, w, h)
-    if comp in (2, 3):
-        # the EOL-framed G3 layer (1-D MH / mixed T.4 2-D) stays
-        # outside the subset — G4 (Compression 4) decodes
+    if comp in (2, 4):
+        # CCITT (round 16): Group 4 / T.6 (Compression 4) and the
+        # 1-D Modified-Huffman RLE layer (Compression 2) both decode
+        return _decode_tiff_g4(payload, ent, one, le, w, h, comp)
+    if comp == 3:
+        # G3 proper (EOL-framed T.4, optional 2-D lines) stays
+        # outside the subset — Compression 2 (MH) and 4 (G4) decode
         raise MediaFormatError(
-            f"CCITT G3 (Compression {comp}) not supported "
-            "(G4/Compression 4 decodes)"
+            "CCITT G3 (Compression 3) not supported "
+            "(MH/Compression 2 and G4/Compression 4 decode)"
         )
     if comp not in (1, 5, 8, 32773, 32946):
         raise MediaFormatError(
@@ -1925,17 +1925,21 @@ TAG_FILLORDER = 266
 
 
 def _decode_tiff_g4(
-    payload: bytes, ent: dict, one, le: bool, w: int, h: int
+    payload: bytes, ent: dict, one, le: bool, w: int, h: int,
+    comp: int = 4,
 ) -> tuple[int, int, bytes]:
-    """Compression-4 decode: per-strip T.6 streams through
-    ccitt.g4_decode (each strip restarts against the imaginary
-    all-white reference line, per the TIFF contract), honoring
-    FillOrder 1/2 and both bilevel photometrics.  T6Options with the
+    """Bilevel CCITT decode: per-strip T.6 streams (Compression 4)
+    or 1-D Modified-Huffman rows (Compression 2) through ccitt.py
+    (each strip restarts fresh — the all-white reference line for
+    G4, the byte-aligned row grid for MH), honoring FillOrder 1/2
+    and both bilevel photometrics.  T6Options with the
     uncompressed-mode bit quarantines (nothing mainstream writes
     it)."""
     import numpy as np
 
-    from reindexer_spark.ccitt import g4_decode
+    from reindexer_spark.ccitt import g4_decode, mh_decode
+
+    decoder = g4_decode if comp == 4 else mh_decode
 
     bits = ent.get(TAG_BITS, {"values": [1]})["values"]
     if not isinstance(bits, list):
@@ -1977,7 +1981,7 @@ def _decode_tiff_g4(
         if o < 0 or c < 0 or o + c > len(payload):
             raise MediaFormatError("TIFF strip beyond payload")
         rows = min(rps, h - si * rps)
-        px += g4_decode(payload[o : o + c], w, rows, fillorder=fillorder)
+        px += decoder(payload[o : o + c], w, rows, fillorder=fillorder)
     a = np.frombuffer(bytes(px), dtype=np.uint8)
     # bit 1 = black; photometric 0 (WhiteIsZero) is the natural fax
     # orientation, photometric 1 inverts
@@ -1997,29 +2001,37 @@ def encode_tiff_g4(
     fillorder: int = 1,
     photometric: int = 0,
     with_eofb: bool = False,
+    compression: int = 4,
 ) -> bytes:
-    """Fixture/production writer for Compression-4 TIFF: row-major
-    bilevel pixels (1 = black) as per-strip T.6 streams."""
-    from reindexer_spark.ccitt import g4_encode
+    """Fixture/production writer for bilevel CCITT TIFF: row-major
+    pixels (1 = black) as per-strip T.6 streams (``compression=4``,
+    the default) or 1-D Modified-Huffman rows (``compression=2``)."""
+    from reindexer_spark.ccitt import g4_encode, mh_encode
 
+    if compression not in (2, 4):
+        raise MediaFormatError("bilevel write compression must be 2 or 4")
     if len(bits) != width * height:
         raise MediaFormatError("CCITT pixel count mismatch")
     rps = rows_per_strip or max(1, (height + 1) // 2)
     strips = []
     for r in range(0, height, rps):
         rows = min(rps, height - r)
-        strips.append(
-            g4_encode(
-                bits[r * width : (r + rows) * width], width, rows,
-                fillorder=fillorder, with_eofb=with_eofb,
+        seg = bits[r * width : (r + rows) * width]
+        if compression == 4:
+            strips.append(
+                g4_encode(seg, width, rows, fillorder=fillorder,
+                          with_eofb=with_eofb)
             )
-        )
+        else:
+            strips.append(
+                mh_encode(seg, width, rows, fillorder=fillorder)
+            )
     n = len(strips)
     tags = [
         (TAG_WIDTH, 3, [width]),
         (TAG_HEIGHT, 3, [height]),
         (TAG_BITS, 3, [1]),
-        (TAG_COMPRESSION, 3, [4]),
+        (TAG_COMPRESSION, 3, [compression]),
         (TAG_PHOTOMETRIC, 3, [photometric]),
         (TAG_SPP, 3, [1]),
         (TAG_PLANAR, 3, [1]),

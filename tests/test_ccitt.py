@@ -188,12 +188,83 @@ def test_tiff_g4_quarantines():
 
     with pytest.raises(MediaFormatError, match="uncompressed"):
         decode_tiff(patch_short(p, TAG_T6_OPTIONS, 2))
-    # G3 stays quarantined BY NAME
+    # G3 proper (Compression 3) stays quarantined BY NAME; a G4
+    # stream patched to Compression 2 hits the MH decoder, which
+    # either refuses or decodes garbage — the fuzz contract, never a
+    # bare exception
     from reindexer_spark.tiff import TAG_COMPRESSION
 
-    for comp in (2, 3):
-        with pytest.raises(MediaFormatError, match="G3"):
-            decode_tiff(patch_short(p, TAG_COMPRESSION, comp))
-        assert probe_tiff(patch_short(p, TAG_COMPRESSION, comp))[
-            "width"
-        ] == 12
+    with pytest.raises(MediaFormatError, match="G3"):
+        decode_tiff(patch_short(p, TAG_COMPRESSION, 3))
+    assert probe_tiff(patch_short(p, TAG_COMPRESSION, 3))["width"] == 12
+    try:
+        decode_tiff(patch_short(p, TAG_COMPRESSION, 2))
+    except MediaFormatError:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# Modified Huffman (T.4 1-D) — TIFF Compression 2
+# ---------------------------------------------------------------------------
+
+
+def test_mh_roundtrip_and_byte_aligned_rows():
+    from reindexer_spark.ccitt import mh_decode, mh_encode
+
+    rng = np.random.default_rng(21)
+    for trial in range(30):
+        w = int(rng.integers(1, 80))
+        h = int(rng.integers(1, 20))
+        bits = rng.integers(0, 2, (h, w)).astype(np.uint8)
+        flat = bytearray(bits.reshape(-1).tolist())
+        for fo in (1, 2):
+            enc = mh_encode(flat, w, h, fillorder=fo)
+            assert mh_decode(enc, w, h, fillorder=fo) == flat
+    # byte alignment: a 1-pixel-wide all-white column costs exactly
+    # one byte per row (white-1 is 6 bits "000111", padded to 8)
+    enc = mh_encode(bytearray(5), 1, 5)
+    assert len(enc) == 5
+    # long runs cross the make-up chain
+    flat = bytearray(3000)
+    flat[-1] = 1
+    assert mh_decode(mh_encode(flat, 3000, 1), 3000, 1) == flat
+
+
+def test_mh_in_tiff_both_fillorders_and_strips():
+    bits = np.zeros((22, 31), np.uint8)
+    bits[4:15, 6:25] = 1
+    bits[20] = 1
+    flat = bytearray(bits.reshape(-1).tolist())
+    for fo in (1, 2):
+        for le in (True, False):
+            p = encode_tiff_g4(
+                31, 22, flat, le=le, rows_per_strip=7, fillorder=fo,
+                compression=2,
+            )
+            w, h, rgb = decode_tiff(p)
+            a = np.frombuffer(rgb, np.uint8).reshape(22, 31, 3)
+            assert np.array_equal(
+                (a[:, :, 0] == 0).astype(np.uint8), bits
+            )
+            assert probe_tiff(p)["compression"] == 2
+
+
+def test_mh_fuzz_quarantine_contract():
+    from reindexer_spark.ccitt import mh_decode, mh_encode
+
+    rng = np.random.default_rng(23)
+    base = mh_encode(bytearray([1, 0] * 60), 12, 10)
+    for cut in range(len(base)):
+        try:
+            mh_decode(base[:cut], 12, 10)
+        except MediaFormatError:
+            pass
+    for _ in range(150):
+        blob = bytes(
+            rng.integers(0, 256, int(rng.integers(1, 40)),
+                         dtype=np.uint8)
+        )
+        try:
+            mh_decode(blob, 16, 16)
+        except MediaFormatError:
+            pass
