@@ -6829,7 +6829,10 @@ def webp_anim_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     total/2 (non-uniform delays make this index non-trivial).
     ``lossy_quarantined=1`` pins that a VP8-filler animation still
     refuses to decode; ``still_rejected=1`` pins that the STILL
-    lossless path keeps rejecting VP8X layouts.  The alpha-blend and
+    lossless path names ANIMATED layouts to the compositor (still
+    VP8X layouts walk through to their VP8L chunk since round 16;
+    the pinned column here exercises the animated refusal).  The
+    alpha-blend and
     dispose-to-background compositor branches are pinned by
     tests/test_webp_anim.py hand-vectors (blending is not
     SQL-replicable at reasonable cost).
