@@ -215,6 +215,7 @@ EXTENDED = [
     "image_tiff_planar",
     "video_deepref",
     "image_tiff_mh",
+    "image_tiff_g3",
 ]
 
 

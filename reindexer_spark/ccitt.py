@@ -173,6 +173,88 @@ def _read_run(r: _Bits, white: bool) -> int:
     raise MediaFormatError("CCITT make-up chain implausibly long")
 
 
+def _decode_2d_row(r: _Bits, ref: list, width: int) -> list:
+    """One T.6/T.4-2-D coded line against the reference transitions
+    → the line's changing-element positions (shared by G4 and the
+    2-D lines of G3)."""
+    cur: list[int] = []
+    a0 = -1
+    color = 0  # 0 = white
+    while a0 < width:
+        # b1: first changing element of ref STRICTLY right of a0
+        # whose transition color is opposite to a0's color — with
+        # the parity convention that's the first index of
+        # parity == color at position > a0
+        i = 0
+        n_ref = len(ref)
+        while i < n_ref and (ref[i] <= a0 or (i & 1) != color):
+            i += 1
+        b1 = ref[i] if i < n_ref else width
+        b2 = ref[i + 1] if i + 1 < n_ref else width
+        mode = r.take(_MODE_MAP, "mode")
+        if mode == "eol":
+            # EOFB (EOL pair) ends the strip early only when the
+            # picture is complete; mid-picture it's malformed
+            raise MediaFormatError(
+                "unexpected EOL in CCITT G4 stream"
+            )
+        if mode == "p":
+            if b2 <= a0:  # malformed ref state: no forward progress
+                raise MediaFormatError("CCITT pass mode stalls")
+            a0 = b2
+            continue
+        if mode == "h":
+            start = a0 if a0 > 0 else 0
+            r1 = _read_run(r, color == 0)
+            r2 = _read_run(r, color != 0)
+            a1 = start + r1
+            a2 = a1 + r2
+            if a2 > width or a1 > width:
+                raise MediaFormatError(
+                    "CCITT horizontal runs overrun the row"
+                )
+            if a2 <= a0 and a0 >= 0:  # zero-run stall
+                raise MediaFormatError(
+                    "CCITT horizontal mode stalls"
+                )
+            cur.append(a1)
+            cur.append(a2)
+            a0 = a2
+            continue
+        # vertical family
+        if mode == "v0":
+            a1 = b1
+        elif mode.startswith("vr"):
+            a1 = b1 + int(mode[2])
+        else:
+            a1 = b1 - int(mode[2])
+        if a1 < 0 or a1 > width or (cur and a1 < cur[-1]):
+            raise MediaFormatError(
+                "CCITT vertical mode outside the row"
+            )
+        if a1 <= a0 and a0 >= 0:  # no forward progress
+            raise MediaFormatError("CCITT vertical mode stalls")
+        cur.append(a1)
+        color ^= 1
+        a0 = a1
+    if a0 > width:
+        raise MediaFormatError("CCITT row overruns its width")
+    return cur
+
+
+def _paint_row(out: bytearray, base: int, cur: list, width: int) -> None:
+    """Transitions → pixels (odd spans are black; a trailing odd
+    transition blacks to the row edge)."""
+    for j in range(0, len(cur) - (len(cur) & 1), 2):
+        s = cur[j]
+        e = cur[j + 1]
+        for x in range(s, e):
+            out[base + x] = 1
+    if len(cur) & 1:
+        for x in range(cur[-1], width):
+            out[base + x] = 1
+
+
 def g4_decode(
     data: bytes, width: int, height: int, fillorder: int = 1
 ) -> bytearray:
@@ -191,78 +273,8 @@ def g4_decode(
     # white→black transition.  Sentinels keep b1/b2 lookups total.
     ref = [width, width]
     for row in range(height):
-        cur: list[int] = []
-        a0 = -1
-        color = 0  # 0 = white
-        while a0 < width:
-            # b1: first changing element of ref STRICTLY right of a0
-            # whose transition color is opposite to a0's color —
-            # with the parity convention that's the first index of
-            # parity == color at position > a0
-            i = 0
-            n_ref = len(ref)
-            while i < n_ref and (ref[i] <= a0 or (i & 1) != color):
-                i += 1
-            b1 = ref[i] if i < n_ref else width
-            b2 = ref[i + 1] if i + 1 < n_ref else width
-            mode = r.take(_MODE_MAP, "mode")
-            if mode == "eol":
-                # EOFB (EOL pair) ends the strip early only when the
-                # picture is complete; mid-picture it's malformed
-                raise MediaFormatError(
-                    "unexpected EOL in CCITT G4 stream"
-                )
-            if mode == "p":
-                if b2 <= a0:  # malformed ref state: no forward progress
-                    raise MediaFormatError("CCITT pass mode stalls")
-                a0 = b2
-                continue
-            if mode == "h":
-                start = a0 if a0 > 0 else 0
-                r1 = _read_run(r, color == 0)
-                r2 = _read_run(r, color != 0)
-                a1 = start + r1
-                a2 = a1 + r2
-                if a2 > width or a1 > width:
-                    raise MediaFormatError(
-                        "CCITT horizontal runs overrun the row"
-                    )
-                if a2 <= a0 and a0 >= 0:  # zero-run stall
-                    raise MediaFormatError(
-                        "CCITT horizontal mode stalls"
-                    )
-                cur.append(a1)
-                cur.append(a2)
-                a0 = a2
-                continue
-            # vertical family
-            if mode == "v0":
-                a1 = b1
-            elif mode.startswith("vr"):
-                a1 = b1 + int(mode[2])
-            else:
-                a1 = b1 - int(mode[2])
-            if a1 < 0 or a1 > width or (cur and a1 < cur[-1]):
-                raise MediaFormatError(
-                    "CCITT vertical mode outside the row"
-                )
-            if a1 <= a0 and a0 >= 0:  # no forward progress
-                raise MediaFormatError("CCITT vertical mode stalls")
-            cur.append(a1)
-            color ^= 1
-            a0 = a1
-        if a0 > width:
-            raise MediaFormatError("CCITT row overruns its width")
-        # paint the row from its transitions (odd spans are black)
-        base = row * width
-        for j in range(0, len(cur) - (len(cur) & 1), 2):
-            s = cur[j]
-            e = cur[j + 1]
-            for x in range(s, e):
-                out[base + x] = 1
-        if len(cur) & 1:  # trailing black run to the row edge
-            for x in range(cur[-1], width):
-                out[base + x] = 1
+        cur = _decode_2d_row(r, ref, width)
+        _paint_row(out, row * width, cur, width)
         ref = cur + [width, width]
     return out
 
@@ -440,6 +452,168 @@ def mh_encode(
             w.put(_run_bits(run, white))
             x += run
             white = not white
+    out = w.finish()
+    if fillorder == 2:
+        out = out.translate(_REV8)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Group 3 proper (ITU-T T.4) — TIFF Compression 3
+# ---------------------------------------------------------------------------
+# The EOL-framed layer: every coded line is preceded by an EOL
+# (000000000001), optionally padded with fill zeros; under
+# T4Options bit 0 ("2-D") each EOL carries a 1-bit mode tag
+# (1 = the next line is 1-D MH, 0 = 2-D coded against the previous
+# line with the same vertical/horizontal/pass modes as T.6).  A
+# trailing RTC (six EOLs) is tolerated, never required — the TIFF
+# strip byte count bounds the data.
+
+
+def _expect_eol(r: _Bits, first: bool = False) -> bool:
+    """Consume fill zeros + one EOL.  Returns False when the stream
+    ends cleanly at a row boundary with no further EOL (TIFF streams
+    may omit the RTC); raises mid-stream desync."""
+    zeros = 0
+    d = r.data
+    p = r.pos
+    n = r.nbits
+    while True:
+        if p >= n:
+            if first or zeros:
+                raise MediaFormatError("truncated CCITT G3 stream")
+            return False
+        bit = (d[p >> 3] >> (7 - (p & 7))) & 1
+        p += 1
+        if bit == 0:
+            zeros += 1
+            continue
+        if zeros >= 11:
+            r.pos = p
+            return True
+        raise MediaFormatError("CCITT G3 line sync lost")
+
+
+def g3_decode(
+    data: bytes, width: int, height: int, two_d: bool = False,
+    fillorder: int = 1,
+) -> bytearray:
+    """T.4 (Group 3) stream → row-major bilevel pixels (1 = black).
+    ``two_d`` mirrors T4Options bit 0: EOLs then carry the 1-bit
+    1-D/2-D mode tag."""
+    if width <= 0 or height <= 0:
+        raise MediaFormatError("CCITT dimensions out of range")
+    if fillorder == 2:
+        data = data.translate(_REV8)
+    elif fillorder != 1:
+        raise MediaFormatError("CCITT FillOrder outside 1/2")
+    r = _Bits(data)
+    out = bytearray(width * height)
+    if not _expect_eol(r, first=True):
+        raise MediaFormatError("CCITT G3 stream lacks the first EOL")
+    ref = [width, width]
+    for row in range(height):
+        one_d = True
+        if two_d:
+            if r.pos >= r.nbits:
+                raise MediaFormatError("truncated CCITT G3 stream")
+            one_d = bool(
+                (r.data[r.pos >> 3] >> (7 - (r.pos & 7))) & 1
+            )
+            r.pos += 1
+        if one_d:
+            # MH line, collected as CHANGING-ELEMENT positions so it
+            # can serve as the next 2-D line's reference
+            cur: list[int] = []
+            x = 0
+            white = True
+            while x < width:
+                run = _read_run(r, white)
+                if x + run > width:
+                    raise MediaFormatError("MH run overruns the row")
+                x += run
+                if x < width:
+                    cur.append(x)
+                white = not white
+        else:
+            cur = _decode_2d_row(r, ref, width)
+        _paint_row(out, row * width, cur, width)
+        ref = cur + [width, width]
+        if row + 1 < height:
+            if not _expect_eol(r):
+                raise MediaFormatError(
+                    "CCITT G3 stream ends before the picture"
+                )
+    return out
+
+
+def g3_encode(
+    bits, width: int, height: int, two_d: bool = False,
+    k_factor: int = 4, fillorder: int = 1,
+) -> bytes:
+    """Row-major bilevel pixels (1 = black) → a T.4 Group-3 stream:
+    EOL before every line; under ``two_d``, every ``k_factor``-th
+    line is coded 1-D (the K-factor resync discipline) and the rest
+    2-D against the previous line."""
+    if len(bits) != width * height:
+        raise MediaFormatError("CCITT pixel count mismatch")
+    w = _BitW()
+    ref = [width, width]
+    for row in range(height):
+        base = row * width
+        cur = _transitions(bits, base, width)
+        one_d = not two_d or (row % max(1, k_factor) == 0)
+        w.put(EOL)
+        if two_d:
+            w.put("1" if one_d else "0")
+        if one_d:
+            x = 0
+            white = True
+            while x < width:
+                run = 0
+                want = 0 if white else 1
+                while x + run < width and bits[base + x + run] == want:
+                    run += 1
+                w.put(_run_bits(run, white))
+                x += run
+                white = not white
+        else:
+            curs = cur + [width, width]
+            a0 = -1
+            color = 0
+            ci = 0
+            while a0 < width:
+                a1 = curs[ci] if ci < len(curs) else width
+                i = 0
+                n_ref = len(ref)
+                while i < n_ref and (ref[i] <= a0 or (i & 1) != color):
+                    i += 1
+                b1 = ref[i] if i < n_ref else width
+                b2 = ref[i + 1] if i + 1 < n_ref else width
+                if b2 < a1:
+                    w.put(MODE_P)
+                    a0 = b2
+                    continue
+                d = a1 - b1
+                if -3 <= d <= 3:
+                    if d == 0:
+                        w.put(MODE_V0)
+                    elif d > 0:
+                        w.put(MODE_VR[d])
+                    else:
+                        w.put(MODE_VL[-d])
+                    a0 = a1
+                    color ^= 1
+                    ci += 1
+                    continue
+                start = a0 if a0 > 0 else 0
+                a2 = curs[ci + 1] if ci + 1 < len(curs) else width
+                w.put(MODE_H)
+                w.put(_run_bits(a1 - start, color == 0))
+                w.put(_run_bits(a2 - a1, color != 0))
+                a0 = a2
+                ci += 2
+        ref = cur + [width, width]
     out = w.finish()
     if fillorder == 2:
         out = out.translate(_REV8)

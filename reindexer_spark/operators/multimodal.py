@@ -7038,8 +7038,10 @@ def image_tiff_ccitt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``roundtrip_exact=1`` (decoded bits == the source page);
     ``g4_smaller=1`` (summed strip bytes < the packed 1-bit raster —
     the reason fax uses it); ``probe_agrees=1``;
-    ``g3_quarantined=1`` (the same fixture patched to Compression 2
-    refuses BY NAME while the probe still reads dims).  The T.4/T.6
+    ``g3_quarantined=1`` (the same fixture patched to Compression 3
+    refuses — its T.6 strip bytes are not an EOL-framed G3 stream —
+    while the probe still reads dims; G3 proper DECODES since late
+    round 16, see ``image_tiff_g3``).  The T.4/T.6
     table transcription itself is externally pinned by
     tests/test_ccitt.py (published codewords + prefix/Kraft
     structure).
@@ -7138,11 +7140,11 @@ def image_tiff_ccitt(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 smaller = int(strip_bytes < ((w + 7) // 8) * h)
                 try:
-                    decode_tiff(with_compression(payload, 2))
+                    decode_tiff(with_compression(payload, 3))
                     g3q = 0
                 except MediaFormatError:
                     g3q = int(
-                        probe_tiff(with_compression(payload, 2))["width"]
+                        probe_tiff(with_compression(payload, 3))["width"]
                         == w
                     )
                 rows.append(
@@ -7258,8 +7260,9 @@ def image_tiff_mh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Value-exact oracle: MH is lossless, so DuckDB recomputes every
     decoded pixel (``rgb_md5``) plus the geometry;
-    ``g3_quarantined=1`` pins that Compression 3 proper (EOL-framed
-    G3) still refuses BY NAME; ``mh_smaller=1`` compares the summed
+    ``g3_quarantined=1`` pins that the fixture patched to
+    Compression 3 refuses (MH rows are not EOL-framed);
+    ``mh_smaller=1`` compares the summed
     strip bytes against the packed 1-bit raster.  The table
     transcription shares tests/test_ccitt.py's external pins with
     the G4 lane.
@@ -7392,6 +7395,240 @@ def image_tiff_mh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id bigint, width int, height int, n_strips int, "
         "fillorder string, rgb_md5 string, roundtrip_exact int, "
         "mh_smaller int, probe_agrees int, g3_quarantined int",
+    )
+
+
+@query(
+    "image_tiff_g3",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, sha256(text) AS dg
+      FROM documents WHERE doc_id < {TIFF_DOCS}
+    ), g AS (
+      SELECT media_id, dg,
+             21 + CAST(('0x' || substr(dg, 1, 2)) AS INT) % 40 AS w,
+             17 + CAST(('0x' || substr(dg, 3, 2)) AS INT) % 20 AS h,
+             CAST(('0x' || substr(dg, 5, 2)) AS INT) AS s2,
+             CAST(('0x' || substr(dg, 7, 2)) AS INT) AS s3,
+             CAST(('0x' || substr(dg, 9, 2)) AS INT) AS s4,
+             CAST(('0x' || substr(dg, 11, 2)) AS INT) AS s5,
+             CAST(('0x' || substr(dg, 13, 2)) AS INT) AS s6,
+             CAST(('0x' || substr(dg, 15, 2)) AS INT) AS s7,
+             CAST(('0x' || substr(dg, 17, 2)) AS INT) AS s8,
+             CAST(('0x' || substr(dg, 19, 2)) AS INT) AS s9,
+             CAST(('0x' || substr(dg, 21, 2)) AS INT) AS s10
+      FROM base
+    ), r AS (
+      SELECT media_id, dg, w, h, s10,
+             s2 % w AS x1, s4 % h AS y1,
+             1 + s3 % (w - s2 % w) AS w1,
+             1 + s5 % (h - s4 % h) AS h1,
+             s6 % w AS x2, s8 % h AS y2,
+             1 + s7 % (w - s6 % w) AS w2,
+             1 + s9 % (h - s8 % h) AS h2
+      FROM g
+    ), nchain AS (
+      SELECT media_id,
+             string_agg(sha256(dg || '-n-' || i), '' ORDER BY i) AS nz
+      FROM r CROSS JOIN range(8) rr(i)
+      WHERE i < CEIL(2 * w / 64.0)
+      GROUP BY media_id
+    ), px AS (
+      SELECT r.media_id, r.w, r.h, r.s10,
+        array_to_string(
+          list_transform(range(CAST(r.h * r.w AS BIGINT)), i ->
+            CASE WHEN
+              ((i // r.w) >= r.y1 AND (i // r.w) < r.y1 + r.h1
+               AND (i % r.w) >= r.x1 AND (i % r.w) < r.x1 + r.w1)
+              OR
+              ((i // r.w) >= r.y2 AND (i // r.w) < r.y2 + r.h2
+               AND (i % r.w) >= r.x2 AND (i % r.w) < r.x2 + r.w2)
+              OR
+              ((i // r.w) >= r.h - 2
+               AND CAST(('0x' || substr(nchain.nz,
+                    CAST(((i // r.w) - (r.h - 2)) * r.w + (i % r.w)
+                         + 1 AS INT), 1)) AS INT) % 2 = 1)
+            THEN '000000' ELSE 'ffffff' END), '') AS rgbhex
+      FROM r JOIN nchain ON nchain.media_id = r.media_id
+    )
+    SELECT media_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST((h + (5 + s10 % 7) - 1) // (5 + s10 % 7) AS INT)
+             AS n_strips,
+           CASE WHEN media_id % 2 = 0 THEN 'msb' ELSE 'lsb' END
+             AS fillorder,
+           md5(rgbhex) AS rgb_md5,
+           CAST(1 AS INT) AS roundtrip_exact,
+           CAST(1 AS INT) AS eol_framed,
+           CAST(1 AS INT) AS probe_agrees,
+           CAST(1 AS INT) AS g3_quarantined
+    FROM px
+    """,
+)
+def image_tiff_g3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCITT GROUP 3 PROPER TIFF decode (late round 16 — TIFF
+    Compression 3, the EOL-framed T.4 layer, completing the CCITT
+    family): the same digest bilevel page as ``image_tiff_ccitt``,
+    written as per-strip Group-3 streams — EOL before every line,
+    and on even media_ids T4Options bit 0 turns on the per-line
+    1-D/2-D mode tags (2-D lines share the T.6 vertical/horizontal/
+    pass machinery, K-factor 4 resync) — decoded through the
+    production path (tiff.py:_decode_tiff_g4 → ccitt.g3_decode).
+
+    Value-exact oracle: G3 is lossless, so DuckDB recomputes every
+    decoded pixel (``rgb_md5``) plus the geometry;
+    ``g3_quarantined=1`` here pins the OPTION boundary — the same
+    fixture with T4Options' uncompressed-mode bit set refuses by
+    name while the probe still reads dims.  The run/mode tables
+    share tests/test_ccitt.py's external pins.
+
+    Scale shape: mapInPandas, payloads never shuffle — same as every
+    media lane."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < TIFF_DOCS
+    )
+
+    def build_and_decode(batches):
+        import hashlib
+        import struct as st
+
+        import numpy as np
+
+        from reindexer_spark.codecs import MediaFormatError
+        from reindexer_spark.tiff import (
+            TAG_COMPRESSION,
+            decode_tiff,
+            encode_tiff_g4,
+            probe_tiff,
+        )
+
+        def with_compression(payload: bytes, val: int) -> bytes:
+            buf = bytearray(payload)
+            (ifd,) = st.unpack_from("<I", buf, 4)
+            (n,) = st.unpack_from("<H", buf, ifd)
+            for i in range(n):
+                e = ifd + 2 + 12 * i
+                if st.unpack_from("<H", buf, e)[0] == TAG_COMPRESSION:
+                    st.pack_into("<H", buf, e + 8, val)
+                    return bytes(buf)
+            raise MediaFormatError("fixture lacks a Compression tag")
+
+        for pdf in batches:
+            rows = []
+            for rr in pdf.itertuples(index=False):
+                mid = int(rr.doc_id)
+                dg = hashlib.sha256(rr.text.encode("utf-8")).hexdigest()
+                s = [int(dg[2 * i : 2 * i + 2], 16) for i in range(11)]
+                w = 21 + s[0] % 40
+                h = 17 + s[1] % 20
+                x1, y1 = s[2] % w, s[4] % h
+                w1, h1 = 1 + s[3] % (w - x1), 1 + s[5] % (h - y1)
+                x2, y2 = s[6] % w, s[8] % h
+                w2, h2 = 1 + s[7] % (w - x2), 1 + s[9] % (h - y2)
+                rps = 5 + s[10] % 7
+                page = np.zeros((h, w), dtype=np.uint8)
+                page[y1 : y1 + h1, x1 : x1 + w1] = 1
+                page[y2 : y2 + h2, x2 : x2 + w2] = 1
+                nz = "".join(
+                    hashlib.sha256(f"{dg}-n-{i}".encode()).hexdigest()
+                    for i in range((2 * w + 63) // 64)
+                )
+                for j in range(2 * w):
+                    if int(nz[j], 16) % 2:
+                        page[h - 2 + j // w, j % w] = 1
+                flat = bytearray(page.reshape(-1).tolist())
+                fo = 1 if mid % 2 == 0 else 2
+                payload = encode_tiff_g4(
+                    w, h, flat, rows_per_strip=rps, fillorder=fo,
+                    compression=3, t4_2d=(mid % 2 == 0),
+                )
+                dw, dh, rgb = decode_tiff(payload)
+                a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+                decoded_bits = (a[:, :, 0] == 0).astype(np.uint8)
+                exact = int(np.array_equal(decoded_bits, page))
+                pm = probe_tiff(payload)
+                n_strips = (h + rps - 1) // rps
+                agrees = int(
+                    pm["compression"] == 3
+                    and pm["width"] == dw == w
+                    and pm["height"] == dh == h
+                    and pm["bits"] == 1
+                    and pm["n_strips"] == n_strips
+                )
+                # strip bytes vs the packed 1-bit raster
+                # the G3 signature: every strip opens with (fill+)EOL
+                first_off = None
+                buf0 = payload
+                (ifd0,) = st.unpack_from("<I", buf0, 4)
+                (n0,) = st.unpack_from("<H", buf0, ifd0)
+                for i0 in range(n0):
+                    e0 = ifd0 + 2 + 12 * i0
+                    if st.unpack_from("<H", buf0, e0)[0] == 273:
+                        (voff0,) = st.unpack_from("<I", buf0, e0 + 8)
+                        (first_off,) = st.unpack_from("<I", buf0, voff0)
+                        break
+                sb = payload[first_off : first_off + 2]
+                if fo == 2:
+                    sb = bytes(
+                        int(f"{b:08b}"[::-1], 2) for b in sb
+                    )
+                bits16 = (sb[0] << 8) | sb[1]
+                # first 12 bits must be 000000000001 (no leading fill
+                # in this encoder's output)
+                smaller = int(bits16 >> 4 == 1)
+                from reindexer_spark.tiff import TAG_T4_OPTIONS
+
+                def with_t4opts(p2: bytes, val: int) -> bytes:
+                    buf = bytearray(p2)
+                    (ifd,) = st.unpack_from("<I", buf, 4)
+                    (n2,) = st.unpack_from("<H", buf, ifd)
+                    for i2 in range(n2):
+                        e2 = ifd + 2 + 12 * i2
+                        if st.unpack_from("<H", buf, e2)[0] == TAG_T4_OPTIONS:
+                            st.pack_into("<I", buf, e2 + 8, val)
+                            return bytes(buf)
+                    raise MediaFormatError("fixture lacks T4Options")
+
+                try:
+                    decode_tiff(with_t4opts(payload, 2))
+                    g3q = 0
+                except MediaFormatError:
+                    g3q = int(
+                        probe_tiff(with_t4opts(payload, 2))["width"] == w
+                    )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": dw,
+                        "height": dh,
+                        "n_strips": n_strips,
+                        "fillorder": "msb" if fo == 1 else "lsb",
+                        "rgb_md5": hashlib.md5(
+                            rgb.hex().encode()
+                        ).hexdigest(),
+                        "roundtrip_exact": exact,
+                        "eol_framed": smaller,
+                        "probe_agrees": agrees,
+                        "g3_quarantined": g3q,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_strips",
+                    "fillorder", "rgb_md5", "roundtrip_exact",
+                    "eol_framed", "probe_agrees", "g3_quarantined",
+                ],
+            )
+
+    return docs.select("doc_id", "text").repartition(TIFF_DOCS).mapInPandas(
+        build_and_decode,
+        "media_id bigint, width int, height int, n_strips int, "
+        "fillorder string, rgb_md5 string, roundtrip_exact int, "
+        "eol_framed int, probe_agrees int, g3_quarantined int",
     )
 
 

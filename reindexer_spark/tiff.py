@@ -250,17 +250,12 @@ def decode_tiff(payload: bytes) -> tuple[int, int, bytes]:
         raise MediaFormatError(
             "old-style JPEG-in-TIFF (Compression 6) not supported"
         )
-    if comp in (2, 4):
-        # CCITT (round 16): Group 4 / T.6 (Compression 4) and the
-        # 1-D Modified-Huffman RLE layer (Compression 2) both decode
+    if comp in (2, 3, 4):
+        # CCITT (round 16): the WHOLE family — Group 4 / T.6
+        # (Compression 4), Group 3 proper (Compression 3, EOL-framed
+        # 1-D/2-D per T4Options), and the 1-D Modified-Huffman RLE
+        # layer (Compression 2)
         return _decode_tiff_g4(payload, ent, one, le, w, h, comp)
-    if comp == 3:
-        # G3 proper (EOL-framed T.4, optional 2-D lines) stays
-        # outside the subset — Compression 2 (MH) and 4 (G4) decode
-        raise MediaFormatError(
-            "CCITT G3 (Compression 3) not supported "
-            "(MH/Compression 2 and G4/Compression 4 decode)"
-        )
     if comp not in (1, 5, 8, 32773, 32946):
         raise MediaFormatError(
             f"TIFF compression {comp} outside the "
@@ -1928,18 +1923,32 @@ def _decode_tiff_g4(
     payload: bytes, ent: dict, one, le: bool, w: int, h: int,
     comp: int = 4,
 ) -> tuple[int, int, bytes]:
-    """Bilevel CCITT decode: per-strip T.6 streams (Compression 4)
-    or 1-D Modified-Huffman rows (Compression 2) through ccitt.py
-    (each strip restarts fresh — the all-white reference line for
-    G4, the byte-aligned row grid for MH), honoring FillOrder 1/2
-    and both bilevel photometrics.  T6Options with the
-    uncompressed-mode bit quarantines (nothing mainstream writes
-    it)."""
+    """Bilevel CCITT decode: per-strip T.6 streams (Compression 4),
+    EOL-framed Group-3 lines (Compression 3 — T4Options bit 0 turns
+    on the per-line 1-D/2-D tag), or 1-D Modified-Huffman rows
+    (Compression 2) through ccitt.py; each strip restarts fresh.
+    Honors FillOrder 1/2 and both bilevel photometrics.  The
+    uncompressed-mode option bit quarantines in either options tag
+    (nothing mainstream writes it)."""
+    import functools
+
     import numpy as np
 
-    from reindexer_spark.ccitt import g4_decode, mh_decode
+    from reindexer_spark.ccitt import g3_decode, g4_decode, mh_decode
 
-    decoder = g4_decode if comp == 4 else mh_decode
+    if comp == 4:
+        decoder = g4_decode
+    elif comp == 2:
+        decoder = mh_decode
+    else:
+        t4 = int(one(TAG_T4_OPTIONS, 0))
+        if t4 & 0x02:
+            raise MediaFormatError(
+                "T.4 uncompressed mode (T4Options bit 1) not supported"
+            )
+        # bit 2 (fill bits before EOL) needs no special handling —
+        # the EOL scan consumes any fill zeros
+        decoder = functools.partial(g3_decode, two_d=bool(t4 & 0x01))
 
     bits = ent.get(TAG_BITS, {"values": [1]})["values"]
     if not isinstance(bits, list):
@@ -2002,14 +2011,17 @@ def encode_tiff_g4(
     photometric: int = 0,
     with_eofb: bool = False,
     compression: int = 4,
+    t4_2d: bool = False,
 ) -> bytes:
     """Fixture/production writer for bilevel CCITT TIFF: row-major
     pixels (1 = black) as per-strip T.6 streams (``compression=4``,
-    the default) or 1-D Modified-Huffman rows (``compression=2``)."""
-    from reindexer_spark.ccitt import g4_encode, mh_encode
+    the default), EOL-framed Group-3 lines (``compression=3`` —
+    ``t4_2d`` adds the 2-D tag layer and writes T4Options bit 0), or
+    1-D Modified-Huffman rows (``compression=2``)."""
+    from reindexer_spark.ccitt import g3_encode, g4_encode, mh_encode
 
-    if compression not in (2, 4):
-        raise MediaFormatError("bilevel write compression must be 2 or 4")
+    if compression not in (2, 3, 4):
+        raise MediaFormatError("bilevel write compression must be 2, 3 or 4")
     if len(bits) != width * height:
         raise MediaFormatError("CCITT pixel count mismatch")
     rps = rows_per_strip or max(1, (height + 1) // 2)
@@ -2021,6 +2033,11 @@ def encode_tiff_g4(
             strips.append(
                 g4_encode(seg, width, rows, fillorder=fillorder,
                           with_eofb=with_eofb)
+            )
+        elif compression == 3:
+            strips.append(
+                g3_encode(seg, width, rows, two_d=t4_2d,
+                          fillorder=fillorder)
             )
         else:
             strips.append(
@@ -2036,7 +2053,8 @@ def encode_tiff_g4(
         (TAG_SPP, 3, [1]),
         (TAG_PLANAR, 3, [1]),
         (TAG_FILLORDER, 3, [fillorder]),
-        (TAG_T6_OPTIONS, 4, [0]),
+        (TAG_T4_OPTIONS if compression == 3 else TAG_T6_OPTIONS, 4,
+         [1 if (compression == 3 and t4_2d) else 0]),
         (TAG_STRIP_OFFSETS, 4, [0] * n),  # patched below
         (TAG_ROWS_PER_STRIP, 3, [min(rps, 65535)]),
         (TAG_STRIP_COUNTS, 4, [len(s) for s in strips]),

@@ -268,3 +268,98 @@ def test_mh_fuzz_quarantine_contract():
             mh_decode(blob, 16, 16)
         except MediaFormatError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Group 3 proper (T.4, EOL-framed) — TIFF Compression 3
+# ---------------------------------------------------------------------------
+
+
+def test_g3_roundtrip_1d_and_2d():
+    from reindexer_spark.ccitt import g3_decode, g3_encode
+
+    rng = np.random.default_rng(41)
+    for trial in range(30):
+        w = int(rng.integers(1, 80))
+        h = int(rng.integers(1, 22))
+        style = trial % 3
+        if style == 0:
+            bits = rng.integers(0, 2, (h, w)).astype(np.uint8)
+        elif style == 1:
+            bits = np.zeros((h, w), np.uint8)
+            bits[: h // 2 + 1, : w // 2 + 1] = 1
+        else:
+            bits = np.ones((h, w), np.uint8)
+        flat = bytearray(bits.reshape(-1).tolist())
+        for two_d in (False, True):
+            for fo in (1, 2):
+                enc = g3_encode(
+                    flat, w, h, two_d=two_d,
+                    k_factor=int(rng.integers(1, 6)), fillorder=fo,
+                )
+                assert g3_decode(
+                    enc, w, h, two_d=two_d, fillorder=fo
+                ) == flat, (trial, two_d, fo)
+
+
+def test_g3_eol_framing_and_desync_quarantine():
+    from reindexer_spark.ccitt import EOL, g3_decode, g3_encode
+
+    flat = bytearray([1, 0] * 30)
+    enc = g3_encode(flat, 12, 5)
+    # the stream opens with EOL
+    bits16 = (enc[0] << 8) | enc[1]
+    assert bits16 >> 4 == 1 and EOL == "000000000001"
+    # stripping the first EOL desyncs BY NAME
+    import math
+
+    shifted = bytes(
+        ((enc[i] << 4) & 0xFF) | (enc[i + 1] >> 4 if i + 1 < len(enc)
+                                  else 0)
+        for i in range(len(enc))
+    )
+    with pytest.raises(MediaFormatError):
+        g3_decode(shifted, 12, 5)
+    # truncations and garbage: the repo-wide contract
+    rng = np.random.default_rng(42)
+    for cut in range(len(enc)):
+        try:
+            g3_decode(enc[:cut], 12, 5)
+        except MediaFormatError:
+            pass
+    for _ in range(150):
+        blob = bytes(rng.integers(0, 256, int(rng.integers(1, 40)),
+                                  dtype=np.uint8))
+        try:
+            g3_decode(blob, 16, 16, two_d=bool(rng.integers(0, 2)))
+        except MediaFormatError:
+            pass
+
+
+def test_g3_in_tiff_and_uncompressed_option_quarantines():
+    import struct
+
+    bits = np.zeros((26, 37), np.uint8)
+    bits[5:18, 4:30] = 1
+    flat = bytearray(bits.reshape(-1).tolist())
+    for two_d in (False, True):
+        p = encode_tiff_g4(
+            37, 26, flat, rows_per_strip=9, compression=3,
+            t4_2d=two_d,
+        )
+        w, h, rgb = decode_tiff(p)
+        a = np.frombuffer(rgb, np.uint8).reshape(26, 37, 3)
+        assert np.array_equal((a[:, :, 0] == 0).astype(np.uint8), bits)
+        assert probe_tiff(p)["compression"] == 3
+    # T4Options uncompressed-mode bit quarantines by name
+    from reindexer_spark.tiff import TAG_T4_OPTIONS
+
+    buf = bytearray(p)
+    (ifd,) = struct.unpack_from("<I", buf, 4)
+    (n,) = struct.unpack_from("<H", buf, ifd)
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        if struct.unpack_from("<H", buf, e)[0] == TAG_T4_OPTIONS:
+            struct.pack_into("<I", buf, e + 8, 2)
+    with pytest.raises(MediaFormatError, match="uncompressed"):
+        decode_tiff(bytes(buf))
