@@ -10,6 +10,8 @@ Catalyst handles pushdown into whichever source is behind it.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -24,6 +26,35 @@ TABLES = (
     "documents",
     "embeddings",
 )
+
+
+# (app_id, resolved path, source mtime) → lazy DataFrame.  Building a
+# parquet DataFrame reads footers for schema inference — ~30-100 ms of
+# driver/JVM work PER TABLE PER CALL, and every registered query calls
+# load_table for each table it touches (register_views: all 10), so the
+# bench paid it hundreds of times per sweep (optimization r16, guide
+# §1.2 driver-side work).  The cached object is an UNMATERIALIZED plan
+# — no rows are cached, every execution still scans the parquet — so
+# this is plan reuse, not result caching.  The mtime key invalidates
+# when a test regenerates a fixture dir in place; the app-id key drops
+# plans bound to a stopped session.
+_TABLE_PLANS: dict[tuple[str, str, float], DataFrame] = {}
+
+
+def _source_mtime(path: str) -> float:
+    """Newest mtime under ``path`` (single parquet file in the testdata
+    layout; one directory level for Spark-written datasets)."""
+    try:
+        mt = os.path.getmtime(path)
+        if os.path.isdir(path):
+            with os.scandir(path) as it:
+                for entry in it:
+                    m = entry.stat().st_mtime
+                    if m > mt:
+                        mt = m
+        return mt
+    except OSError:
+        return -1.0
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -41,6 +72,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DuckDB applies).  Either way callers always see ``ts: timestamp``.
     """
     path = f"{sf_dir}/{name}.parquet"
+    key = (spark.sparkContext.applicationId, path, _source_mtime(path))
+    cached = _TABLE_PLANS.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
@@ -53,8 +88,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    if len(_TABLE_PLANS) >= 256:  # fixture-regenerating test loops
+        _TABLE_PLANS.clear()
+    _TABLE_PLANS[key] = df
+    return df
 
 
 def register_views(

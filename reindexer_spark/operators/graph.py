@@ -108,32 +108,50 @@ def graph_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("total_w"))
-    ratio = edges.join(outw, "src").select(
-        "src", "dst", (F.col("w").cast("double") / F.col("total_w")).alias("r")
+    ratio = track(
+        edges.join(outw, "src").select(
+            "src", "dst",
+            (F.col("w").cast("double") / F.col("total_w")).alias("r"),
+        )
     )
-    nodes = (
+    nodes = track(
         edges.select(F.col("src").alias("n"))
         .union(edges.select(F.col("dst").alias("n")))
         .distinct()
     )
     n_nodes = nodes.count()  # tiny, intentional (the one driver-side scalar)
+    ratio.createOrReplaceTempView("__pr_ratio")
+    nodes.createOrReplaceTempView("__pr_nodes")
 
-    pr = nodes.select("n", F.lit(1.0 / n_nodes).alias("pr"))
-    for _ in range(N_ITER):
-        contrib = ratio.join(pr, ratio.src == pr.n).select(
-            F.col("dst").alias("n"),
-            (F.col("pr") * F.col("r")).cast("decimal(28,15)").alias("term"),
-        )
-        summed = contrib.groupBy("n").agg(
-            F.sum("term").cast("double").alias("s")
-        )
-        pr = nodes.join(summed, "n", "left").select(
-            "n",
-            (
-                F.lit((1 - DAMPING) / n_nodes)
-                + F.lit(DAMPING) * F.coalesce("s", F.lit(0.0))
-            ).alias("pr"),
-        )
+    # The iterative phase as ONE chained-CTE SQL text over the two
+    # cached tiny relations (optimization r16): the old per-iteration
+    # DataFrame loop re-built the join/agg expression forest through
+    # Py4J each call (~0.7 s of driver time for a 625-row relation) and
+    # every iteration re-derived nodes from the edge cache.  Expression
+    # structure is op-for-op the old one — pr·r cast DECIMAL(28,15),
+    # decimal SUM (reduction-order-free), CAST AS DOUBLE, the same
+    # base/damping binary64 literals (repr round-trips exactly) — so
+    # the trajectory is bit-identical; only the plan authoring changed.
+    base = (1 - DAMPING) / n_nodes
+    parts = [
+        f"WITH pr0 AS (SELECT n, CAST('{1.0 / n_nodes!r}' AS DOUBLE) AS pr"
+        " FROM __pr_nodes)"
+    ]
+    for i in range(1, N_ITER + 1):
+        parts.append(f"""
+        , c{i} AS (
+          SELECT r.dst AS n, CAST(p.pr * r.r AS DECIMAL(28,15)) AS term
+          FROM __pr_ratio r JOIN pr{i - 1} p ON r.src = p.n
+        ), s{i} AS (
+          SELECT n, CAST(SUM(term) AS DOUBLE) AS s FROM c{i} GROUP BY n
+        ), pr{i} AS (
+          SELECT nd.n,
+                 CAST('{base!r}' AS DOUBLE)
+                   + CAST('{DAMPING!r}' AS DOUBLE) * COALESCE(s.s, 0.0D) AS pr
+          FROM __pr_nodes nd LEFT JOIN s{i} s ON s.n = nd.n
+        )""")
+    parts.append(f"SELECT n, pr FROM pr{N_ITER}")
+    pr = spark.sql("".join(parts))
     return pr.join(F.broadcast(n), pr.n == n.n_nationkey).select(
         "n_name", F.round("pr", 9).alias("pagerank")
     )

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from reindexer_spark.cache import track
 from reindexer_spark.catalog import load_table
 from reindexer_spark.registry import query
 
@@ -97,7 +98,7 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dot(a: Column, b: Column) -> Column:
     """Dot product folded in array order (matches DuckDB list_dot_product;
-    same pattern as similarity._dot_literal)."""
+    same fold similarity._dot_literal_sql renders as SQL text)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y),
         F.lit(0.0),
@@ -824,7 +825,13 @@ def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ORDER BY q DESC, gid
         return pd.Series(g_ids[np.argmax(q, axis=1)])
 
-    vgrp = e.select("vec_id", "embedding", _coarse("embedding").alias("gid"))
+    # materialize the coarse assignment once (optimization r16): vgrp
+    # feeds BOTH cogroup sides and the final join chain re-references
+    # the clustering output four ways — uncached, the before-plan ran
+    # the _coarse pandas UDF 8× per execution (8 ArrowEvalPython nodes)
+    vgrp = track(
+        e.select("vec_id", "embedding", _coarse("embedding").alias("gid"))
+    )
     fines = vgrp.filter(F.col("vec_id") < kf).select(
         F.col("vec_id").alias("cluster_id"),
         F.col("embedding").alias("centroid"),
@@ -863,7 +870,10 @@ def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    assigned = (
+    # cached for the same reason: the a/b self-join, sizes agg, and the
+    # final join each re-execute this cogroup otherwise (deterministic
+    # recompute, so track()'s contract holds)
+    assigned = track(
         vgrp.groupBy("gid")
         .cogroup(fines.groupBy("gid"))
         .applyInPandas(

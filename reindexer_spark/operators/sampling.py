@@ -617,18 +617,10 @@ def corpus_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUALIFY dedup, recursive-CTE packing — so the hash gate proves the
     three-stage pipeline value-exact end to end, fill fractions
     included (exact: the budget is a power of two)."""
-    from reindexer_spark.operators.text import _logreg_fit
+    from reindexer_spark.operators.text import _logreg_fit, _logreg_score_col
 
-    feats, w = _logreg_fit(spark, sf_dir)
-    wf = F.broadcast(w.select("w0", "w1", "w2", "w3"))
-    z = (
-        F.col("w0")
-        + F.col("w1") * F.col("x1")
-        + F.col("w2") * F.col("x2")
-        + F.col("w3") * F.col("x3")
-    )
-    score = F.floor(1e6 / (1.0 + F.exp(-z))) / 1e6
-    kept = feats.crossJoin(wf).filter(score >= 0.5).select("doc_id")
+    feats, w, _hist = _logreg_fit(spark, sf_dir)
+    kept = feats.filter(_logreg_score_col(w) >= 0.5).select("doc_id")
 
     w_dg = Window.partitionBy("dg").orderBy("doc_id")
     survivors = (

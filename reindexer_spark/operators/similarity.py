@@ -46,24 +46,38 @@ HYPERPLANES: list[list[float]] = [
 ]
 
 
-def _dot_literal(emb: Column, plane: list[float]) -> Column:
-    """Dot product of an array<float> column with a literal plane, in
-    DOUBLE, accumulated in array order (matches DuckDB list_dot_product)."""
-    lit_plane = F.array(*[F.lit(v) for v in plane])
-    return F.aggregate(
-        F.zip_with(emb, lit_plane, lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _dot_literal_sql(col: str, plane: list[float]) -> str:
+    """Spark-SQL text for the dot product of an array<float> column with
+    a literal plane, in DOUBLE, accumulated in array order (matches
+    DuckDB list_dot_product).  Rendered as ONE SQL string instead of a
+    Py4J expression forest: building array(64 lits) + two lambda HOFs
+    per plane through Py4J cost ~2 s of driver time per 16-plane lane
+    at ANY scale (optimization r16, guide §1.2 — the Catalyst tree the
+    JVM parses from this text is identical to the old F.aggregate/
+    F.zip_with form, literal for literal, so results are bit-equal)."""
+    arr = ", ".join(f"{v!r}D" for v in plane)
+    return (
+        f"aggregate(zip_with({col}, array({arr}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
     )
 
 
-def bucket_expr(emb: Column) -> Column:
-    """LSH bucket id: bit i = sign of projection onto hyperplane i."""
-    bits = [
-        F.when(_dot_literal(emb, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i, plane in enumerate(HYPERPLANES)
-    ]
-    return sum(bits[1:], bits[0]).cast("int")
+def _bucket_expr_sql(col: str, planes: list[list[float]]) -> str:
+    """SQL text for an LSH bucket id: bit i = sign of projection onto
+    plane i — the F.when(dot >= 0, 1<<i) chain as one parseable string."""
+    terms = " + ".join(
+        f"(CASE WHEN {_dot_literal_sql(col, plane)} >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    return f"CAST(({terms}) AS INT)"
+
+
+def bucket_expr(col: str = "embedding") -> Column:
+    """LSH bucket id: bit i = sign of projection onto hyperplane i.
+    Takes the embedding COLUMN NAME (the expression is rendered as SQL
+    text — see :func:`_dot_literal_sql`)."""
+    return F.expr(_bucket_expr_sql(col, HYPERPLANES))
 
 
 def _bucket_sql(col: str) -> str:
@@ -150,7 +164,7 @@ def knn_ivf_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket everything, one equi-join on bucket id — the shape that
     survives a 100×-scale-up where brute force cannot."""
     e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", bucket_expr(F.col("embedding"))
+        "bucket", bucket_expr("embedding")
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -326,6 +340,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         b = np.stack(out, axis=1).astype(np.int32)  # (n, DEDUP_N_BANDS)
         return pd.Series(list(b))
 
+    # asNondeterministic stops the optimizer pushing posexplode's
+    # size()>0 pre-filter below the projection as a SECOND evaluation
+    # of the UDF (guide §4.4: the before-plan showed two stacked
+    # ArrowEvalPython nodes for one call — every row paid the 4×nbits
+    # projection twice).  The function itself is pure; the flag only
+    # forbids the duplicating rewrite.
+    _bucket_ids = _bucket_ids.asNondeterministic()
+
     banded = track(
         e.select(
             "vec_id", "embedding", _bucket_ids("embedding").alias("bb")
@@ -378,12 +400,10 @@ BAND_PLANES: list[list[list[float]]] = [
 ]
 
 
-def band_bucket_expr(emb: Column, band: int) -> Column:
-    bits = [
-        F.when(_dot_literal(emb, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i, plane in enumerate(BAND_PLANES[band])
-    ]
-    return sum(bits[1:], bits[0]).cast("int")
+def band_bucket_expr(col: str, band: int) -> Column:
+    """Per-band LSH bucket id over the band's plane set, rendered as one
+    SQL string (see :func:`_dot_literal_sql` for why)."""
+    return F.expr(_bucket_expr_sql(col, BAND_PLANES[band]))
 
 
 def _band_bucket_sql(col: str, band: int) -> str:
@@ -449,7 +469,7 @@ def knn_multiband_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.posexplode(
             F.array(
-                *[band_bucket_expr(F.col("embedding"), bd) for bd in range(N_BANDS)]
+                *[band_bucket_expr("embedding", bd) for bd in range(N_BANDS)]
             )
         ).alias("band", "bucket"),
     )
@@ -633,7 +653,7 @@ def embed_ann_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the data is clustered) and the hot bucket needs salting; it is the
     monitoring query behind the dedup_embedding_lsh/knn_ivf_lsh plans."""
     e = load_table(spark, sf_dir, "embeddings").select(
-        bucket_expr(F.col("embedding")).alias("bucket")
+        bucket_expr("embedding").alias("bucket")
     )
     occ = e.groupBy("bucket").agg(F.count("*").alias("n"))
     return occ.agg(
@@ -696,7 +716,7 @@ def split_leakage_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hence the result — oracle-checkable.
     """
     e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", bucket_expr(F.col("embedding"))
+        "bucket", bucket_expr("embedding")
     )
     is_test = (
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4)
@@ -771,7 +791,7 @@ def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-exact against the oracle (n.vec_id <> a.vec_id is implied by
     the label inequality — labels are per-vector constants)."""
     e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", bucket_expr(F.col("embedding"))
+        "bucket", bucket_expr("embedding")
     )
     a = e.filter(F.col("vec_id") < HN_ANCHORS).select(
         F.col("vec_id").alias("anchor_id"),

@@ -575,10 +575,33 @@ def _logreg_oracle(iters: int) -> str:
 
 def _logreg_fit(spark: SparkSession, sf_dir: str):
     """Shared Spark half of the GD chain (mirrors :func:`_logreg_chain`):
-    returns the persisted quantized feature relation and the 1-row
-    trained state (final weights + per-iteration history array).
-    Referenced by quality_logreg_train (unions the history) and
-    quality_logreg_score (applies the final weights)."""
+    returns the persisted quantized feature relation, the final trained
+    weights as a 4-tuple of doubles, and the per-iteration history rows.
+    Referenced by quality_logreg_train (emits the history) and
+    quality_logreg_score / corpus_training_batches (apply the final
+    weights as literals).
+
+    Execution shape (optimization r16): driver-COORDINATED gradient
+    descent — the classic data-parallel GD layout.  Each iteration is
+    ONE distributed aggregation over the cached feature relation with
+    the entering weights injected as 4 literal doubles, reduced to six
+    exact integers (decimal-free: the per-doc terms are FLOOR-quantized
+    to BIGINT before summing, so the reduction is order-independent),
+    collected to the driver (one 6-value row — bounded, O(1) in corpus
+    size), and the weight update applied driver-side.  The arithmetic
+    is IEEE-identical to the previous plan-unrolled broadcast chain:
+    the update w' = w - FLOOR(LR·g/n)/1e6 runs the same binary64 ops in
+    the same order whether Catalyst or CPython evaluates them, and
+    weights round-trip exactly through repr/parameter binding.  What
+    changed is ONLY the execution plan: the old form nested 12
+    broadcast exchanges (83 serialized micro-stages, ~4 s of pure
+    stage-launch overhead at sf0.1) and re-built ~2500 Py4J expression
+    objects per call (~4-5 s of driver-side construction); this form is
+    12 parameterized-SQL jobs over one cached scan (guide §1.2: fix the
+    distributed algorithm first — per-iteration work is one corpus
+    pass either way, but the orchestration cost drops an order of
+    magnitude, and at cluster scale the collect ships 48 bytes where
+    the broadcast chain shipped a plan with 12 nested exchanges)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n_toks = F.size(toks)
@@ -607,95 +630,76 @@ def _logreg_fit(spark: SparkSession, sf_dir: str):
         ).alias("x2"),
         (F.floor(n_toks.cast("bigint") * 1000000.0 / 600) / 1e6).alias("x3"),
     )
-    n_docs = feats.agg(F.count("*").cast("bigint").alias("n"))
-    # feats and the count are scanned by every unrolled iteration —
-    # persist the tiny feature relation so 12 iterations don't re-read
-    # and re-tokenize the corpus 12 times
+    # feats is scanned by every iteration — persist the tiny feature
+    # relation so 12 iterations don't re-read and re-tokenize the corpus
+    from math import floor as _pyfloor
+
     from reindexer_spark.cache import track
 
     feats = track(feats)
-    # 1-row training state: weights + the accumulated per-iteration
-    # trajectory as an array column.  Accumulating in-row keeps the
-    # unrolled plan LINEAR (each iteration referenced once); a union of
-    # per-iteration rows would re-execute every chain prefix — O(n²)
-    # aggregate stages for n iterations.
-    w = spark.createDataFrame(
-        [(0.0, 0.0, 0.0, 0.0, [])],
-        "w0 double, w1 double, w2 double, w3 double, "
-        "hist array<struct<iter:int,loss:double,n_correct:bigint,"
-        "w0:double,w1:double,w2:double,w3:double>>",
-    )
-    isum = lambda c: F.sum(F.floor(c * 1e6).cast("bigint"))  # noqa: E731
+    feats.createOrReplaceTempView("__logreg_feats")
+    n = feats.count()  # bounded driver scalar (the B9 max-key pattern)
+    # One iteration = one parameterized-SQL aggregation (parsed JVM-side
+    # in one call — no per-iteration Py4J expression forest) returning
+    # SIX EXACT INTEGERS.  Expression structure mirrors the previous
+    # DataFrame form token for token: p quantizes through
+    # FLOOR(1e6/(1+EXP(-z)))/1e6 with z = ((w0 + w1*x1) + w2*x2) + w3*x3
+    # left-associated, per-doc loss/gradient terms FLOOR-quantize to
+    # BIGINT before the SUM, so every float op happens pre-reduction and
+    # the reduction itself is exact integer addition.
+    step_sql = """
+      SELECT
+        SUM(CAST(FLOOR(-(y * LN(p + 1.0E-9) + (1.0D - y)
+                         * LN(1.0D - p + 1.0E-9)) * 1.0E6) AS BIGINT))
+          AS loss_i,
+        CAST(SUM(CASE WHEN (p >= 0.5D) = (y = 1.0D) THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_correct,
+        SUM(CAST(FLOOR((p - y) * 1.0E6) AS BIGINT)) AS g0,
+        SUM(CAST(FLOOR((p - y) * x1 * 1.0E6) AS BIGINT)) AS g1,
+        SUM(CAST(FLOOR((p - y) * x2 * 1.0E6) AS BIGINT)) AS g2,
+        SUM(CAST(FLOOR((p - y) * x3 * 1.0E6) AS BIGINT)) AS g3
+      FROM (
+        SELECT y, x1, x2, x3,
+               FLOOR(1.0E6 / (1.0D + EXP(-(:w0 + :w1 * x1 + :w2 * x2
+                                           + :w3 * x3)))) / 1.0E6 AS p
+        FROM __logreg_feats
+      )
+    """
+    w0 = w1 = w2 = w3 = 0.0
+    hist: list[tuple] = []
     for i in range(1, LOGREG_ITERS + 1):
-        z = (
-            F.col("w0")
-            + F.col("w1") * F.col("x1")
-            + F.col("w2") * F.col("x2")
-            + F.col("w3") * F.col("x3")
-        )
-        p = (
-            feats.crossJoin(F.broadcast(w))
-            .crossJoin(F.broadcast(n_docs))
-            .withColumn("p", F.floor(1e6 / (1.0 + F.exp(-z))) / 1e6)
-        )
-        # the entering weights ride THROUGH the aggregate (constant per
-        # group, so min() is exact) — referencing `w` a second time
-        # after the agg would duplicate the whole chained plan per
-        # iteration and blow up exponentially
-        agg = p.groupBy("n").agg(
-            F.min("w0").alias("w0"),
-            F.min("w1").alias("w1"),
-            F.min("w2").alias("w2"),
-            F.min("w3").alias("w3"),
-            F.min("hist").alias("hist"),
-            (
-                F.floor(
-                    isum(
-                        -(
-                            F.col("y") * F.log(F.col("p") + 1e-9)
-                            + (1.0 - F.col("y"))
-                            * F.log(1.0 - F.col("p") + 1e-9)
-                        )
-                    ).cast("double")
-                    / F.col("n")
-                )
-                / 1e6
-            ).alias("loss"),
-            F.sum(
-                F.when(
-                    (F.col("p") >= 0.5) == (F.col("y") == 1.0), 1
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_correct"),
-            isum(F.col("p") - F.col("y")).alias("g0"),
-            isum((F.col("p") - F.col("y")) * F.col("x1")).alias("g1"),
-            isum((F.col("p") - F.col("y")) * F.col("x2")).alias("g2"),
-            isum((F.col("p") - F.col("y")) * F.col("x3")).alias("g3"),
-        )
-        upd = lambda wj, gj: (  # noqa: E731
-            F.col(wj)
-            - F.floor(LOGREG_LR * F.col(gj) / F.col("n")) / 1e6
-        ).alias(wj)
-        w = agg.select(
-            upd("w0", "g0"),
-            upd("w1", "g1"),
-            upd("w2", "g2"),
-            upd("w3", "g3"),
-            F.array_append(
-                F.col("hist"),
-                F.struct(
-                    F.lit(i).alias("iter"),
-                    F.col("loss").alias("loss"),
-                    F.col("n_correct").alias("n_correct"),
-                    upd("w0", "g0"),
-                    upd("w1", "g1"),
-                    upd("w2", "g2"),
-                    upd("w3", "g3"),
-                ),
-            ).alias("hist"),
-        )
-    return feats, w
+        r = spark.sql(
+            step_sql, args={"w0": w0, "w1": w1, "w2": w2, "w3": w3}
+        ).collect()[0]
+        # driver-side binary64 arithmetic, op-for-op the Catalyst form:
+        # loss = FLOOR(CAST(loss_i AS DOUBLE)/n)/1e6;
+        # w'   = w - FLOOR(LR * g / n)/1e6  (LR*g first, then /n)
+        loss = _pyfloor(float(r["loss_i"]) / float(n)) / 1e6
+        w0 -= _pyfloor(LOGREG_LR * float(r["g0"]) / float(n)) / 1e6
+        w1 -= _pyfloor(LOGREG_LR * float(r["g1"]) / float(n)) / 1e6
+        w2 -= _pyfloor(LOGREG_LR * float(r["g2"]) / float(n)) / 1e6
+        w3 -= _pyfloor(LOGREG_LR * float(r["g3"]) / float(n)) / 1e6
+        hist.append((i, loss, int(r["n_correct"]), w0, w1, w2, w3))
+    return feats, (w0, w1, w2, w3), hist
+
+
+LOGREG_HIST_SCHEMA = (
+    "iter int, loss double, n_correct bigint, "
+    "w0 double, w1 double, w2 double, w3 double"
+)
+
+
+def _logreg_score_col(w: tuple[float, float, float, float]):
+    """The quantized sigmoid score under literal trained weights —
+    identical doubles to the old broadcast-crossJoin form (literals vs
+    broadcast columns carry the same binary64 values)."""
+    z = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    return F.floor(1e6 / (1.0 + F.exp(-z))) / 1e6
 
 
 @query("quality_logreg_train", oracle=_logreg_oracle(LOGREG_ITERS))
@@ -724,18 +728,10 @@ def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per iteration ONE corpus scan (4 multiplies + a
     sigmoid per row, map-side) and one 4-value decimal reduction;
-    weights broadcast back — the classic data-parallel GD layout where
-    the model is O(1) and the corpus never reshuffles."""
-    feats, w = _logreg_fit(spark, sf_dir)
-    return w.select(F.explode("hist").alias("h")).select(
-        F.col("h.iter").alias("iter"),
-        F.col("h.loss").alias("loss"),
-        F.col("h.n_correct").alias("n_correct"),
-        F.col("h.w0").alias("w0"),
-        F.col("h.w1").alias("w1"),
-        F.col("h.w2").alias("w2"),
-        F.col("h.w3").alias("w3"),
-    )
+    weights collected/re-injected as an O(1) model — the classic
+    data-parallel GD layout where the corpus never reshuffles."""
+    _feats, _w, hist = _logreg_fit(spark, sf_dir)
+    return spark.createDataFrame(hist, LOGREG_HIST_SCHEMA)
 
 
 _LOGREG_SCORE_FINAL = f"""
@@ -768,22 +764,14 @@ def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: training is the GD chain (one corpus scan per
     iteration, O(1) model); scoring is ONE more corpus-feature scan with
-    the 4-weight model broadcast as a 1-row relation — map-side only,
-    nothing reshuffles; the keep decision pushes down as an ordinary
-    filter for downstream consumers."""
-    feats, w = _logreg_fit(spark, sf_dir)
-    wf = F.broadcast(w.select("w0", "w1", "w2", "w3"))
-    z = (
-        F.col("w0")
-        + F.col("w1") * F.col("x1")
-        + F.col("w2") * F.col("x2")
-        + F.col("w3") * F.col("x3")
-    )
-    score = F.floor(1e6 / (1.0 + F.exp(-z))) / 1e6
+    the 4-weight model injected as literals — map-side only, nothing
+    reshuffles; the keep decision pushes down as an ordinary filter for
+    downstream consumers."""
+    feats, w, _hist = _logreg_fit(spark, sf_dir)
+    score = _logreg_score_col(w)
     src_df = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return (
-        feats.crossJoin(wf)
-        .join(src_df, "doc_id")
+        feats.join(src_df, "doc_id")
         .select(
             "doc_id",
             "source",
