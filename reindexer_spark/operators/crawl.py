@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from reindexer_spark.cache import track
 from reindexer_spark.catalog import load_table
 from reindexer_spark.registry import query
 
@@ -1262,7 +1263,11 @@ def reindex_then_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_reindex(docs, conf, sink=sink)
 
-    indexed = (
+    # cached (optimization r16): bm25_rank scans its input three ways
+    # (doc lengths, corpus stats, postings) and a multiLine JSON source
+    # additionally pays a whole-file schema-inference pass — uncached,
+    # the capture dir was re-read four times per run
+    indexed = track(
         spark.read.option("multiLine", "true")
         .json(cap_dir)
         .select("id", F.split("title_main_t", " ").alias("t"))

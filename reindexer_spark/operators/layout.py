@@ -10,6 +10,7 @@ then prune most files.  The key itself is pure integer bit algebra
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -144,6 +145,29 @@ def _hilbert_sql(a: str, b: str, bits: int = H_BITS) -> str:
 _H_CTES, _H_FINAL = _hilbert_sql("l_partkey", "l_suppkey")
 
 
+def hilbert_key_np(x, y, bits: int = H_BITS):
+    """The identical per-plane walk over numpy int64 vectors — one
+    vectorized pass for a whole Arrow batch.  Op-for-op the
+    :func:`hilbert_key` fold (same rotation cases, same d term from the
+    pre-rotation plane bits), pinned equal to it by
+    tests/test_plans.py's cross-implementation sweep."""
+    import numpy as np
+
+    mask = (1 << bits) - 1
+    x = x.astype(np.int64) & mask
+    y = y.astype(np.int64) & mask
+    d = np.zeros_like(x)
+    for i in range(bits - 1, -1, -1):
+        ry = (y >> i) & 1
+        rx = (x >> i) & 1
+        d += (1 << (2 * i)) * ((3 * rx) ^ ry)
+        s1 = (1 << i) - 1
+        nx = np.where(ry == 1, x, np.where(rx == 1, s1 - y, y))
+        ny = np.where(ry == 1, y, np.where(rx == 1, s1 - x, x))
+        x, y = nx, ny
+    return d
+
+
 @query(
     "layout_hilbert_key",
     oracle=f"""
@@ -167,17 +191,29 @@ def layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagonal seams (the curve Databricks liquid clustering and many
     spatial stores use for exactly this reason).
 
-    Scale shape: identical to layout_zorder_key — the key is a pure
-    codegen'd projection (a 16-plane struct fold, no UDF, no
-    shuffle); the write-side repartitionByRange(hkey) is where the
-    one exchange belongs."""
+    Execution (optimization r16, guide §4.2): the 16-plane fold as a
+    Catalyst higher-order ``aggregate`` evaluates INTERPRETED per row —
+    and the before-plan carried TWO copies of it (hkey and hkey%64
+    each inlined), ~12 µs/row and no whole-stage codegen for the lane.
+    The same walk over a whole Arrow batch is 16 iterations of numpy
+    int64 vector ops — one ArrowEvalPython pass, one evaluation, with
+    :func:`hilbert_key` (the Column form) kept as the cross-checked
+    reference implementation for write paths that must stay UDF-free.
+
+    Scale shape: a projection pass, no shuffle; the write-side
+    repartitionByRange(hkey) is where the one exchange belongs."""
+
+    @F.pandas_udf("bigint")
+    def _hkey(px: pd.Series, sy: pd.Series) -> pd.Series:
+        return pd.Series(
+            hilbert_key_np(px.to_numpy(), sy.to_numpy())
+        )
+
     li = load_table(spark, sf_dir, "lineitem")
-    h = hilbert_key("l_partkey", "l_suppkey")
     return li.select(
         "l_orderkey",
         "l_linenumber",
         "l_partkey",
         "l_suppkey",
-        h.alias("hkey"),
-        (h % N_HBUCKETS).alias("hbucket"),
-    )
+        _hkey("l_partkey", "l_suppkey").alias("hkey"),
+    ).withColumn("hbucket", F.col("hkey") % N_HBUCKETS)

@@ -373,3 +373,35 @@ def test_hilbert_key_is_a_space_filling_curve(spark):
     # reflected curve): (0,0) -> (1,0) -> (1,1) -> (0,1)
     first4 = [hmap[k] for k in range(4)]
     assert first4 == [(0, 0), (1, 0), (1, 1), (0, 1)]
+
+
+def test_hilbert_numpy_equals_column_fold(spark):
+    """The vectorized numpy walk (what layout_hilbert_key executes since
+    the r16 optimization) must agree with the Catalyst fold
+    (hilbert_key, the reference Column form) — exhaustively on a 64x64
+    low-plane grid, on a high-plane grid (values shifted into planes
+    8..15, where a wrong rotation would hide from low-value data), and
+    on a deterministic full-range random sample at the production 16
+    bits."""
+    import numpy as np
+
+    from reindexer_spark.operators.layout import hilbert_key, hilbert_key_np
+
+    rng = np.random.RandomState(20260818)
+    pts = (
+        [(x, y) for x in range(64) for y in range(64)]
+        + [(x << 10, y << 10) for x in range(64) for y in range(64)]
+        + [
+            (int(a), int(b))
+            for a, b in zip(
+                rng.randint(0, 1 << 16, 2000), rng.randint(0, 1 << 16, 2000)
+            )
+        ]
+    )
+    df = spark.createDataFrame(pts, "x bigint, y bigint")
+    rows = df.select("x", "y", hilbert_key("x", "y").alias("h")).collect()
+    xs = np.array([r["x"] for r in rows])
+    ys = np.array([r["y"] for r in rows])
+    expect = np.array([r["h"] for r in rows])
+    got = hilbert_key_np(xs, ys)
+    assert (got == expect).all()
