@@ -119,26 +119,68 @@ def stream_documents(
 
 
 def run_stream_to_memory(
-    streaming_df: DataFrame, output_mode: str = "complete"
+    streaming_df: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming plan to completion into a memory table; returns a
-    batch DataFrame over the final result."""
+    batch DataFrame over the final result.
+
+    State parallelism (optimization r16, guide §2.2 applied to state
+    stores): a stateful query creates one state store PER SHUFFLE
+    PARTITION per stateful operator side, and every micro-batch —
+    including the empty watermark-advance batch — pays store
+    load/commit per partition.  Sized to the session core count (32
+    locally) the stores held a few thousand rows each and the overhead
+    dominated: the stream-stream join measured addBatch 8.0 s at 32
+    partitions vs 1.4 s at 8 on identical data, with a 0-row batch
+    still costing 4.1 s.  State partitioning should track STATE VOLUME
+    (roughly 0.5-2 GB per store in production), not CPU count, so the
+    runner pins a deliberate state-partition count around query start
+    — default 8 for the test-scale state held here, overridable via
+    SPARK_GRAFT_STREAM_STATE_PARTITIONS for cluster-scale state (e.g.
+    hundreds at 100 TB ingest).  Results are partitioning-independent
+    (same state keys, same outputs — every live lane stays
+    oracle-gated); a restarted checkpoint keeps the partition count it
+    was created with (Spark pins it in the offset metadata), so this
+    only shapes NEW streams.
+
+    ``state_partitions`` overrides the default for lanes whose
+    micro-batch cost is PYTHON COMPUTE rather than store bookkeeping
+    (applyInPandasWithState over per-doc work): those pass the session
+    core count, because halving their partitions halves their CPU
+    parallelism — the stream_cdc_dedup_live lane measured 22 s at 8
+    partitions vs 14 s at 32 while the store-bound joins moved the
+    opposite way."""
+    import os
+
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     spark = streaming_df.sparkSession
-    q = (
-        streaming_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    parts = str(
+        state_partitions
+        if state_partitions is not None
+        else os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
     )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
     try:
-        q.processAllAvailable()
+        q = (
+            streaming_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            # join the micro-batch thread completely and drop the
+            # terminated query's bookkeeping — the stream leaves nothing
+            # running in the JVM that could interfere with later batch
+            # jobs in this session
+            q.awaitTermination()
+            spark.streams.resetTerminated()
     finally:
-        q.stop()
-        # join the micro-batch thread completely and drop the terminated
-        # query's bookkeeping — the stream leaves nothing running in the
-        # JVM that could interfere with later batch jobs in this session
-        q.awaitTermination()
-        spark.streams.resetTerminated()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(f"SELECT * FROM {name}")
