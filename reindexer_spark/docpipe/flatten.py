@@ -58,8 +58,14 @@ def infer_content_schema(
     strings = [r[0] for r in rows]
     if not strings:
         return T.StructType([])
-    sampled = spark.createDataFrame([(s,) for s in strings], ["json"])
-    inferred = spark.read.json(sampled.rdd.map(lambda r: r.json)).schema
+    # 2 slices, not defaultParallelism (optimization r16): inference
+    # over a <=1000-row driver-local sample was fanning out 32 Python
+    # tasks (one worker spin-up each) through createDataFrame().rdd.map;
+    # the inferred schema is identical — spark.read.json merges sample
+    # schemas the same way regardless of slicing
+    inferred = spark.read.json(
+        spark.sparkContext.parallelize(strings, 2)
+    ).schema
     # the sample itself may contain corrupt records → inference adds its
     # own corrupt-record column; parse_content appends ours, so drop it
     return T.StructType([f for f in inferred.fields if f.name != CORRUPT_COL])

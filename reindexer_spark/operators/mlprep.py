@@ -343,6 +343,88 @@ def _kmeans_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _kmeans_assign_np(e: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Assignment against DRIVER-HELD centroids (optimization r16): one
+    vectorized Arrow pass computing every (vector, centroid) dot with
+    the same sequential per-dim accumulation as _dot /
+    list_dot_product, argmax on the FLOOR-quantized dot with first-max
+    = lowest cluster id (cents arrive sorted ascending) — the exact
+    tie rule of the window form.  Replaces a k-way crossJoin fan-out +
+    per-vec_id window shuffle per iteration with a map-side
+    projection; the old _kmeans_assign stays as the Column-form
+    reference (the oracle gate pins both paths to the same integers)."""
+    import numpy as np
+    import pandas as pd
+
+    cids = np.asarray([c for c, _ in cents], dtype=np.int64)
+    cm = np.asarray([v for _, v in cents], dtype=np.float64)  # (k, 64)
+
+    @F.pandas_udf("struct<cluster_id:bigint,dot:double>")
+    def _assign(emb: pd.Series) -> pd.DataFrame:
+        if len(emb) == 0:
+            return pd.DataFrame(
+                {
+                    "cluster_id": pd.Series([], dtype="int64"),
+                    "dot": pd.Series([], dtype="float64"),
+                }
+            )
+        em = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in emb]
+        )  # (n, 64)
+        # sequential per-dim accumulation: the bit-exactness contract
+        # with DuckDB's list_dot_product (never np.dot)
+        acc = em[:, None, 0] * cm[None, :, 0]  # (n, k)
+        for d in range(1, em.shape[1]):
+            acc += em[:, None, d] * cm[None, :, d]
+        q = np.floor(acc * 1e6)
+        best = np.argmax(q, axis=1)  # first max = lowest cluster_id
+        return pd.DataFrame(
+            {
+                "cluster_id": cids[best],
+                "dot": q[np.arange(len(best)), best] / 1e6,
+            }
+        )
+
+    return e.select(
+        "vec_id", "embedding", _assign("embedding").alias("_a")
+    ).select(
+        "vec_id",
+        "embedding",
+        F.col("_a.cluster_id").alias("cluster_id"),
+        F.col("_a.dot").alias("dot"),
+    )
+
+
+def _kmeans_fit_assign(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """The shared unchanged-math Lloyd loop (k=KMEANS_K, KMEANS_ITERS
+    update rounds) with the per-iteration model COLLECTED (k×64
+    doubles, bounded) and re-injected — MLlib's layout.  Per iteration:
+    one distributed assign+decimal-mean job, one k-row collect.  The
+    old form chained every iteration into one plan through nested
+    k-row broadcasts (serialized micro-stages, re-planned per
+    iteration).  Returns the final assignment DataFrame."""
+    init = (
+        e.filter(F.col("vec_id") < KMEANS_K)
+        .select(
+            F.col("vec_id").alias("cluster_id"),
+            F.transform("embedding", lambda v: v.cast("double")).alias(
+                "centroid"
+            ),
+        )
+        .collect()
+    )
+    cents = sorted(
+        ((int(r["cluster_id"]), list(r["centroid"])) for r in init)
+    )
+    for _ in range(KMEANS_ITERS):
+        assigned = _kmeans_assign_np(e, cents)
+        rows = _kmeans_recompute(assigned).collect()
+        cents = sorted(
+            ((int(r["cluster_id"]), list(r["centroid"])) for r in rows)
+        )
+    return _kmeans_assign_np(e, cents)
+
+
 def _kmeans_recompute(assigned: DataFrame) -> DataFrame:
     flat = assigned.select(
         "cluster_id", F.posexplode("embedding").alias("idx", "v")
@@ -388,18 +470,14 @@ def embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than ROUND(x, 6): round-half rules differ between engines at
     .5-ulp boundaries (observed empirically), while floor of the same
     double has no ambiguous case.  Quantized assignment dots are emitted
-    so the gate checks geometry, not just labels."""
+    so the gate checks geometry, not just labels.
+
+    Execution (optimization r16): the per-iteration k×64-double model
+    is collected and re-injected (see _kmeans_fit_assign) instead of
+    chained through nested broadcasts, and assignment is one
+    vectorized Arrow pass instead of a k-way crossJoin + window."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = e.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cluster_id"),
-        F.transform("embedding", lambda v: v.cast("double")).alias(
-            "centroid"
-        ),
-    )
-    for _ in range(KMEANS_ITERS):
-        assigned = _kmeans_assign(e, cents)
-        cents = _kmeans_recompute(assigned)
-    final = _kmeans_assign(e, cents)
+    final = _kmeans_fit_assign(spark, e)
     sizes = final.groupBy("cluster_id").agg(
         F.count("*").cast("bigint").alias("n_cluster")
     )
@@ -458,16 +536,7 @@ def corpus_topic_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    cents = e.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cluster_id"),
-        F.transform("embedding", lambda v: v.cast("double")).alias(
-            "centroid"
-        ),
-    )
-    for _ in range(KMEANS_ITERS):
-        assigned = _kmeans_assign(e, cents)
-        cents = _kmeans_recompute(assigned)
-    final = _kmeans_assign(e, cents)
+    final = _kmeans_fit_assign(spark, e)
     sizes = final.groupBy("cluster_id").agg(
         F.count("*").cast("bigint").alias("n_cluster")
     )
@@ -576,13 +645,27 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda c: c.cast("double")).alias("x"),
     )
-    v = e.filter(F.col("vec_id") == 0).select(F.col("x").alias("v"))
-    for _ in range(PCA_ITERS):
-        scored = e.crossJoin(F.broadcast(v)).select(
-            "vec_id",
-            "x",
-            (F.floor(_dot(F.col("x"), F.col("v")) * 1e6) / 1e6).alias("qd"),
+    # Driver-held direction (optimization r16): v is 64 doubles, so
+    # collect it once per iteration and inject it as an array literal
+    # (exact binary64 round-trip) instead of chaining every iteration
+    # behind a nested 1-row broadcast — the per-iteration arithmetic
+    # (quantized projection, decimal matrix-vector partials, decimal
+    # norm) is untouched and stays in Catalyst.
+    v_lit = list(
+        e.filter(F.col("vec_id") == 0).select(F.col("x").alias("v"))
+        .collect()[0]["v"]
+    )
+
+    def _qd(vals: list[float]):
+        arr = ", ".join(f"{x!r}D" for x in vals)
+        return F.expr(
+            f"floor(aggregate(zip_with(x, array({arr}), (a, b) ->"
+            f" CAST(a AS DOUBLE) * b), 0.0D, (acc, t) -> acc + t)"
+            f" * 1.0E6) / 1.0E6"
         )
+
+    for _ in range(PCA_ITERS):
+        scored = e.select("vec_id", "x", _qd(v_lit).alias("qd"))
         flat = scored.select(F.posexplode("x").alias("idx", "xij"), "qd")
         # Persist the |dims|-row matrix-vector product: the norm chain
         # and the component projection BOTH consume w, and without the
@@ -613,26 +696,16 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("double")
             ).alias("nrm")
         )
-        v = (
+        rows = (
             w.crossJoin(F.broadcast(norm))
             .select(
                 "idx",
                 (F.floor(F.col("wj") / F.col("nrm") * 1e6) / 1e6).alias("vj"),
             )
-            .groupBy()
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("idx", "vj"))),
-                    lambda s: s["vj"],
-                ).alias("v")
-            )
+            .collect()
         )
-    return e.crossJoin(F.broadcast(v)).select(
-        "vec_id",
-        (F.floor(_dot(F.col("x"), F.col("v")) * 1e6) / 1e6).alias(
-            "pc1_score"
-        ),
-    )
+        v_lit = [r["vj"] for r in sorted(rows, key=lambda r: r["idx"])]
+    return e.select("vec_id", _qd(v_lit).alias("pc1_score"))
 
 
 # --- SemDeDup: cluster-then-prune semantic deduplication --------------

@@ -2211,68 +2211,62 @@ def embed_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    centers = e.orderBy("vec_id").limit(1)
-    rows = [(1, centers, None)]
+
+    # Driver-held center set (optimization r16): the chosen set is ≤
+    # KCENTER_K rows by construction, so each greedy step collects ONE
+    # row and the next step's max-similarity is a map-side
+    # greatest(...) over literal center arrays — the same
+    # aggregate/zip_with cosine, literal for literal (float→double is
+    # exact, repr round-trips).  The old plan-unrolled form chained
+    # every step behind unionAll(limit(1)) subplans that the final
+    # union re-executed, scanning the corpus ~2^K more times than the
+    # algorithm needs; this form is exactly K corpus passes — the
+    # canonical farthest-point layout (pick rides back as 40 bytes).
+    def _cos_lit_sql(vals: list[float]) -> str:
+        arr = ", ".join(f"{v!r}D" for v in vals)
+        dot = (
+            f"aggregate(zip_with(embedding, array({arr}), (x, y) ->"
+            f" CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D,"
+            f" (acc, v) -> acc + v)"
+        )
+        na = (
+            "sqrt(aggregate(embedding, 0.0D, (acc, v) ->"
+            " acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        )
+        nb = (
+            f"sqrt(aggregate(array({arr}), 0.0D, (acc, v) ->"
+            f" acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        )
+        return f"({dot} / ({na} * {nb}))"
+
+    def _ms_col(cents: list[list[float]]):
+        sims = [_cos_lit_sql(c) for c in cents]
+        return F.expr(
+            sims[0] if len(sims) == 1 else f"greatest({', '.join(sims)})"
+        )
+
+    first = e.orderBy("vec_id").limit(1).collect()[0]
+    center_ids = [int(first["vec_id"])]
+    center_embs = [list(first["embedding"])]
+    out_rows = [(1, center_ids[0], None)]
     for k in range(2, KCENTER_K + 1):
-        cz = centers.select(
-            F.col("vec_id").alias("cid"),
-            F.col("embedding").alias("cemb"),
-        )
-        ms = (
-            e.crossJoin(F.broadcast(cz))
-            .select(
-                "vec_id",
-                "embedding",
-                cosine_similarity(
-                    F.col("embedding"), F.col("cemb")
-                ).alias("sim"),
-                "cid",
-            )
-            .groupBy("vec_id")
-            .agg(F.max("sim").alias("ms"))
-        )
-        chosen = centers.select(F.col("vec_id").alias("xid"))
         pick = (
-            ms.join(chosen, ms["vec_id"] == chosen["xid"], "left_anti")
+            e.filter(~F.col("vec_id").isin(center_ids))
+            .select("vec_id", "embedding", _ms_col(center_embs).alias("ms"))
             .orderBy(F.asc("ms"), "vec_id")
             .limit(1)
+            .collect()[0]
         )
-        pick_full = e.join(
-            F.broadcast(pick.select("vec_id", "ms")), "vec_id"
-        )
-        rows.append((k, pick_full, None))
-        centers = centers.unionAll(
-            pick_full.select("vec_id", "embedding")
-        )
+        out_rows.append((k, int(pick["vec_id"]), float(pick["ms"])))
+        center_ids.append(int(pick["vec_id"]))
+        center_embs.append(list(pick["embedding"]))
     # final objective: the least-covered non-center vector
-    cz = centers.select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
-    )
     cov = (
-        e.crossJoin(F.broadcast(cz))
-        .select(
-            "vec_id",
-            cosine_similarity(F.col("embedding"), F.col("cemb")).alias(
-                "sim"
-            ),
-        )
-        .groupBy("vec_id")
-        .agg(F.max("sim").alias("ms"))
-        .join(
-            centers.select(F.col("vec_id").alias("xid")),
-            F.col("vec_id") == F.col("xid"),
-            "left_anti",
-        )
+        e.filter(~F.col("vec_id").isin(center_ids))
+        .select(_ms_col(center_embs).alias("ms"))
         .agg(F.min("ms").alias("worst_sim"))
     )
-    out = None
-    for k, df, _ in rows:
-        r = df.select(
-            F.lit(k).alias("step"),
-            F.col("vec_id").alias("center_id"),
-            (
-                F.col("ms") if k > 1 else F.lit(None).cast("double")
-            ).alias("sel_sim"),
-        )
-        out = r if out is None else out.unionAll(r)
+    out = spark.createDataFrame(
+        out_rows, "step int, center_id bigint, sel_sim double"
+    )
     return out.crossJoin(F.broadcast(cov)).orderBy("step")

@@ -638,7 +638,6 @@ def _logreg_fit(spark: SparkSession, sf_dir: str):
 
     feats = track(feats)
     feats.createOrReplaceTempView("__logreg_feats")
-    n = feats.count()  # bounded driver scalar (the B9 max-key pattern)
     # One iteration = one parameterized-SQL aggregation (parsed JVM-side
     # in one call — no per-iteration Py4J expression forest) returning
     # SIX EXACT INTEGERS.  Expression structure mirrors the previous
@@ -649,6 +648,7 @@ def _logreg_fit(spark: SparkSession, sf_dir: str):
     # the reduction itself is exact integer addition.
     step_sql = """
       SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
         SUM(CAST(FLOOR(-(y * LN(p + 1.0E-9) + (1.0D - y)
                          * LN(1.0D - p + 1.0E-9)) * 1.0E6) AS BIGINT))
           AS loss_i,
@@ -666,11 +666,15 @@ def _logreg_fit(spark: SparkSession, sf_dir: str):
       )
     """
     w0 = w1 = w2 = w3 = 0.0
+    n = 0
     hist: list[tuple] = []
     for i in range(1, LOGREG_ITERS + 1):
         r = spark.sql(
             step_sql, args={"w0": w0, "w1": w1, "w2": w2, "w3": w3}
         ).collect()[0]
+        # n rides in the aggregate (constant across iterations — one
+        # fewer job than a separate count())
+        n = int(r["n_docs"])
         # driver-side binary64 arithmetic, op-for-op the Catalyst form:
         # loss = FLOOR(CAST(loss_i AS DOUBLE)/n)/1e6;
         # w'   = w - FLOOR(LR * g / n)/1e6  (LR*g first, then /n)
