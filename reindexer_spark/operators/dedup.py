@@ -452,28 +452,25 @@ def simhash_sketches(d: DataFrame) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     # Per-bit vote: +1 if bit set else -1; sum over tokens; bit = vote > 0.
-    one = F.lit(1).cast("long")
+    # Rendered as SQL text (optimization r16) — the 64-agg F.when forest
+    # cost ~1-2 s of Py4J construction per call; same Catalyst trees.
     votes = toks.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(
-                    F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, 1
-                ).otherwise(-1)
-            ).alias(f"v{i}")
+            F.expr(
+                f"SUM(CASE WHEN (h & SHIFTLEFT(CAST(1 AS BIGINT), {i}))"
+                f" != 0 THEN 1 ELSE -1 END) AS v{i}"
+            )
             for i in range(64)
         ]
     )
+    pack = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN SHIFTLEFT(CAST(1 AS BIGINT), {i})"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for i in range(64)
+    )
     return votes.select(
         "doc_id",
-        sum(
-            [
-                F.when(F.col(f"v{i}") > 0, F.shiftleft(one, i)).otherwise(
-                    F.lit(0).cast("long")
-                )
-                for i in range(64)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
+        F.expr(f"CAST(0 AS BIGINT) + {pack}").alias("simhash"),
     )
 
 
@@ -837,57 +834,48 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring("dg", 1, 8), 16, 10).cast("bigint").alias("hlo"),
         F.conv(F.substring("dg", 9, 8), 16, 10).cast("bigint").alias("hhi"),
     )
+    # per-bit vote aggs / sign packing / chunk split rendered as SQL
+    # text (optimization r16): the 64×F.sum(F.when(...)) forest plus
+    # the two 32-term packers cost ~2 s of Py4J round-trips per call;
+    # F.expr parses the identical Catalyst expressions in one JVM call
+    # apiece
     votes = dig.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("hlo" if i < 32 else "hhi"), i % 32)
-                    .bitwiseAND(F.lit(1))
-                    == 1,
-                    1,
-                ).otherwise(-1)
-            ).alias(f"v{i}")
+            F.expr(
+                f"SUM(CASE WHEN (SHIFTRIGHT("
+                f"{'hlo' if i < 32 else 'hhi'}, {i % 32}) & 1) = 1 "
+                f"THEN 1 ELSE -1 END) AS v{i}"
+            )
             for i in range(64)
         ]
     )
-    zero = F.lit(0).cast("long")
-    one = F.lit(1).cast("long")
+
+    def _pack(base: int) -> str:
+        # 0L + CASE ... mirrors the old sum([...], zero) left-fold
+        terms = " + ".join(
+            f"(CASE WHEN v{base + i} > 0 THEN SHIFTLEFT(1L, {i})"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for i in range(32)
+        )
+        return f"CAST(0 AS BIGINT) + {terms}"
+
     fingerprint = votes.select(
         "doc_id",
-        sum(
-            [
-                F.when(F.col(f"v{i}") > 0, F.shiftleft(one, i)).otherwise(zero)
-                for i in range(32)
-            ],
-            zero,
-        ).alias("sh_lo"),
-        sum(
-            [
-                F.when(F.col(f"v{i + 32}") > 0, F.shiftleft(one, i)).otherwise(
-                    zero
-                )
-                for i in range(32)
-            ],
-            zero,
-        ).alias("sh_hi"),
+        F.expr(_pack(0)).alias("sh_lo"),
+        F.expr(_pack(32)).alias("sh_hi"),
     )
     fingerprint = track(fingerprint)
+    chunk_arr = ", ".join(
+        [f"SHIFTRIGHT(sh_lo, {8 * i}) & 255" for i in range(4)]
+        + [f"SHIFTRIGHT(sh_hi, {8 * i}) & 255" for i in range(4)]
+    )
     chunks = fingerprint.select(
         "doc_id",
         "sh_lo",
         "sh_hi",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("sh_lo", 8 * i).bitwiseAND(F.lit(0xFF))
-                    for i in range(4)
-                ],
-                *[
-                    F.shiftright("sh_hi", 8 * i).bitwiseAND(F.lit(0xFF))
-                    for i in range(4)
-                ],
-            )
-        ).alias("chunk_id", "chunk_val"),
+        F.posexplode(F.expr(f"array({chunk_arr})")).alias(
+            "chunk_id", "chunk_val"
+        ),
     )
     cand = (
         banded_pairs(

@@ -656,7 +656,12 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``multimodal_phash_pairs`` below; only the pixel-decode leg is
     rows-only."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    media = _synth_media(d).filter(F.col("kind").startswith("image-"))
+    # tracked (optimization r16): media feeds BOTH the perturb branch
+    # and the union below — uncached, the synth (pure-Python image
+    # encodes, the lane's single heaviest stage) executed twice
+    media = track(
+        _synth_media(d).filter(F.col("kind").startswith("image-"))
+    )
 
     # Near-duplicate lane: every 5th image re-enters slightly brightened
     # (a few pixels nudged, media_id offset by 1e6) — BMPs re-encode as
@@ -1057,6 +1062,11 @@ def _audio_dedup_core(media: DataFrame) -> DataFrame:
     the query gates the 200-doc fixture while scale_proof.py drives the
     SAME lane at 10x clip counts."""
     import pandas as pd
+
+    # tracked (optimization r16): media feeds both union branches —
+    # uncached, the upstream synthesis (pure-Python audio encodes) ran
+    # twice inside the one pass that builds the fingerprint index
+    media = track(media)
 
     def transcode(batches):
         from reindexer_spark.codecs import (

@@ -38,29 +38,28 @@ def default_parallelism() -> int:
 
 
 def _scan_confs() -> dict[str, str]:
-    """Scale-ADAPTIVE scan parallelism (optimization r16, guide §2.2/§6).
+    """Optional scan-split overrides for cluster profiles (opt-in only).
 
-    ``minPartitionNum`` floors the number of file splits at the
-    session's core count — derived from parallelism, not a constant, so
-    the same code sizes scans correctly at local[4], local[32], or a
-    1000-executor cluster.  ``openCostInBytes`` (default 4 MB) is what
-    actually bounds split size for small inputs: with the default, an
-    11 MB table never splits past ~3 tasks and 29 of 32 local cores sit
-    idle through every scan-heavy aggregation (q1 measured 1.06 s of
-    single-stage CPU across 3 tasks).  512 KB keeps that floor
-    meaningful for task-launch overhead while letting MB-scale inputs
-    use the machine; at 100 TB (files sized 128 MB-1 GB, guide §6) the
-    open-cost term is dominated by file size either way, so the
-    production behavior is unchanged.  Both are env-overridable for
-    cluster profiles."""
-    return {
-        "spark.sql.files.minPartitionNum": os.environ.get(
-            "SPARK_GRAFT_SCAN_MIN_PARTITIONS", str(default_parallelism())
-        ),
-        "spark.sql.files.openCostInBytes": os.environ.get(
-            "SPARK_GRAFT_SCAN_OPEN_COST", str(512 * 1024)
-        ),
-    }
+    Measured r16 (guide §1: keep only what you can measure): forcing
+    finer splits locally (openCostInBytes 512 KB + an explicit
+    minPartitionNum) showed NO stable q1 gain in an interleaved
+    same-session A/B — Spark's default split formula already divides
+    by defaultParallelism, and the residual wall is driver/scheduling
+    floor, not scan width — while adding variance on the Python-heavy
+    media lanes.  So the defaults ship UNSET (stock Spark behavior);
+    the env knobs remain for cluster profiles where a measured case
+    exists (e.g. very large sequential scans wanting 512 MB-1 GB
+    splits per guide §6)."""
+    out = {}
+    if "SPARK_GRAFT_SCAN_MIN_PARTITIONS" in os.environ:
+        out["spark.sql.files.minPartitionNum"] = os.environ[
+            "SPARK_GRAFT_SCAN_MIN_PARTITIONS"
+        ]
+    if "SPARK_GRAFT_SCAN_OPEN_COST" in os.environ:
+        out["spark.sql.files.openCostInBytes"] = os.environ[
+            "SPARK_GRAFT_SCAN_OPEN_COST"
+        ]
+    return out
 
 
 def tune(spark: SparkSession) -> SparkSession:
