@@ -385,6 +385,11 @@ def _kmeans_assign_np(e: DataFrame, cents: list[tuple[int, list[float]]]) -> Dat
             }
         )
 
+    # asNondeterministic: without it the optimizer pushes the struct's
+    # isnotnull pre-filter below the projection as a SECOND evaluation
+    # of the UDF (guide §4.4 — caught by the topic-balance plan test)
+    _assign = _assign.asNondeterministic()
+
     return e.select(
         "vec_id", "embedding", _assign("embedding").alias("_a")
     ).select(
@@ -422,7 +427,13 @@ def _kmeans_fit_assign(spark: SparkSession, e: DataFrame) -> DataFrame:
         cents = sorted(
             ((int(r["cluster_id"]), list(r["centroid"])) for r in rows)
         )
-    return _kmeans_assign_np(e, cents)
+    # the final assignment is consumed several ways by both lanes
+    # (sizes agg + join, totals) — cache it WITHOUT the embedding
+    # payload so the assign pass runs once and the cached relation is
+    # three narrow columns
+    return track(
+        _kmeans_assign_np(e, cents).select("vec_id", "cluster_id", "dot")
+    )
 
 
 def _kmeans_recompute(assigned: DataFrame) -> DataFrame:
