@@ -329,13 +329,15 @@ def main() -> int:
     CONTENTION_RUN_FLOOR_MS = 500
     CONTENTION_WALL_RATIO = 1.5
 
-    def median_sweep(names: list[str]) -> dict[str, float]:
+    def median_sweep(
+        names: list[str], n_reps: int | None = None
+    ) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
             q = get_query(name)
             walls: list[float] = []
             deltas: list[dict | None] = []
-            for _ in range(reps):
+            for _ in range(n_reps or reps):
                 before = _status_totals(ui_port)
                 walls.append(run_once(q))
                 after = _status_totals(ui_port)
@@ -409,14 +411,21 @@ def main() -> int:
         sum(stage_metrics[n]["wall_min"] for n in timings2), 3
     )
 
-    # Extended queries stay single-shot (33 queries, several of them
-    # multi-second live streams — tripling them would triple bench wall
-    # time for a ledger that doesn't gate round-over-round).  Re-time
-    # before believing any single extended regression.
-    extended: dict[str, float] = {}
-    for name in EXTENDED:
-        q = get_query(name)
-        extended[name] = round(run_once(q), 3)
+    # Extended lanes get the SAME clean-rep-median treatment as the
+    # headline (round-17, r16 VERDICT next #2: every extended
+    # "regression" adjudicated in r16 — simhash 13.4 vs 5.1 warm,
+    # phash_dedup 53.7 vs 4.7 — was a single-shot sample landing in a
+    # whole-VM stall episode and needed manual re-timing).  Rep count
+    # is bounded separately (default 3; the ~120-lane extended sweep is
+    # minutes per rep) via SPARK_GRAFT_BENCH_EXT_REPS.  CONTRACT NOTE:
+    # extended_queries values are now medians of clean reps instead of
+    # single-shot walls; per-lane wall_all/wall_min/contended forensics
+    # land in stage_metrics like the headline's.  No lane was removed
+    # or renamed.
+    ext_reps = max(
+        1, int(os.environ.get("SPARK_GRAFT_BENCH_EXT_REPS", "3"))
+    )
+    extended = median_sweep(EXTENDED, n_reps=ext_reps)
     extended["reindex_e2e"] = _bench_reindex_e2e(spark)
 
     try:
@@ -452,6 +461,8 @@ def main() -> int:
         # (contended reps — run_ms ≫ cpu_ms at inflated wall — are
         # flagged in stage_metrics and excluded from the median)
         "reps": reps,
+        # extended lanes: medians of ext_reps clean reps (see above)
+        "ext_reps": ext_reps,
         "queries": timings,
         "headline_total_min": total_min,
         "headline2_total": total2,

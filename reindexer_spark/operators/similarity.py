@@ -840,6 +840,80 @@ ADC_NPROBE = 3     # coarse lists probed per query
 ADC_NQ = 8         # query vectors: vec_id < ADC_NQ
 ADC_TOPK = 10
 
+
+def _finite_lit(x: float) -> str:
+    """repr-round-tripped DOUBLE literal; raises intelligibly on
+    non-finite values instead of emitting unparseable `infD`/`nanD`
+    SQL (ADVICE r16: a degenerate input should fail loudly, not with
+    a parse exception)."""
+    import math
+
+    if not math.isfinite(x):
+        raise ValueError(
+            f"non-finite model value {x!r} cannot be rendered as a SQL "
+            "DOUBLE literal — degenerate input (NaN/Inf embedding?)"
+        )
+    return f"{x!r}D"
+
+
+def _collect_vecs(e: DataFrame, bound: int) -> list[tuple[int, list[float]]]:
+    """Bounded model collect (guide §5/§1.2): the rows with
+    vec_id < bound, ascending — the driver-held centroid/codebook set
+    the ADC lanes broadcast into map-side expressions and UDFs."""
+    rows = e.filter(F.col("vec_id") < bound).collect()
+    return sorted((int(r[0]), list(r[1])) for r in rows)
+
+
+def _seq_dots_floored(em: "np.ndarray", cm: "np.ndarray") -> "np.ndarray":
+    """FLOOR(dot·1e6) of every (row, centroid) pair with the dot product
+    accumulated SEQUENTIALLY per dimension — the bit-exactness contract
+    with mlprep._dot / DuckDB list_dot_product (never np.dot: pairwise
+    summation changes the IEEE op order)."""
+    acc = em[:, None, 0] * cm[None, :, 0]  # (n, k)
+    for d in range(1, em.shape[1]):
+        acc += em[:, None, d] * cm[None, :, d]
+    return np.floor(acc * 1e6)
+
+
+def _coarse_assign_udf(cents: list[tuple[int, list[float]]]):
+    """Map-side coarse-quantizer assignment against DRIVER-HELD seeds
+    (optimization r17, the r16 kmeans `_kmeans_assign_np` pattern):
+    argmax of FLOOR(dot·1e6) with first-max = lowest cluster_id (cents
+    arrive sorted ascending) — the exact tie rule of the old
+    crossJoin + per-vec_id window form it replaces."""
+    cids = np.asarray([c for c, _ in cents], dtype=np.int64)
+    cm = np.asarray([v for _, v in cents], dtype=np.float64)
+
+    @F.pandas_udf("bigint")
+    def _assign(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int64")
+        em = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+        q = _seq_dots_floored(em, cm)
+        return pd.Series(cids[np.argmax(q, axis=1)])
+
+    # §4.4: stop the optimizer duplicating the eval below pushed filters
+    return _assign.asNondeterministic()
+
+
+def _probe_lists(
+    queries: list[tuple[int, list[float]]],
+    cents: list[tuple[int, list[float]]],
+    nprobe: int,
+) -> list[tuple[int, int]]:
+    """Driver-side probe ranking: per query the nprobe cluster_ids by
+    FLOOR(dot·1e6) DESC, cluster_id ASC — dots via the same sequential
+    accumulation, so ranks are bit-identical to the old window form."""
+    cids = np.asarray([c for c, _ in cents], dtype=np.int64)
+    cm = np.asarray([v for _, v in cents], dtype=np.float64)
+    qm = np.asarray([v for _, v in queries], dtype=np.float64)
+    q = _seq_dots_floored(qm, cm)
+    out = []
+    for qi, (qid, _) in enumerate(queries):
+        order = np.argsort(-q[qi], kind="stable")[:nprobe]  # stable: ties → lower cid
+        out.extend((qid, int(cids[j])) for j in order)
+    return out
+
 _ADC_CODE_SQL = """
     flat AS (
       SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
@@ -972,77 +1046,58 @@ def knn_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: per-term squared deltas FLOOR-quantize to BIGINT and
     sum as integers (reduction-order-free on any engine); ranks break
     ties on vec_id; codes reuse the proven cross-engine ROUND contract
-    of embed_quantize_int8."""
-    from reindexer_spark.operators.mlprep import _dot
+    of embed_quantize_int8.
 
+    Optimization (r17, guide §5/§1.2 — the kmeans/logreg driver-held-
+    model treatment): the per-dim min/max stats are ONE 128-agg pass
+    collected as a 64-value model (no explode), dequantization is a
+    map-side literal-rendered expression (the old explode → stats-join
+    → groupBy/collect_list reassembly shuffled n×64 rows to rebuild an
+    array each row already had), coarse assignment is a map-side Arrow
+    argmax against the driver-held seeds (the old n×K crossJoin + per-
+    vec_id window), and the |Q|×NPROBE probe list is computed driver-
+    side from the same collected model.  Every formula is evaluated
+    with the identical literals/IEEE op order, so results are
+    bit-equal (oracle-gated)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda v: v.cast("double")).alias("emb"),
     )
-    flat = e.select(
-        "vec_id", F.posexplode("emb").alias("idx0", "v")
-    ).select("vec_id", (F.col("idx0") + 1).alias("idx"), "v")
-    stats = flat.groupBy("idx").agg(
-        F.min("v").alias("mn"), F.max("v").alias("mx")
+    # per-dim min/max: one aggregation pass, collected as the 64-pair
+    # quantization model an ANN serving tier ships to workers
+    srow = e.agg(
+        *[F.min(F.element_at("emb", i + 1)).alias(f"mn{i}") for i in range(EMBED_DIM)],
+        *[F.max(F.element_at("emb", i + 1)).alias(f"mx{i}") for i in range(EMBED_DIM)],
+    ).collect()[0]
+    mn = [srow[f"mn{i}"] for i in range(EMBED_DIM)]
+    mx = [srow[f"mx{i}"] for i in range(EMBED_DIM)]
+    # map-side dequantization: same ROUND/affine formula per dim with
+    # the stats as repr-round-tripped literals (bit-equal doubles)
+    dv_terms = []
+    for i in range(EMBED_DIM):
+        lo, hi = _finite_lit(mn[i]), _finite_lit(mx[i])
+        if mn[i] == mx[i]:
+            dv_terms.append(lo)
+        else:
+            el = f"element_at(emb, {i + 1})"
+            dv_terms.append(
+                f"({lo} + (CAST(ROUND(({el} - {lo}) / ({hi} - {lo}) * 254"
+                f" - 127, 0) AS INT) + 127.0D) / 254.0D * ({hi} - {lo}))"
+            )
+    seeds = _collect_vecs(e, max(ADC_COARSE_K, ADC_NQ))
+    cents = [sv for sv in seeds if sv[0] < ADC_COARSE_K]
+    qvecs = [sv for sv in seeds if sv[0] < ADC_NQ]
+    enc = e.select(
+        "vec_id",
+        F.expr(f"array({', '.join(dv_terms)})").alias("dvec"),
+        _coarse_assign_udf(cents)("emb").alias("cluster_id"),
     )
-    code = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
-        F.round(
-            (F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 254
-            - 127,
-            0,
-        ).cast("int")
+    queries_df = spark.createDataFrame(
+        list(qvecs), "query_id bigint, qemb array<double>"
     )
-    dv = F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
-        F.col("mn")
-        + (code + F.lit(127.0)) / F.lit(254.0) * (F.col("mx") - F.col("mn"))
-    )
-    # reassemble the dequantized vector — this tiny array relation is
-    # what an ANN serving tier actually stores per shard
-    deq = (
-        flat.join(F.broadcast(stats), "idx")
-        .select("vec_id", "idx", dv.alias("dv"))
-        .groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "dv"))),
-                lambda s: s["dv"],
-            ).alias("dvec")
-        )
-    )
-    seeds = e.filter(F.col("vec_id") < ADC_COARSE_K).select(
-        F.col("vec_id").alias("cluster_id"), F.col("emb").alias("centroid")
-    )
-    rank_dot = F.floor(_dot(F.col("emb"), F.col("centroid")) * 1e6)
-    assigned = (
-        e.crossJoin(F.broadcast(seeds))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    rank_dot.desc(), F.col("cluster_id")
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cluster_id")
-    )
-    queries_df = e.filter(F.col("vec_id") < ADC_NQ).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
-    )
-    probe = (
-        queries_df.crossJoin(F.broadcast(seeds))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.floor(_dot(F.col("qemb"), F.col("centroid")) * 1e6)
-                    .desc(),
-                    F.col("cluster_id"),
-                )
-            ),
-        )
-        .filter(F.col("rn") <= ADC_NPROBE)
-        .select("query_id", "cluster_id")
+    probe = spark.createDataFrame(
+        _probe_lists(qvecs, cents, ADC_NPROBE),
+        "query_id bigint, cluster_id bigint",
     )
 
     def _int_dist(a: Column, b: Column) -> Column:
@@ -1054,9 +1109,8 @@ def knn_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cand = (
-        probe.join(assigned, "cluster_id")
+        enc.join(F.broadcast(probe), "cluster_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .join(deq, "vec_id")
         .join(F.broadcast(queries_df), "query_id")
     )
     ivf_topk = (
@@ -1285,33 +1339,27 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = e.select(
         "vec_id", F.posexplode(_pq_codes("emb")).alias("s", "code")
     )
-    # per-query distance table: |Q| constant → the exploded join stays
-    # a constant-size relation; broadcast downstream
-    subq = e.filter(F.col("vec_id") < PQ_NQ).select(
-        F.col("vec_id").alias("query_id"),
-        F.posexplode("emb").alias("idx", "v"),
-    ).select(
-        "query_id",
-        (F.col("idx") / PQ_SUB).cast("int").alias("s"),
-        (F.col("idx") % PQ_SUB).alias("d"),
-        "v",
-    )
-    cents = e.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("cid"),
-        F.posexplode("emb").alias("idx", "cv"),
-    ).select(
-        "cid",
-        (F.col("idx") / PQ_SUB).cast("int").alias("s"),
-        (F.col("idx") % PQ_SUB).alias("d"),
-        "cv",
-    )
-    term = F.floor(
-        (F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv")) * 1e6
-    )
-    qtab = (
-        subq.join(F.broadcast(cents), ["s", "d"])
-        .groupBy("query_id", "s", "cid")
-        .agg(F.sum(term).alias("tab_q"))
+    # per-query distance table, DRIVER-COMPUTED from the already-
+    # collected codebook rows (optimization r17, §5/§1.2): the queries
+    # are a subset of cb_rows (vec_id < PQ_NQ ≤ PQ_K), and every table
+    # entry is Σ_d FLOOR((v−cv)²·1e6) — int64 terms, so numpy == the
+    # old explode-join-aggregate subplan independent of order; the
+    # 1024-row literal relation replaces that subplan outright
+    qtab_rows = []
+    for qi in range(len(cb_ids)):
+        if cb_ids[qi] >= PQ_NQ:
+            continue
+        for s in range(PQ_M):
+            xs = cb[qi, s * PQ_SUB : (s + 1) * PQ_SUB]
+            cs = cb[:, s * PQ_SUB : (s + 1) * PQ_SUB]
+            diff = xs[None, :] - cs
+            tab = np.floor(diff * diff * 1e6).astype(np.int64).sum(axis=1)
+            qtab_rows.extend(
+                (int(cb_ids[qi]), s, int(cb_ids[j]), int(tab[j]))
+                for j in range(len(cb_ids))
+            )
+    qtab = spark.createDataFrame(
+        qtab_rows, "query_id bigint, s int, cid int, tab_q bigint"
     )
     adc = (
         codes.alias("c")
@@ -1566,101 +1614,101 @@ def knn_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query tables broadcast; the corpus shuffles once by coarse list
     at build time; at query time only 4-bit codes and integer tables
     move.  Determinism: FLOOR-quantized BIGINT distance sums, ids break
-    every tie."""
+    every tie.
+
+    Optimization (r17, guide §5/§1.2): seeds and the {IVFR_PQK}-vector
+    residual codebook are bounded driver-side collects; ONE Arrow pass
+    per corpus row assigns the coarse list, forms the residual and
+    emits the {IVFR_M} PQ codes (the old plan shuffled n×64 exploded
+    rows through assign-window + residual joins + an n×64×{IVFR_PQK}
+    encode groupBy + an argmin window); probe/qtab are the same
+    integer arithmetic computed driver-side over the collected model
+    and re-injected as a broadcast literal relation; the exact leg
+    folds map-side against the broadcast queries (order-free BIGINT
+    term sums) instead of explode+groupBy.  Identical literals, IEEE
+    op order and tie rules throughout — oracle-gated bit-equal."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda v: v.cast("double")).alias("emb"),
     )
-    flat = e.select("vec_id", F.posexplode("emb").alias("idx", "v"))
-    seeds = e.filter(F.col("vec_id") < IVFR_K).select(
-        F.col("vec_id").alias("cluster_id"), F.col("emb").alias("centroid")
-    )
-    cflat = flat.filter(F.col("vec_id") < IVFR_K).select(
-        F.col("vec_id").alias("cluster_id"),
-        "idx",
-        F.col("v").alias("cv"),
-    )
-    from reindexer_spark.operators.mlprep import _dot
+    model = _collect_vecs(e, max(IVFR_K, IVFR_PQK, IVFR_NQ))
+    cents = [sv for sv in model if sv[0] < IVFR_K]
+    cids = np.asarray([c for c, _ in cents], dtype=np.int64)
+    cm = np.asarray([v for _, v in cents], dtype=np.float64)  # (K, 64)
+    cid_row = {c: i for i, c in enumerate(cids)}
 
-    def _argmax_assign(side: DataFrame, id_col: str, limit: int | None):
-        out = (
-            side.crossJoin(F.broadcast(seeds))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy(id_col).orderBy(
-                        F.floor(
-                            _dot(F.col("emb" if id_col == "vec_id" else "qemb"),
-                                 F.col("centroid")) * 1e6
-                        ).desc(),
-                        F.col("cluster_id"),
-                    )
-                ),
+    def _np_assign(em: np.ndarray) -> np.ndarray:
+        """Row index into cm of each vector's coarse list (argmax of
+        FLOOR(dot·1e6), first-max = lowest cluster_id)."""
+        return np.argmax(_seq_dots_floored(em, cm), axis=1)
+
+    # residual codebook: the IVFR_PQK lowest vec_ids, assigned and
+    # residual-ized DRIVER-SIDE with the same op order
+    cbv = [sv for sv in model if sv[0] < IVFR_PQK]
+    cb_ids = np.asarray([c for c, _ in cbv], dtype=np.int64)
+    cb_em = np.asarray([v for _, v in cbv], dtype=np.float64)
+    cb_res = cb_em - cm[_np_assign(cb_em)]  # (PQK, 64)
+
+    @F.pandas_udf("struct<cluster_id:bigint,codes:array<int>>")
+    def _encode(emb: pd.Series) -> pd.DataFrame:
+        if len(emb) == 0:
+            return pd.DataFrame(
+                {
+                    "cluster_id": pd.Series([], dtype="int64"),
+                    "codes": pd.Series([], dtype=object),
+                }
             )
+        em = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+        best = _np_assign(em)
+        res = em - cm[best]  # (n, 64) — same per-dim subtraction
+        codes = np.empty((em.shape[0], IVFR_M), dtype=np.int32)
+        for s in range(IVFR_M):
+            xs = res[:, s * IVFR_SUB : (s + 1) * IVFR_SUB]
+            cs = cb_res[:, s * IVFR_SUB : (s + 1) * IVFR_SUB]
+            diff = xs[:, None, :] - cs[None, :, :]  # (n, PQK, SUB)
+            # int64 term sum: order-free, equal to the SQL's
+            # SUM(FLOOR(...)) regardless of reduction order
+            dist = np.floor(diff * diff * 1e6).astype(np.int64).sum(axis=2)
+            codes[:, s] = cb_ids[np.argmin(dist, axis=1)]  # first-min = lowest cid
+        return pd.DataFrame(
+            {"cluster_id": cids[best], "codes": list(codes)}
         )
-        out = out.filter(
-            F.col("rn") == 1 if limit is None else F.col("rn") <= limit
-        )
-        return out.select(id_col, "cluster_id")
 
-    assigned = _argmax_assign(e, "vec_id", None)
-    rsub = (
-        flat.join(assigned, "vec_id")
-        .join(cflat, ["cluster_id", "idx"])
-        .select(
-            "vec_id",
-            (F.col("idx") / IVFR_SUB).cast("int").alias("s"),
-            (F.col("idx") % IVFR_SUB).alias("d"),
-            (F.col("v") - F.col("cv")).alias("rv"),
-        )
+    _encode = _encode.asNondeterministic()  # §4.4
+
+    enc = e.select("vec_id", _encode("emb").alias("_e")).select(
+        "vec_id",
+        F.col("_e.cluster_id").alias("cluster_id"),
+        F.col("_e.codes").alias("codes"),
     )
-    cbook = rsub.filter(F.col("vec_id") < IVFR_PQK).select(
-        F.col("vec_id").alias("cid"), "s", "d", F.col("rv").alias("cv")
+    qvecs = [sv for sv in model if sv[0] < IVFR_NQ]
+    queries_df = spark.createDataFrame(
+        list(qvecs), "query_id bigint, qemb array<double>"
     )
-    iterm = F.floor(
-        (F.col("rv") - F.col("cv")) * (F.col("rv") - F.col("cv")) * 1e6
-    )
-    codes = (
-        rsub.join(F.broadcast(cbook), ["s", "d"])
-        .groupBy("vec_id", "s", "cid")
-        .agg(F.sum(iterm).alias("dist_q"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id", "s").orderBy("dist_q", "cid")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", F.col("cid").alias("code"))
-    )
-    queries_df = e.filter(F.col("vec_id") < IVFR_NQ).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
-    )
-    probe = _argmax_assign(queries_df, "query_id", IVFR_NPROBE)
-    qflat = flat.filter(F.col("vec_id") < IVFR_NQ).select(
-        F.col("vec_id").alias("query_id"), "idx", F.col("v").alias("qv")
-    )
-    qrsub = (
-        probe.join(qflat, "query_id")
-        .join(cflat, ["cluster_id", "idx"])
-        .select(
-            "query_id",
-            "cluster_id",
-            (F.col("idx") / IVFR_SUB).cast("int").alias("s"),
-            (F.col("idx") % IVFR_SUB).alias("d"),
-            (F.col("qv") - F.col("cv")).alias("qrv"),
-        )
-    )
-    qterm = F.floor(
-        (F.col("qrv") - F.col("cv")) * (F.col("qrv") - F.col("cv")) * 1e6
-    )
-    qtab = (
-        qrsub.join(F.broadcast(cbook), ["s", "d"])
-        .groupBy("query_id", "cluster_id", "s", "cid")
-        .agg(F.sum(qterm).alias("tab_q"))
+    # probe + per-(query, probed-list) distance tables, driver-side:
+    # qtab[q, c, s, cid] = Σ_d FLOOR((qrv_d − cv_d)²·1e6) — int64
+    # terms, so numpy == SQL independent of order
+    qtab_rows = []
+    for qid, cid in _probe_lists(qvecs, cents, IVFR_NPROBE):
+        qv = np.asarray(dict(qvecs)[qid], dtype=np.float64)
+        qrv = qv - cm[cid_row[cid]]
+        for s in range(IVFR_M):
+            xs = qrv[s * IVFR_SUB : (s + 1) * IVFR_SUB]
+            cs = cb_res[:, s * IVFR_SUB : (s + 1) * IVFR_SUB]
+            diff = xs[None, :] - cs
+            tab = np.floor(diff * diff * 1e6).astype(np.int64).sum(axis=1)
+            qtab_rows.extend(
+                (int(qid), int(cid), s, int(cb_ids[j]), int(tab[j]))
+                for j in range(len(cb_ids))
+            )
+    qtab = spark.createDataFrame(
+        qtab_rows,
+        "query_id bigint, cluster_id bigint, s int, cid int, tab_q bigint",
     )
     adc = (
-        codes.join(assigned, "vec_id")
+        enc.select(
+            "vec_id", "cluster_id", F.posexplode("codes").alias("s", "code")
+        )
         .alias("x")
         .join(
             F.broadcast(qtab).alias("t"),
@@ -1686,15 +1734,22 @@ def knn_ivfadc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("crn")
     )
     exact = (
-        flat.join(F.broadcast(qflat), "idx")
+        e.crossJoin(F.broadcast(queries_df))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(
-            F.sum(
-                F.floor(
-                    (F.col("qv") - F.col("v")) * (F.col("qv") - F.col("v")) * 1e6
-                )
-            ).alias("dist_q")
+        .select(
+            "query_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    "qemb",
+                    "emb",
+                    lambda qv, v: F.floor((qv - v) * (qv - v) * 1e6).cast(
+                        "bigint"
+                    ),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("dist_q"),
         )
     )
     reranked = (

@@ -4,6 +4,13 @@ without Pillow or pyav installed."""
 
 from __future__ import annotations
 
+
+import pytest
+
+# Pure-Python codec suite: deselected by the default pytest run
+# (pytest.ini addopts -m "not codec"); run with `-m codec`.
+pytestmark = pytest.mark.codec
+
 import pytest
 
 from reindexer_spark.codecs import (

@@ -7,6 +7,12 @@ sample tables."""
 
 from __future__ import annotations
 
+import pytest
+
+# Pure-Python codec suite: deselected by the default pytest run
+# (pytest.ini addopts -m "not codec"); run with `-m codec`.
+pytestmark = pytest.mark.codec
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 

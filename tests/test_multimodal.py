@@ -4,6 +4,13 @@ repartitioning, and the LibraryCodec stub contract."""
 
 from __future__ import annotations
 
+
+import pytest
+
+# Pure-Python codec suite: deselected by the default pytest run
+# (pytest.ini addopts -m "not codec"); run with `-m codec`.
+pytestmark = pytest.mark.codec
+
 import pytest
 from pyspark.sql import functions as F
 

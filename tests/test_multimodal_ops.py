@@ -1,3 +1,9 @@
+import pytest
+
+# Pure-Python codec suite: deselected by the default pytest run
+# (pytest.ini addopts -m "not codec"); run with `-m codec`.
+pytestmark = pytest.mark.codec
+
 
 
 def test_phash_dedup_finds_only_perturbed_copies(spark, sf_dir):

@@ -1,5 +1,7 @@
 #!/usr/bin/env python
-"""Capture .explain('formatted') for the bench lanes into plans/r16/.
+"""Capture .explain('formatted') for the bench lanes into plans/<round>/.
+
+Round dir from $SPARK_GRAFT_PLANS_ROUND (default r17).
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
 With no query list, captures every HEADLINE + HEADLINE2 lane.
@@ -15,7 +17,7 @@ import bench
 from reindexer_spark import get_query, get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r17"))
 
 
 def main() -> int:
