@@ -38,6 +38,18 @@ TABLES = (
 # this is plan reuse, not result caching.  The mtime key invalidates
 # when a test regenerates a fixture dir in place; the app-id key drops
 # plans bound to a stopped session.
+#
+# ASSUMPTIONS (ADVICE r16): invalidation scans ONE directory level —
+# the flat layout every TABLES source uses (single file or one level
+# of part files; nothing here writes Hive-partitioned table dirs).  A
+# nested/partitioned dataset rewritten in place deeper than one level,
+# or rewritten within the filesystem's mtime granularity tick, would
+# serve a stale plan — recurse _source_mtime before pointing TABLES at
+# such a layout.  The app-id key is also shared across
+# spark.newSession() siblings (same applicationId); that is safe
+# because a plan built in one sibling resolves the same files, but a
+# sibling-specific catalog (temp views shadowing a table name) must
+# not rely on load_table seeing it.
 _TABLE_PLANS: dict[tuple[str, str, float], DataFrame] = {}
 
 

@@ -121,6 +121,20 @@ def banded_pairs(
             F.col(f"y.{id_col}").alias(out2),
         )
     )
+    # Data-dependent branch pruning (optimization r17, guide §2.4 —
+    # the same one-scalar-probe pattern as dedup_nbits/B9): one MAX
+    # over the already-cached relation decides whether ANY bucket
+    # exceeds the cap.  On balanced corpora (every gate fixture and
+    # every non-boilerplate production shard) the star branches are
+    # provably empty, yet they still cost two windows, a self-join
+    # and a 3-way union of full-width stages per call — measured at
+    # sf0.1 as ~6 of dedup_simhash_md5's ~14 stages.  When a hot
+    # bucket exists the full guard machinery builds exactly as
+    # before; output is identical either way (the skipped branches
+    # contribute zero rows by the same predicate the probe checks).
+    max_bsz = b.agg(F.max("_bsz")).first()[0] or 0
+    if max_bsz <= cap:
+        return small_pairs.distinct()
     wg = Window.partitionBy(*keys, *sig_cols)
     hot = b.filter(F.col("_bsz") > cap).withColumn(
         "_grep", F.min(id_col).over(wg)

@@ -346,33 +346,32 @@ def minhash_bands(ex: DataFrame) -> DataFrame:
     band relation: 32 xxhash64 minhashes in 8 bands of 4.  Split out of
     dedup_minhash so scale_proof.py's boilerplate leg can measure the
     band join's candidate volume (guard on vs off) in isolation."""
-    hashed = ex.select(
+    # Rendered as SQL text (optimization r17, the r16 simhash/LSH
+    # trick): the 32 hash columns + 32 MIN aggs + 8-band pack built as
+    # F.* expression objects cost ~1 s of Py4J round-trips per call;
+    # F.expr/selectExpr parse the identical Catalyst trees JVM-side.
+    hashed = ex.selectExpr(
         "doc_id",
         "sh",
-        *[
-            F.xxhash64("sh", F.lit(i)).alias(f"h{i}")
-            for i in range(MINHASH_PERMS)
-        ],
+        *[f"xxhash64(sh, {i}) AS h{i}" for i in range(MINHASH_PERMS)],
     )
     sig = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(MINHASH_PERMS)],
+        *[F.expr(f"MIN(h{i}) AS mh{i}") for i in range(MINHASH_PERMS)],
     )
     # Bands: hash 4 consecutive minhashes together.
+    band_arr = ", ".join(
+        "xxhash64("
+        + ", ".join(
+            f"mh{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)
+        )
+        + ")"
+        for b in range(MINHASH_BANDS)
+    )
     return sig.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[
-                            F.col(f"mh{b * MINHASH_ROWS + r}")
-                            for r in range(MINHASH_ROWS)
-                        ]
-                    )
-                    for b in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("band_id", "band_hash"),
+        F.expr(f"posexplode(array({band_arr}))").alias(
+            "band_id", "band_hash"
+        ),
     )
 
 
@@ -413,27 +412,49 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = banded_pairs(
         minhash_bands(ex), ("band_id", "band_hash"), "doc_id"
     )
-    # Verify candidates with true Jaccard (joins back to the inverted index).
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (
-        cand.join(ex.alias("e1"), F.col("d1") == F.col("e1.doc_id"))
-        .join(
-            ex.alias("e2"),
-            (F.col("d2") == F.col("e2.doc_id"))
-            & (F.col("e1.sh") == F.col("e2.sh")),
+    # Verify candidates with true Jaccard.  Optimization r17 (§2.4 —
+    # fold exchanges): ONE groupBy builds the per-doc shingle-hash SET
+    # (sorted array) with its size riding along, replacing the old
+    # four-relation verify (sizes groupBy + two shuffles of the full
+    # inverted index through the e1/e2 equi-joins + a pair groupBy +
+    # two sizes joins).  |S1 ∩ S2| over per-doc-distinct hash sets is
+    # exactly the old join-count: size(array_intersect) on distinct
+    # arrays.  A collision-only candidate pair (n_common = 0) fell out
+    # of the old inner join; here it scores jaccard 0.0 and dies at
+    # the ≥ {JACCARD_THRESHOLD} filter — same output either way.
+    docsets = track(
+        ex.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list("sh")).alias("shs"),
+            F.count("*").alias("n"),
         )
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("n_common"))
+    )
+    paired = (
+        cand.join(
+            docsets.select(
+                F.col("doc_id").alias("d1"),
+                F.col("shs").alias("shs1"),
+                F.col("n").alias("n1"),
+            ),
+            "d1",
+        )
+        .join(
+            docsets.select(
+                F.col("doc_id").alias("d2"),
+                F.col("shs").alias("shs2"),
+                F.col("n").alias("n2"),
+            ),
+            "d2",
+        )
+        .withColumn(
+            "n_common", F.size(F.array_intersect("shs1", "shs2")).cast("bigint")
+        )
     )
     jac = F.col("n_common").cast("double") / (
-        F.col("s1.n") + F.col("s2.n") - F.col("n_common")
+        F.col("n1") + F.col("n2") - F.col("n_common")
     )
-    return (
-        inter.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
-        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
-        .select("d1", "d2", "n_common", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    return paired.select(
+        "d1", "d2", "n_common", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 SIMHASH_HAMMING = 6
@@ -1949,18 +1970,30 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once), occurrences of chunks shared with ANY other
     document, and the chars those cover (the dedup savings bound).
 
-    Scale shape: chunking is one JVM-side higher-order-function pass
-    (sequence → filter → zip_with substr — no Python, no shuffle);
-    the corpus then shuffles 16-byte chunk HASHES twice (DF count +
-    join back) and never the text.  Chunk-hash join fan-out is 1:1
-    per instance — hot boilerplate chunks cost linear rows, never the
-    quadratic pair blow-up the pair-enumerating lanes cap with
-    DF_CAP."""
+    Scale shape: the cut scan is one vectorized Arrow pass
+    (optimization r17 — the old JVM higher-order filter computed one
+    interpreted md5 PER TEXT POSITION; a 16-byte message is exactly
+    one md5 block, so _md5_cuts_vec runs the 64 rounds across every
+    window of the batch as numpy uint32 ops, byte-equal to the HOF
+    by tests/test_dedup_cdc.py and the unchanged oracle); chunk
+    substrings and everything downstream stay JVM-side; the corpus
+    then shuffles 16-byte chunk HASHES twice (DF count + join back)
+    and never the text.  Chunk-hash join fan-out is 1:1 per instance
+    — hot boilerplate chunks cost linear rows, never the quadratic
+    pair blow-up the pair-enumerating lanes cap with DF_CAP."""
+    import pandas as pd  # noqa: F401 — pandas_udf import-time dep
+
+    cuts_udf = F.pandas_udf(_md5_cuts_vec, "array<int>")
     d = load_table(spark, sf_dir, "documents")
+    with_cuts = d.select(
+        "doc_id", "text", cuts_udf(F.col("text")).alias("cuts")
+    )
     return _cdc_rollup(
-        d.select(
+        with_cuts.select(
             "doc_id",
-            F.explode(_cdc_chunks(F.col("text"))).alias("chunk"),
+            F.explode(
+                _gear_chunks_from_cuts(F.col("text"), F.col("cuts"))
+            ).alias("chunk"),
         )
     )
 
@@ -2132,6 +2165,130 @@ def _gear_cuts_vec(texts):
         pos = np.flatnonzero(cut[off : off + n]).astype(np.int32) + 1
         out.append(pos[pos < n])
         off += n + 48
+    return pd.Series(out)
+
+
+# --- vectorized md5-window CDC cuts (optimization r17) ---------------
+#
+# The md5 CDC lanes' cut scan was one interpreted-JVM md5 PER TEXT
+# POSITION (filter HOF: substring → MessageDigest → hex → endswith —
+# §4.2's worst case, ~µs of interpreter+digest overhead per char).  A
+# 16-byte message pads to EXACTLY ONE md5 block, so the whole scan
+# vectorizes: every window of every doc in the batch becomes one row
+# of an (N, 16) matrix and the 64 MD5 rounds run as numpy uint32 ops
+# across all N lanes at once.  Only the cut predicate (last hex digit
+# of the digest = low nibble of output byte 15 = (d >> 24) & 0xF == 0)
+# is needed, so just the d register's final value is kept.
+#
+# _md5_cuts_scalar is the byte-equal reference twin (hashlib per
+# position) and the dispatch for non-ASCII docs, where char windows !=
+# byte windows (SQL substring is character-based; a multi-byte char
+# makes the 16-char window exceed one md5 block).  Equivalence is
+# pinned in tests/test_dedup_cdc.py on directed + random vectors and
+# by the unchanged DuckDB oracles of both cdc lanes.
+
+_MD5_S = (
+    [7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4
+    + [4, 11, 16, 23] * 4 + [6, 10, 15, 21] * 4
+)
+
+
+def _md5_k_table():
+    import math
+
+    return [int(abs(math.sin(i + 1)) * (1 << 32)) & 0xFFFFFFFF for i in range(64)]
+
+
+_MD5_K = _md5_k_table()
+
+
+def _md5_d16_vec(m):
+    """Final d register of MD5 over (N, 16)-byte messages, vectorized.
+
+    ``m``: uint8 array of shape (N, 16).  Returns uint32 (N,) — the
+    little-endian 4th output word (digest bytes 12..15)."""
+    import numpy as np
+
+    u32 = np.uint32
+    w = m.view("<u4")  # (N, 4): the 4 data words
+    # padded block: M4 = 0x80, M5..M13 = 0, M14 = 128 (bit length LE), M15 = 0
+    mk = [w[:, 0], w[:, 1], w[:, 2], w[:, 3]] + [u32(0)] * 12
+    mk[4] = u32(0x80)
+    mk[14] = u32(128)
+    a = np.full(m.shape[0], 0x67452301, dtype=u32)
+    b = np.full(m.shape[0], 0xEFCDAB89, dtype=u32)
+    c = np.full(m.shape[0], 0x98BADCFE, dtype=u32)
+    d = np.full(m.shape[0], 0x10325476, dtype=u32)
+    d0 = d.copy()
+    for i in range(64):
+        if i < 16:
+            f = (b & c) | (~b & d)
+            g = i
+        elif i < 32:
+            f = (d & b) | (~d & c)
+            g = (5 * i + 1) % 16
+        elif i < 48:
+            f = b ^ c ^ d
+            g = (3 * i + 5) % 16
+        else:
+            f = c ^ (b | ~d)
+            g = (7 * i) % 16
+        f = f + a + u32(_MD5_K[i]) + mk[g]  # uint32 wraps
+        s = _MD5_S[i]
+        a, d, c = d, c, b
+        b = c + ((f << u32(s)) | (f >> u32(32 - s)))
+    return d0 + d
+
+
+def _md5_cuts_scalar(t: str) -> list[int]:
+    """Reference/fallback md5-window cuts (hashlib per position) —
+    byte-equal to the JVM HOF formulation: cut at p (1-based char
+    position, CDC_W <= p < n) iff md5(utf8(chars p-15..p)) hex ends
+    in '0'."""
+    import hashlib
+
+    n = len(t)
+    return [
+        p
+        for p in range(CDC_W, n)
+        if hashlib.md5(t[p - CDC_W : p].encode()).hexdigest()[-1] == "0"
+    ]
+
+
+def _md5_cuts_vec(texts):
+    """Arrow-batch md5 CDC cut positions: ASCII docs go through the
+    vectorized single-block MD5 over all windows of the batch at once;
+    non-ASCII docs fall back to the scalar reference (char windows are
+    not fixed-byte there)."""
+    import numpy as np
+    import pandas as pd
+
+    out: list = []
+    wins = []
+    spans = []  # (out_index, n_windows, n_chars)
+    for t in texts:
+        if not t or len(t) < CDC_W:
+            out.append(np.zeros(0, dtype=np.int32))
+            continue
+        if not t.isascii():
+            out.append(np.asarray(_md5_cuts_scalar(t), dtype=np.int32))
+            continue
+        b = np.frombuffer(t.encode(), dtype=np.uint8)
+        # windows j = 0..n-16 cover chars (j+1..j+16); position p = j+16
+        wv = np.lib.stride_tricks.sliding_window_view(b, CDC_W)
+        out.append(None)
+        spans.append((len(out) - 1, wv.shape[0], len(t)))
+        wins.append(wv)
+    if wins:
+        m = np.ascontiguousarray(np.concatenate(wins, axis=0))
+        dreg = _md5_d16_vec(m)
+        hit = ((dreg >> np.uint32(24)) & np.uint32(0xF)) == 0
+        off = 0
+        for oi, nw, nchars in spans:
+            pos = np.flatnonzero(hit[off : off + nw]).astype(np.int32) + CDC_W
+            # interior cuts only (p < n): the last window's position == n
+            out[oi] = pos[pos < nchars]
+            off += nw
     return pd.Series(out)
 
 

@@ -120,8 +120,16 @@ def graph_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     n_nodes = nodes.count()  # tiny, intentional (the one driver-side scalar)
-    ratio.createOrReplaceTempView("__pr_ratio")
-    nodes.createOrReplaceTempView("__pr_nodes")
+    # run-unique view names (ADVICE r16): spark.sql resolves views at
+    # analysis time, so a fixed name is safe serially but would
+    # cross-wire two concurrent invocations in one session; the views
+    # are dropped right after the plan is built below
+    import uuid as _uuid
+
+    _sfx = _uuid.uuid4().hex[:8]
+    vratio, vnodes = f"__pr_ratio_{_sfx}", f"__pr_nodes_{_sfx}"
+    ratio.createOrReplaceTempView(vratio)
+    nodes.createOrReplaceTempView(vnodes)
 
     # The iterative phase as ONE chained-CTE SQL text over the two
     # cached tiny relations (optimization r16): the old per-iteration
@@ -135,23 +143,26 @@ def graph_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (1 - DAMPING) / n_nodes
     parts = [
         f"WITH pr0 AS (SELECT n, CAST('{1.0 / n_nodes!r}' AS DOUBLE) AS pr"
-        " FROM __pr_nodes)"
+        f" FROM {vnodes})"
     ]
     for i in range(1, N_ITER + 1):
         parts.append(f"""
         , c{i} AS (
           SELECT r.dst AS n, CAST(p.pr * r.r AS DECIMAL(28,15)) AS term
-          FROM __pr_ratio r JOIN pr{i - 1} p ON r.src = p.n
+          FROM {vratio} r JOIN pr{i - 1} p ON r.src = p.n
         ), s{i} AS (
           SELECT n, CAST(SUM(term) AS DOUBLE) AS s FROM c{i} GROUP BY n
         ), pr{i} AS (
           SELECT nd.n,
                  CAST('{base!r}' AS DOUBLE)
                    + CAST('{DAMPING!r}' AS DOUBLE) * COALESCE(s.s, 0.0D) AS pr
-          FROM __pr_nodes nd LEFT JOIN s{i} s ON s.n = nd.n
+          FROM {vnodes} nd LEFT JOIN s{i} s ON s.n = nd.n
         )""")
     parts.append(f"SELECT n, pr FROM pr{N_ITER}")
     pr = spark.sql("".join(parts))
+    # analyzed — the resolved plan no longer needs the names
+    spark.catalog.dropTempView(vratio)
+    spark.catalog.dropTempView(vnodes)
     return pr.join(F.broadcast(n), pr.n == n.n_nationkey).select(
         "n_name", F.round("pr", 9).alias("pagerank")
     )

@@ -668,7 +668,9 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _qd(vals: list[float]):
-        arr = ", ".join(f"{x!r}D" for x in vals)
+        from reindexer_spark.operators.similarity import _finite_lit
+
+        arr = ", ".join(_finite_lit(x) for x in vals)
         return F.expr(
             f"floor(aggregate(zip_with(x, array({arr}), (a, b) ->"
             f" CAST(a AS DOUBLE) * b), 0.0D, (acc, t) -> acc + t)"

@@ -1063,14 +1063,40 @@ def knn_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda v: v.cast("double")).alias("emb"),
     )
-    # per-dim min/max: one aggregation pass, collected as the 64-pair
-    # quantization model an ANN serving tier ships to workers
-    srow = e.agg(
-        *[F.min(F.element_at("emb", i + 1)).alias(f"mn{i}") for i in range(EMBED_DIM)],
-        *[F.max(F.element_at("emb", i + 1)).alias(f"mx{i}") for i in range(EMBED_DIM)],
-    ).collect()[0]
-    mn = [srow[f"mn{i}"] for i in range(EMBED_DIM)]
-    mx = [srow[f"mx{i}"] for i in range(EMBED_DIM)]
+    # per-dim min/max collected as the 64-pair quantization model an
+    # ANN serving tier ships to workers.  Kept as the explode→groupBy
+    # shape (NOT 128 element_at aggregates in one agg — measured 1.1 s
+    # vs 0.3 s: the 128-expression aggregate falls out of whole-stage
+    # codegen); overlapped with the seed collect on a driver thread
+    # (§2.6 — the two model jobs are independent).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def _stats():
+        flat = e.select(
+            "vec_id", F.posexplode("emb").alias("idx0", "v")
+        ).select((F.col("idx0") + 1).alias("idx"), "v")
+        rows = (
+            flat.groupBy("idx")
+            .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+            .collect()
+        )
+        by_idx = {int(r["idx"]): r for r in rows}
+        return (
+            [by_idx[i + 1]["mn"] for i in range(EMBED_DIM)],
+            [by_idx[i + 1]["mx"] for i in range(EMBED_DIM)],
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        stats_f = pool.submit(inheritable_thread_target(_stats))
+        seeds_f = pool.submit(
+            inheritable_thread_target(
+                lambda: _collect_vecs(e, max(ADC_COARSE_K, ADC_NQ))
+            )
+        )
+        mn, mx = stats_f.result()
+        seeds = seeds_f.result()
     # map-side dequantization: same ROUND/affine formula per dim with
     # the stats as repr-round-tripped literals (bit-equal doubles)
     dv_terms = []
@@ -1084,13 +1110,19 @@ def knn_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"({lo} + (CAST(ROUND(({el} - {lo}) / ({hi} - {lo}) * 254"
                 f" - 127, 0) AS INT) + 127.0D) / 254.0D * ({hi} - {lo}))"
             )
-    seeds = _collect_vecs(e, max(ADC_COARSE_K, ADC_NQ))
     cents = [sv for sv in seeds if sv[0] < ADC_COARSE_K]
     qvecs = [sv for sv in seeds if sv[0] < ADC_NQ]
-    enc = e.select(
-        "vec_id",
-        F.expr(f"array({', '.join(dv_terms)})").alias("dvec"),
-        _coarse_assign_udf(cents)("emb").alias("cluster_id"),
+    # tracked: the probe join fans each vector out to every probing
+    # query — without the cache the 64-ROUND dequant (BigDecimal per
+    # value in Spark's Round) and the assign UDF would re-evaluate per
+    # CANDIDATE row instead of per vector (the materialization the old
+    # plan bought with its groupBy reassembly shuffle)
+    enc = track(
+        e.select(
+            "vec_id",
+            F.expr(f"array({', '.join(dv_terms)})").alias("dvec"),
+            _coarse_assign_udf(cents)("emb").alias("cluster_id"),
+        )
     )
     queries_df = spark.createDataFrame(
         list(qvecs), "query_id bigint, qemb array<double>"
@@ -2278,7 +2310,7 @@ def embed_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # algorithm needs; this form is exactly K corpus passes — the
     # canonical farthest-point layout (pick rides back as 40 bytes).
     def _cos_lit_sql(vals: list[float]) -> str:
-        arr = ", ".join(f"{v!r}D" for v in vals)
+        arr = ", ".join(_finite_lit(v) for v in vals)
         dot = (
             f"aggregate(zip_with(embedding, array({arr}), (x, y) ->"
             f" CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D,"

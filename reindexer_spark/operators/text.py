@@ -31,6 +31,17 @@ FP_BASE = 131
 
 
 def _hits(toks, words: tuple[str, ...]):
+    """Lexicon hit count over the split tokens.  An interpreted HOF
+    (HigherOrderFunction nodes never codegen), but MEASURED NOT WORTH
+    REPLACING (optimization r17, guide §1.3): on a 20×-replicated
+    sf0.1 corpus the 6-lexicon battery costs ~0.9-1.4 s HOF vs ~1.6 s
+    as one codegen'd regexp_count with lookaround token anchors
+    (alternation scan over the full text loses to ~40 ns/token·lexicon
+    interpretation) vs ~0.8 s as a single all-lexicons Arrow UDF —
+    a ~15% composite gain that inverts for the single-lexicon lanes
+    once the Python boundary ships the text; both exact-equal
+    (0 mismatches at sf0.001/0.01 + adversarial boundary cases).
+    The consumers are scan-bound at lane scale."""
     lst = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(toks, lambda t: F.array_contains(lst, t)))
 
@@ -637,7 +648,11 @@ def _logreg_fit(spark: SparkSession, sf_dir: str):
     from reindexer_spark.cache import track
 
     feats = track(feats)
-    feats.createOrReplaceTempView("__logreg_feats")
+    # run-unique view name (ADVICE r16) — dropped after the GD loop
+    import uuid as _uuid
+
+    vfeats = f"__logreg_feats_{_uuid.uuid4().hex[:8]}"
+    feats.createOrReplaceTempView(vfeats)
     # One iteration = one parameterized-SQL aggregation (parsed JVM-side
     # in one call — no per-iteration Py4J expression forest) returning
     # SIX EXACT INTEGERS.  Expression structure mirrors the previous
@@ -662,9 +677,9 @@ def _logreg_fit(spark: SparkSession, sf_dir: str):
         SELECT y, x1, x2, x3,
                FLOOR(1.0E6 / (1.0D + EXP(-(:w0 + :w1 * x1 + :w2 * x2
                                            + :w3 * x3)))) / 1.0E6 AS p
-        FROM __logreg_feats
+        FROM {vfeats}
       )
-    """
+    """.replace("{vfeats}", vfeats)
     w0 = w1 = w2 = w3 = 0.0
     n = 0
     hist: list[tuple] = []
@@ -684,6 +699,7 @@ def _logreg_fit(spark: SparkSession, sf_dir: str):
         w2 -= _pyfloor(LOGREG_LR * float(r["g2"]) / float(n)) / 1e6
         w3 -= _pyfloor(LOGREG_LR * float(r["g3"]) / float(n)) / 1e6
         hist.append((i, loss, int(r["n_correct"]), w0, w1, w2, w3))
+    spark.catalog.dropTempView(vfeats)
     return feats, (w0, w1, w2, w3), hist
 
 

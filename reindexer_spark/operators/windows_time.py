@@ -1385,7 +1385,10 @@ def stream_cdc_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen in batch 1 marks arrivals dup in batch 2) is pinned in
     tests/test_streaming.py; restart safety rides the same checkpoint
     machinery as the other five stateful lanes."""
-    from reindexer_spark.operators.dedup import _cdc_chunks
+    from reindexer_spark.operators.dedup import (
+        _gear_chunks_from_cuts,
+        _md5_cuts_vec,
+    )
     from reindexer_spark.streaming import (
         run_stream_to_memory,
         stream_documents,
@@ -1393,9 +1396,20 @@ def stream_cdc_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reindexer_spark.streaming.stateful import cdc_dedup_stream
 
     d = stream_documents(spark, sf_dir)
+    # cut scan vectorized (optimization r17, §4.2 — one Arrow pass of
+    # numpy single-block MD5 over every window of the micro-batch
+    # replaces the interpreted per-position JVM md5 HOF; byte-equal by
+    # tests/test_dedup_cdc.py and this lane's unchanged oracle).  A
+    # stateless projection UDF is stream-safe — only aggregations may
+    # not precede applyInPandasWithState.
+    cuts_udf = F.pandas_udf(_md5_cuts_vec, "array<int>")
     ex = d.select(
+        "doc_id", "text", cuts_udf(F.col("text")).alias("cuts")
+    ).select(
         "doc_id",
-        F.posexplode(_cdc_chunks(F.col("text"))).alias("idx", "chunk"),
+        F.posexplode(
+            _gear_chunks_from_cuts(F.col("text"), F.col("cuts"))
+        ).alias("idx", "chunk"),
     ).select(
         "doc_id",
         "idx",

@@ -64,6 +64,82 @@ def _events_ts_is_nanos(sf_dir: str) -> bool:
     )
 
 
+# --- state-partition sizing policy (optimization r17) -----------------
+#
+# A stateful query creates one state store PER SHUFFLE PARTITION per
+# stateful operator side, and every micro-batch pays store load/commit
+# per partition — so the partition count should track STATE VOLUME, not
+# CPU count (guide §2.2 applied to state stores; r16 measured the
+# stream-stream join at 8.0 s/batch with 32 stores vs 1.4 s with 8 on
+# identical data).  State volume is bounded above by source volume for
+# every lane here (dedup state = distinct fingerprints, window state =
+# in-flight windows), so the policy sizes stores from the bytes the
+# registered sources will feed the stream:
+#
+#     partitions = clamp(ceil(source_bytes / STATE_STORE_TARGET_BYTES),
+#                        STATE_PARTITIONS_MIN, STATE_PARTITIONS_MAX)
+#
+# STATE_STORE_TARGET_BYTES defaults to 1 GiB — the middle of the
+# 0.5-2 GB/store band HDFS-backed and RocksDB state stores are sized to
+# in production; override via SPARK_GRAFT_STATE_STORE_TARGET_BYTES.  At
+# the local test scales (sources of a few MB) the clamp floor keeps the
+# r16-measured value of 8, so the driver's bench is unchanged; a 100 TB
+# ingest derives ~2048 (the cap — past that, coordination overhead and
+# tiny files dominate; raise SPARK_GRAFT_STREAM_STATE_PARTITIONS
+# explicitly if a deployment really holds >2 TB of live state).
+#
+# The sizing hint comes from the source constructors below, which
+# register their input bytes per application; run_stream_to_memory
+# consumes (and clears) the registration.  Like the shuffle-partition
+# override itself this assumes the harness starts streams serially —
+# the documented contract of this runner (bench/verify are serial); a
+# concurrent-streams deployment must pass state_partitions explicitly.
+# A non-local master with NO sizing information (explicit arg, env, or
+# registered source bytes) fails loudly instead of silently running
+# 8 stores against cluster-scale state.
+
+STATE_STORE_TARGET_BYTES = 1 << 30
+STATE_PARTITIONS_MIN = 8
+STATE_PARTITIONS_MAX = 2048
+
+_PENDING_SOURCE_BYTES: dict[str, int] = {}
+
+
+def state_partitions_for(source_bytes: int | None) -> int:
+    """The state-partition sizing rule (see module comment above)."""
+    import os
+
+    target = int(
+        os.environ.get(
+            "SPARK_GRAFT_STATE_STORE_TARGET_BYTES", STATE_STORE_TARGET_BYTES
+        )
+    )
+    if not source_bytes or source_bytes <= 0:
+        return STATE_PARTITIONS_MIN
+    n = -(-source_bytes // target)
+    return max(STATE_PARTITIONS_MIN, min(STATE_PARTITIONS_MAX, n))
+
+
+def _register_source_bytes(spark, path: str) -> None:
+    """Accumulate the on-disk size of a stream source for the sizing
+    policy (best-effort: unreadable paths register nothing)."""
+    import os
+
+    try:
+        if os.path.isdir(path):
+            n = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            n = os.path.getsize(path)
+    except OSError:
+        return
+    key = spark.sparkContext.applicationId
+    _PENDING_SOURCE_BYTES[key] = _PENDING_SOURCE_BYTES.get(key, 0) + n
+
+
 def _stream_table_source(spark, sf_dir: str, name: str, schema: str,
                          max_files_per_trigger: int):
     """File-source reader for ``<sf_dir>/<name>.parquet`` whether it is
@@ -77,6 +153,7 @@ def _stream_table_source(spark, sf_dir: str, name: str, schema: str,
         "maxFilesPerTrigger", max_files_per_trigger
     )
     path = os.path.join(sf_dir, f"{name}.parquet")
+    _register_source_bytes(spark, path)
     if os.path.isdir(path):
         return reader.parquet(path)
     return reader.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir)
@@ -126,24 +203,19 @@ def run_stream_to_memory(
     """Run a streaming plan to completion into a memory table; returns a
     batch DataFrame over the final result.
 
-    State parallelism (optimization r16, guide §2.2 applied to state
-    stores): a stateful query creates one state store PER SHUFFLE
-    PARTITION per stateful operator side, and every micro-batch —
-    including the empty watermark-advance batch — pays store
-    load/commit per partition.  Sized to the session core count (32
-    locally) the stores held a few thousand rows each and the overhead
-    dominated: the stream-stream join measured addBatch 8.0 s at 32
-    partitions vs 1.4 s at 8 on identical data, with a 0-row batch
-    still costing 4.1 s.  State partitioning should track STATE VOLUME
-    (roughly 0.5-2 GB per store in production), not CPU count, so the
-    runner pins a deliberate state-partition count around query start
-    — default 8 for the test-scale state held here, overridable via
-    SPARK_GRAFT_STREAM_STATE_PARTITIONS for cluster-scale state (e.g.
-    hundreds at 100 TB ingest).  Results are partitioning-independent
-    (same state keys, same outputs — every live lane stays
-    oracle-gated); a restarted checkpoint keeps the partition count it
-    was created with (Spark pins it in the offset metadata), so this
-    only shapes NEW streams.
+    State parallelism (r16/r17, guide §2.2 applied to state stores):
+    the partition count is DERIVED from the registered source volume
+    via state_partitions_for (see the policy comment above) — r16's
+    constant 8 became the clamp floor, which the local test scales
+    resolve to, so bench numbers are directly comparable.  Precedence:
+    explicit ``state_partitions`` arg > SPARK_GRAFT_STREAM_STATE_PARTITIONS
+    env > derived-from-source-bytes.  A non-local master with none of
+    the three raises rather than running cluster-scale state on the
+    floor value.  Results are partitioning-independent (same state
+    keys, same outputs — every live lane stays oracle-gated); a
+    restarted checkpoint keeps the partition count it was created with
+    (Spark pins it in the offset metadata), so this only shapes NEW
+    streams.
 
     ``state_partitions`` overrides the default for lanes whose
     micro-batch cost is PYTHON COMPUTE rather than store bookkeeping
@@ -156,11 +228,24 @@ def run_stream_to_memory(
 
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     spark = streaming_df.sparkSession
-    parts = str(
-        state_partitions
-        if state_partitions is not None
-        else os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+    src_bytes = _PENDING_SOURCE_BYTES.pop(
+        spark.sparkContext.applicationId, None
     )
+    if state_partitions is not None:
+        parts = str(state_partitions)
+    elif os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS"):
+        parts = os.environ["SPARK_GRAFT_STREAM_STATE_PARTITIONS"]
+    else:
+        master = spark.sparkContext.master
+        if src_bytes is None and not master.startswith("local"):
+            raise RuntimeError(
+                "run_stream_to_memory: no state-partition sizing on a "
+                f"non-local master ({master}). Pass state_partitions=, "
+                "set SPARK_GRAFT_STREAM_STATE_PARTITIONS, or read the "
+                "stream through a size-registering source; the sizing "
+                "rule is ceil(state_bytes / 1 GiB) clamped to [8, 2048]."
+            )
+        parts = str(state_partitions_for(src_bytes))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts)
     try:

@@ -456,29 +456,52 @@ def cdc_dedup_stream(chunks: DataFrame) -> DataFrame:
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        # fn runs once PER FINGERPRINT per micro-batch — ~one call per
+        # distinct chunk — so the body is written columnar (§4.5): no
+        # per-row Python loop, no concat/sort on the dominant 1-row
+        # groups.  Output rows, values and order are identical to the
+        # original row-loop formulation (pinned by the multi-batch unit
+        # tests and the lane's oracle gate): after the first-ever
+        # instance claims (first_doc, first_idx), EVERY emitted row
+        # carries first_doc (the claiming row's own doc_id equals it)
+        # and only the claiming row gets is_new=1.
         if state.exists:
             first_doc, first_idx = state.get
         else:
             first_doc = first_idx = None
-        out: list[tuple] = []
         parts = [pdf for pdf in pdfs if len(pdf)]
-        if parts:
-            pdf = pd.concat(parts).sort_values(["doc_id", "idx"])
-            for d, i, cl in zip(pdf["doc_id"], pdf["idx"], pdf["clen"]):
-                d, i, cl = int(d), int(i), int(cl)
-                if first_doc is None:
-                    first_doc, first_idx = d, i
-                    out.append((d, i, key[0], cl, d, 1))
-                else:
-                    out.append((d, i, key[0], cl, first_doc, 0))
-        if first_doc is not None:
-            state.update((first_doc, first_idx))
-        yield pd.DataFrame(
-            out,
-            columns=[
-                "doc_id", "idx", "h", "clen", "first_doc", "is_new"
-            ],
+        if not parts:
+            if first_doc is not None:
+                state.update((first_doc, first_idx))
+            yield pd.DataFrame(
+                [],
+                columns=[
+                    "doc_id", "idx", "h", "clen", "first_doc", "is_new"
+                ],
+            )
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
+        if len(pdf) > 1:
+            pdf = pdf.sort_values(["doc_id", "idx"])
+        claims = first_doc is None
+        if claims:
+            first_doc = int(pdf["doc_id"].iat[0])
+            first_idx = int(pdf["idx"].iat[0])
+        is_new = pd.Series(0, index=range(len(pdf)), dtype="int64")
+        if claims:
+            is_new.iat[0] = 1
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "idx": pdf["idx"].to_numpy(),
+                "h": key[0],
+                "clen": pdf["clen"].to_numpy(),
+                "first_doc": first_doc,
+                "is_new": is_new.to_numpy(),
+            }
         )
+        state.update((first_doc, first_idx))
+        yield out
 
     return chunks.groupBy("h").applyInPandasWithState(
         fn,

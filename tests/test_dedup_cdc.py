@@ -87,11 +87,22 @@ def test_prefix_edit_resynchronizes(spark):
     assert shared >= len(c_edit) - 1
 
 
-def test_lane_plan_is_jvm_only_and_totals_pin_coverage(spark, sf_dir):
+def test_lane_plan_is_arrow_batched_and_totals_pin_coverage(spark, sf_dir):
+    """Optimization r17: the cut scan moved from an interpreted JVM
+    md5-per-position HOF into ONE vectorized Arrow pass (_md5_cuts_vec)
+    — the plan must show exactly one ArrowEvalPython lineage and never
+    a row-at-a-time BatchEvalPython; chunk substrings and the rollup
+    stay JVM-side."""
     df = dedup_cdc_chunks(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan
+    # the UDF runs once, at cache materialization: every textual
+    # ArrowEvalPython occurrence must be cached lineage reprinted
+    # under an InMemoryRelation (the topic-balance convention), never
+    # a stacked duplicate evaluation (guide §4.4)
+    n_arrow = plan.count("ArrowEvalPython")
+    n_cached = plan.count("InMemoryRelation")
+    assert n_arrow == n_cached, plan
     rows = df.collect()
     assert rows
     from reindexer_spark.catalog import load_table
@@ -288,3 +299,56 @@ def test_gear_vectorized_equals_fold_reference():
     got = _gear_cuts_vec(cases)
     for t, g in zip(cases, got):
         assert list(g) == fold_ref(t), t[:40]
+
+
+# ---------------------------------------------------------------------------
+# Vectorized md5-window cuts (optimization r17)
+# ---------------------------------------------------------------------------
+
+
+def test_md5_vectorized_equals_scalar_reference():
+    """The numpy single-block-MD5 cuts (_md5_cuts_vec) must equal the
+    hashlib-per-position reference (_md5_cuts_scalar) — which itself
+    mirrors the JVM HOF rule pinned above — on directed edges (empty,
+    sub-window, exact-window, window+1) and random texts, including
+    the non-ASCII fallback dispatch."""
+    import random
+
+    import pandas as pd
+
+    from reindexer_spark.operators.dedup import (
+        _md5_cuts_scalar,
+        _md5_cuts_vec,
+    )
+
+    rng = random.Random(20260818)
+    cases = ["", "a" * (CDC_W - 1), "b" * CDC_W, "c" * (CDC_W + 1)]
+    cases += [
+        "".join(rng.choice("abcdef ghij.") for _ in range(rng.randrange(0, 500)))
+        for _ in range(200)
+    ]
+    cases += ["κόσμος αβγδε " * 30, "ascii head " * 10 + "日本語" * 20]
+    got = _md5_cuts_vec(pd.Series(cases))
+    for t, v in zip(cases, got):
+        assert list(v) == _md5_cuts_scalar(t), repr(t[:40])
+
+
+def test_md5_d16_vec_matches_hashlib():
+    """The vectorized MD5 kernel's d register must equal hashlib's
+    digest bytes 12..16 on random 16-byte messages."""
+    import hashlib
+    import random
+
+    import numpy as np
+
+    from reindexer_spark.operators.dedup import _md5_d16_vec
+
+    rng = random.Random(7)
+    msgs = [bytes(rng.randrange(256) for _ in range(16)) for _ in range(256)]
+    m = np.ascontiguousarray(
+        np.frombuffer(b"".join(msgs), dtype=np.uint8).reshape(-1, 16)
+    )
+    d = _md5_d16_vec(m)
+    for i, msg in enumerate(msgs):
+        ref = int.from_bytes(hashlib.md5(msg).digest()[12:16], "little")
+        assert int(d[i]) == ref

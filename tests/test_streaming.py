@@ -826,3 +826,70 @@ def test_stateful_cdc_dedup_carries_fingerprints_across_batches(
     # chunks tile: per-doc clen sums equal text lengths
     for i, text in docs:
         assert sum(r.clen for r in by_doc[i]) == len(text), i
+
+
+# ---------------------------------------------------------------------------
+# State-partition sizing policy (optimization r17)
+# ---------------------------------------------------------------------------
+
+
+def test_state_partition_policy_values(monkeypatch):
+    """state_partitions_for sizes stores from source volume: floor 8 at
+    test scale (keeps r16's measured local value — bench comparable),
+    ceil(bytes/1 GiB) in the middle, capped at 2048; the per-store
+    target is env-overridable."""
+    from reindexer_spark.streaming import runner
+
+    monkeypatch.delenv("SPARK_GRAFT_STATE_STORE_TARGET_BYTES", raising=False)
+    assert runner.state_partitions_for(None) == 8
+    assert runner.state_partitions_for(0) == 8
+    assert runner.state_partitions_for(10 << 20) == 8  # local test scale
+    assert runner.state_partitions_for(100 << 30) == 100  # 100 GiB ingest
+    assert runner.state_partitions_for((100 << 30) + 1) == 101  # ceil
+    assert runner.state_partitions_for(100 * 10**12) == 2048  # 100 TB: cap
+    monkeypatch.setenv("SPARK_GRAFT_STATE_STORE_TARGET_BYTES", str(1 << 20))
+    assert runner.state_partitions_for(64 << 20) == 64
+
+
+def test_stream_sources_register_bytes_and_runner_consumes(spark, sf_dir):
+    """The file-source constructors register their on-disk size for the
+    sizing policy and run_stream_to_memory consumes (clears) it — one
+    registration never leaks into the next stream."""
+    import os
+
+    from reindexer_spark.streaming import runner
+
+    key = spark.sparkContext.applicationId
+    runner._PENDING_SOURCE_BYTES.pop(key, None)
+    ev = stream_events(spark, sf_dir)
+    got = runner._PENDING_SOURCE_BYTES.get(key)
+    assert got and got > 0
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isfile(path):
+        assert got == os.path.getsize(path)
+    out = run_stream_to_memory(
+        ev.groupBy("event_type").count(), output_mode="complete"
+    )
+    assert out.count() > 0
+    # consumed: nothing pending for the next stream
+    assert key not in runner._PENDING_SOURCE_BYTES
+
+
+def test_runner_raises_on_nonlocal_master_without_sizing(monkeypatch):
+    """A non-local master with no explicit/env/registered sizing must
+    fail loudly instead of running cluster-scale state on the floor."""
+    from reindexer_spark.streaming import runner
+
+    class _SC:
+        master = "spark://cluster:7077"
+        applicationId = "app-nonlocal-test"
+
+    class _Session:
+        sparkContext = _SC()
+
+    class _DF:
+        sparkSession = _Session()
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", raising=False)
+    with pytest.raises(RuntimeError, match="non-local master"):
+        runner.run_stream_to_memory(_DF())
